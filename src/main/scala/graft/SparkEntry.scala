@@ -1,13 +1,51 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.streaming.Streams
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each operator family lives in its own module and contributes a map
+  * of named queries plus (where SQL-expressible) a DuckDB oracle query
+  * with identical column names/ordering — the driver hash-compares the
+  * two (Verify.scala).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The reference's entire dataflow (source → project →
+    * filter + side-output → format → sink, main.py:5–17) as one query. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RefPipeline.ingestFilter(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RefPipeline.queries ++
+      Joins.queries ++
+      Aggregations.queries ++
+      Windows.queries ++
+      SortsAndSets.queries ++
+      Scalars.queries ++
+      Dedup.queries ++
+      Similarity.queries ++
+      TextAnalysis.queries ++
+      Multimodal.queries ++
+      Streams.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (sketch-based ops) get the
+    * driver's weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    RefPipeline.oracle ++
+      Joins.oracle ++
+      Aggregations.oracle ++
+      Windows.oracle ++
+      SortsAndSets.oracle ++
+      Scalars.oracle ++
+      Dedup.oracle ++
+      Similarity.oracle ++
+      TextAnalysis.oracle ++
+      Multimodal.oracle ++
+      Streams.oracle
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation family (SURVEY.md §2.4 — all EXT).
+  *
+  * Everything here is a plain declarative `groupBy/agg`, so Catalyst
+  * plans partial (map-side) aggregation before the shuffle and a final
+  * merge after — the shape that scales: shuffled bytes are proportional
+  * to |groups|, not |rows|. Double-valued aggregates are rounded at the
+  * output edge only (oracle float parity, SURVEY.md §7.4), never inside
+  * the computation.
+  */
+object Aggregations {
+
+  /** TPC-H Q1-flavored pricing summary over lineitem. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_extendedprice), 4) AS avg_price,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** ROLLUP over (returnflag, linestatus); subtotal rows surfaced with
+    * 'ALL' labels so the output is null-free and oracle-stable. */
+  def rollupFlagStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"))
+      .orderBy(col("flag"), col("status"))
+
+  val rollupFlagStatusSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |       COALESCE(l_linestatus, 'ALL') AS status,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  /** CUBE over orders (status × priority). */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  val cubeOrdersSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS cnt,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Exact distinct counts (expand + two-phase agg under the hood). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_rows"))
+
+  val distinctCountsSql: String =
+    """SELECT count(DISTINCT o_custkey) AS n_cust,
+      |       count(DISTINCT o_orderstatus) AS n_status,
+      |       count(DISTINCT o_orderpriority) AS n_prio,
+      |       count(*) AS n_rows
+      |FROM orders""".stripMargin
+
+  /** Conditional / filtered aggregation. */
+  def filteredAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0.0))), 2).as("disc_rev"),
+        count(when(col("l_quantity") > 25, lit(1))).as("big_qty_cnt"),
+        round(max(when(col("l_tax") < 0.03, col("l_extendedprice"))), 2).as("lowtax_max"))
+      .orderBy(col("l_returnflag"))
+
+  val filteredAggSql: String =
+    """SELECT l_returnflag,
+      |       round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS disc_rev,
+      |       count(CASE WHEN l_quantity > 25 THEN 1 END) AS big_qty_cnt,
+      |       round(max(CASE WHEN l_tax < 0.03 THEN l_extendedprice END), 2) AS lowtax_max
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** collect_set → deterministic string (sorted, comma-joined): nation
+    * roster per region. */
+  def collectNations(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"),
+        countDistinct(col("n_name")).as("n_nations"))
+      .orderBy(col("r_name"))
+  }
+
+  val collectNationsSql: String =
+    """SELECT r_name,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |       count(DISTINCT n_name) AS n_nations
+      |FROM (SELECT DISTINCT r_name, n_name
+      |      FROM nation JOIN region ON n_regionkey = r_regionkey)
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** HLL++ approximate distinct — algorithm-specific, so no SQL oracle
+    * (DuckDB's approx_count_distinct uses a different sketch); verified
+    * by a ScalaTest bound against the exact count instead. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pricing_summary" -> (pricingSummary _),
+    "agg_rollup" -> (rollupFlagStatus _),
+    "agg_cube" -> (cubeOrders _),
+    "agg_distinct_counts" -> (distinctCounts _),
+    "agg_filtered" -> (filteredAgg _),
+    "agg_collect_set" -> (collectNations _),
+    "agg_approx_distinct" -> (approxDistinct _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "agg_pricing_summary" -> pricingSummarySql,
+    "agg_rollup" -> rollupFlagStatusSql,
+    "agg_cube" -> cubeOrdersSql,
+    "agg_distinct_counts" -> distinctCountsSql,
+    "agg_filtered" -> filteredAggSql,
+    "agg_collect_set" -> collectNationsSql
+    // agg_approx_distinct intentionally has no oracle (sketch-specific)
+  )
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2.10 — all EXT, driver-mandated).
+  *
+  * Scale design: every variant reduces to hash-partitioned groupBy /
+  * join on a compact key (md5 digest, minhash band signature, simhash
+  * bucket), so the shuffle volume is O(|docs| × key-size), never
+  * O(|docs|²). Pairwise comparisons happen only *within* candidate
+  * buckets (LSH banding), which is the standard way MinHash dedup is
+  * run over 100 TB corpora.
+  *
+  * All hashing is md5-based (not murmur/xxhash) because md5 is
+  * bit-identical across engines — the whole pipeline stays
+  * oracle-checkable in DuckDB.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, keep the smallest doc_id per
+    * group. One shuffle on a 16-byte key. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy(col("text_md5"))
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS text_md5,
+      |       count(*) AS n_copies,
+      |       min(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Corpus summary after exact dedup — distinct docs kept vs dropped. */
+  def exactDedupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .agg(
+        count(lit(1)).as("total_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("distinct_docs"))
+      .select(col("total_docs"), col("distinct_docs"),
+        (col("total_docs") - col("distinct_docs")).as("duplicates_dropped"))
+
+  val exactDedupStatsSql: String =
+    """SELECT count(*) AS total_docs,
+      |       count(DISTINCT md5(text)) AS distinct_docs,
+      |       count(*) - count(DISTINCT md5(text)) AS duplicates_dropped
+      |FROM documents""".stripMargin
+
+  /** Word-shingle column shared by the near-dup ops: 3-gram shingles of
+    * the whitespace-tokenized text (docs shorter than 3 tokens shingle
+    * to the whole text). */
+  private def shingles(textCol: Column): Column = {
+    val w = split(textCol, " ")
+    when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+      .otherwise(array(textCol))
+  }
+
+  private val shinglesSqlFragment: String =
+    """CASE WHEN len(words) >= 3
+      |     THEN list_transform(range(len(words) - 2), i -> array_to_string(words[i+1:i+3], ' '))
+      |     ELSE [text] END""".stripMargin
+
+  private val bands = 4
+
+  /** MinHash + LSH banding. Per band b, the minhash is the minimum of
+    * md5(b || shingle) over all shingles (md5-as-random-permutation);
+    * the LSH signature concatenates the band minima. Docs sharing a
+    * signature are near-dup candidates. Min over hex digests is a plain
+    * string min, identical across engines. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val withShingles = Tables.documents(spark, dir)
+      .withColumn("sh", shingles(col("text")))
+    val sig = concat_ws(":", (0 until bands).map { b =>
+      array_min(transform(col("sh"), s => md5(concat(lit(s"$b|"), s).cast("binary"))))
+    }: _*)
+    withShingles
+      .withColumn("sig", sig)
+      .groupBy(col("sig"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc_id"))
+      .filter(col("n_docs") >= 1)
+      .orderBy(col("sig"))
+  }
+
+  val minhashLshSql: String = {
+    val bandMins = (0 until bands)
+      .map(b => s"list_min(list_transform(sh, s -> md5('$b|' || s)))")
+      .mkString(" || ':' || ")
+    s"""SELECT sig, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+       |FROM (
+       |  SELECT doc_id, $bandMins AS sig
+       |  FROM (SELECT doc_id, text, $shinglesSqlFragment AS sh
+       |        FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)))
+       |GROUP BY sig ORDER BY sig""".stripMargin
+  }
+
+  /** SimHash (16-bit, md5-derived): per token take the low 16 bits of
+    * its md5; sum +1/-1 votes per bit position; the sign vector is the
+    * fingerprint. Bucket docs by fingerprint. Pure integer arithmetic →
+    * bit-identical across engines. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("words", array_distinct(split(col("text"), " ")))
+      // low 16 bits of md5, per distinct token
+      .withColumn("tokhash", transform(col("words"),
+        w => conv(substring(md5(w.cast("binary")), 29, 4), 16, 10).cast("long")))
+    val bitCols = (0 until 16).map { bit =>
+      // vote for bit: +1 if set else -1, summed over tokens
+      val votes = aggregate(col("tokhash"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << bit)
+    }
+    docs
+      .withColumn("simhash", bitCols.reduce(_ + _))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy(col("simhash"))
+  }
+
+  val simhashSql: String = {
+    val bitTerms = (0 until 16).map { bit =>
+      s"""(CASE WHEN list_sum(list_transform(tokhash,
+         |   h -> CASE WHEN (h // ${1L << bit}) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+         |   THEN ${1L << bit} ELSE 0 END)""".stripMargin.replaceAll("\n", " ")
+    }.mkString(" + ")
+    s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+       |FROM (
+       |  SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+       |  FROM (SELECT doc_id,
+       |               list_transform(list_distinct(string_split(text, ' ')),
+       |                 w -> CAST(('0x' || substring(md5(w), 29, 4)) AS BIGINT)) AS tokhash
+       |        FROM documents))
+       |GROUP BY simhash ORDER BY simhash""".stripMargin
+  }
+
+  /** N-gram Jaccard near-dup: candidate pairs are generated only within
+    * (lang, source) blocks — the blocking join that keeps the pair count
+    * bounded at scale — then scored with exact token-set Jaccard. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val a = docs.select(col("lang"), col("source"),
+      col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = docs.select(col("lang").as("lang_b"), col("source").as("source_b"),
+      col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b") &&
+        col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .withColumn("jac", round(col("inter") /
+        (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 4))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccardSql: String =
+    """SELECT doc_a, doc_b, jac
+      |FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |               (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jac
+      |  FROM (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+      |  JOIN (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      |WHERE jac >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exactDedup _),
+    "dedup_exact_stats" -> (exactDedupStats _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" -> exactDedupSql,
+    "dedup_exact_stats" -> exactDedupStatsSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql
+  )
+}

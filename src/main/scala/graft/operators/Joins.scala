@@ -1,0 +1,261 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operator family (SURVEY.md §2.3 — all EXT; the reference
+  * correlates nothing, /root/reference/main.py:5–17).
+  *
+  * Scale notes (100 TB): every dimension table (`region`, `nation`,
+  * `supplier`, `part`, `customer` at small SF) is explicitly
+  * `broadcast()` so the fact-side scan never shuffles for those joins;
+  * the fact↔fact joins (orders↔lineitem) shuffle on the join key once
+  * and Catalyst/AQE picks sort-merge with skew splitting. Aggregations
+  * sit above joins so partial aggregation runs map-side before the
+  * final shuffle.
+  */
+object Joins {
+
+  /** TPC-H Q3-flavored: revenue per market segment through
+    * customer⋈orders⋈lineitem. customer is broadcast (dim-sized);
+    * orders⋈lineitem is the one real shuffle, on the orderkey. */
+  def revenueBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        countDistinct(col("o_orderkey")).as("order_cnt"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val revenueBySegmentSql: String =
+    """SELECT c_mktsegment,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(DISTINCT o_orderkey) AS order_cnt,
+      |       count(*) AS line_cnt
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q5-flavored broadcast chain lineitem⋈supplier⋈nation⋈region:
+    * three broadcast hash joins, zero shuffles until the final agg. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS line_cnt
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Left outer: order counts per nation including order-less customers
+    * (`count(col)` skips the nulls the outer join introduces). */
+  def leftOuterOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_nationkey").cast("long").as("nationkey"))
+      .agg(
+        count(o("o_orderkey")).as("order_cnt"),
+        count(lit(1)).as("row_cnt"))
+      .orderBy(col("nationkey"))
+  }
+
+  val leftOuterOrdersSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |       count(o_orderkey) AS order_cnt,
+      |       count(*) AS row_cnt
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Left-semi: customers that have at least one order, per segment. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cust_with_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS cust_with_orders
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Left-anti: customers with no orders since 2000 (the date filter is
+    * pushed below the join, so the anti-join's build side shrinks at
+    * the scan). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Full outer over two pre-aggregated sides: customer vs supplier
+    * population per nation. Pre-aggregating both sides before the join
+    * keeps the shuffled volume at |nations|, not |customers|. */
+  def fullOuterNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("long").as("cn"))
+      .agg(count(lit(1)).as("cc"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").cast("long").as("sn"))
+      .agg(count(lit(1)).as("sc"))
+    c.join(s, c("cn") === s("sn"), "full_outer")
+      .select(
+        coalesce(col("cn"), col("sn")).as("nationkey"),
+        coalesce(col("cc"), lit(0L)).as("cust_cnt"),
+        coalesce(col("sc"), lit(0L)).as("supp_cnt"))
+      .orderBy(col("nationkey"))
+  }
+
+  val fullOuterNationSql: String =
+    """SELECT COALESCE(cn, sn) AS nationkey,
+      |       COALESCE(cc, 0) AS cust_cnt,
+      |       COALESCE(sc, 0) AS supp_cnt
+      |FROM (SELECT CAST(c_nationkey AS BIGINT) AS cn, count(*) AS cc FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT CAST(s_nationkey AS BIGINT) AS sn, count(*) AS sc FROM supplier GROUP BY 1) s
+      |  ON cn = sn
+      |ORDER BY nationkey""".stripMargin
+
+  /** Theta (non-equi) join on small dims: strictly-ordered region pairs.
+    * Physical plan: broadcast nested loop — correct choice when neither
+    * side has an equi key and one side is tiny. */
+  def thetaRegionPairs(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.region(spark, dir).select(
+      col("r_regionkey").cast("long").as("rk_a"), col("r_name").as("name_a"))
+    val b = Tables.region(spark, dir).select(
+      col("r_regionkey").cast("long").as("rk_b"), col("r_name").as("name_b"))
+    a.join(b, col("rk_a") < col("rk_b"))
+      .orderBy(col("rk_a"), col("rk_b"))
+  }
+
+  val thetaRegionPairsSql: String =
+    """SELECT CAST(a.r_regionkey AS BIGINT) AS rk_a, a.r_name AS name_a,
+      |       CAST(b.r_regionkey AS BIGINT) AS rk_b, b.r_name AS name_b
+      |FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
+      |ORDER BY rk_a, rk_b""".stripMargin
+
+  /** Range (interval) join: for each `error` event, the same user's
+    * activity in the following hour. The equi key (user_id) drives a
+    * hash join and the time range is a residual predicate — at 100 TB
+    * the equi key keeps this out of nested-loop territory, and the time
+    * band bounds the fan-out per key. */
+  def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"), col("ts_ns").as("err_ts"))
+    val fol = ev.select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+    err.join(fol,
+        col("err_user") === col("user_id") &&
+          col("ts_ns") > col("err_ts") &&
+          col("ts_ns") <= col("err_ts") + lit(3600L * 1000 * 1000 * 1000))
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("events_next_hour"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("err_id"))
+  }
+
+  // Oracle works on raw ns timestamps via epoch_ns to mirror the
+  // engine's exact integer arithmetic (no float time math).
+  val rangeJoinEventsSql: String =
+    """SELECT err.event_id AS err_id, count(*) AS events_next_hour,
+      |       round(sum(f.value), 2) AS value_sum
+      |FROM (SELECT * FROM events WHERE event_type = 'error') err
+      |JOIN events f ON f.user_id = err.user_id
+      |  AND epoch_ns(f.ts) > epoch_ns(err.ts)
+      |  AND epoch_ns(f.ts) <= epoch_ns(err.ts) + 3600000000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** As-of join: each event matched to the same user's latest order
+    * at-or-before the event time. Spark lacks a native ASOF join; the
+    * scalable pattern is equi-join on the key + window argmax, which
+    * shuffles once on the key instead of nested-looping on time. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val joined = e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT event_id, o_orderkey AS asof_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS asof_orderdate
+      |FROM (
+      |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_revenue_by_segment" -> (revenueBySegment _),
+    "join_revenue_by_nation" -> (revenueByNation _),
+    "join_left_outer" -> (leftOuterOrders _),
+    "join_semi" -> (semiJoin _),
+    "join_anti" -> (antiJoin _),
+    "join_full_outer" -> (fullOuterNation _),
+    "join_theta_pairs" -> (thetaRegionPairs _),
+    "join_range_events" -> (rangeJoinEvents _),
+    "join_asof" -> (asofJoin _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "join_revenue_by_segment" -> revenueBySegmentSql,
+    "join_revenue_by_nation" -> revenueByNationSql,
+    "join_left_outer" -> leftOuterOrdersSql,
+    "join_semi" -> semiJoinSql,
+    "join_anti" -> antiJoinSql,
+    "join_full_outer" -> fullOuterNationSql,
+    "join_theta_pairs" -> thetaRegionPairsSql,
+    "join_range_events" -> rangeJoinEventsSql,
+    "join_asof" -> asofJoinSql
+  )
+}

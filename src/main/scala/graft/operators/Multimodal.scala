@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2.10): media as opaque
+  * `binary` columns bundled with typed metadata in a struct — the
+  * layout a 100 TB image/audio corpus uses (bytes + sidecar metadata in
+  * one row, partition-pruned by metadata, bytes only materialized for
+  * surviving rows).
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * STUB: `decodeStub` derives deterministic pseudo-features (byte
+  * length, digest, head byte) instead of real pixels. Everything
+  * around it — the binary column, the struct schema, the
+  * per-partition batch iteration, pruning — is real and tested. In
+  * production the stub body is replaced by a codec call; the Spark
+  * plumbing (schema, partitioning, batch shape) is unchanged.
+  */
+object Multimodal {
+
+  /** Assemble the multimodal row: payload bytes + typed metadata
+    * struct. documents.text stands in for the media payload. */
+  def assemble(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        col("lang").as("lang"),
+        col("source").as("source"),
+        col("n_chars").as("n_chars"),
+        lit("text/plain").as("mime")).as("meta"))
+
+  /** The decode/feature-extract stub, applied per partition over the
+    * binary payloads via mapPartitions (the Scala analog of a
+    * mapInPandas batch UDF: one iterator of rows per partition, so a
+    * real codec could amortize per-batch setup). Deterministic fake
+    * features; signature and batch shape are production-real. */
+  def decodeStub(spark: SparkSession, dir: String): DataFrame = {
+    val mm = assemble(spark, dir)
+    import spark.implicits._
+    val decoded = mm
+      .select(col("doc_id"), col("payload"), col("meta.lang").as("lang"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { batch =>
+        // ??? <- real codec goes here; deterministic fake for offline CI
+        batch.map { case (id, bytes, lang) =>
+          val head = if (bytes.nonEmpty) bytes(0).toLong & 0xff else -1L
+          (id, bytes.length.toLong, head, lang)
+        }
+      }
+      .toDF("doc_id", "byte_len", "head_byte", "lang")
+    decoded.orderBy(col("doc_id"))
+  }
+
+  val decodeStubSql: String =
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |       CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte,
+      |       lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Metadata-first pruning: filter + project on the struct metadata
+    * without touching payload bytes (Catalyst prunes the binary column
+    * out of the scan — the point of the bytes+metadata layout). */
+  def metaPruning(spark: SparkSession, dir: String): DataFrame =
+    assemble(spark, dir)
+      .filter(col("meta.lang") === "en" && col("meta.n_chars") > 200)
+      .select(
+        col("doc_id"),
+        col("meta.source").as("source"),
+        col("meta.n_chars").as("n_chars"),
+        col("meta.mime").as("mime"))
+      .orderBy(col("doc_id"))
+
+  val metaPruningSql: String =
+    """SELECT doc_id, source, n_chars, 'text/plain' AS mime
+      |FROM documents
+      |WHERE lang = 'en' AND n_chars > 200
+      |ORDER BY doc_id""".stripMargin
+
+  /** Frame-sampling stub: take every k-th byte of the payload (the
+    * shape of video frame sampling), emit sample digest + stats.
+    * Pure built-ins over the binary column. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n", length(col("payload")))
+      .withColumn("sample", concat_ws("",
+        transform(sequence(lit(0), expr(s"(n - 1) div $k")),
+          i => substring(col("text"), (i * k + 1).cast("int"), lit(1)))))
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("byte_len"),
+        length(col("sample")).cast("long").as("n_samples"),
+        md5(col("sample").cast("binary")).as("sample_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val frameSampleSql: String =
+    """SELECT doc_id,
+      |       CAST(length(text) AS BIGINT) AS byte_len,
+      |       CAST(length(sample) AS BIGINT) AS n_samples,
+      |       md5(sample) AS sample_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |         array_to_string(list_transform(range((length(text) - 1) // 16 + 1),
+      |           i -> substring(text, CAST(i * 16 + 1 AS INTEGER), 1)), '') AS sample
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_stub" -> (decodeStub _),
+    "mm_meta_pruning" -> (metaPruning _),
+    "mm_frame_sample" -> (frameSample _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "mm_decode_stub" -> decodeStubSql,
+    "mm_meta_pruning" -> metaPruningSql,
+    "mm_frame_sample" -> frameSampleSql
+  )
+}

@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (SURVEY.md §2.10).
+  *
+  * Two paths, same semantics:
+  *  - `sim_topk_bruteforce`: exact cosine top-k, query-side broadcast ×
+  *    full scan. O(Q·N) — the correctness baseline, and still the right
+  *    plan at scale when Q is small (queries broadcast; the big side
+  *    never shuffles).
+  *  - `sim_ann_lsh`: random-hyperplane LSH. Vectors are bucketed by the
+  *    sign pattern of dot products with P deterministic ±1 hyperplanes;
+  *    candidates are same-bucket only, then scored exactly. The bucket
+  *    join is an equi shuffle on the signature — O(N) shuffle, pairwise
+  *    work bounded per bucket. This is the 100 TB path (cf. LSH / IVF
+  *    coarse quantization in the ANN literature, PAPERS.md).
+  *
+  * The hyperplanes are integer-deterministic (a Weyl-style mixing of
+  * the dimension index and plane id), so the oracle reproduces them
+  * exactly — no RNG, no libm divergence. All vector math is in double.
+  */
+object Similarity {
+
+  private val dim = 64
+  private val nPlanes = 8
+  private val nQueries = 10
+  private val topK = 5
+
+  private def vecAsDouble(c: Column): Column = c.cast("array<double>")
+
+  /** dot(a, b) with a fixed left-to-right fold, mirrored in the oracle
+    * so float summation order is identical. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(c: Column): Column =
+    sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
+
+  private val dotSql = // a, b already DOUBLE[]
+    (a: String, b: String) => s"list_sum(list_transform(range($dim), i -> $a[i+1] * $b[i+1]))"
+  private val normSql =
+    (a: String) => s"sqrt(list_sum(list_transform($a, x -> x * x)))"
+
+  /** Exact brute-force cosine top-k for the first `nQueries` vectors. */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).withColumn("v", vecAsDouble(col("embedding")))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cand = emb.select(col("vec_id"), col("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    broadcast(q).join(cand, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val bruteForceTopKSql: String =
+    s"""SELECT query_id, rank, neighbor_id, cosine
+       |FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         round(${dotSql("q.v", "c.v")} / (${normSql("q.v")} * ${normSql("c.v")}), 6) AS cosine,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY q.vec_id
+       |           ORDER BY ${dotSql("q.v", "c.v")} / (${normSql("q.v")} * ${normSql("c.v")}) DESC,
+       |                    c.vec_id) AS BIGINT) AS rank
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < $nQueries) q
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) c
+       |    ON q.vec_id <> c.vec_id)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Deterministic ±1 hyperplane component for (plane p, dim i):
+    * sign(((i+1) * 2654435761 + p * 40503) mod 97 < 48). Integer-only →
+    * exact in both engines. */
+  private def planeSign(p: Int, i: Column): Column =
+    when(((i + 1) * lit(2654435761L) + lit(p * 40503L)) % 97 < 48, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  private def planeSignSql(p: Int): String =
+    s"CASE WHEN ((i+1) * 2654435761 + $p * 40503) % 97 < 48 THEN 1.0 ELSE -1.0 END"
+
+  /** LSH bucket signature: one sign bit per hyperplane. */
+  private def lshSig(v: Column): Column =
+    concat((0 until nPlanes).map { p =>
+      val d = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (acc, i) => acc + element_at(v, i + 1) * planeSign(p, i))
+      when(d >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  private def lshSigSql(v: String): String =
+    (0 until nPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range($dim), i -> $v[i+1] * ${planeSignSql(p)})) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** Bucket census — the partition-balance view an operator would watch
+    * for skew at scale. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("v", vecAsDouble(col("embedding")))
+      .withColumn("bucket", lshSig(col("v")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("bucket"))
+
+  val lshBucketsSql: String =
+    s"""SELECT ${lshSigSql("v")} AS bucket,
+       |       count(*) AS n_vectors, min(vec_id) AS min_vec_id
+       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ANN top-k: same-bucket candidates only, scored with exact cosine.
+    * Recall is bounded by bucketing (as with any LSH); results are
+    * deterministic so the oracle reproduces them exactly. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", vecAsDouble(col("embedding")))
+      .withColumn("bucket", lshSig(col("v")))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val cand = emb.select(col("vec_id"), col("v"), col("bucket").as("cb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    broadcast(q)
+      .join(cand, col("bucket") === col("cb") && col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annTopKSql: String =
+    s"""SELECT query_id, rank, neighbor_id, cosine
+       |FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         round(${dotSql("q.v", "c.v")} / (${normSql("q.v")} * ${normSql("c.v")}), 6) AS cosine,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY q.vec_id
+       |           ORDER BY ${dotSql("q.v", "c.v")} / (${normSql("q.v")} * ${normSql("c.v")}) DESC,
+       |                    c.vec_id) AS BIGINT) AS rank
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ${lshSigSql("CAST(embedding AS DOUBLE[])")} AS bucket
+       |        FROM embeddings WHERE vec_id < $nQueries) q
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ${lshSigSql("CAST(embedding AS DOUBLE[])")} AS cb
+       |        FROM embeddings) c
+       |    ON q.bucket = c.cb AND q.vec_id <> c.vec_id)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs: bucket-blocked pairs above a
+    * high cosine threshold — the embedding analog of minhash dedup. */
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", vecAsDouble(col("embedding")))
+      .withColumn("bucket", lshSig(col("v")))
+    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket").as("bb"))
+    a.join(b, col("bucket") === col("bb") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_raw", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .filter(col("cos_raw") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val cosineNearDupSql: String =
+    s"""SELECT vec_a, vec_b, round(cos_raw, 6) AS cosine
+       |FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${dotSql("a.v", "b.v")} / (${normSql("a.v")} * ${normSql("b.v")}) AS cos_raw
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ${lshSigSql("CAST(embedding AS DOUBLE[])")} AS bucket
+       |        FROM embeddings) a
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ${lshSigSql("CAST(embedding AS DOUBLE[])")} AS bucket
+       |        FROM embeddings) b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE cos_raw >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> (bruteForceTopK _),
+    "sim_lsh_buckets" -> (lshBuckets _),
+    "sim_ann_topk" -> (annTopK _),
+    "sim_cosine_neardup" -> (cosineNearDup _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sim_topk_bruteforce" -> bruteForceTopKSql,
+    "sim_lsh_buckets" -> lshBucketsSql,
+    "sim_ann_topk" -> annTopKSql,
+    "sim_cosine_neardup" -> cosineNearDupSql
+  )
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (SURVEY.md §2.10).
+  *
+  * Everything is built from codegen'd built-ins (split / explode /
+  * higher-order functions) — no UDFs — so whole-stage codegen covers
+  * the hot path and the only shuffles are the final groupBys on compact
+  * keys (term, lang, doc_id).
+  */
+object TextAnalysis {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Token statistics per document: counts via whitespace tokenization
+    * plus a BPE-ish sub-token estimate (alpha runs + digit runs +
+    * punctuation singles ≈ regexp token count). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"),
+      size(array_distinct(words(col("text")))).cast("long").as("n_distinct"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      size(split(col("text"), "[a-z]+")).cast("long").minus(1).as("alpha_runs"),
+      round(length(col("text")).cast("double") / size(words(col("text"))), 4).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |       CAST(length(text) AS BIGINT) AS n_chars_measured,
+      |       CAST(len(string_split_regex(text, '[a-z]+')) - 1 AS BIGINT) AS alpha_runs,
+      |       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword ratio, average word length, repetition
+    * (1 - distinct/total) — the usual cheap curation heuristics. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val nTok = size(w).cast("double")
+    val stopHits = size(filter(w, t => t.isin("the", "a"))).cast("double")
+    val distinctRatio = size(array_distinct(w)).cast("double") / nTok
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      round(stopHits / nTok, 4).as("stopword_ratio"),
+      round((length(col("text")) - size(w) + 1).cast("double") / size(w), 4).as("avg_word_len"),
+      round(lit(1.0) - distinctRatio, 4).as("repetition"),
+      round(
+        when(stopHits / nTok > 0.02, 0.25).otherwise(0.0) +
+          when(distinctRatio > 0.3, 0.5).otherwise(0.0) +
+          when(nTok >= 20, 0.25).otherwise(0.0), 2).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id,
+      |       round(stop_hits / n_tok, 4) AS stopword_ratio,
+      |       round((length(text) - n_tok + 1) / n_tok, 4) AS avg_word_len,
+      |       round(1.0 - distinct_ratio, 4) AS repetition,
+      |       round((CASE WHEN stop_hits / n_tok > 0.02 THEN 0.25 ELSE 0.0 END)
+      |           + (CASE WHEN distinct_ratio > 0.3 THEN 0.5 ELSE 0.0 END)
+      |           + (CASE WHEN n_tok >= 20 THEN 0.25 ELSE 0.0 END), 2) AS quality
+      |FROM (
+      |  SELECT doc_id, text,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) AS stop_hits,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |           len(string_split(text, ' ')) AS distinct_ratio
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic (n-gram/stopword flavor): score English by
+    * 'the'/'a' hit rate, and compare against the labeled lang column.
+    * Aggregated per (lang, prediction) — a confusion-matrix view. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val stopRatio = size(filter(w, t => t.isin("the", "a"))).cast("double") / size(w)
+    Tables.documents(spark, dir)
+      .withColumn("pred", when(stopRatio > 0.05, "en").otherwise("other"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  val langIdConfusionSql: String =
+    """SELECT lang, pred, count(*) AS n_docs
+      |FROM (
+      |  SELECT lang,
+      |         CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+      |                   / len(string_split(text, ' ')) > 0.05
+      |              THEN 'en' ELSE 'other' END AS pred
+      |  FROM documents)
+      |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+
+  /** Positional polynomial fingerprint (rolling-hash flavor): exact
+    * integer arithmetic, order-sensitive, engine-identical. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val fp = aggregate(
+      sequence(lit(1), size(w)), lit(0L),
+      (acc, i) => acc + i.cast("long") *
+        (length(element_at(w, i)).cast("long") * 17L + ascii(element_at(w, i)).cast("long"))
+    ) % 1000000007L
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fp.as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |       CAST(list_sum(list_transform(range(len(w)),
+      |              i -> (i + 1) * (length(w[i+1]) * 17 + ascii(w[i+1])))) % 1000000007 AS BIGINT) AS fingerprint
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus term frequencies: explode → count — top 20 terms. */
+  def topTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(20)
+
+  val topTermsSql: String =
+    """SELECT term, count(*) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |GROUP BY term ORDER BY freq DESC, term LIMIT 20""".stripMargin
+
+  /** TF-IDF: tf per (doc, term) × ln(N/df), top term per doc. The
+    * doc-frequency side is a term-keyed aggregate joined back — two
+    * shuffles on compact keys, no quadratic blow-up. */
+  def tfidfTopTerm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf_raw").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_raw", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        round(col("tfidf_raw"), 6).as("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tfidfTopTermSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+      |SELECT doc_id, term AS top_term, round(tfidf_raw, 6) AS tfidf
+      |FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf_raw,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |                            ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+      |                                     tf.term) AS rn
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (tokenStats _),
+    "text_quality_score" -> (qualityScore _),
+    "text_langid_confusion" -> (langIdConfusion _),
+    "text_fingerprint" -> (fingerprint _),
+    "text_top_terms" -> (topTerms _),
+    "text_tfidf_top_term" -> (tfidfTopTerm _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "text_token_stats" -> tokenStatsSql,
+    "text_quality_score" -> qualityScoreSql,
+    "text_langid_confusion" -> langIdConfusionSql,
+    "text_fingerprint" -> fingerprintSql,
+    "text_top_terms" -> topTermsSql,
+    "text_tfidf_top_term" -> tfidfTopTermSql
+  )
+}

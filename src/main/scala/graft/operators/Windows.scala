@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function family (SURVEY.md §2.5 — all EXT).
+  *
+  * Every window is `partitionBy(key)` so the single shuffle is on the
+  * partition key and each partition sorts locally — no global sort. All
+  * orderings carry an explicit unique tie-break key so ranking is
+  * deterministic (oracle parity, SURVEY.md §7.4).
+  */
+object Windows {
+
+  /** Top-3 orders by price per priority class (ranking window + filter;
+    * Spark plans this as a per-partition top-k, not a full sort). */
+  def topkPerPriority(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  val topkPerPrioritySql: String =
+    """SELECT o_orderpriority, rn, o_orderkey, round(o_totalprice, 2) AS price
+      |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |             CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** lag(): per-user event-to-event value delta. */
+  def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 2))
+      .select(col("user_id"), col("event_id"), col("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val lagDeltaSql: String =
+    """SELECT user_id, event_id,
+      |       round(value - lag(value, 1) OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id), 2) AS delta
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Running total frame (ROWS UNBOUNDED PRECEDING → CURRENT ROW):
+    * cumulative spend per customer in order-date order. The frame order
+    * fixes the float summation order, so the oracle sums identically. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("run_total", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("run_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val runningTotalSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** ntile quartiles over order value, summarized per bucket. */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("cnt"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("quartile"))
+  }
+
+  val ntileQuartilesSql: String =
+    """SELECT quartile, count(*) AS cnt,
+      |       round(min(o_totalprice), 2) AS min_price,
+      |       round(max(o_totalprice), 2) AS max_price
+      |FROM (SELECT CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+      |             o_totalprice
+      |      FROM orders)
+      |GROUP BY quartile ORDER BY quartile""".stripMargin
+
+  /** first/last over a bounded frame: each nation's cheapest and
+    * priciest supplier account balance context. */
+  def firstLastBalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.supplier(spark, dir)
+      .select(
+        col("s_nationkey").cast("long").as("nationkey"),
+        col("s_suppkey"),
+        round(first(col("s_acctbal")).over(w), 2).as("min_bal_in_nation"),
+        round(last(col("s_acctbal")).over(w), 2).as("max_bal_in_nation"))
+      .orderBy(col("nationkey"), col("s_suppkey"))
+  }
+
+  val firstLastBalanceSql: String =
+    """SELECT CAST(s_nationkey AS BIGINT) AS nationkey, s_suppkey,
+      |       round(first_value(s_acctbal) OVER w, 2) AS min_bal_in_nation,
+      |       round(last_value(s_acctbal) OVER w, 2) AS max_bal_in_nation
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY nationkey, s_suppkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_topk_per_group" -> (topkPerPriority _),
+    "win_lag_delta" -> (lagDelta _),
+    "win_running_total" -> (runningTotal _),
+    "win_ntile" -> (ntileQuartiles _),
+    "win_first_last" -> (firstLastBalance _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "win_topk_per_group" -> topkPerPrioritySql,
+    "win_lag_delta" -> lagDeltaSql,
+    "win_running_total" -> runningTotalSql,
+    "win_ntile" -> ntileQuartilesSql,
+    "win_first_last" -> firstLastBalanceSql
+  )
+}

@@ -1,0 +1,188 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming surface (SURVEY.md §2.9).
+  *
+  * The reference IS a (stateless) streaming system — one CloudEvent per
+  * GCS object-finalize, /root/reference/main.py:1–5 — so the engine
+  * models ingestion as Structured Streaming over a file source, with
+  * EXT stateful operators (watermarked windows, streaming dedup,
+  * sessionization) on top.
+  *
+  * Oracle strategy (SURVEY.md §2.9): streaming results can't be
+  * hash-checked by the DuckDB harness, so every streaming op here has a
+  * bounded **batch twin** registered in SparkEntry — identical
+  * transformation over the bounded events table (the Dataflow-model
+  * batch/stream unification). The streaming paths themselves are
+  * exercised by ScalaTest with MemoryStream + Trigger.AvailableNow.
+  */
+object Streams {
+
+  // ---------- streaming builders (used by tests / production) ----------
+
+  /** File-arrival ingestion stream: the Spark analog of the reference's
+    * GCS→Eventarc notification flow. Parquet files landing in `dir` are
+    * discovered incrementally; `maxFilesPerTrigger` is the rate-limit
+    * analog of the reference's max_instance_count (main.tf:53). */
+  def fileArrivals(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 3)
+      .parquet(dir)
+
+  /** Watermarked tumbling-window counts per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Sliding-window (2h window, 1h slide) activity. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("cnt"))
+
+  /** Streaming exact-once dedup by event_id within the watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id", "ts")
+
+  /** Session windows per user with a 30-minute gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("user_id"), col("n_events"))
+
+  /** Custom state machine via mapGroupsWithState: running per-user
+    * event count + last-seen type (the KeyValueGroupedDataset state
+    * path for shapes windows can't express). */
+  def runningUserState(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    case class E(user_id: Long, event_type: String)
+    events.select(col("user_id"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String)], state: GroupState[(Long, String)]) =>
+          val prev = state.getOption.getOrElse((0L, ""))
+          val buf = rows.toSeq
+          val next = (prev._1 + buf.size, buf.lastOption.map(_._2).getOrElse(prev._2))
+          state.update(next)
+          (user, next._1, next._2)
+      }
+      .toDF("user_id", "n_events", "last_type")
+  }
+
+  // ---------- bounded batch twins (oracle-checked) ----------
+
+  /** Batch twin of tumblingCounts: window(ts, 1h) ≡ date_trunc hour. */
+  def tumblingBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  val tumblingBatchSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Batch twin of slidingCounts: each event belongs to the windows
+    * starting at trunc(ts) and trunc(ts)−1h. */
+  def slidingBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(explode(array(
+        date_trunc("hour", col("ts")),
+        date_trunc("hour", col("ts")) - expr("INTERVAL 1 HOUR"))).as("win_start_ts"))
+      .groupBy(col("win_start_ts"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("win_start_ts"), "yyyy-MM-dd HH:mm:ss").as("win_start"), col("cnt"))
+      .orderBy(col("win_start"))
+
+  val slidingBatchSql: String =
+    """SELECT strftime(win_start_ts, '%Y-%m-%d %H:%M:%S') AS win_start, count(*) AS cnt
+      |FROM (
+      |  SELECT date_trunc('hour', ts) AS win_start_ts FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Batch twin of dedupStream: one row per event_id (events are
+    * already unique by id, so this degenerates to a count check plus
+    * per-type distinct ids — still a real dedup plan). */
+  def dedupBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("event_type"))
+
+  val dedupBatchSql: String =
+    """SELECT event_type, count(*) AS n_unique
+      |FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Batch twin of sessionCounts: classic gaps-and-islands — a session
+    * starts where the gap from the previous event exceeds 30 min. */
+  def sessionBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_ns") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"))
+      .select(col("user_id"), col("sess_id"), col("n_events"), col("sess_start"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  val sessionBatchSql: String =
+    """SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+      |       strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS sess_start
+      |FROM (
+      |  SELECT user_id, ts, event_id,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |           CASE WHEN lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                  OR epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                     > 1800000000000
+      |                THEN 1 ELSE 0 END AS new_sess
+      |    FROM events))
+      |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_batch" -> (tumblingBatch _),
+    "stream_sliding_batch" -> (slidingBatch _),
+    "stream_dedup_batch" -> (dedupBatch _),
+    "stream_session_batch" -> (sessionBatch _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "stream_tumbling_batch" -> tumblingBatchSql,
+    "stream_sliding_batch" -> slidingBatchSql,
+    "stream_dedup_batch" -> dedupBatchSql,
+    "stream_session_batch" -> sessionBatchSql
+  )
+}
