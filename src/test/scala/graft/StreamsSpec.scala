@@ -1,0 +1,109 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming specs: run each streaming operator over a
+  * MemoryStream and check the emitted state against the batch twin's
+  * semantics (Dataflow-model batch/stream parity, SURVEY.md §2.9). */
+class StreamsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  private val fixture = Seq(
+    Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+    Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 2.0),
+    Ev(3, ts("2024-01-01 01:10:00"), 2, "view", 3.0),
+    Ev(4, ts("2024-01-01 01:40:00"), 2, "view", 4.0),
+    Ev(5, ts("2024-01-01 03:00:00"), 1, "click", 5.0),
+    Ev(5, ts("2024-01-01 03:00:00"), 1, "click", 5.0) // duplicate id+ts
+  )
+
+  private def runStream(name: String)(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                                      outputMode: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(fixture: _*)
+    val q = build(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    spark.table(name)
+  }
+
+  test("tumbling window counts match hand computation") {
+    val out = runStream("t_tumbling")(Streams.tumblingCounts, "append").collect()
+      .map(r => (r.getAs[Timestamp]("win_start").toString, r.getAs[String]("event_type")) -> r.getAs[Long]("cnt"))
+      .toMap
+    // watermark closes nothing in AvailableNow? windows flush at end of stream
+    assert(out.getOrElse(("2024-01-01 00:00:00.0", "click"), 0L) === 2L)
+    assert(out.getOrElse(("2024-01-01 01:00:00.0", "view"), 0L) === 2L)
+  }
+
+  test("sliding windows: append mode emits only windows closed by the watermark") {
+    val out = runStream("t_sliding")(Streams.slidingCounts, "append").collect()
+      .map(r => r.getAs[Timestamp]("win_start").toString -> r.getAs[Long]("cnt")).toMap
+    // watermark at end-of-stream = 03:00 - 10min = 02:50; only windows
+    // ending ≤ 02:50 finalize: [23:00,01:00) holds e1,e2 and
+    // [00:00,02:00) holds e1..e4. Later windows stay in state.
+    assert(out === Map("2023-12-31 23:00:00.0" -> 2L, "2024-01-01 00:00:00.0" -> 4L))
+  }
+
+  test("streaming dedup drops the duplicate event") {
+    val out = runStream("t_dedup")(Streams.dedupStream, "append")
+    assert(out.count() === fixture.size - 1)
+    assert(out.filter(col("event_id") === 5).count() === 1)
+  }
+
+  test("session windows split on the 30-minute gap (closed sessions only)") {
+    val out = runStream("t_session")(Streams.sessionCounts, "append").collect()
+    // watermark 02:50: user 1's 00:05–00:20 session (ends 00:50) is
+    // closed and emitted with 2 events; the 03:00 session is still
+    // open in state and withheld by append mode.
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L).map(_.getAs[Long]("n_events")).toSeq
+    assert(u1 === Seq(2L))
+    // user 2: 01:10 and 01:40 are within the 30-min gap => one session
+    // of 2 events, ends 02:10 ≤ watermark, emitted.
+    val u2 = out.filter(_.getAs[Long]("user_id") == 2L).map(_.getAs[Long]("n_events")).toSeq
+    assert(u2 === Seq(2L))
+  }
+
+  test("mapGroupsWithState accumulates per-user counts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(fixture: _*)
+    val q = Streams.runningUserState(spark, mem.toDF())
+      .writeStream.format("memory").queryName("t_state").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("t_state").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+    assert(rows(1L) === 4L) // 3 events + 1 duplicate (no dedup in this path)
+    assert(rows(2L) === 2L)
+  }
+
+  test("file-arrival stream ingests parquet drops incrementally (reference S1 analog)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    Seq((1L, "minha-pasta/a.xlsx"), (2L, "other/b.csv"))
+      .toDF("event_id", "name").write.parquet(s"$dir/batch1")
+    val stream = Streams.fileArrivals(spark, s"$dir/batch1", schema)
+      .filter(col("name").endsWith(".xlsx"))
+    val q = stream.writeStream.format("memory").queryName("t_files").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("t_files").count() === 1)
+  }
+}
