@@ -69,36 +69,40 @@ object Dedup {
 
   private val bands = 4
 
-  /** MinHash + LSH banding. Per band b, the minhash is the minimum of
-    * md5(b || shingle) over all shingles (md5-as-random-permutation);
-    * the LSH signature concatenates the band minima. Docs sharing a
-    * signature are near-dup candidates. Min over hex digests is a plain
-    * string min, identical across engines. */
+  /** MinHash + LSH banding. Each shingle is hashed ONCE (md5); the
+    * 32-hex digest is split into `bands` 8-hex chunks, giving `bands`
+    * independent 32-bit hash functions. Band b's minhash is the min of
+    * chunk b over all shingles; the LSH signature concatenates the
+    * band minima. Docs sharing a signature are near-dup candidates.
+    * Min over hex chunks is a plain string min, identical across
+    * engines — and hashing once (not per band) is what keeps this
+    * linear in corpus size at 100 TB. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val withShingles = Tables.documents(spark, dir)
+    val withHashes = Tables.documents(spark, dir)
       .withColumn("sh", shingles(col("text")))
+      .withColumn("mh", transform(col("sh"), s => md5(s.cast("binary"))))
     val sig = concat_ws(":", (0 until bands).map { b =>
-      array_min(transform(col("sh"), s => md5(concat(lit(s"$b|"), s).cast("binary"))))
+      array_min(transform(col("mh"), h => substring(h, 8 * b + 1, 8)))
     }: _*)
-    withShingles
+    withHashes
       .withColumn("sig", sig)
       .groupBy(col("sig"))
       .agg(
         count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("keeper_doc_id"))
-      .filter(col("n_docs") >= 1)
       .orderBy(col("sig"))
   }
 
   val minhashLshSql: String = {
     val bandMins = (0 until bands)
-      .map(b => s"list_min(list_transform(sh, s -> md5('$b|' || s)))")
+      .map(b => s"list_min(list_transform(mh, h -> substring(h, ${8 * b + 1}, 8)))")
       .mkString(" || ':' || ")
     s"""SELECT sig, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
        |FROM (
        |  SELECT doc_id, $bandMins AS sig
-       |  FROM (SELECT doc_id, text, $shinglesSqlFragment AS sh
-       |        FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)))
+       |  FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS mh
+       |        FROM (SELECT doc_id, text, $shinglesSqlFragment AS sh
+       |              FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))))
        |GROUP BY sig ORDER BY sig""".stripMargin
   }
 
