@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.sources.Sources
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -31,6 +32,8 @@ object SparkEntry {
       Similarity.queries ++
       TextAnalysis.queries ++
       Multimodal.queries ++
+      Sources.queries ++
+      SqlSurface.queries ++
       Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +50,7 @@ object SparkEntry {
       Similarity.oracle ++
       TextAnalysis.oracle ++
       Multimodal.oracle ++
+      Sources.oracle ++
+      SqlSurface.oracle ++
       Streams.oracle
 }

@@ -77,6 +77,30 @@ object Similarity {
        |WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Exact brute-force top-k through the native codegen'd expressions
+    * (graft.functions.DotProduct / L2Norm) instead of higher-order-
+    * function folds — same semantics and oracle as sim_topk_bruteforce,
+    * but the inner loop compiles into whole-stage codegen as a
+    * primitive double loop (the §4.3 100 TB hot path). */
+  def bruteForceTopKNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir).withColumn("v", vecAsDouble(col("embedding")))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cand = emb.select(col("vec_id"), col("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    broadcast(q).join(cand, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw",
+        call_function("graft_dot", col("qv"), col("v")) /
+          (call_function("graft_l2norm", col("qv")) * call_function("graft_l2norm", col("v"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic ±1 hyperplane component for (plane p, dim i):
     * sign(((i+1) * 2654435761 + p * 40503) mod 97 < 48). Integer-only →
     * exact in both engines. */
@@ -185,6 +209,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (bruteForceTopK _),
+    "sim_topk_native" -> (bruteForceTopKNative _),
     "sim_lsh_buckets" -> (lshBuckets _),
     "sim_ann_topk" -> (annTopK _),
     "sim_cosine_neardup" -> (cosineNearDup _)
@@ -192,6 +217,7 @@ object Similarity {
 
   def oracle: Map[String, String] = Map(
     "sim_topk_bruteforce" -> bruteForceTopKSql,
+    "sim_topk_native" -> bruteForceTopKSql,
     "sim_lsh_buckets" -> lshBucketsSql,
     "sim_ann_topk" -> annTopKSql,
     "sim_cosine_neardup" -> cosineNearDupSql

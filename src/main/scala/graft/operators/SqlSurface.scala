@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-surface operators that exercise Catalyst's analyzer/optimizer
+  * beyond the fluent API: GROUPING SETS, pivot, subqueries (scalar,
+  * correlated EXISTS, IN), and exact percentiles. Subquery queries run
+  * through `spark.sql` over temp views — the decorrelation rules
+  * (SURVEY.md §4.2) turn the correlated forms into joins, which is
+  * what keeps them scalable.
+  */
+object SqlSurface {
+
+  private def withViews(spark: SparkSession, dir: String)(names: String*): Unit =
+    names.foreach(n => Tables.table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** GROUPING SETS with grouping_id disambiguation. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)("lineitem")
+    spark.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       count(*) AS cnt,
+        |       round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY flag, status""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |       COALESCE(l_linestatus, 'ALL') AS status,
+      |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       count(*) AS cnt,
+      |       round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      |ORDER BY flag, status""".stripMargin
+
+  /** Pivot: order counts per priority (rows) × status (columns). The
+    * oracle expresses the same thing as conditional aggregation — which
+    * is also exactly how Catalyst lowers pivot. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("f_cnt"),
+        col("O").as("o_cnt"), col("P").as("p_cnt"))
+      .orderBy(col("o_orderpriority"))
+
+  val pivotStatusSql: String =
+    """SELECT o_orderpriority,
+      |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+      |       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+      |       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Scalar subquery: orders above the global average price, counted
+    * per status. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)("orders")
+    spark.sql(
+      """SELECT o_orderstatus, count(*) AS n_above_avg
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val scalarSubquerySql: String =
+    """SELECT o_orderstatus, count(*) AS n_above_avg
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Correlated EXISTS: customers having at least one urgent order —
+    * decorrelated by Catalyst into a semi join. */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)("customer", "orders")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val existsSubquerySql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Correlated scalar aggregate subquery in the projection. */
+  def correlatedCount(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)("nation", "supplier")
+    spark.sql(
+      """SELECT n_name,
+        |       (SELECT count(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) AS n_suppliers
+        |FROM nation n
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  val correlatedCountSql: String =
+    """SELECT n_name,
+      |       (SELECT count(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) AS n_suppliers
+      |FROM nation n
+      |ORDER BY n_name""".stripMargin
+
+  /** Exact interpolated percentiles + median over order prices. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(min(col("o_totalprice")), 2).as("p0"),
+        round(max(col("o_totalprice")), 2).as("p100"))
+      .orderBy(col("o_orderstatus"))
+
+  val percentilesSql: String =
+    """SELECT o_orderstatus,
+      |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |       round(min(o_totalprice), 2) AS p0,
+      |       round(max(o_totalprice), 2) AS p100
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Map-typed column surface (SURVEY.md §1.2: the reference's
+    * event.data payload is a string-keyed map, main.py:6–9): build a
+    * map from the events row, then extract with null-tolerant
+    * element_at — the engine analog of dict.get. */
+  def mapFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("payload", map(
+        lit("type"), col("event_type"),
+        lit("user"), col("user_id").cast("string")))
+      .select(
+        col("event_id"),
+        element_at(col("payload"), "type").as("p_type"),
+        element_at(col("payload"), "user").as("p_user"),
+        element_at(col("payload"), "missing").as("p_missing"),
+        size(map_keys(col("payload"))).cast("long").as("n_keys"))
+      .orderBy(col("event_id"))
+
+  val mapFnsSql: String =
+    """SELECT event_id,
+      |       event_type AS p_type,
+      |       CAST(user_id AS VARCHAR) AS p_user,
+      |       CAST(NULL AS VARCHAR) AS p_missing,
+      |       CAST(2 AS BIGINT) AS n_keys
+      |FROM events ORDER BY event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_grouping_sets" -> (groupingSets _),
+    "sql_pivot" -> (pivotStatus _),
+    "sql_scalar_subquery" -> (scalarSubquery _),
+    "sql_exists_subquery" -> (existsSubquery _),
+    "sql_correlated_count" -> (correlatedCount _),
+    "sql_percentiles" -> (percentiles _),
+    "fn_map" -> (mapFns _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sql_grouping_sets" -> groupingSetsSql,
+    "sql_pivot" -> pivotStatusSql,
+    "sql_scalar_subquery" -> scalarSubquerySql,
+    "sql_exists_subquery" -> existsSubquerySql,
+    "sql_correlated_count" -> correlatedCountSql,
+    "sql_percentiles" -> percentilesSql,
+    "fn_map" -> mapFnsSql
+  )
+}

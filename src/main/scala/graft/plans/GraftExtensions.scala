@@ -1,0 +1,15 @@
+package graft.plans
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * Catalyst expressions. Enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(VectorFunctions.dotInfo)
+    ext.injectFunction(VectorFunctions.normInfo)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink format surface beyond parquet (SURVEY.md §2.1 S3/S6).
+  *
+  * The reference ingests files from object storage (gs://bucket/name,
+  * /root/reference/main.py:16) whose content format is XLSX
+  * (main.py:12). No XLSX codec ships offline (SURVEY.md §2.1 S3:
+  * DataSource V2 + POI in prod), so CSV — the closest
+  * schema-at-read-time tabular format — exercises the same ingestion
+  * path: write out, re-read with header + schema inference, compute.
+  * JSON covers the semi-structured path. Both queries round-trip
+  * driver data through /tmp and must agree with the DuckDB oracle
+  * computed straight from the original parquet — proving the format
+  * conversion is lossless for the projected columns.
+  */
+object Sources {
+
+  private def tmpDir(name: String): String = {
+    val d = s"/tmp/graft_sources/$name"
+    new java.io.File(d).mkdirs()
+    d
+  }
+
+  /** CSV round-trip: nation ⋈ region rollup, computed from a CSV copy
+    * (header=true, inferSchema=true — the schema-at-read-time model of
+    * the reference's spreadsheet ingestion). */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("nation_csv")
+    Tables.nation(spark, dir)
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    val n = spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        max(col("n_name")).as("max_nation"))
+      .orderBy(col("r_name"))
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT r_name, count(*) AS n_nations, max(n_name) AS max_nation
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** JSON round-trip: supplier written as JSON lines, re-read with
+    * schema inference, aggregated. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("supplier_json")
+    Tables.supplier(spark, dir)
+      .coalesce(1).write.mode("overwrite").json(out)
+    spark.read.json(out)
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 2).as("total_bal"))
+      .orderBy(col("nationkey"))
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+      |       count(*) AS n_suppliers,
+      |       round(sum(s_acctbal), 2) AS total_bal
+      |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Partitioned-parquet sink + partition-pruned re-read: orders
+    * written partitioned by status, then one partition read back.
+    * At 100 TB this layout is what makes `WHERE o_orderstatus = 'F'`
+    * a directory prune instead of a full scan. */
+  def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("orders_part")
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val partitionedSinkSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip" -> (csvRoundtrip _),
+    "src_json_roundtrip" -> (jsonRoundtrip _),
+    "src_partitioned_sink" -> (partitionedSink _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "src_csv_roundtrip" -> csvRoundtripSql,
+    "src_json_roundtrip" -> jsonRoundtripSql,
+    "src_partitioned_sink" -> partitionedSinkSql
+  )
+}

@@ -96,6 +96,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("native DotProduct/L2Norm agree with higher-order-function folds") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val df = Tables.embeddings(spark, sf).limit(100)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val mismatches = df.select(
+      call_function("graft_dot", col("v"), col("v")).as("native_dot"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0), (s, x) => s + x).as("hof_dot"),
+      call_function("graft_l2norm", col("v")).as("native_norm"),
+      sqrt(aggregate(col("v"), lit(0.0), (s, x) => s + x * x)).as("hof_norm"))
+      .filter(col("native_dot") =!= col("hof_dot") || col("native_norm") =!= col("hof_norm"))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("text quality score is within [0, 1]") {
     val q = TextAnalysis.qualityScore(spark, sf)
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
