@@ -91,6 +91,66 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH bucket signature (operators/Similarity.scala):
+  * one sign bit per deterministic ±1 hyperplane. The plane component
+  * for (plane p, dim i) is +1 iff ((i+1)·2654435761 + p·40503) mod 97
+  * < 48 — integer-exact, so the DuckDB oracle reproduces it. Codegen
+  * emits the whole P×N loop as primitive arithmetic; the HOF
+  * formulation costs a lambda frame per (plane, dim) pair. */
+case class LshSignature(child: Expression)
+  extends UnaryExpression {
+
+  private val planes = 8
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_lsh_sig"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val sb = new java.lang.StringBuilder(planes)
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val m = ((i + 1).toLong * 2654435761L + p.toLong * 40503L) % 97L
+        s += v.getDouble(i) * (if (m < 48L) 1.0 else -1.0)
+        i += 1
+      }
+      sb.append(if (s >= 0) '1' else '0')
+      p += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val sb = ctx.freshName("sb")
+      s"""
+         |int $n = $a.numElements();
+         |java.lang.StringBuilder $sb = new java.lang.StringBuilder($planes);
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $m = (((long) ($i + 1)) * 2654435761L + ((long) $p) * 40503L) % 97L;
+         |    $s += $a.getDouble($i) * ($m < 48L ? 1.0 : -1.0);
+         |  }
+         |  $sb.append($s >= 0 ? '1' : '0');
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($sb.toString());
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   val dotInfo = (
     new FunctionIdentifier("graft_dot"),
@@ -102,11 +162,17 @@ object VectorFunctions {
     new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
     (children: Seq[Expression]) => L2Norm(children.head))
 
+  val lshInfo = (
+    new FunctionIdentifier("graft_lsh_sig"),
+    new ExpressionInfo(classOf[LshSignature].getName, "graft_lsh_sig"),
+    (children: Seq[Expression]) => LshSignature(children.head))
+
   /** Imperative session-scoped registration — lets any session use the
     * functions even when it wasn't built with GraftExtensions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(dotInfo._1, dotInfo._2, dotInfo._3)
     reg.registerFunction(normInfo._1, normInfo._2, normInfo._3)
+    reg.registerFunction(lshInfo._1, lshInfo._2, lshInfo._3)
   }
 }

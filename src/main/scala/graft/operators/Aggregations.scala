@@ -148,6 +148,28 @@ object Aggregations {
         count(lit(1)).as("cnt"))
       .orderBy(col("event_type"))
 
+  /** Two-phase salted aggregation for skewed keys: phase 1 groups on
+    * (key, salt) — spreading a hot key over 16 reducers — phase 2
+    * merges the partials per key. Same result as a direct groupBy
+    * (the oracle is the plain GROUP BY); at 100 TB this is the manual
+    * skew-mitigation pattern when AQE's skew handling can't apply
+    * (e.g. pre-Spark-3 sinks or deterministic partitioning needs).
+    * lineitem's 3-value returnflag is a natural hot-key distribution. */
+  def saltedSkewAgg(spark: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity")).as("p_qty"), count(lit(1)).as("p_cnt"))
+    salted
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("p_qty")), 2).as("sum_qty"), sum(col("p_cnt")).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val saltedSkewAggSql: String =
+    """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> (pricingSummary _),
     "agg_rollup" -> (rollupFlagStatus _),
@@ -155,7 +177,8 @@ object Aggregations {
     "agg_distinct_counts" -> (distinctCounts _),
     "agg_filtered" -> (filteredAgg _),
     "agg_collect_set" -> (collectNations _),
-    "agg_approx_distinct" -> (approxDistinct _)
+    "agg_approx_distinct" -> (approxDistinct _),
+    "agg_salted_skew" -> (saltedSkewAgg _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -164,7 +187,8 @@ object Aggregations {
     "agg_cube" -> cubeOrdersSql,
     "agg_distinct_counts" -> distinctCountsSql,
     "agg_filtered" -> filteredAggSql,
-    "agg_collect_set" -> collectNationsSql
+    "agg_collect_set" -> collectNationsSql,
+    "agg_salted_skew" -> saltedSkewAggSql
     // agg_approx_distinct intentionally has no oracle (sketch-specific)
   )
 }

@@ -111,8 +111,14 @@ object Similarity {
   private def planeSignSql(p: Int): String =
     s"CASE WHEN ((i+1) * 2654435761 + $p * 40503) % 97 < 48 THEN 1.0 ELSE -1.0 END"
 
-  /** LSH bucket signature: one sign bit per hyperplane. */
+  /** LSH bucket signature: one sign bit per hyperplane. Computed by
+    * the native codegen'd LshSignature expression (a P×N primitive
+    * loop); `lshSigHof` keeps the pure-DataFrame formulation as the
+    * reference implementation (tested equal in SimilaritySpec). */
   private def lshSig(v: Column): Column =
+    call_function("graft_lsh_sig", v)
+
+  private[graft] def lshSigHof(v: Column): Column =
     concat((0 until nPlanes).map { p =>
       val d = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
         (acc, i) => acc + element_at(v, i + 1) * planeSign(p, i))
@@ -126,13 +132,15 @@ object Similarity {
 
   /** Bucket census — the partition-balance view an operator would watch
     * for skew at scale. */
-  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .withColumn("v", vecAsDouble(col("embedding")))
       .withColumn("bucket", lshSig(col("v")))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
       .orderBy(col("bucket"))
+  }
 
   val lshBucketsSql: String =
     s"""SELECT ${lshSigSql("v")} AS bucket,
@@ -144,6 +152,7 @@ object Similarity {
     * Recall is bounded by bucketing (as with any LSH); results are
     * deterministic so the oracle reproduces them exactly. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", vecAsDouble(col("embedding")))
       .withColumn("bucket", lshSig(col("v")))
@@ -154,7 +163,9 @@ object Similarity {
       .orderBy(col("cos_raw").desc, col("vec_id"))
     broadcast(q)
       .join(cand, col("bucket") === col("cb") && col("query_id") =!= col("vec_id"))
-      .withColumn("cos_raw", dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))))
+      .withColumn("cos_raw",
+        call_function("graft_dot", col("qv"), col("v")) /
+          (call_function("graft_l2norm", col("qv")) * call_function("graft_l2norm", col("v"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -182,13 +193,16 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: bucket-blocked pairs above a
     * high cosine threshold — the embedding analog of minhash dedup. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", vecAsDouble(col("embedding")))
       .withColumn("bucket", lshSig(col("v")))
     val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
     val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket").as("bb"))
     a.join(b, col("bucket") === col("bb") && col("vec_a") < col("vec_b"))
-      .withColumn("cos_raw", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .withColumn("cos_raw",
+        call_function("graft_dot", col("va"), col("vb")) /
+          (call_function("graft_l2norm", col("va")) * call_function("graft_l2norm", col("vb"))))
       .filter(col("cos_raw") >= 0.3)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))

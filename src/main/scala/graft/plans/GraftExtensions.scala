@@ -11,5 +11,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorFunctions.dotInfo)
     ext.injectFunction(VectorFunctions.normInfo)
+    ext.injectFunction(VectorFunctions.lshInfo)
   }
 }

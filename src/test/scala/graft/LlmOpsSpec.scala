@@ -111,6 +111,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("native LshSignature agrees with the HOF reference formulation") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val mismatches = df.select(
+      call_function("graft_lsh_sig", col("v")).as("native_sig"),
+      graft.operators.Similarity.lshSigHof(col("v")).as("hof_sig"))
+      .filter(col("native_sig") =!= col("hof_sig"))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("text quality score is within [0, 1]") {
     val q = TextAnalysis.qualityScore(spark, sf)
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() === 0)

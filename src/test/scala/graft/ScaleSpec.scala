@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Aggregations
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanics specs: the plans and layouts that matter at 100 TB,
+  * asserted on the physical plan — bucketed co-located joins (no
+  * shuffle), salted skew aggregation equivalence, partition pruning. */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed+sorted tables join without a shuffle exchange") {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    c.withColumn("ck", col("c_custkey")).write.mode("overwrite")
+      .bucketBy(8, "ck").sortBy("ck").saveAsTable("b_customer")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"),
+        col("o_custkey") === col("ck"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+    // materialize so AQE finalizes the plan, then inspect
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must be co-located: no hash-partition exchange
+    // below the SortMergeJoin (the only exchange allowed is the final
+    // single-partition agg on c_mktsegment)
+    val joinSection = plan.split("SortMergeJoin").drop(1).mkString
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+  }
+
+  test("salted skew aggregation equals direct aggregation") {
+    val salted = Aggregations.saltedSkewAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("q"), count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet === direct.keySet)
+    salted.foreach { case (k, (q, c)) =>
+      assert(math.abs(q - direct(k)._1) < 0.011, s"$k qty")
+      assert(c === direct(k)._2, s"$k cnt")
+    }
+  }
+
+  test("partition-pruned read scans only the matching partition directory") {
+    val out = "/tmp/graft_sources/prune_test"
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(out)
+    val q = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"expected partition filter in plan:\n$scan")
+    // pruning is also observable: count matches only the F partition
+    val expected = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F").count()
+    assert(q.count() === expected)
+  }
+
+  test("broadcast hint produces a BroadcastHashJoin for dim tables") {
+    val l = Tables.lineitem(spark, sf)
+    val s = Tables.supplier(spark, sf)
+    val j = l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)))
+    j.collect()
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+}
