@@ -23,6 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefPipeline.queries ++
+      Analytics.queries ++
       Joins.queries ++
       Aggregations.queries ++
       Windows.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
     * driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RefPipeline.oracle ++
+      Analytics.oracle ++
       Joins.oracle ++
       Aggregations.oracle ++
       Windows.oracle ++

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical TPC-H-flavored analytics adapted to the driver's star
+  * schema — the classic shapes an analytics engine must plan well:
+  * selective filter→agg (Q6), EXISTS-driven counts (Q4),
+  * conditional-ratio joins (Q14), grouped having (Q18 flavor).
+  */
+object Analytics {
+
+  /** Q6 flavor: forecast revenue from a tight range predicate — the
+    * pushdown showcase (all three predicates reach the parquet scan;
+    * no shuffle at all, a single partial+final agg). */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val forecastRevenueSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Q4 flavor: priority counts for 1996 orders with at least one line
+    * shipped more than 60 days after the order date (EXISTS →
+    * decorrelated semi join). */
+  def latePriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val latePriorityCountSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q14 flavor: share of revenue contributed by large parts — a
+    * broadcast join feeding a conditional ratio. */
+  def largePartShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_size") > 25, col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0.0))) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("large_share_pct"))
+  }
+
+  val largePartShareSql: String =
+    """SELECT round(100.0 *
+      |         sum(CASE WHEN p_size > 25
+      |                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+      |         sum(l_extendedprice * (1 - l_discount)), 4) AS large_share_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  /** Q18 flavor: large-volume orders — grouped HAVING over a fact-fact
+    * join (the agg-then-filter pattern; Catalyst keeps HAVING above
+    * the partial agg, so the shuffle carries only group rows). */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    l.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 150)
+      .join(o, col("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"), col("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val bigOrdersSql: String =
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price, total_qty
+      |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      |      FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 150) lq
+      |JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue" -> (forecastRevenue _),
+    "q4_late_priority" -> (latePriorityCount _),
+    "q14_large_part_share" -> (largePartShare _),
+    "q18_big_orders" -> (bigOrders _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q6_forecast_revenue" -> forecastRevenueSql,
+    "q4_late_priority" -> latePriorityCountSql,
+    "q14_large_part_share" -> largePartShareSql,
+    "q18_big_orders" -> bigOrdersSql
+  )
+}

@@ -235,6 +235,47 @@ object Joins {
       |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** As-of join via typed cogroup: both sides hash-partition once on
+    * the key, then a per-key two-pointer merge over the time-sorted
+    * groups emits each event's latest order at-or-before its
+    * timestamp. Unlike the join+window formulation (asofJoin above,
+    * same oracle), the intermediate is O(events + orders) — the
+    * join+filter pattern materializes every (event, earlier-order)
+    * pair first, which at 100 TB explodes with per-key history depth.
+    * This is the (b)-tier custom-operator route of SURVEY.md §2.3:
+    * typed KeyValueGroupedDataset.cogroup, no physical-plan forking. */
+  def asofJoinMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), (col("ts_ns") / lit(1000000000L)).cast("long").as("sec"))
+      .as[(Long, Long, Long)]
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("sec"))
+      .as[(Long, Long, Long)]
+    val merged = ev.groupByKey(_._2).cogroup(ord.groupByKey(_._1)) {
+      (_, events, orders) =>
+        // sort ascending by (time, orderkey): the last pointer position
+        // ≤ event time is the argmax of (o_orderdate, o_orderkey) —
+        // identical tie-breaking to the window formulation.
+        val os = orders.map(o => (o._3, o._2)).toArray.sorted
+        if (os.isEmpty) Iterator.empty
+        else events.toArray.sortBy(e => (e._3, e._1)).iterator.flatMap { e =>
+          var lo = 0
+          var hi = os.length // first index with time > event time
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (os(mid)._1 <= e._3) lo = mid + 1 else hi = mid
+          }
+          if (lo == 0) Iterator.empty
+          else Iterator((e._1, os(lo - 1)._2, os(lo - 1)._1))
+        }
+    }.toDF("event_id", "asof_orderkey", "asof_sec")
+    merged.select(
+        col("event_id"), col("asof_orderkey"),
+        date_format(timestamp_seconds(col("asof_sec")), "yyyy-MM-dd").as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_revenue_by_segment" -> (revenueBySegment _),
     "join_revenue_by_nation" -> (revenueByNation _),
@@ -244,7 +285,8 @@ object Joins {
     "join_full_outer" -> (fullOuterNation _),
     "join_theta_pairs" -> (thetaRegionPairs _),
     "join_range_events" -> (rangeJoinEvents _),
-    "join_asof" -> (asofJoin _)
+    "join_asof" -> (asofJoin _),
+    "join_asof_merge" -> (asofJoinMerge _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -256,6 +298,7 @@ object Joins {
     "join_full_outer" -> fullOuterNationSql,
     "join_theta_pairs" -> thetaRegionPairsSql,
     "join_range_events" -> rangeJoinEventsSql,
-    "join_asof" -> asofJoinSql
+    "join_asof" -> asofJoinSql,
+    "join_asof_merge" -> asofJoinSql
   )
 }

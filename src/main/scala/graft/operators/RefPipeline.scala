@@ -71,15 +71,22 @@ object RefPipeline {
     col("name").isNotNull && col("name") =!= "" &&
       col("name").startsWith("minha-pasta/") && col("name").endsWith(".xlsx")
 
-  /** Accepted side: `gs://bucket/name` uri + size (main.py:16). */
-  def ingestFilter(spark: SparkSession, dir: String): DataFrame =
-    notifications(spark, dir)
+  /** Accept filter + uri projection over any notifications-shaped
+    * frame (event_id, bucket, name, size_bytes) — shared by the
+    * bounded oracle query below and the streaming ingestion path
+    * (streaming/Streams.scala), so batch and stream run the identical
+    * predicate (Dataflow-model parity). */
+  def filterAccepted(notifs: DataFrame): DataFrame =
+    notifs
       .filter(accept)
       .select(
         col("event_id"),
         concat(lit("gs://"), col("bucket"), lit("/"), col("name")).as("uri"),
         col("size_bytes"))
-      .orderBy("event_id")
+
+  /** Accepted side: `gs://bucket/name` uri + size (main.py:16). */
+  def ingestFilter(spark: SparkSession, dir: String): DataFrame =
+    filterAccepted(notifications(spark, dir)).orderBy("event_id")
 
   val ingestFilterSql: String =
     s"""SELECT event_id, 'gs://' || bucket || '/' || name AS uri, size_bytes

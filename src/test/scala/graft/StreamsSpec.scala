@@ -90,6 +90,35 @@ class StreamsSpec extends SparkSpec {
     assert(rows(2L) === 2L)
   }
 
+  test("streaming reference pipeline: file arrivals → accept filter → foreachBatch parquet sink") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_ref_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ref_out").toString
+    // two file drops, as if two GCS notification batches landed
+    Seq((1L, "tma-0", "minha-pasta/a.xlsx", 100L), (2L, "tma-1", "minha-pasta/b.csv", 200L))
+      .toDF("event_id", "bucket", "name", "size_bytes").write.parquet(s"$in/drop1")
+    Seq((3L, "tma-2", "outra-pasta/c.xlsx", 300L), (4L, "tma-0", "minha-pasta/d.xlsx", 400L))
+      .toDF("event_id", "bucket", "name", "size_bytes").write.parquet(s"$in/drop2")
+    val schema = spark.read.parquet(s"$in/drop1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+    // exactly-once sink: idempotent per-batch parquet dirs keyed by
+    // batchId — re-running a batch overwrites, never duplicates
+    val q = graft.operators.RefPipeline.filterAccepted(stream)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch=$batchId"); ()
+      }
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val result = spark.read.parquet(s"$out/batch=*")
+    val uris = result.select("uri").collect().map(_.getString(0)).sorted
+    // only the two minha-pasta/*.xlsx notifications survive
+    assert(uris.toSeq === Seq("gs://tma-0/minha-pasta/a.xlsx", "gs://tma-0/minha-pasta/d.xlsx"))
+  }
+
   test("file-arrival stream ingests parquet drops incrementally (reference S1 analog)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
