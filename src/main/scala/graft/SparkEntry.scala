@@ -29,6 +29,7 @@ object SparkEntry {
       Windows.queries ++
       SortsAndSets.queries ++
       Scalars.queries ++
+      CustomAggs.queries ++
       Dedup.queries ++
       Similarity.queries ++
       TextAnalysis.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       Windows.oracle ++
       SortsAndSets.oracle ++
       Scalars.oracle ++
+      CustomAggs.oracle ++
       Dedup.oracle ++
       Similarity.oracle ++
       TextAnalysis.oracle ++

@@ -1,0 +1,167 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Public library facade — the operator surface a user of the
+  * reference system programs against, parameterized over arbitrary
+  * DataFrames/columns (not tied to the test star schema).
+  *
+  * Everything returns lazy DataFrames/Columns built from codegen'd
+  * built-ins or the engine's native Catalyst expressions
+  * (graft.functions), so callers keep full Catalyst optimization:
+  * predicate pushdown through these transformations, column pruning,
+  * broadcast planning.
+  */
+object Graft {
+
+  // ---------- reference dataflow (object-notification filtering) ----------
+
+  /** The reference's accept predicate (/root/reference/main.py:12):
+    * non-null, non-empty name with the given prefix and suffix —
+    * case-sensitive, like Python's startswith/endswith. */
+  def objectNameAccept(name: Column, prefix: String, suffix: String): Column =
+    name.isNotNull && name =!= "" && name.startsWith(prefix) && name.endsWith(suffix)
+
+  /** `gs://bucket/name` object uri (main.py:16). */
+  def objectUri(bucket: Column, name: Column): Column =
+    concat(lit("gs://"), bucket, lit("/"), name)
+
+  // ---------- text primitives ----------
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Content digest for exact dedup (md5 — engine-portable). */
+  def contentDigest(text: Column): Column = md5(text.cast("binary"))
+
+  /** k-gram word shingles; texts shorter than k shingle to the whole
+    * text. */
+  def shingles(text: Column, k: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", slice(w, i + 1, lit(k)))))
+      .otherwise(array(text))
+  }
+
+  /** MinHash LSH signature: each shingle hashed once, the digest split
+    * into `bands` chunks (independent 32-bit minhashes), per-band
+    * minimum concatenated. Equal signatures ⇒ near-dup candidates. */
+  def minhashSignature(text: Column, k: Int = 3, bands: Int = 4): Column = {
+    val mh = transform(shingles(text, k), s => md5(s.cast("binary")))
+    concat_ws(":", (0 until bands).map { b =>
+      array_min(transform(mh, h => substring(h, 8 * b + 1, 8)))
+    }: _*)
+  }
+
+  /** 16-bit SimHash fingerprint over distinct tokens (md5-derived bit
+    * votes — integer-exact across engines). */
+  def simhash16(text: Column): Column = {
+    val tokhash = transform(array_distinct(tokens(text)),
+      w => conv(substring(md5(w.cast("binary")), 29, 4), 16, 10).cast("long"))
+    (0 until 16).map { bit =>
+      val votes = aggregate(tokhash, lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << bit)
+    }.reduce(_ + _)
+  }
+
+  /** Jaccard similarity of the distinct-token sets of two texts. */
+  def tokenJaccard(a: Column, b: Column): Column = {
+    val ta = array_distinct(tokens(a))
+    val tb = array_distinct(tokens(b))
+    val inter = size(array_intersect(ta, tb)).cast("double")
+    inter / (size(ta) + size(tb) - inter)
+  }
+
+  /** Order-sensitive positional fingerprint (rolling-hash flavor,
+    * integer-exact). */
+  def positionalFingerprint(text: Column): Column = {
+    val w = tokens(text)
+    aggregate(
+      sequence(lit(1), size(w)), lit(0L),
+      (acc, i) => acc + i.cast("long") *
+        (length(element_at(w, i)).cast("long") * 17L + ascii(element_at(w, i)).cast("long"))
+    ) % 1000000007L
+  }
+
+  // ---------- vector primitives (native codegen'd expressions) ----------
+
+  /** Registers graft_dot / graft_l2norm / graft_lsh_sig in the session
+    * (idempotent); required before using the vector primitives. */
+  def register(spark: SparkSession): Unit =
+    graft.functions.VectorFunctions.register(spark)
+
+  /** Dot product of two array<double> columns (native expression). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** L2 norm of an array<double> column (native expression). */
+  def l2norm(v: Column): Column = call_function("graft_l2norm", v)
+
+  /** Cosine similarity through the native expressions. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Random-hyperplane LSH bucket signature (8 sign bits, native
+    * expression; deterministic planes). */
+  def lshBucket(v: Column): Column = call_function("graft_lsh_sig", v)
+
+  // ---------- DataFrame-level operators ----------
+
+  /** Exact dedup: keep one row per distinct value of `textCol` (the
+    * row with the minimum `idCol`). One shuffle on a 16-byte digest. */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = df
+      .groupBy(contentDigest(col(textCol)).as("__digest"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__digest")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Near-dup candidate groups by MinHash signature: rows sharing a
+    * signature are candidates; downstream verification (e.g.
+    * tokenJaccard) confirms. Linear shuffle, no pairwise blow-up. */
+  def nearDupCandidates(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 3, bands: Int = 4): DataFrame =
+    df.withColumn("__sig", minhashSignature(col(textCol), k, bands))
+      .groupBy(col("__sig").as("signature"))
+      .agg(count(lit(1)).as("n_rows"), min(col(idCol)).as("keeper_id"))
+
+  /** Exact cosine top-k: for each row of `queries`, the k most similar
+    * rows of `candidates` by cosine. Queries are broadcast; candidates
+    * stream — the right plan when |queries| ≪ |candidates|. */
+  def cosineTopK(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
+                 idCol: String, vecCol: String, kTop: Int): DataFrame = {
+    register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("__cv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("__cos").as("cosine"))
+  }
+
+  /** LSH-bucketed approximate cosine top-k — the scale path: an equi
+    * join on the bucket signature bounds pairwise work per bucket. */
+  def cosineTopKAnn(spark: SparkSession, queries: DataFrame, candidates: DataFrame,
+                    idCol: String, vecCol: String, kTop: Int): DataFrame = {
+    register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qb", lshBucket(col("__qv")))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cb", lshBucket(col("__cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id"))
+    q.join(c, col("__qb") === col("__cb") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("__cos").as("cosine"))
+  }
+}

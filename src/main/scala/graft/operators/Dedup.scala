@@ -53,14 +53,10 @@ object Dedup {
 
   /** Word-shingle column shared by the near-dup ops: 3-gram shingles of
     * the whitespace-tokenized text (docs shorter than 3 tokens shingle
-    * to the whole text). */
-  private def shingles(textCol: Column): Column = {
-    val w = split(textCol, " ")
-    when(size(w) >= 3,
-      transform(sequence(lit(0), size(w) - 3),
-        i => concat_ws(" ", slice(w, i + 1, lit(3)))))
-      .otherwise(array(textCol))
-  }
+    * to the whole text). Delegates to the public facade
+    * (graft.api.Graft.shingles). */
+  private def shingles(textCol: Column): Column =
+    graft.api.Graft.shingles(textCol, 3)
 
   private val shinglesSqlFragment: String =
     """CASE WHEN len(words) >= 3
@@ -78,14 +74,8 @@ object Dedup {
     * engines — and hashing once (not per band) is what keeps this
     * linear in corpus size at 100 TB. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val withHashes = Tables.documents(spark, dir)
-      .withColumn("sh", shingles(col("text")))
-      .withColumn("mh", transform(col("sh"), s => md5(s.cast("binary"))))
-    val sig = concat_ws(":", (0 until bands).map { b =>
-      array_min(transform(col("mh"), h => substring(h, 8 * b + 1, 8)))
-    }: _*)
-    withHashes
-      .withColumn("sig", sig)
+    Tables.documents(spark, dir)
+      .withColumn("sig", graft.api.Graft.minhashSignature(col("text"), k = 3, bands = bands))
       .groupBy(col("sig"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -111,19 +101,8 @@ object Dedup {
     * fingerprint. Bucket docs by fingerprint. Pure integer arithmetic →
     * bit-identical across engines. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("words", array_distinct(split(col("text"), " ")))
-      // low 16 bits of md5, per distinct token
-      .withColumn("tokhash", transform(col("words"),
-        w => conv(substring(md5(w.cast("binary")), 29, 4), 16, 10).cast("long")))
-    val bitCols = (0 until 16).map { bit =>
-      // vote for bit: +1 if set else -1, summed over tokens
-      val votes = aggregate(col("tokhash"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, bit) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << bit)
-    }
-    docs
-      .withColumn("simhash", bitCols.reduce(_ + _))
+    Tables.documents(spark, dir)
+      .withColumn("simhash", graft.api.Graft.simhash16(col("text")))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
       .orderBy(col("simhash"))

@@ -98,17 +98,11 @@ object TextAnalysis {
 
   /** Positional polynomial fingerprint (rolling-hash flavor): exact
     * integer arithmetic, order-sensitive, engine-identical. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val w = words(col("text"))
-    val fp = aggregate(
-      sequence(lit(1), size(w)), lit(0L),
-      (acc, i) => acc + i.cast("long") *
-        (length(element_at(w, i)).cast("long") * 17L + ascii(element_at(w, i)).cast("long"))
-    ) % 1000000007L
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), fp.as("fingerprint"))
+      .select(col("doc_id"),
+        graft.api.Graft.positionalFingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
-  }
 
   val fingerprintSql: String =
     """SELECT doc_id,

@@ -1,0 +1,83 @@
+package graft
+
+import graft.api.Graft
+import org.apache.spark.sql.functions._
+
+/** The public facade must work on arbitrary user DataFrames — not just
+  * the driver's star schema. */
+class GraftApiSpec extends SparkSpec {
+
+  test("dedupExact keeps one row per distinct text, minimum id wins") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"),
+      (4L, "alpha beta"), (5L, "delta")).toDF("id", "body")
+    val out = Graft.dedupExact(df, "body", "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "alpha beta", 3L -> "gamma", 5L -> "delta"))
+  }
+
+  test("nearDupCandidates groups identical texts, row counts preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "the quick brown fox jumps over the dog"),
+      (3L, "completely different text about spark engines")).toDF("id", "body")
+    val out = Graft.nearDupCandidates(df, "body", "id").collect()
+    assert(out.map(_.getAs[Long]("n_rows")).sum === 3)
+    val dupGroup = out.filter(_.getAs[Long]("n_rows") == 2)
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("cosineTopK ranks an identical vector first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.0, 0.0)),   // identical to 1
+      (3L, Array(0.0, 1.0, 0.0)),   // orthogonal
+      (4L, Array(0.9, 0.1, 0.0))).toDF("id", "vec")
+    val out = Graft.cosineTopK(spark, vecs.filter(col("id") === 1), vecs, "id", "vec", 2)
+      .orderBy("rank").collect()
+    assert(out(0).getAs[Long]("neighbor_id") === 2L)
+    assert(math.abs(out(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(out(1).getAs[Long]("neighbor_id") === 4L)
+  }
+
+  test("cosineTopKAnn agrees with exact top-k for same-bucket vectors") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Graft.cosineTopK(spark, q, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    val ann = Graft.cosineTopKAnn(spark, q, emb, "vec_id", "embedding", 3).collect()
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("neighbor_id"))
+      exact.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-12))
+    }
+  }
+
+  test("objectNameAccept replays the reference predicate on raw strings") {
+    import spark.implicits._
+    val cases = Seq(
+      ("minha-pasta/a.xlsx", true),
+      ("minha-pasta/a.XLSX", false),  // python endswith is case-sensitive
+      ("outra/a.xlsx", false),
+      ("minha-pasta/a.csv", false),
+      ("", false))
+    val df = cases.map(_._1).toDF("name")
+    val got = df.select(col("name"),
+        Graft.objectNameAccept(col("name"), "minha-pasta/", ".xlsx").as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (n, expected) => assert(got(n) === expected, n) }
+  }
+
+  test("tokenJaccard: identical=1, disjoint=0") {
+    import spark.implicits._
+    val df = Seq(("a b c", "a b c", "x y z")).toDF("s1", "s2", "s3")
+    val r = df.select(
+      Graft.tokenJaccard(col("s1"), col("s2")).as("same"),
+      Graft.tokenJaccard(col("s1"), col("s3")).as("disj")).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+}
