@@ -276,6 +276,28 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join through the engine's custom operator (LogicalPlan +
+    * Strategy + physical streaming-merge exec, graft.plans.AsofJoin) —
+    * the §2.3(c) route. Same oracle as the window and cogroup
+    * formulations: three implementations, one semantics. */
+  def asofJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        (col("ts_ns") / lit(1000000000L)).cast("long").as("ev_sec"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("ord_sec"))
+    graft.plans.AsofJoin.asofJoin(spark, ev, ord,
+        leftKeyCol = "user_id", leftTimeCol = "ev_sec",
+        rightKeyCol = "o_custkey", rightTimeCol = "ord_sec",
+        tiebreakCol = "o_orderkey", payloadCols = Seq("o_orderkey", "ord_sec"))
+      .select(
+        col("event_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        date_format(timestamp_seconds(col("ord_sec")), "yyyy-MM-dd").as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_revenue_by_segment" -> (revenueBySegment _),
     "join_revenue_by_nation" -> (revenueByNation _),
@@ -286,7 +308,8 @@ object Joins {
     "join_theta_pairs" -> (thetaRegionPairs _),
     "join_range_events" -> (rangeJoinEvents _),
     "join_asof" -> (asofJoin _),
-    "join_asof_merge" -> (asofJoinMerge _)
+    "join_asof_merge" -> (asofJoinMerge _),
+    "join_asof_plan" -> (asofJoinPlan _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -299,6 +322,7 @@ object Joins {
     "join_theta_pairs" -> thetaRegionPairsSql,
     "join_range_events" -> rangeJoinEventsSql,
     "join_asof" -> asofJoinSql,
-    "join_asof_merge" -> asofJoinSql
+    "join_asof_merge" -> asofJoinSql,
+    "join_asof_plan" -> asofJoinSql
   )
 }

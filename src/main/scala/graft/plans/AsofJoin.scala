@@ -1,0 +1,158 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim.GraftShim
+
+/** AS-OF join as a first-class operator: custom LogicalPlan +
+  * SparkStrategy + physical SparkPlan (SURVEY.md §2.3 route (c) /
+  * §4.3's upgrade path).
+  *
+  * Semantics: for each left row, the single right row with the same
+  * key and the greatest (time, tiebreak) such that right.time ≤
+  * left.time; left rows with no match are dropped (inner as-of).
+  *
+  * Scale rationale: the join+window formulation materializes every
+  * (left, earlier-right) pair before the rank filter — fan-out
+  * proportional to per-key history depth. This operator hash-partitions
+  * both sides once on the key, sorts within partitions (both
+  * requirements expressed declaratively via requiredChildDistribution /
+  * requiredChildOrdering, so EnsureRequirements plans the exchanges and
+  * can elide them when inputs are already partitioned), then runs an
+  * O(n+m) streaming merge per partition holding ONE buffered right row
+  * — no pair materialization, no per-key state beyond a single row.
+  *
+  * Key and time columns must be LongType; payload columns are carried
+  * through by ordinal lookup against the right child's output.
+  */
+case class AsofJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    leftTime: Attribute,
+    rightKey: Attribute,
+    rightTime: Attribute,
+    rightTiebreak: Attribute,
+    payload: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ payload
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lk, lt, rk, rt, tb, payload) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tb, payload) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Attribute,
+    leftTime: Attribute,
+    rightKey: Attribute,
+    rightTime: Attribute,
+    rightTiebreak: Attribute,
+    payload: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payload
+
+  // One hash shuffle per side on the key; EnsureRequirements inserts
+  // exchanges only when the child isn't already clustered on it.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // Per-partition sorts (spillable SortExec), expressed declaratively.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTiebreak, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTimeOrd = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val rKeyOrd = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTimeOrd = right.output.indexWhere(_.exprId == rightTime.exprId)
+    val payloadOrds = payload.map(p => right.output.indexWhere(_.exprId == p.exprId))
+    require((lKeyOrd :: lTimeOrd :: rKeyOrd :: rTimeOrd :: payloadOrds.toList).forall(_ >= 0),
+      "asof join columns must resolve against child outputs")
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val outputAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val rBuf = rIter.buffered
+      val proj = UnsafeProjection.create(outputAttrs, leftOutput ++ rightOutput)
+      val joined = new JoinedRow
+      var held: InternalRow = null
+      var heldKey = 0L
+      lIter.flatMap { l =>
+        val lk = l.getLong(lKeyOrd)
+        val lt = l.getLong(lTimeOrd)
+        if (held != null && heldKey != lk) held = null
+        var scan = true
+        while (scan && rBuf.hasNext) {
+          val h = rBuf.head
+          val rk = h.getLong(rKeyOrd)
+          if (rk < lk) {
+            rBuf.next() // keys are ascending on both sides: never matches again
+          } else if (rk == lk && h.getLong(rTimeOrd) <= lt) {
+            held = rBuf.next().copy() // latest-so-far for this key
+            heldKey = rk
+          } else {
+            scan = false
+          }
+        }
+        if (held != null && heldKey == lk) {
+          Iterator.single(proj(joined(l, held)))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoin {
+
+  /** Public API: as-of join `left` with `right` on
+    * left(keyCol)=right(keyCol') with right.time ≤ left.time, keeping
+    * the latest right match per left row (ties broken by the greatest
+    * `tiebreakCol`). Key/time columns must be LongType. `payloadCols`
+    * from the right side are appended to the left columns. */
+  def asofJoin(spark: SparkSession,
+               leftDf: DataFrame, rightDf: DataFrame,
+               leftKeyCol: String, leftTimeCol: String,
+               rightKeyCol: String, rightTimeCol: String,
+               tiebreakCol: String, payloadCols: Seq[String]): DataFrame = {
+    GraftShim.addStrategy(spark, AsofJoinStrategy)
+    val lPlan = leftDf.queryExecution.analyzed
+    val rPlan = rightDf.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    GraftShim.ofRows(spark, AsofJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, leftKeyCol), attr(lPlan, leftTimeCol),
+      attr(rPlan, rightKeyCol), attr(rPlan, rightTimeCol),
+      attr(rPlan, tiebreakCol),
+      payloadCols.map(attr(rPlan, _))))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.plans.AsofJoin
+import org.apache.spark.sql.functions._
+
+/** Specs for the custom as-of operator (LogicalPlan + Strategy +
+  * AsofJoinExec). */
+class AsofPlanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    // (id, key, time)
+    (1L, 10L, 100L),
+    (2L, 10L, 200L),
+    (3L, 10L, 50L),   // before any right row for key 10
+    (4L, 20L, 500L),
+    (5L, 30L, 500L)   // key 30 has no right rows at all
+  ).toDF("id", "key", "t")
+
+  private def rightDf = Seq(
+    // (rkey, rtime, rid)
+    (10L, 90L, 900L),
+    (10L, 100L, 901L),  // same time as left id=1 → inclusive match
+    (10L, 100L, 950L),  // tie on time → larger rid wins
+    (10L, 150L, 902L),
+    (20L, 400L, 903L)
+  ).toDF("rkey", "rt", "rid")
+
+  private def run() = AsofJoin.asofJoin(spark, leftDf, rightDf,
+    "key", "t", "rkey", "rt", "rid", Seq("rid", "rt"))
+    .select("id", "rid", "rt").collect()
+    .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("asof semantics: latest right ≤ time, inclusive, tie-broken by payload id") {
+    val out = run()
+    assert(out === Map(
+      1L -> ((950L, 100L)), // t=100: rows at 90,100,100 qualify; (100,950) is max
+      2L -> ((902L, 150L)), // t=200: latest is 150
+      4L -> ((903L, 400L))
+      // id=3 (time before all) and id=5 (no key) are dropped
+    ))
+  }
+
+  test("physical plan uses AsofJoinExec, not a window or pair-join") {
+    val df = AsofJoin.asofJoin(spark, leftDf, rightDf,
+      "key", "t", "rkey", "rt", "rid", Seq("rid"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan) // AsofJoinExec prints as "AsofJoin"
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("agrees with the window formulation on real data (all 3 impls)") {
+    val a = graft.operators.Joins.asofJoin(spark, sf).collect().map(_.toSeq).toSet
+    val b = graft.operators.Joins.asofJoinMerge(spark, sf).collect().map(_.toSeq).toSet
+    val c = graft.operators.Joins.asofJoinPlan(spark, sf).collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a === c)
+  }
+
+  test("empty right side yields empty result, not an error") {
+    val empty = rightDf.filter(col("rkey") < 0)
+    val out = AsofJoin.asofJoin(spark, leftDf, empty,
+      "key", "t", "rkey", "rt", "rid", Seq("rid")).count()
+    assert(out === 0L)
+  }
+}
