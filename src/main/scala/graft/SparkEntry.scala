@@ -30,6 +30,7 @@ object SparkEntry {
       SortsAndSets.queries ++
       Scalars.queries ++
       CustomAggs.queries ++
+      Extras.queries ++
       Dedup.queries ++
       Similarity.queries ++
       TextAnalysis.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       SortsAndSets.oracle ++
       Scalars.oracle ++
       CustomAggs.oracle ++
+      Extras.oracle ++
       Dedup.oracle ++
       Similarity.oracle ++
       TextAnalysis.oracle ++

@@ -47,19 +47,38 @@ object Graft {
 
   /** MinHash LSH signature: each shingle hashed once, the digest split
     * into `bands` chunks (independent 32-bit minhashes), per-band
-    * minimum concatenated. Equal signatures ⇒ near-dup candidates. */
-  def minhashSignature(text: Column, k: Int = 3, bands: Int = 4): Column = {
+    * minimum concatenated. Equal signatures ⇒ near-dup candidates.
+    * Backed by the one-pass native expression (graft_minhash_sig,
+    * k=3/bands=4 — requires [[register]]); the declarative
+    * formulation below is the differential-test reference. */
+  def minhashSignature(text: Column, k: Int = 3, bands: Int = 4): Column =
+    if (k == 3 && bands == 4) call_function("graft_minhash_sig", text)
+    else minhashSignatureHof(text, k, bands)
+
+  /** Declarative (built-ins only) minhash signature — reference
+    * implementation for differential testing and arbitrary k/bands. */
+  def minhashSignatureHof(text: Column, k: Int = 3, bands: Int = 4): Column = {
     val mh = transform(shingles(text, k), s => md5(s.cast("binary")))
     concat_ws(":", (0 until bands).map { b =>
       array_min(transform(mh, h => substring(h, 8 * b + 1, 8)))
     }: _*)
   }
 
-  /** 16-bit SimHash fingerprint over distinct tokens (md5-derived bit
-    * votes — integer-exact across engines). */
-  def simhash16(text: Column): Column = {
-    val tokhash = transform(array_distinct(tokens(text)),
+  /** Per-token 16-bit hashes (md5-derived — integer-exact across
+    * engines) over the distinct tokens of a text. */
+  private def tokenHashes16(text: Column): Column =
+    transform(array_distinct(tokens(text)),
       w => conv(substring(md5(w.cast("binary")), 29, 4), 16, 10).cast("long"))
+
+  /** 16-bit SimHash fingerprint over distinct tokens: native one-pass
+    * vote fold (graft_simhash_fold — requires [[register]]). */
+  def simhash16(text: Column): Column =
+    call_function("graft_simhash_fold", tokenHashes16(text))
+
+  /** HOF reference formulation of simhash16 (16 per-bit folds);
+    * kept for differential testing against the native expression. */
+  def simhash16Hof(text: Column): Column = {
+    val tokhash = tokenHashes16(text)
     (0 until 16).map { bit =>
       val votes = aggregate(tokhash, lit(0L),
         (acc, h) => acc + when(shiftright(h, bit) % 2 === 1, lit(1L)).otherwise(lit(-1L)))

@@ -151,6 +151,71 @@ case class LshSignature(child: Expression)
     copy(child = newChild)
 }
 
+/** SimHash vote fold: input is an array<long> of per-token hashes;
+  * output is the 16-bit fingerprint whose bit b is set iff the +1/−1
+  * votes of bit b across tokens sum positive. One pass over the
+  * tokens with 16 integer counters — replaces 16 separate
+  * higher-order-function folds (one array traversal per bit). */
+case class SimhashFold(child: Expression)
+  extends UnaryExpression {
+
+  private val bits = 16
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash_fold"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = v.getLong(i)
+      var b = 0
+      while (b < bits) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $votes = new int[$bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    $votes[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  if ($votes[$b] > 0) $fp |= (1L << $b);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashFold =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   val dotInfo = (
     new FunctionIdentifier("graft_dot"),
@@ -167,6 +232,16 @@ object VectorFunctions {
     new ExpressionInfo(classOf[LshSignature].getName, "graft_lsh_sig"),
     (children: Seq[Expression]) => LshSignature(children.head))
 
+  val simhashInfo = (
+    new FunctionIdentifier("graft_simhash_fold"),
+    new ExpressionInfo(classOf[SimhashFold].getName, "graft_simhash_fold"),
+    (children: Seq[Expression]) => SimhashFold(children.head))
+
+  val minhashInfo = (
+    new FunctionIdentifier("graft_minhash_sig"),
+    new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash_sig"),
+    (children: Seq[Expression]) => MinhashSignature(children.head))
+
   /** Imperative session-scoped registration — lets any session use the
     * functions even when it wasn't built with GraftExtensions. */
   def register(spark: SparkSession): Unit = {
@@ -174,5 +249,7 @@ object VectorFunctions {
     reg.registerFunction(dotInfo._1, dotInfo._2, dotInfo._3)
     reg.registerFunction(normInfo._1, normInfo._2, normInfo._3)
     reg.registerFunction(lshInfo._1, lshInfo._2, lshInfo._3)
+    reg.registerFunction(simhashInfo._1, simhashInfo._2, simhashInfo._3)
+    reg.registerFunction(minhashInfo._1, minhashInfo._2, minhashInfo._3)
   }
 }

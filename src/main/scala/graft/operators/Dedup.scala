@@ -74,6 +74,7 @@ object Dedup {
     * engines — and hashing once (not per band) is what keeps this
     * linear in corpus size at 100 TB. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     Tables.documents(spark, dir)
       .withColumn("sig", graft.api.Graft.minhashSignature(col("text"), k = 3, bands = bands))
       .groupBy(col("sig"))
@@ -101,6 +102,7 @@ object Dedup {
     * fingerprint. Bucket docs by fingerprint. Pure integer arithmetic →
     * bit-identical across engines. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     Tables.documents(spark, dir)
       .withColumn("simhash", graft.api.Graft.simhash16(col("text")))
       .groupBy(col("simhash"))
@@ -131,15 +133,22 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
     val a = docs.select(col("lang"), col("source"),
-      col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("n_toks").as("na"))
     val b = docs.select(col("lang").as("lang_b"), col("source").as("source_b"),
-      col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("n_toks").as("nb"))
+    // size-ratio prune inside the join condition: jac ≥ 0.5 needs
+    // |A∩B| ≥ (|A|+|B|)/3 and |A∩B| ≤ min, hence 2·min ≥ max — pairs
+    // failing this cheap integer check skip the array_intersect
+    // entirely. Pure optimization: removed pairs can't pass the final
+    // jac ≥ 0.5 filter, so the oracle is unchanged.
     a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b") &&
-        col("doc_a") < col("doc_b"))
+        col("doc_a") < col("doc_b") &&
+        lit(2) * least(col("na"), col("nb")) >= greatest(col("na"), col("nb")))
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
       .withColumn("jac", round(col("inter") /
-        (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 4))
+        (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -12,5 +12,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorFunctions.dotInfo)
     ext.injectFunction(VectorFunctions.normInfo)
     ext.injectFunction(VectorFunctions.lshInfo)
+    ext.injectFunction(VectorFunctions.simhashInfo)
+    ext.injectFunction(VectorFunctions.minhashInfo)
   }
 }

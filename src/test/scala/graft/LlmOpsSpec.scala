@@ -123,6 +123,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("native MinhashSignature agrees with the declarative formulation") {
+    graft.functions.VectorFunctions.register(spark)
+    val mismatches = Tables.documents(spark, sf).select(
+      graft.api.Graft.minhashSignature(col("text")).as("native"),
+      graft.api.Graft.minhashSignatureHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches === 0)
+  }
+
+  test("native SimhashFold agrees with the HOF per-bit formulation") {
+    graft.functions.VectorFunctions.register(spark)
+    val mismatches = Tables.documents(spark, sf).select(
+      graft.api.Graft.simhash16(col("text")).as("native"),
+      graft.api.Graft.simhash16Hof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches === 0)
+  }
+
   test("text quality score is within [0, 1]") {
     val q = TextAnalysis.qualityScore(spark, sf)
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
