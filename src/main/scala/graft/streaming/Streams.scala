@@ -85,6 +85,28 @@ object Streams {
       .toDF("user_id", "n_events", "last_type")
   }
 
+  /** flatMapGroupsWithState: per-user anomaly emitter — emits one
+    * record per processed batch chunk only when the user's running
+    * error count crosses a threshold (a shape windows can't express:
+    * conditional multi-row output + persistent cross-batch state). */
+  def errorBursts(spark: SparkSession, events: DataFrame, threshold: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events.select(col("user_id"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val errs = rows.count(_._2 == "error")
+          val total = prev + errs
+          state.update(total)
+          if (prev < threshold && total >= threshold) Iterator((user, total))
+          else Iterator.empty
+      }
+      .toDF("user_id", "error_count")
+  }
+
   // ---------- bounded batch twins (oracle-checked) ----------
 
   /** Batch twin of tumblingCounts: window(ts, 1h) ≡ date_trunc hour. */

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators._
+import graft.sources.Sources
+import graft.streaming.Streams
+
+/** Driver-contract consistency: the queries/oracle registries must be
+  * collision-free (a duplicate key would silently shadow an operator
+  * in the Map concatenation) and mutually consistent. */
+class RegistrySpec extends SparkSpec {
+
+  private val modules: Seq[(String, Map[String, _], Map[String, String])] = Seq(
+    ("RefPipeline", RefPipeline.queries, RefPipeline.oracle),
+    ("Analytics", Analytics.queries, Analytics.oracle),
+    ("Joins", Joins.queries, Joins.oracle),
+    ("Aggregations", Aggregations.queries, Aggregations.oracle),
+    ("Windows", Windows.queries, Windows.oracle),
+    ("SortsAndSets", SortsAndSets.queries, SortsAndSets.oracle),
+    ("Scalars", Scalars.queries, Scalars.oracle),
+    ("CustomAggs", CustomAggs.queries, CustomAggs.oracle),
+    ("Extras", Extras.queries, Extras.oracle),
+    ("Dedup", Dedup.queries, Dedup.oracle),
+    ("Similarity", Similarity.queries, Similarity.oracle),
+    ("TextAnalysis", TextAnalysis.queries, TextAnalysis.oracle),
+    ("Multimodal", Multimodal.queries, Multimodal.oracle),
+    ("Sources", Sources.queries, Sources.oracle),
+    ("SqlSurface", SqlSurface.queries, SqlSurface.oracle),
+    ("Streams", Streams.queries, Streams.oracle))
+
+  test("no query key collides across modules") {
+    val all = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"duplicate keys: $dups")
+    assert(SparkEntry.queries.size === all.size)
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("only sketch-based ops lack an oracle") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle === Set("agg_approx_distinct"), noOracle.toString)
+  }
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

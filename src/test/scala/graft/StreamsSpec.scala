@@ -119,6 +119,25 @@ class StreamsSpec extends SparkSpec {
     assert(uris.toSeq === Seq("gs://tma-0/minha-pasta/a.xlsx", "gs://tma-0/minha-pasta/d.xlsx"))
   }
 
+  test("flatMapGroupsWithState emits once when the error threshold is crossed") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 1, "error", 0),
+      Ev(2, ts("2024-01-01 00:01:00"), 1, "error", 0),
+      Ev(3, ts("2024-01-01 00:02:00"), 2, "error", 0),
+      Ev(4, ts("2024-01-01 00:03:00"), 1, "error", 0)) // already past threshold: no re-emit
+    val q = Streams.errorBursts(spark, mem.toDF())
+      .writeStream.format("memory").queryName("t_bursts").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("t_bursts").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("error_count")).toMap
+    assert(rows === Map(1L -> 3L)) // user 1 crossed 2; user 2 only has 1 error
+  }
+
   test("file-arrival stream ingests parquet drops incrementally (reference S1 analog)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
