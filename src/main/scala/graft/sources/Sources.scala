@@ -86,13 +86,42 @@ object Sources {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** XLSX round-trip through the engine's own DataSource V2
+    * (graft.sources.xlsx — JDK-only reader, no POI): nation is written
+    * as a real .xlsx workbook, read back via
+    * `spark.read.format("xlsx")`, cast, joined, aggregated. The oracle
+    * computes from the original parquet — format fidelity proven by
+    * hash equality. This closes the reference's stubbed XLSX-ETL
+    * intent (main.py:12,17) end-to-end. */
+  def xlsxRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("nation_xlsx") + "/nation.xlsx"
+    val rows = Tables.nation(spark, dir)
+      .orderBy(col("n_nationkey"))
+      .collect() // 25-row dimension: driver-side materialization is the xlsx-writer's contract
+      .map(r => Seq(r.get(0).toString, r.get(1).toString, r.get(2).toString).map(identity))
+    graft.sources.xlsx.XlsxParser.write(out,
+      Seq("n_nationkey", "n_name", "n_regionkey"), rows.toSeq)
+    val n = spark.read.format("xlsx").load(out)
+      .select(col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_nation"))
+      .orderBy(col("r_name"))
+  }
+
+  val xlsxRoundtripSql: String = csvRoundtripSql // same shape, computed from parquet
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_xlsx_roundtrip" -> (xlsxRoundtrip _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_json_roundtrip" -> (jsonRoundtrip _),
     "src_partitioned_sink" -> (partitionedSink _)
   )
 
   def oracle: Map[String, String] = Map(
+    "src_xlsx_roundtrip" -> xlsxRoundtripSql,
     "src_csv_roundtrip" -> csvRoundtripSql,
     "src_json_roundtrip" -> jsonRoundtripSql,
     "src_partitioned_sink" -> partitionedSinkSql

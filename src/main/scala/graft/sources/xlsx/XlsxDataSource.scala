@@ -1,0 +1,221 @@
+package graft.sources.xlsx
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal XLSX DataSource V2 (SURVEY.md §2.1 S3: the reference's whole
+  * purpose is XLSX-file ETL — /root/reference/main.py:12 filters for
+  * `.xlsx`, /root/reference/.github/workflows/terraform.yml:26 names
+  * the function `xlsx-folder-trigger` — with the actual processing
+  * stubbed at main.py:17).
+  *
+  * XLSX is a zip of XML parts; this reader uses only the JDK
+  * (java.util.zip + javax.xml) — no POI — and reads the two parts that
+  * matter: `xl/sharedStrings.xml` and `xl/worksheets/sheet1.xml`.
+  * Row 1 is the header; every column is StringType (schema-at-read-
+  * time, matching the survey's inference note at SURVEY.md §1.2).
+  *
+  * Scale shape: one input partition per file (spreadsheets are small
+  * and row-group-less — file granularity IS the parallelism, the same
+  * model as the reference's one-event-per-file trigger). No filter
+  * pushdown: Catalyst filters above the scan; a spreadsheet has no
+  * column statistics to push into anyway.
+  */
+class XlsxDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "xlsx"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val fromPaths = Option(options.get("paths")).map { json =>
+      // simple JSON array of strings: ["a","b"]
+      json.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    }.getOrElse(Seq.empty)
+    val fromPath = Option(options.get("path")).toSeq
+    (fromPaths ++ fromPath).distinct
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val ps = paths(options)
+    require(ps.nonEmpty, "xlsx source requires a path")
+    val header = XlsxParser.parse(ps.head).headOption.getOrElse(Seq.empty)
+    StructType(header.zipWithIndex.map { case (name, i) =>
+      StructField(if (name == null || name.isEmpty) s"_c$i" else name, StringType)
+    })
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new XlsxTable(schema,
+      paths(new CaseInsensitiveStringMap(properties)))
+}
+
+class XlsxTable(tableSchema: StructType, paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"xlsx(${paths.mkString(",")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: Batch = new XlsxBatch(tableSchema, paths)
+      }
+    }
+}
+
+case class XlsxInputPartition(path: String) extends InputPartition
+
+class XlsxBatch(schema: StructType, paths: Seq[String]) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(XlsxInputPartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XlsxReaderFactory(schema)
+}
+
+class XlsxReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[XlsxInputPartition].path
+    new PartitionReader[InternalRow] {
+      private val rows = XlsxParser.parse(path).drop(1).iterator // drop header
+      private var current: Seq[String] = _
+      override def next(): Boolean = {
+        if (rows.hasNext) { current = rows.next(); true } else false
+      }
+      override def get(): InternalRow = {
+        val vals = (0 until schema.length).map { i =>
+          if (i < current.length && current(i) != null) UTF8String.fromString(current(i))
+          else null
+        }
+        InternalRow.fromSeq(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** JDK-only XLSX parsing: zip entries + DOM over the two relevant
+  * parts. Cell addresses (`r="B3"`) give the column index; `t="s"`
+  * cells indirect through the shared-strings table; `t="inlineStr"`
+  * carries `<is><t>`; everything else takes `<v>` verbatim. */
+object XlsxParser {
+
+  private def columnIndex(cellRef: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < cellRef.length && Character.isLetter(cellRef.charAt(i))) {
+      acc = acc * 26 + (cellRef.charAt(i) - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  def parse(path: String): Seq[Seq[String]] = {
+    val zip = new java.util.zip.ZipFile(path)
+    try {
+      val db = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+
+      val shared: IndexedSeq[String] = Option(zip.getEntry("xl/sharedStrings.xml")).map { e =>
+        val doc = db.parse(zip.getInputStream(e))
+        val sis = doc.getElementsByTagName("si")
+        (0 until sis.getLength).map(i => sis.item(i).getTextContent)
+      }.getOrElse(IndexedSeq.empty)
+
+      val sheet = Option(zip.getEntry("xl/worksheets/sheet1.xml")).getOrElse(
+        throw new IllegalArgumentException(s"$path: no xl/worksheets/sheet1.xml"))
+      val doc = db.parse(zip.getInputStream(sheet))
+      val rowNodes = doc.getElementsByTagName("row")
+      (0 until rowNodes.getLength).map { r =>
+        val row = rowNodes.item(r).asInstanceOf[org.w3c.dom.Element]
+        val cells = row.getElementsByTagName("c")
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        (0 until cells.getLength).foreach { ci =>
+          val cell = cells.item(ci).asInstanceOf[org.w3c.dom.Element]
+          val idx = Option(cell.getAttribute("r")).filter(_.nonEmpty)
+            .map(columnIndex).getOrElse(ci)
+          val t = cell.getAttribute("t")
+          val value: String = t match {
+            case "s" =>
+              val vs = cell.getElementsByTagName("v")
+              if (vs.getLength > 0) shared(vs.item(0).getTextContent.trim.toInt) else null
+            case "inlineStr" =>
+              val is = cell.getElementsByTagName("t")
+              if (is.getLength > 0) is.item(0).getTextContent else null
+            case _ =>
+              val vs = cell.getElementsByTagName("v")
+              if (vs.getLength > 0) vs.item(0).getTextContent else null
+          }
+          while (out.length <= idx) out += null
+          out(idx) = value
+        }
+        out.toSeq
+      }
+    } finally zip.close()
+  }
+
+  /** Minimal XLSX writer (driver-side utility for tests/round-trips):
+    * one sheet, inline strings, no shared-strings table. Produces a
+    * file this reader and standard tools can open. */
+  def write(path: String, header: Seq[String], rows: Seq[Seq[String]]): Unit = {
+    def esc(s: String): String =
+      if (s == null) ""
+      else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def colRef(i: Int): String = {
+      var n = i + 1
+      val sb = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    def rowXml(r: Int, vals: Seq[String]): String =
+      s"""<row r="${r + 1}">""" + vals.zipWithIndex.collect {
+        // null cells are omitted entirely; the reader pads them back as null
+        case (v, i) if v != null =>
+          s"""<c r="${colRef(i)}${r + 1}" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+      }.mkString + "</row>"
+
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        rowXml(0, header) + rows.zipWithIndex.map { case (r, i) => rowXml(i + 1, r) }.mkString +
+        "</sheetData></worksheet>"
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        "</Types>"
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
+        """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        "</Relationships>"
+
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    try {
+      def entry(name: String, content: String): Unit = {
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        zos.closeEntry()
+      }
+      entry("[Content_Types].xml", contentTypes)
+      entry("xl/workbook.xml", workbook)
+      entry("xl/_rels/workbook.xml.rels", rels)
+      entry("xl/worksheets/sheet1.xml", sheet)
+    } finally zos.close()
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.sources.xlsx.XlsxParser
+import org.apache.spark.sql.functions._
+
+/** Specs for the JDK-only XLSX DataSource V2. */
+class XlsxSourceSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+    s"$d/$name"
+  }
+
+  test("write → read round-trip preserves header and cells") {
+    val path = tmp("t1.xlsx")
+    XlsxParser.write(path,
+      Seq("id", "name", "qty"),
+      Seq(Seq("1", "alpha", "10"), Seq("2", "beta & <gamma>", "20"), Seq("3", null, "30")))
+    val df = spark.read.format("xlsx").load(path)
+    assert(df.columns.toSeq === Seq("id", "name", "qty"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 3)
+    assert(rows(1).getString(1) === "beta & <gamma>") // XML escaping round-trips
+    assert(rows(2).isNullAt(1)) // empty inline string reads as null... or empty
+  }
+
+  test("reference pipeline end-to-end: filter xlsx names, then READ the xlsx content") {
+    // the step the reference stubs at main.py:17 — actually done here
+    val path = tmp("relatorio_1.xlsx")
+    XlsxParser.write(path, Seq("produto", "valor"),
+      Seq(Seq("cafe", "12.50"), Seq("acucar", "8.00")))
+    import spark.implicits._
+    val notifications = Seq(
+      ("tma-0", "minha-pasta/relatorio_1.xlsx", path),
+      ("tma-0", "minha-pasta/skip.csv", path)).toDF("bucket", "name", "local_path")
+    val accepted = notifications.filter(
+      graft.api.Graft.objectNameAccept(col("name"), "minha-pasta/", ".xlsx"))
+    val localPath = accepted.select("local_path").head().getString(0)
+    val content = spark.read.format("xlsx").load(localPath)
+      .agg(round(sum(col("valor").cast("double")), 2).as("total")).head()
+    assert(content.getDouble(0) === 20.5)
+  }
+
+  test("multiple files → one partition each") {
+    val p1 = tmp("a.xlsx"); val p2 = tmp("b.xlsx")
+    XlsxParser.write(p1, Seq("x"), Seq(Seq("1")))
+    XlsxParser.write(p2, Seq("x"), Seq(Seq("2")))
+    val df = spark.read.format("xlsx").load(p1, p2)
+    assert(df.rdd.getNumPartitions === 2)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "2"))
+  }
+
+  test("shared-strings workbooks parse too (t=\"s\" indirection)") {
+    // hand-build a workbook that uses the sharedStrings table
+    val path = tmp("shared.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(n: String, c: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(n)); zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>col1</t></si><si><t>hello</t></si></sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c></row>""" +
+        """<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>42</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zos.close()
+    val df = spark.read.format("xlsx").load(path)
+    assert(df.columns.head === "col1")
+    val row = df.head()
+    assert(row.getString(0) === "hello")
+  }
+}
