@@ -107,6 +107,23 @@ object Streams {
       .toDF("user_id", "error_count")
   }
 
+  /** Stream-stream interval join: each error joined to the same user's
+    * purchases in the following hour. Watermarks on BOTH sides bound
+    * the join state (rows older than watermark+interval are evicted) —
+    * the condition Spark requires for an unbounded-stream join to hold
+    * finite state. The batch twin is rangeJoinEvents' shape. */
+  def errorThenPurchase(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"), col("ts").as("err_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    e.join(p,
+      col("err_user") === col("p_user") &&
+        col("p_ts") > col("err_ts") &&
+        col("p_ts") <= col("err_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   // ---------- bounded batch twins (oracle-checked) ----------
 
   /** Batch twin of tumblingCounts: window(ts, 1h) ≡ date_trunc hour. */

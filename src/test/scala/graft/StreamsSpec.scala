@@ -138,6 +138,26 @@ class StreamsSpec extends SparkSpec {
     assert(rows === Map(1L -> 3L)) // user 1 crossed 2; user 2 only has 1 error
   }
 
+  test("stream-stream interval join matches errors to following purchases") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val errs = MemoryStream[Ev]
+    val purch = MemoryStream[Ev]
+    errs.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "error", 0))
+    purch.addData(
+      Ev(2, ts("2024-01-01 10:30:00"), 1, "purchase", 9.5), // within the hour → match
+      Ev(3, ts("2024-01-01 12:00:00"), 1, "purchase", 1.0), // too late
+      Ev(4, ts("2024-01-01 10:15:00"), 2, "purchase", 2.0)) // other user
+    val q = Streams.errorThenPurchase(errs.toDF(), purch.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("t_ssjoin").collect()
+      .map(r => (r.getAs[Long]("err_id"), r.getAs[Long]("p_id")))
+    assert(rows.toSeq === Seq((1L, 2L)))
+  }
+
   test("file-arrival stream ingests parquet drops incrementally (reference S1 analog)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
