@@ -154,11 +154,14 @@ object Graft {
                  idCol: String, vecCol: String, kTop: Int): DataFrame = {
     register(spark)
     import org.apache.spark.sql.expressions.Window
+    // norms computed once per row pre-join; only the dot is per-pair
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", l2norm(col("__cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id"))
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("__cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= kTop)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("__cos").as("cosine"))
@@ -173,12 +176,14 @@ object Graft {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__qb", lshBucket(col("__qv")))
+      .withColumn("__qn", l2norm(col("__qv")))
     val c = candidates.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"))
       .withColumn("__cb", lshBucket(col("__cv")))
+      .withColumn("__cn", l2norm(col("__cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id"))
     q.join(c, col("__qb") === col("__cb") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("__cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= kTop)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("__cos").as("cosine"))

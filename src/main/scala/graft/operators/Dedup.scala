@@ -147,23 +147,24 @@ object Dedup {
         col("doc_a") < col("doc_b") &&
         lit(2) * least(col("na"), col("nb")) >= greatest(col("na"), col("nb")))
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
-      .withColumn("jac", round(col("inter") /
-        (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jac") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+      // filter on the UNROUNDED jaccard (matching the prune's algebra
+      // exactly); rounding happens only at the output edge
+      .withColumn("jac_raw", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac_raw") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val ngramJaccardSql: String =
-    """SELECT doc_a, doc_b, jac
+    """SELECT doc_a, doc_b, round(jac_raw, 4) AS jac
       |FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |         round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-      |               (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jac
+      |         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |               (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac_raw
       |  FROM (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
       |  JOIN (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-      |WHERE jac >= 0.5
+      |WHERE jac_raw >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -247,7 +247,9 @@ object Joins {
   def asofJoinMerge(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), (col("ts_ns") / lit(1000000000L)).cast("long").as("sec"))
+      // integer DIV, not `/`: long `/` is double division, which loses
+      // sub-256ns precision at epoch-ns magnitude (> 2^53)
+      .select(col("event_id"), col("user_id"), expr("ts_ns DIV 1000000000").as("sec"))
       .as[(Long, Long, Long)]
     val ord = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("sec"))
@@ -283,7 +285,7 @@ object Joins {
   def asofJoinPlan(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
-        (col("ts_ns") / lit(1000000000L)).cast("long").as("ev_sec"))
+        expr("ts_ns DIV 1000000000").as("ev_sec"))
     val ord = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
         unix_timestamp(col("o_orderdate")).as("ord_sec"))

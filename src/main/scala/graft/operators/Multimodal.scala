@@ -86,15 +86,17 @@ object Multimodal {
     * Pure built-ins over the binary column. */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     val k = 16
+    // loop bound and reported length are both CHARACTER-based,
+    // matching the char-positional substring sampling (a byte-based
+    // bound would diverge from the oracle on multibyte text)
     Tables.documents(spark, dir)
-      .withColumn("payload", col("text").cast("binary"))
-      .withColumn("n", length(col("payload")))
+      .withColumn("n", length(col("text")))
       .withColumn("sample", concat_ws("",
         transform(sequence(lit(0), expr(s"(n - 1) div $k")),
           i => substring(col("text"), (i * k + 1).cast("int"), lit(1)))))
       .select(
         col("doc_id"),
-        col("n").cast("long").as("byte_len"),
+        col("n").cast("long").as("n_chars_total"),
         length(col("sample")).cast("long").as("n_samples"),
         md5(col("sample").cast("binary")).as("sample_md5"))
       .orderBy(col("doc_id"))
@@ -102,7 +104,7 @@ object Multimodal {
 
   val frameSampleSql: String =
     """SELECT doc_id,
-      |       CAST(length(text) AS BIGINT) AS byte_len,
+      |       CAST(length(text) AS BIGINT) AS n_chars_total,
       |       CAST(length(sample) AS BIGINT) AS n_samples,
       |       md5(sample) AS sample_md5
       |FROM (

@@ -66,10 +66,10 @@ object RefPipeline {
       |FROM events""".stripMargin
 
   /** Accept predicate ≡ keep iff name non-null ∧ prefix ∧ suffix
-    * (De Morgan of main.py:12's reject disjunction). */
+    * (De Morgan of main.py:12's reject disjunction). Single source of
+    * truth: the public facade predicate. */
   private val accept =
-    col("name").isNotNull && col("name") =!= "" &&
-      col("name").startsWith("minha-pasta/") && col("name").endsWith(".xlsx")
+    graft.api.Graft.objectNameAccept(col("name"), "minha-pasta/", ".xlsx")
 
   /** Accept filter + uri projection over any notifications-shaped
     * frame (event_id, bucket, name, size_bytes) — shared by the
@@ -101,10 +101,7 @@ object RefPipeline {
     * the parquet scan. */
   def rejectSplit(spark: SparkSession, dir: String): DataFrame =
     notifications(spark, dir)
-      .filter(!coalesce(
-        col("name").isNotNull && col("name") =!= "" &&
-          col("name").startsWith("minha-pasta/") && col("name").endsWith(".xlsx"),
-        lit(false)))
+      .filter(!coalesce(accept, lit(false)))
       .select(
         col("event_id"),
         col("bucket"),

@@ -45,16 +45,19 @@ object Similarity {
   private val normSql =
     (a: String) => s"sqrt(list_sum(list_transform($a, x -> x * x)))"
 
-  /** Exact brute-force cosine top-k for the first `nQueries` vectors. */
+  /** Exact brute-force cosine top-k for the first `nQueries` vectors.
+    * Norms are computed once per ROW before the join (identical
+    * left-to-right fold → identical doubles) — per pair only the dot
+    * product remains, a 3× arithmetic cut on the O(Q·N) hot path. */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).withColumn("v", vecAsDouble(col("embedding")))
     val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val cand = emb.select(col("vec_id"), col("v"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), norm(col("v")).as("qn"))
+    val cand = emb.select(col("vec_id"), col("v"), norm(col("v")).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
     broadcast(q).join(cand, col("query_id") =!= col("vec_id"))
-      .withColumn("cos_raw", dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))))
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -86,14 +89,15 @@ object Similarity {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir).withColumn("v", vecAsDouble(col("embedding")))
     val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val cand = emb.select(col("vec_id"), col("v"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        call_function("graft_l2norm", col("v")).as("qn"))
+    val cand = emb.select(col("vec_id"), col("v"),
+      call_function("graft_l2norm", col("v")).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
     broadcast(q).join(cand, col("query_id") =!= col("vec_id"))
       .withColumn("cos_raw",
-        call_function("graft_dot", col("qv"), col("v")) /
-          (call_function("graft_l2norm", col("qv")) * call_function("graft_l2norm", col("v"))))
+        call_function("graft_dot", col("qv"), col("v")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -157,15 +161,16 @@ object Similarity {
       .withColumn("v", vecAsDouble(col("embedding")))
       .withColumn("bucket", lshSig(col("v")))
     val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
-    val cand = emb.select(col("vec_id"), col("v"), col("bucket").as("cb"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"),
+        call_function("graft_l2norm", col("v")).as("qn"))
+    val cand = emb.select(col("vec_id"), col("v"), col("bucket").as("cb"),
+      call_function("graft_l2norm", col("v")).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
     broadcast(q)
       .join(cand, col("bucket") === col("cb") && col("query_id") =!= col("vec_id"))
       .withColumn("cos_raw",
-        call_function("graft_dot", col("qv"), col("v")) /
-          (call_function("graft_l2norm", col("qv")) * call_function("graft_l2norm", col("v"))))
+        call_function("graft_dot", col("qv"), col("v")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -197,12 +202,13 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", vecAsDouble(col("embedding")))
       .withColumn("bucket", lshSig(col("v")))
-    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket").as("bb"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"),
+      call_function("graft_l2norm", col("v")).as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket").as("bb"),
+      call_function("graft_l2norm", col("v")).as("nb"))
     a.join(b, col("bucket") === col("bb") && col("vec_a") < col("vec_b"))
       .withColumn("cos_raw",
-        call_function("graft_dot", col("va"), col("vb")) /
-          (call_function("graft_l2norm", col("va")) * call_function("graft_l2norm", col("vb"))))
+        call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos_raw") >= 0.3)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))

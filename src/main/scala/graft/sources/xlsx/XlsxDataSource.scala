@@ -122,7 +122,15 @@ object XlsxParser {
   def parse(path: String): Seq[Seq[String]] = {
     val zip = new java.util.zip.ZipFile(path)
     try {
-      val db = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      // harden against XXE/entity bombs from untrusted workbooks:
+      // no DOCTYPEs, no external entities
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+      dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+      dbf.setXIncludeAware(false)
+      dbf.setExpandEntityReferences(false)
+      val db = dbf.newDocumentBuilder()
 
       val shared: IndexedSeq[String] = Option(zip.getEntry("xl/sharedStrings.xml")).map { e =>
         val doc = db.parse(zip.getInputStream(e))

@@ -71,13 +71,14 @@ object Streams {
     * path for shapes windows can't express). */
   def runningUserState(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    case class E(user_id: Long, event_type: String)
-    events.select(col("user_id"), col("event_type")).as[(Long, String)]
+    events.select(col("user_id"), col("event_type"), col("event_id")).as[(Long, String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, String)], state: GroupState[(Long, String)]) =>
+        (user: Long, rows: Iterator[(Long, String, Long)], state: GroupState[(Long, String)]) =>
           val prev = state.getOption.getOrElse((0L, ""))
-          val buf = rows.toSeq
+          // the group iterator arrives in shuffle order, not event
+          // order — sort by event_id so "last" is deterministic
+          val buf = rows.toSeq.sortBy(_._3)
           val next = (prev._1 + buf.size, buf.lastOption.map(_._2).getOrElse(prev._2))
           state.update(next)
           (user, next._1, next._2)
