@@ -4,7 +4,8 @@ import graft.functions.VectorFunctions
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * Catalyst expressions. Enable with
+  * Catalyst expressions, the HOF→native optimizer rewrite, and the
+  * as-of join planner strategy. Enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -14,5 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorFunctions.lshInfo)
     ext.injectFunction(VectorFunctions.simhashInfo)
     ext.injectFunction(VectorFunctions.minhashInfo)
+    ext.injectOptimizerRule(_ => NativeVectorRewrite)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
