@@ -115,7 +115,34 @@ object Windows {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY nationkey, s_suppkey""".stripMargin
 
+  /** Distribution windows: percent_rank, cume_dist, nth_value — exact
+    * integer-ratio results, so float parity with the oracle is free. */
+  def distributionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(spark, dir)
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        round(nth_value(col("c_acctbal"), 2).over(wFrame), 2).as("second_lowest_bal"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  val distributionWindowsSql: String =
+    """SELECT c_mktsegment, c_custkey,
+      |       round(percent_rank() OVER w, 6) AS pct_rank,
+      |       round(cume_dist() OVER w, 6) AS cume,
+      |       round(nth_value(c_acctbal, 2) OVER (PARTITION BY c_mktsegment
+      |             ORDER BY c_acctbal, c_custkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_lowest_bal
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_distribution" -> (distributionWindows _),
     "win_topk_per_group" -> (topkPerPriority _),
     "win_lag_delta" -> (lagDelta _),
     "win_running_total" -> (runningTotal _),
@@ -124,6 +151,7 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_distribution" -> distributionWindowsSql,
     "win_topk_per_group" -> topkPerPrioritySql,
     "win_lag_delta" -> lagDeltaSql,
     "win_running_total" -> runningTotalSql,

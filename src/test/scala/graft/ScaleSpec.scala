@@ -71,6 +71,19 @@ class ScaleSpec extends SparkSpec {
     assert(q.count() === expected)
   }
 
+  test("orderBy+limit plans as TakeOrderedAndProject (no global sort)") {
+    val q = graft.operators.SortsAndSets.topkLineitems(spark, sf)
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("rank-filter window plans with WindowGroupLimit (per-partition top-k pruning)") {
+    val q = graft.operators.Windows.topkPerPriority(spark, sf)
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      q.queryExecution.executedPlan.toString)
+  }
+
   test("broadcast hint produces a BroadcastHashJoin for dim tables") {
     val l = Tables.lineitem(spark, sf)
     val s = Tables.supplier(spark, sf)
