@@ -5,7 +5,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.classic
 import org.apache.spark.sql.types.DoubleType
 
 /** Optimizer rule: recognize the declarative higher-order-function
@@ -86,10 +85,10 @@ object NativeVectorRewrite extends Rule[LogicalPlan] {
   }
 
   /** Runtime enablement on an existing session (idempotent). */
-  def enable(spark: SparkSession): Unit = {
-    val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraOptimizations.contains(this)) {
-      exp.extraOptimizations = exp.extraOptimizations :+ this
-    }
-  }
+  def enable(spark: SparkSession): Unit =
+    org.apache.spark.sql.graftshim.GraftShim.addOptimization(spark, this)
+
+  /** Remove the runtime-added rule (restores HOF plans). */
+  def disable(spark: SparkSession): Unit =
+    org.apache.spark.sql.graftshim.GraftShim.removeOptimization(spark, this)
 }

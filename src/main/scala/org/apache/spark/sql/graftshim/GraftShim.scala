@@ -16,11 +16,29 @@ object GraftShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
-  /** Idempotently append a planner strategy to the session. */
+  /** Idempotently append a planner strategy to the session. (Benign if
+    * the strategy is ALSO injected via GraftExtensions — the planner
+    * just sees one extra candidate producer; first plan wins.) */
   def addStrategy(spark: SparkSession, strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
     if (!exp.extraStrategies.contains(strategy)) {
       exp.extraStrategies = exp.extraStrategies :+ strategy
     }
+  }
+
+  /** Idempotently append an optimizer rule to the session. */
+  def addOptimization(spark: SparkSession,
+                      rule: org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
+
+  /** Remove a runtime-added optimizer rule (test/session cleanup). */
+  def removeOptimization(spark: SparkSession,
+                         rule: org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.extraOptimizations = exp.extraOptimizations.filterNot(_ == rule)
   }
 }
