@@ -114,13 +114,69 @@ object Multimodal {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Feature extraction over the payload: a 16-bin histogram of
+    * character codes — the shape of a per-item feature vector computed
+    * from raw bytes (real computation, not a stub; engine-portable
+    * integer arithmetic). */
+  def byteHistogram(spark: SparkSession, dir: String): DataFrame = {
+    // Spark's split("") keeps a trailing empty element (Java split
+    // semantics with limit -1) — drop it so binning matches DuckDB's
+    // string_split exactly
+    val chars = filter(split(col("text"), ""), c => c =!= "")
+    val bins = (0 until 16).map { b =>
+      size(filter(chars, c => ascii(c) % 16 === b)).cast("long").as(f"bin_$b%02d")
+    }
+    Tables.documents(spark, dir)
+      .select((col("doc_id") +: bins): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val byteHistogramSql: String = {
+    val bins = (0 until 16)
+      .map(b => f"CAST(len(list_filter(chars, c -> ascii(c) %% 16 = $b)) AS BIGINT) AS bin_$b%02d")
+      .mkString(",\n      |       ")
+    s"""SELECT doc_id,
+       |       $bins
+       |FROM (SELECT doc_id, string_split(text, '') AS chars FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Resize stub shape: normalize every payload to a fixed length
+    * (truncate or right-pad), emit digest + dimensions — the
+    * fixed-shape-tensor normalization step of an image pipeline. */
+  def resizePayload(spark: SparkSession, dir: String): DataFrame = {
+    val target = 96
+    Tables.documents(spark, dir)
+      .withColumn("resized", rpad(substring(col("text"), 1, target), target, " "))
+      .select(
+        col("doc_id"),
+        length(col("resized")).cast("long").as("out_len"),
+        md5(col("resized").cast("binary")).as("resized_md5"),
+        (length(col("text")) > target).as("was_truncated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val resizePayloadSql: String =
+    """SELECT doc_id,
+      |       CAST(length(resized) AS BIGINT) AS out_len,
+      |       md5(resized) AS resized_md5,
+      |       length(text) > 96 AS was_truncated
+      |FROM (SELECT doc_id, text,
+      |             rpad(substring(text, 1, 96), 96, ' ') AS resized
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_byte_histogram" -> (byteHistogram _),
+    "mm_resize" -> (resizePayload _),
     "mm_decode_stub" -> (decodeStub _),
     "mm_meta_pruning" -> (metaPruning _),
     "mm_frame_sample" -> (frameSample _)
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_byte_histogram" -> byteHistogramSql,
+    "mm_resize" -> resizePayloadSql,
     "mm_decode_stub" -> decodeStubSql,
     "mm_meta_pruning" -> metaPruningSql,
     "mm_frame_sample" -> frameSampleSql
