@@ -227,7 +227,72 @@ object Similarity {
        |WHERE cos_raw >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** IVF (inverted-file) ANN — the coarse-quantization scale path
+    * alongside LSH: every 50th vector serves as a deterministic
+    * centroid (at real scale: k-means centroids); vectors are assigned
+    * to their nearest centroid (broadcast centroids — the small side
+    * never shuffles); queries probe only their own cell (nprobe=1) and
+    * score exact cosine within it. Shuffle cost: one equi join on the
+    * cell id, O(N) — pairwise work bounded per cell. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", vecAsDouble(col("embedding")))
+      .withColumn("vn", call_function("graft_l2norm", col("v")))
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vn").as("cn"))
+    // nearest-centroid assignment (max cosine, ties → smaller cent_id)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        call_function("graft_dot", col("v"), col("cv")) / (col("vn") * col("cn")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("vn"), col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"), col("cell"))
+    val cand = assigned.select(col("vec_id"), col("v"), col("vn"), col("cell").as("ccell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    broadcast(q)
+      .join(cand, col("cell") === col("ccell") && col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw",
+        call_function("graft_dot", col("qv"), col("v")) / (col("qn") * col("vn")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ivfTopKSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv, vn AS cn FROM emb WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, vn, cell FROM (
+       |    SELECT e.vec_id, e.v, e.vn, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |    FROM emb e CROSS JOIN cents c)
+       |  WHERE arn = 1)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         round(${dotSql("q.v", "c.v")} / (q.vn * c.vn), 6) AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${dotSql("q.v", "c.v")} / (q.vn * c.vn) DESC, c.vec_id) AS BIGINT) AS rank
+       |  FROM (SELECT * FROM assigned WHERE vec_id < $nQueries) q
+       |  JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_topk" -> (ivfTopK _),
     "sim_topk_bruteforce" -> (bruteForceTopK _),
     "sim_topk_native" -> (bruteForceTopKNative _),
     "sim_lsh_buckets" -> (lshBuckets _),
@@ -236,6 +301,7 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "sim_ivf_topk" -> ivfTopKSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_topk_native" -> bruteForceTopKSql,
     "sim_lsh_buckets" -> lshBucketsSql,
