@@ -128,7 +128,65 @@ object Extras {
       |       CAST(r_regionkey AS VARCHAR) || ',' || CAST(r_regionkey * 10 AS VARCHAR) AS flat_str
       |FROM region ORDER BY regionkey""".stripMargin
 
+  /** Bitwise family over integer keys. */
+  def bitwiseFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("linenumber"),
+      expr("l_orderkey & 255").as("low_byte"),
+      expr("l_orderkey | 4096").as("with_flag"),
+      expr("shiftleft(l_linenumber, 4)").cast("long").as("shl4"),
+      expr("shiftright(l_orderkey, 2)").as("shr2"),
+      expr("l_orderkey ^ 21845").as("xored"))
+      .orderBy(col("l_orderkey"), col("linenumber"))
+
+  val bitwiseFnsSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+      |       l_orderkey & 255 AS low_byte,
+      |       l_orderkey | 4096 AS with_flag,
+      |       CAST(l_linenumber << 4 AS BIGINT) AS shl4,
+      |       l_orderkey >> 2 AS shr2,
+      |       xor(l_orderkey, 21845) AS xored
+      |FROM lineitem ORDER BY l_orderkey, linenumber""".stripMargin
+
+  /** Misc scalar family: greatest/least, sign, trig-adjacent constants. */
+  def miscFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir).select(
+      col("s_suppkey"),
+      round(greatest(col("s_acctbal"), lit(0.0)), 2).as("bal_pos"),
+      round(least(col("s_acctbal"), lit(1000.0)), 2).as("bal_capped"),
+      signum(col("s_acctbal")).cast("long").as("bal_sign"),
+      round(degrees(lit(1.0)), 6).as("one_rad_deg"),
+      round(radians(lit(180.0)), 6).as("pi_ish"))
+      .orderBy(col("s_suppkey"))
+
+  val miscFnsSql: String =
+    """SELECT s_suppkey,
+      |       round(greatest(s_acctbal, 0.0), 2) AS bal_pos,
+      |       round(least(s_acctbal, 1000.0), 2) AS bal_capped,
+      |       CAST(sign(s_acctbal) AS BIGINT) AS bal_sign,
+      |       round(degrees(1.0), 6) AS one_rad_deg,
+      |       round(radians(180.0), 6) AS pi_ish
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** stack() generator: unpivot wide columns into rows. */
+  def stackUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        expr("stack(2, 'brand', p_brand, 'type', p_type) AS (attr, val)"))
+      .select(col("p_partkey"), col("attr"), col("val"))
+      .orderBy(col("p_partkey"), col("attr"))
+
+  val stackUnpivotSql: String =
+    """SELECT p_partkey, attr, val FROM (
+      |  SELECT p_partkey, 'brand' AS attr, p_brand AS val FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'type', p_type FROM part)
+      |ORDER BY p_partkey, attr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_bitwise" -> (bitwiseFns _),
+    "fn_misc" -> (miscFns _),
+    "gen_stack" -> (stackUnpivot _),
     "agg_stats" -> (statsAgg _),
     "fn_string2" -> (stringFns2 _),
     "fn_date2" -> (dateFns2 _),
@@ -137,6 +195,9 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_bitwise" -> bitwiseFnsSql,
+    "fn_misc" -> miscFnsSql,
+    "gen_stack" -> stackUnpivotSql,
     "agg_stats" -> statsAggSql,
     "fn_string2" -> stringFns2Sql,
     "fn_date2" -> dateFns2Sql,
