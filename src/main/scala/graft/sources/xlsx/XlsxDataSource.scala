@@ -65,26 +65,44 @@ class XlsxTable(tableSchema: StructType, paths: Seq[String]) extends Table with 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
-        override def toBatch: Batch = new XlsxBatch(tableSchema, paths)
-      }
-    }
+    new XlsxScanBuilder(tableSchema, paths)
+}
+
+/** Column pruning: Catalyst pushes the required columns down
+  * (SupportsPushDownRequiredColumns), and the reader materializes only
+  * those cells — a projection of 2 of 40 spreadsheet columns reads 2. */
+class XlsxScanBuilder(fullSchema: StructType, paths: Seq[String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve the file's column order; keep only requested fields
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = new XlsxBatch(fullSchema, required, paths)
+  }
 }
 
 case class XlsxInputPartition(path: String) extends InputPartition
 
-class XlsxBatch(schema: StructType, paths: Seq[String]) extends Batch {
+class XlsxBatch(fullSchema: StructType, required: StructType, paths: Seq[String]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(XlsxInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(schema)
+    new XlsxReaderFactory(fullSchema, required)
 }
 
-class XlsxReaderFactory(schema: StructType) extends PartitionReaderFactory {
+class XlsxReaderFactory(fullSchema: StructType, required: StructType)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsxInputPartition].path
+    // cell ordinal in the file for each required output column
+    val ordinals = required.fieldNames.map(n => fullSchema.fieldIndex(n))
     new PartitionReader[InternalRow] {
       private val rows = XlsxParser.parse(path).drop(1).iterator // drop header
       private var current: Seq[String] = _
@@ -92,7 +110,7 @@ class XlsxReaderFactory(schema: StructType) extends PartitionReaderFactory {
         if (rows.hasNext) { current = rows.next(); true } else false
       }
       override def get(): InternalRow = {
-        val vals = (0 until schema.length).map { i =>
+        val vals = ordinals.toSeq.map { i =>
           if (i < current.length && current(i) != null) UTF8String.fromString(current(i))
           else null
         }

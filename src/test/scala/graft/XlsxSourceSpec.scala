@@ -50,6 +50,19 @@ class XlsxSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "2"))
   }
 
+  test("column pruning reaches the xlsx scan (projection reads only requested columns)") {
+    val path = tmp("prune.xlsx")
+    XlsxParser.write(path, Seq("a", "b", "c"),
+      Seq(Seq("1", "x", "p"), Seq("2", "y", "q")))
+    val df = spark.read.format("xlsx").load(path).select("b")
+    // the scan's ReadSchema must contain only the projected column
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("b#") && !scanLine.contains("a#") && !scanLine.contains("c#"),
+      scanLine)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("x", "y"))
+  }
+
   test("shared-strings workbooks parse too (t=\"s\" indirection)") {
     // hand-build a workbook that uses the sharedStrings table
     val path = tmp("shared.xlsx")
