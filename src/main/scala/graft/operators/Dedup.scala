@@ -126,26 +126,44 @@ object Dedup {
        |GROUP BY simhash ORDER BY simhash""".stripMargin
   }
 
-  /** N-gram Jaccard near-dup: candidate pairs are generated only within
-    * (lang, source) blocks — the blocking join that keeps the pair count
-    * bounded at scale — then scored with exact token-set Jaccard. */
+  /** N-gram Jaccard near-dup: candidate pairs are generated from the
+    * MinHash LSH band signatures (docs sharing ≥1 of the `bands` band
+    * minima), then scored with exact token-set Jaccard. This is the
+    * standard LSH candidate-generation + exact-verification pipeline:
+    * candidate generation is an equi self-join on (band_idx, band_min)
+    * — one O(N) shuffle, pairwise work bounded per band bucket — so
+    * the plan stays linear at 100 TB where any low-cardinality
+    * attribute blocking (e.g. language) degenerates to a quadratic
+    * whole-corpus block. Token arrays are NOT carried through the
+    * candidate join: pairs are generated id-only, deduped, and only
+    * then joined back to the token sets for exact scoring. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(split(col("text"), " ")).as("toks"))
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
       .withColumn("n_toks", size(col("toks")))
-    val a = docs.select(col("lang"), col("source"),
-      col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("n_toks").as("na"))
-    val b = docs.select(col("lang").as("lang_b"), col("source").as("source_b"),
-      col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("n_toks").as("nb"))
-    // size-ratio prune inside the join condition: jac ≥ 0.5 needs
-    // |A∩B| ≥ (|A|+|B|)/3 and |A∩B| ≤ min, hence 2·min ≥ max — pairs
-    // failing this cheap integer check skip the array_intersect
-    // entirely. Pure optimization: removed pairs can't pass the final
-    // jac ≥ 0.5 filter, so the oracle is unchanged.
-    a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b") &&
-        col("doc_a") < col("doc_b") &&
-        lit(2) * least(col("na"), col("nb")) >= greatest(col("na"), col("nb")))
+    // band rows: (doc_id, band_idx, band_min) — the 4 chunk minima of
+    // the one-pass minhash signature, exploded to one row per band
+    val bandRows = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(graft.api.Graft.minhashSignature(col("text"), 3, bands), ":")))
+      .toDF("doc_id", "band_idx", "band_min")
+    val cand = bandRows.alias("x")
+      .join(bandRows.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_min") === col("y.band_min") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("n_toks").as("na"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("n_toks").as("nb"))
+    // size-ratio prune: jac ≥ 0.5 needs |A∩B| ≥ (|A|+|B|)/3 and
+    // |A∩B| ≤ min, hence 2·min ≥ max — pairs failing this cheap
+    // integer check skip the array_intersect entirely. Pure
+    // optimization: removed pairs can't pass the final jac ≥ 0.5
+    // filter, so the oracle is unchanged.
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .filter(lit(2) * least(col("na"), col("nb")) >= greatest(col("na"), col("nb")))
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
       // filter on the UNROUNDED jaccard (matching the prune's algebra
       // exactly); rounding happens only at the output edge
@@ -155,17 +173,32 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val ngramJaccardSql: String =
-    """SELECT doc_a, doc_b, round(jac_raw, 4) AS jac
-      |FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-      |               (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac_raw
-      |  FROM (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
-      |  JOIN (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
-      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-      |WHERE jac_raw >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+  val ngramJaccardSql: String = {
+    val bandList = (0 until bands).map(b => b.toString).mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+       |mh AS (
+       |  SELECT doc_id, list_transform(sh, s -> md5(s)) AS mh
+       |  FROM (SELECT doc_id, text, $shinglesSqlFragment AS sh
+       |        FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))),
+       |bandrows AS (
+       |  SELECT doc_id, b,
+       |         list_min(list_transform(mh, h -> substring(h, 8*b + 1, 8))) AS bmin
+       |  FROM mh CROSS JOIN (SELECT unnest([$bandList]) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bandrows x JOIN bandrows y
+       |    ON x.b = y.b AND x.bmin = y.bmin AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, round(jac_raw, 4) AS jac
+       |FROM (
+       |  SELECT doc_a, doc_b,
+       |         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |               (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac_raw
+       |  FROM cand JOIN docs a ON cand.doc_a = a.doc_id
+       |            JOIN docs b ON cand.doc_b = b.doc_id)
+       |WHERE jac_raw >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),

@@ -94,6 +94,28 @@ object Joins {
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Right outer — the mirror of [[leftOuterOrders]]: orders RIGHT
+    * JOIN customer preserves every customer row (order-less customers
+    * surface with null order keys). Exercises the one §2.3 equi-join
+    * type not otherwise covered. */
+  def rightOuterOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .groupBy(c("c_nationkey").cast("long").as("nationkey"))
+      .agg(
+        count(o("o_orderkey")).as("order_cnt"),
+        count(lit(1)).as("row_cnt"))
+      .orderBy(col("nationkey"))
+  }
+
+  val rightOuterOrdersSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |       count(o_orderkey) AS order_cnt,
+      |       count(*) AS row_cnt
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Left-semi: customers that have at least one order, per segment. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -304,6 +326,7 @@ object Joins {
     "join_revenue_by_segment" -> (revenueBySegment _),
     "join_revenue_by_nation" -> (revenueByNation _),
     "join_left_outer" -> (leftOuterOrders _),
+    "join_right_outer" -> (rightOuterOrders _),
     "join_semi" -> (semiJoin _),
     "join_anti" -> (antiJoin _),
     "join_full_outer" -> (fullOuterNation _),
@@ -318,6 +341,7 @@ object Joins {
     "join_revenue_by_segment" -> revenueBySegmentSql,
     "join_revenue_by_nation" -> revenueByNationSql,
     "join_left_outer" -> leftOuterOrdersSql,
+    "join_right_outer" -> rightOuterOrdersSql,
     "join_semi" -> semiJoinSql,
     "join_anti" -> antiJoinSql,
     "join_full_outer" -> fullOuterNationSql,

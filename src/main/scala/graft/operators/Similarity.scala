@@ -227,31 +227,47 @@ object Similarity {
        |WHERE cos_raw >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Fixed centroid count — independent of corpus size, so the
+    * assignment stage is O(N·k), never O(N²). At real scale these
+    * would be k-means centroids computed on a sample; here the first
+    * k vectors by id serve as a deterministic, oracle-reproducible
+    * stand-in (the cell geometry differs from k-means, the plan shape
+    * — broadcast centroids + cell equi join — is identical). */
+  private val ivfK = 16
+
+  /** Queries probe their `ivfNprobe` nearest cells (standard IVF
+    * recall knob): candidates still live in exactly one cell, so the
+    * probe join stays an equi join with no duplicate candidates. */
+  private val ivfNprobe = 2
+
   /** IVF (inverted-file) ANN — the coarse-quantization scale path
-    * alongside LSH: every 50th vector serves as a deterministic
-    * centroid (at real scale: k-means centroids); vectors are assigned
-    * to their nearest centroid (broadcast centroids — the small side
-    * never shuffles); queries probe only their own cell (nprobe=1) and
-    * score exact cosine within it. Shuffle cost: one equi join on the
-    * cell id, O(N) — pairwise work bounded per cell. */
+    * alongside LSH: a FIXED set of k deterministic centroids (at real
+    * scale: k-means centroids; k does not grow with N); vectors are
+    * assigned to their nearest centroid (broadcast centroids — the
+    * small side never shuffles, assignment is O(N·k)); queries probe
+    * their nprobe=2 nearest cells and score exact cosine within them.
+    * Shuffle cost: one equi join on the cell id, O(N) — pairwise work
+    * bounded per cell. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", vecAsDouble(col("embedding")))
       .withColumn("vn", call_function("graft_l2norm", col("v")))
-    val cents = emb.filter(col("vec_id") % 50 === 0)
+    val cents = emb.filter(col("vec_id") < ivfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vn").as("cn"))
-    // nearest-centroid assignment (max cosine, ties → smaller cent_id)
+    // nearest-centroid ranking (max cosine, ties → smaller cent_id)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
+    val ranked = emb.crossJoin(broadcast(cents))
       .withColumn("c_cos",
         call_function("graft_dot", col("v"), col("cv")) / (col("vn") * col("cn")))
       .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
+    val assigned = ranked.filter(col("arn") === 1)
       .select(col("vec_id"), col("v"), col("vn"), col("cent_id").as("cell"))
-    val q = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"), col("cell"))
+    // query side probes its nprobe nearest cells (one row per probe)
+    val q = ranked.filter(col("vec_id") < nQueries && col("arn") <= ivfNprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"),
+        col("cent_id").as("cell"))
     val cand = assigned.select(col("vec_id"), col("v"), col("vn"), col("cell").as("ccell"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
@@ -272,22 +288,25 @@ object Similarity {
        |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
        |  FROM embeddings),
        |cents AS (
-       |  SELECT vec_id AS cent_id, v AS cv, vn AS cn FROM emb WHERE vec_id % 50 = 0),
+       |  SELECT vec_id AS cent_id, v AS cv, vn AS cn FROM emb WHERE vec_id < $ivfK),
+       |ranked AS (
+       |  SELECT e.vec_id, e.v, e.vn, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM emb e CROSS JOIN cents c),
        |assigned AS (
-       |  SELECT vec_id, v, vn, cell FROM (
-       |    SELECT e.vec_id, e.v, e.vn, c.cent_id AS cell,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
-       |    FROM emb e CROSS JOIN cents c)
-       |  WHERE arn = 1)
+       |  SELECT vec_id, v, vn, cell FROM ranked WHERE arn = 1),
+       |qprobes AS (
+       |  SELECT vec_id AS query_id, v AS qv, vn AS qn, cell
+       |  FROM ranked WHERE vec_id < $nQueries AND arn <= $ivfNprobe)
        |SELECT query_id, rank, neighbor_id, cosine
        |FROM (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |         round(${dotSql("q.v", "c.v")} / (q.vn * c.vn), 6) AS cosine,
-       |         CAST(row_number() OVER (PARTITION BY q.vec_id
-       |           ORDER BY ${dotSql("q.v", "c.v")} / (q.vn * c.vn) DESC, c.vec_id) AS BIGINT) AS rank
-       |  FROM (SELECT * FROM assigned WHERE vec_id < $nQueries) q
-       |  JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         round(${dotSql("q.qv", "c.v")} / (q.qn * c.vn), 6) AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY ${dotSql("q.qv", "c.v")} / (q.qn * c.vn) DESC, c.vec_id) AS BIGINT) AS rank
+       |  FROM qprobes q
+       |  JOIN assigned c ON q.cell = c.cell AND q.query_id <> c.vec_id)
        |WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
 
