@@ -226,10 +226,18 @@ object Joins {
       |  AND epoch_ns(f.ts) <= epoch_ns(err.ts) + 3600000000000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** As-of join: each event matched to the same user's latest order
-    * at-or-before the event time. Spark lacks a native ASOF join; the
-    * scalable pattern is equi-join on the key + window argmax, which
-    * shuffles once on the key instead of nested-looping on time. */
+  /** As-of join, CORRECTNESS-BASELINE formulation (equi-join on the
+    * key + window argmax): each event matched to the same user's
+    * latest order at-or-before the event time.
+    *
+    * NOT the pattern to copy at scale — it materializes every
+    * (event, earlier-order) pair before the rank-1 filter, so the
+    * intermediate grows with per-key history depth. It exists to pin
+    * the semantics three ways against one oracle. The production
+    * route is [[asofJoinPlan]] (custom AsofJoinExec, O(n+m)
+    * streaming merge per key — see graft.plans.AsofJoin and the
+    * AsofPlanSpec deep-history skew case); [[asofJoinMerge]] is the
+    * typed-cogroup middle road. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val o = Tables.orders(spark, dir)

@@ -113,8 +113,32 @@ object Sources {
 
   val xlsxRoundtripSql: String = csvRoundtripSql // same shape, computed from parquet
 
+  /** XLSX write-back through the DSv2 BATCH_WRITE path:
+    * `df.write.format("xlsx")` (distributed part-file write, 2 tasks)
+    * then `spark.read.format("xlsx")` over the output directory — the
+    * full both-directions DataSource V2 surface. Same oracle as the
+    * other nation⋈region rollups: fidelity proven by hash equality
+    * against the original parquet. */
+  def xlsxWriteback(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("nation_xlsx_v2")
+    Tables.nation(spark, dir)
+      .repartition(2, col("n_nationkey"))
+      .write.format("xlsx").mode("overwrite").save(out)
+    val n = spark.read.format("xlsx").load(out)
+      .select(col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_nation"))
+      .orderBy(col("r_name"))
+  }
+
+  val xlsxWritebackSql: String = csvRoundtripSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_xlsx_roundtrip" -> (xlsxRoundtrip _),
+    "src_xlsx_writeback" -> (xlsxWriteback _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_json_roundtrip" -> (jsonRoundtrip _),
     "src_partitioned_sink" -> (partitionedSink _)
@@ -122,6 +146,7 @@ object Sources {
 
   def oracle: Map[String, String] = Map(
     "src_xlsx_roundtrip" -> xlsxRoundtripSql,
+    "src_xlsx_writeback" -> xlsxWritebackSql,
     "src_csv_roundtrip" -> csvRoundtripSql,
     "src_json_roundtrip" -> jsonRoundtripSql,
     "src_partitioned_sink" -> partitionedSinkSql

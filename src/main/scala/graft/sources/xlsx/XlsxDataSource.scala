@@ -2,11 +2,12 @@ package graft.sources.xlsx
 
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -45,8 +46,11 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val ps = paths(options)
-    require(ps.nonEmpty, "xlsx source requires a path")
+    val ps = XlsxPaths.expand(paths(options))
+    // no readable workbook yet: a write-only target (fresh directory).
+    // The write path takes its schema from LogicalWriteInfo and the
+    // table declares ACCEPT_ANY_SCHEMA, so empty is correct here.
+    if (ps.isEmpty) return new StructType()
     val header = XlsxParser.parse(ps.head).headOption.getOrElse(Seq.empty)
     StructType(header.zipWithIndex.map { case (name, i) =>
       StructField(if (name == null || name.isEmpty) s"_c$i" else name, StringType)
@@ -59,13 +63,106 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
       paths(new CaseInsensitiveStringMap(properties)))
 }
 
-class XlsxTable(tableSchema: StructType, paths: Seq[String]) extends Table with SupportsRead {
+/** File/directory resolution shared by the read and write paths: a
+  * directory expands to its `*.xlsx` children (the layout the V2
+  * writer produces — one part workbook per task, like any Spark file
+  * sink), a file stands for itself, a missing path contributes
+  * nothing (write-only target). */
+object XlsxPaths {
+  def expand(paths: Seq[String]): Seq[String] = paths.flatMap { p =>
+    val f = new java.io.File(p)
+    if (f.isDirectory)
+      f.listFiles().filter(_.getName.endsWith(".xlsx")).map(_.getPath).sorted.toSeq
+    else if (f.exists()) Seq(p)
+    else Seq.empty
+  }
+}
+
+class XlsxTable(tableSchema: StructType, paths: Seq[String])
+  extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"xlsx(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XlsxScanBuilder(tableSchema, paths)
+    new XlsxScanBuilder(tableSchema, XlsxPaths.expand(paths))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1, s"xlsx write requires exactly one target path, got: $paths")
+    new XlsxWriteBuilder(paths.head, info)
+  }
+}
+
+/** DSv2 batch write: `df.write.format("xlsx").save(dir)`. Each task
+  * buffers its partition and emits one part workbook (spreadsheets are
+  * a small-file format — part-file parallelism is the scale dimension,
+  * exactly like the reference's one-file-per-event model). Task
+  * attempts write temp files; the driver commit renames one winner per
+  * partition and deletes losers, so retries never double-publish. */
+class XlsxWriteBuilder(path: String, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new XlsxBatchWrite(path, info.schema(), doTruncate)
+  }
+}
+
+case class XlsxCommitMessage(partitionId: Int, tmpPath: String) extends WriterCommitMessage
+
+class XlsxBatchWrite(dir: String, schema: StructType, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    if (truncate)
+      d.listFiles().filter(_.getName.endsWith(".xlsx")).foreach(_.delete())
+    XlsxWriterFactory(dir, schema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: XlsxCommitMessage => m }
+      .groupBy(_.partitionId).foreach { case (pid, ms) =>
+        val winner = ms.head
+        if (!new java.io.File(winner.tmpPath).renameTo(new java.io.File(dir, f"part-$pid%05d.xlsx")))
+          throw new java.io.IOException(s"xlsx commit: rename failed for ${winner.tmpPath}")
+        ms.tail.foreach(m => new java.io.File(m.tmpPath).delete())
+      }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: XlsxCommitMessage => m }
+      .foreach(m => new java.io.File(m.tmpPath).delete())
+}
+
+case class XlsxWriterFactory(dir: String, schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new XlsxDataWriter(dir, schema, partitionId, taskId)
+}
+
+class XlsxDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+  override def write(row: InternalRow): Unit =
+    buf += schema.fields.indices.map { i =>
+      if (row.isNullAt(i)) null
+      else schema.fields(i).dataType match {
+        case StringType => row.getUTF8String(i).toString
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case ShortType => row.getShort(i).toString
+        case ByteType => row.getByte(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case FloatType => row.getFloat(i).toString
+        case BooleanType => row.getBoolean(i).toString
+        case dt: DecimalType => row.getDecimal(i, dt.precision, dt.scale).toString
+        case other => throw new UnsupportedOperationException(
+          s"xlsx write: unsupported type $other — cast the column to string first")
+      }
+    }
+  override def commit(): WriterCommitMessage = {
+    val tmp = new java.io.File(dir, s".part-$partitionId-$taskId.xlsx.tmp")
+    XlsxParser.write(tmp.getPath, schema.fieldNames.toSeq, buf.toSeq)
+    XlsxCommitMessage(partitionId, tmp.getPath)
+  }
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 /** Column pruning: Catalyst pushes the required columns down

@@ -58,6 +58,27 @@ class AsofPlanSpec extends SparkSpec {
     assert(a === c)
   }
 
+  test("deep-history skew: 100k-row key stays O(n+m) in the merge exec") {
+    // the shape that kills the join+window formulation: one key whose
+    // right-side history is deep. The pair-materializing baseline
+    // would build |left_rows_at_key| x |history| rows before its
+    // rank-1 filter; AsofJoinExec walks each side once per key.
+    val left = Seq((1L, 1L, 1000000L), (2L, 1L, 5L), (3L, 2L, 100L)).toDF("id", "key", "t")
+    val deep = spark.range(0, 100000)
+      .select(lit(1L).as("rkey"), (col("id") * 10).as("rt"), col("id").as("rid"))
+      .union(Seq((2L, 50L, 7L)).toDF("rkey", "rt", "rid"))
+    val df = AsofJoin.asofJoin(spark, left, deep,
+      "key", "t", "rkey", "rt", "rid", Seq("rid", "rt"))
+    val out = df.select("id", "rid", "rt").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((99999L, 999990L)), // latest rt <= 1,000,000
+      2L -> ((0L, 0L)),          // only rt=0 qualifies at t=5
+      3L -> ((7L, 50L))))
+    // and it really ran through the streaming-merge exec
+    assert(df.queryExecution.executedPlan.toString.contains("AsofJoin"))
+  }
+
   test("empty right side yields empty result, not an error") {
     val empty = rightDf.filter(col("rkey") < 0)
     val out = AsofJoin.asofJoin(spark, leftDf, empty,

@@ -44,15 +44,20 @@ class OperatorsSpec extends SparkSpec {
     assert(rolled === Tables.lineitem(spark, sf).count())
   }
 
-  test("approx_count_distinct within 5% of exact") {
-    val rows = Aggregations.approxDistinct(spark, sf).collect()
-    val exact = Tables.events(spark, sf)
+  test("approx_count_distinct within 3x configured rsd of exact (sf0.01)") {
+    // the one oracle-less query: bound the HLL estimate quantitatively
+    // at the driver's correctness scale. rsd=0.01 is the relative
+    // STANDARD DEVIATION of the sketch, so 3x is the sane hard bound.
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Aggregations.approxDistinct(spark, sf01).collect()
+    val exact = Tables.events(spark, sf01)
       .groupBy("event_type").agg(countDistinct("user_id").as("e"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
     rows.foreach { r =>
       val t = r.getAs[String]("event_type")
       val approx = r.getAs[Long]("approx_users")
-      assert(math.abs(approx - exact(t)).toDouble / exact(t) <= 0.05,
+      assert(math.abs(approx - exact(t)).toDouble / exact(t) <= 3 * 0.01,
         s"$t: approx $approx vs exact ${exact(t)}")
     }
   }

@@ -84,6 +84,47 @@ class ScaleSpec extends SparkSpec {
       q.queryExecution.executedPlan.toString)
   }
 
+  test("AQE splits the skewed partition of a skewed join (skew=true)") {
+    // synthetic hot key: one join key carries 50k rows while the rest
+    // carry ~50 each — the shape where a plain SMJ stalls on one
+    // straggler task at 100 TB. AQE's OptimizeSkewedJoin must split
+    // the hot partition into advisory-sized chunks.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // force a shuffle join on both the static and adaptive planner
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val hot = spark.range(0, 50000).select(lit(7L).as("k"), col("id").as("payload"))
+      val cold = spark.range(0, 5000).select((col("id") % 100 + 100).as("k"), col("id").as("payload"))
+      val right = spark.range(0, 300).select(col("id").as("rk"), (col("id") * 2).as("rv"))
+      val j = hot.union(cold).join(right, col("k") === col("rk"))
+      val rows = j.collect()
+      // correctness first: the hot key joins in full, cold keys too
+      assert(rows.length === 55000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected AQE to mark the join skew-split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("broadcast hint produces a BroadcastHashJoin for dim tables") {
     val l = Tables.lineitem(spark, sf)
     val s = Tables.supplier(spark, sf)

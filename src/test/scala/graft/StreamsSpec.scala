@@ -158,6 +158,70 @@ class StreamsSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 2L)))
   }
 
+  test("watermarked aggregation recovers checkpointed state across restart (exactly-once)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft_ckpt_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val evCols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    // (win_start, event_type) -> cnt, tagged with batchId so later
+    // emissions supersede earlier ones when reconciling update mode
+    def runOnce(buf: scala.collection.mutable.ArrayBuffer[((String, String), Long, Long)]) = {
+      val schema = spark.read.parquet(s"$in/drop1").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$in/*")
+      val q = stream.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").cast("string").as("win_start"),
+          col("event_type"), col("cnt"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          batch.collect().foreach { r =>
+            buf += (((r.getString(0), r.getString(1)), r.getLong(2), batchId))
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q
+    }
+    Seq(
+      (1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0),
+      (3L, ts("2024-01-01 01:10:00"), 2L, "view", 3.0))
+      .toDF(evCols: _*).write.parquet(s"$in/drop1")
+    val run1 = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long, Long)]
+    runOnce(run1)
+    assert(run1.exists { case (k, cnt, _) => k == (("2024-01-01 00:00:00", "click")) && cnt == 2L })
+    // files land AFTER the first query stopped; the restart must resume
+    // from the checkpoint, not reprocess drop1
+    Seq(
+      (4L, ts("2024-01-01 00:40:00"), 1L, "click", 1.0),
+      (5L, ts("2024-01-01 01:50:00"), 2L, "view", 1.0))
+      .toDF(evCols: _*).write.parquet(s"$in/drop2")
+    val run2 = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long, Long)]
+    val q2 = runOnce(run2)
+    // only drop2's 2 rows were read in run 2 — drop1 is checkpointed as
+    // processed (file-source exactly-once input tracking)
+    assert(q2.recentProgress.map(_.numInputRows).sum === 2L)
+    // the hour-0 click count CONTINUES from recovered state: 2 + 1 = 3
+    // (a state-loss restart that read only drop2 would emit 1)
+    assert(run2.exists { case (k, cnt, _) => k == (("2024-01-01 00:00:00", "click")) && cnt == 3L })
+    // reconcile: last emission per key across both runs equals the
+    // batch twin over the full input — exactly-once end to end
+    val finalCounts = (run1.map { case (k, c, b) => (k, c, (0L, b)) } ++
+      run2.map { case (k, c, b) => (k, c, (1L, b)) })
+      .groupBy(_._1).map { case (k, emits) => k -> emits.maxBy(_._3)._2 }
+    val twin = spark.read.parquet(s"$in/*")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("string"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(finalCounts === twin)
+  }
+
   test("file-arrival stream ingests parquet drops incrementally (reference S1 analog)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString

@@ -63,6 +63,36 @@ class XlsxSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("x", "y"))
   }
 
+  test("DSv2 write path: df.write.format(\"xlsx\") to a fresh directory, read back") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_w").toString + "/out"
+    Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, null, 3.5))
+      .toDF("id", "name", "score")
+      .repartition(2)
+      .write.format("xlsx").mode("append").save(dir)
+    // one part workbook per partition
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx"))
+    assert(parts.length === 2)
+    assert(parts.forall(_.getName.startsWith("part-")))
+    val back = spark.read.format("xlsx").load(dir)
+    assert(back.columns.toSeq === Seq("id", "name", "score"))
+    val rows = back.orderBy(col("id").cast("long")).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("1", "2", "3"))
+    assert(rows.map(_.getString(2)).toSeq === Seq("1.5", "2.5", "3.5"))
+    assert(rows(2).isNullAt(1)) // null cell round-trips as null
+  }
+
+  test("DSv2 write path: overwrite truncates previous part files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_o").toString + "/out"
+    Seq(("old", 1L)).toDF("tag", "v").coalesce(1)
+      .write.format("xlsx").mode("append").save(dir)
+    Seq(("new", 2L), ("new2", 3L)).toDF("tag", "v").coalesce(1)
+      .write.format("xlsx").mode("overwrite").save(dir)
+    val back = spark.read.format("xlsx").load(dir)
+    assert(back.select("tag").collect().map(_.getString(0)).sorted.toSeq === Seq("new", "new2"))
+  }
+
   test("shared-strings workbooks parse too (t=\"s\" indirection)") {
     // hand-build a workbook that uses the sharedStrings table
     val path = tmp("shared.xlsx")
