@@ -32,6 +32,7 @@ object SparkEntry {
       CustomAggs.queries ++
       Extras.queries ++
       Dedup.queries ++
+      CorpusOps.queries ++
       Similarity.queries ++
       TextAnalysis.queries ++
       Multimodal.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       CustomAggs.oracle ++
       Extras.oracle ++
       Dedup.oracle ++
+      CorpusOps.oracle ++
       Similarity.oracle ++
       TextAnalysis.oracle ++
       Multimodal.oracle ++

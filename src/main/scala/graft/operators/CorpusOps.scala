@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for LLM training-data pipelines —
+  * the steps between "deduplicated documents" and "training batches"
+  * (driver-mandated EXT alongside SURVEY.md §2.10's dedup/similarity
+  * families).
+  *
+  * All per-document metrics are single-pass expressions over the text
+  * column (no shuffle); the aggregating ops shuffle once on compact
+  * keys. Determinism rules: md5-based hashing only (engine-portable),
+  * integer arithmetic for bucket/bin math, rounding at the output
+  * edge — the whole family stays DuckDB-oracle-checkable.
+  */
+object CorpusOps {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  private def nToks(c: Column): Column = size(toks(c)).cast("long")
+
+  /** First 8 md5 hex chars of a doc id as a positive long — the
+    * deterministic "random" driver for splits and sampling. */
+  private def idHash(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
+
+  private def idHashSql(c: String): String =
+    s"('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 8))::BIGINT"
+
+  /** Repetition metrics (the Gopher-rule family): duplicate-token and
+    * duplicate-bigram ratios per document, plus the repetitive flag a
+    * quality-filter stage would drop on. Pure per-row expressions —
+    * at 100 TB this is a map-only pass. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t)
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(0), n - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array())
+    val dupTok = lit(1.0) - size(array_distinct(t)).cast("double") / n
+    val dupBi = when(n >= 2,
+      lit(1.0) - size(array_distinct(bigrams)).cast("double") / (n - 1))
+      .otherwise(lit(0.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(dupTok, 4).as("dup_tok_ratio"),
+        round(dupBi, 4).as("dup_bigram_ratio"),
+        (dupTok > 0.4 || dupBi > 0.25).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    """SELECT doc_id,
+      |       round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS dup_tok_ratio,
+      |       round(CASE WHEN len(t) >= 2
+      |                  THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / (len(t) - 1)
+      |                  ELSE 0.0 END, 4) AS dup_bigram_ratio,
+      |       ((1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) > 0.4 OR
+      |        (CASE WHEN len(t) >= 2
+      |              THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / (len(t) - 1)
+      |              ELSE 0.0 END) > 0.25) AS repetitive
+      |FROM (
+      |  SELECT doc_id, t,
+      |         CASE WHEN len(t) >= 2
+      |              THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+      |              ELSE [] END AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic train/val/test split: md5(doc_id) mod 100 →
+    * 80/10/10. Hash-based splits are how 100 TB corpora are split in
+    * practice — no global sort, no sampling state, reproducible from
+    * the id alone. */
+  def splitHash(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = idHash(col("doc_id")) % 100
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(nToks(col("text"))).as("n_tokens"))
+      .orderBy(col("split"))
+  }
+
+  val splitHashSql: String =
+    s"""SELECT split, count(*) AS n_docs,
+       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT text,
+       |         CASE WHEN ${idHashSql("doc_id")} % 100 < 80 THEN 'train'
+       |              WHEN ${idHashSql("doc_id")} % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents)
+       |GROUP BY split ORDER BY split""".stripMargin
+
+  /** Stratified deterministic sampling: within each source, keep docs
+    * whose id-hash falls under p=25%. The per-stratum sampled count
+    * and realized fraction — the audit view of a corpus downsampling
+    * stage. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val sampled = (idHash(col("doc_id")) % 100) < 25
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(sampled, 1)).as("n_sampled"))
+      .withColumn("frac", round(col("n_sampled").cast("double") / col("n_docs"), 4))
+      .orderBy(col("source"))
+  }
+
+  val sampleStratifiedSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |       count(*) FILTER (WHERE ${idHashSql("doc_id")} % 100 < 25) AS n_sampled,
+       |       round(CAST(count(*) FILTER (WHERE ${idHashSql("doc_id")} % 100 < 25) AS DOUBLE)
+       |             / count(*), 4) AS frac
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Token-length histogram in 25-token buckets — the distribution a
+    * packing/truncation stage is tuned against. */
+  def tokenBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val n = nToks(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("bucket_lo", expr("CAST(size(split(text, ' ')) AS BIGINT) DIV 25") * 25)
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("bucket_lo"))
+  }
+
+  val tokenBucketsSql: String =
+    """SELECT CAST(len(string_split(text, ' ')) // 25 * 25 AS BIGINT) AS bucket_lo,
+      |       count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Concat-and-chunk sequence packing (the GPT-style pretraining
+    * layout): per language, documents are concatenated in doc_id
+    * order and cut into 512-token windows; a document's bin is where
+    * its first token lands. One window cumsum per language partition
+    * — no pairwise work, scales as a single sort-based window. */
+  def packGreedy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nToks(col("text")).as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("bin_id", expr("(cum - n) DIV 512"))
+      .groupBy(col("lang"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("bin_tokens"))
+      .orderBy(col("lang"), col("bin_id"))
+  }
+
+  val packGreedySql: String =
+    """SELECT lang, CAST((cum - n) // 512 AS BIGINT) AS bin_id,
+      |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS bin_tokens
+      |FROM (
+      |  SELECT lang, n,
+      |         sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM (SELECT doc_id, lang,
+      |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |        FROM documents))
+      |GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_repetition" -> (repetition _),
+    "corpus_split_hash" -> (splitHash _),
+    "corpus_sample_stratified" -> (sampleStratified _),
+    "corpus_token_buckets" -> (tokenBuckets _),
+    "corpus_pack_greedy" -> (packGreedy _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "corpus_repetition" -> repetitionSql,
+    "corpus_split_hash" -> splitHashSql,
+    "corpus_sample_stratified" -> sampleStratifiedSql,
+    "corpus_token_buckets" -> tokenBucketsSql,
+    "corpus_pack_greedy" -> packGreedySql
+  )
+}

@@ -133,8 +133,11 @@ object TextAnalysis {
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df derived FROM tf (a (doc_id, term) row exists iff the doc
+    // contains the term): same value as distinct-then-count, but the
+    // corpus is exploded once and the tf exchange is reused by AQE
+    // instead of a second explode + distinct shuffle
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf_raw").desc, col("term"))
     tf.join(broadcast(df), "term")

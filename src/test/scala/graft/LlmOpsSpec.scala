@@ -145,4 +145,47 @@ class LlmOpsSpec extends SparkSpec {
     val q = TextAnalysis.qualityScore(spark, sf)
     assert(q.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
   }
+
+  // ---------- corpus-preparation ops ----------
+
+  test("hash split partitions every document exactly once, ~80/10/10") {
+    val rows = graft.operators.CorpusOps.splitHash(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = rows.values.sum
+    assert(total === Tables.documents(spark, sf).count())
+    assert(rows.keySet === Set("train", "val", "test"))
+    // md5 is uniform; at 500 docs the 80% stratum stays within wide bounds
+    assert(rows("train").toDouble / total > 0.7 && rows("train").toDouble / total < 0.9)
+  }
+
+  test("stratified sample is deterministic and fraction-bounded") {
+    val a = graft.operators.CorpusOps.sampleStratified(spark, sf).collect()
+    val b = graft.operators.CorpusOps.sampleStratified(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq) // same hash -> same sample
+    a.foreach { r =>
+      val frac = r.getDouble(3)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1)) // sampled <= total per stratum
+    }
+  }
+
+  test("concat-chunk packing conserves tokens and fills bins in order") {
+    val bins = graft.operators.CorpusOps.packGreedy(spark, sf).collect()
+    val packed = bins.map(_.getLong(3)).sum
+    val total = Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    assert(packed === total) // every token lands in exactly one bin
+    // bin ids per lang are dense from 0 (concat order leaves no gaps)
+    bins.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ids === (0L until ids.length).toSeq)
+    }
+  }
+
+  test("repetition ratios are in [0,1] and zero for all-distinct docs") {
+    import spark.implicits._
+    val rep = graft.operators.CorpusOps.repetition(spark, sf)
+    assert(rep.filter(col("dup_tok_ratio") < 0 || col("dup_tok_ratio") > 1).count() === 0)
+    assert(rep.filter(col("dup_bigram_ratio") < 0 || col("dup_bigram_ratio") > 1).count() === 0)
+  }
 }
