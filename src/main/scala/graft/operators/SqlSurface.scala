@@ -98,6 +98,25 @@ object SqlSurface {
       |                AND o.o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): a key ladder walked
+    * from nation 0 in steps of 5, joined back to the dimension. The
+    * recursion is driver-bounded iteration over tiny frontiers — the
+    * standard shape for hierarchy/graph walks in SQL. */
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)("nation")
+    spark.sql(recursiveCteSql)
+  }
+
+  val recursiveCteSql: String =
+    """WITH RECURSIVE chain(k, depth) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  UNION ALL
+      |  SELECT k + 5, depth + 1 FROM chain WHERE k + 5 < 25
+      |)
+      |SELECT c.depth, n.n_name
+      |FROM chain c JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = c.k
+      |ORDER BY c.depth""".stripMargin
+
   /** Correlated scalar aggregate subquery in the projection. */
   def correlatedCount(spark: SparkSession, dir: String): DataFrame = {
     withViews(spark, dir)("nation", "supplier")
@@ -164,6 +183,7 @@ object SqlSurface {
     "sql_scalar_subquery" -> (scalarSubquery _),
     "sql_exists_subquery" -> (existsSubquery _),
     "sql_correlated_count" -> (correlatedCount _),
+    "sql_recursive_cte" -> (recursiveCte _),
     "sql_percentiles" -> (percentiles _),
     "fn_map" -> (mapFns _)
   )
@@ -174,6 +194,7 @@ object SqlSurface {
     "sql_scalar_subquery" -> scalarSubquerySql,
     "sql_exists_subquery" -> existsSubquerySql,
     "sql_correlated_count" -> correlatedCountSql,
+    "sql_recursive_cte" -> recursiveCteSql,
     "sql_percentiles" -> percentilesSql,
     "fn_map" -> mapFnsSql
   )

@@ -125,6 +125,44 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // when a shuffle join's build side carries a selective filter,
+    // InjectRuntimeFilter plants a bloom filter on the probe side so
+    // the fact scan drops non-joining rows BEFORE the shuffle — the
+    // row-level analog of partition pruning at 100 TB.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // default is 10GB — the test tables are tiny, so open the gate
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = j.head().getLong(0)
+      val plan = j.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("might_contain") || plan.contains("bloomfilter"),
+        s"expected a runtime bloom filter on the probe side:\n${j.queryExecution.executedPlan}")
+      // and it must not change the answer
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val n2 = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("cnt")).head().getLong(0)
+      assert(n === n2)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("broadcast hint produces a BroadcastHashJoin for dim tables") {
     val l = Tables.lineitem(spark, sf)
     val s = Tables.supplier(spark, sf)
