@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Graft {
 
+  /** The native expressions resolve through the session's function
+    * registry; register them idempotently against the active session
+    * whenever a facade method builds a Column that needs them — a
+    * caller should never have to know about registration order. */
+  private def ensureRegistered(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.VectorFunctions.register)
+
   // ---------- reference dataflow (object-notification filtering) ----------
 
   /** The reference's accept predicate (/root/reference/main.py:12):
@@ -52,7 +60,7 @@ object Graft {
     * k=3/bands=4 — requires [[register]]); the declarative
     * formulation below is the differential-test reference. */
   def minhashSignature(text: Column, k: Int = 3, bands: Int = 4): Column =
-    if (k == 3 && bands == 4) call_function("graft_minhash_sig", text)
+    if (k == 3 && bands == 4) { ensureRegistered(); call_function("graft_minhash_sig", text) }
     else minhashSignatureHof(text, k, bands)
 
   /** Declarative (built-ins only) minhash signature — reference
@@ -72,8 +80,10 @@ object Graft {
 
   /** 16-bit SimHash fingerprint over distinct tokens: native one-pass
     * vote fold (graft_simhash_fold — requires [[register]]). */
-  def simhash16(text: Column): Column =
+  def simhash16(text: Column): Column = {
+    ensureRegistered()
     call_function("graft_simhash_fold", tokenHashes16(text))
+  }
 
   /** HOF reference formulation of simhash16 (16 per-bit folds);
     * kept for differential testing against the native expression. */
@@ -113,10 +123,14 @@ object Graft {
     graft.functions.VectorFunctions.register(spark)
 
   /** Dot product of two array<double> columns (native expression). */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def dot(a: Column, b: Column): Column = {
+    ensureRegistered(); call_function("graft_dot", a, b)
+  }
 
   /** L2 norm of an array<double> column (native expression). */
-  def l2norm(v: Column): Column = call_function("graft_l2norm", v)
+  def l2norm(v: Column): Column = {
+    ensureRegistered(); call_function("graft_l2norm", v)
+  }
 
   /** Cosine similarity through the native expressions. */
   def cosine(a: Column, b: Column): Column =
@@ -124,7 +138,9 @@ object Graft {
 
   /** Random-hyperplane LSH bucket signature (8 sign bits, native
     * expression; deterministic planes). */
-  def lshBucket(v: Column): Column = call_function("graft_lsh_sig", v)
+  def lshBucket(v: Column): Column = {
+    ensureRegistered(); call_function("graft_lsh_sig", v)
+  }
 
   // ---------- DataFrame-level operators ----------
 
@@ -165,6 +181,53 @@ object Graft {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= kTop)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("__cos").as("cosine"))
+  }
+
+  // ---------- corpus-preparation operators ----------
+
+  /** First 8 md5 hex chars of an id as a positive long — the
+    * deterministic "random" driver for splits and sampling
+    * (engine-portable, reproducible from the id alone). */
+  def idHash(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic split label over an id column: buckets md5(id) mod
+    * 100 into named fractions, e.g. Seq("train" -> 80, "val" -> 10,
+    * "test" -> 10). Fractions must sum to 100. */
+  def splitLabel(id: Column, fractions: Seq[(String, Int)]): Column = {
+    require(fractions.map(_._2).sum == 100, "split fractions must sum to 100")
+    val bucket = idHash(id) % 100
+    val cumulative = fractions.scanLeft(0)(_ + _._2).tail
+    fractions.zip(cumulative).init
+      .foldRight(lit(fractions.last._1): Column) { case (((name, _), cum), rest) =>
+        when(bucket < cum, name).otherwise(rest)
+      }
+  }
+
+  /** Deterministic sampling predicate: keep rows whose id-hash falls
+    * under `percent` (0–100). Same id → same verdict, forever. */
+  def sampledBy(id: Column, percent: Int): Column =
+    (idHash(id) % 100) < percent
+
+  /** Duplicate-token ratio (1 − distinct/total) — the Gopher-style
+    * repetition signal; pure per-row expression. */
+  def dupTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    lit(1.0) - size(array_distinct(t)).cast("double") / size(t)
+  }
+
+  /** Concat-and-chunk packing bin: documents are concatenated in
+    * `order` within each `partition` value and cut into
+    * `tokensPerBin`-token windows; a row's bin is where its first
+    * token lands. One window cumsum — no pairwise work. */
+  def packBin(df: DataFrame, partitionCol: String, orderCol: String,
+              nTokensCol: String, tokensPerBin: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(nTokensCol)).over(w))
+      .withColumn("bin_id", ((col("__cum") - col(nTokensCol)) / tokensPerBin).cast("long"))
+      .drop("__cum")
   }
 
   /** LSH-bucketed approximate cosine top-k — the scale path: an equi

@@ -80,4 +80,54 @@ class GraftApiSpec extends SparkSpec {
     assert(r.getDouble(0) === 1.0)
     assert(r.getDouble(1) === 0.0)
   }
+
+  test("splitLabel covers every row with exactly the named labels") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+      .withColumn("split", Graft.splitLabel(col("id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 1000L)
+    assert(counts("train") > 700L && counts("train") < 900L)
+    // rejects fractions that don't partition
+    intercept[IllegalArgumentException] {
+      Graft.splitLabel(col("id"), Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("sampledBy is deterministic and consistent with splitLabel's hash") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val a = df.filter(Graft.sampledBy(col("id"), 25)).count()
+    val b = df.filter(Graft.sampledBy(col("id"), 25)).count()
+    assert(a === b)
+    assert(a > 150L && a < 350L) // uniform-ish at n=1000
+    // percent=100 keeps everything, 0 keeps nothing
+    assert(df.filter(Graft.sampledBy(col("id"), 100)).count() === 1000L)
+    assert(df.filter(Graft.sampledBy(col("id"), 0)).count() === 0L)
+  }
+
+  test("packBin assigns dense bins by running token count within a partition") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 300L),
+      ("de", 1L, 600L), ("de", 2L, 100L)).toDF("lang", "ord", "n")
+    val out = Graft.packBin(df, "lang", "ord", "n", 512).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // en: cum-starts 0,300,600 -> bins 0,0,1 ; de: 0,600 -> 0,1
+    assert(out === Map(
+      ("en", 1L) -> 0L, ("en", 2L) -> 0L, ("en", 3L) -> 1L,
+      ("de", 1L) -> 0L, ("de", 2L) -> 1L))
+  }
+
+  test("dupTokenRatio: 0 for all-distinct, 0.5 for half-duplicated") {
+    import spark.implicits._
+    val r = Seq(("a b c d", "a a b b")).toDF("t1", "t2")
+      .select(Graft.dupTokenRatio(col("t1")).as("d1"),
+        Graft.dupTokenRatio(col("t2")).as("d2")).head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getDouble(1) === 0.5)
+  }
 }

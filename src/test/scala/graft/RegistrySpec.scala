@@ -20,6 +20,7 @@ class RegistrySpec extends SparkSpec {
     ("CustomAggs", CustomAggs.queries, CustomAggs.oracle),
     ("Extras", Extras.queries, Extras.oracle),
     ("Dedup", Dedup.queries, Dedup.oracle),
+    ("CorpusOps", CorpusOps.queries, CorpusOps.oracle),
     ("Similarity", Similarity.queries, Similarity.oracle),
     ("TextAnalysis", TextAnalysis.queries, TextAnalysis.oracle),
     ("Multimodal", Multimodal.queries, Multimodal.oracle),
