@@ -148,6 +148,22 @@ object Aggregations {
         count(lit(1)).as("cnt"))
       .orderBy(col("event_type"))
 
+  /** Approximate quantiles via Spark's Greenwald-Khanna-style sketch
+    * (percentile_approx) — mergeable partial sketches make this a
+    * single-pass, bounded-memory aggregation at 100 TB where exact
+    * percentiles need a full sort. Sketch-specific results, so no SQL
+    * oracle (DuckDB's approx_quantile is t-digest); bounded by a
+    * ScalaTest rank-error assertion against the exact percentile
+    * instead (OperatorsSpec). */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile_approx(o_totalprice, 0.5, 1000)").as("p50_approx"),
+        expr("percentile_approx(o_totalprice, 0.95, 1000)").as("p95_approx"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus"))
+
   /** Two-phase salted aggregation for skewed keys: phase 1 groups on
     * (key, salt) — spreading a hot key over 16 reducers — phase 2
     * merges the partials per key. Same result as a direct groupBy
@@ -178,6 +194,7 @@ object Aggregations {
     "agg_filtered" -> (filteredAgg _),
     "agg_collect_set" -> (collectNations _),
     "agg_approx_distinct" -> (approxDistinct _),
+    "agg_approx_quantiles" -> (approxQuantiles _),
     "agg_salted_skew" -> (saltedSkewAgg _)
   )
 
@@ -189,6 +206,7 @@ object Aggregations {
     "agg_filtered" -> filteredAggSql,
     "agg_collect_set" -> collectNationsSql,
     "agg_salted_skew" -> saltedSkewAggSql
-    // agg_approx_distinct intentionally has no oracle (sketch-specific)
+    // agg_approx_distinct / agg_approx_quantiles intentionally have no
+    // oracle (sketch-specific results differ across engines)
   )
 }

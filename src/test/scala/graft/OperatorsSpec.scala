@@ -62,6 +62,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx rank error within sketch accuracy bound (sf0.01)") {
+    // accuracy=1000 guarantees rank error <= n/1000; assert the approx
+    // value's true rank sits within q +/- 0.01 per group
+    val sf01 = "/root/testdata/sf0.01"
+    val approx = Aggregations.approxQuantiles(spark, sf01).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    approx.foreach { case (status, (p50, p95)) =>
+      val vals = Tables.orders(spark, sf01)
+        .filter(col("o_orderstatus") === status)
+        .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+      def rankOf(v: Double): Double = vals.count(_ <= v).toDouble / vals.length
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.011, s"$status p50 rank ${rankOf(p50)}")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.011, s"$status p95 rank ${rankOf(p95)}")
+    }
+  }
+
   // ---------- windows ----------
 
   test("running total final row equals the customer's total spend") {

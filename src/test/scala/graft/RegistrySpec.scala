@@ -41,7 +41,7 @@ class RegistrySpec extends SparkSpec {
 
   test("only sketch-based ops lack an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("agg_approx_distinct"), noOracle.toString)
+    assert(noOracle === Set("agg_approx_distinct", "agg_approx_quantiles"), noOracle.toString)
   }
 
   test("flagship entry returns rows on sf0.001") {
