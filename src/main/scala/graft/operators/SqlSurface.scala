@@ -117,6 +117,23 @@ object SqlSurface {
       |FROM chain c JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = c.k
       |ORDER BY c.depth""".stripMargin
 
+  /** Correlated LATERAL subquery: per-region top-2 nations by name —
+    * the SQL form of a per-group top-k where the inner query sees the
+    * outer row. Catalyst decorrelates this into a join + per-key
+    * limit, the same scalable shape as the window top-k. */
+  def lateralTopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)("region", "nation")
+    spark.sql(lateralTopPerGroupSql)
+  }
+
+  val lateralTopPerGroupSql: String =
+    """SELECT r.r_name, t.n_name
+      |FROM region r, LATERAL (
+      |  SELECT n_name FROM nation n
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  ORDER BY n_name LIMIT 2) t
+      |ORDER BY r.r_name, t.n_name""".stripMargin
+
   /** Correlated scalar aggregate subquery in the projection. */
   def correlatedCount(spark: SparkSession, dir: String): DataFrame = {
     withViews(spark, dir)("nation", "supplier")
@@ -184,6 +201,7 @@ object SqlSurface {
     "sql_exists_subquery" -> (existsSubquery _),
     "sql_correlated_count" -> (correlatedCount _),
     "sql_recursive_cte" -> (recursiveCte _),
+    "sql_lateral_topk" -> (lateralTopPerGroup _),
     "sql_percentiles" -> (percentiles _),
     "fn_map" -> (mapFns _)
   )
@@ -195,6 +213,7 @@ object SqlSurface {
     "sql_exists_subquery" -> existsSubquerySql,
     "sql_correlated_count" -> correlatedCountSql,
     "sql_recursive_cte" -> recursiveCteSql,
+    "sql_lateral_topk" -> lateralTopPerGroupSql,
     "sql_percentiles" -> percentilesSql,
     "fn_map" -> mapFnsSql
   )

@@ -141,7 +141,40 @@ object Windows {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  /** RANGE frame over event time: trailing one-hour window per user
+    * (value-based frame bounds — peers with equal timestamps share the
+    * frame, unlike ROWS). The trailing count and min/max are
+    * order-free inside the frame; the sum rounds at the output edge.
+    * Time is integer epoch seconds (`ts_ns DIV 1e9`) so the frame
+    * algebra is exact in both engines. */
+  def rangeFrameTrailing(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns DIV 1000000000").as("sec"), col("value"))
+      .select(
+        col("user_id"), col("event_id"), col("sec"),
+        count(lit(1)).over(w).as("trail_cnt"),
+        round(min(col("value")).over(w), 2).as("trail_min"),
+        round(max(col("value")).over(w), 2).as("trail_max"),
+        round(sum(col("value")).over(w), 2).as("trail_sum"))
+      .orderBy(col("user_id"), col("sec"), col("event_id"))
+  }
+
+  val rangeFrameTrailingSql: String =
+    """SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec,
+      |       count(*) OVER w AS trail_cnt,
+      |       round(min(value) OVER w, 2) AS trail_min,
+      |       round(max(value) OVER w, 2) AS trail_max,
+      |       round(sum(value) OVER w, 2) AS trail_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, sec, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_range_frame" -> (rangeFrameTrailing _),
     "win_distribution" -> (distributionWindows _),
     "win_topk_per_group" -> (topkPerPriority _),
     "win_lag_delta" -> (lagDelta _),
@@ -151,6 +184,7 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_range_frame" -> rangeFrameTrailingSql,
     "win_distribution" -> distributionWindowsSql,
     "win_topk_per_group" -> topkPerPrioritySql,
     "win_lag_delta" -> lagDeltaSql,

@@ -65,6 +65,26 @@ object Sources {
       |       round(sum(s_acctbal), 2) AS total_bal
       |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ORC round-trip: orders written as ORC (Spark's second built-in
+    * columnar format), re-read, aggregated. Same oracle shape as the
+    * other format round-trips — fidelity proven against the original
+    * parquet. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("orders_orc")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Partitioned-parquet sink + partition-pruned re-read: orders
     * written partitioned by status, then one partition read back.
     * At 100 TB this layout is what makes `WHERE o_orderstatus = 'F'`
@@ -141,6 +161,7 @@ object Sources {
     "src_xlsx_writeback" -> (xlsxWriteback _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_json_roundtrip" -> (jsonRoundtrip _),
+    "src_orc_roundtrip" -> (orcRoundtrip _),
     "src_partitioned_sink" -> (partitionedSink _)
   )
 
@@ -149,6 +170,7 @@ object Sources {
     "src_xlsx_writeback" -> xlsxWritebackSql,
     "src_csv_roundtrip" -> csvRoundtripSql,
     "src_json_roundtrip" -> jsonRoundtripSql,
+    "src_orc_roundtrip" -> orcRoundtripSql,
     "src_partitioned_sink" -> partitionedSinkSql
   )
 }
