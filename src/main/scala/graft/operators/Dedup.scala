@@ -136,7 +136,14 @@ object Dedup {
     * attribute blocking (e.g. language) degenerates to a quadratic
     * whole-corpus block. Token arrays are NOT carried through the
     * candidate join: pairs are generated id-only, deduped, and only
-    * then joined back to the token sets for exact scoring. */
+    * then joined back to the token sets for exact scoring.
+    *
+    * Pipeline-order note for 100 TB: EXACT duplicates share all
+    * bands, so a corpus with d copies of one document contributes
+    * O(d²) candidate pairs per band bucket. The standard pipeline
+    * runs [[exactDedup]] first, which removes that mass; residual
+    * bucket skew is AQE's skew-join territory (ScaleSpec pins the
+    * mechanism). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
