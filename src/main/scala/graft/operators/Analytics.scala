@@ -102,7 +102,37 @@ object Analytics {
       |JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Q19 flavor: disjunctive multi-attribute predicates over a
+    * broadcast join. The interesting planning property: the shared
+    * conjunct (`l_partkey = p_partkey`) drives the join while the OR
+    * branches evaluate as a residual — and Catalyst extracts the
+    * per-side common filters (quantity/size bounds) below the join. */
+  def discountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) &&
+          col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 15)))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val discountedRevenueSql: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+      |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+      |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_discounted_revenue" -> (discountedRevenue _),
     "q6_forecast_revenue" -> (forecastRevenue _),
     "q4_late_priority" -> (latePriorityCount _),
     "q14_large_part_share" -> (largePartShare _),
@@ -110,6 +140,7 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q19_discounted_revenue" -> discountedRevenueSql,
     "q6_forecast_revenue" -> forecastRevenueSql,
     "q4_late_priority" -> latePriorityCountSql,
     "q14_large_part_share" -> largePartShareSql,

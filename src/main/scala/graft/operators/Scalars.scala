@@ -178,7 +178,32 @@ object Scalars {
       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       |ORDER BY vec_id""".stripMargin
 
+  /** Regex family over document text: extract with a capture group,
+    * match-count, boolean match, and a global replace (hashed — the
+    * devoweled text itself would bloat the output). Patterns stay in
+    * the character-class + alternation subset where Java regex and
+    * DuckDB's RE2 agree; DuckDB's regexp_replace needs the explicit
+    * 'g' flag to match Spark's replace-all default. */
+  def regexFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+        expr("CAST(regexp_count(text, 'table') AS BIGINT)").as("n_table"),
+        col("text").rlike("spark[a-z ]*table").as("has_span"),
+        md5(regexp_replace(col("text"), "[aeiou]", "").cast("binary")).as("devoweled_md5"))
+      .orderBy(col("doc_id"))
+
+  val regexFnsSql: String =
+    """SELECT doc_id,
+      |       regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+      |       CAST(len(regexp_extract_all(text, 'table')) AS BIGINT) AS n_table,
+      |       regexp_matches(text, 'spark[a-z ]*table') AS has_span,
+      |       md5(regexp_replace(text, '[aeiou]', '', 'g')) AS devoweled_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_regex" -> (regexFns _),
     "fn_string" -> (stringFns _),
     "fn_date" -> (dateFns _),
     "fn_math" -> (mathFns _),
@@ -189,6 +214,7 @@ object Scalars {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_regex" -> regexFnsSql,
     "fn_string" -> stringFnsSql,
     "fn_date" -> dateFnsSql,
     "fn_math" -> mathFnsSql,
