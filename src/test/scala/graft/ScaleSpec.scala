@@ -163,6 +163,18 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("observe() collects pipeline metrics in the same pass as the query") {
+    // production pipelines need row counts / quality metrics WITHOUT a
+    // second scan; df.observe attaches aggregates to the existing plan
+    val obs = new org.apache.spark.sql.Observation("ref_metrics")
+    val out = graft.operators.RefPipeline.ingestFilter(spark, sf)
+      .observe(obs, count(lit(1)).as("accepted"), sum(length(col("uri"))).as("uri_bytes"))
+    val n = out.count()
+    val metrics = obs.get
+    assert(metrics("accepted") === n)
+    assert(metrics("uri_bytes").asInstanceOf[Long] > 0L)
+  }
+
   test("broadcast hint produces a BroadcastHashJoin for dim tables") {
     val l = Tables.lineitem(spark, sf)
     val s = Tables.supplier(spark, sf)
