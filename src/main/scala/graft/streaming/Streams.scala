@@ -57,6 +57,17 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id", "ts")
 
+  /** Bounded-state streaming dedup on the id ALONE: duplicates whose
+    * event-times differ (retries, at-least-once replays) still
+    * collapse, and state for an id is evicted once the watermark
+    * passes its first sighting + delay — the shape plain
+    * [[dedupStream]] can't bound (its state key includes ts, and
+    * id-only dropDuplicates would keep state forever). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Session windows per user with a 30-minute gap. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -61,6 +61,24 @@ class StreamsSpec extends SparkSpec {
     assert(out.filter(col("event_id") === 5).count() === 1)
   }
 
+  test("dropDuplicatesWithinWatermark collapses replays with differing timestamps") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      Ev(1, ts("2024-01-01 00:06:30"), 1, "click", 1.0), // replay, LATER ts — plain dedup(id, ts) would keep it
+      Ev(2, ts("2024-01-01 00:07:00"), 2, "view", 2.0))
+    val q = Streams.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("t_dedup_wm").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("t_dedup_wm").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("session windows split on the 30-minute gap (closed sessions only)") {
     val out = runStream("t_session")(Streams.sessionCounts, "append").collect()
     // watermark 02:50: user 1's 00:05–00:20 session (ends 00:50) is
