@@ -99,38 +99,22 @@ object ScaleProbe {
         .groupBy(md5(col("text").cast("binary"))).agg(min("doc_id")).count()),
       ("bucketed_cosine_pairs", () => pairProbe(dir)),
       // candidate generation for ngram-Jaccard: pairs sharing >=1
-      // minhash band. Sub-quadratic evidence: result rows must stay
-      // orders of magnitude below N^2/2 all-pairs (the perturbed
-      // replicas ARE near-dups of each other, so pair mass growing
-      // faster than rows is real recall, not plan blow-up)
-      ("ngram_band_candidates", () => {
-        val bandRows = Tables.documents(spark, dir)
-          .select(col("doc_id"),
-            posexplode(split(graft.api.Graft.minhashSignature(col("text"), 3, 4), ":")))
-          .toDF("doc_id", "band_idx", "band_min")
-        bandRows.alias("x").join(bandRows.alias("y"),
-            col("x.band_idx") === col("y.band_idx") &&
-              col("x.band_min") === col("y.band_min") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
-      }),
-      // IVF nearest-centroid assignment with FIXED k=16: O(N*k), so
-      // 10x rows must cost ~10x time (the old N-proportional centroid
-      // policy made this stage quadratic)
-      ("ivf_assign_fixed_k", () => {
-        val emb = Tables.embeddings(spark, dir)
-          .withColumn("v", col("embedding").cast("array<double>"))
-          .withColumn("vn", call_function("graft_l2norm", col("v")))
-        val cents = emb.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cid"))
-        emb.crossJoin(broadcast(cents))
-          .withColumn("c_cos",
-            call_function("graft_dot", col("v"), col("cv")) / (col("vn") * col("cn")))
-          .withColumn("arn", row_number().over(w))
-          .filter(col("arn") === 1).count()
-      })
+      // minhash band, measured through the PRODUCTION stage
+      // (Dedup.bandCandidates — not a probe-local copy, so tuning the
+      // band count can't silently desynchronize this evidence).
+      // Sub-quadratic evidence: result rows must stay orders of
+      // magnitude below N^2/2 all-pairs (the perturbed replicas ARE
+      // near-dups of each other, so pair mass growing faster than
+      // rows is real recall, not plan blow-up)
+      ("ngram_band_candidates", () =>
+        graft.operators.Dedup.bandCandidates(spark, dir).count()),
+      // IVF nearest-centroid assignment with FIXED k (O(N*k), so 10x
+      // rows must cost ~10x time; the old N-proportional centroid
+      // policy made this stage quadratic) — also the production
+      // stage, Similarity.ivfRanked
+      ("ivf_assign_fixed_k", () =>
+        graft.operators.Similarity.ivfRanked(spark, dir)
+          .filter(col("arn") === 1).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

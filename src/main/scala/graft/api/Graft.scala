@@ -21,6 +21,9 @@ object Graft {
     * caller should never have to know about registration order. */
   private def ensureRegistered(): Unit =
     org.apache.spark.sql.SparkSession.getActiveSession
+      // getActiveSession is thread-local; a column built on a pool
+      // thread still needs registration — fall back to the default
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .foreach(graft.functions.VectorFunctions.register)
 
   // ---------- reference dataflow (object-notification filtering) ----------
@@ -226,7 +229,11 @@ object Graft {
     val w = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(nTokensCol)).over(w))
-      .withColumn("bin_id", ((col("__cum") - col(nTokensCol)) / tokensPerBin).cast("long"))
+      // integer DIV, not `/`: long `/` is double division, which
+      // rounds above 2^53 — exactly the corpus-scale token counts
+      // this operator exists for
+      .withColumn("bin_id",
+        expr(s"CAST((`__cum` - `$nTokensCol`) DIV $tokensPerBin AS BIGINT)"))
       .drop("__cum")
   }
 

@@ -21,11 +21,6 @@ object CorpusOps {
 
   private def nToks(c: Column): Column = size(toks(c)).cast("long")
 
-  /** First 8 md5 hex chars of a doc id as a positive long — the
-    * deterministic "random" driver for splits and sampling. */
-  private def idHash(c: Column): Column =
-    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
-
   private def idHashSql(c: String): String =
     s"('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 8))::BIGINT"
 
@@ -74,15 +69,15 @@ object CorpusOps {
     * 80/10/10. Hash-based splits are how 100 TB corpora are split in
     * practice — no global sort, no sampling state, reproducible from
     * the id alone. */
-  def splitHash(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = idHash(col("doc_id")) % 100
+  def splitHash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      // delegate to the public facade — one definition of the
+      // id-hash/bucketing contract, shared with what users call
+      .withColumn("split", graft.api.Graft.splitLabel(col("doc_id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(nToks(col("text"))).as("n_tokens"))
       .orderBy(col("split"))
-  }
 
   val splitHashSql: String =
     s"""SELECT split, count(*) AS n_docs,
@@ -100,7 +95,7 @@ object CorpusOps {
     * and realized fraction — the audit view of a corpus downsampling
     * stage. */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val sampled = (idHash(col("doc_id")) % 100) < 25
+    val sampled = graft.api.Graft.sampledBy(col("doc_id"), 25)
     Tables.documents(spark, dir)
       .groupBy(col("source"))
       .agg(
@@ -119,14 +114,13 @@ object CorpusOps {
 
   /** Token-length histogram in 25-token buckets — the distribution a
     * packing/truncation stage is tuned against. */
-  def tokenBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val n = nToks(col("text"))
+  def tokenBuckets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket_lo", expr("CAST(size(split(text, ' ')) AS BIGINT) DIV 25") * 25)
+      .withColumn("n", nToks(col("text")))
+      .withColumn("bucket_lo", expr("n DIV 25 * 25"))
       .groupBy(col("bucket_lo"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 2).as("avg_chars"))
       .orderBy(col("bucket_lo"))
-  }
 
   val tokenBucketsSql: String =
     """SELECT CAST(len(string_split(text, ' ')) // 25 * 25 AS BIGINT) AS bucket_lo,

@@ -144,24 +144,36 @@ object Dedup {
     * runs [[exactDedup]] first, which removes that mass; residual
     * bucket skew is AQE's skew-join territory (ScaleSpec pins the
     * mechanism). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Band rows: (doc_id, band_idx, band_min) — the chunk minima of
+    * the one-pass minhash signature, exploded to one row per band.
+    * Shared by [[ngramJaccard]] and the scale probe so the probe
+    * measures the production stage, not a copy. */
+  private[graft] def bandRows(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      .withColumn("n_toks", size(col("toks")))
-    // band rows: (doc_id, band_idx, band_min) — the 4 chunk minima of
-    // the one-pass minhash signature, exploded to one row per band
-    val bandRows = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         posexplode(split(graft.api.Graft.minhashSignature(col("text"), 3, bands), ":")))
       .toDF("doc_id", "band_idx", "band_min")
-    val cand = bandRows.alias("x")
-      .join(bandRows.alias("y"),
+  }
+
+  /** Candidate pairs: docs sharing ≥1 band minimum, id-only, deduped.
+    * Equi self-join on (band_idx, band_min) — one O(N) shuffle. */
+  private[graft] def bandCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val br = bandRows(spark, dir)
+    br.alias("x")
+      .join(br.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_min") === col("y.band_min") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    val cand = bandCandidates(spark, dir)
     val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("n_toks").as("na"))
     val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("n_toks").as("nb"))
     // size-ratio prune: jac ≥ 0.5 needs |A∩B| ≥ (|A|+|B|)/3 and

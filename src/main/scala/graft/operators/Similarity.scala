@@ -233,7 +233,7 @@ object Similarity {
     * k vectors by id serve as a deterministic, oracle-reproducible
     * stand-in (the cell geometry differs from k-means, the plan shape
     * — broadcast centroids + cell equi join — is identical). */
-  private val ivfK = 16
+  private[graft] val ivfK = 16
 
   /** Queries probe their `ivfNprobe` nearest cells (standard IVF
     * recall knob): candidates still live in exactly one cell, so the
@@ -248,20 +248,27 @@ object Similarity {
     * their nprobe=2 nearest cells and score exact cosine within them.
     * Shuffle cost: one equi join on the cell id, O(N) — pairwise work
     * bounded per cell. */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Nearest-centroid ranking against the fixed k centroids (max
+    * cosine, ties → smaller cent_id) — the O(N·k) assignment stage.
+    * Shared by [[ivfTopK]] and the scale probe so the probe measures
+    * the production stage, not a copy. */
+  private[graft] def ivfRanked(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", vecAsDouble(col("embedding")))
       .withColumn("vn", call_function("graft_l2norm", col("v")))
     val cents = emb.filter(col("vec_id") < ivfK)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vn").as("cn"))
-    // nearest-centroid ranking (max cosine, ties → smaller cent_id)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("cent_id"))
-    val ranked = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .withColumn("c_cos",
         call_function("graft_dot", col("v"), col("cv")) / (col("vn") * col("cn")))
       .withColumn("arn", row_number().over(wAssign))
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = ivfRanked(spark, dir)
     val assigned = ranked.filter(col("arn") === 1)
       .select(col("vec_id"), col("v"), col("vn"), col("cent_id").as("cell"))
     // query side probes its nprobe nearest cells (one row per probe)

@@ -85,8 +85,14 @@ class XlsxTable(tableSchema: StructType, paths: Seq[String])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XlsxScanBuilder(tableSchema, XlsxPaths.expand(paths))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val files = XlsxPaths.expand(paths)
+    // fail fast on reads of a typo'd or empty location — the empty
+    // expansion is legitimate ONLY as a write target, and writes
+    // never build a scan
+    require(files.nonEmpty, s"no .xlsx files found under: ${paths.mkString(",")}")
+    new XlsxScanBuilder(tableSchema, files)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1, s"xlsx write requires exactly one target path, got: $paths")
     new XlsxWriteBuilder(paths.head, info)
@@ -111,21 +117,34 @@ class XlsxWriteBuilder(path: String, info: LogicalWriteInfo)
 case class XlsxCommitMessage(partitionId: Int, tmpPath: String) extends WriterCommitMessage
 
 class XlsxBatchWrite(dir: String, schema: StructType, truncate: Boolean) extends BatchWrite {
+  // job-unique token in every published filename: two appends to the
+  // same directory can both have a partition 0 — without this the
+  // second rename would silently REPLACE the first job's part file
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val d = new java.io.File(dir)
-    d.mkdirs()
-    if (truncate)
-      d.listFiles().filter(_.getName.endsWith(".xlsx")).foreach(_.delete())
+    new java.io.File(dir).mkdirs()
     XlsxWriterFactory(dir, schema)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: XlsxCommitMessage => m }
-      .groupBy(_.partitionId).foreach { case (pid, ms) =>
-        val winner = ms.head
-        if (!new java.io.File(winner.tmpPath).renameTo(new java.io.File(dir, f"part-$pid%05d.xlsx")))
-          throw new java.io.IOException(s"xlsx commit: rename failed for ${winner.tmpPath}")
-        ms.tail.foreach(m => new java.io.File(m.tmpPath).delete())
-      }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val byPartition = messages.collect { case m: XlsxCommitMessage => m }.groupBy(_.partitionId)
+    // truncate only at COMMIT, after every task has succeeded: a
+    // failed overwrite job must leave the previous data untouched
+    // (the new files are still .tmp at this point, so deleting all
+    // published .xlsx removes exactly the prior jobs' output)
+    if (truncate)
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".xlsx")).foreach(_.delete())
+    byPartition.foreach { case (pid, ms) =>
+      val winner = ms.head
+      val target = new java.io.File(dir, f"part-$pid%05d-$writeId.xlsx")
+      if (!new java.io.File(winner.tmpPath).renameTo(target))
+        throw new java.io.IOException(s"xlsx commit: rename failed for ${winner.tmpPath}")
+      ms.tail.foreach(m => new java.io.File(m.tmpPath).delete())
+    }
+  }
+
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: XlsxCommitMessage => m }
       .foreach(m => new java.io.File(m.tmpPath).delete())

@@ -82,6 +82,25 @@ class XlsxSourceSpec extends SparkSpec {
     assert(rows(2).isNullAt(1)) // null cell round-trips as null
   }
 
+  test("DSv2 write path: two sequential appends accumulate, never clobber") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_a2").toString + "/out"
+    Seq(("first", 1L)).toDF("tag", "v").coalesce(1)
+      .write.format("xlsx").mode("append").save(dir)
+    // both jobs have a partition 0 — filenames must still be distinct
+    Seq(("second", 2L)).toDF("tag", "v").coalesce(1)
+      .write.format("xlsx").mode("append").save(dir)
+    val back = spark.read.format("xlsx").load(dir)
+    assert(back.select("tag").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("first", "second"))
+  }
+
+  test("DSv2 read of a nonexistent path fails fast, not as an empty frame") {
+    intercept[Exception] {
+      spark.read.format("xlsx").load("/tmp/graft_no_such_dir_xyz/reprots.xlsx").count()
+    }
+  }
+
   test("DSv2 write path: overwrite truncates previous part files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_o").toString + "/out"
