@@ -119,6 +119,15 @@ object Streams {
       .toDF("user_id", "error_count")
   }
 
+  /** Stream-static enrichment join: the unbounded stream joined to a
+    * bounded dimension (broadcast — the dim never shuffles, each
+    * micro-batch joins map-side). The production shape for decorating
+    * events with slowly-changing reference data; the static side is
+    * re-read per trigger, so dim updates between batches are seen. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, streamKey: String,
+                    dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Stream-stream interval join: each error joined to the same user's
     * purchases in the following hour. Watermarks on BOTH sides bound
     * the join state (rows older than watermark+interval are evicted) —

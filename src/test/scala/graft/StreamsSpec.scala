@@ -156,6 +156,54 @@ class StreamsSpec extends SparkSpec {
     assert(rows === Map(1L -> 3L)) // user 1 crossed 2; user 2 only has 1 error
   }
 
+  test("stream-static enrichment join decorates events with dimension rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dim_user", "tier")
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:01:00"), 2, "view", 2.0),
+      Ev(3, ts("2024-01-01 00:02:00"), 9, "click", 3.0)) // no dim row -> null tier
+    val q = Streams.enrichWithDim(mem.toDF(), dim, "user_id", "dim_user")
+      .select(col("event_id"), col("tier"))
+      .writeStream.format("memory").queryName("t_enrich").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("t_enrich").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+    assert(out === Map(1L -> "gold", 2L -> "silver", 3L -> null))
+  }
+
+  test("stateful aggregation runs on the RocksDB state store provider") {
+    // the disk-backed state store is what bounds executor memory when
+    // streaming state grows to 100 TB-scale key spaces; the operator
+    // code must be provider-agnostic
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val mem = MemoryStream[Ev]
+      mem.addData(fixture: _*)
+      val q = Streams.tumblingCounts(mem.toDF())
+        .writeStream.format("memory").queryName("t_rocksdb").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val out = spark.table("t_rocksdb").collect()
+        .map(r => (r.getAs[Timestamp]("win_start").toString, r.getAs[String]("event_type")) -> r.getAs[Long]("cnt"))
+        .toMap
+      assert(out.getOrElse(("2024-01-01 00:00:00.0", "click"), 0L) === 2L)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join matches errors to following purchases") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
