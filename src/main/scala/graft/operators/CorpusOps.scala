@@ -157,7 +157,40 @@ object CorpusOps {
       |        FROM documents))
       |GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin
 
+  /** Unigram log-probability score per document — the simplest LM
+    * quality signal (docs with very low average token log-prob under
+    * the corpus unigram model are boilerplate/noise candidates).
+    * Two compact-key shuffles: corpus term frequencies (broadcast
+    * back), then a per-doc aggregate; the corpus totals are a scalar
+    * broadcast. Logs are summed per doc in token order via the
+    * exploded aggregate, then rounded at the output edge. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val freqs = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = freqs.agg(sum(col("tf")).as("corpus_tokens"))
+    terms.join(broadcast(freqs), "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("tf").cast("double") / col("corpus_tokens"))), 4)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramLogprobSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |freqs AS (SELECT term, count(*) AS tf FROM terms GROUP BY 1),
+      |total AS (SELECT CAST(sum(tf) AS BIGINT) AS corpus_tokens FROM freqs)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(avg(ln(CAST(tf AS DOUBLE) / corpus_tokens)), 4) AS avg_logprob
+      |FROM terms JOIN freqs USING (term) CROSS JOIN total
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_unigram_logprob" -> (unigramLogprob _),
     "corpus_repetition" -> (repetition _),
     "corpus_split_hash" -> (splitHash _),
     "corpus_sample_stratified" -> (sampleStratified _),
@@ -166,6 +199,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_unigram_logprob" -> unigramLogprobSql,
     "corpus_repetition" -> repetitionSql,
     "corpus_split_hash" -> splitHashSql,
     "corpus_sample_stratified" -> sampleStratifiedSql,
