@@ -79,6 +79,39 @@ class AsofPlanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("AsofJoin"))
   }
 
+  test("bucketed inputs: the as-of join plans with NO shuffle exchange") {
+    // the standing layout for repeated temporal joins at 100 TB: both
+    // sides bucketed on the join key, so EnsureRequirements sees the
+    // ClusteredDistribution already satisfied and elides the exchanges
+    // (the declared requiredChildDistribution is what makes this work)
+    spark.sql("DROP TABLE IF EXISTS b_asof_l")
+    spark.sql("DROP TABLE IF EXISTS b_asof_r")
+    Seq("b_asof_l", "b_asof_r").foreach { t =>
+      val d = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+    }
+    leftDf.write.mode("overwrite").bucketBy(4, "key").sortBy("key", "t")
+      .saveAsTable("b_asof_l")
+    rightDf.write.mode("overwrite").bucketBy(4, "rkey").sortBy("rkey", "rt")
+      .saveAsTable("b_asof_r")
+    val df = AsofJoin.asofJoin(spark, spark.table("b_asof_l"), spark.table("b_asof_r"),
+      "key", "t", "rkey", "rt", "rid", Seq("rid", "rt"))
+    val out = df.select("id", "rid", "rt").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((950L, 100L)), 2L -> ((902L, 150L)), 4L -> ((903L, 400L))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed as-of join must not shuffle:\n$plan")
+  }
+
   test("empty right side yields empty result, not an error") {
     val empty = rightDf.filter(col("rkey") < 0)
     val out = AsofJoin.asofJoin(spark, leftDf, empty,

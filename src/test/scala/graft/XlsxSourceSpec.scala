@@ -112,6 +112,29 @@ class XlsxSourceSpec extends SparkSpec {
     assert(back.select("tag").collect().map(_.getString(0)).sorted.toSeq === Seq("new", "new2"))
   }
 
+  test("corrupt input: not-a-zip and zip-without-sheet both fail with clear errors") {
+    val notZip = tmp("corrupt.xlsx")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(notZip), "this is not a zip")
+    intercept[Exception] { XlsxParser.parse(notZip) }
+    val noSheet = tmp("nosheet.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(noSheet))
+    zos.putNextEntry(new java.util.zip.ZipEntry("unrelated.txt"))
+    zos.write("x".getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    val e = intercept[IllegalArgumentException] { XlsxParser.parse(noSheet) }
+    assert(e.getMessage.contains("sheet1.xml"))
+  }
+
+  test("doctype-bearing workbook is rejected (XXE hardening)") {
+    val path = tmp("xxe.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(("""<?xml version="1.0"?><!DOCTYPE x [<!ENTITY e SYSTEM "file:///etc/passwd">]>""" +
+      """<worksheet><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>&e;</t></is></c></row></sheetData></worksheet>""")
+      .getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    intercept[Exception] { XlsxParser.parse(path) } // disallow-doctype-decl
+  }
+
   test("shared-strings workbooks parse too (t=\"s\" indirection)") {
     // hand-build a workbook that uses the sharedStrings table
     val path = tmp("shared.xlsx")
