@@ -166,6 +166,50 @@ object Graft {
       .groupBy(col("__sig").as("signature"))
       .agg(count(lit(1)).as("n_rows"), min(col(idCol)).as("keeper_id"))
 
+  /** Verified near-duplicate pairs over an arbitrary DataFrame: LSH
+    * band-signature candidate generation (id-only pairs, one O(N)
+    * shuffle, deduped) followed by exact token-set Jaccard scoring of
+    * candidates only — never all-pairs. Returns (id_a, id_b, jaccard)
+    * for pairs at or above `threshold`. Run [[dedupExact]] first on
+    * corpora with heavy exact duplication (exact dups share every
+    * band). */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double = 0.5, k: Int = 3, bands: Int = 4): DataFrame = {
+    val docs = df.select(col(idCol).as("__id"),
+      array_distinct(tokens(col(textCol))).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val bandRows = df.select(col(idCol).as("__id"),
+      posexplode(split(minhashSignature(col(textCol), k, bands), ":")))
+      .toDF("__id", "__band_idx", "__band_min")
+    val cand = bandRows.alias("x")
+      .join(bandRows.alias("y"),
+        col("x.__band_idx") === col("y.__band_idx") &&
+          col("x.__band_min") === col("y.__band_min") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+    val a = docs.select(col("__id").as("id_a"), col("__toks").as("__ta"), col("__n").as("__na"))
+    val b = docs.select(col("__id").as("id_b"), col("__toks").as("__tb"), col("__n").as("__nb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("__inter", size(array_intersect(col("__ta"), col("__tb"))).cast("double"))
+      .withColumn("jaccard", col("__inter") / (col("__na") + col("__nb") - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The engine's custom as-of join operator (AsofJoinExec, O(n+m)
+    * streaming merge per key — see graft.plans.AsofJoin for the
+    * plan machinery): for each left row, the latest right row with
+    * the same key at-or-before its time, ties broken by the largest
+    * `tiebreakCol`. Left rows with no qualifying right row are
+    * dropped (inner as-of). */
+  def asofJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
+               leftKeyCol: String, leftTimeCol: String,
+               rightKeyCol: String, rightTimeCol: String,
+               tiebreakCol: String, payloadCols: Seq[String]): DataFrame =
+    graft.plans.AsofJoin.asofJoin(spark, left, right, leftKeyCol, leftTimeCol,
+      rightKeyCol, rightTimeCol, tiebreakCol, payloadCols)
+
   /** Exact cosine top-k: for each row of `queries`, the k most similar
     * rows of `candidates` by cosine. Queries are broadcast; candidates
     * stream — the right plan when |queries| ≪ |candidates|. */

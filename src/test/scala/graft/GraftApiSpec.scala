@@ -122,6 +122,27 @@ class GraftApiSpec extends SparkSpec {
       ("de", 1L) -> 0L, ("de", 2L) -> 1L))
   }
 
+  test("nearDupPairs finds the near-identical pair, skips the unrelated doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text about distributed spark engines")).toDF("id", "body")
+    val pairs = Graft.nearDupPairs(df, "body", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) > 0.7) // 9 of 11 distinct tokens shared
+  }
+
+  test("facade asofJoin matches the plan-level operator") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("id", "key", "t")
+    val r = Seq((10L, 90L, 900L), (10L, 150L, 902L)).toDF("rkey", "rt", "rid")
+    val out = Graft.asofJoin(spark, l, r, "key", "t", "rkey", "rt", "rid", Seq("rid"))
+      .select("id", "rid").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(out === Map(1L -> 900L, 2L -> 902L))
+  }
+
   test("dupTokenRatio: 0 for all-distinct, 0.5 for half-duplicated") {
     import spark.implicits._
     val r = Seq(("a b c d", "a a b b")).toDF("t1", "t2")
