@@ -166,31 +166,44 @@ object Graft {
       .groupBy(col("__sig").as("signature"))
       .agg(count(lit(1)).as("n_rows"), min(col(idCol)).as("keeper_id"))
 
-  /** Verified near-duplicate pairs over an arbitrary DataFrame: LSH
-    * band-signature candidate generation (id-only pairs, one O(N)
-    * shuffle, deduped) followed by exact token-set Jaccard scoring of
-    * candidates only — never all-pairs. Returns (id_a, id_b, jaccard)
-    * for pairs at or above `threshold`. Run [[dedupExact]] first on
-    * corpora with heavy exact duplication (exact dups share every
-    * band). */
-  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                   threshold: Double = 0.5, k: Int = 3, bands: Int = 4): DataFrame = {
-    val docs = df.select(col(idCol).as("__id"),
-      array_distinct(tokens(col(textCol))).as("__toks"))
-      .withColumn("__n", size(col("__toks")))
+  /** Near-dup candidate pairs over an arbitrary DataFrame: docs
+    * sharing ≥1 minhash band minimum, id-only, deduped. An equi
+    * self-join on (band_idx, band_min) — one O(N) shuffle, never
+    * all-pairs. The single definition of the band-candidate stage
+    * (operators and the scale probe delegate here). */
+  def bandCandidates(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 3, bands: Int = 4): DataFrame = {
     val bandRows = df.select(col(idCol).as("__id"),
       posexplode(split(minhashSignature(col(textCol), k, bands), ":")))
       .toDF("__id", "__band_idx", "__band_min")
-    val cand = bandRows.alias("x")
+    bandRows.alias("x")
       .join(bandRows.alias("y"),
         col("x.__band_idx") === col("y.__band_idx") &&
           col("x.__band_min") === col("y.__band_min") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
+  }
+
+  /** Verified near-duplicate pairs over an arbitrary DataFrame:
+    * [[bandCandidates]] followed by exact token-set Jaccard scoring
+    * of candidates only. Returns (id_a, id_b, jaccard) for pairs at
+    * or above `threshold`. A size-ratio prune skips the intersection
+    * for pairs that cannot reach the threshold (jac ≥ t needs
+    * (1+t)·min(|A|,|B|) ≥ t·(|A|+|B|) — pure optimization, same
+    * output). Run [[dedupExact]] first on corpora with heavy exact
+    * duplication (exact dups share every band). */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double = 0.5, k: Int = 3, bands: Int = 4): DataFrame = {
+    val docs = df.select(col(idCol).as("__id"),
+      array_distinct(tokens(col(textCol))).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
     val a = docs.select(col("__id").as("id_a"), col("__toks").as("__ta"), col("__n").as("__na"))
     val b = docs.select(col("__id").as("id_b"), col("__toks").as("__tb"), col("__n").as("__nb"))
-    cand.join(a, "id_a").join(b, "id_b")
+    bandCandidates(df, textCol, idCol, k, bands)
+      .join(a, "id_a").join(b, "id_b")
+      .filter(lit(1.0 + threshold) * least(col("__na"), col("__nb")) >=
+        lit(threshold) * (col("__na") + col("__nb")))
       .withColumn("__inter", size(array_intersect(col("__ta"), col("__tb"))).cast("double"))
       .withColumn("jaccard", col("__inter") / (col("__na") + col("__nb") - col("__inter")))
       .filter(col("jaccard") >= threshold)

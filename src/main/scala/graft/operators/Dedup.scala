@@ -144,53 +144,20 @@ object Dedup {
     * runs [[exactDedup]] first, which removes that mass; residual
     * bucket skew is AQE's skew-join territory (ScaleSpec pins the
     * mechanism). */
-  /** Band rows: (doc_id, band_idx, band_min) — the chunk minima of
-    * the one-pass minhash signature, exploded to one row per band.
-    * Shared by [[ngramJaccard]] and the scale probe so the probe
-    * measures the production stage, not a copy. */
-  private[graft] def bandRows(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        posexplode(split(graft.api.Graft.minhashSignature(col("text"), 3, bands), ":")))
-      .toDF("doc_id", "band_idx", "band_min")
-  }
+  /** Candidate pairs: docs sharing ≥1 band minimum, id-only, deduped
+    * (delegates to the facade's [[graft.api.Graft.bandCandidates]] —
+    * one definition, shared with what users call and with the scale
+    * probe). */
+  private[graft] def bandCandidates(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.bandCandidates(
+      Tables.documents(spark, dir), "text", "doc_id", 3, bands)
 
-  /** Candidate pairs: docs sharing ≥1 band minimum, id-only, deduped.
-    * Equi self-join on (band_idx, band_min) — one O(N) shuffle. */
-  private[graft] def bandCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val br = bandRows(spark, dir)
-    br.alias("x")
-      .join(br.alias("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_min") === col("y.band_min") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-  }
-
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      .withColumn("n_toks", size(col("toks")))
-    val cand = bandCandidates(spark, dir)
-    val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("n_toks").as("na"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("n_toks").as("nb"))
-    // size-ratio prune: jac ≥ 0.5 needs |A∩B| ≥ (|A|+|B|)/3 and
-    // |A∩B| ≤ min, hence 2·min ≥ max — pairs failing this cheap
-    // integer check skip the array_intersect entirely. Pure
-    // optimization: removed pairs can't pass the final jac ≥ 0.5
-    // filter, so the oracle is unchanged.
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .filter(lit(2) * least(col("na"), col("nb")) >= greatest(col("na"), col("nb")))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
-      // filter on the UNROUNDED jaccard (matching the prune's algebra
-      // exactly); rounding happens only at the output edge
-      .withColumn("jac_raw", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jac_raw") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.nearDupPairs(
+        Tables.documents(spark, dir), "text", "doc_id", threshold = 0.5, k = 3, bands = bands)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("jaccard"), 4).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   val ngramJaccardSql: String = {
     val bandList = (0 until bands).map(b => b.toString).mkString(", ")
