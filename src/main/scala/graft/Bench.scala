@@ -31,10 +31,14 @@ object Bench {
       // failures are marked -1.0 so they can't masquerade as fast runs
       name -> (if (times.size == runs) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the single JSON line compact —
+    // the driver captures a bounded tail of stdout, and full-precision
+    // doubles for 100+ queries overflowed it in round 1
+    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout gets interleaved with sbt/Spark noise and can truncate the
     // driver's parse — always leave a clean copy on disk as well
