@@ -34,7 +34,11 @@ object Bench {
     // 3-decimal (ms) precision keeps the single JSON line compact —
     // the driver captures a bounded tail of stdout, and full-precision
     // doubles for 100+ queries overflowed it in round 1
-    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the default FORMAT
+    // locale, and a comma-decimal locale would emit invalid JSON
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

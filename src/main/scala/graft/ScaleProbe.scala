@@ -57,11 +57,11 @@ object ScaleProbe {
 
     def timeSecond(f: () => Long): (Double, Long) = {
       f() // warm: codegen, JIT, file listing, page cache
-      // best-of-3 warm runs: this host shows intermittent multi-second
+      // best-of-5 warm runs: this host shows intermittent multi-second
       // stalls, and min is the standard noise-robust statistic
       var best = Double.MaxValue
       var n = 0L
-      (1 to 3).foreach { _ =>
+      (1 to 5).foreach { _ =>
         val t0 = System.nanoTime()
         n = f()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
@@ -125,10 +125,16 @@ object ScaleProbe {
     val sb = new StringBuilder
     sb.append(s"# SCALE — 10x scaling probe (sf0.1 -> ~sf1, local[$cpus])\n\n")
     sb.append("Generated by `graft.ScaleProbe` (see its scaladoc for methodology:\n")
-    sb.append("perturbed replicas, warm second-run timings, pair-generating probe\n")
+    sb.append("perturbed replicas, best-of-5 warm timings, pair-generating probe\n")
     sb.append("included). 10x rows should cost <= ~10x time for the row-linear\n")
     sb.append("operators; `bucketed_cosine_pairs` is pair-quadratic WITHIN buckets,\n")
     sb.append("so its budget is bounded by bucket balance — watch its group count.\n\n")
+    sb.append("Reading the ratios: sub-second rows are dominated by fixed\n")
+    sb.append("job-submission overhead at BOTH scales on local[32] (sf0.1 does not\n")
+    sb.append("saturate 32 cores), so a ratio at or below ~1x means the operator's\n")
+    sb.append("compute is beneath the noise floor — the asymptotic evidence is the\n")
+    sb.append("result-rows growth (e.g. candidate pairs vs the all-pairs bound),\n")
+    sb.append("plus any row whose ratio approaches the data ratio.\n\n")
     sb.append("| operator | sf0.1 s | ~sf1 s | time ratio | sf0.1 result rows | ~sf1 result rows |\n|---|---|---|---|---|---|\n")
     small.zip(large).foreach { case ((n, s1, c1), (_, s2, c2)) =>
       sb.append(f"| $n | $s1%.2f | $s2%.2f | ${s2 / s1}%.1fx | $c1 | $c2 |\n")

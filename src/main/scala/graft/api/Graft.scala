@@ -190,9 +190,10 @@ object Graft {
     * of candidates only. Returns (id_a, id_b, jaccard) for pairs at
     * or above `threshold`. A size-ratio prune skips the intersection
     * for pairs that cannot reach the threshold (jac ≥ t needs
-    * (1+t)·min(|A|,|B|) ≥ t·(|A|+|B|) — pure optimization, same
-    * output). Run [[dedupExact]] first on corpora with heavy exact
-    * duplication (exact dups share every band). */
+    * (1+t)·min(|A|,|B|) ≥ t·(|A|+|B|); an epsilon of slack keeps
+    * exact-boundary pairs when t is not binary-representable — pure
+    * optimization, same output). Run [[dedupExact]] first on corpora
+    * with heavy exact duplication (exact dups share every band). */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5, k: Int = 3, bands: Int = 4): DataFrame = {
     val docs = df.select(col(idCol).as("__id"),
@@ -203,7 +204,7 @@ object Graft {
     bandCandidates(df, textCol, idCol, k, bands)
       .join(a, "id_a").join(b, "id_b")
       .filter(lit(1.0 + threshold) * least(col("__na"), col("__nb")) >=
-        lit(threshold) * (col("__na") + col("__nb")))
+        lit(threshold) * (col("__na") + col("__nb")) - lit(1e-9))
       .withColumn("__inter", size(array_intersect(col("__ta"), col("__tb"))).cast("double"))
       .withColumn("jaccard", col("__inter") / (col("__na") + col("__nb") - col("__inter")))
       .filter(col("jaccard") >= threshold)

@@ -160,16 +160,18 @@ object CorpusOps {
   /** Unigram log-probability score per document — the simplest LM
     * quality signal (docs with very low average token log-prob under
     * the corpus unigram model are boilerplate/noise candidates).
-    * Two compact-key shuffles: corpus term frequencies (broadcast
-    * back), then a per-doc aggregate; the corpus totals are a scalar
-    * broadcast. Logs are summed per doc in token order via the
-    * exploded aggregate, then rounded at the output edge. */
+    * Two compact-key shuffles: corpus term frequencies equi-joined
+    * back on the term (the vocabulary grows with the corpus, so the
+    * freq table must NOT be forced broadcast — the optimizer
+    * broadcasts it only while it fits), then a per-doc aggregate;
+    * the corpus total IS a scalar broadcast. Logs are averaged per
+    * doc, rounded at the output edge. */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val terms = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
     val freqs = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
     val total = freqs.agg(sum(col("tf")).as("corpus_tokens"))
-    terms.join(broadcast(freqs), "term")
+    terms.join(freqs, "term")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(

@@ -122,11 +122,15 @@ object Streams {
   /** Stream-static enrichment join: the unbounded stream joined to a
     * bounded dimension (broadcast — the dim never shuffles, each
     * micro-batch joins map-side). The production shape for decorating
-    * events with slowly-changing reference data; the static side is
-    * re-read per trigger, so dim updates between batches are seen. */
+    * events with slowly-changing reference data. Staleness caveat:
+    * for FILE-based dims the file listing is resolved when the dim
+    * DataFrame is created, so part files written later are NOT picked
+    * up — to refresh between batches, rebuild the dim DataFrame
+    * inside `foreachBatch` instead. Keys are resolved through their
+    * parent frames, so stream and dim may share the column name. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame, streamKey: String,
                     dimKey: String): DataFrame =
-    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
 
   /** Stream-stream interval join: each error joined to the same user's
     * purchases in the following hour. Watermarks on BOTH sides bound

@@ -84,18 +84,7 @@ class AsofPlanSpec extends SparkSpec {
     // sides bucketed on the join key, so EnsureRequirements sees the
     // ClusteredDistribution already satisfied and elides the exchanges
     // (the declared requiredChildDistribution is what makes this work)
-    spark.sql("DROP TABLE IF EXISTS b_asof_l")
-    spark.sql("DROP TABLE IF EXISTS b_asof_r")
-    Seq("b_asof_l", "b_asof_r").foreach { t =>
-      val d = new java.io.File(s"/tmp/graft-warehouse/$t")
-      if (d.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(d)
-      }
-    }
+    Seq("b_asof_l", "b_asof_r").foreach(dropTableAndDir)
     leftDf.write.mode("overwrite").bucketBy(4, "key").sortBy("key", "t")
       .saveAsTable("b_asof_l")
     rightDf.write.mode("overwrite").bucketBy(4, "rkey").sortBy("rkey", "rt")

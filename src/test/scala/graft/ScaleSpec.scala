@@ -11,20 +11,7 @@ class ScaleSpec extends SparkSpec {
   test("bucketed+sorted tables join without a shuffle exchange") {
     val o = Tables.orders(spark, sf)
     val c = Tables.customer(spark, sf)
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_customer")
-    // the catalog is in-memory per JVM: a previous run's table dirs
-    // survive on disk without catalog entries — remove them directly
-    Seq("b_orders", "b_customer").foreach { t =>
-      val d = new java.io.File(s"/tmp/graft-warehouse/$t")
-      if (d.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(d)
-      }
-    }
+    Seq("b_orders", "b_customer").foreach(dropTableAndDir)
     o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
       .saveAsTable("b_orders")
     c.withColumn("ck", col("c_custkey")).write.mode("overwrite")

@@ -24,4 +24,21 @@ object SparkSpec {
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.spark
   def sf: String = SparkSpec.sf
+
+  /** Drop a saved table AND its on-disk warehouse directory. The
+    * catalog is in-memory per JVM, so a previous run's table dirs
+    * survive on disk without catalog entries; the path must match
+    * build.sbt's -Dspark.sql.warehouse.dir. Shared by every spec
+    * that saves bucketed tables. */
+  def dropTableAndDir(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val d = new java.io.File(s"/tmp/graft-warehouse/$name")
+    if (d.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+  }
 }
