@@ -131,7 +131,48 @@ object Analytics {
       |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
       |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin
 
+  /** Strict ordered funnel over the event stream: users who viewed,
+    * then clicked AFTER their first view, then purchased AFTER that
+    * click. Two compact aggregations and one equi join on user_id —
+    * no sequence-scan blowup: stage times are per-user minima
+    * computed conditionally, so each stage is a filtered min over
+    * events already grouped once. Times are integer epoch-ns. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts_ns"))
+    val firstView = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_ns"))).as("t_view"))
+    val staged = ev.join(firstView, "user_id")
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(when(col("event_type") === "click" && col("ts_ns") > col("t_view"),
+        col("ts_ns"))).as("t_click"))
+    val staged2 = ev.join(staged, "user_id")
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts_ns") > col("t_click"),
+        col("ts_ns"))).as("t_buy"))
+    staged2.agg(
+      count(when(col("t_view").isNotNull, 1)).as("viewed"),
+      count(when(col("t_click").isNotNull, 1)).as("then_clicked"),
+      count(when(col("t_buy").isNotNull, 1)).as("then_purchased"))
+  }
+
+  val funnelStagesSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+      |fv AS (SELECT user_id,
+      |              min(CASE WHEN event_type = 'view' THEN ts_ns END) AS t_view
+      |       FROM ev GROUP BY 1),
+      |fc AS (SELECT ev.user_id, fv.t_view,
+      |              min(CASE WHEN event_type = 'click' AND ts_ns > t_view THEN ts_ns END) AS t_click
+      |       FROM ev JOIN fv ON ev.user_id = fv.user_id GROUP BY 1, 2),
+      |fp AS (SELECT ev.user_id, fc.t_view, fc.t_click,
+      |              min(CASE WHEN event_type = 'purchase' AND ts_ns > t_click THEN ts_ns END) AS t_buy
+      |       FROM ev JOIN fc ON ev.user_id = fc.user_id GROUP BY 1, 2, 3)
+      |SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS viewed,
+      |       count(*) FILTER (WHERE t_click IS NOT NULL) AS then_clicked,
+      |       count(*) FILTER (WHERE t_buy IS NOT NULL) AS then_purchased
+      |FROM fp""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_stages" -> (funnelStages _),
     "q19_discounted_revenue" -> (discountedRevenue _),
     "q6_forecast_revenue" -> (forecastRevenue _),
     "q4_late_priority" -> (latePriorityCount _),
@@ -140,6 +181,7 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_funnel_stages" -> funnelStagesSql,
     "q19_discounted_revenue" -> discountedRevenueSql,
     "q6_forecast_revenue" -> forecastRevenueSql,
     "q4_late_priority" -> latePriorityCountSql,
