@@ -171,7 +171,43 @@ object Analytics {
       |       count(*) FILTER (WHERE t_buy IS NOT NULL) AS then_purchased
       |FROM fp""".stripMargin
 
+  /** Cohort retention: users bucketed by the week of their first
+    * signup; for each cohort, distinct active users at each week
+    * offset. Week indices are integer epoch-day/7 arithmetic (no
+    * calendar week-start semantics to disagree on across engines).
+    * One filtered agg for cohorts, an equi join back, a distinct on
+    * compact keys, and the final count — all linear shuffles. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"),
+      expr("ts_ns DIV 1000000000 DIV 86400 DIV 7").as("wk"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    ev.join(cohort, "user_id")
+      .filter(col("wk") >= col("cohort_wk"))
+      .select(col("user_id"), col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .distinct()
+      .groupBy(col("cohort_wk"), col("offset_wk"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_wk"), col("offset_wk"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         epoch_ns(ts) // 1000000000 // 86400 // 7 AS wk
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(wk) AS cohort_wk
+      |  FROM ev WHERE event_type = 'signup' GROUP BY 1)
+      |SELECT cohort_wk, offset_wk, count(*) AS n_users
+      |FROM (
+      |  SELECT DISTINCT ev.user_id, cohort_wk, wk - cohort_wk AS offset_wk
+      |  FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+      |  WHERE wk >= cohort_wk)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> (cohortRetention _),
     "q_funnel_stages" -> (funnelStages _),
     "q19_discounted_revenue" -> (discountedRevenue _),
     "q6_forecast_revenue" -> (forecastRevenue _),
@@ -181,6 +217,7 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_cohort_retention" -> cohortRetentionSql,
     "q_funnel_stages" -> funnelStagesSql,
     "q19_discounted_revenue" -> discountedRevenueSql,
     "q6_forecast_revenue" -> forecastRevenueSql,
