@@ -78,6 +78,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("funnel stages are monotone non-increasing") {
+    val r = Analytics.funnelStages(spark, sf).head()
+    val (viewed, clicked, bought) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(viewed >= clicked && clicked >= bought)
+    assert(viewed > 0) // the fixture has view events
+  }
+
+  test("cohort retention at offset 0 equals the cohort size") {
+    // a signup IS an event in the cohort week, so every cohort member
+    // is active at offset 0 by construction
+    val rows = Analytics.cohortRetention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cohortSizes = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .selectExpr("user_id", "ts_ns DIV 1000000000 DIV 86400 DIV 7 AS wk")
+      .groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      .groupBy("cohort_wk").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cohortSizes.foreach { case (wk, size) =>
+      assert(rows((wk, 0L)) === size, s"cohort $wk offset 0")
+    }
+    // retention can only shrink or hold vs the cohort size
+    rows.foreach { case ((wk, _), n) => assert(n <= cohortSizes(wk)) }
+  }
+
   // ---------- windows ----------
 
   test("running total final row equals the customer's total spend") {
