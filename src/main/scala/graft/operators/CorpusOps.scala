@@ -191,7 +191,46 @@ object CorpusOps {
       |FROM terms JOIN freqs USING (term) CROSS JOIN total
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Quality gate with reject reasons — the reference's accept/reject
+    * side-output pattern (main.py:12–14) applied at corpus scale:
+    * every document gets a verdict and the FIRST failing rule as its
+    * reason (too-short, too-long, high token repetition, long mean
+    * word length). Pure per-row expressions; the reason taxonomy is
+    * what a pipeline operator actually debugs with. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t)
+    val meanLen = (length(col("text")) - (n - 1)).cast("double") / n // chars minus spaces
+    val dupRatio = lit(1.0) - size(array_distinct(t)).cast("double") / n
+    // thresholds sized to the corpus so every rule actually fires
+    // (token counts span 10–99, dup ratios 0–0.72 at sf0.01) — a gate
+    // whose buckets are all empty tests nothing
+    val reason = when(n < 20, "too-short")
+      .when(n > 90, "too-long")
+      .when(dupRatio > 0.6, "repetitive")
+      .when(meanLen > 5.5, "word-salad")
+      .otherwise("ok")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), reason.as("reason"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+      .orderBy(col("reason"))
+  }
+
+  val qualityGateSql: String =
+    """SELECT reason, count(*) AS n_docs, min(doc_id) AS example_doc
+      |FROM (
+      |  SELECT doc_id,
+      |         CASE WHEN len(t) < 20 THEN 'too-short'
+      |              WHEN len(t) > 90 THEN 'too-long'
+      |              WHEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) > 0.6 THEN 'repetitive'
+      |              WHEN CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) > 5.5 THEN 'word-salad'
+      |              ELSE 'ok' END AS reason
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))
+      |GROUP BY reason ORDER BY reason""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_gate" -> (qualityGate _),
     "corpus_unigram_logprob" -> (unigramLogprob _),
     "corpus_repetition" -> (repetition _),
     "corpus_split_hash" -> (splitHash _),
@@ -201,6 +240,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_quality_gate" -> qualityGateSql,
     "corpus_unigram_logprob" -> unigramLogprobSql,
     "corpus_repetition" -> repetitionSql,
     "corpus_split_hash" -> splitHashSql,

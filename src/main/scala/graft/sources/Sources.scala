@@ -85,6 +85,70 @@ object Sources {
       |       round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Plain-text source round-trip: documents dumped one-per-line as
+    * `doc_id<TAB>text` (the classic corpus interchange layout), read
+    * back with `spark.read.text` and re-parsed. Documents contain no
+    * newlines/tabs in this corpus, making the layout lossless — the
+    * oracle recomputes from the original table. */
+  def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("documents_text")
+    Tables.documents(spark, dir)
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .select(
+        split(col("value"), "\t").getItem(0).cast("long").as("doc_id"),
+        split(col("value"), "\t").getItem(1).as("text"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
+  val textRoundtripSql: String =
+    """SELECT count(*) AS n_docs,
+      |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents""".stripMargin
+
+  /** binaryFile ingestion — the multimodal front door: opaque payload
+    * files land as (path, length, content) rows. The fixture writes
+    * each of the 40 smallest documents' text bytes as a file; the
+    * query ingests them via `format("binaryFile")` and joins back to
+    * the documents table by content digest, proving payload fidelity.
+    * (Fixture generation collects 40 bounded rows driver-side —
+    * test-input setup, same pattern as the XLSX round-trip; the
+    * ingestion itself is fully distributed.) */
+  def binaryIngest(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("documents_bin")
+    // a previous run at another scale factor may have left files with
+    // other ids behind — the fixture must be exactly these 40
+    new java.io.File(out).listFiles().filter(_.getName.endsWith(".bin")).foreach(_.delete())
+    val fixture = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(40).collect()
+    fixture.foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/doc_${r.getLong(0)}.bin"),
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val files = spark.read.format("binaryFile").load(out)
+      .select(md5(col("content")).as("text_md5"), col("length"))
+    val docs = Tables.documents(spark, dir)
+      .orderBy(col("doc_id")).limit(40)
+      .select(md5(col("text").cast("binary")).as("text_md5"))
+    files.join(docs, "text_md5")
+      .agg(
+        count(lit(1)).as("n_matched"),
+        sum(col("length")).as("total_bytes"),
+        countDistinct(col("text_md5")).as("distinct_payloads"))
+  }
+
+  val binaryIngestSql: String =
+    """SELECT count(*) AS n_matched,
+      |       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+      |       count(DISTINCT md5(text)) AS distinct_payloads
+      |FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 40)""".stripMargin
+
   /** Partitioned-parquet sink + partition-pruned re-read: orders
     * written partitioned by status, then one partition read back.
     * At 100 TB this layout is what makes `WHERE o_orderstatus = 'F'`
@@ -162,6 +226,8 @@ object Sources {
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_json_roundtrip" -> (jsonRoundtrip _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
+    "src_text_roundtrip" -> (textRoundtrip _),
+    "src_binary_ingest" -> (binaryIngest _),
     "src_partitioned_sink" -> (partitionedSink _)
   )
 
@@ -171,6 +237,8 @@ object Sources {
     "src_csv_roundtrip" -> csvRoundtripSql,
     "src_json_roundtrip" -> jsonRoundtripSql,
     "src_orc_roundtrip" -> orcRoundtripSql,
+    "src_text_roundtrip" -> textRoundtripSql,
+    "src_binary_ingest" -> binaryIngestSql,
     "src_partitioned_sink" -> partitionedSinkSql
   )
 }
