@@ -277,6 +277,23 @@ object Graft {
     lit(1.0) - size(array_distinct(t)).cast("double") / size(t)
   }
 
+  /** Quality verdict for a document: "ok" or the FIRST failing rule
+    * ("too-short" / "too-long" / "repetitive" / "word-salad") — the
+    * accept/reject-with-reason gate of a corpus-cleaning stage, as a
+    * single per-row expression (map-only at any scale). Mean word
+    * length assumes single-space tokenization. */
+  def qualityVerdict(text: Column, minTokens: Int, maxTokens: Int,
+                     maxDupRatio: Double, maxMeanWordLen: Double): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    val meanLen = (length(text) - (n - 1)).cast("double") / n
+    when(n < minTokens, "too-short")
+      .when(n > maxTokens, "too-long")
+      .when(dupTokenRatio(text) > maxDupRatio, "repetitive")
+      .when(meanLen > maxMeanWordLen, "word-salad")
+      .otherwise("ok")
+  }
+
   /** Concat-and-chunk packing bin: documents are concatenated in
     * `order` within each `partition` value and cut into
     * `tokensPerBin`-token windows; a row's bin is where its first

@@ -197,25 +197,19 @@ object CorpusOps {
     * reason (too-short, too-long, high token repetition, long mean
     * word length). Pure per-row expressions; the reason taxonomy is
     * what a pipeline operator actually debugs with. */
-  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
-    val n = size(t)
-    val meanLen = (length(col("text")) - (n - 1)).cast("double") / n // chars minus spaces
-    val dupRatio = lit(1.0) - size(array_distinct(t)).cast("double") / n
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
     // thresholds sized to the corpus so every rule actually fires
     // (token counts span 10–99, dup ratios 0–0.72 at sf0.01) — a gate
-    // whose buckets are all empty tests nothing
-    val reason = when(n < 20, "too-short")
-      .when(n > 90, "too-long")
-      .when(dupRatio > 0.6, "repetitive")
-      .when(meanLen > 5.5, "word-salad")
-      .otherwise("ok")
+    // whose buckets are all empty tests nothing. Delegates to the
+    // facade's qualityVerdict (one definition of the rule order).
     Tables.documents(spark, dir)
-      .select(col("doc_id"), reason.as("reason"))
+      .select(col("doc_id"),
+        graft.api.Graft.qualityVerdict(col("text"),
+          minTokens = 20, maxTokens = 90,
+          maxDupRatio = 0.6, maxMeanWordLen = 5.5).as("reason"))
       .groupBy(col("reason"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
       .orderBy(col("reason"))
-  }
 
   val qualityGateSql: String =
     """SELECT reason, count(*) AS n_docs, min(doc_id) AS example_doc
