@@ -97,6 +97,29 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("splitLabel totality holds for arbitrary fraction partitions (property)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // random partitions of 100 into 2-5 named buckets
+    val partsGen = for {
+      n <- Gen.choose(2, 5)
+      cuts <- Gen.listOfN(n - 1, Gen.choose(1, 99)).map(_.distinct.sorted)
+        .suchThat(_.nonEmpty)
+    } yield {
+      val bounds = (0 +: cuts) :+ 100
+      bounds.sliding(2).zipWithIndex
+        .map { case (Seq(a, b), i) => s"s$i" -> (b - a) }.toSeq
+    }
+    val df = (0L until 500L).toDF("id").cache()
+    Gen.listOfN(25, partsGen).sample.getOrElse(Seq.empty).foreach { parts =>
+      val counts = df.withColumn("s", Graft.splitLabel(col("id"), parts))
+        .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.values.sum === 500L, s"parts=$parts") // every row labeled exactly once
+      assert(counts.keySet.subsetOf(parts.map(_._1).toSet), s"parts=$parts")
+    }
+    df.unpersist()
+  }
+
   test("sampledBy is deterministic and consistent with splitLabel's hash") {
     import spark.implicits._
     val df = (0L until 1000L).toDF("id")

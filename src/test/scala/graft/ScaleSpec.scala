@@ -150,6 +150,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("near-dup candidate generation stays an equi join (no cartesian regression)") {
+    // the round-2 fix replaced quadratic attribute blocking with an
+    // equi self-join on band signatures; pin the plan shape so a
+    // future edit can't silently reintroduce a pair-explosion
+    val df = graft.operators.Dedup.ngramJaccard(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("LSH ANN joins on the bucket signature, never all-pairs") {
+    val df = graft.operators.Similarity.annTopK(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("observe() collects pipeline metrics in the same pass as the query") {
     // production pipelines need row counts / quality metrics WITHOUT a
     // second scan; df.observe attaches aggregates to the existing plan
