@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  private def toks(c: Column): Column = split(c, " ")
+  private def toks(c: Column): Column = graft.api.Graft.tokens(c)
 
   private def nToks(c: Column): Column = size(toks(c)).cast("long")
 
@@ -31,11 +31,11 @@ object CorpusOps {
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     val t = toks(col("text"))
     val n = size(t)
-    val bigrams = when(n >= 2,
-      transform(sequence(lit(0), n - 2),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-      .otherwise(array())
-    val dupTok = lit(1.0) - size(array_distinct(t)).cast("double") / n
+    // facade reuse: dupTokenRatio and 2-gram shingles are the single
+    // definitions of these constructs (shingles' short-text fallback
+    // is irrelevant under the n >= 2 guard)
+    val dupTok = graft.api.Graft.dupTokenRatio(col("text"))
+    val bigrams = graft.api.Graft.shingles(col("text"), 2)
     val dupBi = when(n >= 2,
       lit(1.0) - size(array_distinct(bigrams)).cast("double") / (n - 1))
       .otherwise(lit(0.0))

@@ -96,9 +96,10 @@ object Sources {
       .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
       .write.mode("overwrite").text(out)
     spark.read.text(out)
+      .select(split(col("value"), "\t").as("p"))
       .select(
-        split(col("value"), "\t").getItem(0).cast("long").as("doc_id"),
-        split(col("value"), "\t").getItem(1).as("text"))
+        col("p").getItem(0).cast("long").as("doc_id"),
+        col("p").getItem(1).as("text"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(length(col("text"))).as("total_chars"),
