@@ -120,6 +120,38 @@ object ScaleProbe {
       (name, secs, n)
     }
 
+    // ---- as-of deep-history probe (VERDICT r2 #9): one hot key whose
+    // history is deep — the shape where the join+window baseline
+    // materializes |events|×|history| pairs before its rank-1 filter
+    // (quadratic in the per-key depth) while AsofJoinExec's per-key
+    // streaming merge walks each side once (O(n+m)). Both routes over
+    // identical synthetic data: n events and n orders, ALL on one key.
+    def asofDeep(n: Int, route: String): () => Long = () => {
+      val left = spark.range(0, n).select(col("id").as("event_id"),
+        lit(1L).as("key"), (col("id") * 7L % (10L * n)).as("t"))
+      val right = spark.range(0, n).select(lit(1L).as("rkey"),
+        (col("id") * 3L % (10L * n)).as("rt"), col("id").as("rid"))
+      route match {
+        case "window" =>
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("event_id"))
+            .orderBy(col("rt").desc, col("rid").desc)
+          left.join(right, col("key") === col("rkey") && col("rt") <= col("t"))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .count()
+        case _ =>
+          graft.plans.AsofJoin.asofJoin(spark, left, right,
+            "key", "t", "rkey", "rt", "rid", Seq("rid")).count()
+      }
+    }
+    val asofRows = Seq("window" -> "asof_window_deep (pair-materializing baseline)",
+      "exec" -> "asof_exec_deep (AsofJoinExec streaming merge)").map {
+      case (route, label) =>
+        val (s1, _) = timeSecond(asofDeep(1000, route))
+        val (s2, _) = timeSecond(asofDeep(10000, route))
+        (label, s1, s2)
+    }
+
     val small = probes(sf01)
     val large = probes(big)
     val sb = new StringBuilder
@@ -138,6 +170,19 @@ object ScaleProbe {
     sb.append("| operator | sf0.1 s | ~sf1 s | time ratio | sf0.1 result rows | ~sf1 result rows |\n|---|---|---|---|---|---|\n")
     small.zip(large).foreach { case ((n, s1, c1), (_, s2, c2)) =>
       sb.append(f"| $n | $s1%.2f | $s2%.2f | ${s2 / s1}%.1fx | $c1 | $c2 |\n")
+    }
+    sb.append("\n## As-of deep-history probe (one hot key, 10^3 -> 10^4 rows/side)\n\n")
+    sb.append("The per-key-depth scaling law, measured: the join+window baseline\n")
+    sb.append("materializes |events|x|history| pairs on the hot key before its\n")
+    sb.append("rank-1 filter — candidate pairs grow 100x for a 10x depth increase\n")
+    sb.append("(0.5M -> 50M here) — while AsofJoinExec's per-partition streaming\n")
+    sb.append("merge holds one buffered row and walks each side once, so its cost\n")
+    sb.append("tracks the 10x row growth. This is why `join_asof` is a\n")
+    sb.append("correctness-only formulation (excluded from the bench headline set)\n")
+    sb.append("and `join_asof_plan` is the production route.\n\n")
+    sb.append("| route | 10^3 s | 10^4 s | time ratio (10x rows) |\n|---|---|---|---|\n")
+    asofRows.foreach { case (label, s1, s2) =>
+      sb.append(f"| $label | $s1%.2f | $s2%.2f | ${s2 / s1}%.1fx |\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("docs/SCALE.md"), sb.toString)
     println(sb.toString)

@@ -25,8 +25,11 @@ object Verify {
         f.delete(); ()
       }
       rm(new java.io.File(s"$outDir/$name"))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // routed through the warehouse sink seam (SURVEY §2.1 S5): in
+      // prod this call is format="bigquery"; offline it's parquet —
+      // the format string is the only difference
+      try graft.api.Graft.writeWarehouse(
+        fn(spark, sfDir).coalesce(1), "parquet", s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         rm(new java.io.File(s"$outDir/$name"))

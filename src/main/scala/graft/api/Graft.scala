@@ -40,8 +40,19 @@ object Graft {
 
   // ---------- text primitives ----------
 
-  /** Whitespace tokenization. */
+  /** Whitespace tokenization (single-space split — the documented
+    * default for this corpus, where text is single-space normalized;
+    * oracle parity: DuckDB string_split(text, ' ')). */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Regex tokenization — the real-corpus upgrade of [[tokens]]
+    * (SURVEY §2.10's `split(lower(text), '\\s+')` sketch): splits on
+    * `pattern` and drops empty tokens, so leading/trailing/repeated
+    * separators don't manufacture phantom tokens. Still one codegen'd
+    * per-row expression. DuckDB parity:
+    * `list_filter(regexp_split_to_array(text, pattern), t -> t <> '')`. */
+  def tokens(text: Column, pattern: String): Column =
+    filter(split(text, pattern), t => t =!= "")
 
   /** Content digest for exact dedup (md5 — engine-portable). */
   def contentDigest(text: Column): Column = md5(text.cast("binary"))
@@ -244,6 +255,28 @@ object Graft {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("__cos").as("cosine"))
   }
 
+  // ---------- warehouse sink seam (SURVEY §2.1 S5) ----------
+
+  /** The warehouse-load seam: the reference's terminal step pushes
+    * accepted rows to an analytics warehouse (the stubbed load intent,
+    * /root/reference/main.py:17). In production on Spark that is
+    * `df.write.format("bigquery").option("table", …)` (or any DSv2
+    * warehouse connector); offline it's parquet. This seam makes the
+    * format string + options the ONLY difference between the two — the
+    * dataflow code is identical, which is what lets the same pipeline
+    * run against the test harness and a production warehouse.
+    *
+    * Scale note: the write parallelism is the upstream partitioning —
+    * this seam adds no coalesce/repartition of its own, so a 1000-file
+    * partitioned layout streams from 1000 tasks. */
+  def writeWarehouse(df: DataFrame, format: String, path: String,
+                     partitionBy: Seq[String] = Nil,
+                     mode: String = "overwrite",
+                     options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format(format).mode(mode).options(options)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+
   // ---------- corpus-preparation operators ----------
 
   /** First 8 md5 hex chars of an id as a positive long — the
@@ -277,20 +310,48 @@ object Graft {
     lit(1.0) - size(array_distinct(t)).cast("double") / size(t)
   }
 
-  /** Quality verdict for a document: "ok" or the FIRST failing rule
-    * ("too-short" / "too-long" / "repetitive" / "word-salad") — the
-    * accept/reject-with-reason gate of a corpus-cleaning stage, as a
-    * single per-row expression (map-only at any scale). Mean word
-    * length assumes single-space tokenization. */
+  /** Stop-word list for the few-stopwords Gopher rule (the corpus
+    * vocabulary only carries "the"/"a", but the rule takes the standard
+    * short list). */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Quality verdict for a document: "ok" or the FIRST failing rule —
+    * the Gopher-style accept/reject-with-reason gate of a
+    * corpus-cleaning stage as ONE per-row expression (map-only at any
+    * scale). Rules in order: word-count bounds ("too-short" /
+    * "too-long"), line-shape ratios ("bullet-heavy" lines starting
+    * with •, "ellipsis-heavy" lines ending with …), symbol-to-word
+    * ratio over [#…] ("symbol-heavy"), mean word length
+    * ("word-salad"), distinct stop-word presence ("few-stopwords"),
+    * duplicate-token ratio ("repetitive"). Line rules come before the
+    * symbol rule because … is both a line marker and a symbol.
+    * Tokenization is the regex-whitespace variant ([[tokens(text,
+    * pattern)]]), so messy multi-line text counts correctly; the new
+    * rules default to disabled (ratio thresholds ≥ 1e9, minStopwords
+    * 0) for callers of the original four-rule gate. */
   def qualityVerdict(text: Column, minTokens: Int, maxTokens: Int,
-                     maxDupRatio: Double, maxMeanWordLen: Double): Column = {
-    val t = tokens(text)
-    val n = size(t)
-    val meanLen = (length(text) - (n - 1)).cast("double") / n
+                     maxDupRatio: Double, maxMeanWordLen: Double,
+                     maxBulletRatio: Double = 1e9, maxEllipsisRatio: Double = 1e9,
+                     maxSymbolRatio: Double = 1e9, minStopwords: Int = 0): Column = {
+    val w = tokens(text, "\\s+")
+    val n = size(w)
+    val nd = n.cast("double")
+    val meanLen = length(array_join(w, "")).cast("double") / nd
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletRatio = size(filter(lines, l => l.startsWith("•"))).cast("double") / nLines
+    val ellipsisRatio = size(filter(lines, l => l.endsWith("…"))).cast("double") / nLines
+    val symbolRatio = (length(text) - length(regexp_replace(text, "[#…]", ""))).cast("double") / nd
+    val stopHits = size(array_intersect(array_distinct(w), array(stopwords.map(lit): _*)))
+    val dupRatio = lit(1.0) - size(array_distinct(w)).cast("double") / nd
     when(n < minTokens, "too-short")
       .when(n > maxTokens, "too-long")
-      .when(dupTokenRatio(text) > maxDupRatio, "repetitive")
+      .when(bulletRatio > maxBulletRatio, "bullet-heavy")
+      .when(ellipsisRatio > maxEllipsisRatio, "ellipsis-heavy")
+      .when(symbolRatio > maxSymbolRatio, "symbol-heavy")
       .when(meanLen > maxMeanWordLen, "word-salad")
+      .when(stopHits < minStopwords, "few-stopwords")
+      .when(dupRatio > maxDupRatio, "repetitive")
       .otherwise("ok")
   }
 

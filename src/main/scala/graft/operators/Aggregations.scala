@@ -137,32 +137,66 @@ object Aggregations {
       |      FROM nation JOIN region ON n_regionkey = r_regionkey)
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
-  /** HLL++ approximate distinct — algorithm-specific, so no SQL oracle
-    * (DuckDB's approx_count_distinct uses a different sketch); verified
-    * by a ScalaTest bound against the exact count instead. */
+  /** HLL++ approximate distinct. The sketch VALUE is engine-specific
+    * (DuckDB uses a different HLL), so the oracle-checked output is the
+    * ERROR-BOUND VERDICT: exact distinct (engine-agnostic) plus a
+    * boolean `within_bound` = |approx − exact| ≤ 5·rsd·exact. DuckDB
+    * computes the same exact count and a literal TRUE — the hash
+    * matches iff Spark's sketch lands inside its published error bar
+    * (rsd 0.01; HLL++ is deterministic for fixed input, so this is a
+    * stable check, with 5× headroom since rsd is a standard deviation,
+    * not a hard max). A ScalaTest bound double-covers it. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("exact_users"), col("cnt"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          lit(5 * 0.01) * col("exact_users")).as("within_bound"))
       .orderBy(col("event_type"))
+
+  val approxDistinctSql: String =
+    """SELECT event_type,
+      |       count(DISTINCT user_id) AS exact_users,
+      |       count(*) AS cnt,
+      |       TRUE AS within_bound
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Approximate quantiles via Spark's Greenwald-Khanna-style sketch
     * (percentile_approx) — mergeable partial sketches make this a
     * single-pass, bounded-memory aggregation at 100 TB where exact
-    * percentiles need a full sort. Sketch-specific results, so no SQL
-    * oracle (DuckDB's approx_quantile is t-digest); bounded by a
-    * ScalaTest rank-error assertion against the exact percentile
-    * instead (OperatorsSpec). */
+    * percentiles need a full sort. As with [[approxDistinct]], the
+    * sketch value is engine-specific (DuckDB's approx_quantile is
+    * t-digest), so the oracle checks the ERROR-BOUND VERDICT: the
+    * approx value must land between the exact quantiles at rank
+    * q ± 10·(1/accuracy) (GK rank error is 1/accuracy = 0.001; 10×
+    * headroom). quantile_disc on both sides is a data value —
+    * bit-identical across engines. */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
         expr("percentile_approx(o_totalprice, 0.5, 1000)").as("p50_approx"),
         expr("percentile_approx(o_totalprice, 0.95, 1000)").as("p95_approx"),
+        // exact discrete quantiles at the rank-error envelope edges
+        expr("percentile_approx(o_totalprice, 0.49, 1000000000)").as("p50_lo"),
+        expr("percentile_approx(o_totalprice, 0.51, 1000000000)").as("p50_hi"),
+        expr("percentile_approx(o_totalprice, 0.94, 1000000000)").as("p95_lo"),
+        expr("percentile_approx(o_totalprice, 0.96, 1000000000)").as("p95_hi"),
         count(lit(1)).as("cnt"))
+      .select(col("o_orderstatus"), col("cnt"),
+        (col("p50_approx") >= col("p50_lo") && col("p50_approx") <= col("p50_hi")).as("p50_in_envelope"),
+        (col("p95_approx") >= col("p95_lo") && col("p95_approx") <= col("p95_hi")).as("p95_in_envelope"))
       .orderBy(col("o_orderstatus"))
+
+  val approxQuantilesSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |       TRUE AS p50_in_envelope,
+      |       TRUE AS p95_in_envelope
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Two-phase salted aggregation for skewed keys: phase 1 groups on
     * (key, salt) — spreading a hot key over 16 reducers — phase 2
@@ -205,8 +239,10 @@ object Aggregations {
     "agg_distinct_counts" -> distinctCountsSql,
     "agg_filtered" -> filteredAggSql,
     "agg_collect_set" -> collectNationsSql,
-    "agg_salted_skew" -> saltedSkewAggSql
-    // agg_approx_distinct / agg_approx_quantiles intentionally have no
-    // oracle (sketch-specific results differ across engines)
+    "agg_salted_skew" -> saltedSkewAggSql,
+    // sketch VALUES are engine-specific; the oracle checks the
+    // error-bound verdict (exact stats + within-bound booleans)
+    "agg_approx_distinct" -> approxDistinctSql,
+    "agg_approx_quantiles" -> approxQuantilesSql
   )
 }

@@ -194,33 +194,65 @@ object CorpusOps {
   /** Quality gate with reject reasons — the reference's accept/reject
     * side-output pattern (main.py:12–14) applied at corpus scale:
     * every document gets a verdict and the FIRST failing rule as its
-    * reason (too-short, too-long, high token repetition, long mean
-    * word length). Pure per-row expressions; the reason taxonomy is
-    * what a pipeline operator actually debugs with. */
-  def qualityGate(spark: SparkSession, dir: String): DataFrame =
-    // thresholds sized to the corpus so every rule actually fires
-    // (token counts span 10–99, dup ratios 0–0.72 at sf0.01) — a gate
-    // whose buckets are all empty tests nothing. Delegates to the
-    // facade's qualityVerdict (one definition of the rule order).
+    * reason. The COMPLETE Gopher rule set: word-count bounds, bullet /
+    * ellipsis line-shape ratios, symbol-to-word ratio, mean word
+    * length, stop-word presence, token repetition. The corpus text is
+    * single-space normalized, so the query deterministically
+    * manufactures each messy shape a real crawl has (doc_id%5 buckets:
+    * symbol runs, bullet lines, ellipsis line-ends, stop-word-free
+    * text) before gating — thresholds sized so EVERY reason fires at
+    * sf0.01. Still pure per-row expressions (map-only at any scale);
+    * delegates to the facade's qualityVerdict (one definition of the
+    * rule order). */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val b = col("doc_id") % 5
+    val messy =
+      when(b === 1, concat(col("text"), lit(" # # #")))
+        .when(b === 2, regexp_replace(col("text"), " ", "\n• "))
+        .when(b === 3, regexp_replace(col("text"), " ", "…\n"))
+        .when(b === 4, array_join(
+          filter(split(col("text"), " "), w => !w.isin("the", "a")), " "))
+        .otherwise(col("text"))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        graft.api.Graft.qualityVerdict(col("text"),
+        graft.api.Graft.qualityVerdict(messy,
           minTokens = 20, maxTokens = 90,
-          maxDupRatio = 0.6, maxMeanWordLen = 5.5).as("reason"))
+          maxDupRatio = 0.6, maxMeanWordLen = 5.0,
+          maxBulletRatio = 0.5, maxEllipsisRatio = 0.5,
+          maxSymbolRatio = 0.02, minStopwords = 1).as("reason"))
       .groupBy(col("reason"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
       .orderBy(col("reason"))
+  }
 
   val qualityGateSql: String =
-    """SELECT reason, count(*) AS n_docs, min(doc_id) AS example_doc
+    """WITH messy AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 5 = 1 THEN text || ' # # #'
+      |              WHEN doc_id % 5 = 2 THEN replace(text, ' ', chr(10) || '• ')
+      |              WHEN doc_id % 5 = 3 THEN replace(text, ' ', '…' || chr(10))
+      |              WHEN doc_id % 5 = 4 THEN array_to_string(list_filter(string_split(text, ' '), w -> w NOT IN ('the','a')), ' ')
+      |              ELSE text END AS text
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w,
+      |         string_split(text, chr(10)) AS lines,
+      |         length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS symbols
+      |  FROM messy)
+      |SELECT reason, count(*) AS n_docs, min(doc_id) AS example_doc
       |FROM (
       |  SELECT doc_id,
-      |         CASE WHEN len(t) < 20 THEN 'too-short'
-      |              WHEN len(t) > 90 THEN 'too-long'
-      |              WHEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) > 0.6 THEN 'repetitive'
-      |              WHEN CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) > 5.5 THEN 'word-salad'
+      |         CASE WHEN len(w) < 20 THEN 'too-short'
+      |              WHEN len(w) > 90 THEN 'too-long'
+      |              WHEN CAST(len(list_filter(lines, l -> l LIKE '•%')) AS DOUBLE) / len(lines) > 0.5 THEN 'bullet-heavy'
+      |              WHEN CAST(len(list_filter(lines, l -> l LIKE '%…')) AS DOUBLE) / len(lines) > 0.5 THEN 'ellipsis-heavy'
+      |              WHEN CAST(symbols AS DOUBLE) / len(w) > 0.02 THEN 'symbol-heavy'
+      |              WHEN CAST(length(array_to_string(w, '')) AS DOUBLE) / len(w) > 5.0 THEN 'word-salad'
+      |              WHEN len(list_intersect(list_distinct(w), ['the','a','and','of','to','in'])) < 1 THEN 'few-stopwords'
+      |              WHEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.6 THEN 'repetitive'
       |              ELSE 'ok' END AS reason
-      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))
+      |  FROM feat)
       |GROUP BY reason ORDER BY reason""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -313,20 +313,20 @@ object Joins {
     * the §2.3(c) route. Same oracle as the window and cogroup
     * formulations: three implementations, one semantics. */
   def asofJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    // timestamps go in AS timestamps — the operator resolves them to
+    // epoch micros internally (TimestampType left, TIMESTAMP_NTZ right)
     val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"),
-        expr("ts_ns DIV 1000000000").as("ev_sec"))
+      .select(col("event_id"), col("user_id"), col("ts"))
     val ord = Tables.orders(spark, dir)
-      .select(col("o_custkey"), col("o_orderkey"),
-        unix_timestamp(col("o_orderdate")).as("ord_sec"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
     graft.plans.AsofJoin.asofJoin(spark, ev, ord,
-        leftKeyCol = "user_id", leftTimeCol = "ev_sec",
-        rightKeyCol = "o_custkey", rightTimeCol = "ord_sec",
-        tiebreakCol = "o_orderkey", payloadCols = Seq("o_orderkey", "ord_sec"))
+        leftKeyCol = "user_id", leftTimeCol = "ts",
+        rightKeyCol = "o_custkey", rightTimeCol = "o_orderdate",
+        tiebreakCol = "o_orderkey", payloadCols = Seq("o_orderkey", "o_orderdate"))
       .select(
         col("event_id"),
         col("o_orderkey").as("asof_orderkey"),
-        date_format(timestamp_seconds(col("ord_sec")), "yyyy-MM-dd").as("asof_orderdate"))
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_orderdate"))
       .orderBy(col("event_id"))
   }
 

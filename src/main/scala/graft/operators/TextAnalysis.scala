@@ -37,6 +37,37 @@ object TextAnalysis {
       |       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Regex-whitespace tokenization over MESSY text: the corpus text is
+    * single-space normalized, so the query first manufactures the messy
+    * shape a real corpus has (runs of spaces, leading space, trailing
+    * tab) and then tokenizes with the facade's regex variant
+    * ([[graft.api.Graft.tokens(text,pattern)]], `\s+`, empty tokens
+    * dropped). `matches_simple` pins the invariant that regex
+    * tokenization of the messy text recovers exactly the single-space
+    * token count of the clean text — the property that makes the two
+    * tokenizers interchangeable on normalized corpora. */
+  def tokenStatsWs(spark: SparkSession, dir: String): DataFrame = {
+    val messy = concat(lit(" "), regexp_replace(col("text"), " ", "   "), lit("\t"))
+    val toks = graft.api.Graft.tokens(messy, "\\s+")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      (size(toks) === size(words(col("text")))).as("matches_simple"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenStatsWsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(toks) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |       len(toks) = len(string_split(text, ' ')) AS matches_simple
+      |FROM (SELECT doc_id, text,
+      |             list_filter(regexp_split_to_array(' ' || replace(text, ' ', '   ') || chr(9), '\s+'),
+      |                         t -> t <> '') AS toks
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Quality scoring: stopword ratio, average word length, repetition
     * (1 - distinct/total) — the usual cheap curation heuristics. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -140,7 +171,13 @@ object TextAnalysis {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf_raw").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    // NO broadcast hint on df: the document-frequency table is
+    // vocabulary-sized and grows with the corpus — a forced broadcast
+    // OOMs driver+executors at 100 TB. Left to the optimizer, AQE
+    // still broadcasts while df fits under the threshold, and falls
+    // back to a shuffled hash join on the compact `term` key when it
+    // doesn't (same policy as CorpusOps.unigramLogprob).
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf_raw", col("tf") * log(col("n_docs").cast("double") / col("df")))
       .withColumn("rn", row_number().over(w))
@@ -168,6 +205,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (tokenStats _),
+    "text_token_stats_ws" -> (tokenStatsWs _),
     "text_quality_score" -> (qualityScore _),
     "text_langid_confusion" -> (langIdConfusion _),
     "text_fingerprint" -> (fingerprint _),
@@ -177,6 +215,7 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = Map(
     "text_token_stats" -> tokenStatsSql,
+    "text_token_stats_ws" -> tokenStatsWsSql,
     "text_quality_score" -> qualityScoreSql,
     "text_langid_confusion" -> langIdConfusionSql,
     "text_fingerprint" -> fingerprintSql,

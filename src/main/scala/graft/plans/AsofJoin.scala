@@ -132,27 +132,61 @@ case class AsofJoinExec(
 
 object AsofJoin {
 
+  /** Key/time column normalization: the exec reads key and time with
+    * `getLong`, so LongType passes through, integral types widen, and
+    * timestamp types resolve to epoch MICROSECONDS (TimestampNTZ is
+    * interpreted in the session time zone, matching `unix_micros` on a
+    * cast — the engine-wide convention). Mixing a raw-long side with a
+    * timestamp side is the caller's responsibility: the long side must
+    * already be epoch micros. The user-visible column is untouched — a
+    * shadow column carries the normalized value and is dropped from the
+    * output. Returns (augmented df, effective column name). */
+  private def normalized(df: DataFrame, colName: String, shadow: String): (DataFrame, String) = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    df.schema(colName).dataType match {
+      case LongType => (df, colName)
+      case ByteType | ShortType | IntegerType =>
+        (df.withColumn(shadow, col(colName).cast("long")), shadow)
+      case TimestampType =>
+        (df.withColumn(shadow, unix_micros(col(colName))), shadow)
+      case _: TimestampNTZType =>
+        (df.withColumn(shadow, unix_micros(col(colName).cast(TimestampType))), shadow)
+      case t => throw new IllegalArgumentException(
+        s"asof join column $colName: unsupported type $t (need integral or timestamp)")
+    }
+  }
+
   /** Public API: as-of join `left` with `right` on
     * left(keyCol)=right(keyCol') with right.time ≤ left.time, keeping
     * the latest right match per left row (ties broken by the greatest
-    * `tiebreakCol`). Key/time columns must be LongType. `payloadCols`
-    * from the right side are appended to the left columns. */
+    * `tiebreakCol`). Key/time columns may be any integral or timestamp
+    * type (timestamps are resolved to epoch micros internally — no
+    * manual `DIV 1000000000` epoch math needed). `payloadCols` from the
+    * right side are appended to the left columns. */
   def asofJoin(spark: SparkSession,
                leftDf: DataFrame, rightDf: DataFrame,
                leftKeyCol: String, leftTimeCol: String,
                rightKeyCol: String, rightTimeCol: String,
                tiebreakCol: String, payloadCols: Seq[String]): DataFrame = {
     GraftShim.addStrategy(spark, AsofJoinStrategy)
-    val lPlan = leftDf.queryExecution.analyzed
-    val rPlan = rightDf.queryExecution.analyzed
+    val (l1, lk) = normalized(leftDf, leftKeyCol, "__graft_asof_lk")
+    val (l2, lt) = normalized(l1, leftTimeCol, "__graft_asof_lt")
+    val (r1, rk) = normalized(rightDf, rightKeyCol, "__graft_asof_rk")
+    val (r2, rt) = normalized(r1, rightTimeCol, "__graft_asof_rt")
+    val lPlan = l2.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
-    GraftShim.ofRows(spark, AsofJoinNode(
+    val out = GraftShim.ofRows(spark, AsofJoinNode(
       lPlan, rPlan,
-      attr(lPlan, leftKeyCol), attr(lPlan, leftTimeCol),
-      attr(rPlan, rightKeyCol), attr(rPlan, rightTimeCol),
+      attr(lPlan, lk), attr(lPlan, lt),
+      attr(rPlan, rk), attr(rPlan, rt),
       attr(rPlan, tiebreakCol),
       payloadCols.map(attr(rPlan, _))))
+    // left-side shadows ride along in the node output (output = left ++
+    // payload); drop them so the caller sees the original schema
+    out.drop(Seq("__graft_asof_lk", "__graft_asof_lt").filter(out.columns.contains): _*)
   }
 }

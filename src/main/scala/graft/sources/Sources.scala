@@ -156,8 +156,9 @@ object Sources {
     * a directory prune instead of a full scan. */
   def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
     val out = tmpDir("orders_part")
-    Tables.orders(spark, dir)
-      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    // through the warehouse sink seam (S5): format="bigquery" in prod
+    graft.api.Graft.writeWarehouse(Tables.orders(spark, dir), "parquet", out,
+      partitionBy = Seq("o_orderstatus"))
     spark.read.parquet(out)
       .filter(col("o_orderstatus") === "F")
       .groupBy(col("o_orderstatus"))

@@ -237,10 +237,16 @@ class XlsxReaderFactory(fullSchema: StructType, required: StructType)
   }
 }
 
-/** JDK-only XLSX parsing: zip entries + DOM over the two relevant
-  * parts. Cell addresses (`r="B3"`) give the column index; `t="s"`
-  * cells indirect through the shared-strings table; `t="inlineStr"`
-  * carries `<is><t>`; everything else takes `<v>` verbatim. */
+/** JDK-only XLSX parsing: zip entries + DOM over the relevant parts.
+  * Cell addresses (`r="B3"`, multi-letter `AA1`+ supported) give the
+  * column index; `t="s"` cells indirect through the shared-strings
+  * table; `t="inlineStr"` concatenates ALL `<t>` runs (rich-text
+  * inline strings split one logical value across `<r>` runs);
+  * `t="d"` carries an ISO-8601 literal; numeric cells whose style
+  * resolves to a date number format are converted to ISO dates using
+  * the workbook's date system (`<workbookPr date1904="1"/>` → the
+  * 1904 epoch; otherwise the 1900 system including its phantom
+  * Feb-29-1900 offset); everything else takes `<v>` verbatim. */
 object XlsxParser {
 
   private def columnIndex(cellRef: String): Int = {
@@ -251,6 +257,39 @@ object XlsxParser {
       i += 1
     }
     acc - 1
+  }
+
+  /** Built-in date numFmtIds (ECMA-376 §18.8.30) plus custom codes
+    * containing date tokens (y/d, or m outside quoted/[bracketed]
+    * sections — 'm' alone can mean minutes, but only alongside date
+    * context here; literal text in quotes doesn't count). */
+  private def isDateFormat(fmtId: Int, code: Option[String]): Boolean =
+    (fmtId >= 14 && fmtId <= 22) || (fmtId >= 45 && fmtId <= 47) ||
+      code.exists { c =>
+        val bare = c.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
+        bare.exists(ch => ch == 'y' || ch == 'd') ||
+          (bare.contains("m") && !bare.exists(ch => ch == 'h' || ch == 's'))
+      }
+
+  /** Excel date serial → ISO string. 1900 system: serial 1 =
+    * 1900-01-01, with the phantom 1900 leap day at serial 60 — so
+    * serials ≥ 61 are days since 1899-12-30, below that since
+    * 1899-12-31. 1904 system: days since 1904-01-01. Whole serials
+    * print as dates; fractional ones carry a seconds-rounded time. */
+  private[graft] def dateSerialToIso(serial: Double, date1904: Boolean): String = {
+    val days = math.floor(serial).toLong
+    val base =
+      if (date1904) java.time.LocalDate.of(1904, 1, 1)
+      else if (days >= 61) java.time.LocalDate.of(1899, 12, 30)
+      else java.time.LocalDate.of(1899, 12, 31)
+    val date = base.plusDays(days)
+    val frac = serial - days
+    if (frac == 0.0) date.toString
+    else {
+      val secs = math.round(frac * 86400).toInt
+      date.atStartOfDay.plusSeconds(secs)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    }
   }
 
   def parse(path: String): Seq[Seq[String]] = {
@@ -272,6 +311,39 @@ object XlsxParser {
         (0 until sis.getLength).map(i => sis.item(i).getTextContent)
       }.getOrElse(IndexedSeq.empty)
 
+      // workbook date system (1900 default; date1904="1"/"true" opts in)
+      val date1904: Boolean = Option(zip.getEntry("xl/workbook.xml")).exists { e =>
+        val doc = db.parse(zip.getInputStream(e))
+        val prs = doc.getElementsByTagName("workbookPr")
+        (0 until prs.getLength).exists { i =>
+          val v = prs.item(i).asInstanceOf[org.w3c.dom.Element].getAttribute("date1904")
+          v == "1" || v == "true"
+        }
+      }
+
+      // style index → is-date-format, via styles.xml cellXfs + numFmts
+      val dateStyles: Set[Int] = Option(zip.getEntry("xl/styles.xml")).map { e =>
+        val doc = db.parse(zip.getInputStream(e))
+        val custom: Map[Int, String] = {
+          val fmts = doc.getElementsByTagName("numFmt")
+          (0 until fmts.getLength).map { i =>
+            val f = fmts.item(i).asInstanceOf[org.w3c.dom.Element]
+            f.getAttribute("numFmtId").toInt -> f.getAttribute("formatCode")
+          }.toMap
+        }
+        val xfsParents = doc.getElementsByTagName("cellXfs")
+        if (xfsParents.getLength == 0) Set.empty[Int]
+        else {
+          val xfs = xfsParents.item(0).asInstanceOf[org.w3c.dom.Element]
+            .getElementsByTagName("xf")
+          (0 until xfs.getLength).flatMap { i =>
+            val id = Option(xfs.item(i).asInstanceOf[org.w3c.dom.Element]
+              .getAttribute("numFmtId")).filter(_.nonEmpty).map(_.toInt).getOrElse(0)
+            if (isDateFormat(id, custom.get(id))) Some(i) else None
+          }.toSet
+        }
+      }.getOrElse(Set.empty)
+
       val sheet = Option(zip.getEntry("xl/worksheets/sheet1.xml")).getOrElse(
         throw new IllegalArgumentException(s"$path: no xl/worksheets/sheet1.xml"))
       val doc = db.parse(zip.getInputStream(sheet))
@@ -290,11 +362,25 @@ object XlsxParser {
               val vs = cell.getElementsByTagName("v")
               if (vs.getLength > 0) shared(vs.item(0).getTextContent.trim.toInt) else null
             case "inlineStr" =>
+              // rich-text inline strings carry multiple <r><t> runs —
+              // one logical value, concatenated in document order
               val is = cell.getElementsByTagName("t")
-              if (is.getLength > 0) is.item(0).getTextContent else null
-            case _ =>
+              if (is.getLength > 0)
+                (0 until is.getLength).map(is.item(_).getTextContent).mkString
+              else null
+            case "d" => // ISO-8601 date literal cell — verbatim
               val vs = cell.getElementsByTagName("v")
               if (vs.getLength > 0) vs.item(0).getTextContent else null
+            case _ =>
+              val vs = cell.getElementsByTagName("v")
+              val raw = if (vs.getLength > 0) vs.item(0).getTextContent else null
+              // numeric cell styled as a date → resolve through the
+              // workbook date system to an ISO string
+              val s = cell.getAttribute("s")
+              if (raw != null && s.nonEmpty && dateStyles.contains(s.toInt))
+                try dateSerialToIso(raw.trim.toDouble, date1904)
+                catch { case _: NumberFormatException => raw }
+              else raw
           }
           while (out.length <= idx) out += null
           out(idx) = value

@@ -101,6 +101,28 @@ class AsofPlanSpec extends SparkSpec {
       s"bucketed as-of join must not shuffle:\n$plan")
   }
 
+  test("TimestampType key/time columns resolve internally (no manual epoch math)") {
+    // same scenario as the long-typed base case, but times are real
+    // timestamps (left TimestampType, right TIMESTAMP_NTZ — the exact
+    // mix of events.ts vs orders.o_orderdate) and keys are ints; the
+    // operator normalizes both sides to epoch-micro longs internally
+    val lts = leftDf.select(col("id"), col("key").cast("int").as("key"),
+      timestamp_seconds(col("t")).as("t"))
+    val rts = rightDf.select(col("rkey").cast("int").as("rkey"),
+      timestamp_seconds(col("rt")).cast("timestamp_ntz").as("rt"), col("rid"))
+    val df = AsofJoin.asofJoin(spark, lts, rts,
+      "key", "t", "rkey", "rt", "rid", Seq("rid", "rt"))
+    // shadow columns must not leak into the caller-visible schema
+    assert(!df.columns.exists(_.startsWith("__graft_asof")), df.columns.mkString(","))
+    val out = df.select(col("id"), col("rid"), unix_timestamp(col("rt")).as("rt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((950L, 100L)),
+      2L -> ((902L, 150L)),
+      4L -> ((903L, 400L))))
+    assert(df.queryExecution.executedPlan.toString.contains("AsofJoin"))
+  }
+
   test("empty right side yields empty result, not an error") {
     val empty = rightDf.filter(col("rkey") < 0)
     val out = AsofJoin.asofJoin(spark, leftDf, empty,

@@ -174,4 +174,26 @@ class GraftApiSpec extends SparkSpec {
     assert(r.getDouble(0) === 0.0)
     assert(r.getDouble(1) === 0.5)
   }
+
+  test("writeWarehouse: partitioned layout + overwrite replaces prior contents") {
+    import spark.implicits._
+    val out = "/tmp/graft_sources/warehouse_seam"
+    val v1 = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    Graft.writeWarehouse(v1, "parquet", out, partitionBy = Seq("grp"))
+    // partitioned layout on disk: one directory per grp value
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("grp=a", "grp=b"))
+    assert(spark.read.parquet(out).count() === 3)
+    // overwrite semantics: a second write REPLACES, never appends —
+    // the warehouse-load contract (WRITE_TRUNCATE in the reference's
+    // warehouse terms)
+    val v2 = Seq((9L, "c")).toDF("id", "grp")
+    Graft.writeWarehouse(v2, "parquet", out, partitionBy = Seq("grp"))
+    val re = spark.read.parquet(out)
+    assert(re.count() === 1)
+    assert(re.select("grp").head().getString(0) === "c")
+    // explicit append mode composes
+    Graft.writeWarehouse(v1, "parquet", out, partitionBy = Seq("grp"), mode = "append")
+    assert(spark.read.parquet(out).count() === 4)
+  }
 }

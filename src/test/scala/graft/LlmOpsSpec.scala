@@ -188,4 +188,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(rep.filter(col("dup_tok_ratio") < 0 || col("dup_tok_ratio") > 1).count() === 0)
     assert(rep.filter(col("dup_bigram_ratio") < 0 || col("dup_bigram_ratio") > 1).count() === 0)
   }
+
+  test("quality gate: the COMPLETE Gopher reject taxonomy fires at sf0.01") {
+    // VERDICT r2 #8 done-criterion: thresholds chosen so every reason
+    // appears on the sf0.01 corpus (with the query's deterministic
+    // messy-shape buckets), and the per-reason counts partition it
+    val rows = graft.operators.CorpusOps.qualityGate(spark, "/root/testdata/sf0.01").collect()
+    val reasons = rows.map(_.getString(0)).toSet
+    assert(reasons === Set("ok", "too-short", "too-long", "repetitive", "word-salad",
+      "bullet-heavy", "ellipsis-heavy", "symbol-heavy", "few-stopwords"))
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.documents(spark, "/root/testdata/sf0.01").count())
+  }
+
+  test("qualityVerdict unit shapes: each Gopher rule fires on its canonical input") {
+    import spark.implicits._
+    val ok = "the quick brown fox and dog run to the big barn in town now yes we go far away from here today" // 20+ tokens, stopwords, varied
+    val cases = Seq(
+      ("bullets", "start\n• one two\n• three four\n• five six", "bullet-heavy"),
+      ("ellipsis", "one…\ntwo…\nthree…\nfour", "ellipsis-heavy"),
+      ("symbols", "a b # c # d # e # f the g h i j k l m n o p q r s t u", "symbol-heavy"),
+      ("nostop", "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi pi rho sigma tau phi chi psi", "few-stopwords"),
+      ("ok", ok, "ok"))
+    val out = cases.toDF("name", "text", "expected")
+      .select(col("name"), col("expected"),
+        graft.api.Graft.qualityVerdict(col("text"),
+          minTokens = 4, maxTokens = 500, maxDupRatio = 0.9, maxMeanWordLen = 9.0,
+          maxBulletRatio = 0.5, maxEllipsisRatio = 0.5,
+          maxSymbolRatio = 0.05, minStopwords = 1).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getString(2) === r.getString(1),
+      s"${r.getString(0)}: got ${r.getString(2)}, want ${r.getString(1)}"))
+  }
 }

@@ -45,28 +45,37 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within 3x configured rsd of exact (sf0.01)") {
-    // the one oracle-less query: bound the HLL estimate quantitatively
-    // at the driver's correctness scale. rsd=0.01 is the relative
-    // STANDARD DEVIATION of the sketch, so 3x is the sane hard bound.
+    // quantitative HLL bound on the raw sketch (the oracle-checked
+    // query only exposes the within-bound verdict). rsd=0.01 is the
+    // relative STANDARD DEVIATION of the sketch, so 3x is the sane
+    // hard bound — tighter than the query's 5x verdict bound.
     val sf01 = "/root/testdata/sf0.01"
-    val rows = Aggregations.approxDistinct(spark, sf01).collect()
-    val exact = Tables.events(spark, sf01)
-      .groupBy("event_type").agg(countDistinct("user_id").as("e"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Tables.events(spark, sf01)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val t = r.getAs[String]("event_type")
       val approx = r.getAs[Long]("approx_users")
-      assert(math.abs(approx - exact(t)).toDouble / exact(t) <= 3 * 0.01,
-        s"$t: approx $approx vs exact ${exact(t)}")
+      val exact = r.getAs[Long]("exact_users")
+      assert(math.abs(approx - exact).toDouble / exact <= 3 * 0.01,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
     }
+    // and the oracle-facing verdict must agree
+    assert(Aggregations.approxDistinct(spark, sf01).collect()
+      .forall(_.getAs[Boolean]("within_bound")))
   }
 
   test("percentile_approx rank error within sketch accuracy bound (sf0.01)") {
-    // accuracy=1000 guarantees rank error <= n/1000; assert the approx
-    // value's true rank sits within q +/- 0.01 per group
+    // accuracy=1000 guarantees rank error <= n/1000; assert the raw
+    // approx value's true rank sits within q +/- 0.01 per group
     val sf01 = "/root/testdata/sf0.01"
-    val approx = Aggregations.approxQuantiles(spark, sf01).collect()
+    val approx = Tables.orders(spark, sf01)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile_approx(o_totalprice, 0.5, 1000)").as("p50"),
+        expr("percentile_approx(o_totalprice, 0.95, 1000)").as("p95"))
+      .collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     approx.foreach { case (status, (p50, p95)) =>
       val vals = Tables.orders(spark, sf01)
@@ -75,6 +84,11 @@ class OperatorsSpec extends SparkSpec {
       def rankOf(v: Double): Double = vals.count(_ <= v).toDouble / vals.length
       assert(math.abs(rankOf(p50) - 0.5) <= 0.011, s"$status p50 rank ${rankOf(p50)}")
       assert(math.abs(rankOf(p95) - 0.95) <= 0.011, s"$status p95 rank ${rankOf(p95)}")
+    }
+    // and the oracle-facing envelope verdicts must agree
+    Aggregations.approxQuantiles(spark, sf01).collect().foreach { r =>
+      assert(r.getAs[Boolean]("p50_in_envelope") && r.getAs[Boolean]("p95_in_envelope"),
+        s"${r.getString(0)} envelope verdict false")
     }
   }
 

@@ -189,4 +189,28 @@ class ScaleSpec extends SparkSpec {
     j.collect()
     assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("tf-idf survives a vocabulary too large to broadcast (no forced hint)") {
+    // VERDICT r2 #3: the document-frequency table is vocabulary-sized
+    // and grows with the corpus — tfidfTopTerm must NOT force-broadcast
+    // it. Simulate "vocab exceeds broadcastable size" by disabling auto
+    // broadcast entirely: the plan must degrade to a shuffled join on
+    // the compact term key and STILL produce identical results.
+    val baseline = graft.operators.TextAnalysis.tfidfTopTerm(spark, sf)
+      .collect().map(_.toSeq)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.TextAnalysis.tfidfTopTerm(spark, sf)
+      val forced = df.collect().map(_.toSeq)
+      assert(forced === baseline)
+      val plan = df.queryExecution.executedPlan.toString
+      // with auto-broadcast off, a surviving BroadcastHashJoin on the
+      // df side could only come from a forced hint — the regression
+      // this test exists to block. (The 1-row corpus-size scalar keeps
+      // its explicit broadcast by design; it shows as a
+      // BroadcastNestedLoopJoin for the keyless cross join, not a BHJ.)
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }

@@ -20,7 +20,7 @@ class XlsxPropertySpec extends SparkSpec {
     Gen.const(null: String))
 
   private val tableGen: Gen[(Seq[String], Seq[Seq[String]])] = for {
-    nCols <- Gen.choose(1, 30) // > 26 exercises AA-style column refs
+    nCols <- Gen.choose(1, 60) // past 26 (AA…) and into BA+ two-letter refs
     nRows <- Gen.choose(0, 12)
     // headers must be non-null; duplicates fine for the raw parser
     header <- Gen.listOfN(nCols, Gen.identifier.map(_.take(8)))
@@ -45,5 +45,101 @@ class XlsxPropertySpec extends SparkSpec {
         rs.map(_.map(c => if (c == null || c.isEmpty) null else c))
       assert(norm(gotRows) === norm(rows), s"case $i rows")
     }
+  }
+
+  // ---------- hand-built workbooks for the parser corners the engine's
+  // own writer never produces (foreign-tool workbooks) ----------
+
+  private def writeZip(path: String, entries: Seq[(String, String)]): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    try entries.foreach { case (n, c) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zos.closeEntry()
+    } finally zos.close()
+  }
+
+  private val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+  private def workbookXml(date1904: Boolean): String =
+    s"""<workbook xmlns="$ns">""" +
+      (if (date1904) """<workbookPr date1904="1"/>""" else "<workbookPr/>") +
+      """<sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>"""
+
+  // xf 0 = general, xf 1 = builtin date (14), xf 2 = custom date code,
+  // xf 3 = custom NON-date code (plain number) — a date conversion on
+  // xf 3 would be a false positive
+  private val stylesXml: String =
+    s"""<styleSheet xmlns="$ns">""" +
+      """<numFmts count="2">""" +
+      """<numFmt numFmtId="164" formatCode="yyyy&quot;x&quot;mm.dd"/>""" +
+      """<numFmt numFmtId="165" formatCode="0.00"/></numFmts>""" +
+      """<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14"/>""" +
+      """<xf numFmtId="164"/><xf numFmtId="165"/></cellXfs></styleSheet>"""
+
+  private def sheetXml(cells: String): String =
+    s"""<worksheet xmlns="$ns"><sheetData>$cells</sheetData></worksheet>"""
+
+  private def buildWorkbook(path: String, date1904: Boolean, cells: String): Unit =
+    writeZip(path, Seq(
+      "xl/workbook.xml" -> workbookXml(date1904),
+      "xl/styles.xml" -> stylesXml,
+      "xl/worksheets/sheet1.xml" -> sheetXml(cells)))
+
+  test("date-styled numeric cells resolve through the 1900 and 1904 date systems") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_dates").toString
+    val cells =
+      """<row r="1">""" +
+        """<c r="A1" s="1"><v>45000</v></c>""" +   // builtin date fmt
+        """<c r="B1" s="2"><v>45000</v></c>""" +   // custom date fmt
+        """<c r="C1" s="3"><v>45000</v></c>""" +   // custom NUMBER fmt — stays raw
+        """<c r="D1"><v>45000</v></c>""" +          // no style — stays raw
+        """<c r="E1" s="1"><v>1.5</v></c>""" +      // fractional → date + time
+        """</row>"""
+    buildWorkbook(s"$dir/d1900.xlsx", date1904 = false, cells)
+    buildWorkbook(s"$dir/d1904.xlsx", date1904 = true, cells)
+    val r1900 = XlsxParser.parse(s"$dir/d1900.xlsx").head
+    val r1904 = XlsxParser.parse(s"$dir/d1904.xlsx").head
+    val exp1900 = java.time.LocalDate.of(1899, 12, 30).plusDays(45000).toString
+    val exp1904 = java.time.LocalDate.of(1904, 1, 1).plusDays(45000).toString
+    assert(r1900(0) === exp1900)
+    assert(r1900(1) === exp1900)
+    assert(r1900(2) === "45000") // number-formatted: NOT a date
+    assert(r1900(3) === "45000") // unstyled: NOT a date
+    assert(r1900(4) === "1900-01-01 12:00:00") // serial 1.5, 1900 system
+    assert(r1904(0) === exp1904) // same serial, 1904 epoch
+    // the two date systems are 1462 days apart (the classic corruption
+    // signature when the flag is dropped)
+    assert(java.time.LocalDate.parse(r1904(0)).toEpochDay -
+      java.time.LocalDate.parse(r1900(0)).toEpochDay === 1462L)
+  }
+
+  test("Excel 1900-leap-year quirk: serials below and above the phantom Feb 29") {
+    assert(XlsxParser.dateSerialToIso(1, date1904 = false) === "1900-01-01")
+    assert(XlsxParser.dateSerialToIso(59, date1904 = false) === "1900-02-28")
+    // serial 60 is Excel's nonexistent 1900-02-29; like most readers we
+    // land it on March 1 (same day as serial 61 — the 1-day overlap is
+    // the quirk itself)
+    assert(XlsxParser.dateSerialToIso(60, date1904 = false) === "1900-03-01")
+    assert(XlsxParser.dateSerialToIso(61, date1904 = false) === "1900-03-01")
+    assert(XlsxParser.dateSerialToIso(0, date1904 = true) === "1904-01-01")
+  }
+
+  test("rich-text inline strings concatenate all runs; t=d literals pass through") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_rich").toString
+    val cells =
+      """<row r="1">""" +
+        """<c r="A1" t="inlineStr"><is><r><rPr/><t>hello </t></r><r><t>world</t></r></is></c>""" +
+        """<c r="B1" t="d"><v>2024-02-29T12:00:00</v></c>""" +
+        """<c r="AA1" t="inlineStr"><is><t>col27</t></is></c>""" +
+        """<c r="AB1" t="inlineStr"><is><t xml:space="preserve"> pad </t></is></c>""" +
+        """</row>"""
+    buildWorkbook(s"$dir/rich.xlsx", date1904 = false, cells)
+    val row = XlsxParser.parse(s"$dir/rich.xlsx").head
+    assert(row(0) === "hello world")
+    assert(row(1) === "2024-02-29T12:00:00")
+    assert(row(26) === "col27")  // AA resolves to ordinal 26
+    assert(row(27) === " pad ")
+    assert(row(2) === null)      // gap columns padded as null
   }
 }
