@@ -39,9 +39,13 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("only sketch-based ops lack an oracle") {
+  test("EVERY registered query has a DuckDB oracle (sketch ops via error-bound verdicts)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("agg_approx_distinct", "agg_approx_quantiles"), noOracle.toString)
+    assert(noOracle.isEmpty, s"oracle-less queries: $noOracle")
+  }
+
+  test("bench exclusions name real queries (a rename can't silently un-exclude)") {
+    assert(Bench.benchExclude.subsetOf(SparkEntry.queries.keySet), Bench.benchExclude.toString)
   }
 
   test("flagship entry returns rows on sf0.001") {
