@@ -222,6 +222,69 @@ object Graft {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected pair graph — the dedup
+    * CLUSTERING stage: verified near-dup pairs ([[nearDupPairs]]) form
+    * a graph whose components are duplicate clusters; keep the minimum
+    * id per component as the canonical representative. Returns
+    * (id, component) for every node appearing in ≥1 edge.
+    *
+    * Algorithm: min-label propagation WITH pointer jumping — labels
+    * start at the node id; each round every node takes the minimum
+    * label over its closed neighborhood, then labels are path-
+    * compressed (label := label(label)), which doubles the effective
+    * propagation distance per round, so the fixpoint arrives in
+    * O(log diameter) rounds instead of O(diameter) (exact,
+    * data-independent result: the per-component min id). Each round is
+    * a constant number of shuffles on the node id (O(V+E) volume);
+    * round count matters because every round pays fixed job-submission
+    * latency on top of the shuffles — log-diameter is what makes the
+    * operator cheap on short-diameter near-dup graphs AND safe on
+    * pathological chains. `localCheckpoint` truncates lineage each
+    * round so the plan doesn't grow with iterations (a 100 TB
+    * deployment would point `sparkContext.setCheckpointDir` at durable
+    * storage and use `checkpoint()` instead — same structure). The
+    * driver-side loop only ever collects a one-row scalar, never
+    * data: labels are monotonically non-increasing, so
+    * `sum(component)` is strictly decreasing until the fixpoint — a
+    * scalar convergence probe that costs one aggregate per round
+    * instead of a join against the previous round's labels. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxRounds: Int = 50): DataFrame = {
+    val sym = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("__src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    // decimal(38,0) keeps the sum exact for any realistic id range —
+    // a Long sum could wrap and fake a fixpoint
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prev: Option[java.math.BigDecimal] = None
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val prop = labels.join(sym, col("id") === col("__src"))
+        .select(col("__dst").as("id"), col("component"))
+        .union(labels)
+        .groupBy("id").agg(min("component").as("component"))
+      // pointer jumping: component := component(component). Every
+      // label value is itself a node id (a min over member ids), so
+      // the self-join is total.
+      val l2 = prop.select(col("id").as("__lid"), col("component").as("__lcomp"))
+      // lazy checkpoint: the convergence aggregate below is the
+      // action that materializes it — one Spark job per round
+      val comp = prop.join(l2, col("component") === col("__lid"))
+        .select(col("id"), col("__lcomp").as("component"))
+        .localCheckpoint(false)
+      val cur = Option(labelSum(comp))
+      labels = comp
+      done = prev == cur
+      prev = cur
+      round += 1
+    }
+    labels
+  }
+
   /** The engine's custom as-of join operator (AsofJoinExec, O(n+m)
     * streaming merge per key — see graft.plans.AsofJoin for the
     * plan machinery): for each left row, the latest right row with

@@ -186,12 +186,69 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Near-dup CLUSTERING: the transitive-closure stage after pairwise
+    * verification. [[ngramJaccard]]'s verified pairs (jaccard ≥ 0.5)
+    * form a graph; its connected components are the duplicate
+    * clusters, labeled by minimum member id (the canonical keeper).
+    * Without this stage a dedup pipeline drops only direct pair
+    * partners — A~B and B~C without A~C would keep both A and C's
+    * cluster copies. Delegates to the facade's min-label-propagation
+    * [[graft.api.Graft.connectedComponents]] (one O(V+E) shuffle per
+    * round, rounds = graph diameter); the DuckDB oracle recomputes
+    * the same fixpoint via a recursive reachability CTE. */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.api.Graft.nearDupPairs(
+      Tables.documents(spark, dir), "text", "doc_id", threshold = 0.5, k = 3, bands = bands)
+    graft.api.Graft.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  val componentsSql: String = {
+    val bandList = (0 until bands).map(b => b.toString).mkString(", ")
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+       |mh AS (
+       |  SELECT doc_id, list_transform(sh, s -> md5(s)) AS mh
+       |  FROM (SELECT doc_id, text, $shinglesSqlFragment AS sh
+       |        FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))),
+       |bandrows AS (
+       |  SELECT doc_id, b,
+       |         list_min(list_transform(mh, h -> substring(h, 8*b + 1, 8))) AS bmin
+       |  FROM mh CROSS JOIN (SELECT unnest([$bandList]) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bandrows x JOIN bandrows y
+       |    ON x.b = y.b AND x.bmin = y.bmin AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM (
+       |    SELECT doc_a, doc_b,
+       |           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |                 (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac_raw
+       |    FROM cand JOIN docs a ON cand.doc_a = a.doc_id
+       |              JOIN docs b ON cand.doc_b = b.doc_id)
+       |  WHERE jac_raw >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS label FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, r.label
+       |  FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, min(label) AS component
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_exact_stats" -> (exactDedupStats _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
-    "dedup_ngram_jaccard" -> (ngramJaccard _)
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_components" -> (components _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -199,6 +256,7 @@ object Dedup {
     "dedup_exact_stats" -> exactDedupStatsSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
-    "dedup_ngram_jaccard" -> ngramJaccardSql
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_components" -> componentsSql
   )
 }

@@ -175,6 +175,26 @@ class GraftApiSpec extends SparkSpec {
     assert(r.getDouble(1) === 0.5)
   }
 
+  test("connectedComponents: transitive closure with min-id labels, multi-round chains") {
+    import spark.implicits._
+    val edges = Seq(
+      (2L, 1L), (2L, 3L),              // triangle-ish cluster -> 1
+      (10L, 11L),                      // pair -> 10
+      // an 8-node path: min label 30 needs multiple propagation
+      // rounds to reach the far end — exercises the fixpoint loop
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L),
+      (34L, 35L), (35L, 36L), (36L, 37L)).toDF("a", "b")
+    val out = Graft.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L,
+      34L -> 30L, 35L -> 30L, 36L -> 30L, 37L -> 30L))
+    // empty edge set -> empty result, no error
+    assert(Graft.connectedComponents(edges.filter(col("a") < 0), "a", "b").count() === 0L)
+  }
+
   test("writeWarehouse: partitioned layout + overwrite replaces prior contents") {
     import spark.implicits._
     val out = "/tmp/graft_sources/warehouse_seam"
