@@ -9,8 +9,12 @@ object Bench {
     * ways against one oracle, and the scale-safe routes
     * (`join_asof_merge`, `join_asof_plan`) stay in the bench. Timing a
     * deliberately-naive formulation at sf0.1 charges 14% of total bench
-    * to a non-production path. */
-  val benchExclude: Set[String] = Set("join_asof")
+    * to a non-production path. `dedup_components` is the diagnostic
+    * view of the SAME connected-components pipeline that `dedup_keep`
+    * (the user-facing endpoint, benched) runs end-to-end — benching
+    * both would charge the multi-round CC fixpoint twice for one
+    * operator. */
+  val benchExclude: Set[String] = Set("join_asof", "dedup_components")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

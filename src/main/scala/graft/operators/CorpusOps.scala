@@ -255,7 +255,83 @@ object CorpusOps {
       |  FROM feat)
       |GROUP BY reason ORDER BY reason""".stripMargin
 
+  /** Decontamination against a benchmark split: docs with
+    * doc_id % 20 == 0 stand in for the eval suite; every other doc is
+    * the training corpus. A train doc is contaminated if it shares at
+    * least one 4-gram shingle with any eval doc (4 chosen so the
+    * sf0.01 corpus yields a meaningful contaminated set — the real
+    * knob is per-benchmark). Scale shape: the eval shingle set is
+    * bounded by the benchmark, so the corpus side never shuffles —
+    * see [[graft.api.Graft.decontaminate]]. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.api.Graft.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "text", "doc_id", k = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, CASE WHEN len(words) >= 4
+      |       THEN list_transform(range(len(words) - 3), i -> array_to_string(words[i+1:i+4], ' '))
+      |       ELSE [text] END AS ngs
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)),
+      |ev AS (SELECT DISTINCT unnest(ngs) AS ng FROM sh WHERE doc_id % 20 = 0),
+      |tr AS (SELECT doc_id, unnest(ngs) AS ng FROM sh WHERE doc_id % 20 <> 0)
+      |SELECT tr.doc_id, count(DISTINCT tr.ng) AS n_overlap
+      |FROM tr JOIN ev ON tr.ng = ev.ng
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** PII scrub: redact emails / phone numbers / IPv4 addresses and
+    * count each type. The corpus text has no PII, so the query
+    * deterministically plants one of each per doc (derived from
+    * doc_id, identically in the oracle) and verifies the redaction by
+    * md5 of the scrubbed text — the counts prove detection, the
+    * digest proves the rewrite. Map-only at any scale; delegates to
+    * [[graft.api.Graft.redactPii]]. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("__aug"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("__aug"), lit(graft.api.Graft.emailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("__aug"), lit(graft.api.Graft.phonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("__aug"), lit(graft.api.Graft.ipv4Pattern), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(graft.api.Graft.redactPii(col("__aug")).cast("binary")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+      |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||
+      |         CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |       CAST(len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+      |       CAST(len(regexp_extract_all(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+      |       md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |           '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g'),
+      |           '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS scrubbed_md5
+      |FROM aug ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_decontaminate" -> (decontaminate _),
+    "corpus_pii_scrub" -> (piiScrub _),
     "corpus_quality_gate" -> (qualityGate _),
     "corpus_unigram_logprob" -> (unigramLogprob _),
     "corpus_repetition" -> (repetition _),
@@ -266,6 +342,8 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_decontaminate" -> decontaminateSql,
+    "corpus_pii_scrub" -> piiScrubSql,
     "corpus_quality_gate" -> qualityGateSql,
     "corpus_unigram_logprob" -> unigramLogprobSql,
     "corpus_repetition" -> repetitionSql,

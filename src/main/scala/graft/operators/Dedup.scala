@@ -204,7 +204,11 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val componentsSql: String = {
+  /** Shared recursive-CTE prefix for the clustering oracles: recompute
+    * band candidates → verified pairs → symmetric edges → reachability
+    * fixpoint (`reach`), exactly mirroring [[components]]'s Spark-side
+    * stages. */
+  private val ccCteBody: String = {
     val bandList = (0 until bands).map(b => b.toString).mkString(", ")
     s"""WITH RECURSIVE docs AS (
        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
@@ -237,10 +241,32 @@ object Dedup {
        |  SELECT src AS id, src AS label FROM edges
        |  UNION
        |  SELECT e.dst AS id, r.label
-       |  FROM reach r JOIN edges e ON e.src = r.id)
+       |  FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
+  }
+
+  val componentsSql: String =
+    s"""$ccCteBody
        |SELECT id AS doc_id, min(label) AS component
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  /** End-to-end dedup output: the corpus minus non-canonical cluster
+    * members, summarized per source (kept count + kept chars). This is
+    * the query a pipeline user actually runs — [[components]] is its
+    * diagnostic view. Delegates to [[graft.api.Graft.dedupCorpus]]. */
+  def keep(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.dedupCorpus(
+      Tables.documents(spark, dir), "text", "doc_id", threshold = 0.5, k = 3, bands = bands)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      .orderBy(col("source"))
+
+  val keepSql: String =
+    s"""$ccCteBody,
+       |labels AS (SELECT id, min(label) AS component FROM reach GROUP BY 1),
+       |drops AS (SELECT id FROM labels WHERE id <> component)
+       |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |FROM documents WHERE doc_id NOT IN (SELECT id FROM drops)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),
@@ -248,7 +274,8 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
-    "dedup_components" -> (components _)
+    "dedup_components" -> (components _),
+    "dedup_keep" -> (keep _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -257,6 +284,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
-    "dedup_components" -> componentsSql
+    "dedup_components" -> componentsSql,
+    "dedup_keep" -> keepSql
   )
 }

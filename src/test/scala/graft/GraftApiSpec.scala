@@ -195,6 +195,46 @@ class GraftApiSpec extends SparkSpec {
     assert(Graft.connectedComponents(edges.filter(col("a") < 0), "a", "b").count() === 0L)
   }
 
+  test("redactPii: emails, phones, IPv4 replaced with typed tags; clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call +1-555-0123 or visit 192.168.0.1",
+      "nothing sensitive here").toDF("t")
+      .select(Graft.redactPii(col("t")).as("r")).as[String].collect()
+    assert(rows(0) === "mail <EMAIL> now")
+    assert(rows(1) === "call <PHONE> or visit <IP>")
+    assert(rows(2) === "nothing sensitive here")
+  }
+
+  test("decontaminate: only train rows sharing a k-gram with eval flagged, distinct-counted") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),     // shares 2 distinct 3-grams with eval
+      (2L, "zeta eta theta iota kappa"),          // disjoint
+      (3L, "alpha beta gamma delta epsilon")).toDF("id", "text") // same as 1
+    val eval_ = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+    val out = Graft.decontaminate(train, eval_, "text", "id", k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // eval 3-grams: {a b g, b g d}; train doc 1/3 share both, doc 2 none
+    assert(out === Map(1L -> 2L, 3L -> 2L))
+  }
+
+  test("dedupCorpus: transitive near-dups collapse to canonical row, uniques kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),        // exact dup of 1
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w9"),        // near-dup of 1/2
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8")).toDF("id", "text")
+    val kept = Graft.dedupCorpus(docs, "text", "id", threshold = 0.5, k = 3, bands = 4)
+      .select("id").as[Long].collect().sorted
+    assert(kept.contains(4L) && kept.contains(1L) && !kept.contains(2L))
+    // doc 3 may or may not band with 1 depending on hash luck — but if
+    // dropped it must be because it clustered with the kept canonical
+    assert(kept.length === (if (kept.contains(3L)) 3 else 2))
+  }
+
   test("writeWarehouse: partitioned layout + overwrite replaces prior contents") {
     import spark.implicits._
     val out = "/tmp/graft_sources/warehouse_seam"
