@@ -213,4 +213,32 @@ class ScaleSpec extends SparkSpec {
       assert(!plan.contains("BroadcastHashJoin"), plan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("decontaminate broadcasts the eval shingle set; corpus side never pre-shuffles") {
+    val docs = Tables.documents(spark, sf)
+    val df = graft.api.Graft.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "text", "doc_id", k = 4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the eval side is bounded by the benchmark suite, so the join must
+    // be a broadcast hash join with the corpus STREAMED (BuildRight) —
+    // the 100 TB side flows past the broadcast map-side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BuildRight"), plan)
+    // and the corpus (left/streamed) branch must contain no shuffle:
+    // every exchange in this query sits ABOVE the join (the groupBy on
+    // surviving ids) or inside the eval side's own distinct. In the
+    // printed tree the left branch's lines carry the ':' connector —
+    // shuffling every corpus shingle before the filter-join is the
+    // regression this test blocks.
+    val lines = plan.linesIterator.toList
+    val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val leftBranch = lines.drop(joinIdx + 1)
+      .takeWhile(_.dropWhile(_ == ' ').startsWith(":"))
+    assert(leftBranch.nonEmpty, plan)
+    assert(!leftBranch.exists(_.contains("Exchange hashpartitioning")),
+      s"corpus side shuffled before the broadcast join:\n$plan")
+  }
 }
