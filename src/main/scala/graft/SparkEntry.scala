@@ -36,6 +36,7 @@ object SparkEntry {
       Similarity.queries ++
       TextAnalysis.queries ++
       Multimodal.queries ++
+      TimeSeries.queries ++
       Sources.queries ++
       SqlSurface.queries ++
       Streams.queries
@@ -58,6 +59,7 @@ object SparkEntry {
       Similarity.oracle ++
       TextAnalysis.oracle ++
       Multimodal.oracle ++
+      TimeSeries.oracle ++
       Sources.oracle ++
       SqlSurface.oracle ++
       Streams.oracle

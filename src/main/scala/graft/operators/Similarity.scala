@@ -317,7 +317,42 @@ object Similarity {
        |WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Per-label embedding centroid (first 8 dims shown): posexplode the
+    * vector, aggregate per (label, dim). The shuffle key is the
+    * compact (label, dim) pair with map-side partial aggregation —
+    * rows fan out ×|dims| but never pairwise, and the result is
+    * |labels| × 8. The full-width centroid (all 64 dims, kept as an
+    * array) would use the same plan minus the dim filter.
+    *
+    * Oracle-parity: each component is quantized to integer
+    * micro-units BEFORE aggregation, so the sum is an exact
+    * order-independent integer in both engines (double summation
+    * order differs between Spark's parallel partials and DuckDB and
+    * lands averages on rounding half-boundaries); `+ 0.0`
+    * canonicalizes IEEE −0.0. */
+  def labelCentroid(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .filter(col("pos0") < 8)
+      .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+        round(col("v").cast("double") * 1000000d).cast("long").as("vq"))
+      .groupBy(col("label"), col("pos"))
+      .agg((round(sum(col("vq")).cast("double") / count(lit(1)) / lit(1000d)) / 1000d + 0.0)
+        .as("mean_val"))
+      .orderBy(col("label"), col("pos"))
+
+  val labelCentroidSql: String =
+    """SELECT label, pos,
+      |       round(CAST(sum(vq) AS DOUBLE) / count(*) / 1000) / 1000 + 0.0 AS mean_val
+      |FROM (SELECT CAST(label AS BIGINT) AS label,
+      |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vq,
+      |             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos
+      |      FROM embeddings)
+      |WHERE pos <= 8 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_label_centroid" -> (labelCentroid _),
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_topk_bruteforce" -> (bruteForceTopK _),
     "sim_topk_native" -> (bruteForceTopKNative _),
@@ -327,6 +362,7 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "sim_label_centroid" -> labelCentroidSql,
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_topk_native" -> bruteForceTopKSql,

@@ -155,4 +155,49 @@ class OperatorsSpec extends SparkSpec {
     val prices = rows.map(_.getAs[Double]("price"))
     assert(prices.zip(prices.tail).forall { case (x, y) => x >= y })
   }
+
+  // ---------- time series ----------
+
+  test("resample: contiguous hourly spine per type; gaps flagged and forward-filled") {
+    val rows = TimeSeries.resampleFfill(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(0))
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+    byType.foreach { case (_, rs) =>
+      // spine is contiguous: each bin is exactly 1h after the previous
+      val bins = rs.map(r => java.time.LocalDateTime.parse(r.getString(1), fmt))
+      bins.zip(bins.tail).foreach { case (a, b) => assert(b === a.plusHours(1)) }
+      // is_gap <=> avg_value null; first bin is occupied (min over
+      // occupied bins), so every filled_value is non-null
+      rs.foreach { r =>
+        assert(r.getBoolean(4) === r.isNullAt(2))
+        assert(!r.isNullAt(3))
+        // occupied bins fill with themselves
+        if (!r.isNullAt(2)) assert(r.getDouble(2) === r.getDouble(3))
+      }
+      // forward fill carries the LAST observed value across a gap
+      rs.sliding(2).foreach {
+        case Array(prev, cur) if cur.isNullAt(2) =>
+          assert(cur.getDouble(3) === prev.getDouble(3))
+        case _ => ()
+      }
+    }
+    assert(rows.exists(_.getBoolean(4)), "expected at least one gap at sf0.001")
+  }
+
+  test("label centroid matches a driver-side recomputation") {
+    val got = Similarity.labelCentroid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val want = raw.groupBy(_._1).flatMap { case (label, vs) =>
+      (1 to 8).map { pos =>
+        // mirror the operator's micro-unit quantization exactly
+        val q = vs.map(v => math.round(v._2(pos - 1).toDouble * 1000000d))
+        (label, pos.toLong) -> (math.round(q.sum.toDouble / q.size / 1000d) / 1000d + 0.0)
+      }
+    }
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(v === want(k), s"$k: $v vs ${want(k)}") }
+  }
 }

@@ -24,6 +24,7 @@ class RegistrySpec extends SparkSpec {
     ("Similarity", Similarity.queries, Similarity.oracle),
     ("TextAnalysis", TextAnalysis.queries, TextAnalysis.oracle),
     ("Multimodal", Multimodal.queries, Multimodal.oracle),
+    ("TimeSeries", TimeSeries.queries, TimeSeries.oracle),
     ("Sources", Sources.queries, Sources.oracle),
     ("SqlSurface", SqlSurface.queries, SqlSurface.oracle),
     ("Streams", Streams.queries, Streams.oracle))
