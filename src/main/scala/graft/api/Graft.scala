@@ -257,6 +257,11 @@ object Graft {
                           maxRounds: Int = 50): DataFrame = {
     val sym = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+      // hash-partition the edge table ONCE on the join key —
+      // localCheckpoint preserves the partitioning, so no round
+      // re-shuffles the O(E) side (the dominant per-round volume on
+      // dense graphs); only the O(V) label side moves each round
+      .repartition(col("__src"))
       .localCheckpoint()
     var labels = sym.select(col("__src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
