@@ -220,6 +220,36 @@ class GraftApiSpec extends SparkSpec {
     assert(out === Map(1L -> 2L, 3L -> 2L))
   }
 
+  test("connectedComponents equals union-find on random graphs (30 cases)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // driver-side union-find reference (path compression + min root)
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+    }
+    val graphGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(2, 40)          // node universe
+      m <- Gen.choose(1, 80)          // edges (self-loops allowed)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield es
+    val cases = Gen.listOfN(30, graphGen).sample.getOrElse(Seq.empty)
+    assert(cases.nonEmpty)
+    cases.zipWithIndex.foreach { case (es, i) =>
+      val got = Graft.connectedComponents(es.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === unionFind(es), s"case $i: $es")
+    }
+  }
+
   test("dedupCorpus: transitive near-dups collapse to canonical row, uniques kept") {
     import spark.implicits._
     val docs = Seq(
