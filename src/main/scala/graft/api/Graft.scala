@@ -265,10 +265,19 @@ object Graft {
       .localCheckpoint()
     var labels = sym.select(col("__src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
-    // decimal(38,0) keeps the sum exact for any realistic id range —
-    // a Long sum could wrap and fake a fixpoint
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).first().getDecimal(0)
+    // Convergence probe, by id type. Numeric ids: labels only ever
+    // decrease, so sum(component) is strictly decreasing until the
+    // fixpoint — one scalar aggregate per round (decimal(38,0) keeps
+    // it exact; a Long sum could wrap and fake a fixpoint). Other id
+    // types (string keys are legal — min-label propagation only needs
+    // an ordering): a cast-to-decimal would be null and silently
+    // declare convergence after round 1, so they use the join-based
+    // changed-row count instead — correct for any type, one extra
+    // join per round.
+    val numericIds =
+      sym.schema("__src").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).first().getDecimal(0))
     var prev: Option[java.math.BigDecimal] = None
     var round = 0
     var done = false
@@ -281,15 +290,20 @@ object Graft {
       // label value is itself a node id (a min over member ids), so
       // the self-join is total.
       val l2 = prop.select(col("id").as("__lid"), col("component").as("__lcomp"))
-      // lazy checkpoint: the convergence aggregate below is the
-      // action that materializes it — one Spark job per round
+      // lazy checkpoint: the convergence action below is what
+      // materializes it — one Spark job per round
       val comp = prop.join(l2, col("component") === col("__lid"))
         .select(col("id"), col("__lcomp").as("component"))
         .localCheckpoint(false)
-      val cur = Option(labelSum(comp))
+      if (numericIds) {
+        val cur = labelSum(comp)
+        done = prev == cur
+        prev = cur
+      } else {
+        done = comp.join(labels.withColumnRenamed("component", "__old"), "id")
+          .filter(col("component") =!= col("__old")).isEmpty
+      }
       labels = comp
-      done = prev == cur
-      prev = cur
       round += 1
     }
     labels
@@ -461,9 +475,15 @@ object Graft {
     * duplicate-token ratio ("repetitive"). Line rules come before the
     * symbol rule because … is both a line marker and a symbol.
     * Tokenization is the regex-whitespace variant ([[tokens(text,
-    * pattern)]]), so messy multi-line text counts correctly; the new
+    * pattern)]]), so messy multi-line text counts correctly. The new
     * rules default to disabled (ratio thresholds ≥ 1e9, minStopwords
-    * 0) for callers of the original four-rule gate. */
+    * 0), and "repetitive" moved from third to LAST — specific shape
+    * reasons must outrank the generic duplicate-token catch-all
+    * (bullet-heavy text is also massively token-duplicated, and would
+    * otherwise never surface its real reason). Callers of the
+    * original four-rule signature can therefore see "word-salad"
+    * where they previously saw "repetitive" when a document violates
+    * both — a deliberate taxonomy change, not an accident. */
   def qualityVerdict(text: Column, minTokens: Int, maxTokens: Int,
                      maxDupRatio: Double, maxMeanWordLen: Double,
                      maxBulletRatio: Double = 1e9, maxEllipsisRatio: Double = 1e9,

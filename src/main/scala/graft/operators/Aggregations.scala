@@ -145,7 +145,13 @@ object Aggregations {
     * matches iff Spark's sketch lands inside its published error bar
     * (rsd 0.01; HLL++ is deterministic for fixed input, so this is a
     * stable check, with 5× headroom since rsd is a standard deviation,
-    * not a hard max). A ScalaTest bound double-covers it. */
+    * not a hard max). A ScalaTest bound double-covers it.
+    *
+    * Scale posture: the PRODUCTION path is the sketch column alone
+    * (`approx_count_distinct` — mergeable partials, bounded memory);
+    * the exact companion exists only to certify the sketch against
+    * the oracle at test scale. A 100 TB deployment selects the sketch
+    * and drops the certification columns. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
@@ -174,7 +180,14 @@ object Aggregations {
     * approx value must land between the exact quantiles at rank
     * q ± 10·(1/accuracy) (GK rank error is 1/accuracy = 0.001; 10×
     * headroom). quantile_disc on both sides is a data value —
-    * bit-identical across engines. */
+    * bit-identical across engines.
+    *
+    * Scale posture: the PRODUCTION path is the accuracy-1000 sketch
+    * pair alone (bounded ~O(accuracy) buffer, mergeable). The
+    * accuracy-1e9 envelope-edge columns are effectively exact (they
+    * buffer toward O(n) per group) and exist ONLY to certify the
+    * sketch against the oracle at test scale — a 100 TB deployment
+    * selects the sketch columns and drops the certification ones. */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))

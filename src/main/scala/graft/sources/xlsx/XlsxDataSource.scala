@@ -259,16 +259,26 @@ object XlsxParser {
     acc - 1
   }
 
-  /** Built-in date numFmtIds (ECMA-376 §18.8.30) plus custom codes
-    * containing date tokens (y/d, or m outside quoted/[bracketed]
-    * sections — 'm' alone can mean minutes, but only alongside date
-    * context here; literal text in quotes doesn't count). */
+  /** Built-in DATE numFmtIds (ECMA-376 §18.8.30): 14–17 are dates and
+    * 22 is date+time. Time-only built-ins (18–21) and elapsed
+    * durations (45–47) are deliberately NOT dates — converting a
+    * time-of-day (serial 0.75 = 18:00) or a duration through the
+    * date-serial path would fabricate an 1899 date prefix onto a
+    * value that has none. Custom codes are matched case-insensitively
+    * (ECMA-376 format codes are case-insensitive, so "YYYY-MM-DD"
+    * from other tools counts); elapsed markers like [h]/[mm]/[ss]
+    * mean duration and disqualify the code outright; quoted literals
+    * and remaining [bracketed] color/condition sections are stripped
+    * before the token checks. */
   private def isDateFormat(fmtId: Int, code: Option[String]): Boolean =
-    (fmtId >= 14 && fmtId <= 22) || (fmtId >= 45 && fmtId <= 47) ||
-      code.exists { c =>
+    (fmtId >= 14 && fmtId <= 17) || fmtId == 22 ||
+      code.exists { c0 =>
+        val c = c0.toLowerCase(java.util.Locale.ROOT)
+        val elapsed = "\\[(h+|m+|s+)\\]".r.findFirstIn(c).isDefined
         val bare = c.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
-        bare.exists(ch => ch == 'y' || ch == 'd') ||
-          (bare.contains("m") && !bare.exists(ch => ch == 'h' || ch == 's'))
+        !elapsed &&
+          (bare.exists(ch => ch == 'y' || ch == 'd') ||
+            (bare.contains("m") && !bare.exists(ch => ch == 'h' || ch == 's')))
       }
 
   /** Excel date serial → ISO string. 1900 system: serial 1 =
@@ -326,9 +336,13 @@ object XlsxParser {
         val doc = db.parse(zip.getInputStream(e))
         val custom: Map[Int, String] = {
           val fmts = doc.getElementsByTagName("numFmt")
-          (0 until fmts.getLength).map { i =>
+          // a numFmt without a parseable id can't be referenced by any
+          // xf — skip it rather than abort the whole workbook
+          (0 until fmts.getLength).flatMap { i =>
             val f = fmts.item(i).asInstanceOf[org.w3c.dom.Element]
-            f.getAttribute("numFmtId").toInt -> f.getAttribute("formatCode")
+            Option(f.getAttribute("numFmtId")).filter(_.nonEmpty)
+              .flatMap(s => scala.util.Try(s.toInt).toOption)
+              .map(_ -> f.getAttribute("formatCode"))
           }.toMap
         }
         val xfsParents = doc.getElementsByTagName("cellXfs")

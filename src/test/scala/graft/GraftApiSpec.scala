@@ -195,6 +195,16 @@ class GraftApiSpec extends SparkSpec {
     assert(Graft.connectedComponents(edges.filter(col("a") < 0), "a", "b").count() === 0L)
   }
 
+  test("connectedComponents: string ids use the join-based convergence probe correctly") {
+    import spark.implicits._
+    // a 4-node path needs >1 round: the numeric sum probe would be
+    // null for strings and falsely declare round-1 convergence
+    val edges = Seq(("c", "i"), ("i", "b"), ("b", "a")).toDF("x", "y")
+    val out = Graft.connectedComponents(edges, "x", "y").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a", "i" -> "a"))
+  }
+
   test("redactPii: emails, phones, IPv4 replaced with typed tags; clean text untouched") {
     import spark.implicits._
     val rows = Seq(

@@ -114,6 +114,34 @@ class XlsxPropertySpec extends SparkSpec {
       java.time.LocalDate.parse(r1900(0)).toEpochDay === 1462L)
   }
 
+  test("duration/time-only formats stay raw; uppercase date codes and bad numFmts handled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_fmt").toString
+    val styles =
+      s"""<styleSheet xmlns="$ns">""" +
+        """<numFmts count="4">""" +
+        """<numFmt numFmtId="164" formatCode="[h]:mm"/>""" +          // elapsed duration
+        """<numFmt numFmtId="165" formatCode="YYYY-MM-DD"/>""" +      // uppercase date (ECMA case-insensitive)
+        """<numFmt formatCode="0.00"/>""" +                            // missing id: must not abort the parse
+        """<numFmt numFmtId="166" formatCode="mm:ss"/></numFmts>""" + // minutes:seconds, not a date
+        """<cellXfs count="5"><xf numFmtId="0"/><xf numFmtId="164"/>""" +
+        """<xf numFmtId="165"/><xf numFmtId="20"/><xf numFmtId="166"/></cellXfs></styleSheet>"""
+    writeZip(s"$dir/f.xlsx", Seq(
+      "xl/workbook.xml" -> workbookXml(date1904 = false),
+      "xl/styles.xml" -> styles,
+      "xl/worksheets/sheet1.xml" -> sheetXml(
+        """<row r="1">""" +
+          """<c r="A1" s="1"><v>36.5</v></c>""" +   // [h]:mm duration: raw serial, not 1900-02-05
+          """<c r="B1" s="2"><v>45000</v></c>""" +  // YYYY-MM-DD: a date despite the case
+          """<c r="C1" s="3"><v>0.75</v></c>""" +   // builtin 20 (h:mm, time-only): raw
+          """<c r="D1" s="4"><v>0.75</v></c>""" +   // mm:ss custom: raw
+          """</row>""")))
+    val row = XlsxParser.parse(s"$dir/f.xlsx").head
+    assert(row(0) === "36.5")
+    assert(row(1) === java.time.LocalDate.of(1899, 12, 30).plusDays(45000).toString)
+    assert(row(2) === "0.75")
+    assert(row(3) === "0.75")
+  }
+
   test("Excel 1900-leap-year quirk: serials below and above the phantom Feb 29") {
     assert(XlsxParser.dateSerialToIso(1, date1904 = false) === "1900-01-01")
     assert(XlsxParser.dateSerialToIso(59, date1904 = false) === "1900-02-28")
