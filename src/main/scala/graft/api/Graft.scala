@@ -447,6 +447,28 @@ object Graft {
       }
   }
 
+  /** Sliding token-window chunks with overlap — the
+    * document→training-example fan-out stage (window W, stride S ≤ W
+    * overlaps consecutive chunks by W−S tokens). Chunk i covers
+    * tokens [i·S+1, i·S+W]; starts run while < n, so every token
+    * lands in ≥1 chunk and the tail chunk may be short. The token
+    * array is bound as a lambda variable (one split per row — the
+    * [[shingles]] lesson); a map-only fan-out at any scale. */
+  def chunkOverlap(text: Column, window: Int, stride: Int): Column = {
+    require(stride > 0 && window >= stride, "need 0 < stride <= window")
+    element_at(
+      transform(array(tokens(text)), w =>
+        transform(sequence(lit(0), floor((size(w) - 1) / lit(stride)).cast("int")),
+          i => concat_ws(" ", slice(w, i * lit(stride) + 1, lit(window))))), 1)
+  }
+
+  /** Deterministic fractional keep at an arbitrary (possibly
+    * data-derived, non-integer) fraction: idHash/2³² < frac — the
+    * md5 analog of Bernoulli sampling, reproducible from the id
+    * alone. [[sampledBy]] is the integer-percent special case. */
+  def keepByFraction(id: Column, frac: Column): Column =
+    idHash(id).cast("double") / lit(4294967296.0) < frac
+
   /** Deterministic sampling predicate: keep rows whose id-hash falls
     * under `percent` (0–100). Same id → same verdict, forever. */
   def sampledBy(id: Column, percent: Int): Column =

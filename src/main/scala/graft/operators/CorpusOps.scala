@@ -329,7 +329,72 @@ object CorpusOps {
       |           '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS scrubbed_md5
       |FROM aug ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window chunking (window 50 tokens, stride 30 → 20-token
+    * overlap): the document→training-example fan-out, one row per
+    * chunk with token count and content digest. Pure map-side explode
+    * — no shuffle below the output sort. Delegates to
+    * [[graft.api.Graft.chunkOverlap]]. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.api.Graft.chunkOverlap(col("text"), window = 50, stride = 30))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(split(col("chunk"), " ")).cast("long").as("n_chunk_tokens"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val chunkOverlapSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |c AS (SELECT doc_id, unnest(range((len(words) - 1) // 30 + 1)) AS chunk_idx, words FROM t)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |       CAST(len(words[chunk_idx*30 + 1 : chunk_idx*30 + 50]) AS BIGINT) AS n_chunk_tokens,
+      |       md5(array_to_string(words[chunk_idx*30 + 1 : chunk_idx*30 + 50], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Language-mix rebalancing: deterministically downsample each
+    * language toward an equal target share (total/n_langs docs),
+    * keeping low-resource languages whole (keep fraction capped at
+    * 1). The per-lang fraction table is |langs| rows — the optimizer
+    * broadcasts it; the corpus side is a map-side filter plus one
+    * summary aggregation. The keep decision is
+    * [[graft.api.Graft.keepByFraction]] — md5-deterministic, so the
+    * same doc set is kept on any re-run over any subset. */
+  def mixRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val target = counts.agg(
+      (sum(col("n_docs")).cast("double") / count(lit(1))).as("__target"))
+    val fracs = counts.crossJoin(broadcast(target))
+      .select(col("lang"), col("n_docs"),
+        least(lit(1.0), col("__target") / col("n_docs")).as("keep_frac"))
+    val kept = docs.join(fracs.select(col("lang"), col("keep_frac")), "lang")
+      .filter(graft.api.Graft.keepByFraction(col("doc_id"), col("keep_frac")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    fracs.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(col("keep_frac"), 6).as("keep_frac"))
+      .orderBy(col("lang"))
+  }
+
+  val mixRebalanceSql: String =
+    s"""WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+       |tgt AS (SELECT CAST(sum(n_docs) AS DOUBLE) / count(*) AS t FROM counts),
+       |fracs AS (SELECT lang, n_docs, least(1.0, (SELECT t FROM tgt) / n_docs) AS keep_frac
+       |          FROM counts),
+       |kept AS (
+       |  SELECT d.lang, count(*) AS n_kept
+       |  FROM documents d JOIN fracs f ON d.lang = f.lang
+       |  WHERE ${idHashSql("d.doc_id")} / 4294967296.0 < f.keep_frac
+       |  GROUP BY 1)
+       |SELECT f.lang, f.n_docs, coalesce(k.n_kept, 0) AS n_kept,
+       |       round(f.keep_frac, 6) AS keep_frac
+       |FROM fracs f LEFT JOIN kept k ON f.lang = k.lang
+       |ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_chunk_overlap" -> (chunkOverlap _),
+    "corpus_mix_rebalance" -> (mixRebalance _),
     "corpus_decontaminate" -> (decontaminate _),
     "corpus_pii_scrub" -> (piiScrub _),
     "corpus_quality_gate" -> (qualityGate _),
@@ -342,6 +407,8 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_chunk_overlap" -> chunkOverlapSql,
+    "corpus_mix_rebalance" -> mixRebalanceSql,
     "corpus_decontaminate" -> decontaminateSql,
     "corpus_pii_scrub" -> piiScrubSql,
     "corpus_quality_gate" -> qualityGateSql,

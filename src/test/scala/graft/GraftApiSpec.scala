@@ -275,6 +275,34 @@ class GraftApiSpec extends SparkSpec {
     assert(kept.length === (if (kept.contains(3L)) 3 else 2))
   }
 
+  test("chunkOverlap: stride windows cover every token, overlap by window-stride, short tail") {
+    import spark.implicits._
+    val out = Seq((1 to 7).map(i => s"t$i").mkString(" ")).toDF("text")
+      .select(posexplode(Graft.chunkOverlap(col("text"), window = 3, stride = 2)))
+      .as[(Int, String)].collect()
+    assert(out === Array(
+      0 -> "t1 t2 t3", 1 -> "t3 t4 t5", 2 -> "t5 t6 t7", 3 -> "t7"))
+    // window == stride degenerates to disjoint chunking
+    val disjoint = Seq("a b c d").toDF("text")
+      .select(posexplode(Graft.chunkOverlap(col("text"), window = 2, stride = 2)))
+      .as[(Int, String)].collect()
+    assert(disjoint === Array(0 -> "a b", 1 -> "c d"))
+  }
+
+  test("keepByFraction: 0 keeps none, 1 keeps all, smaller fractions nest in larger") {
+    import spark.implicits._
+    val ids = spark.range(0, 500).toDF("id")
+    assert(ids.filter(Graft.keepByFraction(col("id"), lit(0.0))).count() === 0L)
+    assert(ids.filter(Graft.keepByFraction(col("id"), lit(1.0))).count() === 500L)
+    val at30 = ids.filter(Graft.keepByFraction(col("id"), lit(0.3)))
+      .collect().map(_.getLong(0)).toSet
+    val at60 = ids.filter(Graft.keepByFraction(col("id"), lit(0.6)))
+      .collect().map(_.getLong(0)).toSet
+    assert(at30.subsetOf(at60))          // deterministic nesting
+    assert(at30.nonEmpty && at60.size < 500)
+    assert(math.abs(at30.size / 500.0 - 0.3) < 0.1)  // roughly calibrated
+  }
+
   test("writeWarehouse: partitioned layout + overwrite replaces prior contents") {
     import spark.implicits._
     val out = "/tmp/graft_sources/warehouse_seam"
