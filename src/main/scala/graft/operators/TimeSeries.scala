@@ -32,7 +32,9 @@ object TimeSeries {
     * boundary regardless of summation order — an average lands on
     * arbitrary decimals where a half-boundary flips between engines
     * (observed: 10.675 → 10.67 vs 10.68). */
-  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+  /** Occupied 1-hour bins left-joined onto the complete per-type bin
+    * spine — the shared front half of the resample family. */
+  private def spineJoined(spark: SparkSession, dir: String): DataFrame = {
     val binned = Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bin"))
       .agg(round(sum(col("value")), 2).as("sum_value"))
@@ -40,8 +42,21 @@ object TimeSeries {
       .agg(min("bin").as("lo"), max("bin").as("hi"))
       .select(col("event_type"),
         explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bin"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
     spine.join(binned, Seq("event_type", "bin"), "left")
+  }
+
+  private val spineJoinedSql: String =
+    """WITH binned AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bin, round(sum(value), 2) AS sum_value
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, min(bin) AS lo, max(bin) AS hi FROM binned GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bin FROM bounds),
+      |j AS (SELECT s.event_type, s.bin, b.sum_value
+      |      FROM spine s LEFT JOIN binned b ON s.event_type = b.event_type AND s.bin = b.bin)""".stripMargin
+
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    spineJoined(spark, dir)
       .select(col("event_type"),
         date_format(col("bin"), "yyyy-MM-dd HH:mm").as("bin_ts"),
         col("sum_value"),
@@ -51,23 +66,84 @@ object TimeSeries {
   }
 
   val resampleFfillSql: String =
-    """WITH binned AS (
-      |  SELECT event_type, date_trunc('hour', ts) AS bin, round(sum(value), 2) AS sum_value
-      |  FROM events GROUP BY 1, 2),
-      |bounds AS (SELECT event_type, min(bin) AS lo, max(bin) AS hi FROM binned GROUP BY 1),
-      |spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bin FROM bounds),
-      |j AS (SELECT s.event_type, s.bin, b.sum_value
-      |      FROM spine s LEFT JOIN binned b ON s.event_type = b.event_type AND s.bin = b.bin)
-      |SELECT event_type, strftime(bin, '%Y-%m-%d %H:%M') AS bin_ts, sum_value,
-      |       last_value(sum_value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bin) AS filled_value,
-      |       sum_value IS NULL AS is_gap
-      |FROM j ORDER BY 1, 2""".stripMargin
+    s"""$spineJoinedSql
+       |SELECT event_type, strftime(bin, '%Y-%m-%d %H:%M') AS bin_ts, sum_value,
+       |       last_value(sum_value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bin) AS filled_value,
+       |       sum_value IS NULL AS is_gap
+       |FROM j ORDER BY 1, 2""".stripMargin
+
+  /** Linear interpolation across gaps: each missing bin takes
+    * prev + (next − prev) · (rows since prev)/(rows between), from
+    * the nearest observed bins on each side (per-type windows: a
+    * running last-ignoring-nulls forward and first-ignoring-nulls
+    * backward, plus their row positions). Occupied bins keep their
+    * value; a gap with only one side observed falls back to that side
+    * (leading/trailing gaps).
+    *
+    * Parity note: the interpolated value is computed in integer CENTS
+    * — numerator pv_c·(nr−pr) + (nv_c−pv_c)·(rn−pr) is an exact
+    * integer because the bin sums are 2-decimal — with a single
+    * double division at the end, rounded to 1e-4 units. `round` on a
+    * free-floating double is NOT engine-safe at ties (Spark rounds
+    * the shortest decimal string: 10.63375 → 10.6338; DuckDB scales
+    * and rounds: 10.633749… → 10.6337 — observed at sf0.001); with
+    * integer inputs every tie is an exactly-representable .5 where
+    * both engines round half-away identically. */
+  def resampleInterp(spark: SparkSession, dir: String): DataFrame = {
+    val byBin = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val back = byBin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = byBin.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pvC = round(col("pv") * 100).cast("long")
+    val nvC = round(col("nv") * 100).cast("long")
+    val den = col("nr") - col("pr")
+    val numC = pvC * den + (nvC - pvC) * (col("rn") - col("pr"))
+    spineJoined(spark, dir)
+      .withColumn("rn", row_number().over(byBin))
+      .withColumn("pv", last(col("sum_value"), ignoreNulls = true).over(back))
+      .withColumn("pr", last(when(col("sum_value").isNotNull, col("rn")), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("sum_value"), ignoreNulls = true).over(fwd))
+      .withColumn("nr", first(when(col("sum_value").isNotNull, col("rn")), ignoreNulls = true).over(fwd))
+      .select(col("event_type"),
+        date_format(col("bin"), "yyyy-MM-dd HH:mm").as("bin_ts"),
+        col("sum_value"),
+        when(col("sum_value").isNotNull, col("sum_value"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(
+            round(numC.cast("double") * lit(100.0) / den).cast("long") / lit(10000.0))
+          .as("interp_value"))
+      .orderBy(col("event_type"), col("bin_ts"))
+  }
+
+  val resampleInterpSql: String =
+    s"""$spineJoinedSql,
+       |w AS (
+       |  SELECT event_type, bin, sum_value,
+       |         row_number() OVER tb AS rn,
+       |         last_value(sum_value IGNORE NULLS) OVER (tb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |         last_value(CASE WHEN sum_value IS NOT NULL THEN rn0 END IGNORE NULLS)
+       |           OVER (tb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr,
+       |         first_value(sum_value IGNORE NULLS) OVER (tb ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+       |         first_value(CASE WHEN sum_value IS NOT NULL THEN rn0 END IGNORE NULLS)
+       |           OVER (tb ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nr
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn0 FROM j)
+       |  WINDOW tb AS (PARTITION BY event_type ORDER BY bin))
+       |SELECT event_type, strftime(bin, '%Y-%m-%d %H:%M') AS bin_ts, sum_value,
+       |       CASE WHEN sum_value IS NOT NULL THEN sum_value
+       |            WHEN pv IS NULL THEN nv
+       |            WHEN nv IS NULL THEN pv
+       |            ELSE CAST(round(CAST(CAST(round(pv * 100) AS BIGINT) * (nr - pr)
+       |                       + (CAST(round(nv * 100) AS BIGINT) - CAST(round(pv * 100) AS BIGINT)) * (rn - pr)
+       |                       AS DOUBLE) * 100 / (nr - pr)) AS BIGINT) / 10000.0 END AS interp_value
+       |FROM w ORDER BY 1, 2""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ts_resample_ffill" -> (resampleFfill _)
+    "ts_resample_ffill" -> (resampleFfill _),
+    "ts_resample_interp" -> (resampleInterp _)
   )
 
   def oracle: Map[String, String] = Map(
-    "ts_resample_ffill" -> resampleFfillSql
+    "ts_resample_ffill" -> resampleFfillSql,
+    "ts_resample_interp" -> resampleInterpSql
   )
 }

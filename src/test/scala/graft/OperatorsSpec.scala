@@ -184,6 +184,38 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(4)), "expected at least one gap at sf0.001")
   }
 
+  test("interpolation matches a driver-side linear recomputation per type") {
+    val rows = TimeSeries.resampleInterp(spark, sf).collect()
+    var gaps = 0
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getString(1))
+      val vals = sorted.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val expected = vals(i) match {
+          case Some(v) => v
+          case None =>
+            gaps += 1
+            val prev = (i - 1 to 0 by -1).collectFirst { case j if vals(j).isDefined => (j, vals(j).get) }
+            val next = (i + 1 until vals.length).collectFirst { case j if vals(j).isDefined => (j, vals(j).get) }
+            (prev, next) match {
+              case (Some((pj, pv)), Some((nj, nv))) =>
+                // mirror the operator's integer-cents formulation exactly
+                val pvC = math.round(pv * 100); val nvC = math.round(nv * 100)
+                val den = (nj - pj).toLong
+                val num = pvC * den + (nvC - pvC) * (i - pj)
+                math.round(num.toDouble * 100 / den) / 10000.0
+              case (None, Some((_, nv))) => nv
+              case (Some((_, pv)), None) => pv
+              case _ => fail("spine row with no observed neighbor at all")
+            }
+        }
+        assert(math.abs(r.getDouble(3) - expected) < 1e-9,
+          s"${r.getString(0)} ${r.getString(1)}: ${r.getDouble(3)} vs $expected")
+      }
+    }
+    assert(gaps > 0, "expected gaps at sf0.001")
+  }
+
   test("label centroid matches a driver-side recomputation") {
     val got = Similarity.labelCentroid(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
