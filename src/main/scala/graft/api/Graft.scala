@@ -450,16 +450,25 @@ object Graft {
   /** Sliding token-window chunks with overlap — the
     * document→training-example fan-out stage (window W, stride S ≤ W
     * overlaps consecutive chunks by W−S tokens). Chunk i covers
-    * tokens [i·S+1, i·S+W]; starts run while < n, so every token
-    * lands in ≥1 chunk and the tail chunk may be short. The token
-    * array is bound as a lambda variable (one split per row — the
-    * [[shingles]] lesson); a map-only fan-out at any scale. */
+    * tokens [i·S+1, i·S+W]; the last chunk index is
+    * ceil((n−W)/S) (0 for short docs), so every token lands in ≥1
+    * chunk, the tail chunk may be short, and no chunk is a pure
+    * subset of its predecessor (a start past the previous chunk's
+    * end-of-coverage would only re-emit already-covered tokens,
+    * over-representing the tail in training data). The token array is
+    * bound as a lambda variable (one split per row — the [[shingles]]
+    * lesson); a map-only fan-out at any scale. */
   def chunkOverlap(text: Column, window: Int, stride: Int): Column = {
     require(stride > 0 && window >= stride, "need 0 < stride <= window")
     element_at(
-      transform(array(tokens(text)), w =>
-        transform(sequence(lit(0), floor((size(w) - 1) / lit(stride)).cast("int")),
-          i => concat_ws(" ", slice(w, i * lit(stride) + 1, lit(window))))), 1)
+      transform(array(tokens(text)), w => {
+        // ceil((n - W)/S) in exact integer arithmetic, clamped at 0
+        val lastIdx = greatest(lit(0),
+          floor((size(w) - lit(window) + lit(stride) - 1).cast("double") / lit(stride))
+            .cast("int"))
+        transform(sequence(lit(0), lastIdx),
+          i => concat_ws(" ", slice(w, i * lit(stride) + 1, lit(window))))
+      }), 1)
   }
 
   /** Deterministic fractional keep at an arbitrary (possibly
@@ -468,6 +477,14 @@ object Graft {
     * alone. [[sampledBy]] is the integer-percent special case. */
   def keepByFraction(id: Column, frac: Column): Column =
     idHash(id).cast("double") / lit(4294967296.0) < frac
+
+  /** Integer-exact variant of [[keepByFraction]] for data-derived
+    * fractions in MICRO-units (fracE6 = fraction·10⁶):
+    * idHash·10⁶ < fracE6·2³² — an all-integer comparison (both sides
+    * < 2⁶³), so no double rounding exists for two engines to
+    * disagree on at a boundary. */
+  def keepByMicroFraction(id: Column, fracE6: Column): Column =
+    idHash(id) * lit(1000000L) < fracE6 * lit(4294967296L)
 
   /** Deterministic sampling predicate: keep rows whose id-hash falls
     * under `percent` (0–100). Same id → same verdict, forever. */

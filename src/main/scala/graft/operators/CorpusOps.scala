@@ -340,13 +340,16 @@ object CorpusOps {
         posexplode(graft.api.Graft.chunkOverlap(col("text"), window = 50, stride = 30))
           .as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        size(split(col("chunk"), " ")).cast("long").as("n_chunk_tokens"),
+        nToks(col("chunk")).as("n_chunk_tokens"),
         md5(col("chunk").cast("binary")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   val chunkOverlapSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-      |c AS (SELECT doc_id, unnest(range((len(words) - 1) // 30 + 1)) AS chunk_idx, words FROM t)
+      |c AS (SELECT doc_id,
+      |             unnest(range(greatest(0, (len(words) - 50 + 29) // 30) + 1)) AS chunk_idx,
+      |             words
+      |      FROM t)
       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
       |       CAST(len(words[chunk_idx*30 + 1 : chunk_idx*30 + 50]) AS BIGINT) AS n_chunk_tokens,
       |       md5(array_to_string(words[chunk_idx*30 + 1 : chunk_idx*30 + 50], ' ')) AS chunk_md5
@@ -362,33 +365,44 @@ object CorpusOps {
     * same doc set is kept on any re-run over any subset. */
   def mixRebalance(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // materialized ONCE: every downstream branch (target, fracs, kept,
+    // final join) reuses the |langs|-row table — without the
+    // checkpoint each branch would re-scan and re-aggregate the corpus
+    // (Spark does not CSE across DataFrame reuse)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
     val target = counts.agg(
-      (sum(col("n_docs")).cast("double") / count(lit(1))).as("__target"))
+      sum(col("n_docs")).as("__total"), count(lit(1)).as("__nlangs"))
+    // keep fraction in exact integer MICRO-units: no doubles anywhere,
+    // so there is no rounding tie for two engines to disagree on
+    // (the resampleInterp lesson)
     val fracs = counts.crossJoin(broadcast(target))
       .select(col("lang"), col("n_docs"),
-        least(lit(1.0), col("__target") / col("n_docs")).as("keep_frac"))
-    val kept = docs.join(fracs.select(col("lang"), col("keep_frac")), "lang")
-      .filter(graft.api.Graft.keepByFraction(col("doc_id"), col("keep_frac")))
+        least(lit(1000000L),
+          expr("(__total * 1000000) DIV (__nlangs * n_docs)")).as("keep_frac_e6"))
+    val kept = docs.join(fracs.select(col("lang"), col("keep_frac_e6")), "lang")
+      .filter(graft.api.Graft.keepByMicroFraction(col("doc_id"), col("keep_frac_e6")))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
     fracs.join(kept, Seq("lang"), "left")
       .select(col("lang"), col("n_docs"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        round(col("keep_frac"), 6).as("keep_frac"))
+        col("keep_frac_e6"))
       .orderBy(col("lang"))
   }
 
   val mixRebalanceSql: String =
     s"""WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
-       |tgt AS (SELECT CAST(sum(n_docs) AS DOUBLE) / count(*) AS t FROM counts),
-       |fracs AS (SELECT lang, n_docs, least(1.0, (SELECT t FROM tgt) / n_docs) AS keep_frac
+       |tgt AS (SELECT sum(n_docs) AS total, count(*) AS nlangs FROM counts),
+       |fracs AS (SELECT lang, n_docs,
+       |                 least(1000000, ((SELECT total FROM tgt) * 1000000)
+       |                                // ((SELECT nlangs FROM tgt) * n_docs)) AS keep_frac_e6
        |          FROM counts),
        |kept AS (
        |  SELECT d.lang, count(*) AS n_kept
        |  FROM documents d JOIN fracs f ON d.lang = f.lang
-       |  WHERE ${idHashSql("d.doc_id")} / 4294967296.0 < f.keep_frac
+       |  WHERE ${idHashSql("d.doc_id")} * 1000000 < f.keep_frac_e6 * 4294967296
        |  GROUP BY 1)
        |SELECT f.lang, f.n_docs, coalesce(k.n_kept, 0) AS n_kept,
-       |       round(f.keep_frac, 6) AS keep_frac
+       |       CAST(f.keep_frac_e6 AS BIGINT) AS keep_frac_e6
        |FROM fracs f LEFT JOIN kept k ON f.lang = k.lang
        |ORDER BY 1""".stripMargin
 

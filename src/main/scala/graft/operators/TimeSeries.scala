@@ -119,7 +119,7 @@ object TimeSeries {
     s"""$spineJoinedSql,
        |w AS (
        |  SELECT event_type, bin, sum_value,
-       |         row_number() OVER tb AS rn,
+       |         rn0 AS rn,
        |         last_value(sum_value IGNORE NULLS) OVER (tb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
        |         last_value(CASE WHEN sum_value IS NOT NULL THEN rn0 END IGNORE NULLS)
        |           OVER (tb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr,

@@ -275,18 +275,29 @@ class GraftApiSpec extends SparkSpec {
     assert(kept.length === (if (kept.contains(3L)) 3 else 2))
   }
 
-  test("chunkOverlap: stride windows cover every token, overlap by window-stride, short tail") {
+  test("chunkOverlap: stride windows cover every token, no subset tail chunk") {
     import spark.implicits._
     val out = Seq((1 to 7).map(i => s"t$i").mkString(" ")).toDF("text")
       .select(posexplode(Graft.chunkOverlap(col("text"), window = 3, stride = 2)))
       .as[(Int, String)].collect()
-    assert(out === Array(
-      0 -> "t1 t2 t3", 1 -> "t3 t4 t5", 2 -> "t5 t6 t7", 3 -> "t7"))
+    // last chunk index = ceil((7-3)/2) = 2: token t7 is covered by
+    // chunk 2; a chunk 3 = "t7" would be a pure subset of chunk 2
+    assert(out === Array(0 -> "t1 t2 t3", 1 -> "t3 t4 t5", 2 -> "t5 t6 t7"))
+    // a genuinely new tail token DOES get a (short) tail chunk
+    val tail = Seq((1 to 8).map(i => s"t$i").mkString(" ")).toDF("text")
+      .select(posexplode(Graft.chunkOverlap(col("text"), window = 3, stride = 2)))
+      .as[(Int, String)].collect()
+    assert(tail.last === (3 -> "t7 t8") && tail.length === 4)
     // window == stride degenerates to disjoint chunking
     val disjoint = Seq("a b c d").toDF("text")
       .select(posexplode(Graft.chunkOverlap(col("text"), window = 2, stride = 2)))
       .as[(Int, String)].collect()
     assert(disjoint === Array(0 -> "a b", 1 -> "c d"))
+    // short doc -> exactly one whole-doc chunk
+    val short = Seq("a b").toDF("text")
+      .select(posexplode(Graft.chunkOverlap(col("text"), window = 5, stride = 3)))
+      .as[(Int, String)].collect()
+    assert(short === Array(0 -> "a b"))
   }
 
   test("keepByFraction: 0 keeps none, 1 keeps all, smaller fractions nest in larger") {

@@ -203,7 +203,10 @@ class OperatorsSpec extends SparkSpec {
                 val pvC = math.round(pv * 100); val nvC = math.round(nv * 100)
                 val den = (nj - pj).toLong
                 val num = pvC * den + (nvC - pvC) * (i - pj)
-                math.round(num.toDouble * 100 / den) / 10000.0
+                // HALF_UP away from zero, matching Spark/DuckDB round —
+                // math.round is toward +inf and diverges on negative ties
+                BigDecimal(num.toDouble * 100 / den)
+                  .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong / 10000.0
               case (None, Some((_, nv))) => nv
               case (Some((_, pv)), None) => pv
               case _ => fail("spine row with no observed neighbor at all")
