@@ -203,7 +203,51 @@ object TextAnalysis {
       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** URL parsing + per-domain census — the crawl-pipeline staple
+    * (domain allow/deny lists, per-site caps). The corpus has no URL
+    * column, so the query plants a deterministic one per doc
+    * (identically in the oracle) and parses it with Spark's codegen'd
+    * `parse_url` (HOST/PATH/QUERY-key extraction); the oracle mirrors
+    * with RE2 regexp_extract. Map-only parse, one compact-key
+    * (host) aggregation. */
+  def urlParse(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
+      lit(".example.org/docs/"), col("doc_id").cast("string"),
+      lit("?q=tok"), (col("doc_id") % 7).cast("string"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), url.as("__url"))
+      .select(
+        parse_url(col("__url"), lit("HOST")).as("host"),
+        parse_url(col("__url"), lit("PATH")).as("path"),
+        parse_url(col("__url"), lit("QUERY"), lit("q")).as("qparam"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("qparam")).as("n_qparams"),
+        min(col("path")).as("first_path"))
+      .select(col("host"), substring_index(col("host"), ".", -1).as("tld"),
+        col("n_docs"), col("n_qparams"), col("first_path"))
+      .orderBy(col("host"))
+  }
+
+  val urlParseSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/docs/' ||
+      |         CAST(doc_id AS VARCHAR) || '?q=tok' || CAST(doc_id % 7 AS VARCHAR) AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |         regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+      |         regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+      |         regexp_extract(url, '\?q=([a-z0-9]+)', 1) AS qparam
+      |  FROM u)
+      |SELECT host, regexp_extract(host, '([a-z]+)$', 1) AS tld,
+      |       count(*) AS n_docs, count(DISTINCT qparam) AS n_qparams,
+      |       min(path) AS first_path
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_url_parse" -> (urlParse _),
     "text_token_stats" -> (tokenStats _),
     "text_token_stats_ws" -> (tokenStatsWs _),
     "text_quality_score" -> (qualityScore _),
@@ -214,6 +258,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_url_parse" -> urlParseSql,
     "text_token_stats" -> tokenStatsSql,
     "text_token_stats_ws" -> tokenStatsWsSql,
     "text_quality_score" -> qualityScoreSql,
