@@ -13,8 +13,10 @@ object Bench {
     * view of the SAME connected-components pipeline that `dedup_keep`
     * (the user-facing endpoint, benched) runs end-to-end — benching
     * both would charge the multi-round CC fixpoint twice for one
-    * operator. */
-  val benchExclude: Set[String] = Set("join_asof", "dedup_components")
+    * operator; `dedup_keep_policy` (the keeper-policy variant) is a
+    * third run of the same fixpoint and is likewise represented in
+    * the bench by `dedup_keep`. */
+  val benchExclude: Set[String] = Set("join_asof", "dedup_components", "dedup_keep_policy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -327,6 +327,29 @@ object Graft {
     df.join(drops, df(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** [[dedupCorpus]] with a KEEPER POLICY: instead of the min-id
+    * canonical, keep the first row of each duplicate cluster under
+    * `keepBy` (e.g. longest text, highest quality score, preferred
+    * source — ties should end in a unique column for determinism).
+    * Unclustered rows form singleton clusters and always survive.
+    * Costs one row_number window over the cluster id on top of the
+    * clustering itself — the window partitions by cluster, so skew is
+    * bounded by the largest duplicate cluster. */
+  def dedupCorpusBy(df: DataFrame, textCol: String, idCol: String,
+                    keepBy: Seq[Column], threshold: Double = 0.5,
+                    k: Int = 3, bands: Int = 4): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, threshold, k, bands)
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("__cid"), col("component"))
+    val labeled = df.join(comp, df(idCol) === col("__cid"), "left")
+      .withColumn("__cluster", coalesce(col("component"), df(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cluster")).orderBy(keepBy: _*)
+    labeled.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__cid", "component", "__cluster", "__rk")
+  }
+
   /** Decontamination: flag training rows whose text shares at least
     * one k-gram shingle with an evaluation/benchmark set — the
     * standard guard against test-set leakage into a training corpus.

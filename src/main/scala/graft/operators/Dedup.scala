@@ -268,6 +268,31 @@ object Dedup {
        |FROM documents WHERE doc_id NOT IN (SELECT id FROM drops)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Quality-aware dedup: keep the LONGEST member of each near-dup
+    * cluster (ties → min doc_id) instead of the min-id canonical —
+    * the policy a training pipeline actually wants when duplicates
+    * differ in completeness. Summarized per source; vs [[keep]] the
+    * kept char mass can only grow. Delegates to
+    * [[graft.api.Graft.dedupCorpusBy]]. */
+  def keepPolicy(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.dedupCorpusBy(
+      Tables.documents(spark, dir), "text", "doc_id",
+      keepBy = Seq(col("n_chars").desc, col("doc_id").asc),
+      threshold = 0.5, k = 3, bands = bands)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      .orderBy(col("source"))
+
+  val keepPolicySql: String =
+    s"""$ccCteBody,
+       |labels AS (SELECT id, min(label) AS component FROM reach GROUP BY 1),
+       |lab AS (SELECT d.*, coalesce(l.component, d.doc_id) AS cluster
+       |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster
+       |                 ORDER BY n_chars DESC, doc_id ASC) AS rk FROM lab)
+       |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |FROM rk WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_exact_stats" -> (exactDedupStats _),
@@ -275,7 +300,8 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_components" -> (components _),
-    "dedup_keep" -> (keep _)
+    "dedup_keep" -> (keep _),
+    "dedup_keep_policy" -> (keepPolicy _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -285,6 +311,7 @@ object Dedup {
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_components" -> componentsSql,
-    "dedup_keep" -> keepSql
+    "dedup_keep" -> keepSql,
+    "dedup_keep_policy" -> keepPolicySql
   )
 }

@@ -314,6 +314,26 @@ class GraftApiSpec extends SparkSpec {
     assert(math.abs(at30.size / 500.0 - 0.3) < 0.1)  // roughly calibrated
   }
 
+  test("dedupCorpusBy: keeper policy picks the longest cluster member, not the min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),   // longest in cluster {1,2}
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8")).toDF("id", "text")
+      .withColumn("len", length(col("text")))
+    val kept = Graft.dedupCorpusBy(docs, "text", "id",
+      keepBy = Seq(col("len").desc, col("id").asc))
+      .select("id").as[Long].collect().toSet
+    // min-id policy would keep 1; longest-member policy keeps 2
+    assert(kept.contains(4L))
+    if (!kept.contains(1L) || !kept.contains(2L)) { // 1 and 2 clustered
+      assert(kept === Set(2L, 4L))
+    }
+    // schema passes through unchanged (no helper columns leak)
+    assert(Graft.dedupCorpusBy(docs, "text", "id", Seq(col("id"))).columns.toSeq
+      === Seq("id", "text", "len"))
+  }
+
   test("writeWarehouse: partitioned layout + overwrite replaces prior contents") {
     import spark.implicits._
     val out = "/tmp/graft_sources/warehouse_seam"
