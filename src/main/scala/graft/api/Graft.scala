@@ -265,17 +265,27 @@ object Graft {
       .localCheckpoint()
     var labels = sym.select(col("__src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
-    // Convergence probe, by id type. Numeric ids: labels only ever
+    // Convergence probe, by id type. INTEGRAL ids: labels only ever
     // decrease, so sum(component) is strictly decreasing until the
     // fixpoint — one scalar aggregate per round (decimal(38,0) keeps
-    // it exact; a Long sum could wrap and fake a fixpoint). Other id
-    // types (string keys are legal — min-label propagation only needs
-    // an ordering): a cast-to-decimal would be null and silently
-    // declare convergence after round 1, so they use the join-based
-    // changed-row count instead — correct for any type, one extra
-    // join per round.
-    val numericIds =
-      sym.schema("__src").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // it exact; a Long sum could wrap and fake a fixpoint). Every
+    // other id type uses the join-based changed-row count — correct
+    // for any type, one extra join per round. That includes
+    // FRACTIONAL numerics (Double/Float/Decimal with scale>0): the
+    // probe casts to decimal(38,0), which ROUNDS, so two distinct
+    // fractional labels that change between rounds but round to the
+    // same integer would leave the sum unchanged and declare
+    // convergence before the fixpoint. Strings (legal — min-label
+    // propagation only needs an ordering) cast to null and would
+    // fake convergence after round 1.
+    val scalarProbeSafe = {
+      import org.apache.spark.sql.types._
+      sym.schema("__src").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType                                => d.scale == 0
+        case _                                             => false
+      }
+    }
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("component").cast("decimal(38,0)"))).first().getDecimal(0))
     var prev: Option[java.math.BigDecimal] = None
@@ -295,7 +305,7 @@ object Graft {
       val comp = prop.join(l2, col("component") === col("__lid"))
         .select(col("id"), col("__lcomp").as("component"))
         .localCheckpoint(false)
-      if (numericIds) {
+      if (scalarProbeSafe) {
         val cur = labelSum(comp)
         done = prev == cur
         prev = cur
@@ -339,15 +349,18 @@ object Graft {
                     keepBy: Seq[Column], threshold: Double = 0.5,
                     k: Int = 3, bands: Int = 4): DataFrame = {
     val pairs = nearDupPairs(df, textCol, idCol, threshold, k, bands)
+    // collision-proof internal names (__graft_ prefix, like
+    // AsofJoin's shadows): a caller DataFrame legitimately owning a
+    // column named "component" or "__cluster" must survive unchanged
     val comp = connectedComponents(pairs, "id_a", "id_b")
-      .select(col("id").as("__cid"), col("component"))
-    val labeled = df.join(comp, df(idCol) === col("__cid"), "left")
-      .withColumn("__cluster", coalesce(col("component"), df(idCol)))
+      .select(col("id").as("__graft_cid"), col("component").as("__graft_component"))
+    val labeled = df.join(comp, df(idCol) === col("__graft_cid"), "left")
+      .withColumn("__graft_cluster", coalesce(col("__graft_component"), df(idCol)))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__cluster")).orderBy(keepBy: _*)
-    labeled.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("__cid", "component", "__cluster", "__rk")
+      .partitionBy(col("__graft_cluster")).orderBy(keepBy: _*)
+    labeled.withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") === 1)
+      .drop("__graft_cid", "__graft_component", "__graft_cluster", "__graft_rk")
   }
 
   /** Decontamination: flag training rows whose text shares at least

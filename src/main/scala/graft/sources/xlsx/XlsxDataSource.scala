@@ -294,12 +294,16 @@ object XlsxParser {
       else java.time.LocalDate.of(1899, 12, 31)
     val date = base.plusDays(days)
     val frac = serial - days
-    if (frac == 0.0) date.toString
-    else {
-      val secs = math.round(frac * 86400).toInt
+    // seconds-rounding can hit 86400 (e.g. serial x.9999999) — that is
+    // midnight of the NEXT day, which must render in the same
+    // date-only form as the exact integral serial, not as
+    // "yyyy-MM-dd 00:00:00" (one instant, one representation)
+    val secs = if (frac == 0.0) 0L else math.round(frac * 86400)
+    if (secs == 0L) date.toString
+    else if (secs >= 86400L) date.plusDays(1).toString
+    else
       date.atStartOfDay.plusSeconds(secs)
         .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-    }
   }
 
   def parse(path: String): Seq[Seq[String]] = {
@@ -391,7 +395,11 @@ object XlsxParser {
               // numeric cell styled as a date → resolve through the
               // workbook date system to an ISO string
               val s = cell.getAttribute("s")
-              if (raw != null && s.nonEmpty && dateStyles.contains(s.toInt))
+              // defensive like the numFmtId parse above: a malformed
+              // style index (s="x") means "not a date style", not a
+              // whole-file abort
+              val styleIdx = scala.util.Try(s.toInt).toOption
+              if (raw != null && styleIdx.exists(dateStyles.contains))
                 try dateSerialToIso(raw.trim.toDouble, date1904)
                 catch { case _: NumberFormatException => raw }
               else raw

@@ -205,6 +205,19 @@ class GraftApiSpec extends SparkSpec {
     assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a", "i" -> "a"))
   }
 
+  test("connectedComponents: fractional ids avoid the lossy scalar probe") {
+    import spark.implicits._
+    // an 8-node path of doubles that ALL round to 0 under a
+    // decimal(38,0) cast — the scalar sum probe would read 0 every
+    // round and declare convergence before the fixpoint; the
+    // join-based probe must run the chain to completion
+    val edges = (1 to 7).map(i => (i / 100.0, (i + 1) / 100.0)).toDF("a", "b")
+    val out = Graft.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out.size === 8)
+    assert(out.values.toSet === Set(0.01))
+  }
+
   test("redactPii: emails, phones, IPv4 replaced with typed tags; clean text untouched") {
     import spark.implicits._
     val rows = Seq(
@@ -332,6 +345,13 @@ class GraftApiSpec extends SparkSpec {
     // schema passes through unchanged (no helper columns leak)
     assert(Graft.dedupCorpusBy(docs, "text", "id", Seq(col("id"))).columns.toSeq
       === Seq("id", "text", "len"))
+    // a caller column that happens to be named "component" survives —
+    // the cluster labels live in __graft_-prefixed internals
+    val withComponent = docs.withColumn("component", lit("mine"))
+    val keptCols = Graft.dedupCorpusBy(withComponent, "text", "id", Seq(col("id")))
+    assert(keptCols.columns.toSeq === Seq("id", "text", "len", "component"))
+    assert(keptCols.select("component").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("mine"))
   }
 
   test("writeWarehouse: partitioned layout + overwrite replaces prior contents") {

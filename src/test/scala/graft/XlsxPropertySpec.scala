@@ -153,6 +153,29 @@ class XlsxPropertySpec extends SparkSpec {
     assert(XlsxParser.dateSerialToIso(0, date1904 = true) === "1904-01-01")
   }
 
+  test("seconds-rounding to midnight rolls to the next day in date-only form") {
+    // 45000.9999999 * 86400 rounds to a full day of seconds — one
+    // instant, one representation: same string as the integral serial
+    assert(XlsxParser.dateSerialToIso(45000.9999999, date1904 = false)
+      === XlsxParser.dateSerialToIso(45001.0, date1904 = false))
+    assert(!XlsxParser.dateSerialToIso(45000.9999999, date1904 = false).contains(":"))
+    // a genuine near-midnight time still renders with the time part
+    assert(XlsxParser.dateSerialToIso(45000.99998, date1904 = false)
+      === "2023-03-15 23:59:58")
+  }
+
+  test("malformed style attribute (non-numeric s) is ignored, not a parse abort") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_bads").toString
+    buildWorkbook(s"$dir/bad.xlsx", date1904 = false,
+      """<row r="1">""" +
+        """<c r="A1" s="x"><v>45000</v></c>""" + // bogus style index
+        """<c r="B1" s="1"><v>45000</v></c>""" + // healthy date cell after it
+        """</row>""")
+    val row = XlsxParser.parse(s"$dir/bad.xlsx").head
+    assert(row(0) === "45000") // unparseable style = not a date style
+    assert(row(1) === java.time.LocalDate.of(1899, 12, 30).plusDays(45000).toString)
+  }
+
   test("rich-text inline strings concatenate all runs; t=d literals pass through") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_rich").toString
     val cells =
