@@ -174,8 +174,10 @@ object Sources {
 
   /** XLSX round-trip through the engine's own DataSource V2
     * (graft.sources.xlsx — JDK-only reader, no POI): nation is written
-    * as a real .xlsx workbook, read back via
-    * `spark.read.format("xlsx")`, cast, joined, aggregated. The oracle
+    * as a real .xlsx workbook, read back TYPED via
+    * `spark.read.format("xlsx").option("inferSchema", true)` (no
+    * hand-casts — the sample-based long/double/bool/date inference in
+    * XlsxDataSource types the key columns), joined, aggregated. The oracle
     * computes from the original parquet — format fidelity proven by
     * hash equality. This closes the reference's stubbed XLSX-ETL
     * intent (main.py:12,17) end-to-end. */
@@ -187,9 +189,7 @@ object Sources {
       .map(r => Seq(r.get(0).toString, r.get(1).toString, r.get(2).toString).map(identity))
     graft.sources.xlsx.XlsxParser.write(out,
       Seq("n_nationkey", "n_name", "n_regionkey"), rows.toSeq)
-    val n = spark.read.format("xlsx").load(out)
-      .select(col("n_nationkey").cast("int").as("n_nationkey"),
-        col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+    val n = spark.read.format("xlsx").option("inferSchema", true).load(out)
     val r = Tables.region(spark, dir)
     n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
@@ -210,9 +210,7 @@ object Sources {
     Tables.nation(spark, dir)
       .repartition(2, col("n_nationkey"))
       .write.format("xlsx").mode("overwrite").save(out)
-    val n = spark.read.format("xlsx").load(out)
-      .select(col("n_nationkey").cast("int").as("n_nationkey"),
-        col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+    val n = spark.read.format("xlsx").option("inferSchema", true).load(out)
     val r = Tables.region(spark, dir)
     n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))

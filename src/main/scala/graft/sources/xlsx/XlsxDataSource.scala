@@ -51,10 +51,24 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
     // The write path takes its schema from LogicalWriteInfo and the
     // table declares ACCEPT_ANY_SCHEMA, so empty is correct here.
     if (ps.isEmpty) return new StructType()
-    val header = XlsxParser.parse(ps.head).headOption.getOrElse(Seq.empty)
-    StructType(header.zipWithIndex.map { case (name, i) =>
-      StructField(if (name == null || name.isEmpty) s"_c$i" else name, StringType)
-    })
+    val parsed = XlsxParser.parse(ps.head)
+    val header = parsed.headOption.getOrElse(Seq.empty)
+    val names = header.zipWithIndex.map { case (name, i) =>
+      if (name == null || name.isEmpty) s"_c$i" else name
+    }
+    // typed schema-at-read (SURVEY §1.2): sample rows of the first
+    // workbook and unify per-column cell types, exactly like Spark's
+    // CSV inferSchema — opt-in so the default stays the all-string
+    // raw-fidelity read
+    if (options.getBoolean("inferSchema", false)) {
+      val sampleCap = options.getInt("inferSampleRows", 1000)
+      val sample = parsed.drop(1).take(sampleCap)
+      StructType(names.zipWithIndex.map { case (name, i) =>
+        val cells = sample.map(r => if (i < r.length) r(i) else null)
+        StructField(name, XlsxTypeInference.unify(cells))
+      })
+    } else
+      StructType(names.map(StructField(_, StringType)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -75,6 +89,75 @@ object XlsxPaths {
       f.listFiles().filter(_.getName.endsWith(".xlsx")).map(_.getPath).sorted.toSeq
     else if (f.exists()) Seq(p)
     else Seq.empty
+  }
+}
+
+/** Sample-based cell-type inference for `inferSchema=true` — the
+  * long → double → boolean → date → timestamp_ntz → string lattice a
+  * spark-excel-class reader applies. Nulls/empties are compatible
+  * with every type; an all-null column falls back to string. Date
+  * cells arrive from the parser already normalized to ISO strings
+  * (`yyyy-MM-dd`, or `yyyy-MM-dd HH:mm:ss` for fractional serials),
+  * so inference matches those two shapes only — a mixed date/datetime
+  * column unifies to timestamp_ntz (NTZ because a workbook has no
+  * timezone; these are wall-clock values). */
+object XlsxTypeInference {
+  private val longRe = "[+-]?\\d{1,19}".r
+  private val doubleRe = "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
+  private val dateRe = "\\d{4}-\\d{2}-\\d{2}".r
+  private val tsRe = "\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}".r
+
+  private def isLong(s: String) =
+    longRe.matches(s) && scala.util.Try(s.toLong).isSuccess
+  private def isDouble(s: String) = doubleRe.matches(s)
+  private def isBool(s: String) =
+    s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false")
+  private def isDate(s: String) =
+    dateRe.matches(s) && scala.util.Try(java.time.LocalDate.parse(s)).isSuccess
+  private def isTimestamp(s: String) = tsRe.matches(s)
+
+  def unify(cells: Seq[String]): DataType = {
+    val vs = cells.filter(c => c != null && c.nonEmpty)
+    if (vs.isEmpty) StringType
+    else if (vs.forall(isLong)) LongType
+    else if (vs.forall(isDouble)) DoubleType
+    else if (vs.forall(isBool)) BooleanType
+    else if (vs.forall(isDate)) DateType
+    else if (vs.forall(s => isTimestamp(s) || isDate(s))) TimestampNTZType
+    else StringType
+  }
+
+  /** String cell → Catalyst internal value for `dt`; unparseable or
+    * empty cells read as null (permissive, like CSV's default mode —
+    * a value outside the inferred sample must not abort the scan). */
+  def converter(dt: DataType): String => Any = dt match {
+    case StringType => s => UTF8String.fromString(s)
+    case LongType => s => scala.util.Try(s.trim.toLong).getOrElse(null)
+    case IntegerType => s => scala.util.Try(s.trim.toInt).getOrElse(null)
+    case ShortType => s => scala.util.Try(s.trim.toShort).getOrElse(null)
+    case ByteType => s => scala.util.Try(s.trim.toByte).getOrElse(null)
+    case DoubleType => s => scala.util.Try(s.trim.toDouble).getOrElse(null)
+    case FloatType => s => scala.util.Try(s.trim.toFloat).getOrElse(null)
+    case BooleanType => s =>
+      if (s.equalsIgnoreCase("true")) true
+      else if (s.equalsIgnoreCase("false")) false
+      else null
+    case d: DecimalType => s =>
+      scala.util.Try(org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(s.trim), d.precision, d.scale)).getOrElse(null)
+    case DateType => s =>
+      scala.util.Try(java.time.LocalDate.parse(s.trim).toEpochDay.toInt).getOrElse(null)
+    case TimestampNTZType =>
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      s => scala.util.Try {
+        val t = s.trim
+        val ldt =
+          if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay
+          else java.time.LocalDateTime.parse(t, fmt)
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      }.getOrElse(null)
+    case other => throw new UnsupportedOperationException(
+      s"xlsx read: unsupported type $other — read as string and cast instead")
   }
 }
 
@@ -217,8 +300,11 @@ class XlsxReaderFactory(fullSchema: StructType, required: StructType)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsxInputPartition].path
-    // cell ordinal in the file for each required output column
+    // cell ordinal in the file for each required output column, plus
+    // its typed converter (identity-ish UTF8String for the default
+    // all-string schema; parsed values for inferred/user schemas)
     val ordinals = required.fieldNames.map(n => fullSchema.fieldIndex(n))
+    val convert = required.fields.map(f => XlsxTypeInference.converter(f.dataType))
     new PartitionReader[InternalRow] {
       private val rows = XlsxParser.parse(path).drop(1).iterator // drop header
       private var current: Seq[String] = _
@@ -226,8 +312,8 @@ class XlsxReaderFactory(fullSchema: StructType, required: StructType)
         if (rows.hasNext) { current = rows.next(); true } else false
       }
       override def get(): InternalRow = {
-        val vals = ordinals.toSeq.map { i =>
-          if (i < current.length && current(i) != null) UTF8String.fromString(current(i))
+        val vals = ordinals.toSeq.zipWithIndex.map { case (i, o) =>
+          if (i < current.length && current(i) != null) convert(o)(current(i))
           else null
         }
         InternalRow.fromSeq(vals)

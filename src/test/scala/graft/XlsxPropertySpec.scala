@@ -47,6 +47,83 @@ class XlsxPropertySpec extends SparkSpec {
     }
   }
 
+  test("inferSchema unification lattice: promotions and fallbacks") {
+    import graft.sources.xlsx.XlsxTypeInference.unify
+    import org.apache.spark.sql.types._
+    assert(unify(Seq("1", "-42", null, "")) === LongType)
+    assert(unify(Seq("1", "2.5")) === DoubleType)          // long ∪ double → double
+    assert(unify(Seq("1.0E7", ".5", "+3")) === DoubleType)
+    assert(unify(Seq("true", "FALSE")) === BooleanType)
+    assert(unify(Seq("2023-03-15", "1999-12-31")) === DateType)
+    assert(unify(Seq("2023-03-15", "2023-03-15 23:59:58")) === TimestampNTZType)
+    assert(unify(Seq("1", "x")) === StringType)            // mixed → string
+    assert(unify(Seq("2023-13-45")) === StringType)        // shape ok, invalid date
+    assert(unify(Seq(null, "")) === StringType)            // all-null column
+    // long overflow promotes to double (lossy but numeric — the same
+    // lattice Spark's CSV inference applies), not to string
+    assert(unify(Seq("99999999999999999999")) === DoubleType)
+  }
+
+  test("typed round-trip: random typed tables infer + read back value-identical (40 cases)") {
+    import org.apache.spark.sql.types._
+    val longGen = Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2).map(_.toString)
+    val doubleGen = Gen.chooseNum(-1e6, 1e6).map(_.toString)
+    val boolGen = Gen.oneOf("true", "false", "TRUE", "False")
+    val dateGen = Gen.chooseNum(-10000L, 30000L).map(java.time.LocalDate.ofEpochDay(_).toString)
+    val tsGen = for {
+      d <- Gen.chooseNum(0L, 30000L); s <- Gen.chooseNum(0L, 86399L)
+    } yield java.time.LocalDate.ofEpochDay(d).atStartOfDay.plusSeconds(s)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val colTypes = Seq[(Gen[String], DataType)](
+      (longGen, LongType), (doubleGen, DoubleType), (boolGen, BooleanType),
+      (dateGen, DateType), (tsGen, TimestampNTZType))
+    // ~10% nulls in every generated column — inference must skip them
+    def withNulls(g: Gen[String]): Gen[String] =
+      Gen.frequency(9 -> g, 1 -> Gen.const(null: String))
+
+    val caseGen = for {
+      nCols <- Gen.choose(1, 5)
+      cols <- Gen.listOfN(nCols, Gen.oneOf(colTypes))
+      nRows <- Gen.choose(1, 20)
+      // row 0 all non-null: an all-null column legitimately infers
+      // string, which is not the shape under test here
+      row0 <- Gen.sequence[List[String], String](cols.map(_._1))
+      rest <- Gen.listOfN(nRows - 1, Gen.sequence[List[String], String](cols.map(c => withNulls(c._1))))
+    } yield (cols.map(_._2), row0 :: rest)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_typed").toString
+    val cases = Gen.listOfN(40, caseGen).sample.getOrElse(Seq.empty)
+    assert(cases.nonEmpty)
+    cases.zipWithIndex.foreach { case ((types, rows), i) =>
+      val path = s"$dir/t$i.xlsx"
+      // leading row-index column keeps the comparison order-stable
+      val header = "idx" +: types.indices.map(c => s"c$c")
+      val indexed = rows.zipWithIndex.map { case (r, ri) => ri.toString +: r }
+      graft.sources.xlsx.XlsxParser.write(path, header, indexed)
+      val df = spark.read.format("xlsx").option("inferSchema", true).load(path)
+      val expected = StructType(StructField("idx", LongType) +:
+        types.zipWithIndex.map { case (t, c) => StructField(s"c$c", t) })
+      assert(df.schema === expected, s"case $i schema")
+      val got = df.orderBy("idx").collect()
+      indexed.zip(got).foreach { case (exp, row) =>
+        types.zipWithIndex.foreach { case (t, c) =>
+          val cell = exp(c + 1)
+          val actual = row.get(c + 1)
+          if (cell == null) assert(actual == null, s"case $i col $c null")
+          else t match {
+            case LongType => assert(actual === cell.toLong)
+            case DoubleType => assert(actual === cell.toDouble)
+            case BooleanType => assert(actual === cell.toLowerCase.toBoolean)
+            case DateType => assert(actual === java.sql.Date.valueOf(cell))
+            case TimestampNTZType => assert(actual === java.time.LocalDateTime.parse(
+              cell, java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+            case other => fail(s"unexpected $other")
+          }
+        }
+      }
+    }
+  }
+
   // ---------- hand-built workbooks for the parser corners the engine's
   // own writer never produces (foreign-tool workbooks) ----------
 
