@@ -220,6 +220,61 @@ object Sources {
 
   val xlsxWritebackSql: String = csvRoundtripSql
 
+  /** Bounded batch twin of the reference's END-TO-END ETL
+    * (Streams.xlsxEtl — main.py:1–17 as one dataflow): workbooks land
+    * under a bucket-like layout, a notification row per object runs
+    * the accept predicate (prefix `minha-pasta/`, suffix `.xlsx`,
+    * main.py:12), the accepted objects are read in ONE multi-path
+    * typed DSv2 scan (each workbook an input partition), enriched,
+    * written through the warehouse seam partitioned by region, and
+    * read back for the rollup. Two live decoys prove the filter
+    * gates the read: a CSV drop in the right folder (wrong suffix)
+    * and a workbook in the wrong folder (wrong prefix) — either one,
+    * if read, would double the counts and break the oracle hash.
+    *
+    * The only driver-side materialization is the accepted NAME list —
+    * notification metadata, bounded by the drop size (the streaming
+    * path bounds it by maxFilesPerTrigger); workbook reads and
+    * warehouse writes are distributed jobs. */
+  def e2eXlsxEtl(spark: SparkSession, dir: String): DataFrame = {
+    val landing = tmpDir("e2e_landing")
+    // the accepted drop: nation as two part workbooks (DSv2 write)
+    Tables.nation(spark, dir).repartition(2, col("n_nationkey"))
+      .write.format("xlsx").mode("overwrite").save(s"$landing/minha-pasta")
+    // decoy 1: right folder, wrong suffix (.csv)
+    Tables.nation(spark, dir).coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$landing/minha-pasta/decoy_csv")
+    // decoy 2: wrong folder, right suffix
+    Tables.nation(spark, dir).coalesce(1)
+      .write.format("xlsx").mode("overwrite").save(s"$landing/outra-pasta")
+
+    // one notification per landed file (relative object name)
+    def ls(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(ls) else Seq(f)
+    val names = ls(new java.io.File(landing))
+      .map(_.getPath.stripPrefix(landing + "/")).sorted
+    import spark.implicits._
+    val accepted = names.toDF("name")
+      .filter(graft.api.Graft.objectNameAccept(col("name"), "minha-pasta/", ".xlsx"))
+      .collect().map(r => s"$landing/${r.getString(0)}").toSeq
+
+    val typed = spark.read.format("xlsx").option("inferSchema", true)
+      .load(accepted: _*)
+    val enriched = typed
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val warehouse = tmpDir("e2e_warehouse")
+    graft.api.Graft.writeWarehouse(enriched, "parquet", warehouse,
+      partitionBy = Seq("r_name"))
+    spark.read.parquet(warehouse)
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_nation"))
+      .orderBy(col("r_name"))
+  }
+
+  val e2eXlsxEtlSql: String = csvRoundtripSql // rollup from the original parquet
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_xlsx_roundtrip" -> (xlsxRoundtrip _),
     "src_xlsx_writeback" -> (xlsxWriteback _),
@@ -228,7 +283,8 @@ object Sources {
     "src_orc_roundtrip" -> (orcRoundtrip _),
     "src_text_roundtrip" -> (textRoundtrip _),
     "src_binary_ingest" -> (binaryIngest _),
-    "src_partitioned_sink" -> (partitionedSink _)
+    "src_partitioned_sink" -> (partitionedSink _),
+    "ref_e2e_xlsx_etl" -> (e2eXlsxEtl _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -239,6 +295,7 @@ object Sources {
     "src_orc_roundtrip" -> orcRoundtripSql,
     "src_text_roundtrip" -> textRoundtripSql,
     "src_binary_ingest" -> binaryIngestSql,
-    "src_partitioned_sink" -> partitionedSinkSql
+    "src_partitioned_sink" -> partitionedSinkSql,
+    "ref_e2e_xlsx_etl" -> e2eXlsxEtlSql
   )
 }

@@ -34,6 +34,65 @@ object Streams {
       .option("maxFilesPerTrigger", 3)
       .parquet(dir)
 
+  /** Notification record shape for [[xlsxEtl]] — the Spark analog of
+    * the reference's CloudEvent payload (bucket, name, size;
+    * /root/reference/main.py:7–9). */
+  val notificationSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("size_bytes", org.apache.spark.sql.types.LongType)))
+
+  /** The reference's END-TO-END pipeline as ONE continuous streaming
+    * job (main.py:1–17 as a single dataflow): object-arrival
+    * notifications stream in from `notifDir` → the accept predicate
+    * (prefix/suffix, main.py:12) filters them → each accepted object
+    * is read from `landingRoot` through the typed XLSX DSv2
+    * (`inferSchema=true` — the schema-at-read model of main.py:17's
+    * implied load) → `transform` → checkpointed warehouse write.
+    *
+    * Exactly-once story (two independent mechanisms, both required):
+    *  1. the checkpoint makes each notification batch process at
+    *     most once across restarts (source offsets committed after
+    *     the batch function returns), and
+    *  2. the PER-OBJECT overwrite makes reprocessing idempotent —
+    *     a replayed notification (at-least-once delivery, a crash
+    *     between batch completion and offset commit, or a lost
+    *     checkpoint) overwrites the same `object=` subdir instead of
+    *     appending duplicates. This is the same idempotent-load
+    *     contract a production warehouse loader (e.g. a BigQuery load
+    *     job keyed by object) provides.
+    *
+    * Scale shape: the per-batch collect is of object NAMES only —
+    * bounded by `maxFilesPerTrigger` × notifications-per-file (the
+    * reference's one-invocation-per-event model, main.tf's
+    * max_instance_count); the workbook reads and warehouse writes are
+    * distributed jobs. */
+  def xlsxEtl(spark: SparkSession, notifDir: String, landingRoot: String,
+              warehouseDir: String, checkpoint: String,
+              prefix: String = "minha-pasta/", suffix: String = ".xlsx",
+              transform: DataFrame => DataFrame = identity)
+             : org.apache.spark.sql.streaming.StreamingQuery = {
+    val accepted = fileArrivals(spark, notifDir, notificationSchema)
+      .filter(graft.api.Graft.objectNameAccept(col("name"), prefix, suffix))
+    accepted.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val names = batch.select("name").distinct().collect().map(_.getString(0)).sorted
+        names.foreach { n =>
+          val workbook = spark.read.format("xlsx")
+            .option("inferSchema", true).load(s"$landingRoot/$n")
+          graft.api.Graft.writeWarehouse(
+            transform(workbook).withColumn("_source_object", lit(n)),
+            "parquet",
+            s"$warehouseDir/object=${n.replaceAll("[^A-Za-z0-9._-]", "__")}")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Watermarked tumbling-window counts per event type. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

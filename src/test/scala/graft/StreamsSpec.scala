@@ -137,6 +137,53 @@ class StreamsSpec extends SparkSpec {
     assert(uris.toSeq === Seq("gs://tma-0/minha-pasta/a.xlsx", "gs://tma-0/minha-pasta/d.xlsx"))
   }
 
+  test("end-to-end xlsx ETL: arrival → accept → typed read → warehouse, exactly-once across restart and replay") {
+    import spark.implicits._
+    import graft.sources.xlsx.XlsxParser
+    val notif = java.nio.file.Files.createTempDirectory("graft_e2e_notif").toString
+    val landing = java.nio.file.Files.createTempDirectory("graft_e2e_land").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft_e2e_wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e2e_ckpt").toString
+    new java.io.File(s"$landing/minha-pasta").mkdirs()
+    new java.io.File(s"$landing/outra-pasta").mkdirs()
+    XlsxParser.write(s"$landing/minha-pasta/a.xlsx", Seq("id", "qty"),
+      Seq(Seq("1", "10"), Seq("2", "20")))
+    XlsxParser.write(s"$landing/outra-pasta/c.xlsx", Seq("id", "qty"),
+      Seq(Seq("99", "999"))) // wrong prefix: must never be loaded
+
+    def warehouseRows(): Map[(Long, Long), String] =
+      spark.read.parquet(wh).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("qty")) -> r.getAs[String]("_source_object"))
+        .toMap
+
+    // drop 1: one accepted object + two rejects (suffix, prefix)
+    Seq(("tma-0", "minha-pasta/a.xlsx", 1L), ("tma-0", "minha-pasta/notes.csv", 2L),
+      ("tma-1", "outra-pasta/c.xlsx", 3L))
+      .toDF("bucket", "name", "size_bytes").write.parquet(s"$notif/drop1")
+    Streams.xlsxEtl(spark, s"$notif/*", landing, wh, ckpt).awaitTermination(120000)
+    assert(warehouseRows() === Map((1L, 10L) -> "minha-pasta/a.xlsx",
+      (2L, 20L) -> "minha-pasta/a.xlsx")) // typed: id/qty are longs
+
+    // drop 2 after a "restart": one NEW object + a REPLAYED
+    // notification for a.xlsx (at-least-once delivery) — the replay
+    // must overwrite, not duplicate
+    XlsxParser.write(s"$landing/minha-pasta/b.xlsx", Seq("id", "qty"),
+      Seq(Seq("3", "30")))
+    Seq(("tma-0", "minha-pasta/b.xlsx", 4L), ("tma-0", "minha-pasta/a.xlsx", 5L))
+      .toDF("bucket", "name", "size_bytes").write.parquet(s"$notif/drop2")
+    Streams.xlsxEtl(spark, s"$notif/*", landing, wh, ckpt).awaitTermination(120000)
+    val afterRestart = warehouseRows()
+    assert(afterRestart === Map(
+      (1L, 10L) -> "minha-pasta/a.xlsx", (2L, 20L) -> "minha-pasta/a.xlsx",
+      (3L, 30L) -> "minha-pasta/b.xlsx"))
+
+    // lost checkpoint: everything replays from scratch — per-object
+    // overwrite keeps the warehouse byte-identical in content
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_e2e_ckpt2").toString
+    Streams.xlsxEtl(spark, s"$notif/*", landing, wh, ckpt2).awaitTermination(120000)
+    assert(warehouseRows() === afterRestart)
+  }
+
   test("flatMapGroupsWithState emits once when the error threshold is crossed") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
