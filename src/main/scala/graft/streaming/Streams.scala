@@ -295,17 +295,56 @@ object Streams {
       |    FROM events))
       |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
 
+  /** Batch twin of runningUserState: the mapGroupsWithState fixpoint
+    * after the whole stream is consumed is exactly the per-user
+    * (count, event_id-latest type) aggregate — max_by is the
+    * one-shuffle batch form of "last write wins by event_id". */
+  def userStateBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("event_type"), col("event_id")).as("last_type"))
+      .orderBy(col("user_id"))
+
+  val userStateBatchSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       max_by(event_type, event_id) AS last_type
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Batch twin of errorBursts: consuming the whole stream, a user
+    * emitted a burst record iff their total error count reached the
+    * threshold; the final running count is the plain filtered
+    * aggregate. (The mid-stream emission VALUE depends on micro-batch
+    * boundaries — only the end-of-stream state is batch-deterministic,
+    * which is what the oracle can hash.) */
+  def errorBurstsBatch(spark: SparkSession, dir: String, threshold: Int = 2): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("error_count"))
+      .filter(col("error_count") >= threshold)
+      .orderBy(col("user_id"))
+
+  val errorBurstsBatchSql: String =
+    """SELECT user_id, count(*) AS error_count
+      |FROM events WHERE event_type = 'error'
+      |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_batch" -> (tumblingBatch _),
     "stream_sliding_batch" -> (slidingBatch _),
     "stream_dedup_batch" -> (dedupBatch _),
-    "stream_session_batch" -> (sessionBatch _)
+    "stream_session_batch" -> (sessionBatch _),
+    "stream_user_state_batch" -> (userStateBatch _),
+    "stream_error_bursts_batch" -> ((s, d) => errorBurstsBatch(s, d))
   )
 
   def oracle: Map[String, String] = Map(
     "stream_tumbling_batch" -> tumblingBatchSql,
     "stream_sliding_batch" -> slidingBatchSql,
     "stream_dedup_batch" -> dedupBatchSql,
-    "stream_session_batch" -> sessionBatchSql
+    "stream_session_batch" -> sessionBatchSql,
+    "stream_user_state_batch" -> userStateBatchSql,
+    "stream_error_bursts_batch" -> errorBurstsBatchSql
   )
 }
