@@ -228,27 +228,119 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Fixed centroid count — independent of corpus size, so the
-    * assignment stage is O(N·k), never O(N²). At real scale these
-    * would be k-means centroids computed on a sample; here the first
-    * k vectors by id serve as a deterministic, oracle-reproducible
-    * stand-in (the cell geometry differs from k-means, the plan shape
-    * — broadcast centroids + cell equi join — is identical). */
+    * assignment stage is O(N·k), never O(N²). */
   private[graft] val ivfK = 16
+
+  /** Lloyd iterations for the IVF coarse quantizer. Fixed (not
+    * convergence-driven) so the oracle can replay the exact same
+    * computation as a finite CTE chain. */
+  private val ivfIters = 2
+
+  /** REAL k-means centroids for the IVF coarse quantizer,
+    * deterministic end-to-end so DuckDB reproduces them bit-exactly:
+    *  - init: the k vectors minimal in md5(vec_id) order (a seeded
+    *    pseudo-random draw reproducible from ids alone — the
+    *    "sample" is the whole corpus ordered by hash, so the seeds
+    *    are uniform, not the first-k-by-id cluster bias this
+    *    replaced);
+    *  - `ivfIters` Lloyd rounds: assign every vector to its
+    *    max-cosine centroid (ties → smaller cent_id), then recompute
+    *    each non-empty cell's mean with components quantized to
+    *    integer micro-units BEFORE summing — the sum is an exact
+    *    integer in any summation order, which is what makes the new
+    *    centroids identical across Spark's parallel partials and
+    *    DuckDB's serial fold. Cells that lose all members drop out
+    *    (both engines agree); k is an upper bound.
+    *
+    * Scale shape per round: one broadcast cross join (O(N·k) map-side,
+    * centroids never shuffle) + one posexplode groupBy on the compact
+    * (cent_id, dim) key with map-side partial aggregation — O(N·dim)
+    * shuffle volume, no pairwise work. At 100 TB you would run these
+    * rounds on a hash-sample of the corpus (swap `emb` for
+    * `emb.filter(idHash % s == 0)`); the per-round plan is unchanged. */
+  private[graft] def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+    // distributed top-k by hash order (TakeOrderedAndProject), then a
+    // row_number over just those k rows to mint stable cent_ids
+    val seeded = emb
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy(col("h"), col("vec_id")).limit(ivfK)
+    val wInit = Window.orderBy(col("h"), col("vec_id"))
+    var cents = seeded
+      .withColumn("cent_id", (row_number().over(wInit) - 1).cast("long"))
+      .select(col("cent_id"), col("v").as("cv"))
+    for (_ <- 1 to ivfIters) {
+      val c = cents.withColumn("ccn", call_function("graft_l2norm", col("cv")))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("cent_id"))
+      val assigned = emb
+        .withColumn("vn", call_function("graft_l2norm", col("v")))
+        .crossJoin(broadcast(c))
+        .withColumn("c_cos",
+          call_function("graft_dot", col("v"), col("cv")) / (col("vn") * col("ccn")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("cent_id"), col("v"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos0", "x")))
+        .select(col("cent_id"), col("pos0"),
+          round(col("x").cast("double") * 1000000d).cast("long").as("xq"))
+        .groupBy(col("cent_id"), col("pos0"))
+        .agg((round(sum(col("xq")) / count(lit(1))) / 1000000d).as("cx"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos0"), col("cx")))),
+          s => s("cx")).as("cv"))
+    }
+    cents
+  }
+
+  /** The k-means CTE chain of [[ivfCentroids]] in DuckDB SQL —
+    * produces a `cents(cent_id, cv, cn)` relation for the main query. */
+  private def ivfCentroidsSqlCtes: String = {
+    def assign(from: String): String =
+      s"""SELECT vec_id, v, cent_id FROM (
+         |  SELECT e.vec_id, e.v, c.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * ${normSql("c.cv")}) DESC, c.cent_id) AS arn
+         |  FROM emb e CROSS JOIN $from c) WHERE arn = 1""".stripMargin
+    def means(from: String): String =
+      s"""SELECT cent_id, list(cx ORDER BY pos) AS cv FROM (
+         |  SELECT cent_id, pos, round(sum(xq) / count(*)) / 1000000 AS cx FROM (
+         |    SELECT cent_id, CAST(round(unnest(v) * 1000000) AS BIGINT) AS xq,
+         |           generate_subscripts(v, 1) AS pos
+         |    FROM $from) GROUP BY 1, 2) GROUP BY 1""".stripMargin
+    val rounds = (1 to ivfIters).map { i =>
+      s"a$i AS (${assign(s"c${i - 1}")}),\nc$i AS (${means(s"a$i")})"
+    }.mkString(",\n")
+    s"""seed AS (
+       |  SELECT v, row_number() OVER (ORDER BY h, vec_id) - 1 AS cent_id
+       |  FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+       |        FROM emb ORDER BY h, vec_id LIMIT $ivfK)),
+       |c0 AS (SELECT cent_id, v AS cv FROM seed),
+       |$rounds,
+       |cents AS (
+       |  SELECT cent_id, cv, ${normSql("cv")} AS cn FROM c$ivfIters)""".stripMargin
+  }
 
   /** Queries probe their `ivfNprobe` nearest cells (standard IVF
     * recall knob): candidates still live in exactly one cell, so the
-    * probe join stays an equi join with no duplicate candidates. */
-  private val ivfNprobe = 2
+    * probe join stays an equi join with no duplicate candidates.
+    * 8 of 16 cells hits recall@5 ≥ 0.8 on the synthetic corpus —
+    * near-uniform random vectors are the WORST case for coarse
+    * quantization (little cluster structure to exploit), so a real
+    * embedding corpus needs a smaller fraction for the same recall. */
+  private val ivfNprobe = 8
 
   /** IVF (inverted-file) ANN — the coarse-quantization scale path
-    * alongside LSH: a FIXED set of k deterministic centroids (at real
-    * scale: k-means centroids; k does not grow with N); vectors are
-    * assigned to their nearest centroid (broadcast centroids — the
-    * small side never shuffles, assignment is O(N·k)); queries probe
-    * their nprobe=2 nearest cells and score exact cosine within them.
-    * Shuffle cost: one equi join on the cell id, O(N) — pairwise work
-    * bounded per cell. */
-  /** Nearest-centroid ranking against the fixed k centroids (max
+    * alongside LSH: k REAL k-means centroids from [[ivfCentroids]]
+    * (k does not grow with N); vectors are assigned to their nearest
+    * centroid (broadcast centroids — the small side never shuffles,
+    * assignment is O(N·k)); queries probe their nprobe=2 nearest
+    * cells and score exact cosine within them. Shuffle cost: one equi
+    * join on the cell id, O(N) — pairwise work bounded per cell. */
+  /** Nearest-centroid ranking against the k-means centroids (max
     * cosine, ties → smaller cent_id) — the O(N·k) assignment stage.
     * Shared by [[ivfTopK]] and the scale probe so the probe measures
     * the production stage, not a copy. */
@@ -257,8 +349,12 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("v", vecAsDouble(col("embedding")))
       .withColumn("vn", call_function("graft_l2norm", col("v")))
-    val cents = emb.filter(col("vec_id") < ivfK)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vn").as("cn"))
+    // ≤k rows by construction: materialize the Lloyd chain ONCE and
+    // truncate its lineage, so the two consumers of the ranking
+    // (assignment + query probes) don't each replay the k-means jobs
+    val cents = ivfCentroids(spark, dir)
+      .withColumn("cn", call_function("graft_l2norm", col("cv")))
+      .localCheckpoint()
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("cent_id"))
     emb.crossJoin(broadcast(cents))
@@ -294,8 +390,7 @@ object Similarity {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
        |  FROM embeddings),
-       |cents AS (
-       |  SELECT vec_id AS cent_id, v AS cv, vn AS cn FROM emb WHERE vec_id < $ivfK),
+       |$ivfCentroidsSqlCtes,
        |ranked AS (
        |  SELECT e.vec_id, e.v, e.vn, c.cent_id AS cell,
        |         row_number() OVER (PARTITION BY e.vec_id

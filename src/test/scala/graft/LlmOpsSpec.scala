@@ -68,6 +68,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF with k-means centroids: recall@5 vs brute force >= 0.8") {
+    val bf = Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall@5 = $recall")
+  }
+
+  test("k-means centroids: at most k cells, 64-dim, and stable across recomputation") {
+    val c1 = Similarity.ivfCentroids(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c1.size <= 16 && c1.nonEmpty)
+    assert(c1.values.forall(_.length === 64))
+    // deterministic: a fresh computation yields identical doubles
+    val c2 = Similarity.ivfCentroids(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c1 === c2)
+  }
+
   test("LSH buckets partition the vector set") {
     val n = Similarity.lshBuckets(spark, sf).agg(sum("n_vectors")).head().getLong(0)
     assert(n === Tables.embeddings(spark, sf).count())
