@@ -54,6 +54,16 @@ object Graft {
   def tokens(text: Column, pattern: String): Column =
     filter(split(text, pattern), t => t =!= "")
 
+  /** BPE-style subword token count (greedy longest-match against
+    * [[graft.functions.BpeVocab]]) — use where "tokens" must mean
+    * model tokens rather than whitespace words (packing, chunking,
+    * token budgets). One native single-pass expression per row;
+    * map-only at any scale. */
+  def bpeTokenCount(text: Column): Column = {
+    ensureRegistered()
+    call_function("graft_bpe_count", text)
+  }
+
   /** Content digest for exact dedup (md5 — engine-portable). */
   def contentDigest(text: Column): Column = md5(text.cast("binary"))
 

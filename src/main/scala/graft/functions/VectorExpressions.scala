@@ -275,5 +275,7 @@ object VectorFunctions {
     reg.registerFunction(lshInfo._1, lshInfo._2, lshInfo._3)
     reg.registerFunction(simhashInfo._1, simhashInfo._2, simhashInfo._3)
     reg.registerFunction(minhashInfo._1, minhashInfo._2, minhashInfo._3)
+    reg.registerFunction(BpeFunctions.bpeCountInfo._1,
+      BpeFunctions.bpeCountInfo._2, BpeFunctions.bpeCountInfo._3)
   }
 }

@@ -113,10 +113,13 @@ object CorpusOps {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** Token-length histogram in 25-token buckets — the distribution a
-    * packing/truncation stage is tuned against. */
-  def tokenBuckets(spark: SparkSession, dir: String): DataFrame =
+    * packing/truncation stage is tuned against. `nTokens` picks the
+    * tokenizer (default whitespace; pass Graft.bpeTokenCount for
+    * model-token bucketing). */
+  def tokenBuckets(spark: SparkSession, dir: String,
+                   nTokens: Column => Column = nToks): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("n", nToks(col("text")))
+      .withColumn("n", nTokens(col("text")))
       .withColumn("bucket_lo", expr("n DIV 25 * 25"))
       .groupBy(col("bucket_lo"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 2).as("avg_chars"))
@@ -131,13 +134,16 @@ object CorpusOps {
     * layout): per language, documents are concatenated in doc_id
     * order and cut into 512-token windows; a document's bin is where
     * its first token lands. One window cumsum per language partition
-    * — no pairwise work, scales as a single sort-based window. */
-  def packGreedy(spark: SparkSession, dir: String): DataFrame = {
+    * — no pairwise work, scales as a single sort-based window.
+    * `nTokens` picks the tokenizer (default whitespace; see
+    * [[packBpe]] for the model-token instantiation). */
+  def packGreedy(spark: SparkSession, dir: String,
+                 nTokens: Column => Column = nToks): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), nToks(col("text")).as("n"))
+      .select(col("doc_id"), col("lang"), nTokens(col("text")).as("n"))
       .withColumn("cum", sum(col("n")).over(w))
       .withColumn("bin_id", expr("(cum - n) DIV 512"))
       .groupBy(col("lang"), col("bin_id"))
@@ -156,6 +162,70 @@ object CorpusOps {
       |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
       |        FROM documents))
       |GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin
+
+  private def bpeToks(c: Column): Column = graft.api.Graft.bpeTokenCount(c)
+
+  /** Shared oracle CTEs replaying the greedy longest-match scan of
+    * graft_bpe_count as a finite recursion: one row per (doc, word)
+    * explodes into one row per matching STEP; the terminal row
+    * (pos > len) carries the word's token count. `bpe(doc_id, n)` is
+    * the per-document total. The vocabulary is inlined from the same
+    * [[graft.functions.BpeVocab.pieces]] the native expression uses,
+    * so the two engines cannot drift. */
+  private val bpeCtes: String =
+    s"""words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+       |         generate_subscripts(string_split(text, ' '), 1) AS widx
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, widx, word, 1 AS pos, 0 AS ntok FROM words
+       |  UNION ALL
+       |  SELECT doc_id, widx, word,
+       |         pos + ${graft.functions.BpeVocab.stepSql("word", "pos")},
+       |         ntok + 1
+       |  FROM seg WHERE pos <= len(word)),
+       |bpe AS (
+       |  SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n
+       |  FROM seg WHERE pos > len(word) GROUP BY doc_id)""".stripMargin
+
+  /** Per-document BPE subword counts next to whitespace counts — the
+    * view that makes "token budget" mean model tokens. Map-only: one
+    * native expression per row, no shuffle below the output sort. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        nToks(col("text")).as("n_tokens_ws"),
+        bpeToks(col("text")).as("n_tokens_bpe"))
+      .orderBy(col("doc_id"))
+
+  val bpeTokensSql: String =
+    s"""WITH RECURSIVE
+       |$bpeCtes
+       |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+       |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
+       |       b.n AS n_tokens_bpe
+       |FROM documents d JOIN bpe b ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** [[packGreedy]] instantiated over the BPE tokenizer — bins are
+    * 512 MODEL tokens, the number that actually fits a context
+    * window. Identical plan shape (map-side counts + one window
+    * cumsum per language). */
+  def packBpe(spark: SparkSession, dir: String): DataFrame =
+    packGreedy(spark, dir, bpeToks)
+
+  val packBpeSql: String =
+    s"""WITH RECURSIVE
+       |$bpeCtes
+       |SELECT lang, CAST((cum - n) // 512 AS BIGINT) AS bin_id,
+       |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS bin_tokens
+       |FROM (
+       |  SELECT d.lang, b.n,
+       |         sum(b.n) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents d JOIN bpe b ON d.doc_id = b.doc_id)
+       |GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin
 
   /** Unigram log-probability score per document — the simplest LM
     * quality signal (docs with very low average token log-prob under
@@ -416,8 +486,10 @@ object CorpusOps {
     "corpus_repetition" -> (repetition _),
     "corpus_split_hash" -> (splitHash _),
     "corpus_sample_stratified" -> (sampleStratified _),
-    "corpus_token_buckets" -> (tokenBuckets _),
-    "corpus_pack_greedy" -> (packGreedy _)
+    "corpus_token_buckets" -> ((s, d) => tokenBuckets(s, d)),
+    "corpus_pack_greedy" -> ((s, d) => packGreedy(s, d)),
+    "corpus_bpe_tokens" -> (bpeTokens _),
+    "corpus_pack_bpe" -> (packBpe _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -431,6 +503,8 @@ object CorpusOps {
     "corpus_split_hash" -> splitHashSql,
     "corpus_sample_stratified" -> sampleStratifiedSql,
     "corpus_token_buckets" -> tokenBucketsSql,
-    "corpus_pack_greedy" -> packGreedySql
+    "corpus_pack_greedy" -> packGreedySql,
+    "corpus_bpe_tokens" -> bpeTokensSql,
+    "corpus_pack_bpe" -> packBpeSql
   )
 }

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorFunctions.lshInfo)
     ext.injectFunction(VectorFunctions.simhashInfo)
     ext.injectFunction(VectorFunctions.minhashInfo)
+    ext.injectFunction(graft.functions.BpeFunctions.bpeCountInfo)
     ext.injectOptimizerRule(_ => NativeVectorRewrite)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }

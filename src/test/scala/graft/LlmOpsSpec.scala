@@ -90,6 +90,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(c1 === c2)
   }
 
+  test("BPE greedy longest-match: hand-checked counts and unicode code points") {
+    import graft.functions.BpeVocab.countTokens
+    assert(countTokens("") === 0L)
+    assert(countTokens("a") === 1L)
+    // "that" is a length-4 piece: one token, not t+ha+t
+    assert(countTokens("that") === 1L)
+    // "theory": the|or|y  (greedy takes "the" over "th")
+    assert(countTokens("theory") === 3L)
+    // words tokenized independently; single-space split
+    assert(countTokens("that that") === 2L)
+    // unknown chars fall back to one token per CODE POINT (emoji = 1)
+    assert(countTokens("😀") === 1L)
+    assert(countTokens("x😀x") === 3L)
+    // subword compression: at least 1 token per nonempty word, at
+    // most one per code point
+    val s = "information processing systems"
+    assert(countTokens(s) >= 3L && countTokens(s) <= s.length)
+  }
+
+  test("BPE column expression agrees with the driver-side counter on real docs") {
+    val rows = Tables.documents(spark, sf).limit(50)
+      .select(col("text"), graft.api.Graft.bpeTokenCount(col("text")).as("n"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === graft.functions.BpeVocab.countTokens(r.getString(0)))
+    }
+  }
+
   test("LSH buckets partition the vector set") {
     val n = Similarity.lshBuckets(spark, sf).agg(sum("n_vectors")).head().getLong(0)
     assert(n === Tables.embeddings(spark, sf).count())
