@@ -114,7 +114,12 @@ object ScaleProbe {
       // stage, Similarity.ivfRanked
       ("ivf_assign_fixed_k", () =>
         graft.operators.Similarity.ivfRanked(spark, dir)
-          .filter(col("arn") === 1).count())
+          .filter(col("arn") === 1).count()),
+      // semantic-dedup candidate pairs: pairwise work confined to
+      // k-means cells (Σ|cell|² candidate mass, never corpus-wide
+      // N²) — the PRODUCTION stage, Similarity.semanticPairs
+      ("semantic_cell_pairs", () =>
+        graft.operators.Similarity.semanticPairs(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

@@ -412,6 +412,88 @@ object Similarity {
        |WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Cosine threshold for semantic duplicates. 0.3 is deliberately low
+    * for the near-uniform synthetic vectors (real embedding corpora
+    * use ~0.95+); the plan is threshold-independent. */
+  private val semanticTau = 0.3
+
+  /** Within-cell candidate pairs for [[semanticDedup]] — the stage the
+    * scale probe measures: pairwise work exists ONLY inside a k-means
+    * cell (the SemDeDup trick), so candidate mass is Σ|cell|², bounded
+    * by the coarse quantizer, never the corpus-wide N². */
+  private[graft] def semanticPairs(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfRanked(spark, dir).filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("vn"), col("cent_id").as("cell"))
+    val a = assigned.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("vn").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("vn").as("nb"), col("cell").as("cb"))
+    a.join(b, col("cell") === col("cb") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_raw",
+        call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_raw") >= semanticTau)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** Semantic deduplication (SemDeDup-style) — the fourth dedup
+    * modality beside exact / MinHash / SimHash: embeddings are
+    * clustered by the IVF k-means quantizer, near-duplicate pairs are
+    * found by cosine threshold WITHIN cells only, transitive closure
+    * via [[graft.api.Graft.connectedComponents]] groups them, and the
+    * min-id member of each group is kept. Reported per source label:
+    * total / kept / dropped counts (integer-exact output).
+    *
+    * Scale shape: cell assignment is the O(N·k) broadcast cross join;
+    * the pair join is an equi join on the cell id (O(N) shuffle,
+    * pairwise work cell-bounded); CC is the pointer-jumped fixpoint.
+    * Nothing is all-pairs at any stage. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val drops = graft.api.Graft.connectedComponents(
+        semanticPairs(spark, dir), "vec_a", "vec_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("drop_id"))
+    Tables.embeddings(spark, dir)
+      .join(drops, col("vec_id") === col("drop_id"), "left")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        count(when(col("drop_id").isNull, 1)).as("n_kept"),
+        count(col("drop_id")).as("n_dropped"))
+      .orderBy(col("label"))
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH RECURSIVE emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$ivfCentroidsSqlCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, e.v, e.vn, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, v, vn, cell FROM ranked WHERE arn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.v", "b.v")} / (a.vn * b.vn) >= $semanticTau),
+       |sedges AS (
+       |  SELECT va AS src, vb AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT vb AS src, va AS dst FROM pairs),
+       |sreach AS (
+       |  SELECT src AS id, src AS slabel FROM sedges
+       |  UNION
+       |  SELECT e.dst AS id, r.slabel
+       |  FROM sreach r JOIN sedges e ON e.src = r.id),
+       |slabels AS (SELECT id, min(slabel) AS comp FROM sreach GROUP BY 1),
+       |sdrops AS (SELECT id FROM slabels WHERE id <> comp)
+       |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors,
+       |       count(*) FILTER (WHERE vec_id NOT IN (SELECT id FROM sdrops)) AS n_kept,
+       |       count(*) FILTER (WHERE vec_id IN (SELECT id FROM sdrops)) AS n_dropped
+       |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-label embedding centroid (first 8 dims shown): posexplode the
     * vector, aggregate per (label, dim). The shuffle key is the
     * compact (label, dim) pair with map-side partial aggregation —
@@ -453,7 +535,8 @@ object Similarity {
     "sim_topk_native" -> (bruteForceTopKNative _),
     "sim_lsh_buckets" -> (lshBuckets _),
     "sim_ann_topk" -> (annTopK _),
-    "sim_cosine_neardup" -> (cosineNearDup _)
+    "sim_cosine_neardup" -> (cosineNearDup _),
+    "dedup_semantic" -> (semanticDedup _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -463,6 +546,7 @@ object Similarity {
     "sim_topk_native" -> bruteForceTopKSql,
     "sim_lsh_buckets" -> lshBucketsSql,
     "sim_ann_topk" -> annTopKSql,
-    "sim_cosine_neardup" -> cosineNearDupSql
+    "sim_cosine_neardup" -> cosineNearDupSql,
+    "dedup_semantic" -> semanticDedupSql
   )
 }

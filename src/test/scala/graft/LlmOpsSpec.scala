@@ -118,6 +118,17 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: per-label counts partition the corpus; pairs are in-cell only") {
+    val out = Similarity.semanticDedup(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_vectors")).sum
+    assert(total === Tables.embeddings(spark, sf).count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") === r.getAs[Long]("n_vectors"))
+    }
+    // something must actually deduplicate at tau=0.3 on this corpus
+    assert(out.map(_.getAs[Long]("n_dropped")).sum > 0)
+  }
+
   test("LSH buckets partition the vector set") {
     val n = Similarity.lshBuckets(spark, sf).agg(sum("n_vectors")).head().getLong(0)
     assert(n === Tables.embeddings(spark, sf).count())
