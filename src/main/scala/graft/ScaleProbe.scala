@@ -108,6 +108,16 @@ object ScaleProbe {
       // rows is real recall, not plan blow-up)
       ("ngram_band_candidates", () =>
         graft.operators.Dedup.bandCandidates(spark, dir).count()),
+      // same stage with the per-band bucket cap (64): the replica
+      // corpus's superlinear candidate mass must flatten to bounded
+      // growth, and the drops are counted, not silent — the census
+      // rides the same sized band rows the cap filters
+      ("ngram_band_candidates_cap64", () =>
+        graft.api.Graft.bandCandidates(
+          graft.Tables.documents(spark, dir), "text", "doc_id", 3, 4, 64).count()),
+      ("ngram_dropped_buckets_cap64", () =>
+        graft.api.Graft.oversizedBandBuckets(
+          graft.Tables.documents(spark, dir), "text", "doc_id", 3, 4, 64).count()),
       // IVF nearest-centroid assignment with FIXED k (O(N*k), so 10x
       // rows must cost ~10x time; the old N-proportional centroid
       // policy made this stage quadratic) — also the production

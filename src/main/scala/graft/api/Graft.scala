@@ -198,10 +198,19 @@ object Graft {
     * all-pairs. The single definition of the band-candidate stage
     * (operators and the scale probe delegate here). */
   def bandCandidates(df: DataFrame, textCol: String, idCol: String,
-                     k: Int = 3, bands: Int = 4): DataFrame = {
-    val bandRows = df.select(col(idCol).as("__id"),
-      posexplode(split(minhashSignature(col(textCol), k, bands), ":")))
-      .toDF("__id", "__band_idx", "__band_min")
+                     k: Int = 3, bands: Int = 4,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val bandRows = bandRowsSized(df, textCol, idCol, k, bands)
+      // candidate-pair CAP: a band bucket of n docs contributes
+      // n(n-1)/2 pairs, so one replica-heavy bucket can turn the
+      // linear plan superlinear. Buckets over `maxBucketSize` are
+      // EXCLUDED from pair generation (their docs still pair through
+      // any other, smaller band). Never silent: callers surface the
+      // dropped buckets via [[oversizedBandBuckets]] — same census,
+      // same threshold. The size count is a window over the exact
+      // (band_idx, band_min) key the self-join shuffles on, so the
+      // cap adds no extra exchange.
+      .filter(col("__bn") <= maxBucketSize)
     bandRows.alias("x")
       .join(bandRows.alias("y"),
         col("x.__band_idx") === col("y.__band_idx") &&
@@ -210,6 +219,32 @@ object Graft {
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
   }
+
+  /** Band rows with their bucket size attached (shared by
+    * [[bandCandidates]] and [[oversizedBandBuckets]] so the cap and
+    * the census can never disagree). */
+  private def bandRowsSized(df: DataFrame, textCol: String, idCol: String,
+                            k: Int, bands: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__band_idx"), col("__band_min"))
+    df.select(col(idCol).as("__id"),
+        posexplode(split(minhashSignature(col(textCol), k, bands), ":")))
+      .toDF("__id", "__band_idx", "__band_min")
+      .withColumn("__bn", count(lit(1)).over(w))
+  }
+
+  /** The band buckets a `maxBucketSize` cap would drop from
+    * [[bandCandidates]] — the NO-SILENT-TRUNCATION companion: a capped
+    * dedup run reports these (band_idx, band_min, n_docs) rows so the
+    * skipped pair mass is visible and auditable. Empty when the cap
+    * doesn't bind. */
+  def oversizedBandBuckets(df: DataFrame, textCol: String, idCol: String,
+                           k: Int = 3, bands: Int = 4,
+                           maxBucketSize: Int = Int.MaxValue): DataFrame =
+    bandRowsSized(df, textCol, idCol, k, bands)
+      .filter(col("__bn") > maxBucketSize)
+      .groupBy(col("__band_idx").as("band_idx"), col("__band_min").as("band_min"))
+      .agg(count(lit(1)).as("n_docs"))
 
   /** Verified near-duplicate pairs over an arbitrary DataFrame:
     * [[bandCandidates]] followed by exact token-set Jaccard scoring
@@ -221,13 +256,14 @@ object Graft {
     * optimization, same output). Run [[dedupExact]] first on corpora
     * with heavy exact duplication (exact dups share every band). */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                   threshold: Double = 0.5, k: Int = 3, bands: Int = 4): DataFrame = {
+                   threshold: Double = 0.5, k: Int = 3, bands: Int = 4,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val docs = df.select(col(idCol).as("__id"),
       array_distinct(tokens(col(textCol))).as("__toks"))
       .withColumn("__n", size(col("__toks")))
     val a = docs.select(col("__id").as("id_a"), col("__toks").as("__ta"), col("__n").as("__na"))
     val b = docs.select(col("__id").as("id_b"), col("__toks").as("__tb"), col("__n").as("__nb"))
-    bandCandidates(df, textCol, idCol, k, bands)
+    bandCandidates(df, textCol, idCol, k, bands, maxBucketSize)
       .join(a, "id_a").join(b, "id_b")
       .filter(lit(1.0 + threshold) * least(col("__na"), col("__nb")) >=
         lit(threshold) * (col("__na") + col("__nb")) - lit(1e-9))

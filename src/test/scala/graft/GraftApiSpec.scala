@@ -327,6 +327,30 @@ class GraftApiSpec extends SparkSpec {
     assert(math.abs(at30.size / 500.0 - 0.3) < 0.1)  // roughly calibrated
   }
 
+  test("band-bucket cap bounds replica-corpus candidates and reports drops") {
+    import spark.implicits._
+    // 30 exact replicas (every band identical → one bucket of 30 per
+    // band → 30*29/2 pairs per band uncapped) + distinct fillers
+    val replicas = (0 until 30).map(i => (i.toLong, "w1 w2 w3 w4 w5 w6 w7 w8"))
+    val fillers = (100 until 110).map(i => (i.toLong, s"f$i g$i h$i j$i k$i l$i m$i n$i"))
+    val docs = (replicas ++ fillers).toDF("id", "text")
+    val uncapped = Graft.bandCandidates(docs, "text", "id").count()
+    assert(uncapped >= 30L * 29 / 2) // the replica block pairs fully
+    // cap below the replica bucket size: its pair mass disappears...
+    val capped = Graft.bandCandidates(docs, "text", "id", 3, 4, maxBucketSize = 10)
+    assert(capped.count() < 30L * 29 / 2)
+    assert(capped.filter(col("id_a") < 30 && col("id_b") < 30).count() === 0)
+    // ...and is REPORTED, not silent: 4 bands × one oversized bucket
+    val dropped = Graft.oversizedBandBuckets(docs, "text", "id", 3, 4, maxBucketSize = 10)
+      .collect()
+    assert(dropped.length === 4)
+    assert(dropped.forall(_.getAs[Long]("n_docs") === 30L))
+    // cap that doesn't bind changes nothing
+    val loose = Graft.bandCandidates(docs, "text", "id", 3, 4, maxBucketSize = 1000).count()
+    assert(loose === uncapped)
+    assert(Graft.oversizedBandBuckets(docs, "text", "id", 3, 4, 1000).isEmpty)
+  }
+
   test("dedupCorpusBy: keeper policy picks the longest cluster member, not the min id") {
     import spark.implicits._
     val docs = Seq(
