@@ -121,10 +121,10 @@ object ScaleProbe {
       // IVF nearest-centroid assignment with FIXED k (O(N*k), so 10x
       // rows must cost ~10x time; the old N-proportional centroid
       // policy made this stage quadratic) — also the production
-      // stage, Similarity.ivfRanked
+      // stage, Similarity.ivfAssigned (map-only argmax over literal
+      // centroids: no shuffle in the assignment itself)
       ("ivf_assign_fixed_k", () =>
-        graft.operators.Similarity.ivfRanked(spark, dir)
-          .filter(col("arn") === 1).count()),
+        graft.operators.Similarity.ivfAssigned(spark, dir).count()),
       // semantic-dedup candidate pairs: pairwise work confined to
       // k-means cells (Σ|cell|² candidate mass, never corpus-wide
       // N²) — the PRODUCTION stage, Similarity.semanticPairs

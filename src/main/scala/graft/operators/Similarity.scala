@@ -252,39 +252,28 @@ object Similarity {
     *    DuckDB's serial fold. Cells that lose all members drop out
     *    (both engines agree); k is an upper bound.
     *
-    * Scale shape per round: one broadcast cross join (O(N·k) map-side,
-    * centroids never shuffle) + one posexplode groupBy on the compact
+    * Scale shape per round: a MAP-ONLY argmax assignment (per-row
+    * fold over the ≤k centroids inlined as a literal — no N·k rows,
+    * no shuffle) + one posexplode groupBy on the compact
     * (cent_id, dim) key with map-side partial aggregation — O(N·dim)
-    * shuffle volume, no pairwise work. At 100 TB you would run these
-    * rounds on a hash-sample of the corpus (swap `emb` for
+    * shuffle volume, no pairwise work. Between rounds only the ≤k
+    * centroid rows ever reach the driver (the same boundedness
+    * contract as a broadcast). At 100 TB you would run these rounds
+    * on a hash-sample of the corpus (swap `emb` for
     * `emb.filter(idHash % s == 0)`); the per-round plan is unchanged. */
-  private[graft] def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
-    // distributed top-k by hash order (TakeOrderedAndProject), then a
-    // row_number over just those k rows to mint stable cent_ids
-    val seeded = emb
+  private[graft] def centroidRows(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
+    val emb = embWithNorm(spark, dir)
+    // init: distributed top-k by hash order (TakeOrderedAndProject);
+    // collect() of an ordered limit preserves the order, so the index
+    // mints the stable cent_ids
+    var cents: Seq[(Long, Seq[Double])] = emb
       .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
       .orderBy(col("h"), col("vec_id")).limit(ivfK)
-    val wInit = Window.orderBy(col("h"), col("vec_id"))
-    var cents = seeded
-      .withColumn("cent_id", (row_number().over(wInit) - 1).cast("long"))
-      .select(col("cent_id"), col("v").as("cv"))
+      .select(col("v")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
     for (_ <- 1 to ivfIters) {
-      val c = cents.withColumn("ccn", call_function("graft_l2norm", col("cv")))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("cent_id"))
-      val assigned = emb
-        .withColumn("vn", call_function("graft_l2norm", col("v")))
-        .crossJoin(broadcast(c))
-        .withColumn("c_cos",
-          call_function("graft_dot", col("v"), col("cv")) / (col("vn") * col("ccn")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("cent_id"), col("v"))
-      cents = assigned
-        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos0", "x")))
+      cents = assignCells(emb, centsLiteral(cents))
+        .select(col("cell").as("cent_id"), posexplode(col("v")).as(Seq("pos0", "x")))
         .select(col("cent_id"), col("pos0"),
           round(col("x").cast("double") * 1000000d).cast("long").as("xq"))
         .groupBy(col("cent_id"), col("pos0"))
@@ -292,8 +281,18 @@ object Similarity {
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos0"), col("cx")))),
           s => s("cx")).as("cv"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
     }
     cents
+  }
+
+  /** [[centroidRows]] as a DataFrame (cent_id, cv) — the user-facing
+    * view and the determinism-spec surface. */
+  private[graft] def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    centroidRows(spark, dir).toDF("cent_id", "cv")
   }
 
   /** The k-means CTE chain of [[ivfCentroids]] in DuckDB SQL —
@@ -335,42 +334,86 @@ object Similarity {
 
   /** IVF (inverted-file) ANN — the coarse-quantization scale path
     * alongside LSH: k REAL k-means centroids from [[ivfCentroids]]
-    * (k does not grow with N); vectors are assigned to their nearest
-    * centroid (broadcast centroids — the small side never shuffles,
-    * assignment is O(N·k)); queries probe their nprobe=2 nearest
-    * cells and score exact cosine within them. Shuffle cost: one equi
-    * join on the cell id, O(N) — pairwise work bounded per cell. */
-  /** Nearest-centroid ranking against the k-means centroids (max
-    * cosine, ties → smaller cent_id) — the O(N·k) assignment stage.
-    * Shared by [[ivfTopK]] and the scale probe so the probe measures
-    * the production stage, not a copy. */
-  private[graft] def ivfRanked(spark: SparkSession, dir: String): DataFrame = {
+    * (k does not grow with N); every vector computes its nearest cell
+    * MAP-SIDE by folding over the centroids inlined as a literal;
+    * queries probe their nprobe nearest cells the same way. The only
+    * shuffle in the whole operator is the final cell equi join —
+    * O(N) — with pairwise work bounded per cell.
+    *
+    * Why a literal, not a broadcast join: the former crossJoin +
+    * row_number(PARTITION BY vec_id) shape materialized N·k rows and
+    * SHUFFLED them through the rank window's exchange — 16× the
+    * corpus through the wire for what is logically a per-row argmax.
+    * Collecting ≤k centroid rows to the driver is the same
+    * boundedness contract a broadcast relies on, and turns
+    * assignment into a pure projection. */
+
+  /** Centroids as a literal array<struct<cent_id, cv, cn>>, sorted by
+    * cent_id so a strict-greater fold reproduces the SQL tie-break
+    * (cos DESC, cent_id ASC). The norm is computed driver-side with
+    * the same left-to-right fold as graft_l2norm/the oracle. */
+  private def centsLiteral(cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.sortBy(_._1).map { case (id, cv) =>
+      var s = 0.0
+      cv.foreach(x => s += x * x)
+      struct(lit(id).as("cent_id"), typedLit(cv).as("cv"),
+        lit(math.sqrt(s)).as("cn"))
+    }: _*)
+
+  private def centroidLiteral(spark: SparkSession, dir: String): Column =
+    centsLiteral(centroidRows(spark, dir))
+
+  private def embWithNorm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val emb = Tables.embeddings(spark, dir)
+    Tables.embeddings(spark, dir)
       .withColumn("v", vecAsDouble(col("embedding")))
       .withColumn("vn", call_function("graft_l2norm", col("v")))
-    // ≤k rows by construction: materialize the Lloyd chain ONCE and
-    // truncate its lineage, so the two consumers of the ranking
-    // (assignment + query probes) don't each replay the k-means jobs
-    val cents = ivfCentroids(spark, dir)
-      .withColumn("cn", call_function("graft_l2norm", col("cv")))
-      .localCheckpoint()
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cent_id"))
-    emb.crossJoin(broadcast(cents))
-      .withColumn("c_cos",
-        call_function("graft_dot", col("v"), col("cv")) / (col("vn") * col("cn")))
-      .withColumn("arn", row_number().over(wAssign))
   }
 
+  private def cosTo(c: Column): Column =
+    call_function("graft_dot", col("v"), c.getField("cv")) /
+      (col("vn") * c.getField("cn"))
+
+  /** Map-only argmax assignment: (vec_id, v, vn, cell). */
+  private def assignCells(emb: DataFrame, cents: Column): DataFrame =
+    emb.withColumn("best",
+        aggregate(cents,
+          struct(lit(Double.NegativeInfinity).as("bc"), lit(-1L).as("cell")),
+          (acc, c) => when(cosTo(c) > acc.getField("bc"),
+            struct(cosTo(c).as("bc"), c.getField("cent_id").as("cell")))
+            .otherwise(acc)))
+      .select(col("vec_id"), col("v"), col("vn"),
+        col("best").getField("cell").as("cell"))
+
+  /** Map-only probe generation: one row per (vector, probed cell) —
+    * the nprobe max-cosine cells via an in-row sort of the k
+    * (cos, cent_id) pairs. */
+  private def probeCells(emb: DataFrame, cents: Column, nprobe: Int): DataFrame =
+    emb.withColumn("probes", slice(
+        array_sort(
+          transform(cents, c => struct(cosTo(c).as("pc"),
+            c.getField("cent_id").as("cell"))),
+          (l, r) => when(l.getField("pc") > r.getField("pc"), -1)
+            .when(l.getField("pc") < r.getField("pc"), 1)
+            .when(l.getField("cell") < r.getField("cell"), -1)
+            .when(l.getField("cell") > r.getField("cell"), 1)
+            .otherwise(0)),
+        1, nprobe))
+      .select(col("vec_id"), col("v"), col("vn"),
+        explode(col("probes").getField("cell")).as("cell"))
+
+  /** The production assignment stage (used by [[ivfTopK]],
+    * [[semanticPairs]], and the scale probe — one definition). */
+  private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
+    assignCells(embWithNorm(spark, dir), centroidLiteral(spark, dir))
+
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = ivfRanked(spark, dir)
-    val assigned = ranked.filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("vn"), col("cent_id").as("cell"))
-    // query side probes its nprobe nearest cells (one row per probe)
-    val q = ranked.filter(col("vec_id") < nQueries && col("arn") <= ivfNprobe)
+    val emb = embWithNorm(spark, dir)
+    val cents = centroidLiteral(spark, dir) // one Lloyd computation, shared
+    val assigned = assignCells(emb, cents)
+    val q = probeCells(emb.filter(col("vec_id") < nQueries), cents, ivfNprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"),
-        col("cent_id").as("cell"))
+        col("cell"))
     val cand = assigned.select(col("vec_id"), col("v"), col("vn"), col("cell").as("ccell"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
@@ -422,8 +465,7 @@ object Similarity {
     * cell (the SemDeDup trick), so candidate mass is Σ|cell|², bounded
     * by the coarse quantizer, never the corpus-wide N². */
   private[graft] def semanticPairs(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = ivfRanked(spark, dir).filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("vn"), col("cent_id").as("cell"))
+    val assigned = ivfAssigned(spark, dir)
     val a = assigned.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("vn").as("na"), col("cell"))
     val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"),
