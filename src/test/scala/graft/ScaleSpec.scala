@@ -169,6 +169,44 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("IVF cell assignment is map-only (no exchange, no join in the plan)") {
+    // the round-4 refactor folded the argmax over literal centroids;
+    // pin it so a future edit can't reintroduce the N*k rank-window
+    // shuffle (16x the corpus through an exchange)
+    val df = graft.operators.Similarity.ivfAssigned(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
+  test("semantic-dedup pairs join on the cell id, never all-pairs") {
+    val df = graft.operators.Similarity.semanticPairs(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("BPE token counting is a pure projection (no join, no aggregate)") {
+    val df = graft.operators.CorpusOps.bpeTokens(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
+  test("e2e xlsx ETL read-back rolls up from the warehouse without re-joining") {
+    // enrichment (broadcast dim join) happens BEFORE the warehouse
+    // write; the read-back side must be a plain scan -> aggregate —
+    // re-deriving joins after the warehouse would defeat the layout
+    val df = graft.sources.Sources.e2eXlsxEtl(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+    assert(plan.contains("Aggregate"), plan) // Sort- or HashAggregate
+  }
+
   test("observe() collects pipeline metrics in the same pass as the query") {
     // production pipelines need row counts / quality metrics WITHOUT a
     // second scan; df.observe attaches aggregates to the existing plan
