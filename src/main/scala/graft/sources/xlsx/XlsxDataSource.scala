@@ -51,7 +51,7 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
     // The write path takes its schema from LogicalWriteInfo and the
     // table declares ACCEPT_ANY_SCHEMA, so empty is correct here.
     if (ps.isEmpty) return new StructType()
-    val parsed = XlsxParser.parse(ps.head)
+    val parsed = XlsxParser.parse(ps.head, Option(options.get("sheet")))
     val header = parsed.headOption.getOrElse(Seq.empty)
     val names = header.zipWithIndex.map { case (name, i) =>
       if (name == null || name.isEmpty) s"_c$i" else name
@@ -72,9 +72,10 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new XlsxTable(schema,
-      paths(new CaseInsensitiveStringMap(properties)))
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new XlsxTable(schema, paths(opts), Option(opts.get("sheet")))
+  }
 }
 
 /** File/directory resolution shared by the read and write paths: a
@@ -161,7 +162,8 @@ object XlsxTypeInference {
   }
 }
 
-class XlsxTable(tableSchema: StructType, paths: Seq[String])
+class XlsxTable(tableSchema: StructType, paths: Seq[String],
+                sheet: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"xlsx(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
@@ -174,7 +176,7 @@ class XlsxTable(tableSchema: StructType, paths: Seq[String])
     // expansion is legitimate ONLY as a write target, and writes
     // never build a scan
     require(files.nonEmpty, s"no .xlsx files found under: ${paths.mkString(",")}")
-    new XlsxScanBuilder(tableSchema, files)
+    new XlsxScanBuilder(tableSchema, files, sheet)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1, s"xlsx write requires exactly one target path, got: $paths")
@@ -270,7 +272,8 @@ class XlsxDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: 
 /** Column pruning: Catalyst pushes the required columns down
   * (SupportsPushDownRequiredColumns), and the reader materializes only
   * those cells — a projection of 2 of 40 spreadsheet columns reads 2. */
-class XlsxScanBuilder(fullSchema: StructType, paths: Seq[String])
+class XlsxScanBuilder(fullSchema: StructType, paths: Seq[String],
+                      sheet: Option[String] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -283,20 +286,22 @@ class XlsxScanBuilder(fullSchema: StructType, paths: Seq[String])
 
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = required
-    override def toBatch: Batch = new XlsxBatch(fullSchema, required, paths)
+    override def toBatch: Batch = new XlsxBatch(fullSchema, required, paths, sheet)
   }
 }
 
 case class XlsxInputPartition(path: String) extends InputPartition
 
-class XlsxBatch(fullSchema: StructType, required: StructType, paths: Seq[String]) extends Batch {
+class XlsxBatch(fullSchema: StructType, required: StructType, paths: Seq[String],
+                sheet: Option[String] = None) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(XlsxInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(fullSchema, required)
+    new XlsxReaderFactory(fullSchema, required, sheet)
 }
 
-class XlsxReaderFactory(fullSchema: StructType, required: StructType)
+class XlsxReaderFactory(fullSchema: StructType, required: StructType,
+                        sheet: Option[String] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsxInputPartition].path
@@ -306,7 +311,7 @@ class XlsxReaderFactory(fullSchema: StructType, required: StructType)
     val ordinals = required.fieldNames.map(n => fullSchema.fieldIndex(n))
     val convert = required.fields.map(f => XlsxTypeInference.converter(f.dataType))
     new PartitionReader[InternalRow] {
-      private val rows = XlsxParser.parse(path).drop(1).iterator // drop header
+      private val rows = XlsxParser.parse(path, sheet).drop(1).iterator // drop header
       private var current: Seq[String] = _
       override def next(): Boolean = {
         if (rows.hasNext) { current = rows.next(); true } else false
@@ -392,7 +397,61 @@ object XlsxParser {
         .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
   }
 
-  def parse(path: String): Seq[Seq[String]] = {
+  /** Sheet inventory of a workbook, in workbook order: (name, zip
+    * entry path), resolved through workbook.xml's r:id →
+    * workbook.xml.rels Target indirection (the OPC way — sheet N is
+    * NOT guaranteed to live in sheetN.xml in foreign workbooks).
+    * Workbooks without the parts (minimal writers) fall back to the
+    * bare sheet1.xml. */
+  def sheetEntries(path: String): Seq[(String, String)] = {
+    val zip = new java.util.zip.ZipFile(path)
+    try {
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      val db = dbf.newDocumentBuilder()
+      val rels: Map[String, String] = Option(zip.getEntry("xl/_rels/workbook.xml.rels")).map { e =>
+        val doc = db.parse(zip.getInputStream(e))
+        val ns = doc.getElementsByTagName("Relationship")
+        (0 until ns.getLength).map { i =>
+          val r = ns.item(i).asInstanceOf[org.w3c.dom.Element]
+          r.getAttribute("Id") -> ("xl/" + r.getAttribute("Target").stripPrefix("/xl/").stripPrefix("xl/"))
+        }.toMap
+      }.getOrElse(Map.empty)
+      val sheets = Option(zip.getEntry("xl/workbook.xml")).map { e =>
+        val doc = db.parse(zip.getInputStream(e))
+        val ns = doc.getElementsByTagName("sheet")
+        (0 until ns.getLength).flatMap { i =>
+          val s = ns.item(i).asInstanceOf[org.w3c.dom.Element]
+          val rid = s.getAttribute("r:id")
+          rels.get(rid).orElse(
+            // no rels part: assume the conventional location by order
+            Some(s"xl/worksheets/sheet${i + 1}.xml"))
+            .map(target => s.getAttribute("name") -> target)
+        }
+      }.getOrElse(Seq.empty)
+      if (sheets.nonEmpty) sheets else Seq("Sheet1" -> "xl/worksheets/sheet1.xml")
+    } finally zip.close()
+  }
+
+  /** Resolve a user's `sheet` option — a sheet NAME (exact) or a
+    * 1-based positional index — to the zip entry to read. */
+  private[graft] def resolveSheet(path: String, sheet: Option[String]): String = {
+    val entries = sheetEntries(path)
+    sheet match {
+      case None => entries.head._2
+      case Some(s) =>
+        entries.find(_._1 == s).map(_._2)
+          .orElse(s.toIntOption.filter(i => i >= 1 && i <= entries.size)
+            .map(i => entries(i - 1)._2))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$path: no sheet '$s' (sheets: ${entries.map(_._1).mkString(", ")})"))
+    }
+  }
+
+  def parse(path: String): Seq[Seq[String]] = parse(path, None)
+
+  def parse(path: String, sheet: Option[String]): Seq[Seq[String]] = {
+    val sheetEntry = resolveSheet(path, sheet)
     val zip = new java.util.zip.ZipFile(path)
     try {
       // harden against XXE/entity bombs from untrusted workbooks:
@@ -448,9 +507,9 @@ object XlsxParser {
         }
       }.getOrElse(Set.empty)
 
-      val sheet = Option(zip.getEntry("xl/worksheets/sheet1.xml")).getOrElse(
-        throw new IllegalArgumentException(s"$path: no xl/worksheets/sheet1.xml"))
-      val doc = db.parse(zip.getInputStream(sheet))
+      val sheetZipEntry = Option(zip.getEntry(sheetEntry)).getOrElse(
+        throw new IllegalArgumentException(s"$path: no $sheetEntry"))
+      val doc = db.parse(zip.getInputStream(sheetZipEntry))
       val rowNodes = doc.getElementsByTagName("row")
       (0 until rowNodes.getLength).map { r =>
         val row = rowNodes.item(r).asInstanceOf[org.w3c.dom.Element]

@@ -163,6 +163,41 @@ class XlsxPropertySpec extends SparkSpec {
       "xl/styles.xml" -> stylesXml,
       "xl/worksheets/sheet1.xml" -> sheetXml(cells)))
 
+  test("multi-sheet workbooks: select by name, by 1-based index, default first; OPC rels honored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_sheets").toString
+    val path = s"$dir/multi.xlsx"
+    // sheet order in workbook.xml differs from the zip entry naming,
+    // and "Dados" lives in a NON-conventional entry (data2.xml) — a
+    // foreign-tool shape only the r:id → rels indirection resolves
+    val wb =
+      s"""<workbook xmlns="$ns" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="Resumo" sheetId="1" r:id="rId1"/>""" +
+        """<sheet name="Dados" sheetId="2" r:id="rId2"/></sheets></workbook>"""
+    val rels =
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>""" +
+        """<Relationship Id="rId2" Type="t" Target="worksheets/data2.xml"/>""" +
+        "</Relationships>"
+    def sheetOf(v: String) =
+      s"""<worksheet xmlns="$ns"><sheetData><row r="1">""" +
+        s"""<c r="A1" t="inlineStr"><is><t>$v</t></is></c></row></sheetData></worksheet>"""
+    writeZip(path, Seq(
+      "xl/workbook.xml" -> wb,
+      "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/worksheets/sheet1.xml" -> sheetOf("resumo-a1"),
+      "xl/worksheets/data2.xml" -> sheetOf("dados-a1")))
+
+    assert(XlsxParser.sheetEntries(path).map(_._1) === Seq("Resumo", "Dados"))
+    assert(XlsxParser.parse(path).head.head === "resumo-a1")            // default: first
+    assert(XlsxParser.parse(path, Some("Dados")).head.head === "dados-a1") // by name
+    assert(XlsxParser.parse(path, Some("2")).head.head === "dados-a1")     // by index
+    intercept[IllegalArgumentException] { XlsxParser.parse(path, Some("Nope")) }
+
+    // DSv2 surface: option("sheet", ...) reaches the reader
+    val df = spark.read.format("xlsx").option("sheet", "Dados").load(path)
+    assert(df.columns.toSeq === Seq("dados-a1")) // row 1 is the header
+  }
+
   test("date-styled numeric cells resolve through the 1900 and 1904 date systems") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_dates").toString
     val cells =
