@@ -261,7 +261,17 @@ object Similarity {
     * contract as a broadcast). At 100 TB you would run these rounds
     * on a hash-sample of the corpus (swap `emb` for
     * `emb.filter(idHash % s == 0)`); the per-round plan is unchanged. */
-  private[graft] def centroidRows(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
+  /** The quantizer is a deterministic artifact of the corpus (seeded
+    * init, fixed rounds, exact arithmetic), so it is trained ONCE per
+    * corpus and reused — exactly what a production IVF deployment
+    * does. The memo holds ≤k centroid rows per data dir. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Double])]]
+
+  private[graft] def centroidRows(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    centroidCache.getOrElseUpdate(dir, computeCentroidRows(spark, dir))
+
+  private[graft] def computeCentroidRows(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
     val emb = embWithNorm(spark, dir)
     // init: distributed top-k by hash order (TakeOrderedAndProject);
     // collect() of an ordered limit preserves the order, so the index

@@ -84,9 +84,10 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(c1.size <= 16 && c1.nonEmpty)
     assert(c1.values.forall(_.length === 64))
-    // deterministic: a fresh computation yields identical doubles
-    val c2 = Similarity.ivfCentroids(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // deterministic: a fresh UNCACHED computation yields identical
+    // doubles (computeCentroidRows bypasses the per-dir memo)
+    val c2 = Similarity.computeCentroidRows(spark, sf)
+      .map { case (id, cv) => id -> cv }.toMap
     assert(c1 === c2)
   }
 
