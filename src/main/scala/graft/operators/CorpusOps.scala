@@ -172,11 +172,11 @@ object CorpusOps {
     * the per-document total. The vocabulary is inlined from the same
     * [[graft.functions.BpeVocab.pieces]] the native expression uses,
     * so the two engines cannot drift. */
-  private val bpeCtes: String =
+  private def bpeCtesFrom(docsRel: String): String =
     s"""words AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
        |         generate_subscripts(string_split(text, ' '), 1) AS widx
-       |  FROM documents),
+       |  FROM $docsRel),
        |seg AS (
        |  SELECT doc_id, widx, word, 1 AS pos, 0 AS ntok FROM words
        |  UNION ALL
@@ -187,6 +187,8 @@ object CorpusOps {
        |bpe AS (
        |  SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n
        |  FROM seg WHERE pos > len(word) GROUP BY doc_id)""".stripMargin
+
+  private val bpeCtes: String = bpeCtesFrom("documents")
 
   /** Per-document BPE subword counts next to whitespace counts — the
     * view that makes "token budget" mean model tokens. Map-only: one
@@ -226,6 +228,99 @@ object CorpusOps {
        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM documents d JOIN bpe b ON d.doc_id = b.doc_id)
        |GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin
+
+  /** The WHOLE corpus-preparation pipeline as ONE lazy plan — the
+    * Gopher/Dolma-style sequence a training-data team actually runs,
+    * composed from the individually-verified stages:
+    *   1. quality gate (map-only verdict, keep 'ok'),
+    *   2. decontamination vs a held-out eval split (bounded eval
+    *      shingle set, broadcast; anti join the contaminated ids),
+    *   3. exact dedup (min-id keeper per content digest),
+    *   4. deterministic train/val/test split + per-split BPE token
+    *      budget.
+    * Output: (split, lang) → kept docs + model-token mass, all
+    * integer-exact. One Catalyst plan end-to-end: the gate pushes to
+    * the scan, the eval side broadcasts, and the only wide shuffles
+    * are the digest groupBy and the final rollup. */
+  def e2ePrep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val qual = docs.filter(graft.api.Graft.qualityVerdict(col("text"),
+      minTokens = 20, maxTokens = 90, maxDupRatio = 0.6, maxMeanWordLen = 5.0,
+      maxBulletRatio = 0.5, maxEllipsisRatio = 0.5, maxSymbolRatio = 0.02,
+      minStopwords = 1) === "ok")
+    val train = qual.filter(col("doc_id") % 20 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 20 === 0) // held out RAW
+    val contaminated = graft.api.Graft.decontaminate(train, evalSet, "text", "doc_id", k = 4)
+      .select(col("id").as("__contaminated_id"))
+    val clean = train.join(contaminated,
+      col("doc_id") === col("__contaminated_id"), "left_anti")
+    val keepers = clean
+      .groupBy(graft.api.Graft.contentDigest(col("text")).as("__digest"))
+      .agg(min(col("doc_id")).as("__keep_id"))
+      .select(col("__keep_id"))
+    clean.join(keepers, col("doc_id") === col("__keep_id"), "left_semi")
+      .withColumn("split", graft.api.Graft.splitLabel(col("doc_id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(bpeToks(col("text"))).as("n_tokens_bpe"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val e2ePrepSql: String =
+    s"""WITH RECURSIVE
+       |feat AS (
+       |  SELECT doc_id, lang, text,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS w,
+       |         string_split(text, chr(10)) AS lines,
+       |         length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS symbols
+       |  FROM documents),
+       |qual AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |           CASE WHEN len(w) < 20 THEN 'too-short'
+       |                WHEN len(w) > 90 THEN 'too-long'
+       |                WHEN CAST(len(list_filter(lines, l -> l LIKE '•%')) AS DOUBLE) / len(lines) > 0.5 THEN 'bullet-heavy'
+       |                WHEN CAST(len(list_filter(lines, l -> l LIKE '%…')) AS DOUBLE) / len(lines) > 0.5 THEN 'ellipsis-heavy'
+       |                WHEN CAST(symbols AS DOUBLE) / len(w) > 0.02 THEN 'symbol-heavy'
+       |                WHEN CAST(length(array_to_string(w, '')) AS DOUBLE) / len(w) > 5.0 THEN 'word-salad'
+       |                WHEN len(list_intersect(list_distinct(w), ['the','a','and','of','to','in'])) < 1 THEN 'few-stopwords'
+       |                WHEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.6 THEN 'repetitive'
+       |                ELSE 'ok' END AS reason
+       |    FROM feat)
+       |  WHERE reason = 'ok'),
+       |shq AS (
+       |  SELECT doc_id, CASE WHEN len(words) >= 4
+       |       THEN list_transform(range(len(words) - 3), i -> array_to_string(words[i+1:i+4], ' '))
+       |       ELSE [text] END AS ngs
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+       |        FROM qual WHERE doc_id % 20 <> 0)),
+       |she AS (
+       |  SELECT doc_id, CASE WHEN len(words) >= 4
+       |       THEN list_transform(range(len(words) - 3), i -> array_to_string(words[i+1:i+4], ' '))
+       |       ELSE [text] END AS ngs
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+       |        FROM documents WHERE doc_id % 20 = 0)),
+       |ev AS (SELECT DISTINCT unnest(ngs) AS ng FROM she),
+       |contaminated AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM (SELECT doc_id, unnest(ngs) AS ng FROM shq) t JOIN ev ON t.ng = ev.ng),
+       |kept AS (
+       |  SELECT q.doc_id, q.lang, q.text
+       |  FROM qual q
+       |  WHERE q.doc_id % 20 <> 0
+       |    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |    AND q.doc_id IN (
+       |      SELECT min(doc_id) FROM qual
+       |      WHERE doc_id % 20 <> 0
+       |        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |      GROUP BY md5(text))),
+       |${bpeCtesFrom("kept")}
+       |SELECT CASE WHEN ${idHashSql("k.doc_id")} % 100 < 80 THEN 'train'
+       |            WHEN ${idHashSql("k.doc_id")} % 100 < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       k.lang, count(*) AS n_docs, CAST(sum(b.n) AS BIGINT) AS n_tokens_bpe
+       |FROM kept k JOIN bpe b ON k.doc_id = b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Unigram log-probability score per document — the simplest LM
     * quality signal (docs with very low average token log-prob under
@@ -489,7 +584,8 @@ object CorpusOps {
     "corpus_token_buckets" -> ((s, d) => tokenBuckets(s, d)),
     "corpus_pack_greedy" -> ((s, d) => packGreedy(s, d)),
     "corpus_bpe_tokens" -> (bpeTokens _),
-    "corpus_pack_bpe" -> (packBpe _)
+    "corpus_pack_bpe" -> (packBpe _),
+    "corpus_e2e_prep" -> (e2ePrep _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -505,6 +601,7 @@ object CorpusOps {
     "corpus_token_buckets" -> tokenBucketsSql,
     "corpus_pack_greedy" -> packGreedySql,
     "corpus_bpe_tokens" -> bpeTokensSql,
-    "corpus_pack_bpe" -> packBpeSql
+    "corpus_pack_bpe" -> packBpeSql,
+    "corpus_e2e_prep" -> e2ePrepSql
   )
 }
