@@ -93,6 +93,24 @@ object Streams {
       .start()
   }
 
+  /** Streaming corpus ingestion — the §2.10 corpus-prep operators
+    * composed onto an unbounded document stream. Every per-document
+    * stage (content digest, quality verdict, BPE token count) is a
+    * map-only expression, so it runs on a stream UNCHANGED — the
+    * Dataflow-model unification the engine is built around; the only
+    * stateful stage is the within-watermark dedup on the digest
+    * (bounded state: digests evict as the watermark passes). This is
+    * the streaming twin of the corpus_e2e_prep front half. */
+  def corpusIngest(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "10 minutes")
+      .withColumn("digest", graft.api.Graft.contentDigest(col("text")))
+      .dropDuplicatesWithinWatermark("digest")
+      .withColumn("verdict", graft.api.Graft.qualityVerdict(col("text"),
+        minTokens = 2, maxTokens = 5000, maxDupRatio = 0.9, maxMeanWordLen = 20.0))
+      .filter(col("verdict") === "ok")
+      .withColumn("n_tokens", graft.api.Graft.bpeTokenCount(col("text")))
+
   /** Watermarked tumbling-window counts per event type. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

@@ -14,6 +14,8 @@ class StreamsSpec extends SparkSpec {
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
   private val fixture = Seq(
     Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
     Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 2.0),
@@ -182,6 +184,29 @@ class StreamsSpec extends SparkSpec {
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft_e2e_ckpt2").toString
     Streams.xlsxEtl(spark, s"$notif/*", landing, wh, ckpt2).awaitTermination(120000)
     assert(warehouseRows() === afterRestart)
+  }
+
+  test("streaming corpus ingestion: digest dedup + quality gate + BPE count on a stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    mem.addData(
+      Doc(1, ts("2024-01-01 00:00:00"), "the cat sat on the mat"),
+      Doc(2, ts("2024-01-01 00:01:00"), "the cat sat on the mat"), // exact dup, later id
+      Doc(3, ts("2024-01-01 00:02:00"), "x"),                      // too-short -> gated
+      Doc(4, ts("2024-01-01 00:03:00"), "a dog in the park"))
+    val q = Streams.corpusIngest(mem.toDF())
+      .select(col("doc_id"), col("n_tokens"))
+      .writeStream.format("memory").queryName("t_corpus").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("t_corpus").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(out.keySet === Set(1L, 4L)) // dup 2 dropped, short 3 gated
+    // stream-side BPE equals the batch counter
+    assert(out(1L) === graft.functions.BpeVocab.countTokens("the cat sat on the mat"))
+    assert(out(4L) === graft.functions.BpeVocab.countTokens("a dog in the park"))
   }
 
   test("flatMapGroupsWithState emits once when the error threshold is crossed") {
