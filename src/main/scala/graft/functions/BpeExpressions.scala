@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -107,12 +107,13 @@ object BpeVocab {
 }
 
 /** `graft_bpe_count(text)` — per-row subword token count over the
-  * whole text. Eval-based (CodegenFallback, like MinhashSignature):
-  * the per-character set probes dominate; the win over any
-  * declarative formulation is doing the variable-stride greedy scan
-  * in one pass with zero intermediate arrays. */
+  * whole text: a single variable-stride greedy scan, no intermediate
+  * arrays. Codegen emits a call through a referenced counter object
+  * (ctx.addReferenceObj), so the expression stays INSIDE the
+  * whole-stage-codegen span — a CodegenFallback here would split the
+  * generated loop of any projection/aggregation built over it. */
 case class BpeTokenCount(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_bpe_count"
@@ -120,6 +121,15 @@ case class BpeTokenCount(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any =
     BpeVocab.countTokens(input.asInstanceOf[UTF8String].toString)
+
+  // Janino-friendly indirection: generated Java calls a plain method
+  // on this expression instance (Scala object MODULE$ access is not)
+  def count(s: UTF8String): Long = BpeVocab.countTokens(s.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCounter", this, classOf[BpeTokenCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.count($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)

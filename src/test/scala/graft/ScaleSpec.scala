@@ -188,12 +188,17 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
-  test("BPE token counting is a pure projection (no join, no aggregate)") {
+  test("BPE token counting is a pure projection inside whole-stage codegen") {
     val df = graft.operators.CorpusOps.bpeTokens(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"), plan)
     assert(!plan.contains("HashAggregate"), plan)
+    // the native expression generates code (addReferenceObj call), so
+    // the projection stays inside a whole-stage-codegen span — the
+    // `*(n)` prefix in the tree string; a CodegenFallback would print
+    // an unstarred Project
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, plan)
   }
 
   test("e2e xlsx ETL read-back rolls up from the warehouse without re-joining") {
