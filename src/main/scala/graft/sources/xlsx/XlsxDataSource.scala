@@ -256,6 +256,18 @@ class XlsxDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: 
         case FloatType => row.getFloat(i).toString
         case BooleanType => row.getBoolean(i).toString
         case dt: DecimalType => row.getDecimal(i, dt.precision, dt.scale).toString
+        // temporal types render in the same ISO forms the reader's
+        // date-style resolution and type inference produce, so a
+        // typed read → write → read(inferSchema) round-trips
+        case DateType =>
+          java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+        case TimestampNTZType =>
+          val micros = row.getLong(i)
+          java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L),
+              (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
+            .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
         case other => throw new UnsupportedOperationException(
           s"xlsx write: unsupported type $other — cast the column to string first")
       }

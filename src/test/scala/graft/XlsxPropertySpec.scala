@@ -163,6 +163,23 @@ class XlsxPropertySpec extends SparkSpec {
       "xl/styles.xml" -> stylesXml,
       "xl/worksheets/sheet1.xml" -> sheetXml(cells)))
 
+  test("typed write → typed read round-trips dates and timestamps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_twr").toString
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2023-03-15"), java.time.LocalDateTime.of(2023, 3, 15, 23, 59, 58)),
+      (2L, java.sql.Date.valueOf("1999-12-31"), java.time.LocalDateTime.of(2000, 1, 1, 0, 0, 1)))
+      .toDF("id", "d", "t")
+    df.write.format("xlsx").mode("overwrite").save(dir)
+    val back = spark.read.format("xlsx").option("inferSchema", true).load(dir)
+      .orderBy("id").collect()
+    assert(back.map(_.getAs[java.sql.Date]("d")).toSeq ===
+      Seq(java.sql.Date.valueOf("2023-03-15"), java.sql.Date.valueOf("1999-12-31")))
+    assert(back.map(_.getAs[java.time.LocalDateTime]("t")).toSeq ===
+      Seq(java.time.LocalDateTime.of(2023, 3, 15, 23, 59, 58),
+        java.time.LocalDateTime.of(2000, 1, 1, 0, 0, 1)))
+  }
+
   test("multi-sheet workbooks: select by name, by 1-based index, default first; OPC rels honored") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_sheets").toString
     val path = s"$dir/multi.xlsx"
