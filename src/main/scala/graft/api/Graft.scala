@@ -64,6 +64,13 @@ object Graft {
     call_function("graft_bpe_count", text)
   }
 
+  /** Full BPE segmentation as array<string> — for chunking/packing
+    * stages that need the pieces, not just the count. */
+  def bpeTokens(text: Column): Column = {
+    ensureRegistered()
+    call_function("graft_bpe_pieces", text)
+  }
+
   /** Content digest for exact dedup (md5 — engine-portable). */
   def contentDigest(text: Column): Column = md5(text.cast("binary"))
 

@@ -76,6 +76,40 @@ object BpeVocab {
     n
   }
 
+  /** The subword pieces of one WORD, in scan order. */
+  private def piecesOfWord(w: String, from: Int, to: Int,
+                           out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    var i = from
+    while (i < to) {
+      var step = 0
+      var l = 4
+      while (l >= 2 && step == 0) {
+        if (i + l <= to && byLen(l).contains(w.substring(i, i + l))) step = l
+        l -= 1
+      }
+      if (step == 0) step = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + step)
+      i += step
+    }
+  }
+
+  /** Full segmentation of a TEXT: every subword piece in text order
+    * (spaces are separators, not pieces). `countTokens` is its
+    * length — kept separate so counting never allocates. */
+  def tokenize(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i <= text.length) {
+      if (i == text.length || text.charAt(i) == ' ') {
+        piecesOfWord(text, start, i, out)
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** Token count for a whole TEXT: single-space word split (the
     * corpus contract, same as Graft.tokens), words tokenized
     * independently — BPE merges never cross word boundaries. */
@@ -135,9 +169,43 @@ case class BpeTokenCount(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_bpe_pieces(text)` — the full subword segmentation as
+  * array<string>, for chunking/packing stages that need the pieces
+  * themselves rather than the count. Same greedy scan, same codegen
+  * shape as [[BpeTokenCount]]. */
+case class BpeTokenPieces(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_pieces"
+  override def nullable: Boolean = true
+
+  def pieces(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      BpeVocab.tokenize(s.toString).map(UTF8String.fromString).toArray[Any])
+
+  override protected def nullSafeEval(input: Any): Any =
+    pieces(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTokenizer", this, classOf[BpeTokenPieces].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.pieces($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenPieces =
+    copy(child = newChild)
+}
+
 object BpeFunctions {
   val bpeCountInfo = (
     new FunctionIdentifier("graft_bpe_count"),
     new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_bpe_count"),
     (children: Seq[Expression]) => BpeTokenCount(children.head))
+
+  val bpePiecesInfo = (
+    new FunctionIdentifier("graft_bpe_pieces"),
+    new ExpressionInfo(classOf[BpeTokenPieces].getName, "graft_bpe_pieces"),
+    (children: Seq[Expression]) => BpeTokenPieces(children.head))
 }

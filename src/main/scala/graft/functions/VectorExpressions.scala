@@ -277,5 +277,7 @@ object VectorFunctions {
     reg.registerFunction(minhashInfo._1, minhashInfo._2, minhashInfo._3)
     reg.registerFunction(BpeFunctions.bpeCountInfo._1,
       BpeFunctions.bpeCountInfo._2, BpeFunctions.bpeCountInfo._3)
+    reg.registerFunction(BpeFunctions.bpePiecesInfo._1,
+      BpeFunctions.bpePiecesInfo._2, BpeFunctions.bpePiecesInfo._3)
   }
 }

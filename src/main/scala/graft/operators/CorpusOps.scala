@@ -210,6 +210,37 @@ object CorpusOps {
        |FROM documents d JOIN bpe b ON d.doc_id = b.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The FULL segmentation, piece by piece — every subword token in
+    * text order. Verifies the tokenizer beyond counts: the oracle's
+    * recursion emits the exact substring each greedy step consumed,
+    * so a single mis-matched piece anywhere in the corpus breaks the
+    * hash. Map-only fan-out (posexplode), like any generator. */
+  def bpePieces(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.api.Graft.bpeTokens(col("text"))).as(Seq("piece_idx", "piece")))
+      .select(col("doc_id"), col("piece_idx").cast("long").as("piece_idx"), col("piece"))
+      .orderBy(col("doc_id"), col("piece_idx"))
+
+  val bpePiecesSql: String = {
+    val step = graft.functions.BpeVocab.stepSql("word", "pos")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+       |         generate_subscripts(string_split(text, ' '), 1) AS widx
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, widx, word, 1 AS pos, 0 AS idx, CAST(NULL AS VARCHAR) AS piece
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, widx, word, pos + $step, idx + 1, substr(word, pos, $step)
+       |  FROM seg WHERE pos <= len(word))
+       |SELECT doc_id,
+       |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY widx, idx) - 1 AS BIGINT) AS piece_idx,
+       |       piece
+       |FROM seg WHERE piece IS NOT NULL
+       |ORDER BY doc_id, piece_idx""".stripMargin
+  }
+
   /** [[packGreedy]] instantiated over the BPE tokenizer — bins are
     * 512 MODEL tokens, the number that actually fits a context
     * window. Identical plan shape (map-side counts + one window
@@ -585,6 +616,7 @@ object CorpusOps {
     "corpus_pack_greedy" -> ((s, d) => packGreedy(s, d)),
     "corpus_bpe_tokens" -> (bpeTokens _),
     "corpus_pack_bpe" -> (packBpe _),
+    "corpus_bpe_pieces" -> (bpePieces _),
     "corpus_e2e_prep" -> (e2ePrep _)
   )
 
@@ -602,6 +634,7 @@ object CorpusOps {
     "corpus_pack_greedy" -> packGreedySql,
     "corpus_bpe_tokens" -> bpeTokensSql,
     "corpus_pack_bpe" -> packBpeSql,
+    "corpus_bpe_pieces" -> bpePiecesSql,
     "corpus_e2e_prep" -> e2ePrepSql
   )
 }

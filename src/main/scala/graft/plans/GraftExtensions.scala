@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorFunctions.simhashInfo)
     ext.injectFunction(VectorFunctions.minhashInfo)
     ext.injectFunction(graft.functions.BpeFunctions.bpeCountInfo)
+    ext.injectFunction(graft.functions.BpeFunctions.bpePiecesInfo)
     ext.injectOptimizerRule(_ => NativeVectorRewrite)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
