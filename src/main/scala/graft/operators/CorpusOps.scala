@@ -241,6 +241,60 @@ object CorpusOps {
        |ORDER BY doc_id, piece_idx""".stripMargin
   }
 
+  /** Sliding-window chunking over MODEL tokens — [[chunkOverlap]]'s
+    * 50/30 window/stride applied to the BPE segmentation instead of
+    * whitespace words, so chunk boundaries respect the token budget a
+    * model actually sees. Each chunk row carries its piece count and
+    * content digest (computed from the slice itself — no re-split, so
+    * zero-piece documents still chunk consistently in both engines).
+    * Map-only fan-out like the word variant. */
+  def chunkBpe(spark: SparkSession, dir: String): DataFrame = {
+    val (window, stride) = (50, 30)
+    val chunks = element_at(
+      transform(array(graft.api.Graft.bpeTokens(col("text"))), wa => {
+        val lastIdx = greatest(lit(0),
+          floor((size(wa) - lit(window) + lit(stride) - 1).cast("double") / lit(stride))
+            .cast("int"))
+        transform(sequence(lit(0), lastIdx), i => struct(
+          size(slice(wa, i * lit(stride) + 1, lit(window))).cast("long").as("n"),
+          md5(concat_ws(" ", slice(wa, i * lit(stride) + 1, lit(window))).cast("binary")).as("h")))
+      }), 1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.n").as("n_chunk_tokens"), col("c.h").as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkBpeSql: String = {
+    val step = graft.functions.BpeVocab.stepSql("word", "pos")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+       |         generate_subscripts(string_split(text, ' '), 1) AS widx
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, widx, word, 1 AS pos, 0 AS idx, CAST(NULL AS VARCHAR) AS piece
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, widx, word, pos + $step, idx + 1, substr(word, pos, $step)
+       |  FROM seg WHERE pos <= len(word)),
+       |pl AS (
+       |  SELECT doc_id, list(piece ORDER BY widx, idx) AS pieces
+       |  FROM seg WHERE piece IS NOT NULL GROUP BY doc_id),
+       |pl2 AS (
+       |  SELECT d.doc_id, coalesce(p.pieces, CAST([] AS VARCHAR[])) AS pieces
+       |  FROM documents d LEFT JOIN pl p ON d.doc_id = p.doc_id),
+       |c AS (
+       |  SELECT doc_id,
+       |         unnest(range(greatest(0, (len(pieces) - 50 + 29) // 30) + 1)) AS chunk_idx,
+       |         pieces
+       |  FROM pl2)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |       CAST(len(pieces[chunk_idx*30 + 1 : chunk_idx*30 + 50]) AS BIGINT) AS n_chunk_tokens,
+       |       md5(array_to_string(pieces[chunk_idx*30 + 1 : chunk_idx*30 + 50], ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** [[packGreedy]] instantiated over the BPE tokenizer — bins are
     * 512 MODEL tokens, the number that actually fits a context
     * window. Identical plan shape (map-side counts + one window
@@ -617,6 +671,7 @@ object CorpusOps {
     "corpus_bpe_tokens" -> (bpeTokens _),
     "corpus_pack_bpe" -> (packBpe _),
     "corpus_bpe_pieces" -> (bpePieces _),
+    "corpus_chunk_bpe" -> (chunkBpe _),
     "corpus_e2e_prep" -> (e2ePrep _)
   )
 
@@ -635,6 +690,7 @@ object CorpusOps {
     "corpus_bpe_tokens" -> bpeTokensSql,
     "corpus_pack_bpe" -> packBpeSql,
     "corpus_bpe_pieces" -> bpePiecesSql,
+    "corpus_chunk_bpe" -> chunkBpeSql,
     "corpus_e2e_prep" -> e2ePrepSql
   )
 }
