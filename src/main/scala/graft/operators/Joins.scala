@@ -254,6 +254,41 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of with tolerance through the custom plan: for each
+    * event, the user's EARLIEST order at or after the event, but only
+    * within 30 days — the "next action after a trigger" shape
+    * (pandas merge_asof direction='forward', tolerance=30d). Same
+    * O(n+m) per-partition merge; the tolerance is a per-row compare,
+    * not a join-condition blowup. */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    graft.plans.AsofJoin.asofJoin(spark, ev, ord,
+        leftKeyCol = "user_id", leftTimeCol = "ts",
+        rightKeyCol = "o_custkey", rightTimeCol = "o_orderdate",
+        tiebreakCol = "o_orderkey", payloadCols = Seq("o_orderkey", "o_orderdate"),
+        direction = "forward", tolerance = Some(30L * 86400 * 1000000))
+      .select(
+        col("event_id"),
+        col("o_orderkey").as("next_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("next_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinForwardSql: String =
+    """SELECT event_id, o_orderkey AS next_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS next_orderdate
+      |FROM (
+      |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+      |  FROM events e JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+      |       AND epoch_us(o.o_orderdate) - epoch_us(e.ts) <= 2592000000000)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   val asofJoinSql: String =
     """SELECT event_id, o_orderkey AS asof_orderkey,
       |       strftime(o_orderdate, '%Y-%m-%d') AS asof_orderdate
@@ -342,6 +377,7 @@ object Joins {
     "join_range_events" -> (rangeJoinEvents _),
     "join_asof" -> (asofJoin _),
     "join_asof_merge" -> (asofJoinMerge _),
+    "join_asof_forward" -> (asofJoinForward _),
     "join_asof_plan" -> (asofJoinPlan _)
   )
 
@@ -357,6 +393,7 @@ object Joins {
     "join_range_events" -> rangeJoinEventsSql,
     "join_asof" -> asofJoinSql,
     "join_asof_merge" -> asofJoinSql,
+    "join_asof_forward" -> asofJoinForwardSql,
     "join_asof_plan" -> asofJoinSql
   )
 }

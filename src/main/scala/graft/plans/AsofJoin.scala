@@ -38,7 +38,9 @@ case class AsofJoinNode(
     rightKey: Attribute,
     rightTime: Attribute,
     rightTiebreak: Attribute,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payload
 
@@ -49,8 +51,8 @@ case class AsofJoinNode(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, lt, rk, rt, tb, payload) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tb, payload) :: Nil
+    case AsofJoinNode(l, r, lk, lt, rk, rt, tb, payload, fwd, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tb, payload, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -63,7 +65,9 @@ case class AsofJoinExec(
     rightKey: Attribute,
     rightTime: Attribute,
     rightTiebreak: Attribute,
-    payload: Seq[Attribute]) extends BinaryExecNode {
+    payload: Seq[Attribute],
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payload
 
@@ -95,32 +99,60 @@ case class AsofJoinExec(
     val rightOutput = right.output
     val outputAttrs = output
 
+    val fwd = forward
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rBuf = rIter.buffered
       val proj = UnsafeProjection.create(outputAttrs, leftOutput ++ rightOutput)
       val joined = new JoinedRow
-      var held: InternalRow = null
-      var heldKey = 0L
-      lIter.flatMap { l =>
-        val lk = l.getLong(lKeyOrd)
-        val lt = l.getLong(lTimeOrd)
-        if (held != null && heldKey != lk) held = null
-        var scan = true
-        while (scan && rBuf.hasNext) {
-          val h = rBuf.head
-          val rk = h.getLong(rKeyOrd)
-          if (rk < lk) {
-            rBuf.next() // keys are ascending on both sides: never matches again
-          } else if (rk == lk && h.getLong(rTimeOrd) <= lt) {
-            held = rBuf.next().copy() // latest-so-far for this key
-            heldKey = rk
-          } else {
-            scan = false
+      if (!fwd) {
+        // BACKWARD (default): greatest right.time ≤ left.time,
+        // optionally within `tol` of it
+        var held: InternalRow = null
+        var heldKey = 0L
+        lIter.flatMap { l =>
+          val lk = l.getLong(lKeyOrd)
+          val lt = l.getLong(lTimeOrd)
+          if (held != null && heldKey != lk) held = null
+          var scan = true
+          while (scan && rBuf.hasNext) {
+            val h = rBuf.head
+            val rk = h.getLong(rKeyOrd)
+            if (rk < lk) {
+              rBuf.next() // keys are ascending on both sides: never matches again
+            } else if (rk == lk && h.getLong(rTimeOrd) <= lt) {
+              held = rBuf.next().copy() // latest-so-far for this key
+              heldKey = rk
+            } else {
+              scan = false
+            }
           }
+          if (held != null && heldKey == lk &&
+              tol.forall(t => lt - held.getLong(rTimeOrd) <= t)) {
+            Iterator.single(proj(joined(l, held)))
+          } else Iterator.empty
         }
-        if (held != null && heldKey == lk) {
-          Iterator.single(proj(joined(l, held)))
-        } else Iterator.empty
+      } else {
+        // FORWARD: smallest (right.time, tiebreak) ≥ left.time,
+        // optionally within `tol`. Right rows strictly before the
+        // current left time can never match a LATER left (left times
+        // ascend), so they are consumed; the candidate head is NOT
+        // consumed — the same right row may serve several lefts.
+        lIter.flatMap { l =>
+          val lk = l.getLong(lKeyOrd)
+          val lt = l.getLong(lTimeOrd)
+          var scan = true
+          while (scan && rBuf.hasNext) {
+            val h = rBuf.head
+            val rk = h.getLong(rKeyOrd)
+            if (rk < lk || (rk == lk && h.getLong(rTimeOrd) < lt)) rBuf.next()
+            else scan = false
+          }
+          if (rBuf.hasNext && rBuf.head.getLong(rKeyOrd) == lk &&
+              tol.forall(t => rBuf.head.getLong(rTimeOrd) - lt <= t)) {
+            Iterator.single(proj(joined(l, rBuf.head)))
+          } else Iterator.empty
+        }
       }
     }
   }
@@ -158,17 +190,26 @@ object AsofJoin {
   }
 
   /** Public API: as-of join `left` with `right` on
-    * left(keyCol)=right(keyCol') with right.time ≤ left.time, keeping
-    * the latest right match per left row (ties broken by the greatest
-    * `tiebreakCol`). Key/time columns may be any integral or timestamp
-    * type (timestamps are resolved to epoch micros internally — no
-    * manual `DIV 1000000000` epoch math needed). `payloadCols` from the
-    * right side are appended to the left columns. */
+    * left(keyCol)=right(keyCol'). Direction "backward" (default)
+    * keeps the LATEST right.time ≤ left.time per left row (ties →
+    * greatest `tiebreakCol`); "forward" keeps the EARLIEST
+    * right.time ≥ left.time (ties → smallest tiebreak) — the two
+    * pandas merge_asof directions. `tolerance` (in the normalized
+    * time unit: epoch MICROS for timestamp columns, raw units for
+    * integral ones) drops matches farther than that from the left
+    * time. Key/time columns may be any integral or timestamp type
+    * (timestamps resolve to epoch micros internally). `payloadCols`
+    * from the right side are appended to the left columns. */
   def asofJoin(spark: SparkSession,
                leftDf: DataFrame, rightDf: DataFrame,
                leftKeyCol: String, leftTimeCol: String,
                rightKeyCol: String, rightTimeCol: String,
-               tiebreakCol: String, payloadCols: Seq[String]): DataFrame = {
+               tiebreakCol: String, payloadCols: Seq[String],
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asof direction must be backward|forward, got $direction")
+    require(tolerance.forall(_ >= 0), "asof tolerance must be >= 0")
     GraftShim.addStrategy(spark, AsofJoinStrategy)
     val (l1, lk) = normalized(leftDf, leftKeyCol, "__graft_asof_lk")
     val (l2, lt) = normalized(l1, leftTimeCol, "__graft_asof_lt")
@@ -184,7 +225,9 @@ object AsofJoin {
       attr(lPlan, lk), attr(lPlan, lt),
       attr(rPlan, rk), attr(rPlan, rt),
       attr(rPlan, tiebreakCol),
-      payloadCols.map(attr(rPlan, _))))
+      payloadCols.map(attr(rPlan, _)),
+      forward = direction == "forward",
+      tolerance = tolerance))
     // left-side shadows ride along in the node output (output = left ++
     // payload); drop them so the caller sees the original schema
     out.drop(Seq("__graft_asof_lk", "__graft_asof_lt").filter(out.columns.contains): _*)

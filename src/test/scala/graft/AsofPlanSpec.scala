@@ -42,6 +42,36 @@ class AsofPlanSpec extends SparkSpec {
     ))
   }
 
+  test("forward direction: earliest right ≥ time, smallest-tiebreak tie-break") {
+    val out = AsofJoin.asofJoin(spark, leftDf, rightDf,
+      "key", "t", "rkey", "rt", "rid", Seq("rid", "rt"), direction = "forward")
+      .select("id", "rid", "rt").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((901L, 100L)), // t=100: rows at 100,100,150 qualify; (100,901) is min
+      3L -> ((900L, 90L))   // t=50: earliest for key 10 is 90
+      // id=2 (nothing ≥ 200 on key 10), id=4 (400 < 500 on key 20),
+      // and id=5 (no key) are dropped
+    ))
+  }
+
+  test("tolerance bounds both directions") {
+    // backward: id=2 (t=200) matches rt=150, gap 50 — a tolerance of
+    // 40 drops it while id=1 (gap 0) survives
+    val back = AsofJoin.asofJoin(spark, leftDf, rightDf,
+      "key", "t", "rkey", "rt", "rid", Seq("rid"), tolerance = Some(40L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!back.contains(2L) && back.contains(1L))
+    // forward: id=3 (t=50) matches rt=90, gap 40 — tolerance 39 drops
+    // it, tolerance 40 keeps it (inclusive bound)
+    def fwd(tol: Long) = AsofJoin.asofJoin(spark, leftDf, rightDf,
+      "key", "t", "rkey", "rt", "rid", Seq("rid"),
+      direction = "forward", tolerance = Some(tol))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!fwd(39L).contains(3L))
+    assert(fwd(40L).contains(3L))
+  }
+
   test("physical plan uses AsofJoinExec, not a window or pair-join") {
     val df = AsofJoin.asofJoin(spark, leftDf, rightDf,
       "key", "t", "rkey", "rt", "rid", Seq("rid"))
