@@ -277,6 +277,39 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** LEFT-OUTER as-of through the custom plan: every event survives;
+    * events with no prior order carry null payload (the pandas
+    * merge_asof default shape). */
+  def asofJoinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    graft.plans.AsofJoin.asofJoin(spark, ev, ord,
+        leftKeyCol = "user_id", leftTimeCol = "ts",
+        rightKeyCol = "o_custkey", rightTimeCol = "o_orderdate",
+        tiebreakCol = "o_orderkey", payloadCols = Seq("o_orderkey", "o_orderdate"),
+        joinType = "left")
+      .select(
+        col("event_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinLeftSql: String =
+    """SELECT e.event_id, m.o_orderkey AS asof_orderkey,
+      |       strftime(m.o_orderdate, '%Y-%m-%d') AS asof_orderdate
+      |FROM events e LEFT JOIN (
+      |  SELECT event_id, o_orderkey, o_orderdate FROM (
+      |    SELECT e2.event_id, o.o_orderkey, o.o_orderdate,
+      |           row_number() OVER (PARTITION BY e2.event_id
+      |                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |    FROM events e2 JOIN orders o
+      |      ON e2.user_id = o.o_custkey AND o.o_orderdate <= e2.ts)
+      |  WHERE rn = 1) m ON e.event_id = m.event_id
+      |ORDER BY e.event_id""".stripMargin
+
   val asofJoinForwardSql: String =
     """SELECT event_id, o_orderkey AS next_orderkey,
       |       strftime(o_orderdate, '%Y-%m-%d') AS next_orderdate
@@ -378,6 +411,7 @@ object Joins {
     "join_asof" -> (asofJoin _),
     "join_asof_merge" -> (asofJoinMerge _),
     "join_asof_forward" -> (asofJoinForward _),
+    "join_asof_left" -> (asofJoinLeft _),
     "join_asof_plan" -> (asofJoinPlan _)
   )
 
@@ -394,6 +428,7 @@ object Joins {
     "join_asof" -> asofJoinSql,
     "join_asof_merge" -> asofJoinSql,
     "join_asof_forward" -> asofJoinForwardSql,
+    "join_asof_left" -> asofJoinLeftSql,
     "join_asof_plan" -> asofJoinSql
   )
 }

@@ -40,9 +40,13 @@ case class AsofJoinNode(
     rightTiebreak: Attribute,
     payload: Seq[Attribute],
     forward: Boolean = false,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    leftOuter: Boolean = false) extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ payload
+  // left-outer: unmatched lefts emit null payload, so the payload
+  // attributes must surface as nullable regardless of source schema
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) payload.map(_.withNullability(true)) else payload)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
@@ -51,8 +55,9 @@ case class AsofJoinNode(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, lt, rk, rt, tb, payload, fwd, tol) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tb, payload, fwd, tol) :: Nil
+    case AsofJoinNode(l, r, lk, lt, rk, rt, tb, payload, fwd, tol, outer) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tb, payload,
+        fwd, tol, outer) :: Nil
     case _ => Nil
   }
 }
@@ -67,9 +72,11 @@ case class AsofJoinExec(
     rightTiebreak: Attribute,
     payload: Seq[Attribute],
     forward: Boolean = false,
-    tolerance: Option[Long] = None) extends BinaryExecNode {
+    tolerance: Option[Long] = None,
+    leftOuter: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ payload
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) payload.map(_.withNullability(true)) else payload)
 
   // One hash shuffle per side on the key; EnsureRequirements inserts
   // exchanges only when the child isn't already clustered on it.
@@ -101,10 +108,19 @@ case class AsofJoinExec(
 
     val fwd = forward
     val tol = tolerance
+    val outer = leftOuter
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rBuf = rIter.buffered
-      val proj = UnsafeProjection.create(outputAttrs, leftOutput ++ rightOutput)
+      // outer mode: bind the right side nullable so the projection
+      // null-checks payload reads (the child attrs may be non-null)
+      val bindRight =
+        if (outer) rightOutput.map(_.withNullability(true)) else rightOutput
+      val proj = UnsafeProjection.create(outputAttrs, leftOutput ++ bindRight)
       val joined = new JoinedRow
+      // left-outer no-match row: all-null right side (payload lookups
+      // by ordinal read null; the projection handles the rest)
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightOutput.size)
       if (!fwd) {
         // BACKWARD (default): greatest right.time ≤ left.time,
         // optionally within `tol` of it
@@ -130,6 +146,8 @@ case class AsofJoinExec(
           if (held != null && heldKey == lk &&
               tol.forall(t => lt - held.getLong(rTimeOrd) <= t)) {
             Iterator.single(proj(joined(l, held)))
+          } else if (outer) {
+            Iterator.single(proj(joined(l, nullRight)))
           } else Iterator.empty
         }
       } else {
@@ -151,6 +169,8 @@ case class AsofJoinExec(
           if (rBuf.hasNext && rBuf.head.getLong(rKeyOrd) == lk &&
               tol.forall(t => rBuf.head.getLong(rTimeOrd) - lt <= t)) {
             Iterator.single(proj(joined(l, rBuf.head)))
+          } else if (outer) {
+            Iterator.single(proj(joined(l, nullRight)))
           } else Iterator.empty
         }
       }
@@ -206,10 +226,13 @@ object AsofJoin {
                rightKeyCol: String, rightTimeCol: String,
                tiebreakCol: String, payloadCols: Seq[String],
                direction: String = "backward",
-               tolerance: Option[Long] = None): DataFrame = {
+               tolerance: Option[Long] = None,
+               joinType: String = "inner"): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"asof direction must be backward|forward, got $direction")
     require(tolerance.forall(_ >= 0), "asof tolerance must be >= 0")
+    require(joinType == "inner" || joinType == "left",
+      s"asof joinType must be inner|left, got $joinType")
     GraftShim.addStrategy(spark, AsofJoinStrategy)
     val (l1, lk) = normalized(leftDf, leftKeyCol, "__graft_asof_lk")
     val (l2, lt) = normalized(l1, leftTimeCol, "__graft_asof_lt")
@@ -227,7 +250,8 @@ object AsofJoin {
       attr(rPlan, tiebreakCol),
       payloadCols.map(attr(rPlan, _)),
       forward = direction == "forward",
-      tolerance = tolerance))
+      tolerance = tolerance,
+      leftOuter = joinType == "left"))
     // left-side shadows ride along in the node output (output = left ++
     // payload); drop them so the caller sees the original schema
     out.drop(Seq("__graft_asof_lk", "__graft_asof_lt").filter(out.columns.contains): _*)

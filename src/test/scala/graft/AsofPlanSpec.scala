@@ -72,6 +72,19 @@ class AsofPlanSpec extends SparkSpec {
     assert(fwd(40L).contains(3L))
   }
 
+  test("left-outer as-of keeps unmatched lefts with null payload") {
+    val out = AsofJoin.asofJoin(spark, leftDf, rightDf,
+      "key", "t", "rkey", "rt", "rid", Seq("rid", "rt"), joinType = "left")
+      .select("id", "rid", "rt").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L)) // every left survives
+    assert(out(1L) === ((Some(950L), Some(100L))))
+    assert(out(3L) === ((None, None))) // before any right row
+    assert(out(5L) === ((None, None))) // key absent from right
+  }
+
   test("physical plan uses AsofJoinExec, not a window or pair-join") {
     val df = AsofJoin.asofJoin(spark, leftDf, rightDf,
       "key", "t", "rkey", "rt", "rid", Seq("rid"))
