@@ -462,16 +462,23 @@ object Graft {
 
   /** The engine's custom as-of join operator (AsofJoinExec, O(n+m)
     * streaming merge per key — see graft.plans.AsofJoin for the
-    * plan machinery): for each left row, the latest right row with
-    * the same key at-or-before its time, ties broken by the largest
-    * `tiebreakCol`. Left rows with no qualifying right row are
-    * dropped (inner as-of). */
+    * plan machinery). `direction` "backward" (default) matches the
+    * latest right row at-or-before each left time (ties → largest
+    * `tiebreakCol`); "forward" the earliest at-or-after (ties →
+    * smallest). `tolerance` (normalized time units — epoch micros
+    * for timestamps) bounds the match distance. `joinType` "inner"
+    * (default) drops unmatched lefts; "left" keeps them with null
+    * payload — full pandas merge_asof parity. */
   def asofJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
                leftKeyCol: String, leftTimeCol: String,
                rightKeyCol: String, rightTimeCol: String,
-               tiebreakCol: String, payloadCols: Seq[String]): DataFrame =
+               tiebreakCol: String, payloadCols: Seq[String],
+               direction: String = "backward",
+               tolerance: Option[Long] = None,
+               joinType: String = "inner"): DataFrame =
     graft.plans.AsofJoin.asofJoin(spark, left, right, leftKeyCol, leftTimeCol,
-      rightKeyCol, rightTimeCol, tiebreakCol, payloadCols)
+      rightKeyCol, rightTimeCol, tiebreakCol, payloadCols,
+      direction, tolerance, joinType)
 
   /** Exact cosine top-k: for each row of `queries`, the k most similar
     * rows of `candidates` by cosine. Queries are broadcast; candidates
