@@ -318,7 +318,13 @@ object Joins {
       |         row_number() OVER (PARTITION BY e.event_id
       |                            ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
       |  FROM events e JOIN orders o
-      |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+      |    ON e.user_id = o.o_custkey
+      |       -- compare at MICRO precision on both sides: Spark's
+      |       -- TimestampType floors the event's nanos to micros, so a
+      |       -- raw ns-precision >= here would drop a right row equal
+      |       -- to the floored left time that the engine (correctly,
+      |       -- at its precision) matches
+      |       AND epoch_us(o.o_orderdate) >= epoch_us(e.ts)
       |       AND epoch_us(o.o_orderdate) - epoch_us(e.ts) <= 2592000000000)
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 

@@ -264,12 +264,24 @@ object Similarity {
   /** The quantizer is a deterministic artifact of the corpus (seeded
     * init, fixed rounds, exact arithmetic), so it is trained ONCE per
     * corpus and reused — exactly what a production IVF deployment
-    * does. The memo holds ≤k centroid rows per data dir. */
+    * does. The memo holds ≤k centroid rows per data dir, keyed by the
+    * embeddings files' (name, length, mtime) signature so an
+    * in-process regeneration of the corpus invalidates the entry
+    * instead of silently serving stale centroids. */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Double])]]
 
+  private def corpusKey(dir: String): String = {
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(sig).mkString(",")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    if (f.exists()) s"$dir|${sig(f)}" else dir
+  }
+
   private[graft] def centroidRows(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
-    centroidCache.getOrElseUpdate(dir, computeCentroidRows(spark, dir))
+    centroidCache.getOrElseUpdate(corpusKey(dir), computeCentroidRows(spark, dir))
 
   private[graft] def computeCentroidRows(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
     val emb = embWithNorm(spark, dir)
@@ -384,14 +396,18 @@ object Similarity {
     call_function("graft_dot", col("v"), c.getField("cv")) /
       (col("vn") * c.getField("cn"))
 
-  /** Map-only argmax assignment: (vec_id, v, vn, cell). */
+  /** Map-only argmax assignment: (vec_id, v, vn, cell). The cosine
+    * is computed ONCE per centroid (transform), then the fold argmaxes
+    * over the precomputed (cos, cent_id) structs — HOF lambdas get no
+    * common-subexpression elimination, so folding over cosTo directly
+    * would run every dot product twice. */
   private def assignCells(emb: DataFrame, cents: Column): DataFrame =
     emb.withColumn("best",
-        aggregate(cents,
+        aggregate(
+          transform(cents, c => struct(cosTo(c).as("bc"),
+            c.getField("cent_id").as("cell"))),
           struct(lit(Double.NegativeInfinity).as("bc"), lit(-1L).as("cell")),
-          (acc, c) => when(cosTo(c) > acc.getField("bc"),
-            struct(cosTo(c).as("bc"), c.getField("cent_id").as("cell")))
-            .otherwise(acc)))
+          (acc, s) => when(s.getField("bc") > acc.getField("bc"), s).otherwise(acc)))
       .select(col("vec_id"), col("v"), col("vn"),
         col("best").getField("cell").as("cell"))
 

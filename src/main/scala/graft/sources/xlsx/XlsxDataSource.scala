@@ -51,20 +51,29 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
     // The write path takes its schema from LogicalWriteInfo and the
     // table declares ACCEPT_ANY_SCHEMA, so empty is correct here.
     if (ps.isEmpty) return new StructType()
-    val parsed = XlsxParser.parse(ps.head, Option(options.get("sheet")))
+    val sheetOpt = Option(options.get("sheet"))
+    val parsed = XlsxParser.parse(ps.head, sheetOpt)
     val header = parsed.headOption.getOrElse(Seq.empty)
     val names = header.zipWithIndex.map { case (name, i) =>
       if (name == null || name.isEmpty) s"_c$i" else name
     }
-    // typed schema-at-read (SURVEY §1.2): sample rows of the first
-    // workbook and unify per-column cell types, exactly like Spark's
-    // CSV inferSchema — opt-in so the default stays the all-string
-    // raw-fidelity read
+    // typed schema-at-read (SURVEY §1.2): sample rows ACROSS the part
+    // workbooks (up to the cap) and unify per-column cell types,
+    // exactly like Spark's CSV inferSchema — opt-in so the default
+    // stays the all-string raw-fidelity read. Sampling every file (not
+    // just the first) keeps a type that only appears in a later part
+    // (e.g. a decimal among integers) from inferring too narrow and
+    // silently nulling under the permissive converter.
     if (options.getBoolean("inferSchema", false)) {
       val sampleCap = options.getInt("inferSampleRows", 1000)
-      val sample = parsed.drop(1).take(sampleCap)
+      val sample = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      sample ++= parsed.drop(1).take(sampleCap)
+      val rest = ps.iterator.drop(1)
+      while (sample.size < sampleCap && rest.hasNext)
+        sample ++= XlsxParser.parse(rest.next(), sheetOpt).drop(1)
+          .take(sampleCap - sample.size)
       StructType(names.zipWithIndex.map { case (name, i) =>
-        val cells = sample.map(r => if (i < r.length) r(i) else null)
+        val cells = sample.toSeq.map(r => if (i < r.length) r(i) else null)
         StructField(name, XlsxTypeInference.unify(cells))
       })
     } else
@@ -106,7 +115,7 @@ object XlsxTypeInference {
   private val longRe = "[+-]?\\d{1,19}".r
   private val doubleRe = "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
   private val dateRe = "\\d{4}-\\d{2}-\\d{2}".r
-  private val tsRe = "\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}".r
+  private val tsRe = "\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}(\\.\\d{1,6})?".r
 
   private def isLong(s: String) =
     longRe.matches(s) && scala.util.Try(s.toLong).isSuccess
@@ -149,7 +158,13 @@ object XlsxTypeInference {
     case DateType => s =>
       scala.util.Try(java.time.LocalDate.parse(s.trim).toEpochDay.toInt).getOrElse(null)
     case TimestampNTZType =>
-      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      // optional 1–6 fractional-second digits (the writer emits 6)
+      val fmt = new java.time.format.DateTimeFormatterBuilder()
+        .appendPattern("yyyy-MM-dd HH:mm:ss")
+        .optionalStart()
+        .appendFraction(java.time.temporal.ChronoField.MICRO_OF_SECOND, 1, 6, true)
+        .optionalEnd()
+        .toFormatter()
       s => scala.util.Try {
         val t = s.trim
         val ldt =
@@ -263,11 +278,16 @@ class XlsxDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: 
           java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
         case TimestampNTZType =>
           val micros = row.getLong(i)
-          java.time.LocalDateTime.ofEpochSecond(
-              Math.floorDiv(micros, 1000000L),
-              (Math.floorMod(micros, 1000000L) * 1000L).toInt,
-              java.time.ZoneOffset.UTC)
-            .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+          // sub-second precision must survive the round-trip — whole
+          // seconds render without the fraction (the reader's
+          // inference shape), others carry exactly 6 fractional digits
+          val base = "yyyy-MM-dd HH:mm:ss"
+          ldt.format(java.time.format.DateTimeFormatter.ofPattern(
+            if (Math.floorMod(micros, 1000000L) == 0L) base else s"$base.SSSSSS"))
         case other => throw new UnsupportedOperationException(
           s"xlsx write: unsupported type $other — cast the column to string first")
       }
@@ -409,6 +429,51 @@ object XlsxParser {
         .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
   }
 
+  /** XXE/entity-bomb-hardened DOM builder for every workbook part:
+    * no DOCTYPEs, no external entities. */
+  private def newDocBuilder(): javax.xml.parsers.DocumentBuilder = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
+    dbf.newDocumentBuilder()
+  }
+
+  /** Sheet inventory over an ALREADY-OPEN zip (so [[parse]] resolves
+    * sheets without a second open/parse of the workbook parts). */
+  private def sheetInventory(zip: java.util.zip.ZipFile,
+                             db: javax.xml.parsers.DocumentBuilder,
+                             path: String): Seq[(String, String)] = {
+    val rels: Map[String, String] = Option(zip.getEntry("xl/_rels/workbook.xml.rels")).map { e =>
+      val doc = db.parse(zip.getInputStream(e))
+      val ns = doc.getElementsByTagName("Relationship")
+      (0 until ns.getLength).map { i =>
+        val r = ns.item(i).asInstanceOf[org.w3c.dom.Element]
+        r.getAttribute("Id") -> ("xl/" + r.getAttribute("Target").stripPrefix("/xl/").stripPrefix("xl/"))
+      }.toMap
+    }.getOrElse(Map.empty)
+    val sheets = Option(zip.getEntry("xl/workbook.xml")).map { e =>
+      val doc = db.parse(zip.getInputStream(e))
+      val ns = doc.getElementsByTagName("sheet")
+      (0 until ns.getLength).map { i =>
+        val s = ns.item(i).asInstanceOf[org.w3c.dom.Element]
+        val rid = s.getAttribute("r:id")
+        val target =
+          if (rels.isEmpty) s"xl/worksheets/sheet${i + 1}.xml" // rels-less minimal writer
+          else rels.getOrElse(rid,
+            // rels EXIST but this sheet's rid is missing: falling
+            // back positionally could silently return ANOTHER
+            // sheet's part — fail instead
+            throw new IllegalArgumentException(
+              s"$path: sheet '${s.getAttribute("name")}' has no relationship for r:id '$rid'"))
+        s.getAttribute("name") -> target
+      }
+    }.getOrElse(Seq.empty)
+    if (sheets.nonEmpty) sheets else Seq("Sheet1" -> "xl/worksheets/sheet1.xml")
+  }
+
   /** Sheet inventory of a workbook, in workbook order: (name, zip
     * entry path), resolved through workbook.xml's r:id →
     * workbook.xml.rels Target indirection (the OPC way — sheet N is
@@ -417,38 +482,13 @@ object XlsxParser {
     * bare sheet1.xml. */
   def sheetEntries(path: String): Seq[(String, String)] = {
     val zip = new java.util.zip.ZipFile(path)
-    try {
-      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      val db = dbf.newDocumentBuilder()
-      val rels: Map[String, String] = Option(zip.getEntry("xl/_rels/workbook.xml.rels")).map { e =>
-        val doc = db.parse(zip.getInputStream(e))
-        val ns = doc.getElementsByTagName("Relationship")
-        (0 until ns.getLength).map { i =>
-          val r = ns.item(i).asInstanceOf[org.w3c.dom.Element]
-          r.getAttribute("Id") -> ("xl/" + r.getAttribute("Target").stripPrefix("/xl/").stripPrefix("xl/"))
-        }.toMap
-      }.getOrElse(Map.empty)
-      val sheets = Option(zip.getEntry("xl/workbook.xml")).map { e =>
-        val doc = db.parse(zip.getInputStream(e))
-        val ns = doc.getElementsByTagName("sheet")
-        (0 until ns.getLength).flatMap { i =>
-          val s = ns.item(i).asInstanceOf[org.w3c.dom.Element]
-          val rid = s.getAttribute("r:id")
-          rels.get(rid).orElse(
-            // no rels part: assume the conventional location by order
-            Some(s"xl/worksheets/sheet${i + 1}.xml"))
-            .map(target => s.getAttribute("name") -> target)
-        }
-      }.getOrElse(Seq.empty)
-      if (sheets.nonEmpty) sheets else Seq("Sheet1" -> "xl/worksheets/sheet1.xml")
-    } finally zip.close()
+    try sheetInventory(zip, newDocBuilder(), path) finally zip.close()
   }
 
   /** Resolve a user's `sheet` option — a sheet NAME (exact) or a
-    * 1-based positional index — to the zip entry to read. */
-  private[graft] def resolveSheet(path: String, sheet: Option[String]): String = {
-    val entries = sheetEntries(path)
+    * 1-based positional index — against an inventory. */
+  private def resolveFrom(entries: Seq[(String, String)], path: String,
+                          sheet: Option[String]): String =
     sheet match {
       case None => entries.head._2
       case Some(s) =>
@@ -458,23 +498,17 @@ object XlsxParser {
           .getOrElse(throw new IllegalArgumentException(
             s"$path: no sheet '$s' (sheets: ${entries.map(_._1).mkString(", ")})"))
     }
-  }
+
+  private[graft] def resolveSheet(path: String, sheet: Option[String]): String =
+    resolveFrom(sheetEntries(path), path, sheet)
 
   def parse(path: String): Seq[Seq[String]] = parse(path, None)
 
   def parse(path: String, sheet: Option[String]): Seq[Seq[String]] = {
-    val sheetEntry = resolveSheet(path, sheet)
     val zip = new java.util.zip.ZipFile(path)
     try {
-      // harden against XXE/entity bombs from untrusted workbooks:
-      // no DOCTYPEs, no external entities
-      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
-      dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-      dbf.setXIncludeAware(false)
-      dbf.setExpandEntityReferences(false)
-      val db = dbf.newDocumentBuilder()
+      val db = newDocBuilder()
+      val sheetEntry = resolveFrom(sheetInventory(zip, db, path), path, sheet)
 
       val shared: IndexedSeq[String] = Option(zip.getEntry("xl/sharedStrings.xml")).map { e =>
         val doc = db.parse(zip.getInputStream(e))

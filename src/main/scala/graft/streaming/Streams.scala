@@ -78,13 +78,28 @@ object Streams {
     accepted.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val names = batch.select("name").distinct().collect().map(_.getString(0)).sorted
-        names.foreach { n =>
+        // a notification name is UNTRUSTED input joined onto a local
+        // path: reject anything that could escape landingRoot (an
+        // object store's flat namespace has no "..", so a traversal
+        // segment is malformed by definition, not a valid object)
+        val (bad, ok) = names.partition(n =>
+          n.startsWith("/") || n.split('/').contains("..") || n.split('/').contains(""))
+        if (bad.nonEmpty)
+          org.slf4j.LoggerFactory.getLogger("graft.streaming.Streams")
+            .warn(s"xlsxEtl: skipping ${bad.length} malformed object name(s): ${bad.mkString(", ")}")
+        ok.foreach { n =>
           val workbook = spark.read.format("xlsx")
             .option("inferSchema", true).load(s"$landingRoot/$n")
+          // dir name = readable sanitized prefix + md5 of the RAW name:
+          // sanitization alone can collide ("a/b" vs "a__b"), and a
+          // collision would let one object's overwrite destroy another's
+          // rows under the exactly-once contract
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(n.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
           graft.api.Graft.writeWarehouse(
             transform(workbook).withColumn("_source_object", lit(n)),
             "parquet",
-            s"$warehouseDir/object=${n.replaceAll("[^A-Za-z0-9._-]", "__")}")
+            s"$warehouseDir/object=${n.replaceAll("[^A-Za-z0-9._-]", "__")}-$digest")
         }
         ()
       }

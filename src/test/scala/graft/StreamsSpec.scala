@@ -152,15 +152,21 @@ class StreamsSpec extends SparkSpec {
       Seq(Seq("1", "10"), Seq("2", "20")))
     XlsxParser.write(s"$landing/outra-pasta/c.xlsx", Seq("id", "qty"),
       Seq(Seq("99", "999"))) // wrong prefix: must never be loaded
+    // a real workbook OUTSIDE the landing root: a traversal-shaped
+    // notification name must not be able to reach it
+    XlsxParser.write(s"$landing/../evil.xlsx", Seq("id", "qty"),
+      Seq(Seq("666", "666")))
 
     def warehouseRows(): Map[(Long, Long), String] =
       spark.read.parquet(wh).collect()
         .map(r => (r.getAs[Long]("id"), r.getAs[Long]("qty")) -> r.getAs[String]("_source_object"))
         .toMap
 
-    // drop 1: one accepted object + two rejects (suffix, prefix)
+    // drop 1: one accepted object + two rejects (suffix, prefix) + a
+    // traversal-shaped name that passes the accept predicate but must
+    // be refused by the path guard
     Seq(("tma-0", "minha-pasta/a.xlsx", 1L), ("tma-0", "minha-pasta/notes.csv", 2L),
-      ("tma-1", "outra-pasta/c.xlsx", 3L))
+      ("tma-1", "outra-pasta/c.xlsx", 3L), ("tma-2", "minha-pasta/../../evil.xlsx", 4L))
       .toDF("bucket", "name", "size_bytes").write.parquet(s"$notif/drop1")
     Streams.xlsxEtl(spark, s"$notif/*", landing, wh, ckpt).awaitTermination(120000)
     assert(warehouseRows() === Map((1L, 10L) -> "minha-pasta/a.xlsx",

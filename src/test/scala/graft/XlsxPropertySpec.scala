@@ -168,16 +168,21 @@ class XlsxPropertySpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_twr").toString
     val df = Seq(
       (1L, java.sql.Date.valueOf("2023-03-15"), java.time.LocalDateTime.of(2023, 3, 15, 23, 59, 58)),
-      (2L, java.sql.Date.valueOf("1999-12-31"), java.time.LocalDateTime.of(2000, 1, 1, 0, 0, 1)))
+      (2L, java.sql.Date.valueOf("1999-12-31"), java.time.LocalDateTime.of(2000, 1, 1, 0, 0, 1)),
+      // sub-second precision must NOT silently truncate
+      (3L, java.sql.Date.valueOf("2024-02-29"),
+        java.time.LocalDateTime.of(2024, 2, 29, 12, 0, 0, 500000000)))
       .toDF("id", "d", "t")
     df.write.format("xlsx").mode("overwrite").save(dir)
     val back = spark.read.format("xlsx").option("inferSchema", true).load(dir)
       .orderBy("id").collect()
     assert(back.map(_.getAs[java.sql.Date]("d")).toSeq ===
-      Seq(java.sql.Date.valueOf("2023-03-15"), java.sql.Date.valueOf("1999-12-31")))
+      Seq(java.sql.Date.valueOf("2023-03-15"), java.sql.Date.valueOf("1999-12-31"),
+        java.sql.Date.valueOf("2024-02-29")))
     assert(back.map(_.getAs[java.time.LocalDateTime]("t")).toSeq ===
       Seq(java.time.LocalDateTime.of(2023, 3, 15, 23, 59, 58),
-        java.time.LocalDateTime.of(2000, 1, 1, 0, 0, 1)))
+        java.time.LocalDateTime.of(2000, 1, 1, 0, 0, 1),
+        java.time.LocalDateTime.of(2024, 2, 29, 12, 0, 0, 500000000)))
   }
 
   test("multi-sheet workbooks: select by name, by 1-based index, default first; OPC rels honored") {
