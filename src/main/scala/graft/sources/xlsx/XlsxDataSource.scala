@@ -83,7 +83,11 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new XlsxTable(schema, paths(opts), Option(opts.get("sheet")))
+    val mode = Option(opts.get("mode")).getOrElse("PERMISSIVE").toUpperCase
+    require(mode == "PERMISSIVE" || mode == "FAILFAST",
+      s"xlsx mode must be PERMISSIVE|FAILFAST, got $mode")
+    new XlsxTable(schema, paths(opts), Option(opts.get("sheet")),
+      failFast = mode == "FAILFAST")
   }
 }
 
@@ -178,7 +182,8 @@ object XlsxTypeInference {
 }
 
 class XlsxTable(tableSchema: StructType, paths: Seq[String],
-                sheet: Option[String] = None)
+                sheet: Option[String] = None,
+                failFast: Boolean = false)
   extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"xlsx(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
@@ -191,7 +196,7 @@ class XlsxTable(tableSchema: StructType, paths: Seq[String],
     // expansion is legitimate ONLY as a write target, and writes
     // never build a scan
     require(files.nonEmpty, s"no .xlsx files found under: ${paths.mkString(",")}")
-    new XlsxScanBuilder(tableSchema, files, sheet)
+    new XlsxScanBuilder(tableSchema, files, sheet, failFast)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1, s"xlsx write requires exactly one target path, got: $paths")
@@ -305,7 +310,8 @@ class XlsxDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: 
   * (SupportsPushDownRequiredColumns), and the reader materializes only
   * those cells — a projection of 2 of 40 spreadsheet columns reads 2. */
 class XlsxScanBuilder(fullSchema: StructType, paths: Seq[String],
-                      sheet: Option[String] = None)
+                      sheet: Option[String] = None,
+                      failFast: Boolean = false)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -318,22 +324,24 @@ class XlsxScanBuilder(fullSchema: StructType, paths: Seq[String],
 
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = required
-    override def toBatch: Batch = new XlsxBatch(fullSchema, required, paths, sheet)
+    override def toBatch: Batch = new XlsxBatch(fullSchema, required, paths, sheet, failFast)
   }
 }
 
 case class XlsxInputPartition(path: String) extends InputPartition
 
 class XlsxBatch(fullSchema: StructType, required: StructType, paths: Seq[String],
-                sheet: Option[String] = None) extends Batch {
+                sheet: Option[String] = None,
+                failFast: Boolean = false) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(XlsxInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(fullSchema, required, sheet)
+    new XlsxReaderFactory(fullSchema, required, sheet, failFast)
 }
 
 class XlsxReaderFactory(fullSchema: StructType, required: StructType,
-                        sheet: Option[String] = None)
+                        sheet: Option[String] = None,
+                        failFast: Boolean = false)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsxInputPartition].path
@@ -350,8 +358,18 @@ class XlsxReaderFactory(fullSchema: StructType, required: StructType,
       }
       override def get(): InternalRow = {
         val vals = ordinals.toSeq.zipWithIndex.map { case (i, o) =>
-          if (i < current.length && current(i) != null) convert(o)(current(i))
-          else null
+          if (i < current.length && current(i) != null) {
+            val v = convert(o)(current(i))
+            // FAILFAST: a non-empty cell that converts to null is a
+            // malformed value, not a missing one — surface it with
+            // file/column context instead of silently nulling
+            if (v == null && failFast && current(i).nonEmpty)
+              throw new IllegalArgumentException(
+                s"xlsx FAILFAST: cannot cast '${current(i)}' to " +
+                  s"${required.fields(o).dataType.simpleString} " +
+                  s"(column ${required.fields(o).name}, file $path)")
+            v
+          } else null
         }
         InternalRow.fromSeq(vals)
       }

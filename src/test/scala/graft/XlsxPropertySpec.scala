@@ -185,6 +185,25 @@ class XlsxPropertySpec extends SparkSpec {
         java.time.LocalDateTime.of(2024, 2, 29, 12, 0, 0, 500000000)))
   }
 
+  test("mode=FAILFAST surfaces malformed typed cells; PERMISSIVE nulls them") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_mode").toString
+    val path = s"$dir/m.xlsx"
+    XlsxParser.write(path, Seq("id", "n"), Seq(Seq("1", "10"), Seq("2", "oops")))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("n", LongType)))
+    // PERMISSIVE (default): malformed cell reads as null
+    val perm = spark.read.format("xlsx").schema(schema).load(path)
+      .orderBy("id").collect()
+    assert(perm(1).isNullAt(1))
+    // FAILFAST: scan aborts with file/column context
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("xlsx").schema(schema).option("mode", "FAILFAST")
+        .load(path).collect()
+    }
+    assert(e.getMessage.contains("FAILFAST") ||
+      Option(e.getCause).exists(_.getMessage.contains("FAILFAST")))
+  }
+
   test("multi-sheet workbooks: select by name, by 1-based index, default first; OPC rels honored") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_sheets").toString
     val path = s"$dir/multi.xlsx"
