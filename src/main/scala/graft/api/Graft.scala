@@ -207,17 +207,21 @@ object Graft {
   def bandCandidates(df: DataFrame, textCol: String, idCol: String,
                      k: Int = 3, bands: Int = 4,
                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val bandRows = bandRowsSized(df, textCol, idCol, k, bands)
-      // candidate-pair CAP: a band bucket of n docs contributes
-      // n(n-1)/2 pairs, so one replica-heavy bucket can turn the
-      // linear plan superlinear. Buckets over `maxBucketSize` are
-      // EXCLUDED from pair generation (their docs still pair through
-      // any other, smaller band). Never silent: callers surface the
-      // dropped buckets via [[oversizedBandBuckets]] — same census,
-      // same threshold. The size count is a window over the exact
-      // (band_idx, band_min) key the self-join shuffles on, so the
-      // cap adds no extra exchange.
-      .filter(col("__bn") <= maxBucketSize)
+    // candidate-pair CAP: a band bucket of n docs contributes
+    // n(n-1)/2 pairs, so one replica-heavy bucket can turn the
+    // linear plan superlinear. Buckets over `maxBucketSize` are
+    // EXCLUDED from pair generation (their docs still pair through
+    // any other, smaller band). Never silent: callers surface the
+    // dropped buckets via [[oversizedBandBuckets]] — same census,
+    // same threshold. The size count is a window over the exact
+    // (band_idx, band_min) key the self-join shuffles on (no extra
+    // exchange), and it is attached ONLY when the cap can bind —
+    // uncapped callers keep the plain explode → self-join plan with
+    // no window sort at all.
+    val bandRows =
+      if (maxBucketSize == Int.MaxValue) bandRows0(df, textCol, idCol, k, bands)
+      else bandRowsSized(df, textCol, idCol, k, bands)
+        .filter(col("__bn") <= maxBucketSize).drop("__bn")
     bandRows.alias("x")
       .join(bandRows.alias("y"),
         col("x.__band_idx") === col("y.__band_idx") &&
@@ -227,16 +231,20 @@ object Graft {
       .distinct()
   }
 
-  /** Band rows with their bucket size attached (shared by
-    * [[bandCandidates]] and [[oversizedBandBuckets]] so the cap and
-    * the census can never disagree). */
+  private def bandRows0(df: DataFrame, textCol: String, idCol: String,
+                        k: Int, bands: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        posexplode(split(minhashSignature(col(textCol), k, bands), ":")))
+      .toDF("__id", "__band_idx", "__band_min")
+
+  /** Band rows with their bucket size attached (shared by the capped
+    * [[bandCandidates]] path and [[oversizedBandBuckets]] so the cap
+    * and the census can never disagree). */
   private def bandRowsSized(df: DataFrame, textCol: String, idCol: String,
                             k: Int, bands: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__band_idx"), col("__band_min"))
-    df.select(col(idCol).as("__id"),
-        posexplode(split(minhashSignature(col(textCol), k, bands), ":")))
-      .toDF("__id", "__band_idx", "__band_min")
+    bandRows0(df, textCol, idCol, k, bands)
       .withColumn("__bn", count(lit(1)).over(w))
   }
 

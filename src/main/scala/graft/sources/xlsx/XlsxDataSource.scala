@@ -66,12 +66,16 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
     // silently nulling under the permissive converter.
     if (options.getBoolean("inferSchema", false)) {
       val sampleCap = options.getInt("inferSampleRows", 1000)
+      // per-file quota, not a global first-come cap: EVERY part file
+      // contributes rows, so a wider type that only appears in a
+      // later part (a decimal among integers) still widens the column
+      // even when the first part alone would exhaust a global cap
+      val perFile = math.max(16, sampleCap / ps.size)
       val sample = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
-      sample ++= parsed.drop(1).take(sampleCap)
-      val rest = ps.iterator.drop(1)
-      while (sample.size < sampleCap && rest.hasNext)
-        sample ++= XlsxParser.parse(rest.next(), sheetOpt).drop(1)
-          .take(sampleCap - sample.size)
+      sample ++= parsed.drop(1).take(perFile)
+      ps.iterator.drop(1).foreach { p =>
+        sample ++= XlsxParser.parse(p, sheetOpt).drop(1).take(perFile)
+      }
       StructType(names.zipWithIndex.map { case (name, i) =>
         val cells = sample.toSeq.map(r => if (i < r.length) r(i) else null)
         StructField(name, XlsxTypeInference.unify(cells))
@@ -83,7 +87,8 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val mode = Option(opts.get("mode")).getOrElse("PERMISSIVE").toUpperCase
+    val mode = Option(opts.get("mode")).getOrElse("PERMISSIVE")
+      .toUpperCase(java.util.Locale.ROOT) // locale-safe: tr_TR dotted-I
     require(mode == "PERMISSIVE" || mode == "FAILFAST",
       s"xlsx mode must be PERMISSIVE|FAILFAST, got $mode")
     new XlsxTable(schema, paths(opts), Option(opts.get("sheet")),
@@ -128,7 +133,22 @@ object XlsxTypeInference {
     s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false")
   private def isDate(s: String) =
     dateRe.matches(s) && scala.util.Try(java.time.LocalDate.parse(s)).isSuccess
-  private def isTimestamp(s: String) = tsRe.matches(s)
+
+  /** Shared by inference AND the converter — inference must never
+    * accept a value its own converter can't parse (a shape-only check
+    * would infer TimestampNTZ for "2023-03-15 25:61:61" and then null
+    * every cell at scan time). */
+  private[xlsx] val tsFormatter: java.time.format.DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd HH:mm:ss")
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.MICRO_OF_SECOND, 1, 6, true)
+      .optionalEnd()
+      .toFormatter()
+
+  private def isTimestamp(s: String) =
+    tsRe.matches(s) &&
+      scala.util.Try(java.time.LocalDateTime.parse(s, tsFormatter)).isSuccess
 
   def unify(cells: Seq[String]): DataType = {
     val vs = cells.filter(c => c != null && c.nonEmpty)
@@ -163,12 +183,7 @@ object XlsxTypeInference {
       scala.util.Try(java.time.LocalDate.parse(s.trim).toEpochDay.toInt).getOrElse(null)
     case TimestampNTZType =>
       // optional 1–6 fractional-second digits (the writer emits 6)
-      val fmt = new java.time.format.DateTimeFormatterBuilder()
-        .appendPattern("yyyy-MM-dd HH:mm:ss")
-        .optionalStart()
-        .appendFraction(java.time.temporal.ChronoField.MICRO_OF_SECOND, 1, 6, true)
-        .optionalEnd()
-        .toFormatter()
+      val fmt = tsFormatter
       s => scala.util.Try {
         val t = s.trim
         val ldt =
@@ -260,6 +275,15 @@ case class XlsxWriterFactory(dir: String, schema: StructType) extends DataWriter
     new XlsxDataWriter(dir, schema, partitionId, taskId)
 }
 
+object XlsxDataWriter {
+  // hoisted off the per-cell hot path — ofPattern is an expensive
+  // parse + build, not something to run once per timestamp cell
+  val tsWholeFmt: java.time.format.DateTimeFormatter =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  val tsMicroFmt: java.time.format.DateTimeFormatter =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+}
+
 class XlsxDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: Long)
   extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
@@ -290,9 +314,9 @@ class XlsxDataWriter(dir: String, schema: StructType, partitionId: Int, taskId: 
           // sub-second precision must survive the round-trip — whole
           // seconds render without the fraction (the reader's
           // inference shape), others carry exactly 6 fractional digits
-          val base = "yyyy-MM-dd HH:mm:ss"
-          ldt.format(java.time.format.DateTimeFormatter.ofPattern(
-            if (Math.floorMod(micros, 1000000L) == 0L) base else s"$base.SSSSSS"))
+          ldt.format(
+            if (Math.floorMod(micros, 1000000L) == 0L) XlsxDataWriter.tsWholeFmt
+            else XlsxDataWriter.tsMicroFmt)
         case other => throw new UnsupportedOperationException(
           s"xlsx write: unsupported type $other — cast the column to string first")
       }
@@ -363,7 +387,9 @@ class XlsxReaderFactory(fullSchema: StructType, required: StructType,
             // FAILFAST: a non-empty cell that converts to null is a
             // malformed value, not a missing one — surface it with
             // file/column context instead of silently nulling
-            if (v == null && failFast && current(i).nonEmpty)
+            // trim before the emptiness test — the converters trim, so
+            // a whitespace-only cell is semantically empty, not malformed
+            if (v == null && failFast && current(i).trim.nonEmpty)
               throw new IllegalArgumentException(
                 s"xlsx FAILFAST: cannot cast '${current(i)}' to " +
                   s"${required.fields(o).dataType.simpleString} " +
