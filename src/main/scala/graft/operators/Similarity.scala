@@ -227,9 +227,34 @@ object Similarity {
        |WHERE cos_raw >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** Fixed centroid count — independent of corpus size, so the
-    * assignment stage is O(N·k), never O(N²). */
-  private[graft] val ivfK = 16
+  /** IVF sizing (round-4 verdict #1): k tracks CORPUS SIZE at a fixed
+    * target cell population — the SemDeDup invariant. A fixed k makes
+    * cells hold ~N/k vectors, so the in-cell pairwise stage grows
+    * ~N²/k (the r4 probe measured 165× pairs for 10× rows at k=16);
+    * k = ⌈N/m⌉ holds cells at ~m and makes pair mass ~N·m/2 — LINEAR
+    * in the corpus. k is floored (tiny corpora still get a real
+    * quantizer) and capped: beyond ivfMaxK the centroid literal/
+    * broadcast and the O(N·k) assignment fold stop being the right
+    * mechanism — a 100 TB deployment shards the quantizer
+    * hierarchically (coarse-of-coarse assignment), which changes the
+    * plan shape, not this sizing policy. Derived deterministically
+    * from count(embeddings), so the DuckDB oracle computes the SAME k
+    * from the same table via a scalar subquery (ivfParamsSqlCte). */
+  private[graft] val ivfCellTarget = 64
+  private[graft] val ivfMinK = 4
+  private[graft] val ivfMaxK = 4096
+
+  private[graft] def ivfKFor(n: Long): Int =
+    math.max(ivfMinK.toLong,
+      math.min(ivfMaxK.toLong, math.ceil(n / ivfCellTarget.toDouble).toLong)).toInt
+
+  /** nprobe as a FIXED FRACTION of k (half), floored at 1 — the knob
+    * generalizes across corpus sizes instead of being an sf0.1
+    * artifact (round-4 verdict #4). Half is deliberately high for the
+    * near-uniform synthetic corpus (the worst case for coarse
+    * quantization — little cluster structure); a real embedding
+    * corpus reaches the same recall probing a far smaller fraction. */
+  private[graft] def ivfNprobeFor(k: Int): Int = math.max(1, k / 2)
 
   /** Lloyd iterations for the IVF coarse quantizer. Fixed (not
     * convergence-driven) so the oracle can replay the exact same
@@ -268,29 +293,66 @@ object Similarity {
     * embeddings files' (name, length, mtime) signature so an
     * in-process regeneration of the corpus invalidates the entry
     * instead of silently serving stale centroids. */
-  private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Double])]]
+  /** Corpus-keyed memo with ONE LIVE ENTRY per (dir, variant): a
+    * regenerated corpus REPLACES the stale signature's value instead
+    * of accumulating beside it (ADVICE r4: the signature-keyed memo
+    * never evicted, leaking superseded centroid rows for the JVM
+    * lifetime). A concurrent first access can compute twice — benign:
+    * the value is a deterministic corpus artifact, and last-write-wins
+    * stores the identical result. */
+  private final class CorpusMemo[V] {
+    private val m = scala.collection.concurrent.TrieMap.empty[String, (String, V)]
+    def get(dir: String, variant: String, sig: String)(compute: => V): V =
+      m.get(s"$dir|$variant") match {
+        case Some((s, v)) if s == sig => v
+        case _ =>
+          val v = compute
+          m.put(s"$dir|$variant", (sig, v))
+          v
+      }
+  }
 
-  private def corpusKey(dir: String): String = {
+  private val centroidCache = new CorpusMemo[Seq[(Long, Seq[Double])]]
+  private val countCache = new CorpusMemo[Long]
+
+  private def corpusSig(dir: String): String = {
     def sig(f: java.io.File): String =
       if (f.isDirectory)
         f.listFiles().sortBy(_.getName).map(sig).mkString(",")
       else s"${f.getName}:${f.length}:${f.lastModified}"
     val f = new java.io.File(s"$dir/embeddings.parquet")
-    if (f.exists()) s"$dir|${sig(f)}" else dir
+    if (f.exists()) sig(f) else ""
   }
 
-  private[graft] def centroidRows(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
-    centroidCache.getOrElseUpdate(corpusKey(dir), computeCentroidRows(spark, dir))
+  /** count(embeddings), memoized per corpus — the single scalar the
+    * k-sizing policy needs (one count() job per corpus, not per
+    * query). */
+  private[graft] def corpusCount(spark: SparkSession, dir: String): Long =
+    countCache.get(dir, "count", corpusSig(dir)) {
+      Tables.embeddings(spark, dir).count()
+    }
 
-  private[graft] def computeCentroidRows(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
+  /** The corpus-derived (k, nprobe) the production queries run with. */
+  private[graft] def ivfParams(spark: SparkSession, dir: String): (Int, Int) = {
+    val k = ivfKFor(corpusCount(spark, dir))
+    (k, ivfNprobeFor(k))
+  }
+
+  private[graft] def centroidRows(spark: SparkSession, dir: String,
+                                  k: Int): Seq[(Long, Seq[Double])] =
+    centroidCache.get(dir, s"k=$k", corpusSig(dir)) {
+      computeCentroidRows(spark, dir, k)
+    }
+
+  private[graft] def computeCentroidRows(spark: SparkSession, dir: String,
+                                         k: Int): Seq[(Long, Seq[Double])] = {
     val emb = embWithNorm(spark, dir)
     // init: distributed top-k by hash order (TakeOrderedAndProject);
     // collect() of an ordered limit preserves the order, so the index
     // mints the stable cent_ids
     var cents: Seq[(Long, Seq[Double])] = emb
       .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
-      .orderBy(col("h"), col("vec_id")).limit(ivfK)
+      .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("v")).collect().toSeq.zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
     for (_ <- 1 to ivfIters) {
@@ -314,11 +376,25 @@ object Similarity {
     * view and the determinism-spec surface. */
   private[graft] def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    centroidRows(spark, dir).toDF("cent_id", "cv")
+    centroidRows(spark, dir, ivfParams(spark, dir)._1).toDF("cent_id", "cv")
   }
 
+  /** The k-sizing policy in DuckDB SQL — a `params(k, np)` relation
+    * computed from count(embeddings) with EXACTLY the formula
+    * [[ivfKFor]]/[[ivfNprobeFor]] apply Spark-side (ceil over a
+    * double division of a count ≪ 2⁵³ is exact in both engines), so
+    * the oracle derives the same quantizer size from the same corpus
+    * instead of inlining a constant the Scala side might drift from. */
+  private def ivfParamsSqlCte: String =
+    s"""params AS (
+       |  SELECT k, greatest(1, k // 2) AS np FROM (
+       |    SELECT greatest($ivfMinK, least($ivfMaxK,
+       |             CAST(ceil(count(*) / $ivfCellTarget.0) AS BIGINT))) AS k
+       |    FROM embeddings))""".stripMargin
+
   /** The k-means CTE chain of [[ivfCentroids]] in DuckDB SQL —
-    * produces a `cents(cent_id, cv, cn)` relation for the main query. */
+    * produces a `cents(cent_id, cv, cn)` relation for the main query
+    * (plus the `params` sizing relation its seed reads). */
   private def ivfCentroidsSqlCtes: String = {
     def assign(from: String): String =
       s"""SELECT vec_id, v, cent_id FROM (
@@ -335,24 +411,17 @@ object Similarity {
     val rounds = (1 to ivfIters).map { i =>
       s"a$i AS (${assign(s"c${i - 1}")}),\nc$i AS (${means(s"a$i")})"
     }.mkString(",\n")
-    s"""seed AS (
-       |  SELECT v, row_number() OVER (ORDER BY h, vec_id) - 1 AS cent_id
-       |  FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
-       |        FROM emb ORDER BY h, vec_id LIMIT $ivfK)),
+    s"""$ivfParamsSqlCte,
+       |seed AS (
+       |  SELECT v, rn - 1 AS cent_id
+       |  FROM (SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rn
+       |        FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM emb))
+       |  WHERE rn <= (SELECT k FROM params)),
        |c0 AS (SELECT cent_id, v AS cv FROM seed),
        |$rounds,
        |cents AS (
        |  SELECT cent_id, cv, ${normSql("cv")} AS cn FROM c$ivfIters)""".stripMargin
   }
-
-  /** Queries probe their `ivfNprobe` nearest cells (standard IVF
-    * recall knob): candidates still live in exactly one cell, so the
-    * probe join stays an equi join with no duplicate candidates.
-    * 8 of 16 cells hits recall@5 ≥ 0.8 on the synthetic corpus —
-    * near-uniform random vectors are the WORST case for coarse
-    * quantization (little cluster structure to exploit), so a real
-    * embedding corpus needs a smaller fraction for the same recall. */
-  private val ivfNprobe = 8
 
   /** IVF (inverted-file) ANN — the coarse-quantization scale path
     * alongside LSH: k REAL k-means centroids from [[ivfCentroids]]
@@ -374,7 +443,7 @@ object Similarity {
     * cent_id so a strict-greater fold reproduces the SQL tie-break
     * (cos DESC, cent_id ASC). The norm is computed driver-side with
     * the same left-to-right fold as graft_l2norm/the oracle. */
-  private def centsLiteral(cents: Seq[(Long, Seq[Double])]): Column =
+  private[graft] def centsLiteral(cents: Seq[(Long, Seq[Double])]): Column =
     array(cents.sortBy(_._1).map { case (id, cv) =>
       var s = 0.0
       cv.foreach(x => s += x * x)
@@ -382,8 +451,8 @@ object Similarity {
         lit(math.sqrt(s)).as("cn"))
     }: _*)
 
-  private def centroidLiteral(spark: SparkSession, dir: String): Column =
-    centsLiteral(centroidRows(spark, dir))
+  private def centroidLiteral(spark: SparkSession, dir: String, k: Int): Column =
+    centsLiteral(centroidRows(spark, dir, k))
 
   private def embWithNorm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
@@ -392,22 +461,39 @@ object Similarity {
       .withColumn("vn", call_function("graft_l2norm", col("v")))
   }
 
-  private def cosTo(c: Column): Column =
-    call_function("graft_dot", col("v"), c.getField("cv")) /
-      (col("vn") * c.getField("cn"))
+  /** Cosine to a centroid, TOTALIZED over degenerate inputs (ADVICE
+    * r4). Division by zero (a zero-norm vector, or a zero centroid
+    * from an emptied cell) is NULL in DuckDB, and the ranked CTE's
+    * `ORDER BY cos DESC, cent_id` puts NULLs LAST — a degenerate
+    * cosine ranks WORST. -Inf reproduces exactly that rank here
+    * (Spark's ANSI mode would otherwise throw DIVIDE_BY_ZERO,
+    * measured in LlmOpsSpec). Genuine NaN (NaN vector data) needs no
+    * guard: Spark's NaN-is-largest ordering already matches DuckDB's
+    * NaN-sorts-first-DESC. */
+  private def cosTo(c: Column): Column = {
+    val denom = col("vn") * c.getField("cn")
+    when(denom === 0.0, lit(Double.NegativeInfinity))
+      .otherwise(call_function("graft_dot", col("v"), c.getField("cv")) / denom)
+  }
 
   /** Map-only argmax assignment: (vec_id, v, vn, cell). The cosine
     * is computed ONCE per centroid (transform), then the fold argmaxes
     * over the precomputed (cos, cent_id) structs — HOF lambdas get no
     * common-subexpression elimination, so folding over cosTo directly
     * would run every dot product twice. */
-  private def assignCells(emb: DataFrame, cents: Column): DataFrame =
+  private[graft] def assignCells(emb: DataFrame, cents: Column): DataFrame =
     emb.withColumn("best",
         aggregate(
           transform(cents, c => struct(cosTo(c).as("bc"),
             c.getField("cent_id").as("cell"))),
           struct(lit(Double.NegativeInfinity).as("bc"), lit(-1L).as("cell")),
-          (acc, s) => when(s.getField("bc") > acc.getField("bc"), s).otherwise(acc)))
+          // the sentinel NEVER survives: the first centroid (smallest
+          // cent_id — cents is sorted) replaces it unconditionally,
+          // so a fully-degenerate vector (every cosine -Inf, which
+          // strict '>' could not adopt over the -Inf sentinel) still
+          // lands in cell 0 — DuckDB's all-NULL tie-break by cent_id
+          (acc, s) => when(acc.getField("cell") === -1L ||
+            s.getField("bc") > acc.getField("bc"), s).otherwise(acc)))
       .select(col("vec_id"), col("v"), col("vn"),
         col("best").getField("cell").as("cell"))
 
@@ -429,15 +515,29 @@ object Similarity {
         explode(col("probes").getField("cell")).as("cell"))
 
   /** The production assignment stage (used by [[ivfTopK]],
-    * [[semanticPairs]], and the scale probe — one definition). */
-  private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
-    assignCells(embWithNorm(spark, dir), centroidLiteral(spark, dir))
+    * [[semanticPairs]], and the scale probe — one definition).
+    * k defaults to the corpus-derived sizing ([[ivfParams]]). */
+  private[graft] def ivfAssigned(spark: SparkSession, dir: String,
+                                 kOverride: Option[Int] = None): DataFrame = {
+    val k = kOverride.getOrElse(ivfParams(spark, dir)._1)
+    assignCells(embWithNorm(spark, dir), centroidLiteral(spark, dir, k))
+  }
 
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(spark, dir, None, None)
+
+  /** [[ivfTopK]] with explicit (k, nprobe) — the recall-spec surface
+    * proving the constants generalize; production callers take the
+    * corpus-derived defaults. */
+  private[graft] def ivfTopK(spark: SparkSession, dir: String,
+                             kOverride: Option[Int],
+                             nprobeOverride: Option[Int]): DataFrame = {
+    val k = kOverride.getOrElse(ivfParams(spark, dir)._1)
+    val nprobe = nprobeOverride.getOrElse(ivfNprobeFor(k))
     val emb = embWithNorm(spark, dir)
-    val cents = centroidLiteral(spark, dir) // one Lloyd computation, shared
+    val cents = centroidLiteral(spark, dir, k) // one Lloyd computation, shared
     val assigned = assignCells(emb, cents)
-    val q = probeCells(emb.filter(col("vec_id") < nQueries), cents, ivfNprobe)
+    val q = probeCells(emb.filter(col("vec_id") < nQueries), cents, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"),
         col("cell"))
     val cand = assigned.select(col("vec_id"), col("v"), col("vn"), col("cell").as("ccell"))
@@ -469,7 +569,7 @@ object Similarity {
        |  SELECT vec_id, v, vn, cell FROM ranked WHERE arn = 1),
        |qprobes AS (
        |  SELECT vec_id AS query_id, v AS qv, vn AS qn, cell
-       |  FROM ranked WHERE vec_id < $nQueries AND arn <= $ivfNprobe)
+       |  FROM ranked WHERE vec_id < $nQueries AND arn <= (SELECT np FROM params))
        |SELECT query_id, rank, neighbor_id, cosine
        |FROM (
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -488,8 +588,12 @@ object Similarity {
 
   /** Within-cell candidate pairs for [[semanticDedup]] — the stage the
     * scale probe measures: pairwise work exists ONLY inside a k-means
-    * cell (the SemDeDup trick), so candidate mass is Σ|cell|², bounded
-    * by the coarse quantizer, never the corpus-wide N². */
+    * cell (the SemDeDup trick), and with the corpus-proportional k
+    * ([[ivfKFor]]: k = ⌈N/m⌉ at target cell size m) the candidate
+    * mass Σ|cell|² ≈ N·m stays LINEAR in the corpus — fixed k would
+    * let cells grow with N and the pair stage go ~N²/k (the round-4
+    * scale flaw; SCALE.md's semantic_cell_pairs row now shows ~rows
+    * growth at 10× rows). */
   private[graft] def semanticPairs(spark: SparkSession, dir: String): DataFrame = {
     val assigned = ivfAssigned(spark, dir)
     val a = assigned.select(col("vec_id").as("vec_a"), col("v").as("va"),
