@@ -173,6 +173,31 @@ object ScaleProbe {
         (label, s1, s2)
     }
 
+    // ---- hot-bucket skew probe (VERDICT r4 #5): real corpora carry
+    // replica clusters — ONE band bucket holding every copy, whose
+    // n(n-1)/2 pairs dominate the candidate join however well the
+    // average bucket behaves. Build it deliberately: sf0.1's docs
+    // plus 2000 ids sharing one text (identical text ⇒ identical
+    // minhash signature ⇒ one hot bucket per band). The cap is the
+    // damage bound — candidates return to the base corpus's mass —
+    // and the census counts what it cost, so the drop is audited,
+    // never silent.
+    val skewRows = {
+      val hot = spark.range(0, 2000)
+        .select((col("id") + 1000000000L).as("doc_id"),
+          lit("the quick brown fox jumps over the lazy dog").as("text"))
+      val docs = Tables.documents(spark, sf01).select(col("doc_id"), col("text"))
+        .unionByName(hot).localCheckpoint() // freeze: one corpus, three probes
+      Seq[(String, () => Long)](
+        ("skew_uncapped_candidates (hot bucket of 2000 ⇒ ~2M pairs from ONE text)", () =>
+          graft.api.Graft.bandCandidates(docs, "text", "doc_id", 3, 4, Int.MaxValue).count()),
+        ("skew_cap64_candidates (hot bucket excluded; base corpus mass remains)", () =>
+          graft.api.Graft.bandCandidates(docs, "text", "doc_id", 3, 4, 64).count()),
+        ("skew_cap64_dropped_buckets (the audited census of what the cap cost)", () =>
+          graft.api.Graft.oversizedBandBuckets(docs, "text", "doc_id", 3, 4, 64).count())
+      ).map { case (name, f) => val (s, n) = timeSecond(f); (name, s, n) }
+    }
+
     // ---- connected-components probe: the fixpoint's two cost axes,
     // measured separately. Under pointer jumping, rounds scale with
     // log(diameter): a 10x LONGER chain (pathological worst case)
@@ -245,6 +270,18 @@ object ScaleProbe {
     sb.append("| route | 10^3 s | 10^4 s | time ratio (10x rows) |\n|---|---|---|---|\n")
     asofRows.foreach { case (label, s1, s2) =>
       sb.append(f"| $label | $s1%.2f | $s2%.2f | ${s2 / s1}%.1fx |\n")
+    }
+    sb.append("\n## Hot-bucket skew probe (one replica cluster of 2000 docs, sf0.1 base)\n\n")
+    sb.append("Replica clusters put every copy in ONE band bucket; its n(n-1)/2\n")
+    sb.append("pairs dominate the join regardless of average bucket balance. The\n")
+    sb.append("default endpoint cap (64) excludes the hot bucket — candidate mass\n")
+    sb.append("returns to the base corpus's — and the census row audits exactly\n")
+    sb.append("which buckets were dropped and how big they were. (Exact dedup\n")
+    sb.append("upstream removes identical-text clusters; the cap covers the\n")
+    sb.append("near-identical ones that survive it.)\n\n")
+    sb.append("| probe | s | result rows |\n|---|---|---|\n")
+    skewRows.foreach { case (label, s, n) =>
+      sb.append(f"| $label | $s%.2f | $n |\n")
     }
     sb.append("\n## Connected-components probe (pointer-jumped min-label propagation)\n\n")
     sb.append("Two axes measured separately: a 10x LONGER chain is the diameter\n")

@@ -58,10 +58,18 @@ object Graft {
     * [[graft.functions.BpeVocab]]) — use where "tokens" must mean
     * model tokens rather than whitespace words (packing, chunking,
     * token budgets). One native single-pass expression per row;
-    * map-only at any scale. */
+    * map-only at any scale. The no-vocab overloads run the built-in
+    * demo vocabulary; pass a [[graft.functions.BpeVocab]] (e.g.
+    * `BpeVocab.fromFile(path)` — the model tokenizer's vocab, one
+    * piece per line) to count REAL model tokens. */
   def bpeTokenCount(text: Column): Column = {
     ensureRegistered()
     call_function("graft_bpe_count", text)
+  }
+
+  def bpeTokenCount(text: Column, vocab: graft.functions.BpeVocab): Column = {
+    ensureRegistered()
+    call_function("graft_bpe_count", text, lit(vocab.spec))
   }
 
   /** Full BPE segmentation as array<string> — for chunking/packing
@@ -69,6 +77,11 @@ object Graft {
   def bpeTokens(text: Column): Column = {
     ensureRegistered()
     call_function("graft_bpe_pieces", text)
+  }
+
+  def bpeTokens(text: Column, vocab: graft.functions.BpeVocab): Column = {
+    ensureRegistered()
+    call_function("graft_bpe_pieces", text, lit(vocab.spec))
   }
 
   /** Content digest for exact dedup (md5 — engine-portable). */
@@ -261,6 +274,20 @@ object Graft {
       .groupBy(col("__band_idx").as("band_idx"), col("__band_min").as("band_min"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Default band-bucket cap for the near-dup ENDPOINTS (round-4
+    * verdict #2: the cap existed but shipped unbuckled —
+    * `Int.MaxValue` — so a replica-heavy bucket could quietly turn
+    * the linear plan quadratic unless the caller knew to opt in).
+    * 64 is the probe-proven value: SCALE.md's cap64 row bounds the
+    * replica corpus's candidate blow-up while leaving every bucket of
+    * the real corpora untouched (max observed band bucket: 5 at
+    * sf0.01, 21 at sf0.1 — the cap binds only on pathological
+    * duplication, which [[dedupExact]] should have removed first).
+    * NEVER silent: run [[oversizedBandBuckets]] with the same
+    * threshold for the audited drop census (the `dedup_band_drops`
+    * query is that census as a first-class, oracle-checked output). */
+  val defaultBandBucketCap: Int = 64
+
   /** Verified near-duplicate pairs over an arbitrary DataFrame:
     * [[bandCandidates]] followed by exact token-set Jaccard scoring
     * of candidates only. Returns (id_a, id_b, jaccard) for pairs at
@@ -269,10 +296,13 @@ object Graft {
     * (1+t)·min(|A|,|B|) ≥ t·(|A|+|B|); an epsilon of slack keeps
     * exact-boundary pairs when t is not binary-representable — pure
     * optimization, same output). Run [[dedupExact]] first on corpora
-    * with heavy exact duplication (exact dups share every band). */
+    * with heavy exact duplication (exact dups share every band).
+    * Band buckets over `maxBucketSize` (default
+    * [[defaultBandBucketCap]]) are excluded from pair generation;
+    * audit the exclusions via [[oversizedBandBuckets]]. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5, k: Int = 3, bands: Int = 4,
-                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                   maxBucketSize: Int = defaultBandBucketCap): DataFrame = {
     val docs = df.select(col(idCol).as("__id"),
       array_distinct(tokens(col(textCol))).as("__toks"))
       .withColumn("__n", size(col("__toks")))
@@ -390,8 +420,9 @@ object Graft {
     * the only extra work is one anti-join on the id — the drop set is
     * cluster-members-only, far smaller than the corpus. */
   def dedupCorpus(df: DataFrame, textCol: String, idCol: String,
-                  threshold: Double = 0.5, k: Int = 3, bands: Int = 4): DataFrame = {
-    val pairs = nearDupPairs(df, textCol, idCol, threshold, k, bands)
+                  threshold: Double = 0.5, k: Int = 3, bands: Int = 4,
+                  maxBucketSize: Int = defaultBandBucketCap): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, threshold, k, bands, maxBucketSize)
     val drops = connectedComponents(pairs, "id_a", "id_b")
       .filter(col("id") =!= col("component"))
       .select(col("id").as("__drop_id"))
@@ -408,8 +439,9 @@ object Graft {
     * bounded by the largest duplicate cluster. */
   def dedupCorpusBy(df: DataFrame, textCol: String, idCol: String,
                     keepBy: Seq[Column], threshold: Double = 0.5,
-                    k: Int = 3, bands: Int = 4): DataFrame = {
-    val pairs = nearDupPairs(df, textCol, idCol, threshold, k, bands)
+                    k: Int = 3, bands: Int = 4,
+                    maxBucketSize: Int = defaultBandBucketCap): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, threshold, k, bands, maxBucketSize)
     // collision-proof internal names (__graft_ prefix, like
     // AsofJoin's shadows): a caller DataFrame legitimately owning a
     // column named "component" or "__cluster" must survive unchanged

@@ -3,60 +3,68 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** BPE-style subword tokenization (SURVEY.md §2.10 / round-3 verdict
-  * item #4): greedy longest-match against a fixed subword vocabulary,
-  * so "token counts" in the corpus operators can mean model tokens
+  * item #4): greedy longest-match against a subword vocabulary, so
+  * "token counts" in the corpus operators can mean model tokens
   * rather than whitespace words.
   *
   * This is the INFERENCE side of BPE (apply a trained vocabulary),
   * which is what a data pipeline runs at scale — merge-training
-  * happens once, offline. The vocabulary here is a deterministic
-  * built-in demo set (common English subwords, lengths 2–4, single
-  * characters as the implicit fallback); a production deployment
-  * swaps [[BpeVocab.pieces]] for the model tokenizer's vocab file.
-  * Matching is greedy longest-match-first (4 → 3 → 2 → one code
-  * point), the classic WordPiece-style linear-scan approximation of
-  * BPE merges — deterministic and, critically, expressible as a
-  * finite recursive CTE in the DuckDB oracle over the SAME inlined
-  * vocabulary, so the counts are differentially checkable.
+  * happens once, offline. The vocabulary is a first-class PARAMETER
+  * (round-4 verdict #3): construct a [[BpeVocab]] from a model
+  * tokenizer's vocab file ([[BpeVocab.fromFile]], one piece per
+  * line, any Hadoop-FS scheme) or a Seq, and pass it to the
+  * expressions/facade/corpus ops; the deterministic built-in demo
+  * set ([[BpeVocab.default]]) is only the default. Matching is
+  * greedy longest-match-first (maxLen → … → 2 → one code point), the
+  * classic WordPiece-style linear-scan approximation of BPE merges —
+  * deterministic and, critically, expressible as a finite recursive
+  * CTE in the DuckDB oracle over the SAME vocabulary (pieces are
+  * inlined as SQL literals with quote escaping), so the counts are
+  * differentially checkable.
   *
   * Unicode contract: the single-character fallback advances one CODE
   * POINT (not one UTF-16 unit), matching DuckDB's character
   * semantics for substr/len — a word of emoji yields one token per
   * emoji in both engines.
   */
-object BpeVocab {
+final class BpeVocab(val pieces: Seq[String]) extends Serializable {
 
-  /** Demo vocabulary: high-frequency English subwords, lengths 2–4.
-    * ASCII-only by construction (inlined into oracle SQL literals). */
-  val pieces: Seq[String] = Seq(
-    // length 4
-    "tion", "atio", "that", "ther", "with", "ment", "ions", "this",
-    "here", "from", "ould", "ting", "hich", "ence", "have", "ight",
-    // length 3
-    "the", "ing", "and", "ion", "ent", "for", "ati", "ter", "ate",
-    "con", "res", "ver", "all", "ons", "men", "ted", "ers", "pro",
-    "are", "ess", "not", "ive", "was", "ect", "com", "per", "int",
-    "est", "sta", "ist", "ear", "ain", "one", "our", "iti",
-    // length 2
-    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
-    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
-    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
-    "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
-    "ra", "ce", "li", "ch", "ll", "be", "ma", "si", "om", "ur")
-
+  require(pieces.nonEmpty, "empty vocab")
   require(pieces.distinct.size == pieces.size, "duplicate vocab piece")
-  require(pieces.forall(p => p.length >= 2 && p.length <= 4 && p.forall(c => c < 128)),
-    "pieces must be ASCII, lengths 2-4")
+  // printable ASCII keeps the oracle's substr/len semantics exact and
+  // the inlined SQL literals single-byte; SPACE is excluded (it is
+  // the word separator — an in-piece space could never match), but
+  // apostrophes — common in real BPE vocabularies — are fine:
+  // stepSql escapes them on the way into the SQL literal (ADVICE r4)
+  require(pieces.forall(p => p.length >= 2 && p.length <= BpeVocab.maxPieceLen &&
+    p.forall(c => c > ' ' && c < 127)),
+    s"pieces must be printable ASCII without spaces, lengths 2-${BpeVocab.maxPieceLen}")
+
+  private val maxLen: Int = pieces.map(_.length).max
 
   private val byLen: Array[Set[String]] = {
-    val a = Array.fill(5)(Set.empty[String])
+    val a = Array.fill(maxLen + 1)(Set.empty[String])
     pieces.groupBy(_.length).foreach { case (l, ps) => a(l) = ps.toSet }
     a
   }
+
+  /** Whitespace-encoded form for the foldable SQL function argument
+    * (`graft_bpe_count(text, 'piece piece …')`) — lossless because
+    * pieces cannot contain spaces. */
+  def spec: String = pieces.mkString(" ")
+
+  // value equality on the piece set: two expressions over equal
+  // vocabularies must compare equal (Catalyst canonicalization,
+  // subexpression reuse)
+  override def equals(o: Any): Boolean = o match {
+    case v: BpeVocab => v.pieces == pieces
+    case _           => false
+  }
+  override def hashCode(): Int = pieces.hashCode()
 
   /** Greedy longest-match token count for one WORD. */
   private def countWord(w: String, from: Int, to: Int): Long = {
@@ -64,7 +72,7 @@ object BpeVocab {
     var n = 0L
     while (i < to) {
       var step = 0
-      var l = 4
+      var l = maxLen
       while (l >= 2 && step == 0) {
         if (i + l <= to && byLen(l).contains(w.substring(i, i + l))) step = l
         l -= 1
@@ -82,7 +90,7 @@ object BpeVocab {
     var i = from
     while (i < to) {
       var step = 0
-      var l = 4
+      var l = maxLen
       while (l >= 2 && step == 0) {
         if (i + l <= to && byLen(l).contains(w.substring(i, i + l))) step = l
         l -= 1
@@ -129,24 +137,88 @@ object BpeVocab {
 
   /** The greedy-match step as DuckDB SQL: longest piece matching at
     * character position `pos` of `word`, else 1 (one character —
-    * DuckDB substr/len are code-point-based, matching countWord). */
+    * DuckDB substr/len are code-point-based, matching countWord).
+    * Pieces are escaped (' → '') on the way into the IN-list
+    * literals, so a vocabulary with apostrophes cannot break or
+    * inject the generated oracle SQL (ADVICE r4). */
   def stepSql(word: String, pos: String): String = {
     def inList(l: Int): String =
-      pieces.filter(_.length == l).map(p => s"'$p'").mkString(", ")
-    s"""CASE WHEN substr($word, $pos, 4) IN (${inList(4)}) THEN 4
-       |     WHEN substr($word, $pos, 3) IN (${inList(3)}) THEN 3
-       |     WHEN substr($word, $pos, 2) IN (${inList(2)}) THEN 2
+      pieces.filter(_.length == l)
+        .map(p => s"'${p.replace("'", "''")}'").mkString(", ")
+    val branches = (maxLen to 2 by -1)
+      .filter(l => byLen(l).nonEmpty)
+      .map(l => s"WHEN substr($word, $pos, $l) IN (${inList(l)}) THEN $l")
+    s"""CASE ${branches.mkString("\n     ")}
        |     ELSE 1 END""".stripMargin
   }
 }
 
-/** `graft_bpe_count(text)` — per-row subword token count over the
-  * whole text: a single variable-stride greedy scan, no intermediate
-  * arrays. Codegen emits a call through a referenced counter object
-  * (ctx.addReferenceObj), so the expression stays INSIDE the
-  * whole-stage-codegen span — a CodegenFallback here would split the
-  * generated loop of any projection/aggregation built over it. */
-case class BpeTokenCount(child: Expression)
+object BpeVocab {
+
+  /** Upper bound on piece length — keeps the greedy scan's per-
+    * position probe count and the oracle's CASE width bounded. Real
+    * tokenizer vocabularies carry longer tails; raising this constant
+    * is the only change they need. */
+  val maxPieceLen: Int = 8
+
+  /** Demo vocabulary: high-frequency English subwords, lengths 2–4.
+    * The DEFAULT, not the limit — production swaps in the model
+    * tokenizer's vocabulary via [[fromFile]]/[[fromSpec]]. */
+  val default: BpeVocab = new BpeVocab(Seq(
+    // length 4
+    "tion", "atio", "that", "ther", "with", "ment", "ions", "this",
+    "here", "from", "ould", "ting", "hich", "ence", "have", "ight",
+    // length 3
+    "the", "ing", "and", "ion", "ent", "for", "ati", "ter", "ate",
+    "con", "res", "ver", "all", "ons", "men", "ted", "ers", "pro",
+    "are", "ess", "not", "ive", "was", "ect", "com", "per", "int",
+    "est", "sta", "ist", "ear", "ain", "one", "our", "iti",
+    // length 2
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+    "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
+    "ra", "ce", "li", "ch", "ll", "be", "ma", "si", "om", "ur"))
+
+  /** Decode the whitespace-joined [[BpeVocab.spec]] form (the SQL
+    * function's foldable vocab argument). */
+  def fromSpec(s: String): BpeVocab =
+    new BpeVocab(s.trim.split("\\s+").toSeq)
+
+  /** Load a vocabulary file: one piece per line, blank lines
+    * ignored. Resolved through the Hadoop FS API, so the same call
+    * reads `file:`, `hdfs:`, or an object-store scheme — a vocab
+    * file is a bounded model artifact (like a broadcast side), read
+    * once on the driver and shipped inside the expression. */
+  def fromFile(path: String): BpeVocab = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      new BpeVocab(src.getLines().map(_.trim).filter(_.nonEmpty).toSeq)
+    } finally in.close()
+  }
+
+  // ---- forwarders to the default vocabulary (pre-parameter API) ----
+  def pieces: Seq[String] = default.pieces
+  def tokenize(text: String): Seq[String] = default.tokenize(text)
+  def countTokens(text: String): Long = default.countTokens(text)
+  def stepSql(word: String, pos: String): String = default.stepSql(word, pos)
+}
+
+/** `graft_bpe_count(text[, vocab])` — per-row subword token count over
+  * the whole text: a single variable-stride greedy scan, no
+  * intermediate arrays. Codegen emits a call through a referenced
+  * counter object (ctx.addReferenceObj), so the expression stays
+  * INSIDE the whole-stage-codegen span — a CodegenFallback here would
+  * split the generated loop of any projection/aggregation built over
+  * it. The vocabulary travels with the expression (serialized to
+  * executors like a small broadcast). */
+case class BpeTokenCount(child: Expression, vocab: BpeVocab = BpeVocab.default)
   extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -154,11 +226,11 @@ case class BpeTokenCount(child: Expression)
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeVocab.countTokens(input.asInstanceOf[UTF8String].toString)
+    vocab.countTokens(input.asInstanceOf[UTF8String].toString)
 
   // Janino-friendly indirection: generated Java calls a plain method
   // on this expression instance (Scala object MODULE$ access is not)
-  def count(s: UTF8String): Long = BpeVocab.countTokens(s.toString)
+  def count(s: UTF8String): Long = vocab.countTokens(s.toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeCounter", this, classOf[BpeTokenCount].getName)
@@ -169,11 +241,11 @@ case class BpeTokenCount(child: Expression)
     copy(child = newChild)
 }
 
-/** `graft_bpe_pieces(text)` — the full subword segmentation as
-  * array<string>, for chunking/packing stages that need the pieces
+/** `graft_bpe_pieces(text[, vocab])` — the full subword segmentation
+  * as array<string>, for chunking/packing stages that need the pieces
   * themselves rather than the count. Same greedy scan, same codegen
   * shape as [[BpeTokenCount]]. */
-case class BpeTokenPieces(child: Expression)
+case class BpeTokenPieces(child: Expression, vocab: BpeVocab = BpeVocab.default)
   extends UnaryExpression {
 
   override def dataType: DataType =
@@ -184,7 +256,7 @@ case class BpeTokenPieces(child: Expression)
 
   def pieces(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      BpeVocab.tokenize(s.toString).map(UTF8String.fromString).toArray[Any])
+      vocab.tokenize(s.toString).map(UTF8String.fromString).toArray[Any])
 
   override protected def nullSafeEval(input: Any): Any =
     pieces(input.asInstanceOf[UTF8String])
@@ -199,13 +271,32 @@ case class BpeTokenPieces(child: Expression)
 }
 
 object BpeFunctions {
+
+  /** Optional second argument: a FOLDABLE string — the whitespace-
+    * joined piece list ([[BpeVocab.spec]]). Foldable-only because the
+    * vocabulary must be fixed at plan time (it is baked into the scan
+    * tables and the generated code); a per-row vocab column has no
+    * meaningful tokenizer semantics. */
+  private def vocabArg(children: Seq[Expression], name: String): BpeVocab =
+    children match {
+      case Seq(_) => BpeVocab.default
+      case Seq(_, v) if v.foldable && v.dataType == StringType =>
+        val s = v.eval()
+        require(s != null, s"$name: vocab argument must not be null")
+        BpeVocab.fromSpec(s.toString)
+      case _ => throw new IllegalArgumentException(
+        s"$name expects (text) or (text, <vocab string literal>)")
+    }
+
   val bpeCountInfo = (
     new FunctionIdentifier("graft_bpe_count"),
     new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_bpe_count"),
-    (children: Seq[Expression]) => BpeTokenCount(children.head))
+    (children: Seq[Expression]) =>
+      BpeTokenCount(children.head, vocabArg(children, "graft_bpe_count")))
 
   val bpePiecesInfo = (
     new FunctionIdentifier("graft_bpe_pieces"),
     new ExpressionInfo(classOf[BpeTokenPieces].getName, "graft_bpe_pieces"),
-    (children: Seq[Expression]) => BpeTokenPieces(children.head))
+    (children: Seq[Expression]) =>
+      BpeTokenPieces(children.head, vocabArg(children, "graft_bpe_pieces")))
 }

@@ -165,6 +165,13 @@ object CorpusOps {
 
   private def bpeToks(c: Column): Column = graft.api.Graft.bpeTokenCount(c)
 
+  /** The default vocabulary the no-vocab entry points run — the
+    * oracle SQL inlines the same pieces, so the differential check
+    * covers exactly what the queries compute. Production callers pass
+    * their model tokenizer's vocabulary (round-4 verdict #3),
+    * typically `BpeVocab.fromFile(path)`. */
+  private def defaultVocab = graft.functions.BpeVocab.default
+
   /** Shared oracle CTEs replaying the greedy longest-match scan of
     * graft_bpe_count as a finite recursion: one row per (doc, word)
     * explodes into one row per matching STEP; the terminal row
@@ -194,11 +201,17 @@ object CorpusOps {
     * view that makes "token budget" mean model tokens. Map-only: one
     * native expression per row, no shuffle below the output sort. */
   def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    bpeTokens(spark, dir, defaultVocab)
+
+  /** [[bpeTokens]] over an EXPLICIT vocabulary — the production path
+    * (file-loaded model vocab); same plan, different piece set. */
+  def bpeTokens(spark: SparkSession, dir: String,
+                vocab: graft.functions.BpeVocab): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         col("n_chars").cast("long").as("n_chars"),
         nToks(col("text")).as("n_tokens_ws"),
-        bpeToks(col("text")).as("n_tokens_bpe"))
+        graft.api.Graft.bpeTokenCount(col("text"), vocab).as("n_tokens_bpe"))
       .orderBy(col("doc_id"))
 
   val bpeTokensSql: String =
@@ -216,9 +229,13 @@ object CorpusOps {
     * so a single mis-matched piece anywhere in the corpus breaks the
     * hash. Map-only fan-out (posexplode), like any generator. */
   def bpePieces(spark: SparkSession, dir: String): DataFrame =
+    bpePieces(spark, dir, defaultVocab)
+
+  def bpePieces(spark: SparkSession, dir: String,
+                vocab: graft.functions.BpeVocab): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        posexplode(graft.api.Graft.bpeTokens(col("text"))).as(Seq("piece_idx", "piece")))
+        posexplode(graft.api.Graft.bpeTokens(col("text"), vocab)).as(Seq("piece_idx", "piece")))
       .select(col("doc_id"), col("piece_idx").cast("long").as("piece_idx"), col("piece"))
       .orderBy(col("doc_id"), col("piece_idx"))
 
@@ -248,10 +265,14 @@ object CorpusOps {
     * content digest (computed from the slice itself — no re-split, so
     * zero-piece documents still chunk consistently in both engines).
     * Map-only fan-out like the word variant. */
-  def chunkBpe(spark: SparkSession, dir: String): DataFrame = {
+  def chunkBpe(spark: SparkSession, dir: String): DataFrame =
+    chunkBpe(spark, dir, defaultVocab)
+
+  def chunkBpe(spark: SparkSession, dir: String,
+               vocab: graft.functions.BpeVocab): DataFrame = {
     val (window, stride) = (50, 30)
     val chunks = element_at(
-      transform(array(graft.api.Graft.bpeTokens(col("text"))), wa => {
+      transform(array(graft.api.Graft.bpeTokens(col("text"), vocab)), wa => {
         val lastIdx = greatest(lit(0),
           floor((size(wa) - lit(window) + lit(stride) - 1).cast("double") / lit(stride))
             .cast("int"))
@@ -300,7 +321,11 @@ object CorpusOps {
     * window. Identical plan shape (map-side counts + one window
     * cumsum per language). */
   def packBpe(spark: SparkSession, dir: String): DataFrame =
-    packGreedy(spark, dir, bpeToks)
+    packBpe(spark, dir, defaultVocab)
+
+  def packBpe(spark: SparkSession, dir: String,
+              vocab: graft.functions.BpeVocab): DataFrame =
+    packGreedy(spark, dir, graft.api.Graft.bpeTokenCount(_, vocab))
 
   val packBpeSql: String =
     s"""WITH RECURSIVE
@@ -668,10 +693,10 @@ object CorpusOps {
     "corpus_sample_stratified" -> (sampleStratified _),
     "corpus_token_buckets" -> ((s, d) => tokenBuckets(s, d)),
     "corpus_pack_greedy" -> ((s, d) => packGreedy(s, d)),
-    "corpus_bpe_tokens" -> (bpeTokens _),
-    "corpus_pack_bpe" -> (packBpe _),
-    "corpus_bpe_pieces" -> (bpePieces _),
-    "corpus_chunk_bpe" -> (chunkBpe _),
+    "corpus_bpe_tokens" -> ((s, d) => bpeTokens(s, d)),
+    "corpus_pack_bpe" -> ((s, d) => packBpe(s, d)),
+    "corpus_bpe_pieces" -> ((s, d) => bpePieces(s, d)),
+    "corpus_chunk_bpe" -> ((s, d) => chunkBpe(s, d)),
     "corpus_e2e_prep" -> (e2ePrep _)
   )
 

@@ -159,6 +159,68 @@ object Dedup {
         round(col("jaccard"), 4).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Cap used by the two cap-semantics queries below: deliberately
+    * TINY (2) so it BINDS on the real sf corpora (max band bucket is
+    * 5 at sf0.01) — that puts the exclusion rule itself, and its drop
+    * census, under the differential oracle instead of only proving
+    * "the cap didn't fire". Production endpoints default to
+    * [[graft.api.Graft.defaultBandBucketCap]] (64), which no real
+    * bucket reaches. */
+  private val probeCap = 2
+
+  /** The audited drop census as a first-class query (round-4 verdict
+    * #2: the cap must never be silent): every band bucket a
+    * `maxBucketSize = probeCap` run would exclude, with its size. */
+  def bandDrops(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.oversizedBandBuckets(
+        Tables.documents(spark, dir), "text", "doc_id", 3, bands, probeCap)
+      .orderBy(col("band_idx"), col("band_min"))
+
+  val bandDropsSql: String = {
+    val bandList = (0 until bands).map(b => b.toString).mkString(", ")
+    s"""WITH mh AS (
+       |  SELECT doc_id, list_transform(sh, s -> md5(s)) AS mh
+       |  FROM (SELECT doc_id, text, $shinglesSqlFragment AS sh
+       |        FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))),
+       |bandrows AS (
+       |  SELECT doc_id, b,
+       |         list_min(list_transform(mh, h -> substring(h, 8*b + 1, 8))) AS bmin
+       |  FROM mh CROSS JOIN (SELECT unnest([$bandList]) AS b))
+       |SELECT CAST(b AS INTEGER) AS band_idx, bmin AS band_min, count(*) AS n_docs
+       |FROM bandrows GROUP BY 1, 2 HAVING count(*) > $probeCap
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Capped candidate generation under the same tiny cap — the
+    * EXCLUSION semantics (a doc in an oversized bucket still pairs
+    * through its other, smaller band buckets) verified value-by-value
+    * against a DuckDB replay of the windowed-size filter. */
+  def bandCapped(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.bandCandidates(
+        Tables.documents(spark, dir), "text", "doc_id", 3, bands, probeCap)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val bandCappedSql: String = {
+    val bandList = (0 until bands).map(b => b.toString).mkString(", ")
+    s"""WITH mh AS (
+       |  SELECT doc_id, list_transform(sh, s -> md5(s)) AS mh
+       |  FROM (SELECT doc_id, text, $shinglesSqlFragment AS sh
+       |        FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))),
+       |bandrows AS (
+       |  SELECT doc_id, b,
+       |         list_min(list_transform(mh, h -> substring(h, 8*b + 1, 8))) AS bmin
+       |  FROM mh CROSS JOIN (SELECT unnest([$bandList]) AS b)),
+       |sized AS (
+       |  SELECT doc_id, b, bmin, count(*) OVER (PARTITION BY b, bmin) AS bn
+       |  FROM bandrows)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM sized x JOIN sized y
+       |  ON x.b = y.b AND x.bmin = y.bmin AND x.doc_id < y.doc_id
+       |WHERE x.bn <= $probeCap
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val ngramJaccardSql: String = {
     val bandList = (0 until bands).map(b => b.toString).mkString(", ")
     s"""WITH docs AS (
@@ -299,6 +361,8 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_band_drops" -> (bandDrops _),
+    "dedup_band_capped" -> (bandCapped _),
     "dedup_components" -> (components _),
     "dedup_keep" -> (keep _),
     "dedup_keep_policy" -> (keepPolicy _)
@@ -310,6 +374,8 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_band_drops" -> bandDropsSql,
+    "dedup_band_capped" -> bandCappedSql,
     "dedup_components" -> componentsSql,
     "dedup_keep" -> keepSql,
     "dedup_keep_policy" -> keepPolicySql

@@ -74,7 +74,21 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
       val sample = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
       sample ++= parsed.drop(1).take(perFile)
       ps.iterator.drop(1).foreach { p =>
-        sample ++= XlsxParser.parse(p, sheetOpt).drop(1).take(perFile)
+        val part = XlsxParser.parse(p, sheetOpt)
+        // inference assumes every part shares the first file's column
+        // order (cells land by ordinal) — a reordered/extra-column
+        // part would feed the wrong cells into each column's type
+        // lattice; fail here with both headers (ADVICE r4), matching
+        // the scan-time check in XlsxBatch
+        val h = part.headOption.getOrElse(Seq.empty)
+        if (h != header)
+          throw new IllegalArgumentException(
+            s"xlsx: header of part file $p " +
+              h.mkString("[", ", ", "]") +
+              " does not match the first part's header " +
+              header.mkString("[", ", ", "]") +
+              " — parts of one dataset must share one column layout")
+        sample ++= part.drop(1).take(perFile)
       }
       StructType(names.zipWithIndex.map { case (name, i) =>
         val cells = sample.toSeq.map(r => if (i < r.length) r(i) else null)
@@ -359,13 +373,27 @@ class XlsxBatch(fullSchema: StructType, required: StructType, paths: Seq[String]
                 failFast: Boolean = false) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(XlsxInputPartition.apply).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(fullSchema, required, sheet, failFast)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // multi-file scans carry the FIRST file's header as the column
+    // contract every part must repeat (ADVICE r4): cells map to
+    // output columns by ORDINAL, so a part workbook with reordered or
+    // extra columns would silently misalign values into the wrong
+    // (mistyped) columns — each partition reader re-checks its own
+    // file's header against this reference and fails with both
+    // headers in the message. Single-file scans skip it (their header
+    // IS the reference). One extra driver-side parse of the first
+    // file, same cost class as schema inference.
+    val expectedHeader: Seq[String] =
+      if (paths.size <= 1) Seq.empty
+      else XlsxParser.parse(paths.head, sheet).headOption.getOrElse(Seq.empty)
+    new XlsxReaderFactory(fullSchema, required, sheet, failFast, expectedHeader)
+  }
 }
 
 class XlsxReaderFactory(fullSchema: StructType, required: StructType,
                         sheet: Option[String] = None,
-                        failFast: Boolean = false)
+                        failFast: Boolean = false,
+                        expectedHeader: Seq[String] = Seq.empty)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsxInputPartition].path
@@ -375,7 +403,18 @@ class XlsxReaderFactory(fullSchema: StructType, required: StructType,
     val ordinals = required.fieldNames.map(n => fullSchema.fieldIndex(n))
     val convert = required.fields.map(f => XlsxTypeInference.converter(f.dataType))
     new PartitionReader[InternalRow] {
-      private val rows = XlsxParser.parse(path, sheet).drop(1).iterator // drop header
+      private val parsed = XlsxParser.parse(path, sheet, failOnError = failFast)
+      locally {
+        val h = parsed.headOption.getOrElse(Seq.empty)
+        if (expectedHeader.nonEmpty && h != expectedHeader)
+          throw new IllegalArgumentException(
+            s"xlsx: header of part file $path " +
+              h.mkString("[", ", ", "]") +
+              " does not match the first part's header " +
+              expectedHeader.mkString("[", ", ", "]") +
+              " — parts of one dataset must share one column layout")
+      }
+      private val rows = parsed.drop(1).iterator // drop header
       private var current: Seq[String] = _
       override def next(): Boolean = {
         if (rows.hasNext) { current = rows.next(); true } else false
@@ -548,7 +587,15 @@ object XlsxParser {
 
   def parse(path: String): Seq[Seq[String]] = parse(path, None)
 
-  def parse(path: String, sheet: Option[String]): Seq[Seq[String]] = {
+  def parse(path: String, sheet: Option[String]): Seq[Seq[String]] =
+    parse(path, sheet, failOnError = false)
+
+  /** `failOnError = true` is the FAILFAST contract for `t="e"` error
+    * cells (a value-LEVEL problem the typed converter never sees —
+    * the parser nulls them before conversion, so the scan's
+    * cannot-cast check alone would silently pass them). */
+  def parse(path: String, sheet: Option[String],
+            failOnError: Boolean): Seq[Seq[String]] = {
     val zip = new java.util.zip.ZipFile(path)
     try {
       val db = newDocBuilder()
@@ -624,6 +671,26 @@ object XlsxParser {
             case "d" => // ISO-8601 date literal cell — verbatim
               val vs = cell.getElementsByTagName("v")
               if (vs.getLength > 0) vs.item(0).getTextContent else null
+            case "str" =>
+              // FORMULA cell with a cached STRING result: <f> holds
+              // the formula, <v> the cached text — the value is the
+              // cache, verbatim, and never date-converted (it is
+              // text, not a serial; numeric formula caches have no
+              // t attribute and take the default branch below,
+              // including date-style serial conversion)
+              val vs = cell.getElementsByTagName("v")
+              if (vs.getLength > 0) vs.item(0).getTextContent else null
+            case "e" =>
+              // ERROR cell (#DIV/0!, #N/A, …): there is no usable
+              // value. PERMISSIVE reads null (like a malformed cell);
+              // FAILFAST surfaces the error with cell context — the
+              // CSV-mode contract applied to workbook semantics
+              if (failOnError) {
+                val vs = cell.getElementsByTagName("v")
+                val err = if (vs.getLength > 0) vs.item(0).getTextContent else "#ERROR"
+                throw new IllegalArgumentException(
+                  s"xlsx FAILFAST: error cell $err at ${cell.getAttribute("r")} in $path")
+              } else null
             case _ =>
               val vs = cell.getElementsByTagName("v")
               val raw = if (vs.getLength > 0) vs.item(0).getTextContent else null

@@ -163,6 +163,47 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("BPE vocab loads from a file and drives the corpus_bpe_tokens query unchanged") {
+    import graft.functions.BpeVocab
+    // round-4 verdict #3: production swaps the vocab FILE — prove the
+    // file → expression path end-to-end by running the exact
+    // corpus_bpe_tokens plan over a file-loaded copy of the demo
+    // vocabulary and hash-comparing with the default-vocab run
+    val f = java.nio.file.Files.createTempFile("bpe_vocab", ".txt")
+    java.nio.file.Files.writeString(f, BpeVocab.default.pieces.mkString("\n") + "\n")
+    val loaded = BpeVocab.fromFile(f.toString)
+    assert(loaded === BpeVocab.default)
+    val a = graft.operators.CorpusOps.bpeTokens(spark, sf).collect().toSeq
+    val b = graft.operators.CorpusOps.bpeTokens(spark, sf, loaded).collect().toSeq
+    assert(a === b)
+    java.nio.file.Files.delete(f)
+  }
+
+  test("BPE custom vocabulary changes segmentation as specified (incl. long + quoted pieces)") {
+    import graft.functions.BpeVocab
+    // pieces longer than the demo set's 4 and an apostrophe piece —
+    // both legal in real tokenizer vocabularies
+    val v = new BpeVocab(Seq("process", "ing", "it's", "th"))
+    assert(v.countTokens("processing") === 2L)   // process|ing
+    assert(v.countTokens("it's") === 1L)          // one quoted piece
+    assert(v.countTokens("this") === 3L)          // th|i|s
+    assert(v.tokenize("processing it's") === Seq("process", "ing", "it's"))
+    // the column expression runs the same custom vocabulary
+    import spark.implicits._
+    val got = Seq("processing it's").toDF("text")
+      .select(graft.api.Graft.bpeTokenCount(col("text"), v).as("n"),
+        graft.api.Graft.bpeTokens(col("text"), v).as("p"))
+      .head()
+    assert(got.getLong(0) === 3L)
+    assert(got.getSeq[String](1) === Seq("process", "ing", "it's"))
+    // the oracle fragment escapes the quote instead of breaking the SQL
+    val sql = v.stepSql("word", "pos")
+    assert(sql.contains("'it''s'"), sql)
+    // vocab constraints: spaces and non-ASCII stay rejected
+    intercept[IllegalArgumentException](new BpeVocab(Seq("a b")))
+    intercept[IllegalArgumentException](new BpeVocab(Seq("héllo")))
+  }
+
   test("semantic dedup: per-label counts partition the corpus; pairs are in-cell only") {
     val out = Similarity.semanticDedup(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_vectors")).sum

@@ -155,4 +155,85 @@ class XlsxSourceSpec extends SparkSpec {
     val row = df.head()
     assert(row.getString(0) === "hello")
   }
+
+  private def buildWorkbook(path: String, sheetXml: String): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(
+      ("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        sheetXml + """</sheetData></worksheet>""").getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+  }
+
+  test("formula cells: t=\"str\" takes the cached string; numeric caches convert typed") {
+    // the first real-world workbook a user drops contains formulas —
+    // the reader must take the CACHED <v>, never the <f> text
+    val path = tmp("formulas.xlsx")
+    buildWorkbook(path,
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>label</t></is></c><c r="B1" t="inlineStr"><is><t>total</t></is></c></row>""" +
+        // t="str": CONCATENATE formula with cached string result
+        """<row r="2"><c r="A2" t="str"><f>CONCATENATE("a","b")</f><v>ab</v></c>""" +
+        // no t attribute: SUM formula with cached numeric result
+        """<c r="B2"><f>SUM(C2:D2)</f><v>42</v></c></row>""")
+    val df = spark.read.format("xlsx").option("inferSchema", true).load(path)
+    val r = df.head()
+    assert(r.getString(0) === "ab")
+    assert(r.getLong(1) === 42L) // cached numeric inferred long, not string
+  }
+
+  test("error cells: null under PERMISSIVE, abort with context under FAILFAST") {
+    val path = tmp("errors.xlsx")
+    buildWorkbook(path,
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>x</t></is></c><c r="B1" t="inlineStr"><is><t>y</t></is></c></row>""" +
+        """<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="e"><v>#DIV/0!</v></c></row>""" +
+        """<row r="3"><c r="A3"><v>2</v></c><c r="B3"><v>7</v></c></row>""")
+    // PERMISSIVE (default): the error cell reads as null, scan survives
+    val rows = spark.read.format("xlsx").load(path)
+      .orderBy(org.apache.spark.sql.functions.col("x")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getString(1) === "7")
+    // FAILFAST: the error cell aborts with file/cell context
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").option("mode", "FAILFAST").load(path).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(e).mkString(" | ")
+    assert(all.contains("#DIV/0!") && all.contains("B2"), all)
+  }
+
+  test("part files with mismatched headers fail loudly instead of misaligning columns") {
+    // ADVICE r4: cells map to output columns by ordinal, so a part
+    // with reordered columns would silently put values in the wrong
+    // (mistyped) columns — both the inference path and the scan path
+    // must reject it with both headers in the message
+    val dir = tmp("mismatch_dir")
+    new java.io.File(dir).mkdirs()
+    buildWorkbook(s"$dir/part-0.xlsx",
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="B1" t="inlineStr"><is><t>b</t></is></c></row>""" +
+        """<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c></row>""")
+    buildWorkbook(s"$dir/part-1.xlsx",
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>b</t></is></c><c r="B1" t="inlineStr"><is><t>a</t></is></c></row>""" +
+        """<row r="2"><c r="A2"><v>3</v></c><c r="B2"><v>4</v></c></row>""")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // scan path (all-string read, no inference)
+    val e1 = intercept[Exception] {
+      spark.read.format("xlsx").load(dir).collect()
+    }
+    assert(messages(e1).mkString(" | ").contains("does not match the first part's header"),
+      messages(e1).mkString(" | "))
+    // inference path fails at planning, before any scan runs
+    val e2 = intercept[Exception] {
+      spark.read.format("xlsx").option("inferSchema", true).load(dir).schema
+    }
+    assert(messages(e2).mkString(" | ").contains("does not match the first part's header"),
+      messages(e2).mkString(" | "))
+    // matching parts still read fine together
+    buildWorkbook(s"$dir/part-1.xlsx",
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="B1" t="inlineStr"><is><t>b</t></is></c></row>""" +
+        """<row r="2"><c r="A2"><v>3</v></c><c r="B2"><v>4</v></c></row>""")
+    assert(spark.read.format("xlsx").load(dir).count() === 2)
+  }
 }
