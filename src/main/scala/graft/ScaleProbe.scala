@@ -120,20 +120,35 @@ object ScaleProbe {
           graft.Tables.documents(spark, dir), "text", "doc_id", 3, 4, 64).count()),
       // IVF nearest-centroid assignment at the CORPUS-DERIVED k
       // (k = ceil(N/64), the SemDeDup fixed-cell-size policy): the
-      // map-only argmax over literal centroids does O(N*k) compute
-      // with ZERO shuffle — per-row work grows with k, which is the
-      // deliberate price for keeping the pair stage below linear in
+      // map-only native-codegen argmax over literal centroids does
+      // O(N*k) compute with ZERO shuffle — per-row work grows with
+      // k, the deliberate price for keeping the pair stage linear in
       // the corpus (at extreme scale the quantizer goes hierarchical;
-      // see Similarity.ivfKFor). Production stage:
+      // see Similarity.ivfKFor). The filter forces `cell` to actually
+      // evaluate — a bare count() lets Catalyst prune the argmax
+      // projection away and times an empty scan. Production stage:
       // Similarity.ivfAssigned
       ("ivf_assign_scaled_k", () =>
-        graft.operators.Similarity.ivfAssigned(spark, dir).count()),
-      // semantic-dedup candidate pairs: pairwise work confined to
-      // k-means cells. With k ∝ N (fixed target cell size 64) the
-      // Σ|cell|² candidate mass must grow ~LINEARLY with rows — the
-      // r4 verdict's one scale flaw was fixed k making this ~N²/k
-      // (measured 165x pairs for 10x rows then). The PRODUCTION
-      // stage, Similarity.semanticPairs
+        graft.operators.Similarity.ivfAssigned(spark, dir)
+          .filter(col("cell") >= 0L).count()),
+      // semantic-dedup candidate MASS: Σ n(n-1)/2 over the realized
+      // k-means cells — the quantizer-bounded pairwise work the cell
+      // join performs BEFORE any similarity threshold. With k ∝ N
+      // (fixed target cell size 64) this must grow ~LINEARLY with
+      // rows — the r4 verdict's one scale flaw was fixed k making it
+      // ~N²/k (165x for 10x rows then). Computed from the cell
+      // census (one groupBy), so the row is pure plan-shape evidence
+      ("semantic_candidate_mass", () =>
+        graft.operators.Similarity.ivfAssigned(spark, dir)
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")).head().getLong(0)),
+      // ... and the PRODUCTION pair stage end-to-end
+      // (Similarity.semanticPairs: cell equi join + cosine >= tau).
+      // Its RESULT rows are post-threshold near-duplicates — the
+      // perturbed replicas are genuine near-dups of each other, so
+      // that number grows ~100x by construction (like the
+      // neardup_verified_pairs row below); the plan-shape metric is
+      // the candidate-mass row above, and the TIME must track it
       ("semantic_cell_pairs", () =>
         graft.operators.Similarity.semanticPairs(spark, dir).count())
     ).map { case (name, f) =>
@@ -235,7 +250,7 @@ object ScaleProbe {
       val (k2s, k2n) = once(ccKeep(big))
       Seq(
         ("cc_chain 2k -> 20k nodes (diameter 10x: rounds grow ~log)", c1s, c2s, c1n, c2n),
-        ("neardup_verified_pairs (the graph's EDGES — replicas are near-dups of each other, so edge mass grows ~100x by construction)", p1s, p2s, p1n, p2n),
+        ("neardup_verified_pairs (the graph's EDGES — replicas are near-dups of each other, so edge mass grows superlinearly by construction; the default cap64 bounds what was ~100x uncapped)", p1s, p2s, p1n, p2n),
         ("dedup_keep end-to-end (cost tracks the EDGE row above, not doc count)", k1s, k2s, k1n, k2n))
     }
 
@@ -289,10 +304,12 @@ object ScaleProbe {
     sb.append("growth (without it, rounds = diameter and the chain row would go\n")
     sb.append("10x) — while the BIGGER corpus keeps cluster diameters constant,\n")
     sb.append("so rounds stay flat and cost follows per-round shuffle volume =\n")
-    sb.append("the verified-pair EDGE count. The replica corpus makes that edge\n")
-    sb.append("count grow ~100x for 10x docs BY CONSTRUCTION (every doc gains 9\n")
+    sb.append("the verified-pair EDGE count. The replica corpus grows that edge\n")
+    sb.append("count superlinearly BY CONSTRUCTION (every doc gains 9\n")
     sb.append("near-identical siblings, and intra-cluster pairs are quadratic in\n")
-    sb.append("cluster size), so dedup_keep's honest denominator is the edge row,\n")
+    sb.append("cluster size — ~100x uncapped; the now-default band-bucket cap64\n")
+    sb.append("bounds the hottest buckets, which is visible as sub-100x edge\n")
+    sb.append("growth here), so dedup_keep's honest denominator is the edge row,\n")
     sb.append("not the doc count — a real 10x corpus grows edges ~linearly and\n")
     sb.append("pays ~linear cost. Single timed run per cell (the fixpoint's own\n")
     sb.append("rounds amortize submission noise).\n\n")

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.sql.SparkSession
@@ -240,6 +240,95 @@ case class SimhashFold(child: Expression)
     copy(child = newChild)
 }
 
+/** Nearest-centroid argmax for IVF cell assignment — the O(N·k)
+  * quantizer hot loop as ONE native expression. The higher-order
+  * formulation (transform over the centroid literal + aggregate
+  * fold, kept as `Similarity.assignCellsHof` for differential
+  * testing) is CodegenFallback territory: per row it allocates k
+  * lambda frames and k (cosine, cell) structs — measured ~4 s per
+  * pass at 20k rows × 313 centroids, where this loop is
+  * milliseconds. With the corpus-proportional k the assignment is
+  * the quantizer's dominant term, so its constant matters.
+  *
+  * Children: (vector, its L2 norm, the FOLDABLE centroid table —
+  * array<struct<cent_id, cv, cn>> sorted by cent_id, the same
+  * literal the HOF path folds over). The table is decoded once per
+  * expression instance, not per row.
+  *
+  * Semantics are oracle-pinned, identical to the HOF when-chain:
+  *  - division by zero (zero-norm vector or zero centroid) scores
+  *    -Inf — DuckDB's NULL, ranked LAST under DESC + NULLS LAST;
+  *  - genuine NaN cosine scores +Inf — DuckDB ranks NaN FIRST;
+  *  - the first centroid is adopted unconditionally and only a
+  *    STRICTLY greater score replaces it → ties (incl. all-degenerate
+  *    rows) resolve to the smallest cent_id, DuckDB's tie-break. */
+case class CentroidArgmax(vec: Expression, norm: Expression, cents: Expression)
+  extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = norm
+  override def third: Expression = cents
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_argmax_cell"
+  override def nullable: Boolean = true
+
+  @transient private lazy val (ids, cvs, cns): (Array[Long], Array[Array[Double]], Array[Double]) = {
+    require(cents.foldable, "graft_argmax_cell: centroid table must be foldable")
+    val arr = cents.eval().asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    val is = new Array[Long](k)
+    val vs = new Array[Array[Double]](k)
+    val ns = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val row = arr.getStruct(i, 3)
+      is(i) = row.getLong(0)
+      vs(i) = row.getArray(1).toDoubleArray()
+      ns(i) = row.getDouble(2)
+      i += 1
+    }
+    (is, vs, ns)
+  }
+
+  def argmax(v: ArrayData, vn: Double): Long = {
+    val x = v.toDoubleArray() // null vector elements don't occur in a
+    // float-parquet-sourced corpus; the HOF twin degrades identically
+    // (all scores unusable → first centroid), differential-tested
+    var best = 0.0
+    var bestCell = -1L
+    var adopted = false
+    var c = 0
+    val k = ids.length
+    while (c < k) {
+      val cv = cvs(c)
+      val m = if (x.length < cv.length) x.length else cv.length
+      var s = 0.0
+      var i = 0
+      while (i < m) { s += x(i) * cv(i); i += 1 }
+      val den = vn * cns(c)
+      var score =
+        if (den == 0.0) Double.NegativeInfinity
+        else s / den
+      if (java.lang.Double.isNaN(score)) score = Double.PositiveInfinity
+      if (!adopted || score > best) { best = score; bestCell = ids(c); adopted = true }
+      c += 1
+    }
+    bestCell
+  }
+
+  override protected def nullSafeEval(v: Any, vn: Any, c: Any): Any =
+    argmax(v.asInstanceOf[ArrayData], vn.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("argmaxImpl", this, classOf[CentroidArgmax].getName)
+    nullSafeCodeGen(ctx, ev, (v, vn, _) => s"${ev.value} = $ref.argmax($v, $vn);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): CentroidArgmax =
+    copy(vec = newFirst, norm = newSecond, cents = newThird)
+}
+
 object VectorFunctions {
   val dotInfo = (
     new FunctionIdentifier("graft_dot"),
@@ -266,6 +355,11 @@ object VectorFunctions {
     new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash_sig"),
     (children: Seq[Expression]) => MinhashSignature(children.head))
 
+  val argmaxInfo = (
+    new FunctionIdentifier("graft_argmax_cell"),
+    new ExpressionInfo(classOf[CentroidArgmax].getName, "graft_argmax_cell"),
+    (children: Seq[Expression]) => CentroidArgmax(children(0), children(1), children(2)))
+
   /** Imperative session-scoped registration — lets any session use the
     * functions even when it wasn't built with GraftExtensions. */
   def register(spark: SparkSession): Unit = {
@@ -275,6 +369,7 @@ object VectorFunctions {
     reg.registerFunction(lshInfo._1, lshInfo._2, lshInfo._3)
     reg.registerFunction(simhashInfo._1, simhashInfo._2, simhashInfo._3)
     reg.registerFunction(minhashInfo._1, minhashInfo._2, minhashInfo._3)
+    reg.registerFunction(argmaxInfo._1, argmaxInfo._2, argmaxInfo._3)
     reg.registerFunction(BpeFunctions.bpeCountInfo._1,
       BpeFunctions.bpeCountInfo._2, BpeFunctions.bpeCountInfo._3)
     reg.registerFunction(BpeFunctions.bpePiecesInfo._1,

@@ -476,12 +476,27 @@ object Similarity {
       .otherwise(call_function("graft_dot", col("v"), c.getField("cv")) / denom)
   }
 
-  /** Map-only argmax assignment: (vec_id, v, vn, cell). The cosine
-    * is computed ONCE per centroid (transform), then the fold argmaxes
-    * over the precomputed (cos, cent_id) structs — HOF lambdas get no
-    * common-subexpression elimination, so folding over cosTo directly
-    * would run every dot product twice. */
-  private[graft] def assignCells(emb: DataFrame, cents: Column): DataFrame =
+  /** Map-only argmax assignment: (vec_id, v, vn, cell), through the
+    * native codegen'd [[graft.functions.CentroidArgmax]] — the O(N·k)
+    * quantizer hot loop as one primitive scan (with corpus-
+    * proportional k this is the dominant assignment term, and the
+    * interpreted HOF fold cost ~4 s/pass at 20k rows × 313 centroids
+    * where the native loop is milliseconds). Semantics are pinned to
+    * [[assignCellsHof]] by a differential spec. */
+  private[graft] def assignCells(emb: DataFrame, cents: Column): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("v"), col("vn"),
+      call_function("graft_argmax_cell", col("v"), col("vn"), cents).as("cell"))
+  }
+
+  /** The declarative (built-ins only) twin of [[assignCells]] — the
+    * differential-test reference, like lshSigHof for the LSH
+    * signature. The cosine is computed ONCE per centroid (transform),
+    * then the fold argmaxes over the precomputed (cos, cent_id)
+    * structs — HOF lambdas get no common-subexpression elimination,
+    * so folding over cosTo directly would run every dot product
+    * twice. */
+  private[graft] def assignCellsHof(emb: DataFrame, cents: Column): DataFrame =
     emb.withColumn("best",
         aggregate(
           transform(cents, c => struct(cosTo(c).as("bc"),
@@ -607,6 +622,35 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"))
   }
 
+  /** Per-cell population census of the semantic-dedup quantizer — the
+    * balance/skew diagnostic an operator watches before the pair
+    * stage: in-cell pair work is n(n-1)/2, so one overgrown cell
+    * dominates however good the average is. With the corpus-derived k
+    * the EXPECTED population is [[ivfCellTarget]]; this view shows the
+    * realized spread (k-means on near-uniform data is imbalanced —
+    * that is data, not a plan property). Same assignment stage as
+    * production ([[ivfAssigned]]), one groupBy on the compact cell id. */
+  def semanticCells(spark: SparkSession, dir: String): DataFrame =
+    ivfAssigned(spark, dir)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("cell"))
+
+  val semanticCellsSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$ivfCentroidsSqlCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM emb e CROSS JOIN cents c)
+       |SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+       |FROM ranked WHERE arn = 1
+       |GROUP BY cell ORDER BY cell""".stripMargin
+
   /** Semantic deduplication (SemDeDup-style) — the fourth dedup
     * modality beside exact / MinHash / SimHash: embeddings are
     * clustered by the IVF k-means quantizer, near-duplicate pairs are
@@ -708,7 +752,8 @@ object Similarity {
     "sim_lsh_buckets" -> (lshBuckets _),
     "sim_ann_topk" -> (annTopK _),
     "sim_cosine_neardup" -> (cosineNearDup _),
-    "dedup_semantic" -> (semanticDedup _)
+    "dedup_semantic" -> (semanticDedup _),
+    "dedup_semantic_cells" -> (semanticCells _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -719,6 +764,7 @@ object Similarity {
     "sim_lsh_buckets" -> lshBucketsSql,
     "sim_ann_topk" -> annTopKSql,
     "sim_cosine_neardup" -> cosineNearDupSql,
-    "dedup_semantic" -> semanticDedupSql
+    "dedup_semantic" -> semanticDedupSql,
+    "dedup_semantic_cells" -> semanticCellsSql
   )
 }

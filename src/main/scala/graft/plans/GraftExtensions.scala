@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorFunctions.lshInfo)
     ext.injectFunction(VectorFunctions.simhashInfo)
     ext.injectFunction(VectorFunctions.minhashInfo)
+    ext.injectFunction(VectorFunctions.argmaxInfo)
     ext.injectFunction(graft.functions.BpeFunctions.bpeCountInfo)
     ext.injectFunction(graft.functions.BpeFunctions.bpePiecesInfo)
     ext.injectOptimizerRule(_ => NativeVectorRewrite)

@@ -119,7 +119,8 @@ class LlmOpsSpec extends SparkSpec {
     // (NULL in DuckDB, ranked LAST by its DESC + NULLS LAST order,
     // tie-broken by cent_id; a DIVIDE_BY_ZERO throw under Spark ANSI
     // without the guard). Assignment must still pick a real cell —
-    // the smallest cent_id — never the -1 fold sentinel.
+    // the smallest cent_id — never the -1 fold sentinel. Both the
+    // native codegen path and its declarative HOF twin must agree.
     import spark.implicits._
     val emb = Seq(
       (1L, Seq(0.0, 0.0), 0.0),           // zero-norm: all cosines NaN
@@ -128,11 +129,30 @@ class LlmOpsSpec extends SparkSpec {
     val cents = Similarity.centsLiteral(Seq(
       0L -> Seq(0.0, 1.0),                 // orthogonal to vec 2
       1L -> Seq(1.0, 0.0)))                // aligned with vec 2
-    val got = Similarity.assignCells(emb, cents)
-      .select("vec_id", "cell").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got(1L) === 0L) // degenerate: smallest cent_id, total assignment
-    assert(got(2L) === 1L) // regular argmax unaffected by the NaN guard
+    for (assign <- Seq(Similarity.assignCells _, Similarity.assignCellsHof _)) {
+      val got = assign(emb, cents)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(1L) === 0L) // degenerate: smallest cent_id, total assignment
+      assert(got(2L) === 1L) // regular argmax unaffected by the NaN guard
+    }
+  }
+
+  test("native argmax assignment agrees with the declarative HOF twin on the real corpus") {
+    // the graft_argmax_cell codegen loop vs the transform+aggregate
+    // fold — same centroids, every vector, both scale dirs' spec twin
+    val k = Similarity.ivfParams(spark, sf)._1
+    val cents = Similarity.centsLiteral(Similarity.centroidRows(spark, sf, k))
+    def collectCells(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("vn", graft.api.Graft.l2norm(col("v")))
+    val native = collectCells(Similarity.assignCells(emb, cents))
+    val hof = collectCells(Similarity.assignCellsHof(emb, cents))
+    assert(native === hof)
+    assert(native.size === Tables.embeddings(spark, sf).count())
   }
 
   test("BPE greedy longest-match: hand-checked counts and unicode code points") {
