@@ -329,6 +329,163 @@ case class CentroidArgmax(vec: Expression, norm: Expression, cents: Expression)
     copy(vec = newFirst, norm = newSecond, cents = newThird)
 }
 
+/** Shared decode of the foldable PQ codebook literal —
+  * array<struct<m:int, code:long, cv:array<double>>> sorted by
+  * (m, code) — into primitive lookup tables. Decoded ONCE per
+  * expression instance (the literal is a bounded model artifact, the
+  * same contract as the IVF centroid literal). */
+private[functions] final class PqCodebookTable(cb: Expression) extends Serializable {
+  require(cb.foldable, "PQ codebook must be foldable")
+  // per subspace (in ascending m order): codes sorted ascending and
+  // their codeword vectors; offsets locate each subspace's dims in
+  // the full vector
+  @transient lazy val (codes, cvs, offsets, totalDim): (Array[Array[Long]], Array[Array[Array[Double]]], Array[Int], Int) = {
+    val arr = cb.eval().asInstanceOf[ArrayData]
+    val rows = (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 3)
+      (r.getInt(0), r.getLong(1), r.getArray(2).toDoubleArray())
+    }
+    val byM = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val cs = byM.map(_._2.sortBy(_._2).map(_._2).toArray).toArray
+    val vs = byM.map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    val offs = new Array[Int](byM.size)
+    var off = 0
+    var m = 0
+    while (m < byM.size) {
+      offs(m) = off
+      off += vs(m).head.length
+      m += 1
+    }
+    (cs, vs, offs, off)
+  }
+}
+
+/** `graft_pq_encode(vec, codebook)` — product-quantization encoding:
+  * the vector's M subspace slices each map to their nearest codeword
+  * (min squared L2, ties to the smaller code), yielding an
+  * array<long> of M codes. THIS is the compressed representation a
+  * 100 TB ANN deployment stores and scans: with ksub=256 a 64-dim
+  * float vector (256 B) becomes M=8 one-byte codes — 32× less scan
+  * I/O — while the codebook (M·ksub·subDim doubles) stays a bounded
+  * model artifact shipped like a broadcast.
+  *
+  * Oracle-pinned semantics (the DuckDB replay ranks
+  * `ORDER BY dist ASC, code ASC`):
+  *  - squared L2 accumulated left-to-right over the slice;
+  *  - a NaN distance scores +Inf (DuckDB sorts NaN LAST ascending),
+  *    so an all-NaN slice falls back to the smallest code — both
+  *    engines agree;
+  *  - vector elements beyond the input's length read as 0.0 (cannot
+  *    happen on a fixed-dim parquet corpus; totalizes the expression). */
+case class PqEncode(vec: Expression, cb: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = cb
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+  override def nullable: Boolean = true
+
+  @transient private lazy val table = new PqCodebookTable(cb)
+
+  def encode(v: ArrayData): ArrayData = {
+    val x = v.toDoubleArray()
+    val nM = table.codes.length
+    val out = new Array[Any](nM)
+    var m = 0
+    while (m < nM) {
+      val cs = table.codes(m)
+      val vs = table.cvs(m)
+      val off = table.offsets(m)
+      var best = 0.0
+      var bestCode = 0L
+      var adopted = false
+      var c = 0
+      while (c < cs.length) {
+        val cv = vs(c)
+        var s = 0.0
+        var i = 0
+        while (i < cv.length) {
+          val xi = if (off + i < x.length) x(off + i) else 0.0
+          val d = xi - cv(i)
+          s += d * d
+          i += 1
+        }
+        if (java.lang.Double.isNaN(s)) s = Double.PositiveInfinity
+        if (!adopted || s < best) { best = s; bestCode = cs(c); adopted = true }
+        c += 1
+      }
+      out(m) = bestCode
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    encode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncoder", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, (v, _) => s"${ev.value} = $ref.encode($v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(vec = newLeft, cb = newRight)
+}
+
+/** `graft_pq_decode(codes, codebook)` — reconstruct the quantized
+  * vector from its M codes: each subspace's codeword, concatenated in
+  * subspace order. The ADC (asymmetric distance computation) scoring
+  * path dots the EXACT query against this reconstruction — the scan
+  * side touches only the codes and the shared codebook. A code absent
+  * from the codebook (impossible for codes produced by
+  * graft_pq_encode over the same codebook) reconstructs as zeros,
+  * keeping the expression total. */
+case class PqDecode(codesExpr: Expression, cb: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = codesExpr
+  override def right: Expression = cb
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_decode"
+  override def nullable: Boolean = true
+
+  @transient private lazy val table = new PqCodebookTable(cb)
+
+  def decode(codesIn: ArrayData): ArrayData = {
+    val nM = table.codes.length
+    val out = new Array[Double](table.totalDim)
+    val n = math.min(nM, codesIn.numElements())
+    var m = 0
+    while (m < n) {
+      val code = codesIn.getLong(m)
+      val cs = table.codes(m)
+      val idx = java.util.Arrays.binarySearch(cs, code)
+      if (idx >= 0) {
+        val cv = table.cvs(m)(idx)
+        System.arraycopy(cv, 0, out, table.offsets(m), cv.length)
+      }
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(codesIn: Any, c: Any): Any =
+    decode(codesIn.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqDecoder", this, classOf[PqDecode].getName)
+    nullSafeCodeGen(ctx, ev, (v, _) => s"${ev.value} = $ref.decode($v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqDecode =
+    copy(codesExpr = newLeft, cb = newRight)
+}
+
 object VectorFunctions {
   val dotInfo = (
     new FunctionIdentifier("graft_dot"),
@@ -360,6 +517,16 @@ object VectorFunctions {
     new ExpressionInfo(classOf[CentroidArgmax].getName, "graft_argmax_cell"),
     (children: Seq[Expression]) => CentroidArgmax(children(0), children(1), children(2)))
 
+  val pqEncodeInfo = (
+    new FunctionIdentifier("graft_pq_encode"),
+    new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+    (children: Seq[Expression]) => PqEncode(children(0), children(1)))
+
+  val pqDecodeInfo = (
+    new FunctionIdentifier("graft_pq_decode"),
+    new ExpressionInfo(classOf[PqDecode].getName, "graft_pq_decode"),
+    (children: Seq[Expression]) => PqDecode(children(0), children(1)))
+
   /** Imperative session-scoped registration — lets any session use the
     * functions even when it wasn't built with GraftExtensions. */
   def register(spark: SparkSession): Unit = {
@@ -370,6 +537,8 @@ object VectorFunctions {
     reg.registerFunction(simhashInfo._1, simhashInfo._2, simhashInfo._3)
     reg.registerFunction(minhashInfo._1, minhashInfo._2, minhashInfo._3)
     reg.registerFunction(argmaxInfo._1, argmaxInfo._2, argmaxInfo._3)
+    reg.registerFunction(pqEncodeInfo._1, pqEncodeInfo._2, pqEncodeInfo._3)
+    reg.registerFunction(pqDecodeInfo._1, pqDecodeInfo._2, pqDecodeInfo._3)
     reg.registerFunction(BpeFunctions.bpeCountInfo._1,
       BpeFunctions.bpeCountInfo._2, BpeFunctions.bpeCountInfo._3)
     reg.registerFunction(BpeFunctions.bpePiecesInfo._1,

@@ -744,8 +744,244 @@ object Similarity {
       |      FROM embeddings)
       |WHERE pos <= 8 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Product quantization (PQ) — the ANN COMPRESSION path
+  // --------------------------------------------------------------------
+
+  /** PQ geometry: the vector splits into [[pqM]] contiguous subspaces,
+    * each quantized independently against its own [[pqKsub]]-codeword
+    * codebook (trained per subspace by the same md5-seeded,
+    * micro-unit-quantized Lloyd rounds as the IVF coarse quantizer).
+    * A vector's stored form is M codes — with the production
+    * ksub=256, ONE BYTE each: a 64-dim float vector (256 B) scans as
+    * 8 B, 32× less I/O — while the codebook (M·ksub·subDim doubles)
+    * is a bounded model artifact shipped like a broadcast. ksub=16
+    * here keeps the oracle's training CTE chain tractable; the plan
+    * shape is ksub-independent. Unlike the IVF cell count, the
+    * codebook does NOT scale with the corpus — PQ is compression, not
+    * partitioning: no stage is pairwise in N (scan O(Q·N) over codes,
+    * re-rank O(Q·R) exact), so there is no cell-population flaw to
+    * re-introduce. At 100 TB the two COMPOSE (FAISS-style IVF-PQ):
+    * IVF's probed cells bound the candidate set, PQ's codes bound the
+    * bytes each candidate costs. */
+  private[graft] val pqM = 8
+  private[graft] val pqKsub = 16
+  private val pqSubDim = dim / pqM
+
+  /** Lloyd rounds for each subspace codebook — same oracle-replay
+    * contract as [[ivfIters]]. */
+  private val pqIters = 2
+
+  /** ADC shortlist size before exact re-rank. The standard PQ recipe:
+    * rank ALL candidates by approximate (reconstructed) cosine —
+    * cheap, code-only — keep the top `pqShortlist`, then score those
+    * few exactly. Quantization error only costs recall when a true
+    * top-k neighbor's approx rank falls below R; R a few × topK
+    * absorbs that at 64× compression. */
+  private[graft] val pqShortlist = 32
+
+  private val pqCodebookCache = new CorpusMemo[Seq[(Int, Long, Seq[Double])]]
+
+  /** Trained once per corpus (deterministic artifact, like the IVF
+    * centroids) and memoized under the same signature contract. */
+  private[graft] def pqCodebookRows(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
+    pqCodebookCache.get(dir, "pq", corpusSig(dir)) {
+      computePqCodebookRows(spark, dir)
+    }
+
+  /** Per-subspace k-means, all subspaces trained in ONE job per
+    * round: assignment is the native [[graft.functions.PqEncode]]
+    * (map-only, no shuffle), means are one groupBy on the compact
+    * (m, code, pos) key with micro-unit-quantized components — the
+    * exact-integer-sum trick that makes Spark's parallel partials
+    * equal DuckDB's serial fold. Seeds are the first ksub vectors in
+    * md5(vec_id) order; subspace m inits from their m-th slice (one
+    * seed draw shared by every subspace). Codewords that lose all
+    * members drop out; both engines agree. */
+  private[graft] def computePqCodebookRows(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] = {
+    val emb = embWithNorm(spark, dir)
+    val seedVecs: Seq[Seq[Double]] = emb
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy(col("h"), col("vec_id")).limit(pqKsub)
+      .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
+    var cb: Seq[(Int, Long, Seq[Double])] =
+      (0 until pqM).flatMap { m =>
+        seedVecs.zipWithIndex.map { case (v, i) =>
+          (m, i.toLong, v.slice(m * pqSubDim, (m + 1) * pqSubDim)) } }
+    for (_ <- 1 to pqIters) {
+      cb = assignPqCodes(emb, pqCbLiteral(cb))
+        .select(col("v"), posexplode(col("codes")).as(Seq("m", "code")))
+        .select(col("m"), col("code"),
+          posexplode(slice(col("v"), col("m") * pqSubDim + 1, lit(pqSubDim)))
+            .as(Seq("pos0", "x")))
+        .select(col("m"), col("code"), col("pos0"),
+          round(col("x").cast("double") * 1000000d).cast("long").as("xq"))
+        .groupBy(col("m"), col("code"), col("pos0"))
+        .agg((round(sum(col("xq")) / count(lit(1))) / 1000000d).as("cx"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos0"), col("cx")))),
+          s => s("cx")).as("cv"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2))
+    }
+    cb
+  }
+
+  /** Codebook as a foldable literal array<struct<m, code, cv>> sorted
+    * by (m, code) — the form [[graft.functions.PqCodebookTable]]
+    * decodes once per expression instance. */
+  private[graft] def pqCbLiteral(cb: Seq[(Int, Long, Seq[Double])]): Column =
+    array(cb.sortBy(t => (t._1, t._2)).map { case (m, code, cv) =>
+      struct(lit(m).as("m"), lit(code).as("code"), typedLit(cv).as("cv"))
+    }: _*)
+
+  /** Map-only PQ encoding: (vec_id, v, vn, codes). */
+  private[graft] def assignPqCodes(emb: DataFrame, cb: Column): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("v"), col("vn"),
+      call_function("graft_pq_encode", col("v"), cb).as("codes"))
+  }
+
+  /** PQ ANN top-k: encode the corpus (map-only native expression),
+    * rank every candidate by APPROXIMATE cosine against its
+    * reconstruction — computed from the codes + codebook only, the
+    * compressed-scan stage — keep the top [[pqShortlist]] per query
+    * (WindowGroupLimit prunes per partition before the shuffle), then
+    * re-rank the shortlist EXACTLY via an equi join back to the full
+    * vectors. Both windows tie-break on vec_id; degenerate
+    * (zero-norm) reconstructions score -Inf, matching the oracle's
+    * NULL-sorts-last under DESC. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cbLit = pqCbLiteral(pqCodebookRows(spark, dir))
+    val emb = embWithNorm(spark, dir)
+    // the stored form — at production ksub=256, 8 bytes per vector
+    val stored = assignPqCodes(emb, cbLit).select(col("vec_id"), col("codes"))
+    val cand = stored
+      .withColumn("dec", call_function("graft_pq_decode", col("codes"), cbLit))
+      .withColumn("dn", call_function("graft_l2norm", col("dec")))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val denom = col("qn") * col("dn")
+    val short = broadcast(q).join(cand, col("query_id") =!= col("vec_id"))
+      .withColumn("approx",
+        when(denom === 0.0, lit(Double.NegativeInfinity))
+          .otherwise(call_function("graft_dot", col("qv"), col("dec")) / denom))
+      .withColumn("srn", row_number().over(wApprox))
+      .filter(col("srn") <= pqShortlist)
+      .select(col("query_id"), col("qv"), col("qn"), col("vec_id"))
+    val exact = emb.select(col("vec_id").as("nid"), col("v").as("nv"), col("vn").as("nn"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("nid"))
+    broadcast(short).join(exact, col("vec_id") === col("nid"))
+      .withColumn("cos_raw",
+        call_function("graft_dot", col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("nid").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Codebook-utilization census: population per (subspace, code) —
+    * the balance diagnostic for the quantizer (a dead or overloaded
+    * codeword wastes its compression budget). One posexplode +
+    * groupBy on the compact (m, code) key. */
+  def pqCodeCensus(spark: SparkSession, dir: String): DataFrame = {
+    val cbLit = pqCbLiteral(pqCodebookRows(spark, dir))
+    assignPqCodes(embWithNorm(spark, dir), cbLit)
+      .select(posexplode(col("codes")).as(Seq("m", "code")))
+      .groupBy(col("m").cast("integer").as("m"), col("code"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("m"), col("code"))
+  }
+
+  private def pqL2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(range($pqSubDim), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
+
+  /** The per-subspace training chain + encode in DuckDB SQL: produces
+    * `cb(m, code, cv)` and `codes(vec_id, m, code)` relations.
+    * Requires an `emb(vec_id, v, vn)` CTE upstream. */
+  private def pqSqlCtes: String = {
+    def assign(from: String): String =
+      s"""SELECT vec_id, m, sv, code FROM (
+         |  SELECT s.vec_id, s.m, s.sv, c.code,
+         |         row_number() OVER (PARTITION BY s.vec_id, s.m
+         |           ORDER BY ${pqL2Sql("s.sv", "c.cv")} ASC, c.code ASC) AS arn
+         |  FROM subv s JOIN $from c ON s.m = c.m) WHERE arn = 1""".stripMargin
+    def means(from: String): String =
+      s"""SELECT m, code, list(cx ORDER BY pos) AS cv FROM (
+         |  SELECT m, code, pos, round(sum(xq) / count(*)) / 1000000 AS cx FROM (
+         |    SELECT m, code, CAST(round(unnest(sv) * 1000000) AS BIGINT) AS xq,
+         |           generate_subscripts(sv, 1) AS pos
+         |    FROM $from) GROUP BY 1, 2, 3) GROUP BY 1, 2""".stripMargin
+    val rounds = (1 to pqIters).map { i =>
+      s"pa$i AS (${assign(s"pc${i - 1}")}),\npc$i AS (${means(s"pa$i")})"
+    }.mkString(",\n")
+    s"""subm AS (SELECT CAST(unnest(range($pqM)) AS INTEGER) AS m),
+       |subv AS (
+       |  SELECT vec_id, m,
+       |         list_transform(range($pqSubDim), i -> v[m * $pqSubDim + i + 1]) AS sv
+       |  FROM emb CROSS JOIN subm),
+       |seeds AS (
+       |  SELECT vec_id, row_number() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM emb),
+       |pc0 AS (
+       |  SELECT s.m, CAST(x.rn - 1 AS BIGINT) AS code, s.sv AS cv
+       |  FROM subv s JOIN seeds x ON s.vec_id = x.vec_id WHERE x.rn <= $pqKsub),
+       |$rounds,
+       |cb AS (SELECT m, code, cv FROM pc$pqIters),
+       |codes AS (SELECT vec_id, m, code FROM (
+       |  SELECT s.vec_id, s.m, c.code,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.m
+       |           ORDER BY ${pqL2Sql("s.sv", "c.cv")} ASC, c.code ASC) AS arn
+       |  FROM subv s JOIN cb c ON s.m = c.m) WHERE arn = 1)""".stripMargin
+  }
+
+  val pqTopKSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$pqSqlCtes,
+       |decoded AS (
+       |  SELECT c.vec_id, flatten(list(b.cv ORDER BY c.m)) AS dec
+       |  FROM codes c JOIN cb b ON c.m = b.m AND c.code = b.code
+       |  GROUP BY c.vec_id),
+       |cand AS (SELECT vec_id, dec, ${normSql("dec")} AS dn FROM decoded),
+       |q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn
+       |      FROM emb WHERE vec_id < $nQueries),
+       |short AS (
+       |  SELECT query_id, qv, qn, vec_id FROM (
+       |    SELECT q.query_id, q.qv, q.qn, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${dotSql("q.qv", "c.dec")} / (q.qn * c.dn) DESC, c.vec_id) AS srn
+       |    FROM q JOIN cand c ON q.query_id <> c.vec_id) WHERE srn <= $pqShortlist)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM (
+       |  SELECT s.query_id, e.vec_id AS neighbor_id,
+       |         round(${dotSql("s.qv", "e.v")} / (s.qn * e.vn), 6) AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY s.query_id
+       |           ORDER BY ${dotSql("s.qv", "e.v")} / (s.qn * e.vn) DESC, e.vec_id) AS BIGINT) AS rank
+       |  FROM short s JOIN emb e ON s.vec_id = e.vec_id)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+
+  val pqCodeCensusSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$pqSqlCtes
+       |SELECT m, code, count(*) AS n_vectors
+       |FROM codes GROUP BY m, code ORDER BY m, code""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_label_centroid" -> (labelCentroid _),
+    "sim_pq_topk" -> (pqTopK _),
+    "sim_pq_census" -> (pqCodeCensus _),
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_topk_bruteforce" -> (bruteForceTopK _),
     "sim_topk_native" -> (bruteForceTopKNative _),
@@ -758,6 +994,8 @@ object Similarity {
 
   def oracle: Map[String, String] = Map(
     "sim_label_centroid" -> labelCentroidSql,
+    "sim_pq_topk" -> pqTopKSql,
+    "sim_pq_census" -> pqCodeCensusSql,
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_topk_native" -> bruteForceTopKSql,

@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorFunctions.simhashInfo)
     ext.injectFunction(VectorFunctions.minhashInfo)
     ext.injectFunction(VectorFunctions.argmaxInfo)
+    ext.injectFunction(VectorFunctions.pqEncodeInfo)
+    ext.injectFunction(VectorFunctions.pqDecodeInfo)
     ext.injectFunction(graft.functions.BpeFunctions.bpeCountInfo)
     ext.injectFunction(graft.functions.BpeFunctions.bpePiecesInfo)
     ext.injectOptimizerRule(_ => NativeVectorRewrite)

@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Product-quantization specs: the native encode against a plain-Scala
+  * reference, reconstruction geometry, census totality, and recall of
+  * the shortlist + exact-re-rank pipeline vs brute force. */
+class PqSpec extends SparkSpec {
+
+  private val dim = 64
+  private val subDim = dim / Similarity.pqM
+
+  private def vecs: Map[Long, Seq[Double]] =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+  test("native pq encode matches a plain-Scala argmin over the same codebook") {
+    val cb = Similarity.pqCodebookRows(spark, sf)
+    val byM = cb.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    def expected(v: Seq[Double]): Seq[Long] =
+      (0 until Similarity.pqM).map { m =>
+        val sv = v.slice(m * subDim, (m + 1) * subDim)
+        byM(m).map { case (_, code, cv) =>
+          val d = sv.zip(cv).foldLeft(0.0) { case (acc, (x, c)) => acc + (x - c) * (x - c) }
+          (code, d)
+        }.minBy { case (code, d) => (d, code) }._1 // strict-less, ties to smaller code
+      }
+    val got = Similarity.assignPqCodes(
+        Tables.embeddings(spark, sf)
+          .withColumn("v", col("embedding").cast("array<double>"))
+          .withColumn("vn", lit(1.0)),
+        Similarity.pqCbLiteral(cb))
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val vs = vecs
+    assert(got.keySet === vs.keySet)
+    vs.foreach { case (id, v) =>
+      assert(got(id) === expected(v), s"vec $id")
+    }
+  }
+
+  test("pq decode reconstructs each subspace's codeword, full dim, in subspace order") {
+    val cb = Similarity.pqCodebookRows(spark, sf)
+    val cbMap = cb.map { case (m, code, cv) => (m, code) -> cv }.toMap
+    val rows = Similarity.assignPqCodes(
+        Tables.embeddings(spark, sf)
+          .withColumn("v", col("embedding").cast("array<double>"))
+          .withColumn("vn", lit(1.0)),
+        Similarity.pqCbLiteral(cb))
+      .withColumn("dec",
+        call_function("graft_pq_decode", col("codes"), Similarity.pqCbLiteral(cb)))
+      .select(col("vec_id"), col("codes"), col("dec"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Long](1)
+      val dec = r.getSeq[Double](2)
+      assert(dec.length === dim)
+      codes.zipWithIndex.foreach { case (code, m) =>
+        assert(dec.slice(m * subDim, (m + 1) * subDim) === cbMap((m, code)),
+          s"vec ${r.getLong(0)} subspace $m")
+      }
+    }
+  }
+
+  test("pq census accounts for every (vector, subspace) exactly once") {
+    val n = Tables.embeddings(spark, sf).count()
+    val census = Similarity.pqCodeCensus(spark, sf).collect()
+    assert(census.map(_.getAs[Long]("n_vectors")).sum === n * Similarity.pqM)
+    // and every code in the census exists in the trained codebook
+    val cb = Similarity.pqCodebookRows(spark, sf).map(t => (t._1, t._2)).toSet
+    census.foreach { r =>
+      assert(cb.contains((r.getAs[Int]("m"), r.getAs[Long]("code"))), r.toString)
+    }
+  }
+
+  test("pq shortlist + exact re-rank recovers most of the exact top-k (recall)") {
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val pq = Similarity.pqTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(pq.keySet === exact.keySet)
+    val hits = exact.keys.toSeq.map(q => (pq(q) & exact(q)).size).sum
+    val total = exact.values.map(_.size).sum
+    val recall = hits.toDouble / total
+    // near-uniform random vectors are the WORST case for quantization
+    // (reconstruction error ~ the signal itself); the shortlist+re-rank
+    // still has to beat random chance by a wide margin. Measured ~0.5+
+    // at sf0.001; a real clustered embedding corpus sits far higher.
+    assert(recall >= 0.3, s"recall@5 = $recall")
+    info(f"pq recall@5 vs exact: $recall%.2f")
+  }
+
+  test("pq ranks within shortlist are exact-cosine ranks (re-rank really happened)") {
+    val pq = Similarity.pqTopK(spark, sf).collect()
+    val vs = vecs
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x * x))
+      dot / (na * nb)
+    }
+    pq.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // reported cosines are genuinely the exact ones, descending
+      sorted.foreach { r =>
+        val expected = cos(vs(q), vs(r.getAs[Long]("neighbor_id")))
+        assert(math.abs(r.getAs[Double]("cosine") - expected) < 1e-5,
+          s"query $q neighbor ${r.getAs[Long]("neighbor_id")}")
+      }
+      val cosines = sorted.map(_.getAs[Double]("cosine"))
+      assert(cosines === cosines.sortBy(-_), s"query $q not descending")
+    }
+  }
+}

@@ -180,6 +180,34 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"), plan)
   }
 
+  test("PQ encode is a map-only projection inside whole-stage codegen") {
+    // the compressed representation must cost one scan — no exchange,
+    // no join, and the native expression stays inside codegen
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("vn", lit(1.0))
+    val df = graft.operators.Similarity.assignPqCodes(emb,
+      graft.operators.Similarity.pqCbLiteral(
+        graft.operators.Similarity.pqCodebookRows(spark, sf)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("PQ shortlist prunes per partition; exact re-rank joins the shortlist broadcast") {
+    val df = graft.operators.Similarity.pqTopK(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the srn <= R filter must reach the window as a group limit so
+    // each partition forwards only R rows per query, not all N
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the re-rank join streams the full table past the tiny shortlist
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("semantic-dedup pairs join on the cell id, never all-pairs") {
     val df = graft.operators.Similarity.semanticPairs(spark, sf)
     df.collect()
