@@ -898,6 +898,97 @@ object Similarity {
       .orderBy(col("m"), col("code"))
   }
 
+  /** IVF-PQ — the two indexes COMPOSED, the FAISS production
+    * architecture at 100 TB: the IVF coarse quantizer restricts each
+    * query to its nprobe cells (candidate COUNT bound), candidates
+    * within those cells are ranked by approximate cosine against
+    * their PQ reconstruction (candidate BYTES bound — the scan
+    * touches cell + codes only), and the per-query shortlist is
+    * re-ranked exactly. Every stage reuses the single-index
+    * machinery: [[ivfAssigned]]'s argmax cells, [[pqCodebookRows]]'s
+    * codebooks, [[pqTopK]]'s shortlist + re-rank tail. The only
+    * shuffle is the cell equi join (cells are disjoint, so a
+    * candidate meets each query at most once — no dedup stage). */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (k, nprobe) = ivfParams(spark, dir)
+    val emb = embWithNorm(spark, dir)
+    val cents = centroidLiteral(spark, dir, k)
+    val cbLit = pqCbLiteral(pqCodebookRows(spark, dir))
+    // the stored form: (cell, codes) — both index artifacts in one
+    // map-only pass over the corpus
+    val cand = assignCells(emb, cents)
+      .withColumn("codes", call_function("graft_pq_encode", col("v"), cbLit))
+      .select(col("vec_id"), col("cell").as("ccell"),
+        call_function("graft_pq_decode", col("codes"), cbLit).as("dec"))
+      .withColumn("dn", call_function("graft_l2norm", col("dec")))
+    val q = probeCells(emb.filter(col("vec_id") < nQueries), cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"),
+        col("cell"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val denom = col("qn") * col("dn")
+    val short = broadcast(q)
+      .join(cand, col("cell") === col("ccell") && col("query_id") =!= col("vec_id"))
+      .withColumn("approx",
+        when(denom === 0.0, lit(Double.NegativeInfinity))
+          .otherwise(call_function("graft_dot", col("qv"), col("dec")) / denom))
+      .withColumn("srn", row_number().over(wApprox))
+      .filter(col("srn") <= pqShortlist)
+      .select(col("query_id"), col("qv"), col("qn"), col("vec_id"))
+    val exact = emb.select(col("vec_id").as("nid"), col("v").as("nv"), col("vn").as("nn"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("nid"))
+    broadcast(short).join(exact, col("vec_id") === col("nid"))
+      .withColumn("cos_raw",
+        call_function("graft_dot", col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("nid").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ivfPqTopKSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$ivfCentroidsSqlCtes,
+       |$pqSqlCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, e.v, e.vn, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM ranked WHERE arn = 1),
+       |qprobes AS (
+       |  SELECT vec_id AS query_id, v AS qv, vn AS qn, cell
+       |  FROM ranked WHERE vec_id < $nQueries AND arn <= (SELECT np FROM params)),
+       |decoded AS (
+       |  SELECT c.vec_id, flatten(list(b.cv ORDER BY c.m)) AS dec
+       |  FROM codes c JOIN cb b ON c.m = b.m AND c.code = b.code
+       |  GROUP BY c.vec_id),
+       |cand AS (
+       |  SELECT d.vec_id, a.cell, d.dec, ${normSql("d.dec")} AS dn
+       |  FROM decoded d JOIN assigned a ON d.vec_id = a.vec_id),
+       |short AS (
+       |  SELECT query_id, qv, qn, vec_id FROM (
+       |    SELECT q.query_id, q.qv, q.qn, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${dotSql("q.qv", "c.dec")} / (q.qn * c.dn) DESC, c.vec_id) AS srn
+       |    FROM qprobes q JOIN cand c ON q.cell = c.cell AND q.query_id <> c.vec_id)
+       |  WHERE srn <= $pqShortlist)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM (
+       |  SELECT s.query_id, e.vec_id AS neighbor_id,
+       |         round(${dotSql("s.qv", "e.v")} / (s.qn * e.vn), 6) AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY s.query_id
+       |           ORDER BY ${dotSql("s.qv", "e.v")} / (s.qn * e.vn) DESC, e.vec_id) AS BIGINT) AS rank
+       |  FROM short s JOIN emb e ON s.vec_id = e.vec_id)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+
   private def pqL2Sql(a: String, b: String): String =
     s"list_sum(list_transform(range($pqSubDim), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
 
@@ -982,6 +1073,7 @@ object Similarity {
     "sim_label_centroid" -> (labelCentroid _),
     "sim_pq_topk" -> (pqTopK _),
     "sim_pq_census" -> (pqCodeCensus _),
+    "sim_ivfpq_topk" -> (ivfPqTopK _),
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_topk_bruteforce" -> (bruteForceTopK _),
     "sim_topk_native" -> (bruteForceTopKNative _),
@@ -996,6 +1088,7 @@ object Similarity {
     "sim_label_centroid" -> labelCentroidSql,
     "sim_pq_topk" -> pqTopKSql,
     "sim_pq_census" -> pqCodeCensusSql,
+    "sim_ivfpq_topk" -> ivfPqTopKSql,
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_topk_native" -> bruteForceTopKSql,

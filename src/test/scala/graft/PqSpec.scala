@@ -95,6 +95,41 @@ class PqSpec extends SparkSpec {
     info(f"pq recall@5 vs exact: $recall%.2f")
   }
 
+  test("ivf-pq composition: results are a subset-quality view of pq (cells only restrict)") {
+    // IVF probing can only REMOVE candidates relative to plain PQ
+    // (cells partition the corpus; a query sees nprobe of them), so
+    // every ivf-pq neighbor that plain PQ also surfaced must carry
+    // the SAME exact cosine — the re-rank tail is shared.
+    val pq = Similarity.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    val ivfpq = Similarity.ivfPqTopK(spark, sf).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("neighbor_id"))
+      pq.get(key).foreach { c =>
+        assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9, key.toString)
+      }
+    }
+    // and it still finds a reasonable share of the exact top-k
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val byQ = ivfpq.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val hits = exact.keys.toSeq.map(q => (byQ.getOrElse(q, Set.empty) & exact(q)).size).sum
+    val recall = hits.toDouble / exact.values.map(_.size).sum
+    info(f"ivf-pq recall@5 vs exact: $recall%.2f")
+    assert(recall >= 0.2, s"recall@5 = $recall")
+  }
+
+  test("ivf-pq candidate join is an equi join on the cell (never all-pairs)") {
+    val df = Similarity.ivfPqTopK(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("pq ranks within shortlist are exact-cosine ranks (re-rank really happened)") {
     val pq = Similarity.pqTopK(spark, sf).collect()
     val vs = vecs
