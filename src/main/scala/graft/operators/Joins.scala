@@ -404,6 +404,113 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** Salted skew join — the MANUAL hot-key remedy (AQE's runtime
+    * skew split, asserted in ScaleSpec, is the zero-copy automatic
+    * one; salting is what you reach for when the skew is known ahead
+    * of time or the engine's thresholds won't trigger). The fact side
+    * gets a deterministic salt in [0, S); the other side replicates
+    * ×S so every (key, salt) pair still meets — a hot key's rows
+    * spread over S reducers instead of stalling one straggler task.
+    * Exact semantics: the oracle is the PLAIN join (salting must be
+    * invisible in the result). The ×S replication is the price, paid
+    * on the SMALLER side — worth it exactly when that side is modest
+    * and the hot side's skew dominates. `hint("merge")` keeps the
+    * join a shuffle join at test SF so the salted path is the one
+    * exercised. */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 16
+    val l = Tables.lineitem(spark, dir)
+      .withColumn("__salt", pmod(col("l_linenumber").cast("int"), lit(salts)))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("__salt", explode(array((0 until salts).map(lit(_)): _*)))
+    l.hint("merge")
+      .join(o, l("l_orderkey") === o("o_orderkey") && l("__salt") === o("__salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val saltedSkewJoinSql: String =
+    """SELECT o_orderpriority,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS line_cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Bucketed co-located join — the LAYOUT remedy for a repeated
+    * big⋈big join: both sides are written `bucketBy` the join key
+    * (the on-disk analog of a pre-partitioned table), so the join
+    * reads bucket i against bucket i with NO exchange on either side
+    * — at 100 TB this converts every recurring join on the key into
+    * a scan-only stage. The no-shuffle property itself is asserted in
+    * ScaleSpec; this query puts the round-trip THROUGH the bucketed
+    * layout (write, catalog read-back, join) under the value oracle.
+    * `hint("merge")` pins the SMJ shape the bucketed layout feeds. */
+  def bucketedColocatedJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_verify_orders_b")
+    Tables.customer(spark, dir)
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_verify_customer_b")
+    val o = spark.table("graft_verify_orders_b")
+    val c = spark.table("graft_verify_customer_b")
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("order_cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val bucketedColocatedJoinSql: String =
+    """SELECT c_mktsegment,
+      |       count(*) AS order_cnt,
+      |       round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Bloom-pruned join — the hand-planted runtime-filter pattern:
+    * build a bloom filter over the build side's keys (a bounded
+    * sketch, shipped like a broadcast), drop non-joining fact rows
+    * AT THE SCAN with Spark's own codegen'd BloomFilterMightContain
+    * predicate, THEN join exactly — false positives die in the real
+    * join, so the result is byte-identical to the plain join (the
+    * oracle) while the shuffle moves only ~selectivity of the fact
+    * table. Spark's optimizer injects this automatically when its
+    * size thresholds fire (asserted in ScaleSpec); the explicit form
+    * covers the cases they don't — a pre-filtered dimension the
+    * stats can't see through, or a reused filter across stages. */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(spark)
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = dim.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val fact = Tables.lineitem(spark, dir)
+      .filter(call_function("graft_bloom_might_contain", lit(bytes), col("l_orderkey")))
+    fact.hint("merge").join(dim, col("l_orderkey") === col("o_orderkey"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("urgent_revenue"),
+        count(lit(1)).as("line_cnt"))
+  }
+
+  val bloomPrunedJoinSql: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS urgent_revenue,
+      |       count(*) AS line_cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_revenue_by_segment" -> (revenueBySegment _),
     "join_revenue_by_nation" -> (revenueByNation _),
@@ -418,7 +525,10 @@ object Joins {
     "join_asof_merge" -> (asofJoinMerge _),
     "join_asof_forward" -> (asofJoinForward _),
     "join_asof_left" -> (asofJoinLeft _),
-    "join_asof_plan" -> (asofJoinPlan _)
+    "join_asof_plan" -> (asofJoinPlan _),
+    "join_skew_salted" -> (saltedSkewJoin _),
+    "join_bucketed_colocated" -> (bucketedColocatedJoin _),
+    "join_bloom_prune" -> (bloomPrunedJoin _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -435,6 +545,9 @@ object Joins {
     "join_asof_merge" -> asofJoinSql,
     "join_asof_forward" -> asofJoinForwardSql,
     "join_asof_left" -> asofJoinLeftSql,
-    "join_asof_plan" -> asofJoinSql
+    "join_asof_plan" -> asofJoinSql,
+    "join_skew_salted" -> saltedSkewJoinSql,
+    "join_bucketed_colocated" -> bucketedColocatedJoinSql,
+    "join_bloom_prune" -> bloomPrunedJoinSql
   )
 }

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorFunctions.argmaxInfo)
     ext.injectFunction(VectorFunctions.pqEncodeInfo)
     ext.injectFunction(VectorFunctions.pqDecodeInfo)
+    ext.injectFunction(graft.functions.SketchFunctions.mightContainInfo)
     ext.injectFunction(graft.functions.BpeFunctions.bpeCountInfo)
     ext.injectFunction(graft.functions.BpeFunctions.bpePiecesInfo)
     ext.injectOptimizerRule(_ => NativeVectorRewrite)

@@ -150,6 +150,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("explicit bloom prune filters the fact scan BELOW the shuffle join") {
+    val df = graft.operators.Joins.bloomPrunedJoin(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the might-contain predicate must appear as a Filter on the
+    // lineitem branch (before its exchange), not above the join
+    val mightIdx = plan.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinIdx = plan.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+    assert(mightIdx >= 0, plan)
+    assert(joinIdx >= 0 && mightIdx > joinIdx,
+      s"bloom filter should sit in the scan branch below the join:\n$plan")
+  }
+
+  test("salted skew join keys the shuffle on (key, salt), result oracle-identical") {
+    val df = graft.operators.Joins.saltedSkewJoin(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan) // the salt reached the join key
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
   test("near-dup candidate generation stays an equi join (no cartesian regression)") {
     // the round-2 fix replaced quadratic attribute blocking with an
     // equi self-join on band signatures; pin the plan shape so a
