@@ -681,6 +681,69 @@ object CorpusOps {
        |FROM fracs f LEFT JOIN kept k ON f.lang = k.lang
        |ORDER BY 1""".stripMargin
 
+  /** Corpus-global duplicate-span removal — the C4/RefinedWeb "line
+    * dedup" pass: any fixed-width span of text that occurs ANYWHERE
+    * else in the corpus keeps only its first occurrence (ordered by
+    * (doc_id, position)); every later occurrence is cut and the
+    * documents are reassembled from what survives. This is distinct
+    * from document-level dedup (exact/MinHash/semantic): boilerplate
+    * — headers, license blocks, navigation chrome — repeats across
+    * otherwise-unique pages and survives document-level passes.
+    *
+    * The synthetic corpus has no newlines, so W-word NON-overlapping
+    * segments stand in for lines (a real deployment splits on '\n' or
+    * sentence bounds — only the segmenting expression changes).
+    *
+    * Scale shape: one map-side fan-out (×n/W rows, each a short
+    * string), ONE shuffle keyed by the segment text (the window;
+    * at 100 TB the key would be md5(segment) — same cardinality,
+    * fixed width), with the rank<=1 filter pruned per-partition by
+    * WindowGroupLimit, then one groupBy(doc_id) to reassemble.
+    * Everything is linear in corpus tokens; nothing is pairwise. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = 10
+    val t = toks(col("text"))
+    val nSeg = ceil(size(t).cast("double") / w).cast("int")
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSeg - 1),
+          i => array_join(slice(t, i * w + 1, lit(w)), " "))).as(Seq("seg_idx", "seg")))
+    val firstWin = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    segs
+      .withColumn("occ", row_number().over(firstWin))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        count(when(col("occ") === 1, 1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("occ") === 1,
+              struct(col("seg_idx"), col("seg"))))),
+            s => s("seg")), " ").as("new_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lineDedupSql: String =
+    """WITH segs AS (
+      |  SELECT doc_id,
+      |         CAST(i AS INTEGER) AS seg_idx,
+      |         array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' ') AS seg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+      |               unnest(range(CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT))) AS i
+      |        FROM documents)),
+      |occd AS (
+      |  SELECT doc_id, seg_idx, seg,
+      |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS occ
+      |  FROM segs)
+      |SELECT doc_id,
+      |       count(*) AS n_segments,
+      |       count(*) FILTER (WHERE occ = 1) AS n_kept,
+      |       coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE occ = 1), '') AS new_text
+      |FROM occd
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_chunk_overlap" -> (chunkOverlap _),
     "corpus_mix_rebalance" -> (mixRebalance _),
@@ -697,7 +760,8 @@ object CorpusOps {
     "corpus_pack_bpe" -> ((s, d) => packBpe(s, d)),
     "corpus_bpe_pieces" -> ((s, d) => bpePieces(s, d)),
     "corpus_chunk_bpe" -> ((s, d) => chunkBpe(s, d)),
-    "corpus_e2e_prep" -> (e2ePrep _)
+    "corpus_e2e_prep" -> (e2ePrep _),
+    "corpus_line_dedup" -> (lineDedup _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -716,6 +780,7 @@ object CorpusOps {
     "corpus_pack_bpe" -> packBpeSql,
     "corpus_bpe_pieces" -> bpePiecesSql,
     "corpus_chunk_bpe" -> chunkBpeSql,
-    "corpus_e2e_prep" -> e2ePrepSql
+    "corpus_e2e_prep" -> e2ePrepSql,
+    "corpus_line_dedup" -> lineDedupSql
   )
 }

@@ -349,6 +349,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("line dedup keeps the first occurrence of a repeated span, segment accounting exact") {
+    val out = graft.operators.CorpusOps.lineDedup(spark, sf).collect()
+    // totality: every document reappears, all-natural counts
+    assert(out.length === Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n_segments"), r.getAs[Long]("n_kept"))
+      assert(kept >= 0 && kept <= n, r.toString)
+      // reassembled text has exactly kept segments' words (join by space)
+      val words = r.getAs[String]("new_text") match {
+        case "" => 0L
+        case s  => s.split(" ").length.toLong
+      }
+      assert(words <= n * 10, r.toString)
+    }
+    // each distinct segment survives exactly once corpus-wide: the
+    // total kept count equals the number of distinct segments
+    val totalKept = out.map(_.getAs[Long]("n_kept")).sum
+    val distinctSegs = Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          ceil(size(split(col("text"), " ")).cast("double") / 10).cast("int") - 1),
+        i => array_join(slice(split(col("text"), " "), i * 10 + 1, lit(10)), " ")))
+        .as(Seq("i", "seg")))
+      .select(col("seg")).distinct().count()
+    assert(totalKept === distinctSegs)
+  }
+
   test("repetition ratios are in [0,1] and zero for all-distinct docs") {
     import spark.implicits._
     val rep = graft.operators.CorpusOps.repetition(spark, sf)
