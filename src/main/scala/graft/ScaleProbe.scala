@@ -150,7 +150,30 @@ object ScaleProbe {
       // neardup_verified_pairs row below); the plan-shape metric is
       // the candidate-mass row above, and the TIME must track it
       ("semantic_cell_pairs", () =>
-        graft.operators.Similarity.semanticPairs(spark, dir).count())
+        graft.operators.Similarity.semanticPairs(spark, dir).count()),
+      // PQ encoding — the ANN compression pass: one native map-only
+      // scan (graft_pq_encode over the literal codebook), O(N·M·ksub)
+      // compute with ZERO shuffle; the codebook does NOT grow with
+      // the corpus (it is compression, not partitioning), so per-row
+      // cost is CONSTANT and the row must scale ~linearly. The warmup
+      // call absorbs the one-time Lloyd training (memoized per
+      // corpus). The size() filter forces `codes` to evaluate.
+      ("pq_encode", () =>
+        graft.operators.Similarity.assignPqCodes(
+            Tables.embeddings(spark, dir)
+              .withColumn("v", col("embedding").cast("array<double>"))
+              .withColumn("vn", call_function("graft_l2norm", col("v"))),
+            graft.operators.Similarity.pqCbLiteral(
+              graft.operators.Similarity.pqCodebookRows(spark, dir)))
+          .filter(size(col("codes")) > 0).count()),
+      // corpus-global span dedup (corpus_line_dedup): explode to
+      // ~tokens/W span rows, ONE shuffle on the span key, reassemble.
+      // Replicated docs carry a distinguishing copytoken, so only
+      // in-document and cross-copy coincidental spans collide —
+      // result rows = doc count by construction; the TIME row is the
+      // linearity evidence (span shuffle volume ∝ corpus tokens)
+      ("line_dedup_spans", () =>
+        graft.operators.CorpusOps.lineDedup(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

@@ -451,6 +451,18 @@ object Joins {
     * layout (write, catalog read-back, join) under the value oracle.
     * `hint("merge")` pins the SMJ shape the bucketed layout feeds. */
   def bucketedColocatedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // the session catalog is in-memory per JVM but the warehouse dir
+    // persists on disk: a table name whose directory survived a
+    // previous JVM (no catalog entry to overwrite) fails
+    // LOCATION_ALREADY_EXISTS — drop both, like ScaleSpec's
+    // dropTableAndDir
+    Seq("graft_verify_orders_b", "graft_verify_customer_b").foreach { name =>
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     Tables.orders(spark, dir)
       .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
       .saveAsTable("graft_verify_orders_b")

@@ -169,21 +169,27 @@ object TextAnalysis {
     // corpus is exploded once and the tf exchange is reused by AQE
     // instead of a second explode + distinct shuffle
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("tfidf_raw").desc, col("term"))
     // NO broadcast hint on df: the document-frequency table is
     // vocabulary-sized and grows with the corpus — a forced broadcast
     // OOMs driver+executors at 100 TB. Left to the optimizer, AQE
     // still broadcasts while df fits under the threshold, and falls
     // back to a shuffled hash join on the compact `term` key when it
     // doesn't (same policy as CorpusOps.unigramLogprob).
+    //
+    // Top term via an ORDERED-STRUCT MIN, not a rank window: the join
+    // output is partitioned by term, so a window would re-shuffle and
+    // SORT every (doc, term) row by doc just to keep rank 1 — the
+    // aggregate gets map-side partial combine (each map partition
+    // forwards ONE candidate per doc) and no sort. min over
+    // (-tfidf, term) is exactly the window's (tfidf DESC, term ASC)
+    // order; -0.0 renegates to +0.0 before rounding.
     tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf_raw", col("tf") * log(col("n_docs").cast("double") / col("df")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("term").as("top_term"),
-        round(col("tfidf_raw"), 6).as("tfidf"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("tfidf_raw")).as("neg"), col("term").as("t"))).as("best"))
+      .select(col("doc_id"), col("best.t").as("top_term"),
+        round(-col("best.neg") + lit(0.0), 6).as("tfidf"))
       .orderBy(col("doc_id"))
   }
 
