@@ -435,6 +435,115 @@ case class PqEncode(vec: Expression, cb: Expression)
     copy(vec = newLeft, cb = newRight)
 }
 
+/** Shared decode of the IVF centroid literal
+  * (array<struct<cent_id, cv, cn>>, the [[CentroidArgmax]] table)
+  * into an id-indexed lookup — for the residual arithmetic of
+  * IVF-PQ. */
+private[functions] final class CentroidTable(cents: Expression) extends Serializable {
+  require(cents.foldable, "centroid table must be foldable")
+  @transient lazy val (ids, cvs): (Array[Long], Array[Array[Double]]) = {
+    val arr = cents.eval().asInstanceOf[ArrayData]
+    val rows = (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 3)
+      (r.getLong(0), r.getArray(1).toDoubleArray())
+    }.sortBy(_._1)
+    (rows.map(_._1).toArray, rows.map(_._2).toArray)
+  }
+  /** centroid vector for a cell id; empty for an unknown id. */
+  def cv(cell: Long): Array[Double] = {
+    val idx = java.util.Arrays.binarySearch(ids, cell)
+    if (idx >= 0) cvs(idx) else Array.emptyDoubleArray
+  }
+}
+
+/** `graft_cell_residual(vec, cell, cents)` — `vec - centroid(cell)`,
+  * the quantity residual PQ codebooks train on and encode: after
+  * coarse assignment the residual is what remains to compress, and
+  * its magnitude is a fraction of the raw vector's, so the same
+  * codebook budget buys far less quantization error (the FAISS
+  * IVF-PQ construction). Elementwise over min(dims); an unknown cell
+  * (impossible for cells produced by graft_argmax_cell over the same
+  * table) passes the vector through unchanged. */
+case class CellResidual(vec: Expression, cell: Expression, cents: Expression)
+  extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = cell
+  override def third: Expression = cents
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_cell_residual"
+  override def nullable: Boolean = true
+
+  @transient private lazy val table = new CentroidTable(cents)
+
+  def residual(v: ArrayData, cell: Long): ArrayData = {
+    val x = v.toDoubleArray()
+    val c = table.cv(cell)
+    val out = new Array[Double](x.length)
+    var i = 0
+    while (i < x.length) {
+      out(i) = if (i < c.length) x(i) - c(i) else x(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any, cell: Any, c: Any): Any =
+    residual(v.asInstanceOf[ArrayData], cell.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("residualImpl", this, classOf[CellResidual].getName)
+    nullSafeCodeGen(ctx, ev, (v, cell, _) => s"${ev.value} = $ref.residual($v, $cell);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): CellResidual =
+    copy(vec = newFirst, cell = newSecond, cents = newThird)
+}
+
+/** `graft_cell_add(vec, cell, cents)` — `vec + centroid(cell)`: the
+  * reconstruction side of residual PQ (centroid + decoded residual).
+  * Exact inverse shape of [[CellResidual]] — NOT computed as
+  * `v - (v - μ)` anywhere, which would not be IEEE-exact. */
+case class CellAdd(vec: Expression, cell: Expression, cents: Expression)
+  extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = cell
+  override def third: Expression = cents
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_cell_add"
+  override def nullable: Boolean = true
+
+  @transient private lazy val table = new CentroidTable(cents)
+
+  def add(v: ArrayData, cell: Long): ArrayData = {
+    val x = v.toDoubleArray()
+    val c = table.cv(cell)
+    val out = new Array[Double](x.length)
+    var i = 0
+    while (i < x.length) {
+      out(i) = if (i < c.length) x(i) + c(i) else x(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any, cell: Any, c: Any): Any =
+    add(v.asInstanceOf[ArrayData], cell.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellAddImpl", this, classOf[CellAdd].getName)
+    nullSafeCodeGen(ctx, ev, (v, cell, _) => s"${ev.value} = $ref.add($v, $cell);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): CellAdd =
+    copy(vec = newFirst, cell = newSecond, cents = newThird)
+}
+
 /** `graft_pq_decode(codes, codebook)` — reconstruct the quantized
   * vector from its M codes: each subspace's codeword, concatenated in
   * subspace order. The ADC (asymmetric distance computation) scoring
@@ -527,6 +636,16 @@ object VectorFunctions {
     new ExpressionInfo(classOf[PqDecode].getName, "graft_pq_decode"),
     (children: Seq[Expression]) => PqDecode(children(0), children(1)))
 
+  val cellResidualInfo = (
+    new FunctionIdentifier("graft_cell_residual"),
+    new ExpressionInfo(classOf[CellResidual].getName, "graft_cell_residual"),
+    (children: Seq[Expression]) => CellResidual(children(0), children(1), children(2)))
+
+  val cellAddInfo = (
+    new FunctionIdentifier("graft_cell_add"),
+    new ExpressionInfo(classOf[CellAdd].getName, "graft_cell_add"),
+    (children: Seq[Expression]) => CellAdd(children(0), children(1), children(2)))
+
   /** Imperative session-scoped registration — lets any session use the
     * functions even when it wasn't built with GraftExtensions. */
   def register(spark: SparkSession): Unit = {
@@ -539,6 +658,8 @@ object VectorFunctions {
     reg.registerFunction(argmaxInfo._1, argmaxInfo._2, argmaxInfo._3)
     reg.registerFunction(pqEncodeInfo._1, pqEncodeInfo._2, pqEncodeInfo._3)
     reg.registerFunction(pqDecodeInfo._1, pqDecodeInfo._2, pqDecodeInfo._3)
+    reg.registerFunction(cellResidualInfo._1, cellResidualInfo._2, cellResidualInfo._3)
+    reg.registerFunction(cellAddInfo._1, cellAddInfo._2, cellAddInfo._3)
     reg.registerFunction(BpeFunctions.bpeCountInfo._1,
       BpeFunctions.bpeCountInfo._2, BpeFunctions.bpeCountInfo._3)
     reg.registerFunction(BpeFunctions.bpePiecesInfo._1,

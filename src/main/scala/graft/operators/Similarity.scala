@@ -798,9 +798,14 @@ object Similarity {
     * md5(vec_id) order; subspace m inits from their m-th slice (one
     * seed draw shared by every subspace). Codewords that lose all
     * members drop out; both engines agree. */
-  private[graft] def computePqCodebookRows(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] = {
-    val emb = embWithNorm(spark, dir)
-    val seedVecs: Seq[Seq[Double]] = emb
+  private[graft] def computePqCodebookRows(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
+    trainPqCodebooks(embWithNorm(spark, dir).select(col("vec_id"), col("v")))
+
+  /** The subspace-Lloyd trainer over an arbitrary (vec_id, v) corpus —
+    * shared by flat PQ (raw vectors) and IVF-PQ (coarse residuals). */
+  private[graft] def trainPqCodebooks(vecs: DataFrame): Seq[(Int, Long, Seq[Double])] = {
+    graft.functions.VectorFunctions.register(vecs.sparkSession)
+    val seedVecs: Seq[Seq[Double]] = vecs
       .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
       .orderBy(col("h"), col("vec_id")).limit(pqKsub)
       .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
@@ -809,7 +814,9 @@ object Similarity {
         seedVecs.zipWithIndex.map { case (v, i) =>
           (m, i.toLong, v.slice(m * pqSubDim, (m + 1) * pqSubDim)) } }
     for (_ <- 1 to pqIters) {
-      cb = assignPqCodes(emb, pqCbLiteral(cb))
+      cb = vecs
+        .select(col("v"),
+          call_function("graft_pq_encode", col("v"), pqCbLiteral(cb)).as("codes"))
         .select(col("v"), posexplode(col("codes")).as(Seq("m", "code")))
         .select(col("m"), col("code"),
           posexplode(slice(col("v"), col("m") * pqSubDim + 1, lit(pqSubDim)))
@@ -898,29 +905,55 @@ object Similarity {
       .orderBy(col("m"), col("code"))
   }
 
+  /** Residual codebooks for IVF-PQ: trained on `v - centroid(cell)`
+    * AFTER coarse assignment — the FAISS construction. The residual's
+    * magnitude is a fraction of the raw vector's, so the same
+    * M × ksub budget buys far less quantization error than flat PQ.
+    * Keyed by k too (the residuals depend on the coarse quantizer). */
+  private[graft] def ivfPqCodebookRows(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] = {
+    val (k, _) = ivfParams(spark, dir)
+    pqCodebookCache.get(dir, s"ivfpq_k=$k", corpusSig(dir)) {
+      val cents = centroidLiteral(spark, dir, k)
+      val res = assignCells(embWithNorm(spark, dir), cents)
+        .select(col("vec_id"),
+          call_function("graft_cell_residual", col("v"), col("cell"), cents).as("v"))
+      trainPqCodebooks(res)
+    }
+  }
+
   /** IVF-PQ — the two indexes COMPOSED, the FAISS production
     * architecture at 100 TB: the IVF coarse quantizer restricts each
     * query to its nprobe cells (candidate COUNT bound), candidates
     * within those cells are ranked by approximate cosine against
-    * their PQ reconstruction (candidate BYTES bound — the scan
-    * touches cell + codes only), and the per-query shortlist is
-    * re-ranked exactly. Every stage reuses the single-index
-    * machinery: [[ivfAssigned]]'s argmax cells, [[pqCodebookRows]]'s
-    * codebooks, [[pqTopK]]'s shortlist + re-rank tail. The only
-    * shuffle is the cell equi join (cells are disjoint, so a
-    * candidate meets each query at most once — no dedup stage). */
+    * their reconstruction (candidate BYTES bound — the scan touches
+    * cell + codes only), and the per-query shortlist is re-ranked
+    * exactly. PQ encodes the RESIDUAL `v - centroid(cell)`
+    * ([[ivfPqCodebookRows]]); reconstruction is
+    * `centroid(cell) + decode(codes)` — never `v - (v - μ)`, which
+    * would not be IEEE-exact. Every stage reuses the single-index
+    * machinery: [[ivfAssigned]]'s argmax cells, [[trainPqCodebooks]],
+    * [[pqTopK]]'s shortlist + re-rank tail. The only shuffle is the
+    * cell equi join (cells are disjoint, so a candidate meets each
+    * query at most once — no dedup stage). */
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val (k, nprobe) = ivfParams(spark, dir)
     val emb = embWithNorm(spark, dir)
     val cents = centroidLiteral(spark, dir, k)
-    val cbLit = pqCbLiteral(pqCodebookRows(spark, dir))
+    val cbLit = pqCbLiteral(ivfPqCodebookRows(spark, dir))
     // the stored form: (cell, codes) — both index artifacts in one
     // map-only pass over the corpus
-    val cand = assignCells(emb, cents)
-      .withColumn("codes", call_function("graft_pq_encode", col("v"), cbLit))
-      .select(col("vec_id"), col("cell").as("ccell"),
-        call_function("graft_pq_decode", col("codes"), cbLit).as("dec"))
-      .withColumn("dn", call_function("graft_l2norm", col("dec")))
+    val stored = assignCells(emb, cents)
+      .withColumn("rv",
+        call_function("graft_cell_residual", col("v"), col("cell"), cents))
+      .select(col("vec_id"), col("cell"),
+        call_function("graft_pq_encode", col("rv"), cbLit).as("codes"))
+    // reconstruction reads ONLY (cell, codes) + the two bounded
+    // model artifacts (centroid table, codebook)
+    val cand = stored
+      .withColumn("recon", call_function("graft_cell_add",
+        call_function("graft_pq_decode", col("codes"), cbLit), col("cell"), cents))
+      .select(col("vec_id"), col("cell").as("ccell"), col("recon").as("dec"),
+        call_function("graft_l2norm", col("recon")).as("dn"))
     val q = probeCells(emb.filter(col("vec_id") < nQueries), cents, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"),
         col("cell"))
@@ -954,14 +987,18 @@ object Similarity {
        |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
        |  FROM embeddings),
        |$ivfCentroidsSqlCtes,
-       |$pqSqlCtes,
        |ranked AS (
        |  SELECT e.vec_id, e.v, e.vn, c.cent_id AS cell,
        |         row_number() OVER (PARTITION BY e.vec_id
        |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
        |  FROM emb e CROSS JOIN cents c),
        |assigned AS (
-       |  SELECT vec_id, cell FROM ranked WHERE arn = 1),
+       |  SELECT vec_id, v, cell FROM ranked WHERE arn = 1),
+       |res AS (
+       |  SELECT a.vec_id,
+       |         list_transform(range($dim), i -> a.v[i+1] - c.cv[i+1]) AS v
+       |  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+       |${pqSqlCtes("res")},
        |qprobes AS (
        |  SELECT vec_id AS query_id, v AS qv, vn AS qn, cell
        |  FROM ranked WHERE vec_id < $nQueries AND arn <= (SELECT np FROM params)),
@@ -969,9 +1006,14 @@ object Similarity {
        |  SELECT c.vec_id, flatten(list(b.cv ORDER BY c.m)) AS dec
        |  FROM codes c JOIN cb b ON c.m = b.m AND c.code = b.code
        |  GROUP BY c.vec_id),
+       |recon AS (
+       |  SELECT d.vec_id, a.cell,
+       |         list_transform(range($dim), i -> ct.cv[i+1] + d.dec[i+1]) AS dec
+       |  FROM decoded d
+       |  JOIN assigned a ON d.vec_id = a.vec_id
+       |  JOIN cents ct ON a.cell = ct.cent_id),
        |cand AS (
-       |  SELECT d.vec_id, a.cell, d.dec, ${normSql("d.dec")} AS dn
-       |  FROM decoded d JOIN assigned a ON d.vec_id = a.vec_id),
+       |  SELECT vec_id, cell, dec, ${normSql("dec")} AS dn FROM recon),
        |short AS (
        |  SELECT query_id, qv, qn, vec_id FROM (
        |    SELECT q.query_id, q.qv, q.qn, c.vec_id,
@@ -993,9 +1035,10 @@ object Similarity {
     s"list_sum(list_transform(range($pqSubDim), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
 
   /** The per-subspace training chain + encode in DuckDB SQL: produces
-    * `cb(m, code, cv)` and `codes(vec_id, m, code)` relations.
-    * Requires an `emb(vec_id, v, vn)` CTE upstream. */
-  private def pqSqlCtes: String = {
+    * `cb(m, code, cv)` and `codes(vec_id, m, code)` relations over the
+    * `src(vec_id, v)` relation (raw vectors for flat PQ, coarse
+    * residuals for IVF-PQ). */
+  private def pqSqlCtes(src: String = "emb"): String = {
     def assign(from: String): String =
       s"""SELECT vec_id, m, sv, code FROM (
          |  SELECT s.vec_id, s.m, s.sv, c.code,
@@ -1015,10 +1058,10 @@ object Similarity {
        |subv AS (
        |  SELECT vec_id, m,
        |         list_transform(range($pqSubDim), i -> v[m * $pqSubDim + i + 1]) AS sv
-       |  FROM emb CROSS JOIN subm),
+       |  FROM $src CROSS JOIN subm),
        |seeds AS (
        |  SELECT vec_id, row_number() OVER (
-       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM emb),
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM $src),
        |pc0 AS (
        |  SELECT s.m, CAST(x.rn - 1 AS BIGINT) AS code, s.sv AS cv
        |  FROM subv s JOIN seeds x ON s.vec_id = x.vec_id WHERE x.rn <= $pqKsub),
@@ -1036,7 +1079,7 @@ object Similarity {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
        |  FROM embeddings),
-       |$pqSqlCtes,
+       |${pqSqlCtes()},
        |decoded AS (
        |  SELECT c.vec_id, flatten(list(b.cv ORDER BY c.m)) AS dec
        |  FROM codes c JOIN cb b ON c.m = b.m AND c.code = b.code
@@ -1065,7 +1108,7 @@ object Similarity {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
        |  FROM embeddings),
-       |$pqSqlCtes
+       |${pqSqlCtes()}
        |SELECT m, code, count(*) AS n_vectors
        |FROM codes GROUP BY m, code ORDER BY m, code""".stripMargin
 

@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorFunctions.argmaxInfo)
     ext.injectFunction(VectorFunctions.pqEncodeInfo)
     ext.injectFunction(VectorFunctions.pqDecodeInfo)
+    ext.injectFunction(VectorFunctions.cellResidualInfo)
+    ext.injectFunction(VectorFunctions.cellAddInfo)
     ext.injectFunction(graft.functions.SketchFunctions.mightContainInfo)
     ext.injectFunction(graft.functions.BpeFunctions.bpeCountInfo)
     ext.injectFunction(graft.functions.BpeFunctions.bpePiecesInfo)

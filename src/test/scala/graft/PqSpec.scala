@@ -122,6 +122,36 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@5 = $recall")
   }
 
+  test("residual codebooks reconstruct strictly better than flat PQ (the FAISS rationale)") {
+    // flat reconstruction: decode(encode(v)); residual reconstruction:
+    // centroid(cell) + decode(encode(v - centroid(cell))). Same code
+    // budget (M × ksub); the residual's smaller magnitude must buy a
+    // smaller corpus-mean squared reconstruction error.
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("vn", lit(1.0))
+    def mse(recon: org.apache.spark.sql.DataFrame): Double =
+      recon.select(avg(aggregate(
+        zip_with(col("v"), col("r"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (s, x) => s + x))).head().getDouble(0)
+    val flatCb = Similarity.pqCbLiteral(Similarity.pqCodebookRows(spark, sf))
+    val flat = Similarity.assignPqCodes(emb, flatCb)
+      .withColumn("r", call_function("graft_pq_decode", col("codes"), flatCb))
+    val (k, _) = Similarity.ivfParams(spark, sf)
+    val cents = Similarity.ivfAssigned(spark, sf)
+    val resCb = Similarity.pqCbLiteral(Similarity.ivfPqCodebookRows(spark, sf))
+    val centsLit = Similarity.centsLiteral(Similarity.centroidRows(spark, sf, k))
+    val residual = cents
+      .withColumn("rv", call_function("graft_cell_residual", col("v"), col("cell"), centsLit))
+      .withColumn("codes", call_function("graft_pq_encode", col("rv"), resCb))
+      .withColumn("r", call_function("graft_cell_add",
+        call_function("graft_pq_decode", col("codes"), resCb), col("cell"), centsLit))
+    val (flatErr, resErr) = (mse(flat), mse(residual))
+    info(f"reconstruction MSE — flat: $flatErr%.4f, residual: $resErr%.4f")
+    assert(resErr < flatErr,
+      s"residual encoding should reduce reconstruction error: flat=$flatErr residual=$resErr")
+  }
+
   test("ivf-pq candidate join is an equi join on the cell (never all-pairs)") {
     val df = Similarity.ivfPqTopK(spark, sf)
     df.collect()
