@@ -1031,6 +1031,117 @@ object Similarity {
        |WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** kNN-graph construction — every vector's top-`knnK` in-cell
+    * neighbors, the curation primitive behind graph-based clustering
+    * / diversity sampling / advanced dedup (a SemDeDup variant walks
+    * exactly this graph). Same IVF-bounded candidate generation as
+    * [[semanticPairs]] (cell equi join, never all-pairs), with a
+    * per-source rank window that WindowGroupLimit prunes to k rows
+    * per partition before the shuffle. Isolated vectors (alone in
+    * their cell) have no rows — the graph is sparse by construction. */
+  private val knnK = 3
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(spark, dir)
+    val a = assigned.select(col("vec_id").as("src"), col("v").as("va"),
+      col("vn").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("dst"), col("v").as("vb"),
+      col("vn").as("nb"), col("cell").as("cb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_raw").desc, col("dst"))
+    a.join(b, col("cell") === col("cb") && col("src") =!= col("dst"))
+      .withColumn("cos_raw",
+        call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= knnK)
+      .select(col("src"), col("rank"), col("dst").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("src"), col("rank"))
+  }
+
+  val knnGraphSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$ivfCentroidsSqlCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, e.v, e.vn, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, v, vn, cell FROM ranked WHERE arn = 1)
+       |SELECT src, rank, neighbor_id, cosine
+       |FROM (
+       |  SELECT a.vec_id AS src, b.vec_id AS neighbor_id,
+       |         round(${dotSql("a.v", "b.v")} / (a.vn * b.vn), 6) AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY ${dotSql("a.v", "b.v")} / (a.vn * b.vn) DESC, b.vec_id) AS BIGINT) AS rank
+       |  FROM assigned a
+       |  JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |WHERE rank <= $knnK
+       |ORDER BY src, rank""".stripMargin
+
+  /** Semantic decontamination — the embedding-space analog of the
+    * n-gram [[graft.api.Graft.decontaminate]]: training vectors that
+    * are near-duplicates (cosine ≥ τ) of ANY held-out/eval vector are
+    * dropped, so paraphrased leakage the shingle overlap misses still
+    * goes. Label 0 plays the eval suite here; candidates are
+    * IVF-cell-bounded like every pairwise stage in this family, and
+    * the drop test is a left-semi join (no fan-out, one boolean per
+    * training vector). Reported per training label, integer-exact. */
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val (k, _) = ivfParams(spark, dir)
+    val cents = centroidLiteral(spark, dir, k)
+    graft.functions.VectorFunctions.register(spark)
+    val assigned = Tables.embeddings(spark, dir)
+      .withColumn("v", vecAsDouble(col("embedding")))
+      .withColumn("vn", call_function("graft_l2norm", col("v")))
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("v"), col("vn"),
+        call_function("graft_argmax_cell", col("v"), col("vn"), cents).as("cell"))
+    val eval_ = assigned.filter(col("label") === 0)
+      .select(col("v").as("ev"), col("vn").as("en"), col("cell").as("ecell"))
+    val train = assigned.filter(col("label") =!= 0)
+    val contaminated = train.join(eval_,
+        col("cell") === col("ecell") &&
+          call_function("graft_dot", col("v"), col("ev")) / (col("vn") * col("en")) >= semanticTau,
+        "left_semi")
+      .select(col("vec_id").as("bad_id"))
+    train.join(contaminated, col("vec_id") === col("bad_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        count(when(col("bad_id").isNull, 1)).as("n_kept"),
+        count(col("bad_id")).as("n_dropped"))
+      .orderBy(col("label"))
+  }
+
+  val semanticDecontaminateSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$ivfCentroidsSqlCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, e.v, e.vn, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT r.vec_id, CAST(x.label AS BIGINT) AS label, r.v, r.vn, r.cell
+       |  FROM ranked r JOIN embeddings x ON r.vec_id = x.vec_id
+       |  WHERE r.arn = 1),
+       |bad AS (
+       |  SELECT DISTINCT t.vec_id
+       |  FROM assigned t JOIN assigned e
+       |    ON t.cell = e.cell AND e.label = 0 AND t.label <> 0
+       |   AND ${dotSql("t.v", "e.v")} / (t.vn * e.vn) >= $semanticTau)
+       |SELECT label, count(*) AS n_vectors,
+       |       count(*) FILTER (WHERE vec_id NOT IN (SELECT vec_id FROM bad)) AS n_kept,
+       |       count(*) FILTER (WHERE vec_id IN (SELECT vec_id FROM bad)) AS n_dropped
+       |FROM assigned WHERE label <> 0
+       |GROUP BY label ORDER BY label""".stripMargin
+
   private def pqL2Sql(a: String, b: String): String =
     s"list_sum(list_transform(range($pqSubDim), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
 
@@ -1117,6 +1228,8 @@ object Similarity {
     "sim_pq_topk" -> (pqTopK _),
     "sim_pq_census" -> (pqCodeCensus _),
     "sim_ivfpq_topk" -> (ivfPqTopK _),
+    "sim_knn_graph" -> (knnGraph _),
+    "corpus_decontaminate_semantic" -> (semanticDecontaminate _),
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_topk_bruteforce" -> (bruteForceTopK _),
     "sim_topk_native" -> (bruteForceTopKNative _),
@@ -1132,6 +1245,8 @@ object Similarity {
     "sim_pq_topk" -> pqTopKSql,
     "sim_pq_census" -> pqCodeCensusSql,
     "sim_ivfpq_topk" -> ivfPqTopKSql,
+    "sim_knn_graph" -> knnGraphSql,
+    "corpus_decontaminate_semantic" -> semanticDecontaminateSql,
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_topk_native" -> bruteForceTopKSql,

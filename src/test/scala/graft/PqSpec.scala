@@ -160,6 +160,34 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("knn graph: <= k descending neighbors per source, cell-bounded plan") {
+    val df = Similarity.knnGraph(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (src, rs) =>
+      assert(rs.length <= 3, s"src $src has ${rs.length} neighbors")
+      val cosines = rs.sortBy(_.getLong(1)).map(_.getAs[Double]("cosine"))
+      assert(cosines === cosines.sortBy(-_), s"src $src not descending")
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == src), s"src $src self-edge")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("semantic decontamination: per-label totality, eval label excluded") {
+    val out = Similarity.semanticDecontaminate(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getLong(0) == 0L), "eval label must not be reported")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ===
+        r.getAs[Long]("n_vectors"), r.toString)
+    }
+    // something must actually be dropped at the permissive test tau —
+    // otherwise the query proves nothing
+    assert(out.map(_.getAs[Long]("n_dropped")).sum > 0)
+  }
+
   test("pq ranks within shortlist are exact-cosine ranks (re-rank really happened)") {
     val pq = Similarity.pqTopK(spark, sf).collect()
     val vs = vecs
