@@ -416,9 +416,11 @@ object Joins {
     * on the SMALLER side — worth it exactly when that side is modest
     * and the hot side's skew dominates. `hint("merge")` keeps the
     * join a shuffle join at test SF so the salted path is the one
-    * exercised. */
+    * exercised. S is the skew-spread knob (≈ the observed hot-key
+    * factor in production); 8 here keeps the demo's replication cost
+    * proportionate at bench scale. */
   def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
-    val salts = 16
+    val salts = 8
     val l = Tables.lineitem(spark, dir)
       .withColumn("__salt", pmod(col("l_linenumber").cast("int"), lit(salts)))
     val o = Tables.orders(spark, dir)

@@ -126,6 +126,27 @@ object Streams {
       .filter(col("verdict") === "ok")
       .withColumn("n_tokens", graft.api.Graft.bpeTokenCount(col("text")))
 
+  /** Streaming ANN index build — the IVF-PQ ingest stages running
+    * UNCHANGED on a stream: cell assignment, residual, and PQ encode
+    * are pure projections over bounded model artifacts (the centroid
+    * table and codebook travel as literals, the same way the batch
+    * path inlines them), so new embeddings acquire their (cell,
+    * codes) index entries incrementally with ZERO streaming state.
+    * Retraining the quantizer is a batch concern (a new literal =
+    * a new query incarnation); the stream only ever encodes. The
+    * sink keeps the library's exactly-once contract (checkpoint +
+    * idempotent overwrite, as [[xlsxEtl]]). */
+  def embeddingIngest(vectors: DataFrame, cents: org.apache.spark.sql.Column, cb: org.apache.spark.sql.Column): DataFrame = {
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    vectors
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("vn", call_function("graft_l2norm", col("v")))
+      .withColumn("cell", call_function("graft_argmax_cell", col("v"), col("vn"), cents))
+      .withColumn("rv", call_function("graft_cell_residual", col("v"), col("cell"), cents))
+      .withColumn("codes", call_function("graft_pq_encode", col("rv"), cb))
+      .select(col("vec_id"), col("cell"), col("codes"))
+  }
+
   /** Watermarked tumbling-window counts per event type. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

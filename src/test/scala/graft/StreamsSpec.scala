@@ -16,6 +16,8 @@ class StreamsSpec extends SparkSpec {
 
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+  case class Vec(vec_id: Long, embedding: Seq[Float])
+
   private val fixture = Seq(
     Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
     Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 2.0),
@@ -213,6 +215,36 @@ class StreamsSpec extends SparkSpec {
     // stream-side BPE equals the batch counter
     assert(out(1L) === graft.functions.BpeVocab.countTokens("the cat sat on the mat"))
     assert(out(4L) === graft.functions.BpeVocab.countTokens("a dog in the park"))
+  }
+
+  test("streaming IVF-PQ encode equals the batch index entries (zero-state projection)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ops = graft.operators.Similarity
+    val (k, _) = ops.ivfParams(spark, sf)
+    val cents = ops.centsLiteral(ops.centroidRows(spark, sf, k))
+    val cb = ops.pqCbLiteral(ops.ivfPqCodebookRows(spark, sf))
+    // five corpus vectors arrive "live"
+    val sample = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).limit(5)
+      .collect().map(r => Vec(r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[Vec]
+    mem.addData(sample.toIndexedSeq)
+    val q = Streams.embeddingIngest(mem.toDF(), cents, cb)
+      .writeStream.format("memory").queryName("t_emb").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("t_emb").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    // batch twin over the same five rows, same literals
+    val batch = Streams.embeddingIngest(
+        Tables.embeddings(spark, sf)
+          .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).limit(5),
+        cents, cb)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(streamed === batch)
+    assert(streamed.size === 5)
   }
 
   test("flatMapGroupsWithState emits once when the error threshold is crossed") {
