@@ -724,4 +724,71 @@ object Graft {
       .filter(col("rank") <= kTop)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("__cos").as("cosine"))
   }
+
+  /** Build an IVF-PQ ANN index over ANY (id, vector) DataFrame — the
+    * generic form of the `sim_ivfpq_topk` machinery: k-means coarse
+    * cells with k = clamp(⌈N / cellTarget⌉) (the fixed-cell-population
+    * policy that keeps every downstream pairwise stage linear in N),
+    * then product codes over the COARSE RESIDUALS (nSub subspaces ×
+    * ksub codewords; at ksub=256 each code is one byte). Returns
+    * `(idCol, cell, codes)` — the compressed, cell-partitionable index
+    * table a serving layer scans; at 100 TB, write it partitioned by
+    * `cell`. Training is deterministic (md5-seeded init, exact
+    * integer-quantized means), so rebuilding over the same corpus
+    * yields the same index. The vector width must equal
+    * nSub × subDim for every row (subDim is taken from the first
+    * vector). */
+  def ivfPqIndex(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+                 cellTarget: Int = 64, nSub: Int = 8, ksub: Int = 16): DataFrame = {
+    register(spark)
+    val ops = graft.operators.Similarity
+    val vecs = df.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vn", l2norm(col("v")))
+    val dims = vecs.select(size(col("v"))).head().getInt(0)
+    require(dims % nSub == 0, s"vector width $dims not divisible into $nSub subspaces")
+    val n = vecs.count()
+    val k = math.max(1L, math.min(4096L, math.ceil(n / cellTarget.toDouble).toLong)).toInt
+    val cents = ops.centsLiteral(ops.trainIvfCentroids(vecs, k))
+    val assigned = ops.assignCells(vecs, cents)
+    val residuals = assigned.select(col("vec_id"),
+      call_function("graft_cell_residual", col("v"), col("cell"), cents).as("v"))
+    val cb = ops.pqCbLiteral(
+      ops.trainPqCodebooks(residuals, nSub, ksub, dims / nSub))
+    assigned
+      .withColumn("rv", call_function("graft_cell_residual", col("v"), col("cell"), cents))
+      .select(col("vec_id").as(idCol), col("cell"),
+        call_function("graft_pq_encode", col("rv"), cb).as("codes"))
+  }
+
+  /** kNN-graph construction over ANY (id, vector) DataFrame: every
+    * vector's top-`kNeighbors` in-cell neighbors by exact cosine,
+    * with candidates bounded by the same corpus-proportional coarse
+    * quantizer as [[ivfPqIndex]] (cells hold ~cellTarget vectors, so
+    * pair work is ~N·cellTarget — linear). Isolated vectors (alone in
+    * their cell) contribute no rows. Returns
+    * (src, rank, neighbor_id, cosine). */
+  def knnGraph(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+               kNeighbors: Int, cellTarget: Int = 64): DataFrame = {
+    register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val ops = graft.operators.Similarity
+    val vecs = df.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vn", l2norm(col("v")))
+    val n = vecs.count()
+    val k = math.max(1L, math.min(4096L, math.ceil(n / cellTarget.toDouble).toLong)).toInt
+    val cents = ops.centsLiteral(ops.trainIvfCentroids(vecs, k))
+    val assigned = ops.assignCells(vecs, cents)
+    val a = assigned.select(col("vec_id").as("src"), col("v").as("__va"),
+      col("vn").as("__na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("neighbor_id"), col("v").as("__vb"),
+      col("vn").as("__nb"), col("cell").as("__cb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("__cos").desc, col("neighbor_id"))
+    a.join(b, col("cell") === col("__cb") && col("src") =!= col("neighbor_id"))
+      .withColumn("__cos", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("src"), col("rank"), col("neighbor_id"), col("__cos").as("cosine"))
+  }
 }

@@ -345,8 +345,14 @@ object Similarity {
     }
 
   private[graft] def computeCentroidRows(spark: SparkSession, dir: String,
-                                         k: Int): Seq[(Long, Seq[Double])] = {
-    val emb = embWithNorm(spark, dir)
+                                         k: Int): Seq[(Long, Seq[Double])] =
+    trainIvfCentroids(embWithNorm(spark, dir), k)
+
+  /** The seeded-Lloyd coarse-quantizer trainer over an arbitrary
+    * (vec_id, v, vn) corpus — shared by the embeddings-table queries
+    * and the generic [[graft.api.Graft.ivfPqIndex]] facade. */
+  private[graft] def trainIvfCentroids(emb: DataFrame, k: Int): Seq[(Long, Seq[Double])] = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     // init: distributed top-k by hash order (TakeOrderedAndProject);
     // collect() of an ordered limit preserves the order, so the index
     // mints the stable cent_ids
@@ -802,24 +808,29 @@ object Similarity {
     trainPqCodebooks(embWithNorm(spark, dir).select(col("vec_id"), col("v")))
 
   /** The subspace-Lloyd trainer over an arbitrary (vec_id, v) corpus —
-    * shared by flat PQ (raw vectors) and IVF-PQ (coarse residuals). */
-  private[graft] def trainPqCodebooks(vecs: DataFrame): Seq[(Int, Long, Seq[Double])] = {
+    * shared by flat PQ (raw vectors), IVF-PQ (coarse residuals), and
+    * the generic facade. The geometry (nSub subspaces × ksub codes
+    * over subDim-wide slices) is a parameter; the embeddings-table
+    * queries pass the documented defaults. */
+  private[graft] def trainPqCodebooks(vecs: DataFrame, nSub: Int = pqM,
+                                      ksub: Int = pqKsub,
+                                      subDim: Int = pqSubDim): Seq[(Int, Long, Seq[Double])] = {
     graft.functions.VectorFunctions.register(vecs.sparkSession)
     val seedVecs: Seq[Seq[Double]] = vecs
       .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
-      .orderBy(col("h"), col("vec_id")).limit(pqKsub)
+      .orderBy(col("h"), col("vec_id")).limit(ksub)
       .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
     var cb: Seq[(Int, Long, Seq[Double])] =
-      (0 until pqM).flatMap { m =>
+      (0 until nSub).flatMap { m =>
         seedVecs.zipWithIndex.map { case (v, i) =>
-          (m, i.toLong, v.slice(m * pqSubDim, (m + 1) * pqSubDim)) } }
+          (m, i.toLong, v.slice(m * subDim, (m + 1) * subDim)) } }
     for (_ <- 1 to pqIters) {
       cb = vecs
         .select(col("v"),
           call_function("graft_pq_encode", col("v"), pqCbLiteral(cb)).as("codes"))
         .select(col("v"), posexplode(col("codes")).as(Seq("m", "code")))
         .select(col("m"), col("code"),
-          posexplode(slice(col("v"), col("m") * pqSubDim + 1, lit(pqSubDim)))
+          posexplode(slice(col("v"), col("m") * subDim + 1, lit(subDim)))
             .as(Seq("pos0", "x")))
         .select(col("m"), col("code"), col("pos0"),
           round(col("x").cast("double") * 1000000d).cast("long").as("xq"))

@@ -188,6 +188,52 @@ class PqSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_dropped")).sum > 0)
   }
 
+  test("generic ivfPqIndex facade: any DataFrame, any geometry, deterministic") {
+    import spark.implicits._
+    // a 12-dim corpus that is NOT the embeddings table: two tight
+    // clusters around +1 and -1
+    val rows = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      (i, Seq.tabulate(12)(d => base + (i % 5) * 0.01 + d * 0.001))
+    }
+    val df = rows.toDF("item_id", "vec")
+    val idx = graft.api.Graft.ivfPqIndex(spark, df, "item_id", "vec",
+      cellTarget = 10, nSub = 4, ksub = 4)
+    val got = idx.collect()
+    assert(got.length === 40)
+    // each row carries nSub codes; cells within the derived k = ceil(40/10)
+    got.foreach { r =>
+      assert(r.getSeq[Long](2).length === 4, r.toString)
+      assert(r.getAs[Long]("cell") >= 0 && r.getAs[Long]("cell") < 4, r.toString)
+    }
+    // deterministic: a rebuild yields the identical index
+    val again = graft.api.Graft.ivfPqIndex(spark, df, "item_id", "vec",
+      cellTarget = 10, nSub = 4, ksub = 4).collect()
+    assert(got.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    // the two sign-clusters must not share cells (they are antipodal)
+    val cellsBySign = got.groupBy(_.getAs[Long]("item_id") % 2)
+      .view.mapValues(_.map(_.getAs[Long]("cell")).toSet).toMap
+    assert((cellsBySign(0L) & cellsBySign(1L)).isEmpty)
+  }
+
+  test("generic knnGraph facade: neighbors stay within their cluster") {
+    import spark.implicits._
+    val rows = (0L until 30L).map { i =>
+      val base = if (i < 15) 1.0 else -1.0
+      (i, Seq.tabulate(8)(d => base + (i % 3) * 0.02 + d * 0.001))
+    }
+    val df = rows.toDF("item_id", "vec")
+    val g = graft.api.Graft.knnGraph(spark, df, "item_id", "vec",
+      kNeighbors = 2, cellTarget = 15).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      val (src, nb) = (r.getAs[Long]("src"), r.getAs[Long]("neighbor_id"))
+      assert((src < 15) === (nb < 15),
+        s"neighbor $nb crossed the antipodal cluster of $src")
+      assert(r.getAs[Double]("cosine") > 0.9, r.toString)
+    }
+  }
+
   test("pq ranks within shortlist are exact-cosine ranks (re-rank really happened)") {
     val pq = Similarity.pqTopK(spark, sf).collect()
     val vs = vecs
