@@ -1153,19 +1153,20 @@ object Similarity {
        |FROM assigned WHERE label <> 0
        |GROUP BY label ORDER BY label""".stripMargin
 
-  private def pqL2Sql(a: String, b: String): String =
-    s"list_sum(list_transform(range($pqSubDim), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
+  private def pqL2Sql(a: String, b: String, subDim: Int = pqSubDim): String =
+    s"list_sum(list_transform(range($subDim), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
 
   /** The per-subspace training chain + encode in DuckDB SQL: produces
     * `cb(m, code, cv)` and `codes(vec_id, m, code)` relations over the
     * `src(vec_id, v)` relation (raw vectors for flat PQ, coarse
     * residuals for IVF-PQ). */
-  private def pqSqlCtes(src: String = "emb"): String = {
+  private def pqSqlCtes(src: String = "emb", nSub: Int = pqM, ksub: Int = pqKsub,
+                        subDim: Int = pqSubDim): String = {
     def assign(from: String): String =
       s"""SELECT vec_id, m, sv, code FROM (
          |  SELECT s.vec_id, s.m, s.sv, c.code,
          |         row_number() OVER (PARTITION BY s.vec_id, s.m
-         |           ORDER BY ${pqL2Sql("s.sv", "c.cv")} ASC, c.code ASC) AS arn
+         |           ORDER BY ${pqL2Sql("s.sv", "c.cv", subDim)} ASC, c.code ASC) AS arn
          |  FROM subv s JOIN $from c ON s.m = c.m) WHERE arn = 1""".stripMargin
     def means(from: String): String =
       s"""SELECT m, code, list(cx ORDER BY pos) AS cv FROM (
@@ -1176,23 +1177,23 @@ object Similarity {
     val rounds = (1 to pqIters).map { i =>
       s"pa$i AS (${assign(s"pc${i - 1}")}),\npc$i AS (${means(s"pa$i")})"
     }.mkString(",\n")
-    s"""subm AS (SELECT CAST(unnest(range($pqM)) AS INTEGER) AS m),
+    s"""subm AS (SELECT CAST(unnest(range($nSub)) AS INTEGER) AS m),
        |subv AS (
        |  SELECT vec_id, m,
-       |         list_transform(range($pqSubDim), i -> v[m * $pqSubDim + i + 1]) AS sv
+       |         list_transform(range($subDim), i -> v[m * $subDim + i + 1]) AS sv
        |  FROM $src CROSS JOIN subm),
        |seeds AS (
        |  SELECT vec_id, row_number() OVER (
        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM $src),
        |pc0 AS (
        |  SELECT s.m, CAST(x.rn - 1 AS BIGINT) AS code, s.sv AS cv
-       |  FROM subv s JOIN seeds x ON s.vec_id = x.vec_id WHERE x.rn <= $pqKsub),
+       |  FROM subv s JOIN seeds x ON s.vec_id = x.vec_id WHERE x.rn <= $ksub),
        |$rounds,
        |cb AS (SELECT m, code, cv FROM pc$pqIters),
        |codes AS (SELECT vec_id, m, code FROM (
        |  SELECT s.vec_id, s.m, c.code,
        |         row_number() OVER (PARTITION BY s.vec_id, s.m
-       |           ORDER BY ${pqL2Sql("s.sv", "c.cv")} ASC, c.code ASC) AS arn
+       |           ORDER BY ${pqL2Sql("s.sv", "c.cv", subDim)} ASC, c.code ASC) AS arn
        |  FROM subv s JOIN cb c ON s.m = c.m) WHERE arn = 1)""".stripMargin
   }
 
@@ -1225,6 +1226,51 @@ object Similarity {
        |WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Inverted multi-index (IMI) — the SCALE-OUT path for the coarse
+    * quantizer itself. The flat IVF policy k = ⌈N/m⌉ stops at
+    * [[ivfMaxK]] because training and the O(N·k) assignment fold grow
+    * with k; past that point FAISS-style systems switch to a PRODUCT
+    * of two half-space quantizers: each vector's composite cell is
+    * (c₁, c₂) — its nearest codeword in each 32-dim half — giving
+    * k₁ × k₂ effective cells (up to [[imiKsub]]² = 1024 here;
+    * 256² = 65 536 in a production byte-code deployment) while
+    * training and assigning only k₁ + k₂ centroids at O(N·(k₁+k₂)).
+    * This IS the PQ machinery with nSub = 2 repurposed as a
+    * partitioner — same trainer, same native encode — so the two-
+    * level quantizer costs no new plan shape: the census below runs
+    * one map-only encode + one groupBy on the compact code pair.
+    * Realized (non-empty) composite cells are data-dependent; the
+    * census is the balance diagnostic, exactly as
+    * [[semanticCells]] is for flat IVF. */
+  private[graft] val imiKsub = 32
+
+  def imiCells(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCbLiteral(imiCodebookRows(spark, dir))
+    assignPqCodes(embWithNorm(spark, dir), cb)
+      .select(element_at(col("codes"), 1).as("cell1"),
+        element_at(col("codes"), 2).as("cell2"))
+      .groupBy(col("cell1"), col("cell2"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cell1"), col("cell2"))
+  }
+
+  private[graft] def imiCodebookRows(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
+    pqCodebookCache.get(dir, "imi", corpusSig(dir)) {
+      trainPqCodebooks(embWithNorm(spark, dir).select(col("vec_id"), col("v")),
+        nSub = 2, ksub = imiKsub, subDim = dim / 2)
+    }
+
+  val imiCellsSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |${pqSqlCtes("emb", 2, imiKsub, dim / 2)}
+       |SELECT c1.code AS cell1, c2.code AS cell2, count(*) AS n_vectors
+       |FROM (SELECT vec_id, code FROM codes WHERE m = 0) c1
+       |JOIN (SELECT vec_id, code FROM codes WHERE m = 1) c2
+       |  ON c1.vec_id = c2.vec_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val pqCodeCensusSql: String =
     s"""WITH emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1240,6 +1286,7 @@ object Similarity {
     "sim_pq_census" -> (pqCodeCensus _),
     "sim_ivfpq_topk" -> (ivfPqTopK _),
     "sim_knn_graph" -> (knnGraph _),
+    "sim_imi_cells" -> (imiCells _),
     "corpus_decontaminate_semantic" -> (semanticDecontaminate _),
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_topk_bruteforce" -> (bruteForceTopK _),
@@ -1257,6 +1304,7 @@ object Similarity {
     "sim_pq_census" -> pqCodeCensusSql,
     "sim_ivfpq_topk" -> ivfPqTopKSql,
     "sim_knn_graph" -> knnGraphSql,
+    "sim_imi_cells" -> imiCellsSql,
     "corpus_decontaminate_semantic" -> semanticDecontaminateSql,
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,

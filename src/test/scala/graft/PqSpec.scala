@@ -188,6 +188,20 @@ class PqSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_dropped")).sum > 0)
   }
 
+  test("IMI: composite cells multiply the partition space beyond either half's k") {
+    val cells = Similarity.imiCells(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(cells.map(_.getAs[Long]("n_vectors")).sum === n) // total
+    val d1 = cells.map(_.getAs[Long]("cell1")).distinct.length
+    val d2 = cells.map(_.getAs[Long]("cell2")).distinct.length
+    assert(d1 <= Similarity.imiKsub && d2 <= Similarity.imiKsub)
+    // the product effect: realized composite cells exceed what either
+    // half-space quantizer could partition alone — finer cells from
+    // ADDITIVE training cost
+    assert(cells.length > math.max(d1, d2),
+      s"${cells.length} composite cells from $d1 x $d2 halves")
+  }
+
   test("generic ivfPqIndex facade: any DataFrame, any geometry, deterministic") {
     import spark.implicits._
     // a 12-dim corpus that is NOT the embeddings table: two tight
