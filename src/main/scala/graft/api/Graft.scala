@@ -742,12 +742,16 @@ object Graft {
                  cellTarget: Int = 64, nSub: Int = 8, ksub: Int = 16): DataFrame = {
     register(spark)
     val ops = graft.operators.Similarity
-    val vecs = df.select(col(idCol).cast("long").as("vec_id"),
+    // the id keeps ITS OWN type — the trainers only hash (md5 over a
+    // string cast) and order it, both type-agnostic; a long cast here
+    // would silently null string ids
+    val vecs = df.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("vn", l2norm(col("v")))
+    val n = vecs.count()
+    require(n > 0, "ivfPqIndex: empty input")
     val dims = vecs.select(size(col("v"))).head().getInt(0)
     require(dims % nSub == 0, s"vector width $dims not divisible into $nSub subspaces")
-    val n = vecs.count()
     val k = math.max(1L, math.min(4096L, math.ceil(n / cellTarget.toDouble).toLong)).toInt
     val cents = ops.centsLiteral(ops.trainIvfCentroids(vecs, k))
     val assigned = ops.assignCells(vecs, cents)
@@ -773,10 +777,11 @@ object Graft {
     register(spark)
     import org.apache.spark.sql.expressions.Window
     val ops = graft.operators.Similarity
-    val vecs = df.select(col(idCol).cast("long").as("vec_id"),
+    val vecs = df.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("vn", l2norm(col("v")))
     val n = vecs.count()
+    require(n > 0, "knnGraph: empty input")
     val k = math.max(1L, math.min(4096L, math.ceil(n / cellTarget.toDouble).toLong)).toInt
     val cents = ops.centsLiteral(ops.trainIvfCentroids(vecs, k))
     val assigned = ops.assignCells(vecs, cents)

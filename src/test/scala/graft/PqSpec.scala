@@ -230,6 +230,21 @@ class PqSpec extends SparkSpec {
     assert((cellsBySign(0L) & cellsBySign(1L)).isEmpty)
   }
 
+  test("generic facade preserves non-numeric ids (no silent long cast)") {
+    import spark.implicits._
+    val rows = (0 until 20).map { i =>
+      (f"doc-$i%02d", Seq.tabulate(8)(d => (if (i % 2 == 0) 1.0 else -1.0) + d * 0.01))
+    }
+    val df = rows.toDF("doc_key", "vec")
+    val idx = graft.api.Graft.ivfPqIndex(spark, df, "doc_key", "vec",
+      cellTarget = 10, nSub = 2, ksub = 4).collect()
+    assert(idx.map(_.getString(0)).sorted.toSeq === rows.map(_._1).sorted)
+    val g = graft.api.Graft.knnGraph(spark, df, "doc_key", "vec", kNeighbors = 1,
+      cellTarget = 10).collect()
+    assert(g.nonEmpty)
+    assert(g.forall(_.getString(0).startsWith("doc-")))
+  }
+
   test("generic knnGraph facade: neighbors stay within their cluster") {
     import spark.implicits._
     val rows = (0L until 30L).map { i =>
