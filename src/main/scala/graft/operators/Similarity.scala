@@ -1260,6 +1260,99 @@ object Similarity {
         nSub = 2, ksub = imiKsub, subDim = dim / 2)
     }
 
+  /** Probes per HALF for [[imiTopK]] — the IMI recall knob: a query
+    * scans the cartesian of its np nearest codewords per half
+    * (np² composite cells out of k₁·k₂). FAISS's multi-sequence
+    * algorithm enumerates that neighborhood best-first to stop
+    * early; a batch engine scans the whole (tiny) probe set, so
+    * plain per-half top-np is the same candidate set without the
+    * priority queue. */
+  private[graft] val imiNprobe = 4
+
+  /** IMI serving: candidates live in the probed composite cells
+    * (equi join on BOTH half-codes), scored exactly, top-k per
+    * query. Map-only probe generation (an in-row sort over each
+    * half's ≤[[imiKsub]] codewords), one equi shuffle, rank window
+    * with WindowGroupLimit pruning — the same plan family as
+    * [[ivfTopK]], with the quantizer swapped for its scale-out
+    * form. */
+  def imiTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCbLiteral(imiCodebookRows(spark, dir))
+    val emb = embWithNorm(spark, dir)
+    val half = dim / 2
+    val stored = assignPqCodes(emb, cb)
+      .select(col("vec_id"), col("v"), col("vn"),
+        element_at(col("codes"), 1).as("c1"),
+        element_at(col("codes"), 2).as("c2"))
+    def l2d(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+    def probeCodes(m: Int, sub: Column): Column = slice(
+      array_sort(
+        transform(filter(cb, e => e.getField("m") === m),
+          e => struct(nanvl(l2d(sub, e.getField("cv")), lit(Double.PositiveInfinity)).as("d"),
+            e.getField("code").as("code"))),
+        (l, r) => when(l.getField("d") < r.getField("d"), -1)
+          .when(l.getField("d") > r.getField("d"), 1)
+          .when(l.getField("code") < r.getField("code"), -1)
+          .when(l.getField("code") > r.getField("code"), 1)
+          .otherwise(0)),
+      1, imiNprobe)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"),
+        probeCodes(0, slice(col("v"), 1, half)).getField("code").as("ps1"),
+        probeCodes(1, slice(col("v"), half + 1, half)).getField("code").as("ps2"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("ps1")).as("pc1"), col("ps2"))
+      .select(col("query_id"), col("qv"), col("qn"), col("pc1"),
+        explode(col("ps2")).as("pc2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    broadcast(q)
+      .join(stored, col("pc1") === col("c1") && col("pc2") === col("c2") &&
+        col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw",
+        call_function("graft_dot", col("qv"), col("v")) / (col("qn") * col("vn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val imiTopKSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |${pqSqlCtes("emb", 2, imiKsub, dim / 2)},
+       |qprobes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ${pqL2Sql("s.sv", "c.cv", dim / 2)} ASC, c.code ASC) AS prn
+       |    FROM subv s JOIN cb c ON s.m = c.m
+       |    WHERE s.vec_id < $nQueries) WHERE prn <= $imiNprobe),
+       |cand AS (
+       |  SELECT p1.vec_id AS query_id, s1.vec_id AS cand_id
+       |  FROM (SELECT vec_id, code FROM qprobes WHERE m = 0) p1
+       |  JOIN (SELECT vec_id, code FROM qprobes WHERE m = 1) p2
+       |    ON p1.vec_id = p2.vec_id
+       |  JOIN (SELECT vec_id, code FROM codes WHERE m = 0) s1 ON s1.code = p1.code
+       |  JOIN (SELECT vec_id, code FROM codes WHERE m = 1) s2
+       |    ON s2.vec_id = s1.vec_id AND s2.code = p2.code
+       |  WHERE s1.vec_id <> p1.vec_id)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM (
+       |  SELECT c.query_id, e.vec_id AS neighbor_id,
+       |         round(${dotSql("q.v", "e.v")} / (q.vn * e.vn), 6) AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY c.query_id
+       |           ORDER BY ${dotSql("q.v", "e.v")} / (q.vn * e.vn) DESC, e.vec_id) AS BIGINT) AS rank
+       |  FROM cand c
+       |  JOIN emb e ON c.cand_id = e.vec_id
+       |  JOIN emb q ON c.query_id = q.vec_id)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+
   val imiCellsSql: String =
     s"""WITH emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1287,6 +1380,7 @@ object Similarity {
     "sim_ivfpq_topk" -> (ivfPqTopK _),
     "sim_knn_graph" -> (knnGraph _),
     "sim_imi_cells" -> (imiCells _),
+    "sim_imi_topk" -> (imiTopK _),
     "corpus_decontaminate_semantic" -> (semanticDecontaminate _),
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_topk_bruteforce" -> (bruteForceTopK _),
@@ -1305,6 +1399,7 @@ object Similarity {
     "sim_ivfpq_topk" -> ivfPqTopKSql,
     "sim_knn_graph" -> knnGraphSql,
     "sim_imi_cells" -> imiCellsSql,
+    "sim_imi_topk" -> imiTopKSql,
     "corpus_decontaminate_semantic" -> semanticDecontaminateSql,
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,

@@ -202,6 +202,31 @@ class PqSpec extends SparkSpec {
       s"${cells.length} composite cells from $d1 x $d2 halves")
   }
 
+  test("IMI serving: probed-cell equi join, exact descending ranks, no all-pairs") {
+    val df = Similarity.imiTopK(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val vs = vecs
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val cosines = rs.sortBy(_.getLong(1)).map(_.getAs[Double]("cosine"))
+      assert(cosines === cosines.sortBy(-_), s"query $q not descending")
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == q))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // recall visibility (np=4 per half on the worst-case uniform corpus)
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val by = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recall = exact.keys.toSeq.map(q => (by.getOrElse(q, Set.empty) & exact(q)).size).sum.toDouble /
+      exact.values.map(_.size).sum
+    info(f"imi recall@5 vs exact: $recall%.2f")
+    assert(recall > 0.0)
+  }
+
   test("generic ivfPqIndex facade: any DataFrame, any geometry, deterministic") {
     import spark.implicits._
     // a 12-dim corpus that is NOT the embeddings table: two tight
