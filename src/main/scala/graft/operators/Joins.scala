@@ -505,6 +505,12 @@ object Joins {
     val dim = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
+    // expectedNumItems sizes the sketch (~1.2 MB here); a production
+    // caller passes the build side's real cardinality — overflowing it
+    // only degrades the false-positive rate (weaker pruning), never
+    // correctness, since the join re-checks every survivor. The
+    // serialized filter ships inside the predicate literal, the same
+    // bounded-artifact contract as a broadcast.
     val bloom = dim.stat.bloomFilter("o_orderkey", 100000L, 0.01)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
