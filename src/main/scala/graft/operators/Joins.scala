@@ -421,8 +421,13 @@ object Joins {
     * proportionate at bench scale. */
   def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
     val salts = 8
+    // salt = hash of the whole row identity mod S — a column taken
+    // directly (l_linenumber is 1..7) would never hit every salt and
+    // would inherit the column's skew; the hash gives the full S-way
+    // uniform spread. Any deterministic salt is result-invariant
+    // because the other side replicates across ALL salts.
     val l = Tables.lineitem(spark, dir)
-      .withColumn("__salt", pmod(col("l_linenumber").cast("int"), lit(salts)))
+      .withColumn("__salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("__salt", explode(array((0 until salts).map(lit(_)): _*)))

@@ -80,8 +80,10 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
         // part would feed the wrong cells into each column's type
         // lattice; fail here with both headers (ADVICE r4), matching
         // the scan-time check in XlsxBatch
+        // a zero-row part has no header to validate (and nothing to
+        // misalign) — skip it rather than failing the whole dataset
         val h = part.headOption.getOrElse(Seq.empty)
-        if (h != header)
+        if (part.nonEmpty && h != header)
           throw new IllegalArgumentException(
             s"xlsx: header of part file $p " +
               h.mkString("[", ", ", "]") +
@@ -383,6 +385,10 @@ class XlsxBatch(fullSchema: StructType, required: StructType, paths: Seq[String]
     // headers in the message. Single-file scans skip it (their header
     // IS the reference). One extra driver-side parse of the first
     // file, same cost class as schema inference.
+    // (if the FIRST part is zero-row, expectedHeader stays empty and
+    // validation is disabled for the scan — with no reference layout
+    // there is nothing to validate against without parsing further
+    // files driver-side)
     val expectedHeader: Seq[String] =
       if (paths.size <= 1) Seq.empty
       else XlsxParser.parse(paths.head, sheet).headOption.getOrElse(Seq.empty)
@@ -405,8 +411,10 @@ class XlsxReaderFactory(fullSchema: StructType, required: StructType,
     new PartitionReader[InternalRow] {
       private val parsed = XlsxParser.parse(path, sheet, failOnError = failFast)
       locally {
+        // zero-row parts carry no header: nothing to validate, nothing
+        // to misalign — read as empty instead of aborting the scan
         val h = parsed.headOption.getOrElse(Seq.empty)
-        if (expectedHeader.nonEmpty && h != expectedHeader)
+        if (expectedHeader.nonEmpty && parsed.nonEmpty && h != expectedHeader)
           throw new IllegalArgumentException(
             s"xlsx: header of part file $path " +
               h.mkString("[", ", ", "]") +

@@ -169,6 +169,14 @@ class ScaleSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("__salt"), plan) // the salt reached the join key
     assert(plan.contains("SortMergeJoin"), plan)
+    // the hash-based salt must actually spread: every salt value in
+    // [0, 8) is hit (a raw l_linenumber salt never reaches salt 0 and
+    // inherits the column's own skew — the bug this pins against)
+    import org.apache.spark.sql.functions._
+    val saltValues = graft.Tables.lineitem(spark, sf)
+      .select(pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(8)).as("s"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    assert(saltValues === (0 until 8), s"salt spread incomplete: $saltValues")
   }
 
   test("near-dup candidate generation stays an equi join (no cartesian regression)") {

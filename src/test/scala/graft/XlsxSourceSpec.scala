@@ -236,4 +236,32 @@ class XlsxSourceSpec extends SparkSpec {
         """<row r="2"><c r="A2"><v>3</v></c><c r="B2"><v>4</v></c></row>""")
     assert(spark.read.format("xlsx").load(dir).count() === 2)
   }
+
+  test("zero-row parts read as empty instead of failing header validation") {
+    // an empty sheet has no header row at all — there is nothing to
+    // validate and nothing to misalign, so it must not abort a
+    // multi-part scan (writers emit empty parts routinely)
+    val dir = tmp("zero_row_dir")
+    new java.io.File(dir).mkdirs()
+    buildWorkbook(s"$dir/part-0.xlsx",
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="B1" t="inlineStr"><is><t>b</t></is></c></row>""" +
+        """<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c></row>""")
+    buildWorkbook(s"$dir/part-1.xlsx", "") // completely empty sheetData
+    // scan path: rows come only from the non-empty part
+    assert(spark.read.format("xlsx").load(dir).count() === 1)
+    // inference path: the empty part contributes no samples, types
+    // still infer from the populated part
+    val inferred = spark.read.format("xlsx").option("inferSchema", true).load(dir)
+    assert(inferred.schema.fields.map(_.dataType.typeName).toSeq === Seq("long", "long"))
+    assert(inferred.count() === 1)
+    // a mismatched NON-empty part must still fail (the guard only
+    // exempts genuinely empty sheets)
+    buildWorkbook(s"$dir/part-2.xlsx",
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>b</t></is></c><c r="B1" t="inlineStr"><is><t>a</t></is></c></row>""" +
+        """<row r="2"><c r="A2"><v>9</v></c><c r="B2"><v>9</v></c></row>""")
+    val e = intercept[Exception] { spark.read.format("xlsx").load(dir).collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).mkString(" | ").contains("does not match the first part's header"))
+  }
 }
