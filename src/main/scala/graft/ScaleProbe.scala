@@ -173,7 +173,17 @@ object ScaleProbe {
       // result rows = doc count by construction; the TIME row is the
       // linearity evidence (span shuffle volume ∝ corpus tokens)
       ("line_dedup_spans", () =>
-        graft.operators.CorpusOps.lineDedup(spark, dir).count())
+        graft.operators.CorpusOps.lineDedup(spark, dir).count()),
+      // A-ES weighted sampling: result is k rows at ANY corpus size —
+      // the probe times the map-only key pass + per-partition top-k
+      // (TakeOrderedAndProject; no global sort to grow super-linearly)
+      ("weighted_sample_topk", () =>
+        graft.operators.CorpusOps.sampleWeighted(spark, dir).count()),
+      // BM25 lexical ranking: the query-term IN filter runs under the
+      // tf aggregate, so the shuffle carries only matching (doc, term)
+      // rows — time must track the SCAN, not the corpus×vocab explode
+      ("bm25_query_scan", () =>
+        graft.operators.TextAnalysis.bm25TopK(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

@@ -37,6 +37,7 @@ object SparkEntry {
       TextAnalysis.queries ++
       Multimodal.queries ++
       TimeSeries.queries ++
+      WarehouseEtl.queries ++
       Sources.queries ++
       SqlSurface.queries ++
       Streams.queries
@@ -60,6 +61,7 @@ object SparkEntry {
       TextAnalysis.oracle ++
       Multimodal.oracle ++
       TimeSeries.oracle ++
+      WarehouseEtl.oracle ++
       Sources.oracle ++
       SqlSurface.oracle ++
       Streams.oracle

@@ -233,7 +233,49 @@ object Aggregations {
     """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Equi-width histogram over order totals: 20 buckets spanning
+    * [min, max], per-bucket count and observed price range. The
+    * profile query behind every "distribution of X" dashboard panel
+    * and every equi-width data-skipping layout decision.
+    *
+    * Bucketing is exact integer arithmetic in CENTS —
+    * ((c−lo)·20) div (hi−lo+1) — so a price sitting exactly on a
+    * bucket edge lands identically in both engines (a float
+    * (x−lo)/(hi−lo)·20 would flip on the edge ulp). The max value
+    * maps to ((hi−lo)·20)/(hi−lo+1) < 20, so the last bucket
+    * closes without a clamp.
+    *
+    * Scale shape: the bounds are a 1-row scalar agg broadcast under
+    * the bucket projection (same pattern as the unigram-LM corpus
+    * total); the histogram itself is a 20-key hash agg with map-side
+    * partials — two passes over the data, no shuffle wider than 20
+    * rows. At 100 TB the bounds pass is the cost; a production
+    * variant feeds min/max from file-level statistics instead. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"),
+        col("o_totalprice"))
+    val bounds = o.agg(min("c").as("lo"), max("c").as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("((c - lo) * 20) DIV (hi - lo + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min("o_totalprice"), 2).as("lo_price"),
+        round(max("o_totalprice"), 2).as("hi_price"))
+      .orderBy(col("bucket"))
+  }
+
+  val histogramSql: String =
+    """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_totalprice
+      |           FROM orders),
+      |b AS (SELECT min(c) AS lo, max(c) AS hi FROM o)
+      |SELECT ((c - lo) * 20) // (hi - lo + 1) AS bucket, count(*) AS n_orders,
+      |       round(min(o_totalprice), 2) AS lo_price,
+      |       round(max(o_totalprice), 2) AS hi_price
+      |FROM o CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_histogram" -> (histogram _),
     "agg_pricing_summary" -> (pricingSummary _),
     "agg_rollup" -> (rollupFlagStatus _),
     "agg_cube" -> (cubeOrders _),
@@ -246,6 +288,7 @@ object Aggregations {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_histogram" -> histogramSql,
     "agg_pricing_summary" -> pricingSummarySql,
     "agg_rollup" -> rollupFlagStatusSql,
     "agg_cube" -> cubeOrdersSql,

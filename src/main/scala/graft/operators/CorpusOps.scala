@@ -744,7 +744,48 @@ object CorpusOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): each doc draws key = −ln(u)/w with u a deterministic
+    * md5-uniform in (0,1) and w = n_chars; the k smallest keys are
+    * the sample, with inclusion probability proportional to weight.
+    * This is how a token-budgeted sub-corpus is drawn from 100 TB in
+    * ONE pass with no sampling state: the key is a map-only
+    * projection and the selection is top-k (TakeOrderedAndProject —
+    * per-partition heads of size k, then a k·P driver merge; no
+    * global sort, no shuffle of the corpus).
+    *
+    * Determinism: u = (idHash + 0.5)/2³² is strictly inside (0,1)
+    * (no ln(0) poles), reproducible from the doc id alone — the
+    * same md5 contract as [[splitHash]]. The emitted key is
+    * quantized to nano-units so the hash compare is ulp-proof; the
+    * top-k cut uses the raw double, where a cross-engine flip would
+    * need two keys within one ulp of each other. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val u = (graft.api.Graft.idHash(col("doc_id")).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (-log(u) / col("n_chars").cast("double")).as("__key"))
+      .orderBy(col("__key"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_chars"),
+        round(col("__key") * 1e9).cast("long").as("key_nano"))
+      .orderBy(col("key_nano"), col("doc_id"))
+  }
+
+  val sampleWeightedSql: String =
+    s"""SELECT doc_id, n_chars, key_nano FROM (
+       |  SELECT doc_id, n_chars,
+       |         CAST(round(-ln((${idHashSql("doc_id")} + 0.5) / 4294967296.0)
+       |                    / n_chars * 1e9) AS BIGINT) AS key_nano
+       |  FROM documents
+       |  ORDER BY -ln((${idHashSql("doc_id")} + 0.5) / 4294967296.0) / n_chars, doc_id
+       |  LIMIT 100)
+       |ORDER BY key_nano, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_sample_weighted" -> (sampleWeighted _),
     "corpus_chunk_overlap" -> (chunkOverlap _),
     "corpus_mix_rebalance" -> (mixRebalance _),
     "corpus_decontaminate" -> (decontaminate _),
@@ -765,6 +806,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_sample_weighted" -> sampleWeightedSql,
     "corpus_chunk_overlap" -> chunkOverlapSql,
     "corpus_mix_rebalance" -> mixRebalanceSql,
     "corpus_decontaminate" -> decontaminateSql,

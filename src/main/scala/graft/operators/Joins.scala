@@ -536,7 +536,51 @@ object Joins {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  /** Blocked fuzzy join — entity resolution over part names with an
+    * edit-distance match, made tractable by BLOCKING: candidates must
+    * share a cheap deterministic block key (here the name's last
+    * token), so the quadratic levenshtein work runs per block, never
+    * corpus×corpus. The same candidate-bounding idea as the minhash
+    * band buckets (`Dedup`), with an equi join doing the bounding.
+    *
+    * The match runs on the DISTINCT-name dictionary, not the row
+    * stream: names repeat across parts, so resolving the dictionary
+    * first turns an O(rows²) problem into O(names²-within-block)
+    * plus an exact aggregate — at 100 TB the dictionary is the only
+    * thing the pair stage ever sees, and the per-name row counts
+    * (n_a/n_b) carry the corpus mass back to the pair without a
+    * second join over the fact table. Levenshtein ≤ 3 catches
+    * adjective swaps ("red widget" ~ "hot widget") while the block
+    * key keeps unrelated nouns apart. */
+  def fuzzyBlockedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("noun", element_at(split(col("name"), " "), -1))
+    val a = names.select(col("noun"), col("name").as("name_a"), col("n_rows").as("n_a"))
+    val b = names.select(col("noun"), col("name").as("name_b"), col("n_rows").as("n_b"))
+    a.join(b, "noun")
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val fuzzyBlockedJoinSql: String =
+    """WITH names AS (
+      |  SELECT p_name AS name, count(*) AS n_rows,
+      |         string_split(p_name, ' ')[-1] AS noun
+      |  FROM part GROUP BY p_name)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+      |       a.n_rows AS n_a, b.n_rows AS n_b
+      |FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+      |WHERE levenshtein(a.name, b.name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy_blocked" -> (fuzzyBlockedJoin _),
     "join_revenue_by_segment" -> (revenueBySegment _),
     "join_revenue_by_nation" -> (revenueByNation _),
     "join_left_outer" -> (leftOuterOrders _),
@@ -557,6 +601,7 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_fuzzy_blocked" -> fuzzyBlockedJoinSql,
     "join_revenue_by_segment" -> revenueBySegmentSql,
     "join_revenue_by_nation" -> revenueByNationSql,
     "join_left_outer" -> leftOuterOrdersSql,

@@ -252,7 +252,71 @@ object TextAnalysis {
       |       min(path) AS first_path
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** BM25 document ranking for a fixed multi-term query — the
+    * retrieval scorer behind lexical search over a corpus (and the
+    * lexical half of hybrid search next to `sim_*` ANN). Okapi
+    * BM25 with k1=1.2, b=0.75 and the +1-inside-the-log idf (the
+    * Lucene form — always positive, so common terms contribute
+    * small-but-sane scores in a 31-word synthetic vocabulary).
+    *
+    * Plan shape: the term explode is filtered to the query terms
+    * BEFORE the tf aggregate, so the shuffle carries only matching
+    * (doc, term) rows — at 100 TB the cost is the scan plus a
+    * query-sized agg, which is why lexical search over parquet is
+    * feasible without an inverted index. df and the corpus stats
+    * are broadcast scalars (≤|query| rows). Per-term contributions
+    * are quantized to integer micro-units before the per-doc sum —
+    * addition order can't move the result, and the top-k cut
+    * happens on exact BIGINTs (TakeOrderedAndProject, no global
+    * sort).
+    *
+    * Query terms: one rare ("dup", df≈5%) and two common — the
+    * ranking must show idf separating them. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("dup", "vector", "key")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.documents(spark, dir)
+    val lens = docs.select(col("doc_id"), size(words(col("text"))).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .where(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c_micro",
+        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))) *
+          lit(1e6)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_micro")).as("score_micro"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  val bm25TopKSql: String =
+    """WITH lens AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE term IN ('dup', 'vector', 'key') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |         CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+      |                    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) AS BIGINT) AS c_micro
+      |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats)
+      |SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro, count(*) AS n_terms_hit
+      |FROM contrib GROUP BY doc_id
+      |ORDER BY score_micro DESC, doc_id LIMIT 15""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> (bm25TopK _),
     "text_url_parse" -> (urlParse _),
     "text_token_stats" -> (tokenStats _),
     "text_token_stats_ws" -> (tokenStatsWs _),
@@ -264,6 +328,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_bm25_topk" -> bm25TopKSql,
     "text_url_parse" -> urlParseSql,
     "text_token_stats" -> tokenStatsSql,
     "text_token_stats_ws" -> tokenStatsWsSql,

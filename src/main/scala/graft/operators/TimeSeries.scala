@@ -137,13 +137,72 @@ object TimeSeries {
        |                       AS DOUBLE) * 100 / (nr - pr)) AS BIGINT) / 10000.0 END AS interp_value
        |FROM w ORDER BY 1, 2""".stripMargin
 
+  /** Rolling z-score anomaly flags: each occupied hourly bin is
+    * scored against the trailing 24 bins (excluding itself — the
+    * score must not contaminate its own baseline), flagged when
+    * |x − μ| > 3σ with at least 8 bins of history.
+    *
+    * Engine parity by construction: the whole test is integer
+    * arithmetic in CENTS. (x−μ)² > 9σ² multiplies out to
+    * (x·n − s)² > 9·(n·q − s²) with s = Σc, q = Σc² over the frame —
+    * no division, no sqrt, no float: both engines compute identical
+    * BIGINTs, so the flag can never diverge on a rounding ulp (σ = 0
+    * degenerates to 0 > 0 rather than a NaN z-score). Bounds: bin
+    * sums are ≲1e7 cents, so q ≤ 24·1e14 and the 9·(…) term stays
+    * ~1e16, far under the 9.2e18 long ceiling.
+    *
+    * Scale shape: one compact-key (type, hour) partial agg, then one
+    * per-type window — same single-exchange profile as the resamples
+    * above; the frame is O(24) per row regardless of corpus size. */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(-24, -1)
+    val c = round(col("sum_value") * 100).cast("long")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bin"))
+      .agg(round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("__c", c)
+      .withColumn("n_hist", count(col("__c")).over(hist))
+      .withColumn("__s", sum(col("__c")).over(hist))
+      .withColumn("__q", sum(col("__c") * col("__c")).over(hist))
+      .select(col("event_type"),
+        date_format(col("bin"), "yyyy-MM-dd HH:mm").as("bin_ts"),
+        col("sum_value"), col("n_hist"),
+        (col("n_hist") >= 8 &&
+          (col("__c") * col("n_hist") - col("__s")) * (col("__c") * col("n_hist") - col("__s")) >
+            lit(9L) * (col("n_hist") * col("__q") - col("__s") * col("__s")))
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("bin_ts"))
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH binned AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bin,
+      |         round(sum(value), 2) AS sum_value,
+      |         CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, bin, sum_value, c,
+      |         count(c) OVER f AS n_hist,
+      |         sum(c) OVER f AS s,
+      |         sum(c * c) OVER f AS q
+      |  FROM binned
+      |  WINDOW f AS (PARTITION BY event_type ORDER BY bin
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, strftime(bin, '%Y-%m-%d %H:%M') AS bin_ts, sum_value, n_hist,
+      |       (n_hist >= 8 AND (c * n_hist - s) * (c * n_hist - s) > 9 * (n_hist * q - s * s))
+      |         AS is_anomaly
+      |FROM w ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample_ffill" -> (resampleFfill _),
-    "ts_resample_interp" -> (resampleInterp _)
+    "ts_resample_interp" -> (resampleInterp _),
+    "ts_anomaly_zscore" -> (anomalyZscore _)
   )
 
   def oracle: Map[String, String] = Map(
     "ts_resample_ffill" -> resampleFfillSql,
-    "ts_resample_interp" -> resampleInterpSql
+    "ts_resample_interp" -> resampleInterpSql,
+    "ts_anomaly_zscore" -> anomalyZscoreSql
   )
 }

@@ -235,4 +235,155 @@ class OperatorsSpec extends SparkSpec {
     assert(got.keySet === want.keySet)
     got.foreach { case (k, v) => assert(v === want(k), s"$k: $v vs ${want(k)}") }
   }
+
+  // ---------- warehouse ETL ----------
+
+  test("CDC latest-wins picks each user's (ts, event_id)-max record") {
+    val got = WarehouseEtl.cdcLatest(spark, sf).collect()
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")), col("event_id"),
+        col("event_type"), col("value")).collect()
+    val want = raw.groupBy(_.getLong(0)).map { case (u, rs) =>
+      val top = rs.maxBy(r => (r.getLong(1), r.getLong(2)))
+      u -> top.getString(3)
+    }
+    assert(got.length === want.size) // exactly one row per user
+    got.foreach { r =>
+      assert(r.getString(1) === want(r.getLong(0)), s"user ${r.getLong(0)}")
+    }
+  }
+
+  test("SCD2 matches a driver-side change-detection + interval recomputation") {
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val got = WarehouseEtl.scd2Build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3), r.getBoolean(4))).toSet
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")), col("event_id"), col("event_type"))
+      .collect()
+    val want = raw.groupBy(_.getLong(0)).flatMap { case (u, rs) =>
+      // mirror the operator: order by (ts, event_id), keep state
+      // changes, close each interval at the next change's open
+      val ordered = rs.sortBy(r => (r.getLong(1), r.getLong(2)))
+      val changes = ordered.foldLeft(Vector.empty[(Long, String)]) { (acc, r) =>
+        val st = r.getString(3)
+        if (acc.nonEmpty && acc.last._2 == st) acc else acc :+ (r.getLong(1) -> st)
+      }
+      changes.zipWithIndex.map { case ((tsSec, st), i) =>
+        val to = if (i + 1 < changes.size) fmt.format(new java.util.Date(changes(i + 1)._1 * 1000)) else null
+        (u, st, fmt.format(new java.util.Date(tsSec * 1000)), to, to == null)
+      }
+    }.toSet
+    assert(got === want)
+    // exactly one current interval per user
+    got.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.count(_._5) === 1, s"user $u")
+    }
+  }
+
+  // ---------- profiling / anomaly ----------
+
+  test("rolling z-score flags match a driver-side integer recomputation") {
+    val rows = TimeSeries.anomalyZscore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val ordered = rs.sortBy(_.getString(1))
+      val cents = ordered.map(r => math.round(r.getDouble(2) * 100))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val hist = cents.slice(math.max(0, i - 24), i)
+        assert(r.getLong(3) === hist.length, s"$tpe n_hist at $i")
+        val expected = hist.length >= 8 && {
+          val n = hist.length.toLong
+          val s = hist.sum
+          val q = hist.map(c => c * c).sum
+          val d = cents(i) * n - s
+          d * d > 9L * (n * q - s * s)
+        }
+        assert(r.getBoolean(4) === expected, s"$tpe row $i")
+      }
+    }
+    assert(rows.exists(_.getBoolean(4)), "expected at least one anomaly at sf0.001")
+  }
+
+  test("histogram buckets partition all orders and respect edge arithmetic") {
+    val rows = Aggregations.histogram(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    val buckets = rows.map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 20))
+    assert(buckets.toSeq === buckets.sorted.toSeq)
+    // per-bucket observed range must sit inside the computed edges
+    val cents = Tables.orders(spark, sf)
+      .select(round(col("o_totalprice") * 100).cast("long")).collect().map(_.getLong(0))
+    val lo = cents.min; val span = cents.max - lo + 1
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      val loC = math.round(r.getDouble(2) * 100); val hiC = math.round(r.getDouble(3) * 100)
+      assert((loC - lo) * 20 / span === b, s"bucket $b lo_price outside")
+      assert((hiC - lo) * 20 / span === b, s"bucket $b hi_price outside")
+      assert(loC <= hiC)
+    }
+  }
+
+  test("weighted sample takes exactly the k smallest keys, rare-heavy by weight") {
+    val got = CorpusOps.sampleWeighted(spark, sf).collect()
+    assert(got.length === 100)
+    // recompute ALL keys through the same expression, select driver-side
+    val u = (graft.api.Graft.idHash(col("doc_id")).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), (-log(u) / col("n_chars").cast("double")).as("key"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val want = all.sortBy { case (id, k) => (k, id) }.take(100).map(_._1).toSet
+    assert(got.map(_.getLong(0)).toSet === want)
+    // weighting pulls long docs in: sampled mean n_chars exceeds corpus mean
+    val sampledMean = got.map(_.getLong(1)).sum.toDouble / got.length
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"weighted sample mean $sampledMean should exceed corpus mean $corpusMean")
+  }
+
+  test("BM25: docs hit by the rare query term outrank all common-only docs") {
+    val rows = TextAnalysis.bm25TopK(spark, sf).collect()
+    assert(rows.length === 15)
+    val scores = rows.map(_.getLong(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+    // idf separation: the rare term's single-occurrence contribution
+    // exceeds the common terms' saturation ceiling, so every top-15
+    // doc must contain it (25 docs carry it; k=15)
+    val dupDocs = Tables.documents(spark, sf)
+      .where(array_contains(split(col("text"), " "), "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(dupDocs.contains(r.getLong(0)),
+        s"doc ${r.getLong(0)} in top-15 without the rare term")
+    }
+  }
+
+  test("fuzzy blocked join matches a driver-side levenshtein over the name dictionary") {
+    val got = Joins.fuzzyBlockedJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sf).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val want = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last && lev(a, b) <= 3
+    } yield (a, b, lev(a, b).toLong)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // blocking really blocks: no cross-noun pair survives
+    got.foreach { case (a, b, _) =>
+      assert(a.split(" ").last === b.split(" ").last)
+    }
+  }
 }

@@ -25,6 +25,7 @@ class RegistrySpec extends SparkSpec {
     ("TextAnalysis", TextAnalysis.queries, TextAnalysis.oracle),
     ("Multimodal", Multimodal.queries, Multimodal.oracle),
     ("TimeSeries", TimeSeries.queries, TimeSeries.oracle),
+    ("WarehouseEtl", WarehouseEtl.queries, WarehouseEtl.oracle),
     ("Sources", Sources.queries, Sources.oracle),
     ("SqlSurface", SqlSurface.queries, SqlSurface.oracle),
     ("Streams", Streams.queries, Streams.oracle))

@@ -371,4 +371,52 @@ class ScaleSpec extends SparkSpec {
     assert(!leftBranch.exists(_.contains("Exchange hashpartitioning")),
       s"corpus side shuffled before the broadcast join:\n$plan")
   }
+
+  test("weighted sample plans as TakeOrderedAndProject — no global sort of the corpus") {
+    val df = graft.operators.CorpusOps.sampleWeighted(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort leaked into the sample path:\n$plan")
+  }
+
+  test("CDC latest-wins gets WindowGroupLimit (running-max per key, not full sorted history)") {
+    val df = graft.operators.WarehouseEtl.cdcLatest(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("BM25 pushes the query-term filter below the tf aggregate") {
+    val df = graft.operators.TextAnalysis.bm25TopK(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the IN filter must run before any aggregate: the first (deepest)
+    // HashAggregate above the scan must sit above a Filter mentioning
+    // the query terms, so the tf shuffle carries query rows only
+    // in the printed tree children follow parents, so the required
+    // order tf-agg → IN-filter → explode reads as three increasing
+    // line indices within the corpus branch
+    val lines = plan.linesIterator.toList
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("dup"))
+    assert(filterIdx >= 0, plan)
+    val generateIdx = lines.indexWhere(_.contains("Generate explode"))
+    assert(generateIdx > filterIdx,
+      s"query-term filter not pushed below the explode's aggregate:\n$plan")
+    val tfAggIdx = lines.lastIndexWhere(
+      l => l.contains("HashAggregate") && l.contains("term"), filterIdx)
+    assert(tfAggIdx >= 0 && tfAggIdx < filterIdx,
+      s"tf aggregate should be the filter's parent:\n$plan")
+    // and the final cut is a top-k, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("fuzzy blocked join stays an equi join on the block key") {
+    val df = graft.operators.Joins.fuzzyBlockedJoin(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
 }
