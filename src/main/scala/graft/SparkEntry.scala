@@ -38,6 +38,8 @@ object SparkEntry {
       Multimodal.queries ++
       TimeSeries.queries ++
       WarehouseEtl.queries ++
+      Layout.queries ++
+      GraphOps.queries ++
       Sources.queries ++
       SqlSurface.queries ++
       Streams.queries
@@ -62,6 +64,8 @@ object SparkEntry {
       Multimodal.oracle ++
       TimeSeries.oracle ++
       WarehouseEtl.oracle ++
+      Layout.oracle ++
+      GraphOps.oracle ++
       Sources.oracle ++
       SqlSurface.oracle ++
       Streams.oracle

@@ -191,6 +191,22 @@ object Graft {
     ensureRegistered(); call_function("graft_lsh_sig", v)
   }
 
+  /** Morton (Z-order) interleave of two non-negative integer columns
+    * (`bits` bits each) into one 2·`bits`-bit locality key: bit i of
+    * `a` lands at position 2i+1, bit i of `b` at 2i. Rows close in
+    * z-value are close in BOTH dimensions, so range-partitioning and
+    * sorting by the z-value clusters the data for min/max file
+    * skipping on either column — the multi-column layout remedy next
+    * to single-key bucketing (a bucketBy layout serves one join key;
+    * a z-order layout serves range predicates on several columns at
+    * once). Pure integer shift/mod arithmetic: engine-portable and
+    * codegen-friendly, no UDF. */
+  def mortonInterleave(a: Column, b: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      (shiftright(a.cast("long"), i) % 2) * lit(1L << (2 * i + 1)) +
+        (shiftright(b.cast("long"), i) % 2) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+
   // ---------- DataFrame-level operators ----------
 
   /** Exact dedup: keep one row per distinct value of `textCol` (the

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over data-derived graphs — the iterative
+  * message-passing pattern (the same distributed fixpoint family as
+  * `Graft.connectedComponents`, with weighted propagation instead of
+  * min-label). The graph here is the event-type transition graph:
+  * per user, consecutive events (ordered by ts, event_id — the same
+  * deterministic ordering contract as `WarehouseEtl`) define a
+  * weighted edge prev_type → type.
+  *
+  * Scale shape: edge EXTRACTION is the data-sized stage — one key
+  * shuffle + per-user lag window, linear in events; the aggregated
+  * edge list is |types|² (a broadcast-class artifact), so the
+  * PageRank iterations cost nothing at any corpus size. On a graph
+  * whose EDGE LIST is itself huge (the kNN graph), the same loop
+  * runs with the scores table shuffled per round — the iteration
+  * structure is unchanged, which is the point of writing it as
+  * DataFrame joins rather than a driver-side loop over collected
+  * edges.
+  */
+object GraphOps {
+
+  /** PageRank (damping 0.85, 3 synchronous iterations from uniform)
+    * over the event-type transition graph.
+    *
+    * Engine parity: scores live as integer MICRO-units between
+    * iterations. Each edge contribution rounds
+    * score·w/outdeg once (the only division), then contributions sum
+    * as exact BIGINTs — summation order can't move the result — and
+    * the damped update rounds once more: round(0.15·1e6/N + 0.85·Σ).
+    * Both engines execute the identical double ops on identical
+    * integer inputs, so three chained iterations stay bit-equal
+    * (free-floating iterated doubles would drift at the 4th decimal
+    * by round two). */
+  def pagerankTypes(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(order))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    val n = nodes.count() // |types| — bounded by the schema, not the data
+    var scores = nodes.withColumn("score_micro", lit(math.round(1e6 / n)))
+    (1 to 3).foreach { _ =>
+      val contrib = edges
+        .join(outdeg, "src")
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          round(col("score_micro") * col("w") / col("outdeg")).cast("long").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_micro"))
+      scores = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(0.15 * 1e6 / n) + lit(0.85) * coalesce(col("in_micro"), lit(0L)))
+            .cast("long").as("score_micro"))
+    }
+    scores.select(col("node").as("event_type"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("event_type"))
+  }
+
+  // one iteration as SQL, chained three times with the same constants
+  private def iterSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT n.node,
+       |         CAST(round(0.15 * 1e6 / (SELECT cnt FROM nn)
+       |               + 0.85 * coalesce(c.in_micro, 0)) AS BIGINT) AS score_micro
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node,
+       |           CAST(sum(CAST(round(s.score_micro * e.w / o.outdeg) AS BIGINT)) AS BIGINT) AS in_micro
+       |    FROM edges e JOIN outdeg o ON e.src = o.src
+       |                 JOIN $prev s ON s.node = e.src
+       |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+
+  val pagerankTypesSql: String =
+    s"""WITH ordered AS (
+       |  SELECT user_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |edges AS (
+       |  SELECT prev AS src, event_type AS dst, count(*) AS w
+       |  FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |outdeg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |nn AS (SELECT count(*) AS cnt FROM nodes),
+       |s0 AS (SELECT node, CAST(round(1e6 / (SELECT cnt FROM nn)) AS BIGINT) AS score_micro
+       |       FROM nodes),
+       |${iterSql("s0", "s1")},
+       |${iterSql("s1", "s2")},
+       |${iterSql("s2", "s3")}
+       |SELECT node AS event_type, score_micro FROM s3
+       |ORDER BY score_micro DESC, event_type""".stripMargin
+
+  /** Triangle count + global clustering coefficient over the
+    * fuzzy-match name graph ([[Joins.fuzzyBlockedJoin]] pairs as
+    * undirected edges, already canonical a<b). The standard two-join
+    * enumeration with every wedge closed in canonical order — each
+    * triangle {a<b<c} is counted exactly once as e(a,b)⋈e(b,c)⋈e(a,c),
+    * so no ÷6 correction and no orientation bookkeeping.
+    *
+    * Scale shape: the joins are equi joins on node ids; at real edge
+    * counts the canonical a<b orientation IS the degree-ordering
+    * trick that keeps wedge fan-out bounded by the smaller-endpoint
+    * degree. Wedges and the coefficient are exact integer arithmetic
+    * (micro-units for the ratio). */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Joins.fuzzyBlockedJoin(spark, dir).select(col("name_a").as("a"), col("name_b").as("b"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("node")).union(e.select(col("b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(sum(expr("(d * (d - 1)) DIV 2")).as("n_wedges"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    tri.crossJoin(edges).crossJoin(wedges)
+      .select(col("n_triangles"), col("n_edges"), col("n_wedges"),
+        round(lit(3.0) * lit(1e6) * col("n_triangles") / col("n_wedges"))
+          .cast("long").as("clustering_micro"))
+  }
+
+  val trianglesSql: String =
+    """WITH names AS (
+      |  SELECT p_name AS name, string_split(p_name, ' ')[-1] AS noun
+      |  FROM part GROUP BY p_name),
+      |e AS (
+      |  SELECT a.name AS a, b.name AS b
+      |  FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+      |  WHERE levenshtein(a.name, b.name) <= 3),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |deg AS (
+      |  SELECT node, count(*) AS d
+      |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY 1),
+      |w AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+      |ne AS (SELECT count(*) AS n_edges FROM e)
+      |SELECT n_triangles, n_edges, n_wedges,
+      |       CAST(round(3.0 * 1e6 * n_triangles / n_wedges) AS BIGINT) AS clustering_micro
+      |FROM tri CROSS JOIN ne CROSS JOIN w""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (pagerankTypes _),
+    "graph_triangles" -> (triangles _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankTypesSql,
+    "graph_triangles" -> trianglesSql
+  )
+}

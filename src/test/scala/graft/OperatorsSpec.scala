@@ -361,6 +361,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PageRank matches a driver-side integer-micro iteration; mass conserved") {
+    val got = GraphOps.pagerankTypes(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rebuild the edge list driver-side with the same ordering contract
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")), col("event_id"), col("event_type"))
+      .collect()
+    val edges = raw.groupBy(_.getLong(0)).toSeq.flatMap { case (_, rs) =>
+      val types = rs.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getString(3))
+      types.zip(types.tail)
+    }.groupBy(identity).map { case ((s, d), xs) => (s, d, xs.size.toLong) }.toSeq
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    var score = nodes.map(_ -> math.round(1e6 / n)).toMap
+    (1 to 3).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) => math.round(score(s) * w / outdeg(s).toDouble) }.sum
+      }
+      score = nodes.map(nd =>
+        nd -> math.round(0.15 * 1e6 / n + 0.85 * in.getOrElse(nd, 0L))).toMap
+    }
+    assert(got === score)
+    // no dangling nodes in this graph, so mass stays ~1e6 (rounding only)
+    assert(math.abs(got.values.sum - 1000000L) <= n.toLong, got.toString)
+  }
+
+  test("triangle count matches a brute-force enumeration of the name graph") {
+    val r = GraphOps.triangles(spark, sf).head()
+    val edges = Joins.fuzzyBlockedJoin(spark, sf).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    def linked(x: String, y: String) = edges.contains(if (x < y) (x, y) else (y, x))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+      if linked(nodes(i), nodes(j)) && linked(nodes(j), nodes(k)) && linked(nodes(i), nodes(k))
+    } yield 1).size
+    assert(r.getLong(0) === tris.toLong)
+    assert(r.getLong(1) === edges.size.toLong)
+    val wedges = nodes.map(n => edges.count(e => e._1 == n || e._2 == n).toLong)
+      .map(d => d * (d - 1) / 2).sum
+    assert(r.getLong(2) === wedges)
+    assert(r.getLong(3) === math.round(3.0 * 1e6 * tris / wedges))
+  }
+
   test("fuzzy blocked join matches a driver-side levenshtein over the name dictionary") {
     val got = Joins.fuzzyBlockedJoin(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet

@@ -26,6 +26,8 @@ class RegistrySpec extends SparkSpec {
     ("Multimodal", Multimodal.queries, Multimodal.oracle),
     ("TimeSeries", TimeSeries.queries, TimeSeries.oracle),
     ("WarehouseEtl", WarehouseEtl.queries, WarehouseEtl.oracle),
+    ("Layout", Layout.queries, Layout.oracle),
+    ("GraphOps", GraphOps.queries, GraphOps.oracle),
     ("Sources", Sources.queries, Sources.oracle),
     ("SqlSurface", SqlSurface.queries, SqlSurface.oracle),
     ("Streams", Streams.queries, Streams.oracle))

@@ -412,6 +412,35 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("z-order layout bounds per-partition spans in BOTH dimensions; d1-sort does not") {
+    import org.apache.spark.sql.functions._
+    // the same two quantized dims the layout_zorder query profiles
+    val o = graft.Tables.orders(spark, sf)
+      .select(pmod(col("o_custkey"), lit(256)).cast("long").as("d1"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+    val b = o.agg(min("c").as("lo"), max("c").as("hi"))
+    val d = o.crossJoin(broadcast(b))
+      .withColumn("d2", expr("((c - lo) * 256) DIV (hi - lo + 1)"))
+      .withColumn("zval", graft.api.Graft.mortonInterleave(col("d1"), col("d2"), 8))
+    def spans(keyed: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val rows = keyed.groupBy(spark_partition_id().as("p"))
+        .agg((max("d1") - min("d1")).as("s1"), (max("d2") - min("d2")).as("s2"))
+        .collect()
+      (rows.map(_.getLong(1)).sum.toDouble / rows.length,
+        rows.map(_.getLong(2)).sum.toDouble / rows.length)
+    }
+    // z-order write layout: range partition + sort by the z-value
+    val (z1, z2) = spans(d.repartitionByRange(16, col("zval")))
+    // the single-column alternative: perfect on d1, blind on d2
+    val (_, s2) = spans(d.repartitionByRange(16, col("d1")))
+    // per-file min/max windows must be tight on BOTH dims under
+    // z-order (≤ half the 0..255 domain on average) while the d1
+    // layout leaves d2 unclustered (span ≈ the whole domain)
+    assert(z1 <= 128, s"z-order d1 span $z1")
+    assert(z2 <= 128, s"z-order d2 span $z2")
+    assert(s2 > 2 * z2, s"d1-only layout should leave d2 wide: $s2 vs z-order $z2")
+  }
+
   test("fuzzy blocked join stays an equi join on the block key") {
     val df = graft.operators.Joins.fuzzyBlockedJoin(spark, sf)
     df.collect()
