@@ -274,7 +274,103 @@ object Aggregations {
       |       round(max(o_totalprice), 2) AS hi_price
       |FROM o CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Winsorized robust statistics per order status: exact p5/p95
+    * (linear-interpolation percentile — Spark `percentile` and
+    * DuckDB `quantile_cont` both implement the type-7 quantile, so
+    * the thresholds are the same IEEE doubles), rows clipped at each
+    * tail, and the winsorized mean. The outlier-robust aggregation a
+    * profiling stage runs before z-scores or model features.
+    *
+    * Parity: prices live as integer cents; the clamped value is
+    * rounded back to cents BEFORE summing, so the mean's numerator
+    * is an exact BIGINT (summation-order-proof) and only the final
+    * divide is floating. The tail counts compare integer cents to
+    * the shared interpolated threshold — identical inputs, identical
+    * compare.
+    *
+    * Scale shape: exact percentiles cost one sort-based agg per
+    * group partition (Spark's ObjectHashAggregate over a digest of
+    * the group's values); at 100 TB swap `percentile` for
+    * `percentile_approx` — same query shape, bounded state (the
+    * approx path is `agg_approx_quantiles`). */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+    val th = o.groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(c, 0.05)").as("p05"),
+        expr("percentile(c, 0.95)").as("p95"))
+    o.join(th, "o_orderstatus")
+      .withColumn("cl", round(greatest(least(col("c").cast("double"), col("p95")), col("p05"))).cast("long"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("c").cast("double") < col("p05")).cast("long")).as("n_lo"),
+        sum((col("c").cast("double") > col("p95")).cast("long")).as("n_hi"),
+        round(first(col("p05"))).cast("long").as("p05_c"),
+        round(first(col("p95"))).cast("long").as("p95_c"),
+        round(sum(col("cl")) / count(lit(1)) / 100.0, 2).as("wins_mean"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val winsorizeSql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders),
+      |th AS (
+      |  SELECT o_orderstatus,
+      |         quantile_cont(c, 0.05) AS p05, quantile_cont(c, 0.95) AS p95
+      |  FROM o GROUP BY 1)
+      |SELECT o.o_orderstatus, count(*) AS n,
+      |       CAST(sum(CASE WHEN c < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |       CAST(sum(CASE WHEN c > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |       CAST(round(any_value(p05)) AS BIGINT) AS p05_c,
+      |       CAST(round(any_value(p95)) AS BIGINT) AS p95_c,
+      |       round(CAST(sum(CAST(round(greatest(least(CAST(c AS DOUBLE), p95), p05)) AS BIGINT)) AS BIGINT)
+      |             / count(*) / 100.0, 2) AS wins_mean
+      |FROM o JOIN th USING (o_orderstatus)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Heavy hitters via Spark's single-pass frequent-items sketch
+    * (Karp/Misra–Gries family, `df.stat.freqItems`), verified
+    * against the exact answer — the same sketch-plus-verdict oracle
+    * pattern as `agg_approx_distinct`. The sketch guarantee is a
+    * SUPERSET: every item with frequency ≥ support must appear
+    * (false positives possible, false negatives not), so the
+    * oracle-checkable claim is `found = true` for every exact heavy
+    * hitter. The threshold compare is pure integers
+    * (cnt·10 ≥ total·3 ⟺ freq ≥ 0.3) — no float boundary.
+    *
+    * Scale shape: the sketch is one map-side pass with O(1/support)
+    * state per partition and a tiny merge — the 100 TB way to find
+    * frequent keys (skew candidates for [[Joins.saltedSkewJoin]],
+    * hot vocab for dictionaries) without a full groupBy; the exact
+    * groupBy here exists to score the sketch, not to replace it. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"))
+    // 1/support = at most 3 candidate items — a bounded driver
+    // artifact, same contract as a broadcast
+    val sketch = li.stat.freqItems(Seq("l_returnflag"), 0.3)
+      .head().getSeq[String](0).toSet
+    val total = li.agg(count(lit(1)).as("total"))
+    li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * 10 >= col("total") * 3)
+      .select(col("l_returnflag").as("item"), col("cnt"),
+        col("item").isin(sketch.toSeq: _*).as("found"))
+      .orderBy(col("item"))
+  }
+
+  val heavyHittersSql: String =
+    """WITH t AS (SELECT count(*) AS total FROM lineitem)
+      |SELECT l_returnflag AS item, count(*) AS cnt, TRUE AS found
+      |FROM lineitem CROSS JOIN t
+      |GROUP BY l_returnflag, total
+      |HAVING count(*) * 10 >= total * 3
+      |ORDER BY item""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_heavy_hitters" -> (heavyHitters _),
+    "agg_winsorize" -> (winsorize _),
     "agg_histogram" -> (histogram _),
     "agg_pricing_summary" -> (pricingSummary _),
     "agg_rollup" -> (rollupFlagStatus _),
@@ -288,6 +384,8 @@ object Aggregations {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_heavy_hitters" -> heavyHittersSql,
+    "agg_winsorize" -> winsorizeSql,
     "agg_histogram" -> histogramSql,
     "agg_pricing_summary" -> pricingSummarySql,
     "agg_rollup" -> rollupFlagStatusSql,

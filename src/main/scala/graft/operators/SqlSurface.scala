@@ -60,6 +60,42 @@ object SqlSurface {
       |       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Unpivot (melt): wide per-lineitem measures back to long
+    * (measure, value) rows — the inverse of pivot, used to normalize
+    * wide fact tables into EAV form for generic downstream pipelines.
+    * Spark's native `unpivot` plans as a Generate (expand) — a
+    * map-only fan-out, no shuffle below the final rollup. Values are
+    * rounded to cents BEFORE the melt so both engines sum exact
+    * integers per measure. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("extendedprice"),
+        round(col("l_discount") * col("l_extendedprice") * 100).cast("long").as("discount_amt"),
+        round(col("l_tax") * col("l_extendedprice") * 100).cast("long").as("tax_amt"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("extendedprice"), col("discount_amt"), col("tax_amt")),
+        "measure", "value_c")
+      .groupBy(col("measure"))
+      // cents in, cents summed exactly, one divide at the edge
+      .agg(count(lit(1)).as("n"), round(sum(col("value_c")) / 100.0, 2).as("total"))
+      .orderBy(col("measure"))
+
+  val unpivotMeasuresSql: String =
+    """WITH wide AS (
+      |  SELECT l_orderkey,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS extendedprice,
+      |         CAST(round(l_discount * l_extendedprice * 100) AS BIGINT) AS discount_amt,
+      |         CAST(round(l_tax * l_extendedprice * 100) AS BIGINT) AS tax_amt
+      |  FROM lineitem),
+      |long AS (
+      |  SELECT 'extendedprice' AS measure, extendedprice AS value_c FROM wide
+      |  UNION ALL SELECT 'discount_amt', discount_amt FROM wide
+      |  UNION ALL SELECT 'tax_amt', tax_amt FROM wide)
+      |SELECT measure, count(*) AS n,
+      |       round(CAST(sum(value_c) AS BIGINT) / 100.0, 2) AS total
+      |FROM long GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Scalar subquery: orders above the global average price, counted
     * per status. */
   def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
@@ -197,6 +233,7 @@ object SqlSurface {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_grouping_sets" -> (groupingSets _),
     "sql_pivot" -> (pivotStatus _),
+    "sql_unpivot" -> (unpivotMeasures _),
     "sql_scalar_subquery" -> (scalarSubquery _),
     "sql_exists_subquery" -> (existsSubquery _),
     "sql_correlated_count" -> (correlatedCount _),
@@ -209,6 +246,7 @@ object SqlSurface {
   def oracle: Map[String, String] = Map(
     "sql_grouping_sets" -> groupingSetsSql,
     "sql_pivot" -> pivotStatusSql,
+    "sql_unpivot" -> unpivotMeasuresSql,
     "sql_scalar_subquery" -> scalarSubquerySql,
     "sql_exists_subquery" -> existsSubquerySql,
     "sql_correlated_count" -> correlatedCountSql,

@@ -236,6 +236,48 @@ class OperatorsSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(v === want(k), s"$k: $v vs ${want(k)}") }
   }
 
+  test("winsorize: tails hold ~5% each, mean sits inside the clip window") {
+    val rows = Aggregations.winsorize(spark, sf).collect()
+    val counts = Tables.orders(spark, sf).groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (status, n, nLo, nHi) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n === counts(status))
+      // each tail strictly below the quantile is at most 5% of rows
+      // (interpolated threshold → can round down, never inflate)
+      assert(nLo <= math.ceil(0.05 * n).toLong, s"$status n_lo $nLo of $n")
+      assert(nHi <= math.ceil(0.05 * n).toLong, s"$status n_hi $nHi of $n")
+      assert(nLo > 0 && nHi > 0, s"$status expected non-empty tails")
+      val (p05, p95, mean) = (r.getLong(4) / 100.0, r.getLong(5) / 100.0, r.getDouble(6))
+      assert(mean >= p05 && mean <= p95, s"$status mean $mean outside [$p05, $p95]")
+    }
+  }
+
+  test("heavy-hitter sketch finds every exact >=30% item (superset guarantee)") {
+    val rows = Aggregations.heavyHitters(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    val exact = Tables.lineitem(spark, sf).groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (_, c) => c * 10 >= total * 3 }.toMap
+    assert(rows.map(_.getString(0)).toSet === exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) === exact(r.getString(0)))
+      assert(r.getBoolean(2), s"${r.getString(0)} missed by the sketch")
+    }
+  }
+
+  test("unpivot totals reconcile against the wide table") {
+    val got = SqlSurface.unpivotMeasures(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    assert(got.keySet === Set("extendedprice", "discount_amt", "tax_amt"))
+    got.values.foreach { case (cnt, _) => assert(cnt === n) }
+    val directCents = li.agg(
+      sum(round(col("l_extendedprice") * 100).cast("long"))).head().getLong(0)
+    assert(got("extendedprice")._2 === directCents / 100.0)
+  }
+
   // ---------- warehouse ETL ----------
 
   test("CDC latest-wins picks each user's (ts, event_id)-max record") {
