@@ -324,6 +324,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("DQ suite: all five checks pass on the clean corpus; row-level checks share one scan") {
+    val df = WarehouseEtl.dqChecks(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getString(0)).toSet === Set(
+      "pk_unique_orderkey", "fk_custkey_resolves", "not_null_orderdate",
+      "range_totalprice_positive", "enum_status_known"))
+    rows.foreach { r =>
+      assert(r.getLong(1) === 0L, r.getString(0))
+      assert(r.getBoolean(2), r.getString(0))
+    }
+    // single-pass claim: the three row-level checks fan out from ONE
+    // aggregate — orders scans appear only for rowLevel + pk + fk
+    // count scans in the FINAL plan only — the AQE string appends the
+    // initial plan below it, which would double every FileScan line
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val ordersScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet"))
+    assert(ordersScans <= 3, s"$ordersScans orders scans:\n$plan")
+  }
+
+  test("incremental partial-merge equals the direct aggregate on every key") {
+    val rows = WarehouseEtl.incrementalAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3), r.getString(0)))
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+  }
+
   // ---------- profiling / anomaly ----------
 
   test("rolling z-score flags match a driver-side integer recomputation") {
