@@ -166,7 +166,59 @@ object Multimodal {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** REAL container-header decoding — the part of "image decode"
+    * that needs byte arithmetic, not a codec: parse width / height /
+    * bit depth / color type out of a PNG IHDR with pure codegen
+    * expressions (binary substring → hex → base-16 conv, big-endian
+    * uint32s at their spec offsets; magic validated against the
+    * 8-byte PNG signature). At 100 TB this is how image corpora are
+    * FILTERED — dimension/type predicates run as a map-only scan
+    * over the first 26 bytes, and only surviving rows ever reach the
+    * (expensive, codec-bound) pixel decode seam (`decodeStub`).
+    *
+    * The payloads are valid PNG headers synthesized from document
+    * metadata (no codecs in the container ⇒ no real image bytes);
+    * the oracle states the metadata directly, so the check is the
+    * encode∘decode round-trip: a mis-parsed offset or endianness
+    * breaks the match. */
+  /** The parser itself, reusable over any binary column holding PNG
+    * bytes: a struct of (magic_ok, width, height, bit_depth,
+    * color_type) read at the IHDR spec offsets. */
+  def parsePngHeader(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def be(pos: Int, len: Int) =
+      conv(hex(substring(payload, pos, len)), 16, 10).cast("long")
+    struct(
+      (hex(substring(payload, 1, 8)) === lit("89504E470D0A1A0A")).as("magic_ok"),
+      be(17, 4).as("width"), be(21, 4).as("height"),
+      be(25, 1).as("bit_depth"), be(26, 1).as("color_type"))
+  }
+
+  def pngHeader(spark: SparkSession, dir: String): DataFrame = {
+    val w = pmod(col("n_chars"), lit(1024)).cast("long")
+    val h = pmod(col("doc_id"), lit(768)).cast("long")
+    // PNG signature + IHDR chunk header + big-endian dims + depth 8,
+    // truecolor (2), default compression/filter/interlace
+    val png = unhex(concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0802000000")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), parsePngHeader(png).as("p"))
+      .select(col("doc_id"), col("p.magic_ok").as("magic_ok"),
+        col("p.width").as("width"), col("p.height").as("height"),
+        col("p.bit_depth").as("bit_depth"), col("p.color_type").as("color_type"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pngHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok,
+      |       CAST(n_chars % 1024 AS BIGINT) AS width,
+      |       CAST(doc_id % 768 AS BIGINT) AS height,
+      |       CAST(8 AS BIGINT) AS bit_depth,
+      |       CAST(2 AS BIGINT) AS color_type
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_png_header" -> (pngHeader _),
     "mm_byte_histogram" -> (byteHistogram _),
     "mm_resize" -> (resizePayload _),
     "mm_decode_stub" -> (decodeStub _),
@@ -175,6 +227,7 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_png_header" -> pngHeaderSql,
     "mm_byte_histogram" -> byteHistogramSql,
     "mm_resize" -> resizePayloadSql,
     "mm_decode_stub" -> decodeStubSql,

@@ -278,6 +278,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got("extendedprice")._2 === directCents / 100.0)
   }
 
+  test("PNG IHDR parser reads a real header (magic, big-endian dims, depth, type)") {
+    import spark.implicits._
+    // genuine header bytes of a 1x1 RGBA PNG (signature + IHDR):
+    // width=1, height=1, bit depth 8, color type 6
+    val real = "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000001" + "00000001" + "08" + "06" + "000000"
+    // and a corrupted magic — parser must flag, not mis-read
+    val bad = "FF504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000280" + "000001E0" + "10" + "00" + "000000"
+    val rows = Seq(("real", real), ("bad", bad)).toDF("tag", "hx")
+      .select(col("tag"), Multimodal.parsePngHeader(unhex(col("hx"))).as("p"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+    val p = rows("real")
+    assert(p.getBoolean(0) && p.getLong(1) === 1L && p.getLong(2) === 1L)
+    assert(p.getLong(3) === 8L && p.getLong(4) === 6L)
+    val b = rows("bad")
+    assert(!b.getBoolean(0)) // magic check catches the corruption
+    assert(b.getLong(1) === 640L && b.getLong(2) === 480L && b.getLong(3) === 16L)
+  }
+
   // ---------- warehouse ETL ----------
 
   test("CDC latest-wins picks each user's (ts, event_id)-max record") {
