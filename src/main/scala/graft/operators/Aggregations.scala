@@ -368,7 +368,49 @@ object Aggregations {
       |HAVING count(*) * 10 >= total * 3
       |ORDER BY item""".stripMargin
 
+  /** Re-mergeable distinct counting: per-batch HLL sketches unioned
+    * into a corpus estimate (Spark's Datasketches-backed
+    * `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`) —
+    * the sketch analog of [[WarehouseEtl.incrementalAgg]]: at 100 TB
+    * the per-batch sketches persist as BYTES (KB each) and every
+    * later "distinct users over any batch range" is a sketch union,
+    * never a rescan. Exact `count(DISTINCT)` here exists to SCORE
+    * the estimate; the verdict (|est − exact| ≤ 5% — generous vs
+    * the lgK=12 rsd of ~1.6%) is the oracle-checkable claim, the
+    * same error-envelope pattern as `agg_approx_distinct`. Integer
+    * bound compare: est·100 vs exact·95/105 in BIGINTs. */
+  def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), (dayofmonth(col("ts")) % 4).as("batch"))
+    val perBatch = e.groupBy(col("batch"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("batch_exact"))
+    val merged = perBatch.agg(
+      count(lit(1)).as("n_batches"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+      sum(col("batch_exact")).as("sum_batch_exact"))
+    val exact = e.agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.crossJoin(exact)
+      .select(col("n_batches"), col("exact_users"),
+        (col("est") * 100 <= col("exact_users") * 105 &&
+          col("est") * 100 >= col("exact_users") * 95).as("within_bound"),
+        // users appear in many batches, so the naive sum of per-batch
+        // exacts OVERCOUNTS — the emitted gap is why mergeable
+        // sketches (not additive counters) are the incremental path
+        (col("sum_batch_exact") > col("exact_users")).as("naive_sum_overcounts"))
+  }
+
+  val hllMergeSql: String =
+    """WITH e AS (SELECT user_id, day(ts) % 4 AS batch FROM events)
+      |SELECT (SELECT count(DISTINCT batch) FROM e) AS n_batches,
+      |       count(DISTINCT user_id) AS exact_users,
+      |       TRUE AS within_bound,
+      |       (SELECT sum(cnt) FROM (SELECT count(DISTINCT user_id) AS cnt FROM e GROUP BY batch))
+      |         > count(DISTINCT user_id) AS naive_sum_overcounts
+      |FROM e""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hll_merge" -> (hllMerge _),
     "agg_heavy_hitters" -> (heavyHitters _),
     "agg_winsorize" -> (winsorize _),
     "agg_histogram" -> (histogram _),
@@ -384,6 +426,7 @@ object Aggregations {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_hll_merge" -> hllMergeSql,
     "agg_heavy_hitters" -> heavyHittersSql,
     "agg_winsorize" -> winsorizeSql,
     "agg_histogram" -> histogramSql,

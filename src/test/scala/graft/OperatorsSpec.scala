@@ -278,6 +278,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got("extendedprice")._2 === directCents / 100.0)
   }
 
+  test("HLL sketch merge: union estimate within bound; naive per-batch sum overcounts") {
+    val r = Aggregations.hllMerge(spark, sf).head()
+    assert(r.getLong(0) === 4L) // four day-parity batches
+    assert(r.getBoolean(2), "merged HLL estimate outside 5% of exact")
+    assert(r.getBoolean(3), "expected batch-sum overcount (users span batches)")
+    // independent accuracy check at sf0.01 (more users): merge error
+    // well under the bound the verdict allows
+    val sf01 = "/root/testdata/sf0.01"
+    val est = Tables.events(spark, sf01)
+      .select(col("user_id"), (dayofmonth(col("ts")) % 4).as("b"))
+      .groupBy("b").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e")).head().getLong(0)
+    val exact = Tables.events(spark, sf01).select(countDistinct(col("user_id")))
+      .head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact <= 0.05, s"est $est vs exact $exact")
+  }
+
   test("PNG IHDR parser reads a real header (magic, big-endian dims, depth, type)") {
     import spark.implicits._
     // genuine header bytes of a 1x1 RGBA PNG (signature + IHDR):
