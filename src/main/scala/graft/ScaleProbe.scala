@@ -183,7 +183,18 @@ object ScaleProbe {
       // tf aggregate, so the shuffle carries only matching (doc, term)
       // rows — time must track the SCAN, not the corpus×vocab explode
       ("bm25_query_scan", () =>
-        graft.operators.TextAnalysis.bm25TopK(spark, dir).count())
+        graft.operators.TextAnalysis.bm25TopK(spark, dir).count()),
+      // PageRank over the kNN graph — the iteration loop at a
+      // DATA-SIZED edge list (the types-graph query proves parity;
+      // this row proves the loop's two-shuffles-per-round cost
+      // tracks |edges|). Edge build rides the probed knn machinery;
+      // 3 rounds, micro-integer scores, lineage truncated per round
+      ("pagerank_knn_graph", () =>
+        graft.operators.GraphOps.pagerank(
+          graft.api.Graft.knnGraph(spark,
+              Tables.embeddings(spark, dir), "vec_id", "embedding", 5)
+            .select(col("src"), col("neighbor_id").as("dst"), lit(1L).as("w")),
+          iterations = 3).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

@@ -1,0 +1,100 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality verification over ANY DataFrame — the
+  * parameterized form of the fixed suite behind `etl_dq_checks`
+  * (reference intent: the accept/reject gate of main.py:12–14
+  * generalized to warehouse loads).
+  *
+  * Design rule: every ROW-LEVEL check (not-null / range / set /
+  * arbitrary predicate) compiles into ONE shared aggregate whose
+  * single result row fans out via `stack` — a suite of 50 row-level
+  * checks still costs one scan at 100 TB. Each `Unique` adds one
+  * distinct-count over its key; each `RefIntegrity` one anti join
+  * against its (usually broadcastable) dimension. The output is the
+  * uniform (check, violations, pass) contract, so a load gate is
+  * `result.filter(!col("pass")).isEmpty`.
+  */
+object DataQuality {
+
+  sealed trait Check { def name: String }
+
+  /** Column must be non-null. */
+  final case class NotNull(col: String) extends Check {
+    def name = s"not_null_$col"
+  }
+
+  /** Column must fall in [lo, hi] (inclusive); nulls violate. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Check {
+    def name = s"range_$col"
+  }
+
+  /** Column value must be one of the allowed set; nulls violate. */
+  final case class InSet(col: String, values: Seq[String]) extends Check {
+    def name = s"enum_$col"
+  }
+
+  /** Arbitrary row-level predicate that every row must satisfy. */
+  final case class Satisfies(label: String, predicate: Column) extends Check {
+    def name = s"satisfies_$label"
+  }
+
+  /** Column must be unique across the table (primary-key check). */
+  final case class Unique(col: String) extends Check {
+    def name = s"unique_$col"
+  }
+
+  /** Every value of `col` must resolve in `dim.dimCol`
+    * (foreign-key check). */
+  final case class RefIntegrity(col: String, dim: DataFrame, dimCol: String) extends Check {
+    def name = s"fk_$col"
+  }
+
+  private def rowPredicate(c: Check): Option[(String, Column)] = c match {
+    case NotNull(cl) => Some(c.name -> col(cl).isNotNull)
+    case InRange(cl, lo, hi) =>
+      Some(c.name -> (col(cl).isNotNull && col(cl) >= lo && col(cl) <= hi))
+    case InSet(cl, vs) => Some(c.name -> col(cl).isin(vs: _*))
+    case Satisfies(_, p) => Some(c.name -> p)
+    case _ => None
+  }
+
+  /** Run the suite; returns (check, violations, pass) sorted by check
+    * name. See the object doc for the per-check-kind plan cost. */
+  def dqSuite(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "dqSuite: empty check list")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"dqSuite: duplicate check names in ${checks.map(_.name)}")
+    val rowLevel = checks.flatMap(rowPredicate)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (rowLevel.nonEmpty) {
+      // one aggregate of violation counts, fanned out to one row per
+      // check via stack — referencing the agg N times would plan the
+      // scan N times (the trap etl_dq_checks documents)
+      val agg = df.agg(
+        sum((!rowLevel.head._2).cast("long")).as("v0"),
+        rowLevel.tail.zipWithIndex.map { case ((_, p), i) =>
+          sum((!p).cast("long")).as(s"v${i + 1}")
+        }: _*)
+      val stackArgs = rowLevel.zipWithIndex
+        .map { case ((n, _), i) => s"'$n', v$i" }.mkString(", ")
+      parts += agg.select(expr(
+        s"stack(${rowLevel.size}, $stackArgs) AS (check, violations)"))
+    }
+    checks.foreach {
+      case Unique(cl) =>
+        parts += df.agg((count(col(cl)) - countDistinct(col(cl))).as("violations"))
+          .select(lit(s"unique_$cl").as("check"), col("violations"))
+      case RefIntegrity(cl, dim, dimCl) =>
+        parts += df.join(dim, df(cl) === dim(dimCl), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(s"fk_$cl").as("check"), col("violations"))
+      case _ => ()
+    }
+    parts.reduce(_ union _)
+      .select(col("check"), col("violations"), (col("violations") === 0L).as("pass"))
+      .orderBy(col("check"))
+  }
+}

@@ -145,6 +145,18 @@ object Graft {
     }.reduce(_ + _)
   }
 
+  /** BM25 lexical ranking of any (id, text) DataFrame for a
+    * multi-term query: top-k docs by Okapi BM25 (Lucene idf form),
+    * per-term contributions micro-unit-quantized before the per-doc
+    * sum. The query-term filter runs below the tf aggregate, so the
+    * shuffle carries only matching rows — lexical search over
+    * parquet without an inverted index. Delegates to
+    * [[graft.operators.TextAnalysis.bm25]] (the oracle-checked
+    * `text_bm25_topk` path). */
+  def bm25Rank(df: DataFrame, textCol: String, idCol: String, terms: Seq[String],
+               topK: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    graft.operators.TextAnalysis.bm25(df, textCol, idCol, terms, topK, k1, b)
+
   /** Jaccard similarity of the distinct-token sets of two texts. */
   def tokenJaccard(a: Column, b: Column): Column = {
     val ta = array_distinct(tokens(a))

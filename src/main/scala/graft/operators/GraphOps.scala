@@ -37,20 +37,23 @@ object GraphOps {
     * integer inputs, so three chained iterations stay bit-equal
     * (free-floating iterated doubles would drift at the 4th decimal
     * by round two). */
-  def pagerankTypes(spark: SparkSession, dir: String): DataFrame = {
-    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val edges = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev", lag(col("event_type"), 1).over(order))
-      .where(col("prev").isNotNull)
-      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
-      .agg(count(lit(1)).as("w"))
+  /** Generic damped PageRank over ANY weighted edge DataFrame
+    * (columns src, dst, w) — the public iteration loop. Scores are
+    * integer micro-units between rounds (see [[pagerankTypes]] for
+    * the parity argument). `localCheckpoint` truncates the lineage
+    * each round (the CC-fixpoint lesson: without it, round r's plan
+    * embeds rounds 1..r−1 and the optimizer re-derives the whole
+    * chain). On a huge edge list every round is one join keyed on
+    * src + one agg keyed on dst — two shuffles per iteration, the
+    * canonical distributed message-passing cost. */
+  def pagerank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, s"pagerank: iterations $iterations")
     val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst"))).distinct()
-    val n = nodes.count() // |types| — bounded by the schema, not the data
+    val n = nodes.count() // one scalar job; the node set must be countable anyway
     var scores = nodes.withColumn("score_micro", lit(math.round(1e6 / n)))
-    (1 to 3).foreach { _ =>
+    (1 to iterations).foreach { _ =>
       val contrib = edges
         .join(outdeg, "src")
         .join(scores.withColumnRenamed("node", "src"), "src")
@@ -59,11 +62,23 @@ object GraphOps {
         .groupBy(col("node")).agg(sum(col("c")).as("in_micro"))
       scores = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          round(lit(0.15 * 1e6 / n) + lit(0.85) * coalesce(col("in_micro"), lit(0L)))
+          round(lit((1 - damping) * 1e6 / n) + lit(damping) * coalesce(col("in_micro"), lit(0L)))
             .cast("long").as("score_micro"))
+        .localCheckpoint(eager = false)
     }
-    scores.select(col("node").as("event_type"), col("score_micro"))
-      .orderBy(col("score_micro").desc, col("event_type"))
+    scores.orderBy(col("score_micro").desc, col("node"))
+  }
+
+  def pagerankTypes(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(order))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    pagerank(edges, iterations = 3, damping = 0.85)
+      .select(col("node").as("event_type"), col("score_micro"))
   }
 
   // one iteration as SQL, chained three times with the same constants

@@ -272,15 +272,18 @@ object TextAnalysis {
     *
     * Query terms: one rare ("dup", df≈5%) and two common — the
     * ranking must show idf separating them. */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
-    val qTerms = Seq("dup", "vector", "key")
-    val k1 = 1.2
-    val b = 0.75
-    val docs = Tables.documents(spark, dir)
-    val lens = docs.select(col("doc_id"), size(words(col("text"))).cast("long").as("dl"))
+  /** The generic scorer over ANY (id, text) DataFrame — query terms,
+    * BM25 constants and k are parameters (the same
+    * parameterize-don't-hardcode contract as `BpeVocab`). */
+  def bm25(docs: DataFrame, textCol: String, idCol: String, terms: Seq[String],
+           topK: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty query")
+    require(topK >= 1, s"bm25: topK $topK")
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val lens = base.select(col("doc_id"), size(words(col("__text"))).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .where(col("term").isin(qTerms: _*))
+    val tf = base.select(col("doc_id"), explode(words(col("__text"))).as("term"))
+      .where(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "term")
@@ -294,8 +297,12 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("c_micro")).as("score_micro"), count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score_micro").desc, col("doc_id"))
-      .limit(15)
+      .limit(topK)
   }
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(spark, dir), "text", "doc_id",
+      Seq("dup", "vector", "key"), topK = 15)
 
   val bm25TopKSql: String =
     """WITH lens AS (

@@ -118,31 +118,16 @@ object WarehouseEtl {
     * the (broadcastable) dimension. Nothing rescans per check — a
     * suite of 50 row-level checks still costs one pass at 100 TB. */
   def dqChecks(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val c = Tables.customer(spark, dir)
-    // row-level checks: one scan, one agg
-    val rowLevel = o.agg(
-      sum(col("o_orderdate").isNull.cast("long")).as("v_null"),
-      sum((col("o_totalprice") <= 0).cast("long")).as("v_range"),
-      sum((!col("o_orderstatus").isin("F", "O", "P")).cast("long")).as("v_enum"))
-    val pk = o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("v"))
-    val fk = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
-      .agg(count(lit(1)).as("v"))
-    // ONE aggregate row fans out to three check rows via stack — the
-    // union must not reference rowLevel three times, or Catalyst
-    // plans (and runs) the scan+agg subtree once per reference
-    val rowChecks = rowLevel.select(expr(
-      """stack(3,
-        |  'not_null_orderdate', v_null,
-        |  'range_totalprice_positive', v_range,
-        |  'enum_status_known', v_enum) AS (check, violations)""".stripMargin))
-    val checks =
-      pk.select(lit("pk_unique_orderkey").as("check"), col("v").as("violations"))
-        .union(fk.select(lit("fk_custkey_resolves"), col("v")))
-        .union(rowChecks)
-    checks.select(col("check"), col("violations"),
-        (col("violations") === 0L).as("pass"))
-      .orderBy(col("check"))
+    import graft.api.DataQuality._
+    // delegate to the public parameterized suite — one definition of
+    // the check-compilation contract (single-scan row-level checks,
+    // per-key distinct for Unique, anti join for RefIntegrity)
+    dqSuite(Tables.orders(spark, dir), Seq(
+      Unique("o_orderkey"),
+      RefIntegrity("o_custkey", Tables.customer(spark, dir), "c_custkey"),
+      NotNull("o_orderdate"),
+      Satisfies("totalprice_positive", col("o_totalprice") > 0),
+      InSet("o_orderstatus", Seq("F", "O", "P"))))
   }
 
   val dqChecksSql: String =
@@ -152,13 +137,13 @@ object WarehouseEtl {
       |         CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_enum
       |  FROM orders),
       |checks AS (
-      |  SELECT 'pk_unique_orderkey' AS "check", count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+      |  SELECT 'unique_o_orderkey' AS "check", count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
       |  UNION ALL
-      |  SELECT 'fk_custkey_resolves', count(*) FROM orders o
+      |  SELECT 'fk_o_custkey', count(*) FROM orders o
       |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-      |  UNION ALL SELECT 'not_null_orderdate', v_null FROM rowlevel
-      |  UNION ALL SELECT 'range_totalprice_positive', v_range FROM rowlevel
-      |  UNION ALL SELECT 'enum_status_known', v_enum FROM rowlevel)
+      |  UNION ALL SELECT 'not_null_o_orderdate', v_null FROM rowlevel
+      |  UNION ALL SELECT 'satisfies_totalprice_positive', v_range FROM rowlevel
+      |  UNION ALL SELECT 'enum_o_orderstatus', v_enum FROM rowlevel)
       |SELECT "check", violations, violations = 0 AS pass
       |FROM checks ORDER BY "check"""".stripMargin
 

@@ -399,4 +399,65 @@ class GraftApiSpec extends SparkSpec {
     Graft.writeWarehouse(v1, "parquet", out, partitionBy = Seq("grp"), mode = "append")
     assert(spark.read.parquet(out).count() === 4)
   }
+
+  test("bm25Rank works on an arbitrary DataFrame; rarity outranks frequency") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "apple apple apple banana"),    // common-term heavy
+      (20L, "apple zebra"),                 // rare term, short doc
+      (30L, "apple banana apple banana"),   // common terms only
+      (40L, "kiwi melon")).toDF("pk", "body") // no query terms at all
+    val got = Graft.bm25Rank(docs, "body", "pk", Seq("apple", "zebra"), topK = 3)
+      .collect()
+    // doc 40 has no query term -> absent; 3 hits remain
+    assert(got.map(_.getLong(0)).toSet === Set(10L, 20L, 30L))
+    // zebra (df=1 of 4) dominates any apple tf: doc 20 ranks first
+    assert(got.head.getLong(0) === 20L)
+    assert(got.head.getLong(2) === 2L) // both query terms hit in doc 20
+    intercept[IllegalArgumentException] {
+      Graft.bm25Rank(docs, "body", "pk", Seq.empty)
+    }
+  }
+
+  test("dqSuite counts every planted violation class on dirty data") {
+    import spark.implicits._
+    import graft.api.DataQuality._
+    val dirty = Seq(
+      (1L, Some("2024-01-01"), 10.0, "F", 100L),   // clean
+      (1L, Some("2024-01-02"), 20.0, "O", 101L),   // dup id
+      (2L, None, 30.0, "P", 102L),                 // null date
+      (3L, Some("2024-01-03"), -5.0, "F", 103L),   // range
+      (4L, Some("2024-01-04"), 40.0, "X", 104L),   // bad enum
+      (5L, Some("2024-01-05"), 50.0, "F", 999L))   // dangling fk
+      .toDF("id", "dt", "price", "status", "fk")
+    val dim = Seq(100L, 101L, 102L, 103L, 104L).toDF("k")
+    val got = dqSuite(dirty, Seq(
+      Unique("id"),
+      RefIntegrity("fk", dim, "k"),
+      NotNull("dt"),
+      InRange("price", 0.0, 1000.0),
+      InSet("status", Seq("F", "O", "P")),
+      Satisfies("id_positive", org.apache.spark.sql.functions.col("id") > 0)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got("unique_id") === ((1L, false)))
+    assert(got("fk_fk") === ((1L, false)))
+    assert(got("not_null_dt") === ((1L, false)))
+    assert(got("range_price") === ((1L, false)))
+    assert(got("enum_status") === ((1L, false)))
+    assert(got("satisfies_id_positive") === ((0L, true)))
+    // a clean subset passes everything
+    val clean = dirty.where($"id" === 5L || $"id" === 2L)
+      .where($"dt".isNotNull)
+    val allPass = dqSuite(clean, Seq(
+      Unique("id"), NotNull("dt"), InRange("price", 0.0, 1000.0)))
+      .collect().forall(_.getBoolean(2))
+    assert(allPass)
+    // misuse guards
+    intercept[IllegalArgumentException] {
+      dqSuite(dirty, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      dqSuite(dirty, Seq(NotNull("dt"), NotNull("dt")))
+    }
+  }
 }

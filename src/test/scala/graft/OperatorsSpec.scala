@@ -366,8 +366,8 @@ class OperatorsSpec extends SparkSpec {
     val rows = df.collect()
     assert(rows.length === 5)
     assert(rows.map(_.getString(0)).toSet === Set(
-      "pk_unique_orderkey", "fk_custkey_resolves", "not_null_orderdate",
-      "range_totalprice_positive", "enum_status_known"))
+      "unique_o_orderkey", "fk_o_custkey", "not_null_o_orderdate",
+      "satisfies_totalprice_positive", "enum_o_orderstatus"))
     rows.foreach { r =>
       assert(r.getLong(1) === 0L, r.getString(0))
       assert(r.getBoolean(2), r.getString(0))
@@ -494,6 +494,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got === score)
     // no dangling nodes in this graph, so mass stays ~1e6 (rounding only)
     assert(math.abs(got.values.sum - 1000000L) <= n.toLong, got.toString)
+  }
+
+  test("generic pagerank: sink accumulates, dangling mass leaks, params respected") {
+    import spark.implicits._
+    // star into a sink: a,b,c -> d (d dangling). After enough rounds
+    // d must outscore the sources; dangling mass leaves the system.
+    val edges = Seq(("a", "d", 1L), ("b", "d", 1L), ("c", "d", 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.pagerank(edges, iterations = 5, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set("a", "b", "c", "d"))
+    assert(got("d") > got("a") && got("a") === got("b") && got("b") === got("c"))
+    // sources get only the teleport share (0.15/4)
+    assert(got("a") === math.round(0.15 * 1e6 / 4))
+    // dangling d leaks its mass: total < 1e6
+    assert(got.values.sum < 1000000L)
+    // driver-side mirror of the exact integer iteration
+    var s = Map("a" -> 250000L, "b" -> 250000L, "c" -> 250000L, "d" -> 250000L)
+    (1 to 5).foreach { _ =>
+      val in = Map("d" -> (s("a") + s("b") + s("c"))) // w/outdeg = 1
+      s = s.keys.map(k =>
+        k -> math.round(0.15 * 1e6 / 4 + 0.85 * in.getOrElse(k, 0L))).toMap
+    }
+    assert(got === s)
+    intercept[IllegalArgumentException] { GraphOps.pagerank(edges, iterations = 0) }
   }
 
   test("triangle count matches a brute-force enumeration of the name graph") {
