@@ -67,6 +67,11 @@ object DataQuality {
     require(checks.nonEmpty, "dqSuite: empty check list")
     require(checks.map(_.name).distinct.size == checks.size,
       s"dqSuite: duplicate check names in ${checks.map(_.name)}")
+    // check names are spliced into a generated stack() expression as
+    // string literals — restrict them to identifier characters so a
+    // hostile column/label can't break or inject the SQL
+    checks.foreach(c => require(c.name.matches("[A-Za-z0-9_.]+"),
+      s"dqSuite: check name '${c.name}' must be [A-Za-z0-9_.]+"))
     val rowLevel = checks.flatMap(rowPredicate)
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (rowLevel.nonEmpty) {

@@ -48,23 +48,29 @@ object GraphOps {
     * canonical distributed message-passing cost. */
   def pagerank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"pagerank: iterations $iterations")
+    // pre-joined (src, dst, w/outdeg denominator) — computed once,
+    // materialized once, reused every round
     val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+    val linked = edges.join(outdeg, "src").localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct()
-    val n = nodes.count() // one scalar job; the node set must be countable anyway
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    val n = nodes.count()
     var scores = nodes.withColumn("score_micro", lit(math.round(1e6 / n)))
     (1 to iterations).foreach { _ =>
-      val contrib = edges
-        .join(outdeg, "src")
+      val contrib = linked
         .join(scores.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           round(col("score_micro") * col("w") / col("outdeg")).cast("long").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_micro"))
+      // EAGER checkpoint: each round materializes as one small job,
+      // so round r+1 plans against a leaf instead of replaying (and
+      // re-optimizing) the whole 1..r chain — the same fixpoint
+      // lesson as Graft.connectedComponents
       scores = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           round(lit((1 - damping) * 1e6 / n) + lit(damping) * coalesce(col("in_micro"), lit(0L)))
             .cast("long").as("score_micro"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
     }
     scores.orderBy(col("score_micro").desc, col("node"))
   }
@@ -77,6 +83,12 @@ object GraphOps {
       .where(col("prev").isNotNull)
       .groupBy(col("prev").as("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("w"))
+      // the aggregated edge list is |types|² (~25 rows): run the
+      // iterations single-partition so each round is one task, not
+      // 32 empty ones — the generic loop honors the caller's
+      // partitioning, and THIS caller knows its graph is tiny (the
+      // kNN-graph probe passes a data-sized, many-partition list)
+      .coalesce(1)
     pagerank(edges, iterations = 3, damping = 0.85)
       .select(col("node").as("event_type"), col("score_micro"))
   }

@@ -459,5 +459,10 @@ class GraftApiSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       dqSuite(dirty, Seq(NotNull("dt"), NotNull("dt")))
     }
+    // label splices into a generated stack() literal — injection guard
+    intercept[IllegalArgumentException] {
+      dqSuite(dirty, Seq(Satisfies("x', id), ('pwned",
+        org.apache.spark.sql.functions.col("id") > 0)))
+    }
   }
 }
