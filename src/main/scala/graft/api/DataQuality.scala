@@ -62,7 +62,10 @@ object DataQuality {
   }
 
   /** Run the suite; returns (check, violations, pass) sorted by check
-    * name. See the object doc for the per-check-kind plan cost. */
+    * name. See the object doc for the per-check-kind plan cost.
+    * Null semantics: a NULL value VIOLATES InRange, InSet and
+    * RefIntegrity (a null fk cannot resolve) — pair with NotNull
+    * when nullability itself is the condition under test. */
   def dqSuite(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "dqSuite: empty check list")
     require(checks.map(_.name).distinct.size == checks.size,

@@ -43,7 +43,9 @@ object GraphOps {
     * the parity argument). `localCheckpoint` truncates the lineage
     * each round (the CC-fixpoint lesson: without it, round r's plan
     * embeds rounds 1..r−1 and the optimizer re-derives the whole
-    * chain). On a huge edge list every round is one join keyed on
+    * chain; a 100 TB deployment points `setCheckpointDir` at durable
+    * storage and uses `checkpoint()` — same structure, executor-loss
+    * safe). On a huge edge list every round is one join keyed on
     * src + one agg keyed on dst — two shuffles per iteration, the
     * canonical distributed message-passing cost. */
   def pagerank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85): DataFrame = {
