@@ -277,6 +277,42 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of through the custom plan: each event takes the
+    * order closest in absolute time, past or future, exact-distance
+    * ties preferring the past (the third pandas merge_asof
+    * direction; backward/forward are `join_asof`/`join_asof_forward`).
+    * Same single-shuffle streaming merge — the nearest pick holds
+    * ONE backward candidate and peeks ONE forward row. */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    graft.plans.AsofJoin.asofJoin(spark, ev, ord,
+        leftKeyCol = "user_id", leftTimeCol = "ts",
+        rightKeyCol = "o_custkey", rightTimeCol = "o_orderdate",
+        tiebreakCol = "o_orderkey", payloadCols = Seq("o_orderkey", "o_orderdate"),
+        direction = "nearest")
+      .select(
+        col("event_id"),
+        col("o_orderkey").as("near_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("near_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinNearestSql: String =
+    """SELECT event_id, o_orderkey AS near_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS near_orderdate
+      |FROM (
+      |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |           ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)),
+      |                    CASE WHEN epoch_us(o.o_orderdate) <= epoch_us(e.ts) THEN 0 ELSE 1 END,
+      |                    CASE WHEN epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+      |                         THEN -o.o_orderkey ELSE o.o_orderkey END) AS rn
+      |  FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   /** LEFT-OUTER as-of through the custom plan: every event survives;
     * events with no prior order carry null payload (the pandas
     * merge_asof default shape). */
@@ -593,6 +629,7 @@ object Joins {
     "join_asof" -> (asofJoin _),
     "join_asof_merge" -> (asofJoinMerge _),
     "join_asof_forward" -> (asofJoinForward _),
+    "join_asof_nearest" -> (asofJoinNearest _),
     "join_asof_left" -> (asofJoinLeft _),
     "join_asof_plan" -> (asofJoinPlan _),
     "join_skew_salted" -> (saltedSkewJoin _),
@@ -614,6 +651,7 @@ object Joins {
     "join_asof" -> asofJoinSql,
     "join_asof_merge" -> asofJoinSql,
     "join_asof_forward" -> asofJoinForwardSql,
+    "join_asof_nearest" -> asofJoinNearestSql,
     "join_asof_left" -> asofJoinLeftSql,
     "join_asof_plan" -> asofJoinSql,
     "join_skew_salted" -> saltedSkewJoinSql,

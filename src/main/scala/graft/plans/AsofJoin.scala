@@ -41,7 +41,8 @@ case class AsofJoinNode(
     payload: Seq[Attribute],
     forward: Boolean = false,
     tolerance: Option[Long] = None,
-    leftOuter: Boolean = false) extends BinaryNode {
+    leftOuter: Boolean = false,
+    nearest: Boolean = false) extends BinaryNode {
 
   // left-outer: unmatched lefts emit null payload, so the payload
   // attributes must surface as nullable regardless of source schema
@@ -55,9 +56,9 @@ case class AsofJoinNode(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, lt, rk, rt, tb, payload, fwd, tol, outer) =>
+    case AsofJoinNode(l, r, lk, lt, rk, rt, tb, payload, fwd, tol, outer, near) =>
       AsofJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tb, payload,
-        fwd, tol, outer) :: Nil
+        fwd, tol, outer, near) :: Nil
     case _ => Nil
   }
 }
@@ -73,7 +74,8 @@ case class AsofJoinExec(
     payload: Seq[Attribute],
     forward: Boolean = false,
     tolerance: Option[Long] = None,
-    leftOuter: Boolean = false) extends BinaryExecNode {
+    leftOuter: Boolean = false,
+    nearest: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) payload.map(_.withNullability(true)) else payload)
@@ -109,6 +111,7 @@ case class AsofJoinExec(
     val fwd = forward
     val tol = tolerance
     val outer = leftOuter
+    val near = nearest
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rBuf = rIter.buffered
       // outer mode: bind the right side nullable so the projection
@@ -121,7 +124,52 @@ case class AsofJoinExec(
       // by ordinal read null; the projection handles the rest)
       val nullRight: InternalRow =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightOutput.size)
-      if (!fwd) {
+      if (near) {
+        // NEAREST: the closer of the backward and forward candidates;
+        // an exact distance tie prefers the BACKWARD (past) row — at
+        // ingestion time the past is known, the future is lookahead.
+        // Stream position is shared with backward mode: rows with
+        // rt ≤ lt are consumed into `held` (the best backward
+        // candidate for this and every later left), the unconsumed
+        // head is the forward candidate.
+        var held: InternalRow = null
+        var heldKey = 0L
+        lIter.flatMap { l =>
+          val lk = l.getLong(lKeyOrd)
+          val lt = l.getLong(lTimeOrd)
+          if (held != null && heldKey != lk) held = null
+          var scan = true
+          while (scan && rBuf.hasNext) {
+            val h = rBuf.head
+            val rk = h.getLong(rKeyOrd)
+            if (rk < lk) {
+              rBuf.next()
+            } else if (rk == lk && h.getLong(rTimeOrd) <= lt) {
+              held = rBuf.next().copy(); heldKey = rk
+            } else {
+              scan = false
+            }
+          }
+          val backDist =
+            if (held != null && heldKey == lk) Some(lt - held.getLong(rTimeOrd)) else None
+          val fwdDist =
+            if (rBuf.hasNext && rBuf.head.getLong(rKeyOrd) == lk)
+              Some(rBuf.head.getLong(rTimeOrd) - lt)
+            else None
+          val pick = (backDist, fwdDist) match {
+            case (Some(bd), Some(fd)) =>
+              if (bd <= fd) Some((held, bd)) else Some((rBuf.head, fd))
+            case (Some(bd), None) => Some((held, bd))
+            case (None, Some(fd)) => Some((rBuf.head, fd))
+            case _ => None
+          }
+          pick.filter { case (_, d) => tol.forall(d <= _) } match {
+            case Some((r, _)) => Iterator.single(proj(joined(l, r)))
+            case None =>
+              if (outer) Iterator.single(proj(joined(l, nullRight))) else Iterator.empty
+          }
+        }
+      } else if (!fwd) {
         // BACKWARD (default): greatest right.time ≤ left.time,
         // optionally within `tol` of it
         var held: InternalRow = null
@@ -213,7 +261,9 @@ object AsofJoin {
     * left(keyCol)=right(keyCol'). Direction "backward" (default)
     * keeps the LATEST right.time ≤ left.time per left row (ties →
     * greatest `tiebreakCol`); "forward" keeps the EARLIEST
-    * right.time ≥ left.time (ties → smallest tiebreak) — the two
+    * right.time ≥ left.time (ties → smallest tiebreak); "nearest"
+    * keeps whichever of those two candidates is closer in absolute
+    * distance, preferring backward on an exact tie — the three
     * pandas merge_asof directions. `tolerance` (in the normalized
     * time unit: epoch MICROS for timestamp columns, raw units for
     * integral ones) drops matches farther than that from the left
@@ -228,8 +278,8 @@ object AsofJoin {
                direction: String = "backward",
                tolerance: Option[Long] = None,
                joinType: String = "inner"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"asof direction must be backward|forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asof direction must be backward|forward|nearest, got $direction")
     require(tolerance.forall(_ >= 0), "asof tolerance must be >= 0")
     require(joinType == "inner" || joinType == "left",
       s"asof joinType must be inner|left, got $joinType")
@@ -251,7 +301,8 @@ object AsofJoin {
       payloadCols.map(attr(rPlan, _)),
       forward = direction == "forward",
       tolerance = tolerance,
-      leftOuter = joinType == "left"))
+      leftOuter = joinType == "left",
+      nearest = direction == "nearest"))
     // left-side shadows ride along in the node output (output = left ++
     // payload); drop them so the caller sees the original schema
     out.drop(Seq("__graft_asof_lk", "__graft_asof_lt").filter(out.columns.contains): _*)

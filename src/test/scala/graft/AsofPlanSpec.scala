@@ -55,6 +55,33 @@ class AsofPlanSpec extends SparkSpec {
     ))
   }
 
+  test("nearest direction: closer of past/future, exact tie prefers the past") {
+    val lefts = Seq(
+      (1L, 10L, 100L), // back d=0 (100,950) vs fwd d=50 → back
+      (2L, 10L, 200L), // back d=50 only → (902,150)
+      (3L, 10L, 50L),  // fwd d=40 only → (900,90)
+      (6L, 10L, 125L), // EXACT tie: back (100,950) d=25, fwd (150,902) d=25 → back
+      (7L, 10L, 126L), // fwd now closer: d=24 vs back d=26 → (902,150)
+      (5L, 30L, 500L)  // no key → dropped
+    ).toDF("id", "key", "t")
+    val out = AsofJoin.asofJoin(spark, lefts, rightDf,
+      "key", "t", "rkey", "rt", "rid", Seq("rid", "rt"), direction = "nearest")
+      .select("id", "rid", "rt").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((950L, 100L)),
+      2L -> ((902L, 150L)),
+      3L -> ((900L, 90L)),
+      6L -> ((950L, 100L)),
+      7L -> ((902L, 150L))))
+    // tolerance applies to the chosen (minimum) distance
+    val tol = AsofJoin.asofJoin(spark, lefts, rightDf,
+      "key", "t", "rkey", "rt", "rid", Seq("rid"), direction = "nearest",
+      tolerance = Some(30L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(tol === Set(1L, 6L, 7L)) // d=0, 25, 24 pass; 40/50 dropped
+  }
+
   test("tolerance bounds both directions") {
     // backward: id=2 (t=200) matches rt=150, gap 50 — a tolerance of
     // 40 drops it while id=1 (gap 0) survives
