@@ -178,13 +178,99 @@ object GraphOps {
       |       CAST(round(3.0 * 1e6 * n_triangles / n_wedges) AS BIGINT) AS clustering_micro
       |FROM tri CROSS JOIN ne CROSS JOIN w""".stripMargin
 
+  /** Synchronous label propagation over ANY undirected weighted edge
+    * list (src, dst, w) — community detection one notch above
+    * connected components: labels flow along edges and each node
+    * adopts the label with the greatest incident weight, so weakly
+    * bridged clusters keep distinct labels where CC would merge
+    * them. Classic async LPA is visit-order-dependent (useless under
+    * a differential oracle and non-deterministic across cluster
+    * runs); this is the SYNCHRONOUS deterministic variant: all nodes
+    * update simultaneously from the previous round's labels, ties
+    * broken by the smallest label. Same per-round cost profile as
+    * [[pagerank]] (join on dst + argmax-agg per node), same eager
+    * checkpoint discipline. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, s"labelPropagation: iterations $iterations")
+    // symmetrize once: labels flow both ways over an undirected edge
+    val sym = edges.select(col("src"), col("dst"), col("w"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("lbl", col("node"))
+    (1 to iterations).foreach { _ =>
+      // per node: total incident weight per neighbor label, argmax
+      // via ordered-struct min (map-side combinable, no sort) —
+      // (-weight, label) min ≡ (weight DESC, label ASC) rank 1
+      val best = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("lbl"))
+        .agg(sum(col("w")).as("tw"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("tw")).as("nw"), col("lbl").as("l"))).as("b"))
+        .select(col("src").as("node"), col("b.l").as("new_lbl"))
+      labels = nodes.join(best, Seq("node"), "left")
+        .join(labels, Seq("node"))
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Communities of the fuzzy-match name graph under 2 rounds of
+    * synchronous LPA, edge weight = 4 − levenshtein (closer names
+    * pull harder). Output: one row per community with size and the
+    * lexicographically-first member as the exemplar. */
+  def labelPropCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Joins.fuzzyBlockedJoin(spark, dir)
+      .select(col("name_a").as("src"), col("name_b").as("dst"),
+        (lit(4L) - col("dist")).as("w"))
+    labelPropagation(edges, iterations = 2)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("first_member"))
+      .orderBy(col("community"))
+  }
+
+  private def lpaIterSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT n.node, coalesce(b.new_lbl, p.lbl) AS lbl
+       |  FROM nodes n JOIN $prev p ON p.node = n.node
+       |  LEFT JOIN (
+       |    SELECT src AS node, lbl AS new_lbl FROM (
+       |      SELECT e.src, l.lbl, sum(e.w) AS tw,
+       |             row_number() OVER (PARTITION BY e.src
+       |                                ORDER BY sum(e.w) DESC, l.lbl) AS rn
+       |      FROM sym e JOIN $prev l ON l.node = e.dst
+       |      GROUP BY e.src, l.lbl)
+       |    WHERE rn = 1) b ON b.node = n.node)""".stripMargin
+
+  val labelPropCommunitiesSql: String =
+    s"""WITH names AS (
+       |  SELECT p_name AS name, string_split(p_name, ' ')[-1] AS noun
+       |  FROM part GROUP BY p_name),
+       |raw AS (
+       |  SELECT a.name AS src, b.name AS dst,
+       |         4 - levenshtein(a.name, b.name) AS w
+       |  FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+       |  WHERE levenshtein(a.name, b.name) <= 3),
+       |sym AS (SELECT src, dst, w FROM raw
+       |        UNION ALL SELECT dst, src, w FROM raw),
+       |nodes AS (SELECT DISTINCT src AS node FROM sym),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |${lpaIterSql("l0", "l1")},
+       |${lpaIterSql("l1", "l2")}
+       |SELECT lbl AS community, count(*) AS n_members, min(node) AS first_member
+       |FROM l2 GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerankTypes _),
-    "graph_triangles" -> (triangles _)
+    "graph_triangles" -> (triangles _),
+    "graph_label_prop" -> (labelPropCommunities _)
   )
 
   def oracle: Map[String, String] = Map(
     "graph_pagerank" -> pagerankTypesSql,
-    "graph_triangles" -> trianglesSql
+    "graph_triangles" -> trianglesSql,
+    "graph_label_prop" -> labelPropCommunitiesSql
   )
 }

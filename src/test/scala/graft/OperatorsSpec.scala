@@ -521,6 +521,39 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { GraphOps.pagerank(edges, iterations = 0) }
   }
 
+  test("label propagation matches a driver-side synchronous recomputation") {
+    val raw = Joins.fuzzyBlockedJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), 4L - r.getLong(2)))
+    val sym = raw ++ raw.map { case (a, b, w) => (b, a, w) }
+    val nodes = sym.map(_._1).distinct.sorted
+    var lbl = nodes.map(n => n -> n).toMap
+    (1 to 2).foreach { _ =>
+      val next = nodes.map { n =>
+        val byLabel = sym.filter(_._1 == n)
+          .groupBy(e => lbl(e._2)).map { case (l, es) => l -> es.map(_._3).sum }
+        // greatest incident weight, smallest label on ties
+        n -> byLabel.toSeq.minBy { case (l, w) => (-w, l) }._1
+      }.toMap
+      lbl = next
+    }
+    val want = lbl.groupBy(_._2).map { case (community, ms) =>
+      community -> ((ms.size.toLong, ms.keys.min))
+    }
+    val got = GraphOps.labelPropCommunities(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === want)
+    // LPA separates weakly-bridged clusters CC merges: at least as
+    // many communities as connected components
+    val cc = {
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: String): String =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      raw.foreach { case (a, b, _) => parent(find(a)) = find(b) }
+      nodes.map(find).distinct.size
+    }
+    assert(got.size >= cc, s"${got.size} communities vs $cc components")
+  }
+
   test("triangle count matches a brute-force enumeration of the name graph") {
     val r = GraphOps.triangles(spark, sf).head()
     val edges = Joins.fuzzyBlockedJoin(spark, sf).collect()
