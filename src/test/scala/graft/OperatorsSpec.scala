@@ -278,6 +278,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got("extendedprice")._2 === directCents / 100.0)
   }
 
+  test("freqItems PRUNES a genuinely skewed distribution (log-price buckets)") {
+    // the oracle query's uniform returnflags make every item heavy —
+    // this is the sketch earning its keep: 8 log-price buckets, two
+    // above 20% (56% / 21%), most far below. With support 0.2 the
+    // sketch holds ~5 counters, so it must surface the heavy pair
+    // WITHOUT returning the whole distribution.
+    val sf01 = "/root/testdata/sf0.01"
+    val b = Tables.orders(spark, sf01)
+      .select(floor(log(col("o_totalprice"))).cast("long").as("bucket"))
+    val total = b.count()
+    val exactHeavy = b.groupBy("bucket").count()
+      .where(col("count") * 5 >= lit(total)).collect().map(_.getLong(0)).toSet
+    assert(exactHeavy.size >= 2, s"fixture not skewed: $exactHeavy")
+    val sketch = b.stat.freqItems(Seq("bucket"), 0.2)
+      .head().getSeq[Long](0).toSet
+    assert(exactHeavy.subsetOf(sketch), s"missed heavy: $exactHeavy vs $sketch")
+    val distinct = b.distinct().count()
+    assert(sketch.size < distinct,
+      s"no pruning: sketch ${sketch.size} of $distinct distinct")
+  }
+
   test("HLL sketch merge: union estimate within bound; naive per-batch sum overcounts") {
     val r = Aggregations.hllMerge(spark, sf).head()
     assert(r.getLong(0) === 4L) // four day-parity batches
