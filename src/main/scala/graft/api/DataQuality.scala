@@ -61,6 +61,21 @@ object DataQuality {
     case _ => None
   }
 
+  /** The ROW-LEVEL checks compiled to violation-count aggregate
+    * columns (`sum(!predicate)` named per check) — the shared
+    * currency between [[dqSuite]] (batch: one aggregate + stack
+    * fan-out) and a STREAMING gate: pass them to
+    * `df.observe("dq", ...)` and every micro-batch reports its
+    * violation counts through `StreamingQueryProgress
+    * .observedMetrics`, costing zero extra passes over the stream
+    * (StreamsSpec "streaming DQ gate"). Unique/RefIntegrity have no
+    * row-local form and stay batch-side. */
+  def rowCheckAggs(checks: Seq[Check]): Seq[Column] = {
+    val rows = checks.flatMap(rowPredicate)
+    require(rows.nonEmpty, "rowCheckAggs: no row-level checks in the list")
+    rows.map { case (n, p) => sum((!p).cast("long")).as(n) }
+  }
+
   /** Run the suite; returns (check, violations, pass) sorted by check
     * name. See the object doc for the per-check-kind plan cost.
     * Null semantics: a NULL value VIOLATES InRange, InSet and

@@ -414,4 +414,36 @@ class StreamsSpec extends SparkSpec {
     q.awaitTermination(60000)
     assert(spark.table("t_files").count() === 1)
   }
+
+  test("streaming DQ gate: observe() reports per-batch violation counts, zero extra passes") {
+    import spark.implicits._
+    import graft.api.DataQuality._
+    implicit val sq = spark.sqlContext
+    // the same check ADT as the batch suite, compiled to observe()
+    // aggregates — every micro-batch reports its violations through
+    // observedMetrics while rows flow to the sink untouched
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:06:00"), 2, "view", -3.0),  // range violation
+      Ev(3, ts("2024-01-01 00:07:00"), 3, "bogus", 2.0),  // enum violation
+      Ev(4, ts("2024-01-01 00:08:00"), 4, "view", 4.0))
+    val aggs = rowCheckAggs(Seq(
+      InRange("value", 0.0, 1e6),
+      InSet("event_type", Seq("click", "view", "purchase", "signup", "error"))))
+    val gated = mem.toDF().observe("dq", aggs.head, aggs.tail: _*)
+    val q = gated.writeStream.format("memory").queryName("t_dq_gate")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // all rows reach the sink (the gate OBSERVES; dropping is a
+    // downstream policy decision made on the reported counts)
+    assert(spark.table("t_dq_gate").count() === 4)
+    val dq = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("dq"))).lastOption
+      .getOrElse(fail("no observed dq metrics in progress"))
+    assert(dq.getAs[Long]("range_value") === 1L)
+    assert(dq.getAs[Long]("enum_event_type") === 1L)
+  }
 }
