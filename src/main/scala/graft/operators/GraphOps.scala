@@ -262,15 +262,82 @@ object GraphOps {
        |SELECT lbl AS community, count(*) AS n_members, min(node) AS first_member
        |FROM l2 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Single-source shortest paths by synchronous Bellman-Ford
+    * relaxation over any undirected weighted edge list — the
+    * min-plus member of the iteration family ([[pagerank]] is
+    * sum-times, [[labelPropagation]] is argmax): each round every
+    * node takes min(own dist, min over neighbors of dist+w). All
+    * integer arithmetic, so rounds are engine-exact; `iterations`
+    * bounds the hop radius (dists beyond it are absent, exactly as
+    * a vertex-program SSSP leaves them ∞). Per round: one join on
+    * the frontier + one min-agg — the standard Pregel SSSP cost. */
+  def shortestPaths(edges: DataFrame, source: String, iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, s"shortestPaths: iterations $iterations")
+    val sym = edges.select(col("src"), col("dst"), col("w"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint()
+    var dist = sym.select(col("src").as("node")).distinct()
+      .where(col("node") === source)
+      .withColumn("dist", lit(0L))
+    (1 to iterations).foreach { _ =>
+      val relaxed = sym
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+        .union(dist.select(col("node"), col("dist").as("cand")))
+        .groupBy(col("node")).agg(min(col("cand")).as("dist"))
+      dist = relaxed.localCheckpoint()
+    }
+    dist.orderBy(col("dist"), col("node"))
+  }
+
+  /** Hop-bounded shortest paths over the fuzzy-name graph from its
+    * lexicographically-first name, edge weight = the levenshtein
+    * distance itself (path length ≈ accumulated edit distance). */
+  def shortestPathsNames(spark: SparkSession, dir: String): DataFrame = {
+    val e = Joins.fuzzyBlockedJoin(spark, dir)
+      .select(col("name_a").as("src"), col("name_b").as("dst"), col("dist").as("w"))
+    val source = e.agg(min(least(col("src"), col("dst")))).head().getString(0)
+    shortestPaths(e, source, iterations = 4)
+      .select(col("node"), col("dist"))
+      .orderBy(col("dist"), col("node"))
+  }
+
+  private def ssspIterSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT node, min(cand) AS dist FROM (
+       |    SELECT e.dst AS node, d.dist + e.w AS cand
+       |    FROM sym e JOIN $prev d ON d.node = e.src
+       |    UNION ALL SELECT node, dist FROM $prev)
+       |  GROUP BY node)""".stripMargin
+
+  val shortestPathsNamesSql: String =
+    s"""WITH names AS (
+       |  SELECT p_name AS name, string_split(p_name, ' ')[-1] AS noun
+       |  FROM part GROUP BY p_name),
+       |raw AS (
+       |  SELECT a.name AS src, b.name AS dst, levenshtein(a.name, b.name) AS w
+       |  FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+       |  WHERE levenshtein(a.name, b.name) <= 3),
+       |sym AS (SELECT src, dst, w FROM raw
+       |        UNION ALL SELECT dst, src, w FROM raw),
+       |d0 AS (SELECT min(least(src, dst)) AS node, CAST(0 AS BIGINT) AS dist FROM raw),
+       |${ssspIterSql("d0", "d1")},
+       |${ssspIterSql("d1", "d2")},
+       |${ssspIterSql("d2", "d3")},
+       |${ssspIterSql("d3", "d4")}
+       |SELECT node, dist FROM d4 ORDER BY dist, node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerankTypes _),
     "graph_triangles" -> (triangles _),
-    "graph_label_prop" -> (labelPropCommunities _)
+    "graph_label_prop" -> (labelPropCommunities _),
+    "graph_sssp" -> (shortestPathsNames _)
   )
 
   def oracle: Map[String, String] = Map(
     "graph_pagerank" -> pagerankTypesSql,
     "graph_triangles" -> trianglesSql,
-    "graph_label_prop" -> labelPropCommunitiesSql
+    "graph_label_prop" -> labelPropCommunitiesSql,
+    "graph_sssp" -> shortestPathsNamesSql
   )
 }

@@ -575,6 +575,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size >= cc, s"${got.size} communities vs $cc components")
   }
 
+  test("SSSP matches a driver-side hop-bounded Bellman-Ford; multi-hop paths found") {
+    val raw = Joins.fuzzyBlockedJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sym = raw ++ raw.map { case (a, b, w) => (b, a, w) }
+    val source = raw.flatMap(e => Seq(e._1, e._2)).min
+    var dist = Map(source -> 0L)
+    (1 to 4).foreach { _ =>
+      val relaxed = sym.flatMap { case (u, v, w) =>
+        dist.get(u).map(d => v -> (d + w))
+      }.groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).min }
+      dist = (dist.toSeq ++ relaxed.toSeq).groupBy(_._1)
+        .map { case (v, ds) => v -> ds.map(_._2).min }
+    }
+    val got = GraphOps.shortestPathsNames(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === dist)
+    assert(got(source) === 0L)
+    // the interesting case: some node is cheaper via 2+ hops than its
+    // direct edge, or only reachable indirectly — dist > max edge w
+    assert(got.values.max > 3L, s"no multi-hop path exercised: $got")
+  }
+
   test("triangle count matches a brute-force enumeration of the name graph") {
     val r = GraphOps.triangles(spark, sf).head()
     val edges = Joins.fuzzyBlockedJoin(spark, sf).collect()
