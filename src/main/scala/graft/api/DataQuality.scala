@@ -73,14 +73,25 @@ object DataQuality {
   def rowCheckAggs(checks: Seq[Check]): Seq[Column] = {
     val rows = checks.flatMap(rowPredicate)
     require(rows.nonEmpty, "rowCheckAggs: no row-level checks in the list")
-    rows.map { case (n, p) => sum((!p).cast("long")).as(n) }
+    rows.map { case (n, p) => sum(violates(p)).as(n) }
   }
+
+  /** 1 when the predicate is NOT satisfied — counting non-true rather
+    * than negating, because `sum((!p).cast("long"))` silently skips
+    * rows where p evaluates to NULL (a NULL enum value makes
+    * `isin` NULL, `!NULL` is NULL, and the sum drops it), letting
+    * null-bearing rows through the gate uncounted. `when(p, 0)
+    * .otherwise(1)` maps true→0, false→1, NULL→1, which is the
+    * documented contract (NULL violates). */
+  private def violates(p: Column): Column = when(p, 0L).otherwise(1L)
 
   /** Run the suite; returns (check, violations, pass) sorted by check
     * name. See the object doc for the per-check-kind plan cost.
-    * Null semantics: a NULL value VIOLATES InRange, InSet and
-    * RefIntegrity (a null fk cannot resolve) — pair with NotNull
-    * when nullability itself is the condition under test. */
+    * Null semantics: a NULL value VIOLATES InRange, InSet, Satisfies
+    * (a NULL-evaluating predicate counts as a violation, not a skip)
+    * and RefIntegrity (a null fk cannot resolve); Unique treats NULL
+    * as one more value, so k NULL rows are k−1 violations. Pair with
+    * NotNull when nullability itself is the condition under test. */
   def dqSuite(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "dqSuite: empty check list")
     require(checks.map(_.name).distinct.size == checks.size,
@@ -97,9 +108,9 @@ object DataQuality {
       // check via stack — referencing the agg N times would plan the
       // scan N times (the trap etl_dq_checks documents)
       val agg = df.agg(
-        sum((!rowLevel.head._2).cast("long")).as("v0"),
+        sum(violates(rowLevel.head._2)).as("v0"),
         rowLevel.tail.zipWithIndex.map { case ((_, p), i) =>
-          sum((!p).cast("long")).as(s"v${i + 1}")
+          sum(violates(p)).as(s"v${i + 1}")
         }: _*)
       val stackArgs = rowLevel.zipWithIndex
         .map { case ((n, _), i) => s"'$n', v$i" }.mkString(", ")
@@ -108,7 +119,14 @@ object DataQuality {
     }
     checks.foreach {
       case Unique(cl) =>
-        parts += df.agg((count(col(cl)) - countDistinct(col(cl))).as("violations"))
+        // count(*) − distinct-with-NULL-as-a-value: countDistinct
+        // skips NULLs, so k NULL rows would otherwise report zero
+        // violations on a "primary key" column. Adding NULL back as
+        // one distinct value (when present) makes k NULLs contribute
+        // k−1 violations — the same rule every other value gets.
+        parts += df.agg((count(lit(1)) - countDistinct(col(cl)) -
+            when(sum(col(cl).isNull.cast("long")) > 0L, 1L).otherwise(0L))
+            .as("violations"))
           .select(lit(s"unique_$cl").as("check"), col("violations"))
       case RefIntegrity(cl, dim, dimCl) =>
         parts += df.join(dim, df(cl) === dim(dimCl), "left_anti")

@@ -212,12 +212,25 @@ object Graft {
     * to single-key bucketing (a bucketBy layout serves one join key;
     * a z-order layout serves range predicates on several columns at
     * once). Pure integer shift/mod arithmetic: engine-portable and
-    * codegen-friendly, no UDF. */
-  def mortonInterleave(a: Column, b: Column, bits: Int = 8): Column =
+    * codegen-friendly, no UDF.
+    *
+    * Domain: each input is reduced `pmod 2^bits` FIRST, so negatives
+    * and values wider than `bits` bits fold into the ring
+    * deterministically instead of producing negative z-values
+    * (Spark's `%` keeps the dividend's sign, so an un-reduced -1
+    * would emit sign bits at every position and collide unrelated
+    * rows into one z-tile). Callers wanting an error instead of
+    * wraparound should range-check upstream — a layout key must be
+    * total, so the function itself never throws. */
+  def mortonInterleave(a: Column, b: Column, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 31, s"mortonInterleave: bits $bits")
+    val ring = lit(1L << bits)
+    val (ar, br) = (pmod(a.cast("long"), ring), pmod(b.cast("long"), ring))
     (0 until bits).map { i =>
-      (shiftright(a.cast("long"), i) % 2) * lit(1L << (2 * i + 1)) +
-        (shiftright(b.cast("long"), i) % 2) * lit(1L << (2 * i))
+      (shiftright(ar, i) % 2) * lit(1L << (2 * i + 1)) +
+        (shiftright(br, i) % 2) * lit(1L << (2 * i))
     }.reduce(_ + _)
+  }
 
   // ---------- DataFrame-level operators ----------
 

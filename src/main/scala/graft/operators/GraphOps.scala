@@ -50,6 +50,13 @@ object GraphOps {
     * canonical distributed message-passing cost. */
   def pagerank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"pagerank: iterations $iterations")
+    // parity-by-construction: damping is quantized to an integer
+    // micro-unit ONCE, and both the teleport term and the damping
+    // factor derive from it — (1e6 - d)/n and d/1e6 are the exact
+    // double ops the oracle replays with the same integer, whereas
+    // double(1 - 0.85) differs from double(0.15) by 1 ulp and would
+    // leave chained-round() agreement to luck near .5 boundaries
+    val dMicro = math.round(damping * 1e6)
     // pre-joined (src, dst, w/outdeg denominator) — computed once,
     // materialized once, reused every round
     val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
@@ -62,7 +69,12 @@ object GraphOps {
       val contrib = linked
         .join(scores.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
-          round(col("score_micro") * col("w") / col("outdeg")).cast("long").as("c"))
+          // through double BEFORE the multiply: a long×long product
+          // silently wraps in Spark at large edge weights while
+          // DuckDB's BIGINT product overflow-checks — double×long is
+          // the same op (and the same value ≤ 2^53) on both engines
+          round(col("score_micro").cast("double") * col("w") / col("outdeg"))
+            .cast("long").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_micro"))
       // EAGER checkpoint: each round materializes as one small job,
       // so round r+1 plans against a leaf instead of replaying (and
@@ -70,7 +82,8 @@ object GraphOps {
       // lesson as Graft.connectedComponents
       scores = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          round(lit((1 - damping) * 1e6 / n) + lit(damping) * coalesce(col("in_micro"), lit(0L)))
+          round(lit((1e6.toLong - dMicro).toDouble / n) +
+              lit(dMicro.toDouble / 1e6) * coalesce(col("in_micro"), lit(0L)))
             .cast("long").as("score_micro"))
         .localCheckpoint()
     }
@@ -96,14 +109,16 @@ object GraphOps {
   }
 
   // one iteration as SQL, chained three times with the same constants
+  // derived from the SAME micro-integer (850000) the Spark loop
+  // quantizes damping to — see pagerank's parity note
   private def iterSql(prev: String, out: String): String =
     s"""$out AS (
        |  SELECT n.node,
-       |         CAST(round(0.15 * 1e6 / (SELECT cnt FROM nn)
-       |               + 0.85 * coalesce(c.in_micro, 0)) AS BIGINT) AS score_micro
+       |         CAST(round((1e6 - 850000) / (SELECT cnt FROM nn)
+       |               + (850000 / 1e6) * coalesce(c.in_micro, 0)) AS BIGINT) AS score_micro
        |  FROM nodes n LEFT JOIN (
        |    SELECT e.dst AS node,
-       |           CAST(sum(CAST(round(s.score_micro * e.w / o.outdeg) AS BIGINT)) AS BIGINT) AS in_micro
+       |           CAST(sum(CAST(round(CAST(s.score_micro AS DOUBLE) * e.w / o.outdeg) AS BIGINT)) AS BIGINT) AS in_micro
        |    FROM edges e JOIN outdeg o ON e.src = o.src
        |                 JOIN $prev s ON s.node = e.src
        |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin

@@ -293,42 +293,18 @@ object Similarity {
     * embeddings files' (name, length, mtime) signature so an
     * in-process regeneration of the corpus invalidates the entry
     * instead of silently serving stale centroids. */
-  /** Corpus-keyed memo with ONE LIVE ENTRY per (dir, variant): a
-    * regenerated corpus REPLACES the stale signature's value instead
-    * of accumulating beside it (ADVICE r4: the signature-keyed memo
-    * never evicted, leaking superseded centroid rows for the JVM
-    * lifetime). A concurrent first access can compute twice — benign:
-    * the value is a deterministic corpus artifact, and last-write-wins
-    * stores the identical result. */
-  private final class CorpusMemo[V] {
-    private val m = scala.collection.concurrent.TrieMap.empty[String, (String, V)]
-    def get(dir: String, variant: String, sig: String)(compute: => V): V =
-      m.get(s"$dir|$variant") match {
-        case Some((s, v)) if s == sig => v
-        case _ =>
-          val v = compute
-          m.put(s"$dir|$variant", (sig, v))
-          v
-      }
-  }
-
+  // memo + Hadoop-FS signature contract: see graft.operators.CorpusMemo
   private val centroidCache = new CorpusMemo[Seq[(Long, Seq[Double])]]
   private val countCache = new CorpusMemo[Long]
 
-  private def corpusSig(dir: String): String = {
-    def sig(f: java.io.File): String =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).map(sig).mkString(",")
-      else s"${f.getName}:${f.length}:${f.lastModified}"
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    if (f.exists()) sig(f) else ""
-  }
+  private def corpusSig(spark: SparkSession, dir: String): String =
+    CorpusArtifact.parquetSig(spark, dir, "embeddings")
 
   /** count(embeddings), memoized per corpus — the single scalar the
     * k-sizing policy needs (one count() job per corpus, not per
     * query). */
   private[graft] def corpusCount(spark: SparkSession, dir: String): Long =
-    countCache.get(dir, "count", corpusSig(dir)) {
+    countCache.get(dir, "count", corpusSig(spark, dir)) {
       Tables.embeddings(spark, dir).count()
     }
 
@@ -340,7 +316,7 @@ object Similarity {
 
   private[graft] def centroidRows(spark: SparkSession, dir: String,
                                   k: Int): Seq[(Long, Seq[Double])] =
-    centroidCache.get(dir, s"k=$k", corpusSig(dir)) {
+    centroidCache.get(dir, s"k=$k", corpusSig(spark, dir)) {
       computeCentroidRows(spark, dir, k)
     }
 
@@ -791,7 +767,7 @@ object Similarity {
   /** Trained once per corpus (deterministic artifact, like the IVF
     * centroids) and memoized under the same signature contract. */
   private[graft] def pqCodebookRows(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
-    pqCodebookCache.get(dir, "pq", corpusSig(dir)) {
+    pqCodebookCache.get(dir, "pq", corpusSig(spark, dir)) {
       computePqCodebookRows(spark, dir)
     }
 
@@ -923,7 +899,7 @@ object Similarity {
     * Keyed by k too (the residuals depend on the coarse quantizer). */
   private[graft] def ivfPqCodebookRows(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] = {
     val (k, _) = ivfParams(spark, dir)
-    pqCodebookCache.get(dir, s"ivfpq_k=$k", corpusSig(dir)) {
+    pqCodebookCache.get(dir, s"ivfpq_k=$k", corpusSig(spark, dir)) {
       val cents = centroidLiteral(spark, dir, k)
       val res = assignCells(embWithNorm(spark, dir), cents)
         .select(col("vec_id"),
@@ -1255,7 +1231,7 @@ object Similarity {
   }
 
   private[graft] def imiCodebookRows(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
-    pqCodebookCache.get(dir, "imi", corpusSig(dir)) {
+    pqCodebookCache.get(dir, "imi", corpusSig(spark, dir)) {
       trainPqCodebooks(embWithNorm(spark, dir).select(col("vec_id"), col("v")),
         nSub = 2, ksub = imiKsub, subDim = dim / 2)
     }

@@ -132,12 +132,15 @@ object WarehouseEtl {
 
   val dqChecksSql: String =
     """WITH rowlevel AS (
-      |  SELECT CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
-      |         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
-      |         CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_enum
+      |  SELECT CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_null,
+      |         CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_range,
+      |         CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT) AS v_enum
       |  FROM orders),
       |checks AS (
-      |  SELECT 'unique_o_orderkey' AS "check", count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+      |  SELECT 'unique_o_orderkey' AS "check",
+      |         count(*) - count(DISTINCT o_orderkey)
+      |           - CASE WHEN count(*) > count(o_orderkey) THEN 1 ELSE 0 END AS violations
+      |  FROM orders
       |  UNION ALL
       |  SELECT 'fk_o_custkey', count(*) FROM orders o
       |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)

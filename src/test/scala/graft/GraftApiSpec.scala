@@ -465,4 +465,28 @@ class GraftApiSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("id") > 0)))
     }
   }
+
+  test("dqSuite counts NULL-evaluating predicates and duplicate NULL keys") {
+    import spark.implicits._
+    import graft.api.DataQuality._
+    import org.apache.spark.sql.functions.col
+    // status NULL makes isin() NULL; key NULL×3 makes a "unique" pk
+    // with two hidden duplicates; qty NULL makes the Satisfies
+    // predicate NULL. All three must count as violations, not skips.
+    val d = Seq(
+      (Some(1L), Some("F"), Some(10L)),
+      (Some(2L), None, Some(20L)),      // NULL enum value
+      (None, Some("O"), None),          // NULL key + NULL Satisfies operand
+      (None, Some("F"), Some(30L)),     // duplicate NULL key
+      (None, Some("P"), Some(40L)))     // triplicate NULL key
+      .toDF("id", "status", "qty")
+    val got = dqSuite(d, Seq(
+      Unique("id"),
+      InSet("status", Seq("F", "O", "P")),
+      Satisfies("qty_positive", col("qty") > 0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("enum_status") === 1L)          // the NULL status row
+    assert(got("satisfies_qty_positive") === 1L) // the NULL qty row
+    assert(got("unique_id") === 2L)            // 3 NULL keys = 2 dups
+  }
 }

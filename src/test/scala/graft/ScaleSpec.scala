@@ -31,6 +31,29 @@ class ScaleSpec extends SparkSpec {
       s"bucketed join should not shuffle:\n$plan")
   }
 
+  test("bucketedColocatedJoin memoizes the layout: second call reuses, not rewrites") {
+    import graft.operators.Joins
+    val first = Joins.bucketedColocatedJoin(spark, sf).collect()
+    // the layout landed under per-run-token names in the warehouse
+    val tables = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_orders_b_"))
+    assert(tables.nonEmpty)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$wh/${tables.head}")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def layoutStamp(): Seq[(String, Long)] =
+      fs.listStatus(loc).map(st => st.getPath.getName -> st.getModificationTime)
+        .toSeq.sortBy(_._1)
+    val stamp = layoutStamp()
+    // second invocation must bench the exchange-free READ: identical
+    // result, zero bytes rewritten (r5 verdict: the write re-ran per
+    // call, ~2.5 s of bench floor that production amortizes away)
+    val second = Joins.bucketedColocatedJoin(spark, sf).collect()
+    assert(second.map(_.toString).toSeq === first.map(_.toString).toSeq)
+    assert(layoutStamp() === stamp,
+      "second invocation rewrote the bucketed layout instead of reusing it")
+  }
+
   test("salted skew aggregation equals direct aggregation") {
     val salted = Aggregations.saltedSkewAgg(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
