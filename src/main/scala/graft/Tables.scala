@@ -27,16 +27,36 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` is written with TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). We read the
-    * nanos as a plain long and rebuild a microsecond TimestampType column
-    * `ts`, keeping `ts_ns` for exact arithmetic. Session TZ is UTC
-    * everywhere so wall-clock values match the oracle's TIMESTAMP (ntz).
+  /** `events.parquet` has shipped with two physical layouts for `ts`:
+    * TIMESTAMP(NANOS) (read as a plain long via nanosAsLong, since Spark's
+    * parquet reader rejects nanos outright — PARQUET_TYPE_ILLEGAL) and,
+    * after an Aug-2026 regeneration, TIMESTAMP(MICROS). We branch on the
+    * scanned schema and normalize to the same two-column contract either
+    * way: `ts` (TimestampType, micros) for windowing/watermarks and
+    * `ts_ns` (long, epoch nanos) for exact arithmetic. Session TZ is UTC
+    * everywhere so wall-clock values match the oracle's TIMESTAMP (ntz),
+    * and DuckDB's `epoch_ns(ts)` yields the identical trailing-zero nanos
+    * on micros data.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+      case TimestampType =>
+        raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+      case TimestampNTZType =>
+        // NTZ carries no zone; session TZ is UTC so the cast is exact.
+        raw
+          .withColumn("ts", expr("cast(ts as timestamp)"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other; expected long (nanos) or timestamp")
+    }
   }
 }
