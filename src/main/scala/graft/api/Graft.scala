@@ -603,6 +603,74 @@ object Graft {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
+  /** BigQuery sink configuration — the production shape of the
+    * reference's warehouse load (/root/reference/main.py:17). Field
+    * names mirror the public spark-bigquery-connector option surface
+    * (https://github.com/GoogleCloudDataproc/spark-bigquery-connector):
+    * the connector reads the target as `project.dataset.table`, takes
+    * write disposition from the Spark SaveMode (WRITE_TRUNCATE ↔
+    * overwrite, WRITE_APPEND ↔ append), and stages indirect loads
+    * through `temporaryGcsBucket`. Everything here is pure option
+    * plumbing — [[writeBigQuery]] funnels it into [[writeWarehouse]]
+    * unchanged, so offline (no connector jar, zero egress) the exact
+    * same map is assertable through a mock format
+    * (`BigQuerySinkSpec`), and in production the only change is the
+    * jar on the classpath. */
+  final case class BigQuerySink(
+      project: String,
+      dataset: String,
+      table: String,
+      temporaryGcsBucket: Option[String] = None,
+      writeDisposition: String = "WRITE_TRUNCATE",
+      createDisposition: String = "CREATE_IF_NEEDED",
+      writeMethod: String = "indirect",
+      partitionField: Option[String] = None,
+      clusteredFields: Seq[String] = Nil,
+      extraOptions: Map[String, String] = Map.empty) {
+    require(Set("WRITE_TRUNCATE", "WRITE_APPEND", "WRITE_EMPTY")(writeDisposition),
+      s"writeDisposition must be WRITE_TRUNCATE|WRITE_APPEND|WRITE_EMPTY, got $writeDisposition")
+    require(Set("CREATE_IF_NEEDED", "CREATE_NEVER")(createDisposition),
+      s"createDisposition must be CREATE_IF_NEEDED|CREATE_NEVER, got $createDisposition")
+    require(Set("direct", "indirect")(writeMethod),
+      s"writeMethod must be direct|indirect, got $writeMethod")
+    require(writeMethod == "direct" || temporaryGcsBucket.nonEmpty,
+      "indirect writeMethod stages through GCS: temporaryGcsBucket is required")
+
+    /** Fully-qualified table reference the connector resolves. */
+    def tableRef: String = s"$project.$dataset.$table"
+
+    /** SaveMode string the connector maps back to the disposition. */
+    def saveMode: String = writeDisposition match {
+      case "WRITE_TRUNCATE" => "overwrite"
+      case "WRITE_APPEND"   => "append"
+      case "WRITE_EMPTY"    => "errorifexists"
+    }
+
+    /** The connector option map, exactly as handed to the
+      * DataFrameWriter. Keys are the connector's public names. */
+    def options: Map[String, String] =
+      Map(
+        "project"           -> project,
+        "dataset"           -> dataset,
+        "writeMethod"       -> writeMethod,
+        "createDisposition" -> createDisposition) ++
+        temporaryGcsBucket.map("temporaryGcsBucket" -> _) ++
+        partitionField.map("partitionField" -> _) ++
+        (if (clusteredFields.nonEmpty)
+           Map("clusteredFields" -> clusteredFields.mkString(","))
+         else Map.empty) ++
+        extraOptions
+  }
+
+  /** Write to BigQuery through the warehouse seam. `format` defaults
+    * to the real connector name and is overridable ONLY so the offline
+    * spec can substitute a recording mock — production callers never
+    * pass it. */
+  def writeBigQuery(df: DataFrame, sink: BigQuerySink,
+                    format: String = "bigquery"): Unit =
+    writeWarehouse(df, format, sink.tableRef, partitionBy = Nil,
+      mode = sink.saveMode, options = sink.options)
+
   // ---------- corpus-preparation operators ----------
 
   /** First 8 md5 hex chars of an id as a positive long — the

@@ -24,14 +24,48 @@ object Streams {
 
   // ---------- streaming builders (used by tests / production) ----------
 
+  /** The reference function's operational envelope (main.tf:51–53:
+    * `max_instance_count = 3`, `timeout_seconds = 540`,
+    * `available_memory = "256M"`) mapped onto Structured Streaming's
+    * rate controls:
+    *
+    *  - `maxFilesPerTrigger` bounds how many arrived objects one
+    *    micro-batch ingests — the concurrency cap that
+    *    `max_instance_count ≤ 3` imposes on the event-driven function
+    *    (at most 3 objects in flight). Default 3, matching main.tf:53.
+    *  - `processingInterval` is the redelivery/pacing analog of the
+    *    540 s function timeout: a function that must finish one object
+    *    inside 540 s becomes a micro-batch cadence no slower than that
+    *    bound (e.g. `Some("540 seconds")` = one drain attempt per
+    *    envelope window). `None` keeps Trigger.AvailableNow — drain
+    *    the backlog now, in rate-capped batches, then stop — which is
+    *    both the test mode and the batch-catchup mode.
+    *
+    * Memory is deliberately NOT mirrored: Spark's executor sizing is a
+    * cluster-submit concern, not a per-operator knob. */
+  final case class TriggerEnvelope(
+      maxFilesPerTrigger: Int = 3,
+      processingInterval: Option[String] = None) {
+    require(maxFilesPerTrigger > 0,
+      s"maxFilesPerTrigger must be positive, got $maxFilesPerTrigger")
+
+    def trigger: org.apache.spark.sql.streaming.Trigger =
+      processingInterval match {
+        case Some(iv) => org.apache.spark.sql.streaming.Trigger.ProcessingTime(iv)
+        case None     => org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      }
+  }
+
   /** File-arrival ingestion stream: the Spark analog of the reference's
     * GCS→Eventarc notification flow. Parquet files landing in `dir` are
     * discovered incrementally; `maxFilesPerTrigger` is the rate-limit
     * analog of the reference's max_instance_count (main.tf:53). */
-  def fileArrivals(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+  def fileArrivals(spark: SparkSession, dir: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   maxFilesPerTrigger: Int = 3): DataFrame =
     spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 3)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
   /** Notification record shape for [[xlsxEtl]] — the Spark analog of
@@ -71,9 +105,11 @@ object Streams {
   def xlsxEtl(spark: SparkSession, notifDir: String, landingRoot: String,
               warehouseDir: String, checkpoint: String,
               prefix: String = "minha-pasta/", suffix: String = ".xlsx",
-              transform: DataFrame => DataFrame = identity)
+              transform: DataFrame => DataFrame = identity,
+              envelope: TriggerEnvelope = TriggerEnvelope())
              : org.apache.spark.sql.streaming.StreamingQuery = {
-    val accepted = fileArrivals(spark, notifDir, notificationSchema)
+    val accepted = fileArrivals(spark, notifDir, notificationSchema,
+        envelope.maxFilesPerTrigger)
       .filter(graft.api.Graft.objectNameAccept(col("name"), prefix, suffix))
     accepted.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -104,7 +140,7 @@ object Streams {
         ()
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(envelope.trigger)
       .start()
   }
 

@@ -194,6 +194,41 @@ class StreamsSpec extends SparkSpec {
     assert(warehouseRows() === afterRestart)
   }
 
+  test("trigger envelope: maxFilesPerTrigger rate-caps the drain; interval maps to ProcessingTime") {
+    import spark.implicits._
+    import graft.sources.xlsx.XlsxParser
+    // the reference envelope (main.tf:51-53): ≤3 instances → files per
+    // trigger; 540 s timeout → micro-batch cadence
+    val envelope = Streams.TriggerEnvelope(
+      maxFilesPerTrigger = 1, processingInterval = Some("540 seconds"))
+    assert(envelope.trigger ===
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("540 seconds"))
+    assert(Streams.TriggerEnvelope().trigger ===
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    intercept[IllegalArgumentException](Streams.TriggerEnvelope(maxFilesPerTrigger = 0))
+
+    // AvailableNow + cap=1: three notification files must drain in
+    // three rate-capped micro-batches, not one unbounded gulp
+    val notif = java.nio.file.Files.createTempDirectory("graft_env_notif").toString
+    val landing = java.nio.file.Files.createTempDirectory("graft_env_land").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft_env_wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_env_ckpt").toString
+    new java.io.File(s"$landing/minha-pasta").mkdirs()
+    for (i <- 1 to 3) {
+      XlsxParser.write(s"$landing/minha-pasta/f$i.xlsx", Seq("id", "qty"),
+        Seq(Seq(i.toString, (i * 10).toString)))
+      Seq(("tma-0", s"minha-pasta/f$i.xlsx", i.toLong))
+        .toDF("bucket", "name", "size_bytes").write.parquet(s"$notif/drop$i")
+    }
+    val q = Streams.xlsxEtl(spark, s"$notif/*", landing, wh, ckpt,
+      envelope = Streams.TriggerEnvelope(maxFilesPerTrigger = 1))
+    q.awaitTermination(120000)
+    val fedBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(fedBatches >= 3,
+      s"cap=1 over 3 notification files should take >=3 micro-batches, saw $fedBatches")
+    assert(spark.read.parquet(wh).select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("streaming corpus ingestion: digest dedup + quality gate + BPE count on a stream") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
