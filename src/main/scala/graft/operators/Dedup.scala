@@ -355,6 +355,69 @@ object Dedup {
        |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
        |FROM rk WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Incremental (batch-vs-index) near-dup: the production shape of
+    * dedup at 100 TB. A crawled corpus is never re-deduped whole — the
+    * standing corpus keeps a band-signature INDEX (one row per
+    * signature, not per doc), and each new batch probes it. Here the
+    * deterministic id-hash split stands in for the two generations:
+    * bucket < 80 is the indexed corpus, the rest is today's batch.
+    * Each batch doc gets a verdict:
+    *   - `dup_of_corpus` — its signature is already indexed (keeper =
+    *     the indexed canonical doc);
+    *   - `dup_in_batch` — new signature, but another batch doc with a
+    *     smaller id shares it (first occurrence wins within a batch);
+    *   - `new` — first sighting anywhere; it is its own keeper and
+    *     would be appended to the index.
+    * Scale shape: signatures are map-only (one md5 per shingle); the
+    * index is pre-aggregated per signature so the probe join's build
+    * side is bounded by DISTINCT signatures, not corpus rows; the
+    * in-batch window and the probe join both hash-partition on `sig`,
+    * so they share one shuffle of the (small) batch — the standing
+    * corpus is never reshuffled, which is the entire point. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .withColumn("sig", graft.api.Graft.minhashSignature(col("text"), k = 3, bands = bands))
+      .withColumn("bucket", graft.api.Graft.idHash(col("doc_id")) % 100)
+    val corpusIndex = docs.filter(col("bucket") < 80)
+      .groupBy(col("sig")).agg(min(col("doc_id")).as("corpus_keeper"))
+    val batch = docs.filter(col("bucket") >= 80)
+      .withColumn("batch_keeper",
+        min(col("doc_id")).over(Window.partitionBy(col("sig"))))
+    batch.join(corpusIndex, Seq("sig"), "left")
+      .select(
+        col("doc_id"),
+        col("sig"),
+        when(col("corpus_keeper").isNotNull, lit("dup_of_corpus"))
+          .when(col("batch_keeper") < col("doc_id"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("corpus_keeper"), col("batch_keeper")).as("keeper_doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalDedupSql: String = {
+    val bandMins = (0 until bands)
+      .map(b => s"list_min(list_transform(mh, h -> substring(h, ${8 * b + 1}, 8)))")
+      .mkString(" || ':' || ")
+    s"""WITH sigs AS (
+       |  SELECT doc_id, $bandMins AS sig,
+       |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+       |  FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS mh
+       |        FROM (SELECT doc_id, text, $shinglesSqlFragment AS sh
+       |              FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)))),
+       |corpus AS (SELECT sig, min(doc_id) AS corpus_keeper FROM sigs WHERE bucket < 80 GROUP BY sig),
+       |batch AS (SELECT doc_id, sig, min(doc_id) OVER (PARTITION BY sig) AS batch_keeper
+       |          FROM sigs WHERE bucket >= 80)
+       |SELECT b.doc_id, b.sig,
+       |       CASE WHEN c.corpus_keeper IS NOT NULL THEN 'dup_of_corpus'
+       |            WHEN b.batch_keeper < b.doc_id THEN 'dup_in_batch'
+       |            ELSE 'new' END AS verdict,
+       |       coalesce(c.corpus_keeper, b.batch_keeper) AS keeper_doc_id
+       |FROM batch b LEFT JOIN corpus c USING (sig)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_exact_stats" -> (exactDedupStats _),
@@ -365,7 +428,8 @@ object Dedup {
     "dedup_band_capped" -> (bandCapped _),
     "dedup_components" -> (components _),
     "dedup_keep" -> (keep _),
-    "dedup_keep_policy" -> (keepPolicy _)
+    "dedup_keep_policy" -> (keepPolicy _),
+    "dedup_incremental" -> (incrementalDedup _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -378,6 +442,7 @@ object Dedup {
     "dedup_band_capped" -> bandCappedSql,
     "dedup_components" -> componentsSql,
     "dedup_keep" -> keepSql,
-    "dedup_keep_policy" -> keepPolicySql
+    "dedup_keep_policy" -> keepPolicySql,
+    "dedup_incremental" -> incrementalDedupSql
   )
 }

@@ -213,6 +213,33 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("incremental dedup probes the index with an equi join; corpus aggregates before the join") {
+    // the batch-vs-index shape: the standing corpus must reach the
+    // probe join as one pre-aggregated row per signature (build side
+    // bounded by distinct sigs), and the probe must stay an equi join
+    // on sig — not a cartesian, not a re-shuffle of raw corpus rows
+    val df = graft.operators.Dedup.incrementalDedup(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    // the aggregate (index build) must sit below the join, not above it
+    val joinAt = plan.indexOf("Join")
+    val aggBelow = plan.indexOf("HashAggregate", joinAt)
+    assert(joinAt >= 0 && aggBelow > joinAt,
+      s"corpus index aggregation must be below the probe join:\n$plan")
+    // semantics: every verdict accounted for, keeper never null
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("dup_of_corpus", "dup_in_batch", "new")(r.getAs[String]("verdict"))))
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("keeper_doc_id"))))
+    // a 'new' doc is its own keeper; an in-batch dup points at a smaller batch id
+    assert(rows.filter(_.getAs[String]("verdict") == "new")
+      .forall(r => r.getAs[Long]("keeper_doc_id") == r.getAs[Long]("doc_id")))
+    assert(rows.filter(_.getAs[String]("verdict") == "dup_in_batch")
+      .forall(r => r.getAs[Long]("keeper_doc_id") < r.getAs[Long]("doc_id")))
+  }
+
   test("LSH ANN joins on the bucket signature, never all-pairs") {
     val df = graft.operators.Similarity.annTopK(spark, sf)
     df.collect()
