@@ -118,6 +118,14 @@ object ScaleProbe {
       ("ngram_dropped_buckets_cap64", () =>
         graft.api.Graft.oversizedBandBuckets(
           graft.Tables.documents(spark, dir), "text", "doc_id", 3, 4, 64).count()),
+      // incremental batch-vs-index dedup: index build is one groupBy
+      // over the 80% corpus slice, the probe is an equi join driven by
+      // the 20% batch slice — both sides scale linearly with the
+      // corpus here, so the time ratio must stay ~linear; in
+      // production the index is PRE-BUILT and only the batch term
+      // remains (Dedup.incrementalDedup)
+      ("incremental_dedup", () =>
+        graft.operators.Dedup.incrementalDedup(spark, dir).count()),
       // IVF nearest-centroid assignment at the CORPUS-DERIVED k
       // (k = ceil(N/64), the SemDeDup fixed-cell-size policy): the
       // map-only native-codegen argmax over literal centroids does

@@ -217,6 +217,23 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup dedup: minhash band signature per document,
+    * first arrival per signature within the watermark wins — the
+    * streaming twin of [[graft.operators.Dedup.incrementalDedup]]'s
+    * in-batch stage (same signature function, same first-wins rule).
+    * State is one compact ~36-byte signature per surviving doc and is
+    * evicted as the watermark passes — bounded, unlike an id-only
+    * dropDuplicates whose state grows with the stream. The signature
+    * is a map-only native expression, so the only stateful stage is
+    * the dedup itself. */
+  def nearDupIngest(docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("sig", graft.api.Graft.minhashSignature(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("sig")
+  }
+
   /** Session windows per user with a 30-minute gap. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -252,6 +252,31 @@ class StreamsSpec extends SparkSpec {
     assert(out(4L) === graft.functions.BpeVocab.countTokens("a dog in the park"))
   }
 
+  test("streaming near-dup dedup: first arrival per minhash signature wins, near-identical later docs drop") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    // docs 1 and 2 differ ONLY outside any 3-shingle band minimum
+    // change (identical text -> identical sig); doc 3 is genuinely new
+    mem.addData(
+      Doc(1, ts("2024-01-01 00:00:00"), "the cat sat on the mat today"),
+      Doc(2, ts("2024-01-01 00:01:00"), "the cat sat on the mat today"),
+      Doc(3, ts("2024-01-01 00:02:00"), "an entirely different document body"))
+    val q = Streams.nearDupIngest(mem.toDF())
+      .select(col("doc_id"), col("sig"))
+      .writeStream.format("memory").queryName("t_neardup").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("t_neardup").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("sig")).toMap
+    assert(out.keySet === Set(1L, 3L), s"dup doc 2 must drop: $out")
+    // stream-side signature equals the batch expression (one definition)
+    val batchSig = Seq("the cat sat on the mat today").toDF("text")
+      .select(graft.api.Graft.minhashSignature(col("text"))).first().getString(0)
+    assert(out(1L) === batchSig)
+  }
+
   test("streaming IVF-PQ encode equals the batch index entries (zero-state projection)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
