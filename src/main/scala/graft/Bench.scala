@@ -15,8 +15,11 @@ object Bench {
     * both would charge the multi-round CC fixpoint twice for one
     * operator; `dedup_keep_policy` (the keeper-policy variant) is a
     * third run of the same fixpoint and is likewise represented in
-    * the bench by `dedup_keep`. */
-  val benchExclude: Set[String] = Set("join_asof", "dedup_components", "dedup_keep_policy")
+    * the bench by `dedup_keep`, as is `dedup_split_safe` (the
+    * cluster-label split rides the identical pairs→components
+    * machinery, adding only a map-side hash label). */
+  val benchExclude: Set[String] =
+    Set("join_asof", "dedup_components", "dedup_keep_policy", "dedup_split_safe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -355,6 +355,47 @@ object Dedup {
        |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
        |FROM rk WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Leakage-safe corpus split: the deterministic train/val/test hash
+    * split applied to the near-dup CLUSTER label instead of the doc id,
+    * so every member of a duplicate cluster lands in the same split —
+    * the standard guard against test-set contamination through
+    * near-duplicates (a doc-id split puts ~2 of every 10-copy cluster
+    * in val/test, silently leaking training text into eval). Riding
+    * the same verified-pair → connected-components machinery as
+    * [[keep]], it adds one broadcast-sized join and a map-only hash
+    * label on top — no new shuffle class at 100 TB. Output is the
+    * per-split census (docs + distinct clusters); the no-cluster-
+    * spans-two-splits invariant is spec-asserted (ScaleSpec). */
+  def splitSafe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.api.Graft.nearDupPairs(
+      docs, "text", "doc_id", threshold = 0.5, k = 3, bands = bands)
+    val comp = graft.api.Graft.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("split", graft.api.Graft.splitLabel(col("cluster"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      .orderBy(col("split"))
+  }
+
+  val splitSafeSql: String =
+    s"""$ccCteBody,
+       |labels AS (SELECT id, min(label) AS component FROM reach GROUP BY 1),
+       |lab AS (SELECT d.doc_id, coalesce(l.component, d.doc_id) AS cluster
+       |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+       |split AS (
+       |  SELECT cluster,
+       |         CASE WHEN ('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+       |              WHEN ('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM lab)
+       |SELECT split, count(*) AS n_docs, count(DISTINCT cluster) AS n_clusters
+       |FROM split GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Incremental (batch-vs-index) near-dup: the production shape of
     * dedup at 100 TB. A crawled corpus is never re-deduped whole — the
     * standing corpus keeps a band-signature INDEX (one row per
@@ -429,7 +470,8 @@ object Dedup {
     "dedup_components" -> (components _),
     "dedup_keep" -> (keep _),
     "dedup_keep_policy" -> (keepPolicy _),
-    "dedup_incremental" -> (incrementalDedup _)
+    "dedup_incremental" -> (incrementalDedup _),
+    "dedup_split_safe" -> (splitSafe _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -443,6 +485,7 @@ object Dedup {
     "dedup_components" -> componentsSql,
     "dedup_keep" -> keepSql,
     "dedup_keep_policy" -> keepPolicySql,
-    "dedup_incremental" -> incrementalDedupSql
+    "dedup_incremental" -> incrementalDedupSql,
+    "dedup_split_safe" -> splitSafeSql
   )
 }

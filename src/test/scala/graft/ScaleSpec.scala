@@ -240,6 +240,29 @@ class ScaleSpec extends SparkSpec {
       .forall(r => r.getAs[Long]("keeper_doc_id") < r.getAs[Long]("doc_id")))
   }
 
+  test("leakage-safe split: no near-dup cluster ever spans two splits") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val pairs = graft.api.Graft.nearDupPairs(docs, "text", "doc_id", 0.5, 3, 4)
+    val comp = graft.api.Graft.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    val labeled = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("split", graft.api.Graft.splitLabel(col("cluster"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+    // the invariant a doc-id split breaks: one split per cluster
+    val spanning = labeled.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(spanning.isEmpty, "a near-dup cluster landed in two splits")
+    // and the census query agrees with the underlying labeling
+    val census = graft.operators.Dedup.splitSafe(spark, sf).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val direct = labeled.groupBy("split").count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    assert(census === direct)
+  }
+
   test("LSH ANN joins on the bucket signature, never all-pairs") {
     val df = graft.operators.Similarity.annTopK(spark, sf)
     df.collect()
