@@ -466,6 +466,56 @@ object CorpusOps {
       |FROM terms JOIN freqs USING (term) CROSS JOIN total
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigram conditional-LM document scoring — the CCNet-style LM
+    * quality filter one order up from [[unigramLogprob]]: each
+    * document's mean ln P(wᵢ | wᵢ₋₁) under the corpus's own bigram
+    * model, where P(w₂|w₁) = count(w₁ w₂) / count(w₁ ·) with both
+    * counts taken over the corpus bigram table (self-consistent
+    * denominators — no off-by-one from document-final tokens).
+    * Low-probability documents are word salad; suspiciously-high ones
+    * are boilerplate — both tails get cut in a real pipeline. Plan
+    * shape: one explode, two count aggs (bigram, context), joins that
+    * reuse the agg partitioning, one per-doc agg — the tf-idf shuffle
+    * class, linear at 100 TB. avg is rounded to 4 decimals so libm
+    * ulp differences can't break the oracle (the [[unigramLogprob]]
+    * lesson). */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val bg = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - lit(2)),
+        i => concat(element_at(t, i + lit(1)), lit(" "), element_at(t, i + lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(bg).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val bigramCounts = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val contextCounts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(bigramCounts, "bigram")
+      .join(contextCounts, "w1")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2").cast("double") / col("c1"))), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLogprobSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest(CASE WHEN len(w) >= 2
+      |                     THEN list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
+      |                     ELSE [] END) AS bigram
+      |  FROM t),
+      |bgc AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1),
+      |ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 4) AS avg_logprob
+      |FROM bg JOIN bgc USING (bigram)
+      |        JOIN ctx ON split_part(bg.bigram, ' ', 1) = ctx.w1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Quality gate with reject reasons — the reference's accept/reject
     * side-output pattern (main.py:12–14) applied at corpus scale:
     * every document gets a verdict and the FIRST failing rule as its
@@ -792,6 +842,7 @@ object CorpusOps {
     "corpus_pii_scrub" -> (piiScrub _),
     "corpus_quality_gate" -> (qualityGate _),
     "corpus_unigram_logprob" -> (unigramLogprob _),
+    "corpus_bigram_logprob" -> (bigramLogprob _),
     "corpus_repetition" -> (repetition _),
     "corpus_split_hash" -> (splitHash _),
     "corpus_sample_stratified" -> (sampleStratified _),
@@ -813,6 +864,7 @@ object CorpusOps {
     "corpus_pii_scrub" -> piiScrubSql,
     "corpus_quality_gate" -> qualityGateSql,
     "corpus_unigram_logprob" -> unigramLogprobSql,
+    "corpus_bigram_logprob" -> bigramLogprobSql,
     "corpus_repetition" -> repetitionSql,
     "corpus_split_hash" -> splitHashSql,
     "corpus_sample_stratified" -> sampleStratifiedSql,
