@@ -48,7 +48,7 @@ object PlanSurvey {
       "layout_zorder" -> "morton interleave as pure integer projection; bounds broadcast; 64-tile agg",
       "graph_pagerank" -> "edge extraction = one key shuffle + lag; iterations join the tiny aggregated edge list",
       "dedup_incremental" -> "batch-vs-index probe: corpus index aggregated per signature BELOW the equi join; in-batch window shares the sig partitioning",
-      "corpus_bigram_logprob" -> "bigram LM scoring: one explode, two count aggs, partition-reusing joins, per-doc agg (tf-idf shuffle class)")
+      "corpus_bigram_logprob" -> "bigram LM scoring: zip_with shifted-slice bigram stream (4-5x over index lambdas); c1 re-aggregated from the c2 model table; single stream join (tf-idf shuffle class)")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanSurvey`. Things to check in each plan:\n")
