@@ -839,7 +839,113 @@ object CorpusOps {
        |  LIMIT 100)
        |ORDER BY key_nano, doc_id""".stripMargin
 
+  /** CCNet-style perplexity bucketing: within each language, rank
+    * documents by their unigram-LM score and cut the ranking into
+    * head / middle / tail thirds (head = most in-distribution). Real
+    * pipelines keep head+middle and drop or down-weight tail; the
+    * emitted audit view is the per-(lang, bucket) census with the
+    * score range each bucket spans. Plan shape: the [[unigramLogprob]]
+    * stages (tf-idf shuffle class), one lang-partitioned ntile window,
+    * one census agg — ntile partitions by language so no partition
+    * ever holds more than one language's docs; ties broken by doc_id
+    * so the cut is deterministic across engines. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogprob(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    scored
+      .withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")), ntile(3).over(w)))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("avg_logprob")).as("best_logprob"),
+        min(col("avg_logprob")).as("worst_logprob"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val pplBucketsSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |freqs AS (SELECT term, count(*) AS tf FROM terms GROUP BY 1),
+      |total AS (SELECT CAST(sum(tf) AS BIGINT) AS corpus_tokens FROM freqs),
+      |scored AS (
+      |  SELECT doc_id, round(avg(ln(CAST(tf AS DOUBLE) / corpus_tokens)), 4) AS avg_logprob
+      |  FROM terms JOIN freqs USING (term) CROSS JOIN total GROUP BY doc_id),
+      |bucketed AS (
+      |  SELECT d.lang, s.avg_logprob,
+      |         ['head', 'middle', 'tail'][ntile(3) OVER (
+      |           PARTITION BY d.lang ORDER BY s.avg_logprob DESC, s.doc_id)] AS bucket
+      |  FROM scored s JOIN documents d USING (doc_id))
+      |SELECT lang, bucket, count(*) AS n_docs,
+      |       max(avg_logprob) AS best_logprob,
+      |       min(avg_logprob) AS worst_logprob
+      |FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each raw
+    * document by how much more likely its hashed-n-gram features are
+    * under a target-domain bag-of-buckets model than under the raw
+    * corpus model. Here the target domain is the English slice and
+    * features are md5-hashed unigram buckets (k=256, the same
+    * engine-portable id-hash contract as [[splitHash]]); both bucket
+    * models are Laplace-smoothed (+1 / +k). Per-doc weight = mean over
+    * its tokens of ln(p_target(b)/p_raw(b)) — docs whose vocabulary
+    * looks target-like score high and survive the resampling step.
+    *
+    * Scale shape: the feature models are FIXED-width (k rows each,
+    * independent of corpus size) — genuinely always-broadcastable,
+    * unlike the open-vocabulary [[unigramLogprob]] freq table — so
+    * the token stream is never shuffled at all: one broadcast join +
+    * the per-doc agg. At 100 TB this is a map-side pipeline with a
+    * single doc_id-keyed reduce. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val stream = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("term"))
+      .withColumn("b", graft.api.Graft.idHash(col("term")) % k)
+    val rawModel = stream.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtModel = stream.where(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // fixed-k models: totals via a scalar agg each, smoothed inline
+    val model = rawModel.join(tgtModel, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(rawModel.agg(sum(col("cr")).as("tr"))))
+      .crossJoin(broadcast(tgtModel.agg(sum(col("ct")).as("tt"))))
+      .select(col("b"),
+        log(((col("ct") + 1).cast("double") / (col("tt") + k)) /
+            ((col("cr") + 1).cast("double") / (col("tr") + k))).as("llr"))
+    stream.join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("llr")), 4).as("dsir_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH stream AS (
+       |  SELECT doc_id, lang,
+       |         ${idHashSql("term")} % 256 AS b
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)),
+       |raw_m AS (SELECT b, count(*) AS cr FROM stream GROUP BY 1),
+       |tgt_m AS (SELECT b, count(*) AS ct FROM stream WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(cr) FROM raw_m) AS tr,
+       |               (SELECT sum(ct) FROM tgt_m) AS tt),
+       |model AS (
+       |  SELECT r.b,
+       |         ln((CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) / (tot.tt + 256)) /
+       |            (CAST(r.cr + 1 AS DOUBLE) / (tot.tr + 256))) AS llr
+       |  FROM raw_m r LEFT JOIN tgt_m t USING (b) CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |       round(avg(llr), 4) AS dsir_weight
+       |FROM stream JOIN model USING (b)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_ppl_buckets" -> (pplBuckets _),
+    "corpus_dsir_weights" -> (dsirWeights _),
     "corpus_sample_weighted" -> (sampleWeighted _),
     "corpus_chunk_overlap" -> (chunkOverlap _),
     "corpus_mix_rebalance" -> (mixRebalance _),
@@ -862,6 +968,8 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_ppl_buckets" -> pplBucketsSql,
+    "corpus_dsir_weights" -> dsirWeightsSql,
     "corpus_sample_weighted" -> sampleWeightedSql,
     "corpus_chunk_overlap" -> chunkOverlapSql,
     "corpus_mix_rebalance" -> mixRebalanceSql,
