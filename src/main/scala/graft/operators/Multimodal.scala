@@ -217,7 +217,77 @@ object Multimodal {
       |       CAST(2 AS BIGINT) AS color_type
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** WAV/RIFF header decode — the audio-modality sibling of
+    * [[pngHeader]], and the little-endian counterpart to its
+    * big-endian parse: every multi-byte field in a RIFF container is
+    * LE, so the reader reverses the byte order before the hex→long
+    * conversion (a wrong endianness here produces wildly wrong sample
+    * rates — exactly what the oracle round-trip catches). Same scale
+    * role as the PNG path: rate/channel/duration predicates over a
+    * 100 TB audio corpus run as a map-only scan of the first 44
+    * header bytes, and only surviving rows reach the codec seam. */
+  def parseWavHeader(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // little-endian uint at 1-based byte offset: per-byte hex digits
+    // concatenated in REVERSE byte order, then base-16 → long
+    def le(pos: Int, len: Int) =
+      conv(concat((len to 1 by -1).map(i => hex(substring(payload, pos + i - 1, 1))): _*),
+        16, 10).cast("long")
+    struct(
+      (hex(substring(payload, 1, 4)) === lit("52494646") &&
+        hex(substring(payload, 9, 4)) === lit("57415645")).as("magic_ok"),
+      (le(21, 2) === 1).as("pcm_ok"),
+      le(23, 2).as("channels"),
+      le(25, 4).as("sample_rate"),
+      le(35, 2).as("bits_per_sample"),
+      le(41, 4).as("data_bytes"), {
+        // integer-exact duration: subtract the remainder first so the
+        // double division is exact (Column./ is true division; a raw
+        // floor() could flip on a boundary ulp vs the oracle's `//`)
+        val num = le(41, 4) * 1000
+        val den = le(29, 4)
+        ((num - pmod(num, den)) / den).cast("long").as("duration_ms")
+      })
+  }
+
+  def wavHeader(spark: SparkSession, dir: String): DataFrame = {
+    val channels = (lit(1) + pmod(col("doc_id"), lit(2))).cast("long")
+    val rate = (lit(8000) + pmod(col("n_chars"), lit(8)) * 4000).cast("long")
+    val blockAlign = channels * 2 // 16-bit PCM
+    val byteRate = rate * blockAlign
+    val dataBytes = col("n_chars").cast("long") * blockAlign
+    // synthesized canonical 44-byte PCM header: RIFF<size>WAVE fmt␣
+    // <16, fmt=1, channels, rate, byteRate, blockAlign, bits> data<size>
+    def leHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    val wav = unhex(concat(
+      lit("52494646"), leHex(dataBytes + 36, 4), lit("57415645"),
+      lit("666D7420"), leHex(lit(16L), 4), leHex(lit(1L), 2),
+      leHex(channels, 2), leHex(rate, 4), leHex(byteRate, 4),
+      leHex(blockAlign, 2), leHex(lit(16L), 2),
+      lit("64617461"), leHex(dataBytes, 4)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), parseWavHeader(wav).as("p"))
+      .select(col("doc_id"), col("p.magic_ok").as("magic_ok"),
+        col("p.pcm_ok").as("pcm_ok"), col("p.channels").as("channels"),
+        col("p.sample_rate").as("sample_rate"),
+        col("p.bits_per_sample").as("bits_per_sample"),
+        col("p.data_bytes").as("data_bytes"),
+        col("p.duration_ms").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
+  val wavHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok, TRUE AS pcm_ok,
+      |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |       CAST(8000 + (n_chars % 8) * 4000 AS BIGINT) AS sample_rate,
+      |       CAST(16 AS BIGINT) AS bits_per_sample,
+      |       CAST(n_chars * (1 + doc_id % 2) * 2 AS BIGINT) AS data_bytes,
+      |       CAST(n_chars * (1 + doc_id % 2) * 2 * 1000
+      |            // ((8000 + (n_chars % 8) * 4000) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_wav_header" -> (wavHeader _),
     "mm_png_header" -> (pngHeader _),
     "mm_byte_histogram" -> (byteHistogram _),
     "mm_resize" -> (resizePayload _),
@@ -227,6 +297,7 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_wav_header" -> wavHeaderSql,
     "mm_png_header" -> pngHeaderSql,
     "mm_byte_histogram" -> byteHistogramSql,
     "mm_resize" -> resizePayloadSql,

@@ -197,17 +197,94 @@ object WarehouseEtl {
       |FROM merged JOIN direct USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** MERGE INTO (upsert with delete) expressed as a full-outer join —
+    * the warehouse statement Spark-on-parquet has no native DML for,
+    * and the core maintenance op of every dimension table. Target =
+    * the dim as of a cutoff (latest state per user before it);
+    * source = the next batch's changes (latest state per user after
+    * it). Clause semantics, mirroring ANSI MERGE:
+    *   - WHEN MATCHED AND source.state = 'error' THEN DELETE
+    *   - WHEN MATCHED THEN UPDATE (take the source row)
+    *   - WHEN NOT MATCHED THEN INSERT
+    *   - target-only rows pass through unchanged ('keep')
+    * The emitted audit view carries each surviving row's action, so
+    * the oracle checks every clause (deletes by row absence).
+    *
+    * Scale shape: both halves are the one-shuffle WindowGroupLimit
+    * compaction of [[cdcLatest]], and the merge itself is a single
+    * equi-join on the entity key — the same key both compactions
+    * already partitioned by, so at 100 TB the join adds no extra
+    * shuffle of either side (co-partitioned by the window stage). */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+    def latest(half: DataFrame) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      half.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("state"), col("value"), col("ts"))
+    }
+    val log = changeLog(spark, dir)
+    val target = latest(log.where(col("ts") < cutoff))
+      .select(col("user_id"), col("state").as("t_state"),
+        col("value").as("t_value"), col("ts").as("t_ts"))
+    val source = latest(log.where(col("ts") >= cutoff))
+      .select(col("user_id"), col("state").as("s_state"),
+        col("value").as("s_value"), col("ts").as("s_ts"))
+    target.join(source, Seq("user_id"), "full_outer")
+      .withColumn("action",
+        when(col("t_state").isNull, "insert")
+          .when(col("s_state").isNull, "keep")
+          .when(col("s_state") === "error", "delete")
+          .otherwise("update"))
+      .where(col("action") =!= "delete")
+      .select(col("user_id"), col("action"),
+        coalesce(col("s_state"), col("t_state")).as("state"),
+        round(coalesce(col("s_value"), col("t_value")), 2).as("value"),
+        date_format(coalesce(col("s_ts"), col("t_ts")),
+          "yyyy-MM-dd HH:mm:ss").as("ts"))
+      .orderBy(col("user_id"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH log AS (
+      |  SELECT user_id, event_type AS state, value, ts, event_id FROM events),
+      |target AS (
+      |  SELECT user_id, state AS t_state, value AS t_value, ts AS t_ts
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM log WHERE ts < TIMESTAMP '2024-01-21 00:00:00')
+      |  WHERE rn = 1),
+      |source AS (
+      |  SELECT user_id, state AS s_state, value AS s_value, ts AS s_ts
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM log WHERE ts >= TIMESTAMP '2024-01-21 00:00:00')
+      |  WHERE rn = 1),
+      |merged AS (
+      |  SELECT coalesce(t.user_id, s.user_id) AS user_id,
+      |         CASE WHEN t.t_state IS NULL THEN 'insert'
+      |              WHEN s.s_state IS NULL THEN 'keep'
+      |              WHEN s.s_state = 'error' THEN 'delete'
+      |              ELSE 'update' END AS action,
+      |         coalesce(s.s_state, t.t_state) AS state,
+      |         round(coalesce(s.s_value, t.t_value), 2) AS value,
+      |         strftime(coalesce(s.s_ts, t.t_ts), '%Y-%m-%d %H:%M:%S') AS ts
+      |  FROM target t FULL OUTER JOIN source s USING (user_id))
+      |SELECT user_id, action, state, value, ts
+      |FROM merged WHERE action <> 'delete' ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_cdc_latest" -> (cdcLatest _),
     "etl_scd2" -> (scd2Build _),
     "etl_dq_checks" -> (dqChecks _),
-    "etl_incremental_agg" -> (incrementalAgg _)
+    "etl_incremental_agg" -> (incrementalAgg _),
+    "etl_merge_upsert" -> (mergeUpsert _)
   )
 
   def oracle: Map[String, String] = Map(
     "etl_cdc_latest" -> cdcLatestSql,
     "etl_scd2" -> scd2BuildSql,
     "etl_dq_checks" -> dqChecksSql,
-    "etl_incremental_agg" -> incrementalAggSql
+    "etl_incremental_agg" -> incrementalAggSql,
+    "etl_merge_upsert" -> mergeUpsertSql
   )
 }

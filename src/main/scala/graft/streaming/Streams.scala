@@ -437,7 +437,44 @@ object Streams {
       |FROM events WHERE event_type = 'error'
       |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
 
+  /** Batch twin of [[errorThenPurchase]]: the stream-stream interval
+    * join run over the bounded log — same keys, same interval
+    * predicate, so the oracle pins the exact pair semantics the
+    * watermarked streaming join must reproduce (each error × that
+    * user's purchases in the following hour). At scale this is the
+    * equi-join on user_id with the time predicate evaluated inside
+    * the joined partition — the range condition never becomes a
+    * cross-join because the user_id equi-key drives the shuffle. */
+  def intervalJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val e = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    e.join(p, Seq("user_id"))
+      .where(col("p_ts") > col("err_ts") &&
+        col("p_ts") <= col("err_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("err_id"), col("p_id"),
+        round(col("p_value"), 2).as("p_value"),
+        date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss").as("err_ts"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"))
+      .orderBy(col("err_id"), col("p_id"))
+  }
+
+  val intervalJoinBatchSql: String =
+    """SELECT e.user_id, e.event_id AS err_id, p.event_id AS p_id,
+      |       round(p.value, 2) AS p_value,
+      |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+      |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts
+      |FROM events e JOIN events p
+      |  ON e.user_id = p.user_id
+      | AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+      |WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+      |ORDER BY err_id, p_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_interval_join_batch" -> (intervalJoinBatch _),
     "stream_tumbling_batch" -> (tumblingBatch _),
     "stream_sliding_batch" -> (slidingBatch _),
     "stream_dedup_batch" -> (dedupBatch _),
@@ -447,6 +484,7 @@ object Streams {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_interval_join_batch" -> intervalJoinBatchSql,
     "stream_tumbling_batch" -> tumblingBatchSql,
     "stream_sliding_batch" -> slidingBatchSql,
     "stream_dedup_batch" -> dedupBatchSql,
