@@ -93,14 +93,24 @@ object Graft {
     * ONCE per row: a plain subexpression referenced inside the shingle
     * lambda is re-evaluated per shingle by the interpreted HOF path,
     * turning a linear map into O(tokens²) per document — measured 3×
-    * on the sf0.1 corpus. */
+    * on the sf0.1 corpus.
+    *
+    * Construction: shingle i is built by zipping the token array
+    * against its own 1..k-1-shifted slices (a zip_with fold) instead
+    * of an index lambda (`transform(sequence(…), i -> slice…)`) —
+    * the per-index lambda re-slices per shingle on the interpreted
+    * HOF path, and the zip form measured 4–5× faster on the bigram-LM
+    * query at sf0.1 before being hoisted here. */
   def shingles(text: Column, k: Int): Column =
     element_at(
-      transform(array(tokens(text)), w =>
-        when(size(w) >= k,
-          transform(sequence(lit(0), size(w) - k),
-            i => concat_ws(" ", slice(w, i + 1, lit(k)))))
-          .otherwise(array(text))), 1)
+      transform(array(tokens(text)), w => {
+        val cnt = greatest(size(w) - (k - 1), lit(0))
+        val sh = (1 until k).foldLeft(slice(w, lit(1), cnt)) { (acc, j) =>
+          zip_with(acc, slice(w, lit(1 + j), cnt),
+            (a, b) => concat(a, lit(" "), b))
+        }
+        when(size(w) >= k, sh).otherwise(array(text))
+      }), 1)
 
   /** MinHash LSH signature: each shingle hashed once, the digest split
     * into `bands` chunks (independent 32-bit minhashes), per-band
