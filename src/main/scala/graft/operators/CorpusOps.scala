@@ -943,7 +943,62 @@ object CorpusOps {
        |FROM stream JOIN model USING (b)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Deterministic epoch shuffle into fixed dataloader shards — how a
+    * 100 TB corpus is "shuffled" per training epoch without ever
+    * globally sorting it: each doc's shard is md5(epoch ":" doc_id)
+    * mod nShards (a NEW pseudo-random permutation every epoch,
+    * reproducible from the ids alone — same contract as
+    * [[splitHash]]), and within a shard the read order is the same
+    * hash. Map-only assignment + one shard-keyed census agg; the
+    * audit view emits both epochs' shard censuses plus each shard's
+    * first-read doc, so a reshuffle (different first_doc / token
+    * spread between epochs) is directly visible to the oracle. */
+  def shuffleBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 8
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), nToks(col("text")).as("n_toks"),
+        explode(array(lit(1), lit(2))).as("epoch"))
+      .withColumn("h", graft.api.Graft.idHash(
+        concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("h"), lit(nShards)).cast("long"))
+    val census = base.groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    val firsts = base.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("epoch"), col("shard"), col("doc_id").as("first_doc"))
+    census.join(firsts, Seq("epoch", "shard"))
+      .select(col("epoch"), col("shard"), col("n_docs"), col("n_tokens"),
+        col("first_doc"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  val shuffleBlocksSql: String = {
+    val h = idHashSql("(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))")
+    s"""WITH base AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks, epoch,
+       |         $h AS h,
+       |         $h % 8 AS shard
+       |  FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS epoch)),
+       |census AS (
+       |  SELECT epoch, shard, count(*) AS n_docs,
+       |         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |  FROM base GROUP BY 1, 2),
+       |firsts AS (
+       |  SELECT epoch, shard, doc_id AS first_doc FROM (
+       |    SELECT epoch, shard, doc_id,
+       |           row_number() OVER (PARTITION BY epoch, shard
+       |             ORDER BY h, doc_id) AS rn
+       |    FROM base) WHERE rn = 1)
+       |SELECT epoch, shard, n_docs, n_tokens, first_doc
+       |FROM census JOIN firsts USING (epoch, shard)
+       |ORDER BY epoch, shard""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shuffle_blocks" -> (shuffleBlocks _),
     "corpus_ppl_buckets" -> (pplBuckets _),
     "corpus_dsir_weights" -> (dsirWeights _),
     "corpus_sample_weighted" -> (sampleWeighted _),
@@ -968,6 +1023,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_shuffle_blocks" -> shuffleBlocksSql,
     "corpus_ppl_buckets" -> pplBucketsSql,
     "corpus_dsir_weights" -> dsirWeightsSql,
     "corpus_sample_weighted" -> sampleWeightedSql,

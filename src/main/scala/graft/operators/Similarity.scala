@@ -1070,6 +1070,91 @@ object Similarity {
        |WHERE rank <= $knnK
        |ORDER BY src, rank""".stripMargin
 
+  /** Hard-negative mining for embedding/contrastive training: for
+    * each anchor, the most-similar vector of a DIFFERENT label (the
+    * hard negative) alongside its most-similar SAME-label vector (the
+    * positive), and the triplet margin between them — anchors with a
+    * small or negative margin are the confusable examples a trainer
+    * should oversample. Candidates are IVF-cell-bounded exactly like
+    * [[knnGraph]] (the pair mass is in-cell only, never all-pairs);
+    * both ranks reuse the one cell-join's pairs, partitioned by the
+    * same anchor key, so at 100 TB this is the kNN-graph plan plus
+    * one extra window over the same shuffle. Anchors whose probed
+    * cell lacks either a positive or a negative drop out (inner
+    * join) — the audit view of mineable triplets. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val (k, _) = ivfParams(spark, dir)
+    val cents = centroidLiteral(spark, dir, k)
+    graft.functions.VectorFunctions.register(spark)
+    val assigned = Tables.embeddings(spark, dir)
+      .withColumn("v", vecAsDouble(col("embedding")))
+      .withColumn("vn", call_function("graft_l2norm", col("v")))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("v"), col("vn"),
+        call_function("graft_argmax_cell", col("v"), col("vn"), cents).as("cell"))
+    val a = assigned.select(col("vec_id").as("anchor"), col("label").as("al"),
+      col("v").as("va"), col("vn").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("cand"), col("label").as("cl"),
+      col("v").as("vb"), col("vn").as("nb"), col("cell").as("cb"))
+    val pairs = a.join(b, col("cell") === col("cb") && col("anchor") =!= col("cand"))
+      .withColumn("cos_raw",
+        call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(col("anchor"), col("al"), col("cand"), col("cl"), col("cos_raw"))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("cos_raw").desc, col("cand"))
+    val pos = pairs.filter(col("al") === col("cl"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor"), col("al").as("label"),
+        col("cand").as("pos_id"), col("cos_raw").as("pos_raw"))
+    val neg = pairs.filter(col("al") =!= col("cl"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor"), col("cand").as("neg_id"),
+        col("cl").as("neg_label"), col("cos_raw").as("neg_raw"))
+    pos.join(neg, "anchor")
+      .select(col("anchor"), col("label"), col("pos_id"), col("neg_id"),
+        col("neg_label"),
+        round(col("pos_raw"), 6).as("pos_cosine"),
+        round(col("neg_raw"), 6).as("neg_cosine"),
+        round(col("pos_raw") - col("neg_raw"), 6).as("margin"))
+      .orderBy(col("anchor"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |         CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$ivfCentroidsSqlCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, e.label, e.v, e.vn, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, label, v, vn, cell FROM ranked WHERE arn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS anchor, a.label AS al, b.vec_id AS cand, b.label AS cl,
+       |         ${dotSql("a.v", "b.v")} / (a.vn * b.vn) AS cos_raw
+       |  FROM assigned a
+       |  JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |pos AS (
+       |  SELECT anchor, al, cand, cos_raw FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY anchor
+       |      ORDER BY cos_raw DESC, cand) AS rn
+       |    FROM pairs WHERE al = cl) WHERE rn = 1),
+       |neg AS (
+       |  SELECT anchor, cand, cl, cos_raw FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY anchor
+       |      ORDER BY cos_raw DESC, cand) AS rn
+       |    FROM pairs WHERE al <> cl) WHERE rn = 1)
+       |SELECT p.anchor, p.al AS label, p.cand AS pos_id, n.cand AS neg_id,
+       |       n.cl AS neg_label,
+       |       round(p.cos_raw, 6) AS pos_cosine,
+       |       round(n.cos_raw, 6) AS neg_cosine,
+       |       round(p.cos_raw - n.cos_raw, 6) AS margin
+       |FROM pos p JOIN neg n USING (anchor) ORDER BY anchor""".stripMargin
+
   /** Semantic decontamination — the embedding-space analog of the
     * n-gram [[graft.api.Graft.decontaminate]]: training vectors that
     * are near-duplicates (cosine ≥ τ) of ANY held-out/eval vector are
@@ -1355,6 +1440,7 @@ object Similarity {
     "sim_pq_census" -> (pqCodeCensus _),
     "sim_ivfpq_topk" -> (ivfPqTopK _),
     "sim_knn_graph" -> (knnGraph _),
+    "sim_hard_negatives" -> (hardNegatives _),
     "sim_imi_cells" -> (imiCells _),
     "sim_imi_topk" -> (imiTopK _),
     "corpus_decontaminate_semantic" -> (semanticDecontaminate _),
@@ -1374,6 +1460,7 @@ object Similarity {
     "sim_pq_census" -> pqCodeCensusSql,
     "sim_ivfpq_topk" -> ivfPqTopKSql,
     "sim_knn_graph" -> knnGraphSql,
+    "sim_hard_negatives" -> hardNegativesSql,
     "sim_imi_cells" -> imiCellsSql,
     "sim_imi_topk" -> imiTopKSql,
     "corpus_decontaminate_semantic" -> semanticDecontaminateSql,
