@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.{CorpusOps, Multimodal, Similarity, WarehouseEtl}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Laws for the round-7 additions: LM-score bucketing, DSIR weights,
+  * MERGE upsert, WAV header decode, the stream interval-join twin,
+  * hard-negative mining, and the epoch shard shuffle. */
+class RoundSevenOpsSpec extends SparkSpec {
+
+  test("ppl buckets: per-lang thirds cover every scored doc, head >= tail") {
+    val b = CorpusOps.pplBuckets(spark, sf).collect()
+    val langs = b.map(_.getString(0)).distinct
+    assert(langs.length === 5)
+    for (l <- langs) {
+      val rows = b.filter(_.getString(0) == l).map(r =>
+        r.getString(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      assert(rows.keySet === Set("head", "middle", "tail"))
+      // ntile thirds: sizes differ by at most 1
+      val sizes = rows.values.map(_._1)
+      assert(sizes.max - sizes.min <= 1)
+      // ranking is descending: head's worst score >= tail's best
+      assert(rows("head")._3 >= rows("tail")._2)
+    }
+  }
+
+  test("dsir weights: every doc scored once; disjoint-vocab target separates") {
+    // structural, on the real corpus: one weight per doc, all finite
+    val w = CorpusOps.dsirWeights(spark, sf)
+    assert(w.count() === Tables.documents(spark, sf).count())
+    assert(w.where(isnan(col("dsir_weight")) || col("dsir_weight").isNull).count() === 0)
+    // behavioral, on a corpus where the answer is provable: the en
+    // (target) docs use a disjoint vocabulary, so the likelihood
+    // ratio MUST rank them above the rest (the sf corpus's shared
+    // synthetic vocabulary makes en-vs-rest there a coin flip)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dsirspec").toString
+    (1 to 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha beta gamma delta", "en", "s", 22L)
+      else (i.toLong, "uno dos tres cuatro", "es", "s", 19L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sep = CorpusOps.dsirWeights(spark, dir)
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang")).agg(avg(col("dsir_weight")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sep("en") > sep("es"),
+      s"target-vocab docs must outscore: ${sep("en")} vs ${sep("es")}")
+  }
+
+  test("merge upsert: clause semantics hold row-by-row") {
+    val m = WarehouseEtl.mergeUpsert(spark, sf)
+    val actions = m.select("action").distinct().collect().map(_.getString(0)).toSet
+    // the bounded sf corpus need not exercise every clause (tiny logs
+    // have every user on both sides of the cutoff) — but nothing
+    // outside the clause alphabet may ever appear, deletes included
+    assert(actions.subsetOf(Set("insert", "update", "keep")))
+    // no user appears twice post-merge (it is a dim table)
+    assert(m.select("user_id").distinct().count() === m.count())
+    // matched rows whose source state is 'error' were deleted: no
+    // surviving 'update' row may carry state 'error'
+    assert(m.where(col("action") === "update" && col("state") === "error").count() === 0)
+  }
+
+  test("merge upsert: every clause fires on a crafted change log") {
+    import spark.implicits._
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-21 00:00:00")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: target only (keep); u2: both, source lands on error (delete);
+    // u3: both, normal (update); u4: source only (insert)
+    val dir = java.nio.file.Files.createTempDirectory("mergespec").toString
+    Seq(
+      (1L, t("2024-01-10 00:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-01-10 00:00:00"), 2L, "view", 2.0, "{}"),
+      (3L, t("2024-01-22 00:00:00"), 2L, "error", 2.5, "{}"),
+      (4L, t("2024-01-10 00:00:00"), 3L, "view", 3.0, "{}"),
+      (5L, t("2024-01-23 00:00:00"), 3L, "purchase", 3.5, "{}"),
+      (6L, t("2024-01-24 00:00:00"), 4L, "signup", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = WarehouseEtl.mergeUpsert(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(m === Map(
+      1L -> ("keep", "view"),
+      3L -> ("update", "purchase"),
+      4L -> ("insert", "signup")))
+    assert(!m.contains(2L), "matched-and-error row must be deleted")
+  }
+
+  test("wav header: parse is the exact inverse of the synthesizer") {
+    val rows = Multimodal.wavHeader(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (docId, channels, rate) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      assert(r.getBoolean(1) && r.getBoolean(2)) // magic_ok, pcm_ok
+      assert(channels === 1 + docId % 2)
+      assert(Set(8000L, 12000L, 16000L, 20000L, 24000L, 28000L, 32000L, 36000L)(rate))
+      // duration is consistent with the parsed fields themselves
+      assert(r.getLong(7) === r.getLong(6) * 1000 / (rate * channels * 2))
+    }
+  }
+
+  test("wav header: a flipped byte breaks the magic, not the parser") {
+    import spark.implicits._
+    // corrupt the RIFF tag's first byte: magic_ok must go false
+    val wav = Seq(("53494646" + "00000000" + "57415645")).toDF("hexhead")
+      .select(unhex(concat(col("hexhead"),
+        lit("666D74201000000001000100401F0000807D0000020010006461746100000000"))).as("p"))
+    val parsed = wav.select(Multimodal.parseWavHeader(col("p")).as("h"))
+      .select(col("h.magic_ok"), col("h.sample_rate")).head()
+    assert(parsed.getBoolean(0) === false)
+    assert(parsed.getLong(1) === 8000L) // LE 401F0000 still parses
+  }
+
+  test("interval join: every pair is same-user and inside (0, 1h]") {
+    val rows = Streams.intervalJoinBatch(spark, sf)
+      .withColumn("gap_s",
+        unix_timestamp(col("p_ts")) - unix_timestamp(col("err_ts")))
+    assert(rows.where(col("gap_s") <= 0 || col("gap_s") > 3600).count() === 0)
+    // twin discipline: the streaming query builds the same pair set
+    // semantics (watermarked interval join) — pin the batch row count
+    // as the oracle the stream must reproduce
+    assert(rows.count() > 0)
+  }
+
+  test("hard negatives: margin equals pos minus neg; self never mined") {
+    val h = Similarity.hardNegatives(spark, sf)
+    assert(h.count() > 0)
+    assert(h.where(col("pos_id") === col("anchor") ||
+      col("neg_id") === col("anchor")).count() === 0)
+    assert(h.where(col("label") === col("neg_label")).count() === 0)
+    val bad = h.where(
+      abs(col("margin") - round(col("pos_cosine") - col("neg_cosine"), 6)) > 1e-5)
+    assert(bad.count() === 0)
+  }
+
+  test("epoch shuffle: censuses partition the corpus; epochs reshuffle") {
+    val s = CorpusOps.shuffleBlocks(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    for (epoch <- Seq(1, 2)) {
+      val rows = s.filter(_.getInt(0) == epoch)
+      assert(rows.map(_.getLong(2)).sum === nDocs)
+    }
+    // a reshuffle: the two epochs' (shard -> first_doc) maps differ
+    val firsts = s.map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val sameEverywhere = firsts.collect {
+      case ((1, shard), d) if firsts.contains((2, shard)) => firsts((2, shard)) == d
+    }
+    assert(sameEverywhere.exists(_ == false), "epoch 2 must permute differently")
+  }
+}
