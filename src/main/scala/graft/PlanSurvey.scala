@@ -48,7 +48,12 @@ object PlanSurvey {
       "layout_zorder" -> "morton interleave as pure integer projection; bounds broadcast; 64-tile agg",
       "graph_pagerank" -> "edge extraction = one key shuffle + lag; iterations join the tiny aggregated edge list",
       "dedup_incremental" -> "batch-vs-index probe: corpus index aggregated per signature BELOW the equi join; in-batch window shares the sig partitioning",
-      "corpus_bigram_logprob" -> "bigram LM scoring: zip_with shifted-slice bigram stream (4-5x over index lambdas); c1 re-aggregated from the c2 model table; single stream join (tf-idf shuffle class)")
+      "corpus_bigram_logprob" -> "bigram LM scoring: zip_with shifted-slice bigram stream (4-5x over index lambdas); c1 re-aggregated from the c2 model table; single stream join (tf-idf shuffle class)",
+      "corpus_dsir_weights" -> "DSIR: both k=256 feature models from ONE conditional agg (k-row partials), broadcast to the never-shuffled probe stream, one doc-keyed reduce",
+      "etl_merge_upsert" -> "MERGE as full-outer on the entity key both sides already compacted by (WindowGroupLimit), clause case map-side",
+      "sim_hard_negatives" -> "triplet miner: one cell-bounded pair join, positive + hard-negative ranks as two windows over the same anchor shuffle",
+      "corpus_shuffle_blocks" -> "epoch shard shuffle: map-only hash assignment, census agg + per-shard rank-1 — no global sort",
+      "stream_interval_join_batch" -> "interval join twin: user_id equi-key drives the shuffle, time predicate evaluated in-partition (never a cross join)")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanSurvey`. Things to check in each plan:\n")

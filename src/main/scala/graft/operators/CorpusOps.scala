@@ -896,23 +896,26 @@ object CorpusOps {
     *
     * Scale shape: the feature models are FIXED-width (k rows each,
     * independent of corpus size) — genuinely always-broadcastable,
-    * unlike the open-vocabulary [[unigramLogprob]] freq table — so
-    * the token stream is never shuffled at all: one broadcast join +
-    * the per-doc agg. At 100 TB this is a map-side pipeline with a
-    * single doc_id-keyed reduce. */
+    * unlike the open-vocabulary [[unigramLogprob]] freq table. The
+    * corpus is scanned exactly TWICE (once to train both models —
+    * raw and target counts come out of ONE conditional agg whose
+    * exchange carries only k-row map-side partials — and once as the
+    * probe stream, which is never shuffled: broadcast join + per-doc
+    * reduce). Model totals are an unpartitioned window over the
+    * k-row table, not a rescan. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val k = 256
     val stream = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("term"))
       .withColumn("b", graft.api.Graft.idHash(col("term")) % k)
-    val rawModel = stream.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgtModel = stream.where(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    // fixed-k models: totals via a scalar agg each, smoothed inline
-    val model = rawModel.join(tgtModel, Seq("b"), "left")
-      .na.fill(0L, Seq("ct"))
-      .crossJoin(broadcast(rawModel.agg(sum(col("cr")).as("tr"))))
-      .crossJoin(broadcast(tgtModel.agg(sum(col("ct")).as("tt"))))
+    val counts = stream.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val all = Window.partitionBy()
+    val model = counts
+      .withColumn("tr", sum(col("cr")).over(all))
+      .withColumn("tt", sum(col("ct")).over(all))
       .select(col("b"),
         log(((col("ct") + 1).cast("double") / (col("tt") + k)) /
             ((col("cr") + 1).cast("double") / (col("tr") + k))).as("llr"))
@@ -929,15 +932,15 @@ object CorpusOps {
        |         ${idHashSql("term")} % 256 AS b
        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
        |        FROM documents)),
-       |raw_m AS (SELECT b, count(*) AS cr FROM stream GROUP BY 1),
-       |tgt_m AS (SELECT b, count(*) AS ct FROM stream WHERE lang = 'en' GROUP BY 1),
-       |tot AS (SELECT (SELECT sum(cr) FROM raw_m) AS tr,
-       |               (SELECT sum(ct) FROM tgt_m) AS tt),
+       |counts AS (
+       |  SELECT b, count(*) AS cr,
+       |         count(*) FILTER (WHERE lang = 'en') AS ct
+       |  FROM stream GROUP BY 1),
        |model AS (
-       |  SELECT r.b,
-       |         ln((CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) / (tot.tt + 256)) /
-       |            (CAST(r.cr + 1 AS DOUBLE) / (tot.tr + 256))) AS llr
-       |  FROM raw_m r LEFT JOIN tgt_m t USING (b) CROSS JOIN tot)
+       |  SELECT b,
+       |         ln((CAST(ct + 1 AS DOUBLE) / (sum(ct) OVER () + 256)) /
+       |            (CAST(cr + 1 AS DOUBLE) / (sum(cr) OVER () + 256))) AS llr
+       |  FROM counts)
        |SELECT doc_id, count(*) AS n_tokens,
        |       round(avg(llr), 4) AS dsir_weight
        |FROM stream JOIN model USING (b)
