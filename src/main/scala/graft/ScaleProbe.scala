@@ -202,7 +202,19 @@ object ScaleProbe {
           graft.api.Graft.knnGraph(spark,
               Tables.embeddings(spark, dir), "vec_id", "embedding", 5)
             .select(col("src"), col("neighbor_id").as("dst"), lit(1L).as("w")),
-          iterations = 3).count())
+          iterations = 3).count()),
+      // DSIR importance weights: two linear corpus scans (one
+      // conditional agg training both fixed-k models, one probe pass
+      // over the broadcast model) — nothing here may grow faster than
+      // the token count, so the time ratio must stay ~linear
+      ("dsir_weights", () =>
+        graft.operators.CorpusOps.dsirWeights(spark, dir).count()),
+      // hard-negative mining: the kNN-graph cell join re-used with two
+      // anchor-keyed windows; with k ∝ N the in-cell pair mass is
+      // linear (semantic_candidate_mass above is the shared shape
+      // evidence), so mining time must track it, never all-pairs
+      ("hard_negative_triplets", () =>
+        graft.operators.Similarity.hardNegatives(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)
