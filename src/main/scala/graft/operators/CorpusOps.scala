@@ -1000,7 +1000,126 @@ object CorpusOps {
        |ORDER BY epoch, shard""".stripMargin
   }
 
+  /** Text normalization — the first stage of every corpus pipeline
+    * (cf. the cleaning passes in C4/Gopher-style pipelines): lowercase,
+    * strip non-alphanumeric characters, collapse whitespace runs, trim.
+    * Pure per-row expressions (RE2∩Java regex subset, same contract as
+    * the PII scrub) — at 100 TB this is a map-only pass that fuses into
+    * whole-stage codegen with whatever filter follows it. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        norm.as("text_norm"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(norm).cast("long").as("n_chars_norm"),
+        (norm =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val normalizeTextSql: String =
+    """SELECT doc_id,
+      |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm,
+      |       len(text) AS n_chars_raw,
+      |       len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_chars_norm,
+      |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) <> text AS changed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val bpeTrainRounds = 8
+
+  /** BPE merge-rule LEARNING (Sennrich-style) — the training half of
+    * the tokenizer whose APPLY half is [[bpeTokens]]/[[bpePieces]]:
+    * learn the `bpeTrainRounds` highest-frequency adjacent-symbol
+    * merges from the corpus itself.
+    *
+    * Scale design: the corpus is scanned ONCE into a word-frequency
+    * table (Zipf-bounded — ~millions of rows at 100 TB, independent of
+    * corpus bytes), and every training round iterates on that compact
+    * checkpointed table, never on the corpus. Each round is one
+    * pair-count aggregation (explode of adjacent symbol pairs weighted
+    * by word freq) plus a 1-row argmax collect — the same bounded
+    * driver-collect pattern as the k-means codebook trainers. The
+    * merge is applied by a DOUBLE-delimiter-fenced string replace:
+    * boundaries are `␁␁` and the pattern `␁l␁␁r␁` consumes only ONE
+    * delimiter of each outer fence, so adjacent occurrences (`abab`,
+    * `aaaa`) still match back-to-back — the scan is exactly BPE's
+    * left-to-right non-overlapping merge, identical in both engines.
+    *
+    * Output: one row per learned merge (step, left/right symbol,
+    * merged symbol, pair frequency at merge time). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val D = "\u0001"
+    val base = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // word-freq table: all rounds iterate on this
+    var seg: Column = concat(lit(D + D), regexp_replace(col("w"), "(.)", "$1" + D + D))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= bpeTrainRounds && !exhausted) {
+      val sy = split(trim(seg, D), D + D)
+      val n = size(sy)
+      val pairs = zip_with(slice(sy, lit(1), n - 1), slice(sy, lit(2), n - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))
+      val top = base
+        .select(col("freq"), explode(pairs).as("p"))
+        .groupBy(col("p").getField("l").as("l"), col("p").getField("r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect() // bounded: exactly one row per round
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rt, l + rt, c))
+        seg = replace(seg, lit(D + l + D + D + rt + D), lit(D + l + rt + D))
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** Differential oracle for [[bpeTrain]]: the same `bpeTrainRounds`
+    * rounds unrolled as chained CTEs (segment → pair-count → argmax →
+    * fenced replace), generated by the same loop structure. */
+  val bpeTrainSql: String = {
+    val d = "chr(1)"
+    val rounds = (1 to bpeTrainRounds).map { r =>
+      s"""pairs_$r AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq,
+         |               unnest(list_transform(range(1, len(sy)),
+         |                 i -> struct_pack(l := sy[i], r := sy[i+1]))) AS p
+         |        FROM (SELECT freq, string_split(trim(seg, $d), $d || $d) AS sy
+         |              FROM seg_$r))
+         |  GROUP BY 1, 2),
+         |best_$r AS (SELECT l, r, cnt FROM pairs_$r ORDER BY cnt DESC, l, r LIMIT 1),
+         |seg_${r + 1} AS (
+         |  SELECT w, freq, replace(seg, $d || l || $d || $d || r || $d, $d || l || r || $d) AS seg
+         |  FROM seg_$r, best_$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to bpeTrainRounds)
+      .map(r => s"SELECT $r AS step, * FROM best_$r").mkString("\n  UNION ALL ")
+    s"""WITH seg_1 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |         $d || $d || regexp_replace(w, '(.)', '\\1' || $d || $d, 'g') AS seg
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |$rounds
+       |SELECT CAST(step AS INT) AS step, l AS left_sym, r AS right_sym,
+       |       l || r AS merged, cnt AS pair_count
+       |FROM (
+       |  $union)
+       |ORDER BY step""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_normalize" -> (normalizeText _),
+    "corpus_bpe_train" -> (bpeTrain _),
     "corpus_shuffle_blocks" -> (shuffleBlocks _),
     "corpus_ppl_buckets" -> (pplBuckets _),
     "corpus_dsir_weights" -> (dsirWeights _),
@@ -1026,6 +1145,8 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_normalize" -> normalizeTextSql,
+    "corpus_bpe_train" -> bpeTrainSql,
     "corpus_shuffle_blocks" -> shuffleBlocksSql,
     "corpus_ppl_buckets" -> pplBucketsSql,
     "corpus_dsir_weights" -> dsirWeightsSql,

@@ -150,4 +150,44 @@ class RoundSevenOpsSpec extends SparkSpec {
     }
     assert(sameEverywhere.exists(_ == false), "epoch 2 must permute differently")
   }
+
+  test("normalize: idempotent, lowercase, single-spaced, lengths consistent") {
+    val n = CorpusOps.normalizeText(spark, sf).collect()
+    assert(n.length === Tables.documents(spark, sf).count())
+    for (r <- n) {
+      val t = r.getString(1)
+      assert(t == t.toLowerCase)
+      assert(!t.contains("  ") && t == t.trim)
+      assert(r.getLong(3) === t.length.toLong)
+      // idempotence: a normalized string survives re-normalization
+      assert(t.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim == t)
+    }
+  }
+
+  test("bpe train: provable merges on a constructed corpus; early stop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpetrain").toString
+    // one word "abab" x3: round 1 must merge (a,b) cnt 6, round 2
+    // (ab,ab) cnt 3, then no pairs remain -> early exhaustion at 2 of
+    // the 8 requested rounds
+    Seq((1L, "abab abab abab", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = CorpusOps.bpeTrain(spark, dir).collect()
+    assert(m.length === 2)
+    assert((m(0).getInt(0), m(0).getString(1), m(0).getString(2),
+      m(0).getString(3), m(0).getLong(4)) === ((1, "a", "b", "ab", 6L)))
+    assert((m(1).getInt(0), m(1).getString(1), m(1).getString(2),
+      m(1).getString(3), m(1).getLong(4)) === ((2, "ab", "ab", "abab", 3L)))
+  }
+
+  test("bpe train: real corpus runs 8 rounds with non-increasing merge freq") {
+    val m = CorpusOps.bpeTrain(spark, sf).collect()
+    assert(m.map(_.getInt(0)).toSeq === (1 to 8))
+    for (r <- m) assert(r.getString(3) === r.getString(1) + r.getString(2))
+    // each merge's pair count bounds every later merge's: new pairs
+    // created by a merge occur at most as often as the merge itself
+    val counts = m.map(_.getLong(4))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
 }
