@@ -1434,7 +1434,156 @@ object Similarity {
        |SELECT m, code, count(*) AS n_vectors
        |FROM codes GROUP BY m, code ORDER BY m, code""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Feature preparation — standardization / quantization / kNN voting
+  // --------------------------------------------------------------------
+
+  /** Per-dimension z-score standardization — the feature-scaling pass
+    * before clustering/training. ONE posexplode aggregation produces a
+    * dim-row stats table (micro-unit-quantized integer sums → exact in
+    * both engines), which collapses to a single row of (means, stds)
+    * arrays and broadcasts onto a map-only transform of every vector —
+    * the corpus is scanned twice and shuffled never (the stats shuffle
+    * moves dim×partitions rows, not data). At 100 TB the stats side is
+    * 64 rows; the rewrite pass is pure whole-stage codegen. */
+  def embedStandardize(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(vecAsDouble(col("embedding")),
+          x => round(x * 1000000d).cast("long")).as("vq"))
+    val st = q.select(posexplode(col("vq")).as(Seq("pos0", "x")))
+      .groupBy(col("pos0"))
+      .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("ss"),
+        count(lit(1)).as("n"))
+      .select(col("pos0"),
+        (col("s").cast("double") / col("n")).as("m"),
+        sqrt(col("ss").cast("double") / col("n") -
+          (col("s").cast("double") / col("n")) * (col("s").cast("double") / col("n"))).as("sd"))
+    val statsRow = st
+      .agg(array_sort(collect_list(struct(col("pos0"), col("m"), col("sd")))).as("st"))
+      .select(transform(col("st"), e => e.getField("m")).as("marr"),
+        transform(col("st"), e => e.getField("sd")).as("sdarr"))
+    q.crossJoin(broadcast(statsRow))
+      .select(col("vec_id"),
+        transform(col("vq"), (x, i) =>
+          when(get(col("sdarr"), i) === 0d, lit(0.0d))
+            .otherwise(round((x.cast("double") - get(col("marr"), i)) / get(col("sdarr"), i), 6)))
+          .as("zvec"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedStandardizeSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |st AS (
+       |  SELECT pos,
+       |         CAST(sum(x) AS DOUBLE) / count(*) AS m,
+       |         sqrt(CAST(sum(x * x) AS DOUBLE) / count(*) -
+       |              (CAST(sum(x) AS DOUBLE) / count(*)) * (CAST(sum(x) AS DOUBLE) / count(*))) AS sd
+       |  FROM (SELECT unnest(vq) AS x, generate_subscripts(vq, 1) AS pos FROM q)
+       |  GROUP BY pos),
+       |sarr AS (
+       |  SELECT list(m ORDER BY pos) AS marr, list(sd ORDER BY pos) AS sdarr FROM st)
+       |SELECT vec_id,
+       |       list_transform(range(1, $dim + 1), i ->
+       |         CASE WHEN sdarr[i] = 0 THEN 0.0
+       |              ELSE round((vq[i] - marr[i]) / sdarr[i], 6) END) AS zvec
+       |FROM q, sarr ORDER BY vec_id""".stripMargin
+
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * storage/bandwidth cut an embedding store serves from (each double
+    * component becomes one signed byte, scale = max|x|/127 per vector).
+    * Map-only: no shuffle, no state — at 100 TB this fuses into the
+    * scan. Emits the per-vector scale and mean absolute reconstruction
+    * error so the quality loss is audited, not assumed. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+      .withColumn("sc", array_max(transform(col("v"), x => abs(x))) / 127d)
+    val qvec = when(col("sc") === 0d,
+      transform(col("v"), _ => lit(0).cast("int")))
+      .otherwise(transform(col("v"),
+        x => greatest(lit(-127d), least(lit(127d), round(x / col("sc")))).cast("int")))
+    base.withColumn("qvec", qvec)
+      .select(col("vec_id"),
+        round(col("sc"), 9).as("scale"),
+        col("qvec"),
+        round(
+          when(col("sc") === 0d, lit(0.0d)).otherwise(
+            aggregate(zip_with(col("v"), col("qvec"),
+              (x, q) => abs(x - q.cast("double") * col("sc"))),
+              lit(0.0d), (acc, e) => acc + e) / size(col("v")).cast("double")),
+          9).as("mae"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedQuantizeSql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127 AS sc
+       |  FROM embeddings),
+       |qq AS (
+       |  SELECT vec_id, v, sc,
+       |         CASE WHEN sc = 0 THEN list_transform(v, x -> CAST(0 AS INT))
+       |              ELSE list_transform(v, x -> CAST(greatest(-127, least(127, round(x / sc))) AS INT))
+       |         END AS qvec
+       |  FROM s)
+       |SELECT vec_id, round(sc, 9) AS scale, qvec,
+       |       round(CASE WHEN sc = 0 THEN 0.0
+       |                  ELSE list_sum(list_transform(range(1, $dim + 1),
+       |                         i -> abs(v[i] - CAST(qvec[i] AS DOUBLE) * sc))) /
+       |                       CAST(len(v) AS DOUBLE) END, 9) AS mae
+       |FROM qq ORDER BY vec_id""".stripMargin
+
+  /** Leave-one-out kNN majority-vote classification over the
+    * [[knnGraph]] edges — the standard embedding-quality probe (how
+    * well do labels cluster in the space?). Inherits the graph's
+    * IVF-cell-bounded candidate generation, so the voting stage adds
+    * one broadcastable label join + one compact-key aggregation on top
+    * — nothing pairwise beyond what the graph already bounded. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = knnGraph(spark, dir)
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel"))), "neighbor_id")
+      .groupBy(col("src"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("votes").desc, col("nlabel"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(labels.select(col("vec_id").as("src"), col("label")), "src")
+      .select(col("src").as("vec_id"), col("label"),
+        col("nlabel").as("predicted_label"), col("votes"),
+        (col("nlabel") === col("label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  val knnClassifySql: String =
+    s"""WITH knn AS ($knnGraphSql),
+       |labels AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |votes AS (
+       |  SELECT k.src, l.label AS nlabel, CAST(count(*) AS BIGINT) AS votes
+       |  FROM knn k JOIN labels l ON k.neighbor_id = l.vec_id
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT src, nlabel, votes FROM (
+       |    SELECT src, nlabel, votes,
+       |           row_number() OVER (PARTITION BY src ORDER BY votes DESC, nlabel) AS rn
+       |    FROM votes) WHERE rn = 1)
+       |SELECT t.src AS vec_id, l.label, t.nlabel AS predicted_label, t.votes,
+       |       t.nlabel = l.label AS correct
+       |FROM top t JOIN labels l ON t.src = l.vec_id
+       |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_embed_standardize" -> (embedStandardize _),
+    "sim_embed_quantize" -> (embedQuantize _),
+    "sim_knn_classify" -> (knnClassify _),
     "sim_label_centroid" -> (labelCentroid _),
     "sim_pq_topk" -> (pqTopK _),
     "sim_pq_census" -> (pqCodeCensus _),
@@ -1455,6 +1604,9 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "sim_embed_standardize" -> embedStandardizeSql,
+    "sim_embed_quantize" -> embedQuantizeSql,
+    "sim_knn_classify" -> knnClassifySql,
     "sim_label_centroid" -> labelCentroidSql,
     "sim_pq_topk" -> pqTopKSql,
     "sim_pq_census" -> pqCodeCensusSql,

@@ -151,6 +151,42 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(sameEverywhere.exists(_ == false), "epoch 2 must permute differently")
   }
 
+  test("standardize: every dimension re-centers to mean 0, std 1") {
+    val z = Similarity.embedStandardize(spark, sf)
+      .select(explode(col("zvec")).as("z")).collect().map(_.getDouble(0))
+    val n = z.length
+    val mean = z.sum / n
+    val sd = math.sqrt(z.map(x => (x - mean) * (x - mean)).sum / n)
+    // pooled over all dims: each dim is exactly (0,1) up to output
+    // rounding, so the pool must be too
+    assert(math.abs(mean) < 1e-3, s"pooled mean $mean")
+    assert(math.abs(sd - 1.0) < 1e-3, s"pooled sd $sd")
+  }
+
+  test("quantize: int8 range, scale-bounded reconstruction error") {
+    val rows = Similarity.embedQuantize(spark, sf).collect()
+    for (r <- rows) {
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      // symmetric quantization: the per-component error is at most
+      // half a step, so the mean abs error is too
+      assert(r.getDouble(3) <= scale / 2 + 1e-9)
+      // the max-magnitude component must hit full scale
+      assert(q.map(math.abs).max === 127 || scale == 0.0)
+    }
+  }
+
+  test("knn classify: prediction is a neighbor label with a winning vote") {
+    val p = Similarity.knnClassify(spark, sf).collect()
+    assert(p.length > 0)
+    for (r <- p) {
+      val votes = r.getLong(3)
+      assert(votes >= 1 && votes <= 3) // knnK = 3
+      assert(r.getBoolean(4) === (r.getLong(1) == r.getLong(2)))
+    }
+  }
+
   test("normalize: idempotent, lowercase, single-spaced, lengths consistent") {
     val n = CorpusOps.normalizeText(spark, sf).collect()
     assert(n.length === Tables.documents(spark, sf).count())
