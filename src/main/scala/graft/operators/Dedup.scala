@@ -459,7 +459,70 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Asymmetric CONTAINMENT scoring over the same banded candidates —
+    * the near-dup verdict Jaccard misses: a short document wholly
+    * embedded in a longer one scores |A∩B|/|A| ≈ 1 while its Jaccard
+    * stays low (the size imbalance dilutes the union). Real pipelines
+    * (quote extraction, boilerplate-in-page, doc-in-digest) drop the
+    * CONTAINED side, not both. Same scale shape as [[ngramJaccard]]:
+    * minhash-band candidates only, never all-pairs; the token sets
+    * ride the same joins. Verdict: which side is contained at ≥ 0.6
+    * (`mutual` / `a_in_b` / `b_in_a`). */
+  private val containThreshold = 0.6
+
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(graft.api.Graft.tokens(col("text"))).as("toks"))
+    val a = docs.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+    val b = docs.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+    val t = lit(containThreshold)
+    bandCandidates(spark, dir)
+      .join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+      .withColumn("cont_a", col("inter") / size(col("ta")))
+      .withColumn("cont_b", col("inter") / size(col("tb")))
+      .filter(col("cont_a") >= t || col("cont_b") >= t)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("cont_a"), 4).as("cont_a"),
+        round(col("cont_b"), 4).as("cont_b"),
+        when(col("cont_a") >= t && col("cont_b") >= t, lit("mutual"))
+          .when(col("cont_a") >= t, lit("a_in_b"))
+          .otherwise(lit("b_in_a")).as("verdict"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val containmentSql: String = {
+    val bandList = (0 until bands).map(b => b.toString).mkString(", ")
+    val t = containThreshold
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+       |mh AS (
+       |  SELECT doc_id, list_transform(sh, s -> md5(s)) AS mh
+       |  FROM (SELECT doc_id, text, $shinglesSqlFragment AS sh
+       |        FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))),
+       |bandrows AS (
+       |  SELECT doc_id, b,
+       |         list_min(list_transform(mh, h -> substring(h, 8*b + 1, 8))) AS bmin
+       |  FROM mh CROSS JOIN (SELECT unnest([$bandList]) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bandrows x JOIN bandrows y
+       |    ON x.b = y.b AND x.bmin = y.bmin AND x.doc_id < y.doc_id),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks) AS cont_a,
+       |         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(b.toks) AS cont_b
+       |  FROM cand JOIN docs a ON cand.doc_a = a.doc_id
+       |            JOIN docs b ON cand.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, round(cont_a, 4) AS cont_a, round(cont_b, 4) AS cont_b,
+       |       CASE WHEN cont_a >= $t AND cont_b >= $t THEN 'mutual'
+       |            WHEN cont_a >= $t THEN 'a_in_b' ELSE 'b_in_a' END AS verdict
+       |FROM scored WHERE cont_a >= $t OR cont_b >= $t
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (containment _),
     "dedup_exact" -> (exactDedup _),
     "dedup_exact_stats" -> (exactDedupStats _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -475,6 +538,7 @@ object Dedup {
   )
 
   def oracle: Map[String, String] = Map(
+    "dedup_containment" -> containmentSql,
     "dedup_exact" -> exactDedupSql,
     "dedup_exact_stats" -> exactDedupStatsSql,
     "dedup_minhash_lsh" -> minhashLshSql,

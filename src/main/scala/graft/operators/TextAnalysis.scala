@@ -322,7 +322,82 @@ object TextAnalysis {
       |FROM contrib GROUP BY doc_id
       |ORDER BY score_micro DESC, doc_id LIMIT 15""".stripMargin
 
+  /** Sparse TF-IDF cosine similarity via an INVERTED-INDEX join — the
+    * lexical sibling of the embedding-cosine near-dup: two documents
+    * are similar when their rare-term profiles align, computed without
+    * any dense vectors or all-pairs stage.
+    *
+    * Scale shape: each doc keeps only its top-`sparseTopM` TF-IDF
+    * terms (posting lists are doc-bounded), zero-IDF terms (df = N —
+    * corpus-wide stopwords) drop BEFORE the index is built (the
+    * natural stopword prune: their weight is exactly 0), pairs form
+    * only through shared posting lists (`a.term = b.term`), and the
+    * dot product is an integer sum of micro-unit-quantized weights —
+    * exact in both engines, no float-accumulation-order hazard. The
+    * term-keyed self-join is the inverted index; residual hot terms
+    * are AQE skew-join territory, same policy as the band buckets. */
+  private val sparseTopM = 10
+  private val sparseCosThreshold = 0.7
+
+  def sparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("wq",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6).cast("long"))
+      .filter(col("wq") > 0)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("wq").desc, col("term"))
+    val kept = w.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= sparseTopM)
+      .select(col("doc_id"), col("term"), col("wq"))
+    val norms = kept.groupBy(col("doc_id")).agg(sum(col("wq") * col("wq")).as("nq"))
+    val a = kept.select(col("term"), col("doc_id").as("doc_a"), col("wq").as("wa"))
+    val b = kept.select(col("term"), col("doc_id").as("doc_b"), col("wq").as("wb"))
+    a.join(b, Seq("term")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nq").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nq").as("nb")), "doc_b")
+      .withColumn("cos_raw", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos_raw") >= sparseCosThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos_raw"), 4).as("cosine"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val sparseCosineSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |w AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         CAST(round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000) AS BIGINT) AS wq
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |kept AS (
+       |  SELECT doc_id, term, wq FROM (
+       |    SELECT doc_id, term, wq,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY wq DESC, term) AS rn
+       |    FROM w WHERE wq > 0) WHERE rn <= $sparseTopM),
+       |norms AS (SELECT doc_id, sum(wq * wq) AS nq FROM kept GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wq * b.wq) AS dot
+       |  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(cos_raw, 4) AS cosine FROM (
+       |  SELECT doc_a, doc_b,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos_raw
+       |  FROM dots JOIN norms na ON dots.doc_a = na.doc_id
+       |            JOIN norms nb ON dots.doc_b = nb.doc_id)
+       |WHERE cos_raw >= $sparseCosThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sparse_cosine" -> (sparseCosine _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_url_parse" -> (urlParse _),
     "text_token_stats" -> (tokenStats _),
@@ -335,6 +410,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_sparse_cosine" -> sparseCosineSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_url_parse" -> urlParseSql,
     "text_token_stats" -> tokenStatsSql,

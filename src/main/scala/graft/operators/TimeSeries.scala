@@ -194,13 +194,64 @@ object TimeSeries {
       |         AS is_anomaly
       |FROM w ORDER BY 1, 2""".stripMargin
 
+  /** Robust outlier detection per event type: median / MAD (median
+    * absolute deviation) with the standard 1.4826 consistency factor —
+    * the z-score detector's heavy-tail-safe sibling (a few huge values
+    * shift a mean+stddev gate; they leave the median untouched).
+    *
+    * Determinism: values quantize to integer cents first, so every
+    * median is an exact integer or half-integer and every |x − med|
+    * is an exact binary fraction — both engines interpolate
+    * (n−1)·p identically on exact inputs. Three aggregations on the
+    * compact event_type key (median → MAD → outlier census); the
+    * per-group exact median is the oracle-checkable formulation — a
+    * 100 TB deployment swaps `percentile` for `approx_percentile`
+    * partials with identical plan shape. */
+  def outlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val med = base.groupBy(col("event_type"))
+      .agg(percentile(col("c"), lit(0.5)).as("med"))
+    val dev = base.join(med, "event_type")
+      .withColumn("ad", abs(col("c") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+    dev.join(mad, "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ad") > lit(3d) * lit(1.4826d) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"),
+        round(col("med") / 100d, 4).as("median_value"),
+        round(col("mad") / 100d, 4).as("mad_value"),
+        col("n"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val outlierMadSql: String =
+    """WITH base AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |med AS (SELECT event_type, quantile_cont(c, 0.5) AS med FROM base GROUP BY 1),
+      |dev AS (SELECT b.event_type, b.c, m.med, abs(b.c - m.med) AS ad
+      |        FROM base b JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT d.event_type,
+      |       round(d.med / 100, 4) AS median_value,
+      |       round(m.mad / 100, 4) AS mad_value,
+      |       count(*) AS n,
+      |       CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY 1, d.med, m.mad ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_outlier_mad" -> (outlierMad _),
     "ts_resample_ffill" -> (resampleFfill _),
     "ts_resample_interp" -> (resampleInterp _),
     "ts_anomaly_zscore" -> (anomalyZscore _)
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_outlier_mad" -> outlierMadSql,
     "ts_resample_ffill" -> resampleFfillSql,
     "ts_resample_interp" -> resampleInterpSql,
     "ts_anomaly_zscore" -> anomalyZscoreSql

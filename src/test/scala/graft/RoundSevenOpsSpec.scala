@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CorpusOps, Multimodal, Similarity, WarehouseEtl}
+import graft.operators.{CorpusOps, Dedup, Multimodal, Similarity, TextAnalysis, TimeSeries, WarehouseEtl}
 import graft.streaming.Streams
 import org.apache.spark.sql.functions._
 
@@ -198,6 +198,74 @@ class RoundSevenOpsSpec extends SparkSpec {
       // idempotence: a normalized string survives re-normalization
       assert(t.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim == t)
     }
+  }
+
+  test("containment: a short doc inside a long one is a_in_b at cont_a 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    // doc 2's tokens are a strict subset of doc 1's; identical prefix
+    // keeps them in one minhash band bucket
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val short = "alpha beta gamma delta epsilon zeta"
+    Seq((1L, long, "en", "s", long.length.toLong),
+      (2L, short, "en", "s", short.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.containment(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    // doc_b (the short one) is fully contained: cont_b = 1
+    assert(r.getDouble(3) === 1.0)
+    assert(r.getString(4) === "b_in_a")
+  }
+
+  test("containment bounds jaccard from above on the real corpus") {
+    val jac = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = Dedup.containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        math.max(r.getDouble(2), r.getDouble(3))).toMap
+    // every jaccard-verified pair must also clear the (lower)
+    // containment bar, and with max-containment >= jaccard
+    for ((pair, j) <- jac) {
+      assert(cont.contains(pair), s"pair $pair jaccard $j missing")
+      assert(cont(pair) >= j - 1e-9)
+    }
+  }
+
+  test("sparse cosine: identical docs score exactly 1; pairs are ordered") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sparsecos").toString
+    Seq((1L, "quark lepton boson hadron muon", "en", "s", 30L),
+      (2L, "quark lepton boson hadron muon", "en", "s", 30L),
+      (3L, "rose tulip daisy orchid fern", "en", "s", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.sparseCosine(spark, dir).collect()
+    assert(rows.length === 1)
+    assert((rows(0).getLong(0), rows(0).getLong(1)) === ((1L, 2L)))
+    assert(rows(0).getDouble(2) === 1.0)
+    val real = TextAnalysis.sparseCosine(spark, sf).collect()
+    assert(real.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(real.forall(r => r.getDouble(2) >= 0.7 && r.getDouble(2) <= 1.0))
+  }
+
+  test("mad outliers: robust to the planted spike a mean would absorb") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("madspec").toString
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 99).map(i =>
+      (i.toLong, ts0, i.toLong % 7, "t", 10.0 + (i % 5), "{}")) :+
+      (100L, ts0, 1L, "t", 100000.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeries.outlierMad(spark, dir).collect()
+    assert(out.length === 1)
+    // the spike is the ONLY outlier: median/MAD ignore it, so the
+    // gate sits near the bulk and only the planted value trips it
+    assert(out(0).getLong(4) === 1L)
+    assert(out(0).getDouble(1) === 12.0) // median of 10..14 bulk
   }
 
   test("bpe train: provable merges on a constructed corpus; early stop") {
