@@ -409,7 +409,40 @@ object Aggregations {
       |         > count(DISTINCT user_id) AS naive_sum_overcounts
       |FROM e""".stripMargin
 
+  /** Per-group MODE (most frequent value) with an explicit tie-break —
+    * engines disagree on `mode()`'s tie winner, so the operator states
+    * its own rule (highest count, then lexically-smallest value) and
+    * the oracle replays it. Plan: count per (group, value), then an
+    * ORDERED-STRUCT MIN instead of a rank window — the second
+    * aggregation gets map-side partial combine (one candidate per
+    * group per partition) and never re-sorts the counts (same idiom as
+    * TextAnalysis.tfidfTopTerm). */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("o_orderpriority").as("v"))).as("best"),
+        sum(col("cnt")).as("n_rows"))
+      .select(col("o_orderstatus"),
+        col("best.v").as("mode_priority"),
+        (-col("best.neg")).as("mode_count"),
+        col("n_rows"))
+      .orderBy(col("o_orderstatus"))
+
+  val modePerGroupSql: String =
+    """WITH counts AS (
+      |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count,
+      |       CAST((SELECT sum(c2.cnt) FROM counts c2
+      |             WHERE c2.o_orderstatus = counts.o_orderstatus) AS BIGINT) AS n_rows
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+      |        ORDER BY cnt DESC, o_orderpriority) AS rn FROM counts) counts
+      |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> (modePerGroup _),
     "agg_hll_merge" -> (hllMerge _),
     "agg_heavy_hitters" -> (heavyHitters _),
     "agg_winsorize" -> (winsorize _),
@@ -426,6 +459,7 @@ object Aggregations {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_mode" -> modePerGroupSql,
     "agg_hll_merge" -> hllMergeSql,
     "agg_heavy_hitters" -> heavyHittersSql,
     "agg_winsorize" -> winsorizeSql,

@@ -206,7 +206,94 @@ object Analytics {
       |  WHERE wk >= cohort_wk)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q3 flavor (shipping priority): segment-filtered customers ×
+    * not-yet-shipped orders × late line items, top 10 orders by
+    * revenue. The three filters all push to their scans BEFORE the
+    * joins; the order key is the natural partitioning for both the
+    * o–l join and the final aggregate, so at 100 TB one exchange on
+    * orderkey serves both; the top-10 is a TakeOrderedAndProject
+    * (per-partition heaps, no global sort). */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-06-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Q5 flavor (local supplier volume): the 6-table join — revenue by
+    * nation where supplier and customer share the nation. Region and
+    * nation are true broadcast dims; the equality `s_nationkey =
+    * c_nationkey` rides the join output as a post-join filter. The
+    * big l ⋈ o ⋈ c chain shuffles on orderkey then custkey — the
+    * minimum possible for this shape. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val y0 = lit("1996-01-01").cast("timestamp")
+    val y1 = lit("1998-01-01").cast("timestamp")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping_priority" -> (shippingPriority _),
+    "q5_local_supplier_volume" -> (localSupplierVolume _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel_stages" -> (funnelStages _),
     "q19_discounted_revenue" -> (discountedRevenue _),
@@ -217,6 +304,8 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q3_shipping_priority" -> shippingPrioritySql,
+    "q5_local_supplier_volume" -> localSupplierVolumeSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_funnel_stages" -> funnelStagesSql,
     "q19_discounted_revenue" -> discountedRevenueSql,

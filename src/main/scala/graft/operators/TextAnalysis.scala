@@ -333,11 +333,22 @@ object TextAnalysis {
     * natural stopword prune: their weight is exactly 0), pairs form
     * only through shared posting lists (`a.term = b.term`), and the
     * dot product is an integer sum of micro-unit-quantized weights —
-    * exact in both engines, no float-accumulation-order hazard. The
-    * term-keyed self-join is the inverted index; residual hot terms
-    * are AQE skew-join territory, same policy as the band buckets. */
+    * exact in both engines, no float-accumulation-order hazard.
+    *
+    * The quadratic hazard of any inverted index is the posting-list
+    * length L: a hot term contributes L² pairs. Zipf vocabularies
+    * keep rare-term (signal-carrying) lists short, but the cap must
+    * not be left to luck — each term's posting list keeps only its
+    * `sparsePostingCap` HEAVIEST postings (weight-desc, doc-id
+    * tie-break — the postings that can still produce above-threshold
+    * pairs), bounding pairs per term at cap². Same default-on,
+    * deterministic, oracle-replicated design as the band-bucket cap;
+    * pairs whose every shared term is capped out under-score and may
+    * drop — the trade every AllPairs-family system makes (cf.
+    * Bayardo et al., WWW'07). */
   private val sparseTopM = 10
   private val sparseCosThreshold = 0.7
+  private val sparsePostingCap = 256
 
   def sparseCosine(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -355,8 +366,13 @@ object TextAnalysis {
       .filter(col("rn") <= sparseTopM)
       .select(col("doc_id"), col("term"), col("wq"))
     val norms = kept.groupBy(col("doc_id")).agg(sum(col("wq") * col("wq")).as("nq"))
-    val a = kept.select(col("term"), col("doc_id").as("doc_a"), col("wq").as("wa"))
-    val b = kept.select(col("term"), col("doc_id").as("doc_b"), col("wq").as("wb"))
+    val termWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("wq").desc, col("doc_id"))
+    val postings = kept.withColumn("prn", row_number().over(termWin))
+      .filter(col("prn") <= sparsePostingCap)
+      .select(col("doc_id"), col("term"), col("wq"))
+    val a = postings.select(col("term"), col("doc_id").as("doc_a"), col("wq").as("wa"))
+    val b = postings.select(col("term"), col("doc_id").as("doc_b"), col("wq").as("wb"))
     a.join(b, Seq("term")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("wa") * col("wb")).as("dot"))
       .join(norms.select(col("doc_id").as("doc_a"), col("nq").as("na")), "doc_a")
@@ -384,9 +400,14 @@ object TextAnalysis {
        |           row_number() OVER (PARTITION BY doc_id ORDER BY wq DESC, term) AS rn
        |    FROM w WHERE wq > 0) WHERE rn <= $sparseTopM),
        |norms AS (SELECT doc_id, sum(wq * wq) AS nq FROM kept GROUP BY 1),
+       |postings AS (
+       |  SELECT doc_id, term, wq FROM (
+       |    SELECT doc_id, term, wq,
+       |           row_number() OVER (PARTITION BY term ORDER BY wq DESC, doc_id) AS prn
+       |    FROM kept) WHERE prn <= $sparsePostingCap),
        |dots AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wq * b.wq) AS dot
-       |  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  FROM postings a JOIN postings b ON a.term = b.term AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, round(cos_raw, 4) AS cosine FROM (
        |  SELECT doc_a, doc_b,

@@ -272,7 +272,65 @@ object WarehouseEtl {
       |SELECT user_id, action, state, value, ts
       |FROM merged WHERE action <> 'delete' ORDER BY user_id""".stripMargin
 
+  /** Snapshot reconciliation (table diff) — the nightly "did the
+    * pipeline change what we think it changed" audit: full-outer join
+    * two snapshots on the entity key, classify every row
+    * added / removed / changed / unchanged, and report the census with
+    * the total absolute value drift. The two snapshots are carved
+    * deterministically from `orders` (drop-by-modulus simulates
+    * deletes/inserts, a +10% price bump simulates updates), so the
+    * oracle replays them exactly. Money compares in integer cents —
+    * no float equality. ONE co-partitioned join on the key + one
+    * tiny census agg; at 100 TB both snapshots hash-partition on the
+    * same key, so the join is the only data movement. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("pc"))
+    val a = o.filter(pmod(col("k"), lit(97)) =!= 0)
+      .select(col("k"), col("pc").as("pa"))
+    val b = o.filter(pmod(col("k"), lit(89)) =!= 0)
+      .select(col("k"),
+        when(pmod(col("k"), lit(13)) === 0,
+          floor(col("pc") * lit(110) / lit(100)).cast("long"))
+          .otherwise(col("pc")).as("pb"))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("status",
+        when(col("pa").isNull, "added")
+          .when(col("pb").isNull, "removed")
+          .when(col("pa") =!= col("pb"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(abs(coalesce(col("pb"), lit(0L)) - coalesce(col("pa"), lit(0L))))
+          .as("drift_cents"),
+        min(col("k")).as("first_key"))
+      .orderBy(col("status"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+      |  FROM orders),
+      |a AS (SELECT k, pc AS pa FROM o WHERE k % 97 <> 0),
+      |b AS (SELECT k,
+      |             CASE WHEN k % 13 = 0 THEN CAST(floor(pc * 110 / 100) AS BIGINT)
+      |                  ELSE pc END AS pb
+      |      FROM o WHERE k % 89 <> 0),
+      |diff AS (
+      |  SELECT coalesce(a.k, b.k) AS k, pa, pb,
+      |         CASE WHEN pa IS NULL THEN 'added'
+      |              WHEN pb IS NULL THEN 'removed'
+      |              WHEN pa <> pb THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+      |SELECT status, count(*) AS n_rows,
+      |       CAST(sum(abs(coalesce(pb, 0) - coalesce(pa, 0))) AS BIGINT) AS drift_cents,
+      |       min(k) AS first_key
+      |FROM diff GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_snapshot_diff" -> (snapshotDiff _),
     "etl_cdc_latest" -> (cdcLatest _),
     "etl_scd2" -> (scd2Build _),
     "etl_dq_checks" -> (dqChecks _),
@@ -281,6 +339,7 @@ object WarehouseEtl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_snapshot_diff" -> snapshotDiffSql,
     "etl_cdc_latest" -> cdcLatestSql,
     "etl_scd2" -> scd2BuildSql,
     "etl_dq_checks" -> dqChecksSql,

@@ -173,7 +173,56 @@ object Windows {
       |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, sec, event_id""".stripMargin
 
+  /** Gap-based sessionization — the batch twin of the streaming
+    * session window: a new session starts when a user's inter-event
+    * gap exceeds 30 minutes (lag + conditional flag + running sum —
+    * the classic island-numbering plan). ONE shuffle on user_id; both
+    * windows share the same partitioning and sort, so Catalyst plans
+    * a single Window exchange. Session stats aggregate on the compact
+    * (user, session) key. All gap math is exact integer nanos. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gapNs = 1800L * 1000000000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
+      .withColumn("new_sess",
+        when(col("ts_ns") - lag(col("ts_ns"), 1).over(byUser) > gapNs, 1L)
+          .otherwise(when(lag(col("ts_ns"), 1).over(byUser).isNull, 1L).otherwise(0L)))
+      .withColumn("session_idx", sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ns")).as("start_ns"),
+        max(col("ts_ns")).as("end_ns"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        ((col("end_ns") - col("start_ns")) / lit(1000000000L)).cast("long").as("duration_sec"),
+        col("session_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, value,
+      |         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000 THEN 1
+      |              WHEN lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+      |numbered AS (
+      |  SELECT user_id, event_id, ts_ns, value,
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |       CAST((max(ts_ns) - min(ts_ns)) // 1000000000 AS BIGINT) AS duration_sec,
+      |       round(sum(value), 2) AS session_value
+      |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_sessionize" -> (sessionize _),
     "win_range_frame" -> (rangeFrameTrailing _),
     "win_distribution" -> (distributionWindows _),
     "win_topk_per_group" -> (topkPerPriority _),
@@ -184,6 +233,7 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_sessionize" -> sessionizeSql,
     "win_range_frame" -> rangeFrameTrailingSql,
     "win_distribution" -> distributionWindowsSql,
     "win_topk_per_group" -> topkPerPrioritySql,

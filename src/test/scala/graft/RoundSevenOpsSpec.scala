@@ -268,6 +268,52 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(out(0).getDouble(1) === 12.0) // median of 10..14 bulk
   }
 
+  test("sessionize: 30-minute gaps split sessions exactly") {
+    import graft.operators.Windows
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // user 1: 0m, 10m (same session), 50m (40m gap -> new session)
+    // user 2: one lone event
+    Seq((1L, ts(0), 1L, "a", 1.0, "{}"), (2L, ts(10), 1L, "a", 2.0, "{}"),
+      (3L, ts(50), 1L, "a", 3.0, "{}"), (4L, ts(0), 2L, "a", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val s = Windows.sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(s === Map((1L, 1L) -> ((2L, 600L)), (1L, 2L) -> ((1L, 0L)),
+      (2L, 1L) -> ((1L, 0L))))
+  }
+
+  test("mode: per-status winner carries the plurality; censuses add up") {
+    import graft.operators.Aggregations
+    val m = Aggregations.modePerGroup(spark, sf).collect()
+    assert(m.nonEmpty)
+    val total = m.map(_.getLong(3)).sum
+    assert(total === Tables.orders(spark, sf).count())
+    for (r <- m) {
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(3))
+      // plurality: the mode covers at least 1/5 of the group (5
+      // priorities exist, the max count can't be below the mean)
+      assert(r.getLong(2) * 5 >= r.getLong(3))
+    }
+  }
+
+  test("snapshot diff: statuses partition the union; drift only on change") {
+    import graft.operators.WarehouseEtl
+    val d = WarehouseEtl.snapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(d.keySet === Set("added", "removed", "changed", "unchanged"))
+    assert(d("unchanged")._2 === 0L)
+    assert(d("changed")._2 > 0L)
+    val keys = Tables.orders(spark, sf).select(col("o_orderkey")).collect()
+      .map(_.getLong(0))
+    val inUnion = keys.count(k => k % 97 != 0 || k % 89 != 0)
+    assert(d.values.map(_._1).sum === inUnion.toLong)
+    assert(d("added")._1 === keys.count(k => k % 97 == 0 && k % 89 != 0).toLong)
+    assert(d("removed")._1 === keys.count(k => k % 89 == 0 && k % 97 != 0).toLong)
+  }
+
   test("bpe train: provable merges on a constructed corpus; early stop") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bpetrain").toString
