@@ -214,7 +214,22 @@ object ScaleProbe {
       // linear (semantic_candidate_mass above is the shared shape
       // evidence), so mining time must track it, never all-pairs
       ("hard_negative_triplets", () =>
-        graft.operators.Similarity.hardNegatives(spark, dir).count())
+        graft.operators.Similarity.hardNegatives(spark, dir).count()),
+      // sparse TF-IDF cosine: the inverted-index join whose hazard is
+      // posting-list length L (pairs = L² per term). The per-term
+      // posting cap (256, weight-ranked, oracle-replicated) bounds
+      // pair work at cap²·|vocab| REGARDLESS of corpus size — the 10×
+      // corpus must NOT cost ~100× (what uncapped L² would do on this
+      // small-vocab worst-case corpus); result rows stay cap-bounded
+      ("sparse_cosine_capped", () =>
+        graft.operators.TextAnalysis.sparseCosine(spark, dir).count()),
+      // BPE merge-rule training: ONE corpus scan builds the
+      // Zipf-bounded word-frequency table (checkpointed), then every
+      // round iterates on that compact table — 10× corpus pays the
+      // scan once and the rounds stay vocabulary-priced, so the time
+      // ratio must sit far below the data ratio
+      ("bpe_train_8rounds", () =>
+        graft.operators.CorpusOps.bpeTrain(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)
