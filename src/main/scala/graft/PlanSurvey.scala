@@ -53,7 +53,12 @@ object PlanSurvey {
       "etl_merge_upsert" -> "MERGE as full-outer on the entity key both sides already compacted by (WindowGroupLimit), clause case map-side",
       "sim_hard_negatives" -> "triplet miner: one cell-bounded pair join, positive + hard-negative ranks as two windows over the same anchor shuffle",
       "corpus_shuffle_blocks" -> "epoch shard shuffle: map-only hash assignment, census agg + per-shard rank-1 — no global sort",
-      "stream_interval_join_batch" -> "interval join twin: user_id equi-key drives the shuffle, time predicate evaluated in-partition (never a cross join)")
+      "stream_interval_join_batch" -> "interval join twin: user_id equi-key drives the shuffle, time predicate evaluated in-partition (never a cross join)",
+      "text_sparse_cosine" -> "inverted-index join: per-doc top-m prune + per-term posting cap (both WindowGroupLimit) bound the pair mass before the term-keyed self-join; integer dot products",
+      "win_sessionize" -> "island numbering: lag-flag + running sum share ONE user-keyed Window exchange; session stats agg on the compact (user, session) key",
+      "etl_snapshot_diff" -> "snapshot reconciliation: one full-outer key join is the only data movement; verdict case + census agg map-side",
+      "q5_local_supplier_volume" -> "6-table join: region/nation broadcast, l-o-c chain shuffles on orderkey then custkey only, s_nationkey = c_nationkey rides as post-join filter",
+      "corpus_bpe_train" -> "BPE training round: pair explode over the checkpointed word-freq table (corpus never rescanned), count agg + 1-row argmax")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanSurvey`. Things to check in each plan:\n")

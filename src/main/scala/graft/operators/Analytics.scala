@@ -291,7 +291,53 @@ object Analytics {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Q10 flavor (returned-item reporting): revenue lost to returns
+    * per customer, top 20. The returnflag predicate pushes to the
+    * lineitem scan; customer and nation join AFTER the aggregate has
+    * collapsed lineitems to one row per customer — joining dims onto
+    * the post-agg side moves customer-count rows, not lineitem-count
+    * rows (at 100 TB that ordering is the query). */
+  def returnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val y0 = lit("1997-01-01").cast("timestamp")
+    val y1 = lit("1998-01-01").cast("timestamp")
+    val lost = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+    lost
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedRevenueSql: String =
+    """SELECT c_custkey, c_name, n_name, revenue
+      |FROM (
+      |  SELECT o_custkey,
+      |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY o_custkey) lost
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returned_customers" -> (returnedRevenue _),
     "q3_shipping_priority" -> (shippingPriority _),
     "q5_local_supplier_volume" -> (localSupplierVolume _),
     "q_cohort_retention" -> (cohortRetention _),
@@ -304,6 +350,7 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q10_returned_customers" -> returnedRevenueSql,
     "q3_shipping_priority" -> shippingPrioritySql,
     "q5_local_supplier_volume" -> localSupplierVolumeSql,
     "q_cohort_retention" -> cohortRetentionSql,

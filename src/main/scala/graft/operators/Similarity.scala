@@ -1580,7 +1580,39 @@ object Similarity {
        |FROM top t JOIN labels l ON t.src = l.vec_id
        |ORDER BY vec_id""".stripMargin
 
+  /** ANN QUALITY AUDIT — recall@k of the IVF route against the exact
+    * brute-force ground truth, per query. The number every ANN
+    * deployment watches: probes/cells trade recall for scan cost, and
+    * this op makes the trade measurable in-engine (same pattern as the
+    * band-cap drop census: bounds are audited, never assumed). Ground
+    * truth costs O(Q·N) with Q bounded — the audit runs on a query
+    * SAMPLE at 100 TB, never the full corpus. */
+  def recallAtK(spark: SparkSession, dir: String): DataFrame = {
+    val truth = bruteForceTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(spark, dir)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("approx_id"))
+    truth.join(approx,
+      col("query_id") === col("aq") &&
+        col("neighbor_id") === col("approx_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(col("approx_id")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / topK, 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val recallAtKSql: String =
+    s"""WITH truth AS ($bruteForceTopKSql),
+       |approx AS ($ivfTopKSql)
+       |SELECT t.query_id, count(a.neighbor_id) AS n_hits,
+       |       round(CAST(count(a.neighbor_id) AS DOUBLE) / $topK, 4) AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_recall_at_k" -> (recallAtK _),
     "sim_embed_standardize" -> (embedStandardize _),
     "sim_embed_quantize" -> (embedQuantize _),
     "sim_knn_classify" -> (knnClassify _),
@@ -1604,6 +1636,7 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "sim_recall_at_k" -> recallAtKSql,
     "sim_embed_standardize" -> embedStandardizeSql,
     "sim_embed_quantize" -> embedQuantizeSql,
     "sim_knn_classify" -> knnClassifySql,
