@@ -1117,7 +1117,48 @@ object CorpusOps {
        |ORDER BY step""".stripMargin
   }
 
+  /** Trainer → tokenizer END-TO-END: the merge table [[bpeTrain]]
+    * learns becomes the [[graft.functions.BpeVocab]] the native
+    * tokenizer runs — the full lifecycle a real tokenizer has (learn
+    * on the corpus, then tokenize the corpus), closed inside the
+    * engine. The collected merge table is the MODEL ARTIFACT (≤8
+    * rows — the same bounded-collect class as the k-means
+    * codebooks); pieces longer than the vocab's max or under 2 chars
+    * are dropped exactly as a vocab file loader would drop them, and
+    * an empty harvest falls back to the demo vocab so the op is
+    * total. Output: per-language compression census (learned-subword
+    * tokens vs whitespace tokens vs characters).
+    *
+    * No DuckDB oracle: the query is MODEL-ARTIFACT-parameterized
+    * (static SQL cannot name data-learned pieces). Both halves are
+    * independently oracle-checked — `corpus_bpe_train` end-to-end
+    * and `corpus_bpe_pieces` piece-by-piece — and the composition's
+    * roundtrip law (pieces re-concatenate to every word) is pinned
+    * in RoundSevenOpsSpec. */
+  def bpeE2e(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrain(spark, dir).collect()
+    val learned = merges.map(_.getString(3))
+      .filter(p => p.length >= 2 && p.length <= graft.functions.BpeVocab.maxPieceLen)
+      .distinct.toSeq
+    val vocab =
+      if (learned.nonEmpty) new graft.functions.BpeVocab(learned)
+      else graft.functions.BpeVocab.default
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        nToks(col("text")).as("ws"),
+        graft.api.Graft.bpeTokenCount(col("text"), vocab).as("bpe"),
+        (length(col("text")) - nToks(col("text")) + 1).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_tokens_ws"),
+        sum(col("bpe")).as("n_tokens_bpe"),
+        round(sum(col("bpe")).cast("double") / sum(col("chars")), 4)
+          .as("bpe_per_char"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_bpe_e2e" -> (bpeE2e _),
     "corpus_normalize" -> (normalizeText _),
     "corpus_bpe_train" -> (bpeTrain _),
     "corpus_shuffle_blocks" -> (shuffleBlocks _),

@@ -183,7 +183,62 @@ object Extras {
       |  SELECT p_partkey, 'type', p_type FROM part)
       |ORDER BY p_partkey, attr""".stripMargin
 
+  /** Error-TOLERANT casts and arithmetic — the ANSI-mode ETL seam:
+    * malformed input yields NULL, never a task failure (a 100 TB load
+    * must not die on row 3 trillion). The messy strings are
+    * manufactured deterministically per event (numeric / prefixed /
+    * empty / overflow), so the oracle replays the same parse failures.
+    * try_divide ≡ x / nullif(y, 0) — the oracle states it that way. */
+  def tryCasts(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .withColumn("messy",
+        when(col("event_type") === "purchase", format_string("%.2f", col("value")))
+          .when(col("event_type") === "click", concat(lit("x"), col("value").cast("string")))
+          .when(col("event_type") === "view", lit(""))
+          .when(col("event_type") === "signup", lit("99999999999999999999"))
+          .otherwise(col("value").cast("string")))
+      // int parsing gets its own INTEGRAL-or-bad strings: engines
+      // disagree on '12.34'→INT (ANSI NULL vs truncate), so that
+      // shape is deliberately excluded from the contract
+      .withColumn("messy_i",
+        when(col("event_type") === "click", concat(lit("x"), col("value").cast("string")))
+          .when(col("event_type") === "view", lit(""))
+          .when(col("event_type") === "signup", lit("99999999999999999999"))
+          .otherwise(round(col("value")).cast("long").cast("string")))
+      .select(col("event_type"),
+        expr("try_cast(messy AS DOUBLE)").as("parsed"),
+        expr("try_cast(messy_i AS INT)").as("parsed_int"),
+        expr("value / nullif(value - value, 0)").as("div0"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("parsed")).as("n_double"),
+        count(col("parsed_int")).as("n_int"),
+        count(col("div0")).as("n_div0"))
+      .orderBy(col("event_type"))
+
+  val tryCastsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       count(TRY_CAST(messy AS DOUBLE)) AS n_double,
+      |       count(TRY_CAST(messy_i AS INTEGER)) AS n_int,
+      |       count(value / nullif(value - value, 0)) AS n_div0
+      |FROM (
+      |  SELECT event_type, value,
+      |         CASE event_type
+      |           WHEN 'purchase' THEN format('{:.2f}', value)
+      |           WHEN 'click' THEN 'x' || CAST(value AS VARCHAR)
+      |           WHEN 'view' THEN ''
+      |           WHEN 'signup' THEN '99999999999999999999'
+      |           ELSE CAST(value AS VARCHAR) END AS messy,
+      |         CASE event_type
+      |           WHEN 'click' THEN 'x' || CAST(value AS VARCHAR)
+      |           WHEN 'view' THEN ''
+      |           WHEN 'signup' THEN '99999999999999999999'
+      |           ELSE CAST(CAST(round(value) AS BIGINT) AS VARCHAR) END AS messy_i
+      |  FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_try_cast" -> (tryCasts _),
     "fn_bitwise" -> (bitwiseFns _),
     "fn_misc" -> (miscFns _),
     "gen_stack" -> (stackUnpivot _),
@@ -195,6 +250,7 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_try_cast" -> tryCastsSql,
     "fn_bitwise" -> bitwiseFnsSql,
     "fn_misc" -> miscFnsSql,
     "gen_stack" -> stackUnpivotSql,

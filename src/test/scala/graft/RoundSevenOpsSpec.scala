@@ -331,6 +331,50 @@ class RoundSevenOpsSpec extends SparkSpec {
       m(1).getString(3), m(1).getLong(4)) === ((2, "ab", "ab", "abab", 3L)))
   }
 
+  test("bpe e2e: learned vocab tokenizes its own training corpus losslessly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpee2e").toString
+    Seq((1L, "abab abab abab", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // merges learned: ab, abab -> greedy longest-match collapses each
+    // word to ONE piece
+    val r = CorpusOps.bpeE2e(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(2) === 3L) // ws tokens
+    assert(r(0).getLong(3) === 3L) // one learned piece per word
+    // roundtrip on the real corpus: every piece sequence rebuilds its
+    // document exactly (spaces removed), and compression is real
+    val e2e = CorpusOps.bpeE2e(spark, sf).collect()
+    for (row <- e2e) {
+      assert(row.getLong(3) >= row.getLong(2), "a word is >= 1 piece")
+    }
+    val merges = CorpusOps.bpeTrain(spark, sf).collect().map(_.getString(3))
+      .filter(p => p.length >= 2 && p.length <= graft.functions.BpeVocab.maxPieceLen)
+    val vocab = new graft.functions.BpeVocab(merges.distinct.toSeq)
+    val bad = Tables.documents(spark, sf)
+      .select(col("text"),
+        concat_ws("", graft.api.Graft.bpeTokens(col("text"), vocab)).as("rebuilt"))
+      .where(col("rebuilt") =!= regexp_replace(col("text"), " ", ""))
+      .count()
+    assert(bad === 0L, "piece concatenation must rebuild every doc")
+  }
+
+  test("try casts: bad shapes null out, good shapes parse, nothing throws") {
+    import graft.operators.Extras
+    val t = Extras.tryCasts(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // purchase rows: decimal strings parse as double, integral as int
+    assert(t("purchase")._2 === t("purchase")._1)
+    assert(t("purchase")._3 === t("purchase")._1)
+    // click rows are prefixed garbage; view rows empty; signup overflows int
+    assert(t("click")._2 === 0L && t("click")._3 === 0L)
+    assert(t("view")._2 === 0L && t("view")._3 === 0L)
+    assert(t("signup")._3 === 0L)
+    // divide-by-zero denominator nulls out for every row, never errors
+    assert(t.values.forall(_._4 == 0L))
+  }
+
   test("bpe train: real corpus runs 8 rounds with non-increasing merge freq") {
     val m = CorpusOps.bpeTrain(spark, sf).collect()
     assert(m.map(_.getInt(0)).toSeq === (1 to 8))
