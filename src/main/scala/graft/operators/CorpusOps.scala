@@ -1157,7 +1157,56 @@ object CorpusOps {
       .orderBy(col("lang"))
   }
 
+  /** Tokenizer COVERAGE audit — the vocab-quality metric a tokenizer
+    * team watches: what fraction of corpus characters the multi-char
+    * pieces absorb vs the single-char fallback (OOV rate), per
+    * language. A language whose coverage lags is under-served by the
+    * vocabulary — the signal that drives vocab re-training. Map-only
+    * native segmentation + one compact-key agg; the oracle's
+    * recursive replay counts the same single-char fallback steps. */
+  def bpeCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val pieces = graft.api.Graft.bpeTokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(pieces).cast("long").as("t"),
+        size(filter(pieces, p => length(p) === 1)).cast("long").as("s"),
+        (length(col("text")) - nToks(col("text")) + 1).cast("long").as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("t")).as("n_pieces"),
+        sum(col("s")).as("n_single_char"),
+        round(lit(1.0) - sum(col("s")).cast("double") / sum(col("c")).cast("double"), 4)
+          .as("coverage"))
+      .orderBy(col("lang"))
+  }
+
+  val bpeCoverageSql: String = {
+    val step = graft.functions.BpeVocab.stepSql("word", "pos")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+       |         generate_subscripts(string_split(text, ' '), 1) AS widx
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, widx, word, 1 AS pos, 0 AS ntok, 0 AS nsingle FROM words
+       |  UNION ALL
+       |  SELECT doc_id, widx, word, pos + $step, ntok + 1,
+       |         nsingle + CASE WHEN $step = 1 THEN 1 ELSE 0 END
+       |  FROM seg WHERE pos <= len(word)),
+       |fin AS (
+       |  SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS t,
+       |         CAST(sum(nsingle) AS BIGINT) AS s
+       |  FROM seg WHERE pos > len(word) GROUP BY 1),
+       |chars AS (
+       |  SELECT doc_id, lang,
+       |         len(text) - len(string_split(text, ' ')) + 1 AS c
+       |  FROM documents)
+       |SELECT lang, CAST(sum(t) AS BIGINT) AS n_pieces,
+       |       CAST(sum(s) AS BIGINT) AS n_single_char,
+       |       round(1.0 - CAST(sum(s) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS coverage
+       |FROM fin JOIN chars USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_bpe_coverage" -> (bpeCoverage _),
     "corpus_bpe_e2e" -> (bpeE2e _),
     "corpus_normalize" -> (normalizeText _),
     "corpus_bpe_train" -> (bpeTrain _),
@@ -1186,6 +1235,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_bpe_coverage" -> bpeCoverageSql,
     "corpus_normalize" -> normalizeTextSql,
     "corpus_bpe_train" -> bpeTrainSql,
     "corpus_shuffle_blocks" -> shuffleBlocksSql,

@@ -595,7 +595,30 @@ object Dedup {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Duplicate-cluster SIZE CENSUS — the dedup audit a pipeline
+    * publishes next to its keep counts: how much of the corpus sits
+    * in clusters of what size (mass in big clusters = template/
+    * boilerplate contamination; a long tail of pairs = routine
+    * near-dups). Rides the same CC output as [[components]]; two tiny
+    * aggs on compact keys after it. */
+  def clusterCensus(spark: SparkSession, dir: String): DataFrame =
+    components(spark, dir)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  val clusterCensusSql: String =
+    s"""$ccCteBody,
+       |labels AS (SELECT id, min(label) AS component FROM reach GROUP BY 1),
+       |sizes AS (SELECT component, count(*) AS sz FROM labels GROUP BY 1)
+       |SELECT sz AS cluster_size, count(*) AS n_clusters,
+       |       CAST(sum(sz) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_census" -> (clusterCensus _),
     "dedup_band_recall" -> (bandRecall _),
     "dedup_containment" -> (containment _),
     "dedup_exact" -> (exactDedup _),
@@ -613,6 +636,7 @@ object Dedup {
   )
 
   def oracle: Map[String, String] = Map(
+    "dedup_cluster_census" -> clusterCensusSql,
     "dedup_band_recall" -> bandRecallSql,
     "dedup_containment" -> containmentSql,
     "dedup_exact" -> exactDedupSql,
