@@ -441,7 +441,64 @@ object Aggregations {
       |        ORDER BY cnt DESC, o_orderpriority) AS rn FROM counts) counts
       |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** Per-group OLS regression + correlation — "is this metric
+    * trending" answered in one aggregation pass. `corr`/`regr_*`
+    * built-ins accumulate floats in partition order (nondeterministic
+    * across engines AND runs), so the operator aggregates the five
+    * EXACT INTEGER moment sums (x centered to hours-since-2024,
+    * y in cents — magnitudes chosen so Σx² fits a long at bench
+    * scale) and evaluates the closed-form slope/intercept/r from
+    * those exact sums in double — same values in any engine, any
+    * partitioning, any row order. One partial+final hash agg; the
+    * moments are algebraic, so map-side combine does most of the
+    * work — the 100 TB shape for every sufficient-statistic model. */
+  def linReg(spark: SparkSession, dir: String): DataFrame = {
+    val hours2024 = 473352L // epoch hours at 2024-01-01
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("ts_ns DIV 3600000000000").minus(hours2024).as("x"),
+        round(col("value") * 100).cast("long").as("y"))
+    val m = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val cov = m("n").cast("double") * d("sxy") - d("sx") * d("sy")
+    val varX = m("n").cast("double") * d("sxx") - d("sx") * d("sx")
+    val varY = m("n").cast("double") * d("syy") - d("sy") * d("sy")
+    m.select(col("event_type"), col("n"),
+      round(cov / varX, 6).as("slope_cents_per_hour"),
+      round((d("sy") - (cov / varX) * d("sx")) / d("n"), 4).as("intercept_cents"),
+      round(cov / sqrt(varX * varY), 6).as("r"))
+      .orderBy(col("event_type"))
+  }
+
+  val linRegSql: String =
+    """WITH base AS (
+      |  SELECT event_type,
+      |         epoch_ns(ts) // 3600000000000 - 473352 AS x,
+      |         CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM base GROUP BY 1)
+      |SELECT event_type, n,
+      |       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope_cents_per_hour,
+      |       round((CAST(sy AS DOUBLE) -
+      |              ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |               (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * CAST(sx AS DOUBLE)) /
+      |             CAST(n AS DOUBLE), 4) AS intercept_cents,
+      |       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |             sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+      |                  (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r
+      |FROM m ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_linreg" -> (linReg _),
     "agg_mode" -> (modePerGroup _),
     "agg_hll_merge" -> (hllMerge _),
     "agg_heavy_hitters" -> (heavyHitters _),
@@ -459,6 +516,7 @@ object Aggregations {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_linreg" -> linRegSql,
     "agg_mode" -> modePerGroupSql,
     "agg_hll_merge" -> hllMergeSql,
     "agg_heavy_hitters" -> heavyHittersSql,
