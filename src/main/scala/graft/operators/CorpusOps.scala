@@ -1205,7 +1205,76 @@ object CorpusOps {
        |FROM fin JOIN chars USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Span-corruption pair generation (T5/BART-style denoising
+    * objective): deterministic ~14% span starts (md5 of doc:position,
+    * span length 3, overlaps merge), each contiguous masked run
+    * collapses to ONE `<mask>` sentinel in the input while the target
+    * carries sentinel + original span — the (corrupted, target)
+    * training pairs a denoising LM consumes.
+    *
+    * Every mask decision is a PURE FUNCTION of (doc_id, position) —
+    * masked(i) and boundary(i) are computed from three hash probes,
+    * no lag window — so the whole pass is map-only fan-out plus one
+    * doc-keyed reassembly agg (the line-dedup shuffle class), and the
+    * oracle replays the identical hashes. */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    def h(j: Column): Column =
+      pmod(graft.api.Graft.idHash(
+        concat(col("doc_id").cast("string"), lit(":"), j.cast("string"))), lit(7)) === 0
+    def mk(j: Column): Column =
+      h(j) || (j >= 2 && h(j - 1)) || (j >= 3 && h(j - 2))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i0", "tok")))
+      .withColumn("i", (col("i0") + 1).cast("long"))
+      .withColumn("m", mk(col("i")))
+      .withColumn("b", mk(col("i")) && (col("i") === 1 || !mk(col("i") - 1)))
+      .withColumn("tok_c",
+        when(col("b"), lit("<mask>")).when(!col("m"), col("tok")))
+      .withColumn("tok_t",
+        when(col("b"), concat(lit("<mask> "), col("tok")))
+          .when(col("m"), col("tok")))
+    base.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("tok_c").isNotNull,
+            struct(col("i"), col("tok_c").as("t"))))),
+          e => e.getField("t")), " ").as("corrupted"),
+        array_join(transform(
+          array_sort(collect_list(when(col("tok_t").isNotNull,
+            struct(col("i"), col("tok_t").as("t"))))),
+          e => e.getField("t")), " ").as("target"),
+        sum(col("m").cast("long")).as("n_masked"),
+        sum(col("b").cast("long")).as("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanCorruptSql: String = {
+    def h(j: String) =
+      s"(${idHashSql(s"(CAST(doc_id AS VARCHAR) || ':' || CAST($j AS VARCHAR))")} % 7 = 0)"
+    def mk(j: String) =
+      s"(${h(j)} OR ($j >= 2 AND ${h(s"($j - 1)")}) OR ($j >= 3 AND ${h(s"($j - 2)")}))"
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS i, tok,
+       |         ${mk("i")} AS m,
+       |         (${mk("i")} AND (i = 1 OR NOT ${mk("(i - 1)")})) AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |               generate_subscripts(string_split(text, ' '), 1) AS i
+       |        FROM documents)),
+       |toks AS (
+       |  SELECT doc_id, i, m, b,
+       |         CASE WHEN b THEN '<mask>' WHEN NOT m THEN tok END AS tok_c,
+       |         CASE WHEN b THEN '<mask> ' || tok WHEN m THEN tok END AS tok_t
+       |  FROM base)
+       |SELECT doc_id,
+       |       coalesce(array_to_string(list(tok_c ORDER BY i) FILTER (WHERE tok_c IS NOT NULL), ' '), '') AS corrupted,
+       |       coalesce(array_to_string(list(tok_t ORDER BY i) FILTER (WHERE tok_t IS NOT NULL), ' '), '') AS target,
+       |       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |       CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+       |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_span_corrupt" -> (spanCorrupt _),
     "corpus_bpe_coverage" -> (bpeCoverage _),
     "corpus_bpe_e2e" -> (bpeE2e _),
     "corpus_normalize" -> (normalizeText _),
@@ -1235,6 +1304,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_span_corrupt" -> spanCorruptSql,
     "corpus_bpe_coverage" -> bpeCoverageSql,
     "corpus_normalize" -> normalizeTextSql,
     "corpus_bpe_train" -> bpeTrainSql,

@@ -360,6 +360,24 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(bad === 0L, "piece concatenation must rebuild every doc")
   }
 
+  test("span corrupt: sentinel counts reconcile corrupted + target with the doc") {
+    val rows = CorpusOps.spanCorrupt(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks")), "doc_id")
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (corrupted, target) = (r.getString(1), r.getString(2))
+      val (nMasked, nSpans, nToks) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      def count(s: String) = if (s.isEmpty) 0L else s.split(" ").length.toLong
+      // each span: input loses its tokens, gains one sentinel; target
+      // holds sentinel + the original span tokens
+      assert(count(corrupted) === nToks - nMasked + nSpans)
+      assert(count(target) === nMasked + nSpans)
+      assert(corrupted.split(" ").count(_ == "<mask>") === nSpans)
+    }
+  }
+
   test("try casts: bad shapes null out, good shapes parse, nothing throws") {
     import graft.operators.Extras
     val t = Extras.tryCasts(spark, sf).collect()
