@@ -1086,7 +1086,9 @@ object CorpusOps {
   /** Differential oracle for [[bpeTrain]]: the same `bpeTrainRounds`
     * rounds unrolled as chained CTEs (segment → pair-count → argmax →
     * fenced replace), generated by the same loop structure. */
-  val bpeTrainSql: String = {
+  /** The training CTE chain (seg_1 … best_N), shared by
+    * [[bpeTrainSql]] and [[bpeE2eSql]]. */
+  private val bpeTrainCtes: String = {
     val d = "chr(1)"
     val rounds = (1 to bpeTrainRounds).map { r =>
       s"""pairs_$r AS (
@@ -1102,14 +1104,18 @@ object CorpusOps {
          |  SELECT w, freq, replace(seg, $d || l || $d || $d || r || $d, $d || l || r || $d) AS seg
          |  FROM seg_$r, best_$r)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to bpeTrainRounds)
-      .map(r => s"SELECT $r AS step, * FROM best_$r").mkString("\n  UNION ALL ")
-    s"""WITH seg_1 AS (
+    s"""seg_1 AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
        |         $d || $d || regexp_replace(w, '(.)', '\\1' || $d || $d, 'g') AS seg
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) > 0 GROUP BY w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val union = (1 to bpeTrainRounds)
+      .map(r => s"SELECT $r AS step, * FROM best_$r").mkString("\n  UNION ALL ")
+    s"""WITH $bpeTrainCtes
        |SELECT CAST(step AS INT) AS step, l AS left_sym, r AS right_sym,
        |       l || r AS merged, cnt AS pair_count
        |FROM (
@@ -1129,12 +1135,14 @@ object CorpusOps {
     * total. Output: per-language compression census (learned-subword
     * tokens vs whitespace tokens vs characters).
     *
-    * No DuckDB oracle: the query is MODEL-ARTIFACT-parameterized
-    * (static SQL cannot name data-learned pieces). Both halves are
-    * independently oracle-checked — `corpus_bpe_train` end-to-end
-    * and `corpus_bpe_pieces` piece-by-piece — and the composition's
-    * roundtrip law (pieces re-concatenate to every word) is pinned
-    * in RoundSevenOpsSpec. */
+    * The oracle re-learns the same merges (shared [[bpeTrainCtes]])
+    * into a vocab CTE and segments by a correlated longest-match
+    * lookup against that TABLE — greedy longest-match-first without
+    * naming any piece statically, so even the model artifact rides
+    * the differential gate. (The demo-vocab fallback is engine-only
+    * totality armor; the gate corpora always harvest merges.) The
+    * roundtrip law — pieces re-concatenate to every word — is
+    * additionally pinned in RoundSevenOpsSpec. */
   def bpeE2e(spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeTrain(spark, dir).collect()
     val learned = merges.map(_.getString(3))
@@ -1273,6 +1281,41 @@ object CorpusOps {
        |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  val bpeE2eSql: String = {
+    val union = (1 to bpeTrainRounds)
+      .map(r => s"SELECT l || r AS piece FROM best_$r").mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $bpeTrainCtes,
+       |vocab AS (
+       |  SELECT DISTINCT piece FROM (
+       |  $union)
+       |  WHERE len(piece) BETWEEN 2 AND ${graft.functions.BpeVocab.maxPieceLen}),
+       |wordse AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+       |         generate_subscripts(string_split(text, ' '), 1) AS widx
+       |  FROM documents),
+       |segr AS (
+       |  SELECT doc_id, widx, word, 1 AS pos, 0 AS ntok FROM wordse
+       |  UNION ALL
+       |  SELECT doc_id, widx, word,
+       |         pos + coalesce((SELECT max(len(v.piece)) FROM vocab v
+       |                         WHERE substr(word, pos, len(v.piece)) = v.piece), 1),
+       |         ntok + 1
+       |  FROM segr WHERE pos <= len(word)),
+       |fin AS (
+       |  SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS nb
+       |  FROM segr WHERE pos > len(word) GROUP BY 1),
+       |base AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+       |         len(text) - len(string_split(text, ' ')) + 1 AS chars
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(ws) AS BIGINT) AS n_tokens_ws,
+       |       CAST(sum(nb) AS BIGINT) AS n_tokens_bpe,
+       |       round(CAST(sum(nb) AS DOUBLE) / CAST(sum(chars) AS DOUBLE), 4) AS bpe_per_char
+       |FROM base JOIN fin USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_span_corrupt" -> (spanCorrupt _),
     "corpus_bpe_coverage" -> (bpeCoverage _),
@@ -1304,6 +1347,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_bpe_e2e" -> bpeE2eSql,
     "corpus_span_corrupt" -> spanCorruptSql,
     "corpus_bpe_coverage" -> bpeCoverageSql,
     "corpus_normalize" -> normalizeTextSql,

@@ -417,7 +417,86 @@ object TextAnalysis {
        |WHERE cos_raw >= $sparseCosThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** RAG context assembly — the retrieval side of a
+    * retrieval-augmented pipeline, composed from stages this engine
+    * already proves separately: overlapping chunking (window 50,
+    * stride 30), BM25 ranking of CHUNKS per query, and per-query
+    * context strings with provenance tags (`[doc:chunk]`). The
+    * chunk fan-out is map-only; each query costs one term-filtered
+    * aggregation (the query-term IN filter under the tf agg bounds
+    * the shuffle to matching chunk-term rows); top-k is score-ordered
+    * with id tie-break, micro-integer BM25 (engine-exact). */
+  private val ragQueries: Seq[(Long, Seq[String])] = Seq(
+    (1L, Seq("vector", "hash")), (2L, Seq("stream", "window")), (3L, Seq("dup", "key")))
+  private val ragTopK = 3
+
+  def ragContext(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.api.Graft.chunkOverlap(col("text"), window = 50, stride = 30))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(concat(col("doc_id"), lit(":"), col("chunk_idx")).as("chunk_id"),
+        col("chunk"))
+    val perQuery = ragQueries.map { case (qid, terms) =>
+      graft.api.Graft.bm25Rank(chunks, "chunk", "chunk_id", terms, topK = ragTopK)
+        .withColumnRenamed("doc_id", "chunk_id") // bm25's fixed output id name
+        .withColumn("query_id", lit(qid))
+    }.reduce(_ unionByName _)
+    perQuery.join(chunks, "chunk_id")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("score_micro")).as("top_score_micro"),
+        array_join(transform(array_sort(collect_list(struct(
+          (-col("score_micro")).as("neg"), col("chunk_id").as("cid"), col("chunk").as("c")))),
+          e => concat(lit("["), e.getField("cid"), lit("] "), e.getField("c"))), " | ")
+          .as("context"))
+      .orderBy(col("query_id"))
+  }
+
+  val ragContextSql: String = {
+    def block(qid: Long, terms: Seq[String]): String = {
+      val in = terms.map(t => s"'$t'").mkString(", ")
+      s"""tf_$qid AS (
+         |  SELECT chunk_id, term, count(*) AS tf
+         |  FROM (SELECT chunk_id, unnest(string_split(chunk, ' ')) AS term FROM chunks)
+         |  WHERE term IN ($in) GROUP BY 1, 2),
+         |df_$qid AS (SELECT term, count(*) AS df FROM tf_$qid GROUP BY 1),
+         |top_$qid AS (
+         |  SELECT chunk_id, CAST(sum(c_micro) AS BIGINT) AS score_micro FROM (
+         |    SELECT tf.chunk_id,
+         |           CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+         |                      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) AS BIGINT) AS c_micro
+         |    FROM tf_$qid tf JOIN df_$qid USING (term) JOIN lens USING (chunk_id) CROSS JOIN stats)
+         |  GROUP BY chunk_id ORDER BY score_micro DESC, chunk_id LIMIT $ragTopK)""".stripMargin
+    }
+    val blocks = ragQueries.map { case (q, ts) => block(q, ts) }.mkString(",\n")
+    val union = ragQueries.map { case (q, _) =>
+      s"SELECT $q AS query_id, chunk_id, score_micro FROM top_$q" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |chunks AS (
+       |  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR) AS chunk_id,
+       |         array_to_string(words[chunk_idx*30 + 1 : chunk_idx*30 + 50], ' ') AS chunk
+       |  FROM (SELECT doc_id,
+       |               unnest(range(greatest(0, (len(words) - 50 + 29) // 30) + 1)) AS chunk_idx,
+       |               words
+       |        FROM t)),
+       |lens AS (SELECT chunk_id, CAST(len(string_split(chunk, ' ')) AS BIGINT) AS dl FROM chunks),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |$blocks,
+       |hits AS (
+       |  $union)
+       |SELECT query_id, count(*) AS n_chunks,
+       |       max(score_micro) AS top_score_micro,
+       |       array_to_string(
+       |         list('[' || h.chunk_id || '] ' || c.chunk
+       |              ORDER BY h.score_micro DESC, h.chunk_id), ' | ') AS context
+       |FROM hits h JOIN chunks c ON h.chunk_id = c.chunk_id
+       |GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_rag_context" -> (ragContext _),
     "text_sparse_cosine" -> (sparseCosine _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_url_parse" -> (urlParse _),
@@ -431,6 +510,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_rag_context" -> ragContextSql,
     "text_sparse_cosine" -> sparseCosineSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_url_parse" -> urlParseSql,
