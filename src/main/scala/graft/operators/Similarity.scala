@@ -1611,7 +1611,68 @@ object Similarity {
        |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
+  /** Embedding DRIFT monitor — the production-ML check that a new
+    * embedding batch still lives in the old batch's distribution:
+    * per-dimension Welch z between two cohorts (even/odd vec_id
+    * stands in for old/new batch), drifted = |z| > 3. ONE conditional
+    * aggregation computes both cohorts' exact integer moment sums
+    * (the DSIR one-pass pattern); output is dim-sized (64 rows) no
+    * matter the corpus — at 100 TB this is a single partial+final
+    * agg over the posexplode stream. */
+  def driftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select((pmod(col("vec_id"), lit(2)) === 0).as("a"),
+        posexplode(vecAsDouble(col("embedding"))).as(Seq("pos0", "x")))
+      .select(col("a"), (col("pos0") + 1).cast("long").as("pos"),
+        round(col("x") * 1000000d).cast("long").as("xq"))
+    def s(cond: Column, e: Column) = sum(when(cond, e).otherwise(lit(0L)))
+    val m = q.groupBy(col("pos")).agg(
+      s(col("a"), col("xq")).as("sa"), s(col("a"), col("xq") * col("xq")).as("qa"),
+      sum(col("a").cast("long")).as("na"),
+      s(!col("a"), col("xq")).as("sb"), s(!col("a"), col("xq") * col("xq")).as("qb"),
+      sum((!col("a")).cast("long")).as("nb"))
+    def mean(sc: String, n: String) = col(sc).cast("double") / col(n)
+    def va(qc: String, sc: String, n: String) =
+      col(qc).cast("double") / col(n) - mean(sc, n) * mean(sc, n)
+    val z = abs(mean("sa", "na") - mean("sb", "nb")) /
+      sqrt(va("qa", "sa", "na") / col("na") + va("qb", "sb", "nb") / col("nb"))
+    m.select(col("pos"),
+      round(mean("sa", "na") / 1e6, 6).as("mean_a"),
+      round(mean("sb", "nb") / 1e6, 6).as("mean_b"),
+      round(z, 4).as("welch_z"),
+      (z > 3d).as("drifted"))
+      .orderBy(col("pos"))
+  }
+
+  val driftMonitorSql: String =
+    """WITH q AS (
+      |  SELECT vec_id % 2 = 0 AS a,
+      |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT pos,
+      |         CAST(coalesce(sum(xq) FILTER (WHERE a), 0) AS BIGINT) AS sa,
+      |         CAST(coalesce(sum(xq * xq) FILTER (WHERE a), 0) AS BIGINT) AS qa,
+      |         CAST(count(*) FILTER (WHERE a) AS BIGINT) AS na,
+      |         CAST(coalesce(sum(xq) FILTER (WHERE NOT a), 0) AS BIGINT) AS sb,
+      |         CAST(coalesce(sum(xq * xq) FILTER (WHERE NOT a), 0) AS BIGINT) AS qb,
+      |         CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS nb
+      |  FROM q GROUP BY 1)
+      |SELECT pos,
+      |       round(CAST(sa AS DOUBLE) / na / 1e6, 6) AS mean_a,
+      |       round(CAST(sb AS DOUBLE) / nb / 1e6, 6) AS mean_b,
+      |       round(abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+      |             sqrt((CAST(qa AS DOUBLE) / na - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na)) / na +
+      |                  (CAST(qb AS DOUBLE) / nb - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb)) / nb), 4) AS welch_z,
+      |       abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+      |       sqrt((CAST(qa AS DOUBLE) / na - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na)) / na +
+      |            (CAST(qb AS DOUBLE) / nb - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb)) / nb) > 3
+      |         AS drifted
+      |FROM m ORDER BY pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_drift_monitor" -> (driftMonitor _),
     "sim_recall_at_k" -> (recallAtK _),
     "sim_embed_standardize" -> (embedStandardize _),
     "sim_embed_quantize" -> (embedQuantize _),
@@ -1636,6 +1697,7 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "sim_drift_monitor" -> driftMonitorSql,
     "sim_recall_at_k" -> recallAtKSql,
     "sim_embed_standardize" -> embedStandardizeSql,
     "sim_embed_quantize" -> embedQuantizeSql,

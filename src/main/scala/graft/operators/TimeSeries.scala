@@ -243,7 +243,63 @@ object TimeSeries {
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY 1, d.med, m.mad ORDER BY 1""".stripMargin
 
+  /** Seasonal baseline + residual anomalies: the hour-of-day profile
+    * (the strongest seasonality in event data) learned per type, then
+    * each hourly bin scored against ITS OWN hour's baseline — a spike
+    * at 3am is an anomaly even when smaller than normal noon traffic,
+    * which a global z-score can never see. Two aggs on compact keys
+    * ((type, hod) baseline is 24×|types| rows → broadcast back);
+    * integer-cents sums keep both engines bit-identical. */
+  def seasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("bin"),
+        hour(col("ts")).as("hod"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+    val profile = binned.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("n"),
+        sum(col("c") * col("c")).as("q"))
+      .select(col("event_type"), col("hod"),
+        (col("s").cast("double") / col("n")).as("mu"),
+        sqrt(col("q").cast("double") / col("n") -
+          (col("s").cast("double") / col("n")) * (col("s").cast("double") / col("n")))
+          .as("sd"),
+        col("n"))
+    binned.join(profile, Seq("event_type", "hod"))
+      .filter(col("n") >= 8 &&
+        abs(col("c").cast("double") - col("mu")) > lit(3d) * col("sd"))
+      .select(col("event_type"),
+        date_format(col("bin"), "yyyy-MM-dd HH:mm").as("bin_ts"),
+        col("hod"),
+        round(col("c") / lit(100d), 2).as("bin_value"),
+        round(col("mu") / 100d, 4).as("hour_baseline"),
+        round(col("sd") / 100d, 4).as("hour_sd"))
+      .orderBy(col("event_type"), col("bin_ts"))
+  }
+
+  val seasonalBaselineSql: String =
+    """WITH binned AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bin, hour(ts) AS hod,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |profile AS (
+      |  SELECT event_type, hod,
+      |         CAST(sum(c) AS DOUBLE) / count(*) AS mu,
+      |         sqrt(CAST(sum(c * c) AS DOUBLE) / count(*) -
+      |              (CAST(sum(c) AS DOUBLE) / count(*)) * (CAST(sum(c) AS DOUBLE) / count(*))) AS sd,
+      |         count(*) AS n
+      |  FROM binned GROUP BY 1, 2)
+      |SELECT b.event_type, strftime(b.bin, '%Y-%m-%d %H:%M') AS bin_ts,
+      |       CAST(b.hod AS INT) AS hod,
+      |       round(b.c / 100.0, 2) AS bin_value,
+      |       round(p.mu / 100, 4) AS hour_baseline,
+      |       round(p.sd / 100, 4) AS hour_sd
+      |FROM binned b JOIN profile p USING (event_type, hod)
+      |WHERE p.n >= 8 AND abs(CAST(b.c AS DOUBLE) - p.mu) > 3 * p.sd
+      |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal_baseline" -> (seasonalBaseline _),
     "ts_outlier_mad" -> (outlierMad _),
     "ts_resample_ffill" -> (resampleFfill _),
     "ts_resample_interp" -> (resampleInterp _),
@@ -251,6 +307,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_seasonal_baseline" -> seasonalBaselineSql,
     "ts_outlier_mad" -> outlierMadSql,
     "ts_resample_ffill" -> resampleFfillSql,
     "ts_resample_interp" -> resampleInterpSql,
