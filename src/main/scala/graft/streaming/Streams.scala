@@ -473,7 +473,128 @@ object Streams {
       |WHERE e.event_type = 'error' AND p.event_type = 'purchase'
       |ORDER BY err_id, p_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Streaming CDC upsert — foreachBatch MERGE into a versioned snapshot
+  // --------------------------------------------------------------------
+
+  /** Latest state snapshot written by [[cdcUpsertStream]]: resolves the
+    * `_LATEST` pointer and reads that version; no pointer → empty. */
+  def currentState(spark: SparkSession, stateDir: String): DataFrame = {
+    val marker = new java.io.File(s"$stateDir/_LATEST")
+    if (marker.exists()) {
+      val v = new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+      spark.read.parquet(s"$stateDir/v=$v")
+    } else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("user_id", LongType), StructField("state", StringType),
+          StructField("value", DoubleType), StructField("ts", TimestampType),
+          StructField("event_id", LongType))))
+    }
+  }
+
+  /** The read VIEW over the state: tombstones filtered out. */
+  def currentView(spark: SparkSession, stateDir: String): DataFrame =
+    currentState(spark, stateDir).where(col("state") =!= "error")
+
+  /** Streaming CDC UPSERT — the warehouse-maintenance loop as a
+    * stream: change rows (events schema) land as files, every
+    * micro-batch MERGES latest-per-key into a parquet state snapshot.
+    *
+    * Design for exactly-once on a plain object store (no table
+    * format):
+    *  - each batch writes a NEW immutable version dir `v=<batchId>`,
+    *    then atomically swings the `_LATEST` pointer (temp + rename).
+    *    A replayed batch (failure between write and pointer swing)
+    *    rewrites the SAME content to the SAME dir — idempotent.
+    *  - `error` states persist as TOMBSTONES in the state (the read
+    *    path [[currentView]] filters them). Tombstones make the merge
+    *    pure latest-wins on (ts, event_id), which is ASSOCIATIVE —
+    *    any batching of the change log converges to the same state,
+    *    so the bounded twin ([[cdcUpsertBatch]]) can oracle-check the
+    *    stream's fixpoint exactly, and out-of-order arrivals across
+    *    batches cannot resurrect a deleted key with older data.
+    * At 100 TB the same shape runs per-partition (state bucketed by
+    * key; a real deployment swaps the pointer for a table format's
+    * commit protocol — same merge plan). */
+  def cdcUpsertStream(spark: SparkSession, changeDir: String, stateDir: String,
+                      checkpoint: String,
+                      envelope: TriggerEnvelope = TriggerEnvelope())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    fileArrivals(spark, changeDir, schema, envelope.maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val src = batch
+          .select(col("user_id"), col("event_type").as("state"), col("value"),
+            col("ts"), col("event_id"))
+          .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+          .drop("__rn")
+          .select(col("user_id").as("s_uid"), col("state").as("s_state"),
+            col("value").as("s_value"), col("ts").as("s_ts"), col("event_id").as("s_eid"))
+        val cur = currentState(spark, stateDir)
+        val newer = col("s_ts") > col("ts") ||
+          (col("s_ts") === col("ts") && col("s_eid") > col("event_id"))
+        val merged = cur.join(src, col("user_id") === col("s_uid"), "full_outer")
+          .select(
+            coalesce(col("user_id"), col("s_uid")).as("user_id"),
+            when(col("user_id").isNull || (col("s_uid").isNotNull && newer),
+              col("s_state")).otherwise(col("state")).as("state"),
+            when(col("user_id").isNull || (col("s_uid").isNotNull && newer),
+              col("s_value")).otherwise(col("value")).as("value"),
+            when(col("user_id").isNull || (col("s_uid").isNotNull && newer),
+              col("s_ts")).otherwise(col("ts")).as("ts"),
+            when(col("user_id").isNull || (col("s_uid").isNotNull && newer),
+              col("s_eid")).otherwise(col("event_id")).as("event_id"))
+        merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        val tmp = java.nio.file.Paths.get(s"$stateDir/_LATEST.tmp")
+        java.nio.file.Files.writeString(tmp, batchId.toString)
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$stateDir/_LATEST"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(envelope.trigger)
+      .start()
+  }
+
+  /** Bounded twin of [[cdcUpsertStream]]'s fixpoint: the whole change
+    * log merged in one pass — latest row per key, tombstones dropped
+    * at the read view. Associativity of latest-wins (see
+    * [[cdcUpsertStream]]) is exactly why this equals ANY micro-batch
+    * partitioning of the same log; StreamsSpec pins that equality. */
+  def cdcUpsertBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    graft.Tables.events(spark, dir)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .where(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("state"),
+        round(col("value"), 2).as("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcUpsertBatchSql: String =
+    """SELECT user_id, event_type AS state, round(value, 2) AS value,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_upsert_batch" -> (cdcUpsertBatch _),
     "stream_interval_join_batch" -> (intervalJoinBatch _),
     "stream_tumbling_batch" -> (tumblingBatch _),
     "stream_sliding_batch" -> (slidingBatch _),
@@ -484,6 +605,7 @@ object Streams {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_cdc_upsert_batch" -> cdcUpsertBatchSql,
     "stream_interval_join_batch" -> intervalJoinBatchSql,
     "stream_tumbling_batch" -> tumblingBatchSql,
     "stream_sliding_batch" -> slidingBatchSql,

@@ -506,4 +506,37 @@ class StreamsSpec extends SparkSpec {
     assert(dq.getAs[Long]("range_value") === 1L)
     assert(dq.getAs[Long]("enum_event_type") === 1L)
   }
+
+  test("streaming CDC upsert: batched merge converges to the one-pass fixpoint") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = java.nio.file.Files.createTempDirectory("graft_cdc_in").toString
+    val st = java.nio.file.Files.createTempDirectory("graft_cdc_st").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_cdc_ck").toString
+    // drop 1: users 1 and 2 appear
+    Seq((1L, ts("2024-01-01 10:00:00"), 1L, "signup", 1.0),
+      (2L, ts("2024-01-01 10:05:00"), 2L, "signup", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$in/drop1")
+    // drop 2: user 1 updates, user 2 tombstones, user 3 inserts
+    Seq((3L, ts("2024-01-01 11:00:00"), 1L, "purchase", 9.0),
+      (4L, ts("2024-01-01 11:01:00"), 2L, "error", 0.0),
+      (5L, ts("2024-01-01 11:02:00"), 3L, "view", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$in/drop2")
+    // maxFilesPerTrigger = 1 → the two drops merge across SEPARATE
+    // micro-batches, exercising the sequential-merge path
+    Streams.cdcUpsertStream(spark, s"$in/*", st, ck,
+      Streams.TriggerEnvelope(maxFilesPerTrigger = 1)).awaitTermination(120000)
+    val got = Streams.currentView(spark, st)
+      .select(col("user_id"), col("state"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "purchase", 9.0), (3L, "view", 3.0)))
+    // tombstone retained in state (not resurrect-able), hidden in view
+    assert(Streams.currentState(spark, st).count() === 3)
+    // replaying the last batch's write is idempotent: same dir, same rows
+    val latest = Streams.currentState(spark, st)
+    latest.write.mode("overwrite").parquet(s"$st/v=1")
+    assert(Streams.currentView(spark, st).count() === 2)
+  }
 }
