@@ -613,6 +613,47 @@ object Graft {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
+  /** Small-file COMPACTION — the table-maintenance pass every
+    * streaming/incremental sink eventually needs: micro-batches leave
+    * thousands of KB-sized part files whose per-file open/footer cost
+    * dominates scans at 100 TB. Rewrites `path` into
+    * `ceil(bytes / targetBytes)` files (size-derived, never a
+    * hardcoded count) via a sibling-directory write + swap, so a
+    * failure mid-compact leaves the original intact. Returns
+    * (filesBefore, filesAfter). Row content is untouched — the spec
+    * pins count and content parity.
+    *
+    * The swap is two renames on a local FS; on an object store the
+    * production form is a table format's commit (same rewrite plan,
+    * different pointer swing — cf. the CDC sink's `_LATEST`). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      val it = fs.listFiles(d, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-")) out += f
+      }
+      out.toSeq
+    }
+    val before = partFiles(p)
+    val totalBytes = before.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"compact: could not stage $path aside")
+    require(fs.rename(tmp, p), s"compact: could not publish compacted $path")
+    fs.delete(old, true)
+    (before.size, partFiles(p).size)
+  }
+
   /** BigQuery sink configuration — the production shape of the
     * reference's warehouse load (/root/reference/main.py:17). Field
     * names mirror the public spark-bigquery-connector option surface

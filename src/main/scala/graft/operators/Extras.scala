@@ -237,7 +237,27 @@ object Extras {
       |  FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** `inline` — the struct-array table generator (posexplode's typed
+    * sibling): a per-region array of (nation, key) structs fans out
+    * into columns directly, no manual field projection. Generators
+    * complete the UDTF row three ways: posexplode (positional),
+    * stack (constant reshape), inline (struct fan-out). */
+  def inlineStructs(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(sort_array(collect_list(struct(col("n_name"), col("n_nationkey")))).as("ns"))
+      .select(col("r_name"), inline(col("ns")))
+      .select(col("r_name"), col("n_name"), col("n_nationkey"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val inlineStructsSql: String =
+    """SELECT r_name, n_name, n_nationkey
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY r_name, n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gen_inline" -> (inlineStructs _),
     "fn_try_cast" -> (tryCasts _),
     "fn_bitwise" -> (bitwiseFns _),
     "fn_misc" -> (miscFns _),
@@ -250,6 +270,7 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "gen_inline" -> inlineStructsSql,
     "fn_try_cast" -> tryCastsSql,
     "fn_bitwise" -> bitwiseFnsSql,
     "fn_misc" -> miscFnsSql,

@@ -172,6 +172,41 @@ object Sources {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Schema EVOLUTION read — the warehouse reality that yesterday's
+    * files have yesterday's columns: v1 parquet (3 columns) and v2
+    * parquet (adds o_orderpriority) land in one dataset;
+    * `mergeSchema` unifies them, absent columns null-fill. The census
+    * proves both the union (row counts per vintage) and the
+    * null-fill contract (v1 rows have no priority). At 100 TB
+    * mergeSchema's footer sampling is the cheap path; a production
+    * deployment pins the superset schema in a catalog — same plan. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("orders_evo")
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("vintage", lit("v1"))
+      .write.mode("overwrite").parquet(s"$out/vintage=v1")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .withColumn("vintage", lit("v2"))
+      .write.mode("overwrite").parquet(s"$out/vintage=v2")
+    spark.read.option("mergeSchema", true).parquet(s"$out/vintage=*")
+      .groupBy(col("vintage"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("vintage"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS vintage,
+      |       count(*) AS n_rows,
+      |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_with_priority,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** XLSX round-trip through the engine's own DataSource V2
     * (graft.sources.xlsx — JDK-only reader, no POI): nation is written
     * as a real .xlsx workbook, read back TYPED via
@@ -286,6 +321,7 @@ object Sources {
   val e2eXlsxEtlSql: String = csvRoundtripSql // rollup from the original parquet
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_schema_evolution" -> (schemaEvolution _),
     "src_xlsx_roundtrip" -> (xlsxRoundtrip _),
     "src_xlsx_writeback" -> (xlsxWriteback _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
@@ -298,6 +334,7 @@ object Sources {
   )
 
   def oracle: Map[String, String] = Map(
+    "src_schema_evolution" -> schemaEvolutionSql,
     "src_xlsx_roundtrip" -> xlsxRoundtripSql,
     "src_xlsx_writeback" -> xlsxWritebackSql,
     "src_csv_roundtrip" -> csvRoundtripSql,

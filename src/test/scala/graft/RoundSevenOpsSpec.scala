@@ -378,6 +378,23 @@ class RoundSevenOpsSpec extends SparkSpec {
     }
   }
 
+  test("compact: 64 micro-files become size-derived few, rows and content intact") {
+    val dir = java.nio.file.Files.createTempDirectory("compactspec").toString + "/t"
+    val src = Tables.orders(spark, sf)
+    src.repartition(64).write.parquet(dir)
+    val sumBefore = spark.read.parquet(dir)
+      .agg(sum(col("o_orderkey"))).head().getLong(0)
+    val (before, after) = graft.api.Graft.compact(spark, dir)
+    assert(before === 64)
+    assert(after < 8, s"expected few large files, got $after")
+    val d = spark.read.parquet(dir)
+    assert(d.count() === src.count())
+    assert(d.agg(sum(col("o_orderkey"))).head().getLong(0) === sumBefore)
+    // the staging dirs are gone — a failure can't leave two copies
+    assert(!new java.io.File(dir + "__compacting").exists())
+    assert(!new java.io.File(dir + "__precompact").exists())
+  }
+
   test("try casts: bad shapes null out, good shapes parse, nothing throws") {
     import graft.operators.Extras
     val t = Extras.tryCasts(spark, sf).collect()
