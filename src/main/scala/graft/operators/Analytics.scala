@@ -336,7 +336,58 @@ object Analytics {
       |JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Market-basket association rules (a-priori first pass): part
+    * pairs co-purchased in one order, with support, confidence and
+    * lift. The pair join is ORDER-bounded (a basket of b items yields
+    * b(b-1)/2 pairs — baskets are small by nature, the reason this
+    * plan scales), the min-support prune (≥ 5 baskets) cuts the rule
+    * table before the stats join, and every ratio divides exact
+    * BIGINT counts — no float aggregation anywhere. Top 20 rules by
+    * lift. */
+  def marketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = Tables.orders(spark, dir)
+      .select(countDistinct(col("o_orderkey")).as("n_orders"))
+    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val pairs = a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 5)
+    pairs
+      .join(freq.select(col("l_partkey").as("pa"), col("cnt").as("ca")), "pa")
+      .join(freq.select(col("l_partkey").as("pb"), col("cnt").as("cb")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_both"),
+        round(col("n_both").cast("double") / col("ca"), 4).as("confidence"),
+        round(col("n_both").cast("double") * col("n_orders") /
+          (col("ca").cast("double") * col("cb")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  val marketBasketSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT count(DISTINCT o_orderkey) AS n_orders FROM orders),
+      |freq AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_both
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT pa, pb, n_both,
+      |       round(CAST(n_both AS DOUBLE) / fa.cnt, 4) AS confidence,
+      |       round(CAST(n_both AS DOUBLE) * n.n_orders / (CAST(fa.cnt AS DOUBLE) * fb.cnt), 4) AS lift
+      |FROM pairs
+      |JOIN freq fa ON pairs.pa = fa.l_partkey
+      |JOIN freq fb ON pairs.pb = fb.l_partkey
+      |CROSS JOIN n
+      |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_market_basket" -> (marketBasket _),
     "q10_returned_customers" -> (returnedRevenue _),
     "q3_shipping_priority" -> (shippingPriority _),
     "q5_local_supplier_volume" -> (localSupplierVolume _),
@@ -350,6 +401,7 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_market_basket" -> marketBasketSql,
     "q10_returned_customers" -> returnedRevenueSql,
     "q3_shipping_priority" -> shippingPrioritySql,
     "q5_local_supplier_volume" -> localSupplierVolumeSql,

@@ -1671,7 +1671,47 @@ object Similarity {
       |         AS drifted
       |FROM m ORDER BY pos""".stripMargin
 
+  /** Maximum-inner-product top-k (MIPS) — the recommender-serving
+    * score (user·item, UNnormalized: popular items legitimately win
+    * on magnitude, which cosine deliberately erases). Exact
+    * broadcast-Q × scan via the native codegen dot product. The ANN
+    * path at scale is the classic norm-augmentation reduction —
+    * append √(M²−‖x‖²) to items and 0 to queries and MIPS becomes
+    * cosine over d+1 dims, servable by this engine's IVF/PQ/IMI stack
+    * unchanged — which is why MIPS earns no parallel index family of
+    * its own. */
+  def mipsTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir).withColumn("v", vecAsDouble(col("embedding")))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_raw").desc, col("vec_id"))
+    broadcast(q).join(emb, col("query_id") =!= col("vec_id"))
+      .withColumn("dot_raw", call_function("graft_dot", col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("dot_raw"), 6).as("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val mipsTopKSql: String =
+    s"""SELECT query_id, rank, neighbor_id, dot
+       |FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         round(${dotSql("q.v", "c.v")}, 6) AS dot,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY q.vec_id
+       |           ORDER BY ${dotSql("q.v", "c.v")} DESC, c.vec_id) AS BIGINT) AS rank
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < $nQueries) q
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) c
+       |    ON q.vec_id <> c.vec_id)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mips_topk" -> (mipsTopK _),
     "sim_drift_monitor" -> (driftMonitor _),
     "sim_recall_at_k" -> (recallAtK _),
     "sim_embed_standardize" -> (embedStandardize _),
@@ -1697,6 +1737,7 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "sim_mips_topk" -> mipsTopKSql,
     "sim_drift_monitor" -> driftMonitorSql,
     "sim_recall_at_k" -> recallAtKSql,
     "sim_embed_standardize" -> embedStandardizeSql,

@@ -497,6 +497,21 @@ object Streams {
   def currentView(spark: SparkSession, stateDir: String): DataFrame =
     currentState(spark, stateDir).where(col("state") =!= "error")
 
+  /** TIME TRAVEL over the CDC sink: every committed batch left an
+    * immutable `v=<batchId>` snapshot, so history is a directory
+    * listing and "the state as of batch N" is one read — the audit
+    * and backfill affordance a table format sells, here for free
+    * because the sink never mutates in place. */
+  def stateVersions(stateDir: String): Seq[Long] =
+    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong).sorted.toSeq
+
+  /** The state snapshot as of `version` (a batchId from
+    * [[stateVersions]]), tombstones filtered like [[currentView]]. */
+  def stateAt(spark: SparkSession, stateDir: String, version: Long): DataFrame =
+    spark.read.parquet(s"$stateDir/v=$version").where(col("state") =!= "error")
+
   /** Streaming CDC UPSERT — the warehouse-maintenance loop as a
     * stream: change rows (events schema) land as files, every
     * micro-batch MERGES latest-per-key into a parquet state snapshot.

@@ -517,13 +517,13 @@ class StreamsSpec extends SparkSpec {
     Seq((1L, ts("2024-01-01 10:00:00"), 1L, "signup", 1.0),
       (2L, ts("2024-01-01 10:05:00"), 2L, "signup", 2.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-      .write.parquet(s"$in/drop1")
+      .coalesce(1).write.parquet(s"$in/drop1")
     // drop 2: user 1 updates, user 2 tombstones, user 3 inserts
     Seq((3L, ts("2024-01-01 11:00:00"), 1L, "purchase", 9.0),
       (4L, ts("2024-01-01 11:01:00"), 2L, "error", 0.0),
       (5L, ts("2024-01-01 11:02:00"), 3L, "view", 3.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-      .write.parquet(s"$in/drop2")
+      .coalesce(1).write.parquet(s"$in/drop2")
     // maxFilesPerTrigger = 1 → the two drops merge across SEPARATE
     // micro-batches, exercising the sequential-merge path
     Streams.cdcUpsertStream(spark, s"$in/*", st, ck,
@@ -534,9 +534,20 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "purchase", 9.0), (3L, "view", 3.0)))
     // tombstone retained in state (not resurrect-able), hidden in view
     assert(Streams.currentState(spark, st).count() === 3)
-    // replaying the last batch's write is idempotent: same dir, same rows
-    val latest = Streams.currentState(spark, st)
-    latest.write.mode("overwrite").parquet(s"$st/v=1")
+    // replaying the last batch's write is idempotent: same dir, same
+    // rows (materialized first — a real replay recomputes from the
+    // checkpointed source, it never reads the dir it overwrites)
+    val cur = Streams.currentState(spark, st)
+    val replay = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(cur.collect(): _*)), cur.schema)
+    replay.write.mode("overwrite").parquet(s"$st/v=1")
     assert(Streams.currentView(spark, st).count() === 2)
+    // time travel: version 0 still shows the pre-merge world — user 2
+    // alive, user 1 at its first state, user 3 not yet born
+    assert(Streams.stateVersions(st) === Seq(0L, 1L))
+    val v0 = Streams.stateAt(spark, st, 0L)
+      .select(col("user_id"), col("state")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(v0.toSeq === Seq(1L -> "signup", 2L -> "signup"))
   }
 }
