@@ -19,7 +19,10 @@ object Bench {
     * cluster-label split rides the identical pairs→components
     * machinery, adding only a map-side hash label). */
   val benchExclude: Set[String] =
-    Set("join_asof", "dedup_components", "dedup_keep_policy", "dedup_split_safe")
+    Set("join_asof", "dedup_components", "dedup_keep_policy", "dedup_split_safe",
+      // the cluster-size census is another diagnostic view over the
+      // SAME pairs→CC fixpoint dedup_keep times end-to-end
+      "dedup_cluster_census")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
