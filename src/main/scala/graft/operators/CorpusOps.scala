@@ -1316,7 +1316,42 @@ object CorpusOps {
        |FROM base JOIN fin USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Per-domain document cap — the crawl-pipeline rule that no single
+    * source may dominate the corpus (Common-Crawl-style pipelines cap
+    * pages per domain): keep each source's `domainCap` best documents
+    * by a deterministic (quality-proxy, id) order, and AUDIT the
+    * dropped mass per source — the same no-silent-truncation contract
+    * as the band-bucket and posting-list caps. One window over the
+    * source key; the census aggregates the same ranked rows. */
+  private val domainCapN = 90
+
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= domainCapN, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > domainCapN, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rn") > domainCapN, col("n_chars")).otherwise(0L)).as("chars_dropped"))
+      .orderBy(col("source"))
+  }
+
+  val domainCapSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN rn <= $domainCapN THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN rn > $domainCapN THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       CAST(sum(CASE WHEN rn > $domainCapN THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+       |FROM (SELECT source, n_chars,
+       |             row_number() OVER (PARTITION BY source
+       |               ORDER BY n_chars DESC, doc_id) AS rn
+       |      FROM documents)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_domain_cap" -> (domainCap _),
     "corpus_span_corrupt" -> (spanCorrupt _),
     "corpus_bpe_coverage" -> (bpeCoverage _),
     "corpus_bpe_e2e" -> (bpeE2e _),
@@ -1347,6 +1382,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_domain_cap" -> domainCapSql,
     "corpus_bpe_e2e" -> bpeE2eSql,
     "corpus_span_corrupt" -> spanCorruptSql,
     "corpus_bpe_coverage" -> bpeCoverageSql,

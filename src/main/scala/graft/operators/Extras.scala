@@ -256,7 +256,27 @@ object Extras {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** Boolean/conditional aggregate family: count_if, every (bool_and),
+    * some (bool_or) — the verdict-rollup primitives a DQ pass leans
+    * on. Deterministic by construction (no ordering dependence). */
+  def boolAggs(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("value") > 50).as("n_big"),
+        every(col("value") > 0).as("all_positive"),
+        some(col("value") > 99).as("any_near_max"))
+      .orderBy(col("event_type"))
+
+  val boolAggsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_big,
+      |       bool_and(value > 0) AS all_positive,
+      |       bool_or(value > 99) AS any_near_max
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_bool_aggs" -> (boolAggs _),
     "gen_inline" -> (inlineStructs _),
     "fn_try_cast" -> (tryCasts _),
     "fn_bitwise" -> (bitwiseFns _),
@@ -270,6 +290,7 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_bool_aggs" -> boolAggsSql,
     "gen_inline" -> inlineStructsSql,
     "fn_try_cast" -> tryCastsSql,
     "fn_bitwise" -> bitwiseFnsSql,

@@ -329,7 +329,45 @@ object WarehouseEtl {
       |       min(k) AS first_key
       |FROM diff GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Compliance purge with audit manifest — the two deletions every
+    * warehouse eventually owes: right-to-be-forgotten (a deletion list
+    * of user ids) and retention expiry (rows older than a cutoff).
+    * One pass classifies every row (gdpr wins over retention when both
+    * apply — the user-deletion obligation is absolute), and the AUDIT
+    * manifest (what was purged, why, how much, over what time range)
+    * is the artifact a compliance review actually asks for. At 100 TB
+    * the rewrite prunes to affected partitions; the deletion list is
+    * broadcast-joined (here a deterministic predicate stands in). */
+  def purgeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-10 00:00:00").cast("timestamp")
+    Tables.events(spark, dir)
+      .withColumn("reason",
+        when(pmod(col("user_id"), lit(37)) === 0, "gdpr_user_delete")
+          .when(col("ts") < cutoff, "retention_expired")
+          .otherwise("kept"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("from_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("to_ts"))
+      .orderBy(col("reason"))
+  }
+
+  val purgeAuditSql: String =
+    """SELECT reason, count(*) AS n_rows,
+      |       count(DISTINCT user_id) AS n_users,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS from_ts,
+      |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS to_ts
+      |FROM (
+      |  SELECT user_id, ts,
+      |         CASE WHEN user_id % 37 = 0 THEN 'gdpr_user_delete'
+      |              WHEN ts < TIMESTAMP '2024-01-10 00:00:00' THEN 'retention_expired'
+      |              ELSE 'kept' END AS reason
+      |  FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_purge_audit" -> (purgeAudit _),
     "etl_snapshot_diff" -> (snapshotDiff _),
     "etl_cdc_latest" -> (cdcLatest _),
     "etl_scd2" -> (scd2Build _),
@@ -339,6 +377,7 @@ object WarehouseEtl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_purge_audit" -> purgeAuditSql,
     "etl_snapshot_diff" -> snapshotDiffSql,
     "etl_cdc_latest" -> cdcLatestSql,
     "etl_scd2" -> scd2BuildSql,
