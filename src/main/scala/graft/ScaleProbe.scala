@@ -37,7 +37,7 @@ object ScaleProbe {
     val sf01 = "/root/testdata/sf0.1"
     val big = "/tmp/graft_sf1_v2"
 
-    val tables = Seq("lineitem", "documents", "embeddings")
+    val tables = Seq("lineitem", "documents", "embeddings", "events", "orders")
     val complete = tables.forall(t => new java.io.File(s"$big/$t.parquet/_SUCCESS").exists())
     if (!complete) {
       def replicate(name: String, mutate: (DataFrame, Int) => DataFrame): Unit =
@@ -53,6 +53,15 @@ object ScaleProbe {
         df.withColumn("vec_id", col("vec_id") + lit(i * 100000000L))
           .withColumn("embedding",
             transform(col("embedding"), x => x + lit(i * 0.003f))))
+      // events keep their user ids (same user population, 10× deeper
+      // per-user history — the hard direction for window operators)
+      // but shift each copy by an hour so sessions/frames see real
+      // time spread, and event ids stay unique
+      replicate("events", (df, i) =>
+        df.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 7} MINUTES")))
+      replicate("orders", (df, i) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
     }
 
     def timeSecond(f: () => Long): (Double, Long) = {
@@ -229,7 +238,22 @@ object ScaleProbe {
       // scan once and the rounds stay vocabulary-priced, so the time
       // ratio must sit far below the data ratio
       ("bpe_train_8rounds", () =>
-        graft.operators.CorpusOps.bpeTrain(spark, dir).count())
+        graft.operators.CorpusOps.bpeTrain(spark, dir).count()),
+      // sessionization at 10× PER-USER history depth (user population
+      // fixed — the adversarial direction for user-keyed windows): the
+      // island-numbering windows sort each user's events once, so cost
+      // must track rows (n log n in partition depth), never pairs
+      ("sessionize_deep_users", () =>
+        graft.operators.Windows.sessionize(spark, dir).count()),
+      // OLS moment sums: algebraic partials → map-side combine does
+      // the work; 10× rows must cost ~scan time
+      ("linreg_moments", () =>
+        graft.operators.Aggregations.linReg(spark, dir).count()),
+      // market basket: pairs are basket-bounded (b(b-1)/2 per order) —
+      // 10× MORE baskets of the SAME size must scale ~linearly, the
+      // claim that separates this from an all-pairs co-occurrence
+      ("basket_pairs", () =>
+        graft.operators.Analytics.marketBasket(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

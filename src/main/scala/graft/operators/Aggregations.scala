@@ -497,7 +497,34 @@ object Aggregations {
       |                  (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** Key-skew diagnostic — the report an operator runs BEFORE
+    * choosing salting/AQE-skew-join handling: per-key mass, the
+    * hottest key, and the skew factor (max/mean). Two aggregations on
+    * the key; the second input is key-cardinality-sized. The ordered-
+    * struct min picks the hottest key without a sort. */
+  def skewDiag(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("total_rows"),
+        max(col("c")).as("max_rows"),
+        min(struct((-col("c")).as("neg"), col("user_id").as("k"))).as("best"))
+      .select(col("n_keys"), col("total_rows"), col("max_rows"),
+        col("best.k").as("hottest_key"),
+        round(col("max_rows").cast("double") * col("n_keys") / col("total_rows"), 4)
+          .as("skew_factor"))
+
+  val skewDiagSql: String =
+    """SELECT count(*) AS n_keys,
+      |       CAST(sum(c) AS BIGINT) AS total_rows,
+      |       CAST(max(c) AS BIGINT) AS max_rows,
+      |       (SELECT user_id FROM (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+      |        ORDER BY c DESC, user_id LIMIT 1) AS hottest_key,
+      |       round(CAST(max(c) AS DOUBLE) * count(*) / CAST(sum(c) AS DOUBLE), 4) AS skew_factor
+      |FROM (SELECT user_id, count(*) AS c FROM events GROUP BY 1)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_skew_diag" -> (skewDiag _),
     "agg_linreg" -> (linReg _),
     "agg_mode" -> (modePerGroup _),
     "agg_hll_merge" -> (hllMerge _),
@@ -516,6 +543,7 @@ object Aggregations {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_skew_diag" -> skewDiagSql,
     "agg_linreg" -> linRegSql,
     "agg_mode" -> modePerGroupSql,
     "agg_hll_merge" -> hllMergeSql,

@@ -1350,7 +1350,41 @@ object CorpusOps {
        |      FROM documents)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Instruction-pair formatting — the SFT data-prep step: each
+    * document becomes a (prompt, response) example under a fixed chat
+    * template, split at 40% of its tokens (prompt = head, response =
+    * tail). Pure per-row array slicing — map-only, template literals
+    * identical in the oracle. Real pipelines swap the split heuristic
+    * for annotations; the formatting/budget machinery is the same. */
+  def instructionPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t)
+    val cut = greatest(lit(1L), floor((n * 2) / lit(5)).cast("long"))
+    val prompt = array_join(slice(t, lit(1), cut), " ")
+    val response = array_join(slice(t, cut + 1, n - cut), " ")
+    Tables.documents(spark, dir)
+      .filter(nToks(col("text")) >= 5)
+      .select(col("doc_id"),
+        concat(lit("<|user|> "), prompt, lit(" <|assistant|> "), response).as("example"),
+        cut.cast("long").as("n_prompt_tokens"),
+        (n - cut).cast("long").as("n_response_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val instructionPairsSql: String =
+    """SELECT doc_id,
+      |       '<|user|> ' || array_to_string(t[1:cut], ' ') ||
+      |       ' <|assistant|> ' || array_to_string(t[cut+1:len(t)], ' ') AS example,
+      |       CAST(cut AS BIGINT) AS n_prompt_tokens,
+      |       CAST(len(t) - cut AS BIGINT) AS n_response_tokens
+      |FROM (
+      |  SELECT doc_id, t, greatest(1, (len(t) * 2) // 5) AS cut
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 5)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_instruction_pairs" -> (instructionPairs _),
     "corpus_domain_cap" -> (domainCap _),
     "corpus_span_corrupt" -> (spanCorrupt _),
     "corpus_bpe_coverage" -> (bpeCoverage _),
@@ -1382,6 +1416,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_instruction_pairs" -> instructionPairsSql,
     "corpus_domain_cap" -> domainCapSql,
     "corpus_bpe_e2e" -> bpeE2eSql,
     "corpus_span_corrupt" -> spanCorruptSql,

@@ -342,7 +342,57 @@ object GraphOps {
        |${ssspIterSql("d3", "d4")}
        |SELECT node, dist FROM d4 ORDER BY dist, node""".stripMargin
 
+  /** Link prediction by common-neighbor Jaccard over the kNN graph —
+    * the classic "who should be connected" score: candidate pairs are
+    * two hops apart (one self-join of the symmetrized edge list —
+    * degree-bounded, never all-pairs: a d-regular graph yields ≤ d²
+    * candidates per node), existing edges anti-joined out, score =
+    * |N(a)∩N(b)| / |N(a)∪N(b)| from exact BIGINT counts. Top 20. */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.operators.Similarity.knnGraph(spark, dir)
+      .select(col("src").as("a"), col("neighbor_id").as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val cand = sym.select(col("a"), col("b").as("m"))
+      .join(sym.select(col("a").as("m2"), col("b")), col("m") === col("m2"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    val fresh = cand.join(sym.withColumnRenamed("a", "ea").withColumnRenamed("b", "eb"),
+      col("a") === col("ea") && col("b") === col("eb"), "left_anti")
+    fresh
+      .join(deg.select(col("a"), col("d").as("da")), "a")
+      .join(deg.select(col("a").as("b2"), col("d").as("db")), col("b") === col("b2"))
+      .select(col("a"), col("b"), col("common"),
+        round(col("common").cast("double") /
+          (col("da") + col("db") - col("common")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val linkPredictionSql: String = {
+    val knn = graft.operators.Similarity.knnGraphSql
+    s"""WITH knn AS ($knn),
+       |e AS (SELECT src AS a, neighbor_id AS b FROM knn),
+       |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       |deg AS (SELECT a, count(*) AS d FROM sym GROUP BY 1),
+       |cand AS (
+       |  SELECT x.a AS a, y.b AS b, CAST(count(*) AS BIGINT) AS common
+       |  FROM sym x JOIN sym y ON x.b = y.a AND x.a < y.b
+       |  GROUP BY 1, 2),
+       |fresh AS (
+       |  SELECT c.* FROM cand c
+       |  LEFT JOIN sym s ON c.a = s.a AND c.b = s.b
+       |  WHERE s.a IS NULL)
+       |SELECT f.a, f.b, f.common,
+       |       round(CAST(f.common AS DOUBLE) / (da.d + db.d - f.common), 4) AS jaccard
+       |FROM fresh f
+       |JOIN deg da ON f.a = da.a
+       |JOIN deg db ON f.b = db.a
+       |ORDER BY jaccard DESC, f.a, f.b LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_pred" -> (linkPrediction _),
     "graph_pagerank" -> (pagerankTypes _),
     "graph_triangles" -> (triangles _),
     "graph_label_prop" -> (labelPropCommunities _),
@@ -350,6 +400,7 @@ object GraphOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "graph_link_pred" -> linkPredictionSql,
     "graph_pagerank" -> pagerankTypesSql,
     "graph_triangles" -> trianglesSql,
     "graph_label_prop" -> labelPropCommunitiesSql,
