@@ -521,4 +521,35 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  // AQE's executedPlan.toString appends the "== Initial Plan ==" section —
+  // counting operators there double-counts; assertions read the FINAL plan
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+
+  test("sparse cosine: both caps plan as WindowGroupLimit; index join stays equi") {
+    val df = graft.operators.TextAnalysis.sparseCosine(spark, sf)
+    df.collect()
+    val plan = finalPlan(df)
+    // per-doc top-m AND per-term posting cap are rank-1..k filters —
+    // they must run as per-partition WindowGroupLimit pruning, and the
+    // posting join must never degrade to a cartesian. (The permitted
+    // BroadcastNestedLoops are the 1-row n_docs stats join — it
+    // appears once per consumer of `kept`, i.e. at most twice.)
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastNestedLoop".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("sessionize: both windows and the session agg share ONE user exchange") {
+    val df = graft.operators.Windows.sessionize(spark, sf)
+    df.collect()
+    val plan = finalPlan(df)
+    // one hash exchange on user_id feeds the lag window, the running
+    // sum, AND the (user, session) aggregate — a second one means the
+    // agg re-shuffled what was already user-clustered
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"expected ONE user-keyed hash exchange, got $hashExchanges:\n$plan")
+  }
 }
