@@ -1710,7 +1710,114 @@ object Similarity {
        |WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** PCA TOP COMPONENT via integer-exact power iteration — the
+    * dimensionality diagnostic (how much variance one direction
+    * carries, which dims load it) behind whitening/compression
+    * decisions.
+    *
+    * The whole computation is arranged so NO floating-point SUM ever
+    * happens — the classic reproducibility trap of distributed PCA:
+    *  - moments: ONE pass over the corpus accumulates exact integer
+    *    Σxᵢ and Σxᵢxⱼ (embeddings quantized to 1e4 units; the 64×64
+    *    outer product is generated per-row by a HOF expression, so
+    *    the d² accumulators get map-side combine — at 100 TB this is
+    *    one scan, like every sufficient-statistic op here);
+    *  - covariance numerator N = n·Σxxᵀ − (Σx)(Σx)ᵀ in exact BigInt
+    *    (the 64×64 matrix is a bounded model artifact, collected like
+    *    the k-means codebooks);
+    *  - power iteration: w = N·v with v in integer micro-units —
+    *    integer sums are ORDER-INDEPENDENT, so engine and oracle agree
+    *    bit-for-bit; each step renormalizes by max|wᵢ| through one
+    *    correctly-rounded double division and re-quantizes;
+    *  - λ/trace(N) (explained-variance ratio) divides exact integers
+    *    at the very end.
+    * The oracle unrolls the same [[pcaIters]] matvecs over a
+    * covariance CTE in HUGEINT — a differentially-verified PCA. */
+  private val pcaIters = 10
+
+  def pcaTopComponent(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(vecAsDouble(col("embedding")),
+          x => round(x * 10000d).cast("long")).as("xq"))
+    val n = q.count()
+    val sums = q.select(posexplode(col("xq")).as(Seq("pos0", "x")))
+      .groupBy(col("pos0")).agg(sum(col("x")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pairSums = q.select(posexplode(flatten(transform(col("xq"), (xi, i) =>
+        transform(col("xq"), (xj, j) =>
+          struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as(Seq("off", "pr")))
+      .select(col("pr.i"), col("pr.j"), col("pr.p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sij"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val nB = BigInt(n)
+    val nMat = Array.tabulate(dim, dim)((i, j) =>
+      nB * BigInt(pairSums((i, j))) - BigInt(sums(i)) * BigInt(sums(j)))
+    var v = Array.fill(dim)(BigInt(1000000L))
+    var w = Array.fill(dim)(BigInt(0))
+    for (_ <- 1 to pcaIters) {
+      w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => nMat(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = w.map(x => BigInt(Math.round(1e6 * (x.toDouble / m.toDouble))))
+    }
+    val num = (0 until dim).map(i => w(i) * v(i)).sum
+    val den = (0 until dim).map(i => v(i) * v(i)).sum
+    val trace = (0 until dim).map(i => nMat(i)(i)).sum
+    val explained = BigDecimal(
+      (num.toDouble / den.toDouble) / trace.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    (0 until dim).map(i => (
+        (i + 1).toLong,
+        BigDecimal(v(i).toDouble / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        explained))
+      .toDF("pos", "loading", "explained_ratio")
+      .orderBy(col("pos"))
+  }
+
+  val pcaTopComponentSql: String = {
+    val iters = (1 to pcaIters).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT c.i AS pos, CAST(sum(c.c * v.val) AS HUGEINT) AS w
+         |  FROM cov c JOIN v${k - 1} v ON c.j = v.pos GROUP BY 1),
+         |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT pos, CAST(round(1e6 * (CAST(w AS DOUBLE) / CAST(m AS DOUBLE))) AS HUGEINT) AS val
+         |  FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(round(x * 10000) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+       |ex AS MATERIALIZED (SELECT vec_id, unnest(xq) AS x,
+       |              generate_subscripts(xq, 1) AS pos FROM q),
+       |s AS (SELECT pos, CAST(sum(x) AS HUGEINT) AS si FROM ex GROUP BY 1),
+       |p AS (
+       |  SELECT a.pos AS i, b.pos AS j, CAST(sum(a.x * b.x) AS HUGEINT) AS sij
+       |  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT p.i, p.j, nn.n * p.sij - s1.si * s2.si AS c
+       |  FROM p JOIN s s1 ON p.i = s1.pos JOIN s s2 ON p.j = s2.pos CROSS JOIN nn),
+       |v0 AS (SELECT unnest(range(1, $dim + 1)) AS pos, CAST(1000000 AS HUGEINT) AS val),
+       |$iters,
+       |fin AS (
+       |  SELECT CAST(sum(w.w * v.val) AS HUGEINT) AS num,
+       |         CAST(sum(v.val * v.val) AS HUGEINT) AS den
+       |  FROM w$pcaIters w JOIN v$pcaIters v USING (pos)),
+       |tr AS (SELECT CAST(sum(c) AS HUGEINT) AS trace FROM cov WHERE i = j)
+       |SELECT CAST(v.pos AS BIGINT) AS pos,
+       |       round(CAST(v.val AS DOUBLE) / 1e6, 4) AS loading,
+       |       round((CAST(f.num AS DOUBLE) / CAST(f.den AS DOUBLE)) / CAST(t.trace AS DOUBLE), 6)
+       |         AS explained_ratio
+       |FROM v$pcaIters v CROSS JOIN fin f CROSS JOIN tr t
+       |ORDER BY pos""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pca_top_component" -> (pcaTopComponent _),
     "sim_mips_topk" -> (mipsTopK _),
     "sim_drift_monitor" -> (driftMonitor _),
     "sim_recall_at_k" -> (recallAtK _),
@@ -1737,6 +1844,7 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "sim_pca_top_component" -> pcaTopComponentSql,
     "sim_mips_topk" -> mipsTopKSql,
     "sim_drift_monitor" -> driftMonitorSql,
     "sim_recall_at_k" -> recallAtKSql,

@@ -314,6 +314,28 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(d("removed")._1 === keys.count(k => k % 89 == 0 && k % 97 != 0).toLong)
   }
 
+  test("pca: a planted dominant axis is recovered with its variance share") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pcaspec").toString
+    // dim 5 (0-based 4) carries ±10, every other dim a tiny
+    // deterministic wiggle — PC1 must load dim 5 at |1.0| and claim
+    // nearly all the variance
+    val rows = (0 until 200).map { i =>
+      val v = Array.tabulate(64)(d =>
+        if (d == 4) (if (i % 2 == 0) 10.0f else -10.0f)
+        else ((i * 7 + d * 3) % 5 - 2) * 0.01f)
+      (i.toLong, v.toSeq, i % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.pcaTopComponent(spark, dir).collect()
+    assert(out.length === 64)
+    val byPos = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(byPos(5L)) === 1.0, s"dim 5 loading ${byPos(5L)}")
+    for ((p, l) <- byPos if p != 5L) assert(math.abs(l) < 0.01, s"dim $p loads $l")
+    assert(out.head.getDouble(2) > 0.99, s"explained ${out.head.getDouble(2)}")
+  }
+
   test("bpe train: provable merges on a constructed corpus; early stop") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bpetrain").toString
