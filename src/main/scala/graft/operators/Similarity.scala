@@ -1816,7 +1816,43 @@ object Similarity {
        |ORDER BY pos""".stripMargin
   }
 
+  /** PC1 PROJECTION — the learned component applied back to the
+    * corpus: each vector's score along the top principal axis (the
+    * whitening/outlier-score primitive). The component is a bounded
+    * model artifact (collected like a codebook) inlined as a literal;
+    * the projection is one map-only pass of EXACT integer dot
+    * products (quantized vector × quantized loadings), so engine and
+    * oracle agree without any float-sum hazard. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val loadings = pcaTopComponent(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    val lcol = array(loadings.map(t => lit(Math.round(t._2 * 10000))): _*)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(vecAsDouble(col("embedding")),
+          x => round(x * 10000d).cast("long")).as("xq"))
+      .select(col("vec_id"),
+        round(aggregate(zip_with(col("xq"), lcol, (x, l) => x * l),
+          lit(0L), (acc, e) => acc + e).cast("double") / 1e8, 4).as("pc1_score"))
+      .orderBy(col("vec_id"))
+  }
+
+  val pcaProjectSql: String =
+    s"""WITH pc AS MATERIALIZED ($pcaTopComponentSql),
+       |pcl AS (SELECT pos, CAST(round(loading * 10000) AS BIGINT) AS lq FROM pc),
+       |exq AS (
+       |  SELECT vec_id, unnest(xq) AS x, generate_subscripts(xq, 1) AS pos
+       |  FROM (SELECT vec_id,
+       |               list_transform(CAST(embedding AS DOUBLE[]),
+       |                 x -> CAST(round(x * 10000) AS BIGINT)) AS xq
+       |        FROM embeddings))
+       |SELECT e.vec_id,
+       |       round(CAST(sum(e.x * l.lq) AS DOUBLE) / 1e8, 4) AS pc1_score
+       |FROM exq e JOIN pcl l ON e.pos = l.pos
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pca_project" -> (pcaProject _),
     "sim_pca_top_component" -> (pcaTopComponent _),
     "sim_mips_topk" -> (mipsTopK _),
     "sim_drift_monitor" -> (driftMonitor _),
@@ -1844,6 +1880,7 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "sim_pca_project" -> pcaProjectSql,
     "sim_pca_top_component" -> pcaTopComponentSql,
     "sim_mips_topk" -> mipsTopKSql,
     "sim_drift_monitor" -> driftMonitorSql,
