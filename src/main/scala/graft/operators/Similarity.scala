@@ -1744,15 +1744,26 @@ object Similarity {
     val sums = q.select(posexplode(col("xq")).as(Seq("pos0", "x")))
       .groupBy(col("pos0")).agg(sum(col("x")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pairSums = q.select(posexplode(flatten(transform(col("xq"), (xi, i) =>
-        transform(col("xq"), (xj, j) =>
-          struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as(Seq("off", "pr")))
-      .select(col("pr.i"), col("pr.j"), col("pr.p"))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sij"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // UPPER-TRIANGLE moments only (the matrix is symmetric): per row a
+    // flat array of the 2080 products xᵢxⱼ (j ≥ i) in a fixed offset
+    // order the driver replays — plain longs, no structs, half the
+    // exploded rows of the naive d² formulation
+    val tri = flatten(transform(col("xq"), (xi, i) =>
+      transform(slice(col("xq"), i + 1, lit(dim) - i), xj => xi * xj)))
+    val flatSums = q.select(posexplode(tri).as(Seq("off", "p")))
+      .groupBy(col("off")).agg(sum(col("p")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pairSums = {
+      val m = Array.ofDim[Long](dim, dim)
+      var off = 0
+      for (i <- 0 until dim; j <- i until dim) {
+        m(i)(j) = flatSums(off); m(j)(i) = flatSums(off); off += 1
+      }
+      m
+    }
     val nB = BigInt(n)
     val nMat = Array.tabulate(dim, dim)((i, j) =>
-      nB * BigInt(pairSums((i, j))) - BigInt(sums(i)) * BigInt(sums(j)))
+      nB * BigInt(pairSums(i)(j)) - BigInt(sums(i)) * BigInt(sums(j)))
     var v = Array.fill(dim)(BigInt(1000000L))
     var w = Array.fill(dim)(BigInt(0))
     for (_ <- 1 to pcaIters) {
