@@ -58,7 +58,8 @@ object PlanSurvey {
       "win_sessionize" -> "island numbering: lag-flag + running sum share ONE user-keyed Window exchange; session stats agg on the compact (user, session) key",
       "etl_snapshot_diff" -> "snapshot reconciliation: one full-outer key join is the only data movement; verdict case + census agg map-side",
       "q5_local_supplier_volume" -> "6-table join: region/nation broadcast, l-o-c chain shuffles on orderkey then custkey only, s_nationkey = c_nationkey rides as post-join filter",
-      "corpus_bpe_train" -> "BPE training round: pair explode over the checkpointed word-freq table (corpus never rescanned), count agg + 1-row argmax")
+      "corpus_bpe_train" -> "BPE training round: pair explode over the checkpointed word-freq table (corpus never rescanned), count agg + 1-row argmax",
+      "sim_pca_project" -> "PCA projection: learned component inlined as a literal array, one map-only integer-dot pass — no shuffle below the output sort")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanSurvey`. Things to check in each plan:\n")

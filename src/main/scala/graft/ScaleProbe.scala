@@ -253,7 +253,13 @@ object ScaleProbe {
       // 10× MORE baskets of the SAME size must scale ~linearly, the
       // claim that separates this from an all-pairs co-occurrence
       ("basket_pairs", () =>
-        graft.operators.Analytics.marketBasket(spark, dir).count())
+        graft.operators.Analytics.marketBasket(spark, dir).count()),
+      // PCA sufficient statistics + bounded driver iteration: the
+      // corpus pays ONE moment pass (d²/2 integer accumulators,
+      // map-side combined); the matvec rounds touch a 64×64 matrix —
+      // 10× rows must cost ~the scan, never more
+      ("pca_power_iteration", () =>
+        graft.operators.Similarity.pcaTopComponent(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)
