@@ -314,6 +314,35 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(d("removed")._1 === keys.count(k => k % 89 == 0 && k % 97 != 0).toLong)
   }
 
+  test("drift monitor: identical cohorts show exactly zero drift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("driftspec").toString
+    // vec 2i and 2i+1 are identical -> even/odd cohorts have the SAME
+    // integer moment sums -> Welch z is exactly 0 on every dimension
+    val rows = (0 until 100).flatMap { i =>
+      val v = Array.tabulate(64)(d => ((i * 13 + d * 7) % 11 - 5) * 0.1f).toSeq
+      Seq((2L * i, v, 0), (2L * i + 1, v, 1))
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.driftMonitor(spark, dir).collect()
+    assert(out.length === 64)
+    for (r <- out) {
+      assert(r.getDouble(3) === 0.0, s"dim ${r.getLong(0)} z=${r.getDouble(3)}")
+      assert(!r.getBoolean(4))
+    }
+  }
+
+  test("recall@k: per-query recall is n_hits/k and bounded") {
+    val r = Similarity.recallAtK(spark, sf).collect()
+    assert(r.length === 10) // one row per probe query
+    for (row <- r) {
+      val (hits, recall) = (row.getLong(1), row.getDouble(2))
+      assert(hits >= 0 && hits <= 5)
+      assert(recall === hits / 5.0)
+    }
+  }
+
   test("pca: a planted dominant axis is recovered with its variance share") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pcaspec").toString
