@@ -275,7 +275,29 @@ object Extras {
       |       bool_or(value > 99) AS any_near_max
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Ordered string aggregation (the LISTAGG / string_agg family) —
+    * report-building's workhorse. Determinism rule: the engine sorts
+    * the collected array BEFORE joining (collect_list order is
+    * partition-arrival nondeterministic), mirrored by the oracle's
+    * WITHIN-GROUP ORDER BY — an unordered listagg can never be
+    * oracle-checked. */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.nation(spark, dir)
+      .join(graft.Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(", ", sort_array(collect_list(col("n_name")))).as("nations"))
+      .orderBy(col("r_name"))
+
+  val stringAggSql: String =
+    """SELECT r_name, count(*) AS n_nations,
+      |       string_agg(n_name, ', ' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_string_agg" -> (stringAgg _),
     "fn_bool_aggs" -> (boolAggs _),
     "gen_inline" -> (inlineStructs _),
     "fn_try_cast" -> (tryCasts _),
@@ -290,6 +312,7 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_string_agg" -> stringAggSql,
     "fn_bool_aggs" -> boolAggsSql,
     "gen_inline" -> inlineStructsSql,
     "fn_try_cast" -> tryCastsSql,
