@@ -1467,9 +1467,15 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("vq"), (x, i) =>
           when(get(col("sdarr"), i) === 0d, lit(0.0d))
-            .otherwise(round((x.cast("double") - get(col("marr"), i)) / get(col("sdarr"), i), 6)))
+            .otherwise(round((x.cast("double") - get(col("marr"), i)) / get(col("sdarr"), i), 6) + 0.0d))
           .as("zvec"))
-      .orderBy(col("vec_id"))
+      // Harness contract: no top-level ArrayType — the oracle driver
+      // sorts/hashes scalar columns only, so the vector leaves the
+      // engine in long form (vec_id, pos, zval). Generate is a narrow
+      // (map-side) op: the plan stays shuffle-free on the corpus.
+      .select(col("vec_id"), posexplode(col("zvec")).as(Seq("pos0", "zval")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"), col("zval"))
+      .orderBy(col("vec_id"), col("pos"))
   }
 
   val embedStandardizeSql: String =
@@ -1487,11 +1493,11 @@ object Similarity {
        |  GROUP BY pos),
        |sarr AS (
        |  SELECT list(m ORDER BY pos) AS marr, list(sd ORDER BY pos) AS sdarr FROM st)
-       |SELECT vec_id,
-       |       list_transform(range(1, $dim + 1), i ->
-       |         CASE WHEN sdarr[i] = 0 THEN 0.0
-       |              ELSE round((vq[i] - marr[i]) / sdarr[i], 6) END) AS zvec
-       |FROM q, sarr ORDER BY vec_id""".stripMargin
+       |SELECT vec_id, CAST(i AS BIGINT) AS pos,
+       |       CASE WHEN sdarr[i] = 0 THEN 0.0
+       |            ELSE round((vq[i] - marr[i]) / sdarr[i], 6) + 0.0 END AS zval
+       |FROM q, sarr, (SELECT unnest(range(1, $dim + 1)) AS i)
+       |ORDER BY vec_id, pos""".stripMargin
 
   /** Symmetric int8 quantization of the embedding column — the 4×
     * storage/bandwidth cut an embedding store serves from (each double
@@ -1517,7 +1523,15 @@ object Similarity {
               (x, q) => abs(x - q.cast("double") * col("sc"))),
               lit(0.0d), (acc, e) => acc + e) / size(col("v")).cast("double")),
           9).as("mae"))
-      .orderBy(col("vec_id"))
+      // Harness contract: no top-level ArrayType. The codes leave in
+      // long form (vec_id, pos, qval) with the per-vector scale and
+      // audited reconstruction error repeated on each row — still a
+      // map-only plan (Generate is narrow), still shuffle-free.
+      .select(col("vec_id"), col("scale"), col("mae"),
+        posexplode(col("qvec")).as(Seq("pos0", "qval0")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("qval0").cast("long").as("qval"), col("scale"), col("mae"))
+      .orderBy(col("vec_id"), col("pos"))
   }
 
   val embedQuantizeSql: String =
@@ -1530,13 +1544,18 @@ object Similarity {
        |         CASE WHEN sc = 0 THEN list_transform(v, x -> CAST(0 AS INT))
        |              ELSE list_transform(v, x -> CAST(greatest(-127, least(127, round(x / sc))) AS INT))
        |         END AS qvec
-       |  FROM s)
-       |SELECT vec_id, round(sc, 9) AS scale, qvec,
-       |       round(CASE WHEN sc = 0 THEN 0.0
-       |                  ELSE list_sum(list_transform(range(1, $dim + 1),
-       |                         i -> abs(v[i] - CAST(qvec[i] AS DOUBLE) * sc))) /
-       |                       CAST(len(v) AS DOUBLE) END, 9) AS mae
-       |FROM qq ORDER BY vec_id""".stripMargin
+       |  FROM s),
+       |out AS (
+       |  SELECT vec_id, qvec, round(sc, 9) AS scale,
+       |         round(CASE WHEN sc = 0 THEN 0.0
+       |                    ELSE list_sum(list_transform(range(1, $dim + 1),
+       |                           i -> abs(v[i] - CAST(qvec[i] AS DOUBLE) * sc))) /
+       |                         CAST(len(v) AS DOUBLE) END, 9) AS mae
+       |  FROM qq)
+       |SELECT vec_id, CAST(i AS BIGINT) AS pos, CAST(qvec[i] AS BIGINT) AS qval,
+       |       scale, mae
+       |FROM out, (SELECT unnest(range(1, $dim + 1)) AS i)
+       |ORDER BY vec_id, pos""".stripMargin
 
   /** Leave-one-out kNN majority-vote classification over the
     * [[knnGraph]] edges — the standard embedding-quality probe (how

@@ -55,4 +55,24 @@ class RegistrySpec extends SparkSpec {
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("HARNESS CONTRACT: no registered query emits a top-level array/map column") {
+    // The driver's oracle harness sorts and hashes result columns with
+    // pandas; a top-level ArrayType/MapType is unhashable there and
+    // turns the row `err` (round-7 lesson: sim_embed_{standardize,
+    // quantize}). Vector-valued ops must leave the engine in long form
+    // (id, pos, value) or as a delimited string. Analysis only — no
+    // query is executed, but eager model-training stages (bounded
+    // artifacts) do run at sf0.001.
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] => f.name
+        }
+        if (bad.isEmpty) None else Some(s"$name(${bad.mkString(",")})")
+    }
+    assert(offenders.isEmpty, s"array/map-valued outputs: $offenders")
+  }
 }

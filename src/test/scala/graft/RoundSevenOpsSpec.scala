@@ -153,7 +153,7 @@ class RoundSevenOpsSpec extends SparkSpec {
 
   test("standardize: every dimension re-centers to mean 0, std 1") {
     val z = Similarity.embedStandardize(spark, sf)
-      .select(explode(col("zvec")).as("z")).collect().map(_.getDouble(0))
+      .select(col("zval")).collect().map(_.getDouble(0))
     val n = z.length
     val mean = z.sum / n
     val sd = math.sqrt(z.map(x => (x - mean) * (x - mean)).sum / n)
@@ -165,15 +165,16 @@ class RoundSevenOpsSpec extends SparkSpec {
 
   test("quantize: int8 range, scale-bounded reconstruction error") {
     val rows = Similarity.embedQuantize(spark, sf).collect()
-    for (r <- rows) {
-      val scale = r.getDouble(1)
-      val q = r.getSeq[Int](2)
+    val byVec = rows.groupBy(_.getLong(0))
+    for ((_, vrows) <- byVec) {
+      val scale = vrows.head.getDouble(3)
+      val q = vrows.map(_.getLong(2))
       assert(q.forall(v => v >= -127 && v <= 127))
       // symmetric quantization: the per-component error is at most
       // half a step, so the mean abs error is too
-      assert(r.getDouble(3) <= scale / 2 + 1e-9)
+      assert(vrows.head.getDouble(4) <= scale / 2 + 1e-9)
       // the max-magnitude component must hit full scale
-      assert(q.map(math.abs).max === 127 || scale == 0.0)
+      assert(q.map(math.abs).max === 127L || scale == 0.0)
     }
   }
 
