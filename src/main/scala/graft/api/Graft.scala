@@ -623,9 +623,16 @@ object Graft {
     * (filesBefore, filesAfter). Row content is untouched — the spec
     * pins count and content parity.
     *
-    * The swap is two renames on a local FS; on an object store the
-    * production form is a table format's commit (same rewrite plan,
-    * different pointer swing — cf. the CDC sink's `_LATEST`). */
+    * The swap is two renames on a local FS — NOT atomic as a pair:
+    * readers racing the swap can observe `path` absent for the
+    * instant between them. A failed publish (second rename) rolls
+    * the staged original back into place, so no failure mode
+    * strands the data; only the rollback's own rename failing —
+    * a filesystem-level fault — would, and that raises with both
+    * paths named. On an object store the production form is a table
+    * format's commit (same rewrite plan, different pointer swing —
+    * cf. the CDC sink's `_LATEST`), which closes the visibility gap
+    * too. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -649,7 +656,15 @@ object Graft {
     val old = new org.apache.hadoop.fs.Path(path + "__precompact")
     fs.delete(old, true)
     require(fs.rename(p, old), s"compact: could not stage $path aside")
-    require(fs.rename(tmp, p), s"compact: could not publish compacted $path")
+    if (!fs.rename(tmp, p)) {
+      // publish failed with the original staged aside — restore it so
+      // the dataset is never stranded under __precompact
+      val restored = fs.rename(old, p)
+      require(restored,
+        s"compact: publish failed AND restore failed — data is at $old")
+      throw new IllegalStateException(
+        s"compact: could not publish compacted $path (original restored)")
+    }
     fs.delete(old, true)
     (before.size, partFiles(p).size)
   }

@@ -1754,7 +1754,21 @@ object Similarity {
     * covariance CTE in HUGEINT — a differentially-verified PCA. */
   private val pcaIters = 10
 
-  def pcaTopComponent(spark: SparkSession, dir: String): DataFrame = {
+  /** The trained PCA model — (per-pos loadings, explained-variance
+    * ratio) — memoized per (dir, parquetSig) like the IVF/PQ
+    * codebooks, so SERVING ([[pcaProject]]) never pays training
+    * twice: projection is pure map-only on a cached bounded
+    * artifact (dim+1 doubles). */
+  private val pcaModelCache = new CorpusMemo[(Seq[(Long, Double)], Double)]
+
+  private[graft] def pcaModel(spark: SparkSession,
+                              dir: String): (Seq[(Long, Double)], Double) =
+    pcaModelCache.get(dir, "pca", corpusSig(spark, dir)) {
+      computePcaModel(spark, dir)
+    }
+
+  private def computePcaModel(spark: SparkSession,
+                              dir: String): (Seq[(Long, Double)], Double) = {
     val q = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(vecAsDouble(col("embedding")),
@@ -1789,7 +1803,11 @@ object Similarity {
       w = Array.tabulate(dim)(i =>
         (0 until dim).map(j => nMat(i)(j) * v(j)).sum)
       val m = w.map(_.abs).max
-      v = w.map(x => BigInt(Math.round(1e6 * (x.toDouble / m.toDouble))))
+      // HALF_UP (away from zero) to match DuckDB round() — Math.round
+      // is floor(x+0.5) (toward +inf), which diverges on a negative
+      // value landing exactly on .5
+      v = w.map(x => BigInt(BigDecimal(1e6 * (x.toDouble / m.toDouble))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
     }
     val num = (0 until dim).map(i => w(i) * v(i)).sum
     val den = (0 until dim).map(i => v(i) * v(i)).sum
@@ -1797,11 +1815,15 @@ object Similarity {
     val explained = BigDecimal(
       (num.toDouble / den.toDouble) / trace.toDouble)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val loadings = (0 until dim).map(i => (i + 1).toLong ->
+      BigDecimal(v(i).toDouble / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    (loadings, explained)
+  }
+
+  def pcaTopComponent(spark: SparkSession, dir: String): DataFrame = {
+    val (loadings, explained) = pcaModel(spark, dir)
     import spark.implicits._
-    (0 until dim).map(i => (
-        (i + 1).toLong,
-        BigDecimal(v(i).toDouble / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        explained))
+    loadings.map { case (pos, l) => (pos, l, explained) }
       .toDF("pos", "loading", "explained_ratio")
       .orderBy(col("pos"))
   }
@@ -1849,13 +1871,13 @@ object Similarity {
   /** PC1 PROJECTION — the learned component applied back to the
     * corpus: each vector's score along the top principal axis (the
     * whitening/outlier-score primitive). The component is a bounded
-    * model artifact (collected like a codebook) inlined as a literal;
+    * model artifact served from the [[pcaModel]] memo (trained once
+    * per corpus, like the IVF/PQ codebooks) and inlined as a literal;
     * the projection is one map-only pass of EXACT integer dot
     * products (quantized vector × quantized loadings), so engine and
     * oracle agree without any float-sum hazard. */
   def pcaProject(spark: SparkSession, dir: String): DataFrame = {
-    val loadings = pcaTopComponent(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    val loadings = pcaModel(spark, dir)._1.sortBy(_._1)
     val lcol = array(loadings.map(t => lit(Math.round(t._2 * 10000))): _*)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),

@@ -197,7 +197,11 @@ object Windows {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_ns")).as("start_ns"),
         max(col("ts_ns")).as("end_ns"),
-        round(sum(col("value")), 2).as("session_value"))
+        // integer-cents sum: a raw double sum's accumulation order
+        // differs between Spark partitions and DuckDB, and a last-ulp
+        // difference can flip the rounding — cents are order-exact
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100d)
+          .as("session_value"))
       .select(col("user_id"), col("session_idx"), col("n_events"),
         ((col("end_ns") - col("start_ns")) / lit(1000000000L)).cast("long").as("duration_sec"),
         col("session_value"))
@@ -218,7 +222,7 @@ object Windows {
       |  FROM flagged)
       |SELECT user_id, session_idx, count(*) AS n_events,
       |       CAST((max(ts_ns) - min(ts_ns)) // 1000000000 AS BIGINT) AS duration_sec,
-      |       round(sum(value), 2) AS session_value
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS session_value
       |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -521,7 +521,11 @@ object Streams {
     *  - each batch writes a NEW immutable version dir `v=<batchId>`,
     *    then atomically swings the `_LATEST` pointer (temp + rename).
     *    A replayed batch (failure between write and pointer swing)
-    *    rewrites the SAME content to the SAME dir — idempotent.
+    *    rewrites the SAME content to the SAME dir — idempotent. A
+    *    replay AFTER the swing (failure before the checkpoint commit)
+    *    finds `_LATEST` == batchId and short-circuits: the snapshot is
+    *    already committed, and re-running would read v=<batchId> while
+    *    overwriting it.
     *  - `error` states persist as TOMBSTONES in the state (the read
     *    path [[currentView]] filters them). Tombstones make the merge
     *    pure latest-wins on (ts, event_id), which is ASSOCIATIVE —
@@ -546,40 +550,67 @@ object Streams {
     fileArrivals(spark, changeDir, schema, envelope.maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").desc, col("event_id").desc)
-        val src = batch
-          .select(col("user_id"), col("event_type").as("state"), col("value"),
-            col("ts"), col("event_id"))
-          .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-          .drop("__rn")
-          .select(col("user_id").as("s_uid"), col("state").as("s_state"),
-            col("value").as("s_value"), col("ts").as("s_ts"), col("event_id").as("s_eid"))
-        val cur = currentState(spark, stateDir)
-        val newer = col("s_ts") > col("ts") ||
-          (col("s_ts") === col("ts") && col("s_eid") > col("event_id"))
-        val merged = cur.join(src, col("user_id") === col("s_uid"), "full_outer")
-          .select(
-            coalesce(col("user_id"), col("s_uid")).as("user_id"),
-            when(col("user_id").isNull || (col("s_uid").isNotNull && newer),
-              col("s_state")).otherwise(col("state")).as("state"),
-            when(col("user_id").isNull || (col("s_uid").isNotNull && newer),
-              col("s_value")).otherwise(col("value")).as("value"),
-            when(col("user_id").isNull || (col("s_uid").isNotNull && newer),
-              col("s_ts")).otherwise(col("ts")).as("ts"),
-            when(col("user_id").isNull || (col("s_uid").isNotNull && newer),
-              col("s_eid")).otherwise(col("event_id")).as("event_id"))
-        merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
-        val tmp = java.nio.file.Paths.get(s"$stateDir/_LATEST.tmp")
-        java.nio.file.Files.writeString(tmp, batchId.toString)
-        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$stateDir/_LATEST"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        ()
+        cdcCommitBatch(spark, batch, batchId, stateDir)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(envelope.trigger)
       .start()
+  }
+
+  /** One [[cdcUpsertStream]] micro-batch commit: latest-per-key within
+    * the batch, full-outer MERGE with the current snapshot, write the
+    * immutable `v=<batchId>` dir, swing `_LATEST`. Package-visible so
+    * the replay contract is spec-testable without a running stream.
+    *
+    * Replay short-circuit: if `_LATEST` already names this batchId,
+    * the snapshot AND pointer committed before the crash (failure
+    * landed between pointer swing and checkpoint commit). Without
+    * this, the replay would read currentState from v=<batchId> and
+    * then overwrite the very path it is reading — Spark aborts
+    * ("Cannot overwrite a path that is also being read from") and the
+    * stream crash-loops unrecoverably. Skipping is safe because the
+    * content under v=<batchId> is exactly what this replay would
+    * recompute (same input files per the checkpoint's source
+    * offsets). */
+  private[graft] def cdcCommitBatch(spark: SparkSession, batch: DataFrame,
+                                    batchId: Long, stateDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val marker = new java.io.File(s"$stateDir/_LATEST")
+    val alreadyCommitted = marker.exists() && {
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        .trim == batchId.toString
+    }
+    if (!alreadyCommitted) {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val src = batch
+        .select(col("user_id"), col("event_type").as("state"), col("value"),
+          col("ts"), col("event_id"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .drop("__rn")
+        .select(col("user_id").as("s_uid"), col("state").as("s_state"),
+          col("value").as("s_value"), col("ts").as("s_ts"), col("event_id").as("s_eid"))
+      val cur = currentState(spark, stateDir)
+      val newer = col("s_ts") > col("ts") ||
+        (col("s_ts") === col("ts") && col("s_eid") > col("event_id"))
+      val merged = cur.join(src, col("user_id") === col("s_uid"), "full_outer")
+        .select(
+          coalesce(col("user_id"), col("s_uid")).as("user_id"),
+          when(col("user_id").isNull || (col("s_uid").isNotNull && newer),
+            col("s_state")).otherwise(col("state")).as("state"),
+          when(col("user_id").isNull || (col("s_uid").isNotNull && newer),
+            col("s_value")).otherwise(col("value")).as("value"),
+          when(col("user_id").isNull || (col("s_uid").isNotNull && newer),
+            col("s_ts")).otherwise(col("ts")).as("ts"),
+          when(col("user_id").isNull || (col("s_uid").isNotNull && newer),
+            col("s_eid")).otherwise(col("event_id")).as("event_id"))
+      merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+      val tmp = java.nio.file.Paths.get(s"$stateDir/_LATEST.tmp")
+      java.nio.file.Files.writeString(tmp, batchId.toString)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$stateDir/_LATEST"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   /** Bounded twin of [[cdcUpsertStream]]'s fixpoint: the whole change

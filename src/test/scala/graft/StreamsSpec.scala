@@ -550,4 +550,33 @@ class StreamsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
     assert(v0.toSeq === Seq(1L -> "signup", 2L -> "signup"))
   }
+
+  test("streaming CDC upsert: post-swing replay short-circuits instead of crash-looping") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val st = java.nio.file.Files.createTempDirectory("graft_cdc_rp").toString
+    val b0 = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "signup", 1.0),
+      (2L, ts("2024-01-01 10:05:00"), 2L, "signup", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val b1 = Seq((3L, ts("2024-01-01 11:00:00"), 1L, "purchase", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    Streams.cdcCommitBatch(spark, b0, 0L, st)
+    Streams.cdcCommitBatch(spark, b1, 1L, st)
+    val want = Streams.currentState(spark, st)
+      .select(col("user_id"), col("state"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(want === Seq((1L, "purchase", 9.0), (2L, "signup", 2.0)))
+    // The failure mode this pins: the stream crashed AFTER _LATEST
+    // swung to 1 but BEFORE the checkpoint committed, so on restart
+    // foreachBatch re-runs with the SAME batchId. Pre-fix, the merge
+    // read currentState from v=1 and overwrote v=1 in place — Spark
+    // throws "Cannot overwrite a path that is also being read from"
+    // and the stream can never recover. Post-fix it must no-op.
+    Streams.cdcCommitBatch(spark, b1, 1L, st)
+    val got = Streams.currentState(spark, st)
+      .select(col("user_id"), col("state"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got === want)
+    assert(Streams.stateVersions(st) === Seq(0L, 1L))
+  }
 }
