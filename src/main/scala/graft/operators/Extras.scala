@@ -296,7 +296,74 @@ object Extras {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ANSI DecimalType arithmetic — the NUMERIC surface a warehouse ETL
+    * hits immediately (BigQuery NUMERIC ↔ Spark DecimalType): fixed
+    * point cast, exact add/multiply with scale growth (2 → 4 → 6),
+    * fixed-precision SUM/MIN/MAX, HALF_UP rounding back to money
+    * scale, and decimal predicates. Everything stays in decimals end
+    * to end — no float summation anywhere, so engine and oracle agree
+    * digit-for-digit at any partitioning (the property DOUBLE money
+    * can only approximate).
+    *
+    * Parity notes (the reason for each shape):
+    *  - the DOUBLE money columns are 2-decimal at the repr level, so
+    *    CAST(x AS DECIMAL(12,2)) is exact in BOTH engines (Spark casts
+    *    via the shortest repr, DuckDB via the binary expansion — they
+    *    diverge only on >2-decimal doubles near a tie, excluded here);
+    *  - avg() and decimal division are deliberately absent: DuckDB 1.0
+    *    degrades both to DOUBLE, which would reintroduce the float
+    *    hazard this family exists to rule out;
+    *  - both engines round decimals half-AWAY-FROM-ZERO, so the
+    *    round-to-cents column is tie-safe;
+    *  - every output is cast to an explicit DECIMAL(38,s) so the two
+    *    sides serialize the same scale. */
+  def decimalFamily(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(3,2)")
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"),
+      col("l_extendedprice").cast("decimal(12,2)").as("price"),
+      col("l_discount").cast("decimal(12,2)").as("disc"),
+      col("l_tax").cast("decimal(12,2)").as("tax"))
+    li.select(col("l_returnflag"), col("price"),
+        (col("price") * (one - col("disc"))).as("disc_price"),
+        (col("price") * (one - col("disc")) * (one + col("tax"))).as("charge"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("decimal(38,2)").as("sum_price"),
+        min(col("price")).cast("decimal(38,2)").as("min_price"),
+        max(col("price")).cast("decimal(38,2)").as("max_price"),
+        sum(col("disc_price")).cast("decimal(38,4)").as("sum_disc_price"),
+        sum(col("charge")).cast("decimal(38,6)").as("sum_charge"),
+        round(sum(col("charge")), 2).cast("decimal(38,2)").as("sum_charge_r2"),
+        count_if(col("price") > lit(50000).cast("decimal(12,2)")).as("n_big"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val decimalFamilySql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag,
+      |         CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |         CAST(l_discount AS DECIMAL(12,2)) AS disc,
+      |         CAST(l_tax AS DECIMAL(12,2)) AS tax
+      |  FROM lineitem),
+      |x AS (
+      |  SELECT l_returnflag, price,
+      |         price * (CAST(1 AS DECIMAL(3,2)) - disc) AS disc_price,
+      |         price * (CAST(1 AS DECIMAL(3,2)) - disc)
+      |               * (CAST(1 AS DECIMAL(3,2)) + tax) AS charge
+      |  FROM li)
+      |SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(price) AS DECIMAL(38,2)) AS sum_price,
+      |       CAST(min(price) AS DECIMAL(38,2)) AS min_price,
+      |       CAST(max(price) AS DECIMAL(38,2)) AS max_price,
+      |       CAST(sum(disc_price) AS DECIMAL(38,4)) AS sum_disc_price,
+      |       CAST(sum(charge) AS DECIMAL(38,6)) AS sum_charge,
+      |       CAST(round(sum(charge), 2) AS DECIMAL(38,2)) AS sum_charge_r2,
+      |       CAST(count(*) FILTER (WHERE price > CAST(50000 AS DECIMAL(12,2))) AS BIGINT) AS n_big
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_decimal" -> (decimalFamily _),
     "agg_string_agg" -> (stringAgg _),
     "fn_bool_aggs" -> (boolAggs _),
     "gen_inline" -> (inlineStructs _),
@@ -312,6 +379,7 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_decimal" -> decimalFamilySql,
     "agg_string_agg" -> stringAggSql,
     "fn_bool_aggs" -> boolAggsSql,
     "gen_inline" -> inlineStructsSql,

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -638,6 +638,62 @@ object Streams {
       |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Streaming drift gate — observe() metrics vs a reference profile
+  // --------------------------------------------------------------------
+
+  /** One dimension's reference distribution — the bounded model
+    * artifact the streaming drift gate compares each micro-batch
+    * against (trained once from a reference window via
+    * [[dimProfiles]], shipped like a broadcast). */
+  final case class DimProfile(pos: Int, mean: Double, variance: Double, n: Long)
+
+  /** Train reference [[DimProfile]]s from the bounded embeddings table
+    * — exact integer micro-unit moments (the [[graft.operators.Similarity.driftMonitor]]
+    * arithmetic), one conditional agg, dim-bounded output. */
+  def dimProfiles(spark: SparkSession, dir: String, dims: Seq[Int]): Seq[DimProfile] = {
+    val q = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "x")))
+      .select((col("pos0") + 1).as("pos"), round(col("x") * 1000000d).cast("long").as("xq"))
+      .where(col("pos").isin(dims.map(Integer.valueOf): _*))
+      .groupBy(col("pos"))
+      .agg(sum(col("xq")).as("s"), sum(col("xq") * col("xq")).as("q"),
+        count(lit(1)).as("n"))
+      .collect()
+    q.map { r =>
+      val (s, qq, n) = (r.getLong(1).toDouble, r.getLong(2).toDouble, r.getLong(3))
+      DimProfile(r.getInt(0), s / n / 1e6, (qq / n - (s / n) * (s / n)) / 1e12, n)
+    }.sortBy(_.pos)
+  }
+
+  /** Per-micro-batch DRIFT metrics for `observe()` — the streaming
+    * twin of the batch [[graft.operators.Similarity.driftMonitor]]:
+    * each monitored dimension's Welch z between THIS batch and the
+    * reference profile, plus the row count, all computed inside the
+    * batch's own aggregation (zero extra passes — the DQ-gate
+    * pattern [[graft.api.DataQuality.rowCheckAggs]] proved). Alerting
+    * on z > 3 is the caller's policy decision on the reported
+    * numbers, exactly like the DQ gate's violation counts.
+    *
+    * Scale: the observe row is |dims|+1 doubles per micro-batch
+    * regardless of batch size; the moment sums ride the batch's
+    * existing scan as integer micro-units (order-exact). */
+  def driftAggs(ref: Seq[DimProfile], embCol: String = "embedding"): Seq[Column] = {
+    require(ref.nonEmpty, "driftAggs: no reference dimensions")
+    val zs = ref.map { p =>
+      val xq = round(element_at(col(embCol).cast("array<double>"), p.pos) * 1000000d)
+        .cast("long")
+      val s = sum(xq).cast("double")
+      val q = sum(xq * xq).cast("double")
+      val n = count(lit(1)).cast("double")
+      val mb = s / n / 1e6
+      val vb = (q / n - (s / n) * (s / n)) / 1e12
+      val z = abs(mb - lit(p.mean)) / sqrt(vb / n + lit(p.variance / p.n))
+      round(z, 4).as(s"z_dim_${p.pos}")
+    }
+    count(lit(1)).as("n_rows") +: zs
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_cdc_upsert_batch" -> (cdcUpsertBatch _),

@@ -551,6 +551,46 @@ class StreamsSpec extends SparkSpec {
     assert(v0.toSeq === Seq(1L -> "signup", 2L -> "signup"))
   }
 
+  test("streaming drift gate: observe() reports per-batch Welch z vs the reference profile") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // reference profile trained from the bounded embeddings table —
+    // the bounded model artifact the stream compares against
+    val dims = Seq(1, 2, 3)
+    val ref = Streams.dimProfiles(spark, sf, dims)
+    assert(ref.map(_.pos) === dims)
+    // batch 1: vectors drawn AT the reference means → z ≈ 0 for every
+    // monitored dim; batch 2: dim 1 shifted far out → big z there only
+    val dim = 64
+    def mkVec(id: Long, shift1: Double): Vec = Vec(id,
+      (1 to dim).map(p => (ref.find(_.pos == p).map(_.mean).getOrElse(0.0)
+        + (if (p == 1) shift1 else 0.0)).toFloat))
+    val mem = MemoryStream[Vec]
+    mem.addData((1L to 50L).map(i => mkVec(i, 0.0)): _*)
+    val gated = mem.toDF().observe("drift",
+      Streams.driftAggs(ref).head, Streams.driftAggs(ref).tail: _*)
+    val q = gated.writeStream.format("memory").queryName("t_drift_gate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData((51L to 100L).map(i => mkVec(i, 5.0)): _*)
+      q.processAllAvailable()
+      val rows = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("drift"))).toSeq
+      assert(rows.nonEmpty, "no observed drift metrics in progress")
+      val calm = rows.head
+      val drifted = rows.last
+      assert(calm.getAs[Long]("n_rows") === 50L)
+      // identical-to-reference batch: all monitored dims quiet
+      for (p <- dims) assert(calm.getAs[Double](s"z_dim_$p") < 3.0,
+        s"dim $p flagged on the calm batch")
+      // shifted batch: ONLY dim 1 crosses the 3-sigma line
+      assert(drifted.getAs[Double]("z_dim_1") > 3.0, "shift not detected")
+      for (p <- dims.drop(1)) assert(drifted.getAs[Double](s"z_dim_$p") < 3.0,
+        s"dim $p false-flagged")
+    } finally q.stop()
+  }
+
   test("streaming CDC upsert: post-swing replay short-circuits instead of crash-looping") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
