@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregation family (SURVEY.md §2.4 — all EXT).
@@ -523,7 +523,123 @@ object Aggregations {
       |       round(CAST(max(c) AS DOUBLE) * count(*) / CAST(sum(c) AS DOUBLE), 4) AS skew_factor
       |FROM (SELECT user_id, count(*) AS c FROM events GROUP BY 1)""".stripMargin
 
+  /** Two-cohort A/B TEST readout — the experiment-analysis primitive:
+    * cohorts split deterministically (even/odd user_id stands in for
+    * the assignment hash), conversion = reaching a purchase event.
+    * ONE conditional aggregation over the stream computes both
+    * cohorts' exact integer counts and cents moments (the
+    * [[graft.operators.Similarity.driftMonitor]] one-pass pattern),
+    * then the two standard tests evaluate on the driver-free 1-row
+    * output: pooled two-proportion z for conversion, Welch z for
+    * revenue-per-event. All inputs to the float formulas are exact
+    * integers, so both engines compute identical doubles. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select((pmod(col("user_id"), lit(2)) === 0).as("a"),
+        (col("event_type") === "purchase").cast("long").as("conv"),
+        round(col("value") * 100).cast("long").as("cents"))
+    def s(cond: Column, e: Column) = sum(when(cond, e).otherwise(lit(0L)))
+    val m = ev.agg(
+      sum(col("a").cast("long")).as("na"),
+      sum((!col("a")).cast("long")).as("nb"),
+      s(col("a"), col("conv")).as("ca"),
+      s(!col("a"), col("conv")).as("cb"),
+      s(col("a"), col("cents")).as("sa"),
+      s(!col("a"), col("cents")).as("sb"),
+      s(col("a"), col("cents") * col("cents")).as("qa"),
+      s(!col("a"), col("cents") * col("cents")).as("qb"))
+    def d(c: String) = col(c).cast("double")
+    val pa = d("ca") / d("na")
+    val pb = d("cb") / d("nb")
+    val pPool = (d("ca") + d("cb")) / (d("na") + d("nb"))
+    val zProp = abs(pa - pb) /
+      sqrt(pPool * (lit(1.0d) - pPool) * (lit(1.0d) / d("na") + lit(1.0d) / d("nb")))
+    val ma = d("sa") / d("na")
+    val mb = d("sb") / d("nb")
+    val va = d("qa") / d("na") - ma * ma
+    val vb = d("qb") / d("nb") - mb * mb
+    val zMean = abs(ma - mb) / sqrt(va / d("na") + vb / d("nb"))
+    m.select(col("na"), col("nb"), col("ca").as("conv_a"), col("cb").as("conv_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round(zProp, 4).as("z_conversion"),
+      round(ma / 100d, 4).as("mean_value_a"),
+      round(mb / 100d, 4).as("mean_value_b"),
+      round(zMean, 4).as("z_value"),
+      (zProp > 1.96d).as("conversion_significant"))
+  }
+
+  val abTestSql: String =
+    """WITH ev AS (
+      |  SELECT user_id % 2 = 0 AS a,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (
+      |  SELECT CAST(count(*) FILTER (WHERE a) AS BIGINT) AS na,
+      |         CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS nb,
+      |         CAST(coalesce(sum(conv) FILTER (WHERE a), 0) AS BIGINT) AS ca,
+      |         CAST(coalesce(sum(conv) FILTER (WHERE NOT a), 0) AS BIGINT) AS cb,
+      |         CAST(coalesce(sum(cents) FILTER (WHERE a), 0) AS BIGINT) AS sa,
+      |         CAST(coalesce(sum(cents) FILTER (WHERE NOT a), 0) AS BIGINT) AS sb,
+      |         CAST(coalesce(sum(cents * cents) FILTER (WHERE a), 0) AS BIGINT) AS qa,
+      |         CAST(coalesce(sum(cents * cents) FILTER (WHERE NOT a), 0) AS BIGINT) AS qb
+      |  FROM ev)
+      |SELECT na, nb, ca AS conv_a, cb AS conv_b,
+      |       round(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+      |       round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+      |       round(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) /
+      |             sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) *
+      |                  (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) *
+      |                  (1.0 / na + 1.0 / nb)), 4) AS z_conversion,
+      |       round(CAST(sa AS DOUBLE) / na / 100, 4) AS mean_value_a,
+      |       round(CAST(sb AS DOUBLE) / nb / 100, 4) AS mean_value_b,
+      |       round(abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+      |             sqrt((CAST(qa AS DOUBLE) / na -
+      |                   (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na)) / na +
+      |                  (CAST(qb AS DOUBLE) / nb -
+      |                   (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb)) / nb), 4) AS z_value,
+      |       abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) /
+      |         sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) *
+      |              (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) *
+      |              (1.0 / na + 1.0 / nb)) > 1.96 AS conversion_significant
+      |FROM m""".stripMargin
+
+  /** EQUI-DEPTH histogram (the planner-statistics sibling of the
+    * equi-width [[histogram]]): ntile(10) over the cents-quantized
+    * total order (ties broken by the key, so the tiling is
+    * deterministic in both engines), then per-bucket population and
+    * exact bounds. At 100 TB the production form samples or uses a
+    * quantile sketch; the exact tiling here is the ground truth such
+    * a sketch is audited against. One range-partitioned sort — the
+    * same cost class as any global percentile. */
+  def histogramEqDepth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cents"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (min(col("cents")).cast("double") / 100d).as("lo"),
+        (max(col("cents")).cast("double") / 100d).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val histogramEqDepthSql: String =
+    """SELECT bucket, count(*) AS n,
+      |       CAST(min(cents) AS DOUBLE) / 100 AS lo,
+      |       CAST(max(cents) AS DOUBLE) / 100 AS hi
+      |FROM (SELECT CAST(ntile(10) OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS bucket,
+      |             cents
+      |      FROM (SELECT o_orderkey,
+      |                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |            FROM orders))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ab_test" -> (abTest _),
+    "agg_histogram_eqdepth" -> (histogramEqDepth _),
     "agg_skew_diag" -> (skewDiag _),
     "agg_linreg" -> (linReg _),
     "agg_mode" -> (modePerGroup _),
@@ -543,6 +659,8 @@ object Aggregations {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_ab_test" -> abTestSql,
+    "agg_histogram_eqdepth" -> histogramEqDepthSql,
     "agg_skew_diag" -> skewDiagSql,
     "agg_linreg" -> linRegSql,
     "agg_mode" -> modePerGroupSql,

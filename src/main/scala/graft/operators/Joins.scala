@@ -231,6 +231,52 @@ object Joins {
       |  AND epoch_ns(f.ts) <= epoch_ns(err.ts) + 3600000000000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** GRID-BUCKETED interval join — the scale-safe form of a range
+    * join with NO equi key (here: purchases falling inside ANY error
+    * event's 30-minute incident window, across all users). The naive
+    * plan is a nested-loop O(N·M) scan; the grid trick turns it into
+    * ONE equi shuffle: time is cut into fixed cells the width of the
+    * interval, each interval explodes to the ≤2 cells it can overlap,
+    * each point maps to exactly its own cell, and the join key is the
+    * cell — the residual containment predicate then filters exactly.
+    * A (window, point) pair can only meet in the point's single cell,
+    * so no dedup pass is needed. At 100 TB the pair fan-out is
+    * bounded by cell population × interval count per cell (the same
+    * audited-bounds shape as the LSH band buckets), and the plan is a
+    * plain shuffled hash join — never BNLJ (plan-asserted in
+    * ScaleSpec). */
+  def gridRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cellNs = 1800L * 1000 * 1000 * 1000
+    val ev = Tables.events(spark, dir)
+    val win = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts_ns").as("s"),
+        (col("ts_ns") + lit(cellNs)).as("e"))
+    // `div` (integer division) — a double `/` would round-trip an
+    // ~1e18 nanos value through a 53-bit mantissa and misplace cells
+    val winCells = win.select(col("err_id"), col("s"), col("e"),
+      explode(sequence(expr(s"s div ${cellNs}L"), expr(s"e div ${cellNs}L"))).as("cell"))
+    val pts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts_ns").as("t"), col("value"),
+        expr(s"ts_ns div ${cellNs}L").as("cell"))
+    winCells.join(pts, "cell")
+      .where(col("t") > col("s") && col("t") <= col("e"))
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100d)
+          .as("value_sum"))
+      .orderBy(col("err_id"))
+  }
+
+  val gridRangeJoinSql: String =
+    """SELECT err.event_id AS err_id, count(*) AS n_purchases,
+      |       CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
+      |FROM (SELECT event_id, epoch_ns(ts) AS s, epoch_ns(ts) + 1800000000000 AS e
+      |      FROM events WHERE event_type = 'error') err
+      |JOIN (SELECT event_id, epoch_ns(ts) AS t, value
+      |      FROM events WHERE event_type = 'purchase') p
+      |  ON p.t > err.s AND p.t <= err.e
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** As-of join, CORRECTNESS-BASELINE formulation (equi-join on the
     * key + window argmax): each event matched to the same user's
     * latest order at-or-before the event time.
@@ -652,6 +698,7 @@ object Joins {
     "join_full_outer" -> (fullOuterNation _),
     "join_theta_pairs" -> (thetaRegionPairs _),
     "join_range_events" -> (rangeJoinEvents _),
+    "join_range_grid" -> (gridRangeJoin _),
     "join_asof" -> (asofJoin _),
     "join_asof_merge" -> (asofJoinMerge _),
     "join_asof_forward" -> (asofJoinForward _),
@@ -674,6 +721,7 @@ object Joins {
     "join_full_outer" -> fullOuterNationSql,
     "join_theta_pairs" -> thetaRegionPairsSql,
     "join_range_events" -> rangeJoinEventsSql,
+    "join_range_grid" -> gridRangeJoinSql,
     "join_asof" -> asofJoinSql,
     "join_asof_merge" -> asofJoinSql,
     "join_asof_forward" -> asofJoinForwardSql,

@@ -1557,6 +1557,180 @@ object Similarity {
        |FROM out, (SELECT unnest(range(1, $dim + 1)) AS i)
        |ORDER BY vec_id, pos""".stripMargin
 
+  /** MaxSim (group-max) retrieval — the multi-vector scoring shape
+    * (ColBERT/entity-level search): each LABEL is an entity whose
+    * member vectors all represent it, and a query's score for the
+    * entity is the MAX cosine over its members — one strong member
+    * suffices. Plan: broadcast-Q × corpus scan (the exact-serving
+    * shape [[mipsTopK]] uses), then a (query, label) max — the
+    * compact-key aggregation absorbs the per-member fan-in BEFORE the
+    * rank window, so the shuffle carries |Q|·|labels| rows, not
+    * |Q|·N. Max over an identical double set is order-independent —
+    * engine/oracle-exact without quantization. */
+  def maxSimTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", vecAsDouble(col("embedding")))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), norm(col("v")).as("qn"))
+    val cand = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      col("v"), norm(col("v")).as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxcos").desc, col("label"))
+    broadcast(q).join(cand, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (col("qn") * col("cn")))
+      .groupBy(col("query_id"), col("label"))
+      .agg(max(col("cos_raw")).as("maxcos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("label"),
+        round(col("maxcos"), 6).as("max_cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val maxSimTopKSql: String =
+    s"""SELECT query_id, rank, label, max_cosine
+       |FROM (
+       |  SELECT query_id, label, round(maxcos, 6) AS max_cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY maxcos DESC, label) AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, CAST(c.label AS BIGINT) AS label,
+       |           max(${dotSql("q.v", "c.v")} / (${normSql("q.v")} * ${normSql("c.v")})) AS maxcos
+       |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |          FROM embeddings WHERE vec_id < $nQueries) q
+       |    JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) c
+       |      ON q.vec_id <> c.vec_id
+       |    GROUP BY 1, 2))
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Retrieval-quality AUDIT (MRR / nDCG@k) — the ranking metrics a
+    * serving stack is actually graded on, computed in-engine over the
+    * exact top-k with label-match relevance (same-label = relevant,
+    * the convention the kNN-classify probe uses). Determinism: the
+    * 1/log2(rank+1) discount weights are INTEGER MICRO-UNIT LITERALS
+    * generated once in Scala and inlined into BOTH the engine plan
+    * and the oracle SQL — no libm call happens in either engine, so
+    * DCG sums are exact integers and nDCG is one final division.
+    * Per-query-bounded state: k weights, one row out per query. */
+  private val dcgWeightMicro: IndexedSeq[Long] =
+    (1 to topK).map(r => Math.round(1e6 * Math.log(2) / Math.log(r + 1.0)))
+
+  def retrievalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val wcol = (2 to topK).foldLeft(
+      when(col("rank") === 1, lit(dcgWeightMicro(0)))) { (acc, r) =>
+      acc.when(col("rank") === r, lit(dcgWeightMicro(r - 1)))
+    }
+    val idcgCum = dcgWeightMicro.scanLeft(0L)(_ + _) // idcgCum(n) = Σ first n weights
+    val idcgCol = (1 to topK).foldLeft(when(col("n_rel") === 0, lit(0L))) { (acc, n) =>
+      acc.when(col("n_rel") === n, lit(idcgCum(n)))
+    }
+    bruteForceTopK(spark, dir)
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlab"))), "query_id")
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlab"))), "neighbor_id")
+      .withColumn("rel", (col("qlab") === col("nlab")).cast("long"))
+      .withColumn("wq", wcol)
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("n_rel"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+        sum(col("rel") * col("wq")).as("dcg_micro"))
+      .withColumn("idcg_micro", idcgCol)
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("first_rel"), lit(0L)).as("first_rel_rank"),
+        round(when(col("first_rel").isNull, lit(0.0d))
+          .otherwise(lit(1.0d) / col("first_rel")), 6).as("mrr"),
+        round(when(col("n_rel") === 0, lit(0.0d))
+          .otherwise(col("dcg_micro").cast("double") / col("idcg_micro")), 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  val retrievalMetricsSql: String = {
+    val wRows = (1 to topK).map(r => s"($r, ${dcgWeightMicro(r - 1)})").mkString(", ")
+    val idcgCum = dcgWeightMicro.scanLeft(0L)(_ + _)
+    val iRows = (0 to topK).map(n => s"($n, ${idcgCum(n)})").mkString(", ")
+    s"""WITH tk AS ($bruteForceTopKSql),
+       |wt(rank, wq) AS (VALUES $wRows),
+       |idcg(n_rel, idcg_micro) AS (VALUES $iRows),
+       |rel AS (
+       |  SELECT t.query_id, t.rank, w.wq,
+       |         CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+       |  FROM tk t
+       |  JOIN wt w ON w.rank = t.rank
+       |  JOIN embeddings ql ON ql.vec_id = t.query_id
+       |  JOIN embeddings nl ON nl.vec_id = t.neighbor_id),
+       |agg AS (
+       |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+       |         min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+       |         CAST(coalesce(sum(rel * wq), 0) AS BIGINT) AS dcg_micro
+       |  FROM rel GROUP BY 1)
+       |SELECT a.query_id, a.n_rel,
+       |       CAST(coalesce(a.first_rel, 0) AS BIGINT) AS first_rel_rank,
+       |       round(CASE WHEN a.first_rel IS NULL THEN 0.0
+       |                  ELSE 1.0 / a.first_rel END, 6) AS mrr,
+       |       round(CASE WHEN a.n_rel = 0 THEN 0.0
+       |                  ELSE CAST(a.dcg_micro AS DOUBLE) / i.idcg_micro END, 6) AS ndcg
+       |FROM agg a JOIN idcg i ON i.n_rel = a.n_rel
+       |ORDER BY a.query_id""".stripMargin
+  }
+
+  /** Johnson–Lindenstrauss RANDOM PROJECTION to [[rpK]] dims — the
+    * cheap dimensionality cut that preserves pairwise distances in
+    * expectation (the pre-pass before clustering / ANN when 64 dims
+    * is already too many bytes at 100 TB). The projection matrix is a
+    * ±1 sign matrix derived from md5(i:j) — a DETERMINISTIC model
+    * artifact both engines can re-derive, inlined as a literal on the
+    * engine side (512 longs) and rebuilt as a CTE by the oracle.
+    * Arithmetic is exact integer micro-units end to end (quantized
+    * input × ±1 signs summed as longs — order-independent), so the
+    * map-only pass is bit-identical in both engines. Output follows
+    * the long-form contract (vec_id, pos, yval). */
+  private val rpK = 8
+
+  private def rpSign(i: Int, j: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+  }
+
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(vecAsDouble(col("embedding")),
+          x => round(x * 10000d).cast("long")).as("xq"))
+    val ys = array((1 to rpK).map { j =>
+      (1 to dim).map(i => element_at(col("xq"), i) * lit(rpSign(i, j)))
+        .reduce(_ + _)
+    }: _*)
+    q.select(col("vec_id"), posexplode(ys).as(Seq("pos0", "y")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        round(col("y").cast("double") / 10000d, 4).as("yval"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
+  val randomProjectionSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(round(x * 10000) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, unnest(xq) AS x, generate_subscripts(xq, 1) AS i FROM q),
+       |sgn AS (
+       |  SELECT i, j,
+       |         CASE WHEN substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)
+       |                IN ('0','2','4','6','8','a','c','e')
+       |              THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(range(1, $dim + 1)) AS i),
+       |       (SELECT unnest(range(1, $rpK + 1)) AS j))
+       |SELECT e.vec_id, CAST(g.j AS BIGINT) AS pos,
+       |       round(CAST(sum(e.x * g.s) AS DOUBLE) / 10000, 4) AS yval
+       |FROM ex e JOIN sgn g ON e.i = g.i
+       |GROUP BY 1, 2 ORDER BY vec_id, pos""".stripMargin
+
   /** Leave-one-out kNN majority-vote classification over the
     * [[knnGraph]] edges — the standard embedding-quality probe (how
     * well do labels cluster in the space?). Inherits the graph's
@@ -1911,6 +2085,9 @@ object Similarity {
     "sim_recall_at_k" -> (recallAtK _),
     "sim_embed_standardize" -> (embedStandardize _),
     "sim_embed_quantize" -> (embedQuantize _),
+    "sim_random_projection" -> (randomProjection _),
+    "sim_maxsim_topk" -> (maxSimTopK _),
+    "sim_retrieval_metrics" -> (retrievalMetrics _),
     "sim_knn_classify" -> (knnClassify _),
     "sim_label_centroid" -> (labelCentroid _),
     "sim_pq_topk" -> (pqTopK _),
@@ -1939,6 +2116,9 @@ object Similarity {
     "sim_recall_at_k" -> recallAtKSql,
     "sim_embed_standardize" -> embedStandardizeSql,
     "sim_embed_quantize" -> embedQuantizeSql,
+    "sim_random_projection" -> randomProjectionSql,
+    "sim_maxsim_topk" -> maxSimTopKSql,
+    "sim_retrieval_metrics" -> retrievalMetricsSql,
     "sim_knn_classify" -> knnClassifySql,
     "sim_label_centroid" -> labelCentroidSql,
     "sim_pq_topk" -> pqTopKSql,

@@ -103,6 +103,65 @@ object WarehouseEtl {
       |FROM changes
       |ORDER BY user_id, valid_from, state""".stripMargin
 
+  /** SCD2 POINT-IN-TIME LOOKUP — the consumption side of
+    * [[scd2Build]]: each fact row (purchases, here) enriched with the
+    * dimension state that was valid AT ITS TIMESTAMP, the query every
+    * SCD2 dimension exists to answer. The join is EQUI on the entity
+    * key with the interval containment as a residual predicate — per
+    * key the dimension holds one row per state CHANGE (not per
+    * event), so the residual scans a short bounded list; at 100 TB
+    * this is one co-partitioned shuffle on user_id (and in a real
+    * star schema the dim side usually broadcasts). Interval math in
+    * exact integer nanos; the half-open [valid_from, valid_to) intervals
+    * partition each entity's timeline, so every fact matches exactly
+    * one version (spec-pinned). */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val dim = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type").as("state"))
+      .withColumn("__prev", lag(col("state"), 1).over(order))
+      .where(col("__prev").isNull || col("__prev") =!= col("state"))
+      .withColumn("valid_to_ns", lead(col("ts_ns"), 1).over(order))
+      .select(col("user_id").as("d_uid"), col("state"),
+        col("ts_ns").as("valid_from_ns"), col("valid_to_ns"))
+    val facts = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+    facts.join(dim, col("user_id") === col("d_uid") &&
+        col("ts_ns") >= col("valid_from_ns") &&
+        (col("valid_to_ns").isNull || col("ts_ns") < col("valid_to_ns")))
+      .select(col("event_id"), col("user_id"),
+        col("state").as("state_at_fact"),
+        round(col("value"), 2).as("value"),
+        col("valid_to_ns").isNull.as("from_current_version"))
+      .orderBy(col("event_id"))
+  }
+
+  val scd2LookupSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type AS state,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_ns(ts), event_id) AS prev
+      |  FROM events),
+      |dim AS (
+      |  SELECT user_id AS d_uid, state, ts_ns AS valid_from_ns,
+      |         lead(ts_ns) OVER (PARTITION BY user_id
+      |           ORDER BY ts_ns, event_id) AS valid_to_ns
+      |  FROM ordered WHERE prev IS NULL OR prev <> state),
+      |facts AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, d.state AS state_at_fact,
+      |       round(f.value, 2) AS value,
+      |       d.valid_to_ns IS NULL AS from_current_version
+      |FROM facts f JOIN dim d
+      |  ON f.user_id = d.d_uid
+      |  AND f.ts_ns >= d.valid_from_ns
+      |  AND (d.valid_to_ns IS NULL OR f.ts_ns < d.valid_to_ns)
+      |ORDER BY f.event_id""".stripMargin
+
   /** Declarative data-quality verification (the Deequ pattern): a
     * fixed suite of constraint checks over the landed `orders` table,
     * each reported as (check, violations, pass). The reference's own
@@ -371,6 +430,7 @@ object WarehouseEtl {
     "etl_snapshot_diff" -> (snapshotDiff _),
     "etl_cdc_latest" -> (cdcLatest _),
     "etl_scd2" -> (scd2Build _),
+    "etl_scd2_lookup" -> (scd2Lookup _),
     "etl_dq_checks" -> (dqChecks _),
     "etl_incremental_agg" -> (incrementalAgg _),
     "etl_merge_upsert" -> (mergeUpsert _)
@@ -381,6 +441,7 @@ object WarehouseEtl {
     "etl_snapshot_diff" -> snapshotDiffSql,
     "etl_cdc_latest" -> cdcLatestSql,
     "etl_scd2" -> scd2BuildSql,
+    "etl_scd2_lookup" -> scd2LookupSql,
     "etl_dq_checks" -> dqChecksSql,
     "etl_incremental_agg" -> incrementalAggSql,
     "etl_merge_upsert" -> mergeUpsertSql

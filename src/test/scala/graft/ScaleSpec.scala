@@ -213,6 +213,17 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("grid range join stays an equi join on the time cell (never BNLJ)") {
+    // the keyless interval join's whole point: the grid cell turns a
+    // nested-loop O(N*M) range predicate into one equi shuffle with a
+    // residual filter — pin that no plan change degrades it back
+    val df = graft.operators.Joins.gridRangeJoin(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("incremental dedup probes the index with an equi join; corpus aggregates before the join") {
     // the batch-vs-index shape: the standing corpus must reach the
     // probe join as one pre-aggregated row per signature (build side
