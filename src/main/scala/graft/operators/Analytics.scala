@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Canonical TPC-H-flavored analytics adapted to the driver's star
@@ -386,8 +387,70 @@ object Analytics {
       |CROSS JOIN n
       |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin
 
+  /** Item-item COLLABORATIVE FILTERING — the "users who bought X also
+    * bought Y" recommender table: cosine similarity on the basket
+    * co-occurrence matrix, cos(i,j) = n_both / √(f_i·f_j). Same
+    * basket-bounded pair join as [[marketBasket]] (b(b−1)/2 per
+    * order), with the min-co-occurrence prune (≥ 2) applied BEFORE
+    * the frequency join so the stats join only carries surviving
+    * pairs. Cosine divides exact BIGINT counts through one sqrt —
+    * identical doubles in both engines. Top-3 neighbors per item via
+    * the WindowGroupLimit rank (partial per-partition pruning). */
+  def itemCf(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val pairs = a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    val sym = pairs.unionByName(
+      pairs.select(col("pb").as("pa"), col("pa").as("pb"), col("n_both")))
+    val w = Window.partitionBy(col("item")).orderBy(col("cos_raw").desc, col("neighbor"))
+    sym
+      .join(freq.select(col("l_partkey").as("pa"), col("cnt").as("fa")), "pa")
+      .join(freq.select(col("l_partkey").as("pb"), col("cnt").as("fb")), "pb")
+      .select(col("pa").as("item"), col("pb").as("neighbor"), col("n_both"),
+        (col("n_both").cast("double") /
+          sqrt(col("fa").cast("double") * col("fb"))).as("cos_raw"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("item"), col("rank"), col("neighbor"), col("n_both"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("item"), col("rank"))
+  }
+
+  val itemCfSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |freq AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_both
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (
+      |  SELECT pa, pb, n_both FROM pairs
+      |  UNION ALL
+      |  SELECT pb, pa, n_both FROM pairs),
+      |scored AS (
+      |  SELECT s.pa AS item, s.pb AS neighbor, s.n_both,
+      |         CAST(s.n_both AS DOUBLE) /
+      |           sqrt(CAST(fa.cnt AS DOUBLE) * fb.cnt) AS cos_raw
+      |  FROM sym s
+      |  JOIN freq fa ON s.pa = fa.l_partkey
+      |  JOIN freq fb ON s.pb = fb.l_partkey)
+      |SELECT item, rank, neighbor, n_both, round(cos_raw, 6) AS cosine
+      |FROM (SELECT item, neighbor, n_both, cos_raw,
+      |             CAST(row_number() OVER (PARTITION BY item
+      |               ORDER BY cos_raw DESC, neighbor) AS BIGINT) AS rank
+      |      FROM scored)
+      |WHERE rank <= 3 ORDER BY item, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_market_basket" -> (marketBasket _),
+    "q_item_cf" -> (itemCf _),
     "q10_returned_customers" -> (returnedRevenue _),
     "q3_shipping_priority" -> (shippingPriority _),
     "q5_local_supplier_volume" -> (localSupplierVolume _),
@@ -402,6 +465,7 @@ object Analytics {
 
   def oracle: Map[String, String] = Map(
     "q_market_basket" -> marketBasketSql,
+    "q_item_cf" -> itemCfSql,
     "q10_returned_customers" -> returnedRevenueSql,
     "q3_shipping_priority" -> shippingPrioritySql,
     "q5_local_supplier_volume" -> localSupplierVolumeSql,

@@ -1383,7 +1383,91 @@ object CorpusOps {
       |  WHERE len(t) >= 5)
       |ORDER BY doc_id""".stripMargin
 
+  /** NEGATIVE SAMPLING (word2vec-style, unigram^0.75) — per document,
+    * [[negK]] deterministic draws from the corpus unigram distribution
+    * raised to 3/4 (the standard smoothing that up-weights the tail).
+    * Three determinism tricks make it differential-oracle-checkable:
+    *  - freq^0.75 is computed as sqrt(sqrt(freq³)) — freq³ is an
+    *    exact-in-double integer and IEEE sqrt is correctly rounded, so
+    *    BOTH engines produce bit-identical weights (no libm pow);
+    *  - the CDF is an integer cumsum of micro-quantized weights in
+    *    term order — exact, order-fixed;
+    *  - each draw is md5(doc_id:slot) mod W — reproducible from ids.
+    * The inverse-CDF lookup uses the SAME grid trick as
+    * [[graft.operators.Joins.gridRangeJoin]]: CDF intervals explode to
+    * the weight-axis cells they cover, draws map to one cell, the
+    * lookup is an equi join + residual — never a nested loop. The
+    * vocabulary is capped to the top [[negVocab]] terms (freq desc —
+    * the head carries almost all unigram mass), a bounded broadcast
+    * model artifact like every codebook here. */
+  private val negK = 4
+  private val negVocab = 1024
+  private val negGrid = 256
+
+  def negativeSamples(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select(explode(toks(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val wv = Window.orderBy(col("freq").desc, col("term"))
+    val vocab = tf.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= negVocab).drop("rn")
+      .withColumn("wq",
+        round(sqrt(sqrt(col("freq") * col("freq") * col("freq"))) * 1000).cast("long"))
+    val wc = Window.orderBy(col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = vocab.withColumn("hi", sum(col("wq")).over(wc))
+      .withColumn("lo", col("hi") - col("wq"))
+    val total = cdf.agg(max(col("hi")).as("w_total"))
+    val cellW = expr(s"w_total div $negGrid + 1")
+    val cdfCells = cdf.crossJoin(broadcast(total))
+      .select(col("term"), col("freq"), col("lo"), col("hi"),
+        explode(sequence(col("lo").divide(cellW).cast("long"),
+          (col("hi") - 1).divide(cellW).cast("long"))).as("cell"))
+    val draws = docs.select(col("doc_id"))
+      .select(col("doc_id"), explode(sequence(lit(1), lit(negK))).as("slot"))
+      .crossJoin(broadcast(total))
+      .withColumn("u", pmod(graft.api.Graft.idHash(
+        concat(col("doc_id").cast("string"), lit(":"), col("slot").cast("string"))),
+        col("w_total")))
+      .withColumn("cell", col("u").divide(cellW).cast("long"))
+    draws.join(cdfCells, "cell")
+      .where(col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col("doc_id"), col("slot").cast("long").as("slot"),
+        col("term").as("neg_term"), col("freq").as("term_freq"))
+      .orderBy(col("doc_id"), col("slot"))
+  }
+
+  val negativeSamplesSql: String =
+    s"""WITH tf AS (
+       |  SELECT t AS term, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |  GROUP BY 1),
+       |vocab AS (
+       |  SELECT term, freq,
+       |         CAST(round(sqrt(sqrt(CAST(freq AS DOUBLE) * freq * freq)) * 1000) AS BIGINT) AS wq
+       |  FROM (SELECT term, freq,
+       |               row_number() OVER (ORDER BY freq DESC, term) AS rn
+       |        FROM tf)
+       |  WHERE rn <= $negVocab),
+       |cdf AS (
+       |  SELECT term, freq, wq,
+       |         CAST(sum(wq) OVER (ORDER BY term
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+       |  FROM vocab),
+       |tot AS (SELECT max(hi) AS w_total FROM cdf),
+       |draws AS (
+       |  SELECT doc_id, slot,
+       |         ${"('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(slot AS VARCHAR)), 1, 8))::BIGINT"}
+       |           % w_total AS u
+       |  FROM documents, (SELECT unnest(range(1, $negK + 1)) AS slot), tot)
+       |SELECT d.doc_id, CAST(d.slot AS BIGINT) AS slot,
+       |       c.term AS neg_term, c.freq AS term_freq
+       |FROM draws d JOIN cdf c ON d.u >= c.hi - c.wq AND d.u < c.hi
+       |ORDER BY d.doc_id, d.slot""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_negative_samples" -> (negativeSamples _),
     "corpus_instruction_pairs" -> (instructionPairs _),
     "corpus_domain_cap" -> (domainCap _),
     "corpus_span_corrupt" -> (spanCorrupt _),
@@ -1416,6 +1500,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_negative_samples" -> negativeSamplesSql,
     "corpus_instruction_pairs" -> instructionPairsSql,
     "corpus_domain_cap" -> domainCapSql,
     "corpus_bpe_e2e" -> bpeE2eSql,

@@ -193,6 +193,63 @@ object GraphOps {
       |       CAST(round(3.0 * 1e6 * n_triangles / n_wedges) AS BIGINT) AS clustering_micro
       |FROM tri CROSS JOIN ne CROSS JOIN w""".stripMargin
 
+  /** k-CORE decomposition (k=2, fixed synchronous peel rounds) over
+    * the fuzzy-name graph — the density filter that strips pendant
+    * chains/leaves before community or influence analysis (a node
+    * survives iff it keeps ≥ k neighbors that themselves survive).
+    * Asynchronous peeling is visit-order-dependent; this is the
+    * SYNCHRONOUS variant (all sub-k nodes drop together each round),
+    * which is deterministic and therefore oracle-replayable — the
+    * oracle unrolls the same [[kCoreRounds]] rounds as chained CTEs.
+    * Each round is one degree count + two semi joins on node ids
+    * (equi, broadcastable survivor list); per-round localCheckpoint
+    * truncates lineage like the other iterative ops. At 100 TB the
+    * round count bounds total work at rounds × O(E) — and 2-core
+    * peeling converges in few rounds on power-law graphs (chains are
+    * the worst case, same as CC pointer jumping). */
+  private val kCoreK = 2
+  private val kCoreRounds = 4
+
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    var e = Joins.fuzzyBlockedJoin(spark, dir)
+      .select(col("name_a").as("a"), col("name_b").as("b")).localCheckpoint()
+    for (_ <- 1 to kCoreRounds) {
+      val deg = e.select(col("a").as("node")).union(e.select(col("b")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= kCoreK).select(col("node"))
+      e = e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("a").as("node")).union(e.select(col("b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .orderBy(col("node"))
+  }
+
+  val kCoreSql: String = {
+    val rounds = (1 to kCoreRounds).map { r =>
+      s"""d$r AS (
+         |  SELECT node, count(*) AS d
+         |  FROM (SELECT a AS node FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+         |  GROUP BY 1),
+         |k$r AS (SELECT node FROM d$r WHERE d >= $kCoreK),
+         |e$r AS (
+         |  SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT node FROM k$r) AND b IN (SELECT node FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH names AS (
+       |  SELECT p_name AS name, string_split(p_name, ' ')[-1] AS noun
+       |  FROM part GROUP BY p_name),
+       |e0 AS (
+       |  SELECT a.name AS a, b.name AS b
+       |  FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+       |  WHERE levenshtein(a.name, b.name) <= 3),
+       |$rounds
+       |SELECT node, count(*) AS degree
+       |FROM (SELECT a AS node FROM e$kCoreRounds UNION ALL SELECT b FROM e$kCoreRounds)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Synchronous label propagation over ANY undirected weighted edge
     * list (src, dst, w) — community detection one notch above
     * connected components: labels flow along edges and each node
@@ -394,6 +451,7 @@ object GraphOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_pred" -> (linkPrediction _),
     "graph_pagerank" -> (pagerankTypes _),
+    "graph_kcore" -> (kCore _),
     "graph_triangles" -> (triangles _),
     "graph_label_prop" -> (labelPropCommunities _),
     "graph_sssp" -> (shortestPathsNames _)
@@ -402,6 +460,7 @@ object GraphOps {
   def oracle: Map[String, String] = Map(
     "graph_link_pred" -> linkPredictionSql,
     "graph_pagerank" -> pagerankTypesSql,
+    "graph_kcore" -> kCoreSql,
     "graph_triangles" -> trianglesSql,
     "graph_label_prop" -> labelPropCommunitiesSql,
     "graph_sssp" -> shortestPathsNamesSql

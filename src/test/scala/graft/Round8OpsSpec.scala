@@ -114,6 +114,63 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.getBoolean(10) === (r.getDouble(6) > 1.96))
   }
 
+  test("item CF: cosine bounded by confidence geometry, co-counts support-pruned") {
+    val cf = Analytics.itemCf(spark, sf).collect()
+    assert(cf.nonEmpty)
+    for (r <- cf) {
+      assert(r.getLong(3) >= 2) // min co-occurrence prune
+      val c = r.getDouble(4)
+      assert(c > 0.0 && c <= 1.0 + 1e-9)
+    }
+    // ranks are a dense prefix per item
+    for ((_, rows) <- cf.groupBy(_.getLong(0)))
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.length))
+  }
+
+  test("k-core equals 4 synchronous peel rounds computed by brute force") {
+    val got = GraphOps.kCore(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference: collect the edge list, replay the same synchronous peel
+    var edges = Joins.fuzzyBlockedJoin(spark, sf)
+      .select(col("name_a"), col("name_b")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    for (_ <- 1 to 4) {
+      val deg = (edges.map(_._1) ++ edges.map(_._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.length }
+      val keep = deg.filter(_._2 >= 2).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+    }
+    val want = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    assert(got === want)
+    // true 2-core members (fully converged peel) all survive a
+    // bounded-round peel — rounds only remove non-core nodes
+    var conv = edges
+    var stable = false
+    while (!stable) {
+      val deg = (conv.map(_._1) ++ conv.map(_._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.length }
+      val keep = deg.filter(_._2 >= 2).keySet
+      val next = conv.filter(e => keep(e._1) && keep(e._2))
+      stable = next.length == conv.length
+      conv = next
+    }
+    for (n <- (conv.map(_._1) ++ conv.map(_._2)).distinct) assert(got.contains(n))
+  }
+
+  test("negative sampling: one draw per slot, head terms dominate, deterministic") {
+    val s = CorpusOps.negativeSamples(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(s.length === nDocs * 4) // exactly one term per (doc, slot)
+    val draws = s.map(_.getString(2))
+    // unigram^0.75 still concentrates on the head: the single most
+    // drawn term must be drawn far more than a uniform share would
+    val topShare = draws.groupBy(identity).values.map(_.length).max.toDouble / draws.length
+    assert(topShare > 2.0 / 1024, s"top share $topShare looks uniform")
+    val s2 = CorpusOps.negativeSamples(spark, sf).collect()
+    assert(s.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+  }
+
   test("equi-depth histogram: contiguous non-overlapping buckets, balanced populations") {
     val h = Aggregations.histogramEqDepth(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
