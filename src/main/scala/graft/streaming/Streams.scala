@@ -639,6 +639,43 @@ object Streams {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** LATE-DATA CENSUS — the watermark-tuning report: how out-of-order
+    * is this stream actually, and what would a given watermark DROP?
+    * Arrival order is the log offset (event_id); each event's lateness
+    * is the gap to the high-water mark of everything that arrived
+    * before it within its key's stream (per-key watermarks are the
+    * production shape — Kafka tracks them per partition). Exact
+    * integer nanos; one running-max window per key (one shuffle), then
+    * a census on the compact event_type key. The 10-minute column is
+    * the what-if for the engine's own documented watermark default
+    * (SURVEY §2.9): events it would have dropped as too-late. */
+  def lateCensusBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("late_ns", max(col("ts_ns")).over(w) - col("ts_ns"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("late_ns") > 0L).as("n_out_of_order"),
+        count_if(col("late_ns") > 600L * 1000 * 1000 * 1000).as("n_dropped_10m"),
+        (max(col("late_ns")).cast("double") / 1e9).as("max_late_sec"))
+      .orderBy(col("event_type"))
+  }
+
+  val lateCensusBatchSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(count(*) FILTER (WHERE late_ns > 0) AS BIGINT) AS n_out_of_order,
+      |       CAST(count(*) FILTER (WHERE late_ns > 600000000000) AS BIGINT) AS n_dropped_10m,
+      |       CAST(max(late_ns) AS DOUBLE) / 1e9 AS max_late_sec
+      |FROM (
+      |  SELECT event_type,
+      |         max(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - epoch_ns(ts) AS late_ns
+      |  FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------------
   // Streaming drift gate — observe() metrics vs a reference profile
   // --------------------------------------------------------------------
@@ -696,6 +733,7 @@ object Streams {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_late_census_batch" -> (lateCensusBatch _),
     "stream_cdc_upsert_batch" -> (cdcUpsertBatch _),
     "stream_interval_join_batch" -> (intervalJoinBatch _),
     "stream_tumbling_batch" -> (tumblingBatch _),
@@ -707,6 +745,7 @@ object Streams {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_late_census_batch" -> lateCensusBatchSql,
     "stream_cdc_upsert_batch" -> cdcUpsertBatchSql,
     "stream_interval_join_batch" -> intervalJoinBatchSql,
     "stream_tumbling_batch" -> tumblingBatchSql,

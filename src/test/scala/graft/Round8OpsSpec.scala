@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import graft.streaming.Streams
 import org.apache.spark.sql.functions._
 
 /** Invariant specs for the round-8 operator additions — each test
@@ -169,6 +170,36 @@ class Round8OpsSpec extends SparkSpec {
     assert(topShare > 2.0 / 1024, s"top share $topShare looks uniform")
     val s2 = CorpusOps.negativeSamples(spark, sf).collect()
     assert(s.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+  }
+
+  test("bloom decontamination: sketch prunes at the scan, answer identical to exact") {
+    val bloomDf = CorpusOps.decontaminateBloom(spark, sf)
+    val exact = CorpusOps.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val got = bloomDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === exact) // false positives die in the exact join
+    // the sketch predicate must sit in the plan (map-side prune)
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
+  test("pseudonymize: bijective pseudonyms, referential integrity preserved") {
+    val rows = WarehouseEtl.pseudonymize(spark, sf).collect()
+    assert(rows.length === 5) // market segments
+    val nOrders = Tables.orders(spark, sf).count()
+    // every pseudonym maps one key (no collisions), every order joins back
+    for (r <- rows) assert(r.getLong(1) === r.getLong(2))
+    assert(rows.map(_.getLong(3)).sum === nOrders)
+  }
+
+  test("late census: every event counted once; dropped is a subset of out-of-order") {
+    val c = Streams.lateCensusBatch(spark, sf).collect()
+    assert(c.map(_.getLong(1)).sum === Tables.events(spark, sf).count())
+    for (r <- c) {
+      assert(r.getLong(3) <= r.getLong(2)) // dropped ⊆ out-of-order
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(4) >= 0.0)
+    }
   }
 
   test("equi-depth histogram: contiguous non-overlapping buckets, balanced populations") {
