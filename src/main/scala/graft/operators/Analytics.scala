@@ -448,9 +448,51 @@ object Analytics {
       |      FROM scored)
       |WHERE rank <= 3 ORDER BY item, rank""".stripMargin
 
+  /** Marketing ATTRIBUTION (first-touch / last-touch) — for every
+    * purchase, which event type opened the user's journey and which
+    * immediately preceded the conversion, with the purchase value
+    * credited to each. The classic funnel-analytics report, and a
+    * window-function composition: two per-user windows sharing ONE
+    * (user_id / ts, event_id) exchange — first_value over the
+    * unbounded-preceding frame for first-touch, lag for last-touch.
+    * Credit sums in exact integer cents. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val touched = Tables.events(spark, dir)
+      .withColumn("first_touch", first(col("event_type")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_touch", lag(col("event_type"), 1).over(order))
+      .filter(col("event_type") === "purchase")
+      .select(col("first_touch"),
+        coalesce(col("prev_touch"), lit("(none)")).as("last_touch"),
+        round(col("value") * 100).cast("long").as("cents"))
+    touched.groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(col("cents")).cast("double") / 100d).as("revenue"))
+      .orderBy(col("first_touch"), col("last_touch"))
+  }
+
+  val attributionSql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |         first_value(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_ns(ts), event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_ns(ts), event_id) AS prev_touch,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT first_touch, coalesce(prev_touch, '(none)') AS last_touch,
+      |       count(*) AS n_purchases,
+      |       CAST(sum(cents) AS DOUBLE) / 100 AS revenue
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_market_basket" -> (marketBasket _),
     "q_item_cf" -> (itemCf _),
+    "q_attribution" -> (attribution _),
     "q10_returned_customers" -> (returnedRevenue _),
     "q3_shipping_priority" -> (shippingPriority _),
     "q5_local_supplier_volume" -> (localSupplierVolume _),
@@ -466,6 +508,7 @@ object Analytics {
   def oracle: Map[String, String] = Map(
     "q_market_basket" -> marketBasketSql,
     "q_item_cf" -> itemCfSql,
+    "q_attribution" -> attributionSql,
     "q10_returned_customers" -> returnedRevenueSql,
     "q3_shipping_priority" -> shippingPrioritySql,
     "q5_local_supplier_volume" -> localSupplierVolumeSql,

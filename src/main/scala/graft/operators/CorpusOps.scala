@@ -615,6 +615,51 @@ object CorpusOps {
       |FROM tr JOIN ev ON tr.ng = ev.ng
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CURRICULUM ORDERING — the data-scheduling pass that feeds a
+    * training run clean text first: documents rank by a deterministic
+    * quality proxy (stopword density — exact integer counts, no model
+    * in the loop), split into three curriculum phases by ntile over
+    * the (quality, doc_id) total order (ties broken by id so the
+    * tiling is engine-exact), and each phase reports its mass so the
+    * schedule is auditable. Composes with [[shuffleBlocks]]: phase
+    * picks WHEN a doc trains, the epoch hash picks its order within
+    * the phase. One global rank (range-partitioned sort at scale) +
+    * one compact-key census. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = toks(col("text"))
+    val stop = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+    val qMicro = round(
+      size(filter(t, w => array_contains(stop, w))).cast("double") * 1000000d
+        / size(t)).cast("long")
+    val w = Window.orderBy(col("q_micro").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nToks(col("text")).as("n_tokens"),
+        qMicro.as("q_micro"))
+      .withColumn("phase", ntile(3).over(w).cast("long"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("q_micro")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_quality"))
+      .orderBy(col("phase"))
+  }
+
+  val curriculumSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |         CAST(round(CAST(len(list_filter(w,
+      |             x -> list_contains(['the','a','and','of','to','in'], x))) AS DOUBLE)
+      |           * 1000000 / len(w)) AS BIGINT) AS q_micro
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      |SELECT phase, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       round(CAST(sum(q_micro) AS DOUBLE) / count(*) / 1e6, 6) AS mean_quality
+      |FROM (SELECT doc_id, n_tokens, q_micro,
+      |             CAST(ntile(3) OVER (ORDER BY q_micro DESC, doc_id) AS BIGINT) AS phase
+      |      FROM q)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** BLOOM-SKETCHED decontamination — the scale path for when the
     * eval suite outgrows an exact broadcast set (a full benchmark
     * battery can reach GBs of shingles): the eval shingles compress
@@ -1501,6 +1546,7 @@ object CorpusOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_negative_samples" -> (negativeSamples _),
+    "corpus_curriculum" -> (curriculum _),
     "corpus_instruction_pairs" -> (instructionPairs _),
     "corpus_domain_cap" -> (domainCap _),
     "corpus_span_corrupt" -> (spanCorrupt _),
@@ -1535,6 +1581,7 @@ object CorpusOps {
 
   def oracle: Map[String, String] = Map(
     "corpus_negative_samples" -> negativeSamplesSql,
+    "corpus_curriculum" -> curriculumSql,
     "corpus_instruction_pairs" -> instructionPairsSql,
     "corpus_domain_cap" -> domainCapSql,
     "corpus_bpe_e2e" -> bpeE2eSql,

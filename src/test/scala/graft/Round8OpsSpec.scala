@@ -202,6 +202,26 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("attribution: credited revenue reconciles with total purchase revenue") {
+    val a = Analytics.attribution(spark, sf).collect()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    val wantN = purchases.count()
+    val wantCents = purchases
+      .agg(sum(round(col("value") * 100).cast("long"))).collect().head.getLong(0)
+    assert(a.map(_.getLong(2)).sum === wantN)
+    assert(a.map(r => Math.round(r.getDouble(3) * 100)).sum === wantCents)
+  }
+
+  test("curriculum: phases partition the corpus and quality is monotone") {
+    val c = CorpusOps.curriculum(spark, sf).collect()
+    assert(c.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(c.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
+    // phase 1 holds the cleanest docs: mean quality non-increasing
+    val means = c.map(_.getDouble(3))
+    assert(means(0) >= means(1) && means(1) >= means(2))
+  }
+
   test("equi-depth histogram: contiguous non-overlapping buckets, balanced populations") {
     val h = Aggregations.histogramEqDepth(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
