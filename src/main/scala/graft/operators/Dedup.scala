@@ -617,7 +617,85 @@ object Dedup {
        |       CAST(sum(sz) AS BIGINT) AS n_docs
        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PPJoin-style EXACT set-similarity join (AllPairs prefix
+    * filtering) — the deterministic, LOSSLESS alternative to minhash
+    * banding: guaranteed to find EVERY pair with Jaccard ≥ t, no
+    * recall curve to audit. The classic candidate bound: order each
+    * doc's distinct tokens by global rarity (df asc, term asc — one
+    * shared total order), keep only the first n − ⌈t·n⌉ + 1 tokens as
+    * the PREFIX; any pair with J ≥ t must share a prefix token (their
+    * overlap ≥ ⌈t·n⌉ on each side forces the prefixes to intersect),
+    * so the equi self-join on prefix tokens is a provable superset —
+    * and it indexes by RARE tokens first, so candidate fan-out per
+    * token stays small where an inverted index would explode on
+    * stopwords. The size filter (t·na ≤ nb) prunes more, also
+    * lossless. Exact Jaccard verifies survivors. Spec proves
+    * losslessness against brute-force all-pairs; the oracle replays
+    * the same prefix pipeline. */
+  def ppjoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    // the set basis is the SHINGLE set (3-grams, like the whole dedup
+    // family) — single-token sets are too coarse on a bounded
+    // vocabulary (almost every doc pair shares half its tokens)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("toks0"))
+    val tf = docs.select(col("doc_id"), explode(col("toks0")).as("term"))
+    val freq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sorted = tf.join(freq, "term")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("term")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), s => s.getField("term")).as("toks"),
+        size(col("st")).cast("long").as("n"))
+    val pre = sorted
+      .withColumn("plen", (col("n") - ceil(col("n") * t) + 1).cast("int"))
+      .select(col("doc_id"), col("n"), explode(slice(col("toks"), lit(1), col("plen"))).as("term"))
+    val cand = pre.as("x").join(pre.as("y"),
+        col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.n") >= col("x.n") * t && col("x.n") >= col("y.n") * t)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    cand
+      .join(sorted.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("n").as("na")), "doc_a")
+      .join(sorted.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("n").as("nb")), "doc_b")
+      .withColumn("o", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jac_raw", col("o").cast("double") / (col("na") + col("nb") - col("o")))
+      .filter(col("jac_raw") >= t)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ppjoinSql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, list_distinct(sh) AS toks0
+      |  FROM (SELECT doc_id, text, $shinglesSqlFragment AS sh
+      |        FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))),
+      |tf AS (SELECT doc_id, unnest(toks0) AS term FROM docs),
+      |freq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sorted AS (
+      |  SELECT tf.doc_id, list(tf.term ORDER BY f.df, tf.term) AS toks,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM tf JOIN freq f ON tf.term = f.term GROUP BY 1),
+      |pre AS (
+      |  SELECT doc_id, n,
+      |         unnest(toks[1:CAST(n - ceil(n * 0.5) + 1 AS BIGINT)]) AS term
+      |  FROM sorted),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM pre x JOIN pre y
+      |    ON x.term = y.term AND x.doc_id < y.doc_id
+      |   AND y.n >= x.n * 0.5 AND x.n >= y.n * 0.5)
+      |SELECT doc_a, doc_b, round(jac_raw, 4) AS jac
+      |FROM (
+      |  SELECT doc_a, doc_b,
+      |         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |           (a.n + b.n - len(list_intersect(a.toks, b.toks))) AS jac_raw
+      |  FROM cand JOIN sorted a ON cand.doc_a = a.doc_id
+      |            JOIN sorted b ON cand.doc_b = b.doc_id)
+      |WHERE jac_raw >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_ppjoin" -> (ppjoin _),
     "dedup_cluster_census" -> (clusterCensus _),
     "dedup_band_recall" -> (bandRecall _),
     "dedup_containment" -> (containment _),
@@ -636,6 +714,7 @@ object Dedup {
   )
 
   def oracle: Map[String, String] = Map(
+    "dedup_ppjoin" -> ppjoinSql,
     "dedup_cluster_census" -> clusterCensusSql,
     "dedup_band_recall" -> bandRecallSql,
     "dedup_containment" -> containmentSql,

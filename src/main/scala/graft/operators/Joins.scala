@@ -277,6 +277,41 @@ object Joins {
       |  ON p.t > err.s AND p.t <= err.e
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM) — the ETL
+    * join semantics for nullable business keys, where NULL must match
+    * NULL instead of silently dropping rows (the classic source of
+    * "the reconciliation lost 3% of rows" bugs). Both sides derive a
+    * nullable key from events (views carry no key); the output
+    * contrasts the plain equi join with the null-safe one, so the
+    * delta IS the null-key mass a plain join would lose. Catalyst
+    * plans `<=>` as a hash join on the null-coalesced key — same
+    * shuffle class as `=`, not a nested loop. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = ev.select(
+      when(col("event_type") === "view", lit(null))
+        .otherwise(pmod(col("user_id"), lit(50))).as("ka"))
+    val b = ev.select(
+      when(col("event_type") === "error", lit(null))
+        .otherwise(pmod(col("user_id"), lit(25))).as("kb")).distinct()
+    val eqN = a.join(b, col("ka") === col("kb")).count()
+    val nsN = a.join(b, col("ka") <=> col("kb")).count()
+    val nullA = a.filter(col("ka").isNull).count()
+    import spark.implicits._
+    Seq((eqN, nsN, nullA)).toDF("n_eq_join", "n_nullsafe_join", "n_null_keys")
+  }
+
+  val nullSafeJoinSql: String =
+    """WITH a AS (
+      |  SELECT CASE WHEN event_type = 'view' THEN NULL
+      |              ELSE user_id % 50 END AS ka FROM events),
+      |b AS (
+      |  SELECT DISTINCT CASE WHEN event_type = 'error' THEN NULL
+      |                       ELSE user_id % 25 END AS kb FROM events)
+      |SELECT (SELECT count(*) FROM a JOIN b ON ka = kb) AS n_eq_join,
+      |       (SELECT count(*) FROM a JOIN b ON ka IS NOT DISTINCT FROM kb) AS n_nullsafe_join,
+      |       (SELECT count(*) FROM a WHERE ka IS NULL) AS n_null_keys""".stripMargin
+
   /** As-of join, CORRECTNESS-BASELINE formulation (equi-join on the
     * key + window argmax): each event matched to the same user's
     * latest order at-or-before the event time.
@@ -699,6 +734,7 @@ object Joins {
     "join_theta_pairs" -> (thetaRegionPairs _),
     "join_range_events" -> (rangeJoinEvents _),
     "join_range_grid" -> (gridRangeJoin _),
+    "join_null_safe" -> (nullSafeJoin _),
     "join_asof" -> (asofJoin _),
     "join_asof_merge" -> (asofJoinMerge _),
     "join_asof_forward" -> (asofJoinForward _),
@@ -722,6 +758,7 @@ object Joins {
     "join_theta_pairs" -> thetaRegionPairsSql,
     "join_range_events" -> rangeJoinEventsSql,
     "join_range_grid" -> gridRangeJoinSql,
+    "join_null_safe" -> nullSafeJoinSql,
     "join_asof" -> asofJoinSql,
     "join_asof_merge" -> asofJoinSql,
     "join_asof_forward" -> asofJoinForwardSql,

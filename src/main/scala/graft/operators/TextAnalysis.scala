@@ -502,7 +502,48 @@ object TextAnalysis {
        |GROUP BY query_id ORDER BY query_id""".stripMargin
   }
 
+  /** HASHING-TRICK text featurizer — documents get an in-engine
+    * embedding with NO model in the loop: each token feature-hashes
+    * (md5 % 16) into a bucket, per-doc bucket counts L2-normalize
+    * into a unit vector. The model-free baseline every vector
+    * pipeline starts from (and a text-side feed for the ANN/dedup
+    * stack, which only needs SOME deterministic vector). Exact
+    * arithmetic: integer counts, one IEEE sqrt, one division — both
+    * engines bit-agree. Long-form output (doc_id, pos, val) per the
+    * no-top-level-array contract; absent buckets are implicit zeros.
+    * Two compact-key aggs at any corpus size. */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val d = 16
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(graft.api.Graft.tokens(col("text"))).as("term"))
+      .select(col("doc_id"),
+        (pmod(graft.api.Graft.idHash(col("term")), lit(d)) + 1).cast("long").as("pos"))
+      .groupBy(col("doc_id"), col("pos")).agg(count(lit(1)).as("cnt"))
+    val nrm = tf.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("cnt") * col("cnt")).cast("double")).as("nrm"))
+    tf.join(nrm, "doc_id")
+      .select(col("doc_id"), col("pos"),
+        round(col("cnt").cast("double") / col("nrm"), 6).as("val"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val hashEmbedSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id,
+      |         ('0x' || substring(md5(term), 1, 8))::BIGINT % 16 + 1 AS pos
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+      |cnts AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, count(*) AS cnt
+      |  FROM tf GROUP BY 1, 2),
+      |nrm AS (
+      |  SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS nrm
+      |  FROM cnts GROUP BY 1)
+      |SELECT c.doc_id, c.pos, round(CAST(c.cnt AS DOUBLE) / n.nrm, 6) AS val
+      |FROM cnts c JOIN nrm n ON c.doc_id = n.doc_id
+      |ORDER BY c.doc_id, c.pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hash_embed" -> (hashEmbed _),
     "corpus_rag_context" -> (ragContext _),
     "text_sparse_cosine" -> (sparseCosine _),
     "text_bm25_topk" -> (bm25TopK _),
@@ -517,6 +558,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_hash_embed" -> hashEmbedSql,
     "corpus_rag_context" -> ragContextSql,
     "text_sparse_cosine" -> sparseCosineSql,
     "text_bm25_topk" -> bm25TopKSql,

@@ -202,6 +202,27 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("ppjoin is LOSSLESS: equals brute-force all-pairs jaccard at threshold") {
+    val got = Dedup.ppjoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    // brute force: every pair, exact shingle-set jaccard
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(graft.api.Graft.shingles(col("text"), 3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val want = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (ida, sa) = if (sets(i)._1 < sets(j)._1) sets(i) else sets(j)
+      (idb, sb) = if (sets(i)._1 < sets(j)._1) sets(j) else sets(i)
+      o = (sa & sb).size
+      jac = o.toDouble / (sa.size + sb.size - o)
+      if jac >= 0.5
+    } yield (ida, idb,
+      BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq.sorted
+    assert(got === want) // the prefix filter dropped NOTHING above threshold
+  }
+
   test("attribution: credited revenue reconciles with total purchase revenue") {
     val a = Analytics.attribution(spark, sf).collect()
     val purchases = Tables.events(spark, sf)
