@@ -37,7 +37,7 @@ object ScaleProbe {
     val sf01 = "/root/testdata/sf0.1"
     val big = "/tmp/graft_sf1_v2"
 
-    val tables = Seq("lineitem", "documents", "embeddings", "events", "orders")
+    val tables = Seq("lineitem", "documents", "embeddings", "events", "orders", "part")
     val complete = tables.forall(t => new java.io.File(s"$big/$t.parquet/_SUCCESS").exists())
     if (!complete) {
       def replicate(name: String, mutate: (DataFrame, Int) => DataFrame): Unit =
@@ -62,6 +62,11 @@ object ScaleProbe {
           .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 7} MINUTES")))
       replicate("orders", (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
+      // part keeps its NAMES (the fuzzy/dictionary operators resolve
+      // the distinct-name dictionary first — 10x rows, same
+      // dictionary, is exactly the property their probes measure)
+      replicate("part", (df, i) =>
+        df.withColumn("p_partkey", col("p_partkey") + lit(i * 100000000L)))
     }
 
     def timeSecond(f: () => Long): (Double, Long) = {
@@ -259,7 +264,40 @@ object ScaleProbe {
       // map-side combined); the matvec rounds touch a 64×64 matrix —
       // 10× rows must cost ~the scan, never more
       ("pca_power_iteration", () =>
-        graft.operators.Similarity.pcaTopComponent(spark, dir).count())
+        graft.operators.Similarity.pcaTopComponent(spark, dir).count()),
+      // grid-bucketed interval join: BOTH event sides grow 10x inside
+      // the SAME one-month window, so true match pairs grow ~100x BY
+      // CONSTRUCTION (denser time axis) — result rows carry that;
+      // the plan-shape claim is that TIME tracks the matched-pair
+      // mass through one equi shuffle, never the N*M nested loop
+      ("grid_range_join", () =>
+        graft.operators.Joins.gridRangeJoin(spark, dir).count()),
+      // item-item CF: 10x more baskets of the SAME size — the
+      // basket-bounded pair stage must scale ~linearly (the same
+      // claim as basket_pairs, here through the min-co-occurrence
+      // prune + rank window end-to-end)
+      ("item_cf_topk", () =>
+        graft.operators.Analytics.itemCf(spark, dir).count()),
+      // PPJoin prefix-filter set-similarity join: replicas are
+      // near-dups of each other, so true pairs grow ~45x per
+      // copy-cluster by construction; the evidence is that time
+      // tracks CANDIDATES (rare-prefix-token fan-out), not all-pairs
+      ("ppjoin_pairs", () =>
+        graft.operators.Dedup.ppjoin(spark, dir).count()),
+      // k-core over the fuzzy-name graph: the peel sees the
+      // DISTINCT-NAME dictionary, not the row stream — 10x part rows
+      // with the same names must cost ~flat (the dictionary-first
+      // design claim measured)
+      ("kcore_fuzzy_dict", () =>
+        graft.operators.GraphOps.kCore(spark, dir).count()),
+      // negative sampling: draws grow with docs (4/doc), the CDF is
+      // vocab-capped (1024) — both the model build and the grid
+      // lookup must scale ~linearly in the corpus
+      ("negative_samples", () =>
+        graft.operators.CorpusOps.negativeSamples(spark, dir).count()),
+      // hashing-trick featurizer: two compact-key aggs — pure scan
+      ("hash_embed", () =>
+        graft.operators.TextAnalysis.hashEmbed(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

@@ -615,6 +615,53 @@ object CorpusOps {
       |FROM tr JOIN ev ON tr.ng = ev.ng
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** QUANTILE NORMALIZATION across sources — the curation report that
+    * makes heterogeneous sources comparable: each source's own score
+    * deciles (within-source ntile over the (score, id) total order —
+    * deterministic) are mapped onto the GLOBAL score deciles, so "this
+    * source's decile 9 spans what the whole corpus calls decile 5" is
+    * read straight off the table. The per-source quality drift this
+    * exposes is why mixture rebalancing can't threshold raw scores.
+    * Integer scores (n_chars), exact bounds; the global decile table
+    * is 10 rows — a broadcast join onto the compact (source, decile)
+    * census. */
+  def qualityQnorm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("score"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+    val wg = Window.orderBy(col("score"), col("doc_id"))
+    val withD = d.withColumn("decile", ntile(10).over(ws).cast("long"))
+      .withColumn("gdecile", ntile(10).over(wg).cast("long"))
+    val glob = withD.groupBy(col("gdecile").as("decile"))
+      .agg(min(col("score")).as("global_min"), max(col("score")).as("global_max"))
+    withD.groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("raw_min"), max(col("score")).as("raw_max"))
+      .join(broadcast(glob), "decile")
+      .select(col("source"), col("decile"), col("n_docs"),
+        col("raw_min"), col("raw_max"), col("global_min"), col("global_max"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  val qualityQnormSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS score,
+      |         CAST(ntile(10) OVER (PARTITION BY source
+      |           ORDER BY n_chars, doc_id) AS BIGINT) AS decile,
+      |         CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS gdecile
+      |  FROM documents),
+      |gdec AS (
+      |  SELECT gdecile AS decile, min(score) AS global_min, max(score) AS global_max
+      |  FROM d GROUP BY 1)
+      |SELECT s.source, s.decile, s.n_docs, s.raw_min, s.raw_max,
+      |       g.global_min, g.global_max
+      |FROM (SELECT source, decile, count(*) AS n_docs,
+      |             min(score) AS raw_min, max(score) AS raw_max
+      |      FROM d GROUP BY 1, 2) s
+      |JOIN gdec g ON s.decile = g.decile
+      |ORDER BY s.source, s.decile""".stripMargin
+
   /** CURRICULUM ORDERING — the data-scheduling pass that feeds a
     * training run clean text first: documents rank by a deterministic
     * quality proxy (stopword density — exact integer counts, no model
@@ -1547,6 +1594,7 @@ object CorpusOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_negative_samples" -> (negativeSamples _),
     "corpus_curriculum" -> (curriculum _),
+    "corpus_quality_qnorm" -> (qualityQnorm _),
     "corpus_instruction_pairs" -> (instructionPairs _),
     "corpus_domain_cap" -> (domainCap _),
     "corpus_span_corrupt" -> (spanCorrupt _),
@@ -1582,6 +1630,7 @@ object CorpusOps {
   def oracle: Map[String, String] = Map(
     "corpus_negative_samples" -> negativeSamplesSql,
     "corpus_curriculum" -> curriculumSql,
+    "corpus_quality_qnorm" -> qualityQnormSql,
     "corpus_instruction_pairs" -> instructionPairsSql,
     "corpus_domain_cap" -> domainCapSql,
     "corpus_bpe_e2e" -> bpeE2eSql,

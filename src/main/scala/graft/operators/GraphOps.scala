@@ -250,6 +250,58 @@ object GraphOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** ENTITY RESOLUTION end-to-end — the name-graph sibling of
+    * `dedup_keep`: fuzzy-match pairs ([[Joins.fuzzyBlockedJoin]],
+    * block-bounded levenshtein) feed connected components (min-label
+    * pointer jumping — the string-id path), the lexicographically
+    * smallest member becomes the CANONICAL entity, and the output is
+    * the resolution table a warehouse would join dirty names through:
+    * canonical name, alias count, total row mass, and the sorted
+    * alias list (ordered string agg — collect order is never
+    * trusted). Only real clusters (≥ 2 aliases) emit. The oracle
+    * replays the closure as a recursive CTE. Scale: the pair stage
+    * sees the distinct-name dictionary, CC cost tracks edges. */
+  def erResolve(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Joins.fuzzyBlockedJoin(spark, dir)
+      .select(col("name_a").as("a"), col("name_b").as("b"))
+    val cc = graft.api.Graft.connectedComponents(edges, "a", "b")
+    val counts = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("id")).agg(count(lit(1)).as("n_rows"))
+    cc.join(counts, "id")
+      .groupBy(col("component").as("canonical_name"))
+      .agg(count(lit(1)).as("n_aliases"),
+        sum(col("n_rows")).as("n_rows"),
+        concat_ws("|", sort_array(collect_list(col("id")))).as("alias_list"))
+      .filter(col("n_aliases") >= 2)
+      .orderBy(col("canonical_name"))
+  }
+
+  val erResolveSql: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name AS name, string_split(p_name, ' ')[-1] AS noun
+      |  FROM part GROUP BY p_name),
+      |pairs AS (
+      |  SELECT a.name AS a, b.name AS b
+      |  FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+      |  WHERE levenshtein(a.name, b.name) <= 3),
+      |edges AS (
+      |  SELECT a AS src, b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT b AS src, a AS dst FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS label FROM edges
+      |  UNION
+      |  SELECT e.dst AS id, r.label
+      |  FROM reach r JOIN edges e ON e.src = r.id),
+      |labels AS (SELECT id, min(label) AS component FROM reach GROUP BY 1),
+      |counts AS (SELECT p_name AS id, count(*) AS n_rows FROM part GROUP BY 1)
+      |SELECT component AS canonical_name, count(*) AS n_aliases,
+      |       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+      |       string_agg(id, '|' ORDER BY id) AS alias_list
+      |FROM labels JOIN counts USING (id)
+      |GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY 1""".stripMargin
+
   /** Synchronous label propagation over ANY undirected weighted edge
     * list (src, dst, w) — community detection one notch above
     * connected components: labels flow along edges and each node
@@ -452,6 +504,7 @@ object GraphOps {
     "graph_link_pred" -> (linkPrediction _),
     "graph_pagerank" -> (pagerankTypes _),
     "graph_kcore" -> (kCore _),
+    "graph_er_resolve" -> (erResolve _),
     "graph_triangles" -> (triangles _),
     "graph_label_prop" -> (labelPropCommunities _),
     "graph_sssp" -> (shortestPathsNames _)
@@ -461,6 +514,7 @@ object GraphOps {
     "graph_link_pred" -> linkPredictionSql,
     "graph_pagerank" -> pagerankTypesSql,
     "graph_kcore" -> kCoreSql,
+    "graph_er_resolve" -> erResolveSql,
     "graph_triangles" -> trianglesSql,
     "graph_label_prop" -> labelPropCommunitiesSql,
     "graph_sssp" -> shortestPathsNamesSql

@@ -286,7 +286,72 @@ object Multimodal {
       |            // ((8000 + (n_chars % 8) * 4000) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BMP (BITMAPINFOHEADER) parse — the third container codec beside
+    * PNG (big-endian) and WAV (little-endian): 'BM' magic, LE dims
+    * at fixed offsets, and the format's one real subtlety — rows pad
+    * to 4-byte alignment, so the actual scan-line stride is
+    * ((width·3 + 3) div 4)·4, not width·3. The parse re-derives the
+    * stride and the pixel-array size from the parsed width/height,
+    * and the synthesizer (canonical 54-byte header from doc fields)
+    * makes the oracle a full round-trip: any endianness or
+    * alignment slip breaks the hash. Same scale role as the other
+    * header ops: dimension predicates prune a 100 TB image corpus
+    * map-side before the codec seam. */
+  def parseBmpHeader(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def le(pos: Int, len: Int) =
+      conv(concat((len to 1 by -1).map(i => hex(substring(payload, pos + i - 1, 1))): _*),
+        16, 10).cast("long")
+    val width = le(19, 4)
+    val rowBytes = {
+      val raw = width * 3 + 3
+      raw - pmod(raw, lit(4L))
+    }
+    struct(
+      (hex(substring(payload, 1, 2)) === lit("424D")).as("magic_ok"),
+      (le(31, 4) === 0L).as("rgb_ok"),
+      width.as("width"),
+      le(23, 4).as("height"),
+      le(29, 2).as("bit_count"),
+      rowBytes.as("row_bytes"),
+      (rowBytes * le(23, 4)).as("data_bytes"))
+  }
+
+  def bmpHeader(spark: SparkSession, dir: String): DataFrame = {
+    val width = (lit(16) + pmod(col("doc_id"), lit(64))).cast("long")
+    val height = (lit(16) + pmod(col("n_chars"), lit(48))).cast("long")
+    val raw = width * 3 + 3
+    val rowBytes = raw - pmod(raw, lit(4L))
+    val dataBytes = rowBytes * height
+    def leHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    // canonical 54-byte BM header: BITMAPFILEHEADER + BITMAPINFOHEADER
+    val bmp = unhex(concat(
+      lit("424D"), leHex(dataBytes + 54, 4), lit("00000000"), leHex(lit(54L), 4),
+      leHex(lit(40L), 4), leHex(width, 4), leHex(height, 4),
+      leHex(lit(1L), 2), leHex(lit(24L), 2), leHex(lit(0L), 4),
+      leHex(dataBytes, 4), leHex(lit(2835L), 4), leHex(lit(2835L), 4),
+      leHex(lit(0L), 4), leHex(lit(0L), 4)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), parseBmpHeader(bmp).as("p"))
+      .select(col("doc_id"), col("p.magic_ok").as("magic_ok"),
+        col("p.rgb_ok").as("rgb_ok"), col("p.width").as("width"),
+        col("p.height").as("height"), col("p.bit_count").as("bit_count"),
+        col("p.row_bytes").as("row_bytes"), col("p.data_bytes").as("data_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bmpHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok, TRUE AS rgb_ok,
+      |       CAST(16 + doc_id % 64 AS BIGINT) AS width,
+      |       CAST(16 + n_chars % 48 AS BIGINT) AS height,
+      |       CAST(24 AS BIGINT) AS bit_count,
+      |       CAST(((16 + doc_id % 64) * 3 + 3) // 4 * 4 AS BIGINT) AS row_bytes,
+      |       CAST((((16 + doc_id % 64) * 3 + 3) // 4 * 4) * (16 + n_chars % 48) AS BIGINT)
+      |         AS data_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_bmp_header" -> (bmpHeader _),
     "mm_wav_header" -> (wavHeader _),
     "mm_png_header" -> (pngHeader _),
     "mm_byte_histogram" -> (byteHistogram _),
@@ -297,6 +362,7 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_bmp_header" -> bmpHeaderSql,
     "mm_wav_header" -> wavHeaderSql,
     "mm_png_header" -> pngHeaderSql,
     "mm_byte_histogram" -> byteHistogramSql,

@@ -158,7 +158,15 @@ object WarehouseEtl {
     * star schema the dim side usually broadcasts). Interval math in
     * exact integer nanos; the half-open [valid_from, valid_to) intervals
     * partition each entity's timeline, so every fact matches exactly
-    * one version (spec-pinned). */
+    * one version (spec-pinned).
+    *
+    * Depth note: the equi join materializes facts × versions per key
+    * before the residual filters — fine for real SCD2 dims (few
+    * versions per entity, the defining property of SLOWLY-changing),
+    * but a pathologically deep version history should route through
+    * [[graft.api.Graft.asofJoin]] (AsofJoinExec, O(n+m) streaming
+    * merge per key) on `valid_from` instead — the same law
+    * docs/SCALE.md measures for the as-of baselines. */
   def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
     val order = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ns"), col("event_id"))

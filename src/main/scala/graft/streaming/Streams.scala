@@ -473,6 +473,45 @@ object Streams {
       |WHERE e.event_type = 'error' AND p.event_type = 'purchase'
       |ORDER BY err_id, p_id""".stripMargin
 
+  /** LEFT-OUTER twin of [[intervalJoinBatch]] — the semantics a
+    * watermarked stream-stream OUTER join provides: errors with NO
+    * purchase in the following hour still emit, with null payload.
+    * In the streaming form this row can only emit once the watermark
+    * passes the interval's end (the state store proves no match can
+    * still arrive); the bounded twin pins exactly which rows that is.
+    * Same single user_id equi shuffle; the unmatched side is the
+    * incident-response query ("errors that did NOT convert"). */
+  def intervalJoinLeftBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val e = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    e.join(p, col("user_id") === col("p_uid") &&
+        col("p_ts") > col("err_ts") &&
+        col("p_ts") <= col("err_ts") + expr("INTERVAL 1 HOUR"), "left")
+      .groupBy(col("err_id"))
+      .agg(count(col("p_id")).as("n_purchases"),
+        coalesce(sum(round(col("p_value") * 100).cast("long")), lit(0L)).as("cents"))
+      .select(col("err_id"), col("n_purchases"),
+        (col("cents").cast("double") / 100d).as("converted_value"),
+        (col("n_purchases") === 0L).as("unconverted"))
+      .orderBy(col("err_id"))
+  }
+
+  val intervalJoinLeftBatchSql: String =
+    """SELECT e.event_id AS err_id,
+      |       count(p.event_id) AS n_purchases,
+      |       CAST(coalesce(sum(CAST(round(p.value * 100) AS BIGINT)), 0) AS DOUBLE) / 100
+      |         AS converted_value,
+      |       count(p.event_id) = 0 AS unconverted
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id
+      | AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------------
   // Streaming CDC upsert — foreachBatch MERGE into a versioned snapshot
   // --------------------------------------------------------------------
@@ -734,6 +773,7 @@ object Streams {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_late_census_batch" -> (lateCensusBatch _),
+    "stream_interval_join_left_batch" -> (intervalJoinLeftBatch _),
     "stream_cdc_upsert_batch" -> (cdcUpsertBatch _),
     "stream_interval_join_batch" -> (intervalJoinBatch _),
     "stream_tumbling_batch" -> (tumblingBatch _),
@@ -746,6 +786,7 @@ object Streams {
 
   def oracle: Map[String, String] = Map(
     "stream_late_census_batch" -> lateCensusBatchSql,
+    "stream_interval_join_left_batch" -> intervalJoinLeftBatchSql,
     "stream_cdc_upsert_batch" -> cdcUpsertBatchSql,
     "stream_interval_join_batch" -> intervalJoinBatchSql,
     "stream_tumbling_batch" -> tumblingBatchSql,

@@ -205,11 +205,14 @@ class Round8OpsSpec extends SparkSpec {
   test("ppjoin is LOSSLESS: equals brute-force all-pairs jaccard at threshold") {
     val got = Dedup.ppjoin(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
-    // brute force: every pair, exact shingle-set jaccard
+    // brute force: every pair, exact hashed-shingle-set jaccard (the
+    // same universe the operator uses)
     val sets = Tables.documents(spark, sf)
       .select(col("doc_id"),
-        array_distinct(graft.api.Graft.shingles(col("text"), 3)).as("sh"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+        array_distinct(transform(graft.api.Graft.shingles(col("text"), 3),
+          s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))
+          .as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
     val want = (for {
       i <- sets.indices; j <- (i + 1) until sets.length
       (ida, sa) = if (sets(i)._1 < sets(j)._1) sets(i) else sets(j)
@@ -241,6 +244,64 @@ class Round8OpsSpec extends SparkSpec {
     // phase 1 holds the cleanest docs: mean quality non-increasing
     val means = c.map(_.getDouble(3))
     assert(means(0) >= means(1) && means(1) >= means(2))
+  }
+
+  test("left interval join: unconverted errors are exactly those absent from the inner twin") {
+    val left = Streams.intervalJoinLeftBatch(spark, sf).collect()
+    val nErrors = Tables.events(spark, sf).filter(col("event_type") === "error").count()
+    assert(left.length === nErrors) // every error emits exactly once
+    val converted = Streams.intervalJoinBatch(spark, sf).collect()
+      .map(_.getLong(1)).toSet // err_ids with >=1 purchase
+    for (r <- left) {
+      assert(r.getBoolean(3) === !converted(r.getLong(0)))
+      assert(r.getBoolean(3) === (r.getLong(1) == 0L))
+      if (r.getLong(1) == 0L) assert(r.getDouble(2) === 0.0)
+    }
+  }
+
+  test("bmp header: parse inverts the synthesizer; rows are 4-byte aligned") {
+    val rows = Multimodal.bmpHeader(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    for (r <- rows) {
+      assert(r.getBoolean(1) && r.getBoolean(2)) // magic + BI_RGB
+      val (w, h, rb, db) = (r.getLong(3), r.getLong(4), r.getLong(6), r.getLong(7))
+      assert(rb % 4 === 0 && rb >= w * 3 && rb < w * 3 + 4) // stride law
+      assert(db === rb * h)
+      assert(r.getLong(5) === 24L)
+    }
+  }
+
+  test("quality qnorm: deciles partition each source; global bounds are monotone") {
+    val q = CorpusOps.qualityQnorm(spark, sf).collect()
+    val bySource = q.groupBy(_.getString(0))
+    val total = bySource.values.map(_.map(_.getLong(2)).sum).sum
+    assert(total === Tables.documents(spark, sf).count())
+    for ((_, rows) <- bySource) {
+      val sorted = rows.sortBy(_.getLong(1))
+      // raw bounds rise with the decile within each source
+      for (Seq(a, b) <- sorted.toSeq.sliding(2))
+        assert(a.getLong(4) <= b.getLong(3) || a.getLong(4) <= b.getLong(4))
+    }
+    // the global decile table is shared: same (min,max) per decile everywhere
+    val glob = q.map(r => r.getLong(1) -> (r.getLong(5), r.getLong(6))).toMap
+    assert(glob.size <= 10)
+    for (Seq(d1, d2) <- (1L to 10L).filter(glob.contains).sliding(2).map(_.toSeq))
+      assert(glob(d1)._2 <= glob(d2)._1 || glob(d1)._2 <= glob(d2)._2)
+  }
+
+  test("entity resolution: canonical is the lexicographic min of its sorted alias list") {
+    val er = GraphOps.erResolve(spark, sf).collect()
+    assert(er.nonEmpty)
+    for (r <- er) {
+      val canonical = r.getString(0)
+      val aliases = r.getString(3).split('|')
+      assert(r.getLong(1) === aliases.length && aliases.length >= 2)
+      assert(aliases.min === canonical) // min-label CC + sorted agg agree
+      assert(aliases.sorted.toSeq === aliases.toSeq) // ordered string agg
+    }
+    // alias sets are disjoint across clusters (a name resolves once)
+    val all = er.flatMap(_.getString(3).split('|'))
+    assert(all.distinct.length === all.length)
   }
 
   test("equi-depth histogram: contiguous non-overlapping buckets, balanced populations") {
