@@ -489,10 +489,64 @@ object Analytics {
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** FUNNEL LATENCY — time-to-convert percentiles: per daily signup
+    * cohort, how long from a user's FIRST signup to their FIRST
+    * subsequent purchase (the product metric behind "activation
+    * time"). Two per-user min aggregates (compact user key), then
+    * exact p50/p90 over integer-second latencies per cohort day —
+    * `percentile` (type-7) is engine-exact on integers, the same
+    * parity contract `agg_winsorize` pins; unconverted users are
+    * censused, never silently dropped. At 100 TB: one user-keyed
+    * shuffle + one compact cohort agg (swap percentile for
+    * percentile_approx at extreme group sizes — `agg_approx_quantiles`
+    * is that shape). */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("s_ns"))
+    val firstBuy = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"))
+    val lat = signup
+      .join(firstBuy, Seq("user_id"), "left")
+      .withColumn("ok", col("ts_ns").isNotNull && col("ts_ns") >= col("s_ns"))
+      .groupBy(col("user_id"), col("s_ns"))
+      .agg(min(when(col("ok"), col("ts_ns"))).as("p_ns"))
+      .select(col("user_id"),
+        date_format(expr("s_ns div 1000000000").cast("timestamp"), "yyyy-MM-dd")
+          .as("cohort_day"),
+        when(col("p_ns").isNotNull,
+          expr("(p_ns - s_ns) div 1000000000")).as("lat_sec"))
+    lat.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("lat_sec")).as("n_converted"),
+        round(expr("percentile(lat_sec, 0.5)"), 2).as("p50_sec"),
+        round(expr("percentile(lat_sec, 0.9)"), 2).as("p90_sec"))
+      .orderBy(col("cohort_day"))
+  }
+
+  val funnelLatencySql: String =
+    """WITH s AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS s_ns
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |lat AS (
+      |  SELECT s.user_id,
+      |         strftime(to_timestamp(s.s_ns // 1000000000), '%Y-%m-%d') AS cohort_day,
+      |         (min(CASE WHEN p.ts IS NOT NULL AND epoch_ns(p.ts) >= s.s_ns
+      |                   THEN epoch_ns(p.ts) END) - s.s_ns) // 1000000000 AS lat_sec
+      |  FROM s LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |    ON s.user_id = p.user_id
+      |  GROUP BY s.user_id, s.s_ns)
+      |SELECT cohort_day, count(*) AS n_users,
+      |       count(lat_sec) AS n_converted,
+      |       round(quantile_cont(lat_sec, 0.5), 2) AS p50_sec,
+      |       round(quantile_cont(lat_sec, 0.9), 2) AS p90_sec
+      |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_market_basket" -> (marketBasket _),
     "q_item_cf" -> (itemCf _),
     "q_attribution" -> (attribution _),
+    "q_funnel_latency" -> (funnelLatency _),
     "q10_returned_customers" -> (returnedRevenue _),
     "q3_shipping_priority" -> (shippingPriority _),
     "q5_local_supplier_volume" -> (localSupplierVolume _),
@@ -509,6 +563,7 @@ object Analytics {
     "q_market_basket" -> marketBasketSql,
     "q_item_cf" -> itemCfSql,
     "q_attribution" -> attributionSql,
+    "q_funnel_latency" -> funnelLatencySql,
     "q10_returned_customers" -> returnedRevenueSql,
     "q3_shipping_priority" -> shippingPrioritySql,
     "q5_local_supplier_volume" -> localSupplierVolumeSql,

@@ -615,6 +615,47 @@ object CorpusOps {
       |FROM tr JOIN ev ON tr.ng = ev.ng
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** N-GRAM NOVELTY score — per document, the share of its distinct
+    * shingles that NO earlier document (doc_id = ingestion order)
+    * contains: ~1 means genuinely new text, ~0 means the corpus
+    * already said all of it (the complement of the near-dup signal —
+    * it catches gradual content exhaustion that pairwise dedup
+    * can't see). First occurrence = min(doc_id) per shingle key:
+    * one shuffle on the (hashed long) shingle, one doc-keyed
+    * reassembly — the same two-exchange shape as the line dedup.
+    * Exact integer counts → exact ratio. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(graft.api.Graft.shingles(col("text"), 3),
+          s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))))
+        .as("sh"))
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count_if(col("first_doc") === col("doc_id")).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 4).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltySql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(s,
+       |           x -> ('0x' || substring(md5(x), 1, 8))::BIGINT))) AS sh
+       |  FROM (SELECT doc_id, CASE WHEN len(words) >= 3
+       |          THEN list_transform(range(len(words) - 2), i -> array_to_string(words[i+1:i+3], ' '))
+       |          ELSE [text] END AS s
+       |        FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))),
+       |fst AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+       |SELECT s.doc_id, count(*) AS n_shingles,
+       |       CAST(count(*) FILTER (WHERE f.first_doc = s.doc_id) AS BIGINT) AS n_novel,
+       |       round(CAST(count(*) FILTER (WHERE f.first_doc = s.doc_id) AS DOUBLE)
+       |             / count(*), 4) AS novelty
+       |FROM sh s JOIN fst f ON s.sh = f.sh
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** QUANTILE NORMALIZATION across sources — the curation report that
     * makes heterogeneous sources comparable: each source's own score
     * deciles (within-source ntile over the (score, id) total order —
@@ -1595,6 +1636,7 @@ object CorpusOps {
     "corpus_negative_samples" -> (negativeSamples _),
     "corpus_curriculum" -> (curriculum _),
     "corpus_quality_qnorm" -> (qualityQnorm _),
+    "corpus_novelty" -> (novelty _),
     "corpus_instruction_pairs" -> (instructionPairs _),
     "corpus_domain_cap" -> (domainCap _),
     "corpus_span_corrupt" -> (spanCorrupt _),
@@ -1631,6 +1673,7 @@ object CorpusOps {
     "corpus_negative_samples" -> negativeSamplesSql,
     "corpus_curriculum" -> curriculumSql,
     "corpus_quality_qnorm" -> qualityQnormSql,
+    "corpus_novelty" -> noveltySql,
     "corpus_instruction_pairs" -> instructionPairsSql,
     "corpus_domain_cap" -> domainCapSql,
     "corpus_bpe_e2e" -> bpeE2eSql,

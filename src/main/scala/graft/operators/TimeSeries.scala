@@ -298,7 +298,56 @@ object TimeSeries {
       |WHERE p.n >= 8 AND abs(CAST(b.c AS DOUBLE) - p.mu) > 3 * p.sd
       |ORDER BY 1, 2""".stripMargin
 
+  /** OHLC BARS (open/high/low/close + volume) — the canonical
+    * time-series downsampling: per (event_type, hour), the first and
+    * last value by event time plus the extremes and count. Open and
+    * close come from ordered-struct min/max over the EXACT integer
+    * (ts_ns, event_id, cents) triple — one aggregation, no rank
+    * window, deterministic under ties (event_id breaks them), and
+    * map-side combinable (min/max of structs is associative), so at
+    * 100 TB this is one partial+final agg over the compact
+    * (type, hour) key — the same shape as any rollup. Cents exact. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"),
+        col("ts_ns"), col("event_id"), cents.as("cents"))
+      .groupBy(col("event_type"), col("bar_ts"))
+      .agg(
+        min(struct(col("ts_ns"), col("event_id"), col("cents"))).as("o"),
+        max(struct(col("ts_ns"), col("event_id"), col("cents"))).as("c"),
+        max(col("cents")).as("hi"),
+        min(col("cents")).as("lo"),
+        count(lit(1)).as("volume"))
+      .select(col("event_type"),
+        date_format(col("bar_ts"), "yyyy-MM-dd HH:mm:ss").as("bar_ts"),
+        (col("o.cents").cast("double") / 100d).as("open"),
+        (col("hi").cast("double") / 100d).as("high"),
+        (col("lo").cast("double") / 100d).as("low"),
+        (col("c.cents").cast("double") / 100d).as("close"),
+        col("volume"))
+      .orderBy(col("event_type"), col("bar_ts"))
+  }
+
+  // min/max over an (ordering, payload) struct — DuckDB 1.0's min_by
+  // has no composite-key overload, but struct comparison matches
+  // Spark's ordered-struct min exactly
+  val ohlcBarsSql: String =
+    """SELECT event_type,
+      |       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_ts,
+      |       CAST((min(struct_pack(t := epoch_ns(ts), e := event_id, c := cents))).c
+      |            AS DOUBLE) / 100 AS open,
+      |       CAST(max(cents) AS DOUBLE) / 100 AS high,
+      |       CAST(min(cents) AS DOUBLE) / 100 AS low,
+      |       CAST((max(struct_pack(t := epoch_ns(ts), e := event_id, c := cents))).c
+      |            AS DOUBLE) / 100 AS close,
+      |       count(*) AS volume
+      |FROM (SELECT event_type, ts, event_id,
+      |             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ohlc" -> (ohlcBars _),
     "ts_seasonal_baseline" -> (seasonalBaseline _),
     "ts_outlier_mad" -> (outlierMad _),
     "ts_resample_ffill" -> (resampleFfill _),
@@ -307,6 +356,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_ohlc" -> ohlcBarsSql,
     "ts_seasonal_baseline" -> seasonalBaselineSql,
     "ts_outlier_mad" -> outlierMadSql,
     "ts_resample_ffill" -> resampleFfillSql,

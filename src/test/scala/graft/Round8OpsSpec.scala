@@ -304,6 +304,45 @@ class Round8OpsSpec extends SparkSpec {
     assert(all.distinct.length === all.length)
   }
 
+  test("ohlc: low <= open,close <= high; volumes cover the stream") {
+    val bars = TimeSeries.ohlcBars(spark, sf).collect()
+    assert(bars.map(_.getLong(6)).sum === Tables.events(spark, sf).count())
+    for (b <- bars) {
+      val (o, h, l, c) = (b.getDouble(2), b.getDouble(3), b.getDouble(4), b.getDouble(5))
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
+
+  test("funnel latency: converted <= users; percentiles ordered and non-negative") {
+    val f = Analytics.funnelLatency(spark, sf).collect()
+    assert(f.nonEmpty)
+    for (r <- f) {
+      assert(r.getLong(2) <= r.getLong(1))
+      if (!r.isNullAt(3)) {
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= r.getDouble(4))
+      }
+    }
+  }
+
+  test("novelty: first doc scores 1.0; totals reconcile with distinct shingles") {
+    val n = CorpusOps.novelty(spark, sf).collect()
+    assert(n.length === Tables.documents(spark, sf).count())
+    val first = n.minBy(_.getLong(0))
+    assert(first.getDouble(3) === 1.0) // nothing precedes the first doc
+    for (r <- n) {
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // every shingle's first occurrence is claimed exactly once: the
+    // novel counts sum to the number of distinct shingles corpus-wide
+    val distinctShingles = Tables.documents(spark, sf)
+      .select(explode(array_distinct(transform(
+        graft.api.Graft.shingles(col("text"), 3),
+        s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))).as("sh"))
+      .select(countDistinct(col("sh"))).collect().head.getLong(0)
+    assert(n.map(_.getLong(2)).sum === distinctShingles)
+  }
+
   test("equi-depth histogram: contiguous non-overlapping buckets, balanced populations") {
     val h = Aggregations.histogramEqDepth(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
