@@ -103,6 +103,40 @@ object WarehouseEtl {
       |FROM changes
       |ORDER BY user_id, valid_from, state""".stripMargin
 
+  /** CONTENT-HASH RECONCILIATION — the O(1)-per-partition table
+    * equality check: each row hashes to a 32-bit md5 prefix and the
+    * partition fingerprint is the SUM of row hashes — associative and
+    * commutative, so it is partitioning/order-independent and
+    * map-side combinable (the property a content checksum needs at
+    * 100 TB: one scan, compact output, no join). Comparing two
+    * snapshots' (partition, row_sum, n_rows) tables detects any
+    * changed partition without touching row data — the cheap outer
+    * loop [[snapshotDiff]] then drills into. Fingerprint per order
+    * month here; a sum CAN collide on compensating edits (hash(a)+
+    * hash(b) preserved) — the standard trade for mergeability, and
+    * why the row count rides beside it. */
+  def contentHash(spark: SparkSession, dir: String): DataFrame = {
+    val rowHash = conv(substring(md5(concat_ws("|",
+      col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+      col("o_orderstatus"), format_string("%.2f", col("o_totalprice")),
+      col("o_orderpriority")).cast("binary")), 1, 8), 16, 10).cast("long")
+    Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        rowHash.as("h"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("content_sum"))
+      .orderBy(col("month"))
+  }
+
+  val contentHashSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |       count(*) AS n_rows,
+      |       CAST(sum(('0x' || substring(md5(
+      |         CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+      |         o_orderstatus || '|' || format('{:.2f}', o_totalprice) || '|' ||
+      |         o_orderpriority), 1, 8))::BIGINT) AS BIGINT) AS content_sum
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Deterministic PSEUDONYMIZATION — the GDPR-grade de-identification
     * pass that [[purgeAudit]]'s deletion flow complements: entity keys
     * are replaced by a salted one-way hash (md5 here; a production
@@ -484,6 +518,7 @@ object WarehouseEtl {
     "etl_scd2" -> (scd2Build _),
     "etl_scd2_lookup" -> (scd2Lookup _),
     "etl_pseudonymize" -> (pseudonymize _),
+    "etl_content_hash" -> (contentHash _),
     "etl_dq_checks" -> (dqChecks _),
     "etl_incremental_agg" -> (incrementalAgg _),
     "etl_merge_upsert" -> (mergeUpsert _)
@@ -496,6 +531,7 @@ object WarehouseEtl {
     "etl_scd2" -> scd2BuildSql,
     "etl_scd2_lookup" -> scd2LookupSql,
     "etl_pseudonymize" -> pseudonymizeSql,
+    "etl_content_hash" -> contentHashSql,
     "etl_dq_checks" -> dqChecksSql,
     "etl_incremental_agg" -> incrementalAggSql,
     "etl_merge_upsert" -> mergeUpsertSql

@@ -225,7 +225,50 @@ object Windows {
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS session_value
       |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** LONGEST ACTIVITY STREAK — gaps-and-islands on DATES (the daily
+    * sibling of [[sessionize]]'s timestamp islands): per user, the
+    * longest run of consecutive active days. Distinct active dates →
+    * day-number minus a per-user dense rank is CONSTANT within a
+    * consecutive run (the classic island key — pure integer
+    * arithmetic, tie-free since dates are distinct) → island sizes →
+    * per-user max. One shuffle on user_id; every window shares it. */
+  def longestStreak(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("ts_ns div 86400000000000").cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("run_len"), min(col("day")).as("run_start"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("run_len")).as("longest_streak"),
+        max(struct(col("run_len"), col("run_start"))).getField("run_start")
+          .as("best_start_day"))
+      .orderBy(col("user_id"))
+  }
+
+  val longestStreakSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island,
+      |         day
+      |  FROM days),
+      |islands AS (
+      |  SELECT user_id, island, count(*) AS run_len, min(day) AS run_start
+      |  FROM runs GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_streaks,
+      |       CAST(max(run_len) AS BIGINT) AS longest_streak,
+      |       (max(struct_pack(a := run_len, b := run_start))).b AS best_start_day
+      |FROM islands GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_streak" -> (longestStreak _),
     "win_sessionize" -> (sessionize _),
     "win_range_frame" -> (rangeFrameTrailing _),
     "win_distribution" -> (distributionWindows _),
@@ -237,6 +280,7 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_streak" -> longestStreakSql,
     "win_sessionize" -> sessionizeSql,
     "win_range_frame" -> rangeFrameTrailingSql,
     "win_distribution" -> distributionWindowsSql,

@@ -343,6 +343,37 @@ class Round8OpsSpec extends SparkSpec {
     assert(n.map(_.getLong(2)).sum === distinctShingles)
   }
 
+  test("content hash: identical snapshots match; any single-row edit flips its partition") {
+    val a = WarehouseEtl.contentHash(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = WarehouseEtl.contentHash(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq) // deterministic fingerprints
+    assert(a.map(_._2).sum === Tables.orders(spark, sf).count())
+    // partitioning independence: recompute under a different shuffle
+    // width — the sums must not move (the associativity claim)
+    val narrow = WarehouseEtl.contentHash(spark, sf).coalesce(1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(narrow.toSeq === a.toSeq)
+  }
+
+  test("streak: runs reconcile with distinct active days; longest bounded by span") {
+    val s = Windows.longestStreak(spark, sf).collect()
+    val activeDays = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("d"))
+      .distinct().groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s.length === activeDays.size)
+    for (r <- s) {
+      val (uid, nStreaks, longest) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(longest >= 1 && longest <= activeDays(uid))
+      assert(nStreaks >= 1 && nStreaks <= activeDays(uid))
+      // islands partition the active days: total run length = day count
+      // (longest <= days - (nStreaks - 1) since each extra streak costs a day)
+      assert(longest <= activeDays(uid) - (nStreaks - 1))
+    }
+  }
+
   test("equi-depth histogram: contiguous non-overlapping buckets, balanced populations") {
     val h = Aggregations.histogramEqDepth(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
