@@ -631,7 +631,15 @@ object Dedup {
     * stopwords. The size filter (t·na ≤ nb) prunes more, also
     * lossless. Exact Jaccard verifies survivors. Spec proves
     * losslessness against brute-force all-pairs; the oracle replays
-    * the same prefix pipeline. */
+    * the same prefix pipeline.
+    *
+    * Measured trade note: the PPJoin refinement (shorter asymmetric
+    * INDEXING prefix n − ⌈2t/(1+t)·n⌉ + 1 on the smaller side) was
+    * implemented and benchmarked — it was SLOWER at both sf0.1
+    * (4.5 s vs 3.7 s) and 10× (27 s vs 12 s) on this corpus: the
+    * role-splitting join condition costs more than the candidate
+    * reduction saves when verification is a cheap long-array
+    * intersect. The symmetric AllPairs prefix is kept on evidence. */
   def ppjoin(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.5
     // the set basis is the HASHED SHINGLE set: 3-gram shingles (like
