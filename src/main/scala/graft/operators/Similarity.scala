@@ -1557,6 +1557,40 @@ object Similarity {
        |FROM out, (SELECT unnest(range(1, $dim + 1)) AS i)
        |ORDER BY vec_id, pos""".stripMargin
 
+  /** Embedding NORM AUDIT — the serving-prerequisite sanity report:
+    * per label, vector count, zero-vector count (cosine-undefined
+    * rows every ANN stage must special-case), and exact micro-unit
+    * min/max/mean of the squared L2 norm. Norm moments come from the
+    * same quantized integer arithmetic as the drift monitor — ONE
+    * conditional agg on the compact label key, engine-exact. */
+  def normAudit(spark: SparkSession, dir: String): DataFrame = {
+    val nq = aggregate(
+      transform(vecAsDouble(col("embedding")), x => round(x * 10000d).cast("long")),
+      lit(0L), (acc, x) => acc + x * x)
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"), nq.as("nq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        count_if(col("nq") === 0L).as("n_zero"),
+        round(min(col("nq")).cast("double") / 1e8, 6).as("min_sq_norm"),
+        round(max(col("nq")).cast("double") / 1e8, 6).as("max_sq_norm"),
+        round(sum(col("nq")).cast("double") / count(lit(1)) / 1e8, 6).as("mean_sq_norm"))
+      .orderBy(col("label"))
+  }
+
+  val normAuditSql: String =
+    """SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors,
+      |       CAST(count(*) FILTER (WHERE nq = 0) AS BIGINT) AS n_zero,
+      |       round(CAST(min(nq) AS DOUBLE) / 1e8, 6) AS min_sq_norm,
+      |       round(CAST(max(nq) AS DOUBLE) / 1e8, 6) AS max_sq_norm,
+      |       round(CAST(sum(nq) AS DOUBLE) / count(*) / 1e8, 6) AS mean_sq_norm
+      |FROM (
+      |  SELECT label,
+      |         list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |           x -> CAST(round(x * 10000) AS BIGINT) * CAST(round(x * 10000) AS BIGINT))) AS nq
+      |  FROM embeddings)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** MaxSim (group-max) retrieval — the multi-vector scoring shape
     * (ColBERT/entity-level search): each LABEL is an entity whose
     * member vectors all represent it, and a query's score for the
@@ -2087,6 +2121,7 @@ object Similarity {
     "sim_embed_quantize" -> (embedQuantize _),
     "sim_random_projection" -> (randomProjection _),
     "sim_maxsim_topk" -> (maxSimTopK _),
+    "sim_norm_audit" -> (normAudit _),
     "sim_retrieval_metrics" -> (retrievalMetrics _),
     "sim_knn_classify" -> (knnClassify _),
     "sim_label_centroid" -> (labelCentroid _),
@@ -2118,6 +2153,7 @@ object Similarity {
     "sim_embed_quantize" -> embedQuantizeSql,
     "sim_random_projection" -> randomProjectionSql,
     "sim_maxsim_topk" -> maxSimTopKSql,
+    "sim_norm_audit" -> normAuditSql,
     "sim_retrieval_metrics" -> retrievalMetricsSql,
     "sim_knn_classify" -> knnClassifySql,
     "sim_label_centroid" -> labelCentroidSql,

@@ -103,6 +103,35 @@ object WarehouseEtl {
       |FROM changes
       |ORDER BY user_id, valid_from, state""".stripMargin
 
+  /** FRESHNESS / STALENESS report — the first SLA dashboard any
+    * warehouse feed gets: per stream (event_type), the newest event's
+    * timestamp and how many minutes it lags the corpus high-water
+    * mark. Exact integer nanos throughout; the corpus max is a 1-row
+    * broadcast under a compact-key agg (the histogram-bounds
+    * pattern), so at 100 TB this is one scan + one 5-row join. */
+  def freshness(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("ts_ns")).as("last_ns"))
+    val hwm = Tables.events(spark, dir).agg(max(col("ts_ns")).as("hwm_ns"))
+    perType.crossJoin(broadcast(hwm))
+      .select(col("event_type"), col("n"),
+        date_format((expr("last_ns div 1000000000")).cast("timestamp"),
+          "yyyy-MM-dd HH:mm:ss").as("last_event"),
+        expr("(hwm_ns - last_ns) div 60000000000").as("minutes_behind"))
+      .orderBy(col("event_type"))
+  }
+
+  val freshnessSql: String =
+    """WITH t AS (
+      |  SELECT event_type, count(*) AS n, max(epoch_ns(ts)) AS last_ns
+      |  FROM events GROUP BY 1),
+      |h AS (SELECT max(epoch_ns(ts)) AS hwm_ns FROM events)
+      |SELECT event_type, n,
+      |       strftime(to_timestamp(last_ns // 1000000000), '%Y-%m-%d %H:%M:%S') AS last_event,
+      |       (hwm_ns - last_ns) // 60000000000 AS minutes_behind
+      |FROM t, h ORDER BY event_type""".stripMargin
+
   /** CONTENT-HASH RECONCILIATION — the O(1)-per-partition table
     * equality check: each row hashes to a 32-bit md5 prefix and the
     * partition fingerprint is the SUM of row hashes — associative and
@@ -519,6 +548,7 @@ object WarehouseEtl {
     "etl_scd2_lookup" -> (scd2Lookup _),
     "etl_pseudonymize" -> (pseudonymize _),
     "etl_content_hash" -> (contentHash _),
+    "etl_freshness" -> (freshness _),
     "etl_dq_checks" -> (dqChecks _),
     "etl_incremental_agg" -> (incrementalAgg _),
     "etl_merge_upsert" -> (mergeUpsert _)
@@ -532,6 +562,7 @@ object WarehouseEtl {
     "etl_scd2_lookup" -> scd2LookupSql,
     "etl_pseudonymize" -> pseudonymizeSql,
     "etl_content_hash" -> contentHashSql,
+    "etl_freshness" -> freshnessSql,
     "etl_dq_checks" -> dqChecksSql,
     "etl_incremental_agg" -> incrementalAggSql,
     "etl_merge_upsert" -> mergeUpsertSql
