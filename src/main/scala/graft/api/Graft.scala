@@ -662,6 +662,9 @@ object Graft {
       val restored = fs.rename(old, p)
       require(restored,
         s"compact: publish failed AND restore failed — data is at $old")
+      // best-effort: drop the orphaned compacted copy so a failed
+      // publish doesn't leak a full duplicate of the dataset on disk
+      try fs.delete(tmp, true) catch { case _: java.io.IOException => () }
       throw new IllegalStateException(
         s"compact: could not publish compacted $path (original restored)")
     }

@@ -315,8 +315,16 @@ object Extras {
     *    hazard this family exists to rule out;
     *  - both engines round decimals half-AWAY-FROM-ZERO, so the
     *    round-to-cents column is tie-safe;
-    *  - every output is cast to an explicit DECIMAL(38,s) so the two
-    *    sides serialize the same scale. */
+    *  - the FINAL projection casts every money column to DOUBLE on
+    *    both sides: the differential harness hashes results through
+    *    pandas, where DuckDB DECIMALs arrive as float64 but Spark
+    *    parquet decimals arrive as Python Decimal objects — a
+    *    top-level DecimalType can therefore never hash-match
+    *    (round-8 verdict). The cast is exact here: the largest value
+    *    is sum_charge ≤ ~1.05e9 at scale 6 = 1.05e15 quanta < 2^53,
+    *    so every decimal in this family is representable in a 53-bit
+    *    mantissa. All arithmetic and aggregation stays DECIMAL end to
+    *    end; only the serialization boundary is DOUBLE. */
   def decimalFamily(spark: SparkSession, dir: String): DataFrame = {
     val one = lit(1).cast("decimal(3,2)")
     val li = Tables.lineitem(spark, dir).select(
@@ -329,12 +337,12 @@ object Extras {
         (col("price") * (one - col("disc")) * (one + col("tax"))).as("charge"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(col("price")).cast("decimal(38,2)").as("sum_price"),
-        min(col("price")).cast("decimal(38,2)").as("min_price"),
-        max(col("price")).cast("decimal(38,2)").as("max_price"),
-        sum(col("disc_price")).cast("decimal(38,4)").as("sum_disc_price"),
-        sum(col("charge")).cast("decimal(38,6)").as("sum_charge"),
-        round(sum(col("charge")), 2).cast("decimal(38,2)").as("sum_charge_r2"),
+        sum(col("price")).cast("decimal(38,2)").cast("double").as("sum_price"),
+        min(col("price")).cast("decimal(38,2)").cast("double").as("min_price"),
+        max(col("price")).cast("decimal(38,2)").cast("double").as("max_price"),
+        sum(col("disc_price")).cast("decimal(38,4)").cast("double").as("sum_disc_price"),
+        sum(col("charge")).cast("decimal(38,6)").cast("double").as("sum_charge"),
+        round(sum(col("charge")), 2).cast("decimal(38,2)").cast("double").as("sum_charge_r2"),
         count_if(col("price") > lit(50000).cast("decimal(12,2)")).as("n_big"))
       .orderBy(col("l_returnflag"))
   }
@@ -353,12 +361,12 @@ object Extras {
       |               * (CAST(1 AS DECIMAL(3,2)) + tax) AS charge
       |  FROM li)
       |SELECT l_returnflag, count(*) AS n,
-      |       CAST(sum(price) AS DECIMAL(38,2)) AS sum_price,
-      |       CAST(min(price) AS DECIMAL(38,2)) AS min_price,
-      |       CAST(max(price) AS DECIMAL(38,2)) AS max_price,
-      |       CAST(sum(disc_price) AS DECIMAL(38,4)) AS sum_disc_price,
-      |       CAST(sum(charge) AS DECIMAL(38,6)) AS sum_charge,
-      |       CAST(round(sum(charge), 2) AS DECIMAL(38,2)) AS sum_charge_r2,
+      |       CAST(CAST(sum(price) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+      |       CAST(CAST(min(price) AS DECIMAL(38,2)) AS DOUBLE) AS min_price,
+      |       CAST(CAST(max(price) AS DECIMAL(38,2)) AS DOUBLE) AS max_price,
+      |       CAST(CAST(sum(disc_price) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+      |       CAST(CAST(sum(charge) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+      |       CAST(CAST(round(sum(charge), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_charge_r2,
       |       CAST(count(*) FILTER (WHERE price > CAST(50000 AS DECIMAL(12,2))) AS BIGINT) AS n_big
       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 

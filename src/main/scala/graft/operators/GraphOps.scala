@@ -193,60 +193,81 @@ object GraphOps {
       |       CAST(round(3.0 * 1e6 * n_triangles / n_wedges) AS BIGINT) AS clustering_micro
       |FROM tri CROSS JOIN ne CROSS JOIN w""".stripMargin
 
-  /** k-CORE decomposition (k=2, fixed synchronous peel rounds) over
-    * the fuzzy-name graph — the density filter that strips pendant
-    * chains/leaves before community or influence analysis (a node
-    * survives iff it keeps ≥ k neighbors that themselves survive).
-    * Asynchronous peeling is visit-order-dependent; this is the
-    * SYNCHRONOUS variant (all sub-k nodes drop together each round),
-    * which is deterministic and therefore oracle-replayable — the
-    * oracle unrolls the same [[kCoreRounds]] rounds as chained CTEs.
-    * Each round is one degree count + two semi joins on node ids
-    * (equi, broadcastable survivor list); per-round localCheckpoint
-    * truncates lineage like the other iterative ops. At 100 TB the
-    * round count bounds total work at rounds × O(E) — and 2-core
-    * peeling converges in few rounds on power-law graphs (chains are
-    * the worst case, same as CC pointer jumping). */
+  /** k-CORE decomposition (k=2, synchronous peel TO THE FIXPOINT)
+    * over the fuzzy-name graph — the density filter that strips
+    * pendant chains/leaves before community or influence analysis (a
+    * node survives iff it keeps ≥ k neighbors that themselves
+    * survive). Asynchronous peeling is visit-order-dependent; this is
+    * the SYNCHRONOUS variant (all sub-k nodes drop together each
+    * round), which is deterministic and therefore oracle-replayable.
+    * The engine peels until a round drops no edges (the true 2-core),
+    * with [[kCoreMaxRounds]] as a bounded-round cap — exceeding it
+    * raises rather than silently returning a partial peel (the
+    * round-8 fixed-4-round variant could retain non-core nodes on
+    * slow-converging chains). Oracle parity: peeling is IDEMPOTENT at
+    * the fixpoint (once every degree is ≥ k, a further round is the
+    * identity), so the oracle unrolls the full cap as chained CTEs
+    * and — given the engine's convergence assertion — both sides
+    * equal the converged core. Each round is one degree count + two
+    * semi joins on node ids (equi, broadcastable survivor list);
+    * per-round localCheckpoint truncates lineage and makes the
+    * early-exit count() read from cached blocks. At 100 TB the cap
+    * bounds total work at rounds × O(E) — and 2-core peeling
+    * converges in few rounds on power-law graphs (chains are the
+    * worst case, same as CC pointer jumping). */
   private val kCoreK = 2
-  private val kCoreRounds = 4
+  private val kCoreMaxRounds = 12
 
   def kCore(spark: SparkSession, dir: String): DataFrame = {
     var e = Joins.fuzzyBlockedJoin(spark, dir)
       .select(col("name_a").as("a"), col("name_b").as("b")).localCheckpoint()
-    for (_ <- 1 to kCoreRounds) {
+    var edges = e.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < kCoreMaxRounds) {
       val deg = e.select(col("a").as("node")).union(e.select(col("b")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= kCoreK).select(col("node"))
       e = e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
         .localCheckpoint()
+      val left = e.count()
+      converged = left == edges
+      edges = left
+      round += 1
     }
+    require(converged || edges == 0L,
+      s"kCore: no fixpoint within $kCoreMaxRounds rounds ($edges edges left)")
     e.select(col("a").as("node")).union(e.select(col("b")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       .orderBy(col("node"))
   }
 
+  // every per-round CTE is MATERIALIZED: with the default inlining,
+  // round r's plan embeds rounds 1..r-1 (the exact lineage blow-up
+  // localCheckpoint truncates on the engine side) and 12 unrolled
+  // rounds re-open the part scan enough times to exhaust file handles
   val kCoreSql: String = {
-    val rounds = (1 to kCoreRounds).map { r =>
-      s"""d$r AS (
+    val rounds = (1 to kCoreMaxRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
          |  SELECT node, count(*) AS d
          |  FROM (SELECT a AS node FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
          |  GROUP BY 1),
-         |k$r AS (SELECT node FROM d$r WHERE d >= $kCoreK),
-         |e$r AS (
+         |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE d >= $kCoreK),
+         |e$r AS MATERIALIZED (
          |  SELECT a, b FROM e${r - 1}
          |  WHERE a IN (SELECT node FROM k$r) AND b IN (SELECT node FROM k$r))""".stripMargin
     }.mkString(",\n")
-    s"""WITH names AS (
+    s"""WITH names AS MATERIALIZED (
        |  SELECT p_name AS name, string_split(p_name, ' ')[-1] AS noun
        |  FROM part GROUP BY p_name),
-       |e0 AS (
+       |e0 AS MATERIALIZED (
        |  SELECT a.name AS a, b.name AS b
        |  FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
        |  WHERE levenshtein(a.name, b.name) <= 3),
        |$rounds
        |SELECT node, count(*) AS degree
-       |FROM (SELECT a AS node FROM e$kCoreRounds UNION ALL SELECT b FROM e$kCoreRounds)
+       |FROM (SELECT a AS node FROM e$kCoreMaxRounds UNION ALL SELECT b FROM e$kCoreMaxRounds)
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 

@@ -56,23 +56,30 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("HARNESS CONTRACT: no registered query emits a top-level array/map column") {
+  test("HARNESS CONTRACT: no registered query emits a top-level array/map/decimal column") {
     // The driver's oracle harness sorts and hashes result columns with
     // pandas; a top-level ArrayType/MapType is unhashable there and
     // turns the row `err` (round-7 lesson: sim_embed_{standardize,
-    // quantize}). Vector-valued ops must leave the engine in long form
-    // (id, pos, value) or as a delimited string. Analysis only — no
+    // quantize}). DecimalType is equally unhashable, by a subtler
+    // mechanism (round-8 lesson: fn_decimal): DuckDB DECIMALs reach
+    // pandas as float64 while Spark parquet decimals reach it as
+    // Python Decimal objects, so the value hash can never match.
+    // Vector-valued ops must leave the engine in long form (id, pos,
+    // value) or as a delimited string; money-typed ops must keep
+    // DECIMAL arithmetic internal and cast the final projection to
+    // DOUBLE (exact when quanta < 2^53) or VARCHAR. Analysis only — no
     // query is executed, but eager model-training stages (bounded
     // artifacts) do run at sf0.001.
-    import org.apache.spark.sql.types.{ArrayType, MapType}
+    import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val bad = fn(spark, sf).schema.fields.collect {
           case f if f.dataType.isInstanceOf[ArrayType] ||
-            f.dataType.isInstanceOf[MapType] => f.name
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[DecimalType] => f.name
         }
         if (bad.isEmpty) None else Some(s"$name(${bad.mkString(",")})")
     }
-    assert(offenders.isEmpty, s"array/map-valued outputs: $offenders")
+    assert(offenders.isEmpty, s"array/map/decimal-valued outputs: $offenders")
   }
 }

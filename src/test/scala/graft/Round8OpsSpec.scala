@@ -11,23 +11,29 @@ import org.apache.spark.sql.functions._
 class Round8OpsSpec extends SparkSpec {
 
   test("decimal family: exact identities between the decimal aggregates") {
+    // outputs are DOUBLE at the serialization boundary (harness
+    // contract — see decimalFamily's docstring), but every value is
+    // an exact decimal < 2^53 quanta, so the identities hold exactly
     val rows = Extras.decimalFamily(spark, sf).collect()
     assert(rows.length === 3) // l_returnflag in {A, N, R}
     for (r <- rows) {
-      val sumPrice = r.getDecimal(2)
-      val minP = r.getDecimal(3)
-      val maxP = r.getDecimal(4)
-      val sumDisc = r.getDecimal(5)
-      val sumCharge = r.getDecimal(6)
-      val r2 = r.getDecimal(7)
-      assert(minP.compareTo(maxP) <= 0)
+      val sumPrice = r.getDouble(2)
+      val minP = r.getDouble(3)
+      val maxP = r.getDouble(4)
+      val sumDisc = r.getDouble(5)
+      val sumCharge = r.getDouble(6)
+      val r2 = r.getDouble(7)
+      assert(minP <= maxP)
       // discount in [0, 0.1], tax >= 0: disc_price <= price, charge >= disc_price
-      assert(sumDisc.compareTo(sumPrice) <= 0)
-      assert(sumCharge.compareTo(sumDisc) >= 0)
+      assert(sumDisc <= sumPrice)
+      assert(sumCharge >= sumDisc)
       // rounding to cents moves the sum by < half a cent
-      assert(sumCharge.subtract(r2).abs.doubleValue < 0.005)
-      // decimal sums re-derive exactly from the raw doubles in cents
-      assert(sumPrice.scale === 2 && sumCharge.scale === 6)
+      assert(math.abs(sumCharge - r2) < 0.005)
+      // the doubles are exact decimal quanta: scale-2 money and the
+      // scale-6 charge sum are integral in cents / micro-units
+      assert(sumPrice * 100d === math.rint(sumPrice * 100d))
+      assert(BigDecimal(sumCharge).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).doubleValue === sumCharge)
     }
   }
 
