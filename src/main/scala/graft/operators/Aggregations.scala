@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation family (SURVEY.md §2.4 — all EXT).
@@ -637,7 +638,90 @@ object Aggregations {
       |            FROM orders))
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CHI-SQUARE independence test — "is event mix independent of time
+    * of day?", the categorical sibling of [[abTest]]'s two-proportion
+    * z. Contingency: event_type × 4-hour day-bucket. Observed counts
+    * are exact BIGINTs; each cell's (O−E)²/E lands as ONE rounded
+    * micro-unit integer and the statistic is their exact integer sum
+    * (summation order cannot move it — the same quantize-then-sum
+    * discipline as the drift monitor). E = rowTot·colTot/N is a
+    * double of exact integers — bit-identical on both engines. Scale:
+    * one compact-key aggregation (|types|×6 cells) over any corpus
+    * size; the two marginal tables are window sums over the cell
+    * table, not re-scans. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("CAST(hour(ts) AS BIGINT) div 4").as("bucket"))
+      .agg(count(lit(1)).as("o"))
+    val withMargins = cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("bucket"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    withMargins
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+      .withColumn("cont_micro",
+        round(lit(1e6) * (col("o") - col("e")) * (col("o") - col("e")) / col("e")).cast("long"))
+      .agg(count(lit(1)).as("n_cells"),
+        ((countDistinct(col("event_type")) - 1) *
+          (countDistinct(col("bucket")) - 1)).as("dof"),
+        sum(col("cont_micro")).as("chi2_micro"))
+  }
+
+  val chiSquareSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(hour(ts) AS BIGINT) // 4 AS bucket, count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, bucket, o,
+      |         sum(o) OVER (PARTITION BY event_type) AS rt,
+      |         sum(o) OVER (PARTITION BY bucket) AS ct,
+      |         sum(o) OVER () AS n
+      |  FROM cells),
+      |c AS (
+      |  SELECT event_type, bucket, o,
+      |         CAST(round(1e6 * (o - CAST(rt AS DOUBLE) * ct / n)
+      |                        * (o - CAST(rt AS DOUBLE) * ct / n)
+      |                        / (CAST(rt AS DOUBLE) * ct / n)) AS BIGINT) AS cont_micro
+      |  FROM m)
+      |SELECT count(*) AS n_cells,
+      |       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT bucket) - 1) AS BIGINT) AS dof,
+      |       CAST(sum(cont_micro) AS BIGINT) AS chi2_micro
+      |FROM c""".stripMargin
+
+  /** SHANNON ENTROPY per group — the diversity audit a corpus
+    * curation pass runs per source ("is this feed one language or a
+    * mix?"). Entropy of the language distribution in NATS, each
+    * −p·ln(p) term quantized to a micro-unit integer before the sum
+    * (order-independent; ln on identical doubles — the established
+    * cross-engine contract of the logprob family). Counts come from
+    * one compact-key aggregation; the per-group total is a window
+    * sum, so the corpus is scanned once. */
+  def entropyPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+    counts
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("term_micro", round(lit(-1e6) * col("p") * log(col("p"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("term_micro")).as("entropy_micro_nats"))
+      .orderBy(col("source"))
+  }
+
+  val entropyPerGroupSql: String =
+    """WITH counts AS (
+      |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+      |withn AS (
+      |  SELECT source, lang, c, sum(c) OVER (PARTITION BY source) AS n FROM counts)
+      |SELECT source, max(n) AS n_docs, count(*) AS n_langs,
+      |       CAST(sum(CAST(round(-1e6 * (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+      |                     AS BIGINT)) AS BIGINT) AS entropy_micro_nats
+      |FROM withn GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_chi2" -> (chiSquare _),
+    "agg_entropy" -> (entropyPerGroup _),
     "agg_ab_test" -> (abTest _),
     "agg_histogram_eqdepth" -> (histogramEqDepth _),
     "agg_skew_diag" -> (skewDiag _),
@@ -659,6 +743,8 @@ object Aggregations {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_chi2" -> chiSquareSql,
+    "agg_entropy" -> entropyPerGroupSql,
     "agg_ab_test" -> abTestSql,
     "agg_histogram_eqdepth" -> histogramEqDepthSql,
     "agg_skew_diag" -> skewDiagSql,

@@ -542,7 +542,214 @@ object Analytics {
       |       round(quantile_cont(lat_sec, 0.9), 2) AS p90_sec
       |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** RFM segmentation — the first customer-value cut any CRM/marketing
+    * warehouse ships: per customer Recency (days since last order vs
+    * the corpus high-water mark — NOT wall clock, so the op is
+    * replayable), Frequency (order count), Monetary (lifetime cents),
+    * each scored into quintiles, reported as the segment matrix.
+    * Quintiles via ntile(5) over a TOTAL order (metric, custkey) —
+    * ntile on a partial order is placement-nondeterministic for tied
+    * customers, which would break both the oracle and any two runs of
+    * the engine. Monetary stays integer cents end to end; the only
+    * double is the exact /100 at the boundary. Scale: one orders-table
+    * aggregation (map-side combinable on o_custkey), three window
+    * ranks over the CUSTOMER table (1000× smaller than orders), a
+    * compact 125-cell output. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
+    val hwm = Tables.orders(spark, dir).agg(max(col("o_orderdate")).as("hwm"))
+    per.crossJoin(broadcast(hwm))
+      .withColumn("recency_days", datediff(col("hwm"), col("last_order")))
+      .withColumn("r_q", ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey"))))
+      .withColumn("f_q", ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey"))))
+      .withColumn("m_q", ntile(5).over(Window.orderBy(col("monetary_cents").desc, col("o_custkey"))))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("monetary_cents")).cast("double") / 100).as("total_monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val rfmSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS frequency,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      |  FROM orders GROUP BY 1),
+      |hwm AS (SELECT max(o_orderdate) AS hwm FROM orders),
+      |scored AS (
+      |  SELECT ntile(5) OVER (ORDER BY datediff('day', last_order, hwm), o_custkey) AS r_q,
+      |         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+      |         ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_q,
+      |         monetary_cents
+      |  FROM per, hwm)
+      |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+      |       CAST(sum(monetary_cents) AS DOUBLE) / 100 AS total_monetary
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** PARETO / revenue-concentration report — "which decile of
+    * customers carries the revenue" plus the Gini coefficient, the
+    * one-number inequality summary. Customers rank by lifetime cents
+    * (desc, custkey tie-break — a total order, same discipline as
+    * [[rfm]]); deciles via ntile(10); shares in ppm from exact
+    * integer cents. Gini uses the rank formula G = 2·Σ(i·xᵢ)/(n·Σx)
+    * − (n+1)/n over the ASCENDING sort — Σ(i·xᵢ) is a BIGINT (rank ≤
+    * |customers|, cents ≤ 2⁴⁰: no overflow until ~10⁹ customers ×
+    * $10⁷ lifetime; past that the decile-grouped approximation is the
+    * standard rewrite), so both engines feed identical integers into
+    * the one double expression. */
+  def pareto(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val ranked = per
+      .withColumn("decile", ntile(10).over(Window.orderBy(col("cents").desc, col("o_custkey"))))
+      .withColumn("i_asc", row_number().over(Window.orderBy(col("cents"), col("o_custkey").desc)))
+    val gini = ranked.agg(
+      count(lit(1)).as("nc"), sum(col("cents")).as("total"),
+      sum(col("i_asc") * col("cents")).as("six"))
+      .select(round(lit(1e6) * (lit(2).cast("double") * col("six") /
+          (col("nc") * col("total")) - (col("nc") + lit(1)).cast("double") / col("nc")))
+        .cast("long").as("gini_ppm"), col("total"))
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("dc"))
+      .crossJoin(broadcast(gini))
+      .select(col("decile"), col("n_customers"),
+        round(lit(1e6) * col("dc") / col("total")).cast("long").as("share_ppm"),
+        round(lit(1e6) * sum(col("dc")).over(
+          Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)) /
+          col("total")).cast("long").as("cum_share_ppm"),
+        col("gini_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  val paretoSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT cents,
+      |         ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile,
+      |         row_number() OVER (ORDER BY cents, o_custkey DESC) AS i_asc
+      |  FROM per),
+      |g AS (
+      |  SELECT count(*) AS nc, sum(cents) AS total, sum(i_asc * cents) AS six
+      |  FROM ranked),
+      |gini AS (
+      |  SELECT CAST(round(1e6 * (2.0 * six / (nc * total) - CAST(nc + 1 AS DOUBLE) / nc))
+      |              AS BIGINT) AS gini_ppm, total
+      |  FROM g),
+      |dec AS (
+      |  SELECT decile, count(*) AS n_customers, sum(cents) AS dc
+      |  FROM ranked GROUP BY 1)
+      |SELECT decile, n_customers,
+      |       CAST(round(1e6 * dc / total) AS BIGINT) AS share_ppm,
+      |       CAST(round(1e6 * sum(dc) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) / total)
+      |            AS BIGINT) AS cum_share_ppm,
+      |       gini_ppm
+      |FROM dec, gini ORDER BY decile""".stripMargin
+
+  /** KAPLAN–MEIER survival curve over SESSION durations — the
+    * engagement analysis that handles CENSORING correctly (sessions
+    * still open near the corpus edge haven't ended; treating them as
+    * completed biases every naive duration number down). Sessions are
+    * the 30-minute-gap islands (the [[Windows]] sessionize contract);
+    * a session's lifetime is whole 10-minute periods first→last
+    * event, and sessions whose last event falls within the 30-minute
+    * gap of the corpus high-water mark are censored (they may still
+    * be open). Per period: at-risk count (total minus prior exits — a
+    * window cumsum of exact integers), deaths, censored, and Ŝ(t) =
+    * Π(1 − dₛ/nₛ) for s ≤ t. The prefix product is the one genuinely
+    * sequential piece: the PERIOD table is duration-bounded (tens of
+    * rows, not sessions), so the engine folds an ordered prefix list
+    * (collect_list over the cumulative window frame — deterministic
+    * frame order) while the oracle uses a windowed product; both
+    * multiply the same exact factors (dₛ/nₛ: integer÷integer — bit-
+    * identical IEEE division both sides) and the result rounds at 6
+    * dp. Scale: one per-user lag window + one session aggregation
+    * (both data-sized, key-partitioned); everything after is on the
+    * periods spine. */
+  def survival(spark: SparkSession, dir: String): DataFrame = {
+    val gapNs = 30L * 60 * 1000000000L
+    val periodNs = 10L * 60 * 1000000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("new_s",
+        (col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs).cast("long"))
+      .withColumn("sess", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts_ns")).as("first_ns"), max(col("ts_ns")).as("last_ns"))
+    val hwm = Tables.events(spark, dir).agg(max(col("ts_ns")).as("hwm_ns"))
+    val lives = sessions.crossJoin(broadcast(hwm))
+      // `div`, not `/`: Spark's / on longs is DOUBLE division and the
+      // truncating cast could land one period off near an exact
+      // boundary; div is the exact integer floor DuckDB's // computes
+      .select(expr(s"(last_ns - first_ns) div $periodNs").as("w"),
+        (col("last_ns") < col("hwm_ns") - gapNs).cast("long").as("death"))
+    val perPeriod = lives.groupBy(col("w").as("period"))
+      .agg(sum(col("death")).as("d"), sum(lit(1L) - col("death")).as("c"))
+    val total = lives.agg(count(lit(1)).as("n_users"))
+    val cum = Window.orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPeriod.crossJoin(broadcast(total))
+      .withColumn("exits_thru",
+        sum(col("d") + col("c")).over(cum))
+      .withColumn("n_risk",
+        col("n_users") - col("exits_thru") + col("d") + col("c"))
+      .withColumn("factor",
+        lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+      .withColumn("survival", round(aggregate(
+        collect_list(col("factor")).over(cum), lit(1.0), (acc, x) => acc * x), 6))
+      .select(col("period"), col("n_risk"), col("d").as("n_deaths"),
+        col("c").as("n_censored"), col("survival"))
+      .orderBy(col("period"))
+  }
+
+  val survivalSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+      |         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+      |                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+      |sess AS (
+      |  SELECT user_id, ts_ns,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM marked),
+      |sessions AS (
+      |  SELECT user_id, sess, min(ts_ns) AS first_ns, max(ts_ns) AS last_ns
+      |  FROM sess GROUP BY 1, 2),
+      |hwm AS (SELECT max(epoch_ns(ts)) AS hwm_ns FROM events),
+      |lives AS (
+      |  SELECT (last_ns - first_ns) // 600000000000 AS w,
+      |         CAST(last_ns < hwm_ns - 1800000000000 AS BIGINT) AS death
+      |  FROM sessions, hwm),
+      |per AS (
+      |  SELECT w AS period, sum(death) AS d, sum(1 - death) AS c
+      |  FROM lives GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_users FROM lives),
+      |risk AS (
+      |  SELECT period, d, c,
+      |         n_users - sum(d + c) OVER (ORDER BY period ROWS UNBOUNDED PRECEDING)
+      |           + d + c AS n_risk
+      |  FROM per, tot)
+      |SELECT period, n_risk, d AS n_deaths, c AS n_censored,
+      |       round(product(1.0 - CAST(d AS DOUBLE) / n_risk)
+      |             OVER (ORDER BY period ROWS UNBOUNDED PRECEDING), 6) AS survival
+      |FROM risk ORDER BY period""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> (rfm _),
+    "q_pareto" -> (pareto _),
+    "q_survival" -> (survival _),
     "q_market_basket" -> (marketBasket _),
     "q_item_cf" -> (itemCf _),
     "q_attribution" -> (attribution _),
@@ -560,6 +767,9 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_rfm" -> rfmSql,
+    "q_pareto" -> paretoSql,
+    "q_survival" -> survivalSql,
     "q_market_basket" -> marketBasketSql,
     "q_item_cf" -> itemCfSql,
     "q_attribution" -> attributionSql,

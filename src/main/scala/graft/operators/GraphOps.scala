@@ -521,7 +521,97 @@ object GraphOps {
        |ORDER BY jaccard DESC, f.a, f.b LIMIT 20""".stripMargin
   }
 
+  /** HITS hubs & authorities (2 synchronous iterations, max-
+    * normalized) over the event-type transition graph — the directed
+    * complement of [[pagerank]]: a node is a strong HUB if it links
+    * to strong authorities (the event types that lead somewhere) and
+    * a strong AUTHORITY if strong hubs link to it (the destinations).
+    * Parity by the pagerank discipline: scores are integer
+    * micro-units between half-steps; each half-step is an exact
+    * BIGINT weighted sum followed by ONE max-normalizing division
+    * (identical doubles both engines — max-norm, not sum-norm, so the
+    * denominator is a single exact integer rather than an
+    * order-sensitive float sum) and one round. The iteration loop is
+    * generic over any (src, dst, w) edge DataFrame — on a data-sized
+    * edge list each half-step is one join keyed on one endpoint + one
+    * agg on the other, the canonical two-shuffle message-passing
+    * round ([[pagerank]]'s cost model). */
+  def hits(edges: DataFrame, iterations: Int = 2): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    var h = nodes.withColumn("hm", lit(1000000L))
+    var a = nodes.withColumn("am", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val araw = edges.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("w") * col("hm")).as("raw"))
+      val amax = araw.agg(max(col("raw")).as("m"))
+      a = nodes.join(araw, Seq("node"), "left").crossJoin(broadcast(amax))
+        .select(col("node"),
+          round(lit(1e6) * coalesce(col("raw"), lit(0L)) / col("m"))
+            .cast("long").as("am")).localCheckpoint()
+      val hraw = edges.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("w") * col("am")).as("raw"))
+      val hmax = hraw.agg(max(col("raw")).as("m"))
+      h = nodes.join(hraw, Seq("node"), "left").crossJoin(broadcast(hmax))
+        .select(col("node"),
+          round(lit(1e6) * coalesce(col("raw"), lit(0L)) / col("m"))
+            .cast("long").as("hm")).localCheckpoint()
+    }
+    h.join(a, "node")
+      .select(col("node"), col("hm").as("hub_micro"), col("am").as("auth_micro"))
+      .orderBy(col("node"))
+  }
+
+  def hitsTypes(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(order))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .coalesce(1) // |types|² artifact — same single-task note as pagerankTypes
+    hits(edges, iterations = 2)
+      .withColumnRenamed("node", "event_type")
+  }
+
+  val hitsTypesSql: String = {
+    val rounds = (1 to 2).map { r =>
+      s"""a${r}raw AS (
+         |  SELECT e.dst AS node, sum(e.w * h.hm) AS raw
+         |  FROM edges e JOIN h${r - 1} h ON h.node = e.src GROUP BY 1),
+         |a$r AS (
+         |  SELECT n.node,
+         |         CAST(round(1e6 * coalesce(r.raw, 0) / (SELECT max(raw) FROM a${r}raw))
+         |              AS BIGINT) AS am
+         |  FROM nodes n LEFT JOIN a${r}raw r ON n.node = r.node),
+         |h${r}raw AS (
+         |  SELECT e.src AS node, sum(e.w * a.am) AS raw
+         |  FROM edges e JOIN a$r a ON a.node = e.dst GROUP BY 1),
+         |h$r AS (
+         |  SELECT n.node,
+         |         CAST(round(1e6 * coalesce(r.raw, 0) / (SELECT max(raw) FROM h${r}raw))
+         |              AS BIGINT) AS hm
+         |  FROM nodes n LEFT JOIN h${r}raw r ON n.node = r.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ordered AS (
+       |  SELECT user_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |edges AS (
+       |  SELECT prev AS src, event_type AS dst, count(*) AS w
+       |  FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hm FROM nodes),
+       |$rounds
+       |SELECT h2.node AS event_type, h2.hm AS hub_micro, a2.am AS auth_micro
+       |FROM h2 JOIN a2 ON h2.node = a2.node
+       |ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits" -> (hitsTypes _),
     "graph_link_pred" -> (linkPrediction _),
     "graph_pagerank" -> (pagerankTypes _),
     "graph_kcore" -> (kCore _),
@@ -532,6 +622,7 @@ object GraphOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "graph_hits" -> hitsTypesSql,
     "graph_link_pred" -> linkPredictionSql,
     "graph_pagerank" -> pagerankTypesSql,
     "graph_kcore" -> kCoreSql,

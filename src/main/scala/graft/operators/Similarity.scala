@@ -2111,7 +2111,141 @@ object Similarity {
        |FROM exq e JOIN pcl l ON e.pos = l.pos
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** MMR (Maximal Marginal Relevance) diversity re-rank — the
+    * standard fix for a retrieval page of near-duplicates: greedily
+    * pick k=3 results maximizing λ·relevance − (1−λ)·max-similarity-
+    * to-already-picked (λ=0.7). The greedy loop is inherently
+    * sequential, but over the BOUNDED candidate set (top-10 from the
+    * exact serving path), so each of the 3 steps is one per-query
+    * argmax window — per-query cost O(k·c²) independent of corpus
+    * size, and the c² pairwise-similarity table is |Q|·c² rows, not
+    * |Q|·N. Parity by integers: relevance and pair similarities
+    * quantize to micro-units ONCE, then every MMR score is the exact
+    * BIGINT 7·rel − 3·maxsim (λ in tenths — no float in the argmax
+    * key), tie-broken by candidate id. Step 1 is pure relevance
+    * (empty picked-set ⇒ similarity term 0), so its score is 7·rel. */
+  private val mmrCandidates = 10
+
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).withColumn("v", vecAsDouble(col("embedding")))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), norm(col("v")).as("qn"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("v").as("cv"), norm(col("v")).as("cn"))
+    val byRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_micro").desc, col("cand_id"))
+    val cand = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("rel_micro",
+        round(lit(1e6) * dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).cast("long"))
+      .withColumn("rn", row_number().over(byRel))
+      .filter(col("rn") <= mmrCandidates)
+      .select(col("query_id"), col("cand_id"), col("rel_micro"), col("cv"), col("cn"))
+      .localCheckpoint() // reused 4× below; candidates are |Q|·c rows
+    val sims = cand.select(col("query_id"), col("cand_id").as("a_id"),
+        col("cv").as("av"), col("cn").as("an"))
+      .join(cand.select(col("query_id"), col("cand_id").as("b_id"),
+        col("cv").as("bv"), col("cn").as("bn")), Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        round(lit(1e6) * dot(col("av"), col("bv")) / (col("an") * col("bn")))
+          .cast("long").as("sim_micro"))
+    val slim = cand.select(col("query_id"), col("cand_id"), col("rel_micro"))
+    def argmax(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("score"))
+    }
+    val p1 = argmax(slim.select(col("query_id"), col("cand_id"),
+      (col("rel_micro") * 7).as("score")))
+    val s2cand = slim.join(p1.select(col("query_id"), col("cand_id").as("s1")), "query_id")
+      .filter(col("cand_id") =!= col("s1"))
+      .join(sims.select(col("query_id"), col("a_id").as("cand_id"),
+        col("b_id").as("s1"), col("sim_micro").as("sim1")), Seq("query_id", "cand_id", "s1"))
+      .select(col("query_id"), col("cand_id"), col("s1"),
+        (col("rel_micro") * 7 - col("sim1") * 3).as("score"))
+    val p2 = argmax(s2cand)
+    val s3cand = slim
+      .join(p1.select(col("query_id"), col("cand_id").as("s1")), "query_id")
+      .join(p2.select(col("query_id"), col("cand_id").as("s2")), "query_id")
+      .filter(col("cand_id") =!= col("s1") && col("cand_id") =!= col("s2"))
+      .join(sims.select(col("query_id"), col("a_id").as("cand_id"),
+        col("b_id").as("s1"), col("sim_micro").as("sim1")), Seq("query_id", "cand_id", "s1"))
+      .join(sims.select(col("query_id"), col("a_id").as("cand_id"),
+        col("b_id").as("s2"), col("sim_micro").as("sim2")), Seq("query_id", "cand_id", "s2"))
+      .select(col("query_id"), col("cand_id"),
+        (col("rel_micro") * 7 - greatest(col("sim1"), col("sim2")) * 3).as("score"))
+    val p3 = argmax(s3cand)
+    p1.withColumn("position", lit(1L))
+      .union(p2.withColumn("position", lit(2L)))
+      .union(p3.withColumn("position", lit(3L)))
+      .select(col("query_id"), col("position"), col("cand_id").as("vec_id"),
+        col("score").as("mmr_score"))
+      .orderBy(col("query_id"), col("position"))
+  }
+
+  val mmrRerankSql: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |           CAST(round(1e6 * ${dotSql("q.v", "c.v")} /
+       |                      (${normSql("q.v")} * ${normSql("c.v")})) AS BIGINT) AS rel_micro,
+       |           row_number() OVER (
+       |             PARTITION BY q.vec_id
+       |             ORDER BY CAST(round(1e6 * ${dotSql("q.v", "c.v")} /
+       |                           (${normSql("q.v")} * ${normSql("c.v")})) AS BIGINT) DESC,
+       |                      c.vec_id) AS rn
+       |    FROM (SELECT * FROM emb WHERE vec_id < $nQueries) q
+       |    JOIN emb c ON q.vec_id <> c.vec_id)
+       |  WHERE rn <= $mmrCandidates),
+       |sims AS (
+       |  SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+       |         CAST(round(1e6 * ${dotSql("va.v", "vb.v")} /
+       |                    (${normSql("va.v")} * ${normSql("vb.v")})) AS BIGINT) AS sim_micro
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+       |  JOIN emb va ON va.vec_id = a.cand_id
+       |  JOIN emb vb ON vb.vec_id = b.cand_id),
+       |p1 AS (
+       |  SELECT query_id, cand_id, score FROM (
+       |    SELECT query_id, cand_id, rel_micro * 7 AS score,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY rel_micro * 7 DESC, cand_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |p2 AS (
+       |  SELECT query_id, cand_id, score FROM (
+       |    SELECT c.query_id, c.cand_id,
+       |           c.rel_micro * 7 - s.sim_micro * 3 AS score,
+       |           row_number() OVER (PARTITION BY c.query_id
+       |                              ORDER BY c.rel_micro * 7 - s.sim_micro * 3 DESC,
+       |                                       c.cand_id) AS rn
+       |    FROM cand c
+       |    JOIN p1 ON p1.query_id = c.query_id AND c.cand_id <> p1.cand_id
+       |    JOIN sims s ON s.query_id = c.query_id AND s.a_id = c.cand_id
+       |               AND s.b_id = p1.cand_id) WHERE rn = 1),
+       |p3 AS (
+       |  SELECT query_id, cand_id, score FROM (
+       |    SELECT c.query_id, c.cand_id,
+       |           c.rel_micro * 7 - greatest(s1.sim_micro, s2.sim_micro) * 3 AS score,
+       |           row_number() OVER (PARTITION BY c.query_id
+       |                              ORDER BY c.rel_micro * 7
+       |                                       - greatest(s1.sim_micro, s2.sim_micro) * 3 DESC,
+       |                                       c.cand_id) AS rn
+       |    FROM cand c
+       |    JOIN p1 ON p1.query_id = c.query_id AND c.cand_id <> p1.cand_id
+       |    JOIN p2 ON p2.query_id = c.query_id AND c.cand_id <> p2.cand_id
+       |    JOIN sims s1 ON s1.query_id = c.query_id AND s1.a_id = c.cand_id
+       |                AND s1.b_id = p1.cand_id
+       |    JOIN sims s2 ON s2.query_id = c.query_id AND s2.a_id = c.cand_id
+       |                AND s2.b_id = p2.cand_id) WHERE rn = 1)
+       |SELECT query_id, CAST(1 AS BIGINT) AS position, cand_id AS vec_id, score AS mmr_score FROM p1
+       |UNION ALL
+       |SELECT query_id, CAST(2 AS BIGINT), cand_id, score FROM p2
+       |UNION ALL
+       |SELECT query_id, CAST(3 AS BIGINT), cand_id, score FROM p3
+       |ORDER BY query_id, position""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mmr_rerank" -> (mmrRerank _),
     "sim_pca_project" -> (pcaProject _),
     "sim_pca_top_component" -> (pcaTopComponent _),
     "sim_mips_topk" -> (mipsTopK _),
@@ -2153,6 +2287,7 @@ object Similarity {
     "sim_embed_quantize" -> embedQuantizeSql,
     "sim_random_projection" -> randomProjectionSql,
     "sim_maxsim_topk" -> maxSimTopKSql,
+    "sim_mmr_rerank" -> mmrRerankSql,
     "sim_norm_audit" -> normAuditSql,
     "sim_retrieval_metrics" -> retrievalMetricsSql,
     "sim_knn_classify" -> knnClassifySql,

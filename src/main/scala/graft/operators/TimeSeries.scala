@@ -346,7 +346,175 @@ object TimeSeries {
       |             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Complete hourly GLOBAL count series — the shared spine for the
+    * correlation/smoothing family below: one compact-key aggregation
+    * (hour buckets — calendar-bounded), a generated min..max spine,
+    * zeros for empty hours. Counts are INTEGERS, which is what makes
+    * the downstream moments engine-exact: every sum/product of counts
+    * is a BIGINT on both engines, and only the final statistic
+    * touches doubles (identical inputs → identical bits → identical
+    * rounding). */
+  private def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val spine = binned.agg(min("bin").as("lo"), max("bin").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bin"))
+    spine.join(binned, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  private val hourlyCountsSql: String =
+    """binned AS (
+      |  SELECT date_trunc('hour', ts) AS bin, count(*) AS n FROM events GROUP BY 1),
+      |bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM binned),
+      |series AS (
+      |  SELECT s.bin, coalesce(b.n, 0) AS n
+      |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bin FROM bounds) s
+      |  LEFT JOIN binned b ON s.bin = b.bin)""".stripMargin
+
+  /** AUTOCORRELATION function (lags 1..5) of the hourly event-rate
+    * series — the seasonality detector a forecasting pipeline runs
+    * before choosing its model (a daily cycle shows as a peak at lag
+    * 24; here short lags prove the mechanics). Pearson r per lag from
+    * EXACT integer moments (n, Σx, Σy, Σxy, Σx², Σy² — counts are
+    * integers, so every moment is a BIGINT and summation order cannot
+    * move it); one pass computes all five lags via a 5-wide lag
+    * window + stack un-pivot, so the series is scanned once. Scale:
+    * the series is calendar-bounded (8 760 rows/year regardless of
+    * corpus size) — the data-sized stage is the hourly count, a
+    * compact-key map-side-combinable aggregation. At extreme lag
+    * counts the moment pass stays one window scan (lag width grows,
+    * rows don't). */
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("bin"))
+    val lagged = hourlyCounts(spark, dir)
+      .select(col("n") +: (1 to 5).map(k => lag(col("n"), k).over(w).as(s"lag$k")): _*)
+    val pairs = lagged.select(col("n"), expr(
+      "stack(5, " + (1 to 5).map(k => s"${k}L, lag$k").mkString(", ") + ") AS (lag, y)"))
+      .filter(col("y").isNotNull)
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("np"), sum(col("n")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("n") * col("y")).as("sxy"),
+        sum(col("n") * col("n")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("np").as("n_pairs"),
+        round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("np") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("np") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  val acfSql: String =
+    s"""WITH $hourlyCountsSql,
+       |lagged AS (
+       |  SELECT n, ${(1 to 5).map(k => s"lag(n, $k) OVER (ORDER BY bin) AS lag$k").mkString(", ")}
+       |  FROM series),
+       |pairs AS (
+       |  ${(1 to 5).map(k => s"SELECT CAST($k AS BIGINT) AS lag, n, lag$k AS y FROM lagged WHERE lag$k IS NOT NULL")
+            .mkString("\n  UNION ALL ")})
+       |SELECT lag, count(*) AS n_pairs,
+       |       round(CAST(count(*) * sum(n * y) - sum(n) * sum(y) AS DOUBLE) /
+       |             sqrt(CAST(count(*) * sum(n * n) - sum(n) * sum(n) AS DOUBLE) *
+       |                  CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)), 6) AS acf
+       |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Finite-kernel EWMA smoothing (α=0.25, K=8 taps) of the hourly
+    * rate series — the trend line under the anomaly ops. The true
+    * EWMA recurrence is sequential (unwindowable); truncating the
+    * kernel at K taps bounds the tail mass at (1−α)^K ≈ 10% and turns
+    * it into a dot product over a fixed window — expressible as a lag
+    * chain, embarrassingly parallel, and ORDER-EXACT: the weights are
+    * pre-quantized integer micro-units (the SAME Scala constants are
+    * inlined into both the Column tree and the oracle SQL), so
+    * numerator and denominator are BIGINTs and only the final ratio
+    * is a double. Series heads renormalize over the taps that exist
+    * (a warm-up-correct EWMA, not a zero-padded one). */
+  private val ewmaAlpha = 0.25
+  private val ewmaTaps = 8
+  private val ewmaW: IndexedSeq[Long] = (0 until ewmaTaps)
+    .map(j => math.round(1e6 * ewmaAlpha * math.pow(1 - ewmaAlpha, j.toDouble)))
+
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("bin"))
+    val lagged = hourlyCounts(spark, dir).select(
+      (col("bin") +: col("n") +:
+        (0 until ewmaTaps).map(j => lag(col("n"), j).over(w).as(s"x$j"))): _*)
+    val num = (0 until ewmaTaps).map(j =>
+      when(col(s"x$j").isNotNull, lit(ewmaW(j)) * col(s"x$j")).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val den = (0 until ewmaTaps).map(j =>
+      when(col(s"x$j").isNotNull, lit(ewmaW(j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    lagged.select(date_format(col("bin"), "yyyy-MM-dd HH:mm:ss").as("bin_ts"),
+        col("n"), round(num.cast("double") / den.cast("double"), 6).as("ewma"))
+      .orderBy(col("bin_ts"))
+  }
+
+  val ewmaSql: String = {
+    val taps = (0 until ewmaTaps)
+      .map(j => s"lag(n, $j) OVER (ORDER BY bin) AS x$j").mkString(", ")
+    val num = (0 until ewmaTaps)
+      .map(j => s"CASE WHEN x$j IS NOT NULL THEN ${ewmaW(j)} * x$j ELSE 0 END")
+      .mkString(" + ")
+    val den = (0 until ewmaTaps)
+      .map(j => s"CASE WHEN x$j IS NOT NULL THEN ${ewmaW(j)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $hourlyCountsSql,
+       |lagged AS (SELECT bin, n, $taps FROM series)
+       |SELECT strftime(bin, '%Y-%m-%d %H:%M:%S') AS bin_ts, n,
+       |       round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6) AS ewma
+       |FROM lagged ORDER BY 1""".stripMargin
+  }
+
+  /** LEVEL-SHIFT (changepoint) detection: per hour, the mean-shift
+    * score |mean(next 12h) − mean(prev 12h)| over FULL windows only,
+    * top-5 shift points. The two frames are integer count sums, so
+    * the ranking key (sum_after − sum_before) is an exact BIGINT —
+    * the top-5 cut can never be decided by a float tie — with the
+    * bin as the deterministic tie-break. This is the offline twin of
+    * a monitoring pipeline's alert rule; CUSUM's sequential recursion
+    * deliberately is NOT used (unwindowable — the same trade as the
+    * EWMA kernel truncation). Scale: calendar-bounded series, two
+    * fixed-width row frames, one window scan. */
+  private val shiftHalf = 12
+
+  def levelShift(spark: SparkSession, dir: String): DataFrame = {
+    val before = Window.orderBy(col("bin")).rowsBetween(-shiftHalf, -1)
+    val after = Window.orderBy(col("bin")).rowsBetween(0, shiftHalf - 1)
+    hourlyCounts(spark, dir)
+      .select(col("bin"),
+        sum(col("n")).over(before).as("sb"), count(lit(1)).over(before).as("cb"),
+        sum(col("n")).over(after).as("sa"), count(lit(1)).over(after).as("ca"))
+      .filter(col("cb") === shiftHalf && col("ca") === shiftHalf)
+      .select(date_format(col("bin"), "yyyy-MM-dd HH:mm:ss").as("bin_ts"),
+        round(col("sb").cast("double") / shiftHalf, 4).as("mean_before"),
+        round(col("sa").cast("double") / shiftHalf, 4).as("mean_after"),
+        (col("sa") - col("sb")).as("shift_units"))
+      .orderBy(abs(col("shift_units")).desc, col("bin_ts"))
+      .limit(5)
+  }
+
+  val levelShiftSql: String =
+    s"""WITH $hourlyCountsSql,
+       |framed AS (
+       |  SELECT bin,
+       |         sum(n) OVER (ORDER BY bin ROWS BETWEEN $shiftHalf PRECEDING AND 1 PRECEDING) AS sb,
+       |         count(*) OVER (ORDER BY bin ROWS BETWEEN $shiftHalf PRECEDING AND 1 PRECEDING) AS cb,
+       |         sum(n) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND ${shiftHalf - 1} FOLLOWING) AS sa,
+       |         count(*) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND ${shiftHalf - 1} FOLLOWING) AS ca
+       |  FROM series)
+       |SELECT strftime(bin, '%Y-%m-%d %H:%M:%S') AS bin_ts,
+       |       round(CAST(sb AS DOUBLE) / $shiftHalf, 4) AS mean_before,
+       |       round(CAST(sa AS DOUBLE) / $shiftHalf, 4) AS mean_after,
+       |       sa - sb AS shift_units
+       |FROM framed WHERE cb = $shiftHalf AND ca = $shiftHalf
+       |ORDER BY abs(sa - sb) DESC, 1 LIMIT 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_acf" -> (acf _),
+    "ts_ewma" -> (ewma _),
+    "ts_level_shift" -> (levelShift _),
     "ts_ohlc" -> (ohlcBars _),
     "ts_seasonal_baseline" -> (seasonalBaseline _),
     "ts_outlier_mad" -> (outlierMad _),
@@ -356,6 +524,9 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_acf" -> acfSql,
+    "ts_ewma" -> ewmaSql,
+    "ts_level_shift" -> levelShiftSql,
     "ts_ohlc" -> ohlcBarsSql,
     "ts_seasonal_baseline" -> seasonalBaselineSql,
     "ts_outlier_mad" -> outlierMadSql,

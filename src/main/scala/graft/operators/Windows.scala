@@ -267,7 +267,56 @@ object Windows {
       |       (max(struct_pack(a := run_len, b := run_start))).b AS best_start_day
       |FROM islands GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** RUNNING DISTINCT COUNT over a window — an operator SQL window
+    * functions famously lack (COUNT(DISTINCT) OVER is unsupported in
+    * Spark AND DuckDB AND ANSI): per user, how many distinct event
+    * types have been seen as of each event. The classic rewrite makes
+    * it windowable: flag each row that is the FIRST occurrence of its
+    * (user, type) — row_number() = 1 over (user, type) ordered by
+    * (ts, event_id) — then the running distinct count is a plain
+    * running SUM of flags. Output is the discovery CHANGE-LOG (only
+    * flag rows — the running count equals the discovery ordinal
+    * there), which also bounds output at |users|×|types| instead of
+    * |events|. Scale: two windows over the same (user-keyed)
+    * partitioning — one exchange, both window passes pipeline on the
+    * same sort. */
+  def runningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"), col("ts"))
+      .withColumn("first_flag",
+        (row_number().over(byUserType) === 1).cast("long"))
+      .withColumn("distinct_so_far", sum(col("first_flag")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("first_flag") === 1)
+      .select(col("user_id"), col("distinct_so_far"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_seen"))
+      .orderBy(col("user_id"), col("distinct_so_far"))
+  }
+
+  val runningDistinctSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |                                      ORDER BY epoch_ns(ts), event_id) = 1
+      |              THEN 1 ELSE 0 END AS first_flag
+      |  FROM events),
+      |running AS (
+      |  SELECT user_id, event_type, ts, first_flag,
+      |         sum(first_flag) OVER (PARTITION BY user_id
+      |                               ORDER BY epoch_ns(ts), event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS distinct_so_far
+      |  FROM flagged)
+      |SELECT user_id, distinct_so_far, event_type,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_seen
+      |FROM running WHERE first_flag = 1
+      |ORDER BY user_id, distinct_so_far""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_distinct_count" -> (runningDistinct _),
     "win_streak" -> (longestStreak _),
     "win_sessionize" -> (sessionize _),
     "win_range_frame" -> (rangeFrameTrailing _),
@@ -280,6 +329,7 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_distinct_count" -> runningDistinctSql,
     "win_streak" -> longestStreakSql,
     "win_sessionize" -> sessionizeSql,
     "win_range_frame" -> rangeFrameTrailingSql,

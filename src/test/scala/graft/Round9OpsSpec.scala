@@ -58,6 +58,107 @@ class Round9OpsSpec extends SparkSpec {
     assert(core === want)
   }
 
+  test("acf: coefficients bounded by 1; pair counts shrink by exactly the lag") {
+    val a = TimeSeries.acf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.map(_._1).toSeq === (1L to 5L))
+    val n0 = a.head._2 + 1 // series length = pairs at lag 1 + 1
+    for ((lag, np, r) <- a) {
+      assert(np === n0 - lag)
+      assert(r >= -1.0 && r <= 1.0)
+    }
+  }
+
+  test("ewma: head equals the raw series; smoothed stays within data range") {
+    val e = TimeSeries.ewma(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // first row has exactly one live tap -> renormalized ewma == x
+    assert(e.head._3 === e.head._2.toDouble)
+    val (lo, hi) = (e.map(_._2).min.toDouble, e.map(_._2).max.toDouble)
+    assert(e.forall(r => r._3 >= lo && r._3 <= hi))
+  }
+
+  test("rfm: quintiles balanced and cells partition the customer base") {
+    val rows = Analytics.rfm(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(3)).sum === nCust)
+    // each R-quintile holds n/5 customers (ntile balance, +-1)
+    val byR = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    assert(byR.values.max - byR.values.min <= 1)
+  }
+
+  test("pareto: shares telescope to 1e6; gini in range; top decile dominates") {
+    val p = Analytics.pareto(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(p.map(_._1).toSeq === (1 to 10))
+    assert(math.abs(p.last._4 - 1000000L) <= 1) // cumulative share ends at 100%
+    val gini = p.head._5
+    assert(gini >= 0L && gini < 1000000L)
+    assert(p.head._3 === p.map(_._3).max) // decile 1 (ranked desc) carries the most
+  }
+
+  test("survival: monotone curve, at-risk ledger reconciles with session count") {
+    val s = Analytics.survival(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // n_risk at period 0 is every session; exits drain it monotonically
+    for (Seq(a, b) <- s.toSeq.sliding(2)) {
+      assert(b._2 === a._2 - a._3 - a._4) // n_risk(t+1) = n_risk(t) - d - c
+      assert(b._5 <= a._5 + 1e-9) // survival never increases
+    }
+    assert(s.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+  }
+
+  test("chi2: independence statistic non-negative with the contingency dof") {
+    val r = Aggregations.chiSquare(spark, sf).collect()(0)
+    assert(r.getLong(2) >= 0L)
+    val types = Tables.events(spark, sf).select(col("event_type")).distinct().count()
+    assert(r.getLong(1) === (types - 1) * (6 - 1))
+  }
+
+  test("entropy: bounded by ln(n_langs); zero iff single-language source") {
+    for (r <- Aggregations.entropyPerGroup(spark, sf).collect()) {
+      val (nLangs, h) = (r.getLong(2), r.getLong(3))
+      assert(h >= 0L)
+      assert(h <= math.ceil(1e6 * math.log(nLangs.toDouble)).toLong + nLangs) // + rounding slack
+      if (nLangs == 1) assert(h === 0L)
+    }
+  }
+
+  test("running distinct: per-user ordinals contiguous and end at the true distinct count") {
+    val rows = Windows.runningDistinct(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val truth = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(countDistinct(col("event_type")).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((uid, rs) <- rows.groupBy(_._1)) {
+      assert(rs.map(_._2).sorted.toSeq === (1L to truth(uid)))
+      assert(rs.map(_._3).distinct.length === rs.length) // each type discovered once
+    }
+  }
+
+  test("hits: max-normalized scores peak at exactly 1e6 on both axes") {
+    val h = GraphOps.hitsTypes(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(h.map(_._2).max === 1000000L)
+    assert(h.map(_._3).max === 1000000L)
+    assert(h.forall(r => r._2 >= 0 && r._2 <= 1000000L && r._3 >= 0 && r._3 <= 1000000L))
+  }
+
+  test("mmr: picks distinct, step-1 equals pure-relevance top-1, scores never exceed 7·rel") {
+    val m = Similarity.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val brute = Similarity.bruteForceTopK(spark, sf).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((q, picks) <- m.groupBy(_._1)) {
+      assert(picks.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L))
+      assert(picks.map(_._3).distinct.length === 3) // no candidate picked twice
+      val p1 = picks.find(_._2 == 1L).get
+      assert(p1._3 === brute(q)) // MMR's first pick is the relevance argmax
+      // every later score pays a non-negative diversity penalty
+      for (p <- picks if p._2 > 1) assert(p._4 <= p1._4)
+    }
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
