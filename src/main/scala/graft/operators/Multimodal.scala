@@ -350,7 +350,64 @@ object Multimodal {
       |         AS data_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** GIF89a logical-screen-descriptor decode — the fourth header
+    * codec (PNG big-endian, WAV/BMP little-endian, GIF adds a PACKED
+    * BIT FIELD: one byte carrying the global-color-table flag, color
+    * resolution, and the table-size exponent N, where the table is
+    * 2^(N+1) RGB entries = 3·2^(N+1) bytes — the offset every real
+    * GIF parser must compute before it can find the first image
+    * block). Same contract as the siblings: the payload is
+    * SYNTHESIZED from (doc_id, n_chars) with the exact byte layout,
+    * the parser is pure codegen byte arithmetic (substring + conv +
+    * div/mod bit unpacking — no UDF), and the oracle replays the
+    * generating arithmetic. Bit unpacking stays integer: flag =
+    * packed div 128, N = packed mod 8, entries = 2 << N. */
+  def parseGifHeader(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def le(pos: Int, len: Int) =
+      conv(concat((len to 1 by -1).map(i => hex(substring(payload, pos + i - 1, 1))): _*),
+        16, 10).cast("long")
+    val packed = le(11, 1)
+    val sizeN = pmod(packed, lit(8L))
+    val entries = pow(lit(2.0), sizeN + lit(1L)).cast("long") // 2^(N+1), N<=7: exact
+    struct(
+      (hex(substring(payload, 1, 6)) === lit("474946383961")).as("magic_ok"),
+      (packed >= 128L).as("gct_flag"),
+      le(7, 2).as("width"),
+      le(9, 2).as("height"),
+      entries.as("gct_entries"),
+      (when(packed >= 128L, entries * 3L).otherwise(lit(0L))).as("gct_bytes"))
+  }
+
+  def gifHeader(spark: SparkSession, dir: String): DataFrame = {
+    val width = (lit(16) + pmod(col("doc_id"), lit(256))).cast("long")
+    val height = (lit(16) + pmod(col("n_chars"), lit(128))).cast("long")
+    val sizeN = pmod(col("doc_id"), lit(8)).cast("long")
+    def leHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    // GIF89a magic + LSD: width u16le, height u16le, packed
+    // (GCT=1, color-res=7, sort=0, sizeN), bg index 0, aspect 0
+    val gif = unhex(concat(
+      lit("474946383961"), leHex(width, 2), leHex(height, 2),
+      leHex(lit(240L) + sizeN, 1), lit("00"), lit("00")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), parseGifHeader(gif).as("p"))
+      .select(col("doc_id"), col("p.magic_ok").as("magic_ok"),
+        col("p.gct_flag").as("gct_flag"), col("p.width").as("width"),
+        col("p.height").as("height"), col("p.gct_entries").as("gct_entries"),
+        col("p.gct_bytes").as("gct_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gifHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok, TRUE AS gct_flag,
+      |       CAST(16 + doc_id % 256 AS BIGINT) AS width,
+      |       CAST(16 + n_chars % 128 AS BIGINT) AS height,
+      |       CAST(2 * power(2, doc_id % 8) AS BIGINT) AS gct_entries,
+      |       CAST(6 * power(2, doc_id % 8) AS BIGINT) AS gct_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_gif_header" -> (gifHeader _),
     "mm_bmp_header" -> (bmpHeader _),
     "mm_wav_header" -> (wavHeader _),
     "mm_png_header" -> (pngHeader _),
@@ -362,6 +419,7 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_gif_header" -> gifHeaderSql,
     "mm_bmp_header" -> bmpHeaderSql,
     "mm_wav_header" -> wavHeaderSql,
     "mm_png_header" -> pngHeaderSql,

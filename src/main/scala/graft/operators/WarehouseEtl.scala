@@ -540,7 +540,78 @@ object WarehouseEtl {
       |  FROM events)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** BITEMPORAL point-in-time query — the two-axis time travel a
+    * regulated warehouse must answer: "what state did we BELIEVE user
+    * U was in at valid time V, given only what had LOADED by
+    * knowledge time T?" versus "what do we NOW know their state at V
+    * was?". Valid time is the event timestamp; load time simulates
+    * late arrival deterministically (event_id mod 14 days — the
+    * replayable stand-in for a feed's real ingest lag). V = HWM−14d,
+    * T = HWM−7d, so records valid before V but loaded after T are
+    * exactly the hindsight revisions the report surfaces
+    * (`revised = true` rows are the restatement audit). Both answers
+    * are one row_number window over (valid desc, event_id desc) —
+    * the as-of pattern [[scd2Lookup]] uses, with the knowledge-time
+    * filter as the only difference; at 100 TB both windows ride the
+    * same user-keyed exchange. */
+  def bitemporal(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val facts = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_ns").as("valid_ns"), col("event_id"),
+        (col("ts_ns") + pmod(col("event_id"), lit(14L)) * dayNs).as("load_ns"))
+    val hwm = Tables.events(spark, dir).agg(max(col("ts_ns")).as("hwm_ns"))
+    val atV = facts.crossJoin(broadcast(hwm))
+      .filter(col("valid_ns") <= col("hwm_ns") - lit(14L) * dayNs)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_ns").desc, col("event_id").desc)
+    val now = atV.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("state").as("state_now"),
+        date_format((expr("valid_ns div 1000000000")).cast("timestamp"),
+          "yyyy-MM-dd HH:mm:ss").as("valid_from_now"))
+    val thenK = atV.filter(col("load_ns") <= col("hwm_ns") - lit(7L) * dayNs)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("state").as("state_known_then"))
+    now.join(thenK, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("state_known_then"), lit("<unknown>")).as("state_known_then"),
+        col("state_now"), col("valid_from_now"),
+        (coalesce(col("state_known_then"), lit("<unknown>")) =!= col("state_now"))
+          .as("revised"))
+      .orderBy(col("user_id"))
+  }
+
+  val bitemporalSql: String =
+    """WITH facts AS (
+      |  SELECT user_id, event_type AS state, epoch_ns(ts) AS valid_ns, event_id,
+      |         epoch_ns(ts) + (event_id % 14) * 86400000000000 AS load_ns
+      |  FROM events),
+      |hwm AS (SELECT max(epoch_ns(ts)) AS hwm_ns FROM events),
+      |atv AS (
+      |  SELECT f.* FROM facts f, hwm
+      |  WHERE valid_ns <= hwm_ns - 14 * 86400000000000),
+      |now_state AS (
+      |  SELECT user_id, state AS state_now,
+      |         strftime(to_timestamp(valid_ns // 1000000000), '%Y-%m-%d %H:%M:%S')
+      |           AS valid_from_now
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                     ORDER BY valid_ns DESC, event_id DESC) AS rn
+      |        FROM atv) WHERE rn = 1),
+      |then_state AS (
+      |  SELECT user_id, state AS state_known_then
+      |  FROM (SELECT a.*, row_number() OVER (PARTITION BY user_id
+      |                                       ORDER BY valid_ns DESC, event_id DESC) AS rn
+      |        FROM atv a, hwm
+      |        WHERE load_ns <= hwm_ns - 7 * 86400000000000) WHERE rn = 1)
+      |SELECT n.user_id,
+      |       coalesce(t.state_known_then, '<unknown>') AS state_known_then,
+      |       n.state_now, n.valid_from_now,
+      |       coalesce(t.state_known_then, '<unknown>') <> n.state_now AS revised
+      |FROM now_state n LEFT JOIN then_state t ON n.user_id = t.user_id
+      |ORDER BY n.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_bitemporal" -> (bitemporal _),
     "etl_purge_audit" -> (purgeAudit _),
     "etl_snapshot_diff" -> (snapshotDiff _),
     "etl_cdc_latest" -> (cdcLatest _),
@@ -555,6 +626,7 @@ object WarehouseEtl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_bitemporal" -> bitemporalSql,
     "etl_purge_audit" -> purgeAuditSql,
     "etl_snapshot_diff" -> snapshotDiffSql,
     "etl_cdc_latest" -> cdcLatestSql,

@@ -320,7 +320,37 @@ object Sources {
 
   val e2eXlsxEtlSql: String = csvRoundtripSql // rollup from the original parquet
 
+  /** XML round-trip through Spark 4's BUILT-IN XML data source (the
+    * spark-xml package was merged into sql/core in 4.0): supplier
+    * written as `<suppliers><supplier>…` row-tagged XML, re-read with
+    * schema inference, aggregated — fidelity proven against the
+    * original parquet via the same oracle shape as the sibling
+    * round-trips. XML matters for the warehouse-feed surface: it is
+    * the interchange format legacy ERP exports arrive in, and the
+    * source supports the same pushdown-free full-scan contract as
+    * JSON (schema inference pass + parse pass). */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("supplier_xml")
+    Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .coalesce(1).write.mode("overwrite")
+      .format("xml").option("rootTag", "suppliers").option("rowTag", "supplier")
+      .save(out)
+    spark.read.format("xml").option("rowTag", "supplier").load(out)
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 2).as("total_bal"))
+      .orderBy(col("nationkey"))
+  }
+
+  val xmlRoundtripSql: String =
+    """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+      |       count(*) AS n_suppliers,
+      |       round(sum(s_acctbal), 2) AS total_bal
+      |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_xml_roundtrip" -> (xmlRoundtrip _),
     "src_schema_evolution" -> (schemaEvolution _),
     "src_xlsx_roundtrip" -> (xlsxRoundtrip _),
     "src_xlsx_writeback" -> (xlsxWriteback _),
@@ -334,6 +364,7 @@ object Sources {
   )
 
   def oracle: Map[String, String] = Map(
+    "src_xml_roundtrip" -> xmlRoundtripSql,
     "src_schema_evolution" -> schemaEvolutionSql,
     "src_xlsx_roundtrip" -> xlsxRoundtripSql,
     "src_xlsx_writeback" -> xlsxWritebackSql,

@@ -159,6 +159,51 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("gif header: parse inverts the synthesizer; palette size is the packed-bit law") {
+    val g = Multimodal.gifHeader(spark, sf).collect()
+    assert(g.nonEmpty)
+    for (r <- g) {
+      assert(r.getBoolean(1) && r.getBoolean(2)) // magic + GCT flag
+      val (w, h, entries, bytes) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(w >= 16 && w <= 271 && h >= 16 && h <= 143)
+      assert((entries & (entries - 1)) === 0L) // power of two
+      assert(entries >= 2 && entries <= 256)
+      assert(bytes === entries * 3) // 3-byte RGB entries
+    }
+  }
+
+  test("xml roundtrip: re-read aggregates equal the parquet-direct truth") {
+    val got = graft.sources.Sources.xmlRoundtrip(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = Tables.supplier(spark, sf)
+      .groupBy(col("s_nationkey").cast("long").as("k"))
+      .agg(count(lit(1)), round(sum(col("s_acctbal")), 2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq)
+  }
+
+  test("bitemporal: non-revised rows agree across axes; revisions replay exactly") {
+    val rows = WarehouseEtl.bitemporal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(4)))
+    // driver-side replay of both point-in-time answers
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val dayNs = 86400L * 1000000000L
+    val hwm = ev.map(_._3).max
+    val atV = ev.filter(_._3 <= hwm - 14 * dayNs)
+    def argmax(recs: Array[(Long, String, Long, Long)]): Map[Long, String] =
+      recs.groupBy(_._1).view.mapValues(_.maxBy(e => (e._3, e._4))._2).toMap
+    val nowM = argmax(atV)
+    val thenM = argmax(atV.filter(e => e._3 + (e._4 % 14) * dayNs <= hwm - 7 * dayNs))
+    assert(rows.length === nowM.size)
+    for ((uid, thenS, nowS, revised) <- rows) {
+      assert(nowS === nowM(uid))
+      assert(thenS === thenM.getOrElse(uid, "<unknown>"))
+      assert(revised === (thenS != nowS))
+    }
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
