@@ -297,7 +297,42 @@ object ScaleProbe {
         graft.operators.CorpusOps.negativeSamples(spark, dir).count()),
       // hashing-trick featurizer: two compact-key aggs — pure scan
       ("hash_embed", () =>
-        graft.operators.TextAnalysis.hashEmbed(spark, dir).count())
+        graft.operators.TextAnalysis.hashEmbed(spark, dir).count()),
+      // ---- round-9 additions ----
+      // RFM: the data-sized stage is the orders agg (map-side
+      // combinable on o_custkey); the three ntile windows run on the
+      // 1000x-smaller customer table — 10x orders must cost ~scan
+      ("rfm_segments", () =>
+        graft.operators.Analytics.rfm(spark, dir).count()),
+      // Kaplan-Meier: the sessionize lag window over 10x deeper
+      // per-user history is the hard direction (same axis as
+      // sessionize_deep_users); the KM fold itself is on the
+      // duration-bounded period spine — cost must track the window
+      // scan, result rows the (bounded) period count
+      ("survival_km", () =>
+        graft.operators.Analytics.survival(spark, dir).count()),
+      // running distinct count: two windows sharing one user-keyed
+      // exchange over 10x deeper history; output is the discovery
+      // change-log, bounded by users x types, NOT by events
+      ("running_distinct", () =>
+        graft.operators.Windows.runningDistinct(spark, dir).count()),
+      // bitemporal as-of: two row_number windows on the same
+      // user-keyed exchange; 10x deeper history, same user population
+      // -> ~scan cost, constant result rows (one per user)
+      ("bitemporal_asof", () =>
+        graft.operators.WarehouseEtl.bitemporal(spark, dir).count()),
+      // MMR re-rank: candidate generation is the |Q|-bounded
+      // broadcast scan (rel top-10 per query); the greedy stage is
+      // O(k*c^2) per query INDEPENDENT of corpus size — 10x corpus
+      // must cost ~the candidate scan, result rows constant (3|Q|)
+      ("mmr_rerank", () =>
+        graft.operators.Similarity.mmrRerank(spark, dir).count()),
+      // hourly-rate series family (ACF/EWMA/level-shift share the
+      // spine): the data-sized stage is ONE compact-key hourly count
+      // (calendar-bounded output) — 10x events must cost ~scan and
+      // the series length must stay flat
+      ("hourly_series_acf", () =>
+        graft.operators.TimeSeries.acf(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

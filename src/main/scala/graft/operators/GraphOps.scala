@@ -536,7 +536,12 @@ object GraphOps {
     * edge list each half-step is one join keyed on one endpoint + one
     * agg on the other, the canonical two-shuffle message-passing
     * round ([[pagerank]]'s cost model). */
-  def hits(edges: DataFrame, iterations: Int = 2): DataFrame = {
+  def hits(edgesRaw: DataFrame, iterations: Int = 2): DataFrame = {
+    // materialize the edge list ONCE: every half-step joins it, and
+    // without the checkpoint each of the 2·iterations joins replays
+    // the caller's full extraction lineage (for the transition graph:
+    // a per-user window over all events — measured 4x the op's cost)
+    val edges = edgesRaw.localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst"))).distinct().localCheckpoint()
     var h = nodes.withColumn("hm", lit(1000000L))

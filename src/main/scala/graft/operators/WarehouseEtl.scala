@@ -550,10 +550,14 @@ object WarehouseEtl {
     * T = HWM−7d, so records valid before V but loaded after T are
     * exactly the hindsight revisions the report surfaces
     * (`revised = true` rows are the restatement audit). Both answers
-    * are one row_number window over (valid desc, event_id desc) —
-    * the as-of pattern [[scd2Lookup]] uses, with the knowledge-time
-    * filter as the only difference; at 100 TB both windows ride the
-    * same user-keyed exchange. */
+    * are ORDERED-STRUCT MAX aggregates (the tie-safe [[graft.operators.TimeSeries.ohlcBars]]
+    * argmax trick: max over struct(valid_ns, event_id, state) picks
+    * the latest record deterministically), the knowledge-time answer
+    * as a FILTERed conditional agg — so the whole op is ONE
+    * map-side-combinable aggregation on user_id, one exchange, no
+    * window sort at all. (The first cut used two row_number window
+    * subtrees joined on user_id — 8 exchanges and two scans of the
+    * fact table; the agg form was adopted after reading that plan.) */
   def bitemporal(spark: SparkSession, dir: String): DataFrame = {
     val dayNs = 86400L * 1000000000L
     val facts = Tables.events(spark, dir)
@@ -561,22 +565,19 @@ object WarehouseEtl {
         col("ts_ns").as("valid_ns"), col("event_id"),
         (col("ts_ns") + pmod(col("event_id"), lit(14L)) * dayNs).as("load_ns"))
     val hwm = Tables.events(spark, dir).agg(max(col("ts_ns")).as("hwm_ns"))
-    val atV = facts.crossJoin(broadcast(hwm))
+    val pick = struct(col("valid_ns"), col("event_id"), col("state"))
+    facts.crossJoin(broadcast(hwm))
       .filter(col("valid_ns") <= col("hwm_ns") - lit(14L) * dayNs)
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("valid_ns").desc, col("event_id").desc)
-    val now = atV.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("user_id"), col("state").as("state_now"),
-        date_format((expr("valid_ns div 1000000000")).cast("timestamp"),
-          "yyyy-MM-dd HH:mm:ss").as("valid_from_now"))
-    val thenK = atV.filter(col("load_ns") <= col("hwm_ns") - lit(7L) * dayNs)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("user_id"), col("state").as("state_known_then"))
-    now.join(thenK, Seq("user_id"), "left")
+      .withColumn("on_time", col("load_ns") <= col("hwm_ns") - lit(7L) * dayNs)
+      .groupBy(col("user_id"))
+      .agg(max(pick).as("now_pick"),
+        max(when(col("on_time"), pick)).as("then_pick"))
       .select(col("user_id"),
-        coalesce(col("state_known_then"), lit("<unknown>")).as("state_known_then"),
-        col("state_now"), col("valid_from_now"),
-        (coalesce(col("state_known_then"), lit("<unknown>")) =!= col("state_now"))
+        coalesce(col("then_pick.state"), lit("<unknown>")).as("state_known_then"),
+        col("now_pick.state").as("state_now"),
+        date_format(expr("now_pick.valid_ns div 1000000000")
+          .cast("timestamp"), "yyyy-MM-dd HH:mm:ss").as("valid_from_now"),
+        (coalesce(col("then_pick.state"), lit("<unknown>")) =!= col("now_pick.state"))
           .as("revised"))
       .orderBy(col("user_id"))
   }
@@ -587,28 +588,21 @@ object WarehouseEtl {
       |         epoch_ns(ts) + (event_id % 14) * 86400000000000 AS load_ns
       |  FROM events),
       |hwm AS (SELECT max(epoch_ns(ts)) AS hwm_ns FROM events),
-      |atv AS (
-      |  SELECT f.* FROM facts f, hwm
-      |  WHERE valid_ns <= hwm_ns - 14 * 86400000000000),
-      |now_state AS (
-      |  SELECT user_id, state AS state_now,
-      |         strftime(to_timestamp(valid_ns // 1000000000), '%Y-%m-%d %H:%M:%S')
-      |           AS valid_from_now
-      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-      |                                     ORDER BY valid_ns DESC, event_id DESC) AS rn
-      |        FROM atv) WHERE rn = 1),
-      |then_state AS (
-      |  SELECT user_id, state AS state_known_then
-      |  FROM (SELECT a.*, row_number() OVER (PARTITION BY user_id
-      |                                       ORDER BY valid_ns DESC, event_id DESC) AS rn
-      |        FROM atv a, hwm
-      |        WHERE load_ns <= hwm_ns - 7 * 86400000000000) WHERE rn = 1)
-      |SELECT n.user_id,
-      |       coalesce(t.state_known_then, '<unknown>') AS state_known_then,
-      |       n.state_now, n.valid_from_now,
-      |       coalesce(t.state_known_then, '<unknown>') <> n.state_now AS revised
-      |FROM now_state n LEFT JOIN then_state t ON n.user_id = t.user_id
-      |ORDER BY n.user_id""".stripMargin
+      |agged AS (
+      |  SELECT user_id,
+      |         max(struct_pack(v := valid_ns, e := event_id, s := state)) AS now_pick,
+      |         max(struct_pack(v := valid_ns, e := event_id, s := state))
+      |           FILTER (WHERE load_ns <= hwm_ns - 7 * 86400000000000) AS then_pick
+      |  FROM facts, hwm
+      |  WHERE valid_ns <= hwm_ns - 14 * 86400000000000
+      |  GROUP BY 1)
+      |SELECT user_id,
+      |       coalesce(then_pick.s, '<unknown>') AS state_known_then,
+      |       now_pick.s AS state_now,
+      |       strftime(to_timestamp(now_pick.v // 1000000000), '%Y-%m-%d %H:%M:%S')
+      |         AS valid_from_now,
+      |       coalesce(then_pick.s, '<unknown>') <> now_pick.s AS revised
+      |FROM agged ORDER BY user_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_bitemporal" -> (bitemporal _),

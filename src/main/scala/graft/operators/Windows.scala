@@ -277,9 +277,12 @@ object Windows {
     * running SUM of flags. Output is the discovery CHANGE-LOG (only
     * flag rows — the running count equals the discovery ordinal
     * there), which also bounds output at |users|×|types| instead of
-    * |events|. Scale: two windows over the same (user-keyed)
-    * partitioning — one exchange, both window passes pipeline on the
-    * same sort. */
+    * |events|. Scale: two windows on NESTED keys — the flag window
+    * partitions by (user, type), the running sum by (user) — so the
+    * plan carries two hash exchanges (verified by .explain; a shared
+    * exchange is impossible here because the finer key cannot serve
+    * the coarser window), both linear, both on the same row stream
+    * with no join or re-scan. */
   def runningDistinct(spark: SparkSession, dir: String): DataFrame = {
     val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts_ns"), col("event_id"))
