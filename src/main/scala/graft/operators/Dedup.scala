@@ -720,7 +720,76 @@ object Dedup {
       |WHERE jac_raw >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** URL-CANONICALIZATION dedup — the crawl-corpus pass that runs
+    * BEFORE any content dedup: the same page arrives under
+    * http/https, with/without `www.`, mixed host case, trailing
+    * slash, reordered query params, and tracking params
+    * (`utm_*`) — none of which change the content. Variants are
+    * SYNTHESIZED deterministically from doc_id (the [[graft.operators.Multimodal]]
+    * payload contract: the generator is the spec, the oracle replays
+    * it); canonicalization is a pure regex/string pipeline (lowercase
+    * → strip scheme → strip `www.` → strip trailing slash → keep only
+    * the content-bearing `id` param — all in the RE2∩Java subset the
+    * PII scrub established), then one groupBy census per canonical
+    * URL: variant count, distinct raw forms, keeper (min doc_id).
+    * Map-only normalize + one compact-key exchange — at 100 TB this
+    * is the cheap gate in front of the shingle machinery. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val scheme = when(pmod(col("doc_id"), lit(2)) === 0, "http://").otherwise("https://")
+    val www = when(pmod(col("doc_id"), lit(3)) === 0, "WWW.").otherwise("")
+    val host = concat(lit("Site"), (pmod(col("doc_id"), lit(50))).cast("string"),
+      lit(".Example.org"))
+    val path = concat(lit("/docs/"), pmod(col("doc_id"), lit(200)).cast("string"),
+      when(pmod(col("doc_id"), lit(4)) === 0, "/").otherwise(""))
+    val idp = concat(lit("id="), pmod(col("doc_id"), lit(100)).cast("string"))
+    val query = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("?"), idp, lit("&utm_source=feed")))
+      .otherwise(concat(lit("?utm_campaign=x&"), idp))
+    val raw = concat(scheme, www, host, path, query)
+    val noScheme = regexp_replace(raw, "^https?://", "")
+    val hostPart = lower(regexp_replace(regexp_extract(noScheme, "^([^/]+)", 1),
+      "^www\\.", ""))
+    val pathPart = regexp_replace(regexp_extract(noScheme, "^[^/]+([^?]*)", 1), "/$", "")
+    val idPart = regexp_extract(raw, "[?&]id=([0-9]+)", 1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), raw.as("raw_url"),
+        concat(hostPart, pathPart, lit("?id="), idPart).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("raw_url")).as("n_raw_forms"),
+        min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_variants") >= 2)
+      .orderBy(col("canonical"))
+  }
+
+  val urlDedupSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |         (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
+      |         (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |         'Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.org' ||
+      |         '/docs/' || CAST(doc_id % 200 AS VARCHAR) ||
+      |         (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |         (CASE WHEN doc_id % 2 = 0
+      |               THEN '?id=' || CAST(doc_id % 100 AS VARCHAR) || '&utm_source=feed'
+      |               ELSE '?utm_campaign=x&id=' || CAST(doc_id % 100 AS VARCHAR) END)
+      |           AS raw_url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id, raw_url,
+      |         lower(regexp_replace(regexp_extract(regexp_replace(raw_url, '^https?://', ''),
+      |                                             '^([^/]+)', 1), '^www\.', '')) ||
+      |         regexp_replace(regexp_extract(regexp_replace(raw_url, '^https?://', ''),
+      |                                       '^[^/]+([^?]*)', 1), '/$', '') ||
+      |         '?id=' || regexp_extract(raw_url, '[?&]id=([0-9]+)', 1) AS canonical
+      |  FROM raw)
+      |SELECT canonical, count(*) AS n_variants,
+      |       count(DISTINCT raw_url) AS n_raw_forms,
+      |       min(doc_id) AS keeper_doc
+      |FROM canon GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url" -> (urlDedup _),
     "dedup_ppjoin" -> (ppjoin _),
     "dedup_cluster_census" -> (clusterCensus _),
     "dedup_band_recall" -> (bandRecall _),
@@ -740,6 +809,7 @@ object Dedup {
   )
 
   def oracle: Map[String, String] = Map(
+    "dedup_url" -> urlDedupSql,
     "dedup_ppjoin" -> ppjoinSql,
     "dedup_cluster_census" -> clusterCensusSql,
     "dedup_band_recall" -> bandRecallSql,

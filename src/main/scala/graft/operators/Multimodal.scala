@@ -406,7 +406,66 @@ object Multimodal {
       |       CAST(6 * power(2, doc_id % 8) AS BIGINT) AS gct_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PCM sample-level FEATURE EXTRACTION — past the header, into the
+    * payload: peak amplitude, total energy, and RMS loudness over a
+    * 16-sample 16-bit LE PCM window (the audio-quality gate a speech
+    * corpus runs before transcription: silence/clipping detection).
+    * The payload is synthesized with a deterministic amplitude law
+    * (doc_id·31 + j·97 mod 4001, centered — two's-complement encoded
+    * like real PCM), and the PARSER does the real work: 16-bit LE
+    * reads at data offset + 2j, sign reconstruction (raw ≥ 2¹⁵ ⇒
+    * raw − 2¹⁶), integer Σv² — all codegen byte arithmetic, no UDF.
+    * RMS is the ONE double (√(Σv²/K) of exact integers, identical
+    * both engines, rounded to milli-units). The oracle replays the
+    * generating law — so a sign bug, endianness slip, or off-by-one
+    * offset in the parser cannot hash-match. 16 samples ⇒ 32
+    * substring+conv terms: a fixed-width codegen window, the
+    * documented bounded-decode contract of this family. */
+  private val rmsSamples = 16
+
+  def audioRms(spark: SparkSession, dir: String): DataFrame = {
+    def leHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    val dataBytes = lit(rmsSamples.toLong * 2)
+    def amp(j: Int) =
+      pmod(col("doc_id") * 31 + lit(j * 97), lit(4001L)) - lit(2000L)
+    val payload = concat((0 until rmsSamples)
+      .map(j => leHex(pmod(amp(j) + lit(65536L), lit(65536L)), 2)): _*)
+    val wav = unhex(concat(
+      lit("52494646"), leHex(dataBytes + 36, 4), lit("57415645"),
+      lit("666D7420"), leHex(lit(16L), 4), leHex(lit(1L), 2),
+      leHex(lit(1L), 2), leHex(lit(8000L), 4), leHex(lit(16000L), 4),
+      leHex(lit(2L), 2), leHex(lit(16L), 2),
+      lit("64617461"), leHex(dataBytes, 4), payload))
+    def sampleAt(payloadCol: org.apache.spark.sql.Column, j: Int) = {
+      val raw = conv(concat(hex(substring(payloadCol, 45 + 2 * j + 1, 1)),
+        hex(substring(payloadCol, 45 + 2 * j, 1))), 16, 10).cast("long")
+      when(raw >= 32768L, raw - 65536L).otherwise(raw)
+    }
+    val samples = (0 until rmsSamples).map(j => sampleAt(wav, j))
+    val energy = samples.map(s => s * s).reduce(_ + _)
+    val peak = greatest(samples.map(abs): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lit(rmsSamples.toLong).as("n_samples"),
+        peak.as("peak_abs"), energy.as("energy"),
+        round(sqrt(energy.cast("double") / rmsSamples) * 1000).cast("long")
+          .as("rms_milli"))
+      .orderBy(col("doc_id"))
+  }
+
+  val audioRmsSql: String = {
+    val amps = (0 until rmsSamples)
+      .map(j => s"((doc_id * 31 + ${j * 97}) % 4001) - 2000")
+    s"""SELECT doc_id, CAST($rmsSamples AS BIGINT) AS n_samples,
+       |       CAST(greatest(${amps.map(a => s"abs($a)").mkString(", ")}) AS BIGINT) AS peak_abs,
+       |       CAST(${amps.map(a => s"($a) * ($a)").mkString(" + ")} AS BIGINT) AS energy,
+       |       CAST(round(sqrt(CAST(${amps.map(a => s"($a) * ($a)").mkString(" + ")} AS DOUBLE)
+       |                       / $rmsSamples) * 1000) AS BIGINT) AS rms_milli
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_rms" -> (audioRms _),
     "mm_gif_header" -> (gifHeader _),
     "mm_bmp_header" -> (bmpHeader _),
     "mm_wav_header" -> (wavHeader _),
@@ -419,6 +478,7 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_audio_rms" -> audioRmsSql,
     "mm_gif_header" -> gifHeaderSql,
     "mm_bmp_header" -> bmpHeaderSql,
     "mm_wav_header" -> wavHeaderSql,

@@ -511,7 +511,52 @@ object TimeSeries {
        |FROM framed WHERE cb = $shiftHalf AND ca = $shiftHalf
        |ORDER BY abs(sa - sb) DESC, 1 LIMIT 5""".stripMargin
 
+  /** MoM / YoY growth report — the monthly revenue board slide: per
+    * order month, revenue, month-over-month and year-over-year change
+    * in ppm. Orders span seven years, so lag(12) has real support.
+    * Revenue stays integer cents through the lags; each growth ratio
+    * is ONE double division of exact integers (identical both
+    * engines) rounded to ppm; head months where the lag is undefined
+    * emit NULL — the honest answer, not zero. The month spine comes
+    * from the data (every month has orders at every SF); the series
+    * is calendar-bounded, so the single-partition lag window holds
+    * ≤ |months| rows regardless of corpus size — the same bounded-
+    * window note as the hourly family. */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("month"))
+    def growthPpm(laggedC: org.apache.spark.sql.Column) =
+      when(laggedC.isNotNull,
+        round(lit(1e6) * (col("cents") - laggedC) / laggedC).cast("long"))
+    monthly
+      .withColumn("m1", lag(col("cents"), 1).over(w))
+      .withColumn("m12", lag(col("cents"), 12).over(w))
+      .select(col("month"), (col("cents").cast("double") / 100).as("revenue"),
+        growthPpm(col("m1")).as("mom_ppm"), growthPpm(col("m12")).as("yoy_ppm"))
+      .orderBy(col("month"))
+  }
+
+  val yoyGrowthSql: String =
+    """WITH monthly AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT month, cents,
+      |         lag(cents, 1) OVER (ORDER BY month) AS m1,
+      |         lag(cents, 12) OVER (ORDER BY month) AS m12
+      |  FROM monthly)
+      |SELECT month, CAST(cents AS DOUBLE) / 100 AS revenue,
+      |       CASE WHEN m1 IS NOT NULL
+      |            THEN CAST(round(1e6 * (cents - m1) / m1) AS BIGINT) END AS mom_ppm,
+      |       CASE WHEN m12 IS NOT NULL
+      |            THEN CAST(round(1e6 * (cents - m12) / m12) AS BIGINT) END AS yoy_ppm
+      |FROM lagged ORDER BY month""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_yoy_growth" -> (yoyGrowth _),
     "ts_acf" -> (acf _),
     "ts_ewma" -> (ewma _),
     "ts_level_shift" -> (levelShift _),
@@ -524,6 +569,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_yoy_growth" -> yoyGrowthSql,
     "ts_acf" -> acfSql,
     "ts_ewma" -> ewmaSql,
     "ts_level_shift" -> levelShiftSql,

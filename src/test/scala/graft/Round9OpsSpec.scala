@@ -204,6 +204,54 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("audio rms: parser reconstructs the generating amplitude law exactly") {
+    val rows = Multimodal.audioRms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows.take(50)) {
+      val (docId, n, peak, energy, rms) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val amps = (0 until n.toInt).map(j => ((docId * 31 + j * 97) % 4001) - 2000)
+      assert(peak === amps.map(math.abs).max) // sign + endianness + offset all correct
+      assert(energy === amps.map(a => a * a).sum)
+      assert(rms === math.round(math.sqrt(energy.toDouble / n) * 1000))
+    }
+  }
+
+  test("yoy growth: ratios re-derive from the monthly revenue series") {
+    val rows = TimeSeries.yoyGrowth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).sortBy(_._1)
+    assert(rows.head._3.isEmpty) // first month has no MoM
+    assert(rows.take(12).forall(_._4.isEmpty)) // first year has no YoY
+    val cents = rows.map(r => math.round(r._2 * 100))
+    for (i <- rows.indices) {
+      rows(i)._3.foreach { mom =>
+        assert(mom === math.round(1e6 * (cents(i) - cents(i - 1)).toDouble / cents(i - 1)))
+      }
+      rows(i)._4.foreach { yoy =>
+        assert(yoy === math.round(1e6 * (cents(i) - cents(i - 12)).toDouble / cents(i - 12)))
+      }
+    }
+  }
+
+  test("url dedup: canonical groups unite scheme/www/case/slash/param-order variants") {
+    val rows = Dedup.urlDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((canon, nVar, nRaw, keeper) <- rows) {
+      assert(canon.startsWith("site")) // lowercased, scheme and www stripped
+      assert(!canon.contains("utm") && !canon.contains("//")) // tracking + scheme gone
+      assert(!canon.takeWhile(_ != '?').endsWith("/")) // trailing slash stripped
+      assert(nRaw <= nVar)
+      assert(nVar >= 2)
+      assert(keeper >= 0)
+    }
+    // canonical keys are injective in (site, path-id, id): variants of one
+    // doc's URL land in exactly one group
+    assert(rows.map(_._1).distinct.length === rows.length)
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
