@@ -719,7 +719,68 @@ object Aggregations {
       |                     AS BIGINT)) AS BIGINT) AS entropy_micro_nats
       |FROM withn GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Pairwise Pearson CORRELATION MATRIX (long form) across the
+    * lineitem measures — the one-pass EDA screen before any modeling:
+    * quantity × price × discount, every pair from ONE aggregation.
+    * The ten sufficient statistics (n, 3 sums, 3 squares, 3 cross
+    * products) are exact: measures quantize to their natural
+    * hundredths, per-row products stay far under 2⁶³, and the SUMS
+    * ride DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so they cannot
+    * overflow at any corpus size — the cents²-sum overflow that a
+    * BIGINT accumulator hits near ~10⁶ rows is the reason for the
+    * wide type. Only AFTER aggregation does each moment cast to
+    * double (exact integer → nearest double, identical both
+    * engines) for the one correlation formula per pair. Map-side
+    * combinable; output is |measures|² / 2 rows. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val m = Seq("quantity" -> col("l_quantity"), "price" -> col("l_extendedprice"),
+      "discount" -> col("l_discount"))
+    val q = m.map { case (n, c) => n -> round(c * 100).cast("long") }
+    val sums =
+      q.map { case (n, c) => sum(c.cast("decimal(38,0)")).as(s"s_$n") } ++
+      q.map { case (n, c) => sum((c * c).cast("decimal(38,0)")).as(s"ss_$n") } ++
+      q.combinations(2).map { case Seq((na, ca), (nb, cb)) =>
+        sum((ca * cb).cast("decimal(38,0)")).as(s"sp_${na}_$nb") }.toSeq
+    val aggCols = count(lit(1)).as("n") +: sums
+    val agged = Tables.lineitem(spark, dir)
+      .agg(aggCols.head, aggCols.tail: _*)
+    def d(name: String) = col(name).cast("double")
+    val pairs = q.map(_._1).combinations(2).map { case Seq(a, b) =>
+      agged.select(lit(a).as("m_a"), lit(b).as("m_b"), col("n"),
+        round((col("n") * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")) /
+          sqrt((col("n") * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")) *
+            (col("n") * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b"))), 6).as("corr"))
+    }.toSeq
+    pairs.reduce(_ union _).orderBy(col("m_a"), col("m_b"))
+  }
+
+  val corrMatrixSql: String = {
+    val ms = Seq("quantity" -> "l_quantity", "price" -> "l_extendedprice",
+      "discount" -> "l_discount")
+    val qs = ms.map { case (n, c) => n -> s"CAST(round($c * 100) AS BIGINT)" }
+    val sums = (
+      qs.map { case (n, c) => s"sum($c) AS s_$n" } ++
+      qs.map { case (n, c) => s"sum(($c) * ($c)) AS ss_$n" } ++
+      qs.combinations(2).map { case Seq((na, ca), (nb, cb)) =>
+        s"sum(($ca) * ($cb)) AS sp_${na}_$nb" }).mkString(",\n       ")
+    val pairs = qs.map(_._1).combinations(2).map { case Seq(a, b) =>
+      s"""SELECT '$a' AS m_a, '$b' AS m_b, n,
+         |       round((n * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
+         |             sqrt((n * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
+         |                  (n * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)
+         |         AS corr
+         |FROM moments""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH moments AS (
+       |  SELECT count(*) AS n,
+       |       $sums
+       |  FROM lineitem)
+       |$pairs
+       |ORDER BY m_a, m_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_matrix" -> (corrMatrix _),
     "agg_chi2" -> (chiSquare _),
     "agg_entropy" -> (entropyPerGroup _),
     "agg_ab_test" -> (abTest _),
@@ -743,6 +804,7 @@ object Aggregations {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_corr_matrix" -> corrMatrixSql,
     "agg_chi2" -> chiSquareSql,
     "agg_entropy" -> entropyPerGroupSql,
     "agg_ab_test" -> abTestSql,

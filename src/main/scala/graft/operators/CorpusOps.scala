@@ -1632,7 +1632,40 @@ object CorpusOps {
        |FROM draws d JOIN cdf c ON d.u >= c.hi - c.wq AND d.u < c.hi
        |ORDER BY d.doc_id, d.slot""".stripMargin
 
+  /** Tokenizer FERTILITY audit — subword tokens per whitespace word,
+    * per language: the cross-lingual tokenizer-bias number every
+    * multilingual training run reports (a language whose fertility is
+    * 2× pays 2× the sequence length for the same text — the motivation
+    * for vocabulary rebalancing). Rides the SAME native BPE tokenizer
+    * and the SAME whitespace-token contract the `corpus_bpe_tokens`
+    * family pins; per-lang ratio from exact integer sums (one double
+    * division, ppm-rounded). Map-only tokenize + one compact-key agg. */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), nToks(col("text")).as("w"),
+        graft.api.Graft.bpeTokenCount(col("text"), defaultVocab).as("b"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_words"),
+        sum(col("b")).as("sum_bpe"))
+      .withColumn("fertility_ppm",
+        round(lit(1e6) * col("sum_bpe") / col("sum_words")).cast("long"))
+      .orderBy(col("lang"))
+
+  val fertilitySql: String =
+    s"""WITH RECURSIVE
+       |$bpeCtes,
+       |perdoc AS (
+       |  SELECT d.lang, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS w, b.n
+       |  FROM documents d JOIN bpe b ON d.doc_id = b.doc_id)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(w) AS BIGINT) AS sum_words,
+       |       CAST(sum(n) AS BIGINT) AS sum_bpe,
+       |       CAST(round(1e6 * CAST(sum(n) AS BIGINT) / CAST(sum(w) AS BIGINT)) AS BIGINT)
+       |         AS fertility_ppm
+       |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_fertility" -> (fertility _),
     "corpus_negative_samples" -> (negativeSamples _),
     "corpus_curriculum" -> (curriculum _),
     "corpus_quality_qnorm" -> (qualityQnorm _),
@@ -1670,6 +1703,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_fertility" -> fertilitySql,
     "corpus_negative_samples" -> negativeSamplesSql,
     "corpus_curriculum" -> curriculumSql,
     "corpus_quality_qnorm" -> qualityQnormSql,

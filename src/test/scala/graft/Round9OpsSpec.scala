@@ -252,6 +252,36 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === rows.length)
   }
 
+  test("corr matrix: bounded by 1, symmetric pair set, agrees with Spark's own corr()") {
+    val rows = Aggregations.corrMatrix(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(rows.size === 3) // 3 measures -> 3 unordered pairs
+    assert(rows.values.forall(c => c >= -1.0 && c <= 1.0))
+    // cross-check against the built-in sample correlation (same
+    // quantized inputs; population vs sample cancels in the ratio)
+    val df = Tables.lineitem(spark, sf).select(
+      round(col("l_quantity") * 100).cast("long").cast("double").as("q"),
+      round(col("l_extendedprice") * 100).cast("long").cast("double").as("p"))
+    val want = df.agg(corr(col("q"), col("p"))).head().getDouble(0)
+    assert(math.abs(rows(("quantity", "price")) - want) < 1e-6)
+  }
+
+  test("fertility: per-lang ratio reconciles with the per-doc BPE token table") {
+    val f = CorpusOps.fertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val perDoc = CorpusOps.bpeTokens(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)), sum(col("n_tokens_ws")), sum(col("n_tokens_bpe"))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(f.map(_._2).sum === Tables.documents(spark, sf).count())
+    for ((lang, nDocs, words, bpe, ppm) <- f) {
+      assert((nDocs, words, bpe) === perDoc(lang))
+      assert(ppm === math.round(1e6 * bpe.toDouble / words))
+      assert(ppm >= 1000000L) // BPE can only split words, never merge across spaces
+    }
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
