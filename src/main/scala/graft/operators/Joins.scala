@@ -432,6 +432,59 @@ object Joins {
       |  WHERE rn = 1) m ON e.event_id = m.event_id
       |ORDER BY e.event_id""".stripMargin
 
+  /** As-of join WITH TOLERANCE — the seventh as-of variant, and the
+    * one production feature every as-of API exposes (pandas
+    * `merge_asof(tolerance=…)`, kdb `wj` windows): a match older than
+    * the staleness bound is WORSE than no match (a price from last
+    * year must not enrich today's trade). Semantics compose for free:
+    * the as-of pick is the LATEST right row ≤ t, so if IT violates
+    * the bound every earlier row does too — tolerance is a post-pick
+    * NULL-out, not a different search. The plan is therefore exactly
+    * [[graft.plans.AsofJoin]]'s streaming merge (no pair
+    * materialization, the `join_asof_plan` cost model) plus one
+    * map-only conditional; staleness itself ships as a column — the
+    * monitoring number a feed-health dashboard wants anyway. */
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolDays = 365L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    graft.plans.AsofJoin.asofJoin(spark, ev, ord,
+        leftKeyCol = "user_id", leftTimeCol = "ts",
+        rightKeyCol = "o_custkey", rightTimeCol = "o_orderdate",
+        tiebreakCol = "o_orderkey", payloadCols = Seq("o_orderkey", "o_orderdate"),
+        joinType = "left")
+      .withColumn("staleness_days",
+        when(col("o_orderkey").isNotNull, datediff(col("ts"), col("o_orderdate"))))
+      .select(col("event_id"),
+        when(col("staleness_days") <= tolDays, col("o_orderkey"))
+          .as("asof_orderkey"),
+        when(col("staleness_days") <= tolDays,
+          date_format(col("o_orderdate"), "yyyy-MM-dd")).as("asof_orderdate"),
+        when(col("staleness_days") <= tolDays, col("staleness_days"))
+          .cast("long").as("staleness_days"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinToleranceSql: String =
+    """SELECT e.event_id,
+      |       CASE WHEN datediff('day', m.o_orderdate, e.ts) <= 365
+      |            THEN m.o_orderkey END AS asof_orderkey,
+      |       CASE WHEN datediff('day', m.o_orderdate, e.ts) <= 365
+      |            THEN strftime(m.o_orderdate, '%Y-%m-%d') END AS asof_orderdate,
+      |       CAST(CASE WHEN datediff('day', m.o_orderdate, e.ts) <= 365
+      |            THEN datediff('day', m.o_orderdate, e.ts) END AS BIGINT) AS staleness_days
+      |FROM events e LEFT JOIN (
+      |  SELECT event_id, o_orderkey, o_orderdate FROM (
+      |    SELECT e2.event_id, o.o_orderkey, o.o_orderdate,
+      |           row_number() OVER (PARTITION BY e2.event_id
+      |                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |    FROM events e2 JOIN orders o
+      |      ON e2.user_id = o.o_custkey AND o.o_orderdate <= e2.ts)
+      |  WHERE rn = 1) m ON e.event_id = m.event_id
+      |ORDER BY e.event_id""".stripMargin
+
   val asofJoinForwardSql: String =
     """SELECT event_id, o_orderkey AS next_orderkey,
       |       strftime(o_orderdate, '%Y-%m-%d') AS next_orderdate
@@ -740,6 +793,7 @@ object Joins {
     "join_asof_forward" -> (asofJoinForward _),
     "join_asof_nearest" -> (asofJoinNearest _),
     "join_asof_left" -> (asofJoinLeft _),
+    "join_asof_tolerance" -> (asofJoinTolerance _),
     "join_asof_plan" -> (asofJoinPlan _),
     "join_skew_salted" -> (saltedSkewJoin _),
     "join_bucketed_colocated" -> (bucketedColocatedJoin _),
@@ -764,6 +818,7 @@ object Joins {
     "join_asof_forward" -> asofJoinForwardSql,
     "join_asof_nearest" -> asofJoinNearestSql,
     "join_asof_left" -> asofJoinLeftSql,
+    "join_asof_tolerance" -> asofJoinToleranceSql,
     "join_asof_plan" -> asofJoinSql,
     "join_skew_salted" -> saltedSkewJoinSql,
     "join_bucketed_colocated" -> bucketedColocatedJoinSql,

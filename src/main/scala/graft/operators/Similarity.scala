@@ -2244,7 +2244,67 @@ object Similarity {
        |SELECT query_id, CAST(3 AS BIGINT), cand_id, score FROM p3
        |ORDER BY query_id, position""".stripMargin
 
+  /** BINARY-SKETCH Hamming search — the sign-bit compression serving
+    * path (SimHash-for-embeddings / ITQ-zero): each 64-dim float
+    * vector packs to its SIGN BITS, two 32-bit halves in two longs
+    * (avoiding the 2⁶³ sign-bit hazard of one 64-bit pack), and
+    * distance is popcount(xor) — 16 bytes and a handful of ALU ops
+    * per comparison vs 256 bytes and 64 FMAs for the float scan. At
+    * 100 TB this is THE first-stage filter: the sketch table fits in
+    * memory where floats cannot (16×  compression), the scan is
+    * codegen integer ops, and survivors re-rank exact (the
+    * [[ivfTopK]] re-rank contract). Exactness: packing, xor, and
+    * popcount are all integer — engine-identical, no quantization
+    * step needed anywhere. Tie-break (hamming, vec_id) makes top-k
+    * deterministic. */
+  def hammingTopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecAsDouble(col("embedding"))
+    def packHalf(lo: Int): org.apache.spark.sql.Column =
+      (0 until 32).map(i =>
+        when(element_at(v, lo + i + 1) > 0d, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    val sk = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), packHalf(0).as("lo"), packHalf(32).as("hi"))
+    val q = sk.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    broadcast(q).join(sk, col("query_id") =!= col("vec_id"))
+      .withColumn("hamming",
+        bit_count(col("qlo").bitwiseXOR(col("lo"))).cast("long") +
+          bit_count(col("qhi").bitwiseXOR(col("hi"))).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("hamming"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hammingTopKSql: String = {
+    def packHalf(lo: Int) = (0 until 32)
+      .map(i => s"CASE WHEN v[${lo + i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sk AS (
+       |  SELECT vec_id,
+       |         CAST(${packHalf(0)} AS BIGINT) AS lo,
+       |         CAST(${packHalf(32)} AS BIGINT) AS hi
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
+       |SELECT query_id, rank, neighbor_id, hamming FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS BIGINT)
+       |           AS hamming,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY q.vec_id
+       |           ORDER BY bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)),
+       |                    c.vec_id) AS BIGINT) AS rank
+       |  FROM (SELECT * FROM sk WHERE vec_id < $nQueries) q
+       |  JOIN sk c ON q.vec_id <> c.vec_id)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hamming_topk" -> (hammingTopK _),
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_pca_project" -> (pcaProject _),
     "sim_pca_top_component" -> (pcaTopComponent _),
@@ -2287,6 +2347,7 @@ object Similarity {
     "sim_embed_quantize" -> embedQuantizeSql,
     "sim_random_projection" -> randomProjectionSql,
     "sim_maxsim_topk" -> maxSimTopKSql,
+    "sim_hamming_topk" -> hammingTopKSql,
     "sim_mmr_rerank" -> mmrRerankSql,
     "sim_norm_audit" -> normAuditSql,
     "sim_retrieval_metrics" -> retrievalMetricsSql,

@@ -604,7 +604,63 @@ object WarehouseEtl {
       |       coalesce(then_pick.s, '<unknown>') <> now_pick.s AS revised
       |FROM agged ORDER BY user_id""".stripMargin
 
+  /** SCD TYPE 3 — the third slowly-changing-dimension flavor beside
+    * [[scd2]]'s full history and CDC's type-1 overwrite: the dimension
+    * keeps the CURRENT value plus ONE previous-value column (the
+    * "show me what changed in the last reorg" design — bounded width,
+    * no history explosion). Built from the per-user state CHANGE LOG
+    * (rows where the state differs from its predecessor — the same
+    * change-detection [[scd2]] uses), then the last two log entries
+    * pivot into columns via rank + conditional agg. The rank window
+    * and the agg share the user-key hash partitioning, so the second
+    * exchange is elided (window then groupBy on the same key). */
+  def scd3(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_ns"), col("event_id"))
+      .withColumn("prev", lag(col("state"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+    val ranked = changes.withColumn("rn", row_number().over(
+      Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)))
+    ranked.groupBy(col("user_id"))
+      .agg(max(when(col("rn") === 1, col("state"))).as("current_state"),
+        coalesce(max(when(col("rn") === 2, col("state"))), lit("<none>"))
+          .as("prev_state"),
+        max(when(col("rn") === 1,
+          expr("ts_ns div 1000000000"))).cast("timestamp").as("changed_ts"),
+        count(lit(1)).as("n_changes"))
+      .select(col("user_id"), col("current_state"), col("prev_state"),
+        date_format(col("changed_ts"), "yyyy-MM-dd HH:mm:ss").as("changed_at"),
+        col("n_changes"))
+      .orderBy(col("user_id"))
+  }
+
+  val scd3Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type AS state, epoch_ns(ts) AS ts_ns, event_id,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY epoch_ns(ts), event_id) AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, state, ts_ns, event_id FROM ordered
+      |  WHERE prev IS NULL OR prev <> state),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |                               ORDER BY ts_ns DESC, event_id DESC) AS rn
+      |  FROM changes)
+      |SELECT user_id,
+      |       max(CASE WHEN rn = 1 THEN state END) AS current_state,
+      |       coalesce(max(CASE WHEN rn = 2 THEN state END), '<none>') AS prev_state,
+      |       strftime(to_timestamp(max(CASE WHEN rn = 1 THEN ts_ns END) // 1000000000),
+      |                '%Y-%m-%d %H:%M:%S') AS changed_at,
+      |       count(*) AS n_changes
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd3" -> (scd3 _),
     "etl_bitemporal" -> (bitemporal _),
     "etl_purge_audit" -> (purgeAudit _),
     "etl_snapshot_diff" -> (snapshotDiff _),
@@ -620,6 +676,7 @@ object WarehouseEtl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_scd3" -> scd3Sql,
     "etl_bitemporal" -> bitemporalSql,
     "etl_purge_audit" -> purgeAuditSql,
     "etl_snapshot_diff" -> snapshotDiffSql,

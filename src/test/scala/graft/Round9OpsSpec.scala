@@ -282,6 +282,51 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("asof tolerance: matches are the plain as-of picks within the bound, never others") {
+    val tol = Joins.asofJoinTolerance(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val plain = Joins.asofJoinLeft(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(tol.keySet === plain.keySet)
+    var nulled = 0
+    for ((eid, pick) <- tol) pick match {
+      case Some(k) => assert(plain(eid) === Some(k)) // same pick when within bound
+      case None => if (plain(eid).isDefined) nulled += 1
+    }
+    assert(nulled > 0) // the bound actually bites on this data
+  }
+
+  test("hamming topk: packed distance equals the unpacked sign-bit disagreement count") {
+    val top = Similarity.hammingTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val signs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).map(_ > 0)).toMap
+    for ((q, n, h) <- top) {
+      val want = signs(q).zip(signs(n)).count { case (a, b) => a != b }
+      assert(h === want.toLong)
+      assert(h >= 0 && h <= 64)
+    }
+    // ranks are per-query contiguous 1..5
+    assert(top.groupBy(_._1).values.forall(_.length === 5))
+  }
+
+  test("scd3: current/prev reconcile with a driver-side change-log replay") {
+    val got = WarehouseEtl.scd3(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    for ((uid, cur, prev, nChanges) <- got) {
+      val log = ev.filter(_._1 == uid).sortBy(e => (e._3, e._4)).map(_._2)
+        .foldLeft(List.empty[String]) { (acc, s) =>
+          if (acc.headOption.contains(s)) acc else s :: acc } // change log, newest first
+      assert(cur === log.head)
+      assert(prev === log.drop(1).headOption.getOrElse("<none>"))
+      assert(nChanges === log.length.toLong)
+    }
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
