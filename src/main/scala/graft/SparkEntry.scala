@@ -40,6 +40,7 @@ object SparkEntry {
       WarehouseEtl.queries ++
       Layout.queries ++
       GraphOps.queries ++
+      GeoOps.queries ++
       Sources.queries ++
       SqlSurface.queries ++
       Streams.queries
@@ -66,6 +67,7 @@ object SparkEntry {
       WarehouseEtl.oracle ++
       Layout.oracle ++
       GraphOps.oracle ++
+      GeoOps.oracle ++
       Sources.oracle ++
       SqlSurface.oracle ++
       Streams.oracle

@@ -615,7 +615,87 @@ object GraphOps {
        |ORDER BY 1""".stripMargin
   }
 
+  /** MODULARITY score of the LPA communities — the number that says
+    * whether a partition is COMMUNITIES or noise (Q ≈ 0: no better
+    * than random; Q ≳ 0.3: real structure). Q = Σ_c [e_c/m −
+    * (d_c/2m)²] over the same fuzzy-name graph and the same
+    * 2-iteration deterministic [[labelPropagation]] the
+    * `graph_label_prop` op pins — so this is the quality gate ON that
+    * op's output, oracle-replayed end-to-end (the oracle re-runs LPA
+    * as CTEs, then the formula). All inputs are exact integers
+    * (levenshtein weights); each community's contribution quantizes
+    * to ONE micro-unit integer before the total (the chi-square
+    * discipline). Cost: the pair/LPA stages the siblings already
+    * bound, plus two compact-key aggs (per-community intra-weight,
+    * per-community degree). */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Joins.fuzzyBlockedJoin(spark, dir)
+      .select(col("name_a").as("src"), col("name_b").as("dst"),
+        (lit(4L) - col("dist")).as("w"))
+    val edges = raw.localCheckpoint() // reused by LPA + 3 aggs below
+    val labels = labelPropagation(edges, iterations = 2)
+      .select(col("node"), col("lbl"))
+    val m = edges.agg(sum(col("w")).as("m"))
+    val intra = edges
+      .join(labels.select(col("node").as("src"), col("lbl").as("la")), "src")
+      .join(labels.select(col("node").as("dst"), col("lbl").as("lb")), "dst")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(sum(col("w")).as("intra_w"))
+    val deg = edges.select(col("src").as("node"), col("w"))
+      .union(edges.select(col("dst"), col("w")))
+      .join(labels, "node")
+      .groupBy(col("lbl").as("community"))
+      .agg(sum(col("w")).as("degree_w"), countDistinct(col("node")).as("n_members"))
+    val perC = deg.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_members"),
+        coalesce(col("intra_w"), lit(0L)).as("intra_w"), col("degree_w"),
+        round(lit(1e6) * (coalesce(col("intra_w"), lit(0L)).cast("double") / col("m") -
+          (col("degree_w").cast("double") / (lit(2L) * col("m"))) *
+            (col("degree_w").cast("double") / (lit(2L) * col("m")))))
+          .cast("long").as("contrib_micro"))
+    val q = perC.agg(sum(col("contrib_micro")).as("modularity_micro"))
+    perC.crossJoin(broadcast(q))
+      .orderBy(col("community"))
+  }
+
+  val modularitySql: String =
+    s"""WITH names AS (
+       |  SELECT p_name AS name, string_split(p_name, ' ')[-1] AS noun
+       |  FROM part GROUP BY p_name),
+       |raw AS (
+       |  SELECT a.name AS src, b.name AS dst,
+       |         4 - levenshtein(a.name, b.name) AS w
+       |  FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+       |  WHERE levenshtein(a.name, b.name) <= 3),
+       |sym AS (SELECT src, dst, w FROM raw
+       |        UNION ALL SELECT dst, src, w FROM raw),
+       |nodes AS (SELECT DISTINCT src AS node FROM sym),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |${lpaIterSql("l0", "l1")},
+       |${lpaIterSql("l1", "l2")},
+       |m AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM raw),
+       |intra AS (
+       |  SELECT la.lbl AS community, CAST(sum(e.w) AS BIGINT) AS intra_w
+       |  FROM raw e JOIN l2 la ON la.node = e.src
+       |             JOIN l2 lb ON lb.node = e.dst
+       |  WHERE la.lbl = lb.lbl GROUP BY 1),
+       |deg AS (
+       |  SELECT l.lbl AS community, CAST(sum(s.w) AS BIGINT) AS degree_w,
+       |         count(DISTINCT s.src) AS n_members
+       |  FROM sym s JOIN l2 l ON l.node = s.src GROUP BY 1),
+       |perc AS (
+       |  SELECT d.community, d.n_members,
+       |         coalesce(i.intra_w, 0) AS intra_w, d.degree_w,
+       |         CAST(round(1e6 * (CAST(coalesce(i.intra_w, 0) AS DOUBLE) / m.m -
+       |                (CAST(d.degree_w AS DOUBLE) / (2 * m.m)) *
+       |                (CAST(d.degree_w AS DOUBLE) / (2 * m.m)))) AS BIGINT) AS contrib_micro
+       |  FROM deg d LEFT JOIN intra i ON d.community = i.community, m),
+       |q AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS modularity_micro FROM perc)
+       |SELECT perc.*, q.modularity_micro FROM perc, q ORDER BY community""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> (modularity _),
     "graph_hits" -> (hitsTypes _),
     "graph_link_pred" -> (linkPrediction _),
     "graph_pagerank" -> (pagerankTypes _),
@@ -627,6 +707,7 @@ object GraphOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "graph_modularity" -> modularitySql,
     "graph_hits" -> hitsTypesSql,
     "graph_link_pred" -> linkPredictionSql,
     "graph_pagerank" -> pagerankTypesSql,

@@ -327,6 +327,59 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("modularity: contributions sum to Q; intra-weight never exceeds degree mass") {
+    val rows = GraphOps.modularity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val q = rows.head._6
+    assert(rows.forall(_._6 === q)) // constant total column
+    assert(rows.map(_._5).sum === q) // per-community contribs telescope
+    assert(q > 0L && q < 1000000L)
+    for ((_, n, intra, deg, _, _) <- rows) {
+      assert(2 * intra <= deg) // each intra edge contributes 2 to community degree
+      assert(n >= 1)
+    }
+  }
+
+  test("geo nearest: grid picks match a brute-force replay restricted to the 3x3 ring") {
+    val got = GeoOps.nearest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pts = Tables.customer(spark, sf).select(col("c_custkey")).collect()
+      .map(_.getLong(0)).map { k =>
+        k -> (((k * 37) % 12000) / 100.0 - 60, ((k * 91) % 36000) / 100.0 - 180)
+      }.toMap
+    def cell(p: (Double, Double)) =
+      (math.floor(p._1 / 15).toLong, math.floor(p._2 / 30).toLong)
+    def hav(a: (Double, Double), b: (Double, Double)): Long = {
+      val dlat = math.toRadians(b._1 - a._1) / 2
+      val dlon = math.toRadians(b._2 - a._2) / 2
+      val h = math.sin(dlat) * math.sin(dlat) +
+        math.cos(math.toRadians(a._1)) * math.cos(math.toRadians(b._1)) *
+          math.sin(dlon) * math.sin(dlon)
+      math.round(2 * 6371000.0 * math.asin(math.sqrt(h)))
+    }
+    for ((q, picks) <- got.groupBy(_._1)) {
+      val (qc, qp) = (cell(pts(q)), pts(q))
+      val ring = pts.filter { case (id, p) =>
+        id != q && math.abs(cell(p)._1 - qc._1) <= 1 && math.abs(cell(p)._2 - qc._2) <= 1
+      }
+      val want = ring.toSeq.map { case (id, p) => (hav(qp, p), id) }.sorted.take(3)
+      assert(picks.sortBy(_._2).map(p => (p._4, p._3)).toSeq === want)
+    }
+  }
+
+  test("geo census: cells partition the points and boxes stay inside their cell") {
+    val c = GeoOps.cellCensus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(c.map(_._3).sum === Tables.customer(spark, sf).count())
+    for ((cx, cy, _, minLat, maxLat, minLon, maxLon) <- c) {
+      assert(minLat >= cx * 15.0 && maxLat < (cx + 1) * 15.0)
+      assert(minLon >= cy * 30.0 && maxLon < (cy + 1) * 30.0)
+      assert(minLat <= maxLat && minLon <= maxLon)
+    }
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
