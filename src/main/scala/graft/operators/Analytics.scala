@@ -746,7 +746,48 @@ object Analytics {
       |             OVER (ORDER BY period ROWS UNBOUNDED PRECEDING), 6) AS survival
       |FROM risk ORDER BY period""".stripMargin
 
+  /** NEW vs RETURNING daily actives — the growth dashboard's first
+    * split: per day, how many active users are seeing the product for
+    * the first time. Distinct (user, day) pairs first (bounds
+    * everything downstream at users×days), each user's first day via
+    * a window MIN over that compact set, then one day-keyed census.
+    * All integer day arithmetic; the share is one ppm-rounded
+    * division. The min window and nothing else touches per-user
+    * grouping, so the plan is: one distinct (user,day) exchange → min
+    * window on user → day-keyed agg. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val activeDays = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .distinct()
+    val withFirst = activeDays.withColumn("first_day",
+      min(col("day")).over(Window.partitionBy(col("user_id"))))
+    withFirst.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        count_if(col("day") === col("first_day")).as("n_new"),
+        count_if(col("day") =!= col("first_day")).as("n_returning"))
+      .withColumn("new_share_ppm",
+        round(lit(1e6) * col("n_new") / col("dau")).cast("long"))
+      .select(date_format((col("day") * 86400L).cast("timestamp"), "yyyy-MM-dd").as("date"),
+        col("dau"), col("n_new"), col("n_returning"), col("new_share_ppm"))
+      .orderBy(col("date"))
+  }
+
+  val newVsReturningSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |firsts AS (
+      |  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS first_day
+      |  FROM active)
+      |SELECT strftime(to_timestamp(day * 86400), '%Y-%m-%d') AS date,
+      |       count(*) AS dau,
+      |       CAST(count(*) FILTER (WHERE day = first_day) AS BIGINT) AS n_new,
+      |       CAST(count(*) FILTER (WHERE day <> first_day) AS BIGINT) AS n_returning,
+      |       CAST(round(1e6 * count(*) FILTER (WHERE day = first_day) / count(*)) AS BIGINT)
+      |         AS new_share_ppm
+      |FROM firsts GROUP BY day ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_new_vs_returning" -> (newVsReturning _),
     "q_rfm" -> (rfm _),
     "q_pareto" -> (pareto _),
     "q_survival" -> (survival _),
@@ -767,6 +808,7 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_new_vs_returning" -> newVsReturningSql,
     "q_rfm" -> rfmSql,
     "q_pareto" -> paretoSql,
     "q_survival" -> survivalSql,

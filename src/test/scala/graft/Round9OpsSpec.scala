@@ -380,6 +380,16 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("new vs returning: day-1 actives are all new; new totals cover every user once") {
+    val rows = Analytics.newVsReturning(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.head._3 === rows.head._2) // first day: everyone is new
+    assert(rows.head._4 === 0L)
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum === nUsers) // each user is new exactly once
+    assert(rows.forall(r => r._2 === r._3 + r._4))
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
