@@ -28,6 +28,7 @@ class RegistrySpec extends SparkSpec {
     ("WarehouseEtl", WarehouseEtl.queries, WarehouseEtl.oracle),
     ("Layout", Layout.queries, Layout.oracle),
     ("GraphOps", GraphOps.queries, GraphOps.oracle),
+    ("GeoOps", GeoOps.queries, GeoOps.oracle),
     ("Sources", Sources.queries, Sources.oracle),
     ("SqlSurface", SqlSurface.queries, SqlSurface.oracle),
     ("Streams", Streams.queries, Streams.oracle))
