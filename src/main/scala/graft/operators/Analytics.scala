@@ -554,7 +554,13 @@ object Analytics {
     * double is the exact /100 at the boundary. Scale: one orders-table
     * aggregation (map-side combinable on o_custkey), three window
     * ranks over the CUSTOMER table (1000× smaller than orders), a
-    * compact 125-cell output. */
+    * compact 125-cell output. The global ntile windows are
+    * single-partition by construction — fine to ~10⁸ customers; past
+    * that the standard rewrite is approx-quantile THRESHOLDS (one
+    * `percentile_approx` pass → 4 broadcast cut-points per metric →
+    * map-only bucketing), trading exact quintile balance for a fully
+    * parallel plan. The same note covers [[pareto]]'s global
+    * row_number/ntile. */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))

@@ -2303,7 +2303,76 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Similarity THRESHOLD SWEEP — the τ-tuning table for semantic
+    * dedup: how many in-cell pairs clear each candidate threshold.
+    * Operators pick τ by looking at exactly this curve (too low ⇒
+    * dedup collapses distinct content, too high ⇒ misses paraphrases)
+    * — shipping the sweep makes the [[semanticDedup]] τ choice an
+    * audited decision instead of a magic constant. ONE pass over the
+    * SAME cell-bounded pair stage production runs (no per-τ rescan:
+    * five conditional counts in a single agg, then stack to rows).
+    * The quantizer bounds candidate mass exactly as in
+    * [[semanticCells]]; the oracle replays the inlined-centroid
+    * assignment and the same conditional counts. */
+  private val sweepTaus = Seq(50, 60, 70, 80, 90)
+
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(spark, dir)
+    val a = assigned.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("vn").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("vn").as("nb"), col("cell").as("cb"))
+    val pairs = a.join(b, col("cell") === col("cb") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_raw",
+        call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")))
+    val aggCols = count(lit(1)).as("n_candidates") +:
+      sweepTaus.map(t => count_if(col("cos_raw") >= t / 100.0).as(s"n_$t"))
+    val counts = pairs.agg(aggCols.head, aggCols.tail: _*)
+    counts.select(expr(
+      "stack(" + sweepTaus.size + ", " +
+        sweepTaus.map(t => s"${t}L, n_$t").mkString(", ") +
+        ") AS (tau_pct, n_pairs)"), col("n_candidates"))
+      .select(col("tau_pct"), col("n_pairs"), col("n_candidates"),
+        round(lit(1e6) * col("n_pairs") / col("n_candidates")).cast("long")
+          .as("pass_ppm"))
+      .orderBy(col("tau_pct"))
+  }
+
+  val thresholdSweepSql: String = {
+    val conds = sweepTaus
+      .map(t => s"count(*) FILTER (WHERE cos >= ${t / 100.0}) AS n_$t")
+      .mkString(",\n       ")
+    val rows = sweepTaus.map(t =>
+      s"SELECT CAST($t AS BIGINT) AS tau_pct, n_$t AS n_pairs, n_candidates FROM counts")
+      .mkString("\n  UNION ALL ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$ivfCentroidsSqlCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, e.v, e.vn, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, v, vn, cell FROM ranked WHERE arn = 1),
+       |cand AS (
+       |  SELECT ${dotSql("a.v", "b.v")} / (a.vn * b.vn) AS cos
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |counts AS (
+       |  SELECT count(*) AS n_candidates,
+       |       $conds
+       |  FROM cand)
+       |SELECT tau_pct, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |       CAST(n_candidates AS BIGINT) AS n_candidates,
+       |       CAST(round(1e6 * n_pairs / n_candidates) AS BIGINT) AS pass_ppm
+       |FROM ($rows)
+       |ORDER BY tau_pct""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_threshold_sweep" -> (thresholdSweep _),
     "sim_hamming_topk" -> (hammingTopK _),
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_pca_project" -> (pcaProject _),
@@ -2347,6 +2416,7 @@ object Similarity {
     "sim_embed_quantize" -> embedQuantizeSql,
     "sim_random_projection" -> randomProjectionSql,
     "sim_maxsim_topk" -> maxSimTopKSql,
+    "sim_threshold_sweep" -> thresholdSweepSql,
     "sim_hamming_topk" -> hammingTopKSql,
     "sim_mmr_rerank" -> mmrRerankSql,
     "sim_norm_audit" -> normAuditSql,

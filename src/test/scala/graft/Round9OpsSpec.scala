@@ -390,6 +390,16 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.forall(r => r._2 === r._3 + r._4))
   }
 
+  test("threshold sweep: pass counts are monotone in tau and anchored to the dedup tau") {
+    val s = Similarity.thresholdSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(s.map(_._1).toSeq === Seq(50L, 60L, 70L, 80L, 90L))
+    val cand = s.head._3
+    assert(s.forall(_._3 === cand)) // one shared candidate denominator
+    for (Seq(a, b) <- s.toSeq.sliding(2)) assert(b._2 <= a._2) // tighter tau, fewer pairs
+    assert(s.forall(r => r._2 <= r._3 && r._4 >= 0 && r._4 <= 1000000L))
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
