@@ -285,6 +285,70 @@ object Streams {
       .toDF("user_id", "error_count")
   }
 
+  /** FIRST-SEEN detector via flatMapGroupsWithState: emits one
+    * (user, day, is_new) record the first time a user is active on a
+    * day — `is_new` marks the user's first day EVER (the growth
+    * dashboard's new/returning split, emitted incrementally instead
+    * of recomputed). State per user is (first day, set of seen days)
+    * — the day set is CALENDAR-BOUNDED (one Long per active day; a
+    * production deployment ages it out with a watermark timeout once
+    * days stop arriving late). A shape windows can't express:
+    * conditional emission + cross-batch persistent state, the same
+    * family as [[errorBursts]]. Downstream, a per-day count of the
+    * emitted records IS the new/returning census
+    * (`Analytics.newVsReturning` is the batch recompute of that
+    * aggregate). */
+  def firstSeen(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dayNs = 86400L * 1000000000L
+    events.select(col("user_id"),
+        (unix_micros(col("ts").cast("timestamp")) * 1000).as("ts_ns"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Set[Long]), (Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Set[Long])]) =>
+          val (firstDay, seen) = state.getOption.getOrElse((Long.MaxValue, Set.empty[Long]))
+          // deterministic within-batch order: process days ascending
+          val days = rows.map(_._2 / dayNs).toSeq.distinct.sorted
+          val fresh = days.filterNot(seen)
+          val newFirst = math.min(firstDay, days.headOption.getOrElse(Long.MaxValue))
+          state.update((newFirst, seen ++ fresh))
+          // is_new marks the first day of a never-before-seen user.
+          // Append mode cannot retract: if a LATER batch delivers an
+          // EARLIER day (out-of-order beyond the within-batch sort),
+          // the original emission stands — the standard event-time
+          // caveat; the batch twin over the full log is the truth the
+          // oracle checks.
+          fresh.iterator.map(d =>
+            (user, d, firstDay == Long.MaxValue && d == days.head))
+      }
+      .toDF("user_id", "day", "is_new")
+  }
+
+  /** Batch twin of [[firstSeen]]: consuming the whole stream, the
+    * emitted set is exactly the distinct (user, day) pairs, with
+    * `is_new` true on each user's first day. */
+  def firstSeenBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .distinct()
+      .withColumn("is_new", col("day") === min(col("day")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .select(col("user_id"),
+        date_format((col("day") * 86400L).cast("timestamp"), "yyyy-MM-dd").as("date"),
+        col("is_new"))
+      .orderBy(col("user_id"), col("date"))
+
+  val firstSeenBatchSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events)
+      |SELECT user_id,
+      |       strftime(to_timestamp(day * 86400), '%Y-%m-%d') AS date,
+      |       day = min(day) OVER (PARTITION BY user_id) AS is_new
+      |FROM active ORDER BY user_id, date""".stripMargin
+
   /** Stream-static enrichment join: the unbounded stream joined to a
     * bounded dimension (broadcast — the dim never shuffles, each
     * micro-batch joins map-side). The production shape for decorating
@@ -781,6 +845,7 @@ object Streams {
     "stream_dedup_batch" -> (dedupBatch _),
     "stream_session_batch" -> (sessionBatch _),
     "stream_user_state_batch" -> (userStateBatch _),
+    "stream_first_seen_batch" -> (firstSeenBatch _),
     "stream_error_bursts_batch" -> ((s, d) => errorBurstsBatch(s, d))
   )
 
@@ -794,6 +859,7 @@ object Streams {
     "stream_dedup_batch" -> dedupBatchSql,
     "stream_session_batch" -> sessionBatchSql,
     "stream_user_state_batch" -> userStateBatchSql,
+    "stream_first_seen_batch" -> firstSeenBatchSql,
     "stream_error_bursts_batch" -> errorBurstsBatchSql
   )
 }

@@ -112,6 +112,37 @@ class StreamsSpec extends SparkSpec {
     assert(rows(2L) === 2L)
   }
 
+  test("firstSeen emits each (user, day) once with is_new on the first day only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    def ev(id: Long, dayOffset: Int, user: Long) =
+      Ev(id, new Timestamp(1700000000000L + dayOffset * 86400000L), user, "click", 1.0)
+    // batch 1: user 1 on day 0 (twice), user 2 on day 1
+    mem.addData(ev(1, 0, 1), ev(2, 0, 1), ev(3, 1, 2))
+    // batch 2: user 1 again day 0 (already seen) + day 2; user 3 first time
+    mem.addData(ev(4, 0, 1), ev(5, 2, 1), ev(6, 2, 3))
+    val q = Streams.firstSeen(spark, mem.toDF())
+      .writeStream.format("memory").queryName("t_first").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("t_first").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"), r.getAs[Boolean]("is_new")))
+    // each active (user, day) emitted exactly once despite replays
+    // (epoch days: 1700000000s = day 19675; offsets +1/+2 follow)
+    assert(rows.map(r => (r._1, r._2)).sorted.toSeq ===
+      Seq((1L, 19675L), (1L, 19677L), (2L, 19676L), (3L, 19677L)))
+    val byUser = rows.groupBy(_._1)
+    assert(byUser(1L).count(_._3) === 1) // exactly one is_new per user
+    assert(byUser(2L).count(_._3) === 1)
+    assert(byUser(3L).count(_._3) === 1)
+    assert(byUser(1L).length === 2) // day 0 and day 2, day-0 replay suppressed
+    // is_new lands on the smallest day for each user
+    for ((u, rs) <- byUser)
+      assert(rs.filter(_._3).map(_._2).head === rs.map(_._2).min)
+  }
+
   test("streaming reference pipeline: file arrivals → accept filter → foreachBatch parquet sink") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("graft_ref_in").toString
