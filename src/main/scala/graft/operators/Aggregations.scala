@@ -779,7 +779,57 @@ object Aggregations {
        |ORDER BY m_a, m_b""".stripMargin
   }
 
+  /** WEIGHTED MEDIAN — the robust center when rows carry mass
+    * (quantity-weighted median price per return flag: "the price at
+    * which half the UNITS move", not half the line items — the number
+    * purchasing actually wants). Exact by construction: prices in
+    * integer cents, weights integer quantities, the median is the
+    * smallest cents value whose running weight reaches half the total
+    * (2·cumw ≥ total avoids any division) — a per-group sort window +
+    * one filtered min, no percentile interpolation and therefore no
+    * cross-engine tie hazard. Scale: one exchange on the group key;
+    * the window sorts within groups (the [[winsorize]] cost model);
+    * at extreme group sizes the approx rewrite is
+    * `percentile_approx` over repeated values. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val qty = round(col("l_quantity")).cast("long")
+    val byFlag = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents.as("cents"), qty.as("w"))
+      .withColumn("cumw", sum(col("w")).over(byFlag))
+      .withColumn("total", sum(col("w")).over(Window.partitionBy(col("l_returnflag"))))
+    rows.filter(col("cumw") * 2 >= col("total"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cents")).as("median_cents"),
+        max(col("total")).as("total_weight"))
+      .select(col("l_returnflag"),
+        (col("median_cents").cast("double") / 100).as("weighted_median_price"),
+        col("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH rows_w AS (
+      |  SELECT l_returnflag,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |         CAST(round(l_quantity) AS BIGINT) AS w
+      |  FROM lineitem),
+      |cum AS (
+      |  SELECT l_returnflag, cents, w,
+      |         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+      |                      ROWS UNBOUNDED PRECEDING) AS cumw,
+      |         sum(w) OVER (PARTITION BY l_returnflag) AS total
+      |  FROM rows_w)
+      |SELECT l_returnflag,
+      |       CAST(min(cents) AS DOUBLE) / 100 AS weighted_median_price,
+      |       CAST(max(total) AS BIGINT) AS total_weight
+      |FROM cum WHERE cumw * 2 >= total
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_median" -> (weightedMedian _),
     "agg_corr_matrix" -> (corrMatrix _),
     "agg_chi2" -> (chiSquare _),
     "agg_entropy" -> (entropyPerGroup _),
@@ -804,6 +854,7 @@ object Aggregations {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_weighted_median" -> weightedMedianSql,
     "agg_corr_matrix" -> corrMatrixSql,
     "agg_chi2" -> chiSquareSql,
     "agg_entropy" -> entropyPerGroupSql,

@@ -442,10 +442,20 @@ object Multimodal {
         hex(substring(payloadCol, 45 + 2 * j, 1))), 16, 10).cast("long")
       when(raw >= 32768L, raw - 65536L).otherwise(raw)
     }
-    val samples = (0 until rmsSamples).map(j => sampleAt(wav, j))
+    // materialize the synthesized bytes BEHIND AN EAGER BOUNDARY:
+    // CollapseProject would otherwise inline the ~37-term payload
+    // concat into every one of the ~50 parser terms (16 samples ×
+    // energy + peak + rms reuse), blowing the generated method past
+    // the codegen size limit and into interpreted re-evaluation —
+    // measured 27 s for 5 000 rows at sf0.1, 0.3 s with the boundary.
+    // In production the payload IS a stored column, so the boundary
+    // models reality, not a workaround.
+    val synth = Tables.documents(spark, dir)
+      .select(col("doc_id"), wav.as("wav")).localCheckpoint()
+    val samples = (0 until rmsSamples).map(j => sampleAt(col("wav"), j))
     val energy = samples.map(s => s * s).reduce(_ + _)
     val peak = greatest(samples.map(abs): _*)
-    Tables.documents(spark, dir)
+    synth
       .select(col("doc_id"), lit(rmsSamples.toLong).as("n_samples"),
         peak.as("peak_abs"), energy.as("energy"),
         round(sqrt(energy.cast("double") / rmsSamples) * 1000).cast("long")

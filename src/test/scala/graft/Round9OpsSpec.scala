@@ -400,6 +400,25 @@ class Round9OpsSpec extends SparkSpec {
     assert(s.forall(r => r._2 <= r._3 && r._4 >= 0 && r._4 <= 1000000L))
   }
 
+  test("weighted median: half the unit mass sits at or below it, strictly less above it") {
+    val m = Aggregations.weightedMedian(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val rows = Tables.lineitem(spark, sf).select(
+      col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      round(col("l_quantity")).cast("long").as("w")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((flag, med, total) <- m) {
+      val grp = rows.filter(_._1 == flag)
+      val medCents = math.round(med * 100)
+      assert(grp.map(_._3).sum === total)
+      val below = grp.filter(_._2 < medCents).map(_._3).sum
+      val atOrBelow = grp.filter(_._2 <= medCents).map(_._3).sum
+      assert(2 * atOrBelow >= total) // the median reaches half the mass...
+      assert(2 * below < total) // ...and nothing smaller does
+    }
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
