@@ -2371,7 +2371,59 @@ object Similarity {
        |ORDER BY tau_pct""".stripMargin
   }
 
+  /** Quantizer CELL QUALITY census — per-cell cohesion (mean and
+    * worst member-to-own-centroid cosine): the report that says
+    * whether the IVF/semantic-dedup cells are TIGHT (members genuinely
+    * similar — in-cell pair comparisons meaningful) or a forced
+    * partition of uniform data. Complements [[semanticCells]]'s
+    * population balance with geometric quality — the two numbers an
+    * operator reads before trusting cell-bounded dedup. Per-member
+    * cosine quantizes to micro-units, then mean = round(Σ/n) of exact
+    * integers (order-immune); the member→centroid lookup is an
+    * element_at into the same bounded centroid literal the assignment
+    * broadcast — no join. */
+  def cellQuality(spark: SparkSession, dir: String): DataFrame = {
+    val k = ivfParams(spark, dir)._1
+    val cents = centroidLiteral(spark, dir, k)
+    val own = element_at(cents, (col("cell") + 1).cast("int"))
+    ivfAssigned(spark, dir)
+      .withColumn("cos_micro",
+        round(lit(1e6) * call_function("graft_dot", col("v"), own.getField("cv")) /
+          (col("vn") * own.getField("cn"))).cast("long"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("cos_micro")).cast("double") / count(lit(1))).cast("long")
+          .as("mean_cohesion_micro"),
+        min(col("cos_micro")).as("min_cohesion_micro"))
+      .orderBy(col("cell"))
+  }
+
+  val cellQualitySql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$ivfCentroidsSqlCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, e.v, e.vn, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, v, vn, cell FROM ranked WHERE arn = 1),
+       |scored AS (
+       |  SELECT a.cell,
+       |         CAST(round(1e6 * ${dotSql("a.v", "c.cv")} / (a.vn * c.cn)) AS BIGINT)
+       |           AS cos_micro
+       |  FROM assigned a JOIN cents c ON c.cent_id = a.cell)
+       |SELECT cell, count(*) AS n_vectors,
+       |       CAST(round(CAST(sum(cos_micro) AS DOUBLE) / count(*)) AS BIGINT)
+       |         AS mean_cohesion_micro,
+       |       CAST(min(cos_micro) AS BIGINT) AS min_cohesion_micro
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cell_quality" -> (cellQuality _),
     "sim_threshold_sweep" -> (thresholdSweep _),
     "sim_hamming_topk" -> (hammingTopK _),
     "sim_mmr_rerank" -> (mmrRerank _),
@@ -2416,6 +2468,7 @@ object Similarity {
     "sim_embed_quantize" -> embedQuantizeSql,
     "sim_random_projection" -> randomProjectionSql,
     "sim_maxsim_topk" -> maxSimTopKSql,
+    "sim_cell_quality" -> cellQualitySql,
     "sim_threshold_sweep" -> thresholdSweepSql,
     "sim_hamming_topk" -> hammingTopKSql,
     "sim_mmr_rerank" -> mmrRerankSql,

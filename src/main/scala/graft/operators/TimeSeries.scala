@@ -555,7 +555,67 @@ object TimeSeries {
       |            THEN CAST(round(1e6 * (cents - m12) / m12) AS BIGINT) END AS yoy_ppm
       |FROM lagged ORDER BY month""".stripMargin
 
+  /** ROLLING CORRELATION between two event streams — does click
+    * volume track purchase volume hour by hour? Pearson r over a
+    * trailing 24-bin frame of the two hourly count series, emitted
+    * only for FULL frames. The [[acf]] exactness argument, windowed:
+    * counts are integers, so all six frame moments (n, Σx, Σy, Σxy,
+    * Σx², Σy²) are exact BIGINT window sums — frame aggregation order
+    * cannot move them — and the one double formula runs on identical
+    * inputs in both engines. Zero-variance frames (a flat series)
+    * emit NULL, not NaN. Scale: the joined two-column series is
+    * calendar-bounded; the data-sized stage is one compact-key
+    * conditional count. */
+  private val rollBins = 24
+
+  def rollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(date_trunc("hour", col("ts")).as("bin"))
+      .agg(count_if(col("event_type") === "click").as("x"),
+        count_if(col("event_type") === "purchase").as("y"))
+    val f = Window.orderBy(col("bin")).rowsBetween(-(rollBins - 1), 0)
+    val m = binned
+      .withColumn("n", count(lit(1)).over(f))
+      .withColumn("sx", sum(col("x")).over(f))
+      .withColumn("sy", sum(col("y")).over(f))
+      .withColumn("sxy", sum(col("x") * col("y")).over(f))
+      .withColumn("sxx", sum(col("x") * col("x")).over(f))
+      .withColumn("syy", sum(col("y") * col("y")).over(f))
+      .filter(col("n") === rollBins)
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(date_format(col("bin"), "yyyy-MM-dd HH:mm:ss").as("bin_ts"),
+        col("x"), col("y"),
+        when(varX > 0 && varY > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(varX.cast("double") * varY.cast("double")), 6)).as("corr24h"))
+      .orderBy(col("bin_ts"))
+  }
+
+  val rollingCorrSql: String =
+    s"""WITH binned AS (
+       |  SELECT date_trunc('hour', ts) AS bin,
+       |         count(*) FILTER (WHERE event_type = 'click') AS x,
+       |         count(*) FILTER (WHERE event_type = 'purchase') AS y
+       |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+       |m AS (
+       |  SELECT bin, x, y,
+       |         count(*) OVER w AS n,
+       |         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+       |         sum(x * y) OVER w AS sxy,
+       |         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+       |  FROM binned
+       |  WINDOW w AS (ORDER BY bin ROWS BETWEEN ${rollBins - 1} PRECEDING AND CURRENT ROW))
+       |SELECT strftime(bin, '%Y-%m-%d %H:%M:%S') AS bin_ts, x, y,
+       |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       |            THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+       |                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+       |                            CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS corr24h
+       |FROM m WHERE n = $rollBins ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_rolling_corr" -> (rollingCorr _),
     "ts_yoy_growth" -> (yoyGrowth _),
     "ts_acf" -> (acf _),
     "ts_ewma" -> (ewma _),
@@ -569,6 +629,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_rolling_corr" -> rollingCorrSql,
     "ts_yoy_growth" -> yoyGrowthSql,
     "ts_acf" -> acfSql,
     "ts_ewma" -> ewmaSql,

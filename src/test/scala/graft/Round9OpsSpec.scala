@@ -419,6 +419,43 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("rolling corr: bounded by 1 and exact on a hand-checked frame") {
+    val rows = TimeSeries.rollingCorr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.flatMap(_._4).forall(c => c >= -1.0 && c <= 1.0))
+    // recompute the LAST frame by hand from the binned series
+    val series = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(date_trunc("hour", col("ts")).as("bin"))
+      .agg(count_if(col("event_type") === "click").as("x"),
+        count_if(col("event_type") === "purchase").as("y"))
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val frame = series.takeRight(24)
+    val n = frame.length.toLong
+    val (sx, sy) = (frame.map(_._1).sum, frame.map(_._2).sum)
+    val sxy = frame.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (frame.map(p => p._1 * p._1).sum, frame.map(p => p._2 * p._2).sum)
+    val want = BigDecimal((n * sxy - sx * sy).toDouble /
+      math.sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy)).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.last._4.contains(want))
+  }
+
+  test("cell quality: cohesion bounded, cells match the census, mean >= min") {
+    val q = Similarity.cellQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val census = Similarity.semanticCells(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q.map(r => r._1 -> r._2).toMap === census) // same partition as the census view
+    for ((_, _, mean, min) <- q) {
+      assert(mean >= min)
+      assert(mean <= 1000000L && min >= -1000000L)
+    }
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
