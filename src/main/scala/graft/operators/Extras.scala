@@ -370,7 +370,51 @@ object Extras {
       |       CAST(count(*) FILTER (WHERE price > CAST(50000 AS DECIMAL(12,2))) AS BIGINT) AS n_big
       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** XPath extraction — Spark's `xpath_*` function family (the XML
+    * sibling of `fn_json`'s get_json_object surface): per-row XML
+    * payloads are SYNTHESIZED from the documents table (the codec-
+    * family contract: the generator is the spec), then
+    * xpath_string/xpath_long/xpath extract scalar fields and a
+    * repeated-node list whose COUNT rides the output. DuckDB has no
+    * XPath, so the oracle replays the generating law directly — the
+    * extraction must exactly invert the generation (a wrong axis,
+    * a dropped node, or 1-vs-0-based indexing cannot hash-match).
+    * Aggregated per lang so the output is compact at any scale;
+    * map-only below the agg. */
+  def xpathFns(spark: SparkSession, dir: String): DataFrame = {
+    val tags = concat(lit("<t>k"), pmod(col("doc_id"), lit(3)).cast("string"),
+      lit("</t>"), when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("<t>k"), pmod(col("doc_id"), lit(5)).cast("string"), lit("</t>")))
+        .otherwise(lit("")))
+    val xml = concat(lit("<doc><id>"), col("doc_id").cast("string"),
+      lit("</id><lang>"), col("lang"), lit("</lang><n>"),
+      col("n_chars").cast("string"), lit("</n><tags>"), tags, lit("</tags></doc>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), xml.as("x"))
+      .select(
+        expr("xpath_string(x, '/doc/lang')").as("lang"),
+        expr("xpath_long(x, '/doc/id')").as("id"),
+        expr("xpath_long(x, '/doc/n')").as("n"),
+        size(expr("xpath(x, '/doc/tags/t/text()')")).cast("long").as("n_tags"),
+        expr("xpath_string(x, '/doc/tags/t[1]')").as("first_tag"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_chars"),
+        sum(col("n_tags")).as("n_tags"),
+        countDistinct(col("first_tag")).as("n_first_tags"),
+        min(col("id")).as("min_id"))
+      .orderBy(col("lang"))
+  }
+
+  val xpathFnsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tags,
+      |       count(DISTINCT 'k' || CAST(doc_id % 3 AS VARCHAR)) AS n_first_tags,
+      |       min(doc_id) AS min_id
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_xpath" -> (xpathFns _),
     "fn_decimal" -> (decimalFamily _),
     "agg_string_agg" -> (stringAgg _),
     "fn_bool_aggs" -> (boolAggs _),
@@ -387,6 +431,7 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_xpath" -> xpathFnsSql,
     "fn_decimal" -> decimalFamilySql,
     "agg_string_agg" -> stringAggSql,
     "fn_bool_aggs" -> boolAggsSql,

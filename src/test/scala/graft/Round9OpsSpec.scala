@@ -456,6 +456,19 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("xpath: extraction inverts the XML generation law") {
+    val got = Extras.xpathFns(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy(_._2).map { case (lang, ds) =>
+      (lang, ds.length.toLong, ds.map(_._3).sum,
+        ds.map(d => 1L + (if (d._1 % 2 == 0) 1L else 0L)).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq === want)
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
