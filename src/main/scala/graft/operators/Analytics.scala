@@ -792,7 +792,42 @@ object Analytics {
       |         AS new_share_ppm
       |FROM firsts GROUP BY day ORDER BY 1""".stripMargin
 
+  /** TOP EVENT PATHS — 3-step sequence mining over the clickstream
+    * ("what do users actually do?"): every consecutive
+    * (e₁ → e₂ → e₃) window per user (ordered by ts, event_id — the
+    * warehouse ordering contract), counted corpus-wide, top-10 with
+    * deterministic tie-break. A lag-chain window (no self-join: the
+    * 3-gram is two lags), then one compact-key count — at 100 TB the
+    * path-string key space is |types|³ ≈ bounded, so the agg is
+    * map-side combinable into a tiny table; the window rides the
+    * same user-key exchange every per-user op shares. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("e2", lag(col("event_type"), 1).over(byUser))
+      .withColumn("e1", lag(col("event_type"), 2).over(byUser))
+      .filter(col("e1").isNotNull)
+      .groupBy(concat_ws(" > ", col("e1"), col("e2"), col("event_type")).as("path"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
+  val topPathsSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type, 1) OVER w AS e2,
+      |         lag(event_type, 2) OVER w AS e1
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+      |SELECT e1 || ' > ' || e2 || ' > ' || event_type AS path,
+      |       count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM lagged WHERE e1 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_paths" -> (topPaths _),
     "q_new_vs_returning" -> (newVsReturning _),
     "q_rfm" -> (rfm _),
     "q_pareto" -> (pareto _),
@@ -814,6 +849,7 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_top_paths" -> topPathsSql,
     "q_new_vs_returning" -> newVsReturningSql,
     "q_rfm" -> rfmSql,
     "q_pareto" -> paretoSql,

@@ -1664,7 +1664,51 @@ object CorpusOps {
        |         AS fertility_ppm
        |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Skip-gram CO-OCCURRENCE counts — the word2vec/GloVe training-
+    * data pass: every (center, context) token pair within a forward
+    * window of 2 positions, counted corpus-wide, top-15. The window
+    * join is EQUI by construction: the center side explodes its
+    * position by the two offsets (map-only, ×2 fan-out — bounded by
+    * the window, never by vocabulary), then joins on
+    * (doc_id, position) — no inequality scan, no per-doc quadratic
+    * term, the same never-a-BNLJ discipline as the grid joins. At
+    * 100 TB the pair-count agg carries the |V|² key space but
+    * map-side combining collapses it to realized pairs (Zipf-bounded
+    * in practice — the [[negativeSamples]] vocabulary argument). */
+  def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val tokPos = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+    val centers = tokPos
+      .withColumn("off", explode(array(lit(1), lit(2))))
+      .select(col("doc_id"), (col("pos") + col("off")).as("pos2"),
+        col("tok").as("center"))
+    val contexts = tokPos.select(col("doc_id"), col("pos").as("pos2"),
+      col("tok").as("context"))
+    centers.join(contexts, Seq("doc_id", "pos2"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("center"), col("context"))
+      .limit(15)
+  }
+
+  val cooccurrenceSql: String =
+    """WITH tokpos AS (
+      |  SELECT doc_id,
+      |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+      |         unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |centers AS (
+      |  SELECT doc_id, pos + off.off AS pos2, tok AS center
+      |  FROM tokpos, (SELECT unnest([1, 2]) AS off) off),
+      |pairs AS (
+      |  SELECT c.center, t.tok AS context
+      |  FROM centers c JOIN tokpos t ON c.doc_id = t.doc_id AND c.pos2 = t.pos)
+      |SELECT center, context, count(*) AS n
+      |FROM pairs GROUP BY 1, 2
+      |ORDER BY n DESC, center, context LIMIT 15""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_cooccurrence" -> (cooccurrence _),
     "corpus_fertility" -> (fertility _),
     "corpus_negative_samples" -> (negativeSamples _),
     "corpus_curriculum" -> (curriculum _),
@@ -1703,6 +1747,7 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_cooccurrence" -> cooccurrenceSql,
     "corpus_fertility" -> fertilitySql,
     "corpus_negative_samples" -> negativeSamplesSql,
     "corpus_curriculum" -> curriculumSql,

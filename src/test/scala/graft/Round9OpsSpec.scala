@@ -469,6 +469,37 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq === want)
   }
 
+  test("top paths: counts reconcile with a driver-side 3-gram replay") {
+    val got = Analytics.topPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val grams = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e._3, e._4)).map(_._2).sliding(3)
+        .filter(_.length == 3).map(g => (g.mkString(" > "), u))
+    }
+    val want = grams.groupBy(_._1).map { case (p, xs) =>
+      (p, xs.size.toLong, xs.map(_._2).distinct.size.toLong)
+    }.toSeq.sortBy(x => (-x._2, x._1)).take(10)
+    assert(got.toSeq === want)
+  }
+
+  test("cooccurrence: window pairs replay exactly; forward window only") {
+    val got = CorpusOps.cooccurrence(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val docs = Tables.documents(spark, sf).select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    for (t <- docs; ts = t.split(" ", -1); i <- ts.indices; o <- 1 to 2
+         if i + o < ts.length)
+      counts((ts(i), ts(i + o))) += 1
+    for ((pair, n) <- got) assert(counts(pair) === n)
+    // returned top-15 really are the maxima
+    val floor = got.map(_._2).min
+    assert(counts.values.count(_ > floor) <= 15)
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
