@@ -828,7 +828,39 @@ object Aggregations {
       |FROM cum WHERE cumw * 2 >= total
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** BITMAP-INDEX distinct counting — Spark's bitmap aggregate family
+    * (bitmap_bit_position / bitmap_construct_agg / bitmap_or_agg /
+    * bitmap_count), the warehouse trick that makes EXACT distinct
+    * counts mergeable: each (group, bucket) builds a fixed-width
+    * bitmap, bitmaps OR together associatively (partial states merge
+    * like HLL sketches but without the error), and the final count is
+    * a popcount. This is the exact-mergeable midpoint between
+    * count(DISTINCT) (exact, but re-shuffles raw keys) and
+    * [[hllMerge]] (mergeable, approximate) — the right tool when
+    * distinct counts must compose across partitions/batches exactly.
+    * The oracle computes plain COUNT(DISTINCT): the bitmap path must
+    * agree exactly or the hash fails. */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_bm")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |       CAST(sum(bitmap_count(b)) AS BIGINT) AS n_distinct_cust
+        |FROM (
+        |  SELECT o_orderpriority,
+        |         bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
+        |  FROM orders_bm
+        |  GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey))
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val bitmapDistinctSql: String =
+    """SELECT o_orderpriority,
+      |       count(DISTINCT o_custkey) AS n_distinct_cust
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_distinct" -> (bitmapDistinct _),
     "agg_weighted_median" -> (weightedMedian _),
     "agg_corr_matrix" -> (corrMatrix _),
     "agg_chi2" -> (chiSquare _),
@@ -854,6 +886,7 @@ object Aggregations {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_bitmap_distinct" -> bitmapDistinctSql,
     "agg_weighted_median" -> weightedMedianSql,
     "agg_corr_matrix" -> corrMatrixSql,
     "agg_chi2" -> chiSquareSql,

@@ -413,7 +413,42 @@ object Extras {
       |       min(doc_id) AS min_id
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** VARIANT semi-structured extraction — Spark 4's open VariantType
+    * (`parse_json` → `variant_get`), the binary-encoded JSON path
+    * that replaces string re-parsing per access: the events table's
+    * `props` JSON parses ONCE per row into a Variant, and typed
+    * `variant_get` paths read fields without re-tokenizing (the
+    * schema-on-read shape warehouse semi-structured columns are
+    * converging on — BigQuery JSON, Snowflake VARIANT, Iceberg v3
+    * variant). The Variant itself never reaches the output (binary —
+    * the harness contract); typed extractions aggregate per
+    * event_type. Oracle: DuckDB's native JSON extraction over the
+    * same strings — the two engines' independent JSON parsers must
+    * agree on every value. */
+  def variantFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("k").isNull).as("n_null"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+
+  val variantFnsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS BIGINT)
+      |         AS n_null,
+      |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |       count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_distinct_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_variant" -> (variantFns _),
     "fn_xpath" -> (xpathFns _),
     "fn_decimal" -> (decimalFamily _),
     "agg_string_agg" -> (stringAgg _),
@@ -431,6 +466,7 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_variant" -> variantFnsSql,
     "fn_xpath" -> xpathFnsSql,
     "fn_decimal" -> decimalFamilySql,
     "agg_string_agg" -> stringAggSql,

@@ -500,6 +500,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(counts.values.count(_ > floor) <= 15)
   }
 
+  test("bitmap distinct: the popcount path equals Spark's own countDistinct") {
+    val got = Aggregations.bitmapDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority")).agg(countDistinct(col("o_custkey"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("variant: typed extraction agrees with string-path JSON reads") {
+    val got = Extras.variantFns(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = Tables.events(spark, sf)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)), count_if(col("k").isNull), sum(col("k"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq)
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
