@@ -22,7 +22,14 @@ object Bench {
     Set("join_asof", "dedup_components", "dedup_keep_policy", "dedup_split_safe",
       // the cluster-size census is another diagnostic view over the
       // SAME pairs→CC fixpoint dedup_keep times end-to-end
-      "dedup_cluster_census")
+      "dedup_cluster_census",
+      // same principle, round 9: graph_modularity re-runs the LPA
+      // fixpoint graph_label_prop times end-to-end (adding only two
+      // compact aggs); sim_threshold_sweep and sim_cell_quality are
+      // diagnostic views over the SAME quantizer assignment + cell
+      // pair stage dedup_semantic times — benching them would charge
+      // the k-means artifact and pair join a second and third time
+      "graph_modularity", "sim_threshold_sweep", "sim_cell_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -59,7 +59,15 @@ object PlanSurvey {
       "etl_snapshot_diff" -> "snapshot reconciliation: one full-outer key join is the only data movement; verdict case + census agg map-side",
       "q5_local_supplier_volume" -> "6-table join: region/nation broadcast, l-o-c chain shuffles on orderkey then custkey only, s_nationkey = c_nationkey rides as post-join filter",
       "corpus_bpe_train" -> "BPE training round: pair explode over the checkpointed word-freq table (corpus never rescanned), count agg + 1-row argmax",
-      "sim_pca_project" -> "PCA projection: learned component inlined as a literal array, one map-only integer-dot pass — no shuffle below the output sort")
+      "sim_pca_project" -> "PCA projection: learned component inlined as a literal array, one map-only integer-dot pass — no shuffle below the output sort",
+      "join_range_grid" -> "keyless interval join as ONE equi join on the time cell (never BNLJ)",
+      "dedup_ppjoin" -> "lossless prefix-filter set-similarity join",
+      "etl_bitemporal" -> "bitemporal point-in-time as ONE struct-max aggregation: single map-side-combinable user exchange, no window sort (plan-read refactor from the 8-exchange two-window first cut)",
+      "win_distinct_count" -> "running COUNT(DISTINCT) rewrite: first-occurrence flag window + running sum — two NESTED-key hash exchanges, no join, no re-scan",
+      "geo_nearest" -> "2-D grid spatial join: 3x3 ring explode on the QUERY side only, equi join on cell ids — never a BNLJ; integer-meter rank",
+      "sim_hamming_topk" -> "binary-sketch Hamming search: sign-bit pack to two longs, popcount(xor) distance — all-integer broadcast scan",
+      "corpus_cooccurrence" -> "skip-gram window pairs as an EQUI join by construction: center side explodes its position by the offsets (x2 map-only fan-out)",
+      "agg_bitmap_distinct" -> "bitmap-index exact distinct: per-(group, bucket) bitmap partials OR-merge associatively, popcount final — mergeable without sketch error")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanSurvey`. Things to check in each plan:\n")

@@ -332,7 +332,27 @@ object ScaleProbe {
       // (calendar-bounded output) — 10x events must cost ~scan and
       // the series length must stay flat
       ("hourly_series_acf", () =>
-        graft.operators.TimeSeries.acf(spark, dir).count())
+        graft.operators.TimeSeries.acf(spark, dir).count()),
+      // skip-gram co-occurrence: x2 offset fan-out then equi join on
+      // (doc, position) — pair rows are 2x token count BY
+      // CONSTRUCTION (never per-doc quadratic), so 10x docs must cost
+      // ~linearly and the realized-pair agg must stay Zipf-compact
+      ("cooccurrence_pairs", () =>
+        graft.operators.CorpusOps.cooccurrence(spark, dir).count()),
+      // binary-sketch Hamming scan: |Q| broadcast x N packed-long
+      // rows, popcount(xor) per comparison — pure integer ALU, must
+      // track the scan (the 16x-compression serving filter)
+      ("hamming_scan", () =>
+        graft.operators.Similarity.hammingTopK(spark, dir).count()),
+      // weighted median: one group-key exchange + in-group sort
+      // window — n log n in group depth, the winsorize cost model
+      ("weighted_median", () =>
+        graft.operators.Aggregations.weightedMedian(spark, dir).count()),
+      // bitmap-index distinct: two compact-key aggs (bucketed bitmaps
+      // then popcount merge) — the mergeable exact distinct path must
+      // cost ~scan at any corpus size
+      ("bitmap_distinct", () =>
+        graft.operators.Aggregations.bitmapDistinct(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

