@@ -5,9 +5,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Geospatial operators — the grid-cell family every warehouse bolts
-  * on once events carry coordinates (store locators, delivery radii,
-  * geo-fenced attribution). No geo extension exists on either engine
+/** Geospatial operators (SURVEY.md §2.10 — all EXT; the reference
+  * carries no coordinates, /root/reference/main.py:5–17 — this is the
+  * grid-cell family every warehouse bolts on once events do: store
+  * locators, delivery radii, geo-fenced attribution). No geo
+  * extension exists on either engine
   * in this environment, so the family is built the portable way:
   * haversine as plain math expressions and SPATIAL JOINS as grid-cell
   * equi joins — the same never-a-BNLJ discipline as
