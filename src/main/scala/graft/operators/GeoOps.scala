@@ -141,13 +141,72 @@ object GeoOps {
        |       min(lon) AS min_lon, max(lon) AS max_lon
        |FROM pts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** RADIUS join ("everything within 500 km") — unlike [[nearest]]'s
+    * grid-BOUNDED contract, this one is EXACT: 500 km is 4.5° of
+    * latitude and at the corpus's |lat| ≤ 60° at most 9° of longitude
+    * — both under one cell (15°/30°), so the 3×3 ring provably
+    * contains every point within the radius and the ring is a
+    * candidate PRUNE, not an approximation (the inequality the
+    * docstring states is the correctness proof, the same cell-size-
+    * vs-predicate-reach argument as the grid range join's time
+    * cells). Census output per query point: neighbor count + nearest
+    * distance. */
+  private val radiusM = 500000L
+
+  def radiusJoin(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+      .withColumn("cellx", floor(col("lat") / cellLat))
+      .withColumn("celly", floor(col("lon") / cellLon))
+    val q = pts.filter(col("id") < 50)
+      .select(col("id").as("query_id"), col("lat").as("qlat"), col("lon").as("qlon"),
+        col("cellx").as("qcx"), col("celly").as("qcy"))
+      .withColumn("dx", explode(array((-1 to 1).map(lit(_)): _*)))
+      .withColumn("dy", explode(array((-1 to 1).map(lit(_)): _*)))
+      .select(col("query_id"), col("qlat"), col("qlon"),
+        (col("qcx") + col("dx")).as("cellx"), (col("qcy") + col("dy")).as("celly"))
+    broadcast(q).join(pts, Seq("cellx", "celly"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("dist_m",
+        round(haversineM(col("qlat"), col("qlon"), col("lat"), col("lon"))).cast("long"))
+      .filter(col("dist_m") <= radiusM)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_within"), min(col("dist_m")).as("nearest_m"))
+      .orderBy(col("query_id"))
+  }
+
+  val radiusJoinSql: String =
+    s"""WITH $pointsSql,
+       |cells AS (
+       |  SELECT id, lat, lon,
+       |         CAST(floor(lat / $cellLat) AS BIGINT) AS cellx,
+       |         CAST(floor(lon / $cellLon) AS BIGINT) AS celly
+       |  FROM pts),
+       |q AS (
+       |  SELECT c.id AS query_id, c.lat AS qlat, c.lon AS qlon,
+       |         c.cellx + dx.dx AS cellx, c.celly + dy.dy AS celly
+       |  FROM cells c,
+       |       (SELECT unnest([-1, 0, 1]) AS dx) dx,
+       |       (SELECT unnest([-1, 0, 1]) AS dy) dy
+       |  WHERE c.id < 50),
+       |within AS (
+       |  SELECT q.query_id,
+       |         CAST(round(${haversineMSql("q.qlat", "q.qlon", "c.lat", "c.lon")})
+       |              AS BIGINT) AS dist_m
+       |  FROM q JOIN cells c ON q.cellx = c.cellx AND q.celly = c.celly
+       |  WHERE q.query_id <> c.id)
+       |SELECT query_id, count(*) AS n_within, min(dist_m) AS nearest_m
+       |FROM within WHERE dist_m <= $radiusM
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_nearest" -> (nearest _),
+    "geo_radius_join" -> (radiusJoin _),
     "geo_cell_census" -> (cellCensus _)
   )
 
   def oracle: Map[String, String] = Map(
     "geo_nearest" -> nearestSql,
+    "geo_radius_join" -> radiusJoinSql,
     "geo_cell_census" -> cellCensusSql
   )
 }

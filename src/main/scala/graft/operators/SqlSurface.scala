@@ -230,7 +230,38 @@ object SqlSurface {
       |       CAST(2 AS BIGINT) AS n_keys
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** DISTINCT ON semantics — "one row per key, by this ordering":
+    * the PostgreSQL/DuckDB idiom ANSI SQL lacks and Spark expresses
+    * as a rank-1 window. The engine side is the [[graft.operators.WarehouseEtl]] as-of
+    * pattern (row_number over (custkey ORDER BY date DESC, key DESC)
+    * = 1), which Spark plans as WindowGroupLimit — partial top-1 per
+    * key BEFORE the exchange, so the shuffle carries one row per key,
+    * not the history (docs/PLANS.md `etl_cdc_latest`). The ORACLE
+    * uses DuckDB's native `DISTINCT ON` with the same ORDER BY — two
+    * different surface idioms, one semantics, hash-checked equal. */
+  def distinctOn(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_orderdate"),
+        col("o_orderstatus").as("latest_status"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val distinctOnSql: String =
+    """SELECT DISTINCT ON (o_custkey)
+      |       o_custkey, o_orderkey AS latest_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate,
+      |       o_orderstatus AS latest_status
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_distinct_on" -> (distinctOn _),
     "sql_grouping_sets" -> (groupingSets _),
     "sql_pivot" -> (pivotStatus _),
     "sql_unpivot" -> (unpivotMeasures _),
@@ -244,6 +275,7 @@ object SqlSurface {
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_distinct_on" -> distinctOnSql,
     "sql_grouping_sets" -> groupingSetsSql,
     "sql_pivot" -> pivotStatusSql,
     "sql_unpivot" -> unpivotMeasuresSql,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation (SURVEY.md §2.10).
@@ -542,7 +543,68 @@ object TextAnalysis {
       |FROM cnts c JOIN nrm n ON c.doc_id = n.doc_id
       |ORDER BY c.doc_id, c.pos""".stripMargin
 
+  /** ZIPF-LAW FIT — the rank-frequency diagnostic every corpus
+    * health-check runs (natural text fits slope ≈ −1 on log-log;
+    * boilerplate/spam/templating bends the curve): OLS of ln(freq) on
+    * ln(rank) over the top-200 terms. Parity by the established
+    * two-layer discipline: ranks are deterministic (freq DESC, term —
+    * a total order), each ln() value quantizes to a micro-unit
+    * integer ONCE (the logprob-family ln contract), all five OLS
+    * moments are exact BIGINT sums of those integers, and slope/
+    * intercept/r are single double expressions over identical inputs.
+    * One term-count agg (tf-idf shuffle class) + a 200-row fit. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val topN = 200
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    val ranked = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(round(log(col("rank").cast("double")) * 1e6).cast("long").as("xq"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("yq"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        sum(col("yq") * col("yq")).as("syy"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+        round(((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n") / 1e6), 6).as("intercept_ln"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("fit_r"))
+  }
+
+  val zipfFitSql: String =
+    """WITH tf AS (
+      |  SELECT term, count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+      |         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+      |  FROM (SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank FROM tf)
+      |  WHERE rank <= 200),
+      |m AS (
+      |  SELECT count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+      |         sum(xq * yq) AS sxy, sum(xq * xq) AS sxx, sum(yq * yq) AS syy
+      |  FROM ranked)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |       round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6) AS zipf_slope,
+      |       round((sy - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx)
+      |             / n / 1e6, 6) AS intercept_ln,
+      |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+      |             6) AS fit_r
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_fit" -> (zipfFit _),
     "text_hash_embed" -> (hashEmbed _),
     "corpus_rag_context" -> (ragContext _),
     "text_sparse_cosine" -> (sparseCosine _),
@@ -558,6 +620,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_zipf_fit" -> zipfFitSql,
     "text_hash_embed" -> hashEmbedSql,
     "corpus_rag_context" -> ragContextSql,
     "text_sparse_cosine" -> sparseCosineSql,

@@ -520,6 +520,55 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq)
   }
 
+  test("distinct-on: one row per customer, and it is the latest order") {
+    val rows = SqlSurface.distinctOn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._1).distinct.length === rows.length)
+    val truth = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("epoch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.maxBy(o => (o._3, o._2))._2).toMap
+    for ((cust, key) <- rows) assert(truth(cust) === key)
+  }
+
+  test("zipf fit: decaying rank-frequency; n capped by the vocabulary") {
+    val r = TextAnalysis.zipfFit(spark, sf).collect()(0)
+    val (n, slope, fitR) = (r.getLong(0), r.getDouble(1), r.getDouble(3))
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).distinct().count()
+    assert(n === math.min(vocab, 200L)) // top-N caps at the real vocabulary
+    assert(slope < 0.0 && slope > -3.0) // rank-frequency decays
+    assert(fitR < 0.0 && fitR >= -1.0)
+    // this corpus is a NEAR-UNIFORM 31-word soup, so the fit is weak
+    // (slope ~ -0.18, r ~ -0.24) — the op reports that honestly; on
+    // natural text the same numbers are the Zipf slope ~ -1 diagnostic
+  }
+
+  test("geo radius: ring prune is exact — counts match an unpruned brute-force replay") {
+    val gotMap = GeoOps.radiusJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pts = Tables.customer(spark, sf).select(col("c_custkey")).collect()
+      .map(_.getLong(0)).map { k =>
+        k -> (((k * 37) % 12000) / 100.0 - 60, ((k * 91) % 36000) / 100.0 - 180)
+      }.toMap
+    def hav(a: (Double, Double), b: (Double, Double)): Long = {
+      val dlat = math.toRadians(b._1 - a._1) / 2
+      val dlon = math.toRadians(b._2 - a._2) / 2
+      val h = math.sin(dlat) * math.sin(dlat) +
+        math.cos(math.toRadians(a._1)) * math.cos(math.toRadians(b._1)) *
+          math.sin(dlon) * math.sin(dlon)
+      math.round(2 * 6371000.0 * math.asin(math.sqrt(h)))
+    }
+    for (q <- pts.keys.filter(_ < 50)) {
+      // NO grid here: all-pairs truth — the ring must lose nothing
+      val ds = pts.collect { case (id, p) if id != q => hav(pts(q), p) }
+        .filter(_ <= 500000L)
+      if (ds.nonEmpty) assert(gotMap(q) === ((ds.size.toLong, ds.min)))
+      else assert(!gotMap.contains(q))
+    }
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
