@@ -694,7 +694,64 @@ object GraphOps {
        |q AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS modularity_micro FROM perc)
        |SELECT perc.*, q.modularity_micro FROM perc, q ORDER BY community""".stripMargin
 
+  /** DEGREE ASSORTATIVITY — do high-degree nodes link to high-degree
+    * nodes? The one-number topology diagnostic (social graphs
+    * assortative r > 0, technological/star graphs disassortative
+    * r < 0) that decides whether hub-based sampling or peeling
+    * strategies will behave. Pearson correlation of endpoint degrees
+    * over the DIRECTED-BOTH-WAYS edge list (each undirected edge
+    * contributes (da,db) and (db,da) — the standard symmetrization
+    * that makes x/y moments equal). Degrees and edge counts are exact
+    * integers, so all five moments are BIGINTs and the coefficient is
+    * one double expression — engine-identical (the [[graft.operators.TimeSeries.acf]]
+    * argument on a graph). Cost: one degree agg + two broadcast-class
+    * joins onto the edge list. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Joins.fuzzyBlockedJoin(spark, dir)
+      .select(col("name_a").as("a"), col("name_b").as("b"))
+    val edges = raw.union(raw.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    val paired = edges
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+    paired.agg(count(lit(1)).as("m"),
+        sum(col("da")).as("sx"), sum(col("db")).as("sy"),
+        sum(col("da") * col("db")).as("sxy"),
+        sum(col("da") * col("da")).as("sxx"),
+        sum(col("db") * col("db")).as("syy"))
+      .select((col("m") / 2).cast("long").as("n_edges"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("m") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    """WITH names AS (
+      |  SELECT p_name AS name, string_split(p_name, ' ')[-1] AS noun
+      |  FROM part GROUP BY p_name),
+      |raw AS (
+      |  SELECT a.name AS a, b.name AS b
+      |  FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+      |  WHERE levenshtein(a.name, b.name) <= 3),
+      |sym AS (SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw),
+      |deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY 1),
+      |paired AS (
+      |  SELECT da.d AS da, db.d AS db
+      |  FROM sym e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+      |m AS (
+      |  SELECT count(*) AS m, sum(da) AS sx, sum(db) AS sy,
+      |         sum(da * db) AS sxy, sum(da * da) AS sxx, sum(db * db) AS syy
+      |  FROM paired)
+      |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+      |       round(CAST(m * sxy - sx * sy AS DOUBLE) /
+      |             sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+      |                  CAST(m * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (assortativity _),
     "graph_modularity" -> (modularity _),
     "graph_hits" -> (hitsTypes _),
     "graph_link_pred" -> (linkPrediction _),
@@ -708,6 +765,7 @@ object GraphOps {
 
   def oracle: Map[String, String] = Map(
     "graph_modularity" -> modularitySql,
+    "graph_assortativity" -> assortativitySql,
     "graph_hits" -> hitsTypesSql,
     "graph_link_pred" -> linkPredictionSql,
     "graph_pagerank" -> pagerankTypesSql,

@@ -659,7 +659,43 @@ object WarehouseEtl {
       |       count(*) AS n_changes
       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** REVERSIBLE PII tokenization via AES — the recoverable complement
+    * to [[pseudonymize]]'s one-way hashing (GDPR access requests need
+    * the original back; a salted hash cannot return it). Names
+    * encrypt with `aes_encrypt` in ECB mode — deterministic by
+    * design, the property that keeps tokenized keys JOINABLE (same
+    * plaintext ⇒ same token; GCM's random IV would break referential
+    * integrity) and exactly the ECB tradeoff (equal plaintexts are
+    * visible as equal tokens) a tokenization vault accepts. The op
+    * audits the contract per segment: every row decrypts back to its
+    * original, and distinct tokens = distinct names (determinism +
+    * injectivity). DuckDB has no AES, so the oracle checks the
+    * DECRYPTED truth — the audit columns only hash-match if the
+    * roundtrip held on every row. Map-only below the segment agg. */
+  def cryptoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    // 16-byte demo key inline; production injects it from a KMS
+    val token = expr("aes_encrypt(c_name, 'graftdemokey0016', 'ECB')")
+    Tables.customer(spark, dir)
+      .withColumn("token", token)
+      .withColumn("back",
+        expr("cast(aes_decrypt(token, 'graftdemokey0016', 'ECB') AS STRING)"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("back") === col("c_name")).as("n_roundtrip_ok"),
+        countDistinct(col("token")).as("n_distinct_tokens"),
+        countDistinct(col("c_name")).as("n_distinct_names"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val cryptoRoundtripSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |       count(*) AS n_roundtrip_ok,
+      |       count(DISTINCT c_name) AS n_distinct_tokens,
+      |       count(DISTINCT c_name) AS n_distinct_names
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_crypto_roundtrip" -> (cryptoRoundtrip _),
     "etl_scd3" -> (scd3 _),
     "etl_bitemporal" -> (bitemporal _),
     "etl_purge_audit" -> (purgeAudit _),
@@ -676,6 +712,7 @@ object WarehouseEtl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_crypto_roundtrip" -> cryptoRoundtripSql,
     "etl_scd3" -> scd3Sql,
     "etl_bitemporal" -> bitemporalSql,
     "etl_purge_audit" -> purgeAuditSql,

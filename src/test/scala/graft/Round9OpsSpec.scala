@@ -569,6 +569,23 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("crypto roundtrip: every row decrypts back; tokens injective and joinable") {
+    val rows = WarehouseEtl.cryptoRoundtrip(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((_, n, ok, nTok, nName) <- rows) {
+      assert(ok === n) // AES ECB decrypt inverts encrypt on every row
+      assert(nTok === nName) // deterministic + injective: tokens stay joinable
+    }
+  }
+
+  test("assortativity: coefficient bounded; edge count matches the fuzzy graph") {
+    val r = GraphOps.assortativity(spark, sf).collect()(0)
+    val (m, a) = (r.getLong(0), r.getDouble(1))
+    assert(m === Joins.fuzzyBlockedJoin(spark, sf).count())
+    assert(a >= -1.0 && a <= 1.0)
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
