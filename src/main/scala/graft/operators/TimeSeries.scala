@@ -614,7 +614,48 @@ object TimeSeries {
        |                            CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS corr24h
        |FROM m WHERE n = $rollBins ORDER BY 1""".stripMargin
 
+  /** CUSUM change detection — the classic upward-shift monitor
+    * S_t = max(0, S_{t−1} + (x_t − k)), which LOOKS inherently
+    * sequential (and is why [[levelShift]] deliberately used frames
+    * instead). It isn't: with prefix sums P_t = Σ_{s≤t}(x_s − k),
+    * the recursion has the closed form S_t = P_t − min_{s≤t} P_s —
+    * one running sum + one running min, fully windowable (the
+    * max(0,·) resets are exactly the running-minimum updates). All
+    * integer: counts are ints and the reference k is the ROUNDED
+    * corpus mean, so S_t is an exact BIGINT and the top-5 alarm cut
+    * can never be decided by a float tie. Calendar-bounded series;
+    * the data-sized stage is the hourly count. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val series = hourlyCounts(spark, dir)
+    val k = series.agg(round(avg(col("n"))).cast("long").as("k"))
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.crossJoin(broadcast(k))
+      .withColumn("p", sum(col("n") - col("k")).over(cum))
+      .withColumn("s", col("p") - min(col("p")).over(cum))
+      .orderBy(col("s").desc, col("bin"))
+      .limit(5)
+      .select(date_format(col("bin"), "yyyy-MM-dd HH:mm:ss").as("bin_ts"),
+        col("n"), col("s").as("cusum"))
+      .orderBy(col("cusum").desc, col("bin_ts"))
+  }
+
+  val cusumSql: String =
+    s"""WITH $hourlyCountsSql,
+       |k AS (SELECT CAST(round(avg(n)) AS BIGINT) AS k FROM series),
+       |c AS (
+       |  SELECT bin, n,
+       |         sum(n - k) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS p
+       |  FROM series, k),
+       |s AS (
+       |  SELECT bin, n,
+       |         p - min(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS s
+       |  FROM c)
+       |SELECT strftime(bin, '%Y-%m-%d %H:%M:%S') AS bin_ts, n, s AS cusum
+       |FROM s ORDER BY s DESC, bin LIMIT 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_cusum" -> (cusum _),
     "ts_rolling_corr" -> (rollingCorr _),
     "ts_yoy_growth" -> (yoyGrowth _),
     "ts_acf" -> (acf _),
@@ -629,6 +670,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_cusum" -> cusumSql,
     "ts_rolling_corr" -> rollingCorrSql,
     "ts_yoy_growth" -> yoyGrowthSql,
     "ts_acf" -> acfSql,

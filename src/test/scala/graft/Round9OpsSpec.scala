@@ -586,6 +586,20 @@ class Round9OpsSpec extends SparkSpec {
     assert(a >= -1.0 && a <= 1.0)
   }
 
+  test("cusum: the windowed closed form equals the sequential recursion") {
+    val got = Round9Fixtures.cusumTop(spark, sf)
+    // sequential replay: S_t = max(0, S_{t-1} + (x_t - k))
+    val series = Round9Fixtures.hourlySeries(spark, sf)
+    val k = math.round(series.map(_._2).sum.toDouble / series.length)
+    var s = 0L
+    val replay = series.sortBy(_._1).map { case (bin, n) =>
+      s = math.max(0L, s + (n - k)); (bin, s)
+    }
+    val want = replay.sortBy(r => (-r._2, r._1)).take(5)
+      .map { case (bin, sv) => (bin, sv) }
+    assert(got.map(r => (r._1, r._3)).toSeq === want.toSeq)
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
@@ -602,4 +616,28 @@ class Round9OpsSpec extends SparkSpec {
     assert(residue.isEmpty, residue.mkString(","))
     assert(spark.read.parquet(target).count() === 1000)
   }
+}
+
+/** Helpers shared by Round9OpsSpec (outside the suite so Spark
+  * closures don't capture it — the Round8Fixtures pattern). */
+object Round9Fixtures {
+  import org.apache.spark.sql.SparkSession
+
+  /** The complete hourly count series (zero-filled spine) —
+    * re-derived independently of TimeSeries' private helper. */
+  def hourlySeries(spark: SparkSession, sf: String): Array[(String, Long)] = {
+    val binned = graft.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val spine = binned.agg(min("bin").as("lo"), max("bin").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bin"))
+    spine.join(binned, Seq("bin"), "left")
+      .select(date_format(col("bin"), "yyyy-MM-dd HH:mm:ss").as("b"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  def cusumTop(spark: SparkSession, sf: String): Array[(String, Long, Long)] =
+    graft.operators.TimeSeries.cusum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
 }
