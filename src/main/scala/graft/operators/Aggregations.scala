@@ -866,7 +866,60 @@ object Aggregations {
       |       count(DISTINCT o_custkey) AS n_distinct_cust
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Two-sample KOLMOGOROV–SMIRNOV test — the CONTINUOUS-distribution
+    * drift check beside [[chiSquare]]'s categorical one: do click and
+    * purchase order values follow the same distribution? KS = max
+    * ECDF gap, and the whole computation stays in exact integers: per
+    * distinct cents value the two cumulative counts c₁, c₂ are window
+    * sums, the scaled gap |c₁·n₂ − c₂·n₁| is an exact BIGINT (cross-
+    * multiplying clears both denominators), and only the final
+    * max-gap → ppm conversion divides. A float-ECDF formulation would
+    * make the argmax tie-unstable; the integer form cannot. One
+    * compact-key (cents) aggregation + one ordered window over the
+    * distinct-value table (the weighted-median histogram shape). */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(round(col("value") * 100).cast("long").as("cents"),
+        (col("event_type") === "click").as("is1"))
+    val perVal = ev.groupBy(col("cents"))
+      .agg(count_if(col("is1")).as("d1"), count_if(!col("is1")).as("d2"))
+    val cum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perVal
+      .withColumn("c1", sum(col("d1")).over(cum))
+      .withColumn("c2", sum(col("d2")).over(cum))
+      .withColumn("n1", sum(col("d1")).over(Window.partitionBy()))
+      .withColumn("n2", sum(col("d2")).over(Window.partitionBy()))
+      .withColumn("gap", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      .agg(max(col("n1")).as("n_click"), max(col("n2")).as("n_purchase"),
+        round(lit(1e6) * max(col("gap")) / (max(col("n1")) * max(col("n2"))))
+          .cast("long").as("ks_ppm"))
+  }
+
+  val ksTestSql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+      |         event_type = 'click' AS is1
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |perval AS (
+      |  SELECT cents,
+      |         CAST(count(*) FILTER (WHERE is1) AS BIGINT) AS d1,
+      |         CAST(count(*) FILTER (WHERE NOT is1) AS BIGINT) AS d2
+      |  FROM v GROUP BY 1),
+      |cum AS (
+      |  SELECT sum(d1) OVER w AS c1, sum(d2) OVER w AS c2,
+      |         sum(d1) OVER () AS n1, sum(d2) OVER () AS n2
+      |  FROM perval
+      |  WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING))
+      |SELECT CAST(max(n1) AS BIGINT) AS n_click,
+      |       CAST(max(n2) AS BIGINT) AS n_purchase,
+      |       CAST(round(1e6 * max(abs(c1 * n2 - c2 * n1)) / (max(n1) * max(n2)))
+      |            AS BIGINT) AS ks_ppm
+      |FROM cum""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ks_test" -> (ksTest _),
     "agg_bitmap_distinct" -> (bitmapDistinct _),
     "agg_weighted_median" -> (weightedMedian _),
     "agg_corr_matrix" -> (corrMatrix _),
@@ -893,6 +946,7 @@ object Aggregations {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_ks_test" -> ksTestSql,
     "agg_bitmap_distinct" -> bitmapDistinctSql,
     "agg_weighted_median" -> weightedMedianSql,
     "agg_corr_matrix" -> corrMatrixSql,

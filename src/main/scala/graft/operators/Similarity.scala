@@ -2422,7 +2422,85 @@ object Similarity {
        |       CAST(min(cos_micro) AS BIGINT) AS min_cohesion_micro
        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** MATRYOSHKA (MRL) truncation recall — the modern serving trade
+    * where embeddings are trained so PREFIXES of the vector are
+    * usable representations: search with only the first 16 of 64
+    * dims (4× less memory/compute per comparison) and measure
+    * recall@k against the full-dimension exact truth. The same
+    * audit-the-approximation contract as [[recallAtK]] and
+    * `dedup_band_recall` — an approximation ships WITH its measured
+    * recall, never on faith. Both rankings use the established
+    * fold-order cosine contract; ranks tie-break on vec_id; recall
+    * is an exact integer intersection over the two top-k sets (a
+    * self-join on (query, neighbor) — k² per query, constant).
+    * These synthetic embeddings are NOT MRL-trained, so measured
+    * recall is the honest baseline a raw model gives (the spec pins
+    * the mechanics, not a quality number). */
+  private val mrlDims = 16
+
+  def mrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).withColumn("v", vecAsDouble(col("embedding")))
+      .withColumn("t", slice(col("v"), 1, mrlDims))
+    val qFull = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), norm(col("v")).as("qn"))
+    val cFull = emb.select(col("vec_id"), col("v").as("cv"), norm(col("v")).as("cn"))
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val truth = broadcast(qFull).join(cFull, col("query_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wFull))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("hit"))
+    val qT = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("t").as("qv"), norm(col("t")).as("qn"))
+    val cT = emb.select(col("vec_id"), col("t").as("cv"), norm(col("t")).as("cn"))
+    val approx = broadcast(qT).join(cT, col("query_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wFull))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("ahit"))
+    truth.join(approx,
+        truth("query_id") === approx("query_id") && col("hit") === col("ahit"), "left")
+      .groupBy(truth("query_id").as("query_id"))
+      .agg(count(col("ahit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(lit(1e6) * col("n_hits") / topK).cast("long").as("recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  val mrlRecallSql: String = {
+    def dotT(a: String, b: String) =
+      s"list_sum(list_transform(range($mrlDims), i -> $a[i+1] * $b[i+1]))"
+    def normT(a: String) =
+      s"sqrt(list_sum(list_transform($a[1:$mrlDims], x -> x * x)))"
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |truth AS (
+       |  SELECT query_id, vec_id AS hit FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dotSql("q.v", "c.v")} / (${normSql("q.v")} * ${normSql("c.v")}) DESC,
+       |                      c.vec_id) AS rank
+       |    FROM (SELECT * FROM emb WHERE vec_id < $nQueries) q
+       |    JOIN emb c ON q.vec_id <> c.vec_id)
+       |  WHERE rank <= $topK),
+       |approx AS (
+       |  SELECT query_id, vec_id AS ahit FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dotT("q.v", "c.v")} / (${normT("q.v")} * ${normT("c.v")}) DESC,
+       |                      c.vec_id) AS rank
+       |    FROM (SELECT * FROM emb WHERE vec_id < $nQueries) q
+       |    JOIN emb c ON q.vec_id <> c.vec_id)
+       |  WHERE rank <= $topK)
+       |SELECT t.query_id, count(a.ahit) AS n_hits,
+       |       CAST(round(1e6 * count(a.ahit) / $topK) AS BIGINT) AS recall_ppm
+       |FROM truth t LEFT JOIN approx a
+       |  ON a.query_id = t.query_id AND a.ahit = t.hit
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mrl_recall" -> (mrlRecall _),
     "sim_cell_quality" -> (cellQuality _),
     "sim_threshold_sweep" -> (thresholdSweep _),
     "sim_hamming_topk" -> (hammingTopK _),
@@ -2468,6 +2546,7 @@ object Similarity {
     "sim_embed_quantize" -> embedQuantizeSql,
     "sim_random_projection" -> randomProjectionSql,
     "sim_maxsim_topk" -> maxSimTopKSql,
+    "sim_mrl_recall" -> mrlRecallSql,
     "sim_cell_quality" -> cellQualitySql,
     "sim_threshold_sweep" -> thresholdSweepSql,
     "sim_hamming_topk" -> hammingTopKSql,

@@ -600,6 +600,48 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._3)).toSeq === want.toSeq)
   }
 
+  test("ks test: gap matches a driver-side ECDF replay; identical samples give zero") {
+    val r = Aggregations.ksTest(spark, sf).collect()(0)
+    val (n1, n2, ks) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(round(col("value") * 100).cast("long"), col("event_type") === "click")
+      .collect().map(r2 => (r2.getLong(0), r2.getBoolean(1)))
+    assert(n1 === vals.count(_._2) && n2 === vals.count(!_._2))
+    val points = vals.map(_._1).distinct.sorted
+    val maxGap = points.map { v =>
+      val c1 = vals.count(x => x._2 && x._1 <= v)
+      val c2 = vals.count(x => !x._2 && x._1 <= v)
+      math.abs(c1 * n2 - c2 * n1)
+    }.max
+    assert(ks === math.round(1e6 * maxGap.toDouble / (n1 * n2)))
+    assert(ks >= 0 && ks <= 1000000L)
+  }
+
+  test("mrl recall: per-query hits equal the truncated-vs-full top-k intersection") {
+    val got = Similarity.mrlRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 10)
+    for ((_, hits, ppm) <- got) {
+      assert(hits >= 0 && hits <= 5)
+      assert(ppm === math.round(1e6 * hits / 5.0))
+    }
+    // cross-check one query against independently computed rankings
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double], d: Int) = {
+      var s = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until d) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      s / math.sqrt(na * nb)
+    }
+    def topk(q: Long, d: Int) = emb.keys.filter(_ != q).toSeq
+      .map(id => (cos(emb(q), emb(id), d), id))
+      .sortBy { case (c, id) => (-c, id) }.take(5).map(_._2).toSet
+    val want = (topk(0L, 64) intersect topk(0L, 16)).size.toLong
+    assert(got.find(_._1 == 0L).get._2 === want)
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
