@@ -149,21 +149,28 @@ object GeoOps {
     * candidate PRUNE, not an approximation (the inequality the
     * docstring states is the correctness proof, the same cell-size-
     * vs-predicate-reach argument as the grid range join's time
-    * cells). Census output per query point: neighbor count + nearest
+    * cells). The proof needs one more step the naive grid misses:
+    * longitude cells WRAP — a pair straddling the ±180° antimeridian
+    * is ~0° apart on the globe but ±11 cells apart in raw ids, so
+    * both sides join on the cell id MODULO the 12-cell ring
+    * (latitude needs no wrap: |lat| ≤ 60° keeps the poles out of
+    * reach). Census output per query point: neighbor count + nearest
     * distance. */
   private val radiusM = 500000L
+  private val lonCells = 12 // 360 / cellLon
 
   def radiusJoin(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
       .withColumn("cellx", floor(col("lat") / cellLat))
-      .withColumn("celly", floor(col("lon") / cellLon))
+      .withColumn("celly", pmod(floor(col("lon") / cellLon), lit(lonCells)))
     val q = pts.filter(col("id") < 50)
       .select(col("id").as("query_id"), col("lat").as("qlat"), col("lon").as("qlon"),
         col("cellx").as("qcx"), col("celly").as("qcy"))
       .withColumn("dx", explode(array((-1 to 1).map(lit(_)): _*)))
       .withColumn("dy", explode(array((-1 to 1).map(lit(_)): _*)))
       .select(col("query_id"), col("qlat"), col("qlon"),
-        (col("qcx") + col("dx")).as("cellx"), (col("qcy") + col("dy")).as("celly"))
+        (col("qcx") + col("dx")).as("cellx"),
+        pmod(col("qcy") + col("dy"), lit(lonCells)).as("celly"))
     broadcast(q).join(pts, Seq("cellx", "celly"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("dist_m",
@@ -179,11 +186,13 @@ object GeoOps {
        |cells AS (
        |  SELECT id, lat, lon,
        |         CAST(floor(lat / $cellLat) AS BIGINT) AS cellx,
-       |         CAST(floor(lon / $cellLon) AS BIGINT) AS celly
+       |         CAST((CAST(floor(lon / $cellLon) AS BIGINT) % $lonCells + $lonCells)
+       |              % $lonCells AS BIGINT) AS celly
        |  FROM pts),
        |q AS (
        |  SELECT c.id AS query_id, c.lat AS qlat, c.lon AS qlon,
-       |         c.cellx + dx.dx AS cellx, c.celly + dy.dy AS celly
+       |         c.cellx + dx.dx AS cellx,
+       |         ((c.celly + dy.dy) % $lonCells + $lonCells) % $lonCells AS celly
        |  FROM cells c,
        |       (SELECT unnest([-1, 0, 1]) AS dx) dx,
        |       (SELECT unnest([-1, 0, 1]) AS dy) dy

@@ -567,6 +567,15 @@ class Round9OpsSpec extends SparkSpec {
       if (ds.nonEmpty) assert(gotMap(q) === ((ds.size.toLong, ds.min)))
       else assert(!gotMap.contains(q))
     }
+    // antimeridian wrap law: the raw cells of lon -179.9 and +179.9
+    // are 11 apart, but under the mod-12 ring the +179.9 cell (5)
+    // has the -179.9 cell (pmod(-6,12)=6) in its {4,5,6} ring — the
+    // arithmetic the modular join key encodes (no such pair is
+    // within 500 km in THIS data; the law holds by construction)
+    def modCell(lon: Double) =
+      (((math.floor(lon / 30).toLong % 12) + 12) % 12)
+    assert(modCell(-179.9) === 6L && modCell(179.9) === 5L)
+    assert((4L to 6L).contains(modCell(-179.9)))
   }
 
   test("crypto roundtrip: every row decrypts back; tokens injective and joinable") {
