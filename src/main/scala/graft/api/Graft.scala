@@ -943,6 +943,53 @@ object Graft {
         call_function("graft_pq_encode", col("rv"), cb).as("codes"))
   }
 
+  /** PERSIST an IVF index: the durable half of the serving lifecycle
+    * ([[ivfPqIndex]] trains in-JVM and the `CorpusMemo` cache only
+    * outlives a query, not a process). Writes two parquet tables
+    * under `path`:
+    *
+    *   - `centroids/` — (cent_id, cv): the bounded model artifact
+    *     (k rows, k ≤ 4096 — always broadcast-class);
+    *   - `index/` — (id, cell), PARTITIONED BY cell: the layout a
+    *     serving scan wants, because a probe of p cells prunes to p
+    *     partitions at the FILE level (partition pruning, no scan).
+    *
+    * Training is the same deterministic seeded-Lloyd as
+    * [[ivfPqIndex]], so re-saving over the same corpus produces the
+    * same artifacts. Returns (k, indexed row count). */
+  def saveAnnIndex(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+                   path: String, cellTarget: Int = 64): (Int, Long) = {
+    register(spark)
+    val ops = graft.operators.Similarity
+    val vecs = df.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vn", l2norm(col("v")))
+    val n = vecs.count()
+    require(n > 0, "saveAnnIndex: empty input")
+    val k = math.max(1L, math.min(4096L, math.ceil(n / cellTarget.toDouble).toLong)).toInt
+    val rows = ops.trainIvfCentroids(vecs, k)
+    import spark.implicits._
+    rows.toDF("cent_id", "cv")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    ops.assignCells(vecs, ops.centsLiteral(rows))
+      .select(col("vec_id").as(idCol), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+    (k, n)
+  }
+
+  /** Reload a saved index's centroid model as the literal Column the
+    * assignment/probe expressions take — the load half of
+    * [[saveAnnIndex]]: `assignCells(newVecs, loadAnnCentroids(...))`
+    * routes NEW vectors into the SAVED partitioning (the incremental-
+    * indexing path), and probing reads only the probed cells' files
+    * thanks to the partition layout. */
+  def loadAnnCentroids(spark: SparkSession, path: String): Column = {
+    val rows = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cent_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    graft.operators.Similarity.centsLiteral(rows)
+  }
+
   /** kNN-graph construction over ANY (id, vector) DataFrame: every
     * vector's top-`kNeighbors` in-cell neighbors by exact cosine,
     * with candidates bounded by the same corpus-proportional coarse

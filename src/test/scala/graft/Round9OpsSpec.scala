@@ -651,6 +651,32 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.find(_._1 == 0L).get._2 === want)
   }
 
+  test("ann index save/load: reloaded centroids reproduce the saved partitioning exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    val emb = Tables.embeddings(spark, sf)
+    val (k, n) = graft.api.Graft.saveAnnIndex(spark, emb, "vec_id", "embedding", dir)
+    assert(n === emb.count())
+    // saved index: every vector exactly once, cells within [0, k)
+    val saved = spark.read.parquet(s"$dir/index")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(saved.size.toLong === n)
+    assert(saved.values.forall(c => c >= 0 && c < k))
+    // the LOAD half: re-assigning the same vectors through the
+    // reloaded centroid literal lands every one in its saved cell
+    val cents = graft.api.Graft.loadAnnCentroids(spark, dir)
+    val reassigned = graft.operators.Similarity.assignCells(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("vn", graft.api.Graft.l2norm(col("v"))), cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reassigned === saved)
+    // partition layout: one cell=... subdirectory per realized cell
+    val parts = new java.io.File(s"$dir/index").listFiles()
+      .map(_.getName).filter(_.startsWith("cell="))
+    assert(parts.length === saved.values.toSet.size)
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
