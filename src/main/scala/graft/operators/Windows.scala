@@ -318,7 +318,56 @@ object Windows {
       |FROM running WHERE first_flag = 1
       |ORDER BY user_id, distinct_so_far""".stripMargin
 
+  /** EXACT MOVING MEDIAN — the window op folklore says needs an
+    * approx sketch: for a BOUNDED row frame it doesn't. The trailing
+    * 24-bin frame materializes in-row (collect over the frame — 24
+    * longs, constant per-row state), sorts in-row, and the median is
+    * the sum of the two CENTRAL ORDER STATISTICS — kept as their
+    * integer SUM (`med2x`) so the output is exact, with the halved
+    * double alongside (n.5 halves are exactly representable — no
+    * rounding step exists anywhere). Full frames only. Scale: per-row
+    * cost is fixed at frame-size log frame-size; the series is
+    * calendar-bounded; for frames too wide to materialize per row the
+    * approx rewrite is `percentile_approx` — this op is the exact
+    * tool for the bounded-frame regime a monitoring window lives in. */
+  private val medianFrame = 24
+
+  def movingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val binned = graft.Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val f = Window.orderBy(col("bin")).rowsBetween(-(medianFrame - 1), 0)
+    binned
+      .withColumn("arr", sort_array(collect_list(col("n")).over(f)))
+      .filter(size(col("arr")) === medianFrame)
+      .select(date_format(col("bin"), "yyyy-MM-dd HH:mm:ss").as("bin_ts"),
+        col("n"),
+        (element_at(col("arr"), medianFrame / 2) +
+          element_at(col("arr"), medianFrame / 2 + 1)).as("med2x"),
+        ((element_at(col("arr"), medianFrame / 2) +
+          element_at(col("arr"), medianFrame / 2 + 1)).cast("double") / 2)
+          .as("moving_median"))
+      .orderBy(col("bin_ts"))
+  }
+
+  val movingMedianSql: String =
+    s"""WITH binned AS (
+       |  SELECT date_trunc('hour', ts) AS bin, count(*) AS n
+       |  FROM events GROUP BY 1),
+       |framed AS (
+       |  SELECT bin, n,
+       |         list_sort(list(n) OVER (ORDER BY bin
+       |           ROWS BETWEEN ${medianFrame - 1} PRECEDING AND CURRENT ROW)) AS arr
+       |  FROM binned)
+       |SELECT strftime(bin, '%Y-%m-%d %H:%M:%S') AS bin_ts, n,
+       |       CAST(arr[${medianFrame / 2}] + arr[${medianFrame / 2 + 1}] AS BIGINT) AS med2x,
+       |       CAST(arr[${medianFrame / 2}] + arr[${medianFrame / 2 + 1}] AS DOUBLE) / 2
+       |         AS moving_median
+       |FROM framed WHERE len(arr) = $medianFrame
+       |ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_moving_median" -> (movingMedian _),
     "win_distinct_count" -> (runningDistinct _),
     "win_streak" -> (longestStreak _),
     "win_sessionize" -> (sessionize _),
@@ -332,6 +381,7 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_moving_median" -> movingMedianSql,
     "win_distinct_count" -> runningDistinctSql,
     "win_streak" -> longestStreakSql,
     "win_sessionize" -> sessionizeSql,

@@ -677,6 +677,23 @@ class Round9OpsSpec extends SparkSpec {
     assert(parts.length === saved.values.toSet.size)
   }
 
+  test("moving median: in-frame order statistics replay; halves are exact") {
+    val got = Windows.movingMedian(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    // movingMedian frames occupied hours only (no zero-filled spine)
+    val binned = graft.Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("b"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val want = binned.indices.collect {
+      case i if i >= 23 =>
+        val frame = binned.slice(i - 23, i + 1).map(_._2).sorted
+        (binned(i)._1, frame(11) + frame(12))
+    }
+    assert(got.map(r => (r._1, r._2)).toSeq === want.toSeq)
+    for ((_, m2, m) <- got) assert(m === m2.toDouble / 2) // exact halves
+  }
+
   test("compact: failed publish leaves no orphaned tmp directory") {
     // simulate the publish-rename failure path by pre-creating a FILE
     // at the destination after staging would succeed — instead verify
