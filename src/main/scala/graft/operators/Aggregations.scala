@@ -714,7 +714,7 @@ object Aggregations {
       |  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
       |withn AS (
       |  SELECT source, lang, c, sum(c) OVER (PARTITION BY source) AS n FROM counts)
-      |SELECT source, max(n) AS n_docs, count(*) AS n_langs,
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_docs, count(*) AS n_langs,
       |       CAST(sum(CAST(round(-1e6 * (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
       |                     AS BIGINT)) AS BIGINT) AS entropy_micro_nats
       |FROM withn GROUP BY 1 ORDER BY 1""".stripMargin
@@ -891,9 +891,14 @@ object Aggregations {
       .withColumn("c2", sum(col("d2")).over(cum))
       .withColumn("n1", sum(col("d1")).over(Window.partitionBy()))
       .withColumn("n2", sum(col("d2")).over(Window.partitionBy()))
-      .withColumn("gap", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      // the cross-multiplied gap c₁·n₂ − c₂·n₁ is ~n² — BIGINT wraps
+      // once the filtered stream passes ~3×10⁹ events, so the products
+      // ride DECIMAL(38,0) / HUGEINT (the corrMatrix discipline)
+      .withColumn("gap", abs(col("c1").cast("decimal(38,0)") * col("n2") -
+        col("c2").cast("decimal(38,0)") * col("n1")))
       .agg(max(col("n1")).as("n_click"), max(col("n2")).as("n_purchase"),
-        round(lit(1e6) * max(col("gap")) / (max(col("n1")) * max(col("n2"))))
+        round(lit(1e6) * max(col("gap")).cast("double") /
+          (max(col("n1")).cast("decimal(38,0)") * max(col("n2"))).cast("double"))
           .cast("long").as("ks_ppm"))
   }
 

@@ -747,7 +747,8 @@ object Analytics {
       |         n_users - sum(d + c) OVER (ORDER BY period ROWS UNBOUNDED PRECEDING)
       |           + d + c AS n_risk
       |  FROM per, tot)
-      |SELECT period, n_risk, d AS n_deaths, c AS n_censored,
+      |SELECT period, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_deaths,
+      |       CAST(c AS BIGINT) AS n_censored,
       |       round(product(1.0 - CAST(d AS DOUBLE) / n_risk)
       |             OVER (ORDER BY period ROWS UNBOUNDED PRECEDING), 6) AS survival
       |FROM risk ORDER BY period""".stripMargin

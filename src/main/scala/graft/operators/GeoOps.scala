@@ -34,6 +34,7 @@ object GeoOps {
 
   private val cellLat = 15.0
   private val cellLon = 30.0
+  private val lonCells = 12 // 360 / cellLon — the Z/12 longitude ring
   private val nQueries = 10
   private val topK = 3
   private val earthRadiusM = 6371000.0
@@ -73,14 +74,18 @@ object GeoOps {
   def nearest(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)
       .withColumn("cellx", floor(col("lat") / cellLat))
-      .withColumn("celly", floor(col("lon") / cellLon))
+      // same modulo-12 antimeridian wrap as [[radiusJoin]]: cells −6
+      // and 5 are globe-adjacent, so celly lives on the ring Z/12 or
+      // the ±180° seam silently loses neighbors (advisor round 9)
+      .withColumn("celly", pmod(floor(col("lon") / cellLon), lit(lonCells)))
     val q = pts.filter(col("id") < nQueries)
       .select(col("id").as("query_id"), col("lat").as("qlat"), col("lon").as("qlon"),
         col("cellx").as("qcx"), col("celly").as("qcy"))
       .withColumn("dx", explode(array((-1 to 1).map(lit(_)): _*)))
       .withColumn("dy", explode(array((-1 to 1).map(lit(_)): _*)))
       .select(col("query_id"), col("qlat"), col("qlon"),
-        (col("qcx") + col("dx")).as("cellx"), (col("qcy") + col("dy")).as("celly"))
+        (col("qcx") + col("dx")).as("cellx"),
+        pmod(col("qcy") + col("dy"), lit(lonCells)).as("celly"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist_m"), col("id"))
     broadcast(q).join(pts, Seq("cellx", "celly"))
       .filter(col("query_id") =!= col("id"))
@@ -97,11 +102,13 @@ object GeoOps {
        |cells AS (
        |  SELECT id, lat, lon,
        |         CAST(floor(lat / $cellLat) AS BIGINT) AS cellx,
-       |         CAST(floor(lon / $cellLon) AS BIGINT) AS celly
+       |         CAST((CAST(floor(lon / $cellLon) AS BIGINT) % $lonCells + $lonCells)
+       |              % $lonCells AS BIGINT) AS celly
        |  FROM pts),
        |q AS (
        |  SELECT c.id AS query_id, c.lat AS qlat, c.lon AS qlon,
-       |         c.cellx + dx.dx AS cellx, c.celly + dy.dy AS celly
+       |         c.cellx + dx.dx AS cellx,
+       |         ((c.celly + dy.dy) % $lonCells + $lonCells) % $lonCells AS celly
        |  FROM cells c,
        |       (SELECT unnest([-1, 0, 1]) AS dx) dx,
        |       (SELECT unnest([-1, 0, 1]) AS dy) dy
@@ -157,7 +164,6 @@ object GeoOps {
     * reach). Census output per query point: neighbor count + nearest
     * distance. */
   private val radiusM = 500000L
-  private val lonCells = 12 // 360 / cellLon
 
   def radiusJoin(spark: SparkSession, dir: String): DataFrame = {
     val pts = points(spark, dir)

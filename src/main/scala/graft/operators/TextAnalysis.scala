@@ -563,21 +563,24 @@ object TextAnalysis {
       .filter(col("rank") <= topN)
       .select(round(log(col("rank").cast("double")) * 1e6).cast("long").as("xq"),
         round(log(col("freq").cast("double")) * 1e6).cast("long").as("yq"))
-    ranked.agg(count(lit(1)).as("n"),
-        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
-        sum(col("xq") * col("yq")).as("sxy"),
-        sum(col("xq") * col("xq")).as("sxx"),
-        sum(col("yq") * col("yq")).as("syy"))
-      .select(col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
-        round(((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
-          col("n") / 1e6), 6).as("intercept_ln"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
-          .as("fit_r"))
+    // the five moments and their final-projection products ride
+    // DECIMAL(38,0) (DuckDB: HUGEINT) — sy·sy wraps a BIGINT once the
+    // top-term frequency passes ~4×10⁶ (ln·1e6 quanta ≈ 1.5×10⁷ each,
+    // 200 terms), which a 100-TB corpus clears easily (advisor round 9)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(dec(col("xq"))).as("sx"), sum(dec(col("yq"))).as("sy"),
+      sum(dec(col("xq")) * col("yq")).as("sxy"),
+      sum(dec(col("xq")) * col("xq")).as("sxx"),
+      sum(dec(col("yq")) * col("yq")).as("syy"))
+    val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("n"),
+      round(cov / varX, 6).as("zipf_slope"),
+      round((col("sy").cast("double") - cov / varX * col("sx").cast("double")) /
+        col("n") / 1e6, 6).as("intercept_ln"),
+      round(cov / sqrt(varX * varY), 6).as("fit_r"))
   }
 
   val zipfFitSql: String =

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -378,8 +378,11 @@ object TimeSeries {
     * before choosing its model (a daily cycle shows as a peak at lag
     * 24; here short lags prove the mechanics). Pearson r per lag from
     * EXACT integer moments (n, Σx, Σy, Σxy, Σx², Σy² — counts are
-    * integers, so every moment is a BIGINT and summation order cannot
-    * move it); one pass computes all five lags via a 5-wide lag
+    * integers, so summation order cannot move a moment; the squares
+    * and cross products ride DECIMAL(38,0) / HUGEINT like
+    * [[Aggregations.corrMatrix]], because an x² term wraps a BIGINT
+    * accumulator once an hourly bucket passes ~3×10⁹ events — real
+    * at the 100-TB contract); one pass computes all five lags via a 5-wide lag
     * window + stack un-pivot, so the series is scanned once. Scale:
     * the series is calendar-bounded (8 760 rows/year regardless of
     * corpus size) — the data-sized stage is the hourly count, a
@@ -393,10 +396,13 @@ object TimeSeries {
     val pairs = lagged.select(col("n"), expr(
       "stack(5, " + (1 to 5).map(k => s"${k}L, lag$k").mkString(", ") + ") AS (lag, y)"))
       .filter(col("y").isNotNull)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     pairs.groupBy(col("lag"))
-      .agg(count(lit(1)).as("np"), sum(col("n")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("n") * col("y")).as("sxy"),
-        sum(col("n") * col("n")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .agg(count(lit(1)).as("np"),
+        sum(dec(col("n"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("n")) * col("y")).as("sxy"),
+        sum(dec(col("n")) * col("n")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"))
       .select(col("lag"), col("np").as("n_pairs"),
         round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
           sqrt((col("np") * col("sxx") - col("sx") * col("sx")).cast("double") *
@@ -414,9 +420,9 @@ object TimeSeries {
        |  ${(1 to 5).map(k => s"SELECT CAST($k AS BIGINT) AS lag, n, lag$k AS y FROM lagged WHERE lag$k IS NOT NULL")
             .mkString("\n  UNION ALL ")})
        |SELECT lag, count(*) AS n_pairs,
-       |       round(CAST(count(*) * sum(n * y) - sum(n) * sum(y) AS DOUBLE) /
-       |             sqrt(CAST(count(*) * sum(n * n) - sum(n) * sum(n) AS DOUBLE) *
-       |                  CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)), 6) AS acf
+       |       round(CAST(count(*) * sum(CAST(n AS HUGEINT) * y) - sum(n) * sum(y) AS DOUBLE) /
+       |             sqrt(CAST(count(*) * sum(CAST(n AS HUGEINT) * n) - sum(n) * sum(n) AS DOUBLE) *
+       |                  CAST(count(*) * sum(CAST(y AS HUGEINT) * y) - sum(y) * sum(y) AS DOUBLE)), 6) AS acf
        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Finite-kernel EWMA smoothing (α=0.25, K=8 taps) of the hourly
@@ -507,7 +513,7 @@ object TimeSeries {
        |SELECT strftime(bin, '%Y-%m-%d %H:%M:%S') AS bin_ts,
        |       round(CAST(sb AS DOUBLE) / $shiftHalf, 4) AS mean_before,
        |       round(CAST(sa AS DOUBLE) / $shiftHalf, 4) AS mean_after,
-       |       sa - sb AS shift_units
+       |       CAST(sa - sb AS BIGINT) AS shift_units
        |FROM framed WHERE cb = $shiftHalf AND ca = $shiftHalf
        |ORDER BY abs(sa - sb) DESC, 1 LIMIT 5""".stripMargin
 
@@ -560,10 +566,12 @@ object TimeSeries {
     * trailing 24-bin frame of the two hourly count series, emitted
     * only for FULL frames. The [[acf]] exactness argument, windowed:
     * counts are integers, so all six frame moments (n, Σx, Σy, Σxy,
-    * Σx², Σy²) are exact BIGINT window sums — frame aggregation order
-    * cannot move them — and the one double formula runs on identical
-    * inputs in both engines. Zero-variance frames (a flat series)
-    * emit NULL, not NaN. Scale: the joined two-column series is
+    * Σx², Σy²) are exact integer window sums — frame aggregation
+    * order cannot move them — and, as in [[acf]], the square/cross
+    * moments ride DECIMAL(38,0) / HUGEINT so an hourly bucket past
+    * ~3×10⁹ events cannot wrap the accumulator; the one double
+    * formula runs on identical inputs in both engines. Zero-variance
+    * frames (a flat series) emit NULL, not NaN. Scale: the joined two-column series is
     * calendar-bounded; the data-sized stage is one compact-key
     * conditional count. */
   private val rollBins = 24
@@ -577,11 +585,11 @@ object TimeSeries {
     val f = Window.orderBy(col("bin")).rowsBetween(-(rollBins - 1), 0)
     val m = binned
       .withColumn("n", count(lit(1)).over(f))
-      .withColumn("sx", sum(col("x")).over(f))
-      .withColumn("sy", sum(col("y")).over(f))
-      .withColumn("sxy", sum(col("x") * col("y")).over(f))
-      .withColumn("sxx", sum(col("x") * col("x")).over(f))
-      .withColumn("syy", sum(col("y") * col("y")).over(f))
+      .withColumn("sx", sum(col("x").cast("decimal(38,0)")).over(f))
+      .withColumn("sy", sum(col("y").cast("decimal(38,0)")).over(f))
+      .withColumn("sxy", sum(col("x").cast("decimal(38,0)") * col("y")).over(f))
+      .withColumn("sxx", sum(col("x").cast("decimal(38,0)") * col("x")).over(f))
+      .withColumn("syy", sum(col("y").cast("decimal(38,0)") * col("y")).over(f))
       .filter(col("n") === rollBins)
     val varX = col("n") * col("sxx") - col("sx") * col("sx")
     val varY = col("n") * col("syy") - col("sy") * col("sy")
@@ -602,9 +610,10 @@ object TimeSeries {
        |m AS (
        |  SELECT bin, x, y,
        |         count(*) OVER w AS n,
-       |         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
-       |         sum(x * y) OVER w AS sxy,
-       |         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+       |         sum(CAST(x AS HUGEINT)) OVER w AS sx, sum(CAST(y AS HUGEINT)) OVER w AS sy,
+       |         sum(CAST(x AS HUGEINT) * y) OVER w AS sxy,
+       |         sum(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+       |         sum(CAST(y AS HUGEINT) * y) OVER w AS syy
        |  FROM binned
        |  WINDOW w AS (ORDER BY bin ROWS BETWEEN ${rollBins - 1} PRECEDING AND CURRENT ROW))
        |SELECT strftime(bin, '%Y-%m-%d %H:%M:%S') AS bin_ts, x, y,
@@ -618,21 +627,27 @@ object TimeSeries {
     * S_t = max(0, S_{t−1} + (x_t − k)), which LOOKS inherently
     * sequential (and is why [[levelShift]] deliberately used frames
     * instead). It isn't: with prefix sums P_t = Σ_{s≤t}(x_s − k),
-    * the recursion has the closed form S_t = P_t − min_{s≤t} P_s —
-    * one running sum + one running min, fully windowable (the
-    * max(0,·) resets are exactly the running-minimum updates). All
-    * integer: counts are ints and the reference k is the ROUNDED
-    * corpus mean, so S_t is an exact BIGINT and the top-5 alarm cut
-    * can never be decided by a float tie. Calendar-bounded series;
-    * the data-sized stage is the hourly count. */
+    * the recursion has the closed form S_t = P_t − min(0, min_{s≤t}
+    * P_s) — one running sum + one running min, fully windowable (the
+    * max(0,·) resets are exactly the running-minimum updates, and
+    * the 0 term is the EMPTY prefix P_0 = 0 that seeds S_0 = 0; a
+    * bare min_{s≤t} P_s would wrongly zero the first alarm when
+    * every prefix sum is positive). All integer end to end: counts
+    * are ints and the reference k is the rounded corpus mean
+    * computed as (2·Σn + C) div (2·C) — integer round-half-up, so no
+    * engine pair can disagree on a float .5 tie in avg — making S_t
+    * an exact BIGINT; the top-5 alarm cut can never be decided by a
+    * float tie. Calendar-bounded series; the data-sized stage is the
+    * hourly count. */
   def cusum(spark: SparkSession, dir: String): DataFrame = {
     val series = hourlyCounts(spark, dir)
-    val k = series.agg(round(avg(col("n"))).cast("long").as("k"))
+    val k = series.agg(
+      expr("(2 * sum(n) + count(*)) div (2 * count(*))").cast("long").as("k"))
     val cum = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     series.crossJoin(broadcast(k))
       .withColumn("p", sum(col("n") - col("k")).over(cum))
-      .withColumn("s", col("p") - min(col("p")).over(cum))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(cum)))
       .orderBy(col("s").desc, col("bin"))
       .limit(5)
       .select(date_format(col("bin"), "yyyy-MM-dd HH:mm:ss").as("bin_ts"),
@@ -642,16 +657,17 @@ object TimeSeries {
 
   val cusumSql: String =
     s"""WITH $hourlyCountsSql,
-       |k AS (SELECT CAST(round(avg(n)) AS BIGINT) AS k FROM series),
+       |k AS (SELECT CAST((2 * sum(n) + count(*)) // (2 * count(*)) AS BIGINT) AS k
+       |      FROM series),
        |c AS (
        |  SELECT bin, n,
        |         sum(n - k) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS p
        |  FROM series, k),
        |s AS (
        |  SELECT bin, n,
-       |         p - min(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS s
+       |         p - least(0, min(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)) AS s
        |  FROM c)
-       |SELECT strftime(bin, '%Y-%m-%d %H:%M:%S') AS bin_ts, n, s AS cusum
+       |SELECT strftime(bin, '%Y-%m-%d %H:%M:%S') AS bin_ts, n, CAST(s AS BIGINT) AS cusum
        |FROM s ORDER BY s DESC, bin LIMIT 5""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -313,7 +313,7 @@ object Windows {
       |                               ORDER BY epoch_ns(ts), event_id
       |                               ROWS UNBOUNDED PRECEDING) AS distinct_so_far
       |  FROM flagged)
-      |SELECT user_id, distinct_so_far, event_type,
+      |SELECT user_id, CAST(distinct_so_far AS BIGINT) AS distinct_so_far, event_type,
       |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_seen
       |FROM running WHERE first_flag = 1
       |ORDER BY user_id, distinct_so_far""".stripMargin

@@ -597,9 +597,10 @@ class Round9OpsSpec extends SparkSpec {
 
   test("cusum: the windowed closed form equals the sequential recursion") {
     val got = Round9Fixtures.cusumTop(spark, sf)
-    // sequential replay: S_t = max(0, S_{t-1} + (x_t - k))
+    // sequential replay: S_t = max(0, S_{t-1} + (x_t - k)), with k the
+    // integer round-half-up mean (2·Σn + C) div (2·C) the engine uses
     val series = Round9Fixtures.hourlySeries(spark, sf)
-    val k = math.round(series.map(_._2).sum.toDouble / series.length)
+    val k = (2L * series.map(_._2).sum + series.length) / (2L * series.length)
     var s = 0L
     val replay = series.sortBy(_._1).map { case (bin, n) =>
       s = math.max(0L, s + (n - k)); (bin, s)

@@ -64,6 +64,28 @@ def main():
             print(f"  duck : {dr[bad]}")
             n_fail += 1
             continue
+        # Replicate the driver's PANDAS path: the driver hashes pandas
+        # values, and DuckDB's pandas bridge coerces HUGEINT (the result
+        # type of sum(INTEGER/BIGINT), plain and windowed) and DECIMAL to
+        # float64 while Spark parquet yields int64 / Decimal — identical
+        # VALUES then hash differently (`5.0` vs `5`). Round 8 lost
+        # fn_decimal and round 9 lost five integer-window-sum queries to
+        # exactly this, all green under the arrow compare above. Any
+        # dtype-KIND divergence between the two pandas views is therefore
+        # a driver-level FAIL even though the values are equal.
+        sk = {c: spark_tbl.select([c]).to_pandas()[c].dtype.kind for c in sc}
+        try:
+            dpd = con.execute(oracle[name]).df()
+        except Exception:
+            dpd = None
+        if dpd is not None:
+            bad_kinds = {c: (sk[c], dpd[c].dtype.kind) for c in sc
+                         if c in dpd.columns and sk[c] != dpd[c].dtype.kind}
+            if bad_kinds:
+                print(f"FAIL {name}: pandas dtype-kind mismatch {bad_kinds}"
+                      f" (cast the oracle's final projection: HUGEINT/DECIMAL -> BIGINT/DOUBLE)")
+                n_fail += 1
+                continue
         print(f"PASS {name} ({len(sr)} rows)")
         n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed, {len(names)} total results")
