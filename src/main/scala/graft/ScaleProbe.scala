@@ -37,7 +37,8 @@ object ScaleProbe {
     val sf01 = "/root/testdata/sf0.1"
     val big = "/tmp/graft_sf1_v2"
 
-    val tables = Seq("lineitem", "documents", "embeddings", "events", "orders", "part")
+    val tables = Seq("lineitem", "documents", "embeddings", "events", "orders", "part",
+      "customer", "nation", "region", "supplier")
     val complete = tables.forall(t => new java.io.File(s"$big/$t.parquet/_SUCCESS").exists())
     if (!complete) {
       def replicate(name: String, mutate: (DataFrame, Int) => DataFrame): Unit =
@@ -67,6 +68,20 @@ object ScaleProbe {
       // dictionary, is exactly the property their probes measure)
       replicate("part", (df, i) =>
         df.withColumn("p_partkey", col("p_partkey") + lit(i * 100000000L)))
+      // customer copies rewrite name position 10 (always '0' in the
+      // base data — ids < 1e8) to the copy digit, so cross-copy names
+      // are TRUE distance-1 neighbors: the adversarial direction for
+      // the deletion-neighborhood join (more real pairs, same
+      // digit-domain bucket bound). Keys shift like every fact table;
+      // orders keep referencing the i=0 copy, which is the base
+      // customer set unchanged — dim joins stay correct.
+      replicate("customer", (df, i) =>
+        df.withColumn("c_custkey", col("c_custkey") + lit(i * 100000000L))
+          .withColumn("c_name", concat(substring(col("c_name"), 1, 9),
+            lit(i.toString), expr("substring(c_name, 11)"))))
+      // bounded dims copy verbatim — they do not scale with the corpus
+      for (t <- Seq("nation", "region", "supplier"))
+        Tables.table(spark, sf01, t).write.mode("overwrite").parquet(s"$big/$t.parquet")
     }
 
     def timeSecond(f: () => Long): (Double, Long) = {
@@ -352,7 +367,62 @@ object ScaleProbe {
       // then popcount merge) — the mergeable exact distinct path must
       // cost ~scan at any corpus size
       ("bitmap_distinct", () =>
-        graft.operators.Aggregations.bitmapDistinct(spark, dir).count())
+        graft.operators.Aggregations.bitmapDistinct(spark, dir).count()),
+      // ---- round-10 additions ----
+      // Gini on the value histogram: the data-sized stage is the
+      // per-customer orders agg; the ordered window sees only
+      // DISTINCT cents values — 10x orders must cost ~scan
+      ("gini_histogram", () =>
+        graft.operators.StatsOps.gini(spark, dir).count()),
+      // Mann-Whitney midranks ride the same distinct-cents histogram
+      ("mann_whitney_hist", () =>
+        graft.operators.StatsOps.mannWhitney(spark, dir).count()),
+      // CMS build is one map-side-combinable agg into d*w=1024 cells;
+      // 10x rows must cost ~scan, sketch size constant by definition
+      ("cms_sketch_build", () =>
+        graft.operators.StatsOps.cmsTopK(spark, dir).count()),
+      // Theil-Sen pairs are capped by the 336-bin calendar slice: the
+      // replica spans the SAME weeks, so pair count must stay FLAT
+      // and time ~the hourly-count scan
+      ("theil_sen_bounded", () =>
+        graft.operators.StatsOps.theilSen(spark, dir).count()),
+      // deletion-neighborhood edit join: replica names are true
+      // cross-copy distance-1 neighbors (pairs GROW by construction);
+      // the claim is time tracks the masked equi join's candidate
+      // mass (digit-domain-capped buckets), never |names|^2
+      ("edit_distance_blocked", () =>
+        graft.operators.Joins.editDistanceJoin(spark, dir).count()),
+      // bipartite projection: 10x baskets of the SAME size -> pair
+      // mass and time ~linear (the basket_pairs claim end-to-end
+      // through the degree joins)
+      ("bipartite_projection", () =>
+        graft.operators.GraphOps.bipartiteProject(spark, dir).count()),
+      // ratio-to-report: broadcast dim chain + compact nation agg —
+      // 10x facts must cost ~scan, window table constant
+      ("ratio_to_report", () =>
+        graft.operators.Windows.ratioToReport(spark, dir).count()),
+      // skyline: one per-brand window over 10x part rows (n log n in
+      // partition depth); duplicate (price,size) points collapse to
+      // the first key, so result rows stay ~flat
+      ("pareto_skyline", () =>
+        graft.operators.Windows.paretoFrontier(spark, dir).count()),
+      // leave-one-out z: three unordered window sums sharing one
+      // group exchange — ~scan cost, top-20 output constant
+      ("peer_zscore_loo", () =>
+        graft.operators.Windows.peerZscore(spark, dir).count()),
+      // two-pass late-dim resolve: pass 1 is the broadcast left join;
+      // pass 2 rescans only the unknown slice (~1% of facts) — total
+      // must track facts, result rows constant (priorities)
+      ("late_dim_backfill", () =>
+        graft.operators.WarehouseEtl.lateDim(spark, dir).count()),
+      // windowed top-k: compact (window,type) agg + WindowGroupLimit
+      // over the bounded agg table — ~scan cost
+      ("windowed_topk", () =>
+        graft.streaming.Streams.topkWindowBatch(spark, dir).count()),
+      // vector-arith retrieval: 1-row broadcast compose + the
+      // brute-force cosine scan — time must track the embedding scan
+      ("vector_arith_scan", () =>
+        graft.operators.Similarity.vectorArith(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

@@ -26,6 +26,7 @@ object SparkEntry {
       Analytics.queries ++
       Joins.queries ++
       Aggregations.queries ++
+      StatsOps.queries ++
       Windows.queries ++
       SortsAndSets.queries ++
       Scalars.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       Analytics.oracle ++
       Joins.oracle ++
       Aggregations.oracle ++
+      StatsOps.oracle ++
       Windows.oracle ++
       SortsAndSets.oracle ++
       Scalars.oracle ++

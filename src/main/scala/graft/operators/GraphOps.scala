@@ -750,7 +750,57 @@ object GraphOps {
       |                  CAST(m * syy - sy * sy AS DOUBLE)), 6) AS assortativity
       |FROM m""".stripMargin
 
+  /** BIPARTITE PROJECTION — collapse the order–part bipartite graph
+    * onto its part side: parts are linked iff some order contains
+    * both, edge weight = number of co-containing orders, plus the
+    * Jaccard affinity w/(dₐ+d_b−w) in ppm. This is the graph-
+    * CONSTRUCTION step the recommendation family ([[Analytics]]
+    * item-CF) and community ops consume — the projection is the
+    * expensive half and its cost bound is the point: pair mass is
+    * Σ b(b−1)/2 over BASKET sizes (physically bounded by order
+    * width), never |parts|², and the distinct-pair prep keeps
+    * multi-line orders from inflating weights. Degrees come from one
+    * compact-key census joined back by key. Top-20 edges by weight,
+    * keyed tiebreak. */
+  def bipartiteProject(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val deg = op.groupBy(col("pk")).agg(count(lit(1)).as("deg"))
+    val a = op.select(col("ok"), col("pk").as("part_a"))
+    val b = op.select(col("ok"), col("pk").as("part_b"))
+    val edges = a.join(b, Seq("ok"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("w"))
+    edges
+      .join(deg.select(col("pk").as("part_a"), col("deg").as("da")), Seq("part_a"))
+      .join(deg.select(col("pk").as("part_b"), col("deg").as("db")), Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("w"),
+        round(lit(1e6) * col("w").cast("double") /
+          (col("da") + col("db") - col("w")).cast("double")).cast("long")
+          .as("jaccard_ppm"))
+      .orderBy(col("w").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val bipartiteProjectSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |deg AS (SELECT pk, count(*) AS deg FROM op GROUP BY 1),
+      |edges AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS w
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2)
+      |SELECT e.part_a, e.part_b, e.w,
+      |       CAST(round(1e6 * CAST(e.w AS DOUBLE)
+      |                  / CAST(da.deg + db.deg - e.w AS DOUBLE)) AS BIGINT) AS jaccard_ppm
+      |FROM edges e
+      |JOIN deg da ON e.part_a = da.pk
+      |JOIN deg db ON e.part_b = db.pk
+      |ORDER BY e.w DESC, e.part_a, e.part_b
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bipartite_project" -> (bipartiteProject _),
     "graph_assortativity" -> (assortativity _),
     "graph_modularity" -> (modularity _),
     "graph_hits" -> (hitsTypes _),
@@ -764,6 +814,7 @@ object GraphOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "graph_bipartite_project" -> bipartiteProjectSql,
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
     "graph_hits" -> hitsTypesSql,

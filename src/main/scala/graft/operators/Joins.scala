@@ -775,7 +775,56 @@ object Joins {
       |WHERE levenshtein(a.name, b.name) <= 3
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** EDIT-DISTANCE (Levenshtein ≤ 1) self-join via DELETION-
+    * NEIGHBORHOOD blocking — the spell-checker technique (SymSpell /
+    * Norvig's corrector, both public) lifted to a join: two
+    * fixed-width keys at substitution distance 1 differ in exactly
+    * one digit of the 9-digit suffix, so masking EACH digit position
+    * in turn (9 map-only variants per row) makes every true pair meet
+    * in exactly one (position, masked-key) bucket — the candidate
+    * stage is a plain equi join, never a cross join, and a bucket
+    * holds at most the 10 names sharing the other 8 digits. The
+    * `levenshtein` verify then re-proves the distance (the exact-
+    * verify discipline of [[Dedup.ppjoinPairs]]). At 100 TB: 9× map
+    * amplification on the compact name column, linear candidate mass,
+    * no block-size skew (digit domain caps every bucket). */
+  def editDistanceJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val masked = names
+      .select(col("c_custkey"), col("c_name"),
+        explode(sequence(lit(0), lit(8))).as("i"))
+      .withColumn("mask",
+        expr("concat(substring(c_name, 1, 9 + i), '*', substring(c_name, 11 + i))"))
+    val a = masked.select(col("i"), col("mask"),
+      col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+    val b = masked.select(col("i"), col("mask"),
+      col("c_custkey").as("key_b"), col("c_name").as("name_b"))
+    a.join(b, Seq("i", "mask"))
+      .filter(col("key_a") < col("key_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .distinct()
+      .orderBy(col("name_a"), col("name_b"))
+      .limit(20)
+  }
+
+  val editDistanceJoinSql: String =
+    """WITH masked AS (
+      |  SELECT c_custkey, c_name, i,
+      |         substring(c_name, 1, 9 + i) || '*' || substring(c_name, 11 + i) AS mask
+      |  FROM customer, (SELECT unnest(range(9)) AS i)),
+      |pairs AS (
+      |  SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b,
+      |         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |  FROM masked a JOIN masked b ON a.i = b.i AND a.mask = b.mask
+      |  WHERE a.c_custkey < b.c_custkey
+      |    AND levenshtein(a.c_name, b.c_name) <= 1)
+      |SELECT name_a, name_b, dist
+      |FROM pairs ORDER BY 1, 2 LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_edit_distance" -> (editDistanceJoin _),
     "join_fuzzy_blocked" -> (fuzzyBlockedJoin _),
     "join_revenue_by_segment" -> (revenueBySegment _),
     "join_revenue_by_nation" -> (revenueByNation _),
@@ -801,6 +850,7 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_edit_distance" -> editDistanceJoinSql,
     "join_fuzzy_blocked" -> fuzzyBlockedJoinSql,
     "join_revenue_by_segment" -> revenueBySegmentSql,
     "join_revenue_by_nation" -> revenueByNationSql,

@@ -80,6 +80,58 @@ object Similarity {
        |WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** VECTOR ARITHMETIC retrieval — the analogy probe ("a − b + c")
+    * every embedding-space sanity check runs (word2vec's
+    * king−man+woman, public since Mikolov 2013): compose the query
+    * vector elementwise from three corpus vectors (ids 0, 1, 2), then
+    * exact cosine top-5 over the corpus excluding the three sources.
+    * The composition is a 1-row broadcast (three scalar lookups —
+    * never a corpus shuffle); the scan is the bruteforce cosine path
+    * with the same left-to-right fold contract, so at 100 TB this is
+    * one map-side pass over the embedding table + a top-k. Elementwise
+    * a−b+c evaluates left-to-right in BOTH engines (zip then add vs
+    * indexed lambda) — IEEE order fixed, doubles identical. */
+  def vectorArith(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).withColumn("v", vecAsDouble(col("embedding")))
+    def vecOf(id: Int, name: String) =
+      emb.filter(col("vec_id") === id).select(col("v").as(name))
+    val q = vecOf(0, "va").crossJoin(vecOf(1, "vb")).crossJoin(vecOf(2, "vc"))
+      .select(zip_with(zip_with(col("va"), col("vb"), (x, y) => x - y), col("vc"),
+        (x, y) => x + y).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val cand = emb.filter(!col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id"), col("v"), norm(col("v")).as("cn"))
+    val w = Window.orderBy(col("cos_raw").desc, col("vec_id"))
+    cand.crossJoin(broadcast(q))
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("rank"))
+  }
+
+  val vectorArithSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (
+       |  SELECT list_transform(range($dim),
+       |           i -> a.v[i+1] - b.v[i+1] + c.v[i+1]) AS qv
+       |  FROM (SELECT v FROM e WHERE vec_id = 0) a,
+       |       (SELECT v FROM e WHERE vec_id = 1) b,
+       |       (SELECT v FROM e WHERE vec_id = 2) c)
+       |SELECT rank, neighbor_id, cosine
+       |FROM (
+       |  SELECT c.vec_id AS neighbor_id,
+       |         round(${dotSql("q.qv", "c.v")} / (${normSql("q.qv")} * ${normSql("c.v")}), 6)
+       |           AS cosine,
+       |         CAST(row_number() OVER (
+       |           ORDER BY ${dotSql("q.qv", "c.v")} / (${normSql("q.qv")} * ${normSql("c.v")}) DESC,
+       |                    c.vec_id) AS BIGINT) AS rank
+       |  FROM e c, q
+       |  WHERE c.vec_id NOT IN (0, 1, 2))
+       |WHERE rank <= $topK
+       |ORDER BY rank""".stripMargin
+
   /** Exact brute-force top-k through the native codegen'd expressions
     * (graft.functions.DotProduct / L2Norm) instead of higher-order-
     * function folds — same semantics and oracle as sim_topk_bruteforce,
@@ -2529,6 +2581,7 @@ object Similarity {
     "sim_ivf_topk" -> (ivfTopK _),
     "sim_topk_bruteforce" -> (bruteForceTopK _),
     "sim_topk_native" -> (bruteForceTopKNative _),
+    "sim_vector_arith" -> (vectorArith _),
     "sim_lsh_buckets" -> (lshBuckets _),
     "sim_ann_topk" -> (annTopK _),
     "sim_cosine_neardup" -> (cosineNearDup _),
@@ -2566,6 +2619,7 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_topk_native" -> bruteForceTopKSql,
+    "sim_vector_arith" -> vectorArithSql,
     "sim_lsh_buckets" -> lshBucketsSql,
     "sim_ann_topk" -> annTopKSql,
     "sim_cosine_neardup" -> cosineNearDupSql,

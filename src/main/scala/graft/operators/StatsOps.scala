@@ -1,0 +1,432 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical screens (SURVEY.md §2.10 EXT — the reference's event
+  * path, /root/reference/main.py:5–17, carries no statistics at all;
+  * these are the corpus-health and experiment-analysis tests a
+  * training-data pipeline runs beside the chi²/KS/A-B family already
+  * in [[Aggregations]]).
+  *
+  * Exactness discipline (the established two-layer contract): every
+  * sufficient statistic is an exact integer — histogram counts,
+  * integer cents, 2×-scaled ranks — accumulated in DECIMAL(38,0)
+  * (DuckDB: HUGEINT) wherever a product of two data-sized quantities
+  * appears, so no accumulator can wrap at any corpus size; the final
+  * statistic is then ONE double expression over identical inputs in
+  * both engines, quantized to micro/ppm units.
+  *
+  * Scale shape: everything reduces through a compact-key aggregation
+  * first (distinct cents values, lang×source cells, part keys), so the
+  * data-sized stage is always one map-side-combinable shuffle; the
+  * ordered windows run over histogram/dictionary tables, never over
+  * the raw stream (the weighted-median discipline).
+  */
+object StatsOps {
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  // ---------------------------------------------------------------
+  // GINI coefficient
+  // ---------------------------------------------------------------
+
+  /** GINI concentration of customer revenue — the inequality audit
+    * ("what share of revenue do the top customers carry?") in its
+    * exact rank form G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over
+    * ascending-sorted values. The sort is NOT over customers: revenue
+    * quantizes to integer cents, so the rank sum collapses onto the
+    * VALUE HISTOGRAM — a run of c equal values v starting after rank
+    * r contributes v·(2·c·r + c·(c+1)) in doubled units (Σ of the
+    * arithmetic progression; doubled so c(c+1)/2 never divides), and
+    * G_num = Σ2x − (n+1)·Σx with Σ2x = Σ i·x₍ᵢ₎ doubled. All products
+    * ride DECIMAL(38,0)/HUGEINT; the one division is the final ppm.
+    * Scale: one compact-key agg per customer, one per distinct cents
+    * value, one ordered window over the DISTINCT-VALUE table only. */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    val hist = perCust.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = hist
+      .withColumn("r", sum(col("c")).over(cum) - col("c"))
+      .agg(sum(col("c")).as("n_customers"),
+        sum(dec(col("v")) * col("c")).as("sx"),
+        sum(dec(col("v")) * (lit(2) * dec(col("c")) * col("r") +
+          dec(col("c")) * (col("c") + lit(1)))).as("s2x"))
+    m.select(col("n_customers"),
+      col("sx").cast("long").as("total_cents"),
+      round(lit(1e6) * (col("s2x") - (col("n_customers") + lit(1)) * col("sx")).cast("double") /
+        (dec(col("n_customers")) * col("sx")).cast("double")).cast("long").as("gini_ppm"))
+  }
+
+  val giniSql: String =
+    """WITH perc AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |hist AS (SELECT v, count(*) AS c FROM perc GROUP BY 1),
+      |runs AS (
+      |  SELECT v, c, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS r
+      |  FROM hist),
+      |m AS (
+      |  SELECT sum(c) AS n_customers,
+      |         sum(CAST(v AS HUGEINT) * c) AS sx,
+      |         sum(CAST(v AS HUGEINT) * (2 * CAST(c AS HUGEINT) * r
+      |             + CAST(c AS HUGEINT) * (c + 1))) AS s2x
+      |  FROM runs)
+      |SELECT CAST(n_customers AS BIGINT) AS n_customers,
+      |       CAST(sx AS BIGINT) AS total_cents,
+      |       CAST(round(1e6 * CAST(s2x - (n_customers + 1) * sx AS DOUBLE)
+      |                  / CAST(CAST(n_customers AS HUGEINT) * sx AS DOUBLE)) AS BIGINT) AS gini_ppm
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Mutual information lang × source
+  // ---------------------------------------------------------------
+
+  /** MUTUAL INFORMATION between language and source over the document
+    * corpus — the redundancy screen behind a mixing decision ("does
+    * source already determine language?"). MI = Σ p(l,s)·ln(N·n_ls /
+    * (n_l·n_s)) in micro-nats, each cell term quantized ONCE (the
+    * entropy/logprob ln contract: identical doubles into ln on both
+    * engines), marginals as window sums over the |langs|×|sources|
+    * CELL table. Normalized MI divides the quantized MI by the
+    * smaller quantized marginal entropy — an integer-input division,
+    * so the ppm cannot wobble. The a·N and n_l·n_s products ride
+    * DECIMAL(38,0)/HUGEINT before their one double cast. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("a"))
+      .withColumn("nl", sum(col("a")).over(Window.partitionBy(col("lang"))))
+      .withColumn("ns", sum(col("a")).over(Window.partitionBy(col("source"))))
+      .withColumn("nn", sum(col("a")).over(Window.partitionBy()))
+    val mi = cells
+      .withColumn("term_micro", round(lit(1e6) *
+        (col("a").cast("double") / col("nn")) *
+        log((dec(col("a")) * col("nn")).cast("double") /
+          (dec(col("nl")) * col("ns")).cast("double"))).cast("long"))
+      .agg(max(col("nn")).as("n_docs"), count(lit(1)).as("n_cells"),
+        sum(col("term_micro")).as("mi_micro_nats"))
+    def marginalH(key: String): DataFrame =
+      Tables.documents(spark, dir)
+        .groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+        .withColumn("p", col("c").cast("double") / col("n"))
+        .agg(sum(round(lit(-1e6) * col("p") * log(col("p"))).cast("long"))
+          .as(s"h_$key"))
+    mi.crossJoin(broadcast(marginalH("lang")))
+      .crossJoin(broadcast(marginalH("source")))
+      .select(col("n_docs"), col("n_cells"), col("mi_micro_nats"),
+        when(least(col("h_lang"), col("h_source")) > 0,
+          round(lit(1e6) * col("mi_micro_nats").cast("double") /
+            least(col("h_lang"), col("h_source"))).cast("long")).as("nmi_ppm"))
+  }
+
+  val mutualInfoSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS a FROM documents GROUP BY 1, 2),
+      |m AS (
+      |  SELECT lang, source, a,
+      |         CAST(sum(a) OVER (PARTITION BY lang) AS BIGINT) AS nl,
+      |         CAST(sum(a) OVER (PARTITION BY source) AS BIGINT) AS ns,
+      |         CAST(sum(a) OVER () AS BIGINT) AS nn
+      |  FROM cells),
+      |mi AS (
+      |  SELECT CAST(max(nn) AS BIGINT) AS n_docs, count(*) AS n_cells,
+      |         CAST(sum(CAST(round(1e6 * (CAST(a AS DOUBLE) / nn)
+      |               * ln(CAST(CAST(a AS HUGEINT) * nn AS DOUBLE)
+      |                    / CAST(CAST(nl AS HUGEINT) * ns AS DOUBLE))) AS BIGINT))
+      |              AS BIGINT) AS mi_micro_nats
+      |  FROM m),
+      |hl AS (
+      |  SELECT CAST(sum(CAST(round(-1e6 * (CAST(c AS DOUBLE) / n)
+      |               * ln(CAST(c AS DOUBLE) / n)) AS BIGINT)) AS BIGINT) AS h_lang
+      |  FROM (SELECT c, CAST(sum(c) OVER () AS BIGINT) AS n
+      |        FROM (SELECT count(*) AS c FROM documents GROUP BY lang))),
+      |hs AS (
+      |  SELECT CAST(sum(CAST(round(-1e6 * (CAST(c AS DOUBLE) / n)
+      |               * ln(CAST(c AS DOUBLE) / n)) AS BIGINT)) AS BIGINT) AS h_source
+      |  FROM (SELECT c, CAST(sum(c) OVER () AS BIGINT) AS n
+      |        FROM (SELECT count(*) AS c FROM documents GROUP BY source)))
+      |SELECT n_docs, n_cells, mi_micro_nats,
+      |       CASE WHEN least(h_lang, h_source) > 0
+      |            THEN CAST(round(1e6 * CAST(mi_micro_nats AS DOUBLE)
+      |                            / least(h_lang, h_source)) AS BIGINT) END AS nmi_ppm
+      |FROM mi, hl, hs""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Mann–Whitney U (rank-sum) test
+  // ---------------------------------------------------------------
+
+  /** Two-sample MANN–WHITNEY U — the nonparametric sibling of the
+    * Welch test in [[Aggregations.abTest]]: do click and purchase
+    * order values come from the same distribution, judged on RANKS
+    * (robust to the heavy tail that breaks the t-test's normality
+    * assumption)? Tie handling is exact: ranks live in DOUBLED units
+    * so the midrank of a tie run starting after position r with c
+    * members is the integer 2r+c+1 — no .5 ever exists — and the
+    * doubled rank sum R₁, the doubled U₁ = R₁ − n₁(n₁+1), and the
+    * tie-correction Σ(c³−c) are DECIMAL(38,0)/HUGEINT exact. The
+    * normal-approximation z then evaluates as one double expression
+    * (same text both engines) in micro units. Scale: the
+    * weighted-median histogram shape — one compact-key (cents) agg,
+    * one window over distinct values. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(round(col("value") * 100).cast("long").as("cents"),
+        (col("event_type") === "click").as("is1"))
+      .groupBy(col("cents"))
+      .agg(count_if(col("is1")).as("d1"), count_if(!col("is1")).as("d2"))
+      .withColumn("c", col("d1") + col("d2"))
+    val cum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = perVal
+      .withColumn("r0", sum(col("c")).over(cum) - col("c"))
+      .agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"),
+        sum(dec(col("d1")) * (lit(2) * col("r0") + col("c") + lit(1))).as("r1x"),
+        sum(dec(col("c")) * col("c") * col("c") - col("c")).as("t3"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nd = (col("n1") + col("n2")).cast("double")
+    val u1 = (col("r1x") - dec(col("n1")) * (col("n1") + lit(1))).cast("double") / 2
+    val sigma2 = n1d * n2d / 12 *
+      ((nd + 1) - col("t3").cast("double") / (nd * (nd - 1)))
+    m.select(col("n1").as("n_click"), col("n2").as("n_purchase"),
+      u1.as("u_stat"),
+      round(lit(1e6) * (u1 - n1d * n2d / 2) / sqrt(sigma2)).cast("long").as("z_micro"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type = 'click' AS is1
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |perval AS (
+      |  SELECT cents, CAST(count(*) FILTER (WHERE is1) AS BIGINT) AS d1,
+      |         CAST(count(*) FILTER (WHERE NOT is1) AS BIGINT) AS d2,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM v GROUP BY 1),
+      |runs AS (
+      |  SELECT d1, d2, c,
+      |         sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - c AS r0
+      |  FROM perval),
+      |m AS (
+      |  SELECT sum(d1) AS n1, sum(d2) AS n2,
+      |         sum(CAST(d1 AS HUGEINT) * (2 * r0 + c + 1)) AS r1x,
+      |         sum(CAST(c AS HUGEINT) * c * c - c) AS t3
+      |  FROM runs)
+      |SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+      |       CAST(r1x - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2 AS u_stat,
+      |       CAST(round(1e6 * (CAST(r1x - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2
+      |                         - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+      |             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+      |                    * ((CAST(n1 + n2 AS DOUBLE) + 1)
+      |                       - CAST(t3 AS DOUBLE)
+      |                         / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1)))))
+      |            AS BIGINT) AS z_micro
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Cramér's V
+  // ---------------------------------------------------------------
+
+  /** CRAMÉR'S V — the effect size the chi² screen
+    * ([[Aggregations.chiSquare]]) is missing: a significant χ² on a
+    * 100-TB corpus is nearly guaranteed (n is astronomical), so the
+    * decision-relevant number is V = √(χ²/(N·(min(r,c)−1))) ∈ [0,1].
+    * Computed over the orders priority × status contingency: cell
+    * counts and both margins exact, χ² quantized per cell to micro
+    * units (sum order-independent), V one double expression in ppm.
+    * Bounded output: r·c cells. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("o"))
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("o_orderpriority"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("o_orderstatus"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val e = col("rt").cast("double") * col("ct") / col("n")
+    cells
+      .withColumn("cont_micro",
+        round(lit(1e6) * (col("o") - e) * (col("o") - e) / e).cast("long"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        least(countDistinct(col("o_orderpriority")),
+          countDistinct(col("o_orderstatus"))).as("k"),
+        sum(col("cont_micro")).as("chi2_micro"))
+      .select(col("n"), col("n_cells"), col("chi2_micro"),
+        round(lit(1e6) * sqrt(col("chi2_micro").cast("double") / 1e6 /
+          (col("n").cast("double") * (col("k") - lit(1)).cast("double"))))
+          .cast("long").as("cramers_v_ppm"))
+  }
+
+  val cramersVSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority, o_orderstatus, count(*) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (
+      |  SELECT o_orderpriority, o_orderstatus, o,
+      |         CAST(sum(o) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS rt,
+      |         CAST(sum(o) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS ct,
+      |         CAST(sum(o) OVER () AS BIGINT) AS n
+      |  FROM cells),
+      |c AS (
+      |  SELECT o_orderpriority, o_orderstatus, o, n,
+      |         CAST(round(1e6 * (o - CAST(rt AS DOUBLE) * ct / n)
+      |                        * (o - CAST(rt AS DOUBLE) * ct / n)
+      |                        / (CAST(rt AS DOUBLE) * ct / n)) AS BIGINT) AS cont_micro
+      |  FROM m)
+      |SELECT max(n) AS n, count(*) AS n_cells,
+      |       CAST(sum(cont_micro) AS BIGINT) AS chi2_micro,
+      |       CAST(round(1e6 * sqrt(CAST(sum(cont_micro) AS DOUBLE) / 1e6
+      |                  / (CAST(max(n) AS DOUBLE)
+      |                     * CAST(least(count(DISTINCT o_orderpriority),
+      |                                  count(DISTINCT o_orderstatus)) - 1 AS DOUBLE))))
+      |            AS BIGINT) AS cramers_v_ppm
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Count–Min sketch
+  // ---------------------------------------------------------------
+
+  private val cmsDepth = 4
+  private val cmsWidth = 256
+
+  /** COUNT–MIN SKETCH build + probe — the streaming-scale frequency
+    * sketch beside the HLL distinct sketch ([[Aggregations]]): a d×w
+    * grid of counters (d=4 md5-derived hash rows, w=256 buckets),
+    * point estimate = min over rows, always ≥ truth. The sketch is
+    * ADDITIVE, so it builds from the compact (key, count) table, not
+    * the raw stream — one map-side-combinable agg into d·w = 1024
+    * cells regardless of corpus size; mergeability across partitions/
+    * days is the whole point of the structure. The probe reports the
+    * true top-10 keys with their estimates and the overcount, making
+    * the collision error measurable (the audited-drops discipline).
+    * Hashes are the established md5-prefix longs — bit-identical in
+    * both engines. */
+  def cmsTopK(spark: SparkSession, dir: String): DataFrame = {
+    val keyCounts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val rows = explode(sequence(lit(0), lit(cmsDepth - 1))).as("i")
+    def bucket(i: Column, key: Column): Column =
+      conv(substring(md5(concat(i.cast("string"), lit(":"),
+        key.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long") % cmsWidth
+    val cms = keyCounts.select(col("l_partkey"), col("cnt"), rows)
+      .withColumn("bucket", bucket(col("i"), col("l_partkey")))
+      .groupBy(col("i"), col("bucket")).agg(sum(col("cnt")).as("s"))
+    val top = keyCounts
+      .orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+      .select(col("l_partkey"), col("cnt").as("true_cnt"), rows)
+      .withColumn("bucket", bucket(col("i"), col("l_partkey")))
+    top.join(cms, Seq("i", "bucket"))
+      .groupBy(col("l_partkey"), col("true_cnt"))
+      .agg(min(col("s")).as("cms_est"))
+      .select(col("l_partkey"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("l_partkey"))
+  }
+
+  val cmsTopKSql: String =
+    s"""WITH kc AS (
+       |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+       |rows_ AS (SELECT unnest(range($cmsDepth)) AS i),
+       |hashed AS (
+       |  SELECT k.l_partkey, k.cnt, r.i,
+       |         ('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' ||
+       |                               CAST(k.l_partkey AS VARCHAR)), 1, 8))::BIGINT
+       |           % $cmsWidth AS bucket
+       |  FROM kc k, rows_ r),
+       |cms AS (
+       |  SELECT i, bucket, CAST(sum(cnt) AS BIGINT) AS s
+       |  FROM hashed GROUP BY 1, 2),
+       |top AS (
+       |  SELECT l_partkey, cnt AS true_cnt
+       |  FROM kc ORDER BY cnt DESC, l_partkey LIMIT 10),
+       |probe AS (
+       |  SELECT t.l_partkey, t.true_cnt, r.i,
+       |         ('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' ||
+       |                               CAST(t.l_partkey AS VARCHAR)), 1, 8))::BIGINT
+       |           % $cmsWidth AS bucket
+       |  FROM top t, rows_ r)
+       |SELECT p.l_partkey, p.true_cnt, CAST(min(c.s) AS BIGINT) AS cms_est,
+       |       CAST(min(c.s) - p.true_cnt AS BIGINT) AS overcount
+       |FROM probe p JOIN cms c ON p.i = c.i AND p.bucket = c.bucket
+       |GROUP BY 1, 2
+       |ORDER BY p.true_cnt DESC, p.l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Theil–Sen robust slope
+  // ---------------------------------------------------------------
+
+  private val senBins = 336 // 14 days of hourly bins
+
+  /** THEIL–SEN estimator — the robust trend slope of the hourly event
+    * rate over its first 14 days: the LOWER MEDIAN of all pairwise
+    * slopes (nⱼ−nᵢ)/(j−i), immune to the outlier hours that pull an
+    * OLS line ([[Aggregations.linreg]] is the fragile sibling). The
+    * pair set is CALENDAR-BOUNDED (≤336 bins → ≤56 280 pairs however
+    * big the corpus — the hourly-family argument), so the quadratic
+    * blowup every Theil–Sen implementation fears is capped by the
+    * window, not the data; the data-sized stage remains the hourly
+    * count agg. Each slope is one IEEE division of exact integers
+    * (identical both engines); the lower median is an ORDER STATISTIC
+    * (row (m+1) div 2 by slope value), not an interpolated midpoint,
+    * so no float averaging exists anywhere. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val series = TimeSeries.hourlyCounts(spark, dir)
+    val lo = series.agg(min(col("bin")).as("lo"))
+    val idxed = series.crossJoin(broadcast(lo))
+      .select(expr("(unix_micros(bin) - unix_micros(lo)) div 3600000000").as("idx"),
+        col("n"))
+      .filter(col("idx") < senBins)
+    val a = idxed.select(col("idx").as("i"), col("n").as("ni"))
+    val b = idxed.select(col("idx").as("j"), col("n").as("nj"))
+    val slopes = a.join(broadcast(b), col("i") < col("j"))
+      .select(((col("nj") - col("ni")).cast("double") /
+        (col("j") - col("i")).cast("double")).as("slope"))
+    val w = Window.orderBy(col("slope"))
+    slopes
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") === expr("(m + 1) div 2"))
+      .select(col("m").as("n_pairs"), round(col("slope"), 6).as("sen_slope"))
+  }
+
+  val theilSenSql: String =
+    s"""WITH ${TimeSeries.hourlyCountsSql},
+       |lo AS (SELECT min(bin) AS lo FROM series),
+       |idxed AS (
+       |  SELECT (epoch_ns(bin) - epoch_ns(lo)) // 3600000000000 AS idx, n
+       |  FROM series, lo
+       |  WHERE (epoch_ns(bin) - epoch_ns(lo)) // 3600000000000 < $senBins),
+       |slopes AS (
+       |  SELECT CAST(b.n - a.n AS DOUBLE) / CAST(b.idx - a.idx AS DOUBLE) AS slope
+       |  FROM idxed a JOIN idxed b ON a.idx < b.idx),
+       |ranked AS (
+       |  SELECT slope, CAST(row_number() OVER (ORDER BY slope) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER () AS BIGINT) AS m
+       |  FROM slopes)
+       |SELECT m AS n_pairs, round(slope, 6) AS sen_slope
+       |FROM ranked WHERE rn = (m + 1) // 2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_gini" -> (gini _),
+    "agg_mutual_info" -> (mutualInfo _),
+    "agg_mann_whitney" -> (mannWhitney _),
+    "agg_cramers_v" -> (cramersV _),
+    "agg_cms_topk" -> (cmsTopK _),
+    "ts_theil_sen" -> (theilSen _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "agg_gini" -> giniSql,
+    "agg_mutual_info" -> mutualInfoSql,
+    "agg_mann_whitney" -> mannWhitneySql,
+    "agg_cramers_v" -> cramersVSql,
+    "agg_cms_topk" -> cmsTopKSql,
+    "ts_theil_sen" -> theilSenSql
+  )
+}

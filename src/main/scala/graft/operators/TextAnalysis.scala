@@ -606,7 +606,56 @@ object TextAnalysis {
       |             6) AS fit_r
       |FROM m""".stripMargin
 
+  /** READABILITY SCORING per source — the Flesch reading-ease screen
+    * a curation pass runs beside [[qualityScore]]'s surface ratios:
+    * harder text (long sentences, polysyllabic words) scores lower,
+    * and a source whose score collapses is usually boilerplate or
+    * OCR noise, not prose. Counts are the exact regex surrogates
+    * (whitespace words, [.!?]+ sentence ends clamped to ≥1, vowel
+    * RUNS as the public syllable proxy — '[aeiouy]+' is the
+    * classic heuristic), summed per source as integers; the Flesch
+    * formula 206.835 − 1.015·(W/S) − 84.6·(Y/W) evaluates once per
+    * SOURCE over those sums (micro-average) in milli units. Map-only
+    * per-doc counting + one compact-key agg. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+          .cast("long").as("s"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("y"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("s")).as("sentences"), sum(col("y")).as("vowel_runs"))
+      .select(col("source"), col("n_docs"), col("words"), col("sentences"),
+        col("vowel_runs"),
+        round(lit(1000.0) * (lit(206.835) -
+          lit(1.015) * col("words").cast("double") / col("sentences") -
+          lit(84.6) * col("vowel_runs").cast("double") / col("words")))
+          .cast("long").as("flesch_milli"))
+      .orderBy(col("source"))
+  }
+
+  val readabilitySql: String =
+    """WITH perdoc AS (
+      |  SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+      |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(w) AS BIGINT) AS words,
+      |       CAST(sum(s) AS BIGINT) AS sentences,
+      |       CAST(sum(y) AS BIGINT) AS vowel_runs,
+      |       CAST(round(1000.0 * (206.835
+      |                  - 1.015 * CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS BIGINT)
+      |                  - 84.6 * CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS BIGINT)))
+      |            AS BIGINT) AS flesch_milli
+      |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (readability _),
     "text_zipf_fit" -> (zipfFit _),
     "text_hash_embed" -> (hashEmbed _),
     "corpus_rag_context" -> (ragContext _),
@@ -623,6 +672,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_readability" -> readabilitySql,
     "text_zipf_fit" -> zipfFitSql,
     "text_hash_embed" -> hashEmbedSql,
     "corpus_rag_context" -> ragContextSql,

@@ -354,7 +354,7 @@ object TimeSeries {
     * is a BIGINT on both engines, and only the final statistic
     * touches doubles (identical inputs → identical bits → identical
     * rounding). */
-  private def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     val binned = Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("bin"))
       .agg(count(lit(1)).as("n"))
@@ -364,7 +364,7 @@ object TimeSeries {
       .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
-  private val hourlyCountsSql: String =
+  private[operators] val hourlyCountsSql: String =
     """binned AS (
       |  SELECT date_trunc('hour', ts) AS bin, count(*) AS n FROM events GROUP BY 1),
       |bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM binned),

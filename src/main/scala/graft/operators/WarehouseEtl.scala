@@ -694,7 +694,73 @@ object WarehouseEtl {
       |       count(DISTINCT c_name) AS n_distinct_names
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** LATE-ARRIVING DIMENSION handling — the Kimball unknown-member
+    * pattern: facts land before their dimension row does, resolve to
+    * the UNKNOWN member (key −1) on the first pass, and a later
+    * backfill pass re-resolves them once the dim load completes. The
+    * offline twin models the two loads deterministically: dim load 1
+    * is every customer except the c_custkey % 97 == 0 stragglers,
+    * load 2 completes the dimension. The fact pipeline is the real
+    * plan shape: fact LEFT JOIN dim (broadcast at dim scale, shuffle
+    * hash at 100 TB with the dim bloom-pruned), unknowns carried with
+    * the −1 key — never dropped, the audit discipline — then the
+    * second-pass join only over the UNKNOWN SLICE (the backfill scan
+    * is proportional to the stragglers, not to the fact table).
+    * Census per priority: matched, backfilled, still-unknown, and the
+    * first-pass miss rate in ppm. */
+  def lateDim(spark: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val dim1 = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val dim2 = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val pass1 = facts.join(broadcast(dim1), facts("o_custkey") === dim1("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        coalesce(col("c_custkey"), lit(-1L)).as("dim_key"))
+    val unknowns = pass1.filter(col("dim_key") === -1)
+      .join(broadcast(dim2), pass1("o_custkey") === dim2("c_custkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("c_custkey"), lit(-1L)).as("backfilled_key"))
+    pass1.join(unknowns, Seq("o_orderkey"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_facts"),
+        count_if(col("dim_key") =!= -1).as("matched_first"),
+        count_if(col("dim_key") === -1 && col("backfilled_key") =!= -1).as("backfilled"),
+        count_if(col("dim_key") === -1 &&
+          (col("backfilled_key").isNull || col("backfilled_key") === -1)).as("still_unknown"))
+      .withColumn("miss_ppm",
+        round(lit(1e6) * (col("n_facts") - col("matched_first")).cast("double") /
+          col("n_facts").cast("double")).cast("long"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val lateDimSql: String =
+    """WITH dim1 AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 97 <> 0),
+      |pass1 AS (
+      |  SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority,
+      |         coalesce(d.c_custkey, -1) AS dim_key
+      |  FROM orders o LEFT JOIN dim1 d ON o.o_custkey = d.c_custkey),
+      |unk AS (
+      |  SELECT p.o_orderkey, coalesce(d.c_custkey, -1) AS backfilled_key
+      |  FROM pass1 p LEFT JOIN customer d ON p.o_custkey = d.c_custkey
+      |  WHERE p.dim_key = -1)
+      |SELECT p.o_orderpriority, count(*) AS n_facts,
+      |       CAST(count(*) FILTER (WHERE p.dim_key <> -1) AS BIGINT) AS matched_first,
+      |       CAST(count(*) FILTER (WHERE p.dim_key = -1 AND u.backfilled_key <> -1)
+      |            AS BIGINT) AS backfilled,
+      |       CAST(count(*) FILTER (WHERE p.dim_key = -1
+      |                              AND (u.backfilled_key IS NULL OR u.backfilled_key = -1))
+      |            AS BIGINT) AS still_unknown,
+      |       CAST(round(1e6 * CAST(count(*) - count(*) FILTER (WHERE p.dim_key <> -1) AS DOUBLE)
+      |                  / CAST(count(*) AS DOUBLE)) AS BIGINT) AS miss_ppm
+      |FROM pass1 p LEFT JOIN unk u ON p.o_orderkey = u.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_late_dim" -> (lateDim _),
     "etl_crypto_roundtrip" -> (cryptoRoundtrip _),
     "etl_scd3" -> (scd3 _),
     "etl_bitemporal" -> (bitemporal _),
@@ -712,6 +778,7 @@ object WarehouseEtl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_late_dim" -> lateDimSql,
     "etl_crypto_roundtrip" -> cryptoRoundtripSql,
     "etl_scd3" -> scd3Sql,
     "etl_bitemporal" -> bitemporalSql,

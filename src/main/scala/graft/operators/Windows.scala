@@ -366,7 +366,156 @@ object Windows {
        |FROM framed WHERE len(arr) = $medianFrame
        |ORDER BY 1""".stripMargin
 
+  /** RATIO-TO-REPORT — each nation's share of its region's revenue in
+    * ppm, the canonical "percent of parent" report (Oracle's
+    * RATIO_TO_REPORT, Snowflake's RATIO_TO_REPORT OVER). Revenue
+    * stays integer cents through the per-nation aggregation
+    * (broadcast dim joins: customer→nation→region are classic
+    * broadcast-hash joins, no fact shuffle beyond the one compact-key
+    * agg); the share is ONE double division per output row over the
+    * |nations|-row table. The region window runs over that bounded
+    * table, never over facts. */
+  def ratioToReport(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    rev
+      .withColumn("total", sum(col("cents")).over(Window.partitionBy(col("r_name"))))
+      .select(col("r_name"), col("n_name"), col("cents"),
+        round(lit(1e6) * col("cents").cast("double") / col("total").cast("double"))
+          .cast("long").as("share_ppm"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val ratioToReportSql: String =
+    """WITH rev AS (
+      |  SELECT r_name, n_name,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT r_name, n_name, cents,
+      |         CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS total
+      |  FROM rev)
+      |SELECT r_name, n_name, cents,
+      |       CAST(round(1e6 * CAST(cents AS DOUBLE) / CAST(total AS DOUBLE)) AS BIGINT)
+      |         AS share_ppm
+      |FROM w ORDER BY 1, 2""".stripMargin
+
+  /** PARETO FRONTIER (2-D skyline) per brand — the parts not
+    * dominated on (price ↓, size ↑) by any brand-mate: the cheapest
+    * part at every size level you can't beat. The quadratic
+    * NOT-EXISTS formulation collapses to ONE window pass: order by
+    * (price asc, size desc, key) and a row is on the frontier iff its
+    * size strictly exceeds the running max over all PRIOR rows —
+    * every prior row has price ≤ mine (and at equal price, size ≥
+    * mine by the sort), so "prior with size ≥ mine" IS domination;
+    * duplicates of an exact (price, size) point keep only the
+    * first-keyed row, the stated contract. All integer (cents, size),
+    * per-brand parallel, zero joins. */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("p_retailprice") * 100).cast("long")
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("cents"), col("p_size").desc, col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), cents.as("cents"),
+        col("p_size").cast("long").as("p_size"))
+      .withColumn("prev_max", max(col("p_size")).over(w))
+      .filter(col("prev_max").isNull || col("p_size") > col("prev_max"))
+      .select(col("p_brand"), col("p_partkey"), col("cents"), col("p_size"))
+      .orderBy(col("p_brand"), col("cents"), col("p_partkey"))
+  }
+
+  val paretoFrontierSql: String =
+    """WITH p AS (
+      |  SELECT p_brand, p_partkey,
+      |         CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+      |         CAST(p_size AS BIGINT) AS p_size
+      |  FROM part),
+      |w AS (
+      |  SELECT p_brand, p_partkey, cents, p_size,
+      |         max(p_size) OVER (PARTITION BY p_brand
+      |                           ORDER BY cents, p_size DESC, p_partkey
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS prev_max
+      |  FROM p)
+      |SELECT p_brand, p_partkey, cents, p_size
+      |FROM w WHERE prev_max IS NULL OR p_size > prev_max
+      |ORDER BY p_brand, cents, p_partkey""".stripMargin
+
+  /** LEAVE-ONE-OUT PEER Z-SCORE — each line item's quantity against
+    * the mean/stddev of the OTHER rows in its (returnflag, status)
+    * peer group, the outlier test that doesn't let the candidate
+    * contaminate its own baseline (at n→∞ plain z converges to it;
+    * in small groups the difference is the audit). No self-join AND
+    * no group-keyed window: the peer key has ~6 distinct values, so a
+    * `partitionBy` window would funnel the whole fact table through 6
+    * reducers (the weighted-median parallelism collapse — a first-cut
+    * window formulation measured 4.6× time at 10× rows; this
+    * broadcast rewrite re-measured ~1×). Instead the group's n, Σx,
+    * Σx² reduce map-side into a 6-row moment table that BROADCASTS
+    * back onto the scan — the leave-one-out moments are algebra on
+    * (n−1) — and the square sums ride DECIMAL(38,0)/HUGEINT per the
+    * overflow discipline. Output: top-20 by |z| via
+    * TakeOrderedAndProject (identical doubles both engines →
+    * identical order), keys as tiebreak. */
+  def peerZscore(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("x").cast("double")
+    val looMean = (col("s") - col("x")).cast("double") / (col("n") - lit(1))
+    val looVar = (col("ss") - col("x") * col("x")).cast("double") / (col("n") - lit(1)) -
+      looMean * looMean
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("x"))
+    val stats = rows.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("ss"))
+    rows.join(broadcast(stats), Seq("l_returnflag", "l_linestatus"))
+      .withColumn("z", (x - looMean) / sqrt(looVar))
+      .orderBy(abs(col("z")).desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), col("x").as("quantity"),
+        round(col("z"), 6).as("peer_z"))
+  }
+
+  val peerZscoreSql: String =
+    """WITH m AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+      |         CAST(l_quantity AS BIGINT) AS x,
+      |         CAST(count(*) OVER w AS BIGINT) AS n,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS s,
+      |         sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)) OVER w AS ss
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_returnflag, l_linestatus)),
+      |z AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, x,
+      |         (CAST(x AS DOUBLE) - CAST(s - x AS DOUBLE) / (n - 1))
+      |           / sqrt(CAST(ss - x * x AS DOUBLE) / (n - 1)
+      |                  - (CAST(s - x AS DOUBLE) / (n - 1)) * (CAST(s - x AS DOUBLE) / (n - 1)))
+      |           AS z
+      |  FROM m)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+      |       x AS quantity, round(z, 6) AS peer_z
+      |FROM z
+      |ORDER BY abs(z) DESC, l_orderkey, l_linenumber
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ratio_to_report" -> (ratioToReport _),
+    "win_pareto_frontier" -> (paretoFrontier _),
+    "win_peer_zscore" -> (peerZscore _),
     "win_moving_median" -> (movingMedian _),
     "win_distinct_count" -> (runningDistinct _),
     "win_streak" -> (longestStreak _),
@@ -381,6 +530,9 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_ratio_to_report" -> ratioToReportSql,
+    "win_pareto_frontier" -> paretoFrontierSql,
+    "win_peer_zscore" -> peerZscoreSql,
     "win_moving_median" -> movingMedianSql,
     "win_distinct_count" -> runningDistinctSql,
     "win_streak" -> longestStreakSql,

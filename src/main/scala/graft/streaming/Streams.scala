@@ -396,6 +396,45 @@ object Streams {
       |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** TOP-K PER TUMBLING WINDOW — the "trending now" query: per 6-hour
+    * window, the top-3 event types by count. Streaming mapping: the
+    * windowed count is a standard watermarked tumbling aggregation
+    * (append mode emits each window once it closes); the RANK is not
+    * expressible inside a streaming agg, so it runs on the emitted
+    * closed windows — a per-window-sized post-pass, the documented
+    * two-stage shape of every streaming top-k. The batch twin runs
+    * both stages in one plan; the rank filter compiles to the
+    * one-exchange WindowGroupLimit plan (no full sort of the agg
+    * table, the same physical shape as win_topk_per_group). */
+  def topkWindowBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("window"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("rank"), col("event_type"), col("cnt"))
+      .orderBy(col("win_start"), col("rank"))
+  }
+
+  val topkWindowBatchSql: String =
+    """WITH counts AS (
+      |  SELECT to_timestamp(epoch_ns(ts) // 21600000000000 * 21600) AS win, event_type,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT win, event_type, cnt,
+      |         CAST(row_number() OVER (PARTITION BY win
+      |                                 ORDER BY cnt DESC, event_type) AS BIGINT) AS rank
+      |  FROM counts)
+      |SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start, rank, event_type, cnt
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY 1, 2""".stripMargin
+
   /** Batch twin of slidingCounts: each event belongs to the windows
     * starting at trunc(ts) and trunc(ts)−1h. */
   def slidingBatch(spark: SparkSession, dir: String): DataFrame =
@@ -841,6 +880,7 @@ object Streams {
     "stream_cdc_upsert_batch" -> (cdcUpsertBatch _),
     "stream_interval_join_batch" -> (intervalJoinBatch _),
     "stream_tumbling_batch" -> (tumblingBatch _),
+    "stream_topk_window_batch" -> (topkWindowBatch _),
     "stream_sliding_batch" -> (slidingBatch _),
     "stream_dedup_batch" -> (dedupBatch _),
     "stream_session_batch" -> (sessionBatch _),
@@ -855,6 +895,7 @@ object Streams {
     "stream_cdc_upsert_batch" -> cdcUpsertBatchSql,
     "stream_interval_join_batch" -> intervalJoinBatchSql,
     "stream_tumbling_batch" -> tumblingBatchSql,
+    "stream_topk_window_batch" -> topkWindowBatchSql,
     "stream_sliding_batch" -> slidingBatchSql,
     "stream_dedup_batch" -> dedupBatchSql,
     "stream_session_batch" -> sessionBatchSql,

@@ -22,6 +22,7 @@ class RegistrySpec extends SparkSpec {
     ("Dedup", Dedup.queries, Dedup.oracle),
     ("CorpusOps", CorpusOps.queries, CorpusOps.oracle),
     ("Similarity", Similarity.queries, Similarity.oracle),
+    ("StatsOps", StatsOps.queries, StatsOps.oracle),
     ("TextAnalysis", TextAnalysis.queries, TextAnalysis.oracle),
     ("Multimodal", Multimodal.queries, Multimodal.oracle),
     ("TimeSeries", TimeSeries.queries, TimeSeries.oracle),

@@ -1,0 +1,251 @@
+package graft
+
+import graft.operators._
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-10 additions. Each test pins a
+  * property the DuckDB differential oracle cannot express — replays
+  * against independent driver-side computations, defining inequalities
+  * of the statistic (CMS never undercounts, a skyline row is
+  * undominated), and conservation laws (counts partition, shares sum
+  * to one). */
+class Round10OpsSpec extends SparkSpec {
+
+  test("gini: ppm matches a driver-side replay of the rank formula; bounds hold") {
+    val r = StatsOps.gini(spark, sf).collect()(0)
+    val (n, total, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val vals = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .collect().map(_.getLong(1)).sorted
+    assert(n === vals.length && total === vals.sum)
+    val s1 = vals.zipWithIndex.map { case (v, i) => BigInt(v) * (i + 1) }.sum
+    val want = (BigDecimal(2 * s1 - BigInt(n + 1) * BigInt(total)) /
+      (BigDecimal(n) * BigDecimal(total)) * 1e6).rounded.toLong
+    // the engine divides as doubles; allow 1 ulp of ppm slack
+    assert(math.abs(ppm - want) <= 1L)
+    assert(ppm >= 0L && ppm <= 1000000L)
+  }
+
+  test("mutual info: nonnegative, bounded by the smaller marginal entropy") {
+    val r = StatsOps.mutualInfo(spark, sf).collect()(0)
+    val (nDocs, nCells, mi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nDocs === Tables.documents(spark, sf).count())
+    assert(nCells >= 1L)
+    // quantization can push MI a hair below zero but no further
+    assert(mi >= -nCells)
+    if (!r.isNullAt(3)) {
+      val nmi = r.getLong(3)
+      assert(nmi >= -1L && nmi <= 1000001L) // NMI in [0,1] up to quantization
+    }
+  }
+
+  test("mann-whitney: doubled U matches a driver-side midrank replay") {
+    val r = StatsOps.mannWhitney(spark, sf).collect()(0)
+    val (n1, n2, u) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(round(col("value") * 100).cast("long"), col("event_type") === "click")
+      .collect().map(x => (x.getLong(0), x.getBoolean(1)))
+    assert(n1 === vals.count(_._2) && n2 === vals.count(!_._2))
+    // midranks over the pooled sample (doubled units keep ties integer)
+    val sorted = vals.sortBy(_._1)
+    val byVal = sorted.map(_._1).zipWithIndex.groupBy(_._1)
+    val rank2x = byVal.map { case (v, xs) =>
+      val pos = xs.map(_._2)
+      v -> (pos.min + pos.max + 2L) // 2*avg(1-based ranks) = min+max+2
+    }
+    val r1x = vals.filter(_._2).map(x => rank2x(x._1)).sum
+    val wantU = (r1x - n1 * (n1 + 1)).toDouble / 2
+    assert(u === wantU)
+    assert(u >= 0 && u <= n1.toDouble * n2)
+  }
+
+  test("cramers v: ppm within [0, 1e6]; chi2 replays from the contingency table") {
+    val r = StatsOps.cramersV(spark, sf).collect()(0)
+    val (n, chi2Micro, vPpm) = (r.getLong(0), r.getLong(2), r.getLong(3))
+    assert(n === Tables.orders(spark, sf).count())
+    assert(vPpm >= 0L && vPpm <= 1000000L)
+    val cells = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus")).count()
+      .collect().map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    val rt = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val ct = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val want = cells.map { case ((p, s), o) =>
+      val e = rt(p).toDouble * ct(s) / n
+      math.round(1e6 * (o - e) * (o - e) / e)
+    }.sum
+    assert(chi2Micro === want)
+  }
+
+  test("cms: estimates never undercount and the probe list is the true top-10") {
+    val rows = StatsOps.cmsTopK(spark, sf).collect()
+    assert(rows.length === 10)
+    for (r <- rows) {
+      val (t, e, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(e >= t)            // the defining CMS inequality
+      assert(over === e - t)
+    }
+    val wantTop = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey")).count()
+      .orderBy(col("count").desc, col("l_partkey")).limit(10)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === wantTop.toSeq)
+  }
+
+  test("theil-sen: slope equals the driver-side lower median of pairwise slopes") {
+    val r = StatsOps.theilSen(spark, sf).collect()(0)
+    val (m, slope) = (r.getLong(0), r.getDouble(1))
+    val series = Round9Fixtures.hourlySeries(spark, sf).sortBy(_._1)
+      .take(336).map(_._2)
+    val slopes = (for {
+      i <- series.indices; j <- (i + 1) until series.length
+    } yield (series(j) - series(i)).toDouble / (j - i)).sorted
+    assert(m === slopes.length)
+    val want = slopes(((m + 1) / 2 - 1).toInt) // lower median, 1-based -> 0-based
+    assert(math.abs(slope - want) <= 5e-7) // op rounds to 6 dp
+  }
+
+  test("ratio to report: shares within each region sum to one (ppm rounding slack)") {
+    val rows = Windows.ratioToReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    for ((region, grp) <- rows.groupBy(_._1)) {
+      val sumPpm = grp.map(_._3).sum
+      assert(math.abs(sumPpm - 1000000L) <= grp.length,
+        s"region $region shares sum to $sumPpm")
+      assert(grp.forall(g => g._3 >= 0 && g._3 <= 1000000L))
+    }
+  }
+
+  test("pareto frontier: rows are undominated and non-rows are dominated (per brand)") {
+    val frontier = Windows.paretoFrontier(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val all = Tables.part(spark, sf)
+      .select(col("p_brand"), col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long"), col("p_size").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def dominates(a: (String, Long, Long, Long), b: (String, Long, Long, Long)): Boolean =
+      a._3 <= b._3 && a._4 >= b._4 && (a._3 < b._3 || a._4 > b._4)
+    val fset = frontier.map(f => (f._1, f._2)).toSet
+    for (f <- frontier; o <- all if o._1 == f._1 && o._2 != f._2)
+      assert(!dominates(o, f) ||
+        // exact-duplicate (price,size) points: first key wins by contract
+        (o._3 == f._3 && o._4 == f._4 && o._2 > f._2),
+        s"$o dominates frontier row $f")
+    for (o <- all if !fset.contains((o._1, o._2)))
+      assert(all.exists(a => a._1 == o._1 && a._2 != o._2 &&
+        (dominates(a, o) || (a._3 == o._3 && a._4 == o._4 && a._2 < o._2))),
+        s"non-frontier $o is undominated")
+  }
+
+  test("peer z-score: top row replays from its group's leave-one-out moments") {
+    val top = Windows.peerZscore(spark, sf).collect()(0)
+    val (rf, ls, x, z) =
+      (top.getString(2), top.getString(3), top.getLong(4), top.getDouble(5))
+    val grp = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === rf && col("l_linestatus") === ls)
+      .select(col("l_quantity").cast("long")).collect().map(_.getLong(0))
+    val n = grp.length
+    val others = BigInt(grp.sum) - x
+    val looMean = others.toDouble / (n - 1)
+    val ss = grp.map(v => BigInt(v) * v).sum - BigInt(x) * x
+    val looVar = ss.toDouble / (n - 1) - looMean * looMean
+    val want = (x - looMean) / math.sqrt(looVar)
+    assert(math.abs(z - want) <= 5e-7)
+  }
+
+  test("edit-distance join: exactly the brute-force distance<=1 pairs, first 20") {
+    val got = Joins.editDistanceJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val names = Tables.customer(spark, sf).select(col("c_name")).collect()
+      .map(_.getString(0)).sorted
+    def dist1(a: String, b: String): Boolean =
+      a.length == b.length && a.zip(b).count { case (x, y) => x != y } == 1
+    val want = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+      if dist1(names(i), names(j))
+    } yield (names(i), names(j), 1L)).sorted.take(20)
+    assert(got.toSeq === want)
+  }
+
+  test("readability: formula replays from the reported integer sums") {
+    val rows = TextAnalysis.readability(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
+    for (r <- rows) {
+      val (w, s, y, milli) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(w > 0 && s > 0 && y > 0)
+      val want = math.round(1000.0 *
+        (206.835 - 1.015 * w.toDouble / s - 84.6 * y.toDouble / w))
+      assert(milli === want)
+    }
+  }
+
+  test("vector arith: sources excluded, ranks dense, top-1 replays in the driver") {
+    val rows = Similarity.vectorArith(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === (1L to 5L))
+    assert(rows.forall(r => !Set(0L, 1L, 2L).contains(r._2)))
+    assert(rows.forall(r => r._3 >= -1.000001 && r._3 <= 1.000001))
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = emb(0L).indices.map(i => emb(0L)(i) - emb(1L)(i) + emb(2L)(i)).toArray
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      s / math.sqrt(na * nb)
+    }
+    val want = emb.keys.filterNot(Set(0L, 1L, 2L)).toSeq
+      .map(id => (cos(q, emb(id)), id)).sortBy { case (c, id) => (-c, id) }.head._2
+    assert(rows(0)._2 === want)
+  }
+
+  test("bipartite projection: weights bounded by degrees, jaccard replays") {
+    val rows = GraphOps.bipartiteProject(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val deg = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((a, b, w, j) <- rows) {
+      assert(a < b && w >= 1)
+      assert(w <= math.min(deg(a), deg(b)))
+      assert(j === math.round(1e6 * w.toDouble / (deg(a) + deg(b) - w)))
+    }
+    // descending weight with keyed tiebreak
+    assert(rows.sortBy(r => (-r._3, r._1, r._2)).toSeq === rows.toSeq)
+  }
+
+  test("late dim: counts partition the facts; backfill completes the dimension") {
+    val rows = WarehouseEtl.lateDim(spark, sf).collect()
+    val facts = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === facts)
+    for (r <- rows) {
+      val (n, m, bf, unk) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(m + bf + unk === n) // every fact lands in exactly one bucket
+      assert(unk === 0L)         // load 2 completes the dimension
+    }
+    val lateFacts = Tables.orders(spark, sf)
+      .filter(col("o_custkey") % 97 === 0).count()
+    assert(rows.map(_.getLong(3)).sum === lateFacts)
+  }
+
+  test("windowed top-k: ranks dense, counts non-increasing, bounded by window total") {
+    val rows = Streams.topkWindowBatch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val totals = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type")).count()
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"), col("count"))
+      .collect().groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getLong(1)).sum }
+    for ((win, grp0) <- rows.groupBy(_._1)) {
+      val grp = grp0.sortBy(_._2)
+      assert(grp.map(_._2).toSeq === (1L to grp.length))
+      assert(grp.length <= 3)
+      // counts non-increasing down the ranks
+      assert(grp.map(_._4).toSeq === grp.map(_._4).sortBy(-_).toSeq)
+      assert(grp.map(_._4).sum <= totals(win))
+    }
+  }
+}
