@@ -422,7 +422,18 @@ object ScaleProbe {
       // vector-arith retrieval: 1-row broadcast compose + the
       // brute-force cosine scan — time must track the embedding scan
       ("vector_arith_scan", () =>
-        graft.operators.Similarity.vectorArith(spark, dir).count())
+        graft.operators.Similarity.vectorArith(spark, dir).count()),
+      // Benford census: one compact digit agg — pure scan cost
+      ("benford_digits", () =>
+        graft.operators.StatsOps.benford(spark, dir).count()),
+      // periodogram: three window-free aggs over the calendar-bounded
+      // hourly series — 10x events must cost ~the hourly-count scan
+      ("periodogram_dft", () =>
+        graft.operators.TimeSeries.periodogram(spark, dir).count()),
+      // segment migration: two per-customer aggs + customer-sized
+      // ntile windows (the rfm trade) — 10x orders must cost ~scan
+      ("segment_migration", () =>
+        graft.operators.Analytics.segmentMigration(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

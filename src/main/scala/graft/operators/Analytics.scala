@@ -561,6 +561,63 @@ object Analytics {
     * map-only bucketing), trading exact quintile balance for a fully
     * parallel plan. The same note covers [[pareto]]'s global
     * row_number/ntile. */
+  /** SEGMENT MIGRATION matrix — the retention slide after [[rfm]]'s
+    * snapshot: split the order history at its midpoint instant
+    * (integer epoch-second arithmetic — exact, replayable, no
+    * wall-clock), quintile each customer's spend WITHIN each half
+    * (ntile over spenders in that half, keys as tie-break), and
+    * census the 5×5 transition matrix plus the two boundary columns —
+    * NEW (absent → segment) and CHURNED (segment → absent) — as
+    * segment 0. The decision-grade artifact is the flow, not either
+    * snapshot. Scale: two compact per-customer aggs off one scan; the
+    * ntile windows run over the customer-sized half tables (the rfm
+    * trade, documented there); the join is customer-keyed, full
+    * outer so neither boundary column is silently dropped — the
+    * audit discipline. */
+  def segmentMigration(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.orders(spark, dir)
+      .agg(expr("(min(unix_timestamp(o_orderdate)) + max(unix_timestamp(o_orderdate))) div 2")
+        .as("mid"))
+    val spend = Tables.orders(spark, dir).crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(expr("unix_timestamp(o_orderdate)") < col("mid"), 1).otherwise(2))
+      .groupBy(col("o_custkey"), col("half"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    def seg(h: Int, name: String) = spend.filter(col("half") === h)
+      .withColumn(name, ntile(5).over(
+        Window.orderBy(col("cents").desc, col("o_custkey"))).cast("long"))
+      .select(col("o_custkey"), col(name))
+    seg(1, "seg_from").join(seg(2, "seg_to"), Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("seg_from"), lit(0L)).as("seg_from"),
+        coalesce(col("seg_to"), lit(0L)).as("seg_to"))
+      .groupBy(col("seg_from"), col("seg_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("seg_from"), col("seg_to"))
+  }
+
+  val segmentMigrationSql: String =
+    """WITH bounds AS (
+      |  SELECT (min(epoch_ns(o_orderdate) // 1000000000)
+      |          + max(epoch_ns(o_orderdate) // 1000000000)) // 2 AS mid
+      |  FROM orders),
+      |spend AS (
+      |  SELECT o_custkey,
+      |         CASE WHEN epoch_ns(o_orderdate) // 1000000000 < mid THEN 1 ELSE 2 END AS half,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders, bounds GROUP BY 1, 2),
+      |s1 AS (
+      |  SELECT o_custkey, CAST(ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+      |           AS seg_from
+      |  FROM spend WHERE half = 1),
+      |s2 AS (
+      |  SELECT o_custkey, CAST(ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+      |           AS seg_to
+      |  FROM spend WHERE half = 2)
+      |SELECT coalesce(seg_from, 0) AS seg_from, coalesce(seg_to, 0) AS seg_to,
+      |       count(*) AS n_customers
+      |FROM s1 FULL OUTER JOIN s2 USING (o_custkey)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
@@ -830,6 +887,7 @@ object Analytics {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_top_paths" -> (topPaths _),
     "q_new_vs_returning" -> (newVsReturning _),
+    "q_segment_migration" -> (segmentMigration _),
     "q_rfm" -> (rfm _),
     "q_pareto" -> (pareto _),
     "q_survival" -> (survival _),
@@ -852,6 +910,7 @@ object Analytics {
   def oracle: Map[String, String] = Map(
     "q_top_paths" -> topPathsSql,
     "q_new_vs_returning" -> newVsReturningSql,
+    "q_segment_migration" -> segmentMigrationSql,
     "q_rfm" -> rfmSql,
     "q_pareto" -> paretoSql,
     "q_survival" -> survivalSql,

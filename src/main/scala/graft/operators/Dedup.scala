@@ -633,13 +633,18 @@ object Dedup {
     * losslessness against brute-force all-pairs; the oracle replays
     * the same prefix pipeline.
     *
-    * Measured trade note: the PPJoin refinement (shorter asymmetric
-    * INDEXING prefix n − ⌈2t/(1+t)·n⌉ + 1 on the smaller side) was
-    * implemented and benchmarked — it was SLOWER at both sf0.1
-    * (4.5 s vs 3.7 s) and 10× (27 s vs 12 s) on this corpus: the
-    * role-splitting join condition costs more than the candidate
-    * reduction saves when verification is a cheap long-array
-    * intersect. The symmetric AllPairs prefix is kept on evidence. */
+    * Measured trade notes (both variants A/B'd interleaved, min-of-3,
+    * identical outputs):
+    *  - the asymmetric INDEXING prefix n − ⌈2t/(1+t)·n⌉ + 1 on the
+    *    smaller side was SLOWER at both sf0.1 (4.5 vs 3.7 s) and 10×
+    *    (27 vs 12 s): the role-splitting join condition costs more
+    *    than the candidate reduction saves when verification is a
+    *    cheap long-array intersect. REVERTED on evidence.
+    *  - the POSITIONAL filter (the join-condition bound below) is
+    *    FASTER at both scales — sf0.1 3.36 → 2.75 s, 10× replica
+    *    15.0 → 6.5 s (2.3×) — because it kills candidate-pair mass
+    *    before the DISTINCT + verify joins, exactly where the 10×
+    *    cost concentrated. KEPT on evidence (round-10). */
   def ppjoin(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.5
     // the set basis is the HASHED SHINGLE set: 3-gram shingles (like
@@ -670,10 +675,22 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(wn))
       .withColumn("rk", row_number().over(wd))
       .where(col("rk") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("doc_id"), col("n"), col("term"))
+      .select(col("doc_id"), col("n"), col("term"), col("rk"))
+    // POSITIONAL filter (PPJoin's second lossless prune, added on the
+    // round-8 review's direction and KEPT on measurement — see the
+    // docstring's trade note): every token common to both docs sits at
+    // position ≥ rk in each doc's shared (df, term) order once (rk_x,
+    // rk_y) is a match, so overlap ≤ 1 + min(n_a−rk_a, n_b−rk_b); a
+    // match below the J ≥ t overlap threshold α = ⌈t/(1+t)·(n_a+n_b)⌉
+    // cannot certify the pair. A TRUE pair's FIRST shared prefix token
+    // always passes the bound (all o common tokens lie at ≥ that
+    // match's positions), so pruning the failing matches before the
+    // DISTINCT loses nothing — it only removes duplicate certificates.
     val cand = pre.as("x").join(pre.as("y"),
         col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id") &&
-          col("y.n") >= col("x.n") * t && col("x.n") >= col("y.n") * t)
+          col("y.n") >= col("x.n") * t && col("x.n") >= col("y.n") * t &&
+          lit(1) + least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk")) >=
+            ceil((col("x.n") + col("y.n")) * lit(t / (1 + t))))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
     val sets = docs.select(col("doc_id"), col("toks0"),
       size(col("toks0")).cast("long").as("n"))
@@ -697,7 +714,7 @@ object Dedup {
       |tf AS (SELECT doc_id, unnest(toks0) AS term FROM docs),
       |freq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       |pre AS (
-      |  SELECT doc_id, n, term FROM (
+      |  SELECT doc_id, n, term, rk FROM (
       |    SELECT tf.doc_id, tf.term,
       |           CAST(count(*) OVER (PARTITION BY tf.doc_id) AS BIGINT) AS n,
       |           row_number() OVER (PARTITION BY tf.doc_id
@@ -708,7 +725,9 @@ object Dedup {
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       |  FROM pre x JOIN pre y
       |    ON x.term = y.term AND x.doc_id < y.doc_id
-      |   AND y.n >= x.n * 0.5 AND x.n >= y.n * 0.5),
+      |   AND y.n >= x.n * 0.5 AND x.n >= y.n * 0.5
+      |   AND 1 + least(x.n - x.rk, y.n - y.rk) >=
+      |       ceil((x.n + y.n) * ${0.5 / 1.5})),
       |sets AS (SELECT doc_id, toks0, CAST(len(toks0) AS BIGINT) AS n FROM docs)
       |SELECT doc_a, doc_b, round(jac_raw, 4) AS jac
       |FROM (

@@ -358,6 +358,53 @@ object StatsOps {
        |ORDER BY p.true_cnt DESC, p.l_partkey""".stripMargin
 
   // ---------------------------------------------------------------
+  // Benford first-digit audit
+  // ---------------------------------------------------------------
+
+  /** BENFORD'S-LAW first-digit audit — the fraud/synthetic-data
+    * screen a data-quality pass runs over money columns: naturally
+    * occurring amounts put digit d first with probability
+    * log₁₀(1+1/d); fabricated or truncated feeds don't. The digit is
+    * taken from the DECIMAL STRING of integer cents (never from
+    * floor(log10) — log10(1000) can evaluate 2.999…→ floor 2, the
+    * classic exactness trap), so the census is pure integers; the
+    * expected ppm per digit is log₁₀ of a 9-value constant table
+    * (identical doubles both engines), and the deviation is one
+    * quantized expression per digit row. One compact-key (digit)
+    * map-side-combinable agg. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val digits = Tables.orders(spark, dir)
+      .filter(cents > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+    digits
+      .select(col("digit"), col("n"),
+        round(lit(1e6) * col("n").cast("double") / col("total")).cast("long")
+          .as("obs_ppm"),
+        round(lit(1e6) * log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+          .cast("long").as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+      |                        1, 1) AS BIGINT) AS digit
+      |  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+      |c AS (
+      |  SELECT digit, count(*) AS n, CAST(sum(count(*)) OVER () AS BIGINT) AS total
+      |  FROM d GROUP BY 1)
+      |SELECT digit, n,
+      |       CAST(round(1e6 * CAST(n AS DOUBLE) / total) AS BIGINT) AS obs_ppm,
+      |       CAST(round(1e6 * log10(1.0 + 1.0 / digit)) AS BIGINT) AS exp_ppm,
+      |       CAST(round(1e6 * CAST(n AS DOUBLE) / total) AS BIGINT)
+      |         - CAST(round(1e6 * log10(1.0 + 1.0 / digit)) AS BIGINT) AS dev_ppm
+      |FROM c ORDER BY digit""".stripMargin
+
+  // ---------------------------------------------------------------
   // Theil–Sen robust slope
   // ---------------------------------------------------------------
 
@@ -418,6 +465,7 @@ object StatsOps {
     "agg_mann_whitney" -> (mannWhitney _),
     "agg_cramers_v" -> (cramersV _),
     "agg_cms_topk" -> (cmsTopK _),
+    "agg_benford" -> (benford _),
     "ts_theil_sen" -> (theilSen _)
   )
 
@@ -427,6 +475,7 @@ object StatsOps {
     "agg_mann_whitney" -> mannWhitneySql,
     "agg_cramers_v" -> cramersVSql,
     "agg_cms_topk" -> cmsTopKSql,
+    "agg_benford" -> benfordSql,
     "ts_theil_sen" -> theilSenSql
   )
 }

@@ -670,7 +670,71 @@ object TimeSeries {
        |SELECT strftime(bin, '%Y-%m-%d %H:%M:%S') AS bin_ts, n, CAST(s AS BIGINT) AS cusum
        |FROM s ORDER BY s DESC, bin LIMIT 5""".stripMargin
 
+  /** PERIODOGRAM at candidate seasonal periods (12 h / 24 h / 168 h) —
+    * the frequency-domain seasonality detector beside [[acf]]'s
+    * lag-domain one: normalized DFT power P(ω) = (a²+b²)/(N·Σx̃²)
+    * ∈ [0,1] for the mean-centered hourly series, where a = Σx̃·cosωt
+    * and b = Σx̃·sinωt. Parity discipline: the mean is the exact
+    * integer-rational S/C (one double division, identical), each
+    * cos/sin term quantizes to a micro-unit integer ONCE (the ln
+    * contract extended to the trig family — identical doubles into
+    * cos), the three sums ride DECIMAL(38,0)/HUGEINT, and the final
+    * ratio is one double expression in ppm. Scale: the series is
+    * calendar-bounded; per period one window-free aggregation over
+    * it — the data-sized stage remains the hourly count. */
+  def periodogram(spark: SparkSession, dir: String): DataFrame = {
+    val series = hourlyCounts(spark, dir)
+    val lo = series.agg(min(col("bin")).as("lo"),
+      sum(col("n")).as("s"), count(lit(1)).as("c"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val periods = Seq(12, 24, 168)
+    val base = series.crossJoin(broadcast(lo))
+      .select(expr("(unix_micros(bin) - unix_micros(lo)) div 3600000000").as("t"),
+        (col("n").cast("double") - col("s").cast("double") / col("c")).as("xc"))
+    val rows = periods.map { p =>
+      val theta = lit(2.0 * math.Pi) * col("t").cast("double") / p
+      base
+        .select(round(lit(1e6) * col("xc") * cos(theta)).cast("long").as("ca"),
+          round(lit(1e6) * col("xc") * sin(theta)).cast("long").as("cb"),
+          round(lit(1e6) * col("xc") * col("xc")).cast("long").as("cs"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(dec(col("ca"))).as("a"), sum(dec(col("cb"))).as("b"),
+          sum(dec(col("cs"))).as("s2"))
+        .select(lit(p.toLong).as("period_hours"), col("n_bins"),
+          round(lit(1e6) *
+            (col("a").cast("double") * col("a").cast("double") +
+              col("b").cast("double") * col("b").cast("double")) /
+            (col("n_bins").cast("double") * col("s2").cast("double") * 1e6))
+            .cast("long").as("power_ppm"))
+    }
+    rows.reduce(_ union _).orderBy(col("period_hours"))
+  }
+
+  val periodogramSql: String = {
+    val one = (p: Int) =>
+      s"""SELECT CAST($p AS BIGINT) AS period_hours, count(*) AS n_bins,
+         |       CAST(round(1e6 *
+         |              (CAST(sum(CAST(round(1e6 * xc * cos(2 * pi() * t / $p)) AS BIGINT)) AS DOUBLE)
+         |               * CAST(sum(CAST(round(1e6 * xc * cos(2 * pi() * t / $p)) AS BIGINT)) AS DOUBLE)
+         |               + CAST(sum(CAST(round(1e6 * xc * sin(2 * pi() * t / $p)) AS BIGINT)) AS DOUBLE)
+         |                 * CAST(sum(CAST(round(1e6 * xc * sin(2 * pi() * t / $p)) AS BIGINT)) AS DOUBLE))
+         |              / (CAST(count(*) AS DOUBLE)
+         |                 * CAST(sum(CAST(round(1e6 * xc * xc) AS BIGINT)) AS DOUBLE) * 1e6))
+         |            AS BIGINT) AS power_ppm
+         |FROM base""".stripMargin
+    s"""WITH $hourlyCountsSql,
+       |agg_ AS (SELECT min(bin) AS lo, sum(n) AS s, count(*) AS c FROM series),
+       |base AS (
+       |  SELECT (epoch_ns(bin) - epoch_ns(lo)) // 3600000000000 AS t,
+       |         CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / c AS xc
+       |  FROM series, agg_)
+       |SELECT period_hours, n_bins, power_ppm FROM (
+       |${Seq(12, 24, 168).map(one).mkString("\nUNION ALL\n")})
+       |ORDER BY period_hours""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_periodogram" -> (periodogram _),
     "ts_cusum" -> (cusum _),
     "ts_rolling_corr" -> (rollingCorr _),
     "ts_yoy_growth" -> (yoyGrowth _),
@@ -686,6 +750,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_periodogram" -> periodogramSql,
     "ts_cusum" -> cusumSql,
     "ts_rolling_corr" -> rollingCorrSql,
     "ts_yoy_growth" -> yoyGrowthSql,

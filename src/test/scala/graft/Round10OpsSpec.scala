@@ -232,6 +232,53 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum === lateFacts)
   }
 
+  test("benford: digits partition the rows; expected ppm replays log10; dev is the gap") {
+    val rows = StatsOps.benford(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet.subsetOf((1L to 9L).toSet))
+    val total = Tables.orders(spark, sf)
+      .filter(round(col("o_totalprice") * 100) > 0).count()
+    assert(rows.map(_._2).sum === total)
+    assert(math.abs(rows.map(_._3).sum - 1000000L) <= rows.length)
+    for ((d, _, obs, exp, dev) <- rows) {
+      assert(exp === math.round(1e6 * math.log10(1.0 + 1.0 / d)))
+      assert(dev === obs - exp)
+    }
+  }
+
+  test("periodogram: power replays from a driver-side DFT at each candidate period") {
+    val rows = TimeSeries.periodogram(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(12L, 24L, 168L))
+    val series = Round9Fixtures.hourlySeries(spark, sf).sortBy(_._1).map(_._2)
+    val mean = series.sum.toDouble / series.length
+    for (r <- rows) {
+      val p = r.getLong(0)
+      var a = 0L; var b = 0L; var s2 = 0L
+      for ((n, t) <- series.zipWithIndex) {
+        val xc = n - mean
+        val th = 2.0 * math.Pi * t / p
+        a += math.round(1e6 * xc * math.cos(th))
+        b += math.round(1e6 * xc * math.sin(th))
+        s2 += math.round(1e6 * xc * xc)
+      }
+      val want = math.round(1e6 *
+        (a.toDouble * a + b.toDouble * b) / (series.length.toDouble * s2 * 1e6))
+      assert(r.getLong(2) === want)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000001L)
+    }
+  }
+
+  test("segment migration: flows partition the spender population; boundaries real") {
+    val rows = Analytics.segmentMigration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!rows.exists(r => r._1 == 0 && r._2 == 0)) // (absent, absent) impossible
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 5 && r._2 >= 0 && r._2 <= 5))
+    // flows partition the customers active in either half
+    val activeEither = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._3).sum === activeEither)
+  }
+
   test("windowed top-k: ranks dense, counts non-increasing, bounded by window total") {
     val rows = Streams.topkWindowBatch(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
