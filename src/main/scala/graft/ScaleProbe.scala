@@ -433,7 +433,23 @@ object ScaleProbe {
       // segment migration: two per-customer aggs + customer-sized
       // ntile windows (the rfm trade) — 10x orders must cost ~scan
       ("segment_migration", () =>
-        graft.operators.Analytics.segmentMigration(spark, dir).count())
+        graft.operators.Analytics.segmentMigration(spark, dir).count()),
+      // HDR sketch: compact (e,sb) census (<= ~26*16 cells) + the
+      // exact distinct-cents twin — both histogram-priced, ~scan
+      ("hdr_percentiles", () =>
+        graft.operators.StatsOps.hdrPercentiles(spark, dir).count()),
+      // CDC chunking: one shingle-hash scan + doc-keyed flag window —
+      // 10x docs must cost ~linearly (the sessionize shape)
+      ("cdc_chunking", () =>
+        graft.operators.Dedup.cdcChunking(spark, dir).count()),
+      // STL: two calendar-bounded windows + a 24-row profile join —
+      // cost must track the hourly-count scan
+      ("stl_decompose", () =>
+        graft.operators.TimeSeries.stlDecompose(spark, dir).count()),
+      // RAKE: stoplist is a capped top-20 agg, islands a doc-keyed
+      // window, scores two compact-key aggs — ~token-linear
+      ("rake_keywords", () =>
+        graft.operators.TextAnalysis.rakeKeywords(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

@@ -807,7 +807,71 @@ object Dedup {
       |       min(doc_id) AS keeper_doc
       |FROM canon GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
 
+  /** CONTENT-DEFINED CHUNKING census — the storage-dedup primitive
+    * (LBFS/rsync/casync lineage, all public): chunk boundaries are
+    * declared wherever the rolling content hash satisfies
+    * h ≡ 0 (mod 64), so an insertion early in a document only moves
+    * the boundaries NEAR it — unlike fixed-width chunking, where one
+    * shifted byte re-chunks everything after it. Here the rolling
+    * window is the 3-gram shingle stream the dedup family already
+    * hashes (one md5 per shingle, reused), the boundary flag is a
+    * map-only modulus, and chunk ids are a per-doc running sum of
+    * flags (one doc-keyed window — parallel across docs, the
+    * sessionize shape). The census reports corpus totals plus the
+    * OBSERVED boundary rate vs the theoretical 1/64 = 15 625 ppm —
+    * the hash-quality audit. */
+  def cdcChunking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(shingles(col("text"))).as(Seq("pos", "sh")))
+      .withColumn("h", conv(substring(md5(col("sh").cast("binary")), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("boundary", (pmod(col("h"), lit(64)) === 0).cast("long"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = docs
+      .withColumn("chunk", lit(1) + sum(col("boundary")).over(byDoc) - col("boundary"))
+      .groupBy(col("doc_id"), col("chunk")).agg(count(lit(1)).as("toks"))
+    val perDoc = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("toks")).as("toks"))
+    perDoc.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("toks")).as("n_shingles"))
+      .select(col("n_docs"), col("n_chunks"), col("n_shingles"),
+        expr("(1000 * n_shingles) div n_chunks").as("avg_chunk_toks_milli"),
+        round(lit(1e6) * (col("n_chunks") - col("n_docs")).cast("double") /
+          col("n_shingles").cast("double")).cast("long").as("boundary_ppm"))
+  }
+
+  val cdcChunkingSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSqlFragment AS shs
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)),
+       |toks AS (
+       |  SELECT doc_id, i AS pos,
+       |         CASE WHEN ('0x' || substring(md5(shs[i+1]), 1, 8))::BIGINT % 64 = 0
+       |              THEN 1 ELSE 0 END AS boundary
+       |  FROM (SELECT doc_id, shs, unnest(range(len(shs))) AS i FROM sh)),
+       |chunked AS (
+       |  SELECT doc_id,
+       |         1 + sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+       |                                 ROWS UNBOUNDED PRECEDING) - boundary AS chunk
+       |  FROM toks),
+       |chunks AS (
+       |  SELECT doc_id, chunk, count(*) AS toks FROM chunked GROUP BY 1, 2),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_chunks, sum(toks) AS toks
+       |  FROM chunks GROUP BY 1)
+       |SELECT count(*) AS n_docs,
+       |       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       |       CAST(sum(toks) AS BIGINT) AS n_shingles,
+       |       CAST((1000 * sum(toks)) // sum(n_chunks) AS BIGINT) AS avg_chunk_toks_milli,
+       |       CAST(round(1e6 * CAST(sum(n_chunks) - count(*) AS DOUBLE)
+       |                  / CAST(sum(toks) AS DOUBLE)) AS BIGINT) AS boundary_ppm
+       |FROM perdoc""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> (cdcChunking _),
     "dedup_url" -> (urlDedup _),
     "dedup_ppjoin" -> (ppjoin _),
     "dedup_cluster_census" -> (clusterCensus _),
@@ -833,6 +897,7 @@ object Dedup {
     "dedup_cluster_census" -> clusterCensusSql,
     "dedup_band_recall" -> bandRecallSql,
     "dedup_containment" -> containmentSql,
+    "dedup_cdc_chunks" -> cdcChunkingSql,
     "dedup_exact" -> exactDedupSql,
     "dedup_exact_stats" -> exactDedupStatsSql,
     "dedup_minhash_lsh" -> minhashLshSql,

@@ -358,6 +358,94 @@ object StatsOps {
        |ORDER BY p.true_cnt DESC, p.l_partkey""".stripMargin
 
   // ---------------------------------------------------------------
+  // HDR-histogram percentiles
+  // ---------------------------------------------------------------
+
+  /** HDR-HISTOGRAM percentiles with an error audit — the MERGEABLE
+    * percentile sketch (HdrHistogram's public bucketing: a power-of-2
+    * exponent × 16 linear sub-buckets, relative error ≤ 1/16 by
+    * construction) beside the exact path: p50/p95/p99 of order value
+    * cents estimated from the bounded bucket table AND computed
+    * exactly from the value histogram, with the relative error in ppm
+    * — approximation audited against truth, the recall@k discipline
+    * applied to percentiles. The exponent comes from the BINARY
+    * STRING length (never floor(log2) — the power-of-2 boundary
+    * trap), so bucketing is pure integer arithmetic; the sketch is
+    * one compact-key agg (≤ ~26·16 cells however big the corpus) and
+    * merges by addition across partitions/days. */
+  def hdrPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val vals = Tables.orders(spark, dir).filter(cents > 0)
+      .select(cents.as("v"))
+    // sketch side: (e, sb) bucket census with exact lower bounds
+    val bucketed = vals
+      .withColumn("e", (length(bin(col("v"))) - 1).cast("long"))
+      .withColumn("sb",
+        expr("(v * 16) div shiftleft(cast(1 as bigint), cast(e as int)) - 16"))
+      .groupBy(col("e"), col("sb")).agg(count(lit(1)).as("c"))
+      .withColumn("lo",
+        expr("shiftleft(cast(1 as bigint), cast(e as int)) * (16 + sb) div 16"))
+    val cumB = Window.orderBy(col("e"), col("sb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sketched = bucketed
+      .withColumn("cum", sum(col("c")).over(cumB))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    // exact side: the distinct-value histogram (weighted-median shape)
+    val exact = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val ps = Seq(50L, 95L, 99L)
+    val rows = ps.map { p =>
+      // rank = ceil(p/100 * n) in exact integers: (p*n + 99) div 100
+      val est = sketched.filter(col("cum") >= expr(s"($p * n + 99) div 100"))
+        .orderBy(col("e"), col("sb")).limit(1)
+        .select(lit(p).as("pct"), col("lo").as("est_cents"))
+      val tru = exact.filter(col("cum") >= expr(s"($p * n + 99) div 100"))
+        .orderBy(col("v")).limit(1)
+        .select(lit(p).as("pct"), col("v").as("exact_cents"))
+      est.join(tru, "pct")
+    }
+    rows.reduce(_ union _)
+      .select(col("pct"), col("est_cents"), col("exact_cents"),
+        round(lit(1e6) * (col("est_cents") - col("exact_cents")).cast("double") /
+          col("exact_cents").cast("double")).cast("long").as("rel_err_ppm"))
+      .orderBy(col("pct"))
+  }
+
+  val hdrPercentilesSql: String = {
+    val one = (p: Long) =>
+      s"""SELECT $p AS pct,
+         |  (SELECT lo FROM sk WHERE cum >= ($p * n + 99) // 100
+         |   ORDER BY e, sb LIMIT 1) AS est_cents,
+         |  (SELECT v FROM ex WHERE cum >= ($p * n + 99) // 100
+         |   ORDER BY v LIMIT 1) AS exact_cents""".stripMargin
+    s"""WITH vals AS (
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+       |  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+       |b AS (
+       |  SELECT e, (v * 16) // (1 << e) - 16 AS sb, count(*) AS c
+       |  FROM (SELECT v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM vals)
+       |  GROUP BY 1, 2),
+       |sk AS (
+       |  SELECT e, sb, (1 << e) * (16 + sb) // 16 AS lo,
+       |         sum(c) OVER (ORDER BY e, sb ROWS UNBOUNDED PRECEDING) AS cum,
+       |         CAST(sum(c) OVER () AS BIGINT) AS n
+       |  FROM b),
+       |ex AS (
+       |  SELECT v,
+       |         sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+       |         CAST(sum(c) OVER () AS BIGINT) AS n
+       |  FROM (SELECT v, count(*) AS c FROM vals GROUP BY 1))
+       |SELECT pct, CAST(est_cents AS BIGINT) AS est_cents,
+       |       CAST(exact_cents AS BIGINT) AS exact_cents,
+       |       CAST(round(1e6 * CAST(est_cents - exact_cents AS DOUBLE)
+       |                  / CAST(exact_cents AS DOUBLE)) AS BIGINT) AS rel_err_ppm
+       |FROM (${Seq(50L, 95L, 99L).map(one).mkString("\nUNION ALL\n")})
+       |ORDER BY pct""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // Benford first-digit audit
   // ---------------------------------------------------------------
 
@@ -466,6 +554,7 @@ object StatsOps {
     "agg_cramers_v" -> (cramersV _),
     "agg_cms_topk" -> (cmsTopK _),
     "agg_benford" -> (benford _),
+    "agg_hdr_percentiles" -> (hdrPercentiles _),
     "ts_theil_sen" -> (theilSen _)
   )
 
@@ -476,6 +565,7 @@ object StatsOps {
     "agg_cramers_v" -> cramersVSql,
     "agg_cms_topk" -> cmsTopKSql,
     "agg_benford" -> benfordSql,
+    "agg_hdr_percentiles" -> hdrPercentilesSql,
     "ts_theil_sen" -> theilSenSql
   )
 }

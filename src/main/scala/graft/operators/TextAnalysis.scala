@@ -654,7 +654,103 @@ object TextAnalysis {
       |            AS BIGINT) AS flesch_milli
       |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** RAKE KEYWORD EXTRACTION (Rose et al. 2010, public) — candidate
+    * phrases are maximal runs of non-stopword tokens, scored by
+    * Σ deg(w)/freq(w) over their words. Two pipeline choices adapt it
+    * to corpus scale: the stoplist is CORPUS-DERIVED (the top-20
+    * document-frequency terms — no hand-curated language list, the
+    * same data-derived-model discipline as the BPE/DSIR family), and
+    * phrases cap at 5 tokens with the overflow COUNTED, not silent
+    * (the audited-drops discipline). Runs come from the
+    * gaps-and-islands window per doc (sessionize shape, parallel
+    * across docs); word stats are two compact-key aggs; the per-word
+    * score quantizes to milli units so phrase scores are exact
+    * integer sums. Top-10 phrases, keyed tie-break. */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val stop = words.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(20)
+      .select(col("w"), lit(true).as("is_stop"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = words.join(broadcast(stop), Seq("w"), "left")
+      .withColumn("stop_flag", coalesce(col("is_stop"), lit(false)).cast("long"))
+      .withColumn("island", sum(col("stop_flag")).over(byDoc))
+      .filter(col("stop_flag") === 0)
+    val phrases = islands.groupBy(col("doc_id"), col("island"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+      .filter(col("len") <= 5)
+    val occur = phrases.select(explode(split(col("phrase"), " ")).as("w"), col("len"))
+    val wordScore = occur.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("w"), round(lit(1000.0) * col("deg").cast("double") / col("freq"))
+        .cast("long").as("w_milli"))
+    phrases.select(explode(split(col("phrase"), " ")).as("w"), col("phrase"))
+      .join(wordScore, "w")
+      .groupBy(col("phrase")).agg(sum(col("w_milli")).as("score_sum"))
+      .join(phrases.groupBy(col("phrase")).agg(count(lit(1)).as("occurrences"),
+        max(col("len")).as("n_words")), "phrase")
+      // score_sum counted every occurrence of every word; normalize to
+      // the per-phrase score by dividing by occurrences (exact: the
+      // sum is occurrences × the phrase's word-score total)
+      .select(col("phrase"), col("n_words"), col("occurrences"),
+        expr("score_sum div occurrences").as("score_milli"))
+      .orderBy(col("score_milli").desc, col("phrase"))
+      .limit(10)
+  }
+
+  val rakeKeywordsSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, i AS pos, ws[i+1] AS w
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+      |               unnest(range(len(string_split(text, ' ')))) AS i
+      |        FROM documents)),
+      |stop AS (
+      |  SELECT w FROM (
+      |    SELECT w, count(*) AS df
+      |    FROM (SELECT DISTINCT doc_id, w FROM words) GROUP BY 1)
+      |  ORDER BY df DESC, w LIMIT 20),
+      |flagged AS (
+      |  SELECT doc_id, pos, w,
+      |         CASE WHEN w IN (SELECT w FROM stop) THEN 1 ELSE 0 END AS stop_flag
+      |  FROM words),
+      |islands AS (
+      |  SELECT doc_id, pos, w, island FROM (
+      |    SELECT doc_id, pos, w, stop_flag,
+      |           sum(stop_flag) OVER (PARTITION BY doc_id ORDER BY pos
+      |                                ROWS UNBOUNDED PRECEDING) AS island
+      |    FROM flagged)
+      |  WHERE stop_flag = 0),
+      |phrases AS (
+      |  SELECT doc_id, island, string_agg(w, ' ' ORDER BY pos) AS phrase,
+      |         count(*) AS len
+      |  FROM islands GROUP BY 1, 2 HAVING count(*) <= 5),
+      |occur AS (
+      |  SELECT unnest(string_split(phrase, ' ')) AS w, len FROM phrases),
+      |wscore AS (
+      |  SELECT w, CAST(round(1000.0 * CAST(sum(len) AS DOUBLE) / count(*)) AS BIGINT)
+      |           AS w_milli
+      |  FROM occur GROUP BY 1),
+      |pscore AS (
+      |  SELECT phrase, CAST(sum(w_milli) AS BIGINT) AS score_sum
+      |  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM phrases) pw
+      |  JOIN wscore USING (w)
+      |  GROUP BY 1),
+      |pmeta AS (
+      |  SELECT phrase, count(*) AS occurrences, CAST(max(len) AS BIGINT) AS n_words
+      |  FROM phrases GROUP BY 1)
+      |SELECT phrase, n_words, occurrences,
+      |       score_sum // occurrences AS score_milli
+      |FROM pscore JOIN pmeta USING (phrase)
+      |ORDER BY score_milli DESC, phrase
+      |LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake_keywords" -> (rakeKeywords _),
     "text_readability" -> (readability _),
     "text_zipf_fit" -> (zipfFit _),
     "text_hash_embed" -> (hashEmbed _),
@@ -672,6 +768,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_rake_keywords" -> rakeKeywordsSql,
     "text_readability" -> readabilitySql,
     "text_zipf_fit" -> zipfFitSql,
     "text_hash_embed" -> hashEmbedSql,

@@ -733,7 +733,66 @@ object TimeSeries {
        |ORDER BY period_hours""".stripMargin
   }
 
+  /** STL-LITE DECOMPOSITION — the additive trend/seasonal/remainder
+    * split (STL's public skeleton, one iteration, moving-average
+    * trend) a forecasting pipeline runs before modeling: trend = the
+    * centered 25-hour moving average (full frames only), seasonal =
+    * the mean hour-of-day profile of the DETRENDED series, remainder
+    * = what's left. Exactness: trend quantizes as the exact integer
+    * (10⁶·Σ) div 25 — no float mean — so the detrended series is
+    * exact micro-integers; the seasonal profile is one
+    * round(avg(integer)) per hour-of-day (both engines round the
+    * identical double half-away-from-zero); remainder is pure integer
+    * subtraction. Calendar-bounded series, two windows + one
+    * 24-row profile join. */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val frame = Window.orderBy(col("bin")).rowsBetween(-12, 12)
+    val trended = hourlyCounts(spark, dir)
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .withColumn("tr_micro",
+        expr("(1000000 * sum(n) over (order by bin rows between 12 preceding and 12 following)) div 25"))
+      .filter(col("cnt") === 25)
+      .withColumn("detr_micro", lit(1000000L) * col("n") - col("tr_micro"))
+      .withColumn("hod", hour(col("bin")).cast("long"))
+    val profile = trended.groupBy(col("hod"))
+      // exact SUM then one double division (not avg(): a streaming
+      // double accumulator would diverge between engines once partial
+      // sums pass 2^53 — the sum here is an exact integer both sides)
+      .agg(round(sum(col("detr_micro")).cast("double") / count(lit(1)))
+        .cast("long").as("seas_micro"))
+    trended.join(broadcast(profile), "hod")
+      .select(date_format(col("bin"), "yyyy-MM-dd HH:mm:ss").as("bin_ts"),
+        col("n"), col("tr_micro"), col("seas_micro"),
+        (lit(1000000L) * col("n") - col("tr_micro") - col("seas_micro"))
+          .as("rem_micro"))
+      .orderBy(col("bin_ts"))
+  }
+
+  val stlDecomposeSql: String =
+    s"""WITH $hourlyCountsSql,
+       |tr AS (
+       |  SELECT bin, n,
+       |         count(*) OVER w AS cnt,
+       |         (1000000 * sum(n) OVER w) // 25 AS tr_micro
+       |  FROM series
+       |  WINDOW w AS (ORDER BY bin ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+       |trended AS (
+       |  SELECT bin, n, CAST(tr_micro AS BIGINT) AS tr_micro,
+       |         1000000 * n - CAST(tr_micro AS BIGINT) AS detr_micro,
+       |         CAST(hour(bin) AS BIGINT) AS hod
+       |  FROM tr WHERE cnt = 25),
+       |profile AS (
+       |  SELECT hod, CAST(round(CAST(sum(detr_micro) AS DOUBLE) / count(*)) AS BIGINT)
+       |           AS seas_micro
+       |  FROM trended GROUP BY 1)
+       |SELECT strftime(bin, '%Y-%m-%d %H:%M:%S') AS bin_ts, n,
+       |       t.tr_micro, p.seas_micro,
+       |       1000000 * n - t.tr_micro - p.seas_micro AS rem_micro
+       |FROM trended t JOIN profile p USING (hod)
+       |ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_stl_decompose" -> (stlDecompose _),
     "ts_periodogram" -> (periodogram _),
     "ts_cusum" -> (cusum _),
     "ts_rolling_corr" -> (rollingCorr _),
@@ -750,6 +809,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_stl_decompose" -> stlDecomposeSql,
     "ts_periodogram" -> periodogramSql,
     "ts_cusum" -> cusumSql,
     "ts_rolling_corr" -> rollingCorrSql,

@@ -279,6 +279,60 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum === activeEither)
   }
 
+  test("hdr percentiles: estimate is the bucket floor of truth, within 1/16 relative") {
+    val rows = StatsOps.hdrPercentiles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(50L, 95L, 99L))
+    for ((_, est, exact, err) <- rows) {
+      assert(est <= exact)                      // lower bucket bound never overshoots
+      assert((exact - est).toDouble / exact <= 1.0 / 16 + 1e-9) // HDR error contract
+      assert(err === math.round(1e6 * (est - exact).toDouble / exact))
+    }
+  }
+
+  test("cdc chunking: totals replay; boundary rate near the 1/64 design point") {
+    val r = Dedup.cdcChunking(spark, sf).collect()(0)
+    val (nDocs, nChunks, nSh, avgMilli, ppm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nDocs === Tables.documents(spark, sf).count())
+    assert(nChunks >= nDocs)                    // every doc has >= 1 chunk
+    assert(avgMilli === 1000 * nSh / nChunks)
+    assert(ppm === math.round(1e6 * (nChunks - nDocs).toDouble / nSh))
+    // observed boundary rate should sit in a loose band around 1/64
+    assert(ppm > 15625 / 4 && ppm < 15625 * 4, s"boundary ppm $ppm far from design")
+  }
+
+  test("stl decomposition: trend + seasonal + remainder reconstructs every bin exactly") {
+    val rows = TimeSeries.stlDecompose(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, tr, se, rem) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tr + se + rem === 1000000L * n) // additive decomposition is exact
+    }
+    // seasonal is a pure hour-of-day profile: one value per hour
+    val byHod = rows.groupBy(_.getString(0).substring(11, 13)).values
+    for (grp <- byHod) assert(grp.map(_.getLong(3)).distinct.length === 1)
+  }
+
+  test("rake: phrases capped at 5 tokens, stopword-free, scores replay") {
+    val rows = TextAnalysis.rakeKeywords(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 10)
+    val words = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val stop = words.distinct().groupBy(col("w")).count()
+      .orderBy(col("count").desc, col("w")).limit(20)
+      .collect().map(_.getString(0)).toSet
+    for ((phrase, nWords, occ, score) <- rows) {
+      val ws = phrase.split(" ")
+      assert(nWords >= 1 && nWords <= 5 && ws.length === nWords.toInt)
+      assert(ws.forall(w => !stop.contains(w)), s"stopword inside phrase '$phrase'")
+      assert(occ >= 1 && score > 0)
+    }
+    // descending score with phrase tiebreak
+    assert(rows.sortBy(r => (-r._4, r._1)).toSeq === rows.toSeq)
+  }
+
   test("windowed top-k: ranks dense, counts non-increasing, bounded by window total") {
     val rows = Streams.topkWindowBatch(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
