@@ -449,7 +449,16 @@ object ScaleProbe {
       // RAKE: stoplist is a capped top-20 agg, islands a doc-keyed
       // window, scores two compact-key aggs — ~token-linear
       ("rake_keywords", () =>
-        graft.operators.TextAnalysis.rakeKeywords(spark, dir).count())
+        graft.operators.TextAnalysis.rakeKeywords(spark, dir).count()),
+      // ML eval: AUC reduces through the bounded score histogram
+      // (≤1e6 keys however large the pool) — cost must track the one
+      // map-side-combinable scan, not the ordered midrank window
+      ("ml_auc_histogram", () =>
+        graft.operators.MlEval.auc(spark, dir).count()),
+      // gain chart is the family's one data-sized sort (range
+      // partitioned); ~n log n is the acceptable envelope here
+      ("ml_gain_sort", () =>
+        graft.operators.MlEval.gainDeciles(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

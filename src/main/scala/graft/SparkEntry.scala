@@ -27,6 +27,7 @@ object SparkEntry {
       Joins.queries ++
       Aggregations.queries ++
       StatsOps.queries ++
+      MlEval.queries ++
       Windows.queries ++
       SortsAndSets.queries ++
       Scalars.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       Joins.oracle ++
       Aggregations.oracle ++
       StatsOps.oracle ++
+      MlEval.oracle ++
       Windows.oracle ++
       SortsAndSets.oracle ++
       Scalars.oracle ++

@@ -1,0 +1,374 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline model-evaluation suite (SURVEY.md §2.10 EXT — the
+  * reference's pipeline, /root/reference/main.py:5–17, moves files and
+  * never scores a model; these are the classifier-quality screens a
+  * training-data pipeline runs when a learned filter — a quality
+  * classifier, a toxicity gate, a language scorer — decides what data
+  * survives, the FineWeb-Edu / DCLM curation pattern).
+  *
+  * The model under evaluation is deterministic and data-derived: the
+  * score is a fixed logistic over the first 8 embedding coordinates
+  * (quantized to exact micro-units BEFORE the sum, the established
+  * integer contract), the label is the parity of the stored class
+  * label. Every metric then reduces over the (y, p_u) pair where
+  * p_u = round(1e6·σ(6·logit)) is an exact integer in both engines —
+  * the ONE transcendental (exp/ln) is evaluated on identical doubles
+  * built from integers, per the ln contract used by the entropy/MI
+  * family.
+  *
+  * Scale shape: every metric except the gain chart reduces through
+  * the SCORE HISTOGRAM — a compact-key (p_u, counts) aggregation with
+  * at most 1e6+1 keys regardless of corpus size — so the data-sized
+  * stage is always one map-side-combinable shuffle and the ordered
+  * windows (AUC's midrank scan, the threshold sweep) run over the
+  * bounded histogram only. The gain chart needs a per-row decile and
+  * pays one distributed range-partitioned sort; at 100 TB the same
+  * chart would come from histogram-derived decile boundaries
+  * (accepting tie-straddle at the cuts), which the histogram ops here
+  * already demonstrate.
+  */
+object MlEval {
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** (vec_id, y ∈ {0,1}, p_u ∈ [1, 999999]) — the shared scored pool.
+    * logit_u is the exact integer micro-sum of the first 8 coords;
+    * p_u quantizes σ(6·logit) once. Clamp keeps ln() finite for the
+    * log-loss op and is applied identically in the oracle. */
+  private def scored(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .filter(col("pos0") < 8)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(round(col("v").cast("double") * 1000000d).cast("long")).as("logit_u"))
+      .select(col("vec_id"), (col("label") % 2).as("y"),
+        least(greatest(
+          round(lit(1e6) / (lit(1d) +
+            exp(lit(-6.0d) * col("logit_u").cast("double") / lit(1000000.0d))))
+            .cast("long"),
+          lit(1L)), lit(999999L)).as("p_u"))
+
+  private val scoredSql: String =
+    """scored AS (
+      |  SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+      |         least(greatest(CAST(round(1e6 / (1.0 +
+      |           exp(-6.0 * CAST(logit_u AS DOUBLE) / 1000000.0))) AS BIGINT),
+      |           1), 999999) AS p_u
+      |  FROM (
+      |    SELECT vec_id, CAST(label AS BIGINT) AS label, sum(vq) AS logit_u
+      |    FROM (SELECT vec_id, label,
+      |                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vq,
+      |                 generate_subscripts(embedding, 1) AS pos
+      |          FROM embeddings)
+      |    WHERE pos <= 8 GROUP BY 1, 2))""".stripMargin
+
+  /** Histogram of the scored pool: one compact-key shuffle; ≤ 1e6+1
+    * rows no matter the corpus size. */
+  private def hist(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir).groupBy(col("p_u"))
+      .agg(sum(col("y")).as("pc"), count(lit(1)).as("c"))
+
+  private val histSql: String =
+    """hist AS (SELECT p_u, sum(y) AS pc, count(*) AS c FROM scored GROUP BY 1)"""
+
+  // ---------------------------------------------------------------
+  // Confusion matrix at the p ≥ 0.5 operating point
+  // ---------------------------------------------------------------
+
+  /** CONFUSION MATRIX + precision/recall/F1 at the standard 0.5
+    * threshold. One full-scan aggregation; every cell is an exact
+    * BIGINT, each ratio ONE integer division quantized to ppm
+    * (F1 = 2tp/(2tp+fp+fn) evaluated on integers directly). */
+  def confusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = col("p_u") >= 500000L
+    scored(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(pred && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && col("y") === 0L, 1L).otherwise(0L)).as("tn"),
+        sum(when(!pred && col("y") === 1L, 1L).otherwise(0L)).as("fn"))
+      .select(col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+        round(lit(1e6) * col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .cast("long").as("precision_ppm"),
+        round(lit(1e6) * col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .cast("long").as("recall_ppm"),
+        round(lit(2e6) * col("tp").cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .cast("long").as("f1_ppm"))
+  }
+
+  val confusionSql: String =
+    s"""WITH $scoredSql,
+       |m AS (
+       |  SELECT count(*) AS n,
+       |         sum(CASE WHEN p_u >= 500000 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+       |         sum(CASE WHEN p_u >= 500000 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+       |         sum(CASE WHEN p_u < 500000 AND y = 0 THEN 1 ELSE 0 END) AS tn,
+       |         sum(CASE WHEN p_u < 500000 AND y = 1 THEN 1 ELSE 0 END) AS fn
+       |  FROM scored)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(tp AS BIGINT) AS tp,
+       |       CAST(fp AS BIGINT) AS fp, CAST(tn AS BIGINT) AS tn,
+       |       CAST(fn AS BIGINT) AS fn,
+       |       CAST(round(1e6 * CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) AS BIGINT) AS precision_ppm,
+       |       CAST(round(1e6 * CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) AS BIGINT) AS recall_ppm,
+       |       CAST(round(2e6 * CAST(tp AS DOUBLE) /
+       |            CAST(2 * tp + fp + fn AS DOUBLE)) AS BIGINT) AS f1_ppm
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // ROC AUC — exact midrank (Mann-Whitney) form over the histogram
+  // ---------------------------------------------------------------
+
+  /** EXACT ROC AUC via the rank statistic: AUC = U/(n⁺·n⁻) with
+    * U = Σ_scores pc·(nb + nc/2) — positives beat the negatives below
+    * them, ties count half. Doubled units (U2 = Σ pc·(2·nb + nc))
+    * keep every accumulator an integer; the product rides
+    * DECIMAL(38,0)/HUGEINT (pc·nb is data²-sized — the corrMatrix
+    * overflow discipline). The ordered scan runs over the ≤1e6-row
+    * histogram, never the corpus. */
+  def auc(spark: SparkSession, dir: String): DataFrame = {
+    val below = Window.orderBy(col("p_u"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist(spark, dir)
+      .withColumn("nb", coalesce(sum(col("c") - col("pc")).over(below), lit(0L)))
+      .agg(sum(col("pc")).as("n_pos"), sum(col("c") - col("pc")).as("n_neg"),
+        sum(dec(col("pc")) * (lit(2) * dec(col("nb")) + (col("c") - col("pc")))).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(lit(1e6) * col("u2").cast("double") /
+          (lit(2.0d) * (dec(col("n_pos")) * col("n_neg")).cast("double")))
+          .cast("long").as("auc_ppm"))
+  }
+
+  val aucSql: String =
+    s"""WITH $scoredSql, $histSql,
+       |scan AS (
+       |  SELECT pc, c - pc AS nc,
+       |         coalesce(sum(c - pc) OVER (ORDER BY p_u
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+       |  FROM hist),
+       |m AS (
+       |  SELECT sum(pc) AS n_pos, sum(nc) AS n_neg,
+       |         sum(CAST(pc AS HUGEINT) * (2 * CAST(nb AS HUGEINT) + nc)) AS u2
+       |  FROM scan)
+       |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       |       CAST(round(1e6 * CAST(u2 AS DOUBLE) /
+       |            (2.0 * CAST(CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE))) AS BIGINT) AS auc_ppm
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Precision/recall sweep over fixed thresholds
+  // ---------------------------------------------------------------
+
+  /** PRECISION–RECALL SWEEP at the nine fixed operating points
+    * p ≥ 0.1 … 0.9. The sweep joins the 9-row threshold table against
+    * the score HISTOGRAM (broadcast inequality join over ≤9·1e6
+    * bounded pairs — never the corpus), so adding rows to the corpus
+    * changes only the histogram build. A left join keeps operating
+    * points that select nothing (precision NULL→0 rows distinguish
+    * via pred_pos=0). */
+  def prThresholds(spark: SparkSession, dir: String): DataFrame = {
+    val h = hist(spark, dir)
+    val tot = h.agg(sum(col("pc")).as("pos_total"), sum(col("c")).as("n_total"))
+    val thr = spark.range(1, 10)
+      .select((col("id") * 100000L).as("thr_ppm"))
+    broadcast(thr)
+      .join(h, col("p_u") >= col("thr_ppm"), "left")
+      .groupBy(col("thr_ppm"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("pred_pos"),
+        coalesce(sum(col("pc")), lit(0L)).as("tp"))
+      .crossJoin(broadcast(tot))
+      .select(col("thr_ppm"), col("pred_pos"), col("tp"),
+        when(col("pred_pos") > 0L,
+          round(lit(1e6) * col("tp").cast("double") / col("pred_pos").cast("double"))
+            .cast("long")).as("precision_ppm"),
+        round(lit(1e6) * col("tp").cast("double") / col("pos_total").cast("double"))
+          .cast("long").as("recall_ppm"),
+        round(lit(2e6) * col("tp").cast("double") /
+          (col("pred_pos") + col("pos_total")).cast("double"))
+          .cast("long").as("f1_ppm"))
+      .orderBy(col("thr_ppm"))
+  }
+
+  val prThresholdsSql: String =
+    s"""WITH $scoredSql, $histSql,
+       |thr AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) * 100000 AS thr_ppm),
+       |tot AS (SELECT sum(pc) AS pos_total, sum(c) AS n_total FROM hist),
+       |sweep AS (
+       |  SELECT t.thr_ppm,
+       |         coalesce(sum(h.c), 0) AS pred_pos,
+       |         coalesce(sum(h.pc), 0) AS tp
+       |  FROM thr t LEFT JOIN hist h ON h.p_u >= t.thr_ppm
+       |  GROUP BY 1)
+       |SELECT s.thr_ppm, CAST(s.pred_pos AS BIGINT) AS pred_pos,
+       |       CAST(s.tp AS BIGINT) AS tp,
+       |       CASE WHEN s.pred_pos > 0 THEN
+       |         CAST(round(1e6 * CAST(s.tp AS DOUBLE) / CAST(s.pred_pos AS DOUBLE)) AS BIGINT)
+       |       END AS precision_ppm,
+       |       CAST(round(1e6 * CAST(s.tp AS DOUBLE) / CAST(t.pos_total AS DOUBLE)) AS BIGINT) AS recall_ppm,
+       |       CAST(round(2e6 * CAST(s.tp AS DOUBLE) /
+       |            CAST(s.pred_pos + t.pos_total AS DOUBLE)) AS BIGINT) AS f1_ppm
+       |FROM sweep s, tot t ORDER BY s.thr_ppm""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Calibration (reliability diagram)
+  // ---------------------------------------------------------------
+
+  /** RELIABILITY DIAGRAM over ten equal-width probability bins:
+    * per bin the mean predicted probability vs the observed positive
+    * rate, both in exact ppm (Σp_u is an exact integer sum; each mean
+    * is ONE rounded division), and the signed calibration gap. The
+    * expected-calibration-error aggregation is left to the caller —
+    * the bins are the sufficient statistic. One compact-key shuffle
+    * (≤10 cells). */
+  def calibration(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir)
+      .withColumn("bin", least(col("p_u") / lit(100000L), lit(9L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(col("p_u")).as("sp"))
+      .select(col("bin"), col("n"), col("pos"),
+        round(col("sp").cast("double") / col("n").cast("double"))
+          .cast("long").as("mean_pred_ppm"),
+        round(lit(1e6) * col("pos").cast("double") / col("n").cast("double"))
+          .cast("long").as("frac_pos_ppm"))
+      .withColumn("gap_ppm", col("mean_pred_ppm") - col("frac_pos_ppm"))
+      .orderBy(col("bin"))
+
+  val calibrationSql: String =
+    s"""WITH $scoredSql,
+       |b AS (
+       |  SELECT least(p_u // 100000, 9) AS bin, count(*) AS n,
+       |         sum(y) AS pos, sum(p_u) AS sp
+       |  FROM scored GROUP BY 1)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       |       CAST(pos AS BIGINT) AS pos,
+       |       CAST(round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_pred_ppm,
+       |       CAST(round(1e6 * CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS frac_pos_ppm,
+       |       CAST(round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+       |         - CAST(round(1e6 * CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS gap_ppm
+       |FROM b ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Proper scoring rules: Brier + log loss
+  // ---------------------------------------------------------------
+
+  /** BRIER SCORE and LOG LOSS, the two proper scoring rules. Each
+    * per-row term quantizes ONCE to micro-units (the ln contract:
+    * both engines feed the identical double p_u/1e6 into ln/(·)²),
+    * the sums are exact integers, and each mean is one final rounded
+    * division — so Spark's parallel partial sums and DuckDB's serial
+    * sum agree bit-for-bit. The clamp in [[scored]] keeps ln finite. */
+  def brierLogloss(spark: SparkSession, dir: String): DataFrame = {
+    val e = col("p_u").cast("double") / lit(1000000.0d)
+    val diff = e - col("y").cast("double")
+    scored(spark, dir)
+      .select(col("y"),
+        round(lit(1e6) * diff * diff).cast("long").as("b_u"),
+        round(lit(-1e6) * when(col("y") === 1L, log(e))
+          .otherwise(log(lit(1.0d) - e))).cast("long").as("ll_u"))
+      .agg(count(lit(1)).as("n"), sum(col("b_u")).as("sb"), sum(col("ll_u")).as("sl"))
+      .select(col("n"),
+        round(col("sb").cast("double") / col("n").cast("double"))
+          .cast("long").as("brier_micro"),
+        round(col("sl").cast("double") / col("n").cast("double"))
+          .cast("long").as("logloss_micro"))
+  }
+
+  val brierLoglossSql: String =
+    s"""WITH $scoredSql,
+       |t AS (
+       |  SELECT y,
+       |         CAST(round(1e6 * (CAST(p_u AS DOUBLE) / 1000000.0 - CAST(y AS DOUBLE))
+       |                        * (CAST(p_u AS DOUBLE) / 1000000.0 - CAST(y AS DOUBLE))) AS BIGINT) AS b_u,
+       |         CAST(round(-1e6 * (CASE WHEN y = 1
+       |           THEN ln(CAST(p_u AS DOUBLE) / 1000000.0)
+       |           ELSE ln(1.0 - CAST(p_u AS DOUBLE) / 1000000.0) END)) AS BIGINT) AS ll_u
+       |  FROM scored),
+       |m AS (SELECT count(*) AS n, sum(b_u) AS sb, sum(ll_u) AS sl FROM t)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |       CAST(round(CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS brier_micro,
+       |       CAST(round(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS logloss_micro
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Gain chart (cumulative capture by score decile)
+  // ---------------------------------------------------------------
+
+  /** GAIN CHART: rank the pool by score (ties broken by vec_id — a
+    * total order, so both engines bin identically), cut into ten
+    * deciles, report per-decile positives, cumulative capture rate,
+    * and lift vs the base rate. The ranking is the one op in this
+    * family that sorts data-sized input — Spark executes it as a
+    * range-partitioned distributed sort; at 100 TB the same chart
+    * comes from histogram-derived boundaries (see scaladoc header). */
+  def gainDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("p_u").desc, col("vec_id"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("decile",
+        (((col("rn") - 1L) * 10L) / col("n_total") + 1L).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        max(col("n_total")).as("nt"))
+      .withColumn("cum_pos", sum(col("pos")).over(cum))
+      .withColumn("pos_total", sum(col("pos")).over(Window.partitionBy()))
+      .select(col("decile"), col("n"), col("pos"),
+        round(lit(1e6) * col("cum_pos").cast("double") / col("pos_total").cast("double"))
+          .cast("long").as("capture_ppm"),
+        round(lit(1e6) * (col("pos").cast("double") / col("n").cast("double")) /
+          (col("pos_total").cast("double") / col("nt").cast("double")))
+          .cast("long").as("lift_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  val gainDecilesSql: String =
+    s"""WITH $scoredSql,
+       |ranked AS (
+       |  SELECT y,
+       |         CAST(row_number() OVER (ORDER BY p_u DESC, vec_id) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER () AS BIGINT) AS n_total
+       |  FROM scored),
+       |d AS (
+       |  SELECT ((rn - 1) * 10) // n_total + 1 AS decile, count(*) AS n,
+       |         sum(y) AS pos, max(n_total) AS nt
+       |  FROM ranked GROUP BY 1),
+       |c AS (
+       |  SELECT decile, n, pos, nt,
+       |         sum(pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_pos,
+       |         sum(pos) OVER () AS pos_total
+       |  FROM d)
+       |SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+       |       CAST(pos AS BIGINT) AS pos,
+       |       CAST(round(1e6 * CAST(cum_pos AS DOUBLE) / CAST(pos_total AS DOUBLE)) AS BIGINT) AS capture_ppm,
+       |       CAST(round(1e6 * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) /
+       |            (CAST(pos_total AS DOUBLE) / CAST(nt AS DOUBLE))) AS BIGINT) AS lift_ppm
+       |FROM c ORDER BY decile""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_confusion" -> (confusion _),
+    "ml_auc" -> (auc _),
+    "ml_pr_thresholds" -> (prThresholds _),
+    "ml_calibration" -> (calibration _),
+    "ml_brier_logloss" -> (brierLogloss _),
+    "ml_gain_deciles" -> (gainDeciles _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ml_confusion" -> confusionSql,
+    "ml_auc" -> aucSql,
+    "ml_pr_thresholds" -> prThresholdsSql,
+    "ml_calibration" -> calibrationSql,
+    "ml_brier_logloss" -> brierLoglossSql,
+    "ml_gain_deciles" -> gainDecilesSql
+  )
+}

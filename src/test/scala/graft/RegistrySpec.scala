@@ -23,6 +23,7 @@ class RegistrySpec extends SparkSpec {
     ("CorpusOps", CorpusOps.queries, CorpusOps.oracle),
     ("Similarity", Similarity.queries, Similarity.oracle),
     ("StatsOps", StatsOps.queries, StatsOps.oracle),
+    ("MlEval", MlEval.queries, MlEval.oracle),
     ("TextAnalysis", TextAnalysis.queries, TextAnalysis.oracle),
     ("Multimodal", Multimodal.queries, Multimodal.oracle),
     ("TimeSeries", TimeSeries.queries, TimeSeries.oracle),

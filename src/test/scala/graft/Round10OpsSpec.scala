@@ -349,4 +349,102 @@ class Round10OpsSpec extends SparkSpec {
       assert(grp.map(_._4).sum <= totals(win))
     }
   }
+
+  // --- ML-eval suite: the metrics must agree with a driver-side
+  // replay over the same scored pool, and obey their defining
+  // inequalities. The pool replay recomputes (y, p_u) independently.
+  private def scoredPool: Array[(Long, Long)] = {
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+    rows.map { r =>
+      val label = r.getInt(1).toLong
+      val emb = r.getSeq[Float](2)
+      val logitU = emb.take(8).map(v => math.round(v.toDouble * 1e6)).sum
+      val p = 1e6 / (1d + math.exp(-6.0d * logitU.toDouble / 1000000.0d))
+      val pU = math.max(1L, math.min(999999L, math.round(p)))
+      (label % 2, pU)
+    }
+  }
+
+  test("ml_confusion: cells partition the pool and match a driver replay") {
+    val r = MlEval.confusion(spark, sf).collect()(0)
+    val (n, tp, fp, tn, fn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val pool = scoredPool
+    assert(n === pool.length && tp + fp + tn + fn === n)
+    assert(tp === pool.count(x => x._2 >= 500000L && x._1 == 1L))
+    assert(fp === pool.count(x => x._2 >= 500000L && x._1 == 0L))
+    assert(r.getLong(5) === math.round(1e6 * tp.toDouble / (tp + fp)))
+    assert(r.getLong(7) === math.round(2e6 * tp.toDouble / (2 * tp + fp + fn)))
+  }
+
+  test("ml_auc: histogram midrank AUC equals the O(n^2) pairwise definition") {
+    val r = MlEval.auc(spark, sf).collect()(0)
+    val pool = scoredPool
+    val pos = pool.filter(_._1 == 1L).map(_._2)
+    val neg = pool.filter(_._1 == 0L).map(_._2)
+    assert(r.getLong(0) === pos.length.toLong && r.getLong(1) === neg.length.toLong)
+    // exact pairwise: wins + half-ties over all pos x neg pairs
+    val u2 = (for (p <- pos; q <- neg)
+      yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val want = math.round(1e6 * u2.toDouble / (2.0d * pos.length * neg.length))
+    assert(r.getLong(2) === want)
+    assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L)
+  }
+
+  test("ml_pr_thresholds: 9 rows, monotone counts, capture bounded") {
+    val rows = MlEval.prThresholds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === (1 to 9).map(_ * 100000L))
+    // predicted-positive and tp both shrink as the threshold rises
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sortBy(-_).toSeq)
+    assert(rows.forall(x => x._3 <= x._2))
+  }
+
+  test("ml_calibration: bins partition the pool; means live inside their bin") {
+    val rows = MlEval.calibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val pool = scoredPool
+    assert(rows.map(_._2).sum === pool.length.toLong)
+    assert(rows.map(_._3).sum === pool.count(_._1 == 1L).toLong)
+    for ((bin, _, _, meanPred, fracPos) <- rows) {
+      assert(meanPred >= bin * 100000L && meanPred <= (bin + 1) * 100000L)
+      assert(fracPos >= 0L && fracPos <= 1000000L)
+    }
+  }
+
+  test("ml_brier_logloss: matches a per-row driver replay; bounds hold") {
+    val r = MlEval.brierLogloss(spark, sf).collect()(0)
+    val pool = scoredPool
+    val sb = pool.map { case (y, pU) =>
+      val e = pU.toDouble / 1000000.0d
+      math.round(1e6 * (e - y) * (e - y))
+    }.sum
+    val sl = pool.map { case (y, pU) =>
+      val e = pU.toDouble / 1000000.0d
+      math.round(-1e6 * (if (y == 1L) math.log(e) else math.log(1d - e)))
+    }.sum
+    assert(r.getLong(0) === pool.length.toLong)
+    assert(r.getLong(1) === math.round(sb.toDouble / pool.length))
+    assert(r.getLong(2) === math.round(sl.toDouble / pool.length))
+    assert(r.getLong(1) >= 0L && r.getLong(1) <= 1000000L) // Brier in [0,1]
+    assert(r.getLong(2) >= 0L)
+  }
+
+  test("ml_gain_deciles: counts partition, capture monotone to 1e6") {
+    val rows = MlEval.gainDeciles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val pool = scoredPool
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    assert(rows.map(_._2).sum === pool.length.toLong)
+    assert(rows.map(_._3).sum === pool.count(_._1 == 1L).toLong)
+    // cumulative capture is non-decreasing and ends at exactly 100%
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sorted.toSeq)
+    assert(rows.last._4 === 1000000L)
+    // deciles are near-equal cuts (first 9 differ by at most 1 row)
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1L)
+  }
 }
