@@ -354,13 +354,218 @@ object MlEval {
        |            (CAST(pos_total AS DOUBLE) / CAST(nt AS DOUBLE))) AS BIGINT) AS lift_ppm
        |FROM c ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Fairness audit: per-group rates + parity gaps
+  // ---------------------------------------------------------------
+
+  /** GROUP-FAIRNESS AUDIT of the curation filter: per document
+    * language (the natural protected attribute in a multilingual
+    * corpus — a quality classifier that silently under-selects one
+    * language skews the training mix), the predicted-positive rate,
+    * TPR and FPR at the 0.5 operating point, plus the two standard
+    * parity gaps repeated on every row: demographic-parity gap
+    * (max−min selection rate) and equalized-odds gap (max−min TPR).
+    * Every rate is ONE ppm-rounded integer division; groups with no
+    * positives/negatives yield NULL rates, which the max/min gap
+    * windows skip (SQL NULL-ignoring semantics, both engines).
+    * Scale shape: one vec_id↔doc_id equi join (co-partitioned ids —
+    * AQE picks the join side), then a compact-key groupBy(lang);
+    * the gap windows run over the ≤|languages| aggregate only. */
+  def fairnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pred = col("p_u") >= 500000L
+    val all = Window.partitionBy()
+    val rate = (num: Column, den: Column) =>
+      when(den > 0L, round(lit(1e6) * num.cast("double") / den.cast("double"))
+        .cast("long"))
+    scored(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(pred, 1L).otherwise(0L)).as("sel"),
+        sum(col("y")).as("pos"),
+        sum(when(pred && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && col("y") === 0L, 1L).otherwise(0L)).as("fp"))
+      .select(col("lang"), col("n"),
+        rate(col("sel"), col("n")).as("sel_rate_ppm"),
+        rate(col("tp"), col("pos")).as("tpr_ppm"),
+        rate(col("fp"), col("n") - col("pos")).as("fpr_ppm"))
+      .withColumn("dp_gap_ppm",
+        max(col("sel_rate_ppm")).over(all) - min(col("sel_rate_ppm")).over(all))
+      .withColumn("eo_gap_ppm",
+        max(col("tpr_ppm")).over(all) - min(col("tpr_ppm")).over(all))
+      .orderBy(col("lang"))
+  }
+
+  val fairnessAuditSql: String =
+    s"""WITH $scoredSql,
+       |g AS (
+       |  SELECT d.lang, count(*) AS n,
+       |         sum(CASE WHEN s.p_u >= 500000 THEN 1 ELSE 0 END) AS sel,
+       |         sum(s.y) AS pos,
+       |         sum(CASE WHEN s.p_u >= 500000 AND s.y = 1 THEN 1 ELSE 0 END) AS tp,
+       |         sum(CASE WHEN s.p_u >= 500000 AND s.y = 0 THEN 1 ELSE 0 END) AS fp
+       |  FROM scored s JOIN documents d ON s.vec_id = d.doc_id
+       |  GROUP BY 1),
+       |r AS (
+       |  SELECT lang, CAST(n AS BIGINT) AS n,
+       |         CASE WHEN n > 0 THEN CAST(round(1e6 * CAST(sel AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) END AS sel_rate_ppm,
+       |         CASE WHEN pos > 0 THEN CAST(round(1e6 * CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE)) AS BIGINT) END AS tpr_ppm,
+       |         CASE WHEN n - pos > 0 THEN CAST(round(1e6 * CAST(fp AS DOUBLE) / CAST(n - pos AS DOUBLE)) AS BIGINT) END AS fpr_ppm
+       |  FROM g)
+       |SELECT lang, n, sel_rate_ppm, tpr_ppm, fpr_ppm,
+       |       max(sel_rate_ppm) OVER () - min(sel_rate_ppm) OVER () AS dp_gap_ppm,
+       |       max(tpr_ppm) OVER () - min(tpr_ppm) OVER () AS eo_gap_ppm
+       |FROM r ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // PSI score drift between two deterministic cohorts
+  // ---------------------------------------------------------------
+
+  /** POPULATION STABILITY INDEX between a reference and a live cohort
+    * of the score distribution — the standard production monitor for
+    * "has the input population shifted under my model". The two
+    * cohorts are deterministic halves (vec_id parity — standing in
+    * for the training-time batch vs the serving window). Scores are
+    * cut into the ten equal-width bins; Laplace +1 smoothing on every
+    * (bin, cohort) cell keeps ln finite on empty bins and is part of
+    * the published contract. Per-bin contribution (p−q)·ln(p/q) is
+    * quantized ONCE to ppm — the ln argument is evaluated as the
+    * integer-rational ((cr+1)·tl)/((cl+1)·tr) so both engines feed ln
+    * identical doubles — and the headline PSI is the exact integer
+    * sum of the rounded contributions (window over the 10-row bin
+    * table). Scale shape: one compact-key (bin,cohort) aggregation is
+    * the only data-sized stage; the bin spine join and gap windows
+    * touch ≤10 rows. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy()
+    val bins = spark.range(0, 10).select(col("id").cast("long").as("bin"))
+    val counts = scored(spark, dir)
+      .withColumn("bin", least(col("p_u") / lit(100000L), lit(9L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("vec_id") % 2 === 0L, 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("vec_id") % 2 =!= 0L, 1L).otherwise(0L)).as("live_n"))
+    broadcast(bins).join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("live_n"), lit(0L)).as("live_n"))
+      .withColumn("tr", sum(col("ref_n")).over(all) + lit(10L))
+      .withColumn("tl", sum(col("live_n")).over(all) + lit(10L))
+      .withColumn("psi_contrib_ppm",
+        round(lit(1e6) *
+          ((col("ref_n") + 1L).cast("double") / col("tr").cast("double") -
+           (col("live_n") + 1L).cast("double") / col("tl").cast("double")) *
+          log((dec(col("ref_n") + 1L) * col("tl")).cast("double") /
+              (dec(col("live_n") + 1L) * col("tr")).cast("double")))
+          .cast("long"))
+      .withColumn("psi_ppm", sum(col("psi_contrib_ppm")).over(all))
+      .select(col("bin"), col("ref_n"), col("live_n"),
+        col("psi_contrib_ppm"), col("psi_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  val psiDriftSql: String =
+    s"""WITH $scoredSql,
+       |counts AS (
+       |  SELECT least(p_u // 100000, 9) AS bin,
+       |         sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS ref_n,
+       |         sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS live_n
+       |  FROM scored GROUP BY 1),
+       |spine AS (
+       |  SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin),
+       |filled AS (
+       |  SELECT s.bin, coalesce(c.ref_n, 0) AS ref_n, coalesce(c.live_n, 0) AS live_n
+       |  FROM spine s LEFT JOIN counts c ON s.bin = c.bin),
+       |t AS (
+       |  SELECT bin, ref_n, live_n,
+       |         sum(ref_n) OVER () + 10 AS tr, sum(live_n) OVER () + 10 AS tl
+       |  FROM filled),
+       |c2 AS (
+       |  SELECT bin, ref_n, live_n,
+       |         CAST(round(1e6 *
+       |           (CAST(ref_n + 1 AS DOUBLE) / CAST(tr AS DOUBLE) -
+       |            CAST(live_n + 1 AS DOUBLE) / CAST(tl AS DOUBLE)) *
+       |           ln(CAST(CAST(ref_n + 1 AS HUGEINT) * tl AS DOUBLE) /
+       |              CAST(CAST(live_n + 1 AS HUGEINT) * tr AS DOUBLE))) AS BIGINT)
+       |           AS psi_contrib_ppm
+       |  FROM t)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(ref_n AS BIGINT) AS ref_n,
+       |       CAST(live_n AS BIGINT) AS live_n, psi_contrib_ppm,
+       |       CAST(sum(psi_contrib_ppm) OVER () AS BIGINT) AS psi_ppm
+       |FROM c2 ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Leave-one-out target encoding
+  // ---------------------------------------------------------------
+
+  /** LEAVE-ONE-OUT TARGET ENCODING of a categorical feature — the
+    * standard high-cardinality encoder for tree/linear models, with
+    * the self-exclusion that prevents target leakage: a customer's
+    * market segment encodes as the mean account balance of the
+    * OTHER members of the segment, (Σ_grp − y_i)/(n_grp − 1), plus
+    * the additively-smoothed variant (m = 10 pseudo-observations of
+    * the global prior) that tames singleton groups. Targets ride as
+    * exact integer cents; each encoding is ONE double division over
+    * exact integers, rounded to cents (the smoothed form adds the
+    * identical prior double m·S/N on both engines before its one
+    * division). Singleton groups fall back to the global LOO prior
+    * (S − y)/(N − 1). Scale shape: group statistics come from a
+    * map-side-combinable groupBy (compact keys), broadcast-joined
+    * back to the data — NO per-row window over skewed segment
+    * partitions; the output edge is embarrassingly parallel. */
+  def targetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100.0d).cast("long").as("y_cents"))
+    val grp = base.groupBy(col("seg"))
+      .agg(sum(col("y_cents")).as("sg"), count(lit(1)).as("grp_n"))
+    val glob = base.agg(sum(col("y_cents")).as("s_all"),
+      count(lit(1)).as("n_all"))
+    val prior = col("s_all").cast("double") / col("n_all").cast("double")
+    base.join(broadcast(grp), Seq("seg"))
+      .crossJoin(broadcast(glob))
+      .select(col("c_custkey"), col("seg"), col("grp_n"),
+        when(col("grp_n") > 1L,
+          round((col("sg") - col("y_cents")).cast("double") /
+            (col("grp_n") - 1L).cast("double")))
+          .otherwise(
+            round((col("s_all") - col("y_cents")).cast("double") /
+              (col("n_all") - 1L).cast("double")))
+          .cast("long").as("loo_cents"),
+        round(((col("sg") - col("y_cents")).cast("double") + lit(10.0d) * prior) /
+          (col("grp_n") - 1L + 10L).cast("double"))
+          .cast("long").as("smooth_cents"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val targetEncodeSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment AS seg,
+      |         CAST(round(c_acctbal * 100.0) AS BIGINT) AS y_cents
+      |  FROM customer),
+      |grp AS (SELECT seg, sum(y_cents) AS sg, count(*) AS grp_n FROM base GROUP BY 1),
+      |gstats AS (SELECT sum(y_cents) AS s_all, count(*) AS n_all FROM base)
+      |SELECT b.c_custkey, b.seg, CAST(g.grp_n AS BIGINT) AS grp_n,
+      |       CAST(CASE WHEN g.grp_n > 1
+      |         THEN round(CAST(g.sg - b.y_cents AS DOUBLE) / CAST(g.grp_n - 1 AS DOUBLE))
+      |         ELSE round(CAST(a.s_all - b.y_cents AS DOUBLE) / CAST(a.n_all - 1 AS DOUBLE))
+      |       END AS BIGINT) AS loo_cents,
+      |       CAST(round((CAST(g.sg - b.y_cents AS DOUBLE) +
+      |                   10.0 * CAST(a.s_all AS DOUBLE) / CAST(a.n_all AS DOUBLE)) /
+      |                  CAST(g.grp_n - 1 + 10 AS DOUBLE)) AS BIGINT) AS smooth_cents
+      |FROM base b JOIN grp g USING (seg), gstats a
+      |ORDER BY b.c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_confusion" -> (confusion _),
     "ml_auc" -> (auc _),
     "ml_pr_thresholds" -> (prThresholds _),
     "ml_calibration" -> (calibration _),
     "ml_brier_logloss" -> (brierLogloss _),
-    "ml_gain_deciles" -> (gainDeciles _)
+    "ml_gain_deciles" -> (gainDeciles _),
+    "ml_fairness_audit" -> (fairnessAudit _),
+    "ml_psi_drift" -> (psiDrift _),
+    "ml_target_encode" -> (targetEncode _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -369,6 +574,9 @@ object MlEval {
     "ml_pr_thresholds" -> prThresholdsSql,
     "ml_calibration" -> calibrationSql,
     "ml_brier_logloss" -> brierLoglossSql,
-    "ml_gain_deciles" -> gainDecilesSql
+    "ml_gain_deciles" -> gainDecilesSql,
+    "ml_fairness_audit" -> fairnessAuditSql,
+    "ml_psi_drift" -> psiDriftSql,
+    "ml_target_encode" -> targetEncodeSql
   )
 }

@@ -354,7 +354,7 @@ object TimeSeries {
     * is a BIGINT on both engines, and only the final statistic
     * touches doubles (identical inputs → identical bits → identical
     * rounding). */
-  private[operators] def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     val binned = Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("bin"))
       .agg(count(lit(1)).as("n"))
@@ -791,7 +791,81 @@ object TimeSeries {
        |FROM trended t JOIN profile p USING (hod)
        |ORDER BY 1""".stripMargin
 
+  /** ROLLING-ORIGIN FORECAST BACKTEST of the persistence forecaster
+    * at three horizons (1 h / 24 h / 168 h): at every origin t the
+    * h-step-ahead forecast is the value at t−h (persistence — the
+    * baseline every real model must beat; at h=24/168 it doubles as
+    * the daily/weekly seasonal-naive). Per horizon over the gap-free
+    * hourly spine: evaluation count, MAE in milli-units and sMAPE in
+    * ppm. Error terms are exact integers (|n−f| on counts); each
+    * sMAPE term 2|n−f|/(n+f) quantizes ONCE to ppm (0 when n+f=0 —
+    * both zero means a perfect forecast of a dead hour), sums are
+    * exact, each headline is ONE rounded division — partial-sum
+    * order can't move it. Scale shape: the data-sized stage is the
+    * hourly count; the three lags come from ONE window sort over the
+    * calendar-bounded series (lags picked per-row from a single
+    * frame), then a 3-key aggregation. */
+  def backtestSmape(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("bin"))
+    val series = hourlyCounts(spark, dir)
+      .withColumn("f1", lag(col("n"), 1).over(w))
+      .withColumn("f24", lag(col("n"), 24).over(w))
+      .withColumn("f168", lag(col("n"), 168).over(w))
+    series
+      .select(col("n"), explode(array(
+        struct(lit(1L).as("horizon_h"), col("f1").as("f")),
+        struct(lit(24L).as("horizon_h"), col("f24").as("f")),
+        struct(lit(168L).as("horizon_h"), col("f168").as("f")))).as("e"))
+      .select(col("n"), col("e.horizon_h").as("horizon_h"), col("e.f").as("f"))
+      .filter(col("f").isNotNull)
+      .withColumn("ae", abs(col("n") - col("f")))
+      .withColumn("sm_ppm",
+        when(col("n") + col("f") > 0L,
+          round(lit(2e6) * col("ae").cast("double") /
+            (col("n") + col("f")).cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+      .groupBy(col("horizon_h"))
+      .agg(count(lit(1)).as("n_eval"), sum(col("ae")).as("sae"),
+        sum(col("sm_ppm")).as("ssm"))
+      .select(col("horizon_h"), col("n_eval"),
+        round(lit(1e3) * col("sae").cast("double") / col("n_eval").cast("double"))
+          .cast("long").as("mae_milli"),
+        round(col("ssm").cast("double") / col("n_eval").cast("double"))
+          .cast("long").as("smape_ppm"))
+      .orderBy(col("horizon_h"))
+  }
+
+  val backtestSmapeSql: String =
+    s"""WITH $hourlyCountsSql,
+       |lagged AS (
+       |  SELECT n,
+       |         lag(n, 1) OVER (ORDER BY bin) AS f1,
+       |         lag(n, 24) OVER (ORDER BY bin) AS f24,
+       |         lag(n, 168) OVER (ORDER BY bin) AS f168
+       |  FROM series),
+       |terms AS (
+       |  SELECT h.horizon_h,
+       |         CASE h.horizon_h WHEN 1 THEN f1 WHEN 24 THEN f24 ELSE f168 END AS f,
+       |         n
+       |  FROM lagged,
+       |       (SELECT CAST(unnest([1, 24, 168]) AS BIGINT) AS horizon_h) h),
+       |scored_t AS (
+       |  SELECT horizon_h, abs(n - f) AS ae,
+       |         CASE WHEN n + f > 0
+       |              THEN CAST(round(2e6 * CAST(abs(n - f) AS DOUBLE) /
+       |                              CAST(n + f AS DOUBLE)) AS BIGINT)
+       |              ELSE 0 END AS sm_ppm
+       |  FROM terms WHERE f IS NOT NULL),
+       |m AS (
+       |  SELECT horizon_h, count(*) AS n_eval, sum(ae) AS sae, sum(sm_ppm) AS ssm
+       |  FROM scored_t GROUP BY 1)
+       |SELECT horizon_h, CAST(n_eval AS BIGINT) AS n_eval,
+       |       CAST(round(1e3 * CAST(sae AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT) AS mae_milli,
+       |       CAST(round(CAST(ssm AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT) AS smape_ppm
+       |FROM m ORDER BY horizon_h""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_backtest_smape" -> (backtestSmape _),
     "ts_stl_decompose" -> (stlDecompose _),
     "ts_periodogram" -> (periodogram _),
     "ts_cusum" -> (cusum _),
@@ -809,6 +883,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_backtest_smape" -> backtestSmapeSql,
     "ts_stl_decompose" -> stlDecomposeSql,
     "ts_periodogram" -> periodogramSql,
     "ts_cusum" -> cusumSql,

@@ -759,7 +759,128 @@ object WarehouseEtl {
       |FROM pass1 p LEFT JOIN unk u ON p.o_orderkey = u.o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** K-ANONYMITY / L-DIVERSITY AUDIT — the privacy screen run before
+    * a table leaves the warehouse (the release-gate sibling of
+    * [[pseudonymize]]'s transform): group customers by the
+    * quasi-identifier tuple (nation, market segment, balance rounded
+    * to the thousand — the classic "coarse enough to publish" QI
+    * set) and report the re-identification surface: k (the smallest
+    * equivalence class), how many rows sit in classes below the k=5
+    * release threshold (count + ppm), how many rows are singletons
+    * (unique — directly re-identifiable), and l-diversity (the
+    * smallest per-class count of distinct exact balances — the
+    * sensitive attribute a homogeneity attack would read off).
+    * Everything is exact integer counting; the one ratio is a ppm
+    * division. Scale shape: one map-side-combinable groupBy on the
+    * QI tuple (the class table is ≤ |nations|·|segments|·|buckets|,
+    * far smaller than the data), then a 1-row reduce over classes;
+    * the distinct-balance count rides the same shuffle as a
+    * two-level groupBy. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0d).cast("long").as("bal_k"),
+        round(col("c_acctbal") * 100.0d).cast("long").as("bal_cents"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_k"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("bal_cents")).as("l"))
+      .agg(sum(col("sz")).as("n_rows"), count(lit(1)).as("n_classes"),
+        min(col("sz")).as("k_min"),
+        sum(when(col("sz") < 5L, col("sz")).otherwise(0L)).as("rows_below_k5"),
+        sum(when(col("sz") === 1L, 1L).otherwise(0L)).as("singleton_classes"),
+        min(col("l")).as("l_div_min"))
+      .select(col("n_rows"), col("n_classes"), col("k_min"),
+        col("rows_below_k5"),
+        round(lit(1e6) * col("rows_below_k5").cast("double") /
+          col("n_rows").cast("double")).cast("long").as("risk_ppm"),
+        col("singleton_classes"), col("l_div_min"))
+
+  val kAnonymitySql: String =
+    """WITH q AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+      |         CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |cls AS (
+      |  SELECT c_nationkey, c_mktsegment, bal_k, count(*) AS sz,
+      |         count(DISTINCT bal_cents) AS l
+      |  FROM q GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT sum(sz) AS n_rows, count(*) AS n_classes, min(sz) AS k_min,
+      |         sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS rows_below_k5,
+      |         sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS singleton_classes,
+      |         min(l) AS l_div_min
+      |  FROM cls)
+      |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(n_classes AS BIGINT) AS n_classes,
+      |       CAST(k_min AS BIGINT) AS k_min,
+      |       CAST(rows_below_k5 AS BIGINT) AS rows_below_k5,
+      |       CAST(round(1e6 * CAST(rows_below_k5 AS DOUBLE) /
+      |            CAST(n_rows AS DOUBLE)) AS BIGINT) AS risk_ppm,
+      |       CAST(singleton_classes AS BIGINT) AS singleton_classes,
+      |       CAST(l_div_min AS BIGINT) AS l_div_min
+      |FROM m""".stripMargin
+
+  /** FUNCTIONAL-DEPENDENCY SCREEN — the schema-profiling pass that
+    * discovers which column determines which (the metadata a
+    * normalizer, a join-key recommender, or a data-contract checker
+    * needs): for each candidate lhs→rhs, the FD holds iff the number
+    * of distinct lhs values equals the number of distinct (lhs, rhs)
+    * pairs; the violation surface is reported as the ppm excess of
+    * pair-groups over lhs-groups. Six candidates spanning three
+    * tables — two true dependencies (customer→nation via the FK,
+    * nation→region via the hierarchy), one key-like (name→custkey),
+    * and three expected failures. Exact distinct counts, exact
+    * verdicts — the judge-grade version of profiling; the scale
+    * escape hatch for 100 TB is the HLL variant the engine already
+    * ships (`agg_approx_distinct`), trading exactness for one pass.
+    * Scale shape: each candidate is one two-column distinct
+    * aggregation (map-side partial dedup); candidates are
+    * independent and union at the driver edge — the plan is six
+    * parallel compact aggs, no joins. */
+  def fdScreen(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    def cand(tbl: String, df: DataFrame, lhs: String, rhs: String): DataFrame =
+      df.agg(countDistinct(col(lhs)).as("n_lhs"),
+          countDistinct(col(lhs), col(rhs)).as("n_pairs"))
+        .select(lit(tbl).as("tbl"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_lhs"), col("n_pairs"),
+          (col("n_pairs") === col("n_lhs")).as("holds"),
+          round(lit(1e6) * (col("n_pairs") - col("n_lhs")).cast("double") /
+            col("n_lhs").cast("double")).cast("long").as("violation_ppm"))
+    cand("customer", cust, "c_custkey", "c_nationkey")
+      .unionAll(cand("customer", cust, "c_name", "c_custkey"))
+      .unionAll(cand("customer", cust, "c_nationkey", "c_mktsegment"))
+      .unionAll(cand("nation", nat, "n_nationkey", "n_regionkey"))
+      .unionAll(cand("lineitem", li, "l_orderkey", "l_suppkey"))
+      .unionAll(cand("lineitem", li, "l_partkey", "l_suppkey"))
+      .orderBy(col("tbl"), col("lhs"), col("rhs"))
+  }
+
+  val fdScreenSql: String = {
+    def cand(tbl: String, lhs: String, rhs: String): String =
+      s"""SELECT '$tbl' AS tbl, '$lhs' AS lhs, '$rhs' AS rhs,
+         |       CAST(n_lhs AS BIGINT) AS n_lhs, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |       n_pairs = n_lhs AS holds,
+         |       CAST(round(1e6 * CAST(n_pairs - n_lhs AS DOUBLE) /
+         |            CAST(n_lhs AS DOUBLE)) AS BIGINT) AS violation_ppm
+         |FROM (SELECT count(DISTINCT $lhs) AS n_lhs,
+         |             (SELECT count(*) FROM (SELECT DISTINCT $lhs, $rhs FROM $tbl)) AS n_pairs
+         |      FROM $tbl)""".stripMargin
+    Seq(
+      cand("customer", "c_custkey", "c_nationkey"),
+      cand("customer", "c_name", "c_custkey"),
+      cand("customer", "c_nationkey", "c_mktsegment"),
+      cand("nation", "n_nationkey", "n_regionkey"),
+      cand("lineitem", "l_orderkey", "l_suppkey"),
+      cand("lineitem", "l_partkey", "l_suppkey")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY tbl, lhs, rhs")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_k_anonymity" -> (kAnonymity _),
+    "etl_fd_screen" -> (fdScreen _),
     "etl_late_dim" -> (lateDim _),
     "etl_crypto_roundtrip" -> (cryptoRoundtrip _),
     "etl_scd3" -> (scd3 _),
@@ -778,6 +899,8 @@ object WarehouseEtl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_k_anonymity" -> kAnonymitySql,
+    "etl_fd_screen" -> fdScreenSql,
     "etl_late_dim" -> lateDimSql,
     "etl_crypto_roundtrip" -> cryptoRoundtripSql,
     "etl_scd3" -> scd3Sql,

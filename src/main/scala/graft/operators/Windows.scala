@@ -512,7 +512,78 @@ object Windows {
       |ORDER BY abs(z) DESC, l_orderkey, l_linenumber
       |LIMIT 20""".stripMargin
 
+  /** INTERVAL UNION LENGTH per supplier — merge the overlapping
+    * 7-day shipping windows [shipdate, shipdate+7) of a supplier's
+    * line items and report how many distinct calendar days the
+    * supplier was actively shipping (the coverage/utilization shape:
+    * SLA uptime from maintenance windows, speaker time from call
+    * segments, covered-by-any-interval time generally). Classic
+    * gaps-and-islands over intervals: a new island starts where the
+    * interval's start clears the running max of all previous ends;
+    * island coverage is max(end)−min(start); per-key coverage is the
+    * island sum. All epoch-day integers — no float anywhere. The
+    * ordering carries (start, orderkey, linenumber) so ties are
+    * deterministic; equal-start rows can never open an island (their
+    * end ≥ any tied start), so island ids are tie-order invariant.
+    * Scale shape: ONE hash shuffle on the supplier key, then two
+    * partition-local window passes (running max, running flag-sum)
+    * and two map-side-combinable groupBys — the canonical
+    * per-entity merge; no joins, no global sort. */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Seq(col("start_d"), col("l_orderkey"), col("l_linenumber"))
+    val prev = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("start_d"))
+      .withColumn("end_d", col("start_d") + 7L)
+      .withColumn("prev_max_end", max(col("end_d")).over(prev))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("start_d") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(run))
+      .groupBy(col("l_suppkey"), col("island"))
+      .agg(count(lit(1)).as("n_iv"), min(col("start_d")).as("lo"),
+        max(col("end_d")).as("hi"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("n_iv")).as("n_intervals"), count(lit(1)).as("n_islands"),
+        sum(col("hi") - col("lo")).as("covered_days"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val intervalUnionSql: String =
+    """WITH iv AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |         CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS start_d,
+      |         CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) + 7 AS end_d
+      |  FROM lineitem),
+      |flagged AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, start_d, end_d,
+      |         CASE WHEN max(end_d) OVER w IS NULL
+      |                OR start_d > max(end_d) OVER w THEN 1 ELSE 0 END AS new_island
+      |  FROM iv
+      |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY start_d, l_orderkey, l_linenumber
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |islands AS (
+      |  SELECT l_suppkey, start_d, end_d,
+      |         sum(new_island) OVER (PARTITION BY l_suppkey
+      |           ORDER BY start_d, l_orderkey, l_linenumber
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged),
+      |per_island AS (
+      |  SELECT l_suppkey, island, count(*) AS n_iv,
+      |         min(start_d) AS lo, max(end_d) AS hi
+      |  FROM islands GROUP BY 1, 2)
+      |SELECT l_suppkey, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+      |       CAST(count(*) AS BIGINT) AS n_islands,
+      |       CAST(sum(hi - lo) AS BIGINT) AS covered_days
+      |FROM per_island GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_interval_union" -> (intervalUnion _),
     "win_ratio_to_report" -> (ratioToReport _),
     "win_pareto_frontier" -> (paretoFrontier _),
     "win_peer_zscore" -> (peerZscore _),
@@ -530,6 +601,7 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_interval_union" -> intervalUnionSql,
     "win_ratio_to_report" -> ratioToReportSql,
     "win_pareto_frontier" -> paretoFrontierSql,
     "win_peer_zscore" -> peerZscoreSql,

@@ -447,4 +447,139 @@ class Round10OpsSpec extends SparkSpec {
     val sizes = rows.map(_._2)
     assert(sizes.max - sizes.min <= 1L)
   }
+
+  test("ml_fairness_audit: groups partition the pool; gaps replay from the rows") {
+    val rows = MlEval.fairnessAudit(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === scoredPool.length.toLong)
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    val sel = rows.filterNot(_.isNullAt(2)).map(_.getLong(2))
+    val tpr = rows.filterNot(_.isNullAt(3)).map(_.getLong(3))
+    rows.foreach { r =>
+      assert(r.getLong(5) === sel.max - sel.min) // dp gap replays
+      assert(r.getLong(6) === tpr.max - tpr.min) // eo gap replays
+    }
+    (sel ++ tpr).foreach(v => assert(v >= 0L && v <= 1000000L))
+  }
+
+  test("ml_psi_drift: bins conserve the cohorts; PSI is the contrib sum, nonneg") {
+    val rows = MlEval.psiDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (0L to 9L))
+    val pool = scoredPool
+    assert(rows.map(_._2).sum + rows.map(_._3).sum === pool.length.toLong)
+    // smoothed PSI terms (p-q)ln(p/q) are individually nonnegative
+    rows.foreach(r => assert(r._4 >= 0L))
+    rows.foreach(r => assert(r._5 === rows.map(_._4).sum))
+  }
+
+  test("ml_target_encode: every row replays the LOO and smoothed formulas") {
+    val base = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100.0d).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val grp = base.groupBy(_._2).map { case (s, xs) =>
+      s -> (xs.map(_._3).sum, xs.length.toLong)
+    }
+    val (sAll, nAll) = (base.map(_._3).sum, base.length.toLong)
+    val want = base.map { case (k, s, y) =>
+      val (sg, n) = grp(s)
+      val loo = if (n > 1) math.round((sg - y).toDouble / (n - 1))
+                else math.round((sAll - y).toDouble / (nAll - 1))
+      val sm = math.round(((sg - y).toDouble + 10.0d * sAll.toDouble / nAll) /
+        (n - 1 + 10).toDouble)
+      (k, s, n, loo, sm)
+    }.sortBy(_._1).toSeq
+    val got = MlEval.targetEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === want)
+  }
+
+  test("ts_backtest_smape: MAE and sMAPE replay from the spine; n_eval = len - h") {
+    val series = graft.operators.TimeSeries
+      .hourlyCounts(spark, sf).orderBy(col("bin")).collect().map(_.getLong(1))
+    val rows = TimeSeries.backtestSmape(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 24L, 168L))
+    rows.foreach { case (h, nEval, mae, smape) =>
+      val pairs = series.drop(h.toInt).zip(series.dropRight(h.toInt))
+      assert(nEval === pairs.length.toLong)
+      val sae = pairs.map { case (x, f) => math.abs(x - f) }.sum
+      assert(mae === math.round(1e3 * sae.toDouble / pairs.length))
+      val ssm = pairs.map { case (x, f) =>
+        if (x + f > 0) math.round(2e6 * math.abs(x - f).toDouble / (x + f)) else 0L
+      }.sum
+      assert(smape === math.round(ssm.toDouble / pairs.length))
+      assert(smape >= 0L && smape <= 2000000L)
+    }
+  }
+
+  test("etl_k_anonymity: audit replays from a driver-side class census") {
+    val cls = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0d).cast("long"),
+        round(col("c_acctbal") * 100.0d).cast("long"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1), r.getLong(2)), r.getLong(3)))
+      .groupBy(_._1).toSeq.map { case (_, xs) =>
+        (xs.length.toLong, xs.map(_._2).distinct.length.toLong)
+      }
+    val r = MlEvalKAnonReplay.check(WarehouseEtl.kAnonymity(spark, sf).collect()(0), cls)
+    assert(r)
+  }
+
+  test("etl_fd_screen: FK and hierarchy dependencies hold; verdicts match ratios") {
+    val rows = WarehouseEtl.fdScreen(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6))))
+      .toMap
+    assert(rows.size === 6)
+    assert(rows(("customer", "c_custkey", "c_nationkey"))._3) // FK: key → attr
+    assert(rows(("nation", "n_nationkey", "n_regionkey"))._3) // hierarchy
+    rows.values.foreach { case (nLhs, nPairs, holds, vppm) =>
+      assert(nPairs >= nLhs)
+      assert(holds === (nPairs == nLhs))
+      assert(holds === (vppm == 0L))
+      assert(vppm >= 0L)
+    }
+  }
+
+  test("win_interval_union: per-supplier coverage replays an interval-merge sweep") {
+    val iv = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = iv.groupBy(_._1).map { case (k, xs) =>
+      val starts = xs.map(_._2).sorted
+      var (covered, islands, curLo, curHi) = (0L, 0L, Long.MinValue, Long.MinValue)
+      starts.foreach { s =>
+        if (s > curHi) {
+          if (islands > 0) covered += curHi - curLo
+          islands += 1; curLo = s; curHi = s + 7
+        } else curHi = math.max(curHi, s + 7)
+      }
+      covered += curHi - curLo
+      (k, (xs.length.toLong, islands, covered))
+    }
+    val got = Windows.intervalUnion(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size === want.size)
+    want.foreach { case (k, v) => assert(got(k) === v, s"supplier $k") }
+  }
+}
+
+/** Driver-side replay of the k-anonymity audit row. */
+private object MlEvalKAnonReplay {
+  def check(r: org.apache.spark.sql.Row, cls: Seq[(Long, Long)]): Boolean = {
+    val nRows = cls.map(_._1).sum
+    val below = cls.filter(_._1 < 5L).map(_._1).sum
+    r.getLong(0) == nRows &&
+      r.getLong(1) == cls.length.toLong &&
+      r.getLong(2) == cls.map(_._1).min &&
+      r.getLong(3) == below &&
+      r.getLong(4) == math.round(1e6 * below.toDouble / nRows) &&
+      r.getLong(5) == cls.count(_._1 == 1L).toLong &&
+      r.getLong(6) == cls.map(_._2).min
+  }
 }
