@@ -556,6 +556,411 @@ object MlEval {
       |FROM base b JOIN grp g USING (seg), gstats a
       |ORDER BY b.c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // CUPED variance reduction
+  // ---------------------------------------------------------------
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data) — the
+    * standard experimentation variance-reduction: adjust each user's
+    * experiment metric Y by their pre-period covariate X,
+    * Yᵃᵈʲ = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) pooled across
+    * variants. The calendar midpoint splits pre/post; per-user X and
+    * Y are exact conditional integer-cent sums from ONE
+    * groupBy(user); θ's moments (ΣX, ΣY, ΣXY, ΣX²) ride
+    * DECIMAL(38,0)/HUGEINT (the corrMatrix overflow discipline), so
+    * the adjusted means need NO second data pass — they are closed
+    * forms over per-variant sums and the pooled θ. Reported:
+    * per-variant raw and adjusted means (milli-units), θ (milli),
+    * and the theoretical variance reduction ρ² (ppm). Scale shape:
+    * one user-keyed shuffle, then a 1-row reduce. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.agg(
+      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / lit(2L))
+        .cast("long").as("mid_us"))
+    val users = ev.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        (unix_micros(col("ts")) < col("mid_us")).as("pre"),
+        round(col("value") * 100.0d).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("a", pmod(col("user_id"), lit(2L)) === 0L)
+    val m = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"),
+      sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("a"), col("x")).otherwise(0L)).as("sxa"),
+      sum(when(col("a"), col("y")).otherwise(0L)).as("sya"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("a"), col("x")).otherwise(0L)).as("sxb"),
+      sum(when(!col("a"), col("y")).otherwise(0L)).as("syb"))
+    def d(c: String) = col(c).cast("double")
+    val covXY = d("sxy") - d("sx") * d("sy") / d("n")
+    val varX = d("sxx") - d("sx") * d("sx") / d("n")
+    val varY = d("syy") - d("sy") * d("sy") / d("n")
+    val theta = when(varX > 0d, covXY / varX).otherwise(lit(0.0d))
+    val xbar = d("sx") / d("n")
+    def adj(sy: String, sx: String, n: String) =
+      d(sy) / d(n) - theta * (d(sx) / d(n) - xbar)
+    m.select(col("na"), col("nb"),
+      round(lit(10.0d) * d("sya") / d("na")).cast("long").as("mean_a_milli"),
+      round(lit(10.0d) * d("syb") / d("nb")).cast("long").as("mean_b_milli"),
+      round(lit(10.0d) * adj("sya", "sxa", "na")).cast("long").as("adj_a_milli"),
+      round(lit(10.0d) * adj("syb", "sxb", "nb")).cast("long").as("adj_b_milli"),
+      round(lit(1e3) * theta).cast("long").as("theta_milli"),
+      when(varX > 0d && varY > 0d,
+        round(lit(1e6) * covXY * covXY / (varX * varY)).cast("long"))
+        .otherwise(lit(0L)).as("var_reduction_ppm"))
+  }
+
+  val cupedSql: String =
+    """WITH bounds AS (
+      |  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT) AS mid_us
+      |  FROM events),
+      |users AS (
+      |  SELECT user_id,
+      |         sum(CASE WHEN epoch_us(ts) < b.mid_us
+      |                  THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS x,
+      |         sum(CASE WHEN epoch_us(ts) >= b.mid_us
+      |                  THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS y,
+      |         user_id % 2 = 0 AS a
+      |  FROM events, bounds b GROUP BY user_id),
+      |m AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |         sum(CAST(y AS HUGEINT) * y) AS syy,
+      |         count(*) FILTER (WHERE a) AS na,
+      |         coalesce(sum(x) FILTER (WHERE a), 0) AS sxa,
+      |         coalesce(sum(y) FILTER (WHERE a), 0) AS sya,
+      |         count(*) FILTER (WHERE NOT a) AS nb,
+      |         coalesce(sum(x) FILTER (WHERE NOT a), 0) AS sxb,
+      |         coalesce(sum(y) FILTER (WHERE NOT a), 0) AS syb
+      |  FROM users),
+      |t AS (
+      |  SELECT *,
+      |         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cxy,
+      |         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS vx,
+      |         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS vy
+      |  FROM m),
+      |t2 AS (
+      |  SELECT *, CASE WHEN vx > 0 THEN cxy / vx ELSE 0.0 END AS theta,
+      |         CAST(sx AS DOUBLE) / n AS xbar
+      |  FROM t)
+      |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+      |       CAST(round(10.0 * CAST(sya AS DOUBLE) / na) AS BIGINT) AS mean_a_milli,
+      |       CAST(round(10.0 * CAST(syb AS DOUBLE) / nb) AS BIGINT) AS mean_b_milli,
+      |       CAST(round(10.0 * (CAST(sya AS DOUBLE) / na
+      |         - theta * (CAST(sxa AS DOUBLE) / na - xbar))) AS BIGINT) AS adj_a_milli,
+      |       CAST(round(10.0 * (CAST(syb AS DOUBLE) / nb
+      |         - theta * (CAST(sxb AS DOUBLE) / nb - xbar))) AS BIGINT) AS adj_b_milli,
+      |       CAST(round(1e3 * theta) AS BIGINT) AS theta_milli,
+      |       CASE WHEN vx > 0 AND vy > 0
+      |            THEN CAST(round(1e6 * cxy * cxy / (vx * vy)) AS BIGINT)
+      |            ELSE 0 END AS var_reduction_ppm
+      |FROM t2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Difference-in-differences
+  // ---------------------------------------------------------------
+
+  /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental workhorse:
+    * with treatment = odd user ids and the calendar midpoint as the
+    * intervention, DiD = (ȲT,post − ȲT,pre) − (ȲC,post − ȲC,pre)
+    * cancels both the group baseline and the common time trend. The
+    * 2×2 cell means come from ONE full-scan aggregation of exact
+    * integer cents; the z statistic uses per-cell variances (squares
+    * on DECIMAL(38,0)). Everything downstream of the single agg is
+    * a 1-row expression. */
+  def did(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.agg(
+      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / lit(2L))
+        .cast("long").as("mid_us"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .select((pmod(col("user_id"), lit(2L)) === 1L).as("treated"),
+        (unix_micros(col("ts")) >= col("mid_us")).as("post"),
+        round(col("value") * 100.0d).cast("long").as("cents"))
+    def cell(t: Boolean, p: Boolean, e: Column) =
+      sum(when(col("treated") === t && col("post") === p, e).otherwise(lit(0L)))
+    val m = cells.agg(
+      cell(true, false, lit(1L)).as("n_tp"), cell(true, false, col("cents")).as("s_tp"),
+      cell(true, false, dec(col("cents")) * col("cents")).as("q_tp"),
+      cell(true, true, lit(1L)).as("n_ta"), cell(true, true, col("cents")).as("s_ta"),
+      cell(true, true, dec(col("cents")) * col("cents")).as("q_ta"),
+      cell(false, false, lit(1L)).as("n_cp"), cell(false, false, col("cents")).as("s_cp"),
+      cell(false, false, dec(col("cents")) * col("cents")).as("q_cp"),
+      cell(false, true, lit(1L)).as("n_ca"), cell(false, true, col("cents")).as("s_ca"),
+      cell(false, true, dec(col("cents")) * col("cents")).as("q_ca"))
+    def d(c: String) = col(c).cast("double")
+    def mean(s: String, n: String) = d(s) / d(n)
+    def varTerm(q: String, s: String, n: String) =
+      (d(q) / d(n) - mean(s, n) * mean(s, n)) / d(n)
+    val didC = (mean("s_ta", "n_ta") - mean("s_tp", "n_tp")) -
+      (mean("s_ca", "n_ca") - mean("s_cp", "n_cp"))
+    val se = sqrt(varTerm("q_ta", "s_ta", "n_ta") + varTerm("q_tp", "s_tp", "n_tp") +
+      varTerm("q_ca", "s_ca", "n_ca") + varTerm("q_cp", "s_cp", "n_cp"))
+    m.select(
+      col("n_tp"), col("n_ta"), col("n_cp"), col("n_ca"),
+      round(lit(10.0d) * mean("s_tp", "n_tp")).cast("long").as("t_pre_milli"),
+      round(lit(10.0d) * mean("s_ta", "n_ta")).cast("long").as("t_post_milli"),
+      round(lit(10.0d) * mean("s_cp", "n_cp")).cast("long").as("c_pre_milli"),
+      round(lit(10.0d) * mean("s_ca", "n_ca")).cast("long").as("c_post_milli"),
+      round(lit(10.0d) * didC).cast("long").as("did_milli"),
+      round(didC / se, 4).as("z"))
+  }
+
+  val didSql: String =
+    """WITH bounds AS (
+      |  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT) AS mid_us
+      |  FROM events),
+      |ev AS (
+      |  SELECT user_id % 2 = 1 AS treated, epoch_us(ts) >= b.mid_us AS post,
+      |         CAST(round(value * 100.0) AS BIGINT) AS cents
+      |  FROM events, bounds b),
+      |m AS (
+      |  SELECT
+      |    count(*) FILTER (WHERE treated AND NOT post) AS n_tp,
+      |    coalesce(sum(cents) FILTER (WHERE treated AND NOT post), 0) AS s_tp,
+      |    coalesce(sum(CAST(cents AS HUGEINT) * cents) FILTER (WHERE treated AND NOT post), 0) AS q_tp,
+      |    count(*) FILTER (WHERE treated AND post) AS n_ta,
+      |    coalesce(sum(cents) FILTER (WHERE treated AND post), 0) AS s_ta,
+      |    coalesce(sum(CAST(cents AS HUGEINT) * cents) FILTER (WHERE treated AND post), 0) AS q_ta,
+      |    count(*) FILTER (WHERE NOT treated AND NOT post) AS n_cp,
+      |    coalesce(sum(cents) FILTER (WHERE NOT treated AND NOT post), 0) AS s_cp,
+      |    coalesce(sum(CAST(cents AS HUGEINT) * cents) FILTER (WHERE NOT treated AND NOT post), 0) AS q_cp,
+      |    count(*) FILTER (WHERE NOT treated AND post) AS n_ca,
+      |    coalesce(sum(cents) FILTER (WHERE NOT treated AND post), 0) AS s_ca,
+      |    coalesce(sum(CAST(cents AS HUGEINT) * cents) FILTER (WHERE NOT treated AND post), 0) AS q_ca
+      |  FROM ev),
+      |e AS (
+      |  SELECT *,
+      |    (CAST(s_ta AS DOUBLE)/n_ta - CAST(s_tp AS DOUBLE)/n_tp)
+      |      - (CAST(s_ca AS DOUBLE)/n_ca - CAST(s_cp AS DOUBLE)/n_cp) AS did_c,
+      |    sqrt((CAST(q_ta AS DOUBLE)/n_ta - (CAST(s_ta AS DOUBLE)/n_ta)*(CAST(s_ta AS DOUBLE)/n_ta))/n_ta
+      |       + (CAST(q_tp AS DOUBLE)/n_tp - (CAST(s_tp AS DOUBLE)/n_tp)*(CAST(s_tp AS DOUBLE)/n_tp))/n_tp
+      |       + (CAST(q_ca AS DOUBLE)/n_ca - (CAST(s_ca AS DOUBLE)/n_ca)*(CAST(s_ca AS DOUBLE)/n_ca))/n_ca
+      |       + (CAST(q_cp AS DOUBLE)/n_cp - (CAST(s_cp AS DOUBLE)/n_cp)*(CAST(s_cp AS DOUBLE)/n_cp))/n_cp) AS se
+      |  FROM m)
+      |SELECT CAST(n_tp AS BIGINT) AS n_tp, CAST(n_ta AS BIGINT) AS n_ta,
+      |       CAST(n_cp AS BIGINT) AS n_cp, CAST(n_ca AS BIGINT) AS n_ca,
+      |       CAST(round(10.0 * CAST(s_tp AS DOUBLE) / n_tp) AS BIGINT) AS t_pre_milli,
+      |       CAST(round(10.0 * CAST(s_ta AS DOUBLE) / n_ta) AS BIGINT) AS t_post_milli,
+      |       CAST(round(10.0 * CAST(s_cp AS DOUBLE) / n_cp) AS BIGINT) AS c_pre_milli,
+      |       CAST(round(10.0 * CAST(s_ca AS DOUBLE) / n_ca) AS BIGINT) AS c_post_milli,
+      |       CAST(round(10.0 * did_c) AS BIGINT) AS did_milli,
+      |       round(did_c / se, 4) AS z
+      |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Split-conformal calibration
+  // ---------------------------------------------------------------
+
+  /** SPLIT-CONFORMAL CALIBRATION at α = 0.1 — the
+    * distribution-free prediction-set recipe: on a calibration half
+    * (vec_id mod 4 < 2) take the ⌈(n+1)(1−α)⌉-th smallest
+    * nonconformity score s = |10⁶·y − p_u| (an exact integer order
+    * statistic — ceil division on integers, no float quantile), then
+    * audit empirical coverage s ≤ q̂ on the held-out half, which the
+    * conformal guarantee lower-bounds by 1−α in expectation. The
+    * order statistic is found through the SCORE HISTOGRAM (≤1e6+1
+    * keys): cumulative counts over the compact histogram, never a
+    * data-sized sort. Scale shape: two compact-key aggs + a 1-row
+    * broadcast join. */
+  def conformal(spark: SparkSession, dir: String): DataFrame = {
+    val pool = scored(spark, dir)
+      .withColumn("s", abs(lit(1000000L) * col("y") - col("p_u")))
+      .withColumn("cal", pmod(col("vec_id"), lit(4L)) < 2L)
+    val calHist = pool.filter(col("cal"))
+      .groupBy(col("s")).agg(count(lit(1)).as("c"))
+    val cum = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nCal = calHist.agg(sum(col("c")).as("n_cal"))
+    val q = calHist.crossJoin(broadcast(nCal))
+      .withColumn("cc", sum(col("c")).over(cum))
+      .withColumn("k", expr("((n_cal + 1) * 9 + 9) div 10"))
+      .filter(col("cc") >= col("k"))
+      .agg(min(col("s")).as("q_hat"), max(col("k")).as("k"),
+        max(col("n_cal")).as("n_cal"))
+    pool.filter(!col("cal"))
+      .crossJoin(broadcast(q))
+      .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        max(col("k")).as("k_rank"), max(col("q_hat")).as("q_hat"),
+        sum(when(col("s") <= col("q_hat"), 1L).otherwise(0L)).as("covered"))
+      .select(col("n_cal"), col("n_test"), col("k_rank"), col("q_hat"),
+        col("covered"),
+        round(lit(1e6) * col("covered").cast("double") /
+          col("n_test").cast("double")).cast("long").as("coverage_ppm"))
+  }
+
+  val conformalSql: String =
+    s"""WITH $scoredSql,
+       |pool AS (
+       |  SELECT vec_id, y, p_u, abs(1000000 * y - p_u) AS s,
+       |         vec_id % 4 < 2 AS cal
+       |  FROM scored),
+       |calhist AS (
+       |  SELECT s, count(*) AS c FROM pool WHERE cal GROUP BY 1),
+       |ncal AS (SELECT sum(c) AS n_cal FROM calhist),
+       |cumh AS (
+       |  SELECT s, sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cc,
+       |         ((n.n_cal + 1) * 9 + 9) // 10 AS k, n.n_cal
+       |  FROM calhist, ncal n),
+       |q AS (
+       |  SELECT min(s) AS q_hat, max(k) AS k, max(n_cal) AS n_cal
+       |  FROM cumh WHERE cc >= k),
+       |t AS (
+       |  SELECT max(q.n_cal) AS n_cal, count(*) AS n_test, max(q.k) AS k_rank,
+       |         max(q.q_hat) AS q_hat,
+       |         sum(CASE WHEN p.s <= q.q_hat THEN 1 ELSE 0 END) AS covered
+       |  FROM pool p, q WHERE NOT p.cal)
+       |SELECT CAST(n_cal AS BIGINT) AS n_cal, CAST(n_test AS BIGINT) AS n_test,
+       |       CAST(k_rank AS BIGINT) AS k_rank, CAST(q_hat AS BIGINT) AS q_hat,
+       |       CAST(covered AS BIGINT) AS covered,
+       |       CAST(round(1e6 * CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE)) AS BIGINT) AS coverage_ppm
+       |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Propensity-score matching with balance diagnostics
+  // ---------------------------------------------------------------
+
+  /** PROPENSITY-SCORE MATCHING (nearest neighbor, with replacement)
+    * + the balance diagnostic that justifies it: treated units
+    * (odd vec_id) match to the nearest control score; covariate
+    * balance is reported as the standardized mean difference of the
+    * first embedding coordinate before vs after matching. The match
+    * runs entirely in SCORE space: control units collapse to
+    * per-score stats (≤1e6 keys — count, Σx, with x the micro-int
+    * covariate and the per-score control mean re-quantized to an
+    * integer so post-match sums stay exact), the nearest control
+    * score per distinct treated score comes from ONE ordered scan of
+    * the merged score spine (running max for the backward candidate,
+    * reverse running min for the forward; closer wins, ties
+    * backward), and treated rows then join their match on the
+    * compact score key. No data-sized sort, no O(n²) pairing —
+    * the classic sorted-merge as-of shape on bounded keys. */
+  def propensityMatch(spark: SparkSession, dir: String): DataFrame = {
+    val pool = scored(spark, dir)
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("eid"),
+          round(element_at(col("embedding"), 1).cast("double") * 1000000d)
+            .cast("long").as("x")),
+        col("vec_id") === col("eid"))
+      .select(col("vec_id"), col("p_u"), col("x"),
+        (pmod(col("vec_id"), lit(2L)) === 1L).as("treated"))
+    // per-score control stats; mean re-quantized to exact micro ints
+    val ctrl = pool.filter(!col("treated"))
+      .groupBy(col("p_u")).agg(count(lit(1)).as("cc"), sum(col("x")).as("sx"))
+      .select(col("p_u"),
+        round(col("sx").cast("double") / col("cc").cast("double"))
+          .cast("long").as("xbar_c"))
+    val tScores = pool.filter(col("treated")).select(col("p_u")).distinct()
+    val spine = ctrl.select(col("p_u"), lit(true).as("is_c"))
+      .unionByName(tScores.select(col("p_u"), lit(false).as("is_c")))
+      .groupBy(col("p_u")).agg(max(col("is_c")).as("has_c"))
+    val bwd = Window.orderBy(col("p_u"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.orderBy(col("p_u"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = spine
+      .withColumn("b", max(when(col("has_c"), col("p_u"))).over(bwd))
+      .withColumn("f", min(when(col("has_c"), col("p_u"))).over(fwd))
+      .select(col("p_u"),
+        when(col("f").isNull, col("b"))
+          .when(col("b").isNull, col("f"))
+          .when(col("p_u") - col("b") <= col("f") - col("p_u"), col("b"))
+          .otherwise(col("f")).as("m"))
+    val treatedRows = pool.filter(col("treated"))
+      .join(matched, Seq("p_u"))
+      .join(ctrl.select(col("p_u").as("m"), col("xbar_c")), Seq("m"))
+    val cStats = pool.filter(!col("treated"))
+      .agg(count(lit(1)).as("n_c"), sum(col("x")).as("scx"),
+        sum(dec(col("x")) * col("x")).as("scxx"))
+    def d(c: Column) = c.cast("double")
+    val m = treatedRows.agg(
+      count(lit(1)).as("n_t"),
+      sum(col("x")).as("stx"), sum(dec(col("x")) * col("x")).as("stxx"),
+      sum(col("xbar_c")).as("smx"), sum(dec(col("xbar_c")) * col("xbar_c")).as("smxx"),
+      sum(abs(col("p_u") - col("m"))).as("gap"))
+      .crossJoin(broadcast(cStats))
+    def meanC(s: String, n: String) = d(col(s)) / d(col(n))
+    def varC(q: String, s: String, n: String) =
+      d(col(q)) / d(col(n)) - meanC(s, n) * meanC(s, n)
+    val smdBefore = (meanC("stx", "n_t") - meanC("scx", "n_c")) /
+      sqrt((varC("stxx", "stx", "n_t") + varC("scxx", "scx", "n_c")) / lit(2.0d))
+    val smdAfter = (meanC("stx", "n_t") - meanC("smx", "n_t")) /
+      sqrt((varC("stxx", "stx", "n_t") + varC("smxx", "smx", "n_t")) / lit(2.0d))
+    m.select(col("n_t"), col("n_c"),
+      round(d(col("gap")) / d(col("n_t"))).cast("long").as("mean_gap_ppm"),
+      round(lit(1e3) * smdBefore).cast("long").as("smd_before_milli"),
+      round(lit(1e3) * smdAfter).cast("long").as("smd_after_milli"))
+  }
+
+  val propensityMatchSql: String =
+    s"""WITH $scoredSql,
+       |pool AS (
+       |  SELECT s.vec_id, s.p_u,
+       |         CAST(round(CAST(e.embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS x,
+       |         s.vec_id % 2 = 1 AS treated
+       |  FROM scored s JOIN embeddings e ON s.vec_id = e.vec_id),
+       |ctrl AS (
+       |  SELECT p_u,
+       |         CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS xbar_c
+       |  FROM pool WHERE NOT treated GROUP BY 1),
+       |spine AS (
+       |  SELECT p_u, bool_or(is_c) AS has_c FROM (
+       |    SELECT p_u, TRUE AS is_c FROM ctrl
+       |    UNION ALL
+       |    SELECT DISTINCT p_u, FALSE AS is_c FROM pool WHERE treated)
+       |  GROUP BY 1),
+       |matched AS (
+       |  SELECT p_u,
+       |         CASE WHEN f IS NULL THEN b
+       |              WHEN b IS NULL THEN f
+       |              WHEN p_u - b <= f - p_u THEN b ELSE f END AS m
+       |  FROM (
+       |    SELECT p_u,
+       |           max(CASE WHEN has_c THEN p_u END) OVER
+       |             (ORDER BY p_u ROWS UNBOUNDED PRECEDING) AS b,
+       |           min(CASE WHEN has_c THEN p_u END) OVER
+       |             (ORDER BY p_u ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+       |    FROM spine)),
+       |tr AS (
+       |  SELECT p.x, c.xbar_c, abs(p.p_u - mt.m) AS gap
+       |  FROM pool p JOIN matched mt ON p.p_u = mt.p_u
+       |       JOIN ctrl c ON mt.m = c.p_u
+       |  WHERE p.treated),
+       |cstats AS (
+       |  SELECT count(*) AS n_c, sum(x) AS scx,
+       |         sum(CAST(x AS HUGEINT) * x) AS scxx
+       |  FROM pool WHERE NOT treated),
+       |tstats AS (
+       |  SELECT count(*) AS n_t, sum(x) AS stx,
+       |         sum(CAST(x AS HUGEINT) * x) AS stxx,
+       |         sum(xbar_c) AS smx, sum(CAST(xbar_c AS HUGEINT) * xbar_c) AS smxx,
+       |         sum(gap) AS gap
+       |  FROM tr),
+       |e AS (
+       |  SELECT t.*, c.n_c, c.scx, c.scxx,
+       |    (CAST(stx AS DOUBLE)/n_t - CAST(scx AS DOUBLE)/n_c) /
+       |      sqrt(((CAST(stxx AS DOUBLE)/n_t - (CAST(stx AS DOUBLE)/n_t)*(CAST(stx AS DOUBLE)/n_t))
+       |          + (CAST(scxx AS DOUBLE)/n_c - (CAST(scx AS DOUBLE)/n_c)*(CAST(scx AS DOUBLE)/n_c))) / 2.0)
+       |      AS smd_before,
+       |    (CAST(stx AS DOUBLE)/n_t - CAST(smx AS DOUBLE)/n_t) /
+       |      sqrt(((CAST(stxx AS DOUBLE)/n_t - (CAST(stx AS DOUBLE)/n_t)*(CAST(stx AS DOUBLE)/n_t))
+       |          + (CAST(smxx AS DOUBLE)/n_t - (CAST(smx AS DOUBLE)/n_t)*(CAST(smx AS DOUBLE)/n_t))) / 2.0)
+       |      AS smd_after
+       |  FROM tstats t, cstats c)
+       |SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+       |       CAST(round(CAST(gap AS DOUBLE) / n_t) AS BIGINT) AS mean_gap_ppm,
+       |       CAST(round(1e3 * smd_before) AS BIGINT) AS smd_before_milli,
+       |       CAST(round(1e3 * smd_after) AS BIGINT) AS smd_after_milli
+       |FROM e""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_confusion" -> (confusion _),
     "ml_auc" -> (auc _),
@@ -565,7 +970,11 @@ object MlEval {
     "ml_gain_deciles" -> (gainDeciles _),
     "ml_fairness_audit" -> (fairnessAudit _),
     "ml_psi_drift" -> (psiDrift _),
-    "ml_target_encode" -> (targetEncode _)
+    "ml_target_encode" -> (targetEncode _),
+    "ml_cuped" -> (cuped _),
+    "ml_did" -> (did _),
+    "ml_conformal" -> (conformal _),
+    "ml_propensity_match" -> (propensityMatch _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -577,6 +986,10 @@ object MlEval {
     "ml_gain_deciles" -> gainDecilesSql,
     "ml_fairness_audit" -> fairnessAuditSql,
     "ml_psi_drift" -> psiDriftSql,
-    "ml_target_encode" -> targetEncodeSql
+    "ml_target_encode" -> targetEncodeSql,
+    "ml_cuped" -> cupedSql,
+    "ml_did" -> didSql,
+    "ml_conformal" -> conformalSql,
+    "ml_propensity_match" -> propensityMatchSql
   )
 }

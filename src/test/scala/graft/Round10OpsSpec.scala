@@ -544,6 +544,124 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("ml_cuped: theta and adjusted means replay from per-user (x, y) pairs") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")),
+        round(col("value") * 100.0d).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (evs.map(_._2).min + evs.map(_._2).max) / 2
+    val users = evs.groupBy(_._1).toSeq.map { case (u, xs) =>
+      (u, xs.filter(_._2 < mid).map(_._3).sum, xs.filter(_._2 >= mid).map(_._3).sum)
+    }
+    val n = users.length.toDouble
+    val (sx, sy) = (users.map(_._2).sum.toDouble, users.map(_._3).sum.toDouble)
+    val sxy = users.map(t => BigInt(t._2) * BigInt(t._3)).sum.toDouble
+    val sxx = users.map(t => BigInt(t._2) * BigInt(t._2)).sum.toDouble
+    val covXY = sxy - sx * sy / n
+    val varX = sxx - sx * sx / n
+    val theta = if (varX > 0) covXY / varX else 0.0
+    val a = users.filter(_._1 % 2 == 0)
+    val adjA = a.map(_._3).sum.toDouble / a.length -
+      theta * (a.map(_._2).sum.toDouble / a.length - sx / n)
+    val r = MlEval.cuped(spark, sf).collect()(0)
+    assert(r.getLong(0) === a.length.toLong)
+    assert(r.getLong(4) === math.round(10.0 * adjA))
+    assert(r.getLong(6) === math.round(1e3 * theta))
+    assert(r.getLong(7) >= 0L && r.getLong(7) <= 1000000L) // rho^2 in [0,1]
+  }
+
+  test("ml_did: the 2x2 cells partition the events; DiD replays") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")),
+        round(col("value") * 100.0d).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (evs.map(_._2).min + evs.map(_._2).max) / 2
+    def cell(t: Boolean, p: Boolean) =
+      evs.filter(e => (e._1 % 2 == 1) == t && (e._2 >= mid) == p)
+    val r = MlEval.did(spark, sf).collect()(0)
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3) === evs.length.toLong)
+    def m(t: Boolean, p: Boolean) = {
+      val c = cell(t, p); c.map(_._3).sum.toDouble / c.length
+    }
+    val didWant = (m(true, true) - m(true, false)) - (m(false, true) - m(false, false))
+    assert(r.getLong(8) === math.round(10.0 * didWant))
+  }
+
+  test("ml_conformal: q_hat is the exact order statistic; coverage replays") {
+    val pool = scoredPoolWithId
+    val cal = pool.filter(_._1 % 4 < 2).map(t => math.abs(1000000L * t._2 - t._3)).sorted
+    val test0 = pool.filter(_._1 % 4 >= 2).map(t => math.abs(1000000L * t._2 - t._3))
+    val k = ((cal.length + 1) * 9 + 9) / 10
+    val qHat = cal(math.min(k, cal.length) - 1)
+    val r = MlEval.conformal(spark, sf).collect()(0)
+    assert(r.getLong(0) === cal.length.toLong && r.getLong(1) === test0.length.toLong)
+    assert(r.getLong(2) === k.toLong)
+    assert(r.getLong(3) === qHat)
+    assert(r.getLong(4) === test0.count(_ <= qHat).toLong)
+    // conformal guarantee direction: empirical coverage near/above 1 - alpha
+    assert(r.getLong(5) >= 800000L)
+  }
+
+  test("ml_propensity_match: nearest-score match and SMDs replay") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), element_at(col("embedding"), 1).cast("double"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toMap
+    val pool = scoredPoolWithId.map(t => (t._1, t._3, emb(t._1)))
+    val treated = pool.filter(_._1 % 2 == 1)
+    val ctrl = pool.filter(_._1 % 2 == 0)
+    val byScore = ctrl.groupBy(_._2).toSeq
+      .map { case (p, xs) =>
+        p -> math.round(xs.map(_._3).sum.toDouble / xs.length)
+      }.toMap
+    val cScores = byScore.keys.toArray.sorted
+    def nearest(p: Long): Long = {
+      val i = java.util.Arrays.binarySearch(cScores, p)
+      if (i >= 0) p
+      else {
+        val ins = -i - 1
+        val b = if (ins > 0) Some(cScores(ins - 1)) else None
+        val f = if (ins < cScores.length) Some(cScores(ins)) else None
+        (b, f) match {
+          case (Some(bb), Some(ff)) => if (p - bb <= ff - p) bb else ff
+          case (Some(bb), None) => bb
+          case (None, Some(ff)) => ff
+          case _ => fail("no controls")
+        }
+      }
+    }
+    val gaps = treated.map(t => math.abs(t._2 - nearest(t._2)))
+    val r = MlEval.propensityMatch(spark, sf).collect()(0)
+    assert(r.getLong(0) === treated.length.toLong && r.getLong(1) === ctrl.length.toLong)
+    assert(r.getLong(2) === math.round(gaps.sum.toDouble / treated.length))
+    def smd(xs: Array[Long], ys: Array[Long]): Double = {
+      def mv(a: Array[Long]) = {
+        val m = a.sum.toDouble / a.length
+        (m, a.map(v => BigInt(v) * BigInt(v)).sum.toDouble / a.length - m * m)
+      }
+      val ((mx, vx), (my, vy)) = (mv(xs), mv(ys))
+      (mx - my) / math.sqrt((vx + vy) / 2.0)
+    }
+    val before = smd(treated.map(_._3), ctrl.map(_._3))
+    val after = smd(treated.map(_._3), treated.map(t => byScore(nearest(t._2))))
+    assert(r.getLong(3) === math.round(1e3 * before))
+    assert(r.getLong(4) === math.round(1e3 * after))
+  }
+
+  // scoredPool with vec_id carried: (vec_id, y, p_u)
+  private def scoredPoolWithId: Array[(Long, Long, Long)] = {
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+    rows.map { r =>
+      val label = r.getInt(1).toLong
+      val emb = r.getSeq[Float](2)
+      val logitU = emb.take(8).map(v => math.round(v.toDouble * 1e6)).sum
+      val p = 1e6 / (1d + math.exp(-6.0d * logitU.toDouble / 1000000.0d))
+      val pU = math.max(1L, math.min(999999L, math.round(p)))
+      (r.getLong(0), label % 2, pU)
+    }
+  }
+
   test("win_interval_union: per-supplier coverage replays an interval-merge sweep") {
     val iv = Tables.lineitem(spark, sf)
       .select(col("l_suppkey"),
