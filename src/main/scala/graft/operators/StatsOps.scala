@@ -547,7 +547,77 @@ object StatsOps {
        |SELECT m AS n_pairs, round(slope, 6) AS sen_slope
        |FROM ranked WHERE rn = (m + 1) // 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // One-way ANOVA
+  // ---------------------------------------------------------------
+
+  /** ONE-WAY ANOVA F test — "do the k market segments differ in mean
+    * account balance?", the multi-group extension of the A/B test in
+    * [[Aggregations]]. Per-group sufficient statistics are exact
+    * integers (n_g, Σcents, Σcents² on DECIMAL(38,0)); the between /
+    * within sums of squares decompose as SSB = Σ s_g²/n_g − s²/n and
+    * SSW = Σ q_g − Σ s_g²/n_g. Cross-group float summation order
+    * would be nondeterministic, so each GROUP's double term is
+    * quantized to integer milli-cents² first and the ≤k integer terms
+    * sum exactly (the per-term-quantization contract); F and η² are
+    * then ONE double expression over the two integer sums. Scale:
+    * one map-side-combinable groupBy(segment) — k rows — then a 1-row
+    * reduce; nothing downstream of the first agg is data-sized. */
+  def anova(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100.0d).cast("long").as("cents"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("ng"), sum(col("cents")).as("sg"),
+        sum(dec(col("cents")) * col("cents")).as("qg"))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("s"))
+    def d(c: Column) = c.cast("double")
+    val terms = g.crossJoin(broadcast(tot))
+      .select(col("k"), col("n"), col("s"),
+        round(lit(1e3) * (d(col("sg")) * d(col("sg")) / d(col("ng")) -
+          lit(2.0d) * d(col("sg")) * d(col("s")) / d(col("n")) +
+          d(col("ng")) * d(col("s")) * d(col("s")) / (d(col("n")) * d(col("n")))))
+          .cast("long").as("ssb_g"),
+        round(lit(1e3) * (d(col("qg")) - d(col("sg")) * d(col("sg")) / d(col("ng"))))
+          .cast("long").as("ssw_g"))
+      .groupBy(col("k"), col("n"))
+      .agg(sum(col("ssb_g")).as("ssb_milli"), sum(col("ssw_g")).as("ssw_milli"))
+    terms.select(col("k"), col("n"), col("ssb_milli"), col("ssw_milli"),
+      round(lit(1e3) * (d(col("ssb_milli")) / d(col("k") - 1)) /
+        (d(col("ssw_milli")) / d(col("n") - col("k")))).cast("long").as("f_milli"),
+      round(lit(1e6) * d(col("ssb_milli")) /
+        (d(col("ssb_milli")) + d(col("ssw_milli")))).cast("long").as("eta2_ppm"))
+  }
+
+  val anovaSql: String =
+    """WITH g AS (
+      |  SELECT c_mktsegment AS seg, count(*) AS ng,
+      |         sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS sg,
+      |         sum(CAST(CAST(round(c_acctbal * 100.0) AS BIGINT) AS HUGEINT) *
+      |             CAST(round(c_acctbal * 100.0) AS BIGINT)) AS qg
+      |  FROM customer GROUP BY 1),
+      |tot AS (SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s FROM g),
+      |terms AS (
+      |  SELECT t.k, t.n,
+      |         sum(CAST(round(1e3 * (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+      |           - 2.0 * CAST(sg AS DOUBLE) * CAST(s AS DOUBLE) / n
+      |           + ng * CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+      |             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT)) AS ssb_milli,
+      |         sum(CAST(round(1e3 * (CAST(qg AS DOUBLE)
+      |           - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)) AS BIGINT)) AS ssw_milli
+      |  FROM g, tot t GROUP BY 1, 2)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      |       CAST(ssb_milli AS BIGINT) AS ssb_milli,
+      |       CAST(ssw_milli AS BIGINT) AS ssw_milli,
+      |       CAST(round(1e3 * (CAST(ssb_milli AS DOUBLE) / (k - 1)) /
+      |            (CAST(ssw_milli AS DOUBLE) / (n - k))) AS BIGINT) AS f_milli,
+      |       CAST(round(1e6 * CAST(ssb_milli AS DOUBLE) /
+      |            (CAST(ssb_milli AS DOUBLE) + CAST(ssw_milli AS DOUBLE))) AS BIGINT) AS eta2_ppm
+      |FROM terms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_anova" -> (anova _),
     "agg_gini" -> (gini _),
     "agg_mutual_info" -> (mutualInfo _),
     "agg_mann_whitney" -> (mannWhitney _),
@@ -559,6 +629,7 @@ object StatsOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_anova" -> anovaSql,
     "agg_gini" -> giniSql,
     "agg_mutual_info" -> mutualInfoSql,
     "agg_mann_whitney" -> mannWhitneySql,

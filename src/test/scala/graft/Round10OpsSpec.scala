@@ -647,6 +647,77 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getLong(4) === math.round(1e3 * after))
   }
 
+  test("agg_anova: F replays from per-group exact moments; decomposition holds") {
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), round(col("c_acctbal") * 100.0d).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups: Seq[Seq[(String, Long)]] = rows.groupBy(_._1).values.toSeq.map(_.toSeq)
+    val (k, n) = (groups.length, rows.length)
+    val s = rows.map(_._2).sum
+    def ssbTerm(g: Seq[(String, Long)]): Long = {
+      val (ng, sg) = (g.length.toDouble, g.map(_._2).sum.toDouble)
+      math.round(1e3 * (sg * sg / ng - 2.0 * sg * s / n +
+        ng * s.toDouble * s.toDouble / (n.toDouble * n.toDouble)))
+    }
+    def sswTerm(g: Seq[(String, Long)]): Long = {
+      val (ng, sg) = (g.length.toDouble, g.map(_._2).sum.toDouble)
+      val qg = g.map(t => BigInt(t._2) * BigInt(t._2)).sum.toDouble
+      math.round(1e3 * (qg - sg * sg / ng))
+    }
+    val ssb: Long = groups.map(ssbTerm).sum
+    val ssw: Long = groups.map(sswTerm).sum
+    val r = StatsOps.anova(spark, sf).collect()(0)
+    assert(r.getLong(0) === k.toLong && r.getLong(1) === n.toLong)
+    assert(r.getLong(2) === ssb && r.getLong(3) === ssw)
+    assert(r.getLong(4) === math.round(1e3 * (ssb.toDouble / (k - 1)) / (ssw.toDouble / (n - k))))
+    // eta^2 in [0, 1e6]; SSB + SSW reassemble SST within quantization slack
+    assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000L)
+  }
+
+  test("ml_decision_stump: the reported split is the sweep's argmin and counts partition") {
+    val pool = Tables.embeddings(spark, sf)
+      .select(col("label"), element_at(col("embedding"), 1).cast("double"))
+      .collect().map(r => (r.getInt(0).toLong % 2, math.round(r.getDouble(1) * 1e3)))
+    val hist = pool.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.length.toLong, xs.map(_._1).sum) }
+    val (n, pos) = (pool.length.toLong, pool.map(_._1).sum)
+    var (nl, pl) = (0L, 0L)
+    val sweep = hist.dropRight(1).map { case (b, nb, pb) =>
+      nl += nb; pl += pb
+      val (nr, pr) = (n - nl, pos - pl)
+      val cost = math.round(1e3 * (pl.toDouble * (nl - pl) / nl +
+        pr.toDouble * (nr - pr) / nr))
+      (cost, b, nl, pl, nr, pr)
+    }
+    val best = sweep.minBy(t => (t._1, t._2))
+    val r = MlEval.decisionStump(spark, sf).collect()(0)
+    assert(r.getLong(0) === best._2 && r.getLong(1) === best._1)
+    assert(r.getLong(2) === best._3 && r.getLong(3) === best._4)
+    assert(r.getLong(4) === best._5 && r.getLong(5) === best._6)
+    assert(r.getLong(2) + r.getLong(4) === n) // the split partitions the pool
+    // majority-vote accuracy can never fall below the base rate
+    val base = math.max(pos, n - pos).toDouble / n
+    assert(r.getLong(6) >= math.round(1e6 * base) - 1L)
+  }
+
+  test("ml_kfold_cv: folds partition the pool; per-fold AUC equals the pairwise definition") {
+    val pool = scoredPoolWithId
+    val r = MlEval.kfoldCv(spark, sf).collect()
+    assert(r.map(_.getLong(1)).sum === pool.length.toLong)
+    r.foreach { row =>
+      val fold = row.getLong(0)
+      val fp = pool.filter(_._1 % 5 == fold)
+      val posS = fp.filter(_._2 == 1L).map(_._3)
+      val negS = fp.filter(_._2 == 0L).map(_._3)
+      val wins = (for (p <- posS; q <- negS)
+        yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+      val want = math.round(1e6 * wins.toDouble / (2.0 * posS.length * negS.length))
+      assert(row.getLong(3) === want, s"fold $fold AUC")
+      // mean log-loss of a clamped probability is positive and finite
+      assert(row.getLong(4) > 0L && row.getLong(4) < 14000000L)
+    }
+  }
+
   // scoredPool with vec_id carried: (vec_id, y, p_u)
   private def scoredPoolWithId: Array[(Long, Long, Long)] = {
     val rows = Tables.embeddings(spark, sf)
