@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -799,7 +799,85 @@ object GraphOps {
       |ORDER BY e.w DESC, e.part_a, e.part_b
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Deterministic random walks (node2vec-style sampling)
+  // ---------------------------------------------------------------
+
+  /** DETERMINISTIC RANDOM WALKS over the part–order bipartite graph —
+    * the sampling primitive behind DeepWalk/node2vec-style graph
+    * embeddings and "customers also bought" exploration: from each of
+    * the top-20 highest-degree parts, 8 walks take two hops
+    * (part → order → part) with the neighbor at each hop chosen by
+    * the portable md5 id-hash modulo the node's degree. The key
+    * design point for scale: the walk NEVER fans out to a node's
+    * neighbor list — both hop tables are RANK-INDEXED (row_number
+    * within node), the degree join computes the target rank, and the
+    * hop is then ONE equi join on (node, rank). Pair that with the
+    * hash-determinism and the walk is reproducible bit-for-bit with
+    * no RNG state, no driver loop, and per-hop cost independent of
+    * degree skew. Scale shape: two row_number windows over the
+    * DISTINCT edge list (the data-sized stage, same cost class as
+    * the sessionize family) + three broadcast-sized joins. */
+  def randomWalk(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_orderkey").as("o")).distinct()
+    val byPart = Window.partitionBy(col("p")).orderBy(col("o"))
+    val byOrder = Window.partitionBy(col("o")).orderBy(col("p"))
+    val e1 = li.select(col("p"), col("o"),
+      row_number().over(byPart).as("rn"))
+    val e2 = li.select(col("o"), col("p").as("p2"),
+      row_number().over(byOrder).as("rn"))
+    val degP = li.groupBy(col("p")).agg(count(lit(1)).as("deg_p"))
+    val degO = li.groupBy(col("o")).agg(count(lit(1)).as("deg_o"))
+    val starts = degP.orderBy(col("deg_p").desc, col("p")).limit(20)
+      .withColumn("walk", explode(sequence(lit(0L), lit(7L))))
+    def h(parts: Column*) = graft.api.Graft.idHash(concat_ws(":", parts: _*))
+    val hop1 = broadcast(starts
+      .withColumn("rn", pmod(h(col("p"), col("walk"), lit("h1")), col("deg_p")) + 1L))
+      .join(e1, Seq("p", "rn"))
+    // the walk frontier (≤ starts × walks rows) is the broadcast side;
+    // degO is data-sized and must stay the streamed side
+    val hop2 = broadcast(hop1).join(degO, Seq("o"))
+      .withColumn("rn2", pmod(h(col("o"), col("walk"), lit("h2")), col("deg_o")) + 1L)
+      .join(e2.withColumnRenamed("rn", "rn2"), Seq("o", "rn2"))
+    hop2.select(col("p").as("start_part"), col("walk"),
+      col("o").as("via_order"), col("p2").as("end_part"))
+      .orderBy(col("start_part"), col("walk"))
+  }
+
+  val randomWalkSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_partkey AS p, l_orderkey AS o FROM lineitem),
+      |e1 AS (
+      |  SELECT p, o, row_number() OVER (PARTITION BY p ORDER BY o) AS rn FROM li),
+      |e2 AS (
+      |  SELECT o, p AS p2, row_number() OVER (PARTITION BY o ORDER BY p) AS rn FROM li),
+      |degp AS (SELECT p, count(*) AS deg_p FROM li GROUP BY 1),
+      |dego AS (SELECT o, count(*) AS deg_o FROM li GROUP BY 1),
+      |starts AS (
+      |  SELECT p, deg_p, w.walk
+      |  FROM (SELECT p, deg_p FROM degp ORDER BY deg_p DESC, p LIMIT 20),
+      |       (SELECT unnest(range(8)) AS walk) w),
+      |hop1 AS (
+      |  SELECT s.p, s.walk, e.o
+      |  FROM starts s JOIN e1 e ON e.p = s.p AND e.rn =
+      |    ((('0x' || substring(md5(CAST(s.p AS VARCHAR) || ':'
+      |        || CAST(s.walk AS VARCHAR) || ':h1'), 1, 8))::BIGINT % s.deg_p
+      |      + s.deg_p) % s.deg_p) + 1),
+      |hop2 AS (
+      |  SELECT h.p, h.walk, h.o, e.p2
+      |  FROM hop1 h
+      |  JOIN dego d ON d.o = h.o
+      |  JOIN e2 e ON e.o = h.o AND e.rn =
+      |    ((('0x' || substring(md5(CAST(h.o AS VARCHAR) || ':'
+      |        || CAST(h.walk AS VARCHAR) || ':h2'), 1, 8))::BIGINT % d.deg_o
+      |      + d.deg_o) % d.deg_o) + 1)
+      |SELECT p AS start_part, CAST(walk AS BIGINT) AS walk,
+      |       o AS via_order, p2 AS end_part
+      |FROM hop2 ORDER BY start_part, walk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_random_walk" -> (randomWalk _),
     "graph_bipartite_project" -> (bipartiteProject _),
     "graph_assortativity" -> (assortativity _),
     "graph_modularity" -> (modularity _),
@@ -814,6 +892,7 @@ object GraphOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "graph_random_walk" -> randomWalkSql,
     "graph_bipartite_project" -> bipartiteProjectSql,
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,

@@ -616,8 +616,107 @@ object StatsOps {
       |            (CAST(ssb_milli AS DOUBLE) + CAST(ssw_milli AS DOUBLE))) AS BIGINT) AS eta2_ppm
       |FROM terms""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Poisson bootstrap confidence interval
+  // ---------------------------------------------------------------
+
+  /** POISSON BOOTSTRAP 95% CI for the mean order value — the
+    * streaming-friendly bootstrap (Chamandy et al.'s "Estimating
+    * Uncertainty for Massive Data Streams" recipe): instead of
+    * resampling n rows WITH replacement (impossible distributed —
+    * it needs global coordination), each row enters replicate b with
+    * an independent Poisson(1) weight, here drawn DETERMINISTICALLY
+    * by inverse-CDF lookup on the portable md5 id-hash of
+    * (o_orderkey : b) against 2³²-scaled literal thresholds — both
+    * engines share the exact constants, so the "randomness" is
+    * reproducible bit-for-bit. B = 64 replicates fan out map-side
+    * (one row-count×64 flatMap into a 64-key map-side-combinable
+    * agg — the bootstrap's honest cost); the CI is the rank-2 /
+    * rank-63 order statistic of the 64 replicate means (the
+    * ⌈(B+1)·α/2⌉ percentile convention) and the bootstrap SE comes
+    * from exact integer moments of the milli-quantized means. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    // floor(CDF_Poisson(1)(k) * 2^32), k = 0..7; >= t7 -> weight 8
+    val ts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L, 4294923276L)
+    val u = graft.api.Graft.idHash(
+      concat(col("o_orderkey").cast("string"), lit(":"), col("b").cast("string")))
+    val w = ts.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((t, k), rest) => when(col("u") < t, lit(k.toLong)).otherwise(rest)
+    }
+    val reps = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100.0d).cast("long").as("cents"))
+      .withColumn("b", explode(sequence(lit(0L), lit(63L))))
+      .withColumn("u", u).withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("nb"),
+        sum(dec(col("w")) * col("cents")).as("sb"))
+      .select(col("b"),
+        round(lit(10.0d) * col("sb").cast("double") / col("nb").cast("double"))
+          .cast("long").as("m_milli"))
+    val rn = Window.orderBy(col("m_milli"), col("b"))
+    val ranked = reps.withColumn("rn", row_number().over(rn))
+    val stats = ranked.agg(
+      count(lit(1)).as("b_reps"),
+      max(when(col("rn") === 2, col("m_milli"))).as("lo_milli"),
+      max(when(col("rn") === 63, col("m_milli"))).as("hi_milli"),
+      sum(col("m_milli")).as("sm"),
+      sum(dec(col("m_milli")) * col("m_milli")).as("smm"))
+    val point = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100.0d).cast("long")).as("s"))
+    def d(c: Column) = c.cast("double")
+    point.crossJoin(broadcast(stats))
+      .select(col("n"), col("b_reps"),
+        round(lit(10.0d) * d(col("s")) / d(col("n"))).cast("long").as("mean_milli"),
+        col("lo_milli"), col("hi_milli"),
+        round(sqrt((d(col("smm")) - d(col("sm")) * d(col("sm")) / d(col("b_reps"))) /
+          (d(col("b_reps")) - 1.0d))).cast("long").as("se_milli"))
+  }
+
+  val bootstrapCiSql: String =
+    """WITH reps AS (
+      |  SELECT b,
+      |         CAST(round(10.0 * CAST(sum(CAST(w AS HUGEINT) * cents) AS DOUBLE)
+      |           / sum(w)) AS BIGINT) AS m_milli
+      |  FROM (
+      |    SELECT cents, b,
+      |           CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+      |                WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+      |                WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+      |                WHEN u < 4294609777 THEN 6 WHEN u < 4294923276 THEN 7
+      |                ELSE 8 END AS w
+      |    FROM (
+      |      SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents, b,
+      |             ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':'
+      |               || CAST(b AS VARCHAR)), 1, 8))::BIGINT AS u
+      |      FROM orders, (SELECT unnest(range(64)) AS b)))
+      |  GROUP BY b),
+      |ranked AS (
+      |  SELECT m_milli, row_number() OVER (ORDER BY m_milli, b) AS rn FROM reps),
+      |stats AS (
+      |  SELECT count(*) AS b_reps,
+      |         max(CASE WHEN rn = 2 THEN m_milli END) AS lo_milli,
+      |         max(CASE WHEN rn = 63 THEN m_milli END) AS hi_milli,
+      |         sum(m_milli) AS sm,
+      |         sum(CAST(m_milli AS HUGEINT) * m_milli) AS smm
+      |  FROM ranked),
+      |pt AS (
+      |  SELECT count(*) AS n,
+      |         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS s
+      |  FROM orders)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(b_reps AS BIGINT) AS b_reps,
+      |       CAST(round(10.0 * CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_milli,
+      |       CAST(lo_milli AS BIGINT) AS lo_milli,
+      |       CAST(hi_milli AS BIGINT) AS hi_milli,
+      |       CAST(round(sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / b_reps)
+      |         / (b_reps - 1.0))) AS BIGINT) AS se_milli
+      |FROM pt, stats""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_anova" -> (anova _),
+    "agg_bootstrap_ci" -> (bootstrapCi _),
     "agg_gini" -> (gini _),
     "agg_mutual_info" -> (mutualInfo _),
     "agg_mann_whitney" -> (mannWhitney _),
@@ -630,6 +729,7 @@ object StatsOps {
 
   def oracle: Map[String, String] = Map(
     "agg_anova" -> anovaSql,
+    "agg_bootstrap_ci" -> bootstrapCiSql,
     "agg_gini" -> giniSql,
     "agg_mutual_info" -> mutualInfoSql,
     "agg_mann_whitney" -> mannWhitneySql,

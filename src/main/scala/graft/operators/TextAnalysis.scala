@@ -749,7 +749,129 @@ object TextAnalysis {
       |ORDER BY score_milli DESC, phrase
       |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Multinomial naive Bayes (train + holdout confusion)
+  // ---------------------------------------------------------------
+
+  /** MULTINOMIAL NAIVE BAYES language classifier, trained and
+    * evaluated in one job — the classic learned upgrade of the
+    * n-gram-heuristic language ID beside it: a 75/25 md5-id-hash
+    * train/test split, a VOCAB-CAPPED model (top-128 train tokens,
+    * ties to the lexically smaller — the fixed-width-model contract
+    * every broadcast model here follows), Laplace-smoothed token
+    * log-likelihoods ln((cnt+1)/(tok_c+|V|)) and class priors
+    * ln(n_c/n), EACH quantized once to integer micro-nats IN THE
+    * MODEL (bounded |V|×|C| + |C| tables), so per-document scores are
+    * exact integer sums — no float summation order exists anywhere.
+    * Prediction is argmax with ties to the lexically smaller class;
+    * the output is the holdout confusion matrix. Scale shape: the
+    * data-sized stages are one token explode feeding a compact
+    * (token) agg and one (doc, class) agg whose fan-out is
+    * |C|-bounded; the model is a broadcast artifact; nothing else
+    * grows with the corpus. */
+  def naiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        (graft.api.Graft.idHash(col("doc_id")) % 4 < 3).as("train"))
+    def toks(df: DataFrame) =
+      df.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+    val trainToks = toks(docs.filter(col("train")))
+    val vocab = trainToks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(128).select(col("t"))
+    val classes = docs.filter(col("train"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_c"))
+    val nTrain = docs.filter(col("train")).agg(count(lit(1)).as("n"))
+    val cnt = trainToks.join(broadcast(vocab), Seq("t"))
+      .groupBy(col("t"), col("lang")).agg(count(lit(1)).as("ct"))
+    val tokC = cnt.groupBy(col("lang")).agg(sum(col("ct")).as("tok_c"))
+    def d(c: Column) = c.cast("double")
+    val model = vocab.crossJoin(classes.select(col("lang")))
+      .join(cnt, Seq("t", "lang"), "left")
+      .join(tokC, Seq("lang"))
+      .select(col("t"), col("lang").as("cls"),
+        round(lit(1e6) * log(d(coalesce(col("ct"), lit(0L)) + 1L) /
+          d(col("tok_c") + 128L))).cast("long").as("lp_u"))
+    val prior = classes.crossJoin(broadcast(nTrain))
+      .select(col("lang").as("cls"),
+        round(lit(1e6) * log(d(col("n_c")) / d(col("n")))).cast("long").as("pr_u"))
+    val testDocs = docs.filter(!col("train")).select(col("doc_id"),
+      col("lang").as("true_lang"))
+    val tokScores = toks(docs.filter(!col("train")))
+      .join(broadcast(model), Seq("t"))
+      .groupBy(col("doc_id"), col("cls")).agg(sum(col("lp_u")).as("s"))
+    val scoresAll = testDocs.crossJoin(broadcast(prior))
+      .join(tokScores, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("true_lang"), col("cls"),
+        (col("pr_u") + coalesce(col("s"), lit(0L))).as("score"))
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    scoresAll.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_lang"), col("cls").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  val naiveBayesSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, text,
+      |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 < 3 AS train
+      |  FROM documents),
+      |traintoks AS (
+      |  SELECT doc_id, lang, t
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      |        FROM docs WHERE train)
+      |  WHERE t <> ''),
+      |vocab AS (
+      |  SELECT t FROM (SELECT t, count(*) AS n FROM traintoks GROUP BY 1)
+      |  ORDER BY n DESC, t LIMIT 128),
+      |classes AS (SELECT lang, count(*) AS n_c FROM docs WHERE train GROUP BY 1),
+      |ntrain AS (SELECT count(*) AS n FROM docs WHERE train),
+      |cnt AS (
+      |  SELECT tt.t, tt.lang, count(*) AS ct
+      |  FROM traintoks tt JOIN vocab v ON tt.t = v.t
+      |  GROUP BY 1, 2),
+      |tokc AS (SELECT lang, sum(ct) AS tok_c FROM cnt GROUP BY 1),
+      |model AS (
+      |  SELECT v.t, c.lang AS cls,
+      |         CAST(round(1e6 * ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) /
+      |           CAST(tc.tok_c + 128 AS DOUBLE))) AS BIGINT) AS lp_u
+      |  FROM vocab v
+      |  CROSS JOIN classes c
+      |  LEFT JOIN cnt ct ON ct.t = v.t AND ct.lang = c.lang
+      |  JOIN tokc tc ON tc.lang = c.lang),
+      |prior AS (
+      |  SELECT lang AS cls,
+      |         CAST(round(1e6 * ln(CAST(n_c AS DOUBLE) / n)) AS BIGINT) AS pr_u
+      |  FROM classes, ntrain),
+      |testtoks AS (
+      |  SELECT doc_id, t
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |        FROM docs WHERE NOT train)
+      |  WHERE t <> ''),
+      |tokscores AS (
+      |  SELECT tt.doc_id, m.cls, sum(m.lp_u) AS s
+      |  FROM testtoks tt JOIN model m ON tt.t = m.t
+      |  GROUP BY 1, 2),
+      |scores AS (
+      |  SELECT d.doc_id, d.lang AS true_lang, p.cls,
+      |         p.pr_u + coalesce(ts.s, 0) AS score
+      |  FROM docs d
+      |  CROSS JOIN prior p
+      |  LEFT JOIN tokscores ts ON ts.doc_id = d.doc_id AND ts.cls = p.cls
+      |  WHERE NOT d.train),
+      |pred AS (
+      |  SELECT doc_id, true_lang, cls AS pred_lang,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+      |  FROM scores)
+      |SELECT true_lang, pred_lang, count(*) AS n
+      |FROM pred WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_naive_bayes" -> (naiveBayes _),
     "text_rake_keywords" -> (rakeKeywords _),
     "text_readability" -> (readability _),
     "text_zipf_fit" -> (zipfFit _),
@@ -768,6 +890,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_naive_bayes" -> naiveBayesSql,
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_readability" -> readabilitySql,
     "text_zipf_fit" -> zipfFitSql,

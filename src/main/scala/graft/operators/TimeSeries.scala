@@ -864,7 +864,87 @@ object TimeSeries {
        |       CAST(round(CAST(ssm AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT) AS smape_ppm
        |FROM m ORDER BY horizon_h""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Lagged cross-correlation (lead/lag discovery between two series)
+  // ---------------------------------------------------------------
+
+  /** LAGGED CROSS-CORRELATION between the hourly click and purchase
+    * rates, r(k) = corr(click_{t−k}, purchase_t) for k = 0..24 — the
+    * "how many hours do clicks lead purchases?" screen that seeds
+    * attribution windows and transfer-function models (Granger-style
+    * lead/lag evidence). Both series bin onto ONE shared gap-filled
+    * hourly spine (zero-filled — a missing hour is a real zero rate),
+    * the 25 lags stack from one ordered window pass, and every
+    * Pearson moment is an exact integer on DECIMAL(38,0)/HUGEINT
+    * with r as the single final double, milli-quantized. Scale: the
+    * data-sized stage is one compact-key (hour) aggregation; the
+    * window and the per-lag reduce see only the calendar-bounded
+    * spine (≤ a few thousand rows for years of data). */
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  def xcorr(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(date_trunc("hour", col("ts")).as("bin"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val spine = binned.agg(min("bin").as("lo"), max("bin").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bin"))
+    val series = spine.join(binned, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy(col("bin"))
+    val lagged = series
+      .select(col("y") +: (0 to 24).map(k => lag(col("x"), k).over(w).as(s"xl$k")): _*)
+    val pairs = lagged.select(col("y"), expr(
+      "stack(25, " + (0 to 24).map(k => s"${k}L, xl$k").mkString(", ") + ") AS (lag, x)"))
+      .filter(col("x").isNotNull)
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("np"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"))
+      .select(col("lag"), col("np").as("n_pairs"),
+        round(lit(1e3) * (col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("np") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("np") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .cast("long").as("r_milli"))
+      .orderBy(col("lag"))
+  }
+
+  val xcorrSql: String =
+    """WITH binned AS (
+      |  SELECT date_trunc('hour', ts) AS bin,
+      |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+      |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+      |bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM binned),
+      |series AS (
+      |  SELECT s.bin, coalesce(b.x, 0) AS x, coalesce(b.y, 0) AS y
+      |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bin FROM bounds) s
+      |  LEFT JOIN binned b ON s.bin = b.bin),
+      |lags AS (SELECT unnest(range(25)) AS lag),
+      |pairs AS (
+      |  SELECT l.lag, a.x, b.y
+      |  FROM series a
+      |  JOIN lags l ON TRUE
+      |  JOIN series b ON b.bin = a.bin + to_hours(l.lag)),
+      |m AS (
+      |  SELECT lag, count(*) AS np, sum(CAST(x AS HUGEINT)) AS sx,
+      |         sum(CAST(y AS HUGEINT)) AS sy,
+      |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |         sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pairs GROUP BY 1)
+      |SELECT CAST(lag AS BIGINT) AS lag, CAST(np AS BIGINT) AS n_pairs,
+      |       CAST(round(1e3 * CAST(np * sxy - sx * sy AS DOUBLE) /
+      |            sqrt(CAST(np * sxx - sx * sx AS DOUBLE) *
+      |                 CAST(np * syy - sy * sy AS DOUBLE))) AS BIGINT) AS r_milli
+      |FROM m ORDER BY lag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_xcorr" -> (xcorr _),
     "ts_backtest_smape" -> (backtestSmape _),
     "ts_stl_decompose" -> (stlDecompose _),
     "ts_periodogram" -> (periodogram _),
@@ -883,6 +963,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_xcorr" -> xcorrSql,
     "ts_backtest_smape" -> backtestSmapeSql,
     "ts_stl_decompose" -> stlDecomposeSql,
     "ts_periodogram" -> periodogramSql,

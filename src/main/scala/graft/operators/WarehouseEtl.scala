@@ -878,7 +878,78 @@ object WarehouseEtl {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY tbl, lhs, rhs")
   }
 
+  // ---------------------------------------------------------------
+  // Data Vault raw-vault build
+  // ---------------------------------------------------------------
+
+  /** DATA VAULT raw-vault build — the hub/link/satellite hash-key
+    * modeling pattern (Linstedt): business keys become deterministic
+    * md5 HUB keys, the order→customer relationship becomes a LINK key
+    * over the pipe-joined key pair, and the customer's descriptive
+    * attributes collapse to a SATELLITE HASHDIFF (doubles enter the
+    * hashdiff as exact integer cents — double→string formatting is
+    * never hashed, the cross-engine determinism rule). The audit
+    * row per vault entity: row count, distinct hash keys (hub/link
+    * uniqueness proof; sat distinct = change cardinality), and an
+    * order-free bit_xor checksum of the 32-bit key prefixes — the
+    * cheap cross-system reconciliation handle. Scale: four
+    * map-side-combinable full scans, no joins, no windows; every
+    * output is a 4-row reduce. */
+  def dataVault(spark: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, df: DataFrame): DataFrame =
+      df.select(conv(substring(col("hk"), 1, 8), 16, 10).cast("long").as("hkp"),
+          col("hk"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("hk")).as("distinct_hk"),
+          expr("bit_xor(hkp)").as("checksum"))
+        .select(lit(name).as("entity"), col("n_rows"), col("distinct_hk"),
+          col("checksum"))
+    val hubCustomer = Tables.customer(spark, dir)
+      .select(md5(col("c_custkey").cast("string").cast("binary")).as("hk"))
+    val hubOrder = Tables.orders(spark, dir)
+      .select(md5(col("o_orderkey").cast("string").cast("binary")).as("hk"))
+    val link = Tables.orders(spark, dir)
+      .select(md5(concat_ws("|", col("o_custkey"), col("o_orderkey"))
+        .cast("binary")).as("hk"))
+    val satCustomer = Tables.customer(spark, dir)
+      .select(md5(concat_ws("|", col("c_name"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100.0d).cast("long")).cast("binary")).as("hk"))
+    audit("hub_customer", hubCustomer)
+      .unionByName(audit("hub_order", hubOrder))
+      .unionByName(audit("link_order_customer", link))
+      .unionByName(audit("sat_customer", satCustomer))
+      .orderBy(col("entity"))
+  }
+
+  val dataVaultSql: String =
+    """WITH hc AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS hk FROM customer),
+      |ho AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS hk FROM orders),
+      |lk AS (SELECT md5(CAST(o_custkey AS VARCHAR) || '|'
+      |              || CAST(o_orderkey AS VARCHAR)) AS hk FROM orders),
+      |sc AS (SELECT md5(c_name || '|' || c_mktsegment || '|'
+      |              || CAST(CAST(round(c_acctbal * 100.0) AS BIGINT) AS VARCHAR)) AS hk
+      |       FROM customer),
+      |a AS (
+      |  SELECT 'hub_customer' AS entity, count(*) AS n_rows,
+      |         count(DISTINCT hk) AS distinct_hk,
+      |         bit_xor(('0x' || substring(hk, 1, 8))::BIGINT) AS checksum
+      |  FROM hc
+      |  UNION ALL
+      |  SELECT 'hub_order', count(*), count(DISTINCT hk),
+      |         bit_xor(('0x' || substring(hk, 1, 8))::BIGINT) FROM ho
+      |  UNION ALL
+      |  SELECT 'link_order_customer', count(*), count(DISTINCT hk),
+      |         bit_xor(('0x' || substring(hk, 1, 8))::BIGINT) FROM lk
+      |  UNION ALL
+      |  SELECT 'sat_customer', count(*), count(DISTINCT hk),
+      |         bit_xor(('0x' || substring(hk, 1, 8))::BIGINT) FROM sc)
+      |SELECT entity, CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(distinct_hk AS BIGINT) AS distinct_hk,
+      |       CAST(checksum AS BIGINT) AS checksum
+      |FROM a ORDER BY entity""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_data_vault" -> (dataVault _),
     "etl_k_anonymity" -> (kAnonymity _),
     "etl_fd_screen" -> (fdScreen _),
     "etl_late_dim" -> (lateDim _),
@@ -899,6 +970,7 @@ object WarehouseEtl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_data_vault" -> dataVaultSql,
     "etl_k_anonymity" -> kAnonymitySql,
     "etl_fd_screen" -> fdScreenSql,
     "etl_late_dim" -> lateDimSql,

@@ -718,6 +718,135 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_bootstrap_ci: replicate means replay from the portable hash; CI ordered") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100.0d).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L, 4294923276L)
+    def weight(key: Long, b: Long): Long = {
+      val u = Round10OpsHash.idHash(s"$key:$b")
+      val k = ts.indexWhere(u < _)
+      if (k < 0) 8L else k.toLong
+    }
+    val means = (0L until 64L).map { b =>
+      var (nb, sb) = (0L, BigInt(0))
+      orders.foreach { case (k, c) =>
+        val w = weight(k, b); nb += w; sb += BigInt(w) * c
+      }
+      math.round(10.0 * sb.toDouble / nb)
+    }.sorted
+    val r = StatsOps.bootstrapCi(spark, sf).collect()(0)
+    assert(r.getLong(0) === orders.length.toLong && r.getLong(1) === 64L)
+    assert(r.getLong(2) === math.round(10.0 * orders.map(_._2).sum.toDouble / orders.length))
+    assert(r.getLong(3) === means(1)) // rank 2 of 64
+    assert(r.getLong(4) === means(62)) // rank 63 of 64
+    assert(r.getLong(3) <= r.getLong(4))
+    val sm = means.sum.toDouble
+    val smm = means.map(m => BigInt(m) * BigInt(m)).sum.toDouble
+    assert(r.getLong(5) === math.round(math.sqrt((smm - sm * sm / 64) / 63.0)))
+  }
+
+  test("ts_xcorr: 25 lags; r(0) replays Pearson on the shared spine; counts shrink by lag") {
+    val rows = TimeSeries.xcorr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === (0L to 24L))
+    val len = rows.head._2
+    rows.foreach { case (lag, np, rm) =>
+      assert(np === len - lag)
+      assert(rm >= -1000L && rm <= 1000L)
+    }
+    // independent replay of r(0) from the binned series
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(date_trunc("hour", col("ts")), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)))
+    val byHour = ev.groupBy(_._1)
+    val (lo, hi) = (ev.map(_._1).min, ev.map(_._1).max)
+    val series = (lo to hi by 3600000L).map { h =>
+      val xs = byHour.getOrElse(h, Array.empty[(Long, String)])
+      (xs.count(_._2 == "click").toLong, xs.count(_._2 == "purchase").toLong)
+    }
+    assert(len === series.length.toLong)
+    val n = series.length.toDouble
+    val (sx, sy) = (series.map(_._1).sum.toDouble, series.map(_._2).sum.toDouble)
+    val sxy = series.map(t => BigInt(t._1) * BigInt(t._2)).sum.toDouble
+    val sxx = series.map(t => BigInt(t._1) * BigInt(t._1)).sum.toDouble
+    val syy = series.map(t => BigInt(t._2) * BigInt(t._2)).sum.toDouble
+    val want = math.round(1e3 * (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    assert(rows.head._3 === want)
+  }
+
+  test("graph_random_walk: every hop follows a real edge chosen by the hash rank") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_orderkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = li.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sorted }
+    val byOrder = li.groupBy(_._2).map { case (o, xs) => o -> xs.map(_._1).sorted }
+    val rows = GraphOps.randomWalk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val starts = byPart.toSeq.map { case (p, os) => (p, os.length) }
+      .sortBy { case (p, d) => (-d, p) }.take(20).map(_._1).toSet
+    assert(rows.map(_._1).toSet === starts && rows.length === 160)
+    rows.foreach { case (p, w, o, p2) =>
+      val orders = byPart(p)
+      val rn = (Round10OpsHash.idHash(s"$p:$w:h1") % orders.length).toInt
+      assert(orders(rn) === o, s"hop1 of ($p, walk $w)")
+      val parts = byOrder(o)
+      val rn2 = (Round10OpsHash.idHash(s"$o:$w:h2") % parts.length).toInt
+      assert(parts(rn2) === p2, s"hop2 of ($p, walk $w)")
+    }
+  }
+
+  test("etl_data_vault: hub counts match the tables; hub keys are unique; checksum replays") {
+    val rows = WarehouseEtl.dataVault(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val nCust = Tables.customer(spark, sf).count()
+    val nOrd = Tables.orders(spark, sf).count()
+    val m = rows.map(t => t._1 -> t).toMap
+    assert(m("hub_customer")._2 === nCust && m("hub_customer")._3 === nCust)
+    assert(m("hub_order")._2 === nOrd && m("hub_order")._3 === nOrd)
+    assert(m("link_order_customer")._2 === nOrd && m("link_order_customer")._3 === nOrd)
+    assert(m("sat_customer")._2 === nCust)
+    val want = Tables.customer(spark, sf).select(col("c_custkey")).collect()
+      .map(r => Round10OpsHash.idHash(r.getLong(0).toString))
+      .reduce(_ ^ _)
+    assert(m("hub_customer")._4 === want)
+  }
+
+  test("text_naive_bayes: the confusion matrix replays a full driver-side NB") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .map { case (id, lang, text) =>
+        (id, lang, text.split(" ").filter(_.nonEmpty),
+          Round10OpsHash.idHash(id.toString) % 4 < 3)
+      }
+    val train = docs.filter(_._4)
+    val vocab = train.flatMap(_._3).groupBy(identity).toSeq
+      .map { case (t, xs) => (t, xs.length) }
+      .sortBy { case (t, n) => (-n, t) }.take(128).map(_._1).toSet
+    val classes = train.map(_._2).distinct.sorted
+    val nC = train.groupBy(_._2).map { case (c, xs) => c -> xs.length }
+    val cnt = train.flatMap(d => d._3.filter(vocab).map(t => (t, d._2)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val tokC = classes.map(c => c -> cnt.collect { case ((_, cc), n) if cc == c => n }.sum).toMap
+    def lpU(t: String, c: String): Long =
+      math.round(1e6 * math.log((cnt.getOrElse((t, c), 0L) + 1).toDouble / (tokC(c) + 128)))
+    val prU = classes.map(c =>
+      c -> math.round(1e6 * math.log(nC(c).toDouble / train.length))).toMap
+    val cells = docs.filter(!_._4).map { d =>
+      val scores = classes.map(c =>
+        c -> (prU(c) + d._3.filter(vocab).map(lpU(_, c)).sum))
+      val pred = scores.minBy { case (c, s) => (-s, c) }._1
+      (d._2, pred)
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = TextAnalysis.naiveBayes(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === cells)
+  }
+
   // scoredPool with vec_id carried: (vec_id, y, p_u)
   private def scoredPoolWithId: Array[(Long, Long, Long)] = {
     val rows = Tables.embeddings(spark, sf)
@@ -770,5 +899,15 @@ private object MlEvalKAnonReplay {
       r.getLong(4) == math.round(1e6 * below.toDouble / nRows) &&
       r.getLong(5) == cls.count(_._1 == 1L).toLong &&
       r.getLong(6) == cls.map(_._2).min
+  }
+}
+
+/** Driver-side replica of the portable md5 id-hash (Graft.idHash):
+  * first 8 hex chars of md5(utf8 string) as an unsigned 32-bit long. */
+object Round10OpsHash {
+  def idHash(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
   }
 }
