@@ -458,7 +458,28 @@ object ScaleProbe {
       // gain chart is the family's one data-sized sort (range
       // partitioned); ~n log n is the acceptable envelope here
       ("ml_gain_sort", () =>
-        graft.operators.MlEval.gainDeciles(spark, dir).count())
+        graft.operators.MlEval.gainDeciles(spark, dir).count()),
+      // propensity matching runs entirely in score space after ONE
+      // per-score conditional agg — the r10 probe caught the original
+      // row-level formulation recomputing the scored pool 4x (13x
+      // time at 10x rows); this row pins the single-pass rewrite flat
+      ("propensity_score_space", () =>
+        graft.operators.MlEval.propensityMatch(spark, dir).count()),
+      // naive Bayes: one token explode into a compact (token) agg +
+      // a |C|-bounded (doc, class) agg — 10x docs must cost ~scan,
+      // the vocab cap (128) keeps the model broadcast-sized
+      ("naive_bayes_e2e", () =>
+        graft.operators.TextAnalysis.naiveBayes(spark, dir).count()),
+      // random walks: hops are equi joins on RANK-INDEXED edge
+      // tables (never a neighbor-list fan-out) — cost must track the
+      // two row_number windows over the distinct edge list
+      ("random_walk_rank_hops", () =>
+        graft.operators.GraphOps.randomWalk(spark, dir).count()),
+      // Poisson bootstrap: the x64 map-side fan-out into a 64-key
+      // combinable agg — the honest bootstrap cost, must stay ~64x
+      // scan-linear with NO shuffle growth (output is 64 keys)
+      ("bootstrap_64x_fanout", () =>
+        graft.operators.StatsOps.bootstrapCi(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

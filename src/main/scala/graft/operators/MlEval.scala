@@ -852,41 +852,45 @@ object MlEval {
         col("vec_id") === col("eid"))
       .select(col("vec_id"), col("p_u"), col("x"),
         (pmod(col("vec_id"), lit(2L)) === 1L).as("treated"))
-    // per-score control stats; mean re-quantized to exact micro ints
-    val ctrl = pool.filter(!col("treated"))
-      .groupBy(col("p_u")).agg(count(lit(1)).as("cc"), sum(col("x")).as("sx"))
-      .select(col("p_u"),
-        round(col("sx").cast("double") / col("cc").cast("double"))
+    // ONE data-sized pass: every downstream quantity is a function of
+    // per-score conditional sufficient statistics, so the corpus is
+    // scanned exactly once and everything after this agg runs on the
+    // ≤1e6-key score table (the r10 scale-probe fix: the row-level
+    // formulation recomputed the scored pool 4x and went 13x at 10x)
+    val perScore = pool.groupBy(col("p_u")).agg(
+      sum(when(!col("treated"), 1L).otherwise(0L)).as("cc"),
+      sum(when(!col("treated"), col("x")).otherwise(0L)).as("csx"),
+      sum(when(!col("treated"), dec(col("x")) * col("x")).otherwise(lit(0L))).as("csxx"),
+      sum(when(col("treated"), 1L).otherwise(0L)).as("tc"),
+      sum(when(col("treated"), col("x")).otherwise(0L)).as("tsx"),
+      sum(when(col("treated"), dec(col("x")) * col("x")).otherwise(lit(0L))).as("tsxx"))
+    // per-score control mean, re-quantized to exact micro ints
+    val ctrl = perScore.filter(col("cc") > 0L)
+      .select(col("p_u").as("m"),
+        round(col("csx").cast("double") / col("cc").cast("double"))
           .cast("long").as("xbar_c"))
-    val tScores = pool.filter(col("treated")).select(col("p_u")).distinct()
-    val spine = ctrl.select(col("p_u"), lit(true).as("is_c"))
-      .unionByName(tScores.select(col("p_u"), lit(false).as("is_c")))
-      .groupBy(col("p_u")).agg(max(col("is_c")).as("has_c"))
     val bwd = Window.orderBy(col("p_u"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = Window.orderBy(col("p_u"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val matched = spine
-      .withColumn("b", max(when(col("has_c"), col("p_u"))).over(bwd))
-      .withColumn("f", min(when(col("has_c"), col("p_u"))).over(fwd))
-      .select(col("p_u"),
+    val matched = perScore
+      .withColumn("b", max(when(col("cc") > 0L, col("p_u"))).over(bwd))
+      .withColumn("f", min(when(col("cc") > 0L, col("p_u"))).over(fwd))
+      .withColumn("m",
         when(col("f").isNull, col("b"))
           .when(col("b").isNull, col("f"))
           .when(col("p_u") - col("b") <= col("f") - col("p_u"), col("b"))
-          .otherwise(col("f")).as("m"))
-    val treatedRows = pool.filter(col("treated"))
-      .join(matched, Seq("p_u"))
-      .join(ctrl.select(col("p_u").as("m"), col("xbar_c")), Seq("m"))
-    val cStats = pool.filter(!col("treated"))
-      .agg(count(lit(1)).as("n_c"), sum(col("x")).as("scx"),
-        sum(dec(col("x")) * col("x")).as("scxx"))
+          .otherwise(col("f")))
+      .join(ctrl, Seq("m"), "left")
     def d(c: Column) = c.cast("double")
-    val m = treatedRows.agg(
-      count(lit(1)).as("n_t"),
-      sum(col("x")).as("stx"), sum(dec(col("x")) * col("x")).as("stxx"),
-      sum(col("xbar_c")).as("smx"), sum(dec(col("xbar_c")) * col("xbar_c")).as("smxx"),
-      sum(abs(col("p_u") - col("m"))).as("gap"))
-      .crossJoin(broadcast(cStats))
+    val m = matched.agg(
+      sum(col("tc")).as("n_t"),
+      sum(col("tsx")).as("stx"), sum(col("tsxx")).as("stxx"),
+      sum(dec(col("tc")) * col("xbar_c")).as("smx"),
+      sum(dec(col("tc")) * col("xbar_c") * col("xbar_c")).as("smxx"),
+      sum(dec(col("tc")) * abs(col("p_u") - col("m"))).as("gap"),
+      sum(col("cc")).as("n_c"),
+      sum(col("csx")).as("scx"), sum(col("csxx")).as("scxx"))
     def meanC(s: String, n: String) = d(col(s)) / d(col(n))
     def varC(q: String, s: String, n: String) =
       d(col(q)) / d(col(n)) - meanC(s, n) * meanC(s, n)
