@@ -1100,6 +1100,121 @@ object MlEval {
        |       CAST(round(CAST(ll AS DOUBLE) / n) AS BIGINT) AS logloss_micro
        |FROM m ORDER BY fold""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Logistic regression by full-batch gradient descent
+  // ---------------------------------------------------------------
+
+  /** LOGISTIC-REGRESSION TRAINING — 3 full-batch gradient-descent
+    * steps on two embedding features, the canonical distributed
+    * learner: each step is ONE map-side-combinable full scan that
+    * reduces the gradient ∇ = Σ(σ(w·x) − y)·x against the current
+    * 1-row broadcast weight state, then a 1-row update. Weights live
+    * as integer MICRO-units between steps and each row's gradient
+    * contribution is micro-quantized BEFORE the sum (fixed-point GD —
+    * the same chained-iteration parity discipline as pagerank: both
+    * engines execute identical double ops on identical integers, so
+    * three chained steps stay bit-equal where free-floating sums
+    * would drift and be summation-order-dependent). η = 1. Output:
+    * trained weights, train accuracy and mean log-loss at the final
+    * weights. At 100 TB: 4 scans, zero shuffles beyond the 3-key agg,
+    * state is 3 integers. */
+  def logregGd(spark: SparkSession, dir: String): DataFrame = {
+    val pool = Tables.embeddings(spark, dir)
+      .select((col("label").cast("long") % 2L).as("y"),
+        round(element_at(col("embedding"), 1).cast("double") * 1000000d)
+          .cast("long").as("x1u"),
+        round(element_at(col("embedding"), 2).cast("double") * 1000000d)
+          .cast("long").as("x2u"))
+    def d(c: Column) = c.cast("double")
+    def sigma(w0: Column, w1: Column, w2: Column) =
+      lit(1.0d) / (lit(1.0d) + exp(-(d(w0) / 1e6 +
+        d(w1) / 1e6 * (d(col("x1u")) / 1e6) +
+        d(w2) / 1e6 * (d(col("x2u")) / 1e6))))
+    def step(w: DataFrame): DataFrame =
+      pool.crossJoin(broadcast(w))
+        .withColumn("r", sigma(col("w0"), col("w1"), col("w2")) - d(col("y")))
+        .agg(count(lit(1)).as("n"),
+          max(col("w0")).as("pw0"), max(col("w1")).as("pw1"),
+          max(col("w2")).as("pw2"),
+          sum(round(lit(1e6) * col("r")).cast("long")).as("g0"),
+          sum(round(lit(1e6) * col("r") * (d(col("x1u")) / 1e6)).cast("long")).as("g1"),
+          sum(round(lit(1e6) * col("r") * (d(col("x2u")) / 1e6)).cast("long")).as("g2"))
+        .select(
+          (col("pw0") - round(d(col("g0")) / d(col("n"))).cast("long")).as("w0"),
+          (col("pw1") - round(d(col("g1")) / d(col("n"))).cast("long")).as("w1"),
+          (col("pw2") - round(d(col("g2")) / d(col("n"))).cast("long")).as("w2"))
+    val w0 = spark.range(1).select(lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"))
+    val w3 = step(step(step(w0)))
+    pool.crossJoin(broadcast(w3))
+      .withColumn("p", sigma(col("w0"), col("w1"), col("w2")))
+      .withColumn("pu", least(greatest(round(lit(1e6) * col("p")).cast("long"),
+        lit(1L)), lit(999999L)))
+      .agg(count(lit(1)).as("n"),
+        max(col("w0")).as("w0_u"), max(col("w1")).as("w1_u"),
+        max(col("w2")).as("w2_u"),
+        sum(when((col("p") >= 0.5d) === (col("y") === 1L), 1L).otherwise(0L)).as("correct"),
+        sum(when(col("y") === 1L,
+          -round(lit(1e6) * log(d(col("pu")) / 1e6)).cast("long"))
+          .otherwise(-round(lit(1e6) * log(lit(1.0d) - d(col("pu")) / 1e6)).cast("long")))
+          .as("ll"))
+      .select(col("n"), col("w0_u"), col("w1_u"), col("w2_u"),
+        round(lit(1e6) * d(col("correct")) / d(col("n"))).cast("long").as("acc_ppm"),
+        round(d(col("ll")) / d(col("n"))).cast("long").as("logloss_micro"))
+  }
+
+  private def logregStepSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT pw0 - CAST(round(CAST(g0 AS DOUBLE) / n) AS BIGINT) AS w0,
+       |         pw1 - CAST(round(CAST(g1 AS DOUBLE) / n) AS BIGINT) AS w1,
+       |         pw2 - CAST(round(CAST(g2 AS DOUBLE) / n) AS BIGINT) AS w2
+       |  FROM (
+       |    SELECT count(*) AS n, max(w.w0) AS pw0, max(w.w1) AS pw1, max(w.w2) AS pw2,
+       |           sum(CAST(round(1e6 * (1.0 / (1.0 + exp(-(CAST(w.w0 AS DOUBLE) / 1e6
+       |             + CAST(w.w1 AS DOUBLE) / 1e6 * (CAST(p.x1u AS DOUBLE) / 1e6)
+       |             + CAST(w.w2 AS DOUBLE) / 1e6 * (CAST(p.x2u AS DOUBLE) / 1e6)))) - p.y))
+       |             AS BIGINT)) AS g0,
+       |           sum(CAST(round(1e6 * (1.0 / (1.0 + exp(-(CAST(w.w0 AS DOUBLE) / 1e6
+       |             + CAST(w.w1 AS DOUBLE) / 1e6 * (CAST(p.x1u AS DOUBLE) / 1e6)
+       |             + CAST(w.w2 AS DOUBLE) / 1e6 * (CAST(p.x2u AS DOUBLE) / 1e6)))) - p.y)
+       |             * (CAST(p.x1u AS DOUBLE) / 1e6)) AS BIGINT)) AS g1,
+       |           sum(CAST(round(1e6 * (1.0 / (1.0 + exp(-(CAST(w.w0 AS DOUBLE) / 1e6
+       |             + CAST(w.w1 AS DOUBLE) / 1e6 * (CAST(p.x1u AS DOUBLE) / 1e6)
+       |             + CAST(w.w2 AS DOUBLE) / 1e6 * (CAST(p.x2u AS DOUBLE) / 1e6)))) - p.y)
+       |             * (CAST(p.x2u AS DOUBLE) / 1e6)) AS BIGINT)) AS g2
+       |    FROM pool p, $prev w))""".stripMargin
+
+  val logregGdSql: String =
+    s"""WITH pool AS (
+       |  SELECT CAST(label AS BIGINT) % 2 AS y,
+       |         CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS x1u,
+       |         CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS x2u
+       |  FROM embeddings),
+       |wi AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2),
+       |${logregStepSql("wi", "wa")},
+       |${logregStepSql("wa", "wb")},
+       |${logregStepSql("wb", "wc")},
+       |m AS (
+       |  SELECT count(*) AS n, max(w.w0) AS w0_u, max(w.w1) AS w1_u, max(w.w2) AS w2_u,
+       |         sum(CASE WHEN (sig >= 0.5) = (y = 1) THEN 1 ELSE 0 END) AS correct,
+       |         sum(CASE WHEN y = 1
+       |                  THEN -CAST(round(1e6 * ln(CAST(pu AS DOUBLE) / 1e6)) AS BIGINT)
+       |                  ELSE -CAST(round(1e6 * ln(1.0 - CAST(pu AS DOUBLE) / 1e6)) AS BIGINT)
+       |             END) AS ll
+       |  FROM (
+       |    SELECT p.y, w.w0, w.w1, w.w2,
+       |           1.0 / (1.0 + exp(-(CAST(w.w0 AS DOUBLE) / 1e6
+       |             + CAST(w.w1 AS DOUBLE) / 1e6 * (CAST(p.x1u AS DOUBLE) / 1e6)
+       |             + CAST(w.w2 AS DOUBLE) / 1e6 * (CAST(p.x2u AS DOUBLE) / 1e6)))) AS sig,
+       |           least(greatest(CAST(round(1e6 * (1.0 / (1.0 + exp(-(CAST(w.w0 AS DOUBLE) / 1e6
+       |             + CAST(w.w1 AS DOUBLE) / 1e6 * (CAST(p.x1u AS DOUBLE) / 1e6)
+       |             + CAST(w.w2 AS DOUBLE) / 1e6 * (CAST(p.x2u AS DOUBLE) / 1e6)))))) AS BIGINT),
+       |             1), 999999) AS pu
+       |    FROM pool p, wc w) t, wc w)
+       |SELECT CAST(n AS BIGINT) AS n, w0_u, w1_u, w2_u,
+       |       CAST(round(1e6 * CAST(correct AS DOUBLE) / n) AS BIGINT) AS acc_ppm,
+       |       CAST(round(CAST(ll AS DOUBLE) / n) AS BIGINT) AS logloss_micro
+       |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_confusion" -> (confusion _),
     "ml_auc" -> (auc _),
@@ -1115,7 +1230,8 @@ object MlEval {
     "ml_conformal" -> (conformal _),
     "ml_propensity_match" -> (propensityMatch _),
     "ml_decision_stump" -> (decisionStump _),
-    "ml_kfold_cv" -> (kfoldCv _)
+    "ml_kfold_cv" -> (kfoldCv _),
+    "ml_logreg_gd" -> (logregGd _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1133,6 +1249,7 @@ object MlEval {
     "ml_conformal" -> conformalSql,
     "ml_propensity_match" -> propensityMatchSql,
     "ml_decision_stump" -> decisionStumpSql,
-    "ml_kfold_cv" -> kfoldCvSql
+    "ml_kfold_cv" -> kfoldCvSql,
+    "ml_logreg_gd" -> logregGdSql
   )
 }

@@ -714,9 +714,102 @@ object StatsOps {
       |         / (b_reps - 1.0))) AS BIGINT) AS se_milli
       |FROM pt, stats""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Permutation test (hash-relabeled)
+  // ---------------------------------------------------------------
+
+  /** PERMUTATION TEST for the click-vs-purchase mean difference —
+    * the nonparametric significance check: under H₀ the labels are
+    * exchangeable, so B = 64 relabelings rebuild the null
+    * distribution of |mean₁ − mean₂|. Distributed twist (the
+    * bootstrap's sibling): an exact permutation needs a global
+    * shuffle, so each replicate reassigns labels INDEPENDENTLY with
+    * P(group1) = n₁/n via the portable md5 hash against the
+    * n₁·2³²/n threshold — the binomial approximation to the
+    * permutation null, standard at scale, and bit-reproducible with
+    * no RNG state. Per-replicate means are exact integer ratios; the
+    * p-value is the (1 + #{|d_b| ≥ |d_obs|})/(B+1) add-one form.
+    * Scale shape: one observed-stat scan + one ×64 map-side fan-out
+    * into a 64-key combinable agg. */
+  def permutationTest(spark: SparkSession, dir: String): DataFrame = {
+    val pool = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), (col("event_type") === "click").as("g1"),
+        round(col("value") * 100.0d).cast("long").as("cents"))
+    val obs = pool.agg(
+      sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("g1"), col("cents")).otherwise(0L)).as("s1"),
+      sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("g1"), col("cents")).otherwise(0L)).as("s2"))
+    def d(c: Column) = c.cast("double")
+    // threshold u < n1 * 2^32 / n  <=>  u * n on DECIMAL vs n1 << 32
+    val reps = pool.crossJoin(broadcast(obs.select(col("n1"), (col("n1") + col("n2")).as("n"))))
+      .withColumn("b", explode(sequence(lit(0L), lit(63L))))
+      .withColumn("u", graft.api.Graft.idHash(
+        concat(col("event_id").cast("string"), lit(":"), col("b").cast("string"))))
+      .withColumn("r1", dec(col("u")) * col("n") < dec(col("n1")) * lit(4294967296L))
+      .groupBy(col("b"))
+      .agg(sum(when(col("r1"), 1L).otherwise(0L)).as("m1"),
+        sum(when(col("r1"), col("cents")).otherwise(0L)).as("t1"),
+        sum(when(!col("r1"), 1L).otherwise(0L)).as("m2"),
+        sum(when(!col("r1"), col("cents")).otherwise(0L)).as("t2"))
+      .filter(col("m1") > 0L && col("m2") > 0L)
+      .select(col("b"),
+        abs(d(col("t1")) / d(col("m1")) - d(col("t2")) / d(col("m2"))).as("dabs"))
+    val dObs = abs(d(col("s1")) / d(col("n1")) - d(col("s2")) / d(col("n2")))
+    reps.crossJoin(broadcast(obs))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        count(lit(1)).as("b_reps"),
+        max(round(lit(10.0d) * dObs).cast("long")).as("d_obs_milli"),
+        sum(when(col("dabs") >= dObs, 1L).otherwise(0L)).as("n_ge"))
+      .select(col("n1"), col("n2"), col("b_reps"), col("d_obs_milli"), col("n_ge"),
+        round(lit(1e6) * (d(col("n_ge")) + 1.0d) / (d(col("b_reps")) + 1.0d))
+          .cast("long").as("p_ppm"))
+  }
+
+  val permutationTestSql: String =
+    """WITH pool AS (
+      |  SELECT event_id, event_type = 'click' AS g1,
+      |         CAST(round(value * 100.0) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |obs AS (
+      |  SELECT count(*) FILTER (WHERE g1) AS n1,
+      |         coalesce(sum(cents) FILTER (WHERE g1), 0) AS s1,
+      |         count(*) FILTER (WHERE NOT g1) AS n2,
+      |         coalesce(sum(cents) FILTER (WHERE NOT g1), 0) AS s2
+      |  FROM pool),
+      |reps AS (
+      |  SELECT b,
+      |         abs(CAST(sum(cents) FILTER (WHERE r1) AS DOUBLE)
+      |               / count(*) FILTER (WHERE r1)
+      |           - CAST(sum(cents) FILTER (WHERE NOT r1) AS DOUBLE)
+      |               / count(*) FILTER (WHERE NOT r1)) AS dabs,
+      |         count(*) FILTER (WHERE r1) AS m1,
+      |         count(*) FILTER (WHERE NOT r1) AS m2
+      |  FROM (
+      |    SELECT p.cents, v.b,
+      |           CAST(('0x' || substring(md5(CAST(p.event_id AS VARCHAR) || ':'
+      |             || CAST(v.b AS VARCHAR)), 1, 8))::BIGINT AS HUGEINT) * (o.n1 + o.n2)
+      |             < CAST(o.n1 AS HUGEINT) * 4294967296 AS r1
+      |    FROM pool p, (SELECT unnest(range(64)) AS b) v, obs o)
+      |  GROUP BY b),
+      |d AS (
+      |  SELECT abs(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) AS d_obs,
+      |         n1, n2
+      |  FROM obs)
+      |SELECT CAST(d.n1 AS BIGINT) AS n1, CAST(d.n2 AS BIGINT) AS n2,
+      |       CAST(count(*) AS BIGINT) AS b_reps,
+      |       CAST(round(10.0 * max(d.d_obs)) AS BIGINT) AS d_obs_milli,
+      |       CAST(sum(CASE WHEN r.dabs >= d.d_obs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+      |       CAST(round(1e6 * (sum(CASE WHEN r.dabs >= d.d_obs THEN 1 ELSE 0 END) + 1.0)
+      |            / (count(*) + 1.0)) AS BIGINT) AS p_ppm
+      |FROM (SELECT * FROM reps WHERE m1 > 0 AND m2 > 0) r, d
+      |GROUP BY d.n1, d.n2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_anova" -> (anova _),
     "agg_bootstrap_ci" -> (bootstrapCi _),
+    "agg_permutation_test" -> (permutationTest _),
     "agg_gini" -> (gini _),
     "agg_mutual_info" -> (mutualInfo _),
     "agg_mann_whitney" -> (mannWhitney _),
@@ -730,6 +823,7 @@ object StatsOps {
   def oracle: Map[String, String] = Map(
     "agg_anova" -> anovaSql,
     "agg_bootstrap_ci" -> bootstrapCiSql,
+    "agg_permutation_test" -> permutationTestSql,
     "agg_gini" -> giniSql,
     "agg_mutual_info" -> mutualInfoSql,
     "agg_mann_whitney" -> mannWhitneySql,

@@ -847,6 +847,67 @@ class Round10OpsSpec extends SparkSpec {
     assert(got === cells)
   }
 
+  test("ml_logreg_gd: three fixed-point GD steps replay exactly; training helps") {
+    val pool = Tables.embeddings(spark, sf)
+      .select(col("label"), element_at(col("embedding"), 1).cast("double"),
+        element_at(col("embedding"), 2).cast("double"))
+      .collect().map(r => (r.getInt(0).toLong % 2,
+        math.round(r.getDouble(1) * 1e6), math.round(r.getDouble(2) * 1e6)))
+    val n = pool.length
+    def sigma(w: (Long, Long, Long), x1: Long, x2: Long): Double =
+      1.0 / (1.0 + math.exp(-(w._1 / 1e6 + w._2 / 1e6 * (x1 / 1e6) +
+        w._3 / 1e6 * (x2 / 1e6))))
+    def step(w: (Long, Long, Long)): (Long, Long, Long) = {
+      var (g0, g1, g2) = (0L, 0L, 0L)
+      pool.foreach { case (y, x1, x2) =>
+        val r = sigma(w, x1, x2) - y
+        g0 += Round10OpsHash.rnd(1e6 * r)
+        g1 += Round10OpsHash.rnd(1e6 * r * (x1 / 1e6))
+        g2 += Round10OpsHash.rnd(1e6 * r * (x2 / 1e6))
+      }
+      (w._1 - Round10OpsHash.rnd(g0.toDouble / n), w._2 - Round10OpsHash.rnd(g1.toDouble / n),
+        w._3 - Round10OpsHash.rnd(g2.toDouble / n))
+    }
+    val w = step(step(step((0L, 0L, 0L))))
+    val correct = pool.count { case (y, x1, x2) => (sigma(w, x1, x2) >= 0.5) == (y == 1L) }
+    val r = MlEval.logregGd(spark, sf).collect()(0)
+    assert(r.getLong(0) === n.toLong)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === w)
+    assert(r.getLong(4) === math.round(1e6 * correct.toDouble / n))
+    // trained accuracy must beat the w=0 coin flip on this separable-ish pool
+    assert(r.getLong(4) >= 500000L)
+    assert(r.getLong(5) > 0L && r.getLong(5) < 693148L) // below the w=0 logloss ln2
+  }
+
+  test("agg_permutation_test: replicate diffs replay from the hash relabeling") {
+    val pool = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("event_type") === "click",
+        round(col("value") * 100.0d).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    val (n1, n2) = (pool.count(_._2).toLong, pool.count(!_._2).toLong)
+    val s1 = pool.filter(_._2).map(_._3).sum
+    val s2 = pool.filter(!_._2).map(_._3).sum
+    val dObs = math.abs(s1.toDouble / n1 - s2.toDouble / n2)
+    val diffs = (0L until 64L).flatMap { b =>
+      var (m1, t1, m2, t2) = (0L, 0L, 0L, 0L)
+      pool.foreach { case (id, _, c) =>
+        val u = Round10OpsHash.idHash(s"$id:$b")
+        if (BigInt(u) * (n1 + n2) < (BigInt(n1) << 32)) { m1 += 1; t1 += c }
+        else { m2 += 1; t2 += c }
+      }
+      if (m1 > 0 && m2 > 0) Some(math.abs(t1.toDouble / m1 - t2.toDouble / m2))
+      else None
+    }
+    val nGe = diffs.count(_ >= dObs).toLong
+    val r = StatsOps.permutationTest(spark, sf).collect()(0)
+    assert(r.getLong(0) === n1 && r.getLong(1) === n2)
+    assert(r.getLong(2) === diffs.length.toLong)
+    assert(r.getLong(3) === math.round(10.0 * dObs))
+    assert(r.getLong(4) === nGe)
+    assert(r.getLong(5) === math.round(1e6 * (nGe + 1.0) / (diffs.length + 1.0)))
+  }
+
   // scoredPool with vec_id carried: (vec_id, y, p_u)
   private def scoredPoolWithId: Array[(Long, Long, Long)] = {
     val rows = Tables.embeddings(spark, sf)
@@ -905,6 +966,12 @@ private object MlEvalKAnonReplay {
 /** Driver-side replica of the portable md5 id-hash (Graft.idHash):
   * first 8 hex chars of md5(utf8 string) as an unsigned 32-bit long. */
 object Round10OpsHash {
+  /** Spark/DuckDB round() semantics for doubles: HALF_UP away from
+    * zero (math.round is floor(x+0.5), which differs on negative
+    * exact-.5 ties — the ml_logreg_gd gradient replay hit one). */
+  def rnd(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   def idHash(s: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
