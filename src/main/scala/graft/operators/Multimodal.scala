@@ -474,7 +474,88 @@ object Multimodal {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // JPEG SOF decode — variable-length segment walking
+  // ---------------------------------------------------------------
+
+  /** JPEG/JFIF frame-header decode — the fifth header codec, and the
+    * one the fixed-offset siblings can't represent: JPEG dimensions
+    * live in an SOF segment at NO fixed offset — a parser must WALK
+    * the marker stream (FF xx, 2-byte big-endian length that counts
+    * itself but not the marker) over whatever APPn/COM metadata
+    * precedes the frame. The synthesized stream forces that: SOI →
+    * APP0/JFIF (fixed 16) → COM whose length VARIES per document
+    * (2 + 1 + n_chars mod 13) → SOF0 carrying
+    * height = 1 + n_chars mod 997, width = 1 + doc_id mod 1499.
+    * The parser is a 4-step unrolled marker walk in pure codegen
+    * byte arithmetic (substr/hex/conv; `when` keeps the position
+    * once SOF0/1/2 is found), so a fixed-offset shortcut or an
+    * off-by-one in the length convention breaks the differential
+    * hash on every document. Bounded-walk contract: real JFIF files
+    * put SOF within the first few segments; production raises the
+    * unroll constant. The synthesized payload is localCheckpoint-
+    * materialized first — the audioRms codegen-blowup lesson; in
+    * production the payload IS a stored column. */
+  def parseJpegSof(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def byteAt(p: org.apache.spark.sql.Column) =
+      conv(hex(payload.substr(p.cast("int"), lit(1))), 16, 10).cast("long")
+    def be16(p: org.apache.spark.sql.Column) = byteAt(p) * 256L + byteAt(p + 1L)
+    def isSof(m: org.apache.spark.sql.Column) =
+      m === 65472L || m === 65473L || m === 65474L // FFC0/C1/C2
+    // 4-step unrolled walk from the first post-SOI marker (1-based 3)
+    val sofPos = (1 to 4).foldLeft(lit(3L): org.apache.spark.sql.Column) { (p, _) =>
+      when(isSof(be16(p)), p).otherwise(p + 2L + be16(p + 2L))
+    }
+    struct(
+      isSof(be16(sofPos)).as("sof_found"),
+      sofPos.as("sof_offset"),
+      byteAt(sofPos + 4L).as("precision"),
+      be16(sofPos + 5L).as("height"),
+      be16(sofPos + 7L).as("width"),
+      byteAt(sofPos + 9L).as("n_components"))
+  }
+
+  def jpegHeader(spark: SparkSession, dir: String): DataFrame = {
+    def beHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((n - 1 to 0 by -1).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    val comLen = (lit(1L) + pmod(col("n_chars"), lit(13L))) // payload bytes
+    val height = lit(1L) + pmod(col("n_chars"), lit(997L))
+    val width = lit(1L) + pmod(col("doc_id"), lit(1499L))
+    // COM payload: comLen copies of one doc-derived letter byte
+    val comByte = lpad(hex(lit(65L) + pmod(col("doc_id"), lit(26L))), 2, "0")
+    val jpeg = unhex(concat(
+      lit("FFD8"),                                    // SOI
+      lit("FFE00010"), lit("4A46494600"),             // APP0 len 16, "JFIF\0"
+      lit("0101"), lit("00"), lit("00010001"), lit("0000"),
+      lit("FFFE"), beHex(comLen + 2L, 2),             // COM, len counts itself
+      repeat(comByte, 13).substr(lit(1), (comLen * 2L).cast("int")),
+      lit("FFC0"), lit("0011"), lit("08"),            // SOF0, len 17, precision 8
+      beHex(height, 2), beHex(width, 2),
+      lit("03"), lit("012200"), lit("021101"), lit("031101"),
+      lit("FFD9")))                                   // EOI
+    val synth = Tables.documents(spark, dir)
+      .select(col("doc_id"), jpeg.as("jpeg")).localCheckpoint()
+    synth.select(col("doc_id"), parseJpegSof(col("jpeg")).as("p"))
+      .select(col("doc_id"), col("p.sof_found").as("sof_found"),
+        col("p.sof_offset").as("sof_offset"), col("p.precision").as("precision"),
+        col("p.height").as("height"), col("p.width").as("width"),
+        col("p.n_components").as("n_components"))
+      .orderBy(col("doc_id"))
+  }
+
+  // the oracle replays the GENERATING arithmetic (sof offset =
+  // 2 SOI + 18 APP0 + (2 marker + 2 + payload) COM + 1 one-based)
+  val jpegHeaderSql: String =
+    """SELECT doc_id, TRUE AS sof_found,
+      |       CAST(25 + 1 + n_chars % 13 AS BIGINT) AS sof_offset,
+      |       CAST(8 AS BIGINT) AS precision,
+      |       CAST(1 + n_chars % 997 AS BIGINT) AS height,
+      |       CAST(1 + doc_id % 1499 AS BIGINT) AS width,
+      |       CAST(3 AS BIGINT) AS n_components
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_jpeg_header" -> (jpegHeader _),
     "mm_audio_rms" -> (audioRms _),
     "mm_gif_header" -> (gifHeader _),
     "mm_bmp_header" -> (bmpHeader _),
@@ -488,6 +569,7 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_jpeg_header" -> jpegHeaderSql,
     "mm_audio_rms" -> audioRmsSql,
     "mm_gif_header" -> gifHeaderSql,
     "mm_bmp_header" -> bmpHeaderSql,

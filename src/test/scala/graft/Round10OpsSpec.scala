@@ -908,6 +908,46 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getLong(5) === math.round(1e6 * (nGe + 1.0) / (diffs.length + 1.0)))
   }
 
+  test("mm_jpeg_header: a real while-loop marker parser agrees on every document") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def synth(docId: Long, nChars: Long): Array[Byte] = {
+      val bb = scala.collection.mutable.ArrayBuffer[Int]()
+      def be16(v: Int): Unit = { bb += (v >> 8) & 0xff; bb += v & 0xff }
+      bb ++= Seq(0xff, 0xd8)                      // SOI
+      bb ++= Seq(0xff, 0xe0); be16(16)            // APP0
+      bb ++= "JFIF".getBytes.map(_.toInt); bb += 0
+      bb ++= Seq(0x01, 0x01, 0x00); be16(1); be16(1); bb ++= Seq(0, 0)
+      val m = (1 + nChars % 13).toInt             // COM
+      bb ++= Seq(0xff, 0xfe); be16(m + 2)
+      (1 to m).foreach(_ => bb += (65 + docId % 26).toInt)
+      bb ++= Seq(0xff, 0xc0); be16(17); bb += 8   // SOF0
+      be16((1 + nChars % 997).toInt); be16((1 + docId % 1499).toInt)
+      bb += 3; bb ++= Seq(0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+      bb ++= Seq(0xff, 0xd9)                      // EOI
+      bb.map(_.toByte).toArray
+    }
+    // an INDEPENDENT unbounded while-loop marker walk (the parser the
+    // unrolled codegen walk must agree with)
+    def parse(b: Array[Byte]): (Long, Long, Long, Long, Long) = {
+      def u8(i: Int) = b(i).toInt & 0xff
+      def u16(i: Int) = u8(i) * 256 + u8(i + 1)
+      var p = 2
+      while (!(u8(p) == 0xff && Set(0xc0, 0xc1, 0xc2)(u8(p + 1))))
+        p += 2 + u16(p + 2)
+      (p + 1L, u8(p + 4).toLong, u16(p + 5).toLong, u16(p + 7).toLong, u8(p + 9).toLong)
+    }
+    val want = docs.map { case (id, nc) => id -> parse(synth(id, nc)) }.toMap
+    val got = Multimodal.jpegHeader(spark, sf).collect()
+    assert(got.length === docs.length)
+    got.foreach { r =>
+      assert(r.getBoolean(1), s"doc ${r.getLong(0)} sof not found")
+      val w = want(r.getLong(0))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) === w)
+    }
+  }
+
   // scoredPool with vec_id carried: (vec_id, y, p_u)
   private def scoredPoolWithId: Array[(Long, Long, Long)] = {
     val rows = Tables.embeddings(spark, sf)
