@@ -1215,6 +1215,59 @@ object MlEval {
        |       CAST(round(CAST(ll AS DOUBLE) / n) AS BIGINT) AS logloss_micro
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------
+  // KS score separation
+  // ---------------------------------------------------------------
+
+  /** KS SCORE SEPARATION — the credit-scoring industry's standard
+    * discrimination metric: max over thresholds of
+    * |CDF⁺(t) − CDF⁻(t)|, i.e. the best single-threshold separation
+    * the score achieves. Rides the same ≤1e6-key score histogram as
+    * AUC: cumulative positive/negative counts from one bounded
+    * ordered scan; each threshold's separation is milli-quantized
+    * (identical integer inputs → identical double → identical
+    * round), the max is then pure integer ordering, ties to the
+    * smallest threshold. Also reports the threshold and both CDFs
+    * there — the operating point a score cutoff would use. */
+  def ksScore(spark: SparkSession, dir: String): DataFrame = {
+    val cum = Window.orderBy(col("p_u"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c: Column) = c.cast("double")
+    val h = hist(spark, dir)
+      .withColumn("cpos", sum(col("pc")).over(cum))
+      .withColumn("cneg", sum(col("c") - col("pc")).over(cum))
+    val tot = hist(spark, dir)
+      .agg(sum(col("pc")).as("npos"), sum(col("c") - col("pc")).as("nneg"))
+    h.crossJoin(broadcast(tot))
+      .withColumn("sep_milli",
+        round(lit(1e3) * abs(d(col("cpos")) / d(col("npos")) -
+          d(col("cneg")) / d(col("nneg")))).cast("long"))
+      .orderBy(col("sep_milli").desc, col("p_u"))
+      .limit(1)
+      .select(col("npos"), col("nneg"),
+        col("p_u").as("threshold_u"), col("sep_milli").as("ks_milli"),
+        round(lit(1e6) * d(col("cpos")) / d(col("npos"))).cast("long").as("cdf_pos_ppm"),
+        round(lit(1e6) * d(col("cneg")) / d(col("nneg"))).cast("long").as("cdf_neg_ppm"))
+  }
+
+  val ksScoreSql: String =
+    s"""WITH $scoredSql,
+       |$histSql,
+       |cumh AS (
+       |  SELECT p_u,
+       |         sum(pc) OVER (ORDER BY p_u ROWS UNBOUNDED PRECEDING) AS cpos,
+       |         sum(c - pc) OVER (ORDER BY p_u ROWS UNBOUNDED PRECEDING) AS cneg
+       |  FROM hist),
+       |tot AS (SELECT sum(pc) AS npos, sum(c - pc) AS nneg FROM hist)
+       |SELECT CAST(npos AS BIGINT) AS npos, CAST(nneg AS BIGINT) AS nneg,
+       |       p_u AS threshold_u,
+       |       CAST(round(1e3 * abs(CAST(cpos AS DOUBLE) / npos
+       |            - CAST(cneg AS DOUBLE) / nneg)) AS BIGINT) AS ks_milli,
+       |       CAST(round(1e6 * CAST(cpos AS DOUBLE) / npos) AS BIGINT) AS cdf_pos_ppm,
+       |       CAST(round(1e6 * CAST(cneg AS DOUBLE) / nneg) AS BIGINT) AS cdf_neg_ppm
+       |FROM cumh, tot
+       |ORDER BY ks_milli DESC, threshold_u LIMIT 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_confusion" -> (confusion _),
     "ml_auc" -> (auc _),
@@ -1231,7 +1284,8 @@ object MlEval {
     "ml_propensity_match" -> (propensityMatch _),
     "ml_decision_stump" -> (decisionStump _),
     "ml_kfold_cv" -> (kfoldCv _),
-    "ml_logreg_gd" -> (logregGd _)
+    "ml_logreg_gd" -> (logregGd _),
+    "ml_ks_score" -> (ksScore _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1250,6 +1304,7 @@ object MlEval {
     "ml_propensity_match" -> propensityMatchSql,
     "ml_decision_stump" -> decisionStumpSql,
     "ml_kfold_cv" -> kfoldCvSql,
-    "ml_logreg_gd" -> logregGdSql
+    "ml_logreg_gd" -> logregGdSql,
+    "ml_ks_score" -> ksScoreSql
   )
 }

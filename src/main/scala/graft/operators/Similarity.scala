@@ -65,6 +65,122 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------
+  // Hybrid retrieval: dense + lexical lists fused by reciprocal rank
+  // ---------------------------------------------------------------
+
+  /** HYBRID SEARCH via RECIPROCAL RANK FUSION (Cormack et al.'s RRF,
+    * k = 60) — the standard RAG retrieval pattern: a DENSE ranking
+    * (embedding cosine, the brute scan the ANN family accelerates)
+    * and a LEXICAL ranking (distinct-token Jaccard against the query
+    * document, computed through an inverted-index join driven by the
+    * QUERY tokens only — never all-pairs text similarity) each
+    * produce a top-10 list per query; fusion scores
+    * Σ 1/(60 + rank) over the UNION of candidates, each reciprocal
+    * quantized once to integer micro so the fused sum is exact and
+    * order-free, absent-list ranks contribute 0 (the standard RRF
+    * convention). Queries are the first 5 documents (doc_id ≡ vec_id
+    * in this corpus — the multimodal-row layout). Scale shape: the
+    * dense scan is |Q|-broadcast × corpus (the documented baseline
+    * the IVF/PQ ops replace); the lexical join fans out only through
+    * the 5 query docs' token lists; fusion itself runs on ≤ 2·|Q|·10
+    * rows. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val nQ = 5
+    val emb = Tables.embeddings(spark, dir).withColumn("v", vecAsDouble(col("embedding")))
+    val q = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), norm(col("v")).as("qn"))
+    val wD = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val dense = broadcast(q).join(emb.select(col("vec_id"), col("v"), norm(col("v")).as("cn")),
+        col("qid") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("cn")))
+      .withColumn("drank", row_number().over(wD).cast("long"))
+      .filter(col("drank") <= 10L)
+      .select(col("qid"), col("vec_id").as("cand"), col("drank"))
+    val docToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .filter(col("t") =!= "")
+    val dSize = docToks.groupBy(col("doc_id")).agg(count(lit(1)).as("dsz"))
+    val qToks = docToks.filter(col("doc_id") < nQ)
+      .select(col("doc_id").as("qid"), col("t"))
+    val shared = docToks.join(broadcast(qToks), Seq("t"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("shared"))
+      .join(dSize, Seq("doc_id"))
+      .join(broadcast(dSize.select(col("doc_id").as("qid"), col("dsz").as("qsz"))), Seq("qid"))
+      .withColumn("jac", col("shared").cast("double") /
+        (col("dsz") + col("qsz") - col("shared")).cast("double"))
+    val wL = Window.partitionBy(col("qid")).orderBy(col("jac").desc, col("doc_id"))
+    val lex = shared.withColumn("lrank", row_number().over(wL).cast("long"))
+      .filter(col("lrank") <= 10L)
+      .select(col("qid"), col("doc_id").as("cand"), col("lrank"))
+    def rr(rank: Column) = round(lit(1e6) / (lit(60.0d) + rank.cast("double"))).cast("long")
+    val fused = dense.join(lex, Seq("qid", "cand"), "full_outer")
+      .select(col("qid"), col("cand"),
+        coalesce(col("drank"), lit(0L)).as("dense_rank"),
+        coalesce(col("lrank"), lit(0L)).as("lex_rank"),
+        (when(col("drank").isNotNull, rr(col("drank"))).otherwise(0L) +
+          when(col("lrank").isNotNull, rr(col("lrank"))).otherwise(0L)).as("fused_micro"))
+    val wF = Window.partitionBy(col("qid")).orderBy(col("fused_micro").desc, col("cand"))
+    fused.withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= 5L)
+      .select(col("qid").as("query_id"), col("rank"), col("cand").as("doc_id"),
+        col("fused_micro"), col("dense_rank"), col("lex_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
+       |dense AS (
+       |  SELECT qid, cand, drank FROM (
+       |    SELECT q.qid, c.vec_id AS cand,
+       |           CAST(row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             ${dotSql("q.qv", "c.v")} / (${normSql("q.qv")} * ${normSql("c.v")}) DESC,
+       |             c.vec_id) AS BIGINT) AS drank
+       |    FROM q JOIN emb c ON q.qid <> c.vec_id)
+       |  WHERE drank <= 10),
+       |doctoks AS (
+       |  SELECT doc_id, t
+       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |        FROM documents)
+       |  WHERE t <> ''),
+       |dsize AS (SELECT doc_id, count(*) AS dsz FROM doctoks GROUP BY 1),
+       |shared AS (
+       |  SELECT qt.doc_id AS qid, dt.doc_id, count(*) AS shared
+       |  FROM doctoks dt
+       |  JOIN (SELECT doc_id, t FROM doctoks WHERE doc_id < 5) qt
+       |    ON dt.t = qt.t AND dt.doc_id <> qt.doc_id
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT qid, cand, lrank FROM (
+       |    SELECT s.qid, s.doc_id AS cand,
+       |           CAST(row_number() OVER (PARTITION BY s.qid ORDER BY
+       |             CAST(s.shared AS DOUBLE) / (d.dsz + qd.dsz - s.shared) DESC,
+       |             s.doc_id) AS BIGINT) AS lrank
+       |    FROM shared s
+       |    JOIN dsize d ON d.doc_id = s.doc_id
+       |    JOIN dsize qd ON qd.doc_id = s.qid)
+       |  WHERE lrank <= 10),
+       |fused AS (
+       |  SELECT coalesce(d.qid, l.qid) AS qid, coalesce(d.cand, l.cand) AS cand,
+       |         coalesce(d.drank, 0) AS dense_rank, coalesce(l.lrank, 0) AS lex_rank,
+       |         (CASE WHEN d.drank IS NOT NULL
+       |               THEN CAST(round(1e6 / (60.0 + d.drank)) AS BIGINT) ELSE 0 END
+       |        + CASE WHEN l.lrank IS NOT NULL
+       |               THEN CAST(round(1e6 / (60.0 + l.lrank)) AS BIGINT) ELSE 0 END)
+       |           AS fused_micro
+       |  FROM dense d FULL OUTER JOIN lex l ON d.qid = l.qid AND d.cand = l.cand)
+       |SELECT qid AS query_id, rank, cand AS doc_id, fused_micro,
+       |       CAST(dense_rank AS BIGINT) AS dense_rank,
+       |       CAST(lex_rank AS BIGINT) AS lex_rank
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |            ORDER BY fused_micro DESC, cand) AS BIGINT) AS rank
+       |  FROM fused)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val bruteForceTopKSql: String =
     s"""SELECT query_id, rank, neighbor_id, cosine
        |FROM (
@@ -2579,6 +2695,7 @@ object Similarity {
     "sim_imi_topk" -> (imiTopK _),
     "corpus_decontaminate_semantic" -> (semanticDecontaminate _),
     "sim_ivf_topk" -> (ivfTopK _),
+    "sim_hybrid_rrf" -> (hybridRrf _),
     "sim_topk_bruteforce" -> (bruteForceTopK _),
     "sim_topk_native" -> (bruteForceTopKNative _),
     "sim_vector_arith" -> (vectorArith _),
@@ -2617,6 +2734,7 @@ object Similarity {
     "sim_imi_topk" -> imiTopKSql,
     "corpus_decontaminate_semantic" -> semanticDecontaminateSql,
     "sim_ivf_topk" -> ivfTopKSql,
+    "sim_hybrid_rrf" -> hybridRrfSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_topk_native" -> bruteForceTopKSql,
     "sim_vector_arith" -> vectorArithSql,

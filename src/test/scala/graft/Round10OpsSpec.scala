@@ -948,6 +948,69 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("sim_hybrid_rrf: fusion replays from independent dense and lexical rankings") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb) // algebraically equal; ranking robust to ulps here
+    }
+    val toks = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSet))
+      .toMap
+    val vecs = emb.toMap
+    val queries = emb.map(_._1).filter(_ < 5).sorted
+    val want = queries.flatMap { qid =>
+      val dense = emb.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(vecs(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+        .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      val qt = toks(qid)
+      val lex = toks.toSeq.filter(_._1 != qid)
+        .map { case (id, ts) =>
+          val sh = (ts & qt).size
+          (id, sh.toDouble / (ts.size + qt.size - sh))
+        }
+        .filter(_._2 > 0 || true)
+        .sortBy { case (id, j) => (-j, id) }.take(10).map(_._1)
+        .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      def rr(r: Long) = math.round(1e6 / (60.0 + r))
+      (dense.keySet ++ lex.keySet).toSeq
+        .map { id =>
+          (id, dense.getOrElse(id, 0L), lex.getOrElse(id, 0L),
+            dense.get(id).map(rr).getOrElse(0L) + lex.get(id).map(rr).getOrElse(0L))
+        }
+        .sortBy { case (id, _, _, f) => (-f, id) }.take(5).zipWithIndex
+        .map { case ((id, dr, lr, f), i) => (qid, i + 1L, id, f, dr, lr) }
+    }
+    val got = Similarity.hybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want.toSeq)
+  }
+
+  test("ml_ks_score: the KS statistic replays as the max CDF separation") {
+    val pool = scoredPoolWithId
+    val npos = pool.count(_._2 == 1L).toLong
+    val nneg = pool.length - npos
+    val hist = pool.groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (p, xs) => (p, xs.count(_._2 == 1L).toLong, xs.count(_._2 == 0L).toLong) }
+    var (cp, cn) = (0L, 0L)
+    val seps = hist.map { case (p, pc, nc) =>
+      cp += pc; cn += nc
+      (p, math.round(1e3 * math.abs(cp.toDouble / npos - cn.toDouble / nneg)), cp, cn)
+    }
+    val best = seps.minBy { case (p, s, _, _) => (-s, p) }
+    val r = MlEval.ksScore(spark, sf).collect()(0)
+    assert(r.getLong(0) === npos && r.getLong(1) === nneg)
+    assert(r.getLong(2) === best._1 && r.getLong(3) === best._2)
+    assert(r.getLong(4) === math.round(1e6 * best._3.toDouble / npos))
+    assert(r.getLong(5) === math.round(1e6 * best._4.toDouble / nneg))
+    assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000L)
+  }
+
   // scoredPool with vec_id carried: (vec_id, y, p_u)
   private def scoredPoolWithId: Array[(Long, Long, Long)] = {
     val rows = Tables.embeddings(spark, sf)
