@@ -479,7 +479,13 @@ object ScaleProbe {
       // combinable agg — the honest bootstrap cost, must stay ~64x
       // scan-linear with NO shuffle growth (output is 64 keys)
       ("bootstrap_64x_fanout", () =>
-        graft.operators.StatsOps.bootstrapCi(spark, dir).count())
+        graft.operators.StatsOps.bootstrapCi(spark, dir).count()),
+      // JPEG marker walk: prefix decoded to an int array once, then
+      // one COLUMN per walk step (the construction-time expression-
+      // duplication lesson: a single folded Column cost ~28 s of
+      // data-size-independent Catalyst analysis) — must be ~scan
+      ("jpeg_marker_walk", () =>
+        graft.operators.Multimodal.jpegHeader(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)

@@ -496,24 +496,50 @@ object Multimodal {
     * unroll constant. The synthesized payload is localCheckpoint-
     * materialized first — the audioRms codegen-blowup lesson; in
     * production the payload IS a stored column. */
-  def parseJpegSof(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    def byteAt(p: org.apache.spark.sql.Column) =
-      conv(hex(payload.substr(p.cast("int"), lit(1))), 16, 10).cast("long")
-    def be16(p: org.apache.spark.sql.Column) = byteAt(p) * 256L + byteAt(p + 1L)
-    def isSof(m: org.apache.spark.sql.Column) =
-      m === 65472L || m === 65473L || m === 65474L // FFC0/C1/C2
-    // 4-step unrolled walk from the first post-SOI marker (1-based 3)
-    val sofPos = (1 to 4).foldLeft(lit(3L): org.apache.spark.sql.Column) { (p, _) =>
-      when(isSof(be16(p)), p).otherwise(p + 2L + be16(p + 2L))
-    }
+  /** Walk cost note (two lessons measured): (1) folding the whole
+    * walk into ONE Column duplicates each position expression ~6x per
+    * level — a ~6^4-node tree built at CONSTRUCTION time that Catalyst
+    * then spends ~28 s (data-size-independent) analyzing/optimizing;
+    * (2) substr->hex->conv per byte lookup is codegen-heavy. The shape
+    * real parsers use, expressed relationally: decode the bounded
+    * header PREFIX into an int-array COLUMN once (53 linear conv
+    * chains), then advance the walk ONE COLUMN PER STEP — each step
+    * references the previous position as a plain attribute (cheap, so
+    * CollapseProject correctly declines to re-inline it into its 6
+    * uses). Measured 28 s -> sub-second at sf0.1. */
+  def jpegPrefix(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(1), lit(53)),
+      i => conv(hex(payload.substr(i, lit(1))), 16, 10).cast("long"))
+
+  private def jbyte(bytes: org.apache.spark.sql.Column,
+      p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(bytes, p.cast("int"))
+
+  private def jbe16(bytes: org.apache.spark.sql.Column,
+      p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    jbyte(bytes, p) * 256L + jbyte(bytes, p + 1L)
+
+  private def jIsSof(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    m === 65472L || m === 65473L || m === 65474L // FFC0/C1/C2
+
+  /** One marker-walk step: stay once an SOF marker is under the
+    * cursor, else skip the segment by its big-endian length (which
+    * counts itself but not the marker). */
+  def jpegStep(bytes: org.apache.spark.sql.Column,
+      p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(jIsSof(jbe16(bytes, p)), p)
+      .otherwise(p + 2L + jbe16(bytes, p + 2L))
+
+  /** The SOF payload fields at a settled walk position. */
+  def jpegExtract(bytes: org.apache.spark.sql.Column,
+      p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     struct(
-      isSof(be16(sofPos)).as("sof_found"),
-      sofPos.as("sof_offset"),
-      byteAt(sofPos + 4L).as("precision"),
-      be16(sofPos + 5L).as("height"),
-      be16(sofPos + 7L).as("width"),
-      byteAt(sofPos + 9L).as("n_components"))
-  }
+      jIsSof(jbe16(bytes, p)).as("sof_found"),
+      p.as("sof_offset"),
+      jbyte(bytes, p + 4L).as("precision"),
+      jbe16(bytes, p + 5L).as("height"),
+      jbe16(bytes, p + 7L).as("width"),
+      jbyte(bytes, p + 9L).as("n_components"))
 
   def jpegHeader(spark: SparkSession, dir: String): DataFrame = {
     def beHex(v: org.apache.spark.sql.Column, n: Int) =
@@ -535,7 +561,14 @@ object Multimodal {
       lit("FFD9")))                                   // EOI
     val synth = Tables.documents(spark, dir)
       .select(col("doc_id"), jpeg.as("jpeg")).localCheckpoint()
-    synth.select(col("doc_id"), parseJpegSof(col("jpeg")).as("p"))
+    // 4-step unrolled walk from the first post-SOI marker (1-based 3),
+    // ONE COLUMN PER STEP — see the walk cost note above
+    val walked = (1 to 4).foldLeft(
+        synth.select(col("doc_id"), jpegPrefix(col("jpeg")).as("bytes"),
+          lit(3L).as("p0"))) { (df, i) =>
+      df.withColumn(s"p$i", jpegStep(col("bytes"), col(s"p${i - 1}")))
+    }
+    walked.select(col("doc_id"), jpegExtract(col("bytes"), col("p4")).as("p"))
       .select(col("doc_id"), col("p.sof_found").as("sof_found"),
         col("p.sof_offset").as("sof_offset"), col("p.precision").as("precision"),
         col("p.height").as("height"), col("p.width").as("width"),
