@@ -806,9 +806,80 @@ object StatsOps {
       |FROM (SELECT * FROM reps WHERE m1 > 0 AND m2 > 0) r, d
       |GROUP BY d.n1, d.n2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Herfindahl–Hirschman concentration index
+  // ---------------------------------------------------------------
+
+  /** HHI MARKET CONCENTRATION per region — the antitrust-standard
+    * concentration screen beside [[gini]]'s inequality curve:
+    * HHI = Σᵢ sᵢ² over each region's nations' revenue shares
+    * (0 = atomized, 1e6 ppm-scale = monopoly; >0.25 is the classic
+    * "highly concentrated" line). Each nation's share-squared term is
+    * ONE double expression over exact integer cents quantized to ppm
+    * BEFORE the ≤|nations|-term sum (the per-term-quantization
+    * contract — cross-term float order never matters). The data-sized
+    * stage is one map-side-combinable (nation) aggregation of the
+    * supplier-side revenue; everything after runs on ≤25 rows. */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0d) - col("l_discount")) * 100.0d)
+          .cast("long").as("cents"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey")).agg(sum(col("cents")).as("rev"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+    def d(c: Column) = c.cast("double")
+    val regional = revenue.groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), sum(col("rev")).as("tot"))
+    revenue.join(broadcast(regional), Seq("n_regionkey"))
+      .select(col("n_regionkey"), col("n_nations"), col("tot"),
+        round(lit(1e6) * (d(col("rev")) / d(col("tot"))) *
+          (d(col("rev")) / d(col("tot")))).cast("long").as("term_ppm"),
+        round(lit(1e6) * d(col("rev")) / d(col("tot"))).cast("long").as("share_ppm"))
+      .groupBy(col("n_regionkey"), col("n_nations"))
+      .agg(sum(col("term_ppm")).as("hhi_ppm"), max(col("share_ppm")).as("top_share_ppm"))
+      .join(broadcast(Tables.region(spark, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_nations"),
+        col("hhi_ppm"), col("top_share_ppm"),
+        (col("hhi_ppm") > 250000L).as("highly_concentrated"))
+      .orderBy(col("region"))
+  }
+
+  val hhiSql: String =
+    """WITH rev AS (
+      |  SELECT s.s_nationkey,
+      |         sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+      |             AS BIGINT)) AS rev
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1),
+      |nat AS (
+      |  SELECT n.n_regionkey, r.rev
+      |  FROM rev r JOIN nation n ON r.s_nationkey = n.n_nationkey),
+      |reg AS (
+      |  SELECT n_regionkey, count(*) AS n_nations, sum(rev) AS tot
+      |  FROM nat GROUP BY 1),
+      |terms AS (
+      |  SELECT nat.n_regionkey, reg.n_nations,
+      |         CAST(round(1e6 * (CAST(nat.rev AS DOUBLE) / reg.tot)
+      |              * (CAST(nat.rev AS DOUBLE) / reg.tot)) AS BIGINT) AS term_ppm,
+      |         CAST(round(1e6 * CAST(nat.rev AS DOUBLE) / reg.tot) AS BIGINT) AS share_ppm
+      |  FROM nat JOIN reg ON nat.n_regionkey = reg.n_regionkey)
+      |SELECT r.r_name AS region, CAST(t.n_nations AS BIGINT) AS n_nations,
+      |       CAST(sum(t.term_ppm) AS BIGINT) AS hhi_ppm,
+      |       CAST(max(t.share_ppm) AS BIGINT) AS top_share_ppm,
+      |       sum(t.term_ppm) > 250000 AS highly_concentrated
+      |FROM terms t JOIN region r ON t.n_regionkey = r.r_regionkey
+      |GROUP BY 1, 2 ORDER BY region""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_anova" -> (anova _),
     "agg_bootstrap_ci" -> (bootstrapCi _),
+    "agg_hhi" -> (hhi _),
     "agg_permutation_test" -> (permutationTest _),
     "agg_gini" -> (gini _),
     "agg_mutual_info" -> (mutualInfo _),
@@ -823,6 +894,7 @@ object StatsOps {
   def oracle: Map[String, String] = Map(
     "agg_anova" -> anovaSql,
     "agg_bootstrap_ci" -> bootstrapCiSql,
+    "agg_hhi" -> hhiSql,
     "agg_permutation_test" -> permutationTestSql,
     "agg_gini" -> giniSql,
     "agg_mutual_info" -> mutualInfoSql,

@@ -1011,6 +1011,39 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000L)
   }
 
+  test("agg_hhi: shares replay per region; HHI bounded by [1/n, 1] up to quantization") {
+    val rev = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0d) - col("l_discount")) * 100.0d)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val suppNation = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val nationRegion = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_regionkey")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    val regionName = Tables.region(spark, sf)
+      .select(col("r_regionkey"), col("r_name")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val byNation = rev.groupBy(t => suppNation(t._1))
+      .map { case (n, xs) => n -> xs.map(_._2).sum }
+    val byRegion = byNation.groupBy { case (n, _) => nationRegion(n) }
+    val want = byRegion.map { case (rk, ns) =>
+      val tot = ns.values.sum.toDouble
+      val terms = ns.values.map(v => math.round(1e6 * (v / tot) * (v / tot)))
+      regionName(rk) -> (ns.size.toLong, terms.sum,
+        ns.values.map(v => math.round(1e6 * v / tot)).max)
+    }
+    val got = StatsOps.hhi(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === want)
+    got.values.foreach { case (n, h, top) =>
+      assert(h >= (1000000L / n) - n && h <= 1000000L + n) // [1/n, 1] + quantization
+      assert(top * top / 1000000L <= h + n) // top share alone can't beat the sum
+    }
+  }
+
   // scoredPool with vec_id carried: (vec_id, y, p_u)
   private def scoredPoolWithId: Array[(Long, Long, Long)] = {
     val rows = Tables.embeddings(spark, sf)
