@@ -876,10 +876,66 @@ object StatsOps {
       |FROM terms t JOIN region r ON t.n_regionkey = r.r_regionkey
       |GROUP BY 1, 2 ORDER BY region""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Distribution-free median confidence interval
+  // ---------------------------------------------------------------
+
+  /** ORDER-STATISTIC MEDIAN CI — the distribution-free 95% interval
+    * for the median (the bootstrap's exact classical sibling): by the
+    * binomial argument, (x₍ₗ₎, x₍ᵤ₎) with l = ⌈n/2 − 0.98√n⌉ and
+    * u = ⌈n/2 + 0.98√n⌉ covers the median with ≥95% probability for
+    * ANY distribution. All three order statistics (l, lower median,
+    * u) resolve through the VALUE HISTOGRAM's cumulative counts — one
+    * compact-key agg + one bounded ordered scan, never a data-sized
+    * sort (the weighted-median discipline). The rank bounds are one
+    * double expression on the exact integer n, identical in both
+    * engines. */
+  def medianCi(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100.0d).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c: Column) = c.cast("double")
+    val tot = hist.agg(sum(col("c")).as("n"))
+    val ranked = hist.crossJoin(broadcast(tot))
+      .withColumn("cc", sum(col("c")).over(cum))
+      .withColumn("l_rank", ceil(d(col("n")) / 2.0d - lit(0.98d) * sqrt(d(col("n")))).cast("long"))
+      .withColumn("m_rank", expr("(n + 1) div 2"))
+      .withColumn("u_rank", ceil(d(col("n")) / 2.0d + lit(0.98d) * sqrt(d(col("n")))).cast("long"))
+    ranked.agg(
+      max(col("n")).as("n"),
+      max(col("l_rank")).as("l_rank"), max(col("u_rank")).as("u_rank"),
+      min(when(col("cc") >= col("l_rank"), col("v"))).as("lo_cents"),
+      min(when(col("cc") >= col("m_rank"), col("v"))).as("median_cents"),
+      min(when(col("cc") >= col("u_rank"), col("v"))).as("hi_cents"))
+  }
+
+  val medianCiSql: String =
+    """WITH hist AS (
+      |  SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS v, count(*) AS c
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT sum(c) AS n FROM hist),
+      |ranked AS (
+      |  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc,
+      |         t.n,
+      |         CAST(ceil(CAST(t.n AS DOUBLE) / 2.0 - 0.98 * sqrt(CAST(t.n AS DOUBLE))) AS BIGINT) AS l_rank,
+      |         (t.n + 1) // 2 AS m_rank,
+      |         CAST(ceil(CAST(t.n AS DOUBLE) / 2.0 + 0.98 * sqrt(CAST(t.n AS DOUBLE))) AS BIGINT) AS u_rank
+      |  FROM hist, tot t)
+      |SELECT CAST(max(n) AS BIGINT) AS n,
+      |       CAST(max(l_rank) AS BIGINT) AS l_rank,
+      |       CAST(max(u_rank) AS BIGINT) AS u_rank,
+      |       CAST(min(CASE WHEN cc >= l_rank THEN v END) AS BIGINT) AS lo_cents,
+      |       CAST(min(CASE WHEN cc >= m_rank THEN v END) AS BIGINT) AS median_cents,
+      |       CAST(min(CASE WHEN cc >= u_rank THEN v END) AS BIGINT) AS hi_cents
+      |FROM ranked""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_anova" -> (anova _),
     "agg_bootstrap_ci" -> (bootstrapCi _),
     "agg_hhi" -> (hhi _),
+    "agg_median_ci" -> (medianCi _),
     "agg_permutation_test" -> (permutationTest _),
     "agg_gini" -> (gini _),
     "agg_mutual_info" -> (mutualInfo _),
@@ -895,6 +951,7 @@ object StatsOps {
     "agg_anova" -> anovaSql,
     "agg_bootstrap_ci" -> bootstrapCiSql,
     "agg_hhi" -> hhiSql,
+    "agg_median_ci" -> medianCiSql,
     "agg_permutation_test" -> permutationTestSql,
     "agg_gini" -> giniSql,
     "agg_mutual_info" -> mutualInfoSql,

@@ -1044,6 +1044,22 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_median_ci: order statistics replay from a driver sort; interval brackets the median") {
+    val vals = Tables.orders(spark, sf)
+      .select(round(col("o_totalprice") * 100.0d).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vals.length
+    val l = math.ceil(n / 2.0 - 0.98 * math.sqrt(n)).toLong
+    val u = math.ceil(n / 2.0 + 0.98 * math.sqrt(n)).toLong
+    val r = StatsOps.medianCi(spark, sf).collect()(0)
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getLong(1) === l && r.getLong(2) === u)
+    assert(r.getLong(3) === vals((l - 1).toInt))            // x_(l)
+    assert(r.getLong(4) === vals(((n + 1) / 2 - 1).toInt))  // lower median
+    assert(r.getLong(5) === vals((u - 1).toInt))            // x_(u)
+    assert(r.getLong(3) <= r.getLong(4) && r.getLong(4) <= r.getLong(5))
+  }
+
   // scoredPool with vec_id carried: (vec_id, y, p_u)
   private def scoredPoolWithId: Array[(Long, Long, Long)] = {
     val rows = Tables.embeddings(spark, sf)
