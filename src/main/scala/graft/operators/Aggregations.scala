@@ -611,21 +611,21 @@ object Aggregations {
     * deterministic in both engines), then per-bucket population and
     * exact bounds. At 100 TB the production form samples or uses a
     * quantile sketch; the exact tiling here is the ground truth such
-    * a sketch is audited against. One range-partitioned sort — the
-    * same cost class as any global percentile. */
-  def histogramEqDepth(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("cents"), col("o_orderkey"))
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .withColumn("bucket", ntile(10).over(w).cast("long"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"),
-        (min(col("cents")).cast("double") / 100d).as("lo"),
-        (max(col("cents")).cast("double") / 100d).as("hi"))
+    * a sketch is audited against. Executed on the [[HistQuantile]]
+    * value-histogram path (bucket population and exact bounds are
+    * functions of the cents histogram's cumulative counts), so no
+    * data-sized single-partition sort ever runs — the r10 verdict's
+    * 4.6×-at-10× shape, fixed; the DuckDB oracle still runs the
+    * literal ntile window and must hash-match. */
+  def histogramEqDepth(spark: SparkSession, dir: String): DataFrame =
+    HistQuantile.ntileBuckets(
+        Tables.orders(spark, dir)
+          .select(round(col("o_totalprice") * 100).cast("long").as("cents")),
+        col("cents"), 10)
+      .select(col("bucket"), col("cnt").as("n"),
+        (col("lo").cast("double") / 100d).as("lo"),
+        (col("hi").cast("double") / 100d).as("hi"))
       .orderBy(col("bucket"))
-  }
 
   val histogramEqDepthSql: String =
     """SELECT bucket, count(*) AS n,

@@ -570,8 +570,12 @@ object Analytics {
     * NEW (absent → segment) and CHURNED (segment → absent) — as
     * segment 0. The decision-grade artifact is the flow, not either
     * snapshot. Scale: two compact per-customer aggs off one scan; the
-    * ntile windows run over the customer-sized half tables (the rfm
-    * trade, documented there); the join is customer-keyed, full
+    * per-customer quintiles run on the [[HistQuantile.withNtile]]
+    * histogram path (the r10 advisory: the first cut's two
+    * unpartitioned ntile windows funneled the whole spend table
+    * through one task twice) — cum-before from the compact spend-cents
+    * histogram plus a per-value partitioned row_number, byte-identical
+    * to the oracle's literal ntile; the join is customer-keyed, full
     * outer so neither boundary column is silently dropped — the
     * audit discipline. */
   def segmentMigration(spark: SparkSession, dir: String): DataFrame = {
@@ -583,9 +587,9 @@ object Analytics {
         when(expr("unix_timestamp(o_orderdate)") < col("mid"), 1).otherwise(2))
       .groupBy(col("o_custkey"), col("half"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-    def seg(h: Int, name: String) = spend.filter(col("half") === h)
-      .withColumn(name, ntile(5).over(
-        Window.orderBy(col("cents").desc, col("o_custkey"))).cast("long"))
+    def seg(h: Int, name: String) = HistQuantile.withNtile(
+        spend.filter(col("half") === h), col("cents"), col("o_custkey"),
+        5, descValue = true, out = name)
       .select(col("o_custkey"), col(name))
     seg(1, "seg_from").join(seg(2, "seg_to"), Seq("o_custkey"), "full_outer")
       .select(coalesce(col("seg_from"), lit(0L)).as("seg_from"),

@@ -22,16 +22,12 @@ import org.apache.spark.sql.functions._
   * built from integers, per the ln contract used by the entropy/MI
   * family.
   *
-  * Scale shape: every metric except the gain chart reduces through
-  * the SCORE HISTOGRAM — a compact-key (p_u, counts) aggregation with
-  * at most 1e6+1 keys regardless of corpus size — so the data-sized
-  * stage is always one map-side-combinable shuffle and the ordered
-  * windows (AUC's midrank scan, the threshold sweep) run over the
-  * bounded histogram only. The gain chart needs a per-row decile and
-  * pays one distributed range-partitioned sort; at 100 TB the same
-  * chart would come from histogram-derived decile boundaries
-  * (accepting tie-straddle at the cuts), which the histogram ops here
-  * already demonstrate.
+  * Scale shape: every metric — the gain chart included, since r11 —
+  * reduces through the SCORE HISTOGRAM — a compact-key (p_u, counts)
+  * aggregation with at most 1e6+1 keys regardless of corpus size — so
+  * the data-sized stage is always one map-side-combinable shuffle and
+  * the ordered windows (AUC's midrank scan, the threshold sweep, the
+  * gain chart's cumulative cut) run over the bounded histogram only.
   */
 object MlEval {
 
@@ -301,24 +297,46 @@ object MlEval {
   // Gain chart (cumulative capture by score decile)
   // ---------------------------------------------------------------
 
-  /** GAIN CHART: rank the pool by score (ties broken by vec_id — a
-    * total order, so both engines bin identically), cut into ten
-    * deciles, report per-decile positives, cumulative capture rate,
-    * and lift vs the base rate. The ranking is the one op in this
-    * family that sorts data-sized input — Spark executes it as a
-    * range-partitioned distributed sort; at 100 TB the same chart
-    * comes from histogram-derived boundaries (see scaladoc header). */
+  /** GAIN CHART: rank the pool by score (ties broken by label then
+    * vec_id — a total order, so both engines bin identically), cut
+    * into ten equal-rank deciles (floor-div binning:
+    * decile = (rank−1)·10 div n + 1), report per-decile positives,
+    * cumulative capture rate, and lift vs the base rate.
+    *
+    * Executed on the score-HISTOGRAM path (the r10 verdict's task #1:
+    * the first cut ranked every scored row through one
+    * `Exchange SinglePartition` window). With the tie-break refined
+    * to (p_u DESC, y, vec_id) — applied identically in the oracle —
+    * rows inside one (p_u, y) cell are interchangeable, so each
+    * cell's contribution to each decile is a pure integer overlap of
+    * its global rank interval [cum−c+1, cum] with the decile's rank
+    * range [⌈(d−1)n/10⌉+1, ⌈dn/10⌉]. Only the ≤2·(1e6+1)-key
+    * (p_u, y) histogram ever sorts; every division is exact integer
+    * `div` (the r10 advisory: long `/` is IEEE double division and
+    * can disagree with the integer floor past n ≈ 2⁴⁹). */
   def gainDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("p_u").desc, col("vec_id"))
+    val wCum = Window.orderBy(col("p_u").desc, col("y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     scored(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("decile",
-        (((col("rn") - 1L) * 10L) / col("n_total") + 1L).cast("long"))
+      .groupBy(col("p_u"), col("y")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_total", sum(col("c")).over(Window.partitionBy()))
+      // deciles this (p_u, y) cell touches: decile(firstRank)..decile(lastRank)
+      .withColumn("d_lo", expr("((cum - c) * 10) div n_total + 1"))
+      .withColumn("d_hi", expr("((cum - 1) * 10) div n_total + 1"))
+      .select(col("y"), col("c"), col("cum"), col("n_total"),
+        explode(sequence(col("d_lo"), col("d_hi"))).as("decile"))
+      // decile d covers global ranks [⌈(d−1)n/10⌉+1, ⌈dn/10⌉]
+      .withColumn("lo_d", expr("((decile - 1) * n_total + 9) div 10 + 1"))
+      .withColumn("hi_d", expr("(decile * n_total + 9) div 10"))
+      .withColumn("contrib",
+        least(col("cum"), col("hi_d")) -
+          greatest(col("cum") - col("c") + 1L, col("lo_d")) + 1L)
       .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+      .agg(sum(col("contrib")).as("n"),
+        sum(when(col("y") === 1L, col("contrib")).otherwise(0L)).as("pos"),
         max(col("n_total")).as("nt"))
       .withColumn("cum_pos", sum(col("pos")).over(cum))
       .withColumn("pos_total", sum(col("pos")).over(Window.partitionBy()))
@@ -335,7 +353,7 @@ object MlEval {
     s"""WITH $scoredSql,
        |ranked AS (
        |  SELECT y,
-       |         CAST(row_number() OVER (ORDER BY p_u DESC, vec_id) AS BIGINT) AS rn,
+       |         CAST(row_number() OVER (ORDER BY p_u DESC, y, vec_id) AS BIGINT) AS rn,
        |         CAST(count(*) OVER () AS BIGINT) AS n_total
        |  FROM scored),
        |d AS (

@@ -107,7 +107,12 @@ object Similarity {
       .filter(col("doc_id") =!= col("qid"))
       .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("shared"))
       .join(dSize, Seq("doc_id"))
-      .join(broadcast(dSize.select(col("doc_id").as("qid"), col("dsz").as("qsz"))), Seq("qid"))
+      // query-bounded broadcast: only the |Q| query docs' token counts
+      // ride the hint (the r10 advisory — broadcasting the full
+      // corpus-sized dSize here was the one non-query-bounded
+      // broadcast in this op)
+      .join(broadcast(dSize.filter(col("doc_id") < nQ)
+        .select(col("doc_id").as("qid"), col("dsz").as("qsz"))), Seq("qid"))
       .withColumn("jac", col("shared").cast("double") /
         (col("dsz") + col("qsz") - col("shared")).cast("double"))
     val wL = Window.partitionBy(col("qid")).orderBy(col("jac").desc, col("doc_id"))

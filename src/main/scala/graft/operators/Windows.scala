@@ -70,17 +70,23 @@ object Windows {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
-  /** ntile quartiles over order value, summarized per bucket. */
-  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, dir)
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .groupBy(col("quartile"))
-      .agg(count(lit(1)).as("cnt"),
-        round(min(col("o_totalprice")), 2).as("min_price"),
-        round(max(col("o_totalprice")), 2).as("max_price"))
+  /** ntile quartiles over order value, summarized per bucket.
+    * Executed on the [[HistQuantile]] value-histogram path: the naive
+    * `ntile(4).over(Window.orderBy(price))` forces every row through
+    * ONE task (`Exchange SinglePartition` — 4.9× at 10× data in
+    * BENCH_r10_sf1); the per-bucket census (count/min/max) is a pure
+    * function of the price histogram's cumulative counts, so only the
+    * DISTINCT-PRICE table ever sorts. Byte-identical to the windowed
+    * form (the census is invariant to intra-price tie order), and the
+    * DuckDB oracle still runs the literal ntile window. */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame =
+    HistQuantile.ntileBuckets(
+        Tables.orders(spark, dir).select(col("o_totalprice")),
+        col("o_totalprice"), 4)
+      .select(col("bucket").as("quartile"), col("cnt"),
+        round(col("lo"), 2).as("min_price"),
+        round(col("hi"), 2).as("max_price"))
       .orderBy(col("quartile"))
-  }
 
   val ntileQuartilesSql: String =
     """SELECT quartile, count(*) AS cnt,
