@@ -552,15 +552,13 @@ object Analytics {
     * customers, which would break both the oracle and any two runs of
     * the engine. Monetary stays integer cents end to end; the only
     * double is the exact /100 at the boundary. Scale: one orders-table
-    * aggregation (map-side combinable on o_custkey), three window
-    * ranks over the CUSTOMER table (1000× smaller than orders), a
-    * compact 125-cell output. The global ntile windows are
-    * single-partition by construction — fine to ~10⁸ customers; past
-    * that the standard rewrite is approx-quantile THRESHOLDS (one
-    * `percentile_approx` pass → 4 broadcast cut-points per metric →
-    * map-only bucketing), trading exact quintile balance for a fully
-    * parallel plan. The same note covers [[pareto]]'s global
-    * row_number/ntile. */
+    * aggregation (map-side combinable on o_custkey), three
+    * histogram-path quintile assignments over the CUSTOMER table, a
+    * compact 125-cell output — see the r11 note on [[rfm]] itself;
+    * no unpartitioned window survives in this family (the
+    * percentile_approx threshold rewrite this doc once recommended is
+    * no longer needed: [[HistQuantile]] keeps exact quintile balance
+    * AND the fully parallel plan). */
   /** SEGMENT MIGRATION matrix — the retention slide after [[rfm]]'s
     * snapshot: split the order history at its midpoint instant
     * (integer epoch-second arithmetic — exact, replayable, no
@@ -622,6 +620,17 @@ object Analytics {
       |FROM s1 FULL OUTER JOIN s2 USING (o_custkey)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** RFM quintile census. An r11 probe moved all three quintile
+    * assignments onto [[HistQuantile.withNtile]] and MEASURED IT
+    * SLOWER (0.5 → 2.0 s at sf0.1, reverted — the measured-revert
+    * discipline): monetary_cents is near-UNIQUE per customer, so its
+    * "histogram" is customer-sized and the cumulative window saves
+    * nothing while the extra join/window stages cost 3× the plan. The
+    * windowed form stays: three ntile windows over the
+    * already-aggregated customer table (1000× smaller than orders).
+    * Past ~10⁸ customers, recency/frequency (compact domains) go
+    * through [[HistQuantile]] and monetary through range-partitioned
+    * rank-offsets — the documented rewrite. */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
@@ -666,22 +675,45 @@ object Analytics {
     * |customers|, cents ≤ 2⁴⁰: no overflow until ~10⁹ customers ×
     * $10⁷ lifetime; past that the decile-grouped approximation is the
     * standard rewrite), so both engines feed identical integers into
-    * the one double expression. */
+    * the one double expression.
+    *
+    * Executed entirely on the [[HistQuantile]] cents-histogram path
+    * (r11 — the first cut ranked every customer through TWO
+    * unpartitioned windows): a cents value-group holding descending
+    * ranks [cum−c+1, cum] spans a contiguous decile range (integer
+    * ntile arithmetic), contributes overlap·cents to each decile's
+    * total, and its ASCENDING ranks are the run [n−cum+1, n−cum+c]
+    * whose sum is c·(2n−2·cum+c+1)/2 — so Σ(i·xᵢ) folds over the
+    * histogram without materializing a single per-row rank. Only the
+    * distinct-cents table ever sorts. */
   def pareto(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.orders(spark, dir)
+    val wCum = Window.orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-    val ranked = per
-      .withColumn("decile", ntile(10).over(Window.orderBy(col("cents").desc, col("o_custkey"))))
-      .withColumn("i_asc", row_number().over(Window.orderBy(col("cents"), col("o_custkey").desc)))
-    val gini = ranked.agg(
-      count(lit(1)).as("nc"), sum(col("cents")).as("total"),
-      sum(col("i_asc") * col("cents")).as("six"))
+      .groupBy(col("cents")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val gini = hist.agg(
+      max(col("n")).as("nc"), sum(col("cents") * col("c")).as("total"),
+      sum(col("cents") * expr("c * (2*n - 2*cum + c + 1) div 2")).as("six"))
       .select(round(lit(1e6) * (lit(2).cast("double") * col("six") /
           (col("nc") * col("total")) - (col("nc") + lit(1)).cast("double") / col("nc")))
         .cast("long").as("gini_ppm"), col("total"))
-    ranked.groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("dc"))
+    hist
+      .withColumn("d1", expr(HistQuantile.ntileSqlExpr("cum - c + 1", "n", 10)))
+      .withColumn("d2", expr(HistQuantile.ntileSqlExpr("cum", "n", 10)))
+      .select(col("cents"), col("c"), col("cum"), col("n"),
+        explode(sequence(col("d1"), col("d2"))).as("decile"))
+      // ntile(10) bucket d covers ranks [(d−1)q + min(d−1,m) + 1, dq + min(d,m)]
+      .withColumn("s_d",
+        expr("(decile - 1) * (n div 10) + least(decile - 1, n % 10) + 1"))
+      .withColumn("e_d", expr("decile * (n div 10) + least(decile, n % 10)"))
+      .withColumn("k", least(col("cum"), col("e_d")) -
+        greatest(col("cum") - col("c") + 1L, col("s_d")) + 1L)
+      .groupBy(col("decile"))
+      .agg(sum(col("k")).as("n_customers"), sum(col("k") * col("cents")).as("dc"))
       .crossJoin(broadcast(gini))
       .select(col("decile"), col("n_customers"),
         round(lit(1e6) * col("dc") / col("total")).cast("long").as("share_ppm"),

@@ -41,7 +41,7 @@ object HistQuantile {
     * buckets get ⌈n/k⌉ rows, the rest ⌊n/k⌋. Exact integer `div`
     * arithmetic (never IEEE division); `greatest(..,1)` guards the
     * divisor of the branch that is unreachable when n < k. */
-  private def ntileSqlExpr(r: String, n: String, k: Int): String =
+  private[operators] def ntileSqlExpr(r: String, n: String, k: Int): String =
     s"""CASE WHEN ($r) <= ((($n) % $k) * ((($n) div $k) + 1))
        |  THEN (($r) - 1) div ((($n) div $k) + 1) + 1
        |  ELSE (($n) % $k)

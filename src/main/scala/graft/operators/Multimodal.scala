@@ -265,14 +265,26 @@ object Multimodal {
       leHex(channels, 2), leHex(rate, 4), leHex(byteRate, 4),
       leHex(blockAlign, 2), leHex(lit(16L), 2),
       lit("64617461"), leHex(dataBytes, 4)))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), parseWavHeader(wav).as("p"))
-      .select(col("doc_id"), col("p.magic_ok").as("magic_ok"),
-        col("p.pcm_ok").as("pcm_ok"), col("p.channels").as("channels"),
-        col("p.sample_rate").as("sample_rate"),
-        col("p.bits_per_sample").as("bits_per_sample"),
-        col("p.data_bytes").as("data_bytes"),
-        col("p.duration_ms").as("duration_ms"))
+    // int-array prefix decode (the jpeg planning-cost fix, r11): the
+    // payload expression is analyzed ONCE into a bytes column; every
+    // field below is a cheap element_at over that attribute, instead
+    // of each of 7 struct fields re-embedding the whole synthesis +
+    // per-byte hex→conv chain (~1 s of flat analyzer time at ANY sf)
+    val bytes = Tables.documents(spark, dir)
+      .select(col("doc_id"), prefixBytes(wav, 44).as("bytes"))
+    def le(pos: Int, len: Int) = leAt(col("bytes"), pos, len)
+    bytes.select(col("doc_id"),
+        (le(1, 4) === 0x46464952L && le(9, 4) === 0x45564157L).as("magic_ok"),
+        (le(21, 2) === 1L).as("pcm_ok"),
+        le(23, 2).as("channels"),
+        le(25, 4).as("sample_rate"),
+        le(35, 2).as("bits_per_sample"),
+        le(41, 4).as("data_bytes"), {
+          // integer-exact duration (see parseWavHeader note)
+          val num = le(41, 4) * 1000
+          val den = le(29, 4)
+          ((num - pmod(num, den)) / den).cast("long").as("duration_ms")
+        })
       .orderBy(col("doc_id"))
   }
 
@@ -331,12 +343,21 @@ object Multimodal {
       leHex(lit(1L), 2), leHex(lit(24L), 2), leHex(lit(0L), 4),
       leHex(dataBytes, 4), leHex(lit(2835L), 4), leHex(lit(2835L), 4),
       leHex(lit(0L), 4), leHex(lit(0L), 4)))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), parseBmpHeader(bmp).as("p"))
-      .select(col("doc_id"), col("p.magic_ok").as("magic_ok"),
-        col("p.rgb_ok").as("rgb_ok"), col("p.width").as("width"),
-        col("p.height").as("height"), col("p.bit_count").as("bit_count"),
-        col("p.row_bytes").as("row_bytes"), col("p.data_bytes").as("data_bytes"))
+    // int-array prefix decode — same flat-analyzer-cost fix as the
+    // wav path (each struct field re-embedded the synthesis tree)
+    val bytes = Tables.documents(spark, dir)
+      .select(col("doc_id"), prefixBytes(bmp, 54).as("bytes"))
+    def le(pos: Int, len: Int) = leAt(col("bytes"), pos, len)
+    val pw = le(19, 4)
+    val pRowBytes = { val r = pw * 3 + 3; r - pmod(r, lit(4L)) }
+    bytes.select(col("doc_id"),
+        (le(1, 2) === 0x4D42L).as("magic_ok"),
+        (le(31, 4) === 0L).as("rgb_ok"),
+        pw.as("width"),
+        le(23, 4).as("height"),
+        le(29, 2).as("bit_count"),
+        pRowBytes.as("row_bytes"),
+        (pRowBytes * le(23, 4)).as("data_bytes"))
       .orderBy(col("doc_id"))
   }
 
@@ -508,8 +529,34 @@ object Multimodal {
     * CollapseProject correctly declines to re-inline it into its 6
     * uses). Measured 28 s -> sub-second at sf0.1. */
   def jpegPrefix(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(sequence(lit(1), lit(53)),
-      i => conv(hex(payload.substr(i, lit(1))), 16, 10).cast("long"))
+    prefixBytes(payload, 53)
+
+  /** Decode the first `n` payload bytes into ONE long-array column —
+    * the shared planning-cost idiom (see the jpeg note above): the
+    * payload expression is analyzed once, and every downstream field
+    * reads plain `element_at` over the resulting attribute.
+    *
+    * Execution-cost subtlety (r11): the payload expression must sit
+    * OUTSIDE the higher-order-function lambda. A first cut did
+    * `transform(sequence(1, n), i => conv(hex(payload.substr(i, 1))))`
+    * — CollapseProject inlines the (single-use) synthesis tree into
+    * the lambda body, which the transform then re-evaluates once PER
+    * ELEMENT: 54 × ~30 string ops per row, measured ~1 ms/row. Here
+    * the payload is hexed ONCE per row and split into 2-char byte
+    * chunks (`(?<=\G..)` — a zero-width match every two chars), so
+    * the lambda touches only tiny strings. This also retires the
+    * jpeg path's localCheckpoint workaround — a lineage cut that
+    * materializes the whole scan, which is exactly what a 100 TB
+    * streaming pass cannot afford. */
+  def prefixBytes(payload: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    transform(split(hex(payload.substr(lit(1), lit(n))), "(?<=\\G..)"),
+      h => conv(h, 16, 10).cast("long"))
+
+  /** Little-endian unsigned int of `len` bytes at 1-based `pos` over
+    * a [[prefixBytes]] array — pure shift-add on attributes. */
+  def leAt(bytes: org.apache.spark.sql.Column, pos: Int, len: Int): org.apache.spark.sql.Column =
+    (0 until len).map(i => element_at(bytes, pos + i) * lit(1L << (8 * i)))
+      .reduce(_ + _)
 
   private def jbyte(bytes: org.apache.spark.sql.Column,
       p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -559,8 +606,12 @@ object Multimodal {
       beHex(height, 2), beHex(width, 2),
       lit("03"), lit("012200"), lit("021101"), lit("031101"),
       lit("FFD9")))                                   // EOI
+    // no lineage cut needed: prefixBytes evaluates the synthesis
+    // expression once per row (see its scaladoc) — the former
+    // localCheckpoint materialized the whole scan, a non-starter for
+    // a 100 TB streaming pass
     val synth = Tables.documents(spark, dir)
-      .select(col("doc_id"), jpeg.as("jpeg")).localCheckpoint()
+      .select(col("doc_id"), jpeg.as("jpeg"))
     // 4-step unrolled walk from the first post-SOI marker (1-based 3),
     // ONE COLUMN PER STEP — see the walk cost note above
     val walked = (1 to 4).foldLeft(
