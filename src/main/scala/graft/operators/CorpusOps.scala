@@ -665,20 +665,38 @@ object CorpusOps {
     * exposes is why mixture rebalancing can't threshold raw scores.
     * Integer scores (n_chars), exact bounds; the global decile table
     * is 10 rows — a broadcast join onto the compact (source, decile)
-    * census. */
+    * census. Both tilings run on the [[HistQuantile]] histogram path
+    * (r11 — no data-sized single-partition exchange; the census is
+    * invariant to intra-score tie order, so the oracle's literal
+    * ntile still hash-matches). */
   def qualityQnorm(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("score"))
-    val ws = Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
-    val wg = Window.orderBy(col("score"), col("doc_id"))
-    val withD = d.withColumn("decile", ntile(10).over(ws).cast("long"))
-      .withColumn("gdecile", ntile(10).over(wg).cast("long"))
-    val glob = withD.groupBy(col("gdecile").as("decile"))
-      .agg(min(col("score")).as("global_min"), max(col("score")).as("global_max"))
-    withD.groupBy(col("source"), col("decile"))
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("score")).as("raw_min"), max(col("score")).as("raw_max"))
+      .select(col("source"), col("n_chars").cast("long").as("score"))
+    // r11: both decile assignments via the HistQuantile discipline —
+    // the global ntile funneled every document through one task; the
+    // per-(source, decile) census (count/min/max) is tie-invariant,
+    // so it folds over the per-source SCORE histogram (score = length
+    // in chars: a compact, domain-bounded key), and the global decile
+    // bounds are ntileBuckets over the same scores
+    val glob = HistQuantile.ntileBuckets(d.select(col("score")), col("score"), 10)
+      .select(col("bucket").as("decile"), col("lo").as("global_min"),
+        col("hi").as("global_max"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = d.groupBy(col("source"), col("score")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+    cells
+      .withColumn("d1", expr(HistQuantile.ntileSqlExpr("cum - c + 1", "n", 10)))
+      .withColumn("d2", expr(HistQuantile.ntileSqlExpr("cum", "n", 10)))
+      .select(col("source"), col("score"), col("n"),
+        explode(sequence(col("d1"), col("d2"))).as("decile"))
+      .groupBy(col("source"), col("decile"))
+      .agg(min(col("score")).as("raw_min"), max(col("score")).as("raw_max"),
+        max(col("n")).as("n"))
+      .withColumn("n_docs",
+        expr("n div 10 + (CASE WHEN decile <= n % 10 THEN 1L ELSE 0L END)"))
       .join(broadcast(glob), "decile")
       .select(col("source"), col("decile"), col("n_docs"),
         col("raw_min"), col("raw_max"), col("global_min"), col("global_max"))
@@ -711,8 +729,17 @@ object CorpusOps {
     * tiling is engine-exact), and each phase reports its mass so the
     * schedule is auditable. Composes with [[shuffleBlocks]]: phase
     * picks WHEN a doc trains, the epoch hash picks its order within
-    * the phase. One global rank (range-partitioned sort at scale) +
-    * one compact-key census. */
+    * the phase.
+    *
+    * Executed on the [[HistQuantile]] cell-histogram path (r11 — the
+    * ntile window funneled every document through one task): with the
+    * tie-break refined to (q_micro DESC, n_tokens, doc_id) — applied
+    * identically in the oracle — documents inside one
+    * (q_micro, n_tokens) cell are interchangeable, so each cell's
+    * contribution to each phase is the integer overlap of its global
+    * rank interval with the phase's ntile rank range, and the phase
+    * sums of n_tokens/q_micro are exact cell-weighted products. Only
+    * the compact cell table ever sorts. */
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = toks(col("text"))
@@ -720,15 +747,27 @@ object CorpusOps {
     val qMicro = round(
       size(filter(t, w => array_contains(stop, w))).cast("double") * 1000000d
         / size(t)).cast("long")
-    val w = Window.orderBy(col("q_micro").desc, col("doc_id"))
+    val wCum = Window.orderBy(col("q_micro").desc, col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), nToks(col("text")).as("n_tokens"),
-        qMicro.as("q_micro"))
-      .withColumn("phase", ntile(3).over(w).cast("long"))
+      .select(nToks(col("text")).as("n_tokens"), qMicro.as("q_micro"))
+      .groupBy(col("q_micro"), col("n_tokens")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("d1", expr(HistQuantile.ntileSqlExpr("cum - c + 1", "n", 3)))
+      .withColumn("d2", expr(HistQuantile.ntileSqlExpr("cum", "n", 3)))
+      .select(col("q_micro"), col("n_tokens"), col("c"), col("cum"), col("n"),
+        explode(sequence(col("d1"), col("d2"))).as("phase"))
+      // ntile(3) phase p covers ranks [(p−1)q + min(p−1,m) + 1, pq + min(p,m)]
+      .withColumn("s_d",
+        expr("(phase - 1) * (n div 3) + least(phase - 1, n % 3) + 1"))
+      .withColumn("e_d", expr("phase * (n div 3) + least(phase, n % 3)"))
+      .withColumn("k", least(col("cum"), col("e_d")) -
+        greatest(col("cum") - col("c") + 1L, col("s_d")) + 1L)
       .groupBy(col("phase"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        round(sum(col("q_micro")).cast("double") / count(lit(1)) / 1e6, 6)
+      .agg(sum(col("k")).as("n_docs"),
+        sum(col("k") * col("n_tokens")).as("n_tokens"),
+        round(sum(col("k") * col("q_micro")).cast("double") / sum(col("k")) / 1e6, 6)
           .as("mean_quality"))
       .orderBy(col("phase"))
   }
@@ -744,7 +783,7 @@ object CorpusOps {
       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       |       round(CAST(sum(q_micro) AS DOUBLE) / count(*) / 1e6, 6) AS mean_quality
       |FROM (SELECT doc_id, n_tokens, q_micro,
-      |             CAST(ntile(3) OVER (ORDER BY q_micro DESC, doc_id) AS BIGINT) AS phase
+      |             CAST(ntile(3) OVER (ORDER BY q_micro DESC, n_tokens, doc_id) AS BIGINT) AS phase
       |      FROM q)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
