@@ -396,9 +396,37 @@ object Graft {
     * scalar convergence probe that costs one aggregate per round
     * instead of a join against the previous round's labels. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxRounds: Int = 50): DataFrame = {
-    val sym = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+                          maxRounds: Int = 50,
+                          preCollapse: Boolean = false): DataFrame = {
+    val symRaw = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+    if (preCollapse) {
+      // STAR PRE-COLLAPSE (r10 verdict task #4 probe): one
+      // closed-neighborhood min pass labels every node with
+      // min(id, neighbors), then the fixpoint iterates on the
+      // CONTRACTED label graph — near-dup clusters are band-bucket
+      // cliques, so most collapse to a point before the first round
+      // and the per-round edge volume shrinks accordingly. Exact:
+      // star contraction preserves components, and the global min id
+      // m is its own star min (every neighbor of m exceeds m), so the
+      // per-component min-id label survives contraction.
+      val l0 = symRaw.groupBy(col("__src")).agg(min(col("__dst")).as("__m"))
+        .select(col("__src").as("id"), least(col("__src"), col("__m")).as("l0"))
+        .localCheckpoint()
+      val la = l0.select(col("id").as("__src"), col("l0").as("__la"))
+      val lb = l0.select(col("id").as("__dst"), col("l0").as("__lb"))
+      val contracted = symRaw.join(la, "__src").join(lb, "__dst")
+        .filter(col("__la") =!= col("__lb"))
+        .select(col("__la").as(srcCol), col("__lb").as(dstCol))
+        .distinct()
+      val inner = connectedComponents(contracted, srcCol, dstCol, maxRounds)
+        .select(col("id").as("l0"), col("component").as("__c"))
+      // fully-collapsed clusters have no contracted edge: their label
+      // IS the component
+      return l0.join(inner, Seq("l0"), "left")
+        .select(col("id"), coalesce(col("__c"), col("l0")).as("component"))
+    }
+    val sym = symRaw
       // hash-partition the edge table ONCE on the join key —
       // localCheckpoint preserves the partitioning, so no round
       // re-shuffles the O(E) side (the dominant per-round volume on

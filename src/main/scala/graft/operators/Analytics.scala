@@ -920,7 +920,48 @@ object Analytics {
       |FROM lagged WHERE e1 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
 
+  /** MARKOV TRANSITION MATRIX over per-user event sequences — the
+    * behavioral model behind next-event prediction and funnel-leak
+    * hunting: P(next event type | current), estimated from every
+    * consecutive pair in each user's timeline. One per-user lag
+    * window (key-partitioned — scales with users, the same shape as
+    * sessionize), one ≤|types|²-cell census; row-normalized
+    * probabilities in exact ppm from integer counts, the row totals a
+    * window over the compact cell table. Ties in ts break by
+    * event_id, identically in the oracle, so the pair stream is a
+    * deterministic function of the data. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        round(lit(1e6) * col("n").cast("double") / col("row_total").cast("double"))
+          .cast("long").as("p_ppm"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |cells AS (
+      |  SELECT prev_type, event_type, count(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, event_type, n,
+      |       CAST(round(1e6 * CAST(n AS DOUBLE)
+      |            / sum(n) OVER (PARTITION BY prev_type)) AS BIGINT) AS p_ppm
+      |FROM cells ORDER BY prev_type, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> (eventTransitions _),
     "q_top_paths" -> (topPaths _),
     "q_new_vs_returning" -> (newVsReturning _),
     "q_segment_migration" -> (segmentMigration _),
@@ -944,6 +985,7 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_event_transitions" -> eventTransitionsSql,
     "q_top_paths" -> topPathsSql,
     "q_new_vs_returning" -> newVsReturningSql,
     "q_segment_migration" -> segmentMigrationSql,

@@ -931,7 +931,345 @@ object StatsOps {
       |       CAST(min(CASE WHEN cc >= u_rank THEN v END) AS BIGINT) AS hi_cents
       |FROM ranked""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Spearman rank correlation (midranks from value histograms)
+  // ---------------------------------------------------------------
+
+  /** SPEARMAN rank correlation between quantity and discount — the
+    * monotone-association screen that survives outliers and
+    * nonlinearity (does bigger volume actually buy a deeper
+    * discount?). ρ = Pearson over MIDRANKS (the tie-correct form),
+    * and the r11 point is HOW the ranks are computed: never by a
+    * global sort. A value's midrank is a pure function of its
+    * histogram position — 2·midrank = 2·cum_before + count + 1, an
+    * exact integer — so both variables rank through their compact
+    * value histograms (quantity: ≤50 keys; discount pct: ≤11), the
+    * doubled ranks broadcast-join back, and the five moment sums ride
+    * DECIMAL(38,0)/HUGEINT (the 2× scale cancels in ρ). One double
+    * expression at the end; overflow horizon n ≈ 10¹² rows (n·Σxy <
+    * 10³⁸), same class as [[gini]]'s documented bound. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.lineitem(spark, dir)
+      .select(round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_discount") * 100).cast("long").as("y"))
+    def midranks(v: String, out: String): DataFrame = {
+      val cum = Window.orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rows.groupBy(col(v)).agg(count(lit(1)).as("c"))
+        .withColumn("cumc", sum(col("c")).over(cum))
+        .select(col(v), (lit(2) * (col("cumc") - col("c")) + col("c") + lit(1)).as(out))
+    }
+    val m = rows
+      .join(broadcast(midranks("x", "rx2")), "x")
+      .join(broadcast(midranks("y", "ry2")), "y")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("rx2"))).as("sx"), sum(dec(col("ry2"))).as("sy"),
+        sum(dec(col("rx2")) * col("ry2")).as("sxy"),
+        sum(dec(col("rx2")) * col("rx2")).as("sxx"),
+        sum(dec(col("ry2")) * col("ry2")).as("syy"))
+    m.select(col("n"),
+      round(lit(1e6) *
+        (dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")))
+        .cast("long").as("rho_ppm"))
+  }
+
+  val spearmanSql: String =
+    """WITH rows_ AS (
+      |  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+      |         CAST(round(l_discount * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |mrx AS (
+      |  SELECT x, 2 * (sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS rx2
+      |  FROM (SELECT x, count(*) AS c FROM rows_ GROUP BY 1)),
+      |mry AS (
+      |  SELECT y, 2 * (sum(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS ry2
+      |  FROM (SELECT y, count(*) AS c FROM rows_ GROUP BY 1)),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |         sum(CAST(rx2 AS HUGEINT)) AS sx, sum(CAST(ry2 AS HUGEINT)) AS sy,
+      |         sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy,
+      |         sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+      |         sum(CAST(ry2 AS HUGEINT) * ry2) AS syy
+      |  FROM rows_ JOIN mrx USING (x) JOIN mry USING (y))
+      |SELECT CAST(n AS BIGINT) AS n,
+      |       CAST(round(1e6 * CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+      |         / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+      |              * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))) AS BIGINT) AS rho_ppm
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Kendall tau-b (concordance from the 2-D cell table)
+  // ---------------------------------------------------------------
+
+  /** KENDALL τ-b over the same (quantity, discount) pair — the
+    * concordance-based sibling of [[spearman]] (τ weighs pair
+    * ORDERINGS, not rank magnitudes; the two disagreeing flags
+    * heteroskedastic association). Naively O(n²) pairs; here the
+    * whole statistic folds over the 2-D CELL TABLE: concordant mass
+    * C = Σ c_a·c_b over cell pairs with both coordinates increasing,
+    * discordant D with coordinates opposed, tie masses from the
+    * marginal totals — the cell self-join is |cells|² ≤ (51·11)²
+    * comparisons, a broadcast nested-loop over a domain-BOUNDED
+    * aggregate (never row-sized). τ_b = (C−D)/√((n₀−n₁)(n₀−n₂)),
+    * every term an exact DECIMAL(38,0)/HUGEINT. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select(round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_discount") * 100).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"), col("c").as("cb"))
+    val cd = cells.join(broadcast(b), col("xb") > col("x"))
+      .agg(
+        sum(when(col("yb") > col("y"), dec(col("c")) * col("cb")).otherwise(lit(0)))
+          .as("concordant"),
+        sum(when(col("yb") < col("y"), dec(col("c")) * col("cb")).otherwise(lit(0)))
+          .as("discordant"))
+    val margins = cells.agg(
+      sum(col("c")).as("n"),
+      sum(dec(col("c")) * (col("c") - lit(1))).as("txy2"))
+    val tx = cells.groupBy(col("x")).agg(sum(col("c")).as("t"))
+      .agg(sum(dec(col("t")) * (col("t") - lit(1))).as("tx2"))
+    val ty = cells.groupBy(col("y")).agg(sum(col("c")).as("t"))
+      .agg(sum(dec(col("t")) * (col("t") - lit(1))).as("ty2"))
+    // doubled pair masses keep everything integral: n0_2 = n(n−1),
+    // n1_2 = Σ tx(tx−1), n2_2 = Σ ty(ty−1); the 2s cancel in τ
+    cd.crossJoin(broadcast(margins)).crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("n"),
+        col("concordant").cast("long").as("concordant"),
+        col("discordant").cast("long").as("discordant"),
+        round(lit(1e6) *
+          (col("concordant") - col("discordant")).cast("double") * 2d /
+          sqrt((dec(col("n")) * (col("n") - lit(1)) - col("tx2")).cast("double") *
+            (dec(col("n")) * (col("n") - lit(1)) - col("ty2")).cast("double")))
+          .cast("long").as("tau_b_ppm"))
+  }
+
+  val kendallTauSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+      |         CAST(round(l_discount * 100) AS BIGINT) AS y, count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cd AS (
+      |  SELECT coalesce(sum(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT) * b.c END), 0)
+      |           AS concordant,
+      |         coalesce(sum(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT) * b.c END), 0)
+      |           AS discordant
+      |  FROM cells a JOIN cells b ON b.x > a.x),
+      |m AS (SELECT sum(c) AS n FROM cells),
+      |tx AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS tx2
+      |       FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+      |ty AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS ty2
+      |       FROM (SELECT sum(c) AS t FROM cells GROUP BY y))
+      |SELECT CAST(n AS BIGINT) AS n,
+      |       CAST(concordant AS BIGINT) AS concordant,
+      |       CAST(discordant AS BIGINT) AS discordant,
+      |       CAST(round(1e6 * CAST(concordant - discordant AS DOUBLE) * 2
+      |         / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tx2 AS DOUBLE)
+      |              * CAST(CAST(n AS HUGEINT) * (n - 1) - ty2 AS DOUBLE))) AS BIGINT)
+      |         AS tau_b_ppm
+      |FROM cd, m, tx, ty""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Cochran–Armitage trend test
+  // ---------------------------------------------------------------
+
+  /** COCHRAN–ARMITAGE trend test — "does purchase propensity rise
+    * monotonically across the day?": ordered dose levels (the six
+    * 4-hour day buckets, weights 0..5) against a binary outcome
+    * (event is a purchase). The χ²-style statistic
+    * z² = N·(N·Σwᵢrᵢ − R·Σwᵢnᵢ)² / (R·(N−R)·(N·Σwᵢ²nᵢ − (Σwᵢnᵢ)²))
+    * detects a LINEAR-in-dose trend that the omnibus chi² dilutes
+    * across levels. One compact 6-cell aggregation; every sum is an
+    * exact integer, products in DECIMAL(38,0)/HUGEINT, one double
+    * division quantized to micro. */
+  def trendTest(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(expr("CAST(hour(ts) AS BIGINT) div 4").as("w"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("r"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_i"), sum(col("r")).as("r_i"))
+    val m = cells.agg(
+      sum(col("n_i")).as("n"), sum(col("r_i")).as("r"),
+      sum(dec(col("w")) * col("r_i")).as("swr"),
+      sum(dec(col("w")) * col("n_i")).as("swn"),
+      sum(dec(col("w")) * col("w") * col("n_i")).as("swwn"))
+    m.select(col("n"), col("r"),
+      round(lit(1e6) *
+        dec(col("n")).cast("double") *
+        (dec(col("n")) * col("swr") - dec(col("r")) * col("swn")).cast("double") *
+        (dec(col("n")) * col("swr") - dec(col("r")) * col("swn")).cast("double") /
+        ((dec(col("r")) * (col("n") - col("r"))).cast("double") *
+          (dec(col("n")) * col("swwn") - col("swn") * col("swn")).cast("double")))
+        .cast("long").as("z2_micro"))
+  }
+
+  val trendTestSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(hour(ts) AS BIGINT) // 4 AS w, count(*) AS n_i,
+      |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r_i
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT sum(n_i) AS n, sum(r_i) AS r,
+      |         sum(CAST(w AS HUGEINT) * r_i) AS swr,
+      |         sum(CAST(w AS HUGEINT) * n_i) AS swn,
+      |         sum(CAST(w AS HUGEINT) * w * n_i) AS swwn
+      |  FROM cells)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+      |       CAST(round(1e6 * CAST(n AS DOUBLE)
+      |         * CAST(CAST(n AS HUGEINT) * swr - CAST(r AS HUGEINT) * swn AS DOUBLE)
+      |         * CAST(CAST(n AS HUGEINT) * swr - CAST(r AS HUGEINT) * swn AS DOUBLE)
+      |         / (CAST(CAST(r AS HUGEINT) * (n - r) AS DOUBLE)
+      |            * CAST(CAST(n AS HUGEINT) * swwn - swn * swn AS DOUBLE))) AS BIGINT)
+      |         AS z2_micro
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Benjamini–Hochberg FDR screen over per-type permutation tests
+  // ---------------------------------------------------------------
+
+  /** BENJAMINI–HOCHBERG FDR screen — the multiple-testing correction
+    * every per-segment metric sweep needs (test 5 event types at
+    * α = 0.1 each and the family-wise false-positive rate is ~40%):
+    * which event types' mean values deviate from the pool, with the
+    * false-discovery rate controlled at α = 0.1?
+    *
+    * p-values are PERMUTATION p-values, so the whole procedure stays
+    * exact-rational with no normal-CDF transcendental to cross
+    * engines: B = 64 replicates each re-deal every event a
+    * pseudo-type by inverse-CDF over the observed type frequencies
+    * (the portable md5 hash u against cumulative thresholds — the
+    * [[permutationTest]] contract generalized from binary to
+    * multinomial), one ×64 map-side fan-out into a (B × types)-key
+    * combinable agg rebuilds the null of every type's
+    * |mean_t − mean_rest| SIMULTANEOUSLY (total N and total cents are
+    * label-invariant, so mean_rest needs no second pass). Then
+    * p_t = (1 + #{b : d_b,t ≥ d_obs,t})/(B+1) and the BH step-up
+    * p_(k) ≤ k·α/m clears denominators into pure integers:
+    * 2·m·(n_ge+1) ≤ 13·k at α = 0.1, B = 64. Rejected = rank ≤ max
+    * passing k — the step-up, not step-down, rule. Everything after
+    * the fan-out runs on ≤ B·m rows. */
+  def bhFdr(spark: SparkSession, dir: String): DataFrame = {
+    val pool = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100.0d).cast("long").as("cents"))
+    val perType = pool.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"), sum(col("cents")).as("s_t"))
+    val cumW = Window.orderBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = perType
+      .withColumn("hi", sum(col("n_t")).over(cumW))
+      .withColumn("lo", col("hi") - col("n_t"))
+      .withColumn("n", sum(col("n_t")).over(Window.partitionBy()))
+      .withColumn("s", sum(col("s_t")).over(Window.partitionBy()))
+      .select(col("event_type").as("ptype"), col("lo"), col("hi"),
+        col("n"), col("s"))
+    def dStat(mt: Column, st: Column, n: Column, s: Column): Column =
+      abs(st.cast("double") / mt.cast("double") -
+        (s - st).cast("double") / (n - mt).cast("double"))
+    // one fan-out, every type's null at once: pseudo-type of (row, b)
+    // is the threshold interval holding u·N (u is 32-bit, so compare
+    // u·N against lo·2^32 in DECIMAL — no double rounding)
+    val reps = pool
+      .withColumn("b", explode(sequence(lit(0L), lit(63L))))
+      .withColumn("u", graft.api.Graft.idHash(
+        concat(col("event_id").cast("string"), lit(":"), col("b").cast("string"))))
+      .join(broadcast(thr),
+        dec(col("u")) * col("n") >= dec(col("lo")) * lit(4294967296L) &&
+          dec(col("u")) * col("n") < dec(col("hi")) * lit(4294967296L))
+      .groupBy(col("b"), col("ptype"))
+      .agg(count(lit(1)).as("m_t"), sum(col("cents")).as("st_b"),
+        max(col("n")).as("n"), max(col("s")).as("s"))
+      .filter(col("m_t") > 0L && col("m_t") < col("n"))
+      .select(col("b"), col("ptype"),
+        dStat(col("m_t"), col("st_b"), col("n"), col("s")).as("d_b"))
+    val obs = perType.crossJoin(broadcast(thr.agg(
+        max(col("n")).as("n"), max(col("s")).as("s"))))
+      .select(col("event_type"), col("n_t"),
+        dStat(col("n_t"), col("s_t"), col("n"), col("s")).as("d_obs"))
+    val pvals = obs.join(reps, col("ptype") === col("event_type"), "left")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_t")).as("n_t"),
+        max(round(lit(10.0d) * col("d_obs")).cast("long")).as("d_obs_milli"),
+        count(col("b")).as("b_reps"),
+        sum(when(col("d_b") >= col("d_obs"), 1L).otherwise(0L)).as("n_ge"))
+    val wRank = Window.orderBy(col("n_ge"), col("event_type"))
+    pvals
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("p_rank", row_number().over(wRank).cast("long"))
+      // BH step-up at α = 0.1, B = 64: p_(k) ≤ k·α/m  ⇔  2m(n_ge+1) ≤ 13k
+      .withColumn("pass", lit(2L) * col("m") * (col("n_ge") + 1L) <= lit(13L) * col("p_rank"))
+      .withColumn("k_star",
+        max(when(col("pass"), col("p_rank")).otherwise(lit(0L)))
+          .over(Window.partitionBy()))
+      .select(col("event_type"), col("n_t"), col("d_obs_milli"),
+        col("b_reps"), col("n_ge"),
+        round(lit(1e6) * (col("n_ge").cast("double") + 1d) /
+          (col("b_reps").cast("double") + 1d)).cast("long").as("p_ppm"),
+        col("p_rank"), (col("p_rank") <= col("k_star")).as("rejected"))
+      .orderBy(col("p_rank"))
+  }
+
+  val bhFdrSql: String =
+    """WITH pool AS (
+      |  SELECT event_id, event_type, CAST(round(value * 100.0) AS BIGINT) AS cents
+      |  FROM events),
+      |pt AS (
+      |  SELECT event_type, count(*) AS n_t, sum(cents) AS s_t
+      |  FROM pool GROUP BY 1),
+      |thr AS (
+      |  SELECT event_type AS ptype, n_t, s_t,
+      |         sum(n_t) OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) - n_t AS lo,
+      |         sum(n_t) OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS hi,
+      |         sum(n_t) OVER () AS n, sum(s_t) OVER () AS s
+      |  FROM pt),
+      |reps AS (
+      |  SELECT b, ptype,
+      |         abs(CAST(sum(cents) AS DOUBLE) / count(*)
+      |           - CAST(max(s) - sum(cents) AS DOUBLE) / (max(n) - count(*))) AS d_b,
+      |         count(*) AS m_t, max(n) AS n
+      |  FROM (
+      |    SELECT p.cents, v.b, t.ptype, t.n, t.s
+      |    FROM pool p, (SELECT unnest(range(64)) AS b) v, thr t
+      |    WHERE CAST(('0x' || substring(md5(CAST(p.event_id AS VARCHAR) || ':'
+      |            || CAST(v.b AS VARCHAR)), 1, 8))::BIGINT AS HUGEINT) * t.n
+      |            >= CAST(t.lo AS HUGEINT) * 4294967296
+      |      AND CAST(('0x' || substring(md5(CAST(p.event_id AS VARCHAR) || ':'
+      |            || CAST(v.b AS VARCHAR)), 1, 8))::BIGINT AS HUGEINT) * t.n
+      |            < CAST(t.hi AS HUGEINT) * 4294967296)
+      |  GROUP BY 1, 2
+      |  HAVING count(*) > 0 AND count(*) < max(n)),
+      |obs AS (
+      |  SELECT t.ptype AS event_type, t.n_t,
+      |         abs(CAST(t.s_t AS DOUBLE) / t.n_t
+      |           - CAST(t.s - t.s_t AS DOUBLE) / (t.n - t.n_t)) AS d_obs
+      |  FROM thr t),
+      |pv AS (
+      |  SELECT o.event_type, max(o.n_t) AS n_t,
+      |         CAST(round(10.0 * max(o.d_obs)) AS BIGINT) AS d_obs_milli,
+      |         count(r.b) AS b_reps,
+      |         sum(CASE WHEN r.d_b >= o.d_obs THEN 1 ELSE 0 END) AS n_ge
+      |  FROM obs o LEFT JOIN reps r ON r.ptype = o.event_type
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT *, count(*) OVER () AS m,
+      |         CAST(row_number() OVER (ORDER BY n_ge, event_type) AS BIGINT) AS p_rank
+      |  FROM pv),
+      |flagged AS (
+      |  SELECT *, 2 * m * (n_ge + 1) <= 13 * p_rank AS pass FROM ranked),
+      |k AS (SELECT coalesce(max(CASE WHEN pass THEN p_rank END), 0) AS k_star FROM flagged)
+      |SELECT event_type, CAST(n_t AS BIGINT) AS n_t, d_obs_milli,
+      |       CAST(b_reps AS BIGINT) AS b_reps, CAST(n_ge AS BIGINT) AS n_ge,
+      |       CAST(round(1e6 * (n_ge + 1.0) / (b_reps + 1.0)) AS BIGINT) AS p_ppm,
+      |       p_rank, p_rank <= k_star AS rejected
+      |FROM flagged, k ORDER BY p_rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_bh_fdr" -> (bhFdr _),
+    "agg_spearman" -> (spearman _),
+    "agg_kendall_tau" -> (kendallTau _),
+    "stats_trend_test" -> (trendTest _),
     "agg_anova" -> (anova _),
     "agg_bootstrap_ci" -> (bootstrapCi _),
     "agg_hhi" -> (hhi _),
@@ -948,6 +1286,10 @@ object StatsOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stats_bh_fdr" -> bhFdrSql,
+    "agg_spearman" -> spearmanSql,
+    "agg_kendall_tau" -> kendallTauSql,
+    "stats_trend_test" -> trendTestSql,
     "agg_anova" -> anovaSql,
     "agg_bootstrap_ci" -> bootstrapCiSql,
     "agg_hhi" -> hhiSql,

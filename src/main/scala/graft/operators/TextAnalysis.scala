@@ -870,7 +870,77 @@ object TextAnalysis {
       |FROM pred WHERE rn = 1
       |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Vocabulary coverage curve
+  // ---------------------------------------------------------------
+
+  /** VOCABULARY COVERAGE CURVE — "how many vocabulary types cover 50 /
+    * 90 / 99% of all token occurrences?", the tokenizer-sizing and
+    * corpus-diversity report beside [[zipfFit]]'s exponent (Zipf says
+    * the head is heavy; this measures exactly how heavy). The r11
+    * rank-without-sorting discipline: types with equal frequency are
+    * interchangeable, so the whole curve folds over the
+    * FREQUENCY-OF-FREQUENCY histogram — (f, k types) pairs, a table
+    * whose size is bounded by the distinct frequency count (≪ vocab,
+    * ≈√N under Zipf) — with the boundary class split by exact ceil
+    * division. Never a per-type rank, never a data-sized sort. The
+    * oracle replays the same histogram arithmetic. */
+  def coverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    val cum = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fof = tf.groupBy(col("f")).agg(count(lit(1)).as("k"))
+      .withColumn("cum_mass", sum(col("f") * col("k")).over(cum))
+      .withColumn("cum_types", sum(col("k")).over(cum))
+      .withColumn("total", sum(col("f") * col("k")).over(Window.partitionBy()))
+    fof.crossJoin(broadcast(Seq(50L, 90L, 99L).toDF("pct")))
+      .withColumn("target", expr("(total * pct + 99) div 100"))
+      .filter(col("cum_mass") - col("f") * col("k") < col("target") &&
+        col("target") <= col("cum_mass"))
+      // t_extra head types of the boundary frequency class reach the
+      // target: exact ceil((target − mass_before)/f)
+      .withColumn("t_extra",
+        expr("(target - (cum_mass - f * k) + f - 1) div f"))
+      .select(col("pct"),
+        (col("cum_types") - col("k") + col("t_extra")).as("n_types"),
+        (col("cum_mass") - col("f") * col("k") + col("t_extra") * col("f"))
+          .as("tokens_covered"),
+        col("total").as("total_tokens"))
+      .orderBy(col("pct"))
+  }
+
+  val coverageCurveSql: String =
+    """WITH tf AS (
+      |  SELECT t, count(*) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE t <> '' GROUP BY 1),
+      |fof AS (
+      |  SELECT f, count(*) AS k FROM tf GROUP BY 1),
+      |cum AS (
+      |  SELECT f, k,
+      |         sum(f * k) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING) AS cum_mass,
+      |         sum(k) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING) AS cum_types,
+      |         sum(f * k) OVER () AS total
+      |  FROM fof)
+      |SELECT pct,
+      |       CAST(cum_types - k + ((target - (cum_mass - f * k) + f - 1) // f) AS BIGINT)
+      |         AS n_types,
+      |       CAST(cum_mass - f * k
+      |            + ((target - (cum_mass - f * k) + f - 1) // f) * f AS BIGINT)
+      |         AS tokens_covered,
+      |       CAST(total AS BIGINT) AS total_tokens
+      |FROM (
+      |  SELECT c.*, v.pct, (c.total * v.pct + 99) // 100 AS target
+      |  FROM cum c, (SELECT unnest([50, 90, 99]) AS pct) v)
+      |WHERE cum_mass - f * k < target AND target <= cum_mass
+      |ORDER BY pct""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_coverage_curve" -> (coverageCurve _),
     "text_naive_bayes" -> (naiveBayes _),
     "text_rake_keywords" -> (rakeKeywords _),
     "text_readability" -> (readability _),
@@ -890,6 +960,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_coverage_curve" -> coverageCurveSql,
     "text_naive_bayes" -> naiveBayesSql,
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_readability" -> readabilitySql,

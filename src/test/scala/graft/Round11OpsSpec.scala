@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 operators: rank statistics without global sorts
+  * (HistQuantile machinery, Spearman/Kendall/trend/BH-FDR,
+  * coverage curve, Markov transitions) + the CC pre-collapse probe. */
+class Round11OpsSpec extends SparkSpec {
+
+  test("HistQuantile.ntileBuckets ≡ literal ntile census (ties included)") {
+    import spark.implicits._
+    // heavy ties + a remainder: 23 rows over 7 distinct values, k=4
+    val vals = Seq(5L, 5L, 5L, 1L, 2L, 2L, 9L, 9L, 9L, 9L, 3L, 3L, 3L,
+      7L, 7L, 4L, 4L, 4L, 4L, 4L, 8L, 8L, 8L)
+    val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    val expected = df
+      .withColumn("b", ntile(4).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("b")).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = HistQuantile.ntileBuckets(df, col("v"), 4)
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("HistQuantile.withNtile ≡ literal ntile per row (desc, tie-broken)") {
+    import spark.implicits._
+    val df = Seq((10L, 1L), (10L, 2L), (7L, 3L), (7L, 4L), (7L, 5L),
+      (3L, 6L), (3L, 7L), (1L, 8L), (12L, 9L), (12L, 10L), (12L, 11L))
+      .toDF("v", "id")
+    val expected = df.withColumn("q",
+      ntile(3).over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+      .select(col("id"), col("q")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = HistQuantile.withNtile(df, col("v"), col("id"), 3,
+      descValue = true, out = "q")
+      .select(col("id"), col("q")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expected)
+  }
+
+  test("spearman and kendall agree in sign and live in [-1e6, 1e6]") {
+    val rho = StatsOps.spearman(spark, sf).collect()(0).getLong(1)
+    val tau = StatsOps.kendallTau(spark, sf).collect()(0).getLong(3)
+    assert(math.abs(rho) <= 1000000L && math.abs(tau) <= 1000000L)
+    assert(rho == 0 || tau == 0 || rho.sign == tau.sign)
+  }
+
+  test("spearman is exactly ±1e6 on perfectly monotone synthetic data") {
+    // replicate the op's midrank+moment arithmetic on y = x (no ties):
+    // a pure Pearson-on-ranks must be exactly 1
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i * 3 + 7)).toDF("x", "y")
+    def mr(v: String, out: String) = {
+      val cum = Window.orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy(col(v)).agg(count(lit(1)).as("c"))
+        .withColumn("cumc", sum(col("c")).over(cum))
+        .select(col(v), (lit(2) * (col("cumc") - col("c")) + col("c") + lit(1)).as(out))
+    }
+    val j = df.join(mr("x", "rx2"), "x").join(mr("y", "ry2"), "y")
+      .agg(count(lit(1)).as("n"), sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
+        sum(col("rx2") * col("ry2")).as("sxy"),
+        sum(col("rx2") * col("rx2")).as("sxx"), sum(col("ry2") * col("ry2")).as("syy"))
+      .select((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        ./(sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))).as("rho"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(j - 1.0d) < 1e-12)
+  }
+
+  test("trend test statistic is non-negative") {
+    assert(StatsOps.trendTest(spark, sf).collect()(0).getLong(2) >= 0L)
+  }
+
+  test("BH-FDR: 5 types, valid p-values, rejections form a rank prefix") {
+    val rows = StatsOps.bhFdr(spark, sf).collect()
+    assert(rows.length === 5)
+    val byRank = rows.sortBy(_.getAs[Long]("p_rank"))
+    byRank.foreach { r =>
+      val p = r.getAs[Long]("p_ppm")
+      assert(p > 0L && p <= 1000000L)
+    }
+    // step-up: the rejected set is exactly ranks 1..k*
+    val flags = byRank.map(_.getAs[Boolean]("rejected"))
+    val k = flags.count(identity)
+    assert(flags.take(k).forall(identity) && flags.drop(k).forall(!_))
+  }
+
+  test("coverage curve: targets met with monotone type counts") {
+    val rows = TextAnalysis.coverageCurve(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("pct")).toSeq === Seq(50L, 90L, 99L))
+    val types = rows.map(_.getAs[Long]("n_types"))
+    val covered = rows.map(_.getAs[Long]("tokens_covered"))
+    val total = rows.head.getAs[Long]("total_tokens")
+    assert(types.sorted.toSeq === types.toSeq) // more coverage needs more types
+    rows.foreach { r =>
+      // covered mass actually reaches the ceil target
+      assert(r.getAs[Long]("tokens_covered") * 100L >= r.getAs[Long]("pct") * total)
+    }
+    assert(covered.forall(_ <= total))
+  }
+
+  test("event transitions: rows normalize to ~1e6 ppm per source state") {
+    val rows = Analytics.eventTransitions(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("prev_type"))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (_, rs) =>
+      val s = rs.map(_.getAs[Long]("p_ppm")).sum
+      // per-cell rounding wobbles the row sum by at most |cells|/2
+      assert(math.abs(s - 1000000L) <= rs.length.toLong)
+    }
+  }
+
+  test("CC pre-collapse is exact on chain + clique + isolated edge") {
+    import spark.implicits._
+    // chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)).toDF("a", "b")
+    def labels(pre: Boolean) =
+      graft.api.Graft.connectedComponents(edges, "a", "b", preCollapse = pre)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val plain = labels(false)
+    val pre = labels(true)
+    assert(plain === pre)
+    assert(pre(5L) === 1L && pre(12L) === 10L && pre(21L) === 20L)
+  }
+
+  test("prefixBytes + leAt round-trip little-endian fields") {
+    import spark.implicits._
+    val df = Seq(1).toDF("one")
+      .select(Multimodal.prefixBytes(unhex(lit("DEADBEEF01020304")), 8).as("b"))
+      .select(Multimodal.leAt(col("b"), 1, 4).as("le4"),
+        Multimodal.leAt(col("b"), 5, 2).as("le2"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 0xEFBEADDEL)
+    assert(r.getLong(1) === 0x0201L)
+  }
+}
