@@ -485,7 +485,35 @@ object ScaleProbe {
       // duplication lesson: a single folded Column cost ~28 s of
       // data-size-independent Catalyst analysis) — must be ~scan
       ("jpeg_marker_walk", () =>
-        graft.operators.Multimodal.jpegHeader(spark, dir).count())
+        graft.operators.Multimodal.jpegHeader(spark, dir).count()),
+      // r11: the histogram-ntile family — formerly data-sized
+      // single-partition sorts (win_ntile measured 4.9x at 10x in
+      // BENCH_r10_sf1); on the HistQuantile path only the
+      // distinct-value table sorts, so the ratio must track the
+      // VALUE-DOMAIN growth, not the row growth
+      ("hist_ntile_quartiles", () =>
+        graft.operators.Windows.ntileQuartiles(spark, dir).count()),
+      ("hist_eqdepth_buckets", () =>
+        graft.operators.Aggregations.histogramEqDepth(spark, dir).count()),
+      ("hist_gain_deciles", () =>
+        graft.operators.MlEval.gainDeciles(spark, dir).count()),
+      ("hist_pareto_gini", () =>
+        graft.operators.Analytics.pareto(spark, dir).count()),
+      // r11: codec prefix decode — flat per-row cost must stay ~scan
+      // after the hex-once/split fix (the lambda re-evaluation bug
+      // cost ~1 ms/row before)
+      ("codec_prefix_bmp", () =>
+        graft.operators.Multimodal.bmpHeader(spark, dir).count()),
+      // r11: rank statistics without global sorts — midrank
+      // histograms (spearman) and the x64 multinomial relabel (BH)
+      ("spearman_midranks", () =>
+        graft.operators.StatsOps.spearman(spark, dir).count()),
+      ("bh_fdr_64x_fanout", () =>
+        graft.operators.StatsOps.bhFdr(spark, dir).count()),
+      ("coverage_curve_fof", () =>
+        graft.operators.TextAnalysis.coverageCurve(spark, dir).count()),
+      ("event_transitions", () =>
+        graft.operators.Analytics.eventTransitions(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)
@@ -583,10 +611,26 @@ object ScaleProbe {
       val (p2s, p2n) = once(pairCount(big))
       val (k1s, k1n) = once(ccKeep(sf01))
       val (k2s, k2n) = once(ccKeep(big))
+      // r11 (verdict task #4): the star pre-collapse variant — one
+      // closed-neighborhood min pass, fixpoint on the contracted
+      // graph — measured against the plain fixpoint on the SAME
+      // verified-pair edge lists at both scales
+      def ccOnPairs(dir: String, pre: Boolean): () => Long = () => {
+        val pairs = graft.api.Graft.nearDupPairs(
+          Tables.documents(spark, dir), "text", "doc_id")
+        graft.api.Graft.connectedComponents(pairs, "id_a", "id_b",
+          preCollapse = pre).count()
+      }
+      val (f1s, f1n) = once(ccOnPairs(sf01, false))
+      val (f2s, f2n) = once(ccOnPairs(big, false))
+      val (g1s, g1n) = once(ccOnPairs(sf01, true))
+      val (g2s, g2n) = once(ccOnPairs(big, true))
       Seq(
         ("cc_chain 2k -> 20k nodes (diameter 10x: rounds grow ~log)", c1s, c2s, c1n, c2n),
         ("neardup_verified_pairs (the graph's EDGES — replicas are near-dups of each other, so edge mass grows superlinearly by construction; the default cap64 bounds what was ~100x uncapped)", p1s, p2s, p1n, p2n),
-        ("dedup_keep end-to-end (cost tracks the EDGE row above, not doc count)", k1s, k2s, k1n, k2n))
+        ("dedup_keep end-to-end (cost tracks the EDGE row above, not doc count)", k1s, k2s, k1n, k2n),
+        ("cc_fixpoint_plain (pairs -> CC, no pre-collapse)", f1s, f2s, f1n, f2n),
+        ("cc_fixpoint_precollapse (star contraction first — r11 probe)", g1s, g2s, g1n, g2n))
     }
 
     val small = probes(sf01)
