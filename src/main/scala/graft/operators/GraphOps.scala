@@ -876,7 +876,56 @@ object GraphOps {
       |       o AS via_order, p2 AS end_part
       |FROM hop2 ORDER BY start_part, walk""".stripMargin
 
+  /** DEGREE DISTRIBUTION + POWER-LAW TAIL FIT — the first diagnostic
+    * run on any production graph (is this scale-free? how heavy is
+    * the hub tail that will skew every join?): part degrees in the
+    * order–part bipartite graph, their histogram, and the Hill MLE
+    * α̂ = 1 + n_tail / Σ k_d·ln(d/d_min) over the tail d ≥ d_min = 5.
+    * The whole fit folds over the DEGREE HISTOGRAM (≤ max-degree
+    * keys): each distinct degree's ln(d/d_min) is quantized ONCE to
+    * integer micro-nats (the ln contract) and the sum is an exact
+    * k-weighted integer — the estimator never touches per-node rows
+    * after the one degree census. */
+  def degreePowerLaw(spark: SparkSession, dir: String): DataFrame = {
+    val dmin = 5L
+    val deg = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .groupBy(col("pk")).agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("k"))
+    val m = hist.agg(
+      sum(col("k")).as("n_parts"), max(col("d")).as("max_degree"),
+      sum(when(col("d") >= dmin, col("k")).otherwise(0L)).as("n_tail"),
+      sum(when(col("d") >= dmin,
+        col("k") * round(lit(1e6) * log(col("d").cast("double") / lit(dmin.toDouble)))
+          .cast("long")).otherwise(0L)).as("sum_ln_micro"))
+    m.select(lit(dmin).as("d_min"), col("n_parts"), col("max_degree"),
+      col("n_tail"),
+      round(lit(1e6) + lit(1e12) * col("n_tail").cast("double") /
+        col("sum_ln_micro").cast("double")).cast("long").as("alpha_micro"))
+  }
+
+  val degreePowerLawSql: String =
+    """WITH deg AS (
+      |  SELECT pk, count(*) AS d
+      |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |  GROUP BY 1),
+      |hist AS (SELECT d, count(*) AS k FROM deg GROUP BY 1),
+      |m AS (
+      |  SELECT sum(k) AS n_parts, max(d) AS max_degree,
+      |         sum(CASE WHEN d >= 5 THEN k ELSE 0 END) AS n_tail,
+      |         sum(CASE WHEN d >= 5 THEN
+      |               k * CAST(round(1e6 * ln(CAST(d AS DOUBLE) / 5.0)) AS BIGINT)
+      |             ELSE 0 END) AS sum_ln_micro
+      |  FROM hist)
+      |SELECT CAST(5 AS BIGINT) AS d_min, CAST(n_parts AS BIGINT) AS n_parts,
+      |       CAST(max_degree AS BIGINT) AS max_degree,
+      |       CAST(n_tail AS BIGINT) AS n_tail,
+      |       CAST(round(1e6 + 1e12 * CAST(n_tail AS DOUBLE)
+      |                  / CAST(sum_ln_micro AS DOUBLE)) AS BIGINT) AS alpha_micro
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_powerlaw" -> (degreePowerLaw _),
     "graph_random_walk" -> (randomWalk _),
     "graph_bipartite_project" -> (bipartiteProject _),
     "graph_assortativity" -> (assortativity _),
@@ -892,6 +941,7 @@ object GraphOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "graph_degree_powerlaw" -> degreePowerLawSql,
     "graph_random_walk" -> randomWalkSql,
     "graph_bipartite_project" -> bipartiteProjectSql,
     "graph_modularity" -> modularitySql,

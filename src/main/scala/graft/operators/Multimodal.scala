@@ -558,6 +558,11 @@ object Multimodal {
     (0 until len).map(i => element_at(bytes, pos + i) * lit(1L << (8 * i)))
       .reduce(_ + _)
 
+  /** Big-endian sibling of [[leAt]]. */
+  def beAt(bytes: org.apache.spark.sql.Column, pos: Int, len: Int): org.apache.spark.sql.Column =
+    (0 until len).map(i => element_at(bytes, pos + i) * lit(1L << (8 * (len - 1 - i))))
+      .reduce(_ + _)
+
   private def jbyte(bytes: org.apache.spark.sql.Column,
       p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     element_at(bytes, p.cast("int"))
@@ -638,7 +643,122 @@ object Multimodal {
       |       CAST(3 AS BIGINT) AS n_components
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TIFF header decode — the SIXTH container codec, and the one with
+    * a property none of the others exercises: the byte order is
+    * DATA-DEPENDENT. A TIFF file announces its own endianness in the
+    * first two bytes ('II' → little-endian, 'MM' → big-endian), and
+    * every multi-byte field after that — the 42 magic, the IFD
+    * offset, tag ids, LONG values — must be read in the announced
+    * order. The corpus synthesizes both flavors (even doc_id → II,
+    * odd → MM), so a parser that hardwires either order fails half
+    * the oracle. Layout: 8-byte header, one IFD (3 entries: 256
+    * ImageWidth, 257 ImageLength, 258 BitsPerSample, all type LONG),
+    * next-IFD = 0. Conditional endianness is ONE `when` over the
+    * already-decoded byte array — still pure codegen arithmetic. */
+  def tiffHeader(spark: SparkSession, dir: String): DataFrame = {
+    val width = (lit(16) + pmod(col("doc_id"), lit(1024))).cast("long")
+    val height = (lit(16) + pmod(col("n_chars"), lit(512))).cast("long")
+    val bits = (lit(8) * (lit(1) + pmod(col("doc_id"), lit(2)))).cast("long")
+    val le = pmod(col("doc_id"), lit(2)) === 0
+    def leHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    def beHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((n - 1 to 0 by -1).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    def u(v: org.apache.spark.sql.Column, n: Int) =
+      when(le, leHex(v, n)).otherwise(beHex(v, n))
+    def entry(tag: Long, v: org.apache.spark.sql.Column) =
+      concat(u(lit(tag), 2), u(lit(4L), 2), u(lit(1L), 4), u(v, 4))
+    val tiff = unhex(concat(
+      when(le, lit("49492A00")).otherwise(lit("4D4D002A")),
+      u(lit(8L), 4),                       // IFD starts right after the header
+      u(lit(3L), 2),
+      entry(256L, width), entry(257L, height), entry(258L, bits),
+      u(lit(0L), 4)))
+    val bytes = Tables.documents(spark, dir)
+      .select(col("doc_id"), prefixBytes(tiff, 50).as("bytes"))
+    val isLe = element_at(col("bytes"), 1) === 0x49L
+    def ua(pos: Int, len: Int) =
+      when(isLe, leAt(col("bytes"), pos, len)).otherwise(beAt(col("bytes"), pos, len))
+    // IFD entry i (0-based) value field sits at 11 + 12*i + 8 (1-based)
+    def entryVal(i: Int) = ua(11 + 12 * i + 8, 4)
+    bytes.select(col("doc_id"), isLe.as("little_endian"),
+        (ua(3, 2) === 42L).as("magic_ok"),
+        (ua(9, 2) === 3L).as("ifd_ok"),
+        entryVal(0).as("width"), entryVal(1).as("height"),
+        entryVal(2).as("bits_per_sample"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tiffHeaderSql: String =
+    """SELECT doc_id, doc_id % 2 = 0 AS little_endian, TRUE AS magic_ok, TRUE AS ifd_ok,
+      |       CAST(16 + doc_id % 1024 AS BIGINT) AS width,
+      |       CAST(16 + n_chars % 512 AS BIGINT) AS height,
+      |       CAST(8 * (1 + doc_id % 2) AS BIGINT) AS bits_per_sample
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** FLAC STREAMINFO decode — the SEVENTH codec, adding the last
+    * parsing mode the family lacked: SUB-BYTE bit fields. The 8-byte
+    * group after the frame-size fields packs sample rate (20 bits),
+    * channels−1 (3), bits-per-sample−1 (5) and total samples (36) —
+    * none aligned to a byte boundary — so the parser reads two
+    * big-endian u32s and unpacks with exact div/mod powers of two
+    * (the GIF packed-byte trick scaled up to a 64-bit field, split so
+    * no intermediate exceeds a long). Duration derives as exact
+    * integer division, remainder subtracted first (the WAV
+    * contract). */
+  def flacHeader(spark: SparkSession, dir: String): DataFrame = {
+    val rate = (lit(8000) + pmod(col("n_chars"), lit(8)) * 4000).cast("long")
+    val channels = (lit(1) + pmod(col("doc_id"), lit(2))).cast("long")
+    val bps = lit(16L)
+    val total = col("n_chars").cast("long") * channels
+    def beHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((n - 1 to 0 by -1).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    // hi32 = rate<<12 | (ch−1)<<9 | (bps−1)<<4 | total>>32 (0 here)
+    val hi32 = rate * lit(4096L) + (channels - 1L) * lit(512L) + (bps - 1L) * lit(16L)
+    val lo32 = total // total < 2^32 in this corpus; hi bits carried above
+    val flac = unhex(concat(
+      lit("664C6143"),                     // "fLaC"
+      lit("00"), lit("000022"),            // STREAMINFO block, length 34
+      lit("1000"), lit("1000"),            // min/max blocksize 4096
+      lit("000000"), lit("000000"),        // min/max framesize unknown
+      beHex(hi32, 4), beHex(lo32, 4)))
+    val bytes = Tables.documents(spark, dir)
+      .select(col("doc_id"), prefixBytes(flac, 26).as("bytes"))
+    // 4 magic + 4 block header + 4 blocksizes + 6 framesizes = 18
+    // bytes before the packed 8-byte group
+    val hi = beAt(col("bytes"), 19, 4)
+    val lo = beAt(col("bytes"), 23, 4)
+    // bit fields by shiftright/pmod — exact powers of two, no
+    // division rounding anywhere
+    val rateP = shiftright(hi, 12)
+    val totalP = pmod(hi, lit(16L)) * lit(4294967296L) + lo
+    bytes.select(col("doc_id"),
+        (beAt(col("bytes"), 1, 4) === 0x664C6143L).as("magic_ok"),
+        (element_at(col("bytes"), 5) === 0L &&
+          beAt(col("bytes"), 6, 3) === 34L).as("streaminfo_ok"),
+        rateP.as("sample_rate"),
+        (pmod(shiftright(hi, 9), lit(8L)) + 1L).as("channels"),
+        (pmod(shiftright(hi, 4), lit(32L)) + 1L).as("bits_per_sample"),
+        totalP.as("total_samples"), {
+          val num = totalP * 1000L
+          ((num - pmod(num, rateP)) / rateP).cast("long").as("duration_ms")
+        })
+      .orderBy(col("doc_id"))
+  }
+
+  val flacHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok, TRUE AS streaminfo_ok,
+      |       CAST(8000 + (n_chars % 8) * 4000 AS BIGINT) AS sample_rate,
+      |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |       CAST(16 AS BIGINT) AS bits_per_sample,
+      |       CAST(n_chars * (1 + doc_id % 2) AS BIGINT) AS total_samples,
+      |       CAST(n_chars * (1 + doc_id % 2) * 1000
+      |            // (8000 + (n_chars % 8) * 4000) AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_tiff_header" -> (tiffHeader _),
+    "mm_flac_header" -> (flacHeader _),
     "mm_jpeg_header" -> (jpegHeader _),
     "mm_audio_rms" -> (audioRms _),
     "mm_gif_header" -> (gifHeader _),
@@ -653,6 +773,8 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_tiff_header" -> tiffHeaderSql,
+    "mm_flac_header" -> flacHeaderSql,
     "mm_jpeg_header" -> jpegHeaderSql,
     "mm_audio_rms" -> audioRmsSql,
     "mm_gif_header" -> gifHeaderSql,

@@ -943,7 +943,71 @@ object TimeSeries {
       |                 CAST(np * syy - sy * sy AS DOUBLE))) AS BIGINT) AS r_milli
       |FROM m ORDER BY lag""".stripMargin
 
+  /** GLOBAL CHANGEPOINT (binary segmentation, one split) — the
+    * offline sibling of [[levelShift]]'s fixed-window detector and
+    * [[cusum]]'s sequential monitor: over the whole zero-filled
+    * hourly series, find the split instant t* maximizing the
+    * between-segment contrast G(t) = (n·S_t − t·S)² / (n·t·(n−t)) —
+    * the CUSUM-max statistic whose argmax is the least-squares single
+    * changepoint. Everything is a function of prefix sums over the
+    * CALENDAR-BOUNDED hourly table (the series is already an
+    * aggregate — hours, not events): one cumulative window, integer
+    * numerators on DECIMAL(38,0)/HUGEINT (n·S_t overflows a double's
+    * 2⁵³ mantissa long before any real corpus ends), one double
+    * division quantized to micro, argmax with ties to the earliest
+    * hour. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.orderBy(col("bin"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    hourlyCounts(spark, dir)
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("st", sum(col("n")).over(cum))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("s", sum(col("n")).over(Window.partitionBy()))
+      .filter(col("t") < col("nn"))
+      .select(col("bin"), col("t"), col("st"), col("nn"), col("s"),
+        round(lit(1e6) *
+          (dec(col("nn")) * col("st") - dec(col("t")) * col("s")).cast("double") *
+          (dec(col("nn")) * col("st") - dec(col("t")) * col("s")).cast("double") /
+          (dec(col("nn")) * col("t") * (col("nn") - col("t"))).cast("double"))
+          .cast("long").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("bin"))
+      .limit(1)
+      .select(date_format(col("bin"), "yyyy-MM-dd HH:mm:ss").as("split_ts"),
+        col("t").as("hours_left"), (col("nn") - col("t")).as("hours_right"),
+        round(col("st").cast("double") / col("t").cast("double"), 4)
+          .as("mean_left"),
+        round((col("s") - col("st")).cast("double") /
+          (col("nn") - col("t")).cast("double"), 4).as("mean_right"),
+        col("score_micro"))
+  }
+
+  val changepointSql: String =
+    s"""WITH $hourlyCountsSql,
+       |pre AS (
+       |  SELECT bin,
+       |         CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS t,
+       |         sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS st,
+       |         count(*) OVER () AS nn, sum(n) OVER () AS s
+       |  FROM series),
+       |scored AS (
+       |  SELECT bin, t, st, nn, s,
+       |         CAST(round(1e6
+       |           * CAST(CAST(nn AS HUGEINT) * st - CAST(t AS HUGEINT) * s AS DOUBLE)
+       |           * CAST(CAST(nn AS HUGEINT) * st - CAST(t AS HUGEINT) * s AS DOUBLE)
+       |           / CAST(CAST(nn AS HUGEINT) * t * (nn - t) AS DOUBLE)) AS BIGINT)
+       |           AS score_micro
+       |  FROM pre WHERE t < nn)
+       |SELECT strftime(bin, '%Y-%m-%d %H:%M:%S') AS split_ts,
+       |       t AS hours_left, CAST(nn - t AS BIGINT) AS hours_right,
+       |       round(CAST(st AS DOUBLE) / t, 4) AS mean_left,
+       |       round(CAST(s - st AS DOUBLE) / (nn - t), 4) AS mean_right,
+       |       score_micro
+       |FROM scored ORDER BY score_micro DESC, bin LIMIT 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_changepoint" -> (changepoint _),
     "ts_xcorr" -> (xcorr _),
     "ts_backtest_smape" -> (backtestSmape _),
     "ts_stl_decompose" -> (stlDecompose _),
@@ -963,6 +1027,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_changepoint" -> changepointSql,
     "ts_xcorr" -> xcorrSql,
     "ts_backtest_smape" -> backtestSmapeSql,
     "ts_stl_decompose" -> stlDecomposeSql,

@@ -127,6 +127,46 @@ class Round11OpsSpec extends SparkSpec {
     assert(pre(5L) === 1L && pre(12L) === 10L && pre(21L) === 20L)
   }
 
+  test("TIFF parser honors the announced byte order (II and MM both present)") {
+    val rows = Multimodal.tiffHeader(spark, sf).collect()
+    val (ii, mm) = rows.partition(_.getAs[Boolean]("little_endian"))
+    assert(ii.nonEmpty && mm.nonEmpty, "corpus must exercise both byte orders")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("magic_ok") && r.getAs[Boolean]("ifd_ok"))
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("width") === 16L + id % 1024L)
+      assert(r.getAs[Boolean]("little_endian") === (id % 2 == 0))
+    }
+  }
+
+  test("FLAC bit unpacking recovers the 20/3/5/36-bit fields exactly") {
+    val rows = Multimodal.flacHeader(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("magic_ok") && r.getAs[Boolean]("streaminfo_ok"))
+      val rate = r.getAs[Long]("sample_rate")
+      assert(rate >= 8000L && rate <= 36000L && rate % 4000L == 0L)
+      assert(r.getAs[Long]("bits_per_sample") === 16L)
+      val ch = r.getAs[Long]("channels")
+      assert(ch == 1L || ch == 2L)
+      // duration is the exact floor of total*1000/rate
+      val total = r.getAs[Long]("total_samples")
+      assert(r.getAs[Long]("duration_ms") === total * 1000L / rate)
+    }
+  }
+
+  test("degree power-law: Hill alpha is finite and above 1") {
+    val r = GraphOps.degreePowerLaw(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_tail") > 0L)
+    assert(r.getAs[Long]("alpha_micro") > 1000000L) // α > 1 by construction
+    assert(r.getAs[Long]("n_tail") <= r.getAs[Long]("n_parts"))
+  }
+
+  test("changepoint: argmax split has segments on both sides") {
+    val r = TimeSeries.changepoint(spark, sf).collect()(0)
+    assert(r.getAs[Long]("hours_left") > 0L && r.getAs[Long]("hours_right") > 0L)
+    assert(r.getAs[Long]("score_micro") >= 0L)
+  }
+
   test("prefixBytes + leAt round-trip little-endian fields") {
     import spark.implicits._
     val df = Seq(1).toDF("one")
