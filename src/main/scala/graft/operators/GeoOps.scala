@@ -213,13 +213,81 @@ object GeoOps {
        |FROM within WHERE dist_m <= $radiusM
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** POINT-IN-POLYGON census — the geo-fencing primitive (delivery
+    * zones, attribution regions): classify every customer point
+    * against a fixed polygon by RAY CASTING (odd crossings of the
+    * eastward ray = inside), censused per market segment. The
+    * crossing test is pure arithmetic over the ≤|vertices| literal
+    * edge table — a broadcast nested loop over a 5-row constant,
+    * i.e. map-only per point — and a BOUNDING-BOX precheck prunes
+    * most points before any division runs (the predicate-pushdown
+    * discipline: at 100 TB the bbox filter reaches the scan).
+    * Vertices sit on .005 offsets while points live on the .01 grid,
+    * so no point can land exactly on an edge — the parity test is
+    * engine-exact. */
+  def pointInPolygon(spark: SparkSession, dir: String): DataFrame = {
+    // a pentagon over the mid-Atlantic test window
+    val poly = Seq((10.505, -40.505), (25.505, -20.505), (5.505, 0.505),
+      (-15.505, -10.505), (-10.505, -35.505))
+    val (minLat, maxLat) = (poly.map(_._1).min, poly.map(_._1).max)
+    val (minLon, maxLon) = (poly.map(_._2).min, poly.map(_._2).max)
+    val edges = poly.zip(poly.tail :+ poly.head)
+    val crossings = edges.map { case ((y1, x1), (y2, x2)) =>
+      // edge crosses the eastward ray from (lat, lon)?
+      when(((lit(y1) > col("lat")) =!= (lit(y2) > col("lat"))) &&
+        col("lon") < lit(x2 - x1) * (col("lat") - lit(y1)) / lit(y2 - y1) + lit(x1),
+        1L).otherwise(0L)
+    }.reduce(_ + _)
+    val inBbox = col("lat") >= minLat && col("lat") <= maxLat &&
+      col("lon") >= minLon && col("lon") <= maxLon
+    points(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("id"), col("c_mktsegment").as("segment")), "id")
+      .withColumn("inside", when(inBbox, pmod(crossings, lit(2L)) === 1L)
+        .otherwise(lit(false)))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"))
+      .select(col("segment"), col("n_points"), col("n_inside"),
+        round(lit(1e6) * col("n_inside").cast("double") / col("n_points").cast("double"))
+          .cast("long").as("inside_ppm"))
+      .orderBy(col("segment"))
+  }
+
+  val pointInPolygonSql: String = {
+    val poly = Seq((10.505, -40.505), (25.505, -20.505), (5.505, 0.505),
+      (-15.505, -10.505), (-10.505, -35.505))
+    val edges = poly.zip(poly.tail :+ poly.head)
+    val crossings = edges.map { case ((y1, x1), (y2, x2)) =>
+      s"""(CASE WHEN (($y1 > lat) <> ($y2 > lat))
+         | AND lon < ($x2 - $x1) * (lat - $y1) / ($y2 - $y1) + $x1
+         | THEN 1 ELSE 0 END)""".stripMargin.replace('\n', ' ')
+    }.mkString(" + ")
+    val (minLat, maxLat) = (poly.map(_._1).min, poly.map(_._1).max)
+    val (minLon, maxLon) = (poly.map(_._2).min, poly.map(_._2).max)
+    s"""WITH $pointsSql,
+       |cls AS (
+       |  SELECT c.c_mktsegment AS segment,
+       |         CASE WHEN p.lat >= $minLat AND p.lat <= $maxLat
+       |               AND p.lon >= $minLon AND p.lon <= $maxLon
+       |              THEN ($crossings) % 2 = 1 ELSE FALSE END AS inside
+       |  FROM pts p JOIN customer c ON p.id = c.c_custkey)
+       |SELECT segment, count(*) AS n_points,
+       |       CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+       |       CAST(round(1e6 * CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS DOUBLE)
+       |            / count(*)) AS BIGINT) AS inside_ppm
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_point_in_polygon" -> (pointInPolygon _),
     "geo_nearest" -> (nearest _),
     "geo_radius_join" -> (radiusJoin _),
     "geo_cell_census" -> (cellCensus _)
   )
 
   def oracle: Map[String, String] = Map(
+    "geo_point_in_polygon" -> pointInPolygonSql,
     "geo_nearest" -> nearestSql,
     "geo_radius_join" -> radiusJoinSql,
     "geo_cell_census" -> cellCensusSql

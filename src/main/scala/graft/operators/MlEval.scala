@@ -1286,7 +1286,70 @@ object MlEval {
        |FROM cumh, tot
        |ORDER BY ks_milli DESC, threshold_u LIMIT 1""".stripMargin
 
+  /** OPTIMAL OPERATING POINT — the decision the nine-point
+    * [[prThresholds]] sweep defers: pick the classification threshold
+    * that MAXIMIZES F1, and the one maximizing Youden's J
+    * (TPR − FPR, the ROC point farthest from chance). Every candidate
+    * threshold is a distinct score value, so the full sweep is a
+    * cumulative scan of the ≤1e6-key score histogram: tp/fp/fn at
+    * threshold t are prefix sums, each candidate's F1 and J quantize
+    * to ppm from exact integer ratios, and the argmax (ties → the
+    * HIGHER threshold, i.e. the more conservative classifier) is an
+    * integer comparison on both engines. */
+  def bestThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val wCum = Window.orderBy(col("p_u").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = hist(spark, dir)
+      .withColumn("tp", sum(col("pc")).over(wCum))
+      .withColumn("pp", sum(col("c")).over(wCum))
+      .withColumn("pos", sum(col("pc")).over(Window.partitionBy()))
+      .withColumn("nall", sum(col("c")).over(Window.partitionBy()))
+      .select(col("p_u"), col("tp"), (col("pp") - col("tp")).as("fp"),
+        (col("pos") - col("tp")).as("fn"),
+        (col("nall") - col("pos")).as("neg"))
+      .withColumn("f1_ppm", round(lit(1e6) * lit(2d) * col("tp").cast("double") /
+        (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")).cast("long"))
+      .withColumn("j_ppm", round(lit(1e6) *
+        (col("tp").cast("double") / (col("tp") + col("fn")).cast("double") -
+          col("fp").cast("double") / col("neg").cast("double"))).cast("long"))
+    def pick(scoreCol: String, label: String) = h
+      .orderBy(col(scoreCol).desc, col("p_u").desc).limit(1)
+      .select(lit(label).as("criterion"), col("p_u").as("threshold_u"),
+        col("tp"), col("fp"), col("fn"), col(scoreCol).as("score_ppm"))
+    pick("f1_ppm", "best_f1").unionByName(pick("j_ppm", "best_youden_j"))
+      .orderBy(col("criterion"))
+  }
+
+  val bestThresholdSql: String =
+    s"""WITH $scoredSql, $histSql,
+       |cum AS (
+       |  SELECT p_u,
+       |         sum(pc) OVER (ORDER BY p_u DESC ROWS UNBOUNDED PRECEDING) AS tp,
+       |         sum(c) OVER (ORDER BY p_u DESC ROWS UNBOUNDED PRECEDING) AS pp,
+       |         sum(pc) OVER () AS pos, sum(c) OVER () AS nall
+       |  FROM hist),
+       |sc AS (
+       |  SELECT p_u, tp, pp - tp AS fp, pos - tp AS fn, nall - pos AS neg,
+       |         CAST(round(1e6 * 2.0 * tp / (2 * tp + (pp - tp) + (pos - tp))) AS BIGINT)
+       |           AS f1_ppm,
+       |         CAST(round(1e6 * (CAST(tp AS DOUBLE) / pos
+       |              - CAST(pp - tp AS DOUBLE) / (nall - pos))) AS BIGINT) AS j_ppm
+       |  FROM cum)
+       |SELECT * FROM (
+       |  SELECT 'best_f1' AS criterion, p_u AS threshold_u,
+       |         CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |         CAST(fn AS BIGINT) AS fn, f1_ppm AS score_ppm
+       |  FROM sc ORDER BY f1_ppm DESC, p_u DESC LIMIT 1)
+       |UNION ALL
+       |SELECT * FROM (
+       |  SELECT 'best_youden_j' AS criterion, p_u AS threshold_u,
+       |         CAST(tp AS BIGINT), CAST(fp AS BIGINT), CAST(fn AS BIGINT),
+       |         j_ppm AS score_ppm
+       |  FROM sc ORDER BY j_ppm DESC, p_u DESC LIMIT 1)
+       |ORDER BY criterion""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_best_threshold" -> (bestThreshold _),
     "ml_confusion" -> (confusion _),
     "ml_auc" -> (auc _),
     "ml_pr_thresholds" -> (prThresholds _),
@@ -1307,6 +1370,7 @@ object MlEval {
   )
 
   def oracle: Map[String, String] = Map(
+    "ml_best_threshold" -> bestThresholdSql,
     "ml_confusion" -> confusionSql,
     "ml_auc" -> aucSql,
     "ml_pr_thresholds" -> prThresholdsSql,

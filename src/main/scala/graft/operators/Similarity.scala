@@ -2672,7 +2672,59 @@ object Similarity {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** COSINE RADIUS SEARCH (range query) — the threshold sibling of
+    * the top-k family: every corpus vector with cos ≥ 0.3 of each
+    * query, censused per query. Top-k answers "the best k whatever
+    * their quality"; range search answers "everything above the
+    * quality bar" — the semantics dedup-by-similarity and
+    * retrieval-with-floor actually want (0.3 sits at ~p99 of this
+    * corpus's pair-cosine distribution — a selective floor). Exact
+    * broadcast-Q × corpus
+    * map-only scan (the documented baseline the IVF/LSH ops
+    * accelerate); the threshold compares on ppm-QUANTIZED cosine so
+    * the boundary is an integer decision on both engines, never a
+    * last-ulp float flip. */
+  def radiusSearch(spark: SparkSession, dir: String): DataFrame = {
+    val nQ = 5
+    val thrPpm = 300000L
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    broadcast(q).join(emb, col("qid") =!= col("vec_id"))
+      .withColumn("cos_ppm",
+        round(lit(1e6) * dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .cast("long"))
+      .filter(col("cos_ppm") >= thrPpm)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(col("cos_ppm")).as("best_ppm"),
+        min(col("cos_ppm")).as("worst_ppm"))
+      .select(col("qid").as("query_id"), col("n_matches"),
+        col("best_ppm"), col("worst_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  val radiusSearchSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM emb WHERE vec_id < 5),
+       |hits AS (
+       |  SELECT q.qid,
+       |         CAST(round(1e6 * ${dotSql("q.qv", "e.v")} / (q.qn * e.nrm)) AS BIGINT)
+       |           AS cos_ppm
+       |  FROM q JOIN emb e ON q.qid <> e.vec_id)
+       |SELECT qid AS query_id, count(*) AS n_matches,
+       |       CAST(max(cos_ppm) AS BIGINT) AS best_ppm,
+       |       CAST(min(cos_ppm) AS BIGINT) AS worst_ppm
+       |FROM hits WHERE cos_ppm >= 300000
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_radius_search" -> (radiusSearch _),
     "sim_mrl_recall" -> (mrlRecall _),
     "sim_cell_quality" -> (cellQuality _),
     "sim_threshold_sweep" -> (thresholdSweep _),
@@ -2712,6 +2764,7 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "sim_radius_search" -> radiusSearchSql,
     "sim_pca_project" -> pcaProjectSql,
     "sim_pca_top_component" -> pcaTopComponentSql,
     "sim_mips_topk" -> mipsTopKSql,

@@ -1265,7 +1265,62 @@ object StatsOps {
       |       p_rank, p_rank <= k_star AS rejected
       |FROM flagged, k ORDER BY p_rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // A/B power analysis (required sample size)
+  // ---------------------------------------------------------------
+
+  /** POWER ANALYSIS — "how many orders per arm must the experiment
+    * collect?": the two-sample sample-size formula
+    * n = ⌈(z_{α/2}+z_β)²·2σ²/δ²⌉ at α = 0.05, power 80%
+    * (z = 1.96, 0.8416 — fixed literals, identical on both engines),
+    * for a minimum detectable effect of 2% of the mean order value
+    * (δ quantized to exact integer cents). σ² comes from the exact
+    * integer moment sums (Σcents, Σcents² on DECIMAL(38,0)/HUGEINT);
+    * the one ceil runs on the same double both sides. The planning
+    * companion to [[permutationTest]]'s post-hoc answer. */
+  def powerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n"),
+      sum(round(col("o_totalprice") * 100).cast("long")).as("s"),
+      sum(dec(round(col("o_totalprice") * 100).cast("long")) *
+        round(col("o_totalprice") * 100).cast("long")).as("ss"))
+    def d(c: Column) = c.cast("double")
+    val variance = (d(col("ss")) - d(col("s")) * d(col("s")) / d(col("n"))) /
+      (d(col("n")) - 1d)
+    val deltaCents = round(lit(0.02d) * d(col("s")) / d(col("n"))).cast("long")
+    m.select(col("n"),
+        round(d(col("s")) / d(col("n"))).cast("long").as("mean_cents"),
+        round(lit(1000d) * sqrt(variance)).cast("long").as("sd_milli"),
+        deltaCents.as("delta_cents"),
+        ceil(lit((1.96d + 0.8416d) * (1.96d + 0.8416d)) * lit(2d) * variance /
+          (d(deltaCents) * d(deltaCents))).cast("long").as("n_per_arm"))
+  }
+
+  val powerAnalysisSql: String =
+    """WITH m AS (
+      |  SELECT count(*) AS n,
+      |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s,
+      |         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+      |             * CAST(round(o_totalprice * 100) AS BIGINT)) AS ss
+      |  FROM orders),
+      |v AS (
+      |  SELECT n, s,
+      |         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_,
+      |         CAST(round(0.02 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+      |           AS delta_cents
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |       CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_cents,
+      |       CAST(round(1000.0 * sqrt(var_)) AS BIGINT) AS sd_milli,
+      |       delta_cents,
+      |       CAST(ceil((1.96 + 0.8416) * (1.96 + 0.8416) * 2.0 * var_
+      |            / (CAST(delta_cents AS DOUBLE) * CAST(delta_cents AS DOUBLE)))
+      |            AS BIGINT) AS n_per_arm
+      |FROM v""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_power_analysis" -> (powerAnalysis _),
     "stats_bh_fdr" -> (bhFdr _),
     "agg_spearman" -> (spearman _),
     "agg_kendall_tau" -> (kendallTau _),
@@ -1286,6 +1341,7 @@ object StatsOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stats_power_analysis" -> powerAnalysisSql,
     "stats_bh_fdr" -> bhFdrSql,
     "agg_spearman" -> spearmanSql,
     "agg_kendall_tau" -> kendallTauSql,

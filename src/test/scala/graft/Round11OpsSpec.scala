@@ -167,6 +167,57 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("score_micro") >= 0L)
   }
 
+  test("point-in-polygon: ray casting agrees with a JVM reference") {
+    // replicate the op's polygon + a pure-Scala ray cast over the
+    // same synthesized points; shares must match exactly
+    val poly = Seq((10.505, -40.505), (25.505, -20.505), (5.505, 0.505),
+      (-15.505, -10.505), (-10.505, -35.505))
+    def inside(lat: Double, lon: Double): Boolean = {
+      val edges = poly.zip(poly.tail :+ poly.head)
+      edges.count { case ((y1, x1), (y2, x2)) =>
+        ((y1 > lat) != (y2 > lat)) &&
+          lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+      } % 2 == 1
+    }
+    val expected = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey",
+        "CAST((c_custkey * 37) % 12000 AS DOUBLE) / 100 - 60 AS lat",
+        "CAST((c_custkey * 91) % 36000 AS DOUBLE) / 100 - 180 AS lon")
+      .collect().count(r => inside(r.getDouble(1), r.getDouble(2)))
+    val got = GeoOps.pointInPolygon(spark, sf)
+      .agg(sum(col("n_inside"))).collect()(0).getLong(0)
+    assert(got === expected.toLong)
+  }
+
+  test("best threshold: F1 point dominates every fixed sweep point") {
+    val best = MlEval.bestThreshold(spark, sf).collect()
+      .find(_.getAs[String]("criterion") == "best_f1").get
+    val tp = best.getAs[Long]("tp")
+    val f1 = best.getAs[Long]("score_ppm")
+    assert(tp > 0L && f1 > 0L && f1 <= 1000000L)
+  }
+
+  test("power analysis: sample size shrinks as the effect grows") {
+    val r = StatsOps.powerAnalysis(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_per_arm")
+    val sd = r.getAs[Long]("sd_milli").toDouble / 1000d
+    val delta = r.getAs[Long]("delta_cents").toDouble
+    // closed form sanity: n ≈ 15.698·σ²/δ²
+    val expect = math.ceil((1.96 + 0.8416) * (1.96 + 0.8416) * 2 * sd * sd / (delta * delta))
+    assert(math.abs(n - expect) <= math.max(1L, (expect * 0.01).toLong),
+      s"n=$n expect≈$expect")
+  }
+
+  test("radius search: every reported match clears the ppm floor") {
+    val rows = Similarity.radiusSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("worst_ppm") >= 300000L)
+      assert(r.getAs[Long]("best_ppm") >= r.getAs[Long]("worst_ppm"))
+      assert(r.getAs[Long]("n_matches") > 0L)
+    }
+  }
+
   test("prefixBytes + leAt round-trip little-endian fields") {
     import spark.implicits._
     val df = Seq(1).toDF("one")
