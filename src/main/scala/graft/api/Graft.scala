@@ -397,11 +397,12 @@ object Graft {
     * instead of a join against the previous round's labels. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxRounds: Int = 50,
-                          preCollapse: Boolean = false): DataFrame = {
+                          preCollapse: Boolean = true): DataFrame = {
     val symRaw = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
     if (preCollapse) {
-      // STAR PRE-COLLAPSE (r10 verdict task #4 probe): one
+      // STAR PRE-COLLAPSE (r10 verdict task #4 — probed, measured
+      // faster at BOTH scales, now the default): one
       // closed-neighborhood min pass labels every node with
       // min(id, neighbors), then the fixpoint iterates on the
       // CONTRACTED label graph — near-dup clusters are band-bucket
@@ -419,7 +420,12 @@ object Graft {
         .filter(col("__la") =!= col("__lb"))
         .select(col("__la").as(srcCol), col("__lb").as(dstCol))
         .distinct()
-      val inner = connectedComponents(contracted, srcCol, dstCol, maxRounds)
+      // ONE contraction level (the measured configuration: 4.80 →
+      // 3.93 s at sf0.1, 22.4 → 14.1 s at ~sf1 on identical pair
+      // lists, docs/SCALE.md r11) — the pointer-jumped fixpoint
+      // below already handles the contracted remainder in O(log d)
+      val inner = connectedComponents(contracted, srcCol, dstCol, maxRounds,
+          preCollapse = false)
         .select(col("id").as("l0"), col("component").as("__c"))
       // fully-collapsed clusters have no contracted edge: their label
       // IS the component

@@ -1169,18 +1169,42 @@ object StatsOps {
       abs(st.cast("double") / mt.cast("double") -
         (s - st).cast("double") / (n - mt).cast("double"))
     // one fan-out, every type's null at once: pseudo-type of (row, b)
-    // is the threshold interval holding u·N (u is 32-bit, so compare
-    // u·N against lo·2^32 in DECIMAL — no double rounding)
+    // is the threshold interval holding u·N. The interval test
+    // u·N ∈ [lo·2³², hi·2³²) is equivalent to u < ⌈hi·2³²/N⌉ on
+    // integers, so the ≤|types| cut points collapse to exact LONG
+    // literals computed once on the driver (a bounded model artifact,
+    // like every broadcast centroid table in the engine) and the
+    // assignment is a pure codegen CASE chain — the first cut's
+    // broadcast range-join planned a BroadcastNestedLoopJoin with
+    // DECIMAL arithmetic per (row, type) and measured 16.6 s at
+    // sf0.1 for what is a map-side expression.
+    val cuts: Seq[(String, Long)] = thr
+      .select(col("ptype"), col("hi"), col("n")).orderBy(col("ptype"))
+      .collect().map { r =>
+        val hi = BigInt(r.getAs[Long]("hi")); val n = BigInt(r.getAs[Long]("n"))
+        (r.getAs[String]("ptype"), ((hi * BigInt(4294967296L) + n - 1) / n).toLong)
+      }.toSeq
+    val assign = cuts.init.foldRight(lit(cuts.last._1)) {
+      case ((t, cutHi), rest) => when(col("u") < cutHi, t).otherwise(rest)
+    }
+    val nTot = pool.groupBy().agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    // double hashing (the Kirsch–Mitzenmacher Bloom-filter trick):
+    // TWO md5s per row, the 64 replicate draws derived as
+    // u_b = (h1 + b·h2) mod 2³² — portable integer arithmetic both
+    // engines, and 64× fewer md5 evaluations than hashing
+    // (event_id : b) per replicate (measured 6.4 s → the md5 was the
+    // whole cost once the BNLJ was gone)
     val reps = pool
+      .withColumn("h1", graft.api.Graft.idHash(
+        concat(col("event_id").cast("string"), lit(":a"))))
+      .withColumn("h2", graft.api.Graft.idHash(
+        concat(col("event_id").cast("string"), lit(":b"))))
       .withColumn("b", explode(sequence(lit(0L), lit(63L))))
-      .withColumn("u", graft.api.Graft.idHash(
-        concat(col("event_id").cast("string"), lit(":"), col("b").cast("string"))))
-      .join(broadcast(thr),
-        dec(col("u")) * col("n") >= dec(col("lo")) * lit(4294967296L) &&
-          dec(col("u")) * col("n") < dec(col("hi")) * lit(4294967296L))
+      .withColumn("u", pmod(col("h1") + col("b") * col("h2"), lit(4294967296L)))
+      .withColumn("ptype", assign)
       .groupBy(col("b"), col("ptype"))
-      .agg(count(lit(1)).as("m_t"), sum(col("cents")).as("st_b"),
-        max(col("n")).as("n"), max(col("s")).as("s"))
+      .agg(count(lit(1)).as("m_t"), sum(col("cents")).as("st_b"))
+      .crossJoin(broadcast(nTot))
       .filter(col("m_t") > 0L && col("m_t") < col("n"))
       .select(col("b"), col("ptype"),
         dStat(col("m_t"), col("st_b"), col("n"), col("s")).as("d_b"))
@@ -1230,14 +1254,15 @@ object StatsOps {
       |           - CAST(max(s) - sum(cents) AS DOUBLE) / (max(n) - count(*))) AS d_b,
       |         count(*) AS m_t, max(n) AS n
       |  FROM (
-      |    SELECT p.cents, v.b, t.ptype, t.n, t.s
-      |    FROM pool p, (SELECT unnest(range(64)) AS b) v, thr t
-      |    WHERE CAST(('0x' || substring(md5(CAST(p.event_id AS VARCHAR) || ':'
-      |            || CAST(v.b AS VARCHAR)), 1, 8))::BIGINT AS HUGEINT) * t.n
-      |            >= CAST(t.lo AS HUGEINT) * 4294967296
-      |      AND CAST(('0x' || substring(md5(CAST(p.event_id AS VARCHAR) || ':'
-      |            || CAST(v.b AS VARCHAR)), 1, 8))::BIGINT AS HUGEINT) * t.n
-      |            < CAST(t.hi AS HUGEINT) * 4294967296)
+      |    SELECT h.cents, h.b, t.ptype, t.n, t.s
+      |    FROM (
+      |      SELECT p.cents, v.b,
+      |             (('0x' || substring(md5(CAST(p.event_id AS VARCHAR) || ':a'), 1, 8))::BIGINT
+      |              + v.b * ('0x' || substring(md5(CAST(p.event_id AS VARCHAR) || ':b'), 1, 8))::BIGINT)
+      |              % 4294967296 AS u
+      |      FROM pool p, (SELECT unnest(range(64)) AS b) v) h, thr t
+      |    WHERE CAST(h.u AS HUGEINT) * t.n >= CAST(t.lo AS HUGEINT) * 4294967296
+      |      AND CAST(h.u AS HUGEINT) * t.n < CAST(t.hi AS HUGEINT) * 4294967296)
       |  GROUP BY 1, 2
       |  HAVING count(*) > 0 AND count(*) < max(n)),
       |obs AS (
