@@ -1348,7 +1348,56 @@ object MlEval {
        |  FROM sc ORDER BY j_ppm DESC, p_u DESC LIMIT 1)
        |ORDER BY criterion""".stripMargin
 
+  /** PR-AUC / AVERAGE PRECISION — the class-imbalance-honest summary
+    * beside [[auc]]'s ROC number (ROC AUC stays high under extreme
+    * imbalance; AP collapses toward the prevalence, which is what a
+    * curation gate hunting rare positives should see). Step-wise AP
+    * over every distinct score threshold:
+    * AP = Σ_t (tp_t − tp_{t−1})/P · tp_t/pp_t — all prefix sums over
+    * the ≤1e6-key score histogram; each threshold's term quantizes to
+    * micro ONCE and the headline is their exact integer sum (the
+    * per-term-quantization contract — no cross-term float order).
+    * Reports the prevalence floor a random ranker scores. */
+  def prAuc(spark: SparkSession, dir: String): DataFrame = {
+    val wCum = Window.orderBy(col("p_u").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.orderBy(col("p_u").desc)
+    hist(spark, dir)
+      .withColumn("tp", sum(col("pc")).over(wCum))
+      .withColumn("pp", sum(col("c")).over(wCum))
+      .withColumn("tp_prev", coalesce(lag(col("tp"), 1).over(wLag), lit(0L)))
+      .withColumn("pos", sum(col("pc")).over(Window.partitionBy()))
+      .withColumn("nall", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("contrib_micro",
+        round(lit(1e6) * ((col("tp") - col("tp_prev")) * col("tp")).cast("double") /
+          (col("pos") * col("pp")).cast("double")).cast("long"))
+      .groupBy()
+      .agg(max(col("nall")).as("n"), max(col("pos")).as("pos"),
+        sum(col("contrib_micro")).as("ap_micro"))
+      .select(col("n"), col("pos"), col("ap_micro"),
+        round(lit(1e6) * col("pos").cast("double") / col("n").cast("double"))
+          .cast("long").as("prevalence_micro"))
+  }
+
+  val prAucSql: String =
+    s"""WITH $scoredSql, $histSql,
+       |cum AS (
+       |  SELECT p_u,
+       |         sum(pc) OVER (ORDER BY p_u DESC ROWS UNBOUNDED PRECEDING) AS tp,
+       |         sum(c) OVER (ORDER BY p_u DESC ROWS UNBOUNDED PRECEDING) AS pp,
+       |         sum(pc) OVER () AS pos, sum(c) OVER () AS nall
+       |  FROM hist),
+       |cum2 AS (
+       |  SELECT *, coalesce(lag(tp) OVER (ORDER BY p_u DESC), 0) AS tp_prev FROM cum)
+       |SELECT CAST(max(nall) AS BIGINT) AS n, CAST(max(pos) AS BIGINT) AS pos,
+       |       CAST(sum(CAST(round(1e6 * CAST((tp - tp_prev) * tp AS DOUBLE)
+       |            / CAST(pos * pp AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ap_micro,
+       |       CAST(round(1e6 * CAST(max(pos) AS DOUBLE) / max(nall)) AS BIGINT)
+       |         AS prevalence_micro
+       |FROM cum2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_pr_auc" -> (prAuc _),
     "ml_best_threshold" -> (bestThreshold _),
     "ml_confusion" -> (confusion _),
     "ml_auc" -> (auc _),
@@ -1370,6 +1419,7 @@ object MlEval {
   )
 
   def oracle: Map[String, String] = Map(
+    "ml_pr_auc" -> prAucSql,
     "ml_best_threshold" -> bestThresholdSql,
     "ml_confusion" -> confusionSql,
     "ml_auc" -> aucSql,

@@ -218,6 +218,16 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("PR-AUC sits between the prevalence floor and 1") {
+    val r = MlEval.prAuc(spark, sf).collect()(0)
+    val ap = r.getAs[Long]("ap_micro")
+    val prev = r.getAs[Long]("prevalence_micro")
+    // a scorer no worse than random: AP ≥ prevalence (tolerate the
+    // per-term micro rounding by one count's worth)
+    assert(ap >= prev - r.getAs[Long]("n") && ap <= 1000000L)
+    assert(r.getAs[Long]("pos") > 0L)
+  }
+
   test("prefixBytes + leAt round-trip little-endian fields") {
     import spark.implicits._
     val df = Seq(1).toDF("one")
