@@ -1746,7 +1746,74 @@ object CorpusOps {
       |FROM pairs GROUP BY 1, 2
       |ORDER BY n DESC, center, context LIMIT 15""".stripMargin
 
+  /** TEMPERATURE-SAMPLED language mix — the mT5/XLM-R multilingual
+    * balancing rule beside [[mixRebalance]]'s explicit fraction table:
+    * sampling weight w_l ∝ n_l^α with α = 0.3 lifts low-resource
+    * languages without letting any dominate. The power evaluates as
+    * exp(α·ln n) — composed from the TWO transcendentals the engine's
+    * ln contract already proves engine-identical (entropy / MI /
+    * logloss family), never a raw pow() whose libm rounding could
+    * differ — and quantizes to integer micro-weights BEFORE the
+    * normalizing sum. Targets are exact integer div shares of a
+    * half-corpus budget; the realized sample re-uses the portable
+    * md5-hash threshold (deterministic, no RNG), and the per-language
+    * census audits target vs realized — the no-silent-truncation
+    * contract. One compact (lang) agg + one map-only filter pass. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alpha = 0.3d
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro",
+        round(lit(1e6) * exp(lit(alpha) * log(col("n_docs").cast("double"))))
+          .cast("long"))
+      .withColumn("w_tot", sum(col("w_micro")).over(Window.partitionBy()))
+      .withColumn("n_tot", sum(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("target_docs",
+        expr("w_micro * (n_tot div 2) div w_tot"))
+      .withColumn("keep_rate_ppm",
+        least(lit(1000000L), expr("target_docs * 1000000 div n_docs")))
+    val kept = docs
+      .join(broadcast(counts.select(col("lang"), col("keep_rate_ppm"))), "lang")
+      .filter(pmod(graft.api.Graft.idHash(col("doc_id")), lit(1000000L)) <
+        col("keep_rate_ppm"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    counts.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("w_micro"),
+        col("target_docs"), col("keep_rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val temperatureMixSql: String =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |         CAST(round(1e6 * exp(0.3 * ln(CAST(count(*) AS DOUBLE)))) AS BIGINT)
+      |           AS w_micro
+      |  FROM documents GROUP BY 1),
+      |norm AS (
+      |  SELECT lang, n_docs, w_micro,
+      |         w_micro * ((sum(n_docs) OVER ()) // 2) // (sum(w_micro) OVER ())
+      |           AS target_docs
+      |  FROM counts),
+      |rates AS (
+      |  SELECT *, least(1000000, target_docs * 1000000 // n_docs) AS keep_rate_ppm
+      |  FROM norm),
+      |kept AS (
+      |  SELECT d.lang, count(*) AS n_kept
+      |  FROM documents d JOIN rates r ON d.lang = r.lang
+      |  WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |          % 1000000 < r.keep_rate_ppm
+      |  GROUP BY 1)
+      |SELECT r.lang, r.n_docs, r.w_micro,
+      |       CAST(r.target_docs AS BIGINT) AS target_docs,
+      |       CAST(r.keep_rate_ppm AS BIGINT) AS keep_rate_ppm,
+      |       coalesce(k.n_kept, 0) AS n_kept
+      |FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+      |ORDER BY r.lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_temperature_mix" -> (temperatureMix _),
     "corpus_cooccurrence" -> (cooccurrence _),
     "corpus_fertility" -> (fertility _),
     "corpus_negative_samples" -> (negativeSamples _),
@@ -1805,6 +1872,7 @@ object CorpusOps {
     "corpus_sample_weighted" -> sampleWeightedSql,
     "corpus_chunk_overlap" -> chunkOverlapSql,
     "corpus_mix_rebalance" -> mixRebalanceSql,
+    "corpus_temperature_mix" -> temperatureMixSql,
     "corpus_decontaminate" -> decontaminateSql,
     // the sketch changes the plan, never the answer — same oracle as
     // the exact decontamination by design

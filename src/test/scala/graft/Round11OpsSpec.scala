@@ -228,6 +228,23 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("pos") > 0L)
   }
 
+  test("temperature mix: low-resource languages gain share, realized tracks target") {
+    val rows = CorpusOps.temperatureMix(spark, sf).collect()
+    assert(rows.length > 1)
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+    // α < 1 compresses: the smallest language's target/n ratio must
+    // exceed the largest language's
+    val lo = byN.head
+    val hi = byN.last
+    def ratio(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("target_docs").toDouble / r.getAs[Long]("n_docs")
+    assert(ratio(lo) >= ratio(hi))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("keep_rate_ppm") <= 1000000L)
+    }
+  }
+
   test("prefixBytes + leAt round-trip little-endian fields") {
     import spark.implicits._
     val df = Seq(1).toDF("one")

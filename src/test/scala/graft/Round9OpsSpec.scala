@@ -88,9 +88,11 @@ class Round9OpsSpec extends SparkSpec {
   }
 
   test("pareto: shares telescope to 1e6; gini in range; top decile dominates") {
+    // decile is LONG since the r11 histogram-path rewrite (integer
+    // ntile-span arithmetic, matching the oracle's ntile int64)
     val p = Analytics.pareto(spark, sf).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    assert(p.map(_._1).toSeq === (1 to 10))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(p.map(_._1).toSeq === (1L to 10L))
     assert(math.abs(p.last._4 - 1000000L) <= 1) // cumulative share ends at 100%
     val gini = p.head._5
     assert(gini >= 0L && gini < 1000000L)
