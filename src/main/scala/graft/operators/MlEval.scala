@@ -1396,7 +1396,178 @@ object MlEval {
        |         AS prevalence_micro
        |FROM cum2""".stripMargin
 
+  /** McNEMAR'S TEST — "is classifier B actually better than A, or is
+    * the accuracy delta noise?" — the PAIRED comparison the holdout
+    * split can't answer with two independent accuracies, because both
+    * classifiers score the SAME items. A is the standing gate (the
+    * logistic over coords 0–7, [[scored]]); B is the challenger over
+    * the NEXT 8 coords (8–15) — the real-world shape of "we retrained
+    * the quality filter on new features; ship it?". Only the
+    * discordant pairs carry information: b = A right ∧ B wrong,
+    * c = A wrong ∧ B right; χ² = (|b−c|−1)²/(b+c) with continuity
+    * correction. The σ(6·logit) ≥ ½ decision is equivalent to
+    * logit_u ≥ 0, so the whole test is INTEGER end-to-end — no
+    * transcendental at all, the one division is the final milli
+    * quantization. Scale: ONE pass over the exploded coords into a
+    * per-vector 2-sum agg (map-side combinable), then a 1-row census. */
+  def mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val perVec = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .filter(col("pos0") < 16)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum(when(col("pos0") < 8,
+          round(col("v").cast("double") * 1000000d).cast("long"))
+          .otherwise(0L)).as("la_u"),
+        sum(when(col("pos0") >= 8,
+          round(col("v").cast("double") * 1000000d).cast("long"))
+          .otherwise(0L)).as("lb_u"))
+      .select((col("label") % 2).as("y"),
+        (col("la_u") >= 0L).cast("long").as("pa"),
+        (col("lb_u") >= 0L).cast("long").as("pb"))
+    def d(c: Column) = c.cast("double")
+    perVec
+      .select(col("y"), (col("pa") === col("y")).cast("long").as("ca"),
+        (col("pb") === col("y")).cast("long").as("cb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ca") === 1L && col("cb") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(col("ca") === 0L && col("cb") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(col("ca")).as("na_correct"), sum(col("cb")).as("nb_correct"))
+      .select(col("n"), col("b"), col("c"),
+        round(lit(1e6) * d(col("na_correct")) / d(col("n"))).cast("long")
+          .as("acc_a_ppm"),
+        round(lit(1e6) * d(col("nb_correct")) / d(col("n"))).cast("long")
+          .as("acc_b_ppm"),
+        round(lit(1e3) * (abs(col("b") - col("c")) - lit(1)).cast("double") *
+          (abs(col("b") - col("c")) - lit(1)).cast("double") /
+          d(col("b") + col("c"))).cast("long").as("chi2_milli"))
+  }
+
+  val mcnemarSql: String =
+    """WITH pv AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |         sum(CASE WHEN pos <= 8 THEN vq ELSE 0 END) AS la_u,
+      |         sum(CASE WHEN pos > 8 THEN vq ELSE 0 END) AS lb_u
+      |  FROM (SELECT vec_id, label,
+      |               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+      |                 AS BIGINT) AS vq,
+      |               generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings)
+      |  WHERE pos <= 16 GROUP BY 1, 2),
+      |cls AS (
+      |  SELECT label % 2 AS y,
+      |         CASE WHEN la_u >= 0 THEN 1 ELSE 0 END AS pa,
+      |         CASE WHEN lb_u >= 0 THEN 1 ELSE 0 END AS pb
+      |  FROM pv),
+      |cc AS (
+      |  SELECT y, CASE WHEN pa = y THEN 1 ELSE 0 END AS ca,
+      |         CASE WHEN pb = y THEN 1 ELSE 0 END AS cb
+      |  FROM cls),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |         sum(CASE WHEN ca = 1 AND cb = 0 THEN 1 ELSE 0 END) AS b,
+      |         sum(CASE WHEN ca = 0 AND cb = 1 THEN 1 ELSE 0 END) AS c,
+      |         sum(ca) AS na_correct, sum(cb) AS nb_correct
+      |  FROM cc)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(b AS BIGINT) AS b,
+      |       CAST(c AS BIGINT) AS c,
+      |       CAST(round(1e6 * CAST(na_correct AS DOUBLE) / CAST(n AS DOUBLE))
+      |         AS BIGINT) AS acc_a_ppm,
+      |       CAST(round(1e6 * CAST(nb_correct AS DOUBLE) / CAST(n AS DOUBLE))
+      |         AS BIGINT) AS acc_b_ppm,
+      |       CAST(round(1e3 * CAST(abs(b - c) - 1 AS DOUBLE)
+      |            * CAST(abs(b - c) - 1 AS DOUBLE)
+      |            / CAST(b + c AS DOUBLE)) AS BIGINT) AS chi2_milli
+      |FROM m""".stripMargin
+
+  /** EXPECTED CALIBRATION ERROR + Murphy decomposition — the SCALAR
+    * verdict over [[calibration]]'s per-bin reliability table: ECE
+    * (n-weighted mean |confidence − accuracy| over the 10 equal-width
+    * bins), MCE (the worst bin), and the Brier decomposition
+    * REL − RES + UNC that says WHERE the Brier score comes from.
+    * The per-bin deviation is the EXACT integer |Σp_u − 1e6·Σy| (since
+    * n_b·conf = Σp_u/1e6 and n_b·acc = Σy), so ECE needs only ONE
+    * division; REL/RES quantize per bin to nano units and integer-sum
+    * (the per-term-quantization contract — no cross-bin float order).
+    * Scale: everything reduces through the ≤1e6-key score histogram,
+    * then a 10-row bin table — map-side combinable throughout. */
+  def ece(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val bins = hist(spark, dir)
+      .withColumn("bin", least(col("p_u") / lit(100000L), lit(9L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(sum(col("c")).as("nb"), sum(col("pc")).as("pos"),
+        sum(dec(col("p_u")) * col("c")).as("sp"))
+      .withColumn("n", sum(col("nb")).over(Window.partitionBy()))
+      .withColumn("p", sum(col("pos")).over(Window.partitionBy()))
+      .withColumn("dev_micro",
+        abs(col("sp") - dec(col("pos")) * lit(1000000L)).cast("decimal(38,0)"))
+    bins
+      .withColumn("rel_nano",
+        round(d(col("dev_micro")) * d(col("dev_micro")) /
+          (lit(1e3) * d(col("nb")) * d(col("n")))).cast("long"))
+      .withColumn("res_nano",
+        round(lit(1e9) *
+          (d(col("pos")) * d(col("n")) - d(col("nb")) * d(col("p"))) *
+          (d(col("pos")) * d(col("n")) - d(col("nb")) * d(col("p"))) /
+          (d(col("nb")) * d(col("n")) * d(col("n")) * d(col("n"))))
+          .cast("long"))
+      .withColumn("mce_ppm",
+        round(d(col("dev_micro")) / d(col("nb"))).cast("long"))
+      .groupBy(col("n"), col("p"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("dev_micro")).as("sdev"),
+        max(col("mce_ppm")).as("mce_ppm"),
+        sum(col("rel_nano")).as("rel_nano"),
+        sum(col("res_nano")).as("res_nano"))
+      .select(col("n"), col("p"), col("n_bins"),
+        round(d(col("sdev")) / d(col("n"))).cast("long").as("ece_ppm"),
+        col("mce_ppm"), col("rel_nano"), col("res_nano"),
+        round(lit(1e9) * d(col("p")) * (d(col("n")) - d(col("p"))) /
+          (d(col("n")) * d(col("n")))).cast("long").as("unc_nano"))
+  }
+
+  val eceSql: String =
+    s"""WITH $scoredSql, $histSql,
+       |b AS (
+       |  SELECT least(p_u // 100000, 9) AS bin, sum(c) AS nb, sum(pc) AS pos,
+       |         sum(CAST(p_u AS HUGEINT) * c) AS sp
+       |  FROM hist GROUP BY 1),
+       |t AS (
+       |  SELECT *, sum(nb) OVER () AS n, sum(pos) OVER () AS p,
+       |         abs(sp - CAST(pos AS HUGEINT) * 1000000) AS dev_micro
+       |  FROM b),
+       |terms AS (
+       |  SELECT n, p, nb, dev_micro,
+       |         CAST(round(CAST(dev_micro AS DOUBLE) * CAST(dev_micro AS DOUBLE)
+       |           / (1e3 * CAST(nb AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)
+       |           AS rel_nano,
+       |         CAST(round(1e9
+       |           * (CAST(pos AS DOUBLE) * CAST(n AS DOUBLE)
+       |              - CAST(nb AS DOUBLE) * CAST(p AS DOUBLE))
+       |           * (CAST(pos AS DOUBLE) * CAST(n AS DOUBLE)
+       |              - CAST(nb AS DOUBLE) * CAST(p AS DOUBLE))
+       |           / (CAST(nb AS DOUBLE) * CAST(n AS DOUBLE)
+       |              * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)
+       |           AS res_nano,
+       |         CAST(round(CAST(dev_micro AS DOUBLE) / CAST(nb AS DOUBLE))
+       |           AS BIGINT) AS mce_ppm
+       |  FROM t)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS p,
+       |       CAST(count(*) AS BIGINT) AS n_bins,
+       |       CAST(round(CAST(sum(dev_micro) AS DOUBLE) / CAST(n AS DOUBLE))
+       |         AS BIGINT) AS ece_ppm,
+       |       CAST(max(mce_ppm) AS BIGINT) AS mce_ppm,
+       |       CAST(sum(rel_nano) AS BIGINT) AS rel_nano,
+       |       CAST(sum(res_nano) AS BIGINT) AS res_nano,
+       |       CAST(round(1e9 * CAST(p AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(p AS DOUBLE))
+       |            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS unc_nano
+       |FROM terms GROUP BY n, p""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_mcnemar" -> (mcnemar _),
+    "ml_ece" -> (ece _),
     "ml_pr_auc" -> (prAuc _),
     "ml_best_threshold" -> (bestThreshold _),
     "ml_confusion" -> (confusion _),
@@ -1419,6 +1590,8 @@ object MlEval {
   )
 
   def oracle: Map[String, String] = Map(
+    "ml_mcnemar" -> mcnemarSql,
+    "ml_ece" -> eceSql,
     "ml_pr_auc" -> prAucSql,
     "ml_best_threshold" -> bestThresholdSql,
     "ml_confusion" -> confusionSql,

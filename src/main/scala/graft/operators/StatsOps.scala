@@ -1344,7 +1344,114 @@ object StatsOps {
       |            AS BIGINT) AS n_per_arm
       |FROM v""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Jarque–Bera normality test
+  // ---------------------------------------------------------------
+
+  /** JARQUE–BERA normality test per market segment — "is this
+    * segment's balance distribution Gaussian enough for the z-based
+    * screens upstream?" JB = n/6·(S² + (K−3)²/4) from sample skewness
+    * S and kurtosis K. The 4th-power moment is the overflow trap the
+    * DECIMAL(38,0) discipline alone cannot fix: raw cents⁴ ≈ 1e28 per
+    * row wraps a 38-digit accumulator past ~1e10 rows. So moments are
+    * PIVOT-CENTERED in a two-pass plan: pass 1 takes each group's
+    * exact integer mean floor (clamped at 0 so trunc-vs-floor division
+    * on a negative sum can never split the engines), pass 2 sums
+    * integer deviations d, d², d³, d⁴ — |d| is bounded by the VALUE
+    * RANGE (~1e6 cents), so d⁴·rows ≈ 1e24·1e12 = 1e36 < 1e38 at any
+    * corpus size. Central moments then shift from pivot to mean with
+    * the standard δ-expansion in ONE double expression, identical
+    * text in both engines; S uses m₂·√m₂ (sqrt is IEEE-exact), never
+    * pow(). Scale: two map-side-combinable segment aggs + a broadcast
+    * pivot join — no window, no sort. */
+  def jarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100.0d).cast("long").as("cents"))
+    val piv = base.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .select(col("seg"), col("n"), greatest(lit(0L), expr("s div n")).as("pivot"))
+    def d(c: Column) = c.cast("double")
+    base.join(broadcast(piv), Seq("seg"))
+      .withColumn("dv", col("cents") - col("pivot"))
+      .withColumn("d2", col("dv") * col("dv"))
+      .groupBy(col("seg"))
+      .agg(first(col("n")).as("n"), first(col("pivot")).as("pivot"),
+        sum(col("dv")).as("s1"),
+        sum(dec(col("d2"))).as("s2"),
+        sum(dec(col("d2")) * col("dv")).as("s3"),
+        sum(dec(col("d2")) * col("d2")).as("s4"))
+      .select(col("seg"), col("n"),
+        (lit(1.0d) * d(col("s1")) / d(col("n"))).as("delta"),
+        col("s2"), col("s3"), col("s4"))
+      .select(col("seg"), col("n"),
+        (d(col("s2")) / d(col("n")) - col("delta") * col("delta")).as("m2"),
+        (d(col("s3")) / d(col("n")) -
+          lit(3.0d) * col("delta") * d(col("s2")) / d(col("n")) +
+          lit(2.0d) * col("delta") * col("delta") * col("delta")).as("m3"),
+        (d(col("s4")) / d(col("n")) -
+          lit(4.0d) * col("delta") * d(col("s3")) / d(col("n")) +
+          lit(6.0d) * col("delta") * col("delta") * d(col("s2")) / d(col("n")) -
+          lit(3.0d) * col("delta") * col("delta") * col("delta") * col("delta"))
+          .as("m4"))
+      .select(col("seg"), col("n"),
+        round(lit(1e6) * col("m3") / (col("m2") * sqrt(col("m2"))))
+          .cast("long").as("skew_micro"),
+        round(lit(1e6) * col("m4") / (col("m2") * col("m2")))
+          .cast("long").as("kurt_micro"),
+        round(lit(1e3) * d(col("n")) / lit(6.0d) *
+          (col("m3") / (col("m2") * sqrt(col("m2"))) *
+            (col("m3") / (col("m2") * sqrt(col("m2")))) +
+            (col("m4") / (col("m2") * col("m2")) - lit(3.0d)) *
+            (col("m4") / (col("m2") * col("m2")) - lit(3.0d)) / lit(4.0d)))
+          .cast("long").as("jb_milli"))
+      .orderBy(col("seg"))
+  }
+
+  val jarqueBeraSql: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment AS seg,
+      |         CAST(round(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer),
+      |piv AS (
+      |  SELECT seg, count(*) AS n,
+      |         greatest(0, sum(cents) // count(*)) AS pivot
+      |  FROM base GROUP BY 1),
+      |mom AS (
+      |  SELECT b.seg, max(p.n) AS n,
+      |         sum(b.cents - p.pivot) AS s1,
+      |         sum(CAST((b.cents - p.pivot) * (b.cents - p.pivot) AS HUGEINT)) AS s2,
+      |         sum(CAST((b.cents - p.pivot) * (b.cents - p.pivot) AS HUGEINT)
+      |             * (b.cents - p.pivot)) AS s3,
+      |         sum(CAST((b.cents - p.pivot) * (b.cents - p.pivot) AS HUGEINT)
+      |             * ((b.cents - p.pivot) * (b.cents - p.pivot))) AS s4
+      |  FROM base b JOIN piv p USING (seg) GROUP BY 1),
+      |ctr AS (
+      |  SELECT seg, n, 1.0 * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS delta,
+      |         s2, s3, s4
+      |  FROM mom),
+      |cm AS (
+      |  SELECT seg, n,
+      |         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - delta * delta AS m2,
+      |         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+      |           - 3.0 * delta * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |           + 2.0 * delta * delta * delta AS m3,
+      |         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+      |           - 4.0 * delta * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+      |           + 6.0 * delta * delta * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |           - 3.0 * delta * delta * delta * delta AS m4
+      |  FROM ctr)
+      |SELECT seg, CAST(n AS BIGINT) AS n,
+      |       CAST(round(1e6 * m3 / (m2 * sqrt(m2))) AS BIGINT) AS skew_micro,
+      |       CAST(round(1e6 * m4 / (m2 * m2)) AS BIGINT) AS kurt_micro,
+      |       CAST(round(1e3 * CAST(n AS DOUBLE) / 6.0
+      |            * (m3 / (m2 * sqrt(m2)) * (m3 / (m2 * sqrt(m2)))
+      |               + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0))
+      |         AS BIGINT) AS jb_milli
+      |FROM cm ORDER BY seg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_jarque_bera" -> (jarqueBera _),
     "stats_power_analysis" -> (powerAnalysis _),
     "stats_bh_fdr" -> (bhFdr _),
     "agg_spearman" -> (spearman _),
@@ -1366,6 +1473,7 @@ object StatsOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stats_jarque_bera" -> jarqueBeraSql,
     "stats_power_analysis" -> powerAnalysisSql,
     "stats_bh_fdr" -> bhFdrSql,
     "agg_spearman" -> spearmanSql,

@@ -948,7 +948,92 @@ object WarehouseEtl {
       |       CAST(checksum AS BIGINT) AS checksum
       |FROM a ORDER BY entity""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Referential-integrity audit
+  // ---------------------------------------------------------------
+
+  /** REFERENTIAL-INTEGRITY audit across the warehouse's five FK edges
+    * — the load-gate check a star schema runs after every batch:
+    * orphan children (fact rows whose key hits no dimension row, the
+    * join-loss hazard every inner join silently amplifies) and
+    * unreferenced parents (dimension rows no fact ever touches — the
+    * purge-candidate census). Per edge: child rows/keys, orphan
+    * rows/keys, parent keys, unreferenced parents — one row each, a
+    * 5-row artifact. Scale: each edge is ONE map-side-combinable
+    * distinct-key aggregation on the child (the fact table never
+    * crosses the wire row-wise — only its key census does) plus one
+    * key-partitioned full-outer join against the parent's key set;
+    * no windows, no sorts. The orders→lineitem edge dominates and is
+    * exactly the shuffle any FK validator must pay. */
+  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val ckeys = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("nr"))
+      val pkeys = parent.select(col(pk).as("k")).distinct()
+        .withColumn("hit", lit(1L))
+      ckeys.join(pkeys, Seq("k"), "full_outer")
+        .agg(
+          coalesce(sum(col("nr")), lit(0L)).as("n_child_rows"),
+          sum(when(col("nr").isNotNull, 1L).otherwise(0L)).as("n_child_keys"),
+          coalesce(sum(when(col("hit").isNull, col("nr"))), lit(0L))
+            .as("n_orphan_rows"),
+          sum(when(col("hit").isNull && col("nr").isNotNull, 1L).otherwise(0L))
+            .as("n_orphan_keys"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_parent_keys"),
+          sum(when(col("nr").isNull && col("hit").isNotNull, 1L).otherwise(0L))
+            .as("n_unref_parents"))
+        .select(lit(name).as("edge"), col("n_child_rows"), col("n_child_keys"),
+          col("n_orphan_rows"), col("n_orphan_keys"), col("n_parent_keys"),
+          col("n_unref_parents"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    edge("lineitem_orders", li, "l_orderkey", o, "o_orderkey")
+      .unionAll(edge("lineitem_part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionAll(edge("lineitem_supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionAll(edge("orders_customer", o, "o_custkey", c, "c_custkey"))
+      .unionAll(edge("customer_nation", c, "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .orderBy(col("edge"))
+  }
+
+  val referentialIntegritySql: String = {
+    def edge(name: String, child: String, ck: String,
+             parent: String, pk: String): String =
+      s"""SELECT '$name' AS edge,
+         |       coalesce(sum(nr), 0) AS n_child_rows,
+         |       sum(CASE WHEN nr IS NOT NULL THEN 1 ELSE 0 END) AS n_child_keys,
+         |       coalesce(sum(CASE WHEN hit IS NULL THEN nr END), 0) AS n_orphan_rows,
+         |       sum(CASE WHEN hit IS NULL AND nr IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS n_orphan_keys,
+         |       coalesce(sum(hit), 0) AS n_parent_keys,
+         |       sum(CASE WHEN nr IS NULL AND hit IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS n_unref_parents
+         |FROM (SELECT $ck AS k, count(*) AS nr FROM $child GROUP BY 1) ck
+         |FULL OUTER JOIN
+         |     (SELECT DISTINCT $pk AS k, 1 AS hit FROM $parent) pk
+         |USING (k)""".stripMargin
+    Seq(
+      edge("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+      .map(e => s"SELECT CAST(n_child_rows AS BIGINT) AS n_child_rows," +
+        " CAST(n_child_keys AS BIGINT) AS n_child_keys," +
+        " CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows," +
+        " CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys," +
+        " CAST(n_parent_keys AS BIGINT) AS n_parent_keys," +
+        " CAST(n_unref_parents AS BIGINT) AS n_unref_parents," +
+        s" edge FROM ($e)")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_referential_integrity" -> (referentialIntegrity _),
     "etl_data_vault" -> (dataVault _),
     "etl_k_anonymity" -> (kAnonymity _),
     "etl_fd_screen" -> (fdScreen _),
@@ -970,6 +1055,7 @@ object WarehouseEtl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_referential_integrity" -> referentialIntegritySql,
     "etl_data_vault" -> dataVaultSql,
     "etl_k_anonymity" -> kAnonymitySql,
     "etl_fd_screen" -> fdScreenSql,

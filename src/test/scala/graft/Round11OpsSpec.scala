@@ -245,6 +245,60 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("mcnemar: discordant counts consistent with paired accuracies") {
+    val r = MlEval.mcnemar(spark, sf).collect()(0)
+    val (n, b, c) = (r.getAs[Long]("n"), r.getAs[Long]("b"), r.getAs[Long]("c"))
+    assert(n > 0 && b >= 0 && c >= 0 && b + c <= n)
+    // acc_a - acc_b must equal (b - c)/n up to ppm rounding
+    val accDelta = r.getAs[Long]("acc_a_ppm") - r.getAs[Long]("acc_b_ppm")
+    val expected = 1e6 * (b - c).toDouble / n.toDouble
+    assert(math.abs(accDelta - expected) <= 1.5)
+    assert(r.getAs[Long]("chi2_milli") >= 0L)
+  }
+
+  test("ece: bounded by MCE; Murphy terms non-negative; unc = p(1-p)") {
+    val r = MlEval.ece(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_bins") <= 10L)
+    assert(r.getAs[Long]("ece_ppm") >= 0L)
+    assert(r.getAs[Long]("ece_ppm") <= r.getAs[Long]("mce_ppm"))
+    assert(r.getAs[Long]("rel_nano") >= 0L && r.getAs[Long]("res_nano") >= 0L)
+    val (n, p) = (r.getAs[Long]("n"), r.getAs[Long]("p"))
+    val unc = math.round(1e9 * p.toDouble * (n - p).toDouble / (n.toDouble * n))
+    assert(r.getAs[Long]("unc_nano") === unc)
+  }
+
+  test("jarque-bera: per-segment rows; pivot-centered skew matches naive") {
+    val rows = StatsOps.jarqueBera(spark, sf).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r => assert(r.getAs[Long]("jb_milli") >= 0L) }
+    // cross-check one segment's skew against a naive double computation
+    val seg = rows.head.getAs[String]("seg")
+    val xs = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === seg)
+      .select(round(col("c_acctbal") * 100.0d).cast("long"))
+      .collect().map(_.getLong(0).toDouble)
+    val mu = xs.sum / xs.length
+    val m2 = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    val m3 = xs.map(x => math.pow(x - mu, 3)).sum / xs.length
+    val naive = 1e6 * m3 / (m2 * math.sqrt(m2))
+    assert(math.abs(rows.head.getAs[Long]("skew_micro") - naive) < 5.0)
+  }
+
+  test("referential integrity: TPC-H edges are orphan-free, totals line up") {
+    val rows = WarehouseEtl.referentialIntegrity(spark, sf).collect()
+      .map(r => r.getAs[String]("edge") -> r).toMap
+    assert(rows.size === 5)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_orphan_rows") === 0L)
+      assert(r.getAs[Long]("n_orphan_keys") === 0L)
+      assert(r.getAs[Long]("n_child_keys") <= r.getAs[Long]("n_child_rows"))
+      assert(r.getAs[Long]("n_unref_parents") <= r.getAs[Long]("n_parent_keys"))
+    }
+    val lo = rows("lineitem_orders")
+    assert(lo.getAs[Long]("n_child_rows") === Tables.lineitem(spark, sf).count())
+    assert(lo.getAs[Long]("n_parent_keys") === Tables.orders(spark, sf).count())
+  }
+
   test("prefixBytes + leAt round-trip little-endian fields") {
     import spark.implicits._
     val df = Seq(1).toDF("one")
