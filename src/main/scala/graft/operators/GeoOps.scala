@@ -279,7 +279,142 @@ object GeoOps {
        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // DBSCAN density clustering
+  // ---------------------------------------------------------------
+
+  /** DBSCAN over a deterministic point cloud — the density clustering
+    * the engine's k-means cells ([[graft.operators.Similarity]]) can't
+    * express: clusters of ARBITRARY shape, plus an explicit noise
+    * verdict. Parameters eps = 1 unit, minPts = 5 (closed
+    * neighborhood). The plan is the canonical distributed DBSCAN:
+    * (1) eps-sized grid cells make the neighbor search an EQUI join —
+    * a 3×3 cell explode on one side only, never an all-pairs cross —
+    * with the pair predicate d² ≤ eps² evaluated in exact integer
+    * centiunits; (2) core points by neighbor census (one
+    * map-side-combinable agg); (3) clusters = connected components of
+    * the core-core graph via the O(log d) pointer-jumping fixpoint
+    * ([[graft.api.Graft.connectedComponents]]); (4) border points take
+    * the MIN adjacent core label (deterministic tie-break), the rest
+    * is noise (cluster −1).
+    *
+    * The domain side-length scales as ⌈√n⌉ so density stays ~1
+    * point/unit² at EVERY sf — expected eps-degree π < the continuum
+    * percolation threshold (λπr² ≈ 4.51), so components stay small at
+    * any corpus size: that is what keeps the core graph's components
+    * (and the oracle's recursive-CTE closure) bounded — the same
+    * argument that keeps minhash band buckets from exploding. At
+    * 100 TB: one compact-key cell agg, one 9× grid join, the CC
+    * fixpoint — no global sort, no data-sized single partition. */
+  def dbscan(spark: SparkSession, dir: String): DataFrame = {
+    val epsC = 100L // eps in centiunits (1.0 unit)
+    val minPts = 5L // closed-neighborhood minimum, self included
+    val m = Tables.customer(spark, dir)
+      .agg(floor(sqrt(count(lit(1)).cast("double"))).cast("long").as("m"))
+    val pts = Tables.customer(spark, dir).select(col("c_custkey").as("id"))
+      .crossJoin(broadcast(m))
+      .select(col("id"),
+        pmod(col("id") * 37, col("m") * 100).as("xc"),
+        pmod(col("id") * 91, col("m") * 100).as("yc"))
+      .withColumn("cx", expr("xc div 100"))
+      .withColumn("cy", expr("yc div 100"))
+    val probe = pts
+      .withColumn("dx", explode(array((-1 to 1).map(lit(_)): _*)))
+      .withColumn("dy", explode(array((-1 to 1).map(lit(_)): _*)))
+      .select(col("id").as("ida"), col("xc").as("xa"), col("yc").as("ya"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val pairs = probe.join(pts.select(col("id").as("idb"), col("xc").as("xb"),
+        col("yc").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("ida") =!= col("idb"))
+      .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(epsC * epsC))
+      .select(col("ida"), col("idb"))
+      .localCheckpoint() // reused three times below; the census,
+                         // core-edge, and border joins must not
+                         // re-run the 9× grid join each
+    val deg = pairs.groupBy(col("ida")).agg((count(lit(1)) + lit(1L)).as("deg"))
+    val core = deg.filter(col("deg") >= minPts).select(col("ida").as("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("ida")), Seq("ida"))
+      .join(core.select(col("id").as("idb")), Seq("idb"))
+    val cc = graft.api.Graft.connectedComponents(coreEdges, "ida", "idb")
+      .select(col("id"), col("component"))
+    // isolated cores (no core neighbor) are their own 1-core cluster
+    val coreLbl = core.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cl"))
+    val borderLbl = pairs
+      .join(coreLbl.select(col("id").as("idb"), col("cl")), Seq("idb"))
+      .join(core.select(col("id").as("ida")), Seq("ida"), "left_anti")
+      .groupBy(col("ida")).agg(min(col("cl")).as("cl"))
+      .select(col("ida").as("id"), col("cl"))
+    val assigned = coreLbl.withColumn("is_core", lit(1L))
+      .unionByName(borderLbl.withColumn("is_core", lit(0L)))
+    val census = assigned.groupBy(col("cl"))
+      .agg(sum(col("is_core")).as("n_core"),
+        sum(lit(1L) - col("is_core")).as("n_border"),
+        count(lit(1)).as("n_pts"))
+      .select(col("cl").as("cluster"), col("n_core"), col("n_border"),
+        col("n_pts"))
+    val noise = pts.join(assigned.select(col("id")), Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_pts"))
+      .select(lit(-1L).as("cluster"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"), col("n_pts"))
+    census.unionByName(noise)
+      .orderBy(col("n_pts").desc, col("cluster"))
+  }
+
+  val dbscanSql: String =
+    """WITH RECURSIVE m AS (
+      |  SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS m FROM customer),
+      |pts AS MATERIALIZED (
+      |  SELECT c_custkey AS id,
+      |         (c_custkey * 37) % (m.m * 100) AS xc,
+      |         (c_custkey * 91) % (m.m * 100) AS yc
+      |  FROM customer, m),
+      |cells AS MATERIALIZED (SELECT id, xc, yc, xc // 100 AS cx, yc // 100 AS cy FROM pts),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.id AS ida, b.id AS idb
+      |  FROM cells a JOIN cells b
+      |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+      |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+      |   AND a.id <> b.id
+      |   AND (a.xc - b.xc) * (a.xc - b.xc)
+      |       + (a.yc - b.yc) * (a.yc - b.yc) <= 10000),
+      |core AS MATERIALIZED (
+      |  SELECT ida AS id FROM pairs GROUP BY 1 HAVING count(*) + 1 >= 5),
+      |ce AS MATERIALIZED (
+      |  SELECT p.ida, p.idb FROM pairs p
+      |  WHERE p.ida IN (SELECT id FROM core)
+      |    AND p.idb IN (SELECT id FROM core)),
+      |reach(a, b) AS (
+      |  SELECT id, id FROM core
+      |  UNION
+      |  SELECT r.a, e.idb FROM reach r JOIN ce e ON r.b = e.ida),
+      |corelbl AS MATERIALIZED (SELECT a AS id, min(b) AS cl FROM reach GROUP BY a),
+      |borderlbl AS (
+      |  SELECT p.ida AS id, min(l.cl) AS cl
+      |  FROM pairs p JOIN corelbl l ON p.idb = l.id
+      |  WHERE p.ida NOT IN (SELECT id FROM core)
+      |  GROUP BY 1),
+      |asg AS MATERIALIZED (
+      |  SELECT id, cl, 1 AS is_core FROM corelbl
+      |  UNION ALL
+      |  SELECT id, cl, 0 AS is_core FROM borderlbl),
+      |census AS (
+      |  SELECT cl AS cluster, sum(is_core) AS n_core,
+      |         sum(1 - is_core) AS n_border, count(*) AS n_pts
+      |  FROM asg GROUP BY 1
+      |  UNION ALL
+      |  SELECT -1, 0, 0,
+      |         (SELECT count(*) FROM pts) - (SELECT count(*) FROM asg))
+      |SELECT CAST(cluster AS BIGINT) AS cluster,
+      |       CAST(n_core AS BIGINT) AS n_core,
+      |       CAST(n_border AS BIGINT) AS n_border,
+      |       CAST(n_pts AS BIGINT) AS n_pts
+      |FROM census ORDER BY n_pts DESC, cluster""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_dbscan" -> (dbscan _),
     "geo_point_in_polygon" -> (pointInPolygon _),
     "geo_nearest" -> (nearest _),
     "geo_radius_join" -> (radiusJoin _),
@@ -287,6 +422,7 @@ object GeoOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "geo_dbscan" -> dbscanSql,
     "geo_point_in_polygon" -> pointInPolygonSql,
     "geo_nearest" -> nearestSql,
     "geo_radius_join" -> radiusJoinSql,

@@ -1450,7 +1450,258 @@ object StatsOps {
       |         AS BIGINT) AS jb_milli
       |FROM cm ORDER BY seg""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Brown–Forsythe (median-based Levene) variance-homogeneity test
+  // ---------------------------------------------------------------
+
+  /** BROWN–FORSYTHE test — "do the segments have equal SPREAD?" — the
+    * precondition [[anova]] itself assumes (classic ANOVA is valid
+    * under homoscedasticity; this is the screen that earns that
+    * assumption, in its median-based robust form). W is the one-way
+    * F statistic on z_ij = |x_ij − med_g|. The per-group median runs
+    * on the value-HISTOGRAM path (the weighted-median discipline):
+    * cumulative counts over the per-segment distinct-cents table give
+    * the two middle order statistics, and everything stays integer by
+    * working in DOUBLED units — z2 = |2·cents − med2| where med2 =
+    * x₍r₁₎ + x₍r₂₎ is an exact BIGINT for odd AND even group sizes
+    * (the oracle's interpolated median, doubled, is the same
+    * integer). Scale: one compact-key histogram agg, a per-segment
+    * window over distinct values only, a broadcast medians join, one
+    * moment agg — no data-sized sort anywhere. */
+  def levene(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100.0d).cast("long").as("cents"))
+    val hist = base.groupBy(col("seg"), col("cents")).agg(count(lit(1)).as("c"))
+    val wseg = Window.partitionBy(col("seg")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val meds = hist
+      .withColumn("hi", sum(col("c")).over(wseg))
+      .withColumn("lo", col("hi") - col("c"))
+      .withColumn("ng", sum(col("c")).over(Window.partitionBy(col("seg"))))
+      .withColumn("r1", expr("(ng + 1) div 2"))
+      .withColumn("r2", expr("(ng + 2) div 2"))
+      .groupBy(col("seg"))
+      .agg(sum(
+        when(col("r1") > col("lo") && col("r1") <= col("hi"), col("cents"))
+          .otherwise(0L) +
+        when(col("r2") > col("lo") && col("r2") <= col("hi"), col("cents"))
+          .otherwise(0L)).as("med2"))
+    def d(c: Column) = c.cast("double")
+    val g = base.join(broadcast(meds), Seq("seg"))
+      .withColumn("z2", abs(lit(2L) * col("cents") - col("med2")))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("ng"), sum(col("z2")).as("sg"),
+        sum(dec(col("z2")) * col("z2")).as("qg"))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("s"))
+    g.crossJoin(broadcast(tot))
+      .select(col("k"), col("n"), col("s"),
+        round(lit(1e3) * (d(col("sg")) * d(col("sg")) / d(col("ng")) -
+          lit(2.0d) * d(col("sg")) * d(col("s")) / d(col("n")) +
+          d(col("ng")) * d(col("s")) * d(col("s")) / (d(col("n")) * d(col("n")))))
+          .cast("long").as("ssb_g"),
+        round(lit(1e3) * (d(col("qg")) - d(col("sg")) * d(col("sg")) / d(col("ng"))))
+          .cast("long").as("ssw_g"))
+      .groupBy(col("k"), col("n"))
+      .agg(sum(col("ssb_g")).as("ssb_milli"), sum(col("ssw_g")).as("ssw_milli"))
+      .select(col("k"), col("n"), col("ssb_milli"), col("ssw_milli"),
+        round(lit(1e3) * (d(col("ssb_milli")) / d(col("k") - 1)) /
+          (d(col("ssw_milli")) / d(col("n") - col("k")))).cast("long")
+          .as("w_milli"))
+  }
+
+  val leveneSql: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment AS seg,
+      |         CAST(round(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer),
+      |med AS (
+      |  SELECT seg, CAST(round(2 * median(cents)) AS BIGINT) AS med2
+      |  FROM base GROUP BY 1),
+      |g AS (
+      |  SELECT b.seg, count(*) AS ng,
+      |         sum(abs(2 * b.cents - m.med2)) AS sg,
+      |         sum(CAST(abs(2 * b.cents - m.med2) AS HUGEINT)
+      |             * abs(2 * b.cents - m.med2)) AS qg
+      |  FROM base b JOIN med m USING (seg) GROUP BY 1),
+      |tot AS (SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s FROM g),
+      |terms AS (
+      |  SELECT t.k, t.n,
+      |         sum(CAST(round(1e3 * (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+      |           - 2.0 * CAST(sg AS DOUBLE) * CAST(s AS DOUBLE) / n
+      |           + ng * CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+      |             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT)) AS ssb_milli,
+      |         sum(CAST(round(1e3 * (CAST(qg AS DOUBLE)
+      |           - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)) AS BIGINT)) AS ssw_milli
+      |  FROM g, tot t GROUP BY 1, 2)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      |       CAST(ssb_milli AS BIGINT) AS ssb_milli,
+      |       CAST(ssw_milli AS BIGINT) AS ssw_milli,
+      |       CAST(round(1e3 * (CAST(ssb_milli AS DOUBLE) / (k - 1)) /
+      |            (CAST(ssw_milli AS DOUBLE) / (n - k))) AS BIGINT) AS w_milli
+      |FROM terms""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Fisher's exact test (2×2)
+  // ---------------------------------------------------------------
+
+  /** Exact factorials 0!..20! — the range where Stirling isn't yet
+    * at double precision; both engines index the same literal table. */
+  private val factTable: Seq[Long] = Seq(1L, 1L, 2L, 6L, 24L, 120L, 720L,
+    5040L, 40320L, 362880L, 3628800L, 39916800L, 479001600L, 6227020800L,
+    87178291200L, 1307674368000L, 20922789888000L, 355687428096000L,
+    6402373705728000L, 121645100408832000L, 2432902008176640000L)
+
+  /** ln(m!) with NO lgamma dependency (Spark has none): exact-table
+    * lookup for m ≤ 20, else the 3-term Stirling series for lnΓ(m+1)
+    * — relative error < 1e-12 at m ≥ 21, far under the pico
+    * quantization. The SAME formula text runs in DuckDB
+    * ([[lnFactSql]]); a native lgamma would differ in last ulps. */
+  private def lnFact(m: Column): Column = {
+    val z = m.cast("double") + lit(1.0d)
+    when(m <= 20L,
+      log(element_at(typedLit(factTable), (m + lit(1L)).cast("int")).cast("double")))
+      .otherwise((z - lit(0.5d)) * log(z) - z + lit(0.9189385332046727d) +
+        lit(1.0d) / (lit(12.0d) * z) -
+        lit(1.0d) / (lit(360.0d) * z * z * z) +
+        lit(1.0d) / (lit(1260.0d) * z * z * z * z * z))
+  }
+
+  private def lnFactSql(m: String): String = {
+    val z = s"(CAST(($m) AS DOUBLE) + 1.0)"
+    s"(CASE WHEN ($m) <= 20 THEN ln(CAST(${factTable.mkString("[", ",", "]")}" +
+      s"[CAST(($m) AS BIGINT) + 1] AS DOUBLE)) " +
+      s"ELSE ($z - 0.5) * ln($z) - $z + 0.9189385332046727 " +
+      s"+ 1.0/(12.0*$z) - 1.0/(360.0*$z*$z*$z) " +
+      s"+ 1.0/(1260.0*$z*$z*$z*$z*$z) END)"
+  }
+
+  /** FISHER'S EXACT TEST on the 2×2 (lang = en) × (long doc) table —
+    * the small-cell-safe sibling of [[Aggregations]]' chi²: when any
+    * expected cell is < 5 the χ² approximation lies, and a curation
+    * pipeline slicing a rare language hits that constantly. The
+    * hypergeometric tail sums run over a spine of candidate tables
+    * k — but NOT the full support: the support prunes to μ ± 40σ
+    * (everything outside underflows double to exactly 0 in both
+    * engines anyway), so the spine is O(σ) = O(√n) rows at ANY
+    * corpus size (at 1e12 rows that's ~4e7 — distribute the spine
+    * with a ranged source if one explode-task ever matters; here it
+    * is a one-row explode). Each table's probability quantizes to
+    * pico ONCE (per-term contract) and the two-sided rule
+    * p(k) ≤ p(obs) is then an INTEGER compare — no epsilon. ln m!
+    * has no lgamma in Spark, so both engines run the identical
+    * exact-table + Stirling formula ([[lnFact]]). */
+  def fisherExact(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val en = col("lang") === "en"
+    val long_ = col("n_chars") >= 500
+    val cnt = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(en && long_, 1L).otherwise(0L)).as("a"),
+        sum(when(en && !long_, 1L).otherwise(0L)).as("b"),
+        sum(when(!en && long_, 1L).otherwise(0L)).as("c"),
+        sum(when(!en && !long_, 1L).otherwise(0L)).as("dd"))
+      .withColumn("r1", col("a") + col("b"))
+      .withColumn("r2", col("c") + col("dd"))
+      .withColumn("c1", col("a") + col("c"))
+      .withColumn("c2", col("b") + col("dd"))
+      .withColumn("mu", d(col("r1")) * d(col("c1")) / d(col("n")))
+      .withColumn("sigma",
+        sqrt(d(col("r1")) * d(col("r2")) * d(col("c1")) * d(col("c2")) /
+          (d(col("n")) * d(col("n")) * (d(col("n")) - lit(1.0d)))))
+      .withColumn("wlo", greatest(greatest(lit(0L), col("c1") - col("r2")),
+        floor(col("mu") - lit(40.0d) * col("sigma") - lit(1.0d)).cast("long")))
+      .withColumn("whi", least(least(col("r1"), col("c1")),
+        ceil(col("mu") + lit(40.0d) * col("sigma") + lit(1.0d)).cast("long")))
+      .withColumn("ln_denom",
+        lnFact(col("n")) - lnFact(col("c1")) - lnFact(col("n") - col("c1")))
+    def lnP(k: Column): Column =
+      lnFact(col("r1")) - lnFact(k) - lnFact(col("r1") - k) +
+        lnFact(col("r2")) - lnFact(col("c1") - k) -
+        lnFact(col("r2") - col("c1") + k) - col("ln_denom")
+    val withObs = cnt.withColumn("p_obs_pico",
+      round(lit(1e12) * exp(lnP(col("a")))).cast("long"))
+    withObs
+      .select(col("*"), explode(sequence(col("wlo"), col("whi"))).as("k"))
+      .withColumn("pk_pico", round(lit(1e12) * exp(lnP(col("k")))).cast("long"))
+      .groupBy(col("n"), col("a"), col("b"), col("c"), col("dd"),
+        col("p_obs_pico"))
+      .agg(
+        sum(when(col("pk_pico") <= col("p_obs_pico"), col("pk_pico"))
+          .otherwise(0L)).as("p_two_pico"),
+        sum(when(col("k") <= col("a"), col("pk_pico")).otherwise(0L))
+          .as("p_left_pico"),
+        sum(when(col("k") >= col("a"), col("pk_pico")).otherwise(0L))
+          .as("p_right_pico"))
+      .select(col("n"), col("a"), col("b"), col("c"), col("dd"),
+        col("p_obs_pico"), col("p_two_pico"), col("p_left_pico"),
+        col("p_right_pico"),
+        when(col("b") * col("c") > 0L,
+          round(lit(1e3) * d(col("a")) * d(col("dd")) /
+            (d(col("b")) * d(col("c")))).cast("long")).as("odds_ratio_milli"))
+  }
+
+  val fisherExactSql: String = {
+    def lnP(k: String): String =
+      s"${lnFactSql("r1")} - ${lnFactSql(k)} - ${lnFactSql(s"r1 - ($k)")} " +
+        s"+ ${lnFactSql("r2")} - ${lnFactSql(s"c1 - ($k)")} " +
+        s"- ${lnFactSql(s"r2 - c1 + ($k)")} - ln_denom"
+    s"""WITH cnt AS (
+       |  SELECT count(*) AS n,
+       |         sum(CASE WHEN lang = 'en' AND n_chars >= 500 THEN 1 ELSE 0 END) AS a,
+       |         sum(CASE WHEN lang = 'en' AND n_chars < 500 THEN 1 ELSE 0 END) AS b,
+       |         sum(CASE WHEN lang <> 'en' AND n_chars >= 500 THEN 1 ELSE 0 END) AS c,
+       |         sum(CASE WHEN lang <> 'en' AND n_chars < 500 THEN 1 ELSE 0 END) AS dd
+       |  FROM documents),
+       |par AS (
+       |  SELECT *, a + b AS r1, c + dd AS r2, a + c AS c1, b + dd AS c2,
+       |         CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+       |         sqrt(CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE)
+       |              * CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE)
+       |              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       |                 * (CAST(n AS DOUBLE) - 1.0))) AS sigma
+       |  FROM cnt),
+       |par2 AS (
+       |  SELECT *,
+       |         greatest(greatest(0, c1 - r2),
+       |                  CAST(floor(mu - 40.0 * sigma - 1.0) AS BIGINT)) AS wlo,
+       |         least(least(r1, c1),
+       |               CAST(ceil(mu + 40.0 * sigma + 1.0) AS BIGINT)) AS whi,
+       |         ${lnFactSql("n")} - ${lnFactSql("c1")} - ${lnFactSql("n - c1")}
+       |           AS ln_denom
+       |  FROM par),
+       |par3 AS (
+       |  SELECT *, CAST(round(1e12 * exp(${lnP("a")})) AS BIGINT) AS p_obs_pico
+       |  FROM par2),
+       |spine AS (
+       |  SELECT p.*, unnest(generate_series(CAST(p.wlo AS BIGINT),
+       |                                     CAST(p.whi AS BIGINT))) AS k
+       |  FROM par3 p),
+       |terms AS (
+       |  SELECT *, CAST(round(1e12 * exp(${lnP("k")})) AS BIGINT) AS pk_pico
+       |  FROM spine)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(a AS BIGINT) AS a,
+       |       CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+       |       CAST(dd AS BIGINT) AS dd,
+       |       CAST(p_obs_pico AS BIGINT) AS p_obs_pico,
+       |       CAST(sum(CASE WHEN pk_pico <= p_obs_pico THEN pk_pico ELSE 0 END)
+       |         AS BIGINT) AS p_two_pico,
+       |       CAST(sum(CASE WHEN k <= a THEN pk_pico ELSE 0 END) AS BIGINT)
+       |         AS p_left_pico,
+       |       CAST(sum(CASE WHEN k >= a THEN pk_pico ELSE 0 END) AS BIGINT)
+       |         AS p_right_pico,
+       |       CASE WHEN b * c > 0
+       |            THEN CAST(round(1e3 * CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+       |                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) AS BIGINT)
+       |       END AS odds_ratio_milli
+       |FROM terms
+       |GROUP BY n, a, b, c, dd, p_obs_pico""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_fisher_exact" -> (fisherExact _),
+    "stats_levene" -> (levene _),
     "stats_jarque_bera" -> (jarqueBera _),
     "stats_power_analysis" -> (powerAnalysis _),
     "stats_bh_fdr" -> (bhFdr _),
@@ -1473,6 +1724,8 @@ object StatsOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stats_fisher_exact" -> fisherExactSql,
+    "stats_levene" -> leveneSql,
     "stats_jarque_bera" -> jarqueBeraSql,
     "stats_power_analysis" -> powerAnalysisSql,
     "stats_bh_fdr" -> bhFdrSql,

@@ -128,6 +128,81 @@ object TextAnalysis {
       |  FROM documents)
       |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
 
+  /** COHEN'S KAPPA — chance-corrected agreement between the heuristic
+    * language gate ([[langIdConfusion]]'s stopword rule, playing the
+    * cheap annotator) and the gold `lang` label, collapsed to the
+    * en/other decision both raters share. Accuracy alone flatters a
+    * gate on an imbalanced corpus (guessing the majority class scores
+    * high); κ = (p_o − p_e)/(1 − p_e) subtracts the agreement the
+    * marginals produce by chance — the number an annotation pipeline
+    * quotes before trusting auto-labels. All four cells are exact
+    * BIGINTs from ONE full-scan aggregation (map-side combinable);
+    * p_o, p_e and κ are each ONE double expression over those
+    * integers, quantized to ppm/micro. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val stopRatio = size(filter(w, t => t.isin("the", "a"))).cast("double") / size(w)
+    def d(c: Column) = c.cast("double")
+    Tables.documents(spark, dir)
+      .select((when(stopRatio > 0.05, 1L).otherwise(0L)).as("pa"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pa") === 1L && col("pb") === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("pa") === 1L && col("pb") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(col("pa") === 0L && col("pb") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(col("pa") === 0L && col("pb") === 0L, 1L).otherwise(0L)).as("dd"))
+      .select(col("n"), col("a"), col("b"), col("c"), col("dd"),
+        round(lit(1e6) * d(col("a") + col("dd")) / d(col("n"))).cast("long")
+          .as("po_ppm"),
+        round(lit(1e6) *
+          (d(col("a") + col("b")) * d(col("a") + col("c")) +
+            d(col("c") + col("dd")) * d(col("b") + col("dd"))) /
+          (d(col("n")) * d(col("n")))).cast("long").as("pe_ppm"),
+        round(lit(1e6) *
+          (d(col("a") + col("dd")) / d(col("n")) -
+            (d(col("a") + col("b")) * d(col("a") + col("c")) +
+              d(col("c") + col("dd")) * d(col("b") + col("dd"))) /
+            (d(col("n")) * d(col("n")))) /
+          (lit(1.0d) -
+            (d(col("a") + col("b")) * d(col("a") + col("c")) +
+              d(col("c") + col("dd")) * d(col("b") + col("dd"))) /
+            (d(col("n")) * d(col("n"))))).cast("long").as("kappa_micro"))
+  }
+
+  val cohensKappaSql: String =
+    """WITH cells AS (
+      |  SELECT count(*) AS n,
+      |         sum(CASE WHEN pa = 1 AND pb = 1 THEN 1 ELSE 0 END) AS a,
+      |         sum(CASE WHEN pa = 1 AND pb = 0 THEN 1 ELSE 0 END) AS b,
+      |         sum(CASE WHEN pa = 0 AND pb = 1 THEN 1 ELSE 0 END) AS c,
+      |         sum(CASE WHEN pa = 0 AND pb = 0 THEN 1 ELSE 0 END) AS dd
+      |  FROM (
+      |    SELECT CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+      |                   t -> t IN ('the', 'a'))) AS DOUBLE)
+      |                   / len(string_split(text, ' ')) > 0.05
+      |                THEN 1 ELSE 0 END AS pa,
+      |           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pb
+      |    FROM documents))
+      |SELECT CAST(n AS BIGINT) AS n, CAST(a AS BIGINT) AS a,
+      |       CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+      |       CAST(dd AS BIGINT) AS dd,
+      |       CAST(round(1e6 * CAST(a + dd AS DOUBLE) / CAST(n AS DOUBLE))
+      |         AS BIGINT) AS po_ppm,
+      |       CAST(round(1e6 * (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+      |              + CAST(c + dd AS DOUBLE) * CAST(b + dd AS DOUBLE))
+      |            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS pe_ppm,
+      |       CAST(round(1e6
+      |         * (CAST(a + dd AS DOUBLE) / CAST(n AS DOUBLE)
+      |            - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+      |               + CAST(c + dd AS DOUBLE) * CAST(b + dd AS DOUBLE))
+      |              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |         / (1.0
+      |            - (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+      |               + CAST(c + dd AS DOUBLE) * CAST(b + dd AS DOUBLE))
+      |              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT)
+      |         AS kappa_micro
+      |FROM cells""".stripMargin
+
   /** Positional polynomial fingerprint (rolling-hash flavor): exact
     * integer arithmetic, order-sensitive, engine-identical. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -954,6 +1029,7 @@ object TextAnalysis {
     "text_token_stats_ws" -> (tokenStatsWs _),
     "text_quality_score" -> (qualityScore _),
     "text_langid_confusion" -> (langIdConfusion _),
+    "text_cohens_kappa" -> (cohensKappa _),
     "text_fingerprint" -> (fingerprint _),
     "text_top_terms" -> (topTerms _),
     "text_tfidf_top_term" -> (tfidfTopTerm _)
@@ -974,6 +1050,7 @@ object TextAnalysis {
     "text_token_stats_ws" -> tokenStatsWsSql,
     "text_quality_score" -> qualityScoreSql,
     "text_langid_confusion" -> langIdConfusionSql,
+    "text_cohens_kappa" -> cohensKappaSql,
     "text_fingerprint" -> fingerprintSql,
     "text_top_terms" -> topTermsSql,
     "text_tfidf_top_term" -> tfidfTopTermSql

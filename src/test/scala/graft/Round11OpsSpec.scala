@@ -299,6 +299,49 @@ class Round11OpsSpec extends SparkSpec {
     assert(lo.getAs[Long]("n_parent_keys") === Tables.orders(spark, sf).count())
   }
 
+  test("fisher exact: tails telescope (left + right = 1 + p_obs), two-sided bounded") {
+    val r = StatsOps.fisherExact(spark, sf).collect()(0)
+    val (pl, pr, po, p2) = (r.getAs[Long]("p_left_pico"), r.getAs[Long]("p_right_pico"),
+      r.getAs[Long]("p_obs_pico"), r.getAs[Long]("p_two_pico"))
+    // exact identity of hypergeometric tails, up to per-term pico rounding
+    assert(math.abs(pl + pr - 1000000000000L - po) < 1000000L)
+    assert(p2 >= po && p2 <= 1000000000000L + 1000000L)
+    assert(p2 >= math.min(pl, pr)) // two-sided dominates the smaller tail
+  }
+
+  test("levene: W non-negative, group count and n match the table") {
+    val r = StatsOps.levene(spark, sf).collect()(0)
+    assert(r.getAs[Long]("k") >= 2L)
+    assert(r.getAs[Long]("n") === Tables.customer(spark, sf).count())
+    assert(r.getAs[Long]("w_milli") >= 0L)
+    assert(r.getAs[Long]("ssw_milli") > 0L)
+  }
+
+  test("cohens kappa: bounded, sign matches observed-minus-chance") {
+    val r = TextAnalysis.cohensKappa(spark, sf).collect()(0)
+    val (po, pe, k) = (r.getAs[Long]("po_ppm"), r.getAs[Long]("pe_ppm"),
+      r.getAs[Long]("kappa_micro"))
+    assert(po >= 0L && po <= 1000000L && pe >= 0L && pe <= 1000000L)
+    assert(k >= -1000000L && k <= 1000000L)
+    assert((po - pe) == 0L || (po - pe).sign == k.sign || k == 0L)
+    assert(r.getAs[Long]("n") ===
+      r.getAs[Long]("a") + r.getAs[Long]("b") + r.getAs[Long]("c") + r.getAs[Long]("dd"))
+  }
+
+  test("dbscan: partition of the point set; clusters have >= 1 core") {
+    val rows = GeoOps.dbscan(spark, sf).collect()
+    val noise = rows.filter(_.getAs[Long]("cluster") == -1L)
+    assert(noise.length === 1)
+    val clusters = rows.filter(_.getAs[Long]("cluster") != -1L)
+    clusters.foreach { r =>
+      assert(r.getAs[Long]("n_core") >= 1L)
+      assert(r.getAs[Long]("n_pts") ===
+        r.getAs[Long]("n_core") + r.getAs[Long]("n_border"))
+    }
+    val total = rows.map(_.getAs[Long]("n_pts")).sum
+    assert(total === Tables.customer(spark, sf).count())
+  }
+
   test("prefixBytes + leAt round-trip little-endian fields") {
     import spark.implicits._
     val df = Seq(1).toDF("one")
