@@ -1812,7 +1812,130 @@ object CorpusOps {
       |FROM rates r LEFT JOIN kept k ON r.lang = k.lang
       |ORDER BY r.lang""".stripMargin
 
+  /** TRIGRAM STUPID-BACKOFF scoring on a held-out split — the LM
+    * quality screen one order above [[bigramLogprob]], in the form
+    * large-corpus practice actually uses (Brants et al.: no
+    * normalization, fixed 0.4 backoff factor — "stupid" because at
+    * web scale the unnormalized score ranks documents just as well).
+    * Train on doc_id % 10 ≠ 0, score the held-out tenth, so the
+    * backoff paths genuinely fire (scoring the training corpus would
+    * never leave the trigram level). S(w₃|w₁w₂) = c₃/c₂(w₁w₂), else
+    * 0.4·c₂(w₂w₃)/c₁(w₂), else 0.4²·max(c₁(w₃),1)/N (the OOV floor is
+    * one pseudo-count). Per-trigram ln scores quantize to micro-nats
+    * ONCE and integer-sum per document (per-term contract — no float
+    * summation order); the census also reports which backoff level
+    * answered. Scale: the model tables are Zipf-bounded compact-key
+    * aggs; scoring is key-partitioned joins on trigram/bigram/word —
+    * the honest distributed LM-scoring cost, no sort anywhere. */
+  def trigramBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = toks(col("text"))
+    val emptyS = array().cast("array<string>")
+    val triArr = when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1),
+          lit(" "), element_at(t, i + 2)))).otherwise(emptyS)
+    val bgArr = when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))).otherwise(emptyS)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val held = docs.filter(col("doc_id") % 10 === 0)
+    val tc = train.select(explode(triArr).as("tg"))
+      .groupBy(col("tg")).agg(count(lit(1)).as("c3"))
+    val bc = train.select(explode(bgArr).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val uc = train.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val tot = train.select(explode(t).as("w")).agg(count(lit(1)).as("nt"))
+    val ht = held.select(col("doc_id"), explode(triArr).as("tg"))
+      .withColumn("w2", element_at(split(col("tg"), " "), 2))
+      .withColumn("w3", element_at(split(col("tg"), " "), 3))
+      .withColumn("w12", concat(element_at(split(col("tg"), " "), 1),
+        lit(" "), col("w2")))
+      .withColumn("w23", concat(col("w2"), lit(" "), col("w3")))
+    def d(c: Column) = c.cast("double")
+    val scored = ht
+      .join(tc, Seq("tg"), "left")
+      .join(bc.select(col("bg").as("w12"), col("c2").as("c2_ctx")), Seq("w12"), "left")
+      .join(bc.select(col("bg").as("w23"), col("c2").as("c2_back")), Seq("w23"), "left")
+      .join(uc.select(col("w").as("w2"), col("c1").as("c1_w2")), Seq("w2"), "left")
+      .join(uc.select(col("w").as("w3"), col("c1").as("c1_w3")), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("score",
+        when(col("c3").isNotNull, d(col("c3")) / d(col("c2_ctx")))
+          .when(col("c2_back").isNotNull,
+            lit(0.4d) * d(col("c2_back")) / d(col("c1_w2")))
+          .otherwise(lit(0.16d) *
+            d(greatest(coalesce(col("c1_w3"), lit(0L)), lit(1L))) / d(col("nt"))))
+      .withColumn("s_micro", round(lit(1e6) * log(col("score"))).cast("long"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("c3").isNotNull, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("c3").isNull && col("c2_back").isNotNull, 1L).otherwise(0L))
+          .as("n_hit2"),
+        sum(when(col("c3").isNull && col("c2_back").isNull, 1L).otherwise(0L))
+          .as("n_uni"),
+        sum(col("s_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_hit3"), col("n_hit2"),
+        col("n_uni"),
+        round(d(col("sum_micro")) / d(col("n_trigrams"))).cast("long")
+          .as("avg_logscore_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val trigramBackoffSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tri AS (
+      |  SELECT doc_id,
+      |         unnest(CASE WHEN len(w) >= 3
+      |                THEN list_transform(range(len(w) - 2),
+      |                       i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+      |                ELSE [] END) AS tg
+      |  FROM t),
+      |bgx AS (
+      |  SELECT doc_id,
+      |         unnest(CASE WHEN len(w) >= 2
+      |                THEN list_transform(range(len(w) - 1),
+      |                       i -> w[i+1] || ' ' || w[i+2])
+      |                ELSE [] END) AS bg
+      |  FROM t),
+      |un AS (SELECT doc_id, unnest(w) AS wd FROM t),
+      |tc AS (SELECT tg, count(*) AS c3 FROM tri WHERE doc_id % 10 <> 0 GROUP BY 1),
+      |bc AS (SELECT bg, count(*) AS c2 FROM bgx WHERE doc_id % 10 <> 0 GROUP BY 1),
+      |uc AS (SELECT wd, count(*) AS c1 FROM un WHERE doc_id % 10 <> 0 GROUP BY 1),
+      |tot AS (SELECT count(*) AS nt FROM un WHERE doc_id % 10 <> 0),
+      |ht AS (
+      |  SELECT doc_id, tg, split_part(tg, ' ', 2) AS w2, split_part(tg, ' ', 3) AS w3,
+      |         split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS w12,
+      |         split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS w23
+      |  FROM tri WHERE doc_id % 10 = 0),
+      |sc AS (
+      |  SELECT h.doc_id, tc.c3, b2.c2 AS c2_back,
+      |         CASE WHEN tc.c3 IS NOT NULL
+      |              THEN CAST(tc.c3 AS DOUBLE) / CAST(b1.c2 AS DOUBLE)
+      |              WHEN b2.c2 IS NOT NULL
+      |              THEN 0.4 * CAST(b2.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)
+      |              ELSE 0.16 * CAST(greatest(coalesce(u3.c1, 0), 1) AS DOUBLE)
+      |                   / CAST(tot.nt AS DOUBLE) END AS score
+      |  FROM ht h
+      |  LEFT JOIN tc ON h.tg = tc.tg
+      |  LEFT JOIN bc b1 ON h.w12 = b1.bg
+      |  LEFT JOIN bc b2 ON h.w23 = b2.bg
+      |  LEFT JOIN uc u2 ON h.w2 = u2.wd
+      |  LEFT JOIN uc u3 ON h.w3 = u3.wd
+      |  CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_trigrams,
+      |       CAST(sum(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+      |       CAST(sum(CASE WHEN c3 IS NULL AND c2_back IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_hit2,
+      |       CAST(sum(CASE WHEN c3 IS NULL AND c2_back IS NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_uni,
+      |       CAST(round(CAST(sum(CAST(round(1e6 * ln(score)) AS BIGINT)) AS DOUBLE)
+      |            / count(*)) AS BIGINT) AS avg_logscore_micro
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_trigram_backoff" -> (trigramBackoff _),
     "corpus_temperature_mix" -> (temperatureMix _),
     "corpus_cooccurrence" -> (cooccurrence _),
     "corpus_fertility" -> (fertility _),
@@ -1873,6 +1996,7 @@ object CorpusOps {
     "corpus_chunk_overlap" -> chunkOverlapSql,
     "corpus_mix_rebalance" -> mixRebalanceSql,
     "corpus_temperature_mix" -> temperatureMixSql,
+    "corpus_trigram_backoff" -> trigramBackoffSql,
     "corpus_decontaminate" -> decontaminateSql,
     // the sketch changes the plan, never the answer — same oracle as
     // the exact decontamination by design

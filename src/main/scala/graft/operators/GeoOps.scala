@@ -306,9 +306,13 @@ object GeoOps {
     * argument that keeps minhash band buckets from exploding. At
     * 100 TB: one compact-key cell agg, one 9× grid join, the CC
     * fixpoint — no global sort, no data-sized single partition. */
-  def dbscan(spark: SparkSession, dir: String): DataFrame = {
+  /** The √n-scaled deterministic point cloud + its eps-proximity
+    * pairs (exact integer centiunit distances, eps-grid equi join) —
+    * shared by [[dbscan]] and [[khopReach]]. The returned pairs are
+    * localCheckpoint-ed: both consumers reuse them several times and
+    * must not re-run the 9× grid join per reference. */
+  private def epsGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val epsC = 100L // eps in centiunits (1.0 unit)
-    val minPts = 5L // closed-neighborhood minimum, self included
     val m = Tables.customer(spark, dir)
       .agg(floor(sqrt(count(lit(1)).cast("double"))).cast("long").as("m"))
     val pts = Tables.customer(spark, dir).select(col("c_custkey").as("id"))
@@ -329,9 +333,35 @@ object GeoOps {
       .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
         (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(epsC * epsC))
       .select(col("ida"), col("idb"))
-      .localCheckpoint() // reused three times below; the census,
-                         // core-edge, and border joins must not
-                         // re-run the 9× grid join each
+      .localCheckpoint()
+    (pts, pairs)
+  }
+
+  /** The shared SQL prefix replaying [[epsGraph]] — MATERIALIZED, or
+    * DuckDB re-inlines the grid join into every consumer (and, in the
+    * recursive oracles, into every ITERATION — the 72-CPU-minute
+    * lesson this round). */
+  private val epsGraphSql: String =
+    """m AS (
+      |  SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS m FROM customer),
+      |pts AS MATERIALIZED (
+      |  SELECT c_custkey AS id,
+      |         (c_custkey * 37) % (m.m * 100) AS xc,
+      |         (c_custkey * 91) % (m.m * 100) AS yc
+      |  FROM customer, m),
+      |cells AS MATERIALIZED (SELECT id, xc, yc, xc // 100 AS cx, yc // 100 AS cy FROM pts),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.id AS ida, b.id AS idb
+      |  FROM cells a JOIN cells b
+      |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+      |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+      |   AND a.id <> b.id
+      |   AND (a.xc - b.xc) * (a.xc - b.xc)
+      |       + (a.yc - b.yc) * (a.yc - b.yc) <= 10000)""".stripMargin
+
+  def dbscan(spark: SparkSession, dir: String): DataFrame = {
+    val minPts = 5L // closed-neighborhood minimum, self included
+    val (pts, pairs) = epsGraph(spark, dir)
     val deg = pairs.groupBy(col("ida")).agg((count(lit(1)) + lit(1L)).as("deg"))
     val core = deg.filter(col("deg") >= minPts).select(col("ida").as("id"))
     val coreEdges = pairs
@@ -364,22 +394,7 @@ object GeoOps {
   }
 
   val dbscanSql: String =
-    """WITH RECURSIVE m AS (
-      |  SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS m FROM customer),
-      |pts AS MATERIALIZED (
-      |  SELECT c_custkey AS id,
-      |         (c_custkey * 37) % (m.m * 100) AS xc,
-      |         (c_custkey * 91) % (m.m * 100) AS yc
-      |  FROM customer, m),
-      |cells AS MATERIALIZED (SELECT id, xc, yc, xc // 100 AS cx, yc // 100 AS cy FROM pts),
-      |pairs AS MATERIALIZED (
-      |  SELECT a.id AS ida, b.id AS idb
-      |  FROM cells a JOIN cells b
-      |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
-      |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
-      |   AND a.id <> b.id
-      |   AND (a.xc - b.xc) * (a.xc - b.xc)
-      |       + (a.yc - b.yc) * (a.yc - b.yc) <= 10000),
+    s"""WITH RECURSIVE $epsGraphSql,
       |core AS MATERIALIZED (
       |  SELECT ida AS id FROM pairs GROUP BY 1 HAVING count(*) + 1 >= 5),
       |ce AS MATERIALIZED (
@@ -413,7 +428,64 @@ object GeoOps {
       |       CAST(n_pts AS BIGINT) AS n_pts
       |FROM census ORDER BY n_pts DESC, cluster""".stripMargin
 
+  /** K-HOP REACH census over the eps-proximity graph — the locality
+    * diagnostic beside [[dbscan]]: how fast does a neighborhood grow
+    * hop by hop? (The answer sizes every message-passing operator's
+    * frontier — GNN sampling fan-out, gossip rounds, blast radius of
+    * a bad record.) Seeds are a BOUNDED slice (id ≡ 0 mod 100);
+    * breadth-first expansion runs h = 1..3 as DataFrame joins keyed
+    * on the node id, expanding ONLY the newly-discovered frontier
+    * (min-hop BFS — the engine never revisits), localCheckpoint per
+    * round (the CC-fixpoint lineage lesson). Output per seed:
+    * cumulative distinct reach at 1, 2, 3 hops. Scale: 3 key-
+    * partitioned joins against the pair list, frontier bounded by the
+    * subcritical component size — the same percolation argument as
+    * [[dbscan]]; the oracle's recursive walk is hop-bounded (≤ 3)
+    * rather than closure-bounded. */
+  def khopReach(spark: SparkSession, dir: String): DataFrame = {
+    val (pts, pairs) = epsGraph(spark, dir)
+    val seeds = pts.filter(col("id") % 100 === 0)
+      .select(col("id").as("seed"))
+    var reach = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0L).as("hop")).localCheckpoint()
+    (1 to 3).foreach { h =>
+      val frontier = reach.filter(col("hop") === (h - 1))
+        .join(pairs.select(col("ida").as("node"), col("idb")), Seq("node"))
+        .select(col("seed"), col("idb").as("node"), lit(h.toLong).as("hop"))
+      reach = reach.unionByName(frontier)
+        .groupBy(col("seed"), col("node")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint()
+    }
+    reach.groupBy(col("seed"))
+      .agg(
+        sum(when(col("hop") >= 1L && col("hop") <= 1L, 1L).otherwise(0L))
+          .as("n_1hop"),
+        sum(when(col("hop") >= 1L && col("hop") <= 2L, 1L).otherwise(0L))
+          .as("n_2hop"),
+        sum(when(col("hop") >= 1L, 1L).otherwise(0L)).as("n_3hop"))
+      .orderBy(col("seed"))
+  }
+
+  val khopReachSql: String =
+    s"""WITH RECURSIVE $epsGraphSql,
+      |seeds AS (SELECT id FROM pts WHERE id % 100 = 0),
+      |walk(seed, node, hop) AS (
+      |  SELECT id, id, 0 FROM seeds
+      |  UNION
+      |  SELECT w.seed, p.idb, w.hop + 1
+      |  FROM walk w JOIN pairs p ON w.node = p.ida
+      |  WHERE w.hop < 3),
+      |mh AS (SELECT seed, node, min(hop) AS hop FROM walk GROUP BY 1, 2)
+      |SELECT CAST(seed AS BIGINT) AS seed,
+      |       CAST(sum(CASE WHEN hop BETWEEN 1 AND 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_1hop,
+      |       CAST(sum(CASE WHEN hop BETWEEN 1 AND 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_2hop,
+      |       CAST(sum(CASE WHEN hop >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_3hop
+      |FROM mh GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_khop_reach" -> (khopReach _),
     "geo_dbscan" -> (dbscan _),
     "geo_point_in_polygon" -> (pointInPolygon _),
     "geo_nearest" -> (nearest _),
@@ -422,6 +494,7 @@ object GeoOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "graph_khop_reach" -> khopReachSql,
     "geo_dbscan" -> dbscanSql,
     "geo_point_in_polygon" -> pointInPolygonSql,
     "geo_nearest" -> nearestSql,

@@ -548,6 +548,71 @@ object Multimodal {
     * jpeg path's localCheckpoint workaround — a lineage cut that
     * materializes the whole scan, which is exactly what a 100 TB
     * streaming pass cannot afford. */
+  /** MP3 (MPEG-1 Layer III) frame-header parse — the EIGHTH codec,
+    * and the first whose fields are INDEX-CODED: bitrate and sample
+    * rate live in the header as 4-/2-bit table indices, not values,
+    * so the decode needs the literal ISO tables (both engines index
+    * the same literals). Header: 32-bit BE word = 11 sync bits,
+    * version(2)=MPEG1, layer(2)=III, protection(1), bitrate idx(4),
+    * samplerate idx(2), padding(1), private(1), channel mode(2).
+    * Frame length follows the spec formula 144000·kbps // rate
+    * + padding — exact integer division in both engines. The payload
+    * contract as for WAV/BMP: the synthesized header IS the spec and
+    * the oracle replays the generator arithmetic. Scale: int-array
+    * prefix decode (one analyzed bytes column, one cheap projection
+    * per field — the r10/r11 flat-planner-cost discipline), pure
+    * codegen byte arithmetic, map-only. */
+  def mp3Header(spark: SparkSession, dir: String): DataFrame = {
+    val brIdx = (lit(1) + pmod(col("doc_id"), lit(14))).cast("long")
+    val srIdx = pmod(col("n_chars"), lit(3)).cast("long")
+    val pad = pmod(col("doc_id"), lit(2)).cast("long")
+    val mode = pmod(col("n_chars"), lit(4)).cast("long")
+    // 0xFFFB-style MPEG1 Layer III header word, fields shifted in
+    val word = lit(0x7FFL * (1L << 21)) + lit(3L * (1L << 19)) +
+      lit(1L * (1L << 17)) + lit(1L << 16) +
+      brIdx * (1L << 12) + srIdx * (1L << 10) + pad * (1L << 9) +
+      mode * (1L << 6)
+    def beHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i =>
+        lpad(hex(shiftright(v, 8 * (n - 1 - i)) % 256), 2, "0")): _*)
+    val mp3 = unhex(beHex(word, 4))
+    val bytes = Tables.documents(spark, dir)
+      .select(col("doc_id"), prefixBytes(mp3, 4).as("bytes"))
+    val kbpsTable = typedLit(Seq(0L, 32L, 40L, 48L, 56L, 64L, 80L, 96L,
+      112L, 128L, 160L, 192L, 224L, 256L, 320L))
+    val rateTable = typedLit(Seq(44100L, 48000L, 32000L))
+    val hdr = beAt(col("bytes"), 1, 4)
+    def field(shift: Int, bits: Int) =
+      pmod(shiftright(hdr, shift), lit(1L << bits))
+    bytes
+      .select(col("doc_id"),
+        (field(21, 11) === 0x7FFL).as("sync_ok"),
+        (field(19, 2) === 3L && field(17, 2) === 1L).as("mpeg1_l3_ok"),
+        field(12, 4).as("bitrate_idx"),
+        element_at(kbpsTable, field(12, 4).cast("int") + 1).as("bitrate_kbps"),
+        element_at(rateTable, field(10, 2).cast("int") + 1).as("sample_rate"),
+        field(9, 1).as("padding"),
+        field(6, 2).as("channel_mode"))
+      .withColumn("frame_bytes",
+        expr("(144000 * bitrate_kbps) div sample_rate") + col("padding"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mp3HeaderSql: String =
+    """SELECT doc_id, TRUE AS sync_ok, TRUE AS mpeg1_l3_ok,
+      |       CAST(1 + doc_id % 14 AS BIGINT) AS bitrate_idx,
+      |       CAST([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+      |         [CAST(1 + doc_id % 14 AS BIGINT) + 1] AS BIGINT) AS bitrate_kbps,
+      |       CAST([44100,48000,32000][CAST(n_chars % 3 AS BIGINT) + 1] AS BIGINT)
+      |         AS sample_rate,
+      |       CAST(doc_id % 2 AS BIGINT) AS padding,
+      |       CAST(n_chars % 4 AS BIGINT) AS channel_mode,
+      |       CAST(144000 * ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+      |                  [CAST(1 + doc_id % 14 AS BIGINT) + 1])
+      |         // ([44100,48000,32000][CAST(n_chars % 3 AS BIGINT) + 1])
+      |         + doc_id % 2 AS BIGINT) AS frame_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def prefixBytes(payload: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
     transform(split(hex(payload.substr(lit(1), lit(n))), "(?<=\\G..)"),
       h => conv(h, 16, 10).cast("long"))
@@ -759,6 +824,7 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_tiff_header" -> (tiffHeader _),
     "mm_flac_header" -> (flacHeader _),
+    "mm_mp3_header" -> (mp3Header _),
     "mm_jpeg_header" -> (jpegHeader _),
     "mm_audio_rms" -> (audioRms _),
     "mm_gif_header" -> (gifHeader _),
@@ -775,6 +841,7 @@ object Multimodal {
   def oracle: Map[String, String] = Map(
     "mm_tiff_header" -> tiffHeaderSql,
     "mm_flac_header" -> flacHeaderSql,
+    "mm_mp3_header" -> mp3HeaderSql,
     "mm_jpeg_header" -> jpegHeaderSql,
     "mm_audio_rms" -> audioRmsSql,
     "mm_gif_header" -> gifHeaderSql,

@@ -1032,7 +1032,74 @@ object WarehouseEtl {
       .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
   }
 
+  /** HASH SURROGATE KEYS + collision/uniformity audit — the
+    * warehouse's scale-safe alternative to sequence-assigned ids: a
+    * dense global sequence needs either a single-partition sort or
+    * cross-partition coordination (both banned shapes), while a hash
+    * of the typed natural key is map-only at ANY corpus size and
+    * stable across reloads (the Data Vault hub-key argument,
+    * [[dataVault]]). The price is collision risk — so the audit ships
+    * WITH the operator: per entity, rows vs distinct surrogates
+    * (collisions = join corruption, must be 0 before the key goes
+    * live) and a 16-bucket uniformity census (hot buckets = skewed
+    * shuffles downstream). Keys ride the portable md5 idHash with an
+    * entity prefix so cross-entity keys can never collide by
+    * construction. One distinct-key agg + one compact bucket census
+    * per entity. */
+  def surrogateKeys(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def audit(name: String, df: DataFrame, natural: Column): DataFrame = {
+      val b = df.select(graft.api.Graft.idHash(natural).as("sk"))
+        .withColumn("bucket", pmod(col("sk"), lit(16L)))
+      val bc = b.groupBy(col("bucket")).agg(count(lit(1)).as("nb"))
+        .agg(min(col("nb")).as("bucket_min"), max(col("nb")).as("bucket_max"))
+      b.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("sk")).as("n_distinct_sk"))
+        .crossJoin(broadcast(bc))
+        .select(lit(name).as("entity"), col("n_rows"), col("n_distinct_sk"),
+          (col("n_rows") - col("n_distinct_sk")).as("n_collisions"),
+          col("bucket_min"), col("bucket_max"),
+          round(lit(1e6) * lit(16.0d) *
+            d(col("bucket_max") - col("bucket_min")) / d(col("n_rows")))
+            .cast("long").as("skew_ppm"))
+    }
+    audit("customer", Tables.customer(spark, dir),
+      concat(lit("customer|"), col("c_custkey").cast("string")))
+      .unionAll(audit("part", Tables.part(spark, dir),
+        concat(lit("part|"), col("p_partkey").cast("string"))))
+      .unionAll(audit("supplier", Tables.supplier(spark, dir),
+        concat(lit("supplier|"), col("s_suppkey").cast("string"))))
+      .orderBy(col("entity"))
+  }
+
+  val surrogateKeysSql: String = {
+    def ent(name: String, table: String, key: String): String =
+      s"""SELECT '$name' AS entity, n_rows, n_distinct_sk,
+         |       n_rows - n_distinct_sk AS n_collisions, bucket_min, bucket_max,
+         |       CAST(round(1e6 * 16.0 * CAST(bucket_max - bucket_min AS DOUBLE)
+         |            / CAST(n_rows AS DOUBLE)) AS BIGINT) AS skew_ppm
+         |FROM (SELECT count(*) AS n_rows, count(DISTINCT sk) AS n_distinct_sk
+         |      FROM (SELECT ('0x' || substring(md5('$name|' || CAST($key AS VARCHAR)), 1, 8))::BIGINT AS sk
+         |            FROM $table)),
+         |     (SELECT min(nb) AS bucket_min, max(nb) AS bucket_max
+         |      FROM (SELECT sk % 16 AS bucket, count(*) AS nb
+         |            FROM (SELECT ('0x' || substring(md5('$name|' || CAST($key AS VARCHAR)), 1, 8))::BIGINT AS sk
+         |                  FROM $table)
+         |            GROUP BY 1))""".stripMargin
+    Seq(ent("customer", "customer", "c_custkey"),
+      ent("part", "part", "p_partkey"),
+      ent("supplier", "supplier", "s_suppkey"))
+      .map(e => s"SELECT CAST(n_rows AS BIGINT) AS n_rows," +
+        " CAST(n_distinct_sk AS BIGINT) AS n_distinct_sk," +
+        " CAST(n_collisions AS BIGINT) AS n_collisions," +
+        " CAST(bucket_min AS BIGINT) AS bucket_min," +
+        " CAST(bucket_max AS BIGINT) AS bucket_max," +
+        s" skew_ppm, entity FROM ($e)")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY entity")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_surrogate_keys" -> (surrogateKeys _),
     "etl_referential_integrity" -> (referentialIntegrity _),
     "etl_data_vault" -> (dataVault _),
     "etl_k_anonymity" -> (kAnonymity _),
@@ -1055,6 +1122,7 @@ object WarehouseEtl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_surrogate_keys" -> surrogateKeysSql,
     "etl_referential_integrity" -> referentialIntegritySql,
     "etl_data_vault" -> dataVaultSql,
     "etl_k_anonymity" -> kAnonymitySql,

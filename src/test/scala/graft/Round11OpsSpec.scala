@@ -342,6 +342,56 @@ class Round11OpsSpec extends SparkSpec {
     assert(total === Tables.customer(spark, sf).count())
   }
 
+  test("mp3 header: sync + layer valid, frame formula matches the tables") {
+    val rows = Multimodal.mp3Header(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val kbps = Seq(0L, 32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L, 128L,
+      160L, 192L, 224L, 256L, 320L)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("sync_ok") && r.getAs[Boolean]("mpeg1_l3_ok"))
+      val bi = r.getAs[Long]("bitrate_idx")
+      assert(bi >= 1L && bi <= 14L)
+      assert(r.getAs[Long]("bitrate_kbps") === kbps(bi.toInt))
+      assert(Seq(44100L, 48000L, 32000L).contains(r.getAs[Long]("sample_rate")))
+      val expect = 144000L * r.getAs[Long]("bitrate_kbps") /
+        r.getAs[Long]("sample_rate") + r.getAs[Long]("padding")
+      assert(r.getAs[Long]("frame_bytes") === expect)
+    }
+  }
+
+  test("trigram backoff: levels partition the trigrams; scores negative") {
+    val rows = CorpusOps.trigramBackoff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var anyBackoff = false
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_trigrams") ===
+        r.getAs[Long]("n_hit3") + r.getAs[Long]("n_hit2") + r.getAs[Long]("n_uni"))
+      assert(r.getAs[Long]("avg_logscore_micro") < 0L)
+      if (r.getAs[Long]("n_hit2") + r.getAs[Long]("n_uni") > 0) anyBackoff = true
+    }
+    assert(anyBackoff, "held-out split must exercise the backoff path")
+  }
+
+  test("khop reach: cumulative and consistent with the eps-graph degree") {
+    val rows = GeoOps.khopReach(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_1hop") <= r.getAs[Long]("n_2hop"))
+      assert(r.getAs[Long]("n_2hop") <= r.getAs[Long]("n_3hop"))
+    }
+  }
+
+  test("surrogate keys: zero collisions, buckets reasonably uniform") {
+    val rows = WarehouseEtl.surrogateKeys(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("entity")).toSeq.sorted ===
+      Seq("customer", "part", "supplier"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_collisions") === 0L)
+      assert(r.getAs[Long]("bucket_min") > 0L)
+      assert(r.getAs[Long]("bucket_max") >= r.getAs[Long]("bucket_min"))
+    }
+  }
+
   test("prefixBytes + leAt round-trip little-endian fields") {
     import spark.implicits._
     val df = Seq(1).toDF("one")
