@@ -513,7 +513,29 @@ object ScaleProbe {
       ("coverage_curve_fof", () =>
         graft.operators.TextAnalysis.coverageCurve(spark, dir).count()),
       ("event_transitions", () =>
-        graft.operators.Analytics.eventTransitions(spark, dir).count())
+        graft.operators.Analytics.eventTransitions(spark, dir).count()),
+      // r11 batch 2: DBSCAN end-to-end — the √n-scaled domain keeps
+      // eps-degree subcritical, so pair mass AND the CC fixpoint's
+      // component sizes must grow ~linearly with rows, never
+      // quadratically (the percolation argument in GeoOps.dbscan's
+      // scaladoc, measured here)
+      ("dbscan_end_to_end", () =>
+        graft.operators.GeoOps.dbscan(spark, dir).count()),
+      // r11 batch 2: min-hop BFS over the same eps-graph — frontier
+      // expansion is 3 key-partitioned joins; cost tracks the pair
+      // list, seeds stay a bounded id slice
+      ("khop_reach_bfs", () =>
+        graft.operators.GeoOps.khopReach(spark, dir).count()),
+      // r11 batch 2: LM scoring joins — model tables are Zipf-bounded
+      // (distinct n-grams grow sublinearly in the replica corpus), so
+      // the scoring cost must track the held-out trigram row count
+      ("trigram_backoff_scoring", () =>
+        graft.operators.CorpusOps.trigramBackoff(spark, dir).count()),
+      // r11 batch 2: the FK audit — five distinct-key censuses + key
+      // joins; the lineitem edges dominate and must scale with the
+      // fact table's DISTINCT KEYS, not its rows
+      ("referential_integrity_5edges", () =>
+        graft.operators.WarehouseEtl.referentialIntegrity(spark, dir).count())
     ).map { case (name, f) =>
       val (secs, n) = timeSecond(f)
       (name, secs, n)
