@@ -1369,8 +1369,8 @@ object MlEval {
       .withColumn("pos", sum(col("pc")).over(Window.partitionBy()))
       .withColumn("nall", sum(col("c")).over(Window.partitionBy()))
       .withColumn("contrib_micro",
-        round(lit(1e6) * ((col("tp") - col("tp_prev")) * col("tp")).cast("double") /
-          (col("pos") * col("pp")).cast("double")).cast("long"))
+        round(lit(1e6) * (dec(col("tp") - col("tp_prev")) * col("tp")).cast("double") /
+          (dec(col("pos")) * col("pp")).cast("double")).cast("long"))
       .groupBy()
       .agg(max(col("nall")).as("n"), max(col("pos")).as("pos"),
         sum(col("contrib_micro")).as("ap_micro"))

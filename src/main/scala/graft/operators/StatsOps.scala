@@ -1013,7 +1013,13 @@ object StatsOps {
     * marginal totals — the cell self-join is |cells|² ≤ (51·11)²
     * comparisons, a broadcast nested-loop over a domain-BOUNDED
     * aggregate (never row-sized). τ_b = (C−D)/√((n₀−n₁)(n₀−n₂)),
-    * every term an exact DECIMAL(38,0)/HUGEINT. */
+    * every term an exact DECIMAL(38,0)/HUGEINT. Output bound: the
+    * headline tau_b_ppm is computed FROM the decimal columns and is
+    * exact at any n; the diagnostic concordant/discordant columns are
+    * cast to LONG for the oracle's dtype contract (DuckDB's pandas
+    * bridge floats HUGEINT/DECIMAL), which saturates at C≈9.2e18
+    * pairs ⇒ n≈6e9 rows — past that, drop the two diagnostic columns
+    * (or emit them pre-divided) rather than widening the type. */
   def kendallTau(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.lineitem(spark, dir)
       .select(round(col("l_quantity")).cast("long").as("x"),
@@ -1145,9 +1151,12 @@ object StatsOps {
     * combinable agg rebuilds the null of every type's
     * |mean_t − mean_rest| SIMULTANEOUSLY (total N and total cents are
     * label-invariant, so mean_rest needs no second pass). Then
-    * p_t = (1 + #{b : d_b,t ≥ d_obs,t})/(B+1) and the BH step-up
-    * p_(k) ≤ k·α/m clears denominators into pure integers:
-    * 2·m·(n_ge+1) ≤ 13·k at α = 0.1, B = 64. Rejected = rank ≤ max
+    * p_t = (1 + #{b : d_b,t ≥ d_obs,t})/(B_t+1) — B_t counted PER
+    * TYPE, because the degenerate-replicate filter (m_t ∈ (0, n)) can
+    * drop replicates for a type — and the BH step-up p_(k) ≤ k·α/m
+    * ranks and thresholds on the NORMALIZED p-value, clearing
+    * denominators by cross-multiplication into pure integers:
+    * 10·m·(n_ge+1) ≤ k·(B_t+1) at α = 0.1. Rejected = rank ≤ max
     * passing k — the step-up, not step-down, rule. Everything after
     * the fan-out runs on ≤ B·m rows. */
   def bhFdr(spark: SparkSession, dir: String): DataFrame = {
@@ -1218,12 +1227,21 @@ object StatsOps {
         max(round(lit(10.0d) * col("d_obs")).cast("long")).as("d_obs_milli"),
         count(col("b")).as("b_reps"),
         sum(when(col("d_b") >= col("d_obs"), 1L).otherwise(0L)).as("n_ge"))
-    val wRank = Window.orderBy(col("n_ge"), col("event_type"))
+    // rank by the NORMALIZED p-value (n_ge+1)/(b_reps+1): b_reps can
+    // differ per type when the degenerate-replicate filter drops some,
+    // so raw n_ge order would disagree with the reported p_ppm. Both
+    // engines compute the same IEEE-754 quotient from the same small
+    // integers, so the order is portable; event_type breaks ties.
+    val pNorm = (col("n_ge").cast("double") + 1d) /
+      (col("b_reps").cast("double") + 1d)
+    val wRank = Window.orderBy(pNorm, col("event_type"))
     pvals
       .withColumn("m", count(lit(1)).over(Window.partitionBy()))
       .withColumn("p_rank", row_number().over(wRank).cast("long"))
-      // BH step-up at α = 0.1, B = 64: p_(k) ≤ k·α/m  ⇔  2m(n_ge+1) ≤ 13k
-      .withColumn("pass", lit(2L) * col("m") * (col("n_ge") + 1L) <= lit(13L) * col("p_rank"))
+      // BH step-up at α = 0.1: p_(k) ≤ k·α/m ⇔ 10m(n_ge+1) ≤ k(b_reps+1)
+      .withColumn("pass",
+        lit(10L) * col("m") * (col("n_ge") + 1L) <=
+          col("p_rank") * (col("b_reps") + 1L))
       .withColumn("k_star",
         max(when(col("pass"), col("p_rank")).otherwise(lit(0L)))
           .over(Window.partitionBy()))
@@ -1279,10 +1297,11 @@ object StatsOps {
       |  GROUP BY 1),
       |ranked AS (
       |  SELECT *, count(*) OVER () AS m,
-      |         CAST(row_number() OVER (ORDER BY n_ge, event_type) AS BIGINT) AS p_rank
+      |         CAST(row_number() OVER (
+      |           ORDER BY (n_ge + 1.0) / (b_reps + 1.0), event_type) AS BIGINT) AS p_rank
       |  FROM pv),
       |flagged AS (
-      |  SELECT *, 2 * m * (n_ge + 1) <= 13 * p_rank AS pass FROM ranked),
+      |  SELECT *, 10 * m * (n_ge + 1) <= p_rank * (b_reps + 1) AS pass FROM ranked),
       |k AS (SELECT coalesce(max(CASE WHEN pass THEN p_rank END), 0) AS k_star FROM flagged)
       |SELECT event_type, CAST(n_t AS BIGINT) AS n_t, d_obs_milli,
       |       CAST(b_reps AS BIGINT) AS b_reps, CAST(n_ge AS BIGINT) AS n_ge,
