@@ -781,6 +781,53 @@ object Streams {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** TIME TRAVEL, oracle-checked end-to-end: split the change log into
+    * 4 deterministic batches (event_id mod 4 — valid because
+    * latest-wins with the (ts, event_id) tiebreak is a JOIN-SEMILATTICE:
+    * the merged state depends only on the SET of change rows seen, not
+    * their batching or order), drive the REAL [[cdcCommitBatch]] commit
+    * path — versioned `v=<b>` snapshots, `_LATEST` pointer swings — and
+    * then read [[stateAt]](v=2), the state BEFORE the final batch
+    * landed. The DuckDB oracle replays the same semantics declaratively
+    * (latest-wins compaction over rows with batch ≤ 2), so the
+    * time-travel READ path — snapshot content, tombstone filtering,
+    * version resolution — is differentially checked, not just
+    * spec-pinned. The state dir is wiped first so a re-run cannot
+    * short-circuit on a stale `_LATEST` pointer. Scale: the 4 commits
+    * are each one key-partitioned merge (the production MERGE plan);
+    * nothing here is driver-sized. */
+  def timeTravelBatch(spark: SparkSession, dir: String): DataFrame = {
+    val stateDir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_time_travel_" + Integer.toHexString(dir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(stateDir)
+    val log = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    (0L to 3L).foreach { b =>
+      cdcCommitBatch(spark, log.where(pmod(col("event_id"), lit(4L)) === b),
+        b, stateDir.getPath)
+    }
+    stateAt(spark, stateDir.getPath, 2L)
+      .select(col("user_id"), col("state"),
+        round(col("value"), 2).as("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+      .orderBy(col("user_id"))
+  }
+
+  val timeTravelBatchSql: String =
+    """SELECT user_id, event_type AS state, round(value, 2) AS value,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events WHERE event_id % 4 <= 2)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   /** LATE-DATA CENSUS — the watermark-tuning report: how out-of-order
     * is this stream actually, and what would a given watermark DROP?
     * Arrival order is the log offset (event_id); each event's lateness
@@ -878,6 +925,7 @@ object Streams {
     "stream_late_census_batch" -> (lateCensusBatch _),
     "stream_interval_join_left_batch" -> (intervalJoinLeftBatch _),
     "stream_cdc_upsert_batch" -> (cdcUpsertBatch _),
+    "etl_time_travel" -> (timeTravelBatch _),
     "stream_interval_join_batch" -> (intervalJoinBatch _),
     "stream_tumbling_batch" -> (tumblingBatch _),
     "stream_topk_window_batch" -> (topkWindowBatch _),
@@ -893,6 +941,7 @@ object Streams {
     "stream_late_census_batch" -> lateCensusBatchSql,
     "stream_interval_join_left_batch" -> intervalJoinLeftBatchSql,
     "stream_cdc_upsert_batch" -> cdcUpsertBatchSql,
+    "etl_time_travel" -> timeTravelBatchSql,
     "stream_interval_join_batch" -> intervalJoinBatchSql,
     "stream_tumbling_batch" -> tumblingBatchSql,
     "stream_topk_window_batch" -> topkWindowBatchSql,
