@@ -25,6 +25,57 @@ import org.apache.spark.sql.functions._
   * Writes docs/SCALE.md.
   */
 object ScaleProbe {
+
+  /** r12 verdict task #2 — the CONTROLLED pre-collapse measurement that
+    * replaces three contradictory r11 artifacts: preCollapse on/off ×
+    * {sf0.1, ~sf1} × interleaved min-of-3, on the EDGE LISTS of the
+    * three CC consumers the driver bench flagged (dedup near-dup
+    * pairs, er-resolve fuzzy name pairs, plus the pathological chain).
+    * Edges are materialized (localCheckpoint) BEFORE timing so the
+    * comparison isolates the CC stage — upstream pair-generation cost
+    * is identical in both settings by construction (and since r12 the
+    * engine itself checkpoints the symmetric edge list once, so the
+    * end-to-end delta equals this CC-stage delta). */
+  private def ccReconcile(spark: SparkSession, sf01: String, big: String): Unit = {
+    def matEdges(df: DataFrame, a: String, b: String): DataFrame = {
+      val m = df.select(col(a), col(b)).localCheckpoint()
+      m.count(); m
+    }
+    def timeCc(edges: DataFrame, a: String, b: String, pre: Boolean): Double = {
+      val t0 = System.nanoTime()
+      graft.api.Graft.connectedComponents(edges, a, b, preCollapse = pre).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cases: Seq[(String, DataFrame, String, String)] = Seq(
+      ("dedup_pairs_sf0.1", matEdges(graft.api.Graft.nearDupPairs(
+        Tables.documents(spark, sf01), "text", "doc_id"), "id_a", "id_b"),
+        "id_a", "id_b"),
+      ("dedup_pairs_sf1", matEdges(graft.api.Graft.nearDupPairs(
+        Tables.documents(spark, big), "text", "doc_id"), "id_a", "id_b"),
+        "id_a", "id_b"),
+      ("er_name_pairs_sf0.1", matEdges(graft.operators.Joins
+        .fuzzyBlockedJoin(spark, sf01)
+        .select(col("name_a").as("a"), col("name_b").as("b")), "a", "b"), "a", "b"),
+      ("er_name_pairs_sf1", matEdges(graft.operators.Joins
+        .fuzzyBlockedJoin(spark, big)
+        .select(col("name_a").as("a"), col("name_b").as("b")), "a", "b"), "a", "b"),
+      ("chain_20k", matEdges(spark.range(0, 19999)
+        .select(col("id").as("a"), (col("id") + 1L).as("b")), "a", "b"), "a", "b"))
+    // warm both code paths untimed (codegen compilation per round)
+    timeCc(cases.last._2, "a", "b", pre = false)
+    timeCc(cases.last._2, "a", "b", pre = true)
+    println("| edge list | edges | plain min-of-3 s | precollapse min-of-3 s |")
+    println("|---|---|---|---|")
+    cases.foreach { case (name, edges, a, b) =>
+      val n = edges.count()
+      // interleaved: plain/pre alternate so host noise hits both arms
+      val (ps, qs) = (1 to 3).map { _ =>
+        (timeCc(edges, a, b, pre = false), timeCc(edges, a, b, pre = true))
+      }.unzip
+      println(f"| $name | $n | ${ps.min}%.2f | ${qs.min}%.2f |")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -82,6 +133,31 @@ object ScaleProbe {
       // bounded dims copy verbatim — they do not scale with the corpus
       for (t <- Seq("nation", "region", "supplier"))
         Tables.table(spark, sf01, t).write.mode("overwrite").parquet(s"$big/$t.parquet")
+    }
+
+    // focused modes (full SCALE.md regen is the no-arg default)
+    if (args.contains("cc-reconcile")) {
+      ccReconcile(spark, sf01, big); spark.stop(); return
+    }
+    if (args.contains("dbscan-probe")) {
+      def t(dir: String): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.GeoOps.dbscan(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      t(sf01) // warm: per-round codegen
+      val s = (1 to 3).map(_ => t(sf01)).min
+      val l = (1 to 3).map(_ => t(big)).min
+      println(f"dbscan_end_to_end sf0.1 ${s}%.2f s, ~sf1 ${l}%.2f s, ratio ${l / s}%.1fx")
+      spark.stop(); return
+    }
+    if (args.contains("dbscan-stages")) {
+      Seq(sf01, big).foreach { dir =>
+        graft.operators.GeoOps.dbscanStageProbe(spark, dir).foreach {
+          case (st, secs, n) => println(f"[$dir] $st: $secs%.2f s ($n rows)")
+        }
+      }
+      spark.stop(); return
     }
 
     def timeSecond(f: () => Long): (Double, Long) = {

@@ -397,20 +397,58 @@ object Graft {
     * instead of a join against the previous round's labels. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxRounds: Int = 50,
-                          preCollapse: Boolean = true): DataFrame = {
+                          preCollapse: Boolean = true): DataFrame =
+    ccImpl(edges, srcCol, dstCol, maxRounds, preCollapse,
+      parentSymEdges = -1L, level = 0)
+
+  private def ccImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxRounds: Int, preCollapse: Boolean,
+                     parentSymEdges: Long, level: Int): DataFrame = {
+    // materialize the symmetric edge list ONCE, hash-partitioned on the
+    // key every downstream pass groups/joins on. Upstream edge pipelines
+    // are expensive (LSH candidate gen + Jaccard verification for the
+    // dedup callers); before r12 the pre-collapse branch re-evaluated
+    // that pipeline for BOTH the l0 pass and the contraction joins —
+    // the hidden 2× that made the r11 pre-collapse measurements
+    // contradict each other (Graft vs SCALE.md vs driver bench). The
+    // plain fixpoint needs exactly this partitioning anyway.
     val symRaw = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
-    if (preCollapse) {
-      // STAR PRE-COLLAPSE (r10 verdict task #4 — probed, measured
-      // faster at BOTH scales, now the default): one
-      // closed-neighborhood min pass labels every node with
-      // min(id, neighbors), then the fixpoint iterates on the
-      // CONTRACTED label graph — near-dup clusters are band-bucket
-      // cliques, so most collapse to a point before the first round
-      // and the per-round edge volume shrinks accordingly. Exact:
-      // star contraction preserves components, and the global min id
-      // m is its own star min (every neighbor of m exceeds m), so the
-      // per-component min-id label survives contraction.
+      .repartition(col("__src"))
+      .localCheckpoint()
+    // RECURSIVE STAR PRE-COLLAPSE with a shrink gate (r12, replacing
+    // the r10/r11 single-level version): one closed-neighborhood min
+    // pass labels every node min(id, neighbors), then the SAME
+    // procedure recurses on the contracted label graph. Exact: star
+    // contraction preserves components, and the global min id m is its
+    // own star min (every neighbor of m exceeds m), so the
+    // per-component min-id label survives every level. Why recursive:
+    // cliquey near-dup graphs collapse in one level, but PATH-shaped
+    // graphs (the dbscan lattice clusters, the chain probe) only
+    // shrink ~2–3× per level — a single level left the pointer-jumped
+    // fixpoint shuffling the still-large remainder log(d) times
+    // (geo_dbscan measured 5.0× at 10× data in r11). Recursion makes
+    // total contraction work GEOMETRIC (E·(1+1/s+1/s²+…) for shrink
+    // factor s) while the fixpoint runs only on the tiny residue.
+    // Gates, each on the checkpointed edge count (a ~free scalar):
+    //  - floor 1024 sym edges: below it the fixpoint is already cheap
+    //    and a contraction level is pure job overhead (the 80-edge
+    //    er-resolve graph ties instead of paying);
+    //  - shrink < 0.7×parent: a level that stalls (bipartite-ish
+    //    residue) stops the recursion instead of paying dead levels;
+    //  - maxContractLevels = 1: deeper recursion was MEASURED
+    //    (cc-reconcile, r12) to never win — clique graphs collapse in
+    //    one level and the zigzag residues stall immediately (level 2
+    //    shrank 10740 → 10624 on the dbscan core graph), so extra
+    //    levels only paid job overhead; the adaptive hook below is
+    //    what rescues crawl-prone residues, not more contraction.
+    val maxContractLevels = 1
+    val nSym = if (preCollapse) symRaw.count() else -1L
+    val contract = preCollapse && level < maxContractLevels && nSym > 1024 &&
+      (parentSymEdges < 0L || nSym * 10L < parentSymEdges * 7L)
+    if (sys.props.get("graft.cc.debug").contains("true"))
+      System.err.println(s"[cc] level=$level symEdges=$nSym contract=$contract")
+    if (contract) {
       val l0 = symRaw.groupBy(col("__src")).agg(min(col("__dst")).as("__m"))
         .select(col("__src").as("id"), least(col("__src"), col("__m")).as("l0"))
         .localCheckpoint()
@@ -420,25 +458,18 @@ object Graft {
         .filter(col("__la") =!= col("__lb"))
         .select(col("__la").as(srcCol), col("__lb").as(dstCol))
         .distinct()
-      // ONE contraction level (the measured configuration: 4.80 →
-      // 3.93 s at sf0.1, 22.4 → 14.1 s at ~sf1 on identical pair
-      // lists, docs/SCALE.md r11) — the pointer-jumped fixpoint
-      // below already handles the contracted remainder in O(log d)
-      val inner = connectedComponents(contracted, srcCol, dstCol, maxRounds,
-          preCollapse = false)
+      val inner = ccImpl(contracted, srcCol, dstCol, maxRounds,
+          preCollapse = true, parentSymEdges = nSym, level = level + 1)
         .select(col("id").as("l0"), col("component").as("__c"))
       // fully-collapsed clusters have no contracted edge: their label
       // IS the component
       return l0.join(inner, Seq("l0"), "left")
         .select(col("id"), coalesce(col("__c"), col("l0")).as("component"))
     }
+    // symRaw is already hash-partitioned + checkpointed above, so no
+    // round re-shuffles the O(E) side (the dominant per-round volume on
+    // dense graphs); only the O(V) label side moves each round
     val sym = symRaw
-      // hash-partition the edge table ONCE on the join key —
-      // localCheckpoint preserves the partitioning, so no round
-      // re-shuffles the O(E) side (the dominant per-round volume on
-      // dense graphs); only the O(V) label side moves each round
-      .repartition(col("__src"))
-      .localCheckpoint()
     var labels = sym.select(col("__src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
     // Convergence probe, by id type. INTEGRAL ids: labels only ever
@@ -467,23 +498,63 @@ object Graft {
     var prev: Option[java.math.BigDecimal] = None
     var round = 0
     var done = false
+    // ADAPTIVE HOOKING (Shiloach–Vishkin, added r12). A node v that is
+    // a local (but not global) minimum is a FIXED POINT of the pointer
+    // jump (label(v) = v), and the true min then creeps past such
+    // nodes one hop per round: the ~sf1 dbscan lattice, whose
+    // cross-replica eps-edges interleave id ranges into alternating
+    // local minima, measured a LINEAR round count and hit the
+    // maxRounds cap UNCONVERGED (the sum probe was still decreasing by
+    // exactly one replica-offset per round at round 50 — i.e. the r11
+    // sf1 cluster census was silently wrong). The hook step collapses
+    // a stuck star the moment ANY member sees a smaller label —
+    // min(p) grouped by the current label — restoring a genuinely
+    // logarithmic round count independent of how ids correlate with
+    // graph position. It costs ~2 extra shuffles per round, and the
+    // overwhelmingly common graphs (near-dup cliques, post-contraction
+    // residues) converge in ≤6 cheap rounds without it — so hooking
+    // arms only when the fixpoint is still running at round 6, the
+    // crawl signature it exists to fix. Monotone (h ≤ p ≤ old label),
+    // and h is always itself a node id, so the jump stays total.
+    val hookFromRound = 6
     while (!done && round < maxRounds) {
-      val prop = labels.join(sym, col("id") === col("__src"))
-        .select(col("__dst").as("id"), col("component"))
-        .union(labels)
-        .groupBy("id").agg(min("component").as("component"))
-      // pointer jumping: component := component(component). Every
-      // label value is itself a node id (a min over member ids), so
-      // the self-join is total.
-      val l2 = prop.select(col("id").as("__lid"), col("component").as("__lcomp"))
-      // lazy checkpoint: the convergence action below is what
-      // materializes it — one Spark job per round
-      val comp = prop.join(l2, col("component") === col("__lid"))
-        .select(col("id"), col("__lcomp").as("component"))
+      val comp = (if (round < hookFromRound) {
+        val prop = labels.join(sym, col("id") === col("__src"))
+          .select(col("__dst").as("id"), col("component"))
+          .union(labels)
+          .groupBy("id").agg(min("component").as("component"))
+        // pointer jumping: component := component(component). Every
+        // label value is itself a node id (a min over member ids), so
+        // the self-join is total.
+        val l2 = prop.select(col("id").as("__lid"), col("component").as("__lcomp"))
+        prop.join(l2, col("component") === col("__lid"))
+          .select(col("id"), col("__lcomp").as("component"))
+      } else {
+        // one pass computes BOTH the closed-neighborhood min (p) and
+        // the node's old label (__lab): the union's label rows are
+        // flagged __own, and max(when(__own)) recovers the single old
+        // label — saving a labels-join that a naive hook would pay
+        val prop = labels.join(sym, col("id") === col("__src"))
+          .select(col("__dst").as("id"), col("component"),
+            lit(false).as("__own"))
+          .union(labels.withColumn("__own", lit(true)))
+          .groupBy("id").agg(min("component").as("p"),
+            max(when(col("__own"), col("component"))).as("__lab"))
+        val hook = prop.groupBy(col("__lab")).agg(min(col("p")).as("__h"))
+        val hooked = prop.join(hook, "__lab")
+          .select(col("id"), col("__h").as("component"))
+        val l2 = hooked.select(col("id").as("__lid"), col("component").as("__lcomp"))
+        hooked.join(l2, col("component") === col("__lid"))
+          .select(col("id"), col("__lcomp").as("component"))
+      })
+        // lazy checkpoint: the convergence action below is what
+        // materializes it — one Spark job per round
         .localCheckpoint(false)
       if (scalarProbeSafe) {
         val cur = labelSum(comp)
         done = prev == cur
+        if (sys.props.get("graft.cc.debug").contains("true"))
+          System.err.println(s"[cc] level=$level round=$round sum=$cur")
         prev = cur
       } else {
         done = comp.join(labels.withColumnRenamed("component", "__old"), "id")
@@ -492,6 +563,14 @@ object Graft {
       labels = comp
       round += 1
     }
+    if (sys.props.get("graft.cc.debug").contains("true"))
+      System.err.println(s"[cc] level=$level fixpoint rounds=$round")
+    if (!done)
+      // loud, not silent: truncated labels are NOT components. With
+      // hooking the round count is ~log(component size), so hitting a
+      // 50-round cap means something is structurally wrong.
+      System.err.println(s"[graft] connectedComponents hit maxRounds=" +
+        s"$maxRounds without converging — labels are incomplete")
     labels
   }
 
