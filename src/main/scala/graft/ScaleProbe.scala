@@ -151,6 +151,31 @@ object ScaleProbe {
       println(f"dbscan_end_to_end sf0.1 ${s}%.2f s, ~sf1 ${l}%.2f s, ratio ${l / s}%.1fx")
       spark.stop(); return
     }
+    // time named registered queries: `q <name> [<name>…]`, min-of-3
+    // warm at sf0.1 (and ~sf1 when the replica exists) — the local
+    // stand-in for one driver-bench cell when iterating on one op
+    if (args.headOption.contains("q")) {
+      args.drop(1).foreach { name =>
+        val fn = SparkEntry.queries(name)
+        def t(dir: String): Double = {
+          val t0 = System.nanoTime(); fn(spark, dir).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        t(sf01)
+        val s = (1 to 3).map(_ => t(sf01)).min
+        val l = (1 to 3).map(_ => t(big)).min
+        println(f"[q] $name sf0.1 $s%.2f s, ~sf1 $l%.2f s, ratio ${l / s}%.1fx")
+      }
+      spark.stop(); return
+    }
+    if (args.contains("ppjoin-stages")) {
+      Seq(sf01, big).foreach { dir =>
+        graft.operators.Dedup.ppjoinStageProbe(spark, dir).foreach {
+          case (st, secs, n) => println(f"[$dir] $st: $secs%.2f s ($n rows)")
+        }
+      }
+      spark.stop(); return
+    }
     if (args.contains("dbscan-stages")) {
       Seq(sf01, big).foreach { dir =>
         graft.operators.GeoOps.dbscanStageProbe(spark, dir).foreach {

@@ -645,6 +645,72 @@ object Dedup {
     *    15.0 → 6.5 s (2.3×) — because it kills candidate-pair mass
     *    before the DISTINCT + verify joins, exactly where the 10×
     *    cost concentrated. KEPT on evidence (round-10). */
+  /** Stage-level timing/cardinality for [[ppjoin]] (ScaleProbe
+    * `ppjoin-stages`): prefix stream size, raw candidate matches
+    * (pre-DISTINCT), distinct candidates, verified pairs. */
+  private[graft] def ppjoinStageProbe(spark: SparkSession, dir: String)
+      : Seq[(String, Double, Long)] = {
+    val t = 0.5
+    def tm(label: String, f: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      (label, (System.nanoTime() - t0) / 1e9, n)
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(
+        transform(shingles(col("text")),
+          s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))
+        .as("toks0"))
+    val tf = docs.select(col("doc_id"), explode(col("toks0")).as("term"))
+    val freq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val pre = tf.join(freq, "term")
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("rk", row_number().over(wd))
+      .where(col("rk") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col("doc_id"), col("n"), col("term"), col("rk"))
+      .localCheckpoint()
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val preW = tf.join(freq, "term")
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("rk", row_number().over(wd))
+      .where(col("rk") <= col("n") - ceil(col("n") * t) + 1)
+      .withColumn("wl", max(struct(col("df"), col("term"))).over(wAll))
+      .select(col("doc_id"), col("n"), col("term"), col("rk"), col("wl"))
+      .localCheckpoint()
+    val r1 = tm("prefix_stream", preW.count())
+    val joinCond = col("x.term") === col("y.term") &&
+      col("x.doc_id") < col("y.doc_id") &&
+      col("y.n") >= col("x.n") * t && col("x.n") >= col("y.n") * t
+    val r2 = tm("raw_matches", preW.as("x").join(preW.as("y"), joinCond).count())
+    val alphaC = ceil((col("na") + col("nb")) * lit(t / (1 + t)))
+    val cand = preW.as("x").join(preW.as("y"), joinCond)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("o_pref"),
+        max(col("x.n")).as("na"), max(col("y.n")).as("nb"),
+        min(col("x.rk")).as("mrx"), min(col("y.rk")).as("mry"),
+        max(col("x.wl")).as("wlx"), max(col("y.wl")).as("wly"))
+      .where(lit(1) + least(col("na") - col("mrx"), col("nb") - col("mry")) >= alphaC &&
+        col("o_pref") + when(col("wlx") <= col("wly"),
+          ceil(col("na") * t) - 1).otherwise(ceil(col("nb") * t) - 1) >= alphaC)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val r3 = tm("filtered_candidates", cand.count())
+    val sets = docs.select(col("doc_id"), col("toks0"),
+      size(col("toks0")).cast("long").as("n"))
+    val r4 = tm("verify", cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("toks0").as("ta"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("toks0").as("tb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("o", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("o").cast("double") / (col("na") + col("nb") - col("o")) >= t)
+      .count())
+    Seq(r1, r2, r3, r4)
+  }
+
   def ppjoin(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.5
     // the set basis is the HASHED SHINGLE set: 3-gram shingles (like
@@ -671,27 +737,49 @@ object Dedup {
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // wl = the doc's LAST prefix token in the global (df, term) order —
+    // the witness the grouped suffix filter below compares to decide
+    // which doc's suffix bounds the out-of-prefix overlap
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val pre = tf.join(freq, "term")
       .withColumn("n", count(lit(1)).over(wn))
       .withColumn("rk", row_number().over(wd))
       .where(col("rk") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("doc_id"), col("n"), col("term"), col("rk"))
-    // POSITIONAL filter (PPJoin's second lossless prune, added on the
-    // round-8 review's direction and KEPT on measurement — see the
-    // docstring's trade note): every token common to both docs sits at
-    // position ≥ rk in each doc's shared (df, term) order once (rk_x,
-    // rk_y) is a match, so overlap ≤ 1 + min(n_a−rk_a, n_b−rk_b); a
-    // match below the J ≥ t overlap threshold α = ⌈t/(1+t)·(n_a+n_b)⌉
-    // cannot certify the pair. A TRUE pair's FIRST shared prefix token
-    // always passes the bound (all o common tokens lie at ≥ that
-    // match's positions), so pruning the failing matches before the
-    // DISTINCT loses nothing — it only removes duplicate certificates.
+      .withColumn("wl", max(struct(col("df"), col("term"))).over(wAll))
+      .select(col("doc_id"), col("n"), col("term"), col("rk"), col("wl"))
+    // GROUP-LEVEL positional + SUFFIX-COUNT filters (r12, replacing the
+    // r10 per-match positional filter — both lossless, both evaluated
+    // once per PAIR on the match aggregate instead of per match):
+    //  - o_pref = |P_x ∩ P_y| EXACTLY (count of shared prefix tokens;
+    //    this is why the per-match positional prune had to move up
+    //    here: dropping matches inside the join would undercount it);
+    //  - positional: all common tokens sit at order-position ≥ the
+    //    FIRST shared token in each doc, so o ≤ 1 + min(n_a − min rk_a,
+    //    n_b − min rk_b) — computed from the group MINS, which is
+    //    tighter than any single match's bound;
+    //  - suffix-count: a common token outside P_x∩P_y exceeds
+    //    min(wl_x, wl_y), hence lives in the OWNING doc's suffix, so
+    //    o ≤ o_pref + (⌈t·n_owner⌉ − 1). With t = 0.5 and the J ≥ t
+    //    overlap threshold α = ⌈(n_a+n_b)·t/(1+t)⌉ this demands
+    //    ~n/6 SHARED prefix tokens per candidate — the coincidence
+    //    pairs that share 1–3 rare tokens die here, before the verify
+    //    stage ships any token array (the stage that measured 10.3 s
+    //    of the 12.9 at ~sf1 — 12M candidates for 250k true pairs).
+    val alphaC = ceil((col("na") + col("nb")) * lit(t / (1 + t)))
     val cand = pre.as("x").join(pre.as("y"),
         col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id") &&
-          col("y.n") >= col("x.n") * t && col("x.n") >= col("y.n") * t &&
-          lit(1) + least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk")) >=
-            ceil((col("x.n") + col("y.n")) * lit(t / (1 + t))))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+          col("y.n") >= col("x.n") * t && col("x.n") >= col("y.n") * t)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("o_pref"),
+        max(col("x.n")).as("na"), max(col("y.n")).as("nb"),
+        min(col("x.rk")).as("mrx"), min(col("y.rk")).as("mry"),
+        max(col("x.wl")).as("wlx"), max(col("y.wl")).as("wly"))
+      .where(lit(1) + least(col("na") - col("mrx"), col("nb") - col("mry")) >= alphaC &&
+        col("o_pref") + when(col("wlx") <= col("wly"),
+          ceil(col("na") * t) - 1).otherwise(ceil(col("nb") * t) - 1) >= alphaC)
+      .select(col("doc_a"), col("doc_b"))
     val sets = docs.select(col("doc_id"), col("toks0"),
       size(col("toks0")).cast("long").as("n"))
     cand
