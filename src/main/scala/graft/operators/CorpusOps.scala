@@ -1934,7 +1934,112 @@ object CorpusOps {
       |            / count(*)) AS BIGINT) AS avg_logscore_micro
       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Unigram KL divergence / cross-entropy between corpus halves
+  // ---------------------------------------------------------------
+
+  /** DISTRIBUTION-SHIFT AUDIT between two corpus slices — "did the
+    * new crawl batch drift from the standing corpus?" as a number:
+    * add-one-smoothed unigram distributions P (even doc_ids) and Q
+    * (odd), reporting KL(P‖Q), KL(Q‖P) (asymmetry flags which side
+    * has the novel mass) and the cross-entropy H(P,Q) a Q-trained
+    * unigram LM would pay on P — the same quantity CCNet-style
+    * quality pipelines threshold, here engine-native. Smoothing is
+    * over the UNION vocabulary so both distributions share support
+    * and every term is well-defined. Per-term micro-nat quantization
+    * + integer sum (the [[graft.operators.StatsOps]] mutual-info
+    * contract — no cross-term float order). Scale: one corpus explode
+    * → (term, half) agg; all sums live on the Zipf-bounded vocab. */
+  def klDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+        explode(toks(col("text"))).as("term"))
+    val cells = terms.groupBy(col("term"))
+      .agg(count_if(col("in_a")).as("ca"), count_if(!col("in_a")).as("cb"))
+    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    def d(c: Column) = c.cast("double")
+    val m = cells.crossJoin(broadcast(tot))
+      .withColumn("p", (d(col("ca")) + 1d) / (d(col("na")) + d(col("v"))))
+      .withColumn("q", (d(col("cb")) + 1d) / (d(col("nb")) + d(col("v"))))
+      .agg(max(col("na")).as("n_a_tokens"), max(col("nb")).as("n_b_tokens"),
+        max(col("v")).as("vocab"),
+        sum(round(lit(1e6) * col("p") * log(col("p") / col("q"))).cast("long"))
+          .as("kl_ab_micro_nats"),
+        sum(round(lit(1e6) * col("q") * log(col("q") / col("p"))).cast("long"))
+          .as("kl_ba_micro_nats"),
+        sum(round(lit(-1e6) * col("p") * log(col("q"))).cast("long"))
+          .as("xent_ab_micro_nats"))
+    m
+  }
+
+  val klDivergenceSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id % 2 = 0 AS in_a, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |cells AS (
+      |  SELECT term, CAST(count(*) FILTER (WHERE in_a) AS BIGINT) AS ca,
+      |         CAST(count(*) FILTER (WHERE NOT in_a) AS BIGINT) AS cb
+      |  FROM terms GROUP BY 1),
+      |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM cells),
+      |pq AS (
+      |  SELECT (CAST(ca AS DOUBLE) + 1) / (CAST(na AS DOUBLE) + v) AS p,
+      |         (CAST(cb AS DOUBLE) + 1) / (CAST(nb AS DOUBLE) + v) AS q,
+      |         na, nb, v
+      |  FROM cells, tot)
+      |SELECT CAST(max(na) AS BIGINT) AS n_a_tokens,
+      |       CAST(max(nb) AS BIGINT) AS n_b_tokens,
+      |       CAST(max(v) AS BIGINT) AS vocab,
+      |       CAST(sum(CAST(round(1e6 * p * ln(p / q)) AS BIGINT)) AS BIGINT)
+      |         AS kl_ab_micro_nats,
+      |       CAST(sum(CAST(round(1e6 * q * ln(q / p)) AS BIGINT)) AS BIGINT)
+      |         AS kl_ba_micro_nats,
+      |       CAST(sum(CAST(round(-1e6 * p * ln(q)) AS BIGINT)) AS BIGINT)
+      |         AS xent_ab_micro_nats
+      |FROM pq""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Truncation-loss census (max_seq_len what-if)
+  // ---------------------------------------------------------------
+
+  /** TRUNCATION-LOSS CENSUS — "what does max_seq_len = 256 actually
+    * COST, per source?": docs over the limit, token mass beyond it
+    * (what a truncating loader throws away), and the loss rate in
+    * ppm — the report that decides between truncation, [[packing]]
+    * and [[slidingChunks]] for each source before a 100 TB tokenize
+    * run is paid for. Pure map + compact-key agg; token counts are
+    * the engine's whitespace contract (token_stats_ws). */
+  def truncationLoss(spark: SparkSession, dir: String, maxLen: Long = 256L)
+      : DataFrame = {
+    val n = size(toks(col("text"))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"), n.as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("n_tok") > maxLen).as("n_truncated"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(greatest(col("n_tok") - maxLen, lit(0L))).as("tokens_lost"))
+      .select(col("source"), col("n_docs"), col("n_truncated"),
+        col("tokens_total"), col("tokens_lost"),
+        round(lit(1e6) * col("tokens_lost").cast("double") /
+          col("tokens_total").cast("double")).cast("long").as("loss_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val truncationLossSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(count(*) FILTER (WHERE n_tok > 256) AS BIGINT) AS n_truncated,
+      |       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+      |       CAST(sum(greatest(n_tok - 256, 0)) AS BIGINT) AS tokens_lost,
+      |       CAST(round(1e6 * CAST(sum(greatest(n_tok - 256, 0)) AS DOUBLE)
+      |            / sum(n_tok)) AS BIGINT) AS loss_ppm
+      |FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |      FROM documents)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_kl_divergence" -> (klDivergence _),
+    "corpus_truncation_loss" -> ((s, d) => truncationLoss(s, d)),
     "corpus_trigram_backoff" -> (trigramBackoff _),
     "corpus_temperature_mix" -> (temperatureMix _),
     "corpus_cooccurrence" -> (cooccurrence _),
@@ -1996,6 +2101,8 @@ object CorpusOps {
     "corpus_chunk_overlap" -> chunkOverlapSql,
     "corpus_mix_rebalance" -> mixRebalanceSql,
     "corpus_temperature_mix" -> temperatureMixSql,
+    "corpus_kl_divergence" -> klDivergenceSql,
+    "corpus_truncation_loss" -> truncationLossSql,
     "corpus_trigram_backoff" -> trigramBackoffSql,
     "corpus_decontaminate" -> decontaminateSql,
     // the sketch changes the plan, never the answer — same oracle as

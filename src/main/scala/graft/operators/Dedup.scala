@@ -958,7 +958,91 @@ object Dedup {
        |                  / CAST(sum(toks) AS DOUBLE)) AS BIGINT) AS boundary_ppm
        |FROM perdoc""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Winnowing fingerprints (MOSS-style local document fingerprinting)
+  // ---------------------------------------------------------------
+
+  /** WINNOWING fingerprint census — the MOSS algorithm (Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03): hash every k-gram, slide a window
+    * of w consecutive hashes, select each window's MINIMUM — the
+    * selected set is a POSITION-ROBUST fingerprint with two
+    * guarantees the global-minhash family lacks: any shared run of
+    * ≥ w+k−1 tokens is caught by AT LEAST one shared fingerprint
+    * (local guarantee), and density is ~2/(w+1) regardless of doc
+    * length. The census joins docs on shared fingerprints and
+    * histograms pairs by shared-count — the partial-overlap/plagiarism
+    * report that complements whole-doc Jaccard dedup. Boilerplate
+    * control: fingerprints in > 64 docs are dropped before the join
+    * (the band-bucket cap64 policy — df-capped inverted index, never
+    * all-pairs); pairs must share ≥ 2 fingerprints to register.
+    * Scale: explode → window-min per doc (doc-keyed window, bounded
+    * by doc length) → df-capped equi self-join on the fingerprint. */
+  /** The winnowing fingerprint SET per doc — (id, fp) rows; the
+    * MOSS selection the [[winnowing]] census and the local-guarantee
+    * spec both ride. */
+  private[graft] def winnowingFingerprints(docs: DataFrame, textCol: String,
+                                           idCol: String, w: Int = 4): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(graft.api.Graft.shingles(col(textCol), 3),
+          s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))
+          .as(Seq("pos", "h")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    hashed
+      .withColumn("nh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("wmin", min(col("h")).over(win))
+      // only full windows select (last w−1 starts are partial), except
+      // docs shorter than w hashes, which keep their global min
+      .where(col("pos") <= col("nh") - w || (col("nh") < w && col("pos") === 0))
+      .select(col("doc_id"), col("wmin").as("fp")).distinct()
+  }
+
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowingFingerprints(Tables.documents(spark, dir), "text", "doc_id")
+    val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val kept = fps.join(df.where(col("df") <= 64), "fp")
+    val pairs = kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 2)
+    pairs.groupBy(col("shared").as("shared_fingerprints"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("shared_fingerprints"))
+  }
+
+  val winnowingSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSqlFragment AS grams
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)),
+       |hashed AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         ('0x' || substring(md5(grams[i]), 1, 8))::BIGINT AS h,
+       |         len(grams) AS nh
+       |  FROM sh, unnest(range(1, len(grams) + 1)) AS t(i)),
+       |wm AS (
+       |  SELECT doc_id, pos, nh,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+       |  FROM hashed),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, wmin AS fp FROM wm
+       |  WHERE pos <= nh - 4 OR (nh < 4 AND pos = 0)),
+       |kept AS (
+       |  SELECT doc_id, fp FROM fps
+       |  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT shared AS shared_fingerprints, count(*) AS n_pairs
+       |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnowing" -> (winnowing _),
     "dedup_cdc_chunks" -> (cdcChunking _),
     "dedup_url" -> (urlDedup _),
     "dedup_ppjoin" -> (ppjoin _),
@@ -980,6 +1064,7 @@ object Dedup {
   )
 
   def oracle: Map[String, String] = Map(
+    "dedup_winnowing" -> winnowingSql,
     "dedup_url" -> urlDedupSql,
     "dedup_ppjoin" -> ppjoinSql,
     "dedup_cluster_census" -> clusterCensusSql,

@@ -821,7 +821,182 @@ object Multimodal {
       |            // (8000 + (n_chars % 8) * 4000) AS BIGINT) AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // NPY tensor header (9th codec: binary magic + ASCII dict payload)
+  // ---------------------------------------------------------------
+
+  /** NPY v1.0 header decode — the TENSOR-SHARD codec (every numpy
+    * array dump in an ML data lake): 6-byte magic \\x93NUMPY, version
+    * bytes, LE u16 HEADER_LEN, then an ASCII Python-dict literal
+    * {'descr','fortran_order','shape'} space-padded so the data
+    * section starts 64-byte aligned. The new subtlety vs the other 8
+    * codecs: a MIXED parse — fixed binary fields, then TEXT inside
+    * binary (substring → string → regexp field extraction), then
+    * arithmetic back on the parsed values (data_bytes = rows·cols·4
+    * for '<f4', alignment re-check). Synth from (doc_id, n_chars);
+    * oracle replays the generating arithmetic; all map-side codegen,
+    * so shape/dtype predicates prune a tensor lake before any data
+    * block is read. */
+  def npyHeader(spark: SparkSession, dir: String): DataFrame = {
+    val rows = (lit(8) + pmod(col("doc_id"), lit(32))).cast("long")
+    val cols0 = (lit(16) + pmod(col("n_chars"), lit(48))).cast("long")
+    val dict = concat(lit("{'descr': '<f4', 'fortran_order': False, 'shape': ("),
+      rows.cast("string"), lit(", "), cols0.cast("string"), lit("), }"))
+    // pad so 10 (magic+ver+hlen) + header_len ≡ 0 (mod 64); dict + pad + '\n'
+    val base = length(dict) + 1
+    val pad = pmod(lit(64L) - pmod(lit(10L) + base, lit(64L)), lit(64L))
+    val hlen = base + pad
+    def leHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    val payload = unhex(concat(lit("934E554D5059"), lit("0100"),
+      leHex(hlen.cast("long"), 2),
+      hex(concat(dict, rpad(lit(""), 64, " ").substr(lit(1), pad.cast("int")),
+        lit("\n")).cast("binary"))))
+    val withBytes = Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("p"))
+      .select(col("doc_id"), col("p"), prefixBytes(col("p"), 10).as("b"))
+    val phlen = leAt(col("b"), 9, 2)
+    val pdict = substring(col("p"), 11, 4096).cast("string")
+    val pr = regexp_extract(pdict, "'shape': \\((\\d+), (\\d+)\\)", 1).cast("long")
+    val pc = regexp_extract(pdict, "'shape': \\((\\d+), (\\d+)\\)", 2).cast("long")
+    withBytes.select(col("doc_id"),
+        (hex(substring(col("p"), 1, 6)) === lit("934E554D5059")).as("magic_ok"),
+        (leAt(col("b"), 7, 1) === 1L && leAt(col("b"), 8, 1) === 0L).as("v1_ok"),
+        phlen.as("header_len"),
+        regexp_extract(pdict, "'descr': '([^']+)'", 1).as("descr"),
+        (regexp_extract(pdict, "'fortran_order': (\\w+)", 1) === "False")
+          .as("c_order_ok"),
+        pr.as("rows"), pc.as("cols"),
+        (pr * pc * 4L).as("data_bytes"),
+        (pmod(lit(10L) + phlen, lit(64L)) === 0L).as("aligned_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val npyHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok, TRUE AS v1_ok,
+      |       CAST((len('{''descr'': ''<f4'', ''fortran_order'': False, ''shape'': ('
+      |                 || CAST(8 + doc_id % 32 AS VARCHAR) || ', '
+      |                 || CAST(16 + n_chars % 48 AS VARCHAR) || '), }') + 1
+      |             + (64 - (10 + len('{''descr'': ''<f4'', ''fortran_order'': False, ''shape'': ('
+      |                 || CAST(8 + doc_id % 32 AS VARCHAR) || ', '
+      |                 || CAST(16 + n_chars % 48 AS VARCHAR) || '), }') + 1) % 64) % 64)
+      |         AS BIGINT) AS header_len,
+      |       '<f4' AS descr, TRUE AS c_order_ok,
+      |       CAST(8 + doc_id % 32 AS BIGINT) AS rows,
+      |       CAST(16 + n_chars % 48 AS BIGINT) AS cols,
+      |       CAST((8 + doc_id % 32) * (16 + n_chars % 48) * 4 AS BIGINT) AS data_bytes,
+      |       TRUE AS aligned_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // gzip member header (10th codec: flag bits + variable-length field)
+  // ---------------------------------------------------------------
+
+  /** GZIP member-header decode — the WEB-CORPUS codec (every WARC/
+    * crawl shard is gzip members): 1f 8b magic, CM=8 deflate, a FLG
+    * BIT FIELD, LE u32 MTIME, XFL/OS, and the new subtlety vs the
+    * fixed-layout codecs: a VARIABLE-LENGTH field — FNAME is
+    * NUL-terminated, so the parser must SCAN for the terminator to
+    * know where the deflate stream starts (header_size = 10 + name +
+    * NUL). The scan is instr over the string view of the bytes —
+    * still pure codegen, no UDF. Synth from doc fields (mtime =
+    * 1.7e9 + doc_id); oracle replays the arithmetic. */
+  def gzipHeader(spark: SparkSession, dir: String): DataFrame = {
+    val mtime = (lit(1700000000L) + col("doc_id")).cast("long")
+    val name = concat(lit("doc"), col("doc_id").cast("string"), lit(".txt"))
+    def leHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    val payload = unhex(concat(lit("1F8B"), lit("08"), lit("08"),
+      leHex(mtime, 4), lit("02"), lit("03"), hex(name.cast("binary")), lit("00")))
+    val withBytes = Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("p"))
+      .select(col("doc_id"), col("p"), prefixBytes(col("p"), 10).as("b"))
+    val tail = substring(col("p"), 11, 4096).cast("string")
+    val nulPos = instr(tail, 0.toChar.toString)
+    withBytes.select(col("doc_id"),
+        (leAt(col("b"), 1, 1) === 0x1FL && leAt(col("b"), 2, 1) === 0x8BL)
+          .as("magic_ok"),
+        (leAt(col("b"), 3, 1) === 8L).as("deflate_ok"),
+        // FLG bit 3 (0x08) = FNAME present — integer bit unpack
+        (pmod(shiftright(leAt(col("b"), 4, 1), 3), lit(2L)) === 1L).as("has_fname"),
+        leAt(col("b"), 5, 4).as("mtime"),
+        (leAt(col("b"), 10, 1) === 3L).as("os_unix"),
+        substring(tail, lit(1), nulPos - 1).as("fname"),
+        (lit(10L) + nulPos).as("header_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gzipHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok, TRUE AS deflate_ok, TRUE AS has_fname,
+      |       CAST(1700000000 + doc_id AS BIGINT) AS mtime, TRUE AS os_unix,
+      |       'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS fname,
+      |       CAST(11 + len('doc' || CAST(doc_id AS VARCHAR) || '.txt') AS BIGINT)
+      |         AS header_size
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // WARC record header (11th codec: text protocol over binary)
+  // ---------------------------------------------------------------
+
+  /** WARC/1.0 record-header decode — the CRAWL-ARCHIVE framing every
+    * web-scale corpus pipeline starts from (Common-Crawl shape):
+    * a TEXT protocol living in a binary column — CRLF-separated
+    * headers terminated by a blank line, Content-Length framing the
+    * payload. The parser finds the \\r\\n\\r\\n terminator (header
+    * size), regexp-extracts WARC-Type / Target-URI host / record id /
+    * Content-Length, and computes the NEXT-RECORD offset (header +
+    * content + trailing CRLFCRLF) — the field a 100 TB WARC splitter
+    * actually needs to hand out record-aligned splits. Synth from doc
+    * fields; oracle replays the arithmetic. */
+  def warcRecord(spark: SparkSession, dir: String): DataFrame = {
+    val uri = concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
+      lit(".example.org/docs/"), col("doc_id").cast("string"))
+    val hdr = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:doc-"),
+      col("doc_id").cast("string"), lit(">\r\nWARC-Target-URI: "), uri,
+      lit("\r\nContent-Length: "), col("n_chars").cast("string"), lit("\r\n\r\n"))
+    val withP = Tables.documents(spark, dir)
+      .select(col("doc_id"), hdr.cast("binary").as("p"))
+    val s = col("p").cast("string")
+    val hdrEnd = instr(s, "\r\n\r\n") + 3L
+    val clen = regexp_extract(s, "Content-Length: (\\d+)", 1).cast("long")
+    withP.select(col("doc_id"),
+        (substring(s, 1, 9) === "WARC/1.0\r").as("version_ok"),
+        regexp_extract(s, "WARC-Type: (\\w+)", 1).as("warc_type"),
+        regexp_extract(s, "WARC-Target-URI: https://([^/]+)/", 1).as("host"),
+        clen.as("content_length"),
+        hdrEnd.as("header_bytes"),
+        (hdrEnd + clen + 4L).as("next_record_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val warcRecordSql: String =
+    """SELECT doc_id, TRUE AS version_ok, 'response' AS warc_type,
+      |       'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS host,
+      |       CAST(n_chars AS BIGINT) AS content_length,
+      |       CAST(len('WARC/1.0' || chr(13) || chr(10)
+      |         || 'WARC-Type: response' || chr(13) || chr(10)
+      |         || 'WARC-Record-ID: <urn:uuid:doc-' || CAST(doc_id AS VARCHAR) || '>'
+      |         || chr(13) || chr(10)
+      |         || 'WARC-Target-URI: https://site' || CAST(doc_id % 50 AS VARCHAR)
+      |         || '.example.org/docs/' || CAST(doc_id AS VARCHAR) || chr(13) || chr(10)
+      |         || 'Content-Length: ' || CAST(n_chars AS VARCHAR)
+      |         || chr(13) || chr(10) || chr(13) || chr(10)) AS BIGINT) AS header_bytes,
+      |       CAST(len('WARC/1.0' || chr(13) || chr(10)
+      |         || 'WARC-Type: response' || chr(13) || chr(10)
+      |         || 'WARC-Record-ID: <urn:uuid:doc-' || CAST(doc_id AS VARCHAR) || '>'
+      |         || chr(13) || chr(10)
+      |         || 'WARC-Target-URI: https://site' || CAST(doc_id % 50 AS VARCHAR)
+      |         || '.example.org/docs/' || CAST(doc_id AS VARCHAR) || chr(13) || chr(10)
+      |         || 'Content-Length: ' || CAST(n_chars AS VARCHAR)
+      |         || chr(13) || chr(10) || chr(13) || chr(10)) + n_chars + 4 AS BIGINT)
+      |         AS next_record_offset
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_npy_header" -> (npyHeader _),
+    "mm_gzip_header" -> (gzipHeader _),
+    "mm_warc_record" -> (warcRecord _),
     "mm_tiff_header" -> (tiffHeader _),
     "mm_flac_header" -> (flacHeader _),
     "mm_mp3_header" -> (mp3Header _),
@@ -839,6 +1014,9 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_npy_header" -> npyHeaderSql,
+    "mm_gzip_header" -> gzipHeaderSql,
+    "mm_warc_record" -> warcRecordSql,
     "mm_tiff_header" -> tiffHeaderSql,
     "mm_flac_header" -> flacHeaderSql,
     "mm_mp3_header" -> mp3HeaderSql,

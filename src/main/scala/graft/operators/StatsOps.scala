@@ -1718,7 +1718,169 @@ object StatsOps {
        |GROUP BY n, a, b, c, dd, p_obs_pico""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // Kruskal–Wallis H (k-group rank ANOVA from midrank histograms)
+  // ---------------------------------------------------------------
+
+  /** KRUSKAL–WALLIS H — "do the k event types' value distributions
+    * differ anywhere?", the k-group generalization of
+    * [[mannWhitney]] and the rank-based (outlier-immune) sibling of
+    * [[anova]]. Same engine discipline as the whole rank family:
+    * ranks are NEVER computed by a global sort — a value's doubled
+    * midrank 2r̄ = 2·cum_before + c + 1 is a pure function of its
+    * position in the compact cents histogram, so the doubled
+    * per-group rank sums R2_g fold map-side over one (cents ×
+    * event_type) agg. With doubled ranks,
+    * H = 3/(N(N+1)) · Σ_g (R2_g − n_g(N+1))²/n_g, tie-corrected by
+    * 1 − Σ(t³−t)/(N³−N). Every mass is DECIMAL(38,0)/HUGEINT exact;
+    * each group's H term quantizes to micro ONCE (per-term
+    * quantization — no cross-term float order) and the headline is
+    * their integer sum. Scale: one compact-key agg + one window over
+    * distinct cents + a k-row census. */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("cents"), col("event_type")).agg(count(lit(1)).as("d"))
+    val cum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = perVal.groupBy(col("cents")).agg(sum(col("d")).as("c"))
+      .withColumn("r0", sum(col("c")).over(cum) - col("c"))
+    val groups = perVal.join(runs, "cents")
+      .groupBy(col("event_type"))
+      .agg(sum(col("d")).as("n_g"),
+        sum(dec(col("d")) * (lit(2) * col("r0") + col("c") + lit(1))).as("r2"))
+    val tot = runs.agg(sum(col("c")).as("n"),
+      sum(dec(col("c")) * col("c") * col("c") - col("c")).as("t3"))
+    val dev = col("r2") - dec(col("n_g")) * (col("n") + lit(1))
+    groups.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_g"), col("n"), col("t3"),
+        round(lit(3e6) * (dev * dev).cast("double") /
+          (col("n_g").cast("double") * col("n").cast("double") *
+            (col("n").cast("double") + 1d))).cast("long").as("term_micro"))
+      .groupBy()
+      .agg(count(lit(1)).as("k"), max(col("n")).as("n"),
+        sum(col("term_micro")).as("h_micro_raw"), max(col("t3")).as("t3"))
+      .select(col("k"), col("n"), (col("k") - 1L).as("df"),
+        col("h_micro_raw"),
+        round(col("h_micro_raw").cast("double") / lit(1e3) /
+          (lit(1d) - col("t3").cast("double") /
+            (dec(col("n")) * col("n") * col("n") - col("n")).cast("double")))
+          .cast("long").as("h_tie_corrected_milli"))
+  }
+
+  val kruskalWallisSql: String =
+    """WITH perval AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         count(*) AS d
+      |  FROM events GROUP BY 1, 2),
+      |runs AS (
+      |  SELECT cents, c, sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - c AS r0
+      |  FROM (SELECT cents, sum(d) AS c FROM perval GROUP BY 1)),
+      |tot AS (
+      |  SELECT sum(c) AS n, sum(CAST(c AS HUGEINT) * c * c - c) AS t3 FROM runs),
+      |groups_ AS (
+      |  SELECT event_type, sum(d) AS n_g,
+      |         sum(CAST(d AS HUGEINT) * (2 * r0 + c + 1)) AS r2
+      |  FROM perval JOIN runs USING (cents) GROUP BY 1),
+      |terms AS (
+      |  SELECT CAST(round(3e6 * CAST((r2 - CAST(n_g AS HUGEINT) * (n + 1))
+      |                               * (r2 - CAST(n_g AS HUGEINT) * (n + 1)) AS DOUBLE)
+      |           / (CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)))
+      |         AS BIGINT) AS term_micro, n, t3
+      |  FROM groups_, tot)
+      |SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(n) AS BIGINT) AS n,
+      |       CAST(count(*) - 1 AS BIGINT) AS df,
+      |       CAST(sum(term_micro) AS BIGINT) AS h_micro_raw,
+      |       CAST(round(CAST(sum(term_micro) AS DOUBLE) / 1e3
+      |         / (1 - CAST(max(t3) AS DOUBLE)
+      |              / CAST(CAST(max(n) AS HUGEINT) * max(n) * max(n) - max(n) AS DOUBLE)))
+      |         AS BIGINT) AS h_tie_corrected_milli
+      |FROM terms""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Effect sizes: Cliff's delta + Cohen's d
+  // ---------------------------------------------------------------
+
+  /** EFFECT SIZES for the click-vs-purchase value gap — the "is the
+    * difference big enough to CARE about?" companion to
+    * [[mannWhitney]]'s "is it real?": Cliff's δ = (#(x>y) − #(x<y))
+    * / (n₁n₂), the distribution-free ordinal effect size, and
+    * Cohen's d = (m₁−m₂)/s_pooled, the parametric one — reporting
+    * both is standard practice because they disagree exactly when the
+    * tails are heavy. δ's pair masses fold WITHOUT a pair join: with
+    * both groups' counts on one cents histogram, #(x>y) =
+    * Σ_v d₁(v)·cum₂_before(v) — one window pass, exact
+    * DECIMAL(38,0)/HUGEINT (the same trick that keeps [[kendallTau]]
+    * off the all-pairs path). Cohen's d rides the exact integer
+    * moment sums. Scale: one compact-key agg + one window. */
+  def effectSizes(spark: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(round(col("value") * 100).cast("long").as("cents"),
+        (col("event_type") === "click").as("is1"))
+      .groupBy(col("cents"))
+      .agg(count_if(col("is1")).as("d1"), count_if(!col("is1")).as("d2"))
+    val cum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = perVal
+      .withColumn("cum2", sum(col("d2")).over(cum))
+      .agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"),
+        sum(dec(col("d1")) * (col("cum2") - col("d2"))).as("gt"),
+        sum(dec(col("d1")) * col("cents")).as("s1"),
+        sum(dec(col("d2")) * col("cents")).as("s2"),
+        sum(dec(col("d1")) * col("cents") * col("cents")).as("q1"),
+        sum(dec(col("d2")) * col("cents") * col("cents")).as("q2"),
+        sum(dec(col("d1")) * col("d2")).as("ties_x"))
+    // lt = n1·n2 − gt − tied-pairs; tied pairs per value = d1·d2
+    def d(c: Column) = c.cast("double")
+    val n1n2 = dec(col("n1")) * col("n2")
+    val lt = n1n2 - col("gt") - col("ties_x")
+    val m1 = d(col("s1")) / d(col("n1"))
+    val m2 = d(col("s2")) / d(col("n2"))
+    val ss1 = d(col("q1")) - d(col("s1")) * d(col("s1")) / d(col("n1"))
+    val ss2 = d(col("q2")) - d(col("s2")) * d(col("s2")) / d(col("n2"))
+    val sPool = sqrt((ss1 + ss2) / (d(col("n1")) + d(col("n2")) - 2d))
+    m.select(col("n1").as("n_click"), col("n2").as("n_purchase"),
+      round(lit(1e6) * (col("gt") - lt).cast("double") / n1n2.cast("double"))
+        .cast("long").as("cliffs_delta_ppm"),
+      round(lit(1e3) * (m1 - m2) / sPool).cast("long").as("cohens_d_milli"))
+  }
+
+  val effectSizesSql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type = 'click' AS is1
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |perval AS (
+      |  SELECT cents, CAST(count(*) FILTER (WHERE is1) AS BIGINT) AS d1,
+      |         CAST(count(*) FILTER (WHERE NOT is1) AS BIGINT) AS d2
+      |  FROM v GROUP BY 1),
+      |runs AS (
+      |  SELECT *, sum(d2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum2
+      |  FROM perval),
+      |m AS (
+      |  SELECT sum(d1) AS n1, sum(d2) AS n2,
+      |         sum(CAST(d1 AS HUGEINT) * (cum2 - d2)) AS gt,
+      |         sum(CAST(d1 AS HUGEINT) * cents) AS s1,
+      |         sum(CAST(d2 AS HUGEINT) * cents) AS s2,
+      |         sum(CAST(d1 AS HUGEINT) * cents * cents) AS q1,
+      |         sum(CAST(d2 AS HUGEINT) * cents * cents) AS q2,
+      |         sum(CAST(d1 AS HUGEINT) * d2) AS ties_x
+      |  FROM runs)
+      |SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+      |       CAST(round(1e6 * CAST(gt - (CAST(n1 AS HUGEINT) * n2 - gt - ties_x)
+      |                             AS DOUBLE)
+      |             / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) AS BIGINT)
+      |         AS cliffs_delta_ppm,
+      |       CAST(round(1e3 * (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+      |             / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+      |                     + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2))
+      |                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2)))
+      |            AS BIGINT) AS cohens_d_milli
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_kruskal_wallis" -> (kruskalWallis _),
+    "stats_effect_sizes" -> (effectSizes _),
     "stats_fisher_exact" -> (fisherExact _),
     "stats_levene" -> (levene _),
     "stats_jarque_bera" -> (jarqueBera _),
@@ -1759,6 +1921,8 @@ object StatsOps {
     "agg_gini" -> giniSql,
     "agg_mutual_info" -> mutualInfoSql,
     "agg_mann_whitney" -> mannWhitneySql,
+    "stats_kruskal_wallis" -> kruskalWallisSql,
+    "stats_effect_sizes" -> effectSizesSql,
     "agg_cramers_v" -> cramersVSql,
     "agg_cms_topk" -> cmsTopKSql,
     "agg_benford" -> benfordSql,

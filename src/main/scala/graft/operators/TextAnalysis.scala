@@ -1014,7 +1014,85 @@ object TextAnalysis {
       |WHERE cum_mass - f * k < target AND target <= cum_mass
       |ORDER BY pct""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Keyness (Dunning log-likelihood G²) — distinctive terms per lang
+  // ---------------------------------------------------------------
+
+  /** KEYNESS — "which terms are DISTINCTIVE of each language slice,
+    * not merely frequent in it?": Dunning's log-likelihood G² over the
+    * 2×2 table (term-in-slice a, term-in-rest b, other-in-slice c,
+    * other-in-rest d), G² = 2·Σ obs·ln(obs/exp) — the corpus-linguistics
+    * standard for contrastive vocabulary audits (is the 'legal' slice
+    * actually legal text? did a crawl slice drift?). Only POSITIVE
+    * keyness (term over-represented in the slice) ranks; a df ≥ 5
+    * floor drops hapax noise deterministically. Top-3 per lang via a
+    * lang-partitioned rank over the VOCABULARY-sized term table (never
+    * the corpus — the window input is Zipf-bounded), G² quantized to
+    * milli once per term. Scale: one corpus explode → (term, lang)
+    * agg; everything after lives on vocab × langs rows. */
+  def keynessG2(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("lang"), explode(words(col("text"))).as("term"))
+    val cells = terms.groupBy(col("term"), col("lang")).agg(count(lit(1)).as("a"))
+    val tTot = cells.groupBy(col("term")).agg(sum(col("a")).as("t"))
+    val lTot = cells.groupBy(col("lang")).agg(sum(col("a")).as("nl"))
+    val nTot = lTot.agg(sum(col("nl")).as("n"))
+    def d(c: Column) = c.cast("double")
+    def term(obs: Column, exp: Column): Column =
+      when(obs > 0L, d(obs) * log(d(obs) / exp)).otherwise(lit(0d))
+    val g2 = cells.join(tTot, "term").join(lTot, "lang")
+      .crossJoin(broadcast(nTot))
+      .filter(col("t") >= 5L)
+      .withColumn("b", col("t") - col("a"))
+      .withColumn("c", col("nl") - col("a"))
+      .withColumn("dd", col("n") - col("t") - col("nl") + col("a"))
+      // positive keyness only: p(term|slice) > p(term|corpus)
+      .filter(d(col("a")) * d(col("n")) > d(col("t")) * d(col("nl")))
+      .withColumn("g2_milli", round(lit(2e3) * (
+        term(col("a"), d(col("nl")) * d(col("t")) / d(col("n"))) +
+        term(col("b"), (d(col("n")) - d(col("nl"))) * d(col("t")) / d(col("n"))) +
+        term(col("c"), d(col("nl")) * (d(col("n")) - d(col("t"))) / d(col("n"))) +
+        term(col("dd"),
+          (d(col("n")) - d(col("nl"))) * (d(col("n")) - d(col("t"))) / d(col("n")))))
+        .cast("long"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("g2_milli").desc, col("term"))
+    g2.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("term"),
+        col("a").as("n_in_slice"), col("b").as("n_in_rest"), col("g2_milli"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val keynessG2Sql: String =
+    """WITH terms AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |cells AS (SELECT term, lang, count(*) AS a FROM terms GROUP BY 1, 2),
+      |tt AS (SELECT term, sum(a) AS t FROM cells GROUP BY 1),
+      |lt AS (SELECT lang, sum(a) AS nl FROM cells GROUP BY 1),
+      |n AS (SELECT sum(nl) AS n FROM lt),
+      |g2 AS (
+      |  SELECT c.lang, c.term, c.a, t.t - c.a AS b,
+      |         CAST(round(2e3 * (
+      |           CASE WHEN c.a > 0 THEN c.a * ln(c.a / (CAST(l.nl AS DOUBLE) * t.t / n.n)) ELSE 0 END
+      |         + CASE WHEN t.t - c.a > 0 THEN (t.t - c.a)
+      |               * ln((t.t - c.a) / ((CAST(n.n AS DOUBLE) - l.nl) * t.t / n.n)) ELSE 0 END
+      |         + CASE WHEN l.nl - c.a > 0 THEN (l.nl - c.a)
+      |               * ln((l.nl - c.a) / (CAST(l.nl AS DOUBLE) * (n.n - t.t) / n.n)) ELSE 0 END
+      |         + CASE WHEN n.n - t.t - l.nl + c.a > 0 THEN (n.n - t.t - l.nl + c.a)
+      |               * ln((n.n - t.t - l.nl + c.a)
+      |                    / ((CAST(n.n AS DOUBLE) - l.nl) * (n.n - t.t) / n.n)) ELSE 0 END))
+      |           AS BIGINT) AS g2_milli
+      |  FROM cells c JOIN tt t USING (term) JOIN lt l USING (lang) CROSS JOIN n
+      |  WHERE t.t >= 5
+      |    AND CAST(c.a AS DOUBLE) * n.n > CAST(t.t AS DOUBLE) * l.nl)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, term,
+      |       CAST(a AS BIGINT) AS n_in_slice, CAST(b AS BIGINT) AS n_in_rest, g2_milli
+      |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+      |        ORDER BY g2_milli DESC, term) AS rk FROM g2)
+      |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keyness_g2" -> (keynessG2 _),
     "text_coverage_curve" -> (coverageCurve _),
     "text_naive_bayes" -> (naiveBayes _),
     "text_rake_keywords" -> (rakeKeywords _),
@@ -1036,6 +1114,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_keyness_g2" -> keynessG2Sql,
     "text_coverage_curve" -> coverageCurveSql,
     "text_naive_bayes" -> naiveBayesSql,
     "text_rake_keywords" -> rakeKeywordsSql,

@@ -1098,7 +1098,67 @@ object WarehouseEtl {
       .mkString("", "\nUNION ALL\n", "\nORDER BY entity")
   }
 
+  // ---------------------------------------------------------------
+  // Accumulating-snapshot fact (Kimball milestone pipeline)
+  // ---------------------------------------------------------------
+
+  /** ACCUMULATING-SNAPSHOT fact build + milestone-lag report — the
+    * third Kimball fact-table pattern beside the transaction grain
+    * (lineitem itself) and the periodic snapshot ([[incrementalAgg]]):
+    * ONE row per pipeline entity (order) whose milestone columns fill
+    * in as the process advances — placed → first shipment → last
+    * shipment — and whose value is the LAG arithmetic between
+    * milestones (where does fulfillment time go, by status?). The
+    * build is one fact-side agg (min/max shipdate per order, never a
+    * window) joined to the order dim; day lags are exact integers
+    * (timestamp div 86400), averages quantize to milli once. Orders
+    * with no shipped line yet keep NULL milestones and are counted —
+    * the in-flight cohort every accumulating snapshot must carry.
+    * Scale: fact agg on the join key + broadcast-ineligible dim join
+    * on o_orderkey; output is status-bounded. */
+  def accumulatingSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    def day(c: Column): Column = (unix_timestamp(c) / lit(86400L)).cast("long")
+    val ship = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(min(day(col("l_shipdate"))).as("first_ship_d"),
+        max(day(col("l_shipdate"))).as("last_ship_d"),
+        count(lit(1)).as("n_lines"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        day(col("o_orderdate")).as("order_d"))
+      .join(ship, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count_if(col("first_ship_d").isNull).as("n_in_flight"),
+        sum(col("n_lines")).as("n_lines"),
+        round(lit(1e3) * avg(col("first_ship_d") - col("order_d")))
+          .cast("long").as("avg_days_to_first_ship_milli"),
+        round(lit(1e3) * avg(col("last_ship_d") - col("first_ship_d")))
+          .cast("long").as("avg_ship_window_days_milli"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val accumulatingSnapshotSql: String =
+    """WITH ship AS (
+      |  SELECT l_orderkey,
+      |         min(CAST(epoch(l_shipdate) AS BIGINT) // 86400) AS first_ship_d,
+      |         max(CAST(epoch(l_shipdate) AS BIGINT) // 86400) AS last_ship_d,
+      |         count(*) AS n_lines
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |       CAST(count(*) FILTER (WHERE first_ship_d IS NULL) AS BIGINT)
+      |         AS n_in_flight,
+      |       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+      |       CAST(round(1e3 * avg(first_ship_d
+      |              - CAST(epoch(o_orderdate) AS BIGINT) // 86400)) AS BIGINT)
+      |         AS avg_days_to_first_ship_milli,
+      |       CAST(round(1e3 * avg(last_ship_d - first_ship_d)) AS BIGINT)
+      |         AS avg_ship_window_days_milli
+      |FROM orders LEFT JOIN ship ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_accumulating_snapshot" -> (accumulatingSnapshot _),
     "etl_surrogate_keys" -> (surrogateKeys _),
     "etl_referential_integrity" -> (referentialIntegrity _),
     "etl_data_vault" -> (dataVault _),
@@ -1122,6 +1182,7 @@ object WarehouseEtl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_accumulating_snapshot" -> accumulatingSnapshotSql,
     "etl_surrogate_keys" -> surrogateKeysSql,
     "etl_referential_integrity" -> referentialIntegritySql,
     "etl_data_vault" -> dataVaultSql,
