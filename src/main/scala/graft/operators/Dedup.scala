@@ -660,6 +660,7 @@ object Dedup {
         transform(shingles(col("text")),
           s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))
         .as("toks0"))
+      .localCheckpoint()
     val tf = docs.select(col("doc_id"), explode(col("toks0")).as("term"))
     val freq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wd = org.apache.spark.sql.expressions.Window
@@ -743,6 +744,11 @@ object Dedup {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // NOT checkpointed: the candidate self-join's two sides share this
+    // lineage and Spark reuses the window exchange (ReusedExchange), so
+    // the chain computes once anyway — an explicit localCheckpoint was
+    // A/B'd at ~sf1 and measured SLOWER (16.8 vs 12.9 s min-of-3),
+    // the materialization cost without a recompute to save
     val pre = tf.join(freq, "term")
       .withColumn("n", count(lit(1)).over(wn))
       .withColumn("rk", row_number().over(wd))
