@@ -2037,7 +2037,124 @@ object CorpusOps {
       |      FROM documents)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Contamination SPAN report (where, not just whether)
+  // ---------------------------------------------------------------
+
+  /** CONTAMINATION SPANS — [[decontaminate]] answers WHICH train docs
+    * overlap the eval set; this answers WHERE: every eval 4-gram hit
+    * is located by its token position in the train doc, and the
+    * per-doc report carries hit count, first/last position and the
+    * contaminated share of the doc's grams — the triage view that
+    * decides "drop the doc" vs "cut the span" (C4-style line surgery)
+    * before a 100 TB decontamination pass. Same split and gram basis
+    * as the decontaminate family; positions ride posexplode, the eval
+    * side is the same bounded distinct-gram set. */
+  def contaminationSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val words = graft.api.Graft.tokens(col("text"))
+    val ngs = when(size(words) >= k,
+      transform(sequence(lit(0), size(words) - k),
+        i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+      .otherwise(array(col("text")))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(ngs).as(Seq("pos", "ng")),
+        (size(words) - k + 1).cast("long").as("n_grams"))
+    val ev = grams.filter(col("doc_id") % 20 === 0)
+      .select(col("ng")).distinct()
+    grams.filter(col("doc_id") % 20 =!= 0)
+      .join(ev, "ng")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ng")).as("n_eval_ngrams"),
+        count(lit(1)).as("n_hit_positions"),
+        min(col("pos")).cast("long").as("first_pos"),
+        max(col("pos")).cast("long").as("last_pos"),
+        round(lit(1e6) * count(lit(1)).cast("double") /
+          greatest(max(col("n_grams")), lit(1L)).cast("double"))
+          .cast("long").as("hit_share_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationSpansSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, i AS pos, array_to_string(words[i+1:i+4], ' ') AS ng,
+      |         CAST(len(words) - 3 AS BIGINT) AS n_grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |       unnest(range(len(words) - 3)) AS t(i)
+      |  WHERE len(words) >= 4
+      |  UNION ALL
+      |  SELECT doc_id, 0 AS pos, text AS ng, CAST(len(words) - 3 AS BIGINT)
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+      |  WHERE len(words) < 4),
+      |ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 20 = 0)
+      |SELECT doc_id, count(DISTINCT g.ng) AS n_eval_ngrams,
+      |       count(*) AS n_hit_positions,
+      |       CAST(min(pos) AS BIGINT) AS first_pos,
+      |       CAST(max(pos) AS BIGINT) AS last_pos,
+      |       CAST(round(1e6 * CAST(count(*) AS DOUBLE)
+      |            / greatest(max(n_grams), 1)) AS BIGINT) AS hit_share_ppm
+      |FROM g JOIN ev USING (ng)
+      |WHERE doc_id % 20 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Deterministic sampling audit (Bernoulli / systematic / overlap)
+  // ---------------------------------------------------------------
+
+  /** SAMPLING AUDIT — the reproducibility report for the two
+    * deterministic sampling schemes a pipeline mixes: hash-BERNOULLI
+    * (md5(doc_id) < p·2³² — stable under corpus growth, the scheme
+    * every "sample 10% for the quality sweep" should use) and
+    * SYSTEMATIC (doc_id ≡ 7 mod 10 — stride sampling, stable but
+    * PERIODIC: aliases with any id-correlated structure). Reports
+    * each scheme's observed rate vs design (in ppm) and their
+    * overlap vs the p/k independence expectation — the drift check
+    * that catches a broken hash or an id-assignment change before a
+    * downstream eval silently shifts. One map-only scan, one 1-row
+    * census. */
+  def sampleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val bern = graft.api.Graft.idHash(col("doc_id").cast("string")) <
+      lit(429496729L) // floor(0.1 * 2^32)
+    val sys = col("doc_id") % 10 === 7
+    Tables.documents(spark, dir)
+      .select(bern.as("b"), sys.as("s"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("b")).as("n_bernoulli"),
+        count_if(col("s")).as("n_systematic"),
+        count_if(col("b") && col("s")).as("n_both"))
+      .select(col("n_docs"), col("n_bernoulli"),
+        round(lit(1e6) * col("n_bernoulli").cast("double") /
+          col("n_docs").cast("double")).cast("long").as("bern_rate_ppm"),
+        col("n_systematic"),
+        round(lit(1e6) * col("n_systematic").cast("double") /
+          col("n_docs").cast("double")).cast("long").as("sys_rate_ppm"),
+        col("n_both"),
+        round(lit(1e6) * col("n_both").cast("double") /
+          col("n_docs").cast("double")).cast("long").as("both_rate_ppm"))
+  }
+
+  val sampleAuditSql: String =
+    """WITH f AS (
+      |  SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |           < 429496729 AS b,
+      |         doc_id % 10 = 7 AS s
+      |  FROM documents)
+      |SELECT count(*) AS n_docs,
+      |       CAST(count(*) FILTER (WHERE b) AS BIGINT) AS n_bernoulli,
+      |       CAST(round(1e6 * CAST(count(*) FILTER (WHERE b) AS DOUBLE)
+      |            / count(*)) AS BIGINT) AS bern_rate_ppm,
+      |       CAST(count(*) FILTER (WHERE s) AS BIGINT) AS n_systematic,
+      |       CAST(round(1e6 * CAST(count(*) FILTER (WHERE s) AS DOUBLE)
+      |            / count(*)) AS BIGINT) AS sys_rate_ppm,
+      |       CAST(count(*) FILTER (WHERE b AND s) AS BIGINT) AS n_both,
+      |       CAST(round(1e6 * CAST(count(*) FILTER (WHERE b AND s) AS DOUBLE)
+      |            / count(*)) AS BIGINT) AS both_rate_ppm
+      |FROM f""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_contamination_spans" -> (contaminationSpans _),
+    "corpus_sample_audit" -> (sampleAudit _),
     "corpus_kl_divergence" -> (klDivergence _),
     "corpus_truncation_loss" -> ((s, d) => truncationLoss(s, d)),
     "corpus_trigram_backoff" -> (trigramBackoff _),
@@ -2101,6 +2218,8 @@ object CorpusOps {
     "corpus_chunk_overlap" -> chunkOverlapSql,
     "corpus_mix_rebalance" -> mixRebalanceSql,
     "corpus_temperature_mix" -> temperatureMixSql,
+    "corpus_contamination_spans" -> contaminationSpansSql,
+    "corpus_sample_audit" -> sampleAuditSql,
     "corpus_kl_divergence" -> klDivergenceSql,
     "corpus_truncation_loss" -> truncationLossSql,
     "corpus_trigram_backoff" -> trigramBackoffSql,

@@ -993,7 +993,71 @@ object Multimodal {
       |         AS next_record_offset
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Parquet file framing (12th codec: END-anchored parse)
+  // ---------------------------------------------------------------
+
+  /** PARQUET FILE FRAMING decode — the engine's own storage format,
+    * and the family's first END-ANCHORED parse: a parquet reader
+    * starts at the TAIL ("PAR1" magic at bytes [len−4, len), LE u32
+    * footer length at [len−8, len−4)), walks back to the footer
+    * start, and only then knows where metadata lives — the row-group
+    * data region is whatever sits between the 4-byte head magic and
+    * the footer. The real footer is Thrift; this synthesizes the
+    * framing with a mini ASCII metadata blob ("rows=R,cols=C") so the
+    * offset arithmetic AND an in-footer field parse are both
+    * round-tripped. Every offset derives from length(payload) —
+    * there are no fixed positions, which is exactly what the other
+    * 11 codecs never had to do. */
+  def parquetFooter(spark: SparkSession, dir: String): DataFrame = {
+    val rows = (lit(100) + pmod(col("doc_id"), lit(900))).cast("long")
+    val cols0 = (lit(4) + pmod(col("n_chars"), lit(28))).cast("long")
+    val meta = concat(lit("rows="), rows.cast("string"),
+      lit(",cols="), cols0.cast("string"))
+    val dataLen = (lit(64L) + pmod(col("doc_id") * 7L, lit(192L))).cast("long")
+    def leHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    val payload = unhex(concat(
+      lit("50415231"),                         // "PAR1"
+      repeat(lit("AB"), dataLen.cast("int")),  // data region (opaque)
+      hex(meta.cast("binary")),                // footer blob
+      leHex(length(meta).cast("long"), 4),     // footer length LE u32
+      lit("50415231")))                        // tail magic
+    val withP = Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("p"))
+      .withColumn("len", length(col("p")).cast("long"))
+    // END-anchored: every offset below is computed from len
+    def leAtDyn(pos: org.apache.spark.sql.Column, n: Int) =
+      (0 until n).map(i =>
+        conv(hex(substring(col("p"), (pos + i).cast("int"), lit(1))), 16, 10).cast("long") *
+          lit(1L << (8 * i)))
+        .reduce(_ + _)
+    val flen = leAtDyn(col("len") - 7L, 4)
+    val footer = substring(col("p"), (col("len") - 7L - flen).cast("int"),
+      flen.cast("int")).cast("string")
+    withP.select(col("doc_id"),
+        (hex(substring(col("p"), 1, 4)) === lit("50415231")).as("head_magic_ok"),
+        (hex(substring(col("p"), (col("len") - 3L).cast("int"), lit(4)))
+          === lit("50415231")).as("tail_magic_ok"),
+        flen.as("footer_len"),
+        (col("len") - 12L - flen).as("data_bytes"),
+        regexp_extract(footer, "rows=(\\d+)", 1).cast("long").as("num_rows"),
+        regexp_extract(footer, "cols=(\\d+)", 1).cast("long").as("num_cols"))
+      .orderBy(col("doc_id"))
+  }
+
+  val parquetFooterSql: String =
+    """SELECT doc_id, TRUE AS head_magic_ok, TRUE AS tail_magic_ok,
+      |       CAST(len('rows=' || CAST(100 + doc_id % 900 AS VARCHAR)
+      |            || ',cols=' || CAST(4 + n_chars % 28 AS VARCHAR)) AS BIGINT)
+      |         AS footer_len,
+      |       CAST(64 + (doc_id * 7) % 192 AS BIGINT) AS data_bytes,
+      |       CAST(100 + doc_id % 900 AS BIGINT) AS num_rows,
+      |       CAST(4 + n_chars % 28 AS BIGINT) AS num_cols
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_parquet_footer" -> (parquetFooter _),
     "mm_npy_header" -> (npyHeader _),
     "mm_gzip_header" -> (gzipHeader _),
     "mm_warc_record" -> (warcRecord _),
@@ -1014,6 +1078,7 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_parquet_footer" -> parquetFooterSql,
     "mm_npy_header" -> npyHeaderSql,
     "mm_gzip_header" -> gzipHeaderSql,
     "mm_warc_record" -> warcRecordSql,

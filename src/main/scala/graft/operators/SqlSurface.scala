@@ -260,7 +260,38 @@ object SqlSurface {
       |FROM orders
       |ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC""".stripMargin
 
+  /** QUALIFY-style window filter — "top-2 orders per customer" said
+    * the way analysts write it in engines with the QUALIFY clause
+    * (DuckDB, Snowflake, BigQuery): filter ON a window function
+    * without a subquery. Spark 4 has no QUALIFY keyword, so the
+    * engine-side formulation is the desugared form (rank column +
+    * WHERE + drop) — which is exactly what QUALIFY compiles to — and
+    * the plan gets WindowGroupLimit'd like every top-k-per-group in
+    * the registry; the DuckDB oracle uses the literal QUALIFY clause,
+    * pinning the desugar equivalence. */
+  def qualifyTopk(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir)("orders")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders)
+        |WHERE rk <= 2
+        |ORDER BY o_custkey, rk""".stripMargin)
+  }
+
+  val qualifyTopkSql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+      |       CAST(row_number() OVER (PARTITION BY o_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      |FROM orders
+      |QUALIFY rk <= 2
+      |ORDER BY o_custkey, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_qualify_topk" -> (qualifyTopk _),
     "sql_distinct_on" -> (distinctOn _),
     "sql_grouping_sets" -> (groupingSets _),
     "sql_pivot" -> (pivotStatus _),
@@ -275,6 +306,7 @@ object SqlSurface {
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_qualify_topk" -> qualifyTopkSql,
     "sql_distinct_on" -> distinctOnSql,
     "sql_grouping_sets" -> groupingSetsSql,
     "sql_pivot" -> pivotStatusSql,

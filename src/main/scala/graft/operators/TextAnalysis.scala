@@ -1091,7 +1091,59 @@ object TextAnalysis {
       |        ORDER BY g2_milli DESC, term) AS rk FROM g2)
       |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Pairwise language vocabulary overlap (Jaccard matrix)
+  // ---------------------------------------------------------------
+
+  /** LANG-PAIR VOCABULARY OVERLAP — the mixture-health matrix: for
+    * every unordered pair of language slices, the Jaccard overlap of
+    * their distinct-term vocabularies. High off-diagonal overlap
+    * flags mislabeled languages, shared boilerplate, or a langid
+    * model collapsing dialects — the corpus-level complement of the
+    * per-doc [[langIdConfusion]]. Runs entirely on the Zipf-bounded
+    * (term, lang) distinct table: the pair join is an equi self-join
+    * on the term (inverted-index shape), |union| = |A|+|B|−|inter|
+    * needs no second pass. */
+  def langOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(col("lang"), explode(words(col("text"))).as("term"))
+      .distinct()
+    val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+    val inter = vocab.as("a").join(vocab.as("b"),
+        col("a.term") === col("b.term") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("lang").as("lang_a"), col("v").as("vocab_a")), "lang_a")
+      .join(sizes.select(col("lang").as("lang_b"), col("v").as("vocab_b")), "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("vocab_a"), col("vocab_b"),
+        col("n_shared"),
+        round(lit(1e6) * col("n_shared").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("n_shared")).cast("double"))
+          .cast("long").as("jaccard_ppm"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  val langOverlapSql: String =
+    """WITH vocab AS (
+      |  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |sizes AS (SELECT lang, count(*) AS v FROM vocab GROUP BY 1),
+      |inter AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+      |  FROM vocab a JOIN vocab b ON a.term = b.term AND a.lang < b.lang
+      |  GROUP BY 1, 2)
+      |SELECT lang_a, lang_b,
+      |       CAST(sa.v AS BIGINT) AS vocab_a, CAST(sb.v AS BIGINT) AS vocab_b,
+      |       n_shared,
+      |       CAST(round(1e6 * CAST(n_shared AS DOUBLE)
+      |            / (sa.v + sb.v - n_shared)) AS BIGINT) AS jaccard_ppm
+      |FROM inter JOIN sizes sa ON sa.lang = lang_a
+      |           JOIN sizes sb ON sb.lang = lang_b
+      |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_overlap" -> (langOverlap _),
     "text_keyness_g2" -> (keynessG2 _),
     "text_coverage_curve" -> (coverageCurve _),
     "text_naive_bayes" -> (naiveBayes _),
@@ -1114,6 +1166,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_lang_overlap" -> langOverlapSql,
     "text_keyness_g2" -> keynessG2Sql,
     "text_coverage_curve" -> coverageCurveSql,
     "text_naive_bayes" -> naiveBayesSql,

@@ -137,6 +137,60 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("contamination spans: positions ordered, share bounded, hits >= distinct grams") {
+    val rows = CorpusOps.contaminationSpans(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("first_pos") <= r.getAs[Long]("last_pos"))
+      assert(r.getAs[Long]("n_hit_positions") >= r.getAs[Long]("n_eval_ngrams"))
+      assert(r.getAs[Long]("hit_share_ppm") <= 1000000L)
+    }
+  }
+
+  test("sample audit: rates near design points, overlap <= both margins") {
+    val r = CorpusOps.sampleAudit(spark, sf).collect()(0)
+    val bern = r.getAs[Long]("bern_rate_ppm"); val sys = r.getAs[Long]("sys_rate_ppm")
+    assert(bern > 30000 && bern < 250000, s"bernoulli rate $bern far from 10%")
+    assert(sys > 30000 && sys < 250000, s"systematic rate $sys far from 10%")
+    assert(r.getAs[Long]("n_both") <=
+      math.min(r.getAs[Long]("n_bernoulli"), r.getAs[Long]("n_systematic")))
+  }
+
+  test("lang overlap: jaccard bounded, shared <= min vocab, pairs ordered") {
+    val rows = TextAnalysis.langOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang_a") < r.getAs[String]("lang_b"))
+      assert(r.getAs[Long]("n_shared") <=
+        math.min(r.getAs[Long]("vocab_a"), r.getAs[Long]("vocab_b")))
+      assert(r.getAs[Long]("jaccard_ppm") <= 1000000L)
+    }
+  }
+
+  test("qualify topk: <= 2 rows per customer, rank order by price desc") {
+    val rows = SqlSurface.qualifyTopk(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rs) =>
+      assert(rs.length <= 2)
+      if (rs.length == 2) {
+        val s = rs.sortBy(_.getAs[Long]("rk"))
+        assert(s(0).getAs[Double]("price") >= s(1).getAs[Double]("price"))
+      }
+    }
+  }
+
+  test("parquet footer: end-anchored offsets round-trip the framing") {
+    val rows = Multimodal.parquetFooter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("head_magic_ok") && r.getAs[Boolean]("tail_magic_ok"))
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("data_bytes") === 64 + (id * 7) % 192)
+      assert(r.getAs[Long]("num_rows") === 100 + id % 900)
+      val meta = s"rows=${r.getAs[Long]("num_rows")},cols=${r.getAs[Long]("num_cols")}"
+      assert(r.getAs[Long]("footer_len") === meta.length)
+    }
+  }
+
   test("warc record: text-protocol parse + next-record offset arithmetic") {
     val rows = Multimodal.warcRecord(spark, sf).collect()
     assert(rows.nonEmpty)
