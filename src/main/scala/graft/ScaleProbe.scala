@@ -76,6 +76,44 @@ object ScaleProbe {
     }
   }
 
+  /** FIXPOINT-INVARIANT GATE (r12 verdict #1): the DuckDB oracle runs
+    * at sf0.01/sf0.1 and can never see an unconverged fixpoint at ~sf1
+    * — the r11 DBSCAN cluster census was silently wrong there for
+    * exactly that reason. The gate: run the PRODUCTION edge pipeline,
+    * take the labels [[graft.api.Graft.connectedComponents]] returns,
+    * and run ONE more min-label propagate round over them — a true
+    * fixpoint changes ZERO rows. This checks a property the engine's
+    * own convergence probe cannot certify from inside (a probe bug
+    * that declares convergence early would pass its own check but
+    * fail this one). Returns (violations, labeled nodes) — violations
+    * MUST be 0. */
+  private def fixpointViolations(edges: DataFrame, a: String, b: String): (Long, Long) = {
+    val e = edges.select(col(a).as("__s"), col(b).as("__d")).localCheckpoint()
+    val labels = graft.api.Graft.connectedComponents(e, "__s", "__d").localCheckpoint()
+    val sym = e.union(e.select(col("__d").as("__s"), col("__s").as("__d")))
+    val prop = labels.join(sym, col("id") === col("__s"))
+      .select(col("__d").as("id"), col("component"))
+      .union(labels)
+      .groupBy("id").agg(min("component").as("__p"))
+    val viol = prop.join(labels.withColumnRenamed("component", "__cur"), "id")
+      .filter(col("__p") =!= col("__cur")).count()
+    (viol, labels.count())
+  }
+
+  /** The three CC-consuming endpoints' production edge pipelines at a
+    * given data dir, for [[fixpointViolations]]. */
+  private def ccInvariantRows(spark: SparkSession, dir: String): Seq[(String, Long, Long)] =
+    Seq[(String, () => (Long, Long))](
+      ("dedup_keep (nearDupPairs edges)", () => fixpointViolations(
+        graft.api.Graft.nearDupPairs(
+          Tables.documents(spark, dir), "text", "doc_id"), "id_a", "id_b")),
+      ("geo_dbscan (core-core edges)", () => fixpointViolations(
+        graft.operators.GeoOps.dbscanCoreEdges(spark, dir), "ida", "idb")),
+      ("graph_er_resolve (fuzzy-name edges)", () => fixpointViolations(
+        graft.operators.Joins.fuzzyBlockedJoin(spark, dir)
+          .select(col("name_a").as("a"), col("name_b").as("b")), "a", "b"))
+    ).map { case (name, f) => val (v, n) = f(); (name, v, n) }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -172,6 +210,15 @@ object ScaleProbe {
       Seq(sf01, big).foreach { dir =>
         graft.operators.Dedup.ppjoinStageProbe(spark, dir).foreach {
           case (st, secs, n) => println(f"[$dir] $st: $secs%.2f s ($n rows)")
+        }
+      }
+      spark.stop(); return
+    }
+    if (args.contains("cc-invariant")) {
+      Seq(sf01, big).foreach { dir =>
+        ccInvariantRows(spark, dir).foreach { case (name, v, n) =>
+          val verdict = if (v == 0L) "PASS" else "FAIL"
+          println(s"[$dir] $name: $v violations over $n labels -> $verdict")
         }
       }
       spark.stop(); return
@@ -820,6 +867,20 @@ object ScaleProbe {
     ccRows.foreach { case (label, s1, s2, n1, n2) =>
       sb.append(f"| $label | $s1%.2f | $s2%.2f | ${s2 / s1}%.1fx | $n1 | $n2 |\n")
     }
+    sb.append("\n## Fixpoint-invariant gate (~sf1 — the scale the oracle never reaches)\n\n")
+    sb.append("One extra min-label propagate round over the labels the engine\n")
+    sb.append("RETURNS must change zero rows — the from-outside certificate that\n")
+    sb.append("the fixpoint actually converged (r12 verdict #1: the r11 ~sf1\n")
+    sb.append("DBSCAN census was silently wrong because the fixpoint hit\n")
+    sb.append("maxRounds unconverged; non-convergence now THROWS in the engine,\n")
+    sb.append("and this gate additionally certifies the returned labels on the\n")
+    sb.append("three production CC consumers at the 10x scale).\n\n")
+    sb.append("| endpoint (production edge pipeline) | violations | labeled nodes | verdict |\n|---|---|---|---|\n")
+    var invariantFailed = false
+    ccInvariantRows(spark, big).foreach { case (name, v, n) =>
+      if (v != 0L) invariantFailed = true
+      sb.append(s"| $name | $v | $n | ${if (v == 0L) "PASS" else "FAIL"} |\n")
+    }
     sb.append("\nr12 reconciliation (replaces the contradictory r11 numbers —\n")
     sb.append("`ScaleProbe cc-reconcile` is the controlled interleaved min-of-3\n")
     sb.append("on pre-materialized edge lists): the r11 disagreement traced to\n")
@@ -844,5 +905,10 @@ object ScaleProbe {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("docs/SCALE.md"), sb.toString)
     println(sb.toString)
     spark.stop()
+    // the gate is a GATE: a violated invariant must fail the probe run
+    // loudly, not just annotate the report
+    if (invariantFailed)
+      throw new IllegalStateException(
+        "fixpoint-invariant gate FAILED - see docs/SCALE.md")
   }
 }

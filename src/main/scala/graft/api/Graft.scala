@@ -566,11 +566,18 @@ object Graft {
     if (sys.props.get("graft.cc.debug").contains("true"))
       System.err.println(s"[cc] level=$level fixpoint rounds=$round")
     if (!done)
-      // loud, not silent: truncated labels are NOT components. With
-      // hooking the round count is ~log(component size), so hitting a
-      // 50-round cap means something is structurally wrong.
-      System.err.println(s"[graft] connectedComponents hit maxRounds=" +
-        s"$maxRounds without converging — labels are incomplete")
+      // HARD FAILURE, not a warning (r12 verdict #1): truncated labels
+      // are NOT components, and every downstream endpoint (dedupCorpus,
+      // erResolve, dbscan, semanticDedup) would consume them as truth —
+      // the r11 ~sf1 DBSCAN census was silently wrong for exactly this
+      // reason, and the DuckDB oracle (sf0.01/sf0.1) can never see it.
+      // With hooking the round count is ~log(component size), so
+      // hitting a 50-round cap means something is structurally wrong;
+      // failing loudly is the only safe contract.
+      throw new IllegalStateException(
+        s"connectedComponents hit maxRounds=$maxRounds without " +
+          "converging - labels would be incomplete; raise maxRounds " +
+          "or investigate the graph structure")
     labels
   }
 

@@ -645,138 +645,81 @@ object Dedup {
     *    15.0 → 6.5 s (2.3×) — because it kills candidate-pair mass
     *    before the DISTINCT + verify joins, exactly where the 10×
     *    cost concentrated. KEPT on evidence (round-10). */
-  /** Stage-level timing/cardinality for [[ppjoin]] (ScaleProbe
-    * `ppjoin-stages`): prefix stream size, raw candidate matches
-    * (pre-DISTINCT), distinct candidates, verified pairs. */
-  private[graft] def ppjoinStageProbe(spark: SparkSession, dir: String)
-      : Seq[(String, Double, Long)] = {
-    val t = 0.5
-    def tm(label: String, f: => Long): (String, Double, Long) = {
-      val t0 = System.nanoTime(); val n = f
-      (label, (System.nanoTime() - t0) / 1e9, n)
-    }
-    val docs = Tables.documents(spark, dir)
+  // ---- ppjoin shared construction (r13, per r12 advice): the stage
+  // probe used to copy-paste ~50 lines of the production pipeline —
+  // any future ppjoin change would silently desynchronize the probe
+  // from what it claims to measure. Both now compose these builders.
+  // Every returned frame is LAZY; callers decide materialization.
+
+  /** Hashed-shingle token sets — the set basis for [[ppjoin]]:
+    * 3-gram shingles (like the whole dedup family — single-token sets
+    * are too coarse on a bounded vocabulary) mapped to 32-bit md5
+    * prefixes as LONGS, so every downstream stage (df join keys, the
+    * candidate equi join, the verify intersect) runs on primitive
+    * longs instead of ~20-char strings — measured ~2× on the whole
+    * op. Collisions at 2^-32 per shingle pair are negligible; the
+    * universe is the same one the minhash family already lives in. */
+  private def ppjoinDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), array_distinct(
         transform(shingles(col("text")),
           s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))
         .as("toks0"))
-      .localCheckpoint()
+
+  /** Prefix stream WITHOUT building per-doc sorted arrays: rank each
+    * doc's terms in the (df, term) global order with one doc-keyed
+    * window and keep the first n − ⌈t·n⌉ + 1 — the verify stage
+    * never needs the sorted form (array_intersect is order-blind),
+    * so it joins back to the MAP-ONLY shingle arrays instead of
+    * re-running the tf/df chain (measured ~2× on the whole op).
+    * wl = the doc's LAST prefix token in the global (df, term)
+    * order — the witness the grouped suffix filter compares to decide
+    * which doc's suffix bounds the out-of-prefix overlap. */
+  private def ppjoinPrefix(docs: DataFrame, t: Double): DataFrame = {
     val tf = docs.select(col("doc_id"), explode(col("toks0")).as("term"))
     val freq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val pre = tf.join(freq, "term")
-      .withColumn("n", count(lit(1)).over(wn))
-      .withColumn("rk", row_number().over(wd))
-      .where(col("rk") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("doc_id"), col("n"), col("term"), col("rk"))
-      .localCheckpoint()
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val preW = tf.join(freq, "term")
+    tf.join(freq, "term")
       .withColumn("n", count(lit(1)).over(wn))
       .withColumn("rk", row_number().over(wd))
       .where(col("rk") <= col("n") - ceil(col("n") * t) + 1)
       .withColumn("wl", max(struct(col("df"), col("term"))).over(wAll))
       .select(col("doc_id"), col("n"), col("term"), col("rk"), col("wl"))
-      .localCheckpoint()
-    val r1 = tm("prefix_stream", preW.count())
-    val joinCond = col("x.term") === col("y.term") &&
-      col("x.doc_id") < col("y.doc_id") &&
-      col("y.n") >= col("x.n") * t && col("x.n") >= col("y.n") * t
-    val r2 = tm("raw_matches", preW.as("x").join(preW.as("y"), joinCond).count())
-    val alphaC = ceil((col("na") + col("nb")) * lit(t / (1 + t)))
-    val cand = preW.as("x").join(preW.as("y"), joinCond)
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("o_pref"),
-        max(col("x.n")).as("na"), max(col("y.n")).as("nb"),
-        min(col("x.rk")).as("mrx"), min(col("y.rk")).as("mry"),
-        max(col("x.wl")).as("wlx"), max(col("y.wl")).as("wly"))
-      .where(lit(1) + least(col("na") - col("mrx"), col("nb") - col("mry")) >= alphaC &&
-        col("o_pref") + when(col("wlx") <= col("wly"),
-          ceil(col("na") * t) - 1).otherwise(ceil(col("nb") * t) - 1) >= alphaC)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val r3 = tm("filtered_candidates", cand.count())
-    val sets = docs.select(col("doc_id"), col("toks0"),
-      size(col("toks0")).cast("long").as("n"))
-    val r4 = tm("verify", cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("toks0").as("ta"),
-        col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("toks0").as("tb"),
-        col("n").as("nb")), "doc_b")
-      .withColumn("o", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .filter(col("o").cast("double") / (col("na") + col("nb") - col("o")) >= t)
-      .count())
-    Seq(r1, r2, r3, r4)
   }
 
-  def ppjoin(spark: SparkSession, dir: String): DataFrame = {
-    val t = 0.5
-    // the set basis is the HASHED SHINGLE set: 3-gram shingles (like
-    // the whole dedup family — single-token sets are too coarse on a
-    // bounded vocabulary) mapped to 32-bit md5 prefixes as LONGS, so
-    // every downstream stage (df join keys, the candidate equi join,
-    // the verify intersect) runs on primitive longs instead of ~20-char
-    // strings — measured ~2× on the whole op. Collisions at 2^-32 per
-    // shingle pair are negligible; the universe is the same one the
-    // minhash family already lives in.
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(
-        transform(shingles(col("text")),
-          s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))
-        .as("toks0"))
-    val tf = docs.select(col("doc_id"), explode(col("toks0")).as("term"))
-    val freq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // prefix stream WITHOUT building per-doc sorted arrays: rank each
-    // doc's terms in the (df, term) global order with one doc-keyed
-    // window and keep the first n − ⌈t·n⌉ + 1 — the verify stage
-    // never needs the sorted form (array_intersect is order-blind),
-    // so it joins back to the MAP-ONLY shingle arrays instead of
-    // re-running the tf/df chain (measured ~2× on the whole op)
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
-    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    // wl = the doc's LAST prefix token in the global (df, term) order —
-    // the witness the grouped suffix filter below compares to decide
-    // which doc's suffix bounds the out-of-prefix overlap
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    // NOT checkpointed: the candidate self-join's two sides share this
-    // lineage and Spark reuses the window exchange (ReusedExchange), so
-    // the chain computes once anyway — an explicit localCheckpoint was
-    // A/B'd at ~sf1 and measured SLOWER (16.8 vs 12.9 s min-of-3),
-    // the materialization cost without a recompute to save
-    val pre = tf.join(freq, "term")
-      .withColumn("n", count(lit(1)).over(wn))
-      .withColumn("rk", row_number().over(wd))
-      .where(col("rk") <= col("n") - ceil(col("n") * t) + 1)
-      .withColumn("wl", max(struct(col("df"), col("term"))).over(wAll))
-      .select(col("doc_id"), col("n"), col("term"), col("rk"), col("wl"))
-    // GROUP-LEVEL positional + SUFFIX-COUNT filters (r12, replacing the
-    // r10 per-match positional filter — both lossless, both evaluated
-    // once per PAIR on the match aggregate instead of per match):
-    //  - o_pref = |P_x ∩ P_y| EXACTLY (count of shared prefix tokens;
-    //    this is why the per-match positional prune had to move up
-    //    here: dropping matches inside the join would undercount it);
-    //  - positional: all common tokens sit at order-position ≥ the
-    //    FIRST shared token in each doc, so o ≤ 1 + min(n_a − min rk_a,
-    //    n_b − min rk_b) — computed from the group MINS, which is
-    //    tighter than any single match's bound;
-    //  - suffix-count: a common token outside P_x∩P_y exceeds
-    //    min(wl_x, wl_y), hence lives in the OWNING doc's suffix, so
-    //    o ≤ o_pref + (⌈t·n_owner⌉ − 1). With t = 0.5 and the J ≥ t
-    //    overlap threshold α = ⌈(n_a+n_b)·t/(1+t)⌉ this demands
-    //    ~n/6 SHARED prefix tokens per candidate — the coincidence
-    //    pairs that share 1–3 rare tokens die here, before the verify
-    //    stage ships any token array (the stage that measured 10.3 s
-    //    of the 12.9 at ~sf1 — 12M candidates for 250k true pairs).
+  /** The prefix-token equi self-join with the lossless length filter
+    * (t·na ≤ nb ∧ t·nb ≤ na) — one row per shared prefix token. */
+  private def ppjoinRawMatches(pre: DataFrame, t: Double): DataFrame =
+    pre.as("x").join(pre.as("y"),
+      col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id") &&
+        col("y.n") >= col("x.n") * t && col("x.n") >= col("y.n") * t)
+
+  /** GROUP-LEVEL positional + SUFFIX-COUNT filters (r12, replacing the
+    * r10 per-match positional filter — both lossless, both evaluated
+    * once per PAIR on the match aggregate instead of per match):
+    *  - o_pref = |P_x ∩ P_y| EXACTLY (count of shared prefix tokens;
+    *    this is why the per-match positional prune had to move up
+    *    here: dropping matches inside the join would undercount it);
+    *  - positional: all common tokens sit at order-position ≥ the
+    *    FIRST shared token in each doc, so o ≤ 1 + min(n_a − min rk_a,
+    *    n_b − min rk_b) — computed from the group MINS, which is
+    *    tighter than any single match's bound;
+    *  - suffix-count: a common token outside P_x∩P_y exceeds
+    *    min(wl_x, wl_y), hence lives in the OWNING doc's suffix, so
+    *    o ≤ o_pref + (⌈t·n_owner⌉ − 1). With t = 0.5 and the J ≥ t
+    *    overlap threshold α = ⌈(n_a+n_b)·t/(1+t)⌉ this demands
+    *    ~n/6 SHARED prefix tokens per candidate — the coincidence
+    *    pairs that share 1–3 rare tokens die here, before the verify
+    *    stage ships any token array (the stage that measured 10.3 s
+    *    of the 12.9 at ~sf1 — 12M candidates for 250k true pairs). */
+  private def ppjoinCandidates(raw: DataFrame, t: Double): DataFrame = {
     val alphaC = ceil((col("na") + col("nb")) * lit(t / (1 + t)))
-    val cand = pre.as("x").join(pre.as("y"),
-        col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id") &&
-          col("y.n") >= col("x.n") * t && col("x.n") >= col("y.n") * t)
+    raw
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("o_pref"),
         max(col("x.n")).as("na"), max(col("y.n")).as("nb"),
@@ -786,6 +729,11 @@ object Dedup {
         col("o_pref") + when(col("wlx") <= col("wly"),
           ceil(col("na") * t) - 1).otherwise(ceil(col("nb") * t) - 1) >= alphaC)
       .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact-Jaccard verification of the candidate pairs against the
+    * map-only shingle arrays; keeps `jac_raw` for the caller. */
+  private def ppjoinVerified(docs: DataFrame, cand: DataFrame, t: Double): DataFrame = {
     val sets = docs.select(col("doc_id"), col("toks0"),
       size(col("toks0")).cast("long").as("n"))
     cand
@@ -794,6 +742,62 @@ object Dedup {
       .withColumn("o", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("jac_raw", col("o").cast("double") / (col("na") + col("nb") - col("o")))
       .filter(col("jac_raw") >= t)
+  }
+
+  /** Stage-level timing/cardinality for [[ppjoin]] (ScaleProbe
+    * `ppjoin-stages`): prefix stream size, raw candidate matches
+    * (pre-group-filter), filtered candidates, verified pairs. The
+    * input scan+shingle is materialized UNTIMED (shared by every
+    * stage); each later stage is a LAZY `localCheckpoint(false)` whose
+    * timed count() is what materializes it — so each stage's reported
+    * seconds measure that stage's own work over the already-
+    * materialized previous stage (r12 advice: the old EAGER
+    * checkpoints materialized at definition, so the timed counts
+    * measured nothing). raw_matches is the one exception — it is not
+    * checkpointed (too large to be worth materializing), so the
+    * filtered_candidates row re-runs the join; its seconds therefore
+    * measure join + group filter together. */
+  private[graft] def ppjoinStageProbe(spark: SparkSession, dir: String)
+      : Seq[(String, Double, Long)] = {
+    val t = 0.5
+    def tm(label: String, f: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      (label, (System.nanoTime() - t0) / 1e9, n)
+    }
+    val docs = ppjoinDocs(spark, dir).localCheckpoint()
+    val pre = ppjoinPrefix(docs, t).localCheckpoint(false)
+    val r1 = tm("prefix_stream", pre.count())
+    val r2 = tm("raw_matches", ppjoinRawMatches(pre, t).count())
+    val cand = ppjoinCandidates(ppjoinRawMatches(pre, t), t).localCheckpoint(false)
+    val r3 = tm("filtered_candidates", cand.count())
+    val r4 = tm("verify", ppjoinVerified(docs, cand, t).count())
+    Seq(r1, r2, r3, r4)
+  }
+
+  /** PPJoin end-to-end — see the stage builders above for the design
+    * commentary. The prefix stream is NOT checkpointed: the candidate
+    * self-join's two sides share its lineage and Spark reuses the
+    * window exchange (ReusedExchange), so the chain computes once
+    * anyway — an explicit localCheckpoint was A/B'd at ~sf1 and
+    * measured SLOWER (16.8 vs 12.9 s min-of-3), the materialization
+    * cost without a recompute to save.
+    *
+    * Measured trade notes (both variants A/B'd interleaved, min-of-3,
+    * identical outputs):
+    *  - the asymmetric INDEXING prefix n − ⌈2t/(1+t)·n⌉ + 1 on the
+    *    smaller side was SLOWER at both sf0.1 (4.5 vs 3.7 s) and 10×
+    *    (27 vs 12 s): the role-splitting join condition costs more
+    *    than the candidate reduction saves when verification is a
+    *    cheap long-array intersect. REVERTED on evidence.
+    *  - the POSITIONAL filter is FASTER at both scales — sf0.1
+    *    3.36 → 2.75 s, 10× replica 15.0 → 6.5 s (2.3×) — because it
+    *    kills candidate-pair mass before the DISTINCT + verify joins,
+    *    exactly where the 10× cost concentrated. KEPT (round-10). */
+  def ppjoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    val docs = ppjoinDocs(spark, dir)
+    val pre = ppjoinPrefix(docs, t)
+    ppjoinVerified(docs, ppjoinCandidates(ppjoinRawMatches(pre, t), t), t)
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -359,6 +359,18 @@ object GeoOps {
       |   AND (a.xc - b.xc) * (a.xc - b.xc)
       |       + (a.yc - b.yc) * (a.yc - b.yc) <= 10000)""".stripMargin
 
+  /** The core-core edge list [[dbscan]] clusters — exposed for the
+    * ScaleProbe fixpoint-invariant gate (r12 verdict #1), which must
+    * verify the PRODUCTION edge pipeline, not a probe-local copy. */
+  private[graft] def dbscanCoreEdges(spark: SparkSession, dir: String): DataFrame = {
+    val minPts = 5L
+    val (_, pairs) = epsGraph(spark, dir)
+    val deg = pairs.groupBy(col("ida")).agg((count(lit(1)) + lit(1L)).as("deg"))
+    val core = deg.filter(col("deg") >= minPts).select(col("ida").as("id"))
+    pairs.join(core.select(col("id").as("ida")), Seq("ida"))
+      .join(core.select(col("id").as("idb")), Seq("idb"))
+  }
+
   /** Stage-level timing for the dbscan pipeline (ScaleProbe
     * `dbscan-stages` mode): where the 10× cost actually sits. */
   private[graft] def dbscanStageProbe(spark: SparkSession, dir: String)
@@ -372,14 +384,12 @@ object GeoOps {
     val minPts = 5L
     val deg = pairs.groupBy(col("ida")).agg((count(lit(1)) + lit(1L)).as("deg"))
     val core = deg.filter(col("deg") >= minPts).select(col("ida").as("id"))
-    val r2 = t("core_edges", {
-      val ce = pairs.join(core.select(col("id").as("ida")), Seq("ida"))
-        .join(core.select(col("id").as("idb")), Seq("idb")).localCheckpoint()
-      ce.count()
-    })
+    // lazy checkpoint: the timed count below materializes `ce`, and r3
+    // REUSES it (r12 advice — the old probe rebuilt and re-counted an
+    // identical core-edge join untimed, doubling probe wall time)
     val ce = pairs.join(core.select(col("id").as("ida")), Seq("ida"))
-      .join(core.select(col("id").as("idb")), Seq("idb")).localCheckpoint()
-    ce.count()
+      .join(core.select(col("id").as("idb")), Seq("idb")).localCheckpoint(false)
+    val r2 = t("core_edges", ce.count())
     val r3 = t("cc_on_core_edges",
       graft.api.Graft.connectedComponents(ce, "ida", "idb").count())
     val r4 = t("dbscan_full", dbscan(spark, dir).count())

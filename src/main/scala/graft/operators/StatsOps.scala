@@ -1762,10 +1762,15 @@ object StatsOps {
         sum(col("term_micro")).as("h_micro_raw"), max(col("t3")).as("t3"))
       .select(col("k"), col("n"), (col("k") - 1L).as("df"),
         col("h_micro_raw"),
-        round(col("h_micro_raw").cast("double") / lit(1e3) /
-          (lit(1d) - col("t3").cast("double") /
-            (dec(col("n")) * col("n") * col("n") - col("n")).cast("double")))
-          .cast("long").as("h_tie_corrected_milli"))
+        // degenerate-slice guard (r12 advice): all values in ONE cents
+        // bucket makes T = N³−N (and N=1 makes N³−N = 0) — the tie
+        // correction's denominator hits 0 and H is undefined; the
+        // documented contract is 0 (no rank variance ⇒ no evidence)
+        when(dec(col("n")) * col("n") * col("n") - col("n") > col("t3"),
+          round(col("h_micro_raw").cast("double") / lit(1e3) /
+            (lit(1d) - col("t3").cast("double") /
+              (dec(col("n")) * col("n") * col("n") - col("n")).cast("double")))
+            .cast("long")).otherwise(lit(0L)).as("h_tie_corrected_milli"))
   }
 
   val kruskalWallisSql: String =
@@ -1791,10 +1796,11 @@ object StatsOps {
       |SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(n) AS BIGINT) AS n,
       |       CAST(count(*) - 1 AS BIGINT) AS df,
       |       CAST(sum(term_micro) AS BIGINT) AS h_micro_raw,
-      |       CAST(round(CAST(sum(term_micro) AS DOUBLE) / 1e3
-      |         / (1 - CAST(max(t3) AS DOUBLE)
-      |              / CAST(CAST(max(n) AS HUGEINT) * max(n) * max(n) - max(n) AS DOUBLE)))
-      |         AS BIGINT) AS h_tie_corrected_milli
+      |       CASE WHEN CAST(max(n) AS HUGEINT) * max(n) * max(n) - max(n) > max(t3)
+      |            THEN CAST(round(CAST(sum(term_micro) AS DOUBLE) / 1e3
+      |              / (1 - CAST(max(t3) AS DOUBLE)
+      |                   / CAST(CAST(max(n) AS HUGEINT) * max(n) * max(n) - max(n) AS DOUBLE)))
+      |              AS BIGINT) ELSE 0 END AS h_tie_corrected_milli
       |FROM terms""".stripMargin
 
   // ---------------------------------------------------------------

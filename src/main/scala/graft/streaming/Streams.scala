@@ -792,19 +792,19 @@ object Streams {
     * (latest-wins compaction over rows with batch ≤ 2), so the
     * time-travel READ path — snapshot content, tombstone filtering,
     * version resolution — is differentially checked, not just
-    * spec-pinned. The state dir is wiped first so a re-run cannot
-    * short-circuit on a stale `_LATEST` pointer. Scale: the 4 commits
-    * are each one key-partitioned merge (the production MERGE plan);
-    * nothing here is driver-sized. */
+    * spec-pinned. The state dir is PER-INVOCATION unique (UUID suffix,
+    * r12 advice): a fixed dir keyed on dir.hashCode raced when two
+    * processes (parallel bench/oracle runs) rebuilt the same state —
+    * one rm'ing snapshots while the other commits or reads. The dirs
+    * are tmp-resident and deleteOnExit-registered; the result is
+    * identical whatever the dir name, so determinism is unaffected.
+    * Scale: the 4 commits are each one key-partitioned merge (the
+    * production MERGE plan); nothing here is driver-sized. */
   def timeTravelBatch(spark: SparkSession, dir: String): DataFrame = {
     val stateDir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_time_travel_" + Integer.toHexString(dir.hashCode))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(stateDir)
+      "graft_time_travel_" + java.util.UUID.randomUUID().toString)
+    stateDir.deleteOnExit()
     val log = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))

@@ -195,6 +195,24 @@ class GraftApiSpec extends SparkSpec {
     assert(Graft.connectedComponents(edges.filter(col("a") < 0), "a", "b").count() === 0L)
   }
 
+  test("connectedComponents: non-convergence at maxRounds throws, never returns truncated labels") {
+    import spark.implicits._
+    // a 16-node path cannot converge in one round even with pointer
+    // jumping; preCollapse off keeps the contraction from solving it
+    // before the capped fixpoint runs. The r11 ~sf1 DBSCAN census was
+    // silently wrong because this case WARNED and returned — the
+    // contract is now a hard failure.
+    val edges = (1L to 15L).map(i => (i, i + 1L)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Graft.connectedComponents(edges, "a", "b", maxRounds = 1,
+        preCollapse = false).collect()
+    }
+    assert(ex.getMessage.contains("maxRounds"))
+    // the same graph converges fine under the default budget
+    assert(Graft.connectedComponents(edges, "a", "b")
+      .filter(col("component") === 1L).count() === 16L)
+  }
+
   test("connectedComponents: string ids use the join-based convergence probe correctly") {
     import spark.implicits._
     // a 4-node path needs >1 round: the numeric sum probe would be
