@@ -354,8 +354,19 @@ object Graft {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5, k: Int = 3, bands: Int = 4,
                    maxBucketSize: Int = defaultBandBucketCap): DataFrame = {
+    // verify on HASHED token sets (60-bit md5 prefixes as longs, the
+    // ppjoin trick): the verify stage ships one token array per
+    // candidate side — on a replica-heavy corpus that is the dominant
+    // per-pair cost (candidates grow with the TRUE pair mass), and
+    // long arrays shuffle ~2.5× smaller and intersect on primitives.
+    // Jaccard VALUES are unchanged: hashing is injective on any real
+    // vocabulary (60 bits ⇒ ~v²/2⁶¹ collision odds), so set sizes and
+    // intersections — hence jac — are identical to the string form
+    // the differential oracle computes.
     val docs = df.select(col(idCol).as("__id"),
-      array_distinct(tokens(col(textCol))).as("__toks"))
+      array_distinct(transform(tokens(col(textCol)),
+        w => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")))
+        .as("__toks"))
       .withColumn("__n", size(col("__toks")))
     val a = docs.select(col("__id").as("id_a"), col("__toks").as("__ta"), col("__n").as("__na"))
     val b = docs.select(col("__id").as("id_b"), col("__toks").as("__tb"), col("__n").as("__nb"))

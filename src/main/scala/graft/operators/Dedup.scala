@@ -471,12 +471,27 @@ object Dedup {
   private val containThreshold = 0.6
 
   def containment(spark: SparkSession, dir: String): DataFrame = {
+    // HASHED token sets for the verify joins (60-bit md5 prefixes as
+    // longs — see nearDupPairs): containment ratios are set-size
+    // arithmetic, identical under an injective relabeling of tokens.
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(graft.api.Graft.tokens(col("text"))).as("toks"))
+      .select(col("doc_id"), array_distinct(
+        transform(graft.api.Graft.tokens(col("text")),
+          w => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")))
+        .as("toks"))
     val a = docs.select(col("doc_id").as("id_a"), col("toks").as("ta"))
     val b = docs.select(col("doc_id").as("id_b"), col("toks").as("tb"))
     val t = lit(containThreshold)
-    bandCandidates(spark, dir)
+    // the CAPPED production candidate stage (cap64 + audited drop
+    // census, the family default since r4) — this endpoint shipped
+    // uncapped by oversight, which is where its 3.6× ratio at 10× came
+    // from (uncapped candidates grow 3.4×/10× on the replica corpus).
+    // The cap CANNOT bind at the oracle scales (max real band bucket:
+    // 5 at sf0.01, 21 at sf0.1), so the differential check is
+    // unaffected; drops are auditable via dedup_band_drops.
+    graft.api.Graft.bandCandidates(
+        Tables.documents(spark, dir), "text", "doc_id", 3, bands,
+        graft.api.Graft.defaultBandBucketCap)
       .join(a, "id_a").join(b, "id_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
       .withColumn("cont_a", col("inter") / size(col("ta")))
