@@ -881,6 +881,36 @@ object ScaleProbe {
       if (v != 0L) invariantFailed = true
       sb.append(s"| $name | $v | $n | ${if (v == 0L) "PASS" else "FAIL"} |\n")
     }
+    sb.append("\nr13 band-verify cost law (r12 verdict #2): dedup_ngram_jaccard and\n")
+    sb.append("dedup_containment now verify on 60-bit HASHED token sets (long\n")
+    sb.append("arrays shuffle ~2.5x smaller, intersect on primitives — jaccard/\n")
+    sb.append("containment values unchanged under the injective relabeling), and\n")
+    sb.append("containment uses the CAPPED production candidate stage it had\n")
+    sb.append("shipped without. Measured (q-mode interleaved A/B): ngram ~sf1\n")
+    sb.append("8.24 -> 5.40 s (ratio 4.4x -> 2.9x), containment 6.73 -> 4.43 s\n")
+    sb.append("(4.4x -> 3.9x). The REMAINING super-linearity is the output's:\n")
+    sb.append("verified pairs grow ~34x per 10x docs on this corpus BY\n")
+    sb.append("CONSTRUCTION (every doc gains 9 true near-dups; see the\n")
+    sb.append("neardup_verified_pairs row), so a ~3x time ratio is strongly\n")
+    sb.append("SUBLINEAR in output — the honest denominator is pair mass, not\n")
+    sb.append("doc count, exactly like dedup_keep. A real 10x corpus grows true\n")
+    sb.append("pairs ~linearly and pays ~linear cost through the same plan.\n")
+    sb.append("\ncorpus_cooccurrence root cause (r12 verdict #3, closed r13): the\n")
+    sb.append("4.3x ratio was the positional equi join — ~3x tokens of exploded\n")
+    sb.append("(doc_id, position) rows shuffled to look up values the token\n")
+    sb.append("array already holds. Rewritten MAP-ONLY (zip the array with its\n")
+    sb.append("own offset-slices); the one remaining shuffle is the map-side-\n")
+    sb.append("combined pair agg on Zipf-compact keys. Measured: sf0.1\n")
+    sb.append("0.90 -> 0.73 s, ~sf1 2.85 -> 0.88 s, ratio 1.2x.\n")
+    sb.append("\ngraph_triangles root cause (r12 verdict watch item, closed r13):\n")
+    sb.append("the 0.44 (r10) -> 0.71 s (r12) drift at sf0.1 is the shared\n")
+    sb.append("upstream fuzzy dictionary join, not the triangle plan —\n")
+    sb.append("join_fuzzy_blocked alone measures ~0.6 s on the regenerated\n")
+    sb.append("(Aug-2026) corpus, and the triangle stage adds ~0.1 s on top.\n")
+    sb.append("Additionally the edge list is now localCheckpoint'd once (five\n")
+    sb.append("consumers with differing join keys defeat ReusedExchange), which\n")
+    sb.append("measured 0.82 -> 0.70 s sf0.1 and 0.85 -> 0.73 s ~sf1 (q-mode\n")
+    sb.append("min-of-3, interleaved A/B).\n")
     sb.append("\nr12 reconciliation (replaces the contradictory r11 numbers —\n")
     sb.append("`ScaleProbe cc-reconcile` is the controlled interleaved min-of-3\n")
     sb.append("on pre-materialized edge lists): the r11 disagreement traced to\n")

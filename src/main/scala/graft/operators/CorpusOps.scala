@@ -1705,26 +1705,29 @@ object CorpusOps {
 
   /** Skip-gram CO-OCCURRENCE counts — the word2vec/GloVe training-
     * data pass: every (center, context) token pair within a forward
-    * window of 2 positions, counted corpus-wide, top-15. The window
-    * join is EQUI by construction: the center side explodes its
-    * position by the two offsets (map-only, ×2 fan-out — bounded by
-    * the window, never by vocabulary), then joins on
-    * (doc_id, position) — no inequality scan, no per-doc quadratic
-    * term, the same never-a-BNLJ discipline as the grid joins. At
-    * 100 TB the pair-count agg carries the |V|² key space but
-    * map-side combining collapses it to realized pairs (Zipf-bounded
-    * in practice — the [[negativeSamples]] vocabulary argument). */
+    * window of 2 positions, counted corpus-wide, top-15. MAP-ONLY
+    * pair generation (r13, replacing the r11 explode + positional
+    * equi join — the worst row in the r12 probe table at 4.3×/10×):
+    * the window is intra-document by definition, so the pairs fall
+    * straight out of zipping the token array with its own
+    * offset-slices — (a[i], a[i+o]) for o ∈ {1,2} — with no
+    * (doc_id, position) shuffle at all. The old plan shuffled
+    * ~3×tokens positional rows into a join whose only purpose was to
+    * look up a value the array already holds. What remains is ONE
+    * shuffle: the pair-count agg, map-side combined onto realized
+    * (center, context) keys (Zipf-compact — the [[negativeSamples]]
+    * vocabulary argument), then a TakeOrdered(15). At 100 TB this is
+    * scan + combine; nothing grows with anything but token count. */
   def cooccurrence(spark: SparkSession, dir: String): DataFrame = {
-    val tokPos = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
-    val centers = tokPos
-      .withColumn("off", explode(array(lit(1), lit(2))))
-      .select(col("doc_id"), (col("pos") + col("off")).as("pos2"),
-        col("tok").as("center"))
-    val contexts = tokPos.select(col("doc_id"), col("pos").as("pos2"),
-      col("tok").as("context"))
-    centers.join(contexts, Seq("doc_id", "pos2"))
-      .groupBy(col("center"), col("context"))
+    def pairsAt(a: Column, o: Int): Column =
+      zip_with(
+        slice(a, lit(1), greatest(size(a) - lit(o), lit(0))),
+        slice(a, lit(1 + o), greatest(size(a) - lit(o), lit(0))),
+        (x, y) => struct(x.as("center"), y.as("context")))
+    val a = toks(col("text"))
+    Tables.documents(spark, dir)
+      .select(explode(concat(pairsAt(a, 1), pairsAt(a, 2))).as("p"))
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("center"), col("context"))
       .limit(15)

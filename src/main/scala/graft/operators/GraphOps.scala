@@ -156,7 +156,15 @@ object GraphOps {
     * degree. Wedges and the coefficient are exact integer arithmetic
     * (micro-units for the ratio). */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = Joins.fuzzyBlockedJoin(spark, dir).select(col("name_a").as("a"), col("name_b").as("b"))
+    // materialize the fuzzy edge list ONCE (same checkpoint discipline
+    // as connectedComponents' symmetric edge list): five consumers
+    // reference it (e1/e2/e3 of the wedge-closing joins, the degree
+    // census, the edge count), and their differing join keys demand
+    // different exchanges, so Catalyst cannot ReusedExchange them —
+    // unchecked, the blocked levenshtein verify re-ran per consumer
+    // (the r11→r12 graph_triangles drift the r12 verdict flagged)
+    val e = Joins.fuzzyBlockedJoin(spark, dir)
+      .select(col("name_a").as("a"), col("name_b").as("b")).localCheckpoint()
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
