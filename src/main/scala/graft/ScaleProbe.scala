@@ -932,6 +932,25 @@ object ScaleProbe {
     sb.append("neardup_verified_pairs above), not the CC stage the pre-collapse\n")
     sb.append("question was about; shrinking it further is LSH-parameter work,\n")
     sb.append("not fixpoint work.\n")
+    sb.append("\ngeo_dbscan cost close (r12 verdict #7, closed r13 with two\n")
+    sb.append("MEASURED NEGATIVE results — dbscan-probe/dbscan-stages, min-of-3):\n")
+    sb.append("the stage probe pins the cost to the CC fixpoint on the core-edge\n")
+    sb.append("graph (sf0.1: eps_pairs 2.4 s, core_edges 0.2 s, cc 6.4 s cold),\n")
+    sb.append("which is JOB-LATENCY-bound, not volume-bound (27 k edges). (a)\n")
+    sb.append("Arming the S-V hook at round 0 for contraction levels >=1 did not\n")
+    sb.append("cut rounds (8/10 either way — the plain propagate+jump count is\n")
+    sb.append("already ~log(diameter)-optimal on the lattice residue) and its 2\n")
+    sb.append("extra shuffles/round regressed 5.9 -> 6.3 s sf0.1, 17.1 -> 22.4 s\n")
+    sb.append("~sf1. (b) Batching 2 unmaterialized rounds/job to amortize fixed\n")
+    sb.append("latency regressed 5.9 -> 8.9 s / 17.1 -> 36.0 s: the pointer jump\n")
+    sb.append("is a SELF-JOIN on the fresh labels, so unmaterialized rounds\n")
+    sb.append("re-evaluate their predecessor twice (geometric). Cell-local\n")
+    sb.append("pre-union (the r11 task-#3 idea) is subsumed by the level-0 star\n")
+    sb.append("contraction, which already contracts over ALL neighbors, not just\n")
+    sb.append("cell-mates. The shipped shape — contraction + jumped fixpoint +\n")
+    sb.append("round-6 hook insurance — is the measured optimum of the family;\n")
+    sb.append("residual cost is convergence insurance, priced at ~8 fixpoint\n")
+    sb.append("jobs.\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("docs/SCALE.md"), sb.toString)
     println(sb.toString)
     spark.stop()

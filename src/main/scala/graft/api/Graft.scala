@@ -527,9 +527,18 @@ object Graft {
     // arms only when the fixpoint is still running at round 6, the
     // crawl signature it exists to fix. Monotone (h ≤ p ≤ old label),
     // and h is always itself a node id, so the jump stays total.
+    // MEASURED AND KEPT AT 6 (r13 revisit, dbscan-probe min-of-3):
+    // arming at round 0 for contraction levels ≥1 did NOT cut rounds
+    // on the dbscan lattice residue (8/10 rounds either way — the
+    // plain propagate+jump rounds do the bulk of the label descent and
+    // the count is already ~log(diameter)-optimal); it only added the
+    // hook's 2 shuffles to every round, regressing end-to-end
+    // 5.9 → 6.3 s (sf0.1) and 17.1 → 22.4 s (~sf1). The hook is
+    // convergence INSURANCE for crawl-prone id layouts, not a
+    // round-count accelerator on graphs the jump already handles.
     val hookFromRound = 6
-    while (!done && round < maxRounds) {
-      val comp = (if (round < hookFromRound) {
+    def oneRound(labels: DataFrame, round: Int): DataFrame =
+      if (round < hookFromRound) {
         val prop = labels.join(sym, col("id") === col("__src"))
           .select(col("__dst").as("id"), col("component"))
           .union(labels)
@@ -557,7 +566,17 @@ object Graft {
         val l2 = hooked.select(col("id").as("__lid"), col("component").as("__lcomp"))
         hooked.join(l2, col("component") === col("__lid"))
           .select(col("id"), col("__lcomp").as("component"))
-      })
+      }
+    // NOTE on round batching (r13, measured and REJECTED): running two
+    // propagate+jump rounds unmaterialized inside one job — to amortize
+    // fixed job latency — regressed dbscan 5.9 → 8.9 s (sf0.1) and
+    // 17.1 → 36.0 s (~sf1): the pointer jump is a SELF-JOIN on the
+    // freshly-propagated labels, so each unmaterialized round
+    // re-evaluates its predecessor's plan twice (geometric blow-up per
+    // batched round). The per-round checkpoint is load-bearing, not
+    // bookkeeping.
+    while (!done && round < maxRounds) {
+      val comp = oneRound(labels, round)
         // lazy checkpoint: the convergence action below is what
         // materializes it — one Spark job per round
         .localCheckpoint(false)

@@ -521,6 +521,78 @@ object CorpusOps {
       |        JOIN ctx ON split_part(bg.bigram, ' ', 1) = ctx.w1
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** ENTROPY RATE of the corpus token stream — H(next | prev) =
+    * H(bigram) − H(unigram), the information-theoretic compressibility
+    * census an LM-data pipeline tracks across corpus versions (a
+    * dedup/quality pass that removes boilerplate RAISES the rate; a
+    * crawl regression that injects templated text DROPS it). Plug-in
+    * estimator from the n-gram count tables: H = ln N − (Σ c·ln c)/N.
+    *
+    * Scale shape: two compact-key n-gram aggs (the same tables the LM
+    * operators build — Zipf-bounded) and one scalar fold; no joins
+    * back to the data. Parity: each distinct count's ln c is
+    * quantized ONCE to nano-units, weighted by the exact integer c,
+    * summed exactly — order-free; the single trailing ln N is one
+    * double op on one exact integer. */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val bgArr = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    def h(counts: DataFrame): DataFrame =
+      counts
+        .select(col("c"),
+          (col("c") * round(lit(1e9) * log(col("c").cast("double"))).cast("long"))
+            .cast("decimal(38,0)").as("clc_nano"))
+        .agg(sum(col("c").cast("decimal(38,0)")).as("n"), sum(col("clc_nano")).as("s"))
+        .select(col("n").cast("long").as("n"),
+          round(lit(1e6) * (log(col("n").cast("double")) -
+            col("s").cast("double") / (col("n").cast("double") * lit(1e9))))
+            .cast("long").as("h_micro"))
+    val uni = h(Tables.documents(spark, dir)
+      .select(explode(t).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c")))
+    val bi = h(Tables.documents(spark, dir)
+      .select(explode(bgArr).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c")))
+    uni.select(col("n").as("n_tokens"), col("h_micro").as("h_unigram_micro"))
+      .crossJoin(bi.select(col("n").as("n_bigrams"),
+        col("h_micro").as("h_bigram_micro")))
+      .withColumn("entropy_rate_micro",
+        col("h_bigram_micro") - col("h_unigram_micro"))
+  }
+
+  val entropyRateSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |uc AS (SELECT tok, count(*) AS c
+      |       FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
+      |bc AS (SELECT bg, count(*) AS c
+      |       FROM (SELECT unnest(CASE WHEN len(w) >= 2
+      |                     THEN list_transform(range(len(w) - 1),
+      |                                         i -> w[i+1] || ' ' || w[i+2])
+      |                     ELSE [] END) AS bg FROM t) GROUP BY 1),
+      |hu AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n,
+      |         CAST(round(1e6 * (ln(CAST(sum(c) AS DOUBLE))
+      |           - CAST(sum(CAST(c AS HUGEINT)
+      |                      * CAST(round(1e9 * ln(CAST(c AS DOUBLE))) AS BIGINT))
+      |                  AS DOUBLE)
+      |             / (CAST(sum(c) AS DOUBLE) * 1e9))) AS BIGINT) AS h_micro
+      |  FROM uc),
+      |hb AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n,
+      |         CAST(round(1e6 * (ln(CAST(sum(c) AS DOUBLE))
+      |           - CAST(sum(CAST(c AS HUGEINT)
+      |                      * CAST(round(1e9 * ln(CAST(c AS DOUBLE))) AS BIGINT))
+      |                  AS DOUBLE)
+      |             / (CAST(sum(c) AS DOUBLE) * 1e9))) AS BIGINT) AS h_micro
+      |  FROM bc)
+      |SELECT hu.n AS n_tokens, hu.h_micro AS h_unigram_micro,
+      |       hb.n AS n_bigrams, hb.h_micro AS h_bigram_micro,
+      |       hb.h_micro - hu.h_micro AS entropy_rate_micro
+      |FROM hu CROSS JOIN hb""".stripMargin
+
   /** Quality gate with reject reasons — the reference's accept/reject
     * side-output pattern (main.py:12–14) applied at corpus scale:
     * every document gets a verdict and the FIRST failing rule as its
@@ -2187,6 +2259,7 @@ object CorpusOps {
     "corpus_quality_gate" -> (qualityGate _),
     "corpus_unigram_logprob" -> (unigramLogprob _),
     "corpus_bigram_logprob" -> (bigramLogprob _),
+    "corpus_entropy_rate" -> (entropyRate _),
     "corpus_repetition" -> (repetition _),
     "corpus_split_hash" -> (splitHash _),
     "corpus_sample_stratified" -> (sampleStratified _),
@@ -2234,6 +2307,7 @@ object CorpusOps {
     "corpus_quality_gate" -> qualityGateSql,
     "corpus_unigram_logprob" -> unigramLogprobSql,
     "corpus_bigram_logprob" -> bigramLogprobSql,
+    "corpus_entropy_rate" -> entropyRateSql,
     "corpus_repetition" -> repetitionSql,
     "corpus_split_hash" -> splitHashSql,
     "corpus_sample_stratified" -> sampleStratifiedSql,

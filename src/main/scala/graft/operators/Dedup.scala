@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines
@@ -246,6 +247,72 @@ object Dedup {
        |            JOIN docs b ON cand.doc_b = b.doc_id)
        |WHERE jac_raw >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** THRESHOLD-CURVE census — the tuning view behind every "what
+    * threshold do we dedup at?" decision: verified candidate pairs
+    * bucketed by jaccard into 0.05-wide bins (bucket = ⌊jac·20⌋, the
+    * jac=1.0 identical-set pairs in their own bin 20), with the
+    * SURVIVOR CURVE attached — pairs_at_or_above is how many verified
+    * pairs a dedup run at that bin's lower edge would act on. One
+    * verify pass at a low floor (0.3) prices every candidate
+    * threshold above it; rerunning the pipeline per threshold is the
+    * naive alternative this replaces.
+    *
+    * Scale shape: the candidate+verify stage is exactly
+    * [[ngramJaccard]]'s (banded, capped, never all-pairs); the curve
+    * is one ≤15-key agg + a cumulative window over that bounded bin
+    * table. Bucket boundaries are IEEE-exact cross-engine: jac is the
+    * same double division on the same exact integers in both engines,
+    * so ⌊jac·20⌋ cannot straddle. */
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.api.Graft.nearDupPairs(
+      Tables.documents(spark, dir), "text", "doc_id",
+      threshold = 0.3, k = 3, bands = bands)
+    val binned = pairs
+      .groupBy(floor(col("jaccard") * 20.0d).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+    binned
+      .withColumn("pairs_at_or_above",
+        sum(col("n_pairs")).over(Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"),
+        (col("bucket").cast("double") / 20.0d).as("jac_lo"),
+        col("n_pairs"), col("pairs_at_or_above"))
+      .orderBy(col("bucket"))
+  }
+
+  val thresholdCurveSql: String = {
+    val bandList = (0 until bands).map(b => b.toString).mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+       |mh AS (
+       |  SELECT doc_id, list_transform(sh, s -> md5(s)) AS mh
+       |  FROM (SELECT doc_id, text, $shinglesSqlFragment AS sh
+       |        FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))),
+       |bandrows AS (
+       |  SELECT doc_id, b,
+       |         list_min(list_transform(mh, h -> substring(h, 8*b + 1, 8))) AS bmin
+       |  FROM mh CROSS JOIN (SELECT unnest([$bandList]) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bandrows x JOIN bandrows y
+       |    ON x.b = y.b AND x.bmin = y.bmin AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |               (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+       |           AS jac
+       |  FROM cand JOIN docs a ON cand.doc_a = a.doc_id
+       |            JOIN docs b ON cand.doc_b = b.doc_id),
+       |binned AS (
+       |  SELECT CAST(floor(jac * 20.0) AS BIGINT) AS bucket, count(*) AS n_pairs
+       |  FROM verified WHERE jac >= 0.3 GROUP BY 1)
+       |SELECT bucket, CAST(bucket AS DOUBLE) / 20.0 AS jac_lo, n_pairs,
+       |       CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |         AS BIGINT) AS pairs_at_or_above
+       |FROM binned ORDER BY bucket""".stripMargin
   }
 
   /** Near-dup CLUSTERING: the transitive-closure stage after pairwise
@@ -1079,6 +1146,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_threshold_curve" -> (thresholdCurve _),
     "dedup_band_drops" -> (bandDrops _),
     "dedup_band_capped" -> (bandCapped _),
     "dedup_components" -> (components _),
@@ -1101,6 +1169,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_threshold_curve" -> thresholdCurveSql,
     "dedup_band_drops" -> bandDropsSql,
     "dedup_band_capped" -> bandCappedSql,
     "dedup_components" -> componentsSql,

@@ -201,6 +201,140 @@ object GraphOps {
       |       CAST(round(3.0 * 1e6 * n_triangles / n_wedges) AS BIGINT) AS clustering_micro
       |FROM tri CROSS JOIN ne CROSS JOIN w""".stripMargin
 
+  /** LOCAL clustering-coefficient census over the fuzzy-name graph —
+    * the per-node companion to [[triangles]]'s GLOBAL coefficient
+    * (watts–strogatz form: c(v) = 2·t(v)/(d(v)·(d(v)−1))). Each
+    * canonical triangle {a<b<c} from the same two-join enumeration is
+    * credited to ALL THREE corners (one explode-free triple
+    * projection), per-node counts meet the degree census on the node
+    * key, and the output folds into 11 coefficient deciles (bucket =
+    * floor(c·10), the c=1 clique corner landing in its own bucket) —
+    * a bounded, tie-proof census rather than a name-ordered top-k.
+    *
+    * Scale shape: the triangle joins are the bounded-fan-out
+    * canonical-orientation joins [[triangles]] already pays; the
+    * corner credit is a 3× projection of the TRIANGLE list (≪ edge
+    * list); census is one agg on an 11-value key. Exact integer
+    * micro-units end-to-end. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val e = Joins.fuzzyBlockedJoin(spark, dir)
+      .select(col("name_a").as("a"), col("name_b").as("b")).localCheckpoint()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val corners = tri.select(col("x").as("node"))
+      .unionAll(tri.select(col("y").as("node")))
+      .unionAll(tri.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("d"), coalesce(col("t"), lit(0L)).as("t"))
+      .withColumn("coeff_micro",
+        when(col("d") < 2, lit(0L)).otherwise(
+          round(lit(2.0) * lit(1e6) * col("t") / (col("d") * (col("d") - 1)))
+            .cast("long")))
+      .groupBy(expr("coeff_micro * 10 DIV 1000000").as("decile"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("t")).as("sum_triangles"),
+        sum(col("d")).as("sum_degree"))
+      .orderBy(col("decile"))
+  }
+
+  val clusteringCoeffSql: String =
+    """WITH names AS (
+      |  SELECT p_name AS name, string_split(p_name, ' ')[-1] AS noun
+      |  FROM part GROUP BY p_name),
+      |e AS (
+      |  SELECT a.name AS a, b.name AS b
+      |  FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+      |  WHERE levenshtein(a.name, b.name) <= 3),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |corners AS (
+      |  SELECT node, count(*) AS t
+      |  FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+      |        UNION ALL SELECT z FROM tri)
+      |  GROUP BY 1),
+      |deg AS (
+      |  SELECT node, count(*) AS d
+      |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY 1),
+      |pernode AS (
+      |  SELECT deg.node, deg.d, coalesce(corners.t, 0) AS t,
+      |         CASE WHEN deg.d < 2 THEN 0
+      |              ELSE CAST(round(2.0 * 1e6 * coalesce(corners.t, 0)
+      |                              / (deg.d * (deg.d - 1))) AS BIGINT)
+      |         END AS coeff_micro
+      |  FROM deg LEFT JOIN corners ON deg.node = corners.node)
+      |SELECT CAST(coeff_micro * 10 // 1000000 AS BIGINT) AS decile,
+      |       count(*) AS n_nodes,
+      |       CAST(sum(t) AS BIGINT) AS sum_triangles,
+      |       CAST(sum(d) AS BIGINT) AS sum_degree
+      |FROM pernode GROUP BY 1 ORDER BY decile""".stripMargin
+
+  /** EDGE RECIPROCITY of the directed event-type transition graph —
+    * how often does u→v traffic come back as v→u? Both the standard
+    * unweighted form (fraction of directed non-loop edges whose
+    * reverse edge exists) and the weighted form (Σ min(w(u,v), w(v,u))
+    * / Σ w — the overlap of the flow matrix with its transpose). A
+    * one-row health census for interaction graphs: near-0 =
+    * broadcast/funnel structure, near-1 = conversational structure.
+    *
+    * Scale shape: edge extraction is the same lag-window pass every
+    * transition operator pays; the reciprocity meet is a self
+    * equi-join of the AGGREGATED edge list (|types|² bound — a
+    * broadcast-class artifact) on the reversed key. Exact integers;
+    * the two ratios round once each into micro-units. */
+  def reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("event_type"))
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      col("w").as("w_rev"))
+    edges.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("w_rev").isNotNull, 1L).otherwise(0L)).as("n_recip_edges"),
+        sum(col("w")).as("w_total"),
+        sum(least(col("w"), coalesce(col("w_rev"), lit(0L)))).as("w_recip"))
+      .select(col("n_edges"), col("n_recip_edges"),
+        round(lit(1e6) * col("n_recip_edges") / col("n_edges")).cast("long")
+          .as("recip_micro"),
+        col("w_total"), col("w_recip"),
+        round(lit(1e6) * col("w_recip") / col("w_total")).cast("long")
+          .as("w_recip_micro"))
+  }
+
+  val reciprocitySql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           AS prev
+      |  FROM events),
+      |edges AS (
+      |  SELECT prev AS src, event_type AS dst, count(*) AS w
+      |  FROM ordered WHERE prev IS NOT NULL AND prev <> event_type
+      |  GROUP BY 1, 2),
+      |met AS (
+      |  SELECT e.src, e.dst, e.w, r.w AS w_rev
+      |  FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src)
+      |SELECT count(*) AS n_edges,
+      |       CAST(sum(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_recip_edges,
+      |       CAST(round(1e6 * sum(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END)
+      |                  / count(*)) AS BIGINT) AS recip_micro,
+      |       CAST(sum(w) AS BIGINT) AS w_total,
+      |       CAST(sum(least(w, coalesce(w_rev, 0))) AS BIGINT) AS w_recip,
+      |       CAST(round(1e6 * sum(least(w, coalesce(w_rev, 0))) / sum(w))
+      |         AS BIGINT) AS w_recip_micro
+      |FROM met""".stripMargin
+
   /** k-CORE decomposition (k=2, synchronous peel TO THE FIXPOINT)
     * over the fuzzy-name graph — the density filter that strips
     * pendant chains/leaves before community or influence analysis (a
@@ -944,6 +1078,8 @@ object GraphOps {
     "graph_kcore" -> (kCore _),
     "graph_er_resolve" -> (erResolve _),
     "graph_triangles" -> (triangles _),
+    "graph_clustering_coeff" -> (clusteringCoeff _),
+    "graph_reciprocity" -> (reciprocity _),
     "graph_label_prop" -> (labelPropCommunities _),
     "graph_sssp" -> (shortestPathsNames _)
   )
@@ -960,6 +1096,8 @@ object GraphOps {
     "graph_kcore" -> kCoreSql,
     "graph_er_resolve" -> erResolveSql,
     "graph_triangles" -> trianglesSql,
+    "graph_clustering_coeff" -> clusteringCoeffSql,
+    "graph_reciprocity" -> reciprocitySql,
     "graph_label_prop" -> labelPropCommunitiesSql,
     "graph_sssp" -> shortestPathsNamesSql
   )

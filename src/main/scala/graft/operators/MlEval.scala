@@ -1565,7 +1565,79 @@ object MlEval {
        |            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS unc_nano
        |FROM terms GROUP BY n, p""".stripMargin
 
+  /** PINBALL (quantile) LOSS — the eval metric for quantile
+    * forecasters (demand planning, latency SLOs, conformal bands):
+    * L_q(y, ŷ) = q·(y−ŷ) if y ≥ ŷ else (1−q)·(ŷ−y). Evaluates a
+    * per-segment scale model (ŷ_q(seg) = segment mean × {0.5, 1.0,
+    * 1.8}) on order totals at q ∈ {10, 50, 90}% — under-forecasting
+    * the P90 costs 9× more than over-forecasting it, which is the
+    * property the asymmetric loss exists to price.
+    *
+    * Scale shape: one compact-key agg for the model (|segments| rows,
+    * broadcast back), one map-side loss pass, one compact-key agg —
+    * no sort, no quantile state. Parity: cents and pct-weights are
+    * exact integers (loss unit = cent·pct), summed exactly; the two
+    * engines round the same mean-cents double once into the
+    * prediction. */
+  def pinballLoss(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(substring(col("o_orderpriority"), 1, 1).as("seg"),
+        round(col("o_totalprice") * 100.0d).cast("long").as("cents"))
+    val model = base.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .select(col("seg"), col("n"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean_c"))
+    val qs = Seq(10L, 50L, 90L).map(q =>
+      struct(lit(q).as("q_pct"), lit(q * 2 - 10).as("f_pct")))
+    base.join(broadcast(model), Seq("seg"))
+      .select(col("seg"), col("cents"), col("n"), col("mean_c"),
+        explode(array(qs: _*)).as("qf"))
+      .select(col("seg"), col("cents"), col("n"),
+        col("qf.q_pct").as("q_pct"),
+        round(col("mean_c") * (col("qf.f_pct").cast("double") / lit(100.0d)))
+          .cast("long").as("pred_c"))
+      .withColumn("loss_cp",
+        when(col("cents") >= col("pred_c"),
+          col("q_pct") * (col("cents") - col("pred_c")))
+          .otherwise((lit(100L) - col("q_pct")) * (col("pred_c") - col("cents"))))
+      .groupBy(col("seg"), col("q_pct"))
+      .agg(max(col("pred_c")).as("pred_cents"), count(lit(1)).as("n"),
+        sum(col("loss_cp")).as("sl"))
+      .select(col("seg"), col("q_pct"), col("pred_cents"), col("n"),
+        // mean pinball loss in cents, milli precision (loss_cp is
+        // cent·pct, so ÷100 de-scales the pct weight)
+        round(lit(1e3) * col("sl").cast("double") /
+          (lit(100.0d) * col("n").cast("double"))).cast("long")
+          .as("pinball_milli"))
+      .orderBy(col("seg"), col("q_pct"))
+  }
+
+  val pinballLossSql: String =
+    """WITH base AS (
+      |  SELECT substring(o_orderpriority, 1, 1) AS seg,
+      |         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders),
+      |model AS (
+      |  SELECT seg, count(*) AS n,
+      |         CAST(sum(cents) AS DOUBLE) / count(*) AS mean_c
+      |  FROM base GROUP BY 1),
+      |q AS (SELECT unnest([10, 50, 90]) AS q_pct),
+      |loss AS (
+      |  SELECT b.seg, q.q_pct,
+      |         CAST(round(m.mean_c * (CAST(q.q_pct * 2 - 10 AS DOUBLE) / 100.0))
+      |           AS BIGINT) AS pred_c,
+      |         b.cents
+      |  FROM base b JOIN model m USING (seg) CROSS JOIN q)
+      |SELECT seg, CAST(q_pct AS BIGINT) AS q_pct,
+      |       max(pred_c) AS pred_cents, count(*) AS n,
+      |       CAST(round(1e3 * CAST(sum(CASE WHEN cents >= pred_c
+      |                  THEN q_pct * (cents - pred_c)
+      |                  ELSE (100 - q_pct) * (pred_c - cents) END) AS DOUBLE)
+      |             / (100.0 * count(*))) AS BIGINT) AS pinball_milli
+      |FROM loss GROUP BY 1, 2 ORDER BY seg, q_pct""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_pinball_loss" -> (pinballLoss _),
     "ml_mcnemar" -> (mcnemar _),
     "ml_ece" -> (ece _),
     "ml_pr_auc" -> (prAuc _),
@@ -1590,6 +1662,7 @@ object MlEval {
   )
 
   def oracle: Map[String, String] = Map(
+    "ml_pinball_loss" -> pinballLossSql,
     "ml_mcnemar" -> mcnemarSql,
     "ml_ece" -> eceSql,
     "ml_pr_auc" -> prAucSql,

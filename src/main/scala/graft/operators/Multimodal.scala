@@ -1056,7 +1056,265 @@ object Multimodal {
       |       CAST(4 + n_chars % 28 AS BIGINT) AS num_cols
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // TAR (ustar) header (13th codec: OCTAL-ASCII fields + checksum)
+  // ---------------------------------------------------------------
+
+  /** TAR (ustar) 512-byte header decode — the ARCHIVE framing a
+    * corpus-of-tarballs pipeline splits on, and two parse flavors no
+    * other codec has: numeric fields stored as OCTAL ASCII text
+    * (size/mtime/chksum — parsed with conv(_, 8, 10)), and a HEADER
+    * CHECKSUM the parser must RECOMPUTE over the raw bytes (sum of
+    * all 512 with the chksum field read as 8 spaces) and compare to
+    * the stored value — the integrity check `tar tvf` actually runs.
+    * Synthetic variant is SPACE-padded (real ustar NUL-pads; DuckDB
+    * VARCHARs cannot hold NUL, and the checksum arithmetic is
+    * identical either way — documented deviation, same framing
+    * contract). Verification is arithmetic on [[prefixBytes]]; the
+    * oracle replays the generating arithmetic, octal digits and byte
+    * sums included. */
+  def tarHeader(spark: SparkSession, dir: String): DataFrame = {
+    val name = concat(lit("doc"), col("doc_id").cast("string"), lit(".txt"))
+    val mt = (lit(1700000000L) + col("doc_id")).cast("long")
+    val sizeF = concat(lpad(conv(col("n_chars").cast("string"), 10, 8), 11, "0"),
+      lit(" "))
+    val mtimeF = concat(lpad(conv(mt.cast("string"), 10, 8), 11, "0"), lit(" "))
+    val modeF = lit("0000644 ")
+    val uidF = lit("0000000 ")
+    val gidF = lit("0000000 ")
+    val magicF = lit("ustar 00")
+    // header with the chksum field as 8 spaces — the form the sum is
+    // defined over
+    val pre = concat(rpad(name, 100, " "), modeF, uidF, gidF, sizeF, mtimeF)
+    val post = concat(lit("0"), rpad(lit(""), 100, " "), magicF)
+    val h0 = rpad(concat(pre, rpad(lit(""), 8, " "), post), 512, " ")
+    // prefixBytes' hex split leaves one trailing empty token -> null
+    // element; the fold must be null-safe or the whole sum nulls out
+    def byteSum(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0L), (a, x) => a + coalesce(x, lit(0L)))
+    val ck = byteSum(prefixBytes(h0.cast("binary"), 512))
+    val ckF = concat(lpad(conv(ck.cast("string"), 10, 8), 6, "0"), lit("  "))
+    val payload = rpad(concat(pre, ckF, post), 512, " ").cast("binary")
+    val withP = Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("p"))
+      .withColumn("b", prefixBytes(col("p"), 512))
+    val s = col("p").cast("string")
+    val storedCk = conv(trim(substring(s, 149, 6)), 8, 10).cast("long")
+    // recompute: total bytes − stored chksum field + 8 spaces
+    val ckField = substring(s, 149, 8)
+    val recomputed = byteSum(col("b")) -
+      byteSum(prefixBytes(ckField.cast("binary"), 8)) + lit(8L * 32L)
+    withP.select(col("doc_id"),
+        trim(substring(s, 1, 100)).as("name"),
+        conv(trim(substring(s, 125, 11)), 8, 10).cast("long").as("size"),
+        conv(trim(substring(s, 137, 11)), 8, 10).cast("long").as("mtime"),
+        storedCk.as("chksum"),
+        (recomputed === storedCk).as("chksum_ok"),
+        (substring(s, 258, 5) === "ustar").as("magic_ok"),
+        (substring(s, 157, 1) === "0").as("is_regular_file"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tarHeaderSql: String =
+    """WITH p8 AS (SELECT [CAST(1 AS BIGINT), 8, 64, 512, 4096, 32768, 262144,
+      |                    2097152, 16777216, 134217728, 1073741824] AS pw),
+      |f AS (
+      |  SELECT doc_id,
+      |         'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+      |         CAST(n_chars AS BIGINT) AS sz,
+      |         CAST(1700000000 + doc_id AS BIGINT) AS mt
+      |  FROM documents),
+      |sums AS (
+      |  -- octal fields are lpad('0')-ed to 11 digits, so the char sum
+      |  -- is 11*48 + the base-8 digit sum
+      |  SELECT doc_id, name, sz, mt,
+      |         list_sum(list_transform(range(len(name)),
+      |                  i -> ord(substring(name, CAST(i + 1 AS INTEGER), 1))))
+      |           AS s_name,
+      |         11 * 48 + list_sum(list_transform(range(11),
+      |                      i -> (sz // pw[CAST(i + 1 AS INTEGER)]) % 8))
+      |           AS s_size,
+      |         11 * 48 + list_sum(list_transform(range(11),
+      |                      i -> (mt // pw[CAST(i + 1 AS INTEGER)]) % 8))
+      |           AS s_mtime
+      |  FROM f CROSS JOIN p8),
+      |ck AS (
+      |  -- generating arithmetic of the byte sum over the 512-byte
+      |  -- space-padded header with chksum read as 8 spaces:
+      |  --   name: s_name + (100 - len) spaces
+      |  --   mode '0000644 ', uid/gid '0000000 ' x2
+      |  --   size/mtime: 11 octal chars + 1 trailing space each
+      |  --   chksum-as-spaces 8x32, typeflag '0', linkname 100 spaces,
+      |  --   magic 'ustar 00', tail pad (512 - 265) spaces
+      |  SELECT doc_id, name, sz, mt,
+      |         s_name + (100 - len(name)) * 32
+      |         + (4 * 48 + 54 + 52 + 52 + 32)     -- '0000644 '
+      |         + 2 * (7 * 48 + 32)                -- uid, gid
+      |         + s_size + 32 + s_mtime + 32
+      |         + 8 * 32 + 48 + 100 * 32
+      |         + (117 + 115 + 116 + 97 + 114 + 32 + 48 + 48)  -- 'ustar 00'
+      |         + (512 - 265) * 32 AS cksum
+      |  FROM sums)
+      |SELECT doc_id, name, sz AS size, mt AS mtime,
+      |       CAST(cksum AS BIGINT) AS chksum,
+      |       TRUE AS chksum_ok, TRUE AS magic_ok, TRUE AS is_regular_file
+      |FROM ck ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // ZIP end-of-central-directory (14th codec: backward signature scan)
+  // ---------------------------------------------------------------
+
+  /** ZIP EOCD decode — the archive format whose directory lives at
+    * the END behind a VARIABLE-length comment, so a reader cannot
+    * jump to a fixed tail offset (the parquet-footer trick): it must
+    * SCAN BACKWARD for the PK\0x05\0x06 signature. The scan here is a
+    * greedy anchored regex over the hex view — `^((?:..)*)504B0506`
+    * captures the LONGEST even-aligned prefix, i.e. finds the LAST
+    * signature occurrence, exactly the spec's disambiguation rule
+    * (a comment could contain the signature bytes) — still pure
+    * codegen, no UDF. Parsed: entry count, central-directory size and
+    * offset, comment, and the structural identity
+    * cd_offset + cd_size + 22 + comment_len = file_len that a 100 TB
+    * zip-shard splitter validates before trusting offsets. */
+  def zipEocd(spark: SparkSession, dir: String): DataFrame = {
+    val nEntries = (lit(1L) + pmod(col("doc_id"), lit(16L))).cast("long")
+    val cdSize = nEntries * 55L
+    val dataLen = (lit(40L) + pmod(col("doc_id") * 11L, lit(160L))).cast("long")
+    val comment = concat(lit("graft-shard-"), (col("doc_id") % 50L).cast("string"))
+    def leHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    val payload = unhex(concat(
+      repeat(lit("4D"), dataLen.cast("int")),      // local entries (opaque)
+      repeat(lit("43"), cdSize.cast("int")),       // central directory (opaque)
+      lit("504B0506"), lit("0000"), lit("0000"),   // EOCD sig, disk numbers
+      leHex(nEntries, 2), leHex(nEntries, 2),      // entries this disk / total
+      leHex(cdSize, 4),
+      leHex(dataLen, 4),                           // CD offset = after data
+      leHex(length(comment).cast("long"), 2),
+      hex(comment.cast("binary"))))
+    val withP = Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("p"))
+      .withColumn("len", length(col("p")).cast("long"))
+      .withColumn("hexs", hex(col("p")))
+      // backward scan: longest even-aligned prefix before the signature
+      .withColumn("eocd_pos",
+        (length(regexp_extract(col("hexs"), "^((?:..)*)504B0506", 1)) / 2 + 1)
+          .cast("long"))
+    def leAtDyn(pos: org.apache.spark.sql.Column, n: Int) =
+      (0 until n).map(i =>
+        conv(hex(substring(col("p"), (pos + i).cast("int"), lit(1))), 16, 10)
+          .cast("long") * lit(1L << (8 * i)))
+        .reduce(_ + _)
+    val nE = leAtDyn(col("eocd_pos") + 10L, 2)
+    val cdS = leAtDyn(col("eocd_pos") + 12L, 4)
+    val cdO = leAtDyn(col("eocd_pos") + 16L, 4)
+    val cLen = leAtDyn(col("eocd_pos") + 20L, 2)
+    withP.select(col("doc_id"),
+        nE.as("n_entries"), cdS.as("cd_size"), cdO.as("cd_offset"),
+        cLen.as("comment_len"),
+        substring(col("p"), (col("eocd_pos") + 22L).cast("int"),
+          cLen.cast("int")).cast("string").as("comment"),
+        (cdO + cdS + 22L + cLen === col("len")).as("structure_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val zipEocdSql: String =
+    """SELECT doc_id,
+      |       CAST(1 + doc_id % 16 AS BIGINT) AS n_entries,
+      |       CAST((1 + doc_id % 16) * 55 AS BIGINT) AS cd_size,
+      |       CAST(40 + (doc_id * 11) % 160 AS BIGINT) AS cd_offset,
+      |       CAST(len('graft-shard-' || CAST(doc_id % 50 AS VARCHAR)) AS BIGINT)
+      |         AS comment_len,
+      |       'graft-shard-' || CAST(doc_id % 50 AS VARCHAR) AS comment,
+      |       TRUE AS structure_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // MP4 / ISO-BMFF box walk (15th codec: nested big-endian boxes)
+  // ---------------------------------------------------------------
+
+  /** MP4 (ISO-BMFF) box-structure decode — the VIDEO container every
+    * multimodal corpus carries: a sequence of [BE u32 size][4cc type]
+    * boxes where metadata lives NESTED (moov ▸ mvhd), so the parser
+    * chains offsets box-to-box (ftyp's size locates moov; moov's
+    * header locates mvhd) instead of reading fixed positions — the
+    * JPEG marker walk's sibling with 32-bit sizes and nesting instead
+    * of 16-bit flat segments. Parses the ftyp brand, mvhd timescale /
+    * duration (version-0 layout: content offsets +12/+16), derives
+    * duration_ms exactly (duration = k·timescale by construction ⇒
+    * integer division), and validates Σ box sizes = file length — the
+    * record-alignment identity a 100 TB shard splitter checks. */
+  def mp4Boxes(spark: SparkSession, dir: String): DataFrame = {
+    val timescale = Seq(600L, 1000L, 90000L)
+    val tsCol = element_at(
+      array(timescale.map(lit(_)): _*), (pmod(col("doc_id"), lit(3L)) + 1L).cast("int"))
+      .cast("long")
+    val durSec = (lit(1L) + pmod(col("n_chars"), lit(240L))).cast("long")
+    val dur = durSec * tsCol
+    val mdatLen = (lit(16L) + pmod(col("doc_id") * 13L, lit(224L))).cast("long")
+    def beHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i =>
+        lpad(hex(shiftright(v, 8 * (n - 1 - i)) % 256), 2, "0")): _*)
+    // ftyp: size 16: [16]['ftyp'][brand 'isom'][minor 0]
+    // moov: size 8+108: ['moov'][mvhd size 108: ver/flags, ctime,
+    //   mtime, timescale, duration, ... zero-padded]
+    // mdat: size 8+mdatLen
+    val mvhdContent = concat(lit("00000000"), lit("00000000"), lit("00000000"),
+      beHex(tsCol, 4), beHex(dur, 4), repeat(lit("00"), 80))
+    val payload = unhex(concat(
+      lit("00000010"), hex(lit("ftyp").cast("binary")),
+      hex(lit("isom").cast("binary")), lit("00000000"),
+      beHex(lit(116L), 4), hex(lit("moov").cast("binary")),
+      beHex(lit(108L), 4), hex(lit("mvhd").cast("binary")), mvhdContent,
+      beHex(mdatLen + 8L, 4), hex(lit("mdat").cast("binary")),
+      repeat(lit("DA"), mdatLen.cast("int"))))
+    val withP = Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("p"))
+      .withColumn("len", length(col("p")).cast("long"))
+    def beAtDyn(pos: org.apache.spark.sql.Column, n: Int) =
+      (0 until n).map(i =>
+        conv(hex(substring(col("p"), (pos + i).cast("int"), lit(1))), 16, 10)
+          .cast("long") * lit(1L << (8 * (n - 1 - i))))
+        .reduce(_ + _)
+    def fourcc(pos: org.apache.spark.sql.Column) =
+      substring(col("p"), pos.cast("int"), lit(4)).cast("string")
+    val s1 = beAtDyn(lit(1L), 4)              // ftyp box size
+    val brand = fourcc(lit(9L))
+    val moovPos = lit(1L) + s1                // chained offset
+    val s2 = beAtDyn(moovPos, 4)
+    val mvhdPos = moovPos + 8L                // first child of moov
+    val ts = beAtDyn(mvhdPos + 20L, 4)        // content +12 (ver/flags+ctime+mtime)
+    val dr = beAtDyn(mvhdPos + 24L, 4)
+    val mdatPos = moovPos + s2
+    val s3 = beAtDyn(mdatPos, 4)
+    withP.select(col("doc_id"),
+        (fourcc(lit(5L)) === "ftyp").as("ftyp_ok"),
+        brand.as("brand"),
+        (fourcc(moovPos + 4L) === "moov" && fourcc(mvhdPos + 4L) === "mvhd")
+          .as("moov_ok"),
+        ts.as("timescale"), dr.as("duration"),
+        ((dr * lit(1000L)) / ts).cast("long").as("duration_ms"),
+        (s3 - 8L).as("mdat_bytes"),
+        (s1 + s2 + s3 === col("len")).as("sizes_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mp4BoxesSql: String =
+    """SELECT doc_id, TRUE AS ftyp_ok, 'isom' AS brand, TRUE AS moov_ok,
+      |       CAST([600, 1000, 90000][CAST(doc_id % 3 AS INTEGER) + 1] AS BIGINT)
+      |         AS timescale,
+      |       CAST((1 + n_chars % 240)
+      |            * [600, 1000, 90000][CAST(doc_id % 3 AS INTEGER) + 1] AS BIGINT)
+      |         AS duration,
+      |       CAST((1 + n_chars % 240) * 1000 AS BIGINT) AS duration_ms,
+      |       CAST(16 + (doc_id * 13) % 224 AS BIGINT) AS mdat_bytes,
+      |       TRUE AS sizes_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_tar_header" -> (tarHeader _),
+    "mm_zip_eocd" -> (zipEocd _),
+    "mm_mp4_boxes" -> (mp4Boxes _),
     "mm_parquet_footer" -> (parquetFooter _),
     "mm_npy_header" -> (npyHeader _),
     "mm_gzip_header" -> (gzipHeader _),
@@ -1078,6 +1336,9 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_tar_header" -> tarHeaderSql,
+    "mm_zip_eocd" -> zipEocdSql,
+    "mm_mp4_boxes" -> mp4BoxesSql,
     "mm_parquet_footer" -> parquetFooterSql,
     "mm_npy_header" -> npyHeaderSql,
     "mm_gzip_header" -> gzipHeaderSql,

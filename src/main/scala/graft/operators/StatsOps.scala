@@ -1884,7 +1884,90 @@ object StatsOps {
       |            AS BIGINT) AS cohens_d_milli
       |FROM m""".stripMargin
 
+  /** ANDERSON–DARLING uniformity test of the id-hash split key — the
+    * distribution-level audit of the [[graft.api.Graft.idHash]]
+    * contract every hash split/sample in the engine rides on
+    * (`corpus_split_hash`, sampling, sharding): A² weights CDF
+    * deviations by 1/(F(1−F)), so it catches TAIL clumping that a KS
+    * or chi-square census misses. u_i = (idHash(doc_id) mod 2¹⁶ +
+    * 0.5)/2¹⁶ tested against U(0,1): A² = −n − S/n with
+    * S = Σᵢ (2i−1)·ln uᵢ + (2n−2i+1)·ln(1−uᵢ) over the ASCENDING
+    * order statistics.
+    *
+    * Scale shape: NO global row sort — the order statistics fold into
+    * the 2¹⁶-bounded value histogram (the [[HistQuantile]] discipline):
+    * a tie run of k rows starting after cumulative count c contributes
+    * Σ(2i−1) = 2kc+k² to the ln(u) weight and 2kn−(2kc+k²) to the
+    * ln(1−u) weight — closed forms, so one compact-key agg + one
+    * bounded-table cumulative window replace the sort. Engine parity:
+    * each distinct value's ln(u)/ln(1−u) is quantized ONCE to
+    * nano-units, weights are exact integers, the sum is exact decimal
+    * — summation order cannot move the statistic. */
+  def andersonDarling(spark: SparkSession, dir: String): DataFrame = {
+    val m = 65536L
+    val hist = Tables.documents(spark, dir)
+      .select(pmod(graft.api.Graft.idHash(col("doc_id")), lit(m)).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("k"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = (col("v").cast("double") + lit(0.5d)) / lit(m.toDouble)
+    val ranked = hist
+      .withColumn("cum", sum(col("k")).over(wCum))
+      .withColumn("n", sum(col("k")).over(Window.partitionBy()))
+      .withColumn("c", col("cum") - col("k"))
+      .withColumn("lnu_nano", round(lit(1e9) * log(u)).cast("long"))
+      .withColumn("ln1mu_nano", round(lit(1e9) * log(lit(1.0d) - u)).cast("long"))
+      .withColumn("w_lo", lit(2L) * col("k") * col("c") + col("k") * col("k"))
+      .withColumn("w_hi", lit(2L) * col("k") * col("n") - col("w_lo"))
+    ranked
+      .agg(max(col("n")).as("n"),
+        sum(dec(col("w_lo")) * col("lnu_nano") +
+          dec(col("w_hi")) * col("ln1mu_nano")).as("s_nano"))
+      .select(col("n"),
+        round(lit(1e3) * (-col("n").cast("double") -
+          col("s_nano").cast("double") / (col("n").cast("double") * lit(1e9))))
+          .cast("long").as("a2_milli"))
+      // 2.492 is the 5% critical value of A² for a FULLY SPECIFIED
+      // null (uniform, no fitted parameters) — the split-audit verdict
+      .withColumn("uniform_ok_5pct", col("a2_milli") <= lit(2492L))
+  }
+
+  val andersonDarlingSql: String =
+    """WITH hist AS (
+      |  SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |           % 65536 AS v,
+      |         count(*) AS k
+      |  FROM documents GROUP BY 1),
+      |ranked AS (
+      |  SELECT v, k,
+      |         sum(k) OVER (ORDER BY v
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - k AS c,
+      |         sum(k) OVER () AS n,
+      |         CAST(round(1e9 * ln((CAST(v AS DOUBLE) + 0.5) / 65536.0))
+      |           AS BIGINT) AS lnu_nano,
+      |         CAST(round(1e9 * ln(1.0 - (CAST(v AS DOUBLE) + 0.5) / 65536.0))
+      |           AS BIGINT) AS ln1mu_nano
+      |  FROM hist),
+      |s AS (
+      |  SELECT max(n) AS n,
+      |         sum(CAST(2 * k * c + k * k AS HUGEINT) * lnu_nano
+      |             + CAST(2 * k * n - 2 * k * c - k * k AS HUGEINT) * ln1mu_nano)
+      |           AS s_nano
+      |  FROM ranked)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |       CAST(round(1e3 * (-CAST(n AS DOUBLE)
+      |                         - CAST(s_nano AS DOUBLE)
+      |                           / (CAST(n AS DOUBLE) * 1e9))) AS BIGINT)
+      |         AS a2_milli,
+      |       CAST(round(1e3 * (-CAST(n AS DOUBLE)
+      |                         - CAST(s_nano AS DOUBLE)
+      |                           / (CAST(n AS DOUBLE) * 1e9))) AS BIGINT) <= 2492
+      |         AS uniform_ok_5pct
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_anderson_darling" -> (andersonDarling _),
     "stats_kruskal_wallis" -> (kruskalWallis _),
     "stats_effect_sizes" -> (effectSizes _),
     "stats_fisher_exact" -> (fisherExact _),
@@ -1911,6 +1994,7 @@ object StatsOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stats_anderson_darling" -> andersonDarlingSql,
     "stats_fisher_exact" -> fisherExactSql,
     "stats_levene" -> leveneSql,
     "stats_jarque_bera" -> jarqueBeraSql,

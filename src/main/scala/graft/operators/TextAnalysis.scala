@@ -292,6 +292,84 @@ object TextAnalysis {
     * `parse_url` (HOST/PATH/QUERY-key extraction); the oracle mirrors
     * with RE2 regexp_extract. Map-only parse, one compact-key
     * (host) aggregation. */
+  /** MOJIBAKE / ENCODING-ARTIFACT census — the crawl-hygiene filter
+    * every web corpus needs before training: UTF-8-bytes-read-as-
+    * Latin-1 signatures ('Ã'/'Â' followed by a continuation-range
+    * char — the double-encoding fingerprint of é→Ã©, ü→Ã¼, NBSP→Â ),
+    * U+FFFD replacement chars (a decoder already gave up), and C1
+    * control chars (cp1252/Latin-1 confusion). The corpus text is
+    * clean-ASCII synthetic, so the query deterministically
+    * manufactures each artifact class on disjoint doc slices
+    * (doc_id mod 7 / 11 / 13) before censusing — the same
+    * inject-then-detect discipline as `corpus_quality_gate`. Per-class
+    * doc and hit counts plus the clean-doc count; pure per-row regex —
+    * map-only at any corpus size, one 1-row agg. */
+  def mojibake(spark: SparkSession, dir: String): DataFrame = {
+    // e-acute -> "\u00C3\u00A9" (C3 A9 read as Latin-1), u-umlaut ->
+    // "\u00C3\u00BC", NBSP -> "\u00C2\u00A0" -- \u escapes keep the
+    // source ASCII-auditable; both engines hold identical UTF-8
+    val moji = lit("\u00C3\u00A9 na\u00C3\u00BCve \u00C2\u00A0")
+    val rep = lit("\uFFFD")
+    val c1 = lit("\u0085\u0092") // NEL + cp1252 smart-quote slot
+    val dirty = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, concat(moji, moji)).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, concat(rep, lit("x"), rep))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, c1).otherwise(lit(""))).as("t"))
+    dirty
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit("[\u00C3\u00C2][\u0080-\u00BF]"))
+          .cast("long").as("l1"),
+        regexp_count(col("t"), lit("\uFFFD")).cast("long").as("rp"),
+        regexp_count(col("t"), lit("[\u0080-\u009F]")).cast("long").as("c1"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("l1") > 0, 1L).otherwise(0L)).as("docs_utf8_latin1"),
+        sum(col("l1")).as("hits_utf8_latin1"),
+        sum(when(col("rp") > 0, 1L).otherwise(0L)).as("docs_replacement"),
+        sum(col("rp")).as("hits_replacement"),
+        sum(when(col("c1") > 0, 1L).otherwise(0L)).as("docs_c1_control"),
+        sum(col("c1")).as("hits_c1_control"),
+        sum(when(col("l1") === 0 && col("rp") === 0 && col("c1") === 0, 1L)
+          .otherwise(0L)).as("docs_clean"))
+  }
+
+  val mojibakeSql: String =
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |         text
+      |         || CASE WHEN doc_id % 7 = 0
+      |                 THEN repeat(chr(195) || chr(169) || ' na' || chr(195)
+      |                             || chr(188) || 've ' || chr(194) || chr(160), 2)
+      |                 ELSE '' END
+      |         || CASE WHEN doc_id % 11 = 0
+      |                 THEN chr(65533) || 'x' || chr(65533) ELSE '' END
+      |         || CASE WHEN doc_id % 13 = 0
+      |                 THEN chr(133) || chr(146) ELSE '' END AS t
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id,
+      |         len(regexp_extract_all(t, '[' || chr(195) || chr(194) || ']['
+      |             || chr(128) || '-' || chr(191) || ']')) AS l1,
+      |         len(regexp_extract_all(t, chr(65533))) AS rp,
+      |         len(regexp_extract_all(t, '[' || chr(128) || '-' || chr(159)
+      |             || ']')) AS c1
+      |  FROM dirty)
+      |SELECT count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN l1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS docs_utf8_latin1,
+      |       CAST(sum(l1) AS BIGINT) AS hits_utf8_latin1,
+      |       CAST(sum(CASE WHEN rp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS docs_replacement,
+      |       CAST(sum(rp) AS BIGINT) AS hits_replacement,
+      |       CAST(sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS docs_c1_control,
+      |       CAST(sum(c1) AS BIGINT) AS hits_c1_control,
+      |       CAST(sum(CASE WHEN l1 = 0 AND rp = 0 AND c1 = 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS docs_clean
+      |FROM hits""".stripMargin
+
   def urlParse(spark: SparkSession, dir: String): DataFrame = {
     val url = concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
       lit(".example.org/docs/"), col("doc_id").cast("string"),
@@ -1155,6 +1233,7 @@ object TextAnalysis {
     "text_sparse_cosine" -> (sparseCosine _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_url_parse" -> (urlParse _),
+    "text_mojibake" -> (mojibake _),
     "text_token_stats" -> (tokenStats _),
     "text_token_stats_ws" -> (tokenStatsWs _),
     "text_quality_score" -> (qualityScore _),
@@ -1178,6 +1257,7 @@ object TextAnalysis {
     "text_sparse_cosine" -> sparseCosineSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_url_parse" -> urlParseSql,
+    "text_mojibake" -> mojibakeSql,
     "text_token_stats" -> tokenStatsSql,
     "text_token_stats_ws" -> tokenStatsWsSql,
     "text_quality_score" -> qualityScoreSql,
