@@ -521,6 +521,133 @@ object CorpusOps {
       |        JOIN ctx ON split_part(bg.bigram, ' ', 1) = ctx.w1
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** HEAPS' LAW fit — type growth V(N) ≈ k·N^β over 8 cumulative
+    * doc_id-prefix checkpoints: β stable is healthy growth; β
+    * drifting low means the crawl is recycling content
+    * (template/boilerplate regression), high means OCR noise or
+    * tokenizer breakage minting junk types — the corpus-growth
+    * companion to the Zipf fit, tracked per ingest batch. TYPES here
+    * are 3-token shingles, not unigrams: the synthetic corpus draws
+    * from a FIXED word list (unigram V saturates inside the first
+    * checkpoint — measured, and exactly the template-heavy shape
+    * real boilerplate produces), while shingle types keep minting
+    * combinatorially — the standard Heaps witness for such corpora.
+    *
+    * Scale shape: the naive formulation re-scans the corpus once per
+    * checkpoint; this one exploits FIRST OCCURRENCE — V(t) = #{types
+    * with min(doc_id) ≤ t} — so ONE (type → min doc_id) agg + one
+    * per-doc token count serve all 8 checkpoints via a bounded ×8
+    * conditional fold. ln's micro-quantized once per checkpoint,
+    * regression moments exact decimal (the zipfFit discipline); the
+    * degenerate zero-variance corpus (V or N constant across
+    * checkpoints) yields NULL fit fields on BOTH engines rather than
+    * a division error. */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val nCk = 8
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val ks = explode(array((1 to nCk).map(lit(_)): _*)).as("k")
+    // N(t_k): token mass of the doc_id-prefix at checkpoint k
+    val nTok = docs.select(col("doc_id"), nToks(col("text")).as("nt"))
+      .crossJoin(broadcast(mx))
+      .select(ks, col("doc_id"), col("nt"), col("mx"))
+      .filter(col("doc_id") * nCk < (col("mx") + 1) * col("k"))
+      .groupBy(col("k")).agg(sum(col("nt")).as("n_tokens"))
+    // V(t_k): 3-token shingle types first seen inside the prefix
+    val t = toks(col("text"))
+    val sh3 = zip_with(
+      zip_with(
+        slice(t, lit(1), greatest(size(t) - 2, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 2, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(t, lit(3), greatest(size(t) - 2, lit(0))),
+      (ab, c) => concat(ab, lit(" "), c))
+    val vTerm = docs
+      .select(col("doc_id"), explode(sh3).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("fs"))
+      .crossJoin(broadcast(mx))
+      .select(ks, col("fs"), col("mx"))
+      .filter(col("fs") * nCk < (col("mx") + 1) * col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("v_terms"))
+    val pts = nTok.join(vTerm, "k")
+      .select(round(log(col("n_tokens").cast("double")) * 1e6).cast("long").as("xq"),
+        round(log(col("v_terms").cast("double")) * 1e6).cast("long").as("yq"),
+        col("k"), col("n_tokens"), col("v_terms"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(dec(col("xq"))).as("sx"), sum(dec(col("yq"))).as("sy"),
+      sum(dec(col("xq")) * col("yq")).as("sxy"),
+      sum(dec(col("xq")) * col("xq")).as("sxx"),
+      sum(dec(col("yq")) * col("yq")).as("syy"),
+      max(when(col("k") === nCk, col("n_tokens"))).as("n_tokens_full"),
+      max(when(col("k") === nCk, col("v_terms"))).as("v_terms_full"))
+    val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val ok = varX > 0.0d && varY > 0.0d
+    m.select(col("n").as("n_checkpoints"),
+      col("n_tokens_full"), col("v_terms_full"),
+      when(ok, round(cov / varX, 6)).as("beta"),
+      when(ok, round(exp((col("sy").cast("double") -
+        cov / varX * col("sx").cast("double")) / col("n") / 1e6), 4))
+        .as("k_coeff"),
+      when(ok, round(cov / sqrt(varX * varY), 6)).as("fit_r"))
+  }
+
+  val heapsLawSql: String =
+    """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+      |ck AS (SELECT unnest(range(1, 9)) AS k),
+      |nt AS (
+      |  SELECT k, sum(len(string_split(text, ' '))) AS n_tokens
+      |  FROM documents CROSS JOIN mx CROSS JOIN ck
+      |  WHERE doc_id * 8 < (mx + 1) * k
+      |  GROUP BY 1),
+      |fs AS (
+      |  SELECT term, min(doc_id) AS fs
+      |  FROM (SELECT doc_id,
+      |               unnest(CASE WHEN len(w) >= 3
+      |                 THEN list_transform(range(len(w) - 2),
+      |                        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+      |                 ELSE [] END) AS term
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |              FROM documents))
+      |  GROUP BY 1),
+      |vt AS (
+      |  SELECT k, count(*) AS v_terms
+      |  FROM fs CROSS JOIN mx CROSS JOIN ck
+      |  WHERE fs.fs * 8 < (mx + 1) * k
+      |  GROUP BY 1),
+      |pts AS (
+      |  SELECT CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+      |         CAST(round(ln(CAST(v_terms AS DOUBLE)) * 1e6) AS BIGINT) AS yq,
+      |         k, n_tokens, v_terms
+      |  FROM nt JOIN vt USING (k)),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |         sum(CAST(xq AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy,
+      |         sum(CAST(xq AS HUGEINT) * yq) AS sxy,
+      |         sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+      |         sum(CAST(yq AS HUGEINT) * yq) AS syy,
+      |         max(CASE WHEN k = 8 THEN n_tokens END) AS n_tokens_full,
+      |         max(CASE WHEN k = 8 THEN v_terms END) AS v_terms_full
+      |  FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n_checkpoints,
+      |       CAST(n_tokens_full AS BIGINT) AS n_tokens_full,
+      |       CAST(v_terms_full AS BIGINT) AS v_terms_full,
+      |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+      |         round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |               / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS beta,
+      |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+      |         round(exp((CAST(sy AS DOUBLE)
+      |                - CAST(n * sxy - sx * sy AS DOUBLE)
+      |                  / CAST(n * sxx - sx * sx AS DOUBLE)
+      |                  * CAST(sx AS DOUBLE)) / n / 1e6), 4) END AS k_coeff,
+      |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+      |         round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS fit_r
+      |FROM m""".stripMargin
+
   /** ENTROPY RATE of the corpus token stream — H(next | prev) =
     * H(bigram) − H(unigram), the information-theoretic compressibility
     * census an LM-data pipeline tracks across corpus versions (a
@@ -2260,6 +2387,7 @@ object CorpusOps {
     "corpus_unigram_logprob" -> (unigramLogprob _),
     "corpus_bigram_logprob" -> (bigramLogprob _),
     "corpus_entropy_rate" -> (entropyRate _),
+    "corpus_heaps_law" -> (heapsLaw _),
     "corpus_repetition" -> (repetition _),
     "corpus_split_hash" -> (splitHash _),
     "corpus_sample_stratified" -> (sampleStratified _),
@@ -2308,6 +2436,7 @@ object CorpusOps {
     "corpus_unigram_logprob" -> unigramLogprobSql,
     "corpus_bigram_logprob" -> bigramLogprobSql,
     "corpus_entropy_rate" -> entropyRateSql,
+    "corpus_heaps_law" -> heapsLawSql,
     "corpus_repetition" -> repetitionSql,
     "corpus_split_hash" -> splitHashSql,
     "corpus_sample_stratified" -> sampleStratifiedSql,

@@ -275,6 +275,59 @@ object GraphOps {
       |       CAST(sum(d) AS BIGINT) AS sum_degree
       |FROM pernode GROUP BY 1 ORDER BY decile""".stripMargin
 
+  /** EDGE-SUPPORT (embeddedness) census over the fuzzy-name graph —
+    * the edge-level companion to [[triangles]]/[[clusteringCoeff]]:
+    * an edge's support is the number of triangles it closes, the
+    * quantity k-truss decomposition peels on and the classic
+    * weak-tie/local-bridge detector (support 0 = its endpoints share
+    * no neighbor — removing it lengthens every path between them).
+    * Each canonical triangle {x<y<z} contributes its three edges
+    * (x,y), (y,z), (x,z); a left join back to the edge list keeps the
+    * support-0 edges the triangle list never mentions; the output is
+    * the bounded (support → n_edges) histogram.
+    *
+    * Scale shape: the same bounded-fan-out triangle enumeration the
+    * siblings pay, a 3× projection of the TRIANGLE list, one equi
+    * join on the canonical edge key, one compact-key agg. */
+  def edgeSupport(spark: SparkSession, dir: String): DataFrame = {
+    val e = Joins.fuzzyBlockedJoin(spark, dir)
+      .select(col("name_a").as("a"), col("name_b").as("b")).localCheckpoint()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val triEdges = tri.select(col("x").as("a"), col("y").as("b"))
+      .unionAll(tri.select(col("y").as("a"), col("z").as("b")))
+      .unionAll(tri.select(col("x").as("a"), col("z").as("b")))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    e.join(triEdges, Seq("a", "b"), "left")
+      .select(coalesce(col("support"), lit(0L)).as("support"))
+      .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("support"))
+  }
+
+  val edgeSupportSql: String =
+    """WITH names AS (
+      |  SELECT p_name AS name, string_split(p_name, ' ')[-1] AS noun
+      |  FROM part GROUP BY p_name),
+      |e AS (
+      |  SELECT a.name AS a, b.name AS b
+      |  FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+      |  WHERE levenshtein(a.name, b.name) <= 3),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |te AS (
+      |  SELECT a, b, count(*) AS support
+      |  FROM (SELECT x AS a, y AS b FROM tri
+      |        UNION ALL SELECT y, z FROM tri
+      |        UNION ALL SELECT x, z FROM tri)
+      |  GROUP BY 1, 2)
+      |SELECT coalesce(te.support, 0) AS support, count(*) AS n_edges
+      |FROM e LEFT JOIN te USING (a, b)
+      |GROUP BY 1 ORDER BY support""".stripMargin
+
   /** EDGE RECIPROCITY of the directed event-type transition graph —
     * how often does u→v traffic come back as v→u? Both the standard
     * unweighted form (fraction of directed non-loop edges whose
@@ -1079,6 +1132,7 @@ object GraphOps {
     "graph_er_resolve" -> (erResolve _),
     "graph_triangles" -> (triangles _),
     "graph_clustering_coeff" -> (clusteringCoeff _),
+    "graph_edge_support" -> (edgeSupport _),
     "graph_reciprocity" -> (reciprocity _),
     "graph_label_prop" -> (labelPropCommunities _),
     "graph_sssp" -> (shortestPathsNames _)
@@ -1097,6 +1151,7 @@ object GraphOps {
     "graph_er_resolve" -> erResolveSql,
     "graph_triangles" -> trianglesSql,
     "graph_clustering_coeff" -> clusteringCoeffSql,
+    "graph_edge_support" -> edgeSupportSql,
     "graph_reciprocity" -> reciprocitySql,
     "graph_label_prop" -> labelPropCommunitiesSql,
     "graph_sssp" -> shortestPathsNamesSql

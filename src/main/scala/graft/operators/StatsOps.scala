@@ -1966,8 +1966,97 @@ object StatsOps {
       |         AS uniform_ok_5pct
       |FROM s""".stripMargin
 
+  /** WALD–WOLFOWITZ RUNS TEST on the daily revenue series — is the
+    * above/below-mean sign sequence RANDOM in time, or does it carry
+    * momentum (long runs ⇒ trend/regime, z ≪ 0) or oscillation
+    * (alternating signs ⇒ overdifferencing/seasonality, z ≫ 0)? The
+    * randomness check a forecaster runs on residuals before trusting
+    * a model. Signs come from the EXACT cross-multiplied comparison
+    * day_cents·n_days vs total_cents (no double mean, no tie
+    * ambiguity beyond exact equality, which drops the day); runs
+    * count = 1 + sign changes via lag over the day-keyed series;
+    * z = (R − μ)/σ with the standard two-sample moments.
+    *
+    * Scale shape: the data-sized stage is one compact-key day agg
+    * (calendar-bounded table); the lag window and moments run over
+    * that bounded series — the hourly-series discipline. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100.0d).cast("long")).as("cents"))
+    val tot = daily.agg(sum(col("cents")).as("total"),
+      count(lit(1)).as("nd"))
+    val signed = daily.crossJoin(broadcast(tot))
+      .withColumn("sign",
+        when(col("cents") * col("nd") > col("total"), lit(1))
+          .when(col("cents") * col("nd") < col("total"), lit(-1))
+          .otherwise(lit(0)))
+      .filter(col("sign") =!= 0)
+      .withColumn("chg",
+        when(lag(col("sign"), 1).over(Window.orderBy(col("day"))).isNull, 0)
+          .when(lag(col("sign"), 1).over(Window.orderBy(col("day"))) =!=
+            col("sign"), 1)
+          .otherwise(0))
+    def d(c: Column) = c.cast("double")
+    signed
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sign") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("sign") === -1, 1L).otherwise(0L)).as("n_below"),
+        (sum(col("chg")) + 1L).as("n_runs"))
+      .withColumn("mu", lit(1.0d) +
+        lit(2.0d) * d(col("n_above")) * d(col("n_below")) / d(col("n")))
+      .withColumn("sigma2",
+        (col("mu") - lit(1.0d)) * (col("mu") - lit(2.0d)) / (d(col("n")) - lit(1.0d)))
+      .select(col("n").as("n_days"), col("n_above"), col("n_below"),
+        col("n_runs"),
+        round(lit(1e3) * (d(col("n_runs")) - col("mu")) / sqrt(col("sigma2")))
+          .cast("long").as("z_milli"))
+      .withColumn("random_ok_5pct", abs(col("z_milli")) <= lit(1960L))
+  }
+
+  val runsTestSql: String =
+    """WITH daily AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT sum(cents) AS total, count(*) AS nd FROM daily),
+      |signed AS (
+      |  SELECT day,
+      |         CASE WHEN cents * nd > total THEN 1
+      |              WHEN cents * nd < total THEN -1 ELSE 0 END AS sign
+      |  FROM daily CROSS JOIN tot),
+      |seq AS (
+      |  SELECT sign,
+      |         CASE WHEN lag(sign) OVER (ORDER BY day) IS NULL THEN 0
+      |              WHEN lag(sign) OVER (ORDER BY day) <> sign THEN 1
+      |              ELSE 0 END AS chg
+      |  FROM signed WHERE sign <> 0),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |         sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS n_above,
+      |         sum(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS n_below,
+      |         sum(chg) + 1 AS n_runs
+      |  FROM seq),
+      |z AS (
+      |  SELECT n, n_above, n_below, n_runs,
+      |         1.0 + 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+      |               / CAST(n AS DOUBLE) AS mu
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |       CAST(n_above AS BIGINT) AS n_above,
+      |       CAST(n_below AS BIGINT) AS n_below,
+      |       CAST(n_runs AS BIGINT) AS n_runs,
+      |       CAST(round(1e3 * (CAST(n_runs AS DOUBLE) - mu)
+      |             / sqrt((mu - 1.0) * (mu - 2.0) / (CAST(n AS DOUBLE) - 1.0)))
+      |         AS BIGINT) AS z_milli,
+      |       abs(CAST(round(1e3 * (CAST(n_runs AS DOUBLE) - mu)
+      |             / sqrt((mu - 1.0) * (mu - 2.0) / (CAST(n AS DOUBLE) - 1.0)))
+      |         AS BIGINT)) <= 1960 AS random_ok_5pct
+      |FROM z""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_anderson_darling" -> (andersonDarling _),
+    "stats_runs_test" -> (runsTest _),
     "stats_kruskal_wallis" -> (kruskalWallis _),
     "stats_effect_sizes" -> (effectSizes _),
     "stats_fisher_exact" -> (fisherExact _),
@@ -1995,6 +2084,7 @@ object StatsOps {
 
   def oracle: Map[String, String] = Map(
     "stats_anderson_darling" -> andersonDarlingSql,
+    "stats_runs_test" -> runsTestSql,
     "stats_fisher_exact" -> fisherExactSql,
     "stats_levene" -> leveneSql,
     "stats_jarque_bera" -> jarqueBeraSql,

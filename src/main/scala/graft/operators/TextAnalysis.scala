@@ -706,6 +706,70 @@ object TextAnalysis {
     * moments are exact BIGINT sums of those integers, and slope/
     * intercept/r are single double expressions over identical inputs.
     * One term-count agg (tf-idf shuffle class) + a 200-row fit. */
+  /** TERM BURSTINESS (Church–Gale overdispersion) — the Fano factor
+    * var/mean of a term's per-document count, over the documents that
+    * CONTAIN it: function words arrive ~Poisson (b ≈ 1 − mean/…, low),
+    * topical words arrive in BURSTS (b ≫ 1) — the signal behind
+    * burstiness-aware IDF and boilerplate detection (a template
+    * phrase has high df and b ≈ 0 variance). Top-15 df-stable terms
+    * (df ≥ 20) by burstiness, deterministic tiebreak.
+    *
+    * Scale shape: one (term, doc) compact agg, one per-term moment
+    * fold (vocab-sized, Zipf-bounded), one top-k over the aggregated
+    * term table. Moments are exact integers; b rounds once to
+    * milli. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val minDf = 20L
+    val td = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val stats = td.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+        sum(col("c") * col("c")).as("ssq"))
+      .filter(col("df") >= minDf)
+    def d(c: Column) = c.cast("double")
+    val withB = stats
+      .withColumn("mean_milli",
+        round(lit(1e3) * d(col("tf")) / d(col("df"))).cast("long"))
+      .withColumn("burstiness_milli",
+        round(lit(1e3) * (d(col("ssq")) / d(col("df")) -
+          (d(col("tf")) / d(col("df"))) * (d(col("tf")) / d(col("df")))) /
+          (d(col("tf")) / d(col("df")))).cast("long"))
+    withB
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("burstiness_milli").desc, col("term"))))
+      .filter(col("rk") <= 15)
+      .select(col("rk").cast("long").as("rank"), col("term"), col("df"),
+        col("tf"), col("mean_milli"), col("burstiness_milli"))
+      .orderBy(col("rank"))
+  }
+
+  val burstinessSql: String =
+    """WITH td AS (
+      |  SELECT term, doc_id, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT term, count(*) AS df, sum(c) AS tf, sum(c * c) AS ssq
+      |  FROM td GROUP BY 1 HAVING count(*) >= 20),
+      |b AS (
+      |  SELECT term, df, CAST(tf AS BIGINT) AS tf,
+      |         CAST(round(1e3 * CAST(tf AS DOUBLE) / CAST(df AS DOUBLE))
+      |           AS BIGINT) AS mean_milli,
+      |         CAST(round(1e3 * (CAST(ssq AS DOUBLE) / CAST(df AS DOUBLE)
+      |                - (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE))
+      |                  * (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)))
+      |               / (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT)
+      |           AS burstiness_milli
+      |  FROM stats)
+      |SELECT CAST(row_number() OVER (ORDER BY burstiness_milli DESC, term)
+      |         AS BIGINT) AS rank,
+      |       term, df, tf, mean_milli, burstiness_milli
+      |FROM b
+      |QUALIFY rank <= 15
+      |ORDER BY rank""".stripMargin
+
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
     val topN = 200
     val w = Window.orderBy(col("freq").desc, col("term"))
@@ -1228,6 +1292,7 @@ object TextAnalysis {
     "text_rake_keywords" -> (rakeKeywords _),
     "text_readability" -> (readability _),
     "text_zipf_fit" -> (zipfFit _),
+    "text_burstiness" -> (burstiness _),
     "text_hash_embed" -> (hashEmbed _),
     "corpus_rag_context" -> (ragContext _),
     "text_sparse_cosine" -> (sparseCosine _),
@@ -1252,6 +1317,7 @@ object TextAnalysis {
     "text_rake_keywords" -> rakeKeywordsSql,
     "text_readability" -> readabilitySql,
     "text_zipf_fit" -> zipfFitSql,
+    "text_burstiness" -> burstinessSql,
     "text_hash_embed" -> hashEmbedSql,
     "corpus_rag_context" -> ragContextSql,
     "text_sparse_cosine" -> sparseCosineSql,

@@ -659,6 +659,64 @@ object WarehouseEtl {
       |       count(*) AS n_changes
       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SCD TYPE 6 (hybrid 1+2+3) dimension build — the "all three at
+    * once" pattern warehouse teams actually ship: TYPE-2 history rows
+    * (one per state change, half-open validity from [[scd2Build]]'s
+    * change stream), a TYPE-1 `current_state` column OVERWRITTEN onto
+    * every historical row of the entity (so point-in-time queries can
+    * filter on today's segment without a self-join), and a TYPE-3
+    * `prev_state` column per version. Version numbers ascend from 1.
+    *
+    * Scale shape: one per-key window pass over the change stream
+    * (lag + lead + row_number + a per-key max — all on ONE
+    * user-partitioned sort, a single exchange), no joins. The Type-1
+    * backfill is max(state) over the unbounded frame keyed by the
+    * same partition — no second shuffle. */
+  def scd6(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val whole = Window.partitionBy(col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    changeLog(spark, dir)
+      .withColumn("__prev_raw", lag(col("state"), 1).over(order))
+      .where(col("__prev_raw").isNull || col("__prev_raw") =!= col("state"))
+      .withColumn("version", row_number().over(order))
+      .withColumn("prev_state", coalesce(lag(col("state"), 1).over(order),
+        lit("<none>")))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(order))
+      .withColumn("current_state",
+        max(when(col("valid_to_ts").isNull, col("state"))).over(whole))
+      .select(col("user_id"), col("version").cast("long").as("version"),
+        col("state"), col("prev_state"), col("current_state"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val scd6Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type AS state, ts, event_id,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, state, ts, event_id FROM ordered
+      |  WHERE prev IS NULL OR prev <> state),
+      |v AS (
+      |  SELECT user_id, state, ts,
+      |         CAST(row_number() OVER w AS BIGINT) AS version,
+      |         coalesce(lag(state) OVER w, '<none>') AS prev_state,
+      |         lead(ts) OVER w AS valid_to_ts
+      |  FROM changes
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, version, state, prev_state,
+      |       max(CASE WHEN valid_to_ts IS NULL THEN state END)
+      |         OVER (PARTITION BY user_id) AS current_state,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |       strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      |       valid_to_ts IS NULL AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   /** REVERSIBLE PII tokenization via AES — the recoverable complement
     * to [[pseudonymize]]'s one-way hashing (GDPR access requests need
     * the original back; a salted hash cannot return it). Names
@@ -1167,6 +1225,7 @@ object WarehouseEtl {
     "etl_late_dim" -> (lateDim _),
     "etl_crypto_roundtrip" -> (cryptoRoundtrip _),
     "etl_scd3" -> (scd3 _),
+    "etl_scd6" -> (scd6 _),
     "etl_bitemporal" -> (bitemporal _),
     "etl_purge_audit" -> (purgeAudit _),
     "etl_snapshot_diff" -> (snapshotDiff _),
@@ -1191,6 +1250,7 @@ object WarehouseEtl {
     "etl_late_dim" -> lateDimSql,
     "etl_crypto_roundtrip" -> cryptoRoundtripSql,
     "etl_scd3" -> scd3Sql,
+    "etl_scd6" -> scd6Sql,
     "etl_bitemporal" -> bitemporalSql,
     "etl_purge_audit" -> purgeAuditSql,
     "etl_snapshot_diff" -> snapshotDiffSql,

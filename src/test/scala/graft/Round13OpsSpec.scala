@@ -130,6 +130,82 @@ class Round13OpsSpec extends SparkSpec {
       r.getAs[Long]("bucket") <= 20))
   }
 
+  test("edge support: histogram covers all edges, support-0 row present on a star graph") {
+    val rows = GraphOps.edgeSupport(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_edges")).sum
+    val nEdges = GraphOps.triangles(spark, sf).collect()(0).getAs[Long]("n_edges")
+    assert(total === nEdges, s"support census covers $total of $nEdges edges")
+    // support x n_edges summed over histogram = 3 x triangles
+    val mass = rows.map(r => r.getAs[Long]("support") * r.getAs[Long]("n_edges")).sum
+    val nTri = GraphOps.triangles(spark, sf).collect()(0).getAs[Long]("n_triangles")
+    assert(mass === 3 * nTri, s"edge-support mass $mass != 3x$nTri")
+  }
+
+  test("scd6: type-2 rows carry type-1 current and type-3 prev consistently") {
+    val rows = WarehouseEtl.scd6(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.head.getAs[Long]("version") === 1L)
+      assert(sorted.head.getAs[String]("prev_state") === "<none>")
+      // exactly one current row; its state is the type-1 column on ALL rows
+      val curr = sorted.filter(_.getAs[Boolean]("is_current"))
+      assert(curr.length === 1)
+      val c = curr.head.getAs[String]("state")
+      sorted.foreach { r =>
+        assert(r.getAs[String]("current_state") === c)
+      }
+      // type-3 prev = previous version's state
+      sorted.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(n.getAs[String]("prev_state") === p.getAs[String]("state"))
+          assert(n.getAs[String]("state") !== p.getAs[String]("state"))
+        case _ =>
+      }
+    }
+  }
+
+  test("runs test: identities hold and the moments are the textbook ones") {
+    val r = StatsOps.runsTest(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_days")
+    val nA = r.getAs[Long]("n_above"); val nB = r.getAs[Long]("n_below")
+    val runs = r.getAs[Long]("n_runs")
+    assert(nA + nB === n)
+    assert(runs >= 1 && runs <= n)
+    // z recomputation matches the op's rounding
+    val mu = 1.0 + 2.0 * nA * nB / n.toDouble
+    val s2 = (mu - 1.0) * (mu - 2.0) / (n - 1.0)
+    assert(r.getAs[Long]("z_milli") === math.round(1e3 * (runs - mu) / math.sqrt(s2)))
+  }
+
+  test("burstiness: Fano factor >= 0, df floor respected, ranked without gaps") {
+    val rows = TextAnalysis.burstiness(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rank") === i + 1)
+      assert(r.getAs[Long]("df") >= 20)
+      assert(r.getAs[Long]("burstiness_milli") >= 0)
+      assert(r.getAs[Long]("mean_milli") >= 1000L) // mean >= 1 by containment
+    }
+    // ranked descending
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("burstiness_milli") >=
+        b.getAs[Long]("burstiness_milli"))
+      case _ =>
+    }
+  }
+
+  test("heaps law: beta in (0,1), monotone growth, full-corpus checkpoint sane") {
+    val r = CorpusOps.heapsLaw(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_checkpoints") === 8L)
+    val beta = r.getAs[Double]("beta")
+    assert(beta > 0.0 && beta < 1.0, s"beta $beta outside (0,1)")
+    assert(r.getAs[Double]("fit_r") > 0.9,
+      "log-log type growth should be near-linear")
+    assert(r.getAs[Long]("v_terms_full") > 0 &&
+      r.getAs[Long]("v_terms_full") < r.getAs[Long]("n_tokens_full"))
+  }
+
   // ---- codecs -----------------------------------------------------
 
   test("tar header: octal fields parse back and the recomputed checksum matches") {
