@@ -1311,7 +1311,73 @@ object Multimodal {
       |       TRUE AS sizes_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ELF header (16th codec: the code-corpus binary filter)
+  // ---------------------------------------------------------------
+
+  /** ELF64 header decode — the CODE-CORPUS ingestion filter: source
+    * trees scraped at scale carry compiled artifacts (.o/.so/
+    * executables) that must be ROUTED OUT of a text tokenizer's
+    * input, and the 64-byte ELF header is how you tell (magic,
+    * class/endianness, e_type EXEC vs DYN vs REL). Also parsed:
+    * machine, entry point, section-header table offset/count — the
+    * fields a binary-analysis shard splitter actually reads. All
+    * fixed-offset LE arithmetic over [[prefixBytes]]; the
+    * `shstrndx = shnum − 1` identity round-trips the generator. */
+  def elfHeader(spark: SparkSession, dir: String): DataFrame = {
+    val eType = (lit(2L) + pmod(col("doc_id"), lit(2L))).cast("long") // EXEC/DYN
+    val machine = when(pmod(col("doc_id"), lit(3L)) === 0, lit(0xB7L))
+      .otherwise(lit(0x3EL)) // aarch64 / x86-64
+    val entry = lit(0x400000L) + col("doc_id") * 16L
+    val shoff = lit(4096L) + pmod(col("doc_id") * 32L, lit(8192L))
+    val phnum = (lit(1L) + pmod(col("doc_id"), lit(4L))).cast("long")
+    val shnum = (lit(4L) + pmod(col("n_chars"), lit(12L))).cast("long")
+    def leHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    val payload = unhex(concat(
+      lit("7F454C46"), lit("02"), lit("01"), lit("01"), lit("00"),
+      repeat(lit("00"), 8),
+      leHex(eType, 2), leHex(machine, 2), leHex(lit(1L), 4),
+      leHex(entry, 8), leHex(lit(64L), 8), leHex(shoff, 8),
+      leHex(lit(0L), 4), leHex(lit(64L), 2), leHex(lit(56L), 2),
+      leHex(phnum, 2), leHex(lit(64L), 2), leHex(shnum, 2),
+      leHex(shnum - 1L, 2)))
+    val withB = Tables.documents(spark, dir)
+      .select(col("doc_id"), payload.as("p"))
+      .select(col("doc_id"), prefixBytes(col("p"), 64).as("b"))
+    val b = col("b")
+    withB.select(col("doc_id"),
+        (leAt(b, 1, 4) === 0x464C457FL).as("magic_ok"),
+        (leAt(b, 5, 1) === 2L).as("is_elf64"),
+        (leAt(b, 6, 1) === 1L).as("is_little_endian"),
+        when(leAt(b, 17, 2) === 2L, "EXEC")
+          .when(leAt(b, 17, 2) === 3L, "DYN")
+          .otherwise("OTHER").as("e_type"),
+        when(leAt(b, 19, 2) === 0x3EL, "x86-64")
+          .when(leAt(b, 19, 2) === 0xB7L, "aarch64")
+          .otherwise("unknown").as("machine"),
+        leAt(b, 25, 8).as("entry"),
+        leAt(b, 41, 8).as("shoff"),
+        leAt(b, 57, 2).as("phnum"),
+        leAt(b, 61, 2).as("shnum"),
+        (leAt(b, 63, 2) === leAt(b, 61, 2) - 1L).as("shstrndx_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val elfHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok, TRUE AS is_elf64,
+      |       TRUE AS is_little_endian,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'EXEC' ELSE 'DYN' END AS e_type,
+      |       CASE WHEN doc_id % 3 = 0 THEN 'aarch64' ELSE 'x86-64' END AS machine,
+      |       CAST(4194304 + doc_id * 16 AS BIGINT) AS entry,
+      |       CAST(4096 + (doc_id * 32) % 8192 AS BIGINT) AS shoff,
+      |       CAST(1 + doc_id % 4 AS BIGINT) AS phnum,
+      |       CAST(4 + n_chars % 12 AS BIGINT) AS shnum,
+      |       TRUE AS shstrndx_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_elf_header" -> (elfHeader _),
     "mm_tar_header" -> (tarHeader _),
     "mm_zip_eocd" -> (zipEocd _),
     "mm_mp4_boxes" -> (mp4Boxes _),
@@ -1336,6 +1402,7 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_elf_header" -> elfHeaderSql,
     "mm_tar_header" -> tarHeaderSql,
     "mm_zip_eocd" -> zipEocdSql,
     "mm_mp4_boxes" -> mp4BoxesSql,

@@ -770,6 +770,88 @@ object TextAnalysis {
       |QUALIFY rank <= 15
       |ORDER BY rank""".stripMargin
 
+  /** CODE-vs-PROSE detection census — the routing gate a mixed
+    * code+text corpus needs before tokenizer/mix decisions (code and
+    * prose want different tokenizers, dedup thresholds, and sampling
+    * temperatures). Features per doc: code-symbol density
+    * ({}();=[]<>), code-keyword token hits (def/class/import/return/
+    * if/else/for/while), and identifier shapes (snake_case /
+    * camelCase); verdict = density past 15‰ or ≥2 keywords. The
+    * corpus is prose-only synthetic, so a code tail is injected on
+    * the doc_id%9==0 slice (the quality-gate inject-then-detect
+    * discipline). Pure per-row regex — map-only at any scale; exact
+    * integer counts, ratios quantized once. */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val codeTail = lit(" def compute(x): return arr[0] * 2; } { if " +
+      "(foo_bar == baz_qux) { import os; } class FooBar: for (i = 0; " +
+      "i < n; i += 1) { while (x != y) camelCaseVar = snake_case_var; }")
+    val t = concat(col("text"),
+      when(col("doc_id") % 9 === 0, codeTail).otherwise(lit("")))
+    val kw = Seq("def", "class", "import", "return", "if", "else",
+      "for", "while")
+    val d = (c: Column) => c.cast("double")
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t"))
+      .withColumn("n_chars", length(col("t")).cast("long"))
+      .withColumn("symbols",
+        regexp_count(col("t"), lit("[{}();=\\[\\]<>]")).cast("long"))
+      .withColumn("keywords", size(filter(split(col("t"), " "),
+        w => w.isin(kw.map(lit(_)): _*))).cast("long"))
+      .withColumn("snake",
+        regexp_count(col("t"), lit("\\b[a-z]+_[a-z_]+\\b")).cast("long"))
+      .withColumn("camel",
+        regexp_count(col("t"), lit("\\b[a-z]+[A-Z][A-Za-z]*\\b")).cast("long"))
+      .withColumn("is_code",
+        col("symbols") * 1000L > col("n_chars") * 15L || col("keywords") >= 2L)
+    scored.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"),
+        sum(when(!col("is_code"), 1L).otherwise(0L)).as("n_prose"),
+        round(lit(1e3) * d(sum(when(col("is_code"), col("symbols")))) /
+          d(sum(when(col("is_code"), col("n_chars"))))).cast("long")
+          .as("code_symbol_permille"),
+        round(lit(1e3) * d(sum(when(!col("is_code"), col("symbols")))) /
+          d(sum(when(!col("is_code"), col("n_chars"))))).cast("long")
+          .as("prose_symbol_permille"),
+        sum(col("keywords")).as("keyword_hits"),
+        sum(col("snake")).as("snake_idents"),
+        sum(col("camel")).as("camel_idents"))
+  }
+
+  val codeDetectSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         text || CASE WHEN doc_id % 9 = 0
+      |           THEN ' def compute(x): return arr[0] * 2; } { if (foo_bar == baz_qux) { import os; } class FooBar: for (i = 0; i < n; i += 1) { while (x != y) camelCaseVar = snake_case_var; }'
+      |           ELSE '' END AS t
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, len(t) AS n_chars,
+      |         len(regexp_extract_all(t, '[{}();=\[\]<>]')) AS symbols,
+      |         len(list_filter(string_split(t, ' '),
+      |             w -> w IN ('def', 'class', 'import', 'return', 'if',
+      |                        'else', 'for', 'while'))) AS keywords,
+      |         len(regexp_extract_all(t, '\b[a-z]+_[a-z_]+\b')) AS snake,
+      |         len(regexp_extract_all(t, '\b[a-z]+[A-Z][A-Za-z]*\b')) AS camel,
+      |         (len(regexp_extract_all(t, '[{}();=\[\]<>]')) * 1000
+      |            > len(t) * 15
+      |          OR len(list_filter(string_split(t, ' '),
+      |             w -> w IN ('def', 'class', 'import', 'return', 'if',
+      |                        'else', 'for', 'while'))) >= 2) AS is_code
+      |  FROM t)
+      |SELECT count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+      |       CAST(sum(CASE WHEN is_code THEN 0 ELSE 1 END) AS BIGINT) AS n_prose,
+      |       CAST(round(1e3 * CAST(sum(CASE WHEN is_code THEN symbols END) AS DOUBLE)
+      |             / CAST(sum(CASE WHEN is_code THEN n_chars END) AS DOUBLE))
+      |         AS BIGINT) AS code_symbol_permille,
+      |       CAST(round(1e3 * CAST(sum(CASE WHEN NOT is_code THEN symbols END) AS DOUBLE)
+      |             / CAST(sum(CASE WHEN NOT is_code THEN n_chars END) AS DOUBLE))
+      |         AS BIGINT) AS prose_symbol_permille,
+      |       CAST(sum(keywords) AS BIGINT) AS keyword_hits,
+      |       CAST(sum(snake) AS BIGINT) AS snake_idents,
+      |       CAST(sum(camel) AS BIGINT) AS camel_idents
+      |FROM scored""".stripMargin
+
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
     val topN = 200
     val w = Window.orderBy(col("freq").desc, col("term"))
@@ -1299,6 +1381,7 @@ object TextAnalysis {
     "text_bm25_topk" -> (bm25TopK _),
     "text_url_parse" -> (urlParse _),
     "text_mojibake" -> (mojibake _),
+    "text_code_detect" -> (codeDetect _),
     "text_token_stats" -> (tokenStats _),
     "text_token_stats_ws" -> (tokenStatsWs _),
     "text_quality_score" -> (qualityScore _),
@@ -1324,6 +1407,7 @@ object TextAnalysis {
     "text_bm25_topk" -> bm25TopKSql,
     "text_url_parse" -> urlParseSql,
     "text_mojibake" -> mojibakeSql,
+    "text_code_detect" -> codeDetectSql,
     "text_token_stats" -> tokenStatsSql,
     "text_token_stats_ws" -> tokenStatsWsSql,
     "text_quality_score" -> qualityScoreSql,

@@ -1006,7 +1006,122 @@ object TimeSeries {
        |       score_micro
        |FROM scored ORDER BY score_micro DESC, bin LIMIT 1""".stripMargin
 
+  /** HURST EXPONENT (rescaled-range estimate) of the hourly event
+    * rate — the long-memory diagnostic: H ≈ 0.5 is a memoryless
+    * series, H > 0.5 trending/persistent (shocks compound — a naive
+    * i.i.d. capacity model underprovisions), H < 0.5 mean-reverting.
+    * Classic Mandelbrot–Wallis R/S: for block sizes s ∈ {16, 32, 64,
+    * 128} hours, each FULL block contributes R/S = (max−min of the
+    * in-block cumulative deviation from the block mean) / (block
+    * population std); H is the log-log slope of the per-size mean.
+    *
+    * Engine parity: counts are exact ints; the in-block cumsum is an
+    * ORDERED window (both engines add the same doubles in the same
+    * order → identical bits); each block's ln(R/S) quantizes once to
+    * micro; per-size means and the 4-point regression ride exact
+    * integers until the single final division. Scale shape: the
+    * calendar-bounded hourly spine (one compact agg), partitioned
+    * block windows, a 4-row regression — no data-sized sort. */
+  def hurst(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(16, 32, 64, 128)
+    val series = hourlyCounts(spark, dir)
+      .withColumn("i", row_number().over(Window.orderBy(col("bin"))))
+    val sized = series
+      .select(col("i"), col("n"),
+        explode(array(sizes.map(lit(_)): _*)).as("s"))
+      .withColumn("b", expr("(i - 1) div s"))
+    val blk = Window.partitionBy(col("s"), col("b"))
+    val cum = blk.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: Column) => c.cast("double")
+    val withDev = sized
+      .withColumn("bn", count(lit(1)).over(blk))
+      .filter(col("bn") === col("s"))
+      .withColumn("mean", d(sum(col("n")).over(blk)) / d(col("s")))
+      .withColumn("cumdev", sum(d(col("n"))).over(cum) -
+        d(row_number().over(blk.orderBy(col("i")))) * col("mean"))
+    val perBlock = withDev.groupBy(col("s"), col("b"))
+      .agg((max(col("cumdev")) - min(col("cumdev"))).as("r"),
+        sqrt(d(sum(col("n") * col("n"))) / d(first(col("s"))) -
+          first(col("mean")) * first(col("mean"))).as("sd"))
+      .filter(col("sd") > 0.0d)
+      .select(col("s"),
+        round(lit(1e6) * log(col("r") / col("sd"))).cast("long").as("lnrs_micro"))
+    val perSize = perBlock.groupBy(col("s"))
+      .agg(count(lit(1)).as("nb"), sum(col("lnrs_micro")).as("sum_micro"))
+      .select(round(lit(1e6) * log(d(col("s")))).cast("long").as("xq"),
+        round(d(col("sum_micro")) / d(col("nb"))).cast("long").as("yq"),
+        col("nb"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = perSize.agg(count(lit(1)).as("k"), sum(col("nb")).as("n_blocks"),
+      sum(dec(col("xq"))).as("sx"), sum(dec(col("yq"))).as("sy"),
+      sum(dec(col("xq")) * col("yq")).as("sxy"),
+      sum(dec(col("xq")) * col("xq")).as("sxx"),
+      sum(dec(col("yq")) * col("yq")).as("syy"))
+    val cov = (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varX = (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varY = (col("k") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("k").as("n_sizes"), col("n_blocks"),
+      when(varX > 0.0d, round(lit(1e3) * cov / varX).cast("long"))
+        .as("hurst_milli"),
+      when(varX > 0.0d && varY > 0.0d, round(cov / sqrt(varX * varY), 6))
+        .as("fit_r"))
+  }
+
+  val hurstSql: String =
+    s"""WITH $hourlyCountsSql,
+       |idx AS (SELECT n, row_number() OVER (ORDER BY bin) AS i FROM series),
+       |sized AS (
+       |  SELECT i, n, s, (i - 1) // s AS b
+       |  FROM idx CROSS JOIN (SELECT unnest([16, 32, 64, 128]) AS s)),
+       |full_blocks AS (
+       |  SELECT s, b FROM sized GROUP BY 1, 2 HAVING count(*) = any_value(s)),
+       |dev AS (
+       |  SELECT sized.s, sized.b, sized.i, sized.n,
+       |         CAST(sum(n) OVER (PARTITION BY sized.s, sized.b) AS DOUBLE)
+       |           / sized.s AS mean,
+       |         sum(CAST(n AS DOUBLE)) OVER (PARTITION BY sized.s, sized.b
+       |             ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - row_number() OVER (PARTITION BY sized.s, sized.b ORDER BY i)
+       |             * (CAST(sum(n) OVER (PARTITION BY sized.s, sized.b) AS DOUBLE)
+       |                / sized.s) AS cumdev
+       |  FROM sized JOIN full_blocks USING (s, b)),
+       |per_block AS (
+       |  SELECT s,
+       |         CAST(round(1e6 * ln((max(cumdev) - min(cumdev))
+       |           / sqrt(CAST(sum(n * n) AS DOUBLE) / any_value(s)
+       |                  - any_value(mean) * any_value(mean)))) AS BIGINT)
+       |           AS lnrs_micro
+       |  FROM dev GROUP BY s, b
+       |  HAVING sqrt(CAST(sum(n * n) AS DOUBLE) / any_value(s)
+       |              - any_value(mean) * any_value(mean)) > 0),
+       |per_size AS (
+       |  SELECT CAST(round(1e6 * ln(CAST(s AS DOUBLE))) AS BIGINT) AS xq,
+       |         CAST(round(CAST(sum(lnrs_micro) AS DOUBLE) / count(*)) AS BIGINT)
+       |           AS yq,
+       |         count(*) AS nb
+       |  FROM per_block GROUP BY s),
+       |m AS (
+       |  SELECT count(*) AS k, sum(nb) AS n_blocks,
+       |         sum(CAST(xq AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy,
+       |         sum(CAST(xq AS HUGEINT) * yq) AS sxy,
+       |         sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+       |         sum(CAST(yq AS HUGEINT) * yq) AS syy
+       |  FROM per_size)
+       |SELECT CAST(k AS BIGINT) AS n_sizes,
+       |       CAST(n_blocks AS BIGINT) AS n_blocks,
+       |       CASE WHEN k * sxx - sx * sx > 0 THEN
+       |         CAST(round(1e3 * CAST(k * sxy - sx * sy AS DOUBLE)
+       |               / CAST(k * sxx - sx * sx AS DOUBLE)) AS BIGINT) END
+       |         AS hurst_milli,
+       |       CASE WHEN k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0 THEN
+       |         round(CAST(k * sxy - sx * sy AS DOUBLE)
+       |               / sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+       |                      * CAST(k * syy - sy * sy AS DOUBLE)), 6) END AS fit_r
+       |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_hurst" -> (hurst _),
     "ts_changepoint" -> (changepoint _),
     "ts_xcorr" -> (xcorr _),
     "ts_backtest_smape" -> (backtestSmape _),
@@ -1027,6 +1142,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_hurst" -> hurstSql,
     "ts_changepoint" -> changepointSql,
     "ts_xcorr" -> xcorrSql,
     "ts_backtest_smape" -> backtestSmapeSql,

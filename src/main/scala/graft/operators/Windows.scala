@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -588,7 +588,100 @@ object Windows {
       |       CAST(sum(hi - lo) AS BIGINT) AS covered_days
       |FROM per_island GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ROLLING REGRESSION (24-bin OLS slope of hourly volume vs time)
+    * per event type — the trend detector a capacity/alerting pipeline
+    * runs continuously: each full 24-hour frame gets the exact
+    * least-squares slope of value-vs-hour-index; the output is each
+    * type's steepest ramp-up and ramp-down (peak/trough slope with
+    * its timestamp, ties broken by time). Cross-engine exact: frame
+    * sums (Σx, Σy, Σxy, Σx²) are BIGINTs of cents × small indices,
+    * the slope quantizes once to milli-cents/hour, and the
+    * peak/trough argmax is a rank over integers.
+    *
+    * Scale shape: one compact (type, hour) agg; the rolling frame and
+    * ranks run per type over the calendar-bounded bin table. */
+  def rollingRegression(spark: SparkSession, dir: String): DataFrame = {
+    val frame = 24
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val f = byType.rowsBetween(-(frame - 1), 0)
+    val d = (c: Column) => c.cast("double")
+    val binned = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bin"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("i", row_number().over(byType).cast("long"))
+    val slopes = binned
+      .withColumn("n", count(lit(1)).over(f))
+      .withColumn("sx", sum(col("i")).over(f))
+      .withColumn("sy", sum(col("cents")).over(f))
+      .withColumn("sxy", sum(col("i") * col("cents")).over(f))
+      .withColumn("sxx", sum(col("i") * col("i")).over(f))
+      .filter(col("n") === frame)
+      .withColumn("slope_milli",
+        round(lit(1e3) * d(col("n") * col("sxy") - col("sx") * col("sy")) /
+          d(col("n") * col("sxx") - col("sx") * col("sx"))).cast("long"))
+    val up = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope_milli").desc, col("bin"))
+    val dn = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope_milli").asc, col("bin"))
+    slopes
+      .withColumn("ru", row_number().over(up))
+      .withColumn("rd", row_number().over(dn))
+      .filter(col("ru") === 1 || col("rd") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_n"),
+        max(when(col("ru") === 1,
+          date_format(col("bin"), "yyyy-MM-dd HH:mm"))).as("peak_bin"),
+        max(when(col("ru") === 1, col("slope_milli"))).as("peak_slope_milli"),
+        max(when(col("rd") === 1,
+          date_format(col("bin"), "yyyy-MM-dd HH:mm"))).as("trough_bin"),
+        max(when(col("rd") === 1, col("slope_milli"))).as("trough_slope_milli"))
+      .drop("_n")
+      .orderBy(col("event_type"))
+  }
+
+  val rollingRegressionSql: String =
+    """WITH binned AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bin,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, bin, cents,
+      |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY bin)
+      |           AS BIGINT) AS i
+      |  FROM binned),
+      |framed AS (
+      |  SELECT event_type, bin,
+      |         count(*) OVER f AS n,
+      |         sum(i) OVER f AS sx, sum(cents) OVER f AS sy,
+      |         sum(i * cents) OVER f AS sxy, sum(i * i) OVER f AS sxx
+      |  FROM idx
+      |  WINDOW f AS (PARTITION BY event_type ORDER BY bin
+      |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+      |slopes AS (
+      |  SELECT event_type, bin,
+      |         CAST(round(1e3 * CAST(n * sxy - sx * sy AS DOUBLE)
+      |               / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+      |           AS slope_milli
+      |  FROM framed WHERE n = 24),
+      |ranked AS (
+      |  SELECT event_type, bin, slope_milli,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY slope_milli DESC, bin) AS ru,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY slope_milli ASC, bin) AS rd
+      |  FROM slopes)
+      |SELECT event_type,
+      |       max(CASE WHEN ru = 1 THEN strftime(bin, '%Y-%m-%d %H:%M') END)
+      |         AS peak_bin,
+      |       max(CASE WHEN ru = 1 THEN slope_milli END) AS peak_slope_milli,
+      |       max(CASE WHEN rd = 1 THEN strftime(bin, '%Y-%m-%d %H:%M') END)
+      |         AS trough_bin,
+      |       max(CASE WHEN rd = 1 THEN slope_milli END) AS trough_slope_milli
+      |FROM ranked WHERE ru = 1 OR rd = 1
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_regression" -> (rollingRegression _),
     "win_interval_union" -> (intervalUnion _),
     "win_ratio_to_report" -> (ratioToReport _),
     "win_pareto_frontier" -> (paretoFrontier _),
@@ -607,6 +700,7 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_rolling_regression" -> rollingRegressionSql,
     "win_interval_union" -> intervalUnionSql,
     "win_ratio_to_report" -> ratioToReportSql,
     "win_pareto_frontier" -> paretoFrontierSql,

@@ -206,6 +206,50 @@ class Round13OpsSpec extends SparkSpec {
       r.getAs[Long]("v_terms_full") < r.getAs[Long]("n_tokens_full"))
   }
 
+  test("hurst: H in a sane band, all four sizes contribute full blocks") {
+    val r = TimeSeries.hurst(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_sizes") === 4L)
+    assert(r.getAs[Long]("n_blocks") > 4L)
+    val h = r.getAs[Long]("hurst_milli")
+    // R/S estimates live in (0, 1); allow the small-sample bias band
+    assert(h > 0L && h < 1200L, s"hurst_milli $h implausible")
+  }
+
+  test("code detect: injected slice flagged, symbol density separates the classes") {
+    val r = TextAnalysis.codeDetect(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_docs")
+    val nCode = r.getAs[Long]("n_code")
+    assert(nCode > 0 && nCode < n)
+    assert(nCode + r.getAs[Long]("n_prose") === n)
+    // every 9th doc gets the code tail; detection should match that slice
+    assert(nCode === (0L until n).count(_ % 9 == 0))
+    assert(r.getAs[Long]("code_symbol_permille") >
+      r.getAs[Long]("prose_symbol_permille"))
+    assert(r.getAs[Long]("snake_idents") > 0 && r.getAs[Long]("camel_idents") > 0)
+  }
+
+  test("elf header: fixed-offset LE fields round-trip, shstrndx identity holds") {
+    val rows = Multimodal.elfHeader(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("magic_ok") && r.getAs[Boolean]("is_elf64") &&
+        r.getAs[Boolean]("is_little_endian"))
+      assert(r.getAs[String]("e_type") === (if (id % 2 == 0) "EXEC" else "DYN"))
+      assert(r.getAs[Long]("entry") === 0x400000L + id * 16)
+      assert(r.getAs[Boolean]("shstrndx_ok"))
+    }
+  }
+
+  test("rolling regression: peak >= trough, bins are real timestamps") {
+    val rows = Windows.rollingRegression(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("peak_slope_milli") >= r.getAs[Long]("trough_slope_milli"))
+      assert(r.getAs[String]("peak_bin").matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}"))
+    }
+  }
+
   // ---- codecs -----------------------------------------------------
 
   test("tar header: octal fields parse back and the recomputed checksum matches") {
