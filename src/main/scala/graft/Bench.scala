@@ -59,14 +59,36 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val failed = scala.collection.mutable.Set.empty[String]
-    for (_ <- 1 to runs; (name, fn) <- bench) {
+    // CALIBRATION CANARY (r13 verdict #6): cross-round comparisons on
+    // this host keep leaning on "uniform drift" arguments (an 11%
+    // uniform swing was measured 90 minutes apart in r13). Two
+    // fixed-plan reference queries are re-timed before each round-robin
+    // pass and once after the last, and every sample lands in the JSON
+    // — a future reader normalizes per-query times by the canary ratio
+    // of THAT run instead of guessing. Both canaries are scan-shaped
+    // (one agg / one window over lineitem) so their time moves with the
+    // host, not with any operator under test.
+    val canaryNames = Seq("agg_pricing_summary", "win_running_total")
+    val canary = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    def runCanaries(): Unit = canaryNames.foreach { cn =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); samples(name) ::= (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try { SparkEntry.queries(cn)(spark, sfDir).count()
+        canary(cn) ::= (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => () }
+    }
+    for (r <- 1 to runs) {
+      runCanaries()
+      for ((name, fn) <- bench) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); samples(name) ::= (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
       }
     }
+    runCanaries()
     // failures are marked -1.0 so they can't masquerade as fast runs
     val results = bench.map { case (name, _) =>
       name -> (if (failed(name)) -1.0 else samples(name).min)
@@ -82,7 +104,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // canary samples in RUN ORDER (they were prepended), plus the
+    // drift summary: max/min over each canary's samples — 1.0 means a
+    // steady host; per-query times can be trusted to ~that factor
+    val canaryJson = canaryNames.map { cn =>
+      val ss = canary(cn).reverse
+      s"\"" + cn + "\":[" + ss.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val drift = canaryNames.flatMap { cn =>
+      val ss = canary(cn)
+      if (ss.size >= 2 && ss.min > 0) Some(ss.max / ss.min) else None
+    }
+    val driftStr = if (drift.isEmpty) "-1.0" else fmt(drift.max)
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"canary_drift":$driftStr,"sf":"$sfDir"}"""
     println(json)
     // stdout gets interleaved with sbt/Spark noise and can truncate the
     // driver's parse — always leave a clean copy on disk as well

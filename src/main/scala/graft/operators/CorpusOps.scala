@@ -670,7 +670,12 @@ object CorpusOps {
     def h(counts: DataFrame): DataFrame =
       counts
         .select(col("c"),
-          (col("c") * round(lit(1e9) * log(col("c").cast("double"))).cast("long"))
+          // dec(38,0)-FIRST: multiplying in long would wrap silently
+          // for c >~ 5e8 (c * ~2e10 exceeds Long.MaxValue) while the
+          // DuckDB oracle multiplies in HUGEINT — the same discipline
+          // as andersonDarling/hurst/heapsLaw
+          (col("c").cast("decimal(38,0)") *
+            round(lit(1e9) * log(col("c").cast("double"))).cast("long"))
             .cast("decimal(38,0)").as("clc_nano"))
         .agg(sum(col("c").cast("decimal(38,0)")).as("n"), sum(col("clc_nano")).as("s"))
         .select(col("n").cast("long").as("n"),

@@ -471,28 +471,40 @@ object GeoOps {
     * frontier — GNN sampling fan-out, gossip rounds, blast radius of
     * a bad record.) Seeds are a BOUNDED slice (id ≡ 0 mod 100);
     * breadth-first expansion runs h = 1..3 as DataFrame joins keyed
-    * on the node id, expanding ONLY the newly-discovered frontier
-    * (min-hop BFS — the engine never revisits), localCheckpoint per
-    * round (the CC-fixpoint lineage lesson). Output per seed:
-    * cumulative distinct reach at 1, 2, 3 hops. Scale: 3 key-
-    * partitioned joins against the pair list, frontier bounded by the
-    * subcritical component size — the same percolation argument as
-    * [[dbscan]]; the oracle's recursive walk is hop-bounded (≤ 3)
-    * rather than closure-bounded. */
+    * on the node id. r14 shape (the r13 probe's 3.0× ratio was
+    * per-round plumbing, not volume — the loop re-grouped the WHOLE
+    * cumulative reach set every round and localCheckpoint'd it,
+    * paying ~7 jobs of fixed latency on a subcritical frontier): the
+    * three hops are UNROLLED into one declarative plan — each hop's
+    * frontier is deduped to distinct (seed, node) (the one
+    * materialization BFS genuinely needs, or duplicate paths multiply
+    * geometrically through the next join; Catalyst's ReusedExchange
+    * shares each frontier's shuffle between its two consumers), and
+    * min-hop resolution happens ONCE at the end (a node re-reached at
+    * a later hop re-expands — wasted-but-bounded work on a
+    * subcritical graph — and then folds to its min hop). Output per
+    * seed: cumulative distinct reach at 1, 2, 3 hops. Scale: 3
+    * key-partitioned joins against the pair list in ONE job, frontier
+    * bounded by the subcritical component size — the same percolation
+    * argument as [[dbscan]]; the oracle's recursive walk is
+    * hop-bounded (≤ 3) rather than closure-bounded. */
   def khopReach(spark: SparkSession, dir: String): DataFrame = {
     val (pts, pairs) = epsGraph(spark, dir)
+    val edges = pairs.select(col("ida").as("node"), col("idb"))
     val seeds = pts.filter(col("id") % 100 === 0)
       .select(col("id").as("seed"))
-    var reach = seeds.select(col("seed"), col("seed").as("node"),
-      lit(0L).as("hop")).localCheckpoint()
-    (1 to 3).foreach { h =>
-      val frontier = reach.filter(col("hop") === (h - 1))
-        .join(pairs.select(col("ida").as("node"), col("idb")), Seq("node"))
-        .select(col("seed"), col("idb").as("node"), lit(h.toLong).as("hop"))
-      reach = reach.unionByName(frontier)
-        .groupBy(col("seed"), col("node")).agg(min(col("hop")).as("hop"))
-        .localCheckpoint()
-    }
+    val f0 = seeds.select(col("seed"), col("seed").as("node"))
+    def expand(f: DataFrame): DataFrame =
+      f.join(edges, Seq("node"))
+        .select(col("seed"), col("idb").as("node")).distinct()
+    val f1 = expand(f0)
+    val f2 = expand(f1)
+    val f3 = expand(f2)
+    def tag(f: DataFrame, h: Long): DataFrame =
+      f.select(col("seed"), col("node"), lit(h).as("hop"))
+    val reach = tag(f0, 0L).unionByName(tag(f1, 1L))
+      .unionByName(tag(f2, 2L)).unionByName(tag(f3, 3L))
+      .groupBy(col("seed"), col("node")).agg(min(col("hop")).as("hop"))
     reach.groupBy(col("seed"))
       .agg(
         sum(when(col("hop") >= 1L && col("hop") <= 1L, 1L).otherwise(0L))

@@ -1010,31 +1010,48 @@ object GraphOps {
     * hop is then ONE equi join on (node, rank). Pair that with the
     * hash-determinism and the walk is reproducible bit-for-bit with
     * no RNG state, no driver loop, and per-hop cost independent of
-    * degree skew. Scale shape: two row_number windows over the
-    * DISTINCT edge list (the data-sized stage, same cost class as
-    * the sessionize family) + three broadcast-sized joins. */
+    * degree skew. Scale shape (r14 rewrite — the r13 probe's 3.1×
+    * ratio was TWO data-sized rank windows plus TWO data-sized degree
+    * aggs over the edge list, when only the FRONTIER's ranks are ever
+    * consumed): the edge list pays ONE distinct shuffle (checkpointed
+    * — its consumers would otherwise re-run it per job) and one
+    * map-side-combinable degree agg for the start selection; the walk
+    * frontier is BOUNDED BY CONSTRUCTION (20 starts × 8 walks ≤ 160
+    * rows, ≤160 distinct via-orders), so its node ids are collected
+    * (bounded artifacts) and pushed down as IN filters — the rank
+    * windows then run over only the frontier nodes' edges. Filtering
+    * on the window PARTITION key keeps every edge of a selected node,
+    * so row_number/count per node are identical to the unfiltered
+    * windows — hop semantics are bit-for-bit unchanged. */
   def randomWalk(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_partkey").as("p"), col("l_orderkey").as("o")).distinct()
+      .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
+      .distinct().localCheckpoint()
     val byPart = Window.partitionBy(col("p")).orderBy(col("o"))
     val byOrder = Window.partitionBy(col("o")).orderBy(col("p"))
-    val e1 = li.select(col("p"), col("o"),
-      row_number().over(byPart).as("rn"))
-    val e2 = li.select(col("o"), col("p").as("p2"),
-      row_number().over(byOrder).as("rn"))
     val degP = li.groupBy(col("p")).agg(count(lit(1)).as("deg_p"))
-    val degO = li.groupBy(col("o")).agg(count(lit(1)).as("deg_o"))
     val starts = degP.orderBy(col("deg_p").desc, col("p")).limit(20)
       .withColumn("walk", explode(sequence(lit(0L), lit(7L))))
+    // bounded artifact: exactly the 20 start parts selected above
+    val startPs = starts.select(col("p")).distinct().collect().map(_.getLong(0))
+    val e1 = li.filter(col("p").isin(startPs: _*))
+      .select(col("p"), col("o"), row_number().over(byPart).as("rn"))
     def h(parts: Column*) = graft.api.Graft.idHash(concat_ws(":", parts: _*))
     val hop1 = broadcast(starts
       .withColumn("rn", pmod(h(col("p"), col("walk"), lit("h1")), col("deg_p")) + 1L))
       .join(e1, Seq("p", "rn"))
-    // the walk frontier (≤ starts × walks rows) is the broadcast side;
-    // degO is data-sized and must stay the streamed side
-    val hop2 = broadcast(hop1).join(degO, Seq("o"))
-      .withColumn("rn2", pmod(h(col("o"), col("walk"), lit("h2")), col("deg_o")) + 1L)
-      .join(e2.withColumnRenamed("rn", "rn2"), Seq("o", "rn2"))
+      .localCheckpoint()
+    // bounded artifact: ≤ 20 starts × 8 walks = 160 via-orders
+    val hopOs = hop1.select(col("o")).distinct().collect().map(_.getLong(0))
+    val e2 = li.filter(col("o").isin(hopOs: _*))
+      .select(col("o"), col("p").as("p2"), row_number().over(byOrder).as("rn2"),
+        count(lit(1)).over(Window.partitionBy(col("o"))).as("deg_o"))
+    // frontier stays the broadcast side; e2 is already frontier-pruned
+    // and carries deg_o from the same window exchange, so the hop is
+    // one broadcast join with the rank-target residual
+    val hop2 = broadcast(hop1.drop("rn")).join(e2, Seq("o"))
+      .filter(col("rn2") ===
+        pmod(h(col("o"), col("walk"), lit("h2")), col("deg_o")) + 1L)
     hop2.select(col("p").as("start_part"), col("walk"),
       col("o").as("via_order"), col("p2").as("end_part"))
       .orderBy(col("start_part"), col("walk"))

@@ -1568,8 +1568,9 @@ object MlEval {
   /** PINBALL (quantile) LOSS — the eval metric for quantile
     * forecasters (demand planning, latency SLOs, conformal bands):
     * L_q(y, ŷ) = q·(y−ŷ) if y ≥ ŷ else (1−q)·(ŷ−y). Evaluates a
-    * per-segment scale model (ŷ_q(seg) = segment mean × {0.5, 1.0,
-    * 1.8}) on order totals at q ∈ {10, 50, 90}% — under-forecasting
+    * per-segment scale model (ŷ_q(seg) = segment mean × {0.1, 0.9,
+    * 1.7}, i.e. factor = (2q−10)/100) on order totals at
+    * q ∈ {10, 50, 90}% — under-forecasting
     * the P90 costs 9× more than over-forecasting it, which is the
     * property the asymmetric loss exists to price.
     *

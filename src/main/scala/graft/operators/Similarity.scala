@@ -1249,12 +1249,19 @@ object Similarity {
     * positive), and the triplet margin between them — anchors with a
     * small or negative margin are the confusable examples a trainer
     * should oversample. Candidates are IVF-cell-bounded exactly like
-    * [[knnGraph]] (the pair mass is in-cell only, never all-pairs);
-    * both ranks reuse the one cell-join's pairs, partitioned by the
-    * same anchor key, so at 100 TB this is the kNN-graph plan plus
-    * one extra window over the same shuffle. Anchors whose probed
-    * cell lacks either a positive or a negative drop out (inner
-    * join) — the audit view of mineable triplets. */
+    * [[knnGraph]] (the pair mass is in-cell only, never all-pairs).
+    * Both the positive and the negative are top-1 picks, so they do
+    * not need rank windows at all: ONE groupBy(anchor) with two
+    * conditional struct-MAX aggregates (ordering key = (cos, −cand),
+    * replicating the windows' cos DESC, cand ASC tiebreak) reduces
+    * the pair stream map-side — the r13 3.5× probe ratio was this
+    * stage evaluated TWICE (the un-cached pair join re-ran per rank
+    * branch) plus two window exchanges plus a rejoin; the rewrite
+    * pays the cell join once and one combinable agg shuffle
+    * (measured in docs/SCALE.md `hard_negative_triplets`). Anchors
+    * whose probed cell lacks either a positive or a negative drop
+    * out (both-non-null filter ≡ the old inner join) — the audit
+    * view of mineable triplets. */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val (k, _) = ivfParams(spark, dir)
     val cents = centroidLiteral(spark, dir, k)
@@ -1273,22 +1280,23 @@ object Similarity {
       .withColumn("cos_raw",
         call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")))
       .select(col("anchor"), col("al"), col("cand"), col("cl"), col("cos_raw"))
-    val w = Window.partitionBy(col("anchor"))
-      .orderBy(col("cos_raw").desc, col("cand"))
-    val pos = pairs.filter(col("al") === col("cl"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // top-1 per side via conditional struct-max: struct comparison is
+    // lexicographic, so (cos_raw, -cand) MAX == the windows' ORDER BY
+    // cos_raw DESC, cand ASC pick (vec_id is a non-negative long)
+    def top1(cond: Column, extra: Column*) =
+      max(when(cond,
+        struct(Seq(col("cos_raw").as("c"), (-col("cand")).as("nc"),
+          col("cand").as("cand")) ++ extra: _*)))
+    pairs.groupBy(col("anchor"), col("al"))
+      .agg(top1(col("al") === col("cl")).as("p"),
+        top1(col("al") =!= col("cl"), col("cl").as("cl")).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
       .select(col("anchor"), col("al").as("label"),
-        col("cand").as("pos_id"), col("cos_raw").as("pos_raw"))
-    val neg = pairs.filter(col("al") =!= col("cl"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("anchor"), col("cand").as("neg_id"),
-        col("cl").as("neg_label"), col("cos_raw").as("neg_raw"))
-    pos.join(neg, "anchor")
-      .select(col("anchor"), col("label"), col("pos_id"), col("neg_id"),
-        col("neg_label"),
-        round(col("pos_raw"), 6).as("pos_cosine"),
-        round(col("neg_raw"), 6).as("neg_cosine"),
-        round(col("pos_raw") - col("neg_raw"), 6).as("margin"))
+        col("p.cand").as("pos_id"), col("n.cand").as("neg_id"),
+        col("n.cl").as("neg_label"),
+        round(col("p.c"), 6).as("pos_cosine"),
+        round(col("n.c"), 6).as("neg_cosine"),
+        round(col("p.c") - col("n.c"), 6).as("margin"))
       .orderBy(col("anchor"))
   }
 

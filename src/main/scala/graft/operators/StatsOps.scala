@@ -2009,8 +2009,12 @@ object StatsOps {
         (col("mu") - lit(1.0d)) * (col("mu") - lit(2.0d)) / (d(col("n")) - lit(1.0d)))
       .select(col("n").as("n_days"), col("n_above"), col("n_below"),
         col("n_runs"),
-        round(lit(1e3) * (d(col("n_runs")) - col("mu")) / sqrt(col("sigma2")))
-          .cast("long").as("z_milli"))
+        // degenerate one-sided series (n_above or n_below = 0) has
+        // mu = 1, sigma2 = 0: guard the division so both engines emit
+        // NULL instead of Spark-Infinity vs DuckDB cast error
+        when(col("sigma2") > 0d,
+          round(lit(1e3) * (d(col("n_runs")) - col("mu")) / sqrt(col("sigma2")))
+            .cast("long")).as("z_milli"))
       .withColumn("random_ok_5pct", abs(col("z_milli")) <= lit(1960L))
   }
 
@@ -2046,12 +2050,14 @@ object StatsOps {
       |       CAST(n_above AS BIGINT) AS n_above,
       |       CAST(n_below AS BIGINT) AS n_below,
       |       CAST(n_runs AS BIGINT) AS n_runs,
-      |       CAST(round(1e3 * (CAST(n_runs AS DOUBLE) - mu)
+      |       CASE WHEN (mu - 1.0) * (mu - 2.0) > 0
+      |         THEN CAST(round(1e3 * (CAST(n_runs AS DOUBLE) - mu)
       |             / sqrt((mu - 1.0) * (mu - 2.0) / (CAST(n AS DOUBLE) - 1.0)))
-      |         AS BIGINT) AS z_milli,
-      |       abs(CAST(round(1e3 * (CAST(n_runs AS DOUBLE) - mu)
+      |           AS BIGINT) END AS z_milli,
+      |       CASE WHEN (mu - 1.0) * (mu - 2.0) > 0
+      |         THEN abs(CAST(round(1e3 * (CAST(n_runs AS DOUBLE) - mu)
       |             / sqrt((mu - 1.0) * (mu - 2.0) / (CAST(n AS DOUBLE) - 1.0)))
-      |         AS BIGINT)) <= 1960 AS random_ok_5pct
+      |           AS BIGINT)) <= 1960 END AS random_ok_5pct
       |FROM z""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

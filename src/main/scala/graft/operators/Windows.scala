@@ -590,8 +590,11 @@ object Windows {
 
   /** ROLLING REGRESSION (24-bin OLS slope of hourly volume vs time)
     * per event type — the trend detector a capacity/alerting pipeline
-    * runs continuously: each full 24-hour frame gets the exact
-    * least-squares slope of value-vs-hour-index; the output is each
+    * runs continuously: each frame of 24 consecutive NON-EMPTY hourly
+    * bins (a 24-ROW frame over the per-type (event_type, hour) table,
+    * not a densified wall-clock day — a type with empty hours spans
+    * more than 24 h and the regressor x is the bin index) gets the
+    * exact least-squares slope of value-vs-bin-index; the output is each
     * type's steepest ramp-up and ramp-down (peak/trough slope with
     * its timestamp, ties broken by time). Cross-engine exact: frame
     * sums (Σx, Σy, Σxy, Σx²) are BIGINTs of cents × small indices,

@@ -78,7 +78,7 @@ class Round13OpsSpec extends SparkSpec {
     bySeg.foreach { case (_, rs) =>
       val byQ = rs.map(r => r.getAs[Long]("q_pct") -> r).toMap
       assert(byQ.keySet === Set(10L, 50L, 90L))
-      // predictions ordered with the quantile (0.5x < 1.0x < 1.8x mean)
+      // predictions ordered with the quantile (0.1x < 0.9x < 1.7x mean)
       assert(byQ(10L).getAs[Long]("pred_cents") < byQ(50L).getAs[Long]("pred_cents"))
       assert(byQ(50L).getAs[Long]("pred_cents") < byQ(90L).getAs[Long]("pred_cents"))
       rs.foreach(r => assert(r.getAs[Long]("pinball_milli") >= 0))
