@@ -192,6 +192,44 @@ object ScaleProbe {
     // time named registered queries: `q <name> [<name>…]`, min-of-3
     // warm at sf0.1 (and ~sf1 when the replica exists) — the local
     // stand-in for one driver-bench cell when iterating on one op
+    if (args.headOption.contains("rangecell-stages")) {
+      import graft.operators.Joins
+      def t(label: String, f: () => Long): Unit = {
+        f() // warm
+        val s = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); val n = f()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"$label: ${s.map(_._1).min}%.2f s (${s.head._2} rows)")
+      }
+      val winNs = 3600L * 1000L * 1000L * 1000L
+      val ev = Tables.events(spark, sf01)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+          col("ts_ns").as("err_ts"))
+      val errx = err.withColumn("err_cell", explode(sequence(
+        expr(s"err_ts div ${winNs}L"), expr(s"(err_ts + ${winNs}L) div ${winNs}L"))))
+      val fol = ev.select(col("event_id"), col("user_id"), col("ts_ns"), col("value"),
+        expr(s"ts_ns div ${winNs}L").as("cell"))
+      t("err_explode", () => errx.count())
+      t("fol_cells", () => fol.count())
+      val joined = errx.join(fol,
+        col("err_user") === col("user_id") && col("err_cell") === col("cell") &&
+          col("ts_ns") > col("err_ts") && col("ts_ns") <= col("err_ts") + lit(winNs))
+      t("join_only", () => joined.count())
+      t("full_cell", () => Joins.rangeJoinEventsCell(spark, sf01).count())
+      t("full_naive", () => Joins.rangeJoinEvents(spark, sf01).count())
+      spark.stop(); return
+    }
+    // print a registered query's formatted physical plan at sf0.1 —
+    // the local .explain("formatted") loop the build guide asks for
+    if (args.headOption.contains("explain")) {
+      args.drop(1).foreach { name =>
+        println(s"==== $name ====")
+        SparkEntry.queries(name)(spark, sf01).explain("formatted")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("q")) {
       args.drop(1).foreach { name =>
         val fn = SparkEntry.queries(name)
@@ -721,6 +759,48 @@ object ScaleProbe {
         (label, s1, s2)
     }
 
+    // ---- interval-join deep-history probe (r13 verdict #4): ONE hot
+    // user with n errors + n events over a span that GROWS with n
+    // (constant per-hour rate — "deep history", not "denser hour", so
+    // true band pairs grow ~linearly). The user-keyed baseline
+    // evaluates |errors_u|×|events_u| candidates on the hot key
+    // (quadratic in depth) before its band filter; the (user, cell)
+    // composite key bounds candidates by per-hour density, so its
+    // cost must track the ~linear true pair mass. Result rows (the
+    // surviving band pairs) are IDENTICAL between routes by
+    // construction — only the candidate work differs.
+    def rangeDeep(n: Int, route: String): () => Long = () => {
+      val hourNs = 3600L * 1000L * 1000L * 1000L
+      val span = n.toLong * hourNs / 10L // ~10 rows/side/hour at any n
+      val err = spark.range(0, n).select(col("id").as("err_id"),
+        lit(1L).as("err_user"), (col("id") * 7919L % span).as("err_ts"))
+      val fol = spark.range(0, n).select(lit(1L).as("user_id"),
+        (col("id") * 104729L % span).as("ts_ns"))
+      route match {
+        case "user-key" =>
+          err.join(fol, col("err_user") === col("user_id") &&
+            col("ts_ns") > col("err_ts") &&
+            col("ts_ns") <= col("err_ts") + hourNs).count()
+        case _ =>
+          val e2 = err.withColumn("err_cell", explode(sequence(
+            expr(s"err_ts div ${hourNs}L"),
+            expr(s"(err_ts + ${hourNs}L) div ${hourNs}L"))))
+          val f2 = fol.withColumn("cell", expr(s"ts_ns div ${hourNs}L"))
+          e2.join(f2, col("err_user") === col("user_id") &&
+            col("err_cell") === col("cell") &&
+            col("ts_ns") > col("err_ts") &&
+            col("ts_ns") <= col("err_ts") + hourNs).count()
+      }
+    }
+    val rangeDeepRows = Seq(
+      "user-key" -> "range_userkey_deep (user-keyed baseline: candidates = |err|x|hist| on the hot key)",
+      "cell" -> "range_cell_deep ((user, cell) composite key: candidates bounded by per-hour density)").map {
+      case (route, label) =>
+        val (s1, _) = timeSecond(rangeDeep(1000, route))
+        val (s2, _) = timeSecond(rangeDeep(10000, route))
+        (label, s1, s2)
+    }
+
     // ---- hot-bucket skew probe (VERDICT r4 #5): real corpora carry
     // replica clusters — ONE band bucket holding every copy, whose
     // n(n-1)/2 pairs dominate the candidate join however well the
@@ -834,6 +914,20 @@ object ScaleProbe {
     sb.append("and `join_asof_plan` is the production route.\n\n")
     sb.append("| route | 10^3 s | 10^4 s | time ratio (10x rows) |\n|---|---|---|---|\n")
     asofRows.foreach { case (label, s1, s2) =>
+      sb.append(f"| $label | $s1%.2f | $s2%.2f | ${s2 / s1}%.1fx |\n")
+    }
+    sb.append("\n## Interval-join deep-history probe (one hot user, 10^3 -> 10^4 rows/side, constant rate)\n\n")
+    sb.append("The per-key-depth law for BANDED interval joins (r13 verdict #4):\n")
+    sb.append("`join_range_events` hash-joins on user_id alone, so a hot user's\n")
+    sb.append("candidate pairs are |errors_u| x |events_u| — quadratic in history\n")
+    sb.append("depth even when the 1-hour band keeps TRUE pairs linear.\n")
+    sb.append("`join_range_events_cell` adds the interval-width time cell to the\n")
+    sb.append("shuffle key ((user, cell) — each window explodes to <=2 cells, each\n")
+    sb.append("event maps to exactly one, so no dedup pass), bounding candidates\n")
+    sb.append("by per-hour density. Both routes return identical rows; the\n")
+    sb.append("baseline stays registered as the documented correctness twin.\n\n")
+    sb.append("| route | 10^3 s | 10^4 s | time ratio (10x depth) |\n|---|---|---|---|\n")
+    rangeDeepRows.foreach { case (label, s1, s2) =>
       sb.append(f"| $label | $s1%.2f | $s2%.2f | ${s2 / s1}%.1fx |\n")
     }
     sb.append("\n## Hot-bucket skew probe (one replica cluster of 2000 docs, sf0.1 base)\n\n")

@@ -362,10 +362,15 @@ object Graft {
     // Jaccard VALUES are unchanged: hashing is injective on any real
     // vocabulary (60 bits ⇒ ~v²/2⁶¹ collision odds), so set sizes and
     // intersections — hence jac — are identical to the string form
-    // the differential oracle computes.
+    // the differential oracle computes. r14: sets are SORTED once per
+    // doc so the per-PAIR intersection is the native two-pointer
+    // count (graft_sorted_inter_count) — array_intersect built a hash
+    // set and materialized the intersection array per pair when only
+    // its size is consumed.
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val docs = df.select(col(idCol).as("__id"),
-      array_distinct(transform(tokens(col(textCol)),
-        w => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")))
+      sort_array(array_distinct(transform(tokens(col(textCol)),
+        w => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long"))))
         .as("__toks"))
       .withColumn("__n", size(col("__toks")))
     val a = docs.select(col("__id").as("id_a"), col("__toks").as("__ta"), col("__n").as("__na"))
@@ -374,7 +379,9 @@ object Graft {
       .join(a, "id_a").join(b, "id_b")
       .filter(lit(1.0 + threshold) * least(col("__na"), col("__nb")) >=
         lit(threshold) * (col("__na") + col("__nb")) - lit(1e-9))
-      .withColumn("__inter", size(array_intersect(col("__ta"), col("__tb"))).cast("double"))
+      .withColumn("__inter",
+        call_function("graft_sorted_inter_count", col("__ta"), col("__tb"))
+          .cast("double"))
       .withColumn("jaccard", col("__inter") / (col("__na") + col("__nb") - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -595,6 +595,61 @@ case class PqDecode(codesExpr: Expression, cb: Expression)
     copy(codesExpr = newLeft, cb = newRight)
 }
 
+/** Intersection COUNT of two SORTED long arrays — the band-verify hot
+  * path (near-dup Jaccard / containment score thousands of candidate
+  * pairs per doc on a replica-heavy corpus). `array_intersect` builds
+  * a hash set AND materializes the intersection array per pair when
+  * only its SIZE is consumed; this is the allocation-free two-pointer
+  * merge over primitives instead. CONTRACT: both inputs must be
+  * sorted ascending with no duplicates (callers use
+  * `sort_array(array_distinct(...))`, paid once per DOC, amortized
+  * over every candidate PAIR the doc appears in); null array → null,
+  * null elements are not expected (token hashes are non-null). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_sorted_inter_count"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   val dotInfo = (
     new FunctionIdentifier("graft_dot"),
@@ -646,6 +701,11 @@ object VectorFunctions {
     new ExpressionInfo(classOf[CellAdd].getName, "graft_cell_add"),
     (children: Seq[Expression]) => CellAdd(children(0), children(1), children(2)))
 
+  val sortedInterInfo = (
+    new FunctionIdentifier("graft_sorted_inter_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_inter_count"),
+    (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
+
   /** Imperative session-scoped registration — lets any session use the
     * functions even when it wasn't built with GraftExtensions. */
   def register(spark: SparkSession): Unit = {
@@ -660,6 +720,7 @@ object VectorFunctions {
     reg.registerFunction(pqDecodeInfo._1, pqDecodeInfo._2, pqDecodeInfo._3)
     reg.registerFunction(cellResidualInfo._1, cellResidualInfo._2, cellResidualInfo._3)
     reg.registerFunction(cellAddInfo._1, cellAddInfo._2, cellAddInfo._3)
+    reg.registerFunction(sortedInterInfo._1, sortedInterInfo._2, sortedInterInfo._3)
     reg.registerFunction(BpeFunctions.bpeCountInfo._1,
       BpeFunctions.bpeCountInfo._2, BpeFunctions.bpeCountInfo._3)
     reg.registerFunction(BpeFunctions.bpePiecesInfo._1,

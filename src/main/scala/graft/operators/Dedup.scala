@@ -541,10 +541,15 @@ object Dedup {
     // HASHED token sets for the verify joins (60-bit md5 prefixes as
     // longs — see nearDupPairs): containment ratios are set-size
     // arithmetic, identical under an injective relabeling of tokens.
+    // Sorted once per doc → native two-pointer intersection count per
+    // pair (no size-ratio prune exists for containment — inter can
+    // always reach min(|A|,|B|) — so EVERY candidate pays the
+    // intersection, which makes the per-pair constant the whole cost).
+    graft.functions.VectorFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(
+      .select(col("doc_id"), sort_array(array_distinct(
         transform(graft.api.Graft.tokens(col("text")),
-          w => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")))
+          w => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long"))))
         .as("toks"))
     val a = docs.select(col("doc_id").as("id_a"), col("toks").as("ta"))
     val b = docs.select(col("doc_id").as("id_b"), col("toks").as("tb"))
@@ -560,7 +565,9 @@ object Dedup {
         Tables.documents(spark, dir), "text", "doc_id", 3, bands,
         graft.api.Graft.defaultBandBucketCap)
       .join(a, "id_a").join(b, "id_b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+      .withColumn("inter",
+        call_function("graft_sorted_inter_count", col("ta"), col("tb"))
+          .cast("double"))
       .withColumn("cont_a", col("inter") / size(col("ta")))
       .withColumn("cont_b", col("inter") / size(col("tb")))
       .filter(col("cont_a") >= t || col("cont_b") >= t)

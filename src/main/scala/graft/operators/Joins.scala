@@ -231,6 +231,47 @@ object Joins {
       |  AND epoch_ns(f.ts) <= epoch_ns(err.ts) + 3600000000000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DEPTH-ROBUST interval join — the same query as
+    * [[rangeJoinEvents]] (each error's same-user activity in the
+    * following hour) through a composite (user, time-cell) key
+    * instead of the user key alone. [[rangeJoinEvents]] is the
+    * documented correctness baseline whose per-key hazard is HISTORY
+    * DEPTH: its hash key is user_id, so one hot user with a deep
+    * history makes the residual band filter evaluate
+    * |errors_u| × |events_u| candidate pairs — quadratic in depth
+    * (measured: the events replica deepens per-user history 10× and
+    * the baseline's ratio is ~5× at 10×; the one-hot-key probe in
+    * docs/SCALE.md shows the full quadratic). This variant applies
+    * the [[gridRangeJoin]] cell trick WITH the equi key: time is cut
+    * into cells the width of the interval (1 h), each error window
+    * explodes to the ≤2 cells it can overlap, each event maps to
+    * exactly its own cell, and the shuffle key is (user, cell) — a
+    * pair can only meet in the event's single cell, so no dedup pass
+    * is needed, and per-key candidates are bounded by the user's
+    * PER-HOUR density, never the full history. Same output, same
+    * oracle SQL as the baseline. */
+  def rangeJoinEventsCell(spark: SparkSession, dir: String): DataFrame = {
+    val winNs = 3600L * 1000 * 1000 * 1000
+    val ev = Tables.events(spark, dir)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts_ns").as("err_ts"))
+      // `div`: double `/` would misplace cells at ~1e18 nanos (the
+      // 53-bit-mantissa lesson from gridRangeJoin)
+      .withColumn("err_cell", explode(sequence(
+        expr(s"err_ts div ${winNs}L"), expr(s"(err_ts + ${winNs}L) div ${winNs}L"))))
+    val fol = ev.select(col("event_id"), col("user_id"), col("ts_ns"), col("value"),
+      expr(s"ts_ns div ${winNs}L").as("cell"))
+    err.join(fol,
+        col("err_user") === col("user_id") && col("err_cell") === col("cell") &&
+          col("ts_ns") > col("err_ts") &&
+          col("ts_ns") <= col("err_ts") + lit(winNs))
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("events_next_hour"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("err_id"))
+  }
+
   /** GRID-BUCKETED interval join — the scale-safe form of a range
     * join with NO equi key (here: purchases falling inside ANY error
     * event's 30-minute incident window, across all users). The naive
@@ -835,6 +876,7 @@ object Joins {
     "join_full_outer" -> (fullOuterNation _),
     "join_theta_pairs" -> (thetaRegionPairs _),
     "join_range_events" -> (rangeJoinEvents _),
+    "join_range_events_cell" -> (rangeJoinEventsCell _),
     "join_range_grid" -> (gridRangeJoin _),
     "join_null_safe" -> (nullSafeJoin _),
     "join_asof" -> (asofJoin _),
@@ -861,6 +903,9 @@ object Joins {
     "join_full_outer" -> fullOuterNationSql,
     "join_theta_pairs" -> thetaRegionPairsSql,
     "join_range_events" -> rangeJoinEventsSql,
+    // the cell variant computes the SAME result through a
+    // depth-robust plan — one oracle pins both formulations
+    "join_range_events_cell" -> rangeJoinEventsSql,
     "join_range_grid" -> gridRangeJoinSql,
     "join_null_safe" -> nullSafeJoinSql,
     "join_asof" -> asofJoinSql,

@@ -2079,6 +2079,81 @@ object Similarity {
       |         AS drifted
       |FROM m ORDER BY pos""".stripMargin
 
+  /** INCREMENTAL INDEX MAINTENANCE (r13 verdict #7) — the missing
+    * half of the ANN serving lifecycle: at 100 TB an IVF index is
+    * NEVER rebuilt from scratch; a new embedding batch is assigned to
+    * the SAVED centroids (map-only argmax over the frozen literal —
+    * no retrain, no shuffle), appended cell-partitioned, and the
+    * census decides when a cell has outgrown its target and must
+    * split. This query runs exactly that batch-append against the
+    * production quantizer ([[ivfAssigned]]'s memoized centroids play
+    * the saved artifact — [[graft.api.Graft.saveAnnIndex]] /
+    * [[graft.api.Graft.loadAnnCentroids]] are the durable round-trip,
+    * proven equivalent in the persistence spec): the "new batch" is a
+    * deterministic drifted derivation of the corpus (ids offset,
+    * every component +0.002 — the ScaleProbe replica recipe, so the
+    * oracle can derive the identical batch), both slices are
+    * assigned with the SAME frozen centroids, and the output is the
+    * post-append per-cell census with the rebalance trigger
+    * (n_total > 2× the 64-vector cell target).
+    *
+    * The equivalence claim "batch-assign ≡ full recompute on the
+    * union" is what the DIFFERENTIAL CHECK proves: the engine
+    * assigns the two slices separately and unions the censuses; the
+    * oracle assigns the UNION in one pass — identical output because
+    * assignment against frozen centroids is per-row. */
+  def indexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val (k, _) = ivfParams(spark, dir)
+    val cents = centroidLiteral(spark, dir, k)
+    graft.functions.VectorFunctions.register(spark)
+    val base = ivfAssigned(spark, dir)
+      .select(col("cell"), lit(0L).as("is_new"))
+    val fresh = Tables.embeddings(spark, dir)
+      .select(transform(vecAsDouble(col("embedding")),
+        x => x + lit(0.002d)).as("v"))
+      .withColumn("vn", call_function("graft_l2norm", col("v")))
+      .select(call_function("graft_argmax_cell", col("v"), col("vn"), cents)
+        .as("cell"), lit(1L).as("is_new"))
+    base.unionByName(fresh)
+      .groupBy(col("cell"))
+      .agg(sum(lit(1L) - col("is_new")).as("n_base"),
+        sum(col("is_new")).as("n_new"),
+        count(lit(1)).as("n_total"))
+      .withColumn("new_share_ppm",
+        round(lit(1e6) * col("n_new").cast("double") /
+          col("n_total").cast("double")).cast("long"))
+      .withColumn("needs_split", col("n_total") > lit(2L * ivfCellTarget))
+      .orderBy(col("cell"))
+  }
+
+  val indexAppendSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$ivfCentroidsSqlCtes,
+       |newv AS (
+       |  SELECT vec_id, list_transform(v, x -> x + CAST(0.002 AS DOUBLE)) AS nv
+       |  FROM emb),
+       |allv AS (
+       |  SELECT vec_id, v, vn, 0 AS is_new FROM emb
+       |  UNION ALL
+       |  SELECT vec_id, nv AS v, ${normSql("nv")} AS vn, 1 AS is_new FROM newv),
+       |ranked AS (
+       |  SELECT a.vec_id, a.is_new, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY a.vec_id, a.is_new
+       |           ORDER BY ${dotSql("a.v", "c.cv")} / (a.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM allv a CROSS JOIN cents c),
+       |asg AS (SELECT is_new, cell FROM ranked WHERE arn = 1)
+       |SELECT CAST(cell AS BIGINT) AS cell,
+       |       CAST(sum(1 - is_new) AS BIGINT) AS n_base,
+       |       CAST(sum(is_new) AS BIGINT) AS n_new,
+       |       count(*) AS n_total,
+       |       CAST(round(1e6 * CAST(sum(is_new) AS DOUBLE) / count(*)) AS BIGINT)
+       |         AS new_share_ppm,
+       |       count(*) > ${2 * ivfCellTarget} AS needs_split
+       |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Maximum-inner-product top-k (MIPS) — the recommender-serving
     * score (user·item, UNnormalized: popular items legitimately win
     * on magnitude, which cosine deliberately erases). Exact
@@ -2742,6 +2817,7 @@ object Similarity {
     "sim_pca_top_component" -> (pcaTopComponent _),
     "sim_mips_topk" -> (mipsTopK _),
     "sim_drift_monitor" -> (driftMonitor _),
+    "sim_index_append" -> (indexAppend _),
     "sim_recall_at_k" -> (recallAtK _),
     "sim_embed_standardize" -> (embedStandardize _),
     "sim_embed_quantize" -> (embedQuantize _),
@@ -2777,6 +2853,7 @@ object Similarity {
     "sim_pca_top_component" -> pcaTopComponentSql,
     "sim_mips_topk" -> mipsTopKSql,
     "sim_drift_monitor" -> driftMonitorSql,
+    "sim_index_append" -> indexAppendSql,
     "sim_recall_at_k" -> recallAtKSql,
     "sim_embed_standardize" -> embedStandardizeSql,
     "sim_embed_quantize" -> embedQuantizeSql,

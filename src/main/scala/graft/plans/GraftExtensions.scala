@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorFunctions.pqDecodeInfo)
     ext.injectFunction(VectorFunctions.cellResidualInfo)
     ext.injectFunction(VectorFunctions.cellAddInfo)
+    ext.injectFunction(VectorFunctions.sortedInterInfo)
     ext.injectFunction(graft.functions.SketchFunctions.mightContainInfo)
     ext.injectFunction(graft.functions.BpeFunctions.bpeCountInfo)
     ext.injectFunction(graft.functions.BpeFunctions.bpePiecesInfo)

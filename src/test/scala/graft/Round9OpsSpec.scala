@@ -678,6 +678,36 @@ class Round9OpsSpec extends SparkSpec {
     val parts = new java.io.File(s"$dir/index").listFiles()
       .map(_.getName).filter(_.startsWith("cell="))
     assert(parts.length === saved.values.toSet.size)
+    // the APPEND half (r13 verdict #7): a NEW batch assigned through
+    // the reloaded centroids — no retrain — lands identically to
+    // assigning it through the in-memory trainer's centroids, and
+    // appending cell-partitioned preserves the saved layout (the
+    // incremental-maintenance path sim_index_append exercises
+    // oracle-checked at the corpus level)
+    val fresh = emb.select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + lit(0.002d)).as("v"))
+      .withColumn("vn", graft.api.Graft.l2norm(col("v")))
+    val viaLoaded = graft.operators.Similarity.assignCells(fresh, cents)
+      .select(col("vec_id"), col("cell"))
+    viaLoaded.write.mode("append").partitionBy("cell").parquet(s"$dir/index")
+    val after = spark.read.parquet(s"$dir/index")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size.toLong === 2 * n) // base + batch, nothing lost
+    // base rows untouched by the append
+    assert(saved.forall { case (id, c) => after(id) == c })
+    // append cells match assignment through a freshly RE-TRAINED
+    // quantizer over the same base corpus (deterministic training ⇒
+    // the parquet round-trip loses nothing a retrain would restore)
+    val retrained = graft.operators.Similarity.centsLiteral(
+      graft.operators.Similarity.trainIvfCentroids(
+        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("vn", graft.api.Graft.l2norm(col("v"))), k))
+    val viaMem = graft.operators.Similarity.assignCells(fresh, retrained)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaMem.foreach { case (id, c) => assert(after(id) == c) }
   }
 
   test("moving median: in-frame order statistics replay; halves are exact") {
