@@ -192,6 +192,147 @@ object ScaleProbe {
     // time named registered queries: `q <name> [<name>…]`, min-of-3
     // warm at sf0.1 (and ~sf1 when the replica exists) — the local
     // stand-in for one driver-bench cell when iterating on one op
+    // ---- banding parameter tuning (r13 verdict #5): make (bands,
+    // rows) a MEASURED decision. For each (b, r) config the probe
+    // builds a generic banded-minhash candidate stage (band j, row i
+    // uses its own salted md5 slice; sig_j = the concatenation of its
+    // r per-row minima — r=1 with 4 bands over one md5's four 8-hex
+    // slices is exactly the production bandCandidates sketch), runs
+    // the capped self-join at sf0.1 AND ~sf1, and grades each config
+    // on: candidate mass (the cost driver), S-curve recall against
+    // exact shingle-Jaccard ground truth on a bounded slice (doc_id <
+    // 400 -> <=79,800 exact pairs at any corpus size), and verified-
+    // pair yield at the tau=0.5 production threshold. Writes
+    // docs/TUNING.md — the tuning evidence the 100 TB operator ships
+    // with instead of defaults.
+    if (args.contains("band-tuning")) {
+      val capN = graft.api.Graft.defaultBandBucketCap
+      val sliceN = 400
+      def shingled(dir: String) = Tables.documents(spark, dir)
+        .select(col("doc_id"), array_distinct(
+          graft.api.Graft.shingles(col("text"), 3)).as("sh"))
+      def bandCand(dir: String, b: Int, r: Int): DataFrame = {
+        def sig(j: Int): org.apache.spark.sql.Column = concat((0 until r).map { i =>
+          array_min(transform(col("sh"),
+            s => substring(md5(concat(lit(s"$j:$i:"), s).cast("binary")), 1, 8)))
+        }: _*)
+        val rows = shingled(dir).select(col("doc_id"),
+          explode(array((0 until b).map(j =>
+            struct(lit(j).as("band"), sig(j).as("sig"))): _*)).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("sig"))
+        val sized = rows.withColumn("bn", count(lit(1)).over(w))
+          .filter(col("bn") <= capN).drop("bn")
+        sized.alias("x").join(sized.alias("y"),
+            col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+      }
+      // exact shingle-Jaccard ground truth, bucketed by similarity.
+      // The corpus's true near-dups are RANDOM id pairs (the planted
+      // fixture pairs) plus, on the replica corpus, each doc's 9
+      // cross-copy siblings — an id-prefix slice misses the former,
+      // so truth is ALL-PAIRS at sf0.1 (5k docs — 12.5M intersections,
+      // affordable once) and the per-copy slice doc_id % 1e8 < 40 at
+      // ~sf1 (40 base docs × 10 copies → every cross-copy pair kept).
+      def truth(dir: String, big: Boolean): DataFrame = {
+        val d0 = shingled(dir)
+        val d = if (big) d0.filter(col("doc_id") % 100000000L < sliceN) else d0
+        val a = d.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+        val b = d.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+          .withColumn("jac", col("inter") /
+            (size(col("sa")) + size(col("sb")) - col("inter")))
+          .filter(col("jac") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("jac"))
+          .localCheckpoint()
+      }
+      val buckets = Seq((0.5, 0.7), (0.7, 0.85), (0.85, 1.01))
+      // the exact S-curve P(candidate | jaccard s) = 1-(1-s^r)^b — the
+      // shoulder the natural data cannot sample (true pairs here are
+      // bimodal: ~0 and >=0.7) is still a closed-form property of the
+      // sketch, printed alongside the measured columns
+      def scurve(b: Int, r: Int, s: Double): Double =
+        1.0 - math.pow(1.0 - math.pow(s, r), b)
+      val configs = Seq((2, 1), (4, 1), (8, 1), (2, 2), (4, 2), (2, 4))
+      val sb = new StringBuilder
+      sb.append("# TUNING — minhash banding parameters, measured\n\n")
+      sb.append("Generated by `graft.ScaleProbe band-tuning`. Each (bands b, rows r)\n")
+      sb.append("config hashes every shingle b*r times (band j's signature is the\n")
+      sb.append("concatenation of its r salted-md5 minima — r=1/b=4 is the\n")
+      sb.append("production `bandCandidates` sketch shape) and candidates are pairs\n")
+      sb.append("sharing >=1 band signature, through the production cap64 bucket\n")
+      sb.append("filter. The S-curve P(candidate | jaccard s) = 1-(1-s^r)^b says:\n")
+      sb.append("more BANDS raise recall everywhere (and candidate mass with it);\n")
+      sb.append("more ROWS sharpen the threshold (cheaper, but low-s recall dies).\n")
+      sb.append("Measured recall is against exact shingle-jaccard truth (sf0.1:\n")
+      sb.append("ALL 12.5M pairs of the 5k-doc corpus — the planted fixture dups\n")
+      sb.append("are random id pairs, so no id slice samples them fairly; ~sf1:\n")
+      sb.append("the per-copy slice doc_id % 1e8 < 40, which keeps every\n")
+      sb.append("cross-copy sibling pair). This corpus's true pairs are BIMODAL\n")
+      sb.append("(~0 and >=0.7 — planted dups and replica siblings), so the\n")
+      sb.append("0.3/0.5 shoulder is reported from the closed-form S-curve\n")
+      sb.append("columns; verified = candidates surviving the tau=0.5\n")
+      sb.append("token-jaccard production threshold corpus-wide.\n\n")
+      sb.append("| b | r | scale | candidates | verified@0.5 | recall j0.5-0.7 | recall j0.7-0.85 | recall j0.85+ | P(s=0.3) | P(s=0.5) | P(s=0.7) | cand s |\n")
+      sb.append("|---|---|---|---|---|---|---|---|---|---|---|---|\n")
+      Seq(("sf0.1", sf01, false), ("~sf1", big, true)).foreach { case (label, dir, isBig) =>
+        val tr = truth(dir, isBig)
+        val trCounts = buckets.map { case (lo, hi) =>
+          tr.filter(col("jac") >= lo && col("jac") < hi).count() }
+        configs.foreach { case (b, r) =>
+          val t0 = System.nanoTime()
+          val cand = bandCand(dir, b, r).localCheckpoint()
+          val nCand = cand.count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val hits = tr.join(cand, Seq("id_a", "id_b"), "left_semi")
+          val hitCounts = buckets.map { case (lo, hi) =>
+            hits.filter(col("jac") >= lo && col("jac") < hi).count() }
+          val recalls = hitCounts.zip(trCounts).map { case (h, t) =>
+            if (t == 0) "-" else f"${h.toDouble / t}%.2f ($h/$t)" }
+          val theory = Seq(0.3, 0.5, 0.7).map(s => f"${scurve(b, r, s)}%.2f")
+          // verified yield at the production threshold over the
+          // hashed token sets (the nearDupPairs verify stage)
+          val docs = Tables.documents(spark, dir).select(col("doc_id"),
+            sort_array(array_distinct(transform(graft.api.Graft.tokens(col("text")),
+              wd => conv(substring(md5(wd.cast("binary")), 1, 15), 16, 10).cast("long"))))
+              .as("toks"))
+          val av = docs.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+          val bv = docs.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+          val nVer = cand.join(av, "id_a").join(bv, "id_b")
+            .withColumn("inter", call_function("graft_sorted_inter_count",
+              col("ta"), col("tb")).cast("double"))
+            .filter(col("inter") /
+              (size(col("ta")) + size(col("tb")) - col("inter")) >= 0.5)
+            .count()
+          sb.append(f"| $b | $r | $label | $nCand | $nVer | ${recalls(0)} | ${recalls(1)} | ${recalls(2)} | ${theory(0)} | ${theory(1)} | ${theory(2)} | $secs%.1f |\n")
+          println(f"[band-tuning] b=$b r=$r $label cand=$nCand ver=$nVer ${secs}%.1f s")
+        }
+      }
+      sb.append("\nReading: the candidate column is what a 100 TB run SHUFFLES; the\n")
+      sb.append("recall columns are what a wrong (b, r) silently loses. The choice\n")
+      sb.append("is a RECALL-FLOOR decision: b=4/r=1 is the cheapest config whose\n")
+      sb.append("S-curve keeps P(cand) >= ~0.76 all the way down to s=0.3 — the\n")
+      sb.append("engine's verification thresholds (0.3-0.6 across the near-dup\n")
+      sb.append("endpoints) sit in exactly that band, and a candidate stage must\n")
+      sb.append("out-recall the strictest verifier it feeds or the miss is silent\n")
+      sb.append("and unauditable (the cap's drops are censused; a too-sharp sketch\n")
+      sb.append("has no census). r>=2 configs cut candidate mass ~5-60x but their\n")
+      sb.append("P(s=0.3) collapses (<=0.17) — the right trade only for a corpus\n")
+      sb.append("whose near-dups all sit above ~0.7 AND whose verifier threshold\n")
+      sb.append("is >= 0.7; b=8/r=1 doubles candidate mass over b=4/r=1 for a few\n")
+      sb.append("recall points — the S-curve's diminishing-returns region. If a\n")
+      sb.append("production corpus pairs a higher verify threshold with replica-\n")
+      sb.append("class dups only, rerun this mode and read the r=2 rows' measured\n")
+      sb.append("j>=0.85 recall against their candidate column — that is the\n")
+      sb.append("fraction-of-the-shuffle trade this table exists to price.\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("docs/TUNING.md"), sb.toString)
+      println(sb.toString)
+      spark.stop(); return
+    }
     if (args.headOption.contains("rangecell-stages")) {
       import graft.operators.Joins
       def t(label: String, f: () => Long): Unit = {
@@ -657,8 +798,11 @@ object ScaleProbe {
       ("naive_bayes_e2e", () =>
         graft.operators.TextAnalysis.naiveBayes(spark, dir).count()),
       // random walks: hops are equi joins on RANK-INDEXED edge
-      // tables (never a neighbor-list fan-out) — cost must track the
-      // two row_number windows over the distinct edge list
+      // tables (never a neighbor-list fan-out); r14 — the bounded
+      // frontier (20 starts x 8 walks) is collected and pushed down
+      // as IN filters, so the only data-sized stages left are ONE
+      // distinct shuffle and one combinable degree agg (was: two full
+      // rank windows + two degree aggs, 3.1x at 10x)
       ("random_walk_rank_hops", () =>
         graft.operators.GraphOps.randomWalk(spark, dir).count()),
       // Poisson bootstrap: the x64 map-side fan-out into a 64-key
@@ -884,6 +1028,22 @@ object ScaleProbe {
         ("cc_fixpoint_precollapse (star contraction first — default; r12 adds S-V hooking)", g1s, g2s, g1n, g2n))
     }
 
+    // ---- band-verify cost law with the PAIR-MASS DENOMINATOR (r13
+    // verdict #3): the family's super-linear TIME ratios are the
+    // output's — verified pairs grow ~34x per 10x docs on the replica
+    // corpus BY CONSTRUCTION — so the honest unit is pairs/second,
+    // printed here at both scales instead of argued in prose.
+    val bandVerifyRows = Seq[(String, String => Long)](
+      ("dedup_ngram_jaccard (verified pairs @ tau)",
+        dir => graft.operators.Dedup.ngramJaccard(spark, dir).count()),
+      ("dedup_containment (verified pairs @ 0.6)",
+        dir => graft.operators.Dedup.containment(spark, dir).count()))
+      .map { case (label, f) =>
+        val (s1, n1) = timeSecond(() => f(sf01))
+        val (s2, n2) = timeSecond(() => f(big))
+        (label, s1, n1, s2, n2)
+      }
+
     val small = probes(sf01)
     val large = probes(big)
     val sb = new StringBuilder
@@ -929,6 +1089,17 @@ object ScaleProbe {
     sb.append("| route | 10^3 s | 10^4 s | time ratio (10x depth) |\n|---|---|---|---|\n")
     rangeDeepRows.foreach { case (label, s1, s2) =>
       sb.append(f"| $label | $s1%.2f | $s2%.2f | ${s2 / s1}%.1fx |\n")
+    }
+    sb.append("\n## Band-verify cost law — the pair-mass denominator (r13 verdict #3)\n\n")
+    sb.append("Verified-pair OUTPUT grows ~34x per 10x docs on the replica corpus\n")
+    sb.append("by construction (every doc gains 9 true near-dups; intra-cluster\n")
+    sb.append("pairs are quadratic in cluster size), so doc count is the wrong\n")
+    sb.append("denominator for this family. The honest unit — pairs verified per\n")
+    sb.append("second — must be FLAT or rising at 10x; a real 10x corpus grows\n")
+    sb.append("true pairs ~linearly and pays ~linear cost through the same plan.\n\n")
+    sb.append("| endpoint | sf0.1 s | pairs | pairs/s | ~sf1 s | pairs | pairs/s | pair ratio | time ratio |\n|---|---|---|---|---|---|---|---|---|\n")
+    bandVerifyRows.foreach { case (label, s1, n1, s2, n2) =>
+      sb.append(f"| $label | $s1%.2f | $n1 | ${n1 / s1}%.0f | $s2%.2f | $n2 | ${n2 / s2}%.0f | ${n2.toDouble / n1}%.1fx | ${s2 / s1}%.1fx |\n")
     }
     sb.append("\n## Hot-bucket skew probe (one replica cluster of 2000 docs, sf0.1 base)\n\n")
     sb.append("Replica clusters put every copy in ONE band bucket; its n(n-1)/2\n")
@@ -1026,6 +1197,24 @@ object ScaleProbe {
     sb.append("neardup_verified_pairs above), not the CC stage the pre-collapse\n")
     sb.append("question was about; shrinking it further is LSH-parameter work,\n")
     sb.append("not fixpoint work.\n")
+    sb.append("\nr14 iterative-graph tail close (r13 verdict #1/#2 — all three\n")
+    sb.append("weak-set members rewritten, measured q-mode interleaved min-of-3):\n")
+    sb.append("graph_random_walk 7.12 -> 2.88 s ~sf1 (ratio 3.1x -> 2.0x) — the\n")
+    sb.append("cost was two DATA-SIZED rank windows + two degree aggs feeding a\n")
+    sb.append("<=160-row frontier; the frontier ids are now collected (bounded by\n")
+    sb.append("construction) and pushed down as IN filters so the windows see only\n")
+    sb.append("frontier edges. graph_khop_reach 1.35/2.61 s (ratio 3.0x -> 1.9x) —\n")
+    sb.append("the per-round loop re-grouped the WHOLE cumulative reach set and\n")
+    sb.append("checkpointed it every hop (~7 jobs of fixed latency); the 3 hops\n")
+    sb.append("are now unrolled into ONE declarative plan (per-hop frontier\n")
+    sb.append("distinct only, min-hop fold once at the end). sim_hard_negatives\n")
+    sb.append("0.90/1.52 s (ratio 3.5x -> 1.7x) — the pair join was evaluated\n")
+    sb.append("TWICE (un-cached, once per rank branch) plus two window exchanges\n")
+    sb.append("plus a rejoin; top-1-per-side needs no windows at all — one\n")
+    sb.append("conditional struct-max groupBy reduces the pair stream map-side.\n")
+    sb.append("join_range_events' depth hazard (r13 #4) is closed by the\n")
+    sb.append("join_range_events_cell twin ((user, cell) composite key, measured\n")
+    sb.append("1.4x at 10x depth vs 4.5x baseline; one-hot-user probe above).\n")
     sb.append("\ngeo_dbscan cost close (r12 verdict #7, closed r13 with two\n")
     sb.append("MEASURED NEGATIVE results — dbscan-probe/dbscan-stages, min-of-3):\n")
     sb.append("the stage probe pins the cost to the CC fixpoint on the core-edge\n")

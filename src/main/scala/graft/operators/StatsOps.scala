@@ -2060,7 +2060,168 @@ object StatsOps {
       |           AS BIGINT)) <= 1960 END AS random_ok_5pct
       |FROM z""".stripMargin
 
+  /** THEIL INDEX + ATKINSON(ε=1) of per-customer spend — the
+    * DECOMPOSABLE inequality measures beside [[gini]]: Theil
+    * T = (1/n)·Σ (x/μ)·ln(x/μ) (0 = perfect equality, ln n = one
+    * customer owns everything; additively decomposable across
+    * subgroups, which Gini is not — the property a mix-rebalance
+    * pipeline needs to attribute inequality to domains), and
+    * Atkinson A₁ = 1 − geomean/μ (the welfare share society would
+    * give up for equality). Both reduce over the distinct-value spend
+    * HISTOGRAM: each distinct cents value quantizes its ln term ONCE
+    * to nano-units, weighted by the exact count, summed exactly — the
+    * [[gini]]/entropy-rate discipline, so both engines fold identical
+    * integers and pay one exp/division at the end.
+    *
+    * Scale shape: one map-side-combinable per-customer agg, one
+    * compact-key histogram agg; no sort, no window. */
+  def theilIndex(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .filter(col("v") > 0L)
+    val hist = perCust.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val m = hist.agg(sum(col("c")).as("n"), sum(dec(col("v")) * col("c")).as("sx"),
+      sum(dec(col("c")) * round(lit(1e9) * log(col("v").cast("double"))).cast("long"))
+        .as("slnx_nano"))
+    val nd = col("n").cast("double")
+    val mu = col("sx").cast("double") / nd
+    // second pass re-quantizes per distinct value AGAINST μ (one-row
+    // broadcast) — (x/μ)ln(x/μ) needs μ, so it cannot fold in pass 1
+    val t = hist.crossJoin(broadcast(m.select(col("sx"), col("n"))))
+      .select(col("c"),
+        round(lit(1e9) * (col("v").cast("double") * col("n").cast("double") /
+          col("sx").cast("double")) *
+          log(col("v").cast("double") * col("n").cast("double") /
+            col("sx").cast("double"))).cast("long").as("t_nano"))
+      .agg(sum(dec(col("c")) * col("t_nano")).as("st_nano"))
+    m.crossJoin(t).select(
+      col("n").as("n_customers"),
+      round(mu).cast("long").as("mean_cents"),
+      round(lit(1e6) * col("st_nano").cast("double") / (nd * lit(1e9)))
+        .cast("long").as("theil_micro"),
+      round(lit(1e6) * (lit(1.0) -
+        exp(col("slnx_nano").cast("double") / (nd * lit(1e9))) / mu))
+        .cast("long").as("atkinson_micro"))
+  }
+
+  val theilIndexSql: String =
+    """WITH perc AS (
+      |  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1),
+      |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM perc WHERE v > 0 GROUP BY 1),
+      |m AS (
+      |  SELECT sum(c) AS n, sum(CAST(v AS HUGEINT) * c) AS sx,
+      |         sum(CAST(c AS HUGEINT)
+      |             * CAST(round(1e9 * ln(CAST(v AS DOUBLE))) AS BIGINT)) AS slnx_nano
+      |  FROM hist),
+      |t AS (
+      |  SELECT sum(CAST(c AS HUGEINT) *
+      |           CAST(round(1e9 * (CAST(v AS DOUBLE) * CAST(n AS DOUBLE)
+      |                             / CAST(sx AS DOUBLE))
+      |                * ln(CAST(v AS DOUBLE) * CAST(n AS DOUBLE)
+      |                     / CAST(sx AS DOUBLE))) AS BIGINT)) AS st_nano
+      |  FROM hist CROSS JOIN m)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |       CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) AS mean_cents,
+      |       CAST(round(1e6 * CAST(st_nano AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9))
+      |         AS BIGINT) AS theil_micro,
+      |       CAST(round(1e6 * (1.0 - exp(CAST(slnx_nano AS DOUBLE)
+      |                                   / (CAST(n AS DOUBLE) * 1e9))
+      |                         / (CAST(sx AS DOUBLE) / n))) AS BIGINT)
+      |         AS atkinson_micro
+      |FROM m CROSS JOIN t""".stripMargin
+
+  /** WILCOXON SIGNED-RANK test on PAIRED per-user spend (first half
+    * of the month vs second half, day-of-month ≤ 15 the split) — the
+    * paired companion to [[mannWhitney]]'s independent-samples rank
+    * sum: did the user population's spend SHIFT within the month,
+    * judged on signed rank magnitudes rather than means (robust to
+    * the heavy tail a mean test drowns in)? Zero differences drop
+    * (the standard treatment); ties get midranks with the Σ(t³−t)/48
+    * variance correction.
+    *
+    * Scale shape: the data-sized stage is ONE map-side-combinable
+    * per-user conditional agg; ranks come from the distinct-|diff|
+    * HISTOGRAM (the [[mannWhitney]]/gini discipline — the ordered
+    * window sees only distinct cents values, never rows). Parity:
+    * 2·W⁺ and the tie term are exact integers (decimal-summed), one
+    * sqrt at the end. */
+  def wilcoxonSigned(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(dayofmonth(col("ts")) <= 15,
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("h1"),
+        sum(when(dayofmonth(col("ts")) > 15,
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("h2"))
+      .select((col("h2") - col("h1")).as("d"))
+      .filter(col("d") =!= 0L)
+    val hist = perUser
+      .groupBy(abs(col("d")).as("ad"))
+      .agg(count(lit(1)).as("c"), count_if(col("d") > 0L).as("p"))
+    val cum = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = hist
+      .withColumn("r0", sum(col("c")).over(cum) - col("c"))
+      .agg(sum(col("c")).as("n"),
+        sum(dec(col("p")) * (lit(2) * col("r0") + col("c") + lit(1))).as("w2"),
+        sum(dec(col("c")) * col("c") * col("c") - col("c")).as("t3"))
+    val nd = col("n").cast("double")
+    val wp = col("w2").cast("double") / 2
+    val mu = nd * (nd + 1) / 4
+    val sigma2 = nd * (nd + 1) * (nd * 2 + 1) / 24 -
+      col("t3").cast("double") / 48
+    m.select(col("n").as("n_pairs"), wp.as("w_plus"),
+      when(col("n") > 1L && sigma2 > 0d,
+        round(lit(1e3) * (wp - mu) / sqrt(sigma2)).cast("long")).as("z_milli"))
+      .withColumn("shifted_5pct", abs(col("z_milli")) > lit(1960L))
+  }
+
+  val wilcoxonSignedSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         sum(CASE WHEN date_part('day', ts) <= 15
+      |             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS h1,
+      |         sum(CASE WHEN date_part('day', ts) > 15
+      |             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS h2
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT h2 - h1 AS d FROM pu WHERE h2 <> h1),
+      |hist AS (
+      |  SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS c,
+      |         CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS p
+      |  FROM d GROUP BY 1),
+      |runs AS (
+      |  SELECT c, p,
+      |         sum(c) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) - c AS r0
+      |  FROM hist),
+      |m AS (
+      |  SELECT sum(c) AS n,
+      |         sum(CAST(p AS HUGEINT) * (2 * r0 + c + 1)) AS w2,
+      |         sum(CAST(c AS HUGEINT) * c * c - c) AS t3
+      |  FROM runs)
+      |SELECT CAST(n AS BIGINT) AS n_pairs,
+      |       CAST(w2 AS DOUBLE) / 2 AS w_plus,
+      |       CASE WHEN n > 1 AND
+      |              CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+      |                - CAST(t3 AS DOUBLE) / 48 > 0
+      |         THEN CAST(round(1e3 * (CAST(w2 AS DOUBLE) / 2
+      |                    - CAST(n AS DOUBLE) * (n + 1) / 4)
+      |               / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+      |                      - CAST(t3 AS DOUBLE) / 48)) AS BIGINT) END AS z_milli,
+      |       CASE WHEN n > 1 AND
+      |              CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+      |                - CAST(t3 AS DOUBLE) / 48 > 0
+      |         THEN abs(CAST(round(1e3 * (CAST(w2 AS DOUBLE) / 2
+      |                    - CAST(n AS DOUBLE) * (n + 1) / 4)
+      |               / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+      |                      - CAST(t3 AS DOUBLE) / 48)) AS BIGINT)) > 1960
+      |         END AS shifted_5pct
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_theil_index" -> (theilIndex _),
+    "stats_wilcoxon_signed" -> (wilcoxonSigned _),
     "stats_anderson_darling" -> (andersonDarling _),
     "stats_runs_test" -> (runsTest _),
     "stats_kruskal_wallis" -> (kruskalWallis _),
@@ -2089,6 +2250,8 @@ object StatsOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_theil_index" -> theilIndexSql,
+    "stats_wilcoxon_signed" -> wilcoxonSignedSql,
     "stats_anderson_darling" -> andersonDarlingSql,
     "stats_runs_test" -> runsTestSql,
     "stats_fisher_exact" -> fisherExactSql,

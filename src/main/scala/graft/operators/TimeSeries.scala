@@ -1120,7 +1120,93 @@ object TimeSeries {
        |                      * CAST(k * syy - sy * sy AS DOUBLE)), 6) END AS fit_r
        |FROM m""".stripMargin
 
+  /** SPECTRAL ENTROPY of the hourly event-rate series — how
+    * CONCENTRATED is the series' power spectrum? A pure daily cycle
+    * puts all power in one period (entropy → 0); white noise spreads
+    * it uniformly (→ 1). The one-number regularity score an anomaly
+    * pipeline tracks per stream: a sudden entropy RISE means the
+    * seasonal structure broke (outage, clock skew, bot flood), before
+    * any single-period monitor fires. Periodogram over the full
+    * 2..48 h period grid (47 components), normalized Shannon entropy
+    * of the power distribution, plus the peak period and its share.
+    *
+    * Scale shape: the data-sized stage is the ONE compact-key hourly
+    * count behind the whole ts_* family; the grid explode is
+    * |bins|×47 rows of pure arithmetic into a 47-key combinable agg.
+    * Parity: per-period (a, b) fold exact integer micro-products
+    * (the [[periodogram]] discipline), powers are exact decimals,
+    * each p·ln p term quantizes ONCE to nano before the exact sum. */
+  def spectralEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val series = hourlyCounts(spark, dir)
+    val lo = series.agg(min(col("bin")).as("lo"),
+      sum(col("n")).as("s"), count(lit(1)).as("c"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = series.crossJoin(broadcast(lo))
+      .select(expr("(unix_micros(bin) - unix_micros(lo)) div 3600000000").as("t"),
+        (col("n").cast("double") - col("s").cast("double") / col("c")).as("xc"))
+      .withColumn("p", explode(sequence(lit(2L), lit(48L))))
+    val theta = lit(2.0 * math.Pi) * col("t").cast("double") / col("p").cast("double")
+    val pows = base
+      .select(col("p"),
+        round(lit(1e6) * col("xc") * cos(theta)).cast("long").as("ca"),
+        round(lit(1e6) * col("xc") * sin(theta)).cast("long").as("cb"))
+      .groupBy(col("p"))
+      // decimal-FIRST sums (DuckDB folds BIGINT sums in HUGEINT; a
+      // long sum here would wrap first at 100 TB volumes)
+      .agg((sum(dec(col("ca"))) * sum(dec(col("ca"))) +
+        sum(dec(col("cb"))) * sum(dec(col("cb")))).as("pow"))
+    val tot = pows.agg(sum(col("pow")).as("total"), count(lit(1)).as("np"),
+      max(struct(col("pow"), (-col("p")).as("negp"))).as("pk"))
+    val ent = pows.crossJoin(broadcast(tot.select(col("total"))))
+      .select(when(col("pow") > 0,
+        round(lit(1e9) * (col("pow").cast("double") / col("total").cast("double")) *
+          log(col("pow").cast("double") / col("total").cast("double"))).cast("long"))
+        .otherwise(0L).as("t_nano"))
+      .agg(sum(col("t_nano")).as("st_nano"))
+    tot.crossJoin(ent).select(
+      col("np").as("n_periods"),
+      round(lit(-1e6) * col("st_nano").cast("double") /
+        (lit(1e9) * log(col("np").cast("double")))).cast("long")
+        .as("spectral_entropy_micro"),
+      (-col("pk.negp")).as("peak_period_hours"),
+      round(lit(1e6) * col("pk.pow").cast("double") / col("total").cast("double"))
+        .cast("long").as("peak_share_ppm"))
+  }
+
+  val spectralEntropySql: String =
+    s"""WITH $hourlyCountsSql,
+       |agg_ AS (SELECT min(bin) AS lo, sum(n) AS s, count(*) AS c FROM series),
+       |base AS (
+       |  SELECT (epoch_ns(bin) - epoch_ns(lo)) // 3600000000000 AS t,
+       |         CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / c AS xc,
+       |         unnest(range(2, 49)) AS p
+       |  FROM series, agg_),
+       |pows AS (
+       |  SELECT p,
+       |         CAST(sum(CAST(round(1e6 * xc * cos(2 * pi() * t / p)) AS BIGINT)) AS HUGEINT)
+       |           * sum(CAST(round(1e6 * xc * cos(2 * pi() * t / p)) AS BIGINT))
+       |         + CAST(sum(CAST(round(1e6 * xc * sin(2 * pi() * t / p)) AS BIGINT)) AS HUGEINT)
+       |           * sum(CAST(round(1e6 * xc * sin(2 * pi() * t / p)) AS BIGINT)) AS pow
+       |  FROM base GROUP BY 1),
+       |tot AS (SELECT sum(pow) AS total, count(*) AS np FROM pows),
+       |pk AS (SELECT p, pow FROM pows ORDER BY pow DESC, p LIMIT 1),
+       |ent AS (
+       |  SELECT sum(CASE WHEN pow > 0
+       |           THEN CAST(round(1e9 * (CAST(pow AS DOUBLE) / CAST(total AS DOUBLE))
+       |                * ln(CAST(pow AS DOUBLE) / CAST(total AS DOUBLE))) AS BIGINT)
+       |           ELSE 0 END) AS st_nano
+       |  FROM pows CROSS JOIN tot)
+       |SELECT CAST(np AS BIGINT) AS n_periods,
+       |       CAST(round(-1e6 * CAST(st_nano AS DOUBLE)
+       |              / (1e9 * ln(CAST(np AS DOUBLE)))) AS BIGINT)
+       |         AS spectral_entropy_micro,
+       |       CAST(pk.p AS BIGINT) AS peak_period_hours,
+       |       CAST(round(1e6 * CAST(pk.pow AS DOUBLE) / CAST(total AS DOUBLE))
+       |         AS BIGINT) AS peak_share_ppm
+       |FROM tot CROSS JOIN ent CROSS JOIN pk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_spectral_entropy" -> (spectralEntropy _),
     "ts_hurst" -> (hurst _),
     "ts_changepoint" -> (changepoint _),
     "ts_xcorr" -> (xcorr _),
@@ -1142,6 +1228,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_spectral_entropy" -> spectralEntropySql,
     "ts_hurst" -> hurstSql,
     "ts_changepoint" -> changepointSql,
     "ts_xcorr" -> xcorrSql,
