@@ -1376,7 +1376,130 @@ object Multimodal {
       |       TRUE AS shstrndx_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** OGG PAGE header decode — the 17th codec, adding two parse modes
+    * the family still lacked: a 64-BIT little-endian field (the
+    * granule position — every prior LE field was ≤4 bytes) and a
+    * FORWARD variable-length table FOLD driven by a parsed count
+    * (the lacing table: `page_segments` lacing bytes whose SUM is
+    * the page body size — ZIP's variable scan was backward and
+    * content-anchored; this one is a dynamic `slice` + `aggregate`
+    * over the decoded byte array, still whole-stage codegen). The
+    * CRC field is carried verbatim (a page checksum is payload-wide;
+    * the synthesized value is a deterministic stand-in the parse
+    * REPORTS, not recomputes — the TAR codec owns the recomputed-
+    * checksum mode). Same oracle contract as WAV/TIFF: the
+    * synthesized header IS the spec, so the oracle re-derives every
+    * field from the document columns. */
+  def oggPage(spark: SparkSession, dir: String): DataFrame = {
+    val nsegs = (lit(1) + pmod(col("doc_id"), lit(4))).cast("long")
+    val granule = col("n_chars").cast("long") * 1000L + col("doc_id")
+    val serial = pmod(col("doc_id") * 37L + 11L, lit(1000000L))
+    val pageSeq = pmod(col("doc_id"), lit(1000L))
+    val bos = pmod(col("doc_id"), lit(7)) === 0
+    val crc = pmod(granule * 31L + serial, lit(4294967296L))
+    def leHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    val lacing = concat((0 until 4).map { i =>
+      when(lit(i.toLong) < nsegs,
+        lpad(hex(lit(100L) + pmod(col("doc_id") + i, lit(156L))), 2, "0"))
+        .otherwise(lit(""))
+    }: _*)
+    val ogg = unhex(concat(
+      lit("4F676753"), lit("00"),                     // "OggS", version 0
+      when(bos, lit("02")).otherwise(lit("00")),      // header-type flags
+      leHex(granule, 8), leHex(serial, 4), leHex(pageSeq, 4),
+      leHex(crc, 4), leHex(nsegs, 1), lacing))
+    val bytes = Tables.documents(spark, dir)
+      .select(col("doc_id"), prefixBytes(ogg, 31).as("bytes"))
+    def le(pos: Int, len: Int) = leAt(col("bytes"), pos, len)
+    bytes.select(col("doc_id"),
+        (le(1, 4) === 0x5367674FL && le(5, 1) === 0L).as("magic_ok"),
+        (pmod(expr("element_at(bytes, 6) div 2"), lit(2L)) === 1L).as("is_bos"),
+        le(7, 8).as("granule_position"),
+        le(15, 4).as("serial"),
+        le(19, 4).as("page_seq"),
+        le(23, 4).as("crc32"),
+        le(27, 1).as("n_segments"),
+        aggregate(slice(col("bytes"), lit(28), le(27, 1).cast("int")),
+          lit(0L), (acc, x) => acc + x).as("body_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oggPageSql: String =
+    """SELECT doc_id, TRUE AS magic_ok, doc_id % 7 = 0 AS is_bos,
+      |       CAST(n_chars * 1000 + doc_id AS BIGINT) AS granule_position,
+      |       CAST((doc_id * 37 + 11) % 1000000 AS BIGINT) AS serial,
+      |       CAST(doc_id % 1000 AS BIGINT) AS page_seq,
+      |       CAST(((n_chars * 1000 + doc_id) * 31
+      |             + (doc_id * 37 + 11) % 1000000) % 4294967296 AS BIGINT) AS crc32,
+      |       CAST(1 + doc_id % 4 AS BIGINT) AS n_segments,
+      |       CAST(list_sum(list_transform(range(1 + doc_id % 4),
+      |              i -> 100 + (doc_id + i) % 156)) AS BIGINT) AS body_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** WEBP header decode — the 18th codec: a RIFF container whose
+    * payload VARIANT is announced by an inner fourcc ('VP8 ' lossy /
+    * 'VP8L' lossless, synthesized by doc parity), and whose lossless
+    * branch carries the family's first BIT-PACKED FIELDS STRADDLING
+    * BYTE BOUNDARIES — VP8L packs (width−1, height−1) as two 14-bit
+    * integers inside a 32-bit little-endian word, so neither field is
+    * byte-aligned and the parse must assemble the LE word first, then
+    * unpack with exact div/mod powers of two (FLAC's sub-byte fields
+    * were big-endian and byte-anchored). The lossy branch checks the
+    * 9D 01 2A start code and reads 14-bit LE dims. */
+  def webpHeader(spark: SparkSession, dir: String): DataFrame = {
+    val width = (lit(16) + pmod(col("n_chars"), lit(1000))).cast("long")
+    val height = (lit(16) + pmod(col("doc_id"), lit(800))).cast("long")
+    val lossy = pmod(col("doc_id"), lit(2)) === 0
+    def leHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    val vp8lBits = (width - 1L) + (height - 1L) * lit(16384L)
+    val payload = when(lossy, concat(
+        lit("56503820"), leHex(lit(10L), 4),          // "VP8 ", chunk size
+        lit("000000"), lit("9D012A"),                  // frame tag, start code
+        leHex(width, 2), leHex(height, 2)))
+      .otherwise(concat(
+        lit("5650384C"), leHex(lit(5L), 4),            // "VP8L", chunk size
+        lit("2F"), leHex(vp8lBits, 4)))
+    val riffSize = when(lossy, lit(22L)).otherwise(lit(17L))
+    val webp = unhex(concat(
+      lit("52494646"), leHex(riffSize, 4), lit("57454250"), payload))
+    val bytes = Tables.documents(spark, dir)
+      .select(col("doc_id"), prefixBytes(webp, 30).as("bytes"))
+    def le(pos: Int, len: Int) = leAt(col("bytes"), pos, len)
+    val isLossy = le(13, 4) === 0x20385056L            // "VP8 "
+    val bits = le(22, 4)
+    bytes.select(col("doc_id"),
+        (le(1, 4) === 0x46464952L && le(9, 4) === 0x50424557L).as("riff_ok"),
+        when(isLossy, lit("VP8 ")).otherwise(lit("VP8L")).as("variant"),
+        le(5, 4).as("riff_size"),
+        when(isLossy, beAt(col("bytes"), 24, 3) === 0x9D012AL)
+          .otherwise(le(21, 1) === 0x2FL).as("sig_ok"),
+        when(isLossy, pmod(le(27, 2), lit(16384L)))
+          .otherwise(pmod(bits, lit(16384L)) + 1L).as("width"),
+        when(isLossy, pmod(le(29, 2), lit(16384L)))
+          .otherwise(pmod(expr("""(element_at(bytes, 22)
+            + element_at(bytes, 23) * 256
+            + element_at(bytes, 24) * 65536
+            + element_at(bytes, 25) * 16777216) div 16384"""), lit(16384L)) + 1L)
+          .as("height"))
+      .withColumn("pixels", col("width") * col("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  val webpHeaderSql: String =
+    """SELECT doc_id, TRUE AS riff_ok,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'VP8 ' ELSE 'VP8L' END AS variant,
+      |       CAST(CASE WHEN doc_id % 2 = 0 THEN 22 ELSE 17 END AS BIGINT) AS riff_size,
+      |       TRUE AS sig_ok,
+      |       CAST(16 + n_chars % 1000 AS BIGINT) AS width,
+      |       CAST(16 + doc_id % 800 AS BIGINT) AS height,
+      |       CAST((16 + n_chars % 1000) * (16 + doc_id % 800) AS BIGINT) AS pixels
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_ogg_page" -> (oggPage _),
+    "mm_webp_header" -> (webpHeader _),
     "mm_elf_header" -> (elfHeader _),
     "mm_tar_header" -> (tarHeader _),
     "mm_zip_eocd" -> (zipEocd _),
@@ -1402,6 +1525,8 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_ogg_page" -> oggPageSql,
+    "mm_webp_header" -> webpHeaderSql,
     "mm_elf_header" -> elfHeaderSql,
     "mm_tar_header" -> tarHeaderSql,
     "mm_zip_eocd" -> zipEocdSql,

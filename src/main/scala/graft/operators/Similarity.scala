@@ -2154,6 +2154,105 @@ object Similarity {
        |       count(*) > ${2 * ivfCellTarget} AS needs_split
        |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CELL SPLIT — the operation [[indexAppend]]'s `needs_split`
+    * trigger requests: when a cell outgrows its target the serving
+    * layer splits IT ALONE (never retraining the global quantizer —
+    * at 100 TB a global retrain invalidates every stored code, a
+    * local split touches one cell's files). The 5 most-populated
+    * cells (deterministic: count DESC, cell ASC) each get one
+    * seeded 2-means round: seeds are the 2 members minimal in
+    * md5(vec_id) order (the trainer's own seeding recipe), members
+    * go to the nearer seed by cosine, and the output census prices
+    * the split — sub-cell sizes, share, and cohesion (mean cosine to
+    * the assigned seed, nano-quantized then exactly averaged).
+    * Single-member cells degenerate to one sub-cell (seed 2 IS NULL
+    * → side 0), same rule both engines.
+    *
+    * Scale shape: one cell census agg, a 5-row broadcast, seed
+    * selection as a window over ONLY the 5 cells' members, one
+    * map-side cosine pair per member — no pairwise stage at all. */
+  def cellSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val assigned = ivfAssigned(spark, dir)
+    val top5 = assigned.groupBy(col("cell")).agg(count(lit(1)).as("nc"))
+      .orderBy(col("nc").desc, col("cell")).limit(5)
+    val members = assigned.join(broadcast(top5.select(col("cell"))), Seq("cell"))
+    val bySeedOrder = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    val seeds = members
+      .withColumn("srn", row_number().over(bySeedOrder))
+      .filter(col("srn") <= 2)
+      .groupBy(col("cell"))
+      .agg(
+        max(when(col("srn") === 1, struct(col("v"), col("vn")))).as("s1"),
+        max(when(col("srn") === 2, struct(col("v"), col("vn")))).as("s2"))
+    val scored = members.join(broadcast(seeds), Seq("cell"))
+      .withColumn("cos1",
+        call_function("graft_dot", col("v"), col("s1.v")) / (col("vn") * col("s1.vn")))
+      .withColumn("cos2",
+        when(col("s2").isNotNull,
+          call_function("graft_dot", col("v"), col("s2.v")) / (col("vn") * col("s2.vn"))))
+      .withColumn("sub",
+        when(col("cos2").isNull || col("cos1") >= col("cos2"), 0L).otherwise(1L))
+      .withColumn("own_nano",
+        round(lit(1e9) * when(col("sub") === 0L, col("cos1")).otherwise(col("cos2")))
+          .cast("long"))
+    scored.groupBy(col("cell"), col("sub"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("own_nano").cast("decimal(38,0)")).as("s_nano"))
+      .withColumn("cohesion_micro",
+        round(col("s_nano").cast("double") / (col("n_vectors").cast("double") * 1e3))
+          .cast("long"))
+      .drop("s_nano")
+      .orderBy(col("cell"), col("sub"))
+  }
+
+  val cellSplitSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$ivfCentroidsSqlCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, e.v, e.vn, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM emb e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, v, vn, cell FROM ranked WHERE arn = 1),
+       |top5 AS (
+       |  SELECT cell FROM (SELECT cell, count(*) AS nc FROM asg GROUP BY 1)
+       |  ORDER BY nc DESC, cell LIMIT 5),
+       |mem AS (SELECT a.* FROM asg a JOIN top5 USING (cell)),
+       |sr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cell
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn
+       |  FROM mem),
+       |seeds AS (
+       |  SELECT cell,
+       |         max(CASE WHEN srn = 1 THEN v END) AS v1,
+       |         max(CASE WHEN srn = 1 THEN vn END) AS n1,
+       |         max(CASE WHEN srn = 2 THEN v END) AS v2,
+       |         max(CASE WHEN srn = 2 THEN vn END) AS n2
+       |  FROM sr WHERE srn <= 2 GROUP BY 1),
+       |scored AS (
+       |  SELECT m.cell,
+       |         CASE WHEN s.v2 IS NULL
+       |                OR ${dotSql("m.v", "s.v1")} / (m.vn * s.n1)
+       |                   >= ${dotSql("m.v", "s.v2")} / (m.vn * s.n2)
+       |           THEN 0 ELSE 1 END AS sub,
+       |         CASE WHEN s.v2 IS NULL
+       |                OR ${dotSql("m.v", "s.v1")} / (m.vn * s.n1)
+       |                   >= ${dotSql("m.v", "s.v2")} / (m.vn * s.n2)
+       |           THEN CAST(round(1e9 * (${dotSql("m.v", "s.v1")} / (m.vn * s.n1))) AS BIGINT)
+       |           ELSE CAST(round(1e9 * (${dotSql("m.v", "s.v2")} / (m.vn * s.n2))) AS BIGINT)
+       |           END AS own_nano
+       |  FROM mem m JOIN seeds s USING (cell))
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(sub AS BIGINT) AS sub,
+       |       count(*) AS n_vectors,
+       |       CAST(round(CAST(sum(own_nano) AS DOUBLE) / (count(*) * 1e3)) AS BIGINT)
+       |         AS cohesion_micro
+       |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Maximum-inner-product top-k (MIPS) — the recommender-serving
     * score (user·item, UNnormalized: popular items legitimately win
     * on magnitude, which cosine deliberately erases). Exact
@@ -2818,6 +2917,7 @@ object Similarity {
     "sim_mips_topk" -> (mipsTopK _),
     "sim_drift_monitor" -> (driftMonitor _),
     "sim_index_append" -> (indexAppend _),
+    "sim_cell_split" -> (cellSplit _),
     "sim_recall_at_k" -> (recallAtK _),
     "sim_embed_standardize" -> (embedStandardize _),
     "sim_embed_quantize" -> (embedQuantize _),
@@ -2854,6 +2954,7 @@ object Similarity {
     "sim_mips_topk" -> mipsTopKSql,
     "sim_drift_monitor" -> driftMonitorSql,
     "sim_index_append" -> indexAppendSql,
+    "sim_cell_split" -> cellSplitSql,
     "sim_recall_at_k" -> recallAtKSql,
     "sim_embed_standardize" -> embedStandardizeSql,
     "sim_embed_quantize" -> embedQuantizeSql,

@@ -1366,7 +1366,76 @@ object TextAnalysis {
       |           JOIN sizes sb ON sb.lang = lang_b
       |ORDER BY 1, 2""".stripMargin
 
+  /** REPETITION filter census (the Gopher/MassiveText "repetition"
+    * quality signals): per document, the duplicate-trigram fraction
+    * (1 − distinct₃/total₃ — templated/looping text repeats its
+    * n-grams) and the top-bigram occupancy (tokens covered by the
+    * single most frequent bigram — "click here click here…"), rolled
+    * into a decile census with the flag census an ingestion gate
+    * reads (dup₃ > 18% OR occupancy > 20%, the published
+    * Gopher-class thresholds). Docs under 3 tokens are out of the
+    * signal's domain and excluded.
+    *
+    * Scale shape: the trigram side is MAP-ONLY (array ops per row);
+    * the bigram mode needs one (doc, bigram) shuffle of token-linear
+    * volume + one doc-keyed fold. Parity: fractions stay rational —
+    * deciles and flags compare exact integers cross-multiplied, only
+    * the reported ppm means round doubles both engines compute
+    * identically. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.api.Graft.tokens(col("text"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), size(t).as("n"))
+      .filter(col("n") >= 3)
+      .withColumn("t3", col("n") - 2)
+      .withColumn("d3", size(array_distinct(graft.api.Graft.shingles(col("text"), 3))))
+    val topBg = docs
+      .select(col("doc_id"), explode(graft.api.Graft.shingles(col("text"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("topc"))
+    docs.join(topBg, "doc_id")
+      .select(col("doc_id"), col("n"), col("t3"), col("d3"), col("topc"),
+        // decile of the dup-trigram fraction, exact integer floor
+        expr("((t3 - d3) * 10) div t3").as("decile"),
+        round(lit(1e6) * (col("topc") * 2).cast("double") / col("n").cast("double"))
+          .cast("long").as("occ_ppm"),
+        // flags on cross-multiplied integers (no float thresholds)
+        ((col("t3") - col("d3")) * 100 > col("t3") * 18 ||
+          col("topc") * 10 > col("n")).as("flagged"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("occ_ppm"))).cast("long").as("avg_top2gram_ppm"),
+        count_if(col("flagged")).as("n_flagged"))
+      .orderBy(col("decile"))
+  }
+
+  val repetitionSql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |docs AS (
+      |  SELECT doc_id, w, len(w) AS n, len(w) - 2 AS t3,
+      |         len(list_distinct(list_transform(range(len(w) - 2),
+      |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS d3
+      |  FROM d0 WHERE len(w) >= 3),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+      |           i -> w[i+1] || ' ' || w[i+2])) AS bg
+      |  FROM d0 WHERE len(w) >= 3),
+      |topbg AS (
+      |  SELECT doc_id, max(c) AS topc FROM (
+      |    SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+      |per AS (
+      |  SELECT d.doc_id, ((t3 - d3) * 10) // t3 AS decile,
+      |         CAST(round(1e6 * CAST(topc * 2 AS DOUBLE) / n) AS BIGINT) AS occ_ppm,
+      |         (t3 - d3) * 100 > t3 * 18 OR topc * 10 > n AS flagged
+      |  FROM docs d JOIN topbg USING (doc_id))
+      |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+      |       CAST(round(avg(occ_ppm)) AS BIGINT) AS avg_top2gram_ppm,
+      |       CAST(count(*) FILTER (WHERE flagged) AS BIGINT) AS n_flagged
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (repetition _),
     "text_lang_overlap" -> (langOverlap _),
     "text_keyness_g2" -> (keynessG2 _),
     "text_coverage_curve" -> (coverageCurve _),
@@ -1393,6 +1462,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_repetition" -> repetitionSql,
     "text_lang_overlap" -> langOverlapSql,
     "text_keyness_g2" -> keynessG2Sql,
     "text_coverage_curve" -> coverageCurveSql,

@@ -108,6 +108,116 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("cell split: partitions the top-5 cells exactly; cohesion bounded") {
+    val rows = Similarity.cellSplit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCell = rows.groupBy(_.getAs[Long]("cell"))
+    assert(byCell.size === 5)
+    // sub-cell totals reproduce the standing census for those cells
+    val census = Similarity.ivfAssigned(spark, sf)
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCell.foreach { case (cell, subs) =>
+      assert(subs.map(_.getAs[Long]("n_vectors")).sum === census(cell))
+      assert(subs.map(_.getAs[Long]("sub")).toSet.subsetOf(Set(0L, 1L)))
+      subs.foreach { s =>
+        val c = s.getAs[Long]("cohesion_micro")
+        assert(c >= -1000000L && c <= 1000000L)
+      }
+    }
+    // the split targets really are the 5 largest cells
+    val top5 = census.toSeq.sortBy { case (c, n) => (-n, c) }.take(5).map(_._1).toSet
+    assert(byCell.keySet === top5)
+  }
+
+  // ---- stats / ts / text ---------------------------------------------
+
+  test("theil + atkinson: zero on a constant distribution, positive on real spend") {
+    val r = StatsOps.theilIndex(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_customers") > 0)
+    assert(r.getAs[Long]("theil_micro") > 0)
+    val a = r.getAs[Long]("atkinson_micro")
+    assert(a > 0 && a < 1000000)
+    // Theil >= Atkinson-implied lower bound sanity: both detect inequality
+  }
+
+  test("wilcoxon signed rank: W+ within [0, n(n+1)/2]; z finite on real data") {
+    val r = StatsOps.wilcoxonSigned(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_pairs")
+    val w = r.getAs[Double]("w_plus")
+    assert(n > 0)
+    assert(w >= 0 && w <= n.toDouble * (n + 1) / 2)
+    assert(!r.isNullAt(r.fieldIndex("z_milli")))
+  }
+
+  test("spectral entropy: in [0, 1e6]; peak share consistent with low entropy") {
+    val r = TimeSeries.spectralEntropy(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_periods") === 47L)
+    val h = r.getAs[Long]("spectral_entropy_micro")
+    assert(h >= 0 && h <= 1000000)
+    val pk = r.getAs[Long]("peak_period_hours")
+    assert(pk >= 2 && pk <= 48)
+    val share = r.getAs[Long]("peak_share_ppm")
+    assert(share >= 1000000L / 47 - 1 && share <= 1000000L)
+  }
+
+  test("repetition census: conserves docs; planted repetitive text is flagged") {
+    import spark.implicits._
+    val rows = TextAnalysis.repetition(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(d >= 0 && d <= 10)
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+    }
+    // planted check through the same per-doc arithmetic: a looping doc
+    // must flag, clean prose must not
+    val planted = Seq(
+      (1L, "click here click here click here click here click here"),
+      (2L, "the quick brown fox jumps over one lazy dog near a river bank today"))
+      .toDF("doc_id", "text")
+    val t = graft.api.Graft.tokens(col("text"))
+    val per = planted.select(col("doc_id"), size(t).as("n"),
+        (size(t) - 2).as("t3"),
+        size(array_distinct(graft.api.Graft.shingles(col("text"), 3))).as("d3"))
+      .withColumn("dupfrac_pct", expr("((t3 - d3) * 100) div t3"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dupfrac_pct")).toMap
+    assert(per(1L) > 18, s"looping doc dup-frac ${per(1L)}% should exceed 18%")
+    assert(per(2L) === 0L)
+  }
+
+  // ---- codecs -------------------------------------------------------
+
+  test("ogg page: lacing-table fold equals the synthesized body size; 64-bit granule") {
+    val rows = Multimodal.oggPage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("magic_ok"))
+      val id = r.getAs[Long]("doc_id")
+      val ns = r.getAs[Long]("n_segments")
+      assert(ns === 1 + id % 4)
+      val want = (0L until ns).map(i => 100 + (id + i) % 156).sum
+      assert(r.getAs[Long]("body_bytes") === want)
+      assert(r.getAs[Long]("granule_position") >= 1000)
+    }
+  }
+
+  test("webp: bit-packed VP8L dims round-trip; variants split by parity") {
+    val rows = Multimodal.webpHeader(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("riff_ok"))
+      assert(r.getAs[Boolean]("sig_ok"))
+      val id = r.getAs[Long]("doc_id")
+      val v = r.getAs[String]("variant")
+      assert(if (id % 2 == 0) v == "VP8 " else v == "VP8L")
+      assert(r.getAs[Long]("pixels") ===
+        r.getAs[Long]("width") * r.getAs[Long]("height"))
+    }
+  }
+
   test("khop reach: cumulative counts monotone; 1-hop equals direct neighbor census") {
     val rows = GeoOps.khopReach(spark, sf).collect()
     assert(rows.nonEmpty)
