@@ -77,6 +77,13 @@ object Bench {
         canary(cn) ::= (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => () }
     }
+    // warm the canaries untimed: their first execution pays per-query
+    // codegen/plan compilation, which is warmup, not host drift — an
+    // unwarmed first sample read as 4x "drift" in the smoke run
+    canaryNames.foreach { cn =>
+      try SparkEntry.queries(cn)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     for (r <- 1 to runs) {
       runCanaries()
       for ((name, fn) <- bench) {

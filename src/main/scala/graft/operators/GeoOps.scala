@@ -533,7 +533,139 @@ object GeoOps {
       |       CAST(sum(CASE WHEN hop >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_3hop
       |FROM mh GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SEEDED BETWEENNESS CENTRALITY (Brandes, depth-3) over the
+    * eps-proximity graph — WHICH nodes do shortest paths flow
+    * through? The brokerage score behind bottleneck detection in
+    * infrastructure graphs and influence ranking in similarity
+    * graphs; exact Brandes is O(V·E) (all sources), so production
+    * runs it from a SOURCE SAMPLE — here the same bounded seed slice
+    * as [[khopReach]] (id ≡ 0 mod 100), depth-capped at 3 (the
+    * subcritical components' effective diameter).
+    *
+    * Level-synchronous and fully declarative: forward BFS builds
+    * per-level (seed, node, σ) path counts (σ sums over DAG
+    * predecessors — the join enforces d(w) = d(v)+1 by construction);
+    * the backward pass accumulates Brandes' pair dependency
+    * δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)) level by level. Cross-engine
+    * exactness: every fractional δ TERM quantizes ONCE to nano-units
+    * before its group sum (order-free exact integers), and the next
+    * level consumes the quantized value — both engines fold identical
+    * longs at every level. Output: top-20 brokers.
+    *
+    * Scale shape: 3 key-partitioned expansion joins + 2 backward
+    * joins, every frontier localCheckpoint'd once (each level has
+    * 3-4 consumers — anti-joins, expansion, backward — that would
+    * otherwise re-run the upstream grid join); seeds bound the work,
+    * the percolation argument bounds the frontier. */
+  def betweenness(spark: SparkSession, dir: String): DataFrame = {
+    val (pts, pairs) = epsGraph(spark, dir)
+    val edges = pairs.select(col("ida").as("u"), col("idb").as("w"))
+    val seeds = pts.filter(col("id") % 100 === 0).select(col("id").as("seed"))
+    brandesSeeded(edges, seeds)
+      .orderBy(col("bc_nano").desc, col("node"))
+      .limit(20)
+      .select(col("node").cast("long").as("node"),
+        round(col("bc_nano").cast("double") / 1e3).cast("long")
+          .as("betweenness_micro"))
+  }
+
+  /** The depth-3 seeded-Brandes core over an arbitrary SYMMETRIC edge
+    * list (u, w) and seed set — factored out so the spec can pin the
+    * pair-dependency arithmetic on a hand-checkable path graph.
+    * Returns (node, bc_nano) for nodes with positive dependency. */
+  private[graft] def brandesSeeded(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val l0 = seeds.select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    def expand(l: DataFrame, visited: Seq[DataFrame]): DataFrame = {
+      val nxt = l.join(edges, col("node") === col("u"))
+        .select(col("seed"), col("w").as("node"), col("sigma"))
+        .groupBy(col("seed"), col("node")).agg(sum(col("sigma")).as("sigma"))
+      visited.foldLeft(nxt)((acc, v) =>
+        acc.join(v.select(col("seed"), col("node")), Seq("seed", "node"),
+          "left_anti")).localCheckpoint()
+    }
+    val l1 = expand(l0, Seq(l0))
+    val l2 = expand(l1, Seq(l0, l1))
+    val l3 = expand(l2, Seq(l0, l1, l2))
+    // backward: delta terms nano-quantized BEFORE each group sum
+    def back(lv: DataFrame, lnext: DataFrame, dnext: Option[DataFrame]): DataFrame = {
+      val nxt = dnext match {
+        case Some(d) => lnext.join(d, Seq("seed", "node"))
+        case None => lnext.withColumn("delta_nano", lit(0L))
+      }
+      val succ = lv.join(edges, col("node") === col("u"))
+        .select(col("seed"), col("node"), col("sigma"), col("w"))
+        .join(nxt.select(col("seed").as("s2"), col("node").as("n2"),
+          col("sigma").as("sig2"), col("delta_nano").as("dn2")),
+          col("seed") === col("s2") && col("w") === col("n2"))
+        .select(col("seed"), col("node"),
+          round(lit(1e9) * (col("sigma").cast("double") / col("sig2").cast("double")) *
+            (lit(1.0) + col("dn2").cast("double") / lit(1e9))).cast("long").as("t"))
+        .groupBy(col("seed"), col("node")).agg(sum(col("t")).as("dn"))
+      lv.select(col("seed"), col("node"))
+        .join(succ, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), coalesce(col("dn"), lit(0L)).as("delta_nano"))
+    }
+    val d2 = back(l2, l3, None).localCheckpoint()
+    val d1 = back(l1, l2, Some(d2))
+    d1.unionByName(d2)
+      .groupBy(col("node"))
+      .agg(sum(col("delta_nano").cast("decimal(38,0)")).as("bc_nano"))
+      .filter(col("bc_nano") > 0)
+  }
+
+  val betweennessSql: String =
+    s"""WITH $epsGraphSql,
+       |seeds AS (SELECT id AS seed FROM pts WHERE id % 100 = 0),
+       |l0 AS (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+       |l1 AS (
+       |  SELECT l.seed, p.idb AS node, sum(l.sigma) AS sigma
+       |  FROM l0 l JOIN pairs p ON l.node = p.ida GROUP BY 1, 2),
+       |l2 AS (
+       |  SELECT x.seed, x.node, x.sigma FROM (
+       |    SELECT l.seed, p.idb AS node, sum(l.sigma) AS sigma
+       |    FROM l1 l JOIN pairs p ON l.node = p.ida GROUP BY 1, 2) x
+       |  WHERE NOT EXISTS (SELECT 1 FROM l0 v WHERE v.seed = x.seed AND v.node = x.node)
+       |    AND NOT EXISTS (SELECT 1 FROM l1 v WHERE v.seed = x.seed AND v.node = x.node)),
+       |l3 AS (
+       |  SELECT x.seed, x.node, x.sigma FROM (
+       |    SELECT l.seed, p.idb AS node, sum(l.sigma) AS sigma
+       |    FROM l2 l JOIN pairs p ON l.node = p.ida GROUP BY 1, 2) x
+       |  WHERE NOT EXISTS (SELECT 1 FROM l0 v WHERE v.seed = x.seed AND v.node = x.node)
+       |    AND NOT EXISTS (SELECT 1 FROM l1 v WHERE v.seed = x.seed AND v.node = x.node)
+       |    AND NOT EXISTS (SELECT 1 FROM l2 v WHERE v.seed = x.seed AND v.node = x.node)),
+       |s32 AS (
+       |  SELECT l.seed, l.node,
+       |         sum(CAST(round(1e9 * (CAST(l.sigma AS DOUBLE) / CAST(n.sigma AS DOUBLE))
+       |               * (1.0 + CAST(0 AS DOUBLE) / 1e9)) AS BIGINT)) AS dn
+       |  FROM l2 l JOIN pairs p ON l.node = p.ida
+       |  JOIN l3 n ON n.seed = l.seed AND n.node = p.idb
+       |  GROUP BY 1, 2),
+       |d2 AS (
+       |  SELECT l.seed, l.node, coalesce(s.dn, 0) AS delta_nano
+       |  FROM l2 l LEFT JOIN s32 s ON s.seed = l.seed AND s.node = l.node),
+       |s21 AS (
+       |  SELECT l.seed, l.node,
+       |         sum(CAST(round(1e9 * (CAST(l.sigma AS DOUBLE) / CAST(n.sigma AS DOUBLE))
+       |               * (1.0 + CAST(d.delta_nano AS DOUBLE) / 1e9)) AS BIGINT)) AS dn
+       |  FROM l1 l JOIN pairs p ON l.node = p.ida
+       |  JOIN l2 n ON n.seed = l.seed AND n.node = p.idb
+       |  JOIN d2 d ON d.seed = l.seed AND d.node = p.idb
+       |  GROUP BY 1, 2),
+       |d1 AS (
+       |  SELECT l.seed, l.node, coalesce(s.dn, 0) AS delta_nano
+       |  FROM l1 l LEFT JOIN s21 s ON s.seed = l.seed AND s.node = l.node),
+       |bc AS (
+       |  SELECT node, sum(CAST(delta_nano AS HUGEINT)) AS bc_nano
+       |  FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+       |  GROUP BY 1 HAVING sum(CAST(delta_nano AS HUGEINT)) > 0)
+       |SELECT CAST(node AS BIGINT) AS node,
+       |       CAST(round(CAST(bc_nano AS DOUBLE) / 1e3) AS BIGINT)
+       |         AS betweenness_micro
+       |FROM bc ORDER BY bc_nano DESC, node LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_betweenness" -> (betweenness _),
     "graph_khop_reach" -> (khopReach _),
     "geo_dbscan" -> (dbscan _),
     "geo_point_in_polygon" -> (pointInPolygon _),
@@ -543,6 +675,7 @@ object GeoOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "graph_betweenness" -> betweennessSql,
     "graph_khop_reach" -> khopReachSql,
     "geo_dbscan" -> dbscanSql,
     "geo_point_in_polygon" -> pointInPolygonSql,

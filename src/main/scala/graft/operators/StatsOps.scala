@@ -2132,6 +2132,67 @@ object StatsOps {
       |         AS atkinson_micro
       |FROM m CROSS JOIN t""".stripMargin
 
+  /** FRIEDMAN TEST — the REPEATED-MEASURES rank test completing the
+    * nonparametric family ([[mannWhitney]] two independent samples,
+    * [[wilcoxonSigned]] two paired, [[kruskalWallis]] k independent —
+    * this is k TREATMENTS × n BLOCKS): does order priority (k=5
+    * treatments) shift monthly revenue when each MONTH is its own block
+    * (removing the day-to-day level the independent-sample tests
+    * drown in)? Ranks are within-block over the 5 per-priority monthly cents
+    * sums (deterministic total order: cents, then priority key — exact
+    * integer sums make real ties vanishingly rare and the tie-break
+    * identical cross-engine); χ²_F = 12/(n·k·(k+1))·ΣR_j² − 3n(k+1),
+    * df = k−1.
+    *
+    * Scale shape: one map-side-combinable (day, prio) agg; the rank
+    * window runs per block over exactly k rows; the fold is a k-key
+    * agg. Blocks missing any treatment drop (complete-block design). */
+  def friedman(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val cells = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("day"),
+        substring(col("o_orderpriority"), 1, 1).as("prio"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val complete = cells.groupBy(col("day")).agg(count(lit(1)).as("nk"))
+      .filter(col("nk") === k).select(col("day"))
+    val ranked = cells.join(complete, "day")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("day")).orderBy(col("cents"), col("prio"))))
+    val rj = ranked.groupBy(col("prio"))
+      .agg(sum(col("r").cast("long")).as("rj"), count(lit(1)).as("n"))
+    val m = rj.agg(max(col("n")).as("n"),
+      sum(dec(col("rj")) * col("rj")).as("srj2"))
+    val nd = col("n").cast("double")
+    val chi2 = lit(12.0) / (nd * k * (k + 1)) *
+      col("srj2").cast("double") - lit(3.0) * nd * (k + 1)
+    m.select(col("n").as("n_blocks"), lit(k.toLong).as("k_treatments"),
+      round(lit(1e3) * chi2).cast("long").as("chi2_milli"))
+      // chi2(df=4) 5% critical value 9.488
+      .withColumn("shifted_5pct", col("chi2_milli") > lit(9488L))
+  }
+
+  val friedmanSql: String =
+    """WITH cells AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS day,
+      |         substring(o_orderpriority, 1, 1) AS prio,
+      |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |complete AS (SELECT day FROM cells GROUP BY 1 HAVING count(*) = 5),
+      |ranked AS (
+      |  SELECT c.prio,
+      |         row_number() OVER (PARTITION BY c.day ORDER BY c.cents, c.prio) AS r
+      |  FROM cells c JOIN complete USING (day)),
+      |rj AS (SELECT prio, sum(r) AS rj, count(*) AS n FROM ranked GROUP BY 1),
+      |m AS (SELECT max(n) AS n, sum(CAST(rj AS HUGEINT) * rj) AS srj2 FROM rj)
+      |SELECT CAST(n AS BIGINT) AS n_blocks, CAST(5 AS BIGINT) AS k_treatments,
+      |       CAST(round(1e3 * (12.0 / (CAST(n AS DOUBLE) * 5 * 6)
+      |              * CAST(srj2 AS DOUBLE) - 3.0 * CAST(n AS DOUBLE) * 6))
+      |         AS BIGINT) AS chi2_milli,
+      |       CAST(round(1e3 * (12.0 / (CAST(n AS DOUBLE) * 5 * 6)
+      |              * CAST(srj2 AS DOUBLE) - 3.0 * CAST(n AS DOUBLE) * 6))
+      |         AS BIGINT) > 9488 AS shifted_5pct
+      |FROM m""".stripMargin
+
   /** WILCOXON SIGNED-RANK test on PAIRED per-user spend (first half
     * of the month vs second half, day-of-month ≤ 15 the split) — the
     * paired companion to [[mannWhitney]]'s independent-samples rank
@@ -2221,6 +2282,7 @@ object StatsOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_theil_index" -> (theilIndex _),
+    "stats_friedman" -> (friedman _),
     "stats_wilcoxon_signed" -> (wilcoxonSigned _),
     "stats_anderson_darling" -> (andersonDarling _),
     "stats_runs_test" -> (runsTest _),
@@ -2251,6 +2313,7 @@ object StatsOps {
 
   def oracle: Map[String, String] = Map(
     "agg_theil_index" -> theilIndexSql,
+    "stats_friedman" -> friedmanSql,
     "stats_wilcoxon_signed" -> wilcoxonSignedSql,
     "stats_anderson_darling" -> andersonDarlingSql,
     "stats_runs_test" -> runsTestSql,

