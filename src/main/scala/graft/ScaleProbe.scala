@@ -333,6 +333,31 @@ object ScaleProbe {
       println(sb.toString)
       spark.stop(); return
     }
+    if (args.headOption.contains("friedman-stages")) {
+      def t(label: String, f: () => Long): Unit = {
+        f()
+        val s = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); val n = f()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"$label: ${s.map(_._1).min}%.2f s (${s.head._2} rows)")
+      }
+      val o = Tables.orders(spark, big)
+      t("scan_count", () => o.count())
+      t("agg_custkey", () => o.groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))).count())
+      t("agg_month_str", () => o.groupBy(
+        date_format(col("o_orderdate"), "yyyy-MM"),
+        substring(col("o_orderpriority"), 1, 1))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))).count())
+      t("agg_month_trunc", () => o.groupBy(
+        date_trunc("month", col("o_orderdate")),
+        substring(col("o_orderpriority"), 1, 1))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))).count())
+      t("friedman_full", () =>
+        graft.operators.StatsOps.friedman(spark, big).count())
+      spark.stop(); return
+    }
     if (args.headOption.contains("rangecell-stages")) {
       import graft.operators.Joins
       def t(label: String, f: () => Long): Unit = {
