@@ -158,6 +158,107 @@ object MlEval {
        |            (2.0 * CAST(CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE))) AS BIGINT) AS auc_ppm
        |FROM m""".stripMargin
 
+  /** BOOTSTRAP CI FOR AUC — the error bar the point estimate lacks
+    * ([[auc]] says 0.74; is the eval pool big enough to distinguish
+    * that from 0.72? — the question every model-comparison gate must
+    * answer before declaring a winner). 64 deterministic Poisson(1)
+    * replicates (the [[graft.operators.StatsOps.bootstrapCi]]
+    * hash-weight recipe — portable md5 CDF inversion, no RNG state):
+    * each example's weight in replicate b reweights the SCORE
+    * HISTOGRAM, so every replicate's AUC reduces through the same
+    * bounded midrank scan as the point estimate — the example-level
+    * pass is one ×64 map-side fan-out into a (b, p_u) combinable agg,
+    * never 64 scans. CI = the 2nd/63rd order statistics (~95%).
+    *
+    * Scale shape: one ×64 fan-out agg (compact keys: 64 × distinct
+    * scores) + 64 bounded window scans + a 64-row rank. */
+  def bootstrapAuc(spark: SparkSession, dir: String): DataFrame = {
+    val ts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L, 4294923276L)
+    val u = graft.api.Graft.idHash(
+      concat(col("vec_id").cast("string"), lit(":"), col("b").cast("string")))
+    val w = ts.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((t, k), rest) => when(col("u") < t, lit(k.toLong)).otherwise(rest)
+    }
+    val reps = scored(spark, dir)
+      .withColumn("b", explode(sequence(lit(0L), lit(63L))))
+      .withColumn("u", u).withColumn("w", w)
+      .groupBy(col("b"), col("p_u"))
+      .agg(sum(when(col("y") === 1L, col("w")).otherwise(0L)).as("pc"),
+        sum(col("w")).as("c"))
+    val below = Window.partitionBy(col("b")).orderBy(col("p_u"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aucs = reps
+      .withColumn("nb", coalesce(sum(col("c") - col("pc")).over(below), lit(0L)))
+      .groupBy(col("b"))
+      .agg(sum(col("pc")).as("np"), sum(col("c") - col("pc")).as("nn"),
+        sum(dec(col("pc")) * (lit(2) * dec(col("nb")) + (col("c") - col("pc"))))
+          .as("u2"))
+      .select(col("b"),
+        round(lit(1e6) * col("u2").cast("double") /
+          (lit(2.0d) * (dec(col("np")) * col("nn")).cast("double")))
+          .cast("long").as("rep_ppm"))
+    val rn = Window.orderBy(col("rep_ppm"), col("b"))
+    val ci = aucs.withColumn("rn", row_number().over(rn))
+      .agg(count(lit(1)).as("b_reps"),
+        max(when(col("rn") === 2, col("rep_ppm"))).as("lo_ppm"),
+        max(when(col("rn") === 63, col("rep_ppm"))).as("hi_ppm"))
+    auc(spark, dir).select(col("auc_ppm")).crossJoin(ci)
+      .select(col("auc_ppm"), col("lo_ppm"), col("hi_ppm"), col("b_reps"))
+  }
+
+  val bootstrapAucSql: String =
+    s"""WITH $scoredSql, $histSql,
+       |scan AS (
+       |  SELECT pc, c - pc AS nc,
+       |         coalesce(sum(c - pc) OVER (ORDER BY p_u
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+       |  FROM hist),
+       |pointm AS (
+       |  SELECT sum(pc) AS n_pos, sum(nc) AS n_neg,
+       |         sum(CAST(pc AS HUGEINT) * (2 * CAST(nb AS HUGEINT) + nc)) AS u2
+       |  FROM scan),
+       |point AS (
+       |  SELECT CAST(round(1e6 * CAST(u2 AS DOUBLE) /
+       |           (2.0 * CAST(CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE))) AS BIGINT)
+       |    AS auc_ppm FROM pointm),
+       |wts AS (
+       |  SELECT p_u, y, b,
+       |         CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+       |              WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+       |              WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+       |              WHEN u < 4294609777 THEN 6 WHEN u < 4294923276 THEN 7
+       |              ELSE 8 END AS w
+       |  FROM (
+       |    SELECT s.p_u, s.y, r.b,
+       |           ('0x' || substring(md5(CAST(s.vec_id AS VARCHAR) || ':'
+       |             || CAST(r.b AS VARCHAR)), 1, 8))::BIGINT AS u
+       |    FROM scored s, (SELECT unnest(range(64)) AS b) r)),
+       |rhist AS (
+       |  SELECT b, p_u, sum(CASE WHEN y = 1 THEN w ELSE 0 END) AS pc, sum(w) AS c
+       |  FROM wts GROUP BY 1, 2),
+       |rscan AS (
+       |  SELECT b, pc, c - pc AS nc,
+       |         coalesce(sum(c - pc) OVER (PARTITION BY b ORDER BY p_u
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+       |  FROM rhist),
+       |raucs AS (
+       |  SELECT b,
+       |         CAST(round(1e6 * CAST(sum(CAST(pc AS HUGEINT)
+       |                * (2 * CAST(nb AS HUGEINT) + nc)) AS DOUBLE)
+       |           / (2.0 * CAST(CAST(sum(pc) AS HUGEINT) * sum(nc) AS DOUBLE)))
+       |           AS BIGINT) AS rep_ppm
+       |  FROM rscan GROUP BY 1),
+       |ranked AS (
+       |  SELECT rep_ppm, row_number() OVER (ORDER BY rep_ppm, b) AS rn FROM raucs),
+       |ci AS (
+       |  SELECT count(*) AS b_reps,
+       |         max(CASE WHEN rn = 2 THEN rep_ppm END) AS lo_ppm,
+       |         max(CASE WHEN rn = 63 THEN rep_ppm END) AS hi_ppm
+       |  FROM ranked)
+       |SELECT p.auc_ppm, ci.lo_ppm, ci.hi_ppm, CAST(ci.b_reps AS BIGINT) AS b_reps
+       |FROM point p CROSS JOIN ci""".stripMargin
+
   // ---------------------------------------------------------------
   // Precision/recall sweep over fixed thresholds
   // ---------------------------------------------------------------
@@ -1645,6 +1746,7 @@ object MlEval {
     "ml_best_threshold" -> (bestThreshold _),
     "ml_confusion" -> (confusion _),
     "ml_auc" -> (auc _),
+    "ml_bootstrap_auc" -> (bootstrapAuc _),
     "ml_pr_thresholds" -> (prThresholds _),
     "ml_calibration" -> (calibration _),
     "ml_brier_logloss" -> (brierLogloss _),
@@ -1670,6 +1772,7 @@ object MlEval {
     "ml_best_threshold" -> bestThresholdSql,
     "ml_confusion" -> confusionSql,
     "ml_auc" -> aucSql,
+    "ml_bootstrap_auc" -> bootstrapAucSql,
     "ml_pr_thresholds" -> prThresholdsSql,
     "ml_calibration" -> calibrationSql,
     "ml_brier_logloss" -> brierLoglossSql,

@@ -217,6 +217,18 @@ class Round14OpsSpec extends SparkSpec {
     assert(vals.toSeq === vals.sortBy(-_).toSeq)
   }
 
+  test("bootstrap auc: CI brackets the point estimate and is ordered") {
+    val r = MlEval.bootstrapAuc(spark, sf).collect()(0)
+    assert(r.getAs[Long]("b_reps") === 64L)
+    val (auc, lo, hi) = (r.getAs[Long]("auc_ppm"),
+      r.getAs[Long]("lo_ppm"), r.getAs[Long]("hi_ppm"))
+    assert(lo <= hi)
+    // the ~95% interval should bracket the point estimate on a pool
+    // this size (resampling noise moves reps around the point value)
+    assert(lo <= auc && auc <= hi, s"[$lo, $hi] should bracket $auc")
+    assert(lo > 0 && hi < 1000000)
+  }
+
   // ---- codecs -------------------------------------------------------
 
   test("ogg page: lacing-table fold equals the synthesized body size; 64-bit granule") {
