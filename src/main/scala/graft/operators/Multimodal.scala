@@ -1497,7 +1497,70 @@ object Multimodal {
       |       CAST((16 + n_chars % 1000) * (16 + doc_id % 800) AS BIGINT) AS pixels
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** ICO directory decode — the 19th codec, adding the SENTINEL-VALUE
+    * parse mode: ICONDIRENTRY stores width/height as ONE byte where
+    * 0 MEANS 256 (the format outgrew its own field — the same trap as
+    * MP3's `0 = invalid` bitrate index, but as a silent remap rather
+    * than a reject), so a parser that trusts the raw byte under-sizes
+    * every 256-pixel icon. The directory is count-driven (idCount
+    * 16-byte entries); the parse walks entry 0 and re-derives the
+    * first image's byte offset = 6 + 16·count, cross-checking it
+    * against the stored dwImageOffset — a parsed-count × stride
+    * consistency proof. Corpus: every 8th doc gets a 256-wide icon
+    * (the sentinel case). */
+  def icoHeader(spark: SparkSession, dir: String): DataFrame = {
+    val count = (lit(1) + pmod(col("doc_id"), lit(3))).cast("long")
+    val wReal = when(pmod(col("doc_id"), lit(8)) === 0, lit(256L))
+      .otherwise(lit(16L) + pmod(col("n_chars"), lit(240L)))
+    val hReal = (lit(16L) + pmod(col("doc_id"), lit(240L))).cast("long")
+    val bpp = lit(32L)
+    val imgBytes = wReal * hReal * 4L
+    def leHex(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    // sentinel encode: 256 -> 0 in the one-byte dims
+    def dimByte(v: org.apache.spark.sql.Column) = leHex(pmod(v, lit(256L)), 1)
+    val offset = lit(6L) + count * 16L
+    val entry0 = concat(
+      dimByte(wReal), dimByte(hReal),
+      lit("00"), lit("00"),                  // palette count, reserved
+      leHex(lit(1L), 2), leHex(bpp, 2),      // planes, bpp
+      leHex(imgBytes, 4), leHex(offset, 4))  // image size, offset
+    val ico = unhex(concat(
+      lit("0000"), leHex(lit(1L), 2), leHex(count, 2), entry0))
+    val bytes = Tables.documents(spark, dir)
+      .select(col("doc_id"), prefixBytes(ico, 22).as("bytes"))
+    def le(pos: Int, len: Int) = leAt(col("bytes"), pos, len)
+    // sentinel decode: 0 -> 256
+    def dim(pos: Int) = when(le(pos, 1) === 0L, lit(256L)).otherwise(le(pos, 1))
+    bytes.select(col("doc_id"),
+        (le(1, 2) === 0L && le(3, 2) === 1L).as("magic_ok"),
+        le(5, 2).as("n_images"),
+        dim(7).as("width"), dim(8).as("height"),
+        le(13, 2).as("bits_per_pixel"),
+        le(15, 4).as("image_bytes"),
+        // parsed-count x stride identity: stored offset must equal
+        // the directory size the count implies
+        (le(19, 4) === lit(6L) + le(5, 2) * 16L).as("offset_consistent"),
+        (dim(7) * dim(8) * (le(13, 2) / 8L).cast("long") === le(15, 4))
+          .as("size_consistent"))
+      .orderBy(col("doc_id"))
+  }
+
+  val icoHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok,
+      |       CAST(1 + doc_id % 3 AS BIGINT) AS n_images,
+      |       CAST(CASE WHEN doc_id % 8 = 0 THEN 256
+      |                 ELSE 16 + n_chars % 240 END AS BIGINT) AS width,
+      |       CAST(16 + doc_id % 240 AS BIGINT) AS height,
+      |       CAST(32 AS BIGINT) AS bits_per_pixel,
+      |       CAST((CASE WHEN doc_id % 8 = 0 THEN 256
+      |                  ELSE 16 + n_chars % 240 END)
+      |            * (16 + doc_id % 240) * 4 AS BIGINT) AS image_bytes,
+      |       TRUE AS offset_consistent, TRUE AS size_consistent
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_ico_header" -> (icoHeader _),
     "mm_ogg_page" -> (oggPage _),
     "mm_webp_header" -> (webpHeader _),
     "mm_elf_header" -> (elfHeader _),
@@ -1525,6 +1588,7 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_ico_header" -> icoHeaderSql,
     "mm_ogg_page" -> oggPageSql,
     "mm_webp_header" -> webpHeaderSql,
     "mm_elf_header" -> elfHeaderSql,

@@ -245,6 +245,21 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("ico: 0-means-256 sentinel decodes; offset/size identities hold") {
+    val rows = Multimodal.icoHeader(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var sentinels = 0
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("magic_ok"))
+      assert(r.getAs[Boolean]("offset_consistent"))
+      assert(r.getAs[Boolean]("size_consistent"))
+      val w = r.getAs[Long]("width")
+      assert(w >= 16 && w <= 256)
+      if (r.getAs[Long]("doc_id") % 8 == 0) { assert(w === 256L); sentinels += 1 }
+    }
+    assert(sentinels > 0, "corpus must exercise the 0-means-256 case")
+  }
+
   test("webp: bit-packed VP8L dims round-trip; variants split by parity") {
     val rows = Multimodal.webpHeader(spark, sf).collect()
     assert(rows.nonEmpty)
