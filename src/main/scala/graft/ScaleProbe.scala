@@ -940,11 +940,16 @@ object ScaleProbe {
     // construction — only the candidate work differs.
     def rangeDeep(n: Int, route: String): () => Long = () => {
       val hourNs = 3600L * 1000L * 1000L * 1000L
-      val span = n.toLong * hourNs / 10L // ~10 rows/side/hour at any n
+      // constant rate 10 rows/side/hour at ANY n: row i owns slot
+      // i·(hour/10) with a deterministic in-slot jitter (a plain
+      // `i·K % span` spread fails silently — K·n ≪ span leaves every
+      // row in the first cells and degenerates both routes, measured)
+      val slot = hourNs / 10L
       val err = spark.range(0, n).select(col("id").as("err_id"),
-        lit(1L).as("err_user"), (col("id") * 7919L % span).as("err_ts"))
+        lit(1L).as("err_user"),
+        (col("id") * slot + col("id") * 7919L % slot).as("err_ts"))
       val fol = spark.range(0, n).select(lit(1L).as("user_id"),
-        (col("id") * 104729L % span).as("ts_ns"))
+        (col("id") * slot + col("id") * 104729L % slot).as("ts_ns"))
       route match {
         case "user-key" =>
           err.join(fol, col("err_user") === col("user_id") &&
@@ -961,12 +966,16 @@ object ScaleProbe {
             col("ts_ns") <= col("err_ts") + hourNs).count()
       }
     }
+    // sized so the quadratic term is visible over codegen's raw
+    // compare speed: at 10^4/side the baseline's 10^8 candidate evals
+    // hide under ~0.2 s of vectorized compares; at 10^5 they are 10^10
+    // and the law shows (the cell route's candidates stay ~linear)
     val rangeDeepRows = Seq(
       "user-key" -> "range_userkey_deep (user-keyed baseline: candidates = |err|x|hist| on the hot key)",
       "cell" -> "range_cell_deep ((user, cell) composite key: candidates bounded by per-hour density)").map {
       case (route, label) =>
-        val (s1, _) = timeSecond(rangeDeep(1000, route))
-        val (s2, _) = timeSecond(rangeDeep(10000, route))
+        val (s1, _) = timeSecond(rangeDeep(10000, route))
+        val (s2, _) = timeSecond(rangeDeep(100000, route))
         (label, s1, s2)
     }
 
@@ -1101,7 +1110,7 @@ object ScaleProbe {
     asofRows.foreach { case (label, s1, s2) =>
       sb.append(f"| $label | $s1%.2f | $s2%.2f | ${s2 / s1}%.1fx |\n")
     }
-    sb.append("\n## Interval-join deep-history probe (one hot user, 10^3 -> 10^4 rows/side, constant rate)\n\n")
+    sb.append("\n## Interval-join deep-history probe (one hot user, 10^4 -> 10^5 rows/side, constant rate)\n\n")
     sb.append("The per-key-depth law for BANDED interval joins (r13 verdict #4):\n")
     sb.append("`join_range_events` hash-joins on user_id alone, so a hot user's\n")
     sb.append("candidate pairs are |errors_u| x |events_u| — quadratic in history\n")
@@ -1111,7 +1120,7 @@ object ScaleProbe {
     sb.append("event maps to exactly one, so no dedup pass), bounding candidates\n")
     sb.append("by per-hour density. Both routes return identical rows; the\n")
     sb.append("baseline stays registered as the documented correctness twin.\n\n")
-    sb.append("| route | 10^3 s | 10^4 s | time ratio (10x depth) |\n|---|---|---|---|\n")
+    sb.append("| route | 10^4 s | 10^5 s | time ratio (10x depth) |\n|---|---|---|---|\n")
     rangeDeepRows.foreach { case (label, s1, s2) =>
       sb.append(f"| $label | $s1%.2f | $s2%.2f | ${s2 / s1}%.1fx |\n")
     }
