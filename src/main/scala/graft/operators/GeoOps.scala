@@ -664,7 +664,138 @@ object GeoOps {
        |         AS betweenness_micro
        |FROM bc ORDER BY bc_nano DESC, node LIMIT 20""".stripMargin
 
+  /** SEEDED HARMONIC CLOSENESS (depth-3) — the "how CENTRAL is this
+    * node" reach-weighted companion to [[betweenness]]'s "how much
+    * flows THROUGH it": C(u) = Σ_v 1/d(u,v) over the ≤3-hop
+    * neighborhood (harmonic form, so disconnected pairs contribute 0
+    * instead of breaking the mean — the variant that survives the
+    * subcritical graph's many small components). Same bounded seed
+    * slice and unrolled level-synchronous BFS as [[khopReach]] (the
+    * r14 one-plan shape: per-hop distinct frontiers, ONE min-hop fold
+    * at the end); per-node contributions quantize 1/d once to milli
+    * (1000/500/333) so both engines sum identical longs.
+    *
+    * Scale: 3 key-partitioned joins in one declarative plan; seeds
+    * bound the rows, the percolation argument bounds the frontier. */
+  def closeness(spark: SparkSession, dir: String): DataFrame = {
+    val (pts, pairs) = epsGraph(spark, dir)
+    val edges = pairs.select(col("ida").as("node"), col("idb"))
+    val seeds = pts.filter(col("id") % 100 === 0)
+      .select(col("id").as("seed"))
+    val f0 = seeds.select(col("seed"), col("seed").as("node"))
+    def expand(f: DataFrame): DataFrame =
+      f.join(edges, Seq("node"))
+        .select(col("seed"), col("idb").as("node")).distinct()
+    val f1 = expand(f0)
+    val f2 = expand(f1)
+    val f3 = expand(f2)
+    def tag(f: DataFrame, h: Long): DataFrame =
+      f.select(col("seed"), col("node"), lit(h).as("hop"))
+    val reach = tag(f0, 0L).unionByName(tag(f1, 1L))
+      .unionByName(tag(f2, 2L)).unionByName(tag(f3, 3L))
+      .groupBy(col("seed"), col("node")).agg(min(col("hop")).as("hop"))
+    reach.groupBy(col("seed"))
+      .agg(sum(when(col("hop") >= 1L, 1L).otherwise(0L)).as("n_reach"),
+        sum(when(col("hop") === 1L, 1000L).when(col("hop") === 2L, 500L)
+          .when(col("hop") === 3L, 333L).otherwise(0L)).as("harmonic_milli"))
+      .orderBy(col("seed"))
+  }
+
+  val closenessSql: String =
+    s"""WITH RECURSIVE $epsGraphSql,
+      |seeds AS (SELECT id FROM pts WHERE id % 100 = 0),
+      |walk(seed, node, hop) AS (
+      |  SELECT id, id, 0 FROM seeds
+      |  UNION
+      |  SELECT w.seed, p.idb, w.hop + 1
+      |  FROM walk w JOIN pairs p ON w.node = p.ida
+      |  WHERE w.hop < 3),
+      |mh AS (SELECT seed, node, min(hop) AS hop FROM walk GROUP BY 1, 2)
+      |SELECT CAST(seed AS BIGINT) AS seed,
+      |       CAST(sum(CASE WHEN hop >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_reach,
+      |       CAST(sum(CASE hop WHEN 1 THEN 1000 WHEN 2 THEN 500
+      |                WHEN 3 THEN 333 ELSE 0 END) AS BIGINT) AS harmonic_milli
+      |FROM mh GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** GEOHASH cell census — the standard interleaved-bit spatial key
+    * (the public base32 encoding behind location indexing): each
+    * customer's (lat, lon) quantizes to 15 integer bits per axis
+    * (EXACT integer arithmetic — the coordinates are 2-decimal by
+    * construction, so centi-degrees are integers and the bit value is
+    * one integer multiply + div, never a float), the 30 bits
+    * interleave lon-first, and the 6-char base32 string is a
+    * substring lookup per 5-bit group. The census reports the top-20
+    * densest cells with the DECODED cell-center (de-interleave → bit
+    * reversal → exact milli-degrees) — encode/decode roundtrip proof
+    * in the result itself.
+    *
+    * Scale: map-only encode (pure bit arithmetic, codegen-friendly),
+    * one compact-key census agg — the [[cellCensus]] shape with a
+    * portable key. */
+  def geohash(spark: SparkSession, dir: String): DataFrame = {
+    val a = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val enc = Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"),
+      (pmod(col("c_custkey") * 37, lit(12000)) + lit(3000)).as("latc9"),
+      pmod(col("c_custkey") * 91, lit(36000)).as("lonc18"))
+      // 15-bit axis values: (centi + offset) * 2^15 div span — exact
+      .withColumn("latb", expr("(latc9 * 32768) div 18000"))
+      .withColumn("lonb", expr("(lonc18 * 32768) div 36000"))
+      .withColumn("v",
+        (0 until 15).map(j =>
+          (shiftright(col("lonb"), j) % 2) * lit(1L << (2 * j + 1)) +
+            (shiftright(col("latb"), j) % 2) * lit(1L << (2 * j)))
+          .reduce(_ + _))
+      .withColumn("gh", concat((0 until 6).map(k =>
+        expr(s"substring('$a', CAST((v div ${1L << (25 - 5 * k)}) % 32 AS INT) + 1, 1)")): _*))
+    enc.groupBy(col("gh")).agg(count(lit(1)).as("n_customers"),
+        max(col("v")).as("v"))
+      // decode the cell center back out of the interleaved bits
+      .withColumn("latb", (0 until 15).map(j =>
+        (shiftright(col("v"), 2 * j) % 2) * lit(1L << j)).reduce(_ + _))
+      .withColumn("lonb", (0 until 15).map(j =>
+        (shiftright(col("v"), 2 * j + 1) % 2) * lit(1L << j)).reduce(_ + _))
+      .select(col("gh").as("geohash"), col("n_customers"),
+        (expr("((2 * latb + 1) * 180000) div 65536") - lit(90000L))
+          .cast("long").as("center_lat_milli"),
+        (expr("((2 * lonb + 1) * 360000) div 65536") - lit(180000L))
+          .cast("long").as("center_lon_milli"))
+      .orderBy(col("n_customers").desc, col("geohash"))
+      .limit(20)
+  }
+
+  val geohashSql: String = {
+    val a = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val inter = (0 until 15).map(j =>
+      s"((lonb >> $j) & 1) * ${1L << (2 * j + 1)} + ((latb >> $j) & 1) * ${1L << (2 * j)}")
+      .mkString(" + ")
+    val chars = (0 until 6).map(k =>
+      s"substr('$a', CAST((v // ${1L << (25 - 5 * k)}) % 32 AS INT) + 1, 1)")
+      .mkString(" || ")
+    val deLat = (0 until 15).map(j => s"((v >> ${2 * j}) & 1) * ${1L << j}").mkString(" + ")
+    val deLon = (0 until 15).map(j => s"((v >> ${2 * j + 1}) & 1) * ${1L << j}").mkString(" + ")
+    s"""WITH axes AS (
+      |  SELECT c_custkey AS id,
+      |         ((c_custkey * 37) % 12000 + 3000) * 32768 // 18000 AS latb,
+      |         ((c_custkey * 91) % 36000) * 32768 // 36000 AS lonb
+      |  FROM customer),
+      |iv AS (SELECT id, $inter AS v FROM axes),
+      |enc AS (SELECT id, v, $chars AS gh FROM iv),
+      |census AS (
+      |  SELECT gh, count(*) AS n_customers, max(v) AS v
+      |  FROM enc GROUP BY 1),
+      |dec_ AS (SELECT gh, n_customers, $deLat AS latb, $deLon AS lonb FROM census)
+      |SELECT gh AS geohash, CAST(n_customers AS BIGINT) AS n_customers,
+      |       CAST(((2 * latb + 1) * 180000) // 65536 - 90000 AS BIGINT)
+      |         AS center_lat_milli,
+      |       CAST(((2 * lonb + 1) * 360000) // 65536 - 180000 AS BIGINT)
+      |         AS center_lon_milli
+      |FROM dec_ ORDER BY n_customers DESC, geohash LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_closeness" -> (closeness _),
+    "geo_geohash" -> (geohash _),
     "graph_betweenness" -> (betweenness _),
     "graph_khop_reach" -> (khopReach _),
     "geo_dbscan" -> (dbscan _),
@@ -675,6 +806,8 @@ object GeoOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "graph_closeness" -> closenessSql,
+    "geo_geohash" -> geohashSql,
     "graph_betweenness" -> betweennessSql,
     "graph_khop_reach" -> khopReachSql,
     "geo_dbscan" -> dbscanSql,

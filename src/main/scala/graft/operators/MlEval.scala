@@ -1738,7 +1738,157 @@ object MlEval {
       |             / (100.0 * count(*))) AS BIGINT) AS pinball_milli
       |FROM loss GROUP BY 1, 2 ORDER BY seg, q_pct""".stripMargin
 
+  /** MATTHEWS CORRELATION + the balanced-operating-point siblings —
+    * the single-number verdicts [[confusion]]'s precision/recall/F1
+    * miss on IMBALANCED pools (F1 ignores tn entirely; accuracy
+    * saturates): MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    * is the φ coefficient of the 2×2 table (the chance-corrected
+    * metric a class-skewed training-data gate should read first),
+    * plus balanced accuracy (tpr+tnr)/2, Youden's J (= tpr+tnr−1,
+    * the [[bestThreshold]] objective AT the fixed 0.5 point), and
+    * markedness (ppv+npv−1, its dual). Any empty margin ⇒ NULL MCC
+    * in both engines.
+    *
+    * Exactness: the four cells are exact BIGINTs from one scan; the
+    * four marginal products ride DECIMAL(38,0)/HUGEINT (tp·tn alone
+    * wraps a BIGINT at ~3e9 rows/cell — real at 100 TB); each metric
+    * is ONE double expression, ppm-quantized. Scale: one full-scan
+    * agg, no joins. */
+  def mcc(spark: SparkSession, dir: String): DataFrame = {
+    val pred = col("p_u") >= 500000L
+    def d(c: Column) = c.cast("double")
+    scored(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(pred && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && col("y") === 0L, 1L).otherwise(0L)).as("tn"),
+        sum(when(!pred && col("y") === 1L, 1L).otherwise(0L)).as("fn"))
+      .withColumn("den",
+        dec(col("tp") + col("fp")) * (col("tp") + col("fn")) *
+          (col("tn") + col("fp")) * (col("tn") + col("fn")))
+      .select(col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+        when(col("den") > 0,
+          round(lit(1e6) *
+            (dec(col("tp")) * col("tn") - dec(col("fp")) * col("fn")).cast("double") /
+            sqrt(col("den").cast("double"))).cast("long")).as("mcc_ppm"),
+        when(col("tp") + col("fn") > 0 && col("tn") + col("fp") > 0,
+          round(lit(5e5) * (d(col("tp")) / d(col("tp") + col("fn")) +
+            d(col("tn")) / d(col("tn") + col("fp")))).cast("long"))
+          .as("balanced_acc_ppm"),
+        when(col("tp") + col("fn") > 0 && col("tn") + col("fp") > 0,
+          round(lit(1e6) * (d(col("tp")) / d(col("tp") + col("fn")) +
+            d(col("tn")) / d(col("tn") + col("fp")) - lit(1d))).cast("long"))
+          .as("youden_j_ppm"),
+        when(col("tp") + col("fp") > 0 && col("tn") + col("fn") > 0,
+          round(lit(1e6) * (d(col("tp")) / d(col("tp") + col("fp")) +
+            d(col("tn")) / d(col("tn") + col("fn")) - lit(1d))).cast("long"))
+          .as("markedness_ppm"))
+  }
+
+  val mccSql: String =
+    s"""WITH $scoredSql,
+      |m AS (
+      |  SELECT count(*) AS n,
+      |         sum(CASE WHEN p_u >= 500000 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+      |         sum(CASE WHEN p_u >= 500000 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+      |         sum(CASE WHEN p_u < 500000 AND y = 0 THEN 1 ELSE 0 END) AS tn,
+      |         sum(CASE WHEN p_u < 500000 AND y = 1 THEN 1 ELSE 0 END) AS fn
+      |  FROM scored),
+      |d AS (
+      |  SELECT *, CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn) AS den
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(tp AS BIGINT) AS tp,
+      |       CAST(fp AS BIGINT) AS fp, CAST(tn AS BIGINT) AS tn,
+      |       CAST(fn AS BIGINT) AS fn,
+      |       CASE WHEN den > 0 THEN
+      |         CAST(round(1e6 * CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+      |                AS DOUBLE) / sqrt(CAST(den AS DOUBLE))) AS BIGINT) END AS mcc_ppm,
+      |       CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+      |         CAST(round(5e5 * (CAST(tp AS DOUBLE) / (tp + fn)
+      |                + CAST(tn AS DOUBLE) / (tn + fp))) AS BIGINT) END
+      |         AS balanced_acc_ppm,
+      |       CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+      |         CAST(round(1e6 * (CAST(tp AS DOUBLE) / (tp + fn)
+      |                + CAST(tn AS DOUBLE) / (tn + fp) - 1.0)) AS BIGINT) END
+      |         AS youden_j_ppm,
+      |       CASE WHEN tp + fp > 0 AND tn + fn > 0 THEN
+      |         CAST(round(1e6 * (CAST(tp AS DOUBLE) / (tp + fp)
+      |                + CAST(tn AS DOUBLE) / (tn + fn) - 1.0)) AS BIGINT) END
+      |         AS markedness_ppm
+      |FROM d""".stripMargin
+
+  /** HOSMER–LEMESHOW goodness-of-fit — the χ² VERDICT on calibration
+    * ([[ece]] reports the calibration ERROR in probability units; HL
+    * answers "is the miscalibration statistically significant?"):
+    * Ĉ = Σ_g (O_g − E_g)² / (E_g(1 − E_g/n_g)) over 10 equal-count
+    * risk groups ~ χ²₈. Groups are BUCKET-ATOMIC deciles — each
+    * distinct score bucket lands wholly in the decile of its first
+    * rank (g = ⌊10·r₀/n⌋, identical arithmetic in both engines), the
+    * same discipline as the equal-depth histogram ops, so no bucket
+    * ever straddles a group boundary differently across engines.
+    *
+    * Exactness: O_g = Σy and the micro-sum E_gᵘ = Σ p_u·c are exact
+    * integers over the ≤1e6-key score histogram (E ride DECIMAL/
+    * HUGEINT); each group's term quantizes ONCE to nano before the
+    * 10-term exact sum. Scale: everything reduces through the score
+    * histogram; the decile window orders ≤1e6 rows, never data. */
+  def hosmerLemeshow(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val cum = Window.orderBy(col("p_u"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = hist(spark, dir)
+      .withColumn("r0", sum(col("c")).over(cum) - col("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      // integer division (matches the oracle's `//`): double division
+      // + floor could land a boundary bucket one decile off
+      .withColumn("g", least(expr("(10 * r0) div n"), lit(9L)).cast("long"))
+    val grp = h.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), sum(col("c")).as("n_g"),
+        sum(col("pc")).as("obs"), sum(dec(col("p_u")) * col("c")).as("e_u"))
+      .withColumn("e", d(col("e_u")) / lit(1e6))
+      .withColumn("t_nano",
+        when(col("e") > 0d && col("e") < d(col("n_g")),
+          round(lit(1e9) * (d(col("obs")) - col("e")) * (d(col("obs")) - col("e")) /
+            (col("e") * (lit(1d) - col("e") / d(col("n_g"))))).cast("long"))
+          .otherwise(0L))
+    grp.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("t_nano")).as("st"))
+      .select(col("n"), col("n_groups"), (col("n_groups") - 2L).as("df"),
+        round(d(col("st")) / lit(1e6)).cast("long").as("hl_milli"))
+      // chi2(8) 95th percentile = 15.507
+      .withColumn("miscalibrated_5pct", col("hl_milli") > lit(15507L))
+  }
+
+  val hosmerLemeshowSql: String =
+    s"""WITH $scoredSql,
+      |$histSql,
+      |ranked AS (
+      |  SELECT p_u, pc, c,
+      |         sum(c) OVER (ORDER BY p_u ROWS UNBOUNDED PRECEDING) - c AS r0,
+      |         sum(c) OVER () AS n
+      |  FROM hist),
+      |grp AS (
+      |  SELECT least((10 * r0) // n, 9) AS g, max(n) AS n, sum(c) AS n_g,
+      |         sum(pc) AS obs, sum(CAST(p_u AS HUGEINT) * c) AS e_u
+      |  FROM ranked GROUP BY 1),
+      |terms AS (
+      |  SELECT n, n_g, obs, CAST(e_u AS DOUBLE) / 1e6 AS e FROM grp),
+      |quant AS (
+      |  SELECT n,
+      |         CASE WHEN e > 0 AND e < CAST(n_g AS DOUBLE) THEN
+      |           CAST(round(1e9 * (CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e)
+      |                / (e * (1.0 - e / n_g))) AS BIGINT) ELSE 0 END AS t_nano
+      |  FROM terms)
+      |SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_groups,
+      |       CAST(count(*) - 2 AS BIGINT) AS df,
+      |       CAST(round(CAST(sum(t_nano) AS DOUBLE) / 1e6) AS BIGINT) AS hl_milli,
+      |       CAST(round(CAST(sum(t_nano) AS DOUBLE) / 1e6) AS BIGINT) > 15507
+      |         AS miscalibrated_5pct
+      |FROM quant""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_mcc" -> (mcc _),
+    "ml_hosmer_lemeshow" -> (hosmerLemeshow _),
     "ml_pinball_loss" -> (pinballLoss _),
     "ml_mcnemar" -> (mcnemar _),
     "ml_ece" -> (ece _),
@@ -1765,6 +1915,8 @@ object MlEval {
   )
 
   def oracle: Map[String, String] = Map(
+    "ml_mcc" -> mccSql,
+    "ml_hosmer_lemeshow" -> hosmerLemeshowSql,
     "ml_pinball_loss" -> pinballLossSql,
     "ml_mcnemar" -> mcnemarSql,
     "ml_ece" -> eceSql,

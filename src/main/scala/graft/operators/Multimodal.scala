@@ -1559,7 +1559,162 @@ object Multimodal {
       |       TRUE AS offset_consistent, TRUE AS size_consistent
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** SQLITE database header (20th codec) — the 1-MEANS-65536 sentinel
+    * (the DUAL of ICO's 0-means-256: the 2-byte page-size field
+    * outgrew its range at the TOP, so the minimum legal value was
+    * repurposed), a 16-byte STRING magic (every prior magic was 2–8
+    * bytes), and the family's first ENUM field (text encoding 1/2/3 →
+    * name, a closed-set decode rather than arithmetic). Layout per
+    * the public file-format doc: magic[0..15], BE u16 page size[16],
+    * write/read versions[18..19], BE u32 page count[28], BE u32 text
+    * encoding[56]. Corpus: every 8th doc gets the 65536-page-size
+    * sentinel. Pure codegen byte arithmetic, no UDF. */
+  def sqliteHeader(spark: SparkSession, dir: String): DataFrame = {
+    def beHexL(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i =>
+        lpad(hex(shiftright(v, 8 * (n - 1 - i)) % 256), 2, "0")): _*)
+    val magicHex = "53514C69746520666F726D6174203300" // "SQLite format 3\0"
+    val realPage = expr("shiftleft(512L, CAST(doc_id % 8 AS INT))").cast("long")
+    val storedPage = when(realPage === 65536L, lit(1L)).otherwise(realPage)
+    val wv = (lit(1L) + pmod(col("doc_id"), lit(2))).cast("long")
+    val pageCount = (lit(1L) + col("n_chars")).cast("long")
+    val enc = (lit(1L) + pmod(col("doc_id"), lit(3))).cast("long")
+    val payload = unhex(concat(
+      lit(magicHex), beHexL(storedPage, 2), beHexL(wv, 1), beHexL(wv, 1),
+      lit("00" * 8), beHexL(pageCount, 4), lit("00" * 24), beHexL(enc, 4)))
+    val bytes = Tables.documents(spark, dir)
+      .select(col("doc_id"), prefixBytes(payload, 60).as("bytes"))
+    def be(pos: Int, len: Int) = beAt(col("bytes"), pos, len)
+    bytes.select(col("doc_id"),
+        (concat((1 to 16).map(i => lpad(hex(element_at(col("bytes"), i)), 2, "0")): _*)
+          === lit(magicHex)).as("magic_ok"),
+        // sentinel decode: 1 -> 65536
+        when(be(17, 2) === 1L, lit(65536L)).otherwise(be(17, 2)).as("page_size"),
+        be(19, 1).as("write_version"),
+        be(29, 4).as("page_count"),
+        (when(be(17, 2) === 1L, lit(65536L)).otherwise(be(17, 2)) * be(29, 4))
+          .as("db_bytes"),
+        when(be(57, 4) === 1L, "utf8").when(be(57, 4) === 2L, "utf16le")
+          .when(be(57, 4) === 3L, "utf16be").otherwise("invalid")
+          .as("text_encoding"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sqliteHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok,
+      |       CAST(512 * (1 << (doc_id % 8)) AS BIGINT) AS page_size,
+      |       CAST(1 + doc_id % 2 AS BIGINT) AS write_version,
+      |       CAST(1 + n_chars AS BIGINT) AS page_count,
+      |       CAST(512 * (1 << (doc_id % 8)) AS BIGINT) * (1 + n_chars) AS db_bytes,
+      |       CASE CAST(1 + doc_id % 3 AS BIGINT) WHEN 1 THEN 'utf8'
+      |            WHEN 2 THEN 'utf16le' ELSE 'utf16be' END AS text_encoding
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** PCAP global header (21st codec) — ENDIANNESS SELF-DETECTION: the
+    * writer emits the magic 0xA1B2C3D4 in ITS native byte order, so
+    * the reader learns the byte order of every following field from
+    * which of the two magic readings matches (all prior codecs fixed
+    * the order per format or per field — here the FILE declares it,
+    * and every field decode is conditional on that discovery).
+    * 24-byte layout: magic[0], u16 major/minor[4,6], i32 tz[8],
+    * u32 sigfigs[12], u32 snaplen[16], u32 linktype[20]. Corpus:
+    * even docs write big-endian, odd docs little-endian. */
+  def pcapHeader(spark: SparkSession, dir: String): DataFrame = {
+    def beHexL(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i =>
+        lpad(hex(shiftright(v, 8 * (n - 1 - i)) % 256), 2, "0")): _*)
+    def leHexL(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i =>
+        lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    val isBig = pmod(col("doc_id"), lit(2)) === 0
+    val snaplen = (lit(256L) + pmod(col("n_chars"), lit(65280))).cast("long")
+    val linktype = (lit(1L) + pmod(col("doc_id"), lit(10))).cast("long")
+    def field(v: org.apache.spark.sql.Column, n: Int) =
+      when(isBig, beHexL(v, n)).otherwise(leHexL(v, n))
+    val payload = unhex(concat(
+      field(lit(0xA1B2C3D4L), 4), field(lit(2L), 2), field(lit(4L), 2),
+      field(lit(0L), 4), field(lit(0L), 4), field(snaplen, 4),
+      field(linktype, 4)))
+    val bytes = Tables.documents(spark, dir)
+      .select(col("doc_id"), prefixBytes(payload, 24).as("bytes"))
+    def be(pos: Int, len: Int) = beAt(col("bytes"), pos, len)
+    def le(pos: Int, len: Int) = leAt(col("bytes"), pos, len)
+    val big = be(1, 4) === 0xA1B2C3D4L
+    val lit_ = le(1, 4) === 0xA1B2C3D4L
+    def rd(pos: Int, len: Int) =
+      when(big, be(pos, len)).otherwise(le(pos, len))
+    bytes.select(col("doc_id"),
+        (big || lit_).as("magic_ok"),
+        when(big, "big").when(lit_, "little").otherwise("invalid")
+          .as("byte_order"),
+        rd(5, 2).as("version_major"), rd(7, 2).as("version_minor"),
+        rd(17, 4).as("snaplen"), rd(21, 4).as("linktype"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pcapHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'big' ELSE 'little' END AS byte_order,
+      |       CAST(2 AS BIGINT) AS version_major, CAST(4 AS BIGINT) AS version_minor,
+      |       CAST(256 + n_chars % 65280 AS BIGINT) AS snaplen,
+      |       CAST(1 + doc_id % 10 AS BIGINT) AS linktype
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** WASM module header (22nd codec) — the LEB128 VARINT: section
+    * sizes are base-128 little-endian with a continuation BIT per
+    * byte (the family's first variable-WIDTH integer — OGG's lacing
+    * was a variable-LENGTH table of fixed bytes; this is one number
+    * whose byte count the parse discovers bit by bit). Layout:
+    * "\\0asm" + LE u32 version, then per section: 1-byte id + LEB128
+    * size + size bytes of content. The parse decodes section 1's
+    * varint (1 or 2 bytes here), advances the DYNAMIC offset
+    * 9 + width + size, and proves the walk by reading section 2's
+    * header there. Corpus: sizes straddle the 128 boundary so both
+    * widths occur. */
+  def wasmHeader(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (lit(1L) + pmod(col("doc_id"), lit(300))).cast("long").as("size"))
+    val lebHex = when(col("size") < 128L, lpad(hex(col("size")), 2, "0"))
+      .otherwise(concat(
+        lpad(hex(pmod(col("size"), lit(128L)) + 128L), 2, "0"),
+        lpad(hex(shiftright(col("size"), 7)), 2, "0")))
+    val payload = unhex(concat(
+      lit("0061736D"), lit("01000000"), lit("01"), lebHex,
+      expr("repeat('00', CAST(size AS INT))"), lit("02"), lit("00")))
+    // max payload = 8 magic/version + 1 id + 2 leb + 300 content + 2 = 313
+    val bytes = base.select(col("doc_id"), prefixBytes(payload, 313).as("bytes"))
+    def b(pos: org.apache.spark.sql.Column) = element_at(col("bytes"), pos.cast("int"))
+    val b0 = element_at(col("bytes"), 10)
+    val lebw = when(b0 >= 128L, lit(2L)).otherwise(lit(1L))
+    val secSize = pmod(b0, lit(128L)) +
+      when(b0 >= 128L, element_at(col("bytes"), 11) * 128L).otherwise(lit(0L))
+    bytes
+      .withColumn("lebw", lebw)
+      .withColumn("sec1_size", secSize)
+      .select(col("doc_id"),
+        (beAt(col("bytes"), 1, 4) === 0x0061736DL).as("magic_ok"),
+        leAt(col("bytes"), 5, 4).as("wasm_version"),
+        element_at(col("bytes"), 9).as("sec1_id"),
+        col("sec1_size"), col("lebw").as("leb_width"),
+        b(lit(10L) + col("lebw") + col("sec1_size")).as("sec2_id"),
+        b(lit(11L) + col("lebw") + col("sec1_size")).as("sec2_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val wasmHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok, CAST(1 AS BIGINT) AS wasm_version,
+      |       CAST(1 AS BIGINT) AS sec1_id,
+      |       CAST(1 + doc_id % 300 AS BIGINT) AS sec1_size,
+      |       CAST(CASE WHEN 1 + doc_id % 300 >= 128 THEN 2 ELSE 1 END AS BIGINT)
+      |         AS leb_width,
+      |       CAST(2 AS BIGINT) AS sec2_id, CAST(0 AS BIGINT) AS sec2_size
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_sqlite_header" -> (sqliteHeader _),
+    "mm_pcap_header" -> (pcapHeader _),
+    "mm_wasm_header" -> (wasmHeader _),
     "mm_ico_header" -> (icoHeader _),
     "mm_ogg_page" -> (oggPage _),
     "mm_webp_header" -> (webpHeader _),
@@ -1588,6 +1743,9 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_sqlite_header" -> sqliteHeaderSql,
+    "mm_pcap_header" -> pcapHeaderSql,
+    "mm_wasm_header" -> wasmHeaderSql,
     "mm_ico_header" -> icoHeaderSql,
     "mm_ogg_page" -> oggPageSql,
     "mm_webp_header" -> webpHeaderSql,

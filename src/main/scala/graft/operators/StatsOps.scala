@@ -2280,7 +2280,160 @@ object StatsOps {
       |         END AS shifted_5pct
       |FROM m""".stripMargin
 
+  /** DUNN'S POST-HOC TEST — the pairwise follow-up [[kruskalWallis]]
+    * demands: KW says "SOME event type differs in value distribution";
+    * Dunn says WHICH pairs, on the same tie-corrected midranks, with
+    * the Bonferroni family-wise correction (m = k(k−1)/2 pairs;
+    * α = 0.05 two-sided ⇒ |z| > z_{1−0.05/2m} = 2.807 for k = 5).
+    *
+    * Exactness: doubled rank sums r2 = Σd·(2r0+c+1) are exact
+    * DECIMAL(38,0) folds over the VALUE HISTOGRAM (the KW discipline —
+    * the rank window never touches the raw stream); the pooled
+    * variance σ² = (N(N+1) − T/(N−1))/12 with T = Σ(t³−t) and each
+    * pair's z is ONE double expression over those integers, milli-
+    * quantized. Scale: the pairwise stage is a self-join of the
+    * k-row group table — k is the type-dictionary size, never data. */
+  def dunnTest(spark: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("cents"), col("event_type")).agg(count(lit(1)).as("d"))
+    val cum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = perVal.groupBy(col("cents")).agg(sum(col("d")).as("c"))
+      .withColumn("r0", sum(col("c")).over(cum) - col("c"))
+    val groups = perVal.join(runs, "cents")
+      .groupBy(col("event_type"))
+      .agg(sum(col("d")).as("n_g"),
+        sum(dec(col("d")) * (lit(2) * col("r0") + col("c") + lit(1))).as("r2"))
+    val tot = runs.agg(sum(col("c")).as("n"),
+      sum(dec(col("c")) * col("c") * col("c") - col("c")).as("t3"))
+    def d(c: Column) = c.cast("double")
+    val a = groups.select(col("event_type").as("type_a"), col("n_g").as("na"),
+      col("r2").as("r2a"))
+    val b = groups.select(col("event_type").as("type_b"), col("n_g").as("nb"),
+      col("r2").as("r2b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .crossJoin(broadcast(tot))
+      // doubled mean ranks: r2/n_g = 2·R̄_g; the /2 folds into the final z
+      .withColumn("sigma2",
+        (d(col("n")) * (d(col("n")) + 1d) -
+          d(col("t3")) / (d(col("n")) - 1d)) / 12d)
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        when(col("sigma2") > 0d,
+          round(lit(1e3) *
+            (d(col("r2a")) / d(col("na")) - d(col("r2b")) / d(col("nb"))) / 2d /
+            sqrt(col("sigma2") * (lit(1d) / d(col("na")) + lit(1d) / d(col("nb")))))
+            .cast("long")).as("z_milli"))
+      .withColumn("differs_bonferroni_5pct", abs(col("z_milli")) > lit(2807L))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val dunnTestSql: String =
+    """WITH perval AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         count(*) AS d
+      |  FROM events GROUP BY 1, 2),
+      |runs AS (
+      |  SELECT cents, c, sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - c AS r0
+      |  FROM (SELECT cents, sum(d) AS c FROM perval GROUP BY 1)),
+      |tot AS (
+      |  SELECT sum(c) AS n, sum(CAST(c AS HUGEINT) * c * c - c) AS t3 FROM runs),
+      |groups_ AS (
+      |  SELECT event_type, sum(d) AS n_g,
+      |         sum(CAST(d AS HUGEINT) * (2 * r0 + c + 1)) AS r2
+      |  FROM perval JOIN runs USING (cents) GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         a.n_g AS na, b.n_g AS nb, a.r2 AS r2a, b.r2 AS r2b,
+      |         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+      |          - CAST(t3 AS DOUBLE) / (CAST(n AS DOUBLE) - 1)) / 12 AS sigma2
+      |  FROM groups_ a JOIN groups_ b ON a.event_type < b.event_type
+      |  CROSS JOIN tot)
+      |SELECT type_a, type_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+      |       CASE WHEN sigma2 > 0 THEN
+      |         CAST(round(1e3 * (CAST(r2a AS DOUBLE) / na - CAST(r2b AS DOUBLE) / nb) / 2
+      |              / sqrt(sigma2 * (1.0 / na + 1.0 / nb))) AS BIGINT) END AS z_milli,
+      |       CASE WHEN sigma2 > 0 THEN
+      |         abs(CAST(round(1e3 * (CAST(r2a AS DOUBLE) / na - CAST(r2b AS DOUBLE) / nb) / 2
+      |              / sqrt(sigma2 * (1.0 / na + 1.0 / nb))) AS BIGINT)) > 2807
+      |         END AS differs_bonferroni_5pct
+      |FROM pairs ORDER BY type_a, type_b""".stripMargin
+
+  /** COCHRAN'S Q — the k-correlated-BINARY-treatments test the rank
+    * family lacks ([[friedman]] handles ordinal repeated measures;
+    * this is its 0/1 special case, the "did the three flags fire on
+    * the same customers or independently?" dependence screen): blocks
+    * are customers, treatments are three deterministic order-history
+    * predicates (has-urgent, has-large-ticket, has-recent). Q =
+    * (k−1)(k·ΣC_j² − N²) / (kN − ΣR_i²) ~ χ²_{k−1}; blocks with
+    * all-equal responses cancel from both numerator and denominator —
+    * including them is harmless and keeps the scan one pass.
+    *
+    * Exactness: every C_j, R_i, N is an exact integer from one
+    * customer-keyed agg; squares ride DECIMAL(38,0)/HUGEINT; Q is one
+    * double division, milli-quantized. Scale: one map-side-combinable
+    * per-customer agg, then a scalar fold — no joins. */
+  def cochranQ(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L)).as("x1"),
+        max(when(col("o_totalprice") > 150000d, 1L).otherwise(0L)).as("x2"),
+        max(when(year(col("o_orderdate")) >= 1997, 1L).otherwise(0L)).as("x3"))
+    def d(c: Column) = c.cast("double")
+    flags
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("x1")).as("c1"), sum(col("x2")).as("c2"), sum(col("x3")).as("c3"),
+        sum(dec(col("x1") + col("x2") + col("x3")) *
+          (col("x1") + col("x2") + col("x3"))).as("sr2"))
+      .select(col("n_blocks"), col("c1"), col("c2"), col("c3"),
+        (col("c1") + col("c2") + col("c3")).as("n_success"), col("sr2"))
+      .select(col("n_blocks"), col("c1"), col("c2"), col("c3"),
+        when(lit(3L) * col("n_success") - col("sr2") > 0,
+          round(lit(1e3) * lit(2d) *
+            (lit(3d) * (d(col("c1")) * d(col("c1")) + d(col("c2")) * d(col("c2")) +
+              d(col("c3")) * d(col("c3"))) -
+              d(col("n_success")) * d(col("n_success"))) /
+            (lit(3d) * d(col("n_success")) - d(col("sr2"))))
+            .cast("long")).as("q_milli"))
+      // chi2(2) 95th percentile = 5.991
+      .withColumn("differs_5pct", col("q_milli") > lit(5991L))
+  }
+
+  val cochranQSql: String =
+    """WITH flags AS (
+      |  SELECT o_custkey,
+      |         max(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS x1,
+      |         max(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS x2,
+      |         max(CASE WHEN year(o_orderdate) >= 1997 THEN 1 ELSE 0 END) AS x3
+      |  FROM orders GROUP BY 1),
+      |m AS (
+      |  SELECT count(*) AS n_blocks, sum(x1) AS c1, sum(x2) AS c2, sum(x3) AS c3,
+      |         sum(x1 + x2 + x3) AS n_success,
+      |         sum(CAST(x1 + x2 + x3 AS HUGEINT) * (x1 + x2 + x3)) AS sr2
+      |  FROM flags)
+      |SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+      |       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+      |       CAST(c3 AS BIGINT) AS c3,
+      |       CASE WHEN 3 * n_success - sr2 > 0 THEN
+      |         CAST(round(1e3 * 2
+      |              * (3 * (CAST(c1 AS DOUBLE) * c1 + CAST(c2 AS DOUBLE) * c2
+      |                      + CAST(c3 AS DOUBLE) * c3)
+      |                 - CAST(n_success AS DOUBLE) * n_success)
+      |              / (3 * CAST(n_success AS DOUBLE) - CAST(sr2 AS DOUBLE)))
+      |           AS BIGINT) END AS q_milli,
+      |       CASE WHEN 3 * n_success - sr2 > 0 THEN
+      |         CAST(round(1e3 * 2
+      |              * (3 * (CAST(c1 AS DOUBLE) * c1 + CAST(c2 AS DOUBLE) * c2
+      |                      + CAST(c3 AS DOUBLE) * c3)
+      |                 - CAST(n_success AS DOUBLE) * n_success)
+      |              / (3 * CAST(n_success AS DOUBLE) - CAST(sr2 AS DOUBLE)))
+      |           AS BIGINT) > 5991 END AS differs_5pct
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_dunn" -> (dunnTest _),
+    "stats_cochran_q" -> (cochranQ _),
     "agg_theil_index" -> (theilIndex _),
     "stats_friedman" -> (friedman _),
     "stats_wilcoxon_signed" -> (wilcoxonSigned _),
@@ -2312,6 +2465,8 @@ object StatsOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stats_dunn" -> dunnTestSql,
+    "stats_cochran_q" -> cochranQSql,
     "agg_theil_index" -> theilIndexSql,
     "stats_friedman" -> friedmanSql,
     "stats_wilcoxon_signed" -> wilcoxonSignedSql,

@@ -1205,7 +1205,139 @@ object TimeSeries {
        |         AS BIGINT) AS peak_share_ppm
        |FROM tot CROSS JOIN ent CROSS JOIN pk""".stripMargin
 
+  /** LJUNG–BOX portmanteau test (lags 1..10) on the hourly count
+    * series — the "is there ANY autocorrelation left?" gate a
+    * forecaster runs on residuals after [[acf]] eyeballs individual
+    * lags: Q = n(n+2)·Σ_h ρ̂_h²/(n−h) against χ²₁₀. One statistic
+    * instead of 10 per-lag calls — the whitening check before a model
+    * is trusted (and after a dedup pass, the "did we remove the
+    * periodic boilerplate?" monitor on corpus arrival rates).
+    *
+    * Exactness: deviations cross-multiply the mean away (D_t =
+    * n·x_t − Σx, exact integers), so every ρ̂_h numerator/denominator
+    * is an exact DECIMAL(38,0)/HUGEINT fold (D² wraps a BIGINT once an
+    * hourly bucket passes ~3e9 events — real at 100 TB); each lag's
+    * ρ̂²/(n−h) term quantizes ONCE to nano-units and the 10 terms sum
+    * exactly — both engines fold identical longs. Scale: the series
+    * is calendar-bounded; one 10-wide lag window + stack un-pivot
+    * scans it once (the [[acf]] discipline). */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val m = 10
+    val s = hourlyCounts(spark, dir)
+    val tot = s.agg(count(lit(1)).as("nb"), sum(col("n")).as("sv"))
+    val dser = s.crossJoin(broadcast(tot))
+      .select(col("bin"), (col("nb") * col("n") - col("sv")).as("dv"),
+        col("nb"))
+    val w = Window.orderBy(col("bin"))
+    val lagged = dser.select(col("nb") +: col("dv") +:
+      (1 to m).map(k => lag(col("dv"), k).over(w).as(s"l$k")): _*)
+    val pairs = lagged.select(col("nb"), col("dv"), expr(
+      s"stack($m, " + (1 to m).map(k => s"${k}L, l$k").mkString(", ") +
+        ") AS (h, y)"))
+      .filter(col("y").isNotNull)
+    val denom = dser.agg(sum(dec(col("dv")) * col("dv")).as("den"))
+    val terms = pairs
+      .groupBy(col("h"))
+      .agg(max(col("nb")).as("nb"), sum(dec(col("dv")) * col("y")).as("sh"))
+      .crossJoin(broadcast(denom))
+      .select(col("nb"),
+        round(lit(1e9) *
+          (col("sh").cast("double") / col("den").cast("double")) *
+          (col("sh").cast("double") / col("den").cast("double")) /
+          (col("nb").cast("double") - col("h").cast("double")))
+          .cast("long").as("t_nano"))
+    terms.groupBy(col("nb"))
+      .agg(count(lit(1)).as("m_lags"), sum(col("t_nano")).as("st"))
+      .select(col("nb").as("n_bins"), col("m_lags"),
+        round(col("nb").cast("double") * (col("nb") + lit(2L)).cast("double") *
+          col("st").cast("double") / lit(1e6)).cast("long").as("q_milli"))
+      // chi2(10) 95th percentile = 18.307
+      .withColumn("white_noise_rejected_5pct", col("q_milli") > lit(18307L))
+  }
+
+  val ljungBoxSql: String =
+    s"""WITH $hourlyCountsSql,
+       |tot AS (SELECT count(*) AS nb, sum(n) AS sv FROM series),
+       |dser AS (SELECT bin, nb * n - sv AS dv, nb FROM series, tot),
+       |lagged AS (
+       |  SELECT nb, dv,
+       |         ${(1 to 10).map(k => s"lag(dv, $k) OVER (ORDER BY bin) AS l$k").mkString(", ")}
+       |  FROM dser),
+       |pairs AS (
+       |  ${(1 to 10).map(k =>
+             s"SELECT nb, dv, CAST($k AS BIGINT) AS h, l$k AS y FROM lagged WHERE l$k IS NOT NULL")
+             .mkString("\n  UNION ALL ")}),
+       |denom AS (SELECT sum(CAST(dv AS HUGEINT) * dv) AS den FROM dser),
+       |terms AS (
+       |  SELECT max(nb) AS nb,
+       |         CAST(round(1e9
+       |             * (CAST(sum(CAST(dv AS HUGEINT) * y) AS DOUBLE) / CAST(den AS DOUBLE))
+       |             * (CAST(sum(CAST(dv AS HUGEINT) * y) AS DOUBLE) / CAST(den AS DOUBLE))
+       |             / (CAST(max(nb) AS DOUBLE) - CAST(h AS DOUBLE))) AS BIGINT) AS t_nano
+       |  FROM pairs, denom GROUP BY h, den)
+       |SELECT CAST(max(nb) AS BIGINT) AS n_bins,
+       |       CAST(count(*) AS BIGINT) AS m_lags,
+       |       CAST(round(CAST(max(nb) AS DOUBLE) * (CAST(max(nb) AS DOUBLE) + 2)
+       |              * CAST(sum(t_nano) AS DOUBLE) / 1e6) AS BIGINT) AS q_milli,
+       |       CAST(round(CAST(max(nb) AS DOUBLE) * (CAST(max(nb) AS DOUBLE) + 2)
+       |              * CAST(sum(t_nano) AS DOUBLE) / 1e6) AS BIGINT) > 18307
+       |         AS white_noise_rejected_5pct
+       |FROM terms""".stripMargin
+
+  /** TURNING-POINTS randomness test on the hourly count series — the
+    * cheapest member of the randomness family ([[graft.operators.StatsOps.runsTest]]
+    * checks SIGNS vs the mean; this checks local SHAPE): count strict
+    * local extrema T among the n−2 interior points; under i.i.d.
+    * E[T] = 2(n−2)/3, Var[T] = (16n−29)/90. Too few turns ⇒ trend,
+    * too many ⇒ alternation (overdifferencing). Ties (equal
+    * neighbors — possible on integer counts) are simply not turning
+    * points, identically in both engines.
+    *
+    * Exactness: T and n are exact integers from one lag/lead window;
+    * z = (3T − 2(n−2)) / (3·√((16n−29)/90)) is ONE double expression
+    * over them, quantized to milli. Scale: calendar-bounded series,
+    * one window scan. */
+  def turningPoints(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("bin"))
+    val s = hourlyCounts(spark, dir)
+      .select(col("n"), lag(col("n"), 1).over(w).as("p"),
+        lead(col("n"), 1).over(w).as("q"))
+      .filter(col("p").isNotNull && col("q").isNotNull)
+    s.agg(count(lit(1)).as("ni"),
+        sum(when((col("n") > col("p") && col("n") > col("q")) ||
+          (col("n") < col("p") && col("n") < col("q")), 1L).otherwise(0L))
+          .as("t"))
+      .select((col("ni") + lit(2L)).as("n_bins"), col("t").as("n_turning"),
+        round(lit(1e3) *
+          (lit(3d) * col("t").cast("double") - lit(2d) * col("ni").cast("double")) /
+          (lit(3d) * sqrt((lit(16d) * (col("ni") + lit(2L)).cast("double") -
+            lit(29d)) / lit(90d)))).cast("long").as("z_milli"))
+      .withColumn("random_ok_5pct", abs(col("z_milli")) <= lit(1960L))
+  }
+
+  val turningPointsSql: String =
+    s"""WITH $hourlyCountsSql,
+       |tri AS (
+       |  SELECT n, lag(n) OVER (ORDER BY bin) AS p,
+       |         lead(n) OVER (ORDER BY bin) AS q
+       |  FROM series),
+       |m AS (
+       |  SELECT count(*) AS ni,
+       |         sum(CASE WHEN (n > p AND n > q) OR (n < p AND n < q)
+       |                  THEN 1 ELSE 0 END) AS t
+       |  FROM tri WHERE p IS NOT NULL AND q IS NOT NULL)
+       |SELECT CAST(ni + 2 AS BIGINT) AS n_bins, CAST(t AS BIGINT) AS n_turning,
+       |       CAST(round(1e3 * (3 * CAST(t AS DOUBLE) - 2 * CAST(ni AS DOUBLE))
+       |              / (3 * sqrt((16 * (CAST(ni AS DOUBLE) + 2) - 29) / 90)))
+       |         AS BIGINT) AS z_milli,
+       |       abs(CAST(round(1e3 * (3 * CAST(t AS DOUBLE) - 2 * CAST(ni AS DOUBLE))
+       |              / (3 * sqrt((16 * (CAST(ni AS DOUBLE) + 2) - 29) / 90)))
+       |         AS BIGINT)) <= 1960 AS random_ok_5pct
+       |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ljung_box" -> (ljungBox _),
+    "ts_turning_points" -> (turningPoints _),
     "ts_spectral_entropy" -> (spectralEntropy _),
     "ts_hurst" -> (hurst _),
     "ts_changepoint" -> (changepoint _),
@@ -1228,6 +1360,8 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_ljung_box" -> ljungBoxSql,
+    "ts_turning_points" -> turningPointsSql,
     "ts_spectral_entropy" -> spectralEntropySql,
     "ts_hurst" -> hurstSql,
     "ts_changepoint" -> changepointSql,

@@ -683,7 +683,94 @@ object Windows {
       |FROM ranked WHERE ru = 1 OR rd = 1
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** MAXIMUM DRAWDOWN per event type — the peak-relative risk metric
+    * on the CENTERED cumulative path (raw revenue only climbs; the
+    * centered path P_t = Σ_{s≤t}(n·c_s − S) is the random-walk view
+    * where a drawdown = a sustained below-trend stretch): running
+    * peak via a struct-max window (carries the peak's bin for the
+    * duration readout), drawdown D_t = peak − P_t, and the report is
+    * each type's worst drawdown with its peak/trough bins and the
+    * wall-clock hours between them (how long the type stayed under
+    * water on the way down).
+    *
+    * Exactness: hourly cents are exact integers; centering
+    * cross-multiplies the mean away (n·c − S — the runs-test
+    * discipline), so P, peak and D are exact BIGINTs end to end;
+    * ties in the final argmax break by earliest trough bin via the
+    * same struct-max. Scale: one compact (type, hour) agg; both
+    * windows run per type over the calendar-bounded bin table. */
+  def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val run = byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bin"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val centered = binned
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("s", sum(col("cents")).over(Window.partitionBy(col("event_type"))))
+      // decimal-FIRST: n·cents is a product of two data-sized
+      // quantities (wraps a BIGINT once an hourly bucket passes ~1e15
+      // cents); the oracle multiplies in HUGEINT
+      .withColumn("p", sum(col("n").cast("decimal(38,0)") * col("cents") -
+        col("s")).over(run))
+    val pathed = centered
+      // nts orders ties toward the EARLIEST bin; pkbin rides along for
+      // the readout (no epoch->timestamp roundtrip — tz-sensitive)
+      .withColumn("pk", max(struct(col("p"), (-unix_timestamp(col("bin"))).as("nts"),
+        col("bin").as("pkbin"))).over(run))
+      .withColumn("dd", col("pk.p") - col("p"))
+    pathed
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_bins"),
+        max(struct(col("dd"), (-unix_timestamp(col("bin"))).as("nts"),
+          col("bin"), col("pk.pkbin").as("pkbin"))).as("worst"))
+      .select(col("event_type"), col("n_bins"),
+        col("worst.dd").cast("long").as("max_drawdown"),
+        date_format(col("worst.pkbin"), "yyyy-MM-dd HH:mm").as("peak_bin"),
+        date_format(col("worst.bin"), "yyyy-MM-dd HH:mm").as("trough_bin"),
+        ((unix_timestamp(col("worst.bin")) -
+          unix_timestamp(col("worst.pkbin"))) / lit(3600L)).cast("long")
+          .as("underwater_hours"))
+      .orderBy(col("event_type"))
+  }
+
+  val drawdownSql: String =
+    """WITH binned AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bin,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |marked AS (
+      |  SELECT event_type, bin, cents,
+      |         count(*) OVER (PARTITION BY event_type) AS n,
+      |         sum(cents) OVER (PARTITION BY event_type) AS s
+      |  FROM binned),
+      |centered AS (
+      |  SELECT event_type, bin, n,
+      |         sum(CAST(n AS HUGEINT) * cents - s)
+      |           OVER (PARTITION BY event_type ORDER BY bin
+      |                 ROWS UNBOUNDED PRECEDING) AS p
+      |  FROM marked),
+      |pathed AS (
+      |  SELECT event_type, bin, n, p,
+      |         max(struct_pack(p := p, nts := -epoch(bin), pkbin := bin))
+      |           OVER (PARTITION BY event_type ORDER BY bin
+      |                 ROWS UNBOUNDED PRECEDING) AS pk
+      |  FROM centered),
+      |worst AS (
+      |  SELECT event_type, max(n) AS n_bins,
+      |         max(struct_pack(dd := pk.p - p, nts := -epoch(bin),
+      |                         bin := bin, pkbin := pk.pkbin)) AS w
+      |  FROM pathed GROUP BY 1)
+      |SELECT event_type, CAST(n_bins AS BIGINT) AS n_bins,
+      |       CAST(w.dd AS BIGINT) AS max_drawdown,
+      |       strftime(w.pkbin, '%Y-%m-%d %H:%M') AS peak_bin,
+      |       strftime(w.bin, '%Y-%m-%d %H:%M') AS trough_bin,
+      |       CAST((epoch(w.bin) - epoch(w.pkbin)) // 3600 AS BIGINT)
+      |         AS underwater_hours
+      |FROM worst ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_drawdown" -> (drawdown _),
     "win_rolling_regression" -> (rollingRegression _),
     "win_interval_union" -> (intervalUnion _),
     "win_ratio_to_report" -> (ratioToReport _),
@@ -703,6 +790,7 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_drawdown" -> drawdownSql,
     "win_rolling_regression" -> rollingRegressionSql,
     "win_interval_union" -> intervalUnionSql,
     "win_ratio_to_report" -> ratioToReportSql,
