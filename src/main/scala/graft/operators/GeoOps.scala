@@ -793,7 +793,81 @@ object GeoOps {
       |FROM dec_ ORDER BY n_customers DESC, geohash LIMIT 20""".stripMargin
   }
 
+  /** NEIGHBORHOOD FUNCTION + EFFECTIVE DIAMETER (exact, depth-4) —
+    * the global "how far apart is everything" census behind
+    * small-world claims and gossip-round sizing: N(h) = #{(u,v):
+    * d(u,v) ≤ h}, and the effective diameter is the first h where
+    * N(h) ≥ 90% of N(h_max). Here the subcritical eps graph keeps
+    * components (hence per-node balls) bounded, so the ALL-SOURCES
+    * breadth-first closure is exact and affordable — the same
+    * unrolled one-plan BFS as [[khopReach]], from every node at
+    * once. At 100 TB the exact pair table gives way to the
+    * HyperANF/ANF estimate (per-node distinct-counting registers
+    * unioned per round — the HLL sketch this engine already ships
+    * for distinct counts); this operator is the exact twin that
+    * VALIDATES such an estimate on any bounded slice.
+    *
+    * Exactness: every N(h) is an exact pair count; the share and
+    * the 90% flag compare cross-multiplied integers (10·N(h) vs
+    * 9·N(4)), no division. Scale: 3 key-partitioned joins; frontier
+    * mass bounded by Σ component², the percolation argument. */
+  def effDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val (pts, pairs) = epsGraph(spark, dir)
+    val edges = pairs.select(col("ida").as("node"), col("idb"))
+    val f0 = pts.select(col("id").as("seed"), col("id").as("node"))
+    def expand(f: DataFrame): DataFrame =
+      f.join(edges, Seq("node"))
+        .select(col("seed"), col("idb").as("node")).distinct()
+    val f1 = expand(f0)
+    val f2 = expand(f1)
+    val f3 = expand(f2)
+    val f4 = expand(f3)
+    def tag(f: DataFrame, h: Long): DataFrame =
+      f.select(col("seed"), col("node"), lit(h).as("hop"))
+    val reach = tag(f0, 0L).unionByName(tag(f1, 1L)).unionByName(tag(f2, 2L))
+      .unionByName(tag(f3, 3L)).unionByName(tag(f4, 4L))
+      .groupBy(col("seed"), col("node")).agg(min(col("hop")).as("hop"))
+    val byHop = reach.groupBy(col("hop")).agg(count(lit(1)).as("d"))
+    val cum = Window.orderBy(col("hop"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byHop
+      .withColumn("n_pairs", sum(col("d")).over(cum))
+      .withColumn("n_max", sum(col("d")).over(Window.partitionBy()))
+      .select(col("hop"), col("n_pairs"),
+        // integer division (matches the oracle's `//`): a double
+        // quotient can truncate one below on exact boundaries
+        expr("(n_pairs * 1000000) div n_max").as("share_ppm"),
+        (col("n_pairs") * 10L >= col("n_max") * 9L &&
+          lag(col("n_pairs") * 10L >= col("n_max") * 9L, 1, false)
+            .over(Window.orderBy(col("hop"))) === false)
+          .as("is_effective_diameter"))
+      .orderBy(col("hop"))
+  }
+
+  val effDiameterSql: String =
+    s"""WITH RECURSIVE $epsGraphSql,
+      |walk(seed, node, hop) AS (
+      |  SELECT id, id, 0 FROM pts
+      |  UNION
+      |  SELECT w.seed, p.idb, w.hop + 1
+      |  FROM walk w JOIN pairs p ON w.node = p.ida
+      |  WHERE w.hop < 4),
+      |mh AS (SELECT seed, node, min(hop) AS hop FROM walk GROUP BY 1, 2),
+      |byhop AS (SELECT hop, count(*) AS d FROM mh GROUP BY 1),
+      |cumed AS (
+      |  SELECT hop,
+      |         sum(d) OVER (ORDER BY hop ROWS UNBOUNDED PRECEDING) AS n_pairs,
+      |         sum(d) OVER () AS n_max
+      |  FROM byhop)
+      |SELECT CAST(hop AS BIGINT) AS hop, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       CAST(n_pairs * 1000000 // n_max AS BIGINT) AS share_ppm,
+      |       (n_pairs * 10 >= n_max * 9 AND NOT coalesce(
+      |          lag(n_pairs * 10 >= n_max * 9) OVER (ORDER BY hop), FALSE))
+      |         AS is_effective_diameter
+      |FROM cumed ORDER BY hop""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_eff_diameter" -> (effDiameter _),
     "graph_closeness" -> (closeness _),
     "geo_geohash" -> (geohash _),
     "graph_betweenness" -> (betweenness _),
@@ -806,6 +880,7 @@ object GeoOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "graph_eff_diameter" -> effDiameterSql,
     "graph_closeness" -> closenessSql,
     "geo_geohash" -> geohashSql,
     "graph_betweenness" -> betweennessSql,

@@ -2431,7 +2431,72 @@ object StatsOps {
       |           AS BIGINT) > 5991 END AS differs_5pct
       |FROM m""".stripMargin
 
+  /** PAGE'S TREND TEST — the ORDERED-alternatives member completing
+    * the block-rank family ([[friedman]] asks "do the k treatments
+    * differ AT ALL?"; Page asks "do they trend MONOTONICALLY in the
+    * hypothesized order?" — here: does monthly revenue fall as order
+    * priority drops from 1-URGENT to 5-LOW?): within each complete
+    * month block the k=5 priorities rank by revenue (deterministic
+    * (cents, priority) total order — the [[friedman]] discipline),
+    * L = Σ_j j·R_j with j the hypothesized position, and
+    * z = (L − b·k(k+1)²/4) / √(b·k²(k+1)(k²−1)/144).
+    *
+    * Exactness: ranks, L, and both moments are exact integers;
+    * z is ONE double expression, milli-quantized. Scale: one
+    * compact (month, priority) agg; ranks run over k-row blocks of
+    * the calendar-bounded cell table. */
+  def pageTrend(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority").as("prio"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    // complete blocks only (Page requires every treatment per block)
+    val complete = cells
+      .withColumn("kb", count(lit(1)).over(Window.partitionBy(col("month"))))
+      .filter(col("kb") === 5)
+    val ranked = complete
+      .withColumn("r", row_number().over(Window.partitionBy(col("month"))
+        .orderBy(col("cents"), col("prio"))).cast("long"))
+      .withColumn("j", substring(col("prio"), 1, 1).cast("long"))
+    def d(c: Column) = c.cast("double")
+    ranked
+      .agg((count(lit(1)) / lit(5L)).cast("long").as("n_blocks"),
+        sum(col("j") * col("r")).as("l_stat"))
+      .select(col("n_blocks"), lit(5L).as("k"), col("l_stat"),
+        // E = b·k(k+1)²/4 = 45b, Var = b·k²(k+1)(k²−1)/144 = 25b
+        round(lit(1e3) * (d(col("l_stat")) - lit(45d) * d(col("n_blocks"))) /
+          sqrt(lit(25d) * d(col("n_blocks")))).cast("long").as("z_milli"))
+      .withColumn("monotone_5pct", abs(col("z_milli")) > lit(1960L))
+  }
+
+  val pageTrendSql: String =
+    """WITH cells AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority AS prio,
+      |         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |complete AS (
+      |  SELECT * FROM (
+      |    SELECT month, prio, cents,
+      |           count(*) OVER (PARTITION BY month) AS kb
+      |    FROM cells) WHERE kb = 5),
+      |ranked AS (
+      |  SELECT CAST(substr(prio, 1, 1) AS BIGINT) AS j,
+      |         CAST(row_number() OVER (PARTITION BY month
+      |                                 ORDER BY cents, prio) AS BIGINT) AS r
+      |  FROM complete),
+      |m AS (
+      |  SELECT count(*) // 5 AS n_blocks, sum(j * r) AS l_stat FROM ranked)
+      |SELECT CAST(n_blocks AS BIGINT) AS n_blocks, CAST(5 AS BIGINT) AS k,
+      |       CAST(l_stat AS BIGINT) AS l_stat,
+      |       CAST(round(1e3 * (CAST(l_stat AS DOUBLE) - 45 * CAST(n_blocks AS DOUBLE))
+      |              / sqrt(25 * CAST(n_blocks AS DOUBLE))) AS BIGINT) AS z_milli,
+      |       abs(CAST(round(1e3 * (CAST(l_stat AS DOUBLE) - 45 * CAST(n_blocks AS DOUBLE))
+      |              / sqrt(25 * CAST(n_blocks AS DOUBLE))) AS BIGINT)) > 1960
+      |         AS monotone_5pct
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_page_trend" -> (pageTrend _),
     "stats_dunn" -> (dunnTest _),
     "stats_cochran_q" -> (cochranQ _),
     "agg_theil_index" -> (theilIndex _),
@@ -2465,6 +2530,7 @@ object StatsOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stats_page_trend" -> pageTrendSql,
     "stats_dunn" -> dunnTestSql,
     "stats_cochran_q" -> cochranQSql,
     "agg_theil_index" -> theilIndexSql,

@@ -1434,7 +1434,62 @@ object TextAnalysis {
       |       CAST(count(*) FILTER (WHERE flagged) AS BIGINT) AS n_flagged
       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** LEXICAL-DIVERSITY census (TTR + Guiraud) — the vocabulary-richness
+    * signal beside [[qualityScore]]'s repetition ratio: raw type-token
+    * ratio shrinks mechanically with length (every corpus-linguistics
+    * caveat), so the census reports BOTH the per-doc TTR decile
+    * histogram and Guiraud's length-corrected R = types/√tokens; a
+    * quality gate reads low-TTR deciles as templated/boilerplate mass
+    * and a SHIFT in the Guiraud profile as a crawl regression.
+    *
+    * Exactness: types/tokens are exact integers per doc; ttr_ppm is
+    * one integer division (ppm), the decile is bucket-atomic integer
+    * arithmetic (ttr_ppm div 1e5), Guiraud quantizes once to milli per
+    * doc and sums exactly for the per-decile mean (one final division).
+    * Scale: map-only per-doc arithmetic + one ≤11-key census agg. */
+  def ttr(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val perDoc = Tables.documents(spark, dir).select(
+      size(w).cast("long").as("n_tokens"),
+      size(array_distinct(w)).cast("long").as("n_types"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("ttr_ppm", expr("(n_types * 1000000) div n_tokens"))
+      .withColumn("guiraud_milli",
+        round(lit(1e3) * col("n_types").cast("double") /
+          sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("decile", least(expr("ttr_ppm div 100000"), lit(9L)))
+    perDoc.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_types")).as("sum_types"),
+        sum(col("guiraud_milli")).as("sg"))
+      .select(col("decile"), col("n_docs"), col("sum_tokens"), col("sum_types"),
+        round(col("sg").cast("double") / col("n_docs").cast("double"))
+          .cast("long").as("mean_guiraud_milli"))
+      .orderBy(col("decile"))
+  }
+
+  val ttrSql: String =
+    """WITH perdoc AS (
+      |  SELECT CAST(len(w) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(w)) AS BIGINT) AS n_types
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+      |scored AS (
+      |  SELECT n_tokens, n_types,
+      |         (n_types * 1000000) // n_tokens AS ttr_ppm,
+      |         CAST(round(1e3 * CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE)))
+      |           AS BIGINT) AS guiraud_milli
+      |  FROM perdoc WHERE n_tokens > 0)
+      |SELECT CAST(least(ttr_ppm // 100000, 9) AS BIGINT) AS decile,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |       CAST(sum(n_types) AS BIGINT) AS sum_types,
+      |       CAST(round(CAST(sum(guiraud_milli) AS DOUBLE) / count(*)) AS BIGINT)
+      |         AS mean_guiraud_milli
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ttr" -> (ttr _),
     "text_repetition" -> (repetition _),
     "text_lang_overlap" -> (langOverlap _),
     "text_keyness_g2" -> (keynessG2 _),
@@ -1462,6 +1517,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_ttr" -> ttrSql,
     "text_repetition" -> repetitionSql,
     "text_lang_overlap" -> langOverlapSql,
     "text_keyness_g2" -> keynessG2Sql,

@@ -1335,7 +1335,156 @@ object TimeSeries {
        |         AS BIGINT)) <= 1960 AS random_ok_5pct
        |FROM m""".stripMargin
 
+  /** GRANGER CAUSALITY (lag-1, both directions) between the view and
+    * purchase hourly rates — does the view rate carry information
+    * about the NEXT hour's purchase rate beyond what purchases
+    * already predict about themselves (and vice versa)? The
+    * lead/lag screen a metrics pipeline runs before promoting a
+    * leading indicator: F = (RSS_restricted − RSS_full) /
+    * (RSS_full/(n−3)) against F(1, n−3) ≈ χ²₁ (3.841 at 5%).
+    *
+    * Exactness: the hourly counts are integers on a shared spine;
+    * ALL 13 sufficient moments (sums of pairwise products among
+    * {p_t, v_t, p_{t−1}, v_{t−1}}) fold in DECIMAL(38,0)/HUGEINT in
+    * ONE aggregation; both directions' OLS algebra (centered
+    * cross-multiplied moments, 2×2 normal equations in closed form)
+    * runs in double over those identical integers. Scale: one
+    * compact-key hourly agg, one lag window over the calendar-bounded
+    * series, one scalar fold — the moments, not the data, feed the
+    * regression (the linreg-moments discipline). */
+  def granger(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bin"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+    val spine = binned.agg(min("bin").as("lo"), max("bin").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bin"))
+    val s = spine.join(binned, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("p"), lit(0L)).as("p"),
+        coalesce(col("v"), lit(0L)).as("v"))
+    val w = Window.orderBy(col("bin"))
+    val lagged = s
+      .withColumn("pl", lag(col("p"), 1).over(w))
+      .withColumn("vl", lag(col("v"), 1).over(w))
+      .filter(col("pl").isNotNull)
+    val m = lagged.agg(
+      count(lit(1)).as("n"),
+      sum(col("p")).as("sp"), sum(col("v")).as("sv"),
+      sum(col("pl")).as("spl"), sum(col("vl")).as("svl"),
+      sum(dec(col("p")) * col("p")).as("spp"),
+      sum(dec(col("v")) * col("v")).as("svv"),
+      sum(dec(col("pl")) * col("pl")).as("splpl"),
+      sum(dec(col("vl")) * col("vl")).as("svlvl"),
+      sum(dec(col("p")) * col("pl")).as("sppl"),
+      sum(dec(col("p")) * col("vl")).as("spvl"),
+      sum(dec(col("v")) * col("vl")).as("svvl"),
+      sum(dec(col("v")) * col("pl")).as("svpl"),
+      sum(dec(col("pl")) * col("vl")).as("splvl"))
+    def d(c: Column) = c.cast("double")
+    // centered cross-multiplied moments: M_ab = n·Σab − Σa·Σb
+    def cm(sab: Column, sa: Column, sb: Column) =
+      d(dec(col("n")) * sab - dec(sa) * sb)
+    // one direction: y regressed on own lag a and the OTHER series'
+    // lag x; F compares the 2-predictor fit against the a-only fit
+    def direction(label: String, sy: Column, syy: Column, sa: Column,
+        saa: Column, sx: Column, sxx: Column, sya: Column, syx: Column,
+        sax: Column) = {
+      m.select(lit(label).as("direction"), col("n"),
+        cm(syy, sy, sy).as("myy"), cm(saa, sa, sa).as("maa"),
+        cm(sxx, sx, sx).as("mxx"), cm(sya, sy, sa).as("mya"),
+        cm(syx, sy, sx).as("myx"), cm(sax, sa, sx).as("mab"))
+        .withColumn("det", col("maa") * col("mxx") - col("mab") * col("mab"))
+        .withColumn("rss_r",
+          when(col("maa") > 0d, col("myy") - col("mya") * col("mya") / col("maa")))
+        .withColumn("ess_u",
+          when(col("det") > 0d,
+            ((col("mya") * col("mxx") - col("mab") * col("myx")) * col("mya") +
+              (col("maa") * col("myx") - col("mab") * col("mya")) * col("myx")) /
+              col("det")))
+        .withColumn("rss_u", col("myy") - col("ess_u"))
+        .select(col("direction"), col("n"),
+          when(col("rss_u") > 0d,
+            round(lit(1e3) * (col("rss_r") - col("rss_u")) /
+              (col("rss_u") / (d(col("n")) - lit(3d)))).cast("long"))
+            .as("f_milli"))
+        .withColumn("leads_5pct", col("f_milli") > lit(3841L))
+    }
+    direction("view->purchase", col("sp"), col("spp"), col("spl"),
+      col("splpl"), col("svl"), col("svlvl"), col("sppl"), col("spvl"),
+      col("splvl"))
+      .unionByName(direction("purchase->view", col("sv"), col("svv"),
+        col("svl"), col("svlvl"), col("spl"), col("splpl"), col("svvl"),
+        col("svpl"), col("splvl")))
+      .orderBy(col("direction"))
+  }
+
+  val grangerSql: String =
+    """WITH binned AS (
+      |  SELECT date_trunc('hour', ts) AS bin,
+      |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+      |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v
+      |  FROM events GROUP BY 1),
+      |bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM binned),
+      |s AS (
+      |  SELECT sp.bin, coalesce(b.p, 0) AS p, coalesce(b.v, 0) AS v
+      |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bin
+      |        FROM bounds) sp
+      |  LEFT JOIN binned b ON sp.bin = b.bin),
+      |lagged AS (
+      |  SELECT p, v, lag(p) OVER (ORDER BY bin) AS pl,
+      |         lag(v) OVER (ORDER BY bin) AS vl
+      |  FROM s QUALIFY pl IS NOT NULL),
+      |m AS (
+      |  SELECT count(*) AS n, sum(p) AS sp, sum(v) AS sv,
+      |         sum(pl) AS spl, sum(vl) AS svl,
+      |         sum(CAST(p AS HUGEINT) * p) AS spp,
+      |         sum(CAST(v AS HUGEINT) * v) AS svv,
+      |         sum(CAST(pl AS HUGEINT) * pl) AS splpl,
+      |         sum(CAST(vl AS HUGEINT) * vl) AS svlvl,
+      |         sum(CAST(p AS HUGEINT) * pl) AS sppl,
+      |         sum(CAST(p AS HUGEINT) * vl) AS spvl,
+      |         sum(CAST(v AS HUGEINT) * vl) AS svvl,
+      |         sum(CAST(v AS HUGEINT) * pl) AS svpl,
+      |         sum(CAST(pl AS HUGEINT) * vl) AS splvl
+      |  FROM lagged),
+      |dirs AS (
+      |  SELECT 'view->purchase' AS direction, n,
+      |         CAST(CAST(n AS HUGEINT) * spp - CAST(sp AS HUGEINT) * sp AS DOUBLE) AS myy,
+      |         CAST(CAST(n AS HUGEINT) * splpl - CAST(spl AS HUGEINT) * spl AS DOUBLE) AS maa,
+      |         CAST(CAST(n AS HUGEINT) * svlvl - CAST(svl AS HUGEINT) * svl AS DOUBLE) AS mxx,
+      |         CAST(CAST(n AS HUGEINT) * sppl - CAST(sp AS HUGEINT) * spl AS DOUBLE) AS mya,
+      |         CAST(CAST(n AS HUGEINT) * spvl - CAST(sp AS HUGEINT) * svl AS DOUBLE) AS myx,
+      |         CAST(CAST(n AS HUGEINT) * splvl - CAST(spl AS HUGEINT) * svl AS DOUBLE) AS mab
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'purchase->view', n,
+      |         CAST(CAST(n AS HUGEINT) * svv - CAST(sv AS HUGEINT) * sv AS DOUBLE),
+      |         CAST(CAST(n AS HUGEINT) * svlvl - CAST(svl AS HUGEINT) * svl AS DOUBLE),
+      |         CAST(CAST(n AS HUGEINT) * splpl - CAST(spl AS HUGEINT) * spl AS DOUBLE),
+      |         CAST(CAST(n AS HUGEINT) * svvl - CAST(sv AS HUGEINT) * svl AS DOUBLE),
+      |         CAST(CAST(n AS HUGEINT) * svpl - CAST(sv AS HUGEINT) * spl AS DOUBLE),
+      |         CAST(CAST(n AS HUGEINT) * splvl - CAST(spl AS HUGEINT) * svl AS DOUBLE)
+      |  FROM m),
+      |fit AS (
+      |  SELECT direction, n, myy, maa, mxx, mya, myx, mab,
+      |         maa * mxx - mab * mab AS det,
+      |         CASE WHEN maa > 0 THEN myy - mya * mya / maa END AS rss_r,
+      |         CASE WHEN maa * mxx - mab * mab > 0 THEN
+      |           myy - ((mya * mxx - mab * myx) * mya
+      |                  + (maa * myx - mab * mya) * myx)
+      |                 / (maa * mxx - mab * mab) END AS rss_u
+      |  FROM dirs)
+      |SELECT direction, CAST(n AS BIGINT) AS n,
+      |       CASE WHEN rss_u > 0 THEN
+      |         CAST(round(1e3 * (rss_r - rss_u) / (rss_u / (CAST(n AS DOUBLE) - 3)))
+      |           AS BIGINT) END AS f_milli,
+      |       CASE WHEN rss_u > 0 THEN
+      |         CAST(round(1e3 * (rss_r - rss_u) / (rss_u / (CAST(n AS DOUBLE) - 3)))
+      |           AS BIGINT) > 3841 END AS leads_5pct
+      |FROM fit ORDER BY direction""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_granger" -> (granger _),
     "ts_ljung_box" -> (ljungBox _),
     "ts_turning_points" -> (turningPoints _),
     "ts_spectral_entropy" -> (spectralEntropy _),
@@ -1360,6 +1509,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_granger" -> grangerSql,
     "ts_ljung_box" -> ljungBoxSql,
     "ts_turning_points" -> turningPointsSql,
     "ts_spectral_entropy" -> spectralEntropySql,

@@ -139,6 +139,51 @@ class Round14bOpsSpec extends SparkSpec {
     assert(counts.sameElements(counts.sortBy(-_)))
   }
 
+  test("granger: both directions present; F non-negative up to rounding") {
+    val rows = TimeSeries.granger(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("direction")).toSet ===
+      Set("view->purchase", "purchase->view"))
+    rows.foreach { r =>
+      val f = r.getAs[Long]("f_milli")
+      // RSS_restricted >= RSS_full mathematically; rounding can dip 1
+      assert(f >= -1L)
+      assert(r.getAs[Boolean]("leads_5pct") === (f > 3841L))
+    }
+  }
+
+  test("page trend: L bounded by the per-block extremes 35b..55b") {
+    val row = StatsOps.pageTrend(spark, sf).head()
+    val b = row.getAs[Long]("n_blocks")
+    val l = row.getAs[Long]("l_stat")
+    assert(b > 0L)
+    // k=5: per-block L ranges from sum j*(6-j)=35 to sum j*j=55
+    assert(l >= 35 * b && l <= 55 * b)
+  }
+
+  test("eff diameter: hop-0 pairs = nodes, cumulative monotone, one flagged hop") {
+    val rows = GeoOps.effDiameter(spark, sf).collect().sortBy(_.getAs[Long]("hop"))
+    val nodes = Tables.customer(spark, sf).count()
+    assert(rows.head.getAs[Long]("hop") === 0L)
+    assert(rows.head.getAs[Long]("n_pairs") === nodes)
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a <= b })
+    assert(rows.last.getAs[Long]("share_ppm") === 1000000L)
+    assert(rows.count(_.getAs[Boolean]("is_effective_diameter")) === 1)
+  }
+
+  test("ttr: census conserves docs; deciles within 0..9; guiraud positive") {
+    val rows = TextAnalysis.ttr(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) > 0).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(d >= 0L && d <= 9L)
+      assert(r.getAs[Long]("sum_types") <= r.getAs[Long]("sum_tokens"))
+      assert(r.getAs[Long]("mean_guiraud_milli") > 0L)
+    }
+  }
+
   // ---- codecs ---------------------------------------------------------
 
   test("sqlite: page size is a power of two; 1-means-65536 sentinel decodes") {
