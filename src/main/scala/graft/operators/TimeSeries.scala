@@ -1353,10 +1353,15 @@ object TimeSeries {
     * series, one scalar fold — the moments, not the data, feed the
     * regression (the linreg-moments discipline). */
   def granger(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: calendar-bounded (≤8760 rows/yr) with FOUR
+    // downstream consumers (spine bounds, the join, × two direction
+    // branches) — without it the events scan re-runs per consumer
+    // (the graph_triangles edge-list lesson, SCALE.md)
     val binned = Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("bin"))
       .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+      .localCheckpoint()
     val spine = binned.agg(min("bin").as("lo"), max("bin").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bin"))
     val s = spine.join(binned, Seq("bin"), "left")
@@ -1380,6 +1385,8 @@ object TimeSeries {
       sum(dec(col("v")) * col("vl")).as("svvl"),
       sum(dec(col("v")) * col("pl")).as("svpl"),
       sum(dec(col("pl")) * col("vl")).as("splvl"))
+      // 1-row bounded artifact consumed by both direction branches
+      .localCheckpoint()
     def d(c: Column) = c.cast("double")
     // centered cross-multiplied moments: M_ab = n·Σab − Σa·Σb
     def cm(sab: Column, sa: Column, sb: Column) =
