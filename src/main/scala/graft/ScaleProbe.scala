@@ -1249,6 +1249,18 @@ object ScaleProbe {
     sb.append("join_range_events' depth hazard (r13 #4) is closed by the\n")
     sb.append("join_range_events_cell twin ((user, cell) composite key, measured\n")
     sb.append("1.4x at 10x depth vs 4.5x baseline; one-hot-user probe above).\n")
+    sb.append("\ngraph_eff_diameter measured negative (r14): the op was built\n")
+    sb.append("all-sources first (exact ANF) and probed 32x per 10x nodes (2.1 ->\n")
+    sb.append("67.9 s warm q-mode; 197 s cold) — root cause is PAIR MASS, not the\n")
+    sb.append("plan: reach pairs grew 60x (61k -> 3.7M at h=1) because replica\n")
+    sb.append("copies of a customer land at FIXED coordinate offsets of the\n")
+    sb.append("original, inflating mean eps-degree 4.1 -> 24.7 (a replica-\n")
+    sb.append("construction artifact of the same family as the dedup pair laws).\n")
+    sb.append("Shipped form samples sources uniformly (id % 100 = 0 — the khop/\n")
+    sb.append("closeness seed slice): the share curve the diameter reads is\n")
+    sb.append("preserved to 3 decimals (h1/h4 = 0.336 sampled vs 0.335 exact at\n")
+    sb.append("~sf1) at ~30x less cost — the HyperANF trade, made explicit and\n")
+    sb.append("measured rather than assumed.\n")
     sb.append("\ngeo_dbscan cost close (r12 verdict #7, closed r13 with two\n")
     sb.append("MEASURED NEGATIVE results — dbscan-probe/dbscan-stages, min-of-3):\n")
     sb.append("the stage probe pins the cost to the CC fixpoint on the core-edge\n")

@@ -793,28 +793,32 @@ object GeoOps {
       |FROM dec_ ORDER BY n_customers DESC, geohash LIMIT 20""".stripMargin
   }
 
-  /** NEIGHBORHOOD FUNCTION + EFFECTIVE DIAMETER (exact, depth-4) —
-    * the global "how far apart is everything" census behind
-    * small-world claims and gossip-round sizing: N(h) = #{(u,v):
-    * d(u,v) ≤ h}, and the effective diameter is the first h where
-    * N(h) ≥ 90% of N(h_max). Here the subcritical eps graph keeps
-    * components (hence per-node balls) bounded, so the ALL-SOURCES
-    * breadth-first closure is exact and affordable — the same
-    * unrolled one-plan BFS as [[khopReach]], from every node at
-    * once. At 100 TB the exact pair table gives way to the
-    * HyperANF/ANF estimate (per-node distinct-counting registers
-    * unioned per round — the HLL sketch this engine already ships
-    * for distinct counts); this operator is the exact twin that
-    * VALIDATES such an estimate on any bounded slice.
+  /** NEIGHBORHOOD FUNCTION + EFFECTIVE DIAMETER (sampled-source,
+    * depth-4) — the global "how far apart is everything" census
+    * behind small-world claims and gossip-round sizing: N(h) =
+    * #{(u,v): d(u,v) ≤ h} estimated from the uniform 1% source slice
+    * (id ≡ 0 mod 100 — the [[khopReach]]/[[closeness]] seed family),
+    * effective diameter = first h where N(h) ≥ 90% of N(h_max).
+    * SAMPLED BY DESIGN, not as a shortcut: exact all-sources ANF is
+    * what HyperANF exists to avoid — and the measured reason lives in
+    * SCALE.md: on the replica corpus the all-sources pair mass grew
+    * 60× per 10× nodes (replica copies land at fixed coordinate
+    * offsets, inflating eps-degree ~6×), 197 s at ~sf1 for a
+    * diagnostic census. Per-source ball sizes are the same either
+    * way; a uniform source sample estimates the SHARE curve (what the
+    * diameter reads) with √(1/sources) error, exactly the HyperANF
+    * trade. At 100 TB the sample stays fixed-size while per-node
+    * distinct-count registers (the engine's HLL) replace exact balls.
     *
-    * Exactness: every N(h) is an exact pair count; the share and
-    * the 90% flag compare cross-multiplied integers (10·N(h) vs
-    * 9·N(4)), no division. Scale: 3 key-partitioned joins; frontier
-    * mass bounded by Σ component², the percolation argument. */
+    * Exactness: N(h) over the sampled sources is an exact pair
+    * count in both engines; the 90% flag compares cross-multiplied
+    * integers (10·N(h) vs 9·N(4)), no division. Scale: 4
+    * key-partitioned joins; frontier mass = sources × ball size. */
   def effDiameter(spark: SparkSession, dir: String): DataFrame = {
     val (pts, pairs) = epsGraph(spark, dir)
     val edges = pairs.select(col("ida").as("node"), col("idb"))
-    val f0 = pts.select(col("id").as("seed"), col("id").as("node"))
+    val f0 = pts.filter(col("id") % 100 === 0)
+      .select(col("id").as("seed"), col("id").as("node"))
     def expand(f: DataFrame): DataFrame =
       f.join(edges, Seq("node"))
         .select(col("seed"), col("idb").as("node")).distinct()
@@ -847,7 +851,7 @@ object GeoOps {
   val effDiameterSql: String =
     s"""WITH RECURSIVE $epsGraphSql,
       |walk(seed, node, hop) AS (
-      |  SELECT id, id, 0 FROM pts
+      |  SELECT id, id, 0 FROM pts WHERE id % 100 = 0
       |  UNION
       |  SELECT w.seed, p.idb, w.hop + 1
       |  FROM walk w JOIN pairs p ON w.node = p.ida

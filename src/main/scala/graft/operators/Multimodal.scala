@@ -1711,7 +1711,68 @@ object Multimodal {
       |       CAST(2 AS BIGINT) AS sec2_id, CAST(0 AS BIGINT) AS sec2_size
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** JAVA CLASS FILE header + constant pool (23rd codec) — the
+    * TAG-DRIVEN HETEROGENEOUS RECORD walk: each constant-pool entry
+    * starts with a 1-byte tag that decides the entry's LAYOUT AND
+    * SIZE (tag 7 = Class: u2 index; tag 1 = Utf8: u2 length + bytes,
+    * variable; tag 3 = Integer: u4 value) — unlike MP4's
+    * homogeneous size-prefixed boxes or WASM's single varint, the
+    * parse must DISPATCH on the tag to know how far to advance. BE
+    * u2/u4 throughout, magic CAFEBABE, major version 52..61 with the
+    * public major−44 Java-version mapping. The walk parses entries
+    * 1–3 and proves the variable advance by landing on tag 3 at
+    * offset 17 + utf8_len. */
+  def classHeader(spark: SparkSession, dir: String): DataFrame = {
+    def beHexL(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i =>
+        lpad(hex(shiftright(v, 8 * (n - 1 - i)) % 256), 2, "0")): _*)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (lit(1L) + pmod(col("n_chars"), lit(40))).cast("long").as("ulen"))
+    val major = (lit(52L) + pmod(col("doc_id"), lit(10))).cast("long")
+    val nameIdx = (lit(2L)).cast("long") // Class entry points at the Utf8
+    val payload = unhex(concat(
+      lit("CAFEBABE"), beHexL(lit(0L), 2), beHexL(major, 2),
+      beHexL(lit(4L), 2),                     // cp_count = entries + 1
+      lit("07"), beHexL(nameIdx, 2),          // #1 Class -> name_index
+      lit("01"), beHexL(col("ulen"), 2),      // #2 Utf8 length
+      expr("repeat('41', CAST(ulen AS INT))"), // 'A' × ulen
+      lit("03"), beHexL(col("doc_id") % 100000L, 4))) // #3 Integer
+    val bytes = base
+      .select(col("doc_id"), prefixBytes(payload, 64).as("bytes"))
+    def be(pos: Int, len: Int) = beAt(col("bytes"), pos, len)
+    def bAt(p: org.apache.spark.sql.Column) =
+      element_at(col("bytes"), p.cast("int"))
+    val ulen = be(15, 2)
+    // dynamic advance: entry 3's tag lands right after the Utf8 bytes
+    val t3pos = lit(17L) + ulen
+    bytes.select(col("doc_id"),
+        (be(1, 4) === 0xCAFEBABEL).as("magic_ok"),
+        be(7, 2).as("major_version"),
+        (be(7, 2) - 44L).as("java_version"),
+        be(9, 2).as("cp_count"),
+        (be(11, 1) === 7L && be(14, 1) === 1L && bAt(t3pos) === 3L)
+          .as("tags_ok"),
+        be(12, 2).as("class_name_index"),
+        ulen.as("utf8_len"),
+        (bAt(t3pos + 1L) * 16777216L + bAt(t3pos + 2L) * 65536L +
+          bAt(t3pos + 3L) * 256L + bAt(t3pos + 4L)).as("const_int_value"))
+      .orderBy(col("doc_id"))
+  }
+
+  val classHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok,
+      |       CAST(52 + doc_id % 10 AS BIGINT) AS major_version,
+      |       CAST(8 + doc_id % 10 AS BIGINT) AS java_version,
+      |       CAST(4 AS BIGINT) AS cp_count,
+      |       TRUE AS tags_ok,
+      |       CAST(2 AS BIGINT) AS class_name_index,
+      |       CAST(1 + n_chars % 40 AS BIGINT) AS utf8_len,
+      |       CAST(doc_id % 100000 AS BIGINT) AS const_int_value
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_class_header" -> (classHeader _),
     "mm_sqlite_header" -> (sqliteHeader _),
     "mm_pcap_header" -> (pcapHeader _),
     "mm_wasm_header" -> (wasmHeader _),
@@ -1743,6 +1804,7 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_class_header" -> classHeaderSql,
     "mm_sqlite_header" -> sqliteHeaderSql,
     "mm_pcap_header" -> pcapHeaderSql,
     "mm_wasm_header" -> wasmHeaderSql,

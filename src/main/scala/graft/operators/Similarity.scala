@@ -2912,7 +2912,180 @@ object Similarity {
        |FROM hits WHERE cos_ppm >= 300000
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** GREEDY GRAPH-ROUTED ANN (beam search over the kNN graph) — the
+    * HNSW-layer-0 family member beside the quantization routes
+    * (IVF/PQ/IMI bound the CANDIDATE SET; graph routing bounds the
+    * PATH): the coarse quantizer assigns each query to its cell
+    * exactly as [[ivfTopK]] does, then instead of scanning the cell
+    * exhaustively, a width-4 beam walks the in-cell [[knnGraph]]
+    * (k=3) from the cell's entry node (min vec_id) for 3 steps —
+    * per step, candidates = beam ∪ beam's graph neighbors, scored by
+    * query cosine, top-4 kept. Output per query: the routed top-1
+    * against the in-cell EXACT top-1 (the routing stage's own recall
+    * denominator — cell selection is [[recallAtK]]'s job).
+    *
+    * Exactness: scoring recomputes the left-to-right dot fold fresh
+    * each step in both engines (the beam carries only (query, node)
+    * ids); ties break (cos DESC, node). Scale: the per-query beam is
+    * ≤4 rows — every step is a BROADCAST join against the
+    * checkpointed edge list (never a shuffle of the graph; the edges
+    * are scanned, not moved), and steps are a constant, not a
+    * fixpoint. At 100 TB the edge list is the stored index; routing
+    * cost is steps × beam × k lookups per query — independent of
+    * cell size, which is the point of graph ANN. */
+  def beamSearch(spark: SparkSession, dir: String): DataFrame = {
+    val beamW = 4
+    // checkpointed once: consumed by edges, queries, entries, every
+    // step's scoring join, and the truth scan
+    val assigned = ivfAssigned(spark, dir).localCheckpoint()
+    val edges = {
+      val a = assigned.select(col("vec_id").as("src"), col("v").as("va"),
+        col("vn").as("na"), col("cell"))
+      val b = assigned.select(col("vec_id").as("dst"), col("v").as("vb"),
+        col("vn").as("nb"), col("cell").as("cb"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos_raw").desc, col("dst"))
+      a.join(b, col("cell") === col("cb") && col("src") =!= col("dst"))
+        .withColumn("cos_raw",
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= knnK)
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("vn").as("qn"), col("cell").as("qcell"))
+    val entry = assigned.select(col("vec_id"), col("cell"))
+      .join(q.select(col("query_id"), col("qcell")),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(min(col("vec_id")).as("node"))
+    // one beam step: candidates = beam ∪ neighbors, rescored fresh
+    def ranked(beam: DataFrame): DataFrame = {
+      val nbr = beam.join(edges, col("node") === col("src"))
+        .select(col("query_id"), col("dst").as("node"))
+      val cand = beam.select(col("query_id"), col("node"))
+        .unionByName(nbr).distinct()
+        // the walk can route back to the query itself (cos = 1);
+        // exclude it like the truth scan does
+        .filter(col("node") =!= col("query_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_raw").desc, col("node"))
+      broadcast(cand)
+        .join(assigned.select(col("vec_id").as("node"), col("v"), col("vn")),
+          Seq("node"))
+        .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+          Seq("query_id"))
+        .withColumn("cos_raw", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
+        .withColumn("rn", row_number().over(w))
+    }
+    def top(beamRanked: DataFrame): DataFrame =
+      beamRanked.filter(col("rn") <= beamW)
+        .select(col("query_id"), col("node"))
+    val s3 = ranked(top(ranked(top(ranked(entry)))))
+    val found = s3.filter(col("rn") === 1)
+      .select(col("query_id"), col("node").as("found_id"),
+        round(col("cos_raw"), 6).as("found_cosine"))
+    val wt = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    val truth = q.join(assigned.select(col("vec_id"), col("v"), col("vn"),
+        col("cell")),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (col("qn") * col("vn")))
+      .withColumn("rn", row_number().over(wt))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("exact_id"),
+        round(col("cos_raw"), 6).as("exact_cosine"))
+    found.join(truth, Seq("query_id"))
+      .withColumn("routed_hit", col("found_id") === col("exact_id"))
+      .orderBy(col("query_id"))
+  }
+
+  val beamSearchSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$ivfCentroidsSqlCtes,
+       |arnk AS (
+       |  SELECT e.vec_id, e.v, e.vn, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, v, vn, cell FROM arnk WHERE arn = 1),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ${dotSql("a.v", "b.v")} / (a.vn * b.vn) DESC, b.vec_id) AS rnk
+       |    FROM assigned a JOIN assigned b
+       |      ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |  WHERE rnk <= $knnK),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv, vn AS qn, cell AS qcell
+       |  FROM assigned WHERE vec_id < $nQueries),
+       |entry_ AS (
+       |  SELECT q.query_id, min(a.vec_id) AS node
+       |  FROM q JOIN assigned a ON a.cell = q.qcell AND a.vec_id <> q.query_id
+       |  GROUP BY 1),
+       |r1 AS (
+       |  SELECT query_id, node,
+       |         ${dotSql("qv", "v")} / (qn * vn) AS cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY ${dotSql("qv", "v")} / (qn * vn) DESC, node) AS rn
+       |  FROM (SELECT DISTINCT c.query_id, c.node FROM (
+       |          SELECT query_id, node FROM entry_
+       |          UNION ALL
+       |          SELECT b.query_id, e.dst FROM entry_ b JOIN edges e ON b.node = e.src) c
+       |        WHERE c.node <> c.query_id)
+       |       JOIN assigned a ON node = a.vec_id
+       |       JOIN q USING (query_id)),
+       |b1 AS (SELECT query_id, node FROM r1 WHERE rn <= 4),
+       |r2 AS (
+       |  SELECT query_id, node,
+       |         ${dotSql("qv", "v")} / (qn * vn) AS cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY ${dotSql("qv", "v")} / (qn * vn) DESC, node) AS rn
+       |  FROM (SELECT DISTINCT c.query_id, c.node FROM (
+       |          SELECT query_id, node FROM b1
+       |          UNION ALL
+       |          SELECT b.query_id, e.dst FROM b1 b JOIN edges e ON b.node = e.src) c
+       |        WHERE c.node <> c.query_id)
+       |       JOIN assigned a ON node = a.vec_id
+       |       JOIN q USING (query_id)),
+       |b2 AS (SELECT query_id, node FROM r2 WHERE rn <= 4),
+       |r3 AS (
+       |  SELECT query_id, node,
+       |         ${dotSql("qv", "v")} / (qn * vn) AS cos_raw,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY ${dotSql("qv", "v")} / (qn * vn) DESC, node) AS rn
+       |  FROM (SELECT DISTINCT c.query_id, c.node FROM (
+       |          SELECT query_id, node FROM b2
+       |          UNION ALL
+       |          SELECT b.query_id, e.dst FROM b2 b JOIN edges e ON b.node = e.src) c
+       |        WHERE c.node <> c.query_id)
+       |       JOIN assigned a ON node = a.vec_id
+       |       JOIN q USING (query_id)),
+       |found AS (
+       |  SELECT query_id, node AS found_id, round(cos_raw, 6) AS found_cosine
+       |  FROM r3 WHERE rn = 1),
+       |truth AS (
+       |  SELECT query_id, vec_id AS exact_id, round(cos_raw, 6) AS exact_cosine
+       |  FROM (
+       |    SELECT q.query_id, a.vec_id,
+       |           ${dotSql("q.qv", "a.v")} / (q.qn * a.vn) AS cos_raw,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${dotSql("q.qv", "a.v")} / (q.qn * a.vn) DESC, a.vec_id) AS rn
+       |    FROM q JOIN assigned a ON a.cell = q.qcell AND a.vec_id <> q.query_id)
+       |  WHERE rn = 1)
+       |SELECT f.query_id, f.found_id, f.found_cosine, t.exact_id, t.exact_cosine,
+       |       f.found_id = t.exact_id AS routed_hit
+       |FROM found f JOIN truth t USING (query_id)
+       |ORDER BY f.query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_beam_search" -> (beamSearch _),
     "sim_radius_search" -> (radiusSearch _),
     "sim_mrl_recall" -> (mrlRecall _),
     "sim_cell_quality" -> (cellQuality _),
@@ -2955,6 +3128,7 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "sim_beam_search" -> beamSearchSql,
     "sim_radius_search" -> radiusSearchSql,
     "sim_pca_project" -> pcaProjectSql,
     "sim_pca_top_component" -> pcaTopComponentSql,

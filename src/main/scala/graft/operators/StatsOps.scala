@@ -2495,7 +2495,104 @@ object StatsOps {
       |         AS monotone_5pct
       |FROM m""".stripMargin
 
+  /** BARTLETT'S TEST — the parametric variance-homogeneity sibling of
+    * [[levene]]/Brown–Forsythe (Bartlett is MORE powerful under
+    * normality and the classic pre-check before pooling variances in
+    * ANOVA; Levene is the robust fallback — shipping both lets the
+    * pipeline report when they disagree, which is itself a
+    * non-normality signal): χ² = [(N−k)·ln S²_p − Σ(n_i−1)·ln S²_i]/C
+    * with C = 1 + (Σ1/(n_i−1) − 1/(N−k))/(3(k−1)).
+    *
+    * Exactness: per-group (n, Σx, Σx²) are exact DECIMAL/HUGEINT
+    * folds of integer cents; each group's (n_i−1)·ln S²_i and
+    * 1/(n_i−1) quantize ONCE to nano before their exact k-term sums;
+    * the final assembly is one double expression over those longs.
+    * Scale: one map-side-combinable per-type agg (k rows), then a
+    * scalar fold — no ordered anything. */
+  def bartlett(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val g = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ni"), sum(dec(col("cents"))).as("sx"),
+        sum(dec(col("cents")) * col("cents")).as("sxx"))
+      .filter(col("ni") > 1)
+      .withColumn("m2", dec(col("ni")) * col("sxx") - col("sx") * col("sx"))
+      .filter(col("m2") > 0)
+      // per-group quantize-then-sum (the entropy-rate discipline):
+      // (n_i−1)·S²_i = m2/n_i in milli-cents² rides DECIMAL (it is
+      // n·variance — wraps a long at trillion-row groups), the ln and
+      // reciprocal terms in nano
+      .select(col("ni"),
+        round(lit(1e3) * d(col("m2")) / d(col("ni"))).cast("decimal(38,0)")
+          .as("wss_milli"),
+        (dec(col("ni") - 1L) * round(lit(1e9) *
+          log(d(col("m2")) / (d(col("ni")) * (d(col("ni")) - 1d))))
+          .cast("long")).cast("decimal(38,0)").as("t_nano"),
+        round(lit(1e9) / (d(col("ni")) - 1d)).cast("long").as("inv_nano"))
+    g.agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+        sum(col("t_nano")).as("st"), sum(col("inv_nano")).as("sinv"),
+        sum(col("wss_milli")).as("ssw"))
+      .select(col("k"), col("n"),
+        round(lit(1e3) *
+          ((d(col("n")) - d(col("k"))) *
+            log(d(col("ssw")) / lit(1e3) / (d(col("n")) - d(col("k")))) -
+            d(col("st")) / lit(1e9)) /
+          (lit(1d) + (d(col("sinv")) / lit(1e9) -
+            lit(1d) / (d(col("n")) - d(col("k")))) /
+            (lit(3d) * (d(col("k")) - lit(1d)))))
+          .cast("long").as("chi2_milli"))
+      .withColumn("df", col("k") - 1L)
+      // chi2(4) 95th percentile = 9.488
+      .withColumn("heteroscedastic_5pct", col("chi2_milli") > lit(9488L))
+  }
+
+  val bartlettSql: String =
+    """WITH g AS (
+      |  SELECT event_type, count(*) AS ni,
+      |         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS sx,
+      |         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+      |             * CAST(round(value * 100) AS BIGINT)) AS sxx
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT ni, CAST(ni AS HUGEINT) * sxx - sx * sx AS m2
+      |  FROM g WHERE ni > 1),
+      |terms AS (
+      |  SELECT ni,
+      |         CAST(round(1e3 * CAST(m2 AS DOUBLE) / ni) AS HUGEINT) AS wss_milli,
+      |         CAST(ni - 1 AS HUGEINT)
+      |           * CAST(round(1e9 * ln(CAST(m2 AS DOUBLE)
+      |                 / (CAST(ni AS DOUBLE) * (CAST(ni AS DOUBLE) - 1)))) AS BIGINT)
+      |           AS t_nano,
+      |         CAST(round(1e9 / (CAST(ni AS DOUBLE) - 1)) AS BIGINT) AS inv_nano
+      |  FROM m WHERE m2 > 0),
+      |agg_ AS (
+      |  SELECT count(*) AS k, sum(ni) AS n, sum(t_nano) AS st,
+      |         sum(inv_nano) AS sinv, sum(wss_milli) AS ssw
+      |  FROM terms)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      |       CAST(round(1e3 *
+      |           ((CAST(n AS DOUBLE) - k) *
+      |              ln(CAST(ssw AS DOUBLE) / 1e3 / (CAST(n AS DOUBLE) - k))
+      |            - CAST(st AS DOUBLE) / 1e9)
+      |           / (1.0 + (CAST(sinv AS DOUBLE) / 1e9
+      |                     - 1.0 / (CAST(n AS DOUBLE) - k))
+      |                    / (3.0 * (CAST(k AS DOUBLE) - 1)))) AS BIGINT)
+      |         AS chi2_milli,
+      |       CAST(k - 1 AS BIGINT) AS df,
+      |       CAST(round(1e3 *
+      |           ((CAST(n AS DOUBLE) - k) *
+      |              ln(CAST(ssw AS DOUBLE) / 1e3 / (CAST(n AS DOUBLE) - k))
+      |            - CAST(st AS DOUBLE) / 1e9)
+      |           / (1.0 + (CAST(sinv AS DOUBLE) / 1e9
+      |                     - 1.0 / (CAST(n AS DOUBLE) - k))
+      |                    / (3.0 * (CAST(k AS DOUBLE) - 1)))) AS BIGINT) > 9488
+      |         AS heteroscedastic_5pct
+      |FROM agg_""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_bartlett" -> (bartlett _),
     "stats_page_trend" -> (pageTrend _),
     "stats_dunn" -> (dunnTest _),
     "stats_cochran_q" -> (cochranQ _),
@@ -2530,6 +2627,7 @@ object StatsOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "stats_bartlett" -> bartlettSql,
     "stats_page_trend" -> pageTrendSql,
     "stats_dunn" -> dunnTestSql,
     "stats_cochran_q" -> cochranQSql,

@@ -160,11 +160,12 @@ class Round14bOpsSpec extends SparkSpec {
     assert(l >= 35 * b && l <= 55 * b)
   }
 
-  test("eff diameter: hop-0 pairs = nodes, cumulative monotone, one flagged hop") {
+  test("eff diameter: hop-0 pairs = sampled sources, cumulative monotone, one flagged hop") {
     val rows = GeoOps.effDiameter(spark, sf).collect().sortBy(_.getAs[Long]("hop"))
-    val nodes = Tables.customer(spark, sf).count()
+    val sources = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 100 === 0).count()
     assert(rows.head.getAs[Long]("hop") === 0L)
-    assert(rows.head.getAs[Long]("n_pairs") === nodes)
+    assert(rows.head.getAs[Long]("n_pairs") === sources)
     val pairs = rows.map(_.getAs[Long]("n_pairs"))
     assert(pairs.zip(pairs.tail).forall { case (a, b) => a <= b })
     assert(rows.last.getAs[Long]("share_ppm") === 1000000L)
@@ -184,7 +185,46 @@ class Round14bOpsSpec extends SparkSpec {
     }
   }
 
+  test("beam search: routed cosine never beats the in-cell exact; hit implies match") {
+    val rows = Similarity.beamSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fc = r.getAs[Double]("found_cosine")
+      val ec = r.getAs[Double]("exact_cosine")
+      assert(fc <= ec + 1e-9)
+      if (r.getAs[Boolean]("routed_hit")) {
+        assert(r.getAs[Long]("found_id") === r.getAs[Long]("exact_id"))
+        assert(math.abs(fc - ec) < 1e-9)
+      }
+    }
+  }
+
+  test("bartlett: five groups; chi2 defined; agrees with levene within family") {
+    val row = StatsOps.bartlett(spark, sf).head()
+    assert(row.getAs[Long]("k") === 5L)
+    assert(row.getAs[Long]("df") === 4L)
+    val chi2 = row.getAs[Long]("chi2_milli")
+    assert(chi2 >= 0L)
+    assert(row.getAs[Boolean]("heteroscedastic_5pct") === (chi2 > 9488L))
+  }
+
   // ---- codecs ---------------------------------------------------------
+
+  test("class file: tag-driven walk lands on entry 3; version mapping holds") {
+    val rows = Multimodal.classHeader(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("magic_ok"))
+      assert(r.getAs[Boolean]("tags_ok"))
+      assert(r.getAs[Long]("java_version") ===
+        r.getAs[Long]("major_version") - 44L)
+      assert(r.getAs[Long]("class_name_index") === 2L)
+      val ul = r.getAs[Long]("utf8_len")
+      assert(ul >= 1L && ul <= 40L)
+      assert(r.getAs[Long]("const_int_value") === r.getAs[Long]("doc_id") % 100000L)
+    }
+  }
+
 
   test("sqlite: page size is a power of two; 1-means-65536 sentinel decodes") {
     val rows = Multimodal.sqliteHeader(spark, sf).collect()
