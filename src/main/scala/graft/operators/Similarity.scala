@@ -3084,7 +3084,109 @@ object Similarity {
        |FROM found f JOIN truth t USING (query_id)
        |ORDER BY f.query_id""".stripMargin
 
+  /** FILTERED ANN (metadata predicate + vector search) — the serving
+    * feature every vector store grew in the RAG era: top-k "among
+    * documents WHERE label is odd", not top-k then filter (post-
+    * filtering starves the result set when the predicate is
+    * selective — with selectivity s, post-filter expects only s·k
+    * survivors). The production route applies the predicate INSIDE
+    * the cell scan (pre-filter: the candidate stream shrinks by s
+    * before ranking), with the same nprobe cell-probing as
+    * [[ivfTopK]]; the output joins each query's filtered-exact top-k
+    * so every row carries its recall denominator — the selectivity ×
+    * probe interaction IS what this operator audits.
+    *
+    * Scale: identical shape to [[ivfTopK]] (broadcast queries, cell
+    * equi join) with one extra pushed predicate — the filter reaches
+    * the candidate scan, never a post-pass. */
+  def filteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val k = ivfParams(spark, dir)._1
+    val nprobe = ivfNprobeFor(k)
+    val emb = embWithNorm(spark, dir)
+    val cents = centroidLiteral(spark, dir, k)
+    val keep = col("label") % 2 === 1
+    // predicate pushed BEFORE assignment (per-vector independent, so
+    // filter-then-assign ≡ assign-then-filter — the oracle does the
+    // latter; the engine never scores a filtered-out candidate)
+    val assigned = assignCells(emb.filter(keep), cents)
+    val q = probeCells(emb.filter(col("vec_id") < nQueries), cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("vn").as("qn"), col("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    val approx = broadcast(q)
+      .join(assigned.select(col("vec_id"), col("v"), col("vn"),
+        col("cell").as("ccell")),
+        col("cell") === col("ccell") && col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw",
+        call_function("graft_dot", col("qv"), col("v")) / (col("qn") * col("vn")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id").as("aq"), col("vec_id").as("approx_id"))
+    val truth = broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("vn").as("qn")))
+      .join(emb.filter(keep).select(col("vec_id"), col("v"), col("vn")),
+        col("query_id") =!= col("vec_id"))
+      .withColumn("cos_raw",
+        call_function("graft_dot", col("qv"), col("v")) / (col("qn") * col("vn")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    truth.join(approx,
+        col("query_id") === col("aq") &&
+          col("neighbor_id") === col("approx_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(col("approx_id")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / topK, 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val filteredAnnSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$ivfCentroidsSqlCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, e.label, e.v, e.vn, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, v, vn, cell FROM ranked
+       |  WHERE arn = 1 AND label % 2 = 1),
+       |qprobes AS (
+       |  SELECT vec_id AS query_id, v AS qv, vn AS qn, cell
+       |  FROM ranked WHERE vec_id < $nQueries AND arn <= (SELECT np FROM params)),
+       |approx AS (
+       |  SELECT query_id, vec_id AS approx_id
+       |  FROM (
+       |    SELECT q.query_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${dotSql("q.qv", "c.v")} / (q.qn * c.vn) DESC, c.vec_id) AS rank
+       |    FROM qprobes q
+       |    JOIN assigned c ON q.cell = c.cell AND q.query_id <> c.vec_id)
+       |  WHERE rank <= $topK),
+       |truth AS (
+       |  SELECT query_id, vec_id AS neighbor_id
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dotSql("q.v", "c.v")} / (q.vn * c.vn) DESC, c.vec_id) AS rank
+       |    FROM (SELECT * FROM emb WHERE vec_id < $nQueries) q
+       |    JOIN (SELECT * FROM emb WHERE label % 2 = 1) c
+       |      ON q.vec_id <> c.vec_id)
+       |  WHERE rank <= $topK)
+       |SELECT t.query_id, count(a.approx_id) AS n_hits,
+       |       round(CAST(count(a.approx_id) AS DOUBLE) / $topK, 4) AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.approx_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_filtered_ann" -> (filteredAnn _),
     "sim_beam_search" -> (beamSearch _),
     "sim_radius_search" -> (radiusSearch _),
     "sim_mrl_recall" -> (mrlRecall _),
@@ -3128,6 +3230,7 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "sim_filtered_ann" -> filteredAnnSql,
     "sim_beam_search" -> beamSearchSql,
     "sim_radius_search" -> radiusSearchSql,
     "sim_pca_project" -> pcaProjectSql,

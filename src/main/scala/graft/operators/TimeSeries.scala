@@ -1490,7 +1490,103 @@ object TimeSeries {
       |           AS BIGINT) > 3841 END AS leads_5pct
       |FROM fit ORDER BY direction""".stripMargin
 
+  /** SEASONAL / TREND STRENGTH (Hyndman's F_s, F_t) — the two scalars
+    * that decide which forecasting model a pipeline should even fit,
+    * computed over the same decomposition [[stlDecompose]] ships as a
+    * table: F_s = max(0, 1 − Var(R)/Var(S+R)) (how much of the
+    * detrended variance the hour-of-day profile explains) and
+    * F_t = max(0, 1 − Var(R)/Var(T+R)). A monitoring pipeline tracks
+    * the PAIR across corpus versions: a falling F_s says the daily
+    * cycle is dissolving (mix shift); a rising F_t says drift.
+    *
+    * Exactness: T/S/R are the exact integer micro components of the
+    * STL table (25-bin centered MA div, hod profile as exact-sum-then-
+    * one-division); each variance is an exact DECIMAL/HUGEINT
+    * cross-multiplied moment (n·Σx² − (Σx)²) and each strength ONE
+    * double expression, ppm-quantized. Scale: calendar-bounded series,
+    * one window pass + two compact aggs. */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val frame = Window.orderBy(col("bin")).rowsBetween(-12, 12)
+    val trended = hourlyCounts(spark, dir)
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .withColumn("tr_micro",
+        expr("(1000000 * sum(n) over (order by bin rows between 12 preceding and 12 following)) div 25"))
+      .filter(col("cnt") === 25)
+      .withColumn("detr_micro", lit(1000000L) * col("n") - col("tr_micro"))
+      .withColumn("hod", hour(col("bin")).cast("long"))
+    val profile = trended.groupBy(col("hod"))
+      .agg(round(sum(col("detr_micro")).cast("double") / count(lit(1)))
+        .cast("long").as("seas_micro"))
+    val comp = trended.join(broadcast(profile), "hod")
+      .select((col("detr_micro") - col("seas_micro")).as("r"),
+        col("detr_micro").as("sr"),
+        (lit(1000000L) * col("n") - col("seas_micro")).as("tr"))
+    def d(c: Column) = c.cast("double")
+    def varOf(x: Column) = struct(sum(dec(x) * x).as("sxx"), sum(dec(x)).as("sx"))
+    val m = comp.agg(count(lit(1)).as("nb"), varOf(col("r")).as("vr"),
+      varOf(col("sr")).as("vsr"), varOf(col("tr")).as("vtr"))
+    def cvar(v: Column) = d(dec(col("nb")) * v.getField("sxx") -
+      v.getField("sx") * v.getField("sx"))
+    m.select(col("nb").as("n_bins"),
+        greatest(lit(0L), round(lit(1e6) *
+          (lit(1d) - cvar(col("vr")) / cvar(col("vsr")))).cast("long"))
+          .as("seasonal_strength_ppm"),
+        greatest(lit(0L), round(lit(1e6) *
+          (lit(1d) - cvar(col("vr")) / cvar(col("vtr")))).cast("long"))
+          .as("trend_strength_ppm"))
+      .withColumn("seasonal_dominant",
+        col("seasonal_strength_ppm") > col("trend_strength_ppm"))
+  }
+
+  val seasonalStrengthSql: String =
+    s"""WITH $hourlyCountsSql,
+       |trended AS (
+       |  SELECT bin, n,
+       |         count(*) OVER w25 AS cnt,
+       |         (1000000 * sum(n) OVER w25) // 25 AS tr_micro
+       |  FROM series
+       |  WINDOW w25 AS (ORDER BY bin ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+       |detr AS (
+       |  SELECT bin, n, tr_micro, 1000000 * n - tr_micro AS detr_micro,
+       |         CAST(hour(bin) AS BIGINT) AS hod
+       |  FROM trended WHERE cnt = 25),
+       |profile AS (
+       |  SELECT hod,
+       |         CAST(round(CAST(sum(detr_micro) AS DOUBLE) / count(*)) AS BIGINT)
+       |           AS seas_micro
+       |  FROM detr GROUP BY 1),
+       |comp AS (
+       |  SELECT d.detr_micro - p.seas_micro AS r,
+       |         d.detr_micro AS sr,
+       |         1000000 * d.n - p.seas_micro AS tr
+       |  FROM detr d JOIN profile p USING (hod)),
+       |m AS (
+       |  SELECT count(*) AS nb,
+       |         sum(CAST(r AS HUGEINT) * r) AS rxx, sum(CAST(r AS HUGEINT)) AS rx,
+       |         sum(CAST(sr AS HUGEINT) * sr) AS srxx, sum(CAST(sr AS HUGEINT)) AS srx,
+       |         sum(CAST(tr AS HUGEINT) * tr) AS trxx, sum(CAST(tr AS HUGEINT)) AS trx
+       |  FROM comp)
+       |SELECT CAST(nb AS BIGINT) AS n_bins,
+       |       greatest(0, CAST(round(1e6 * (1.0 -
+       |           CAST(CAST(nb AS HUGEINT) * rxx - rx * rx AS DOUBLE)
+       |           / CAST(CAST(nb AS HUGEINT) * srxx - srx * srx AS DOUBLE)))
+       |         AS BIGINT)) AS seasonal_strength_ppm,
+       |       greatest(0, CAST(round(1e6 * (1.0 -
+       |           CAST(CAST(nb AS HUGEINT) * rxx - rx * rx AS DOUBLE)
+       |           / CAST(CAST(nb AS HUGEINT) * trxx - trx * trx AS DOUBLE)))
+       |         AS BIGINT)) AS trend_strength_ppm,
+       |       greatest(0, CAST(round(1e6 * (1.0 -
+       |           CAST(CAST(nb AS HUGEINT) * rxx - rx * rx AS DOUBLE)
+       |           / CAST(CAST(nb AS HUGEINT) * srxx - srx * srx AS DOUBLE)))
+       |         AS BIGINT))
+       |       > greatest(0, CAST(round(1e6 * (1.0 -
+       |           CAST(CAST(nb AS HUGEINT) * rxx - rx * rx AS DOUBLE)
+       |           / CAST(CAST(nb AS HUGEINT) * trxx - trx * trx AS DOUBLE)))
+       |         AS BIGINT)) AS seasonal_dominant
+       |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal_strength" -> (seasonalStrength _),
     "ts_granger" -> (granger _),
     "ts_ljung_box" -> (ljungBox _),
     "ts_turning_points" -> (turningPoints _),
@@ -1516,6 +1612,7 @@ object TimeSeries {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_seasonal_strength" -> seasonalStrengthSql,
     "ts_granger" -> grangerSql,
     "ts_ljung_box" -> ljungBoxSql,
     "ts_turning_points" -> turningPointsSql,

@@ -1215,7 +1215,75 @@ object WarehouseEtl {
       |FROM orders LEFT JOIN ship ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SCD TYPE 4 — the MINI-DIMENSION (completing the slowly-changing
+    * family beside [[scd2]]/[[scd3]]/[[scd6]]): rapidly-changing
+    * attributes (monthly spend band × dominant order priority) split
+    * OUT of the customer dimension into their own tiny dimension of
+    * distinct combos with a surrogate key; each (customer, month)
+    * fact row then points at (customer_key, minidim_key) instead of
+    * versioning the whole customer row per change — the Kimball
+    * answer to dimensions that would otherwise explode under SCD2.
+    * Output is the mini-dimension WITH its usage census: ≤ 5×5 rows
+    * no matter the corpus, and Σ n_fact_rows = the fact row count
+    * (losslessness — pinned by the spec).
+    *
+    * Exactness: bands are integer division on cents; the dominant
+    * priority breaks count ties toward the smallest priority string
+    * via ONE struct-min ((−cnt, prio)); the surrogate key is a
+    * dense_rank over the ≤25-row mini-dim only. Scale: two compact-key
+    * aggs; the unpartitioned rank orders 25 rows, never data. */
+  def scd4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val cells = o.groupBy(col("cust"), col("month"), col("prio"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sc"))
+    val fact = cells.groupBy(col("cust"), col("month"))
+      .agg(sum(col("sc")).as("spend"),
+        min(struct((-col("cnt")).as("nc"), col("prio").as("prio"))).as("m"))
+      .select(col("cust"), col("month"),
+        least(expr("spend div 5000000"), lit(4L)).as("spend_band"),
+        col("m.prio").as("prio_mode"))
+    val mini = fact.groupBy(col("spend_band"), col("prio_mode"))
+      .agg(count(lit(1)).as("n_fact_rows"),
+        countDistinct(col("cust")).as("n_customers"))
+    mini
+      .withColumn("md_key", dense_rank().over(
+        Window.orderBy(col("spend_band"), col("prio_mode"))).cast("long"))
+      .select(col("md_key"), col("spend_band"), col("prio_mode"),
+        col("n_fact_rows"), col("n_customers"))
+      .orderBy(col("md_key"))
+  }
+
+  val scd4Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS cust, strftime(o_orderdate, '%Y-%m') AS month,
+      |         o_orderpriority AS prio,
+      |         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders),
+      |cells AS (
+      |  SELECT cust, month, prio, count(*) AS cnt, sum(cents) AS sc
+      |  FROM o GROUP BY 1, 2, 3),
+      |fact AS (
+      |  SELECT cust, month,
+      |         least(sum(sc) // 5000000, 4) AS spend_band,
+      |         (min(struct_pack(nc := -cnt, prio := prio))).prio AS prio_mode
+      |  FROM cells GROUP BY 1, 2),
+      |mini AS (
+      |  SELECT spend_band, prio_mode, count(*) AS n_fact_rows,
+      |         count(DISTINCT cust) AS n_customers
+      |  FROM fact GROUP BY 1, 2)
+      |SELECT CAST(dense_rank() OVER (ORDER BY spend_band, prio_mode) AS BIGINT)
+      |         AS md_key,
+      |       CAST(spend_band AS BIGINT) AS spend_band, prio_mode,
+      |       CAST(n_fact_rows AS BIGINT) AS n_fact_rows,
+      |       CAST(n_customers AS BIGINT) AS n_customers
+      |FROM mini ORDER BY md_key""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd4" -> (scd4 _),
     "etl_accumulating_snapshot" -> (accumulatingSnapshot _),
     "etl_surrogate_keys" -> (surrogateKeys _),
     "etl_referential_integrity" -> (referentialIntegrity _),
@@ -1241,6 +1309,7 @@ object WarehouseEtl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_scd4" -> scd4Sql,
     "etl_accumulating_snapshot" -> accumulatingSnapshotSql,
     "etl_surrogate_keys" -> surrogateKeysSql,
     "etl_referential_integrity" -> referentialIntegritySql,

@@ -208,6 +208,39 @@ class Round14bOpsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("heteroscedastic_5pct") === (chi2 > 9488L))
   }
 
+  test("filtered ann: recall in [0,1]; truth restricted to odd labels only") {
+    val rows = Similarity.filteredAnn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hits") <= 5L)
+    }
+  }
+
+  test("seasonal strength: both in [0, 1e6]; dominance flag consistent") {
+    val row = TimeSeries.seasonalStrength(spark, sf).head()
+    val s = row.getAs[Long]("seasonal_strength_ppm")
+    val t = row.getAs[Long]("trend_strength_ppm")
+    assert(s >= 0L && s <= 1000000L)
+    assert(t >= 0L && t <= 1000000L)
+    assert(row.getAs[Boolean]("seasonal_dominant") === (s > t))
+  }
+
+  test("scd4 mini-dimension: <=25 combos; fact rows conserved losslessly") {
+    val rows = WarehouseEtl.scd4(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val factRows = Tables.orders(spark, sf)
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_fact_rows")).sum === factRows)
+    val keys = rows.map(_.getAs[Long]("md_key"))
+    assert(keys.toSeq === (1L to rows.length).toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_customers") <= r.getAs[Long]("n_fact_rows"))
+    }
+  }
+
   // ---- codecs ---------------------------------------------------------
 
   test("class file: tag-driven walk lands on entry 3; version mapping holds") {
