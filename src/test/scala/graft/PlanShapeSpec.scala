@@ -78,6 +78,9 @@ class PlanShapeSpec extends SparkSpec {
       "sim_pq_topk" -> qBounded,
       "sim_mrl_recall" -> qBounded,
       "sim_recall_at_k" -> qBounded,
+      "sim_filtered_ann" -> (qBounded + "; the loop join is the " +
+        "filtered-EXACT truth branch the approx route is recall-joined " +
+        "against — the approx branch itself is a cell equi join"),
       "sim_retrieval_metrics" -> qBounded,
       "sim_hybrid_rrf" -> qBounded,
       "sim_vector_arith" -> qBounded)
