@@ -1771,7 +1771,81 @@ object Multimodal {
       |       CAST(doc_id % 100000 AS BIGINT) AS const_int_value
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** DNS response packet (24th codec) — the INTRA-RECORD BACKREFERENCE:
+    * the answer's name field is a COMPRESSION POINTER (0xC0-flagged
+    * 14-bit offset) back into the question's QNAME, so the parse must
+    * detect the flag bits, extract the offset, and DEREFERENCE it —
+    * no prior codec re-reads an earlier region through a stored
+    * address (ELF/Parquet used end-anchored offsets to distinct
+    * regions; this one aliases bytes already parsed, the RFC 1035
+    * name-compression scheme). Label-chain walk (len-prefixed labels,
+    * zero terminator) + BE u16/u32 fields; the pointer proof re-reads
+    * the first label length THROUGH the pointer and matches it
+    * against the directly-parsed one. */
+  def dnsPacket(spark: SparkSession, dir: String): DataFrame = {
+    def beHexL(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i =>
+        lpad(hex(shiftright(v, 8 * (n - 1 - i)) % 256), 2, "0")): _*)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (lit(1L) + pmod(col("doc_id"), lit(10))).cast("long").as("len1"))
+    val ttl = pmod(col("n_chars"), lit(86400L)).cast("long")
+    val payload = unhex(concat(
+      beHexL(pmod(col("doc_id"), lit(65536L)), 2), // ID
+      lit("8180"),                                 // QR=response, RD/RA
+      beHexL(lit(1L), 2), beHexL(lit(1L), 2),      // QDCOUNT, ANCOUNT
+      beHexL(lit(0L), 2), beHexL(lit(0L), 2),      // NSCOUNT, ARCOUNT
+      beHexL(col("len1"), 1),
+      expr("repeat('61', CAST(len1 AS INT))"),     // label1 = 'a' × len1
+      lit("036E6574"), lit("00"),                  // label2 "net", root
+      beHexL(lit(1L), 2), beHexL(lit(1L), 2),      // QTYPE=A, QCLASS=IN
+      lit("C00C"),                                 // answer NAME: ptr -> 12
+      beHexL(lit(1L), 2), beHexL(lit(1L), 2),      // TYPE, CLASS
+      beHexL(ttl, 4), beHexL(lit(4L), 2),          // TTL, RDLENGTH
+      beHexL(pmod(col("doc_id"), lit(256L)), 1), lit("0A0001"))) // RDATA
+    val withP = base.select(col("doc_id"), payload.as("p"))
+      .withColumn("bytes", prefixBytes(col("p"), 64))
+    def be(pos: Int, len: Int) = beAt(col("bytes"), pos, len)
+    def bAt(p: org.apache.spark.sql.Column) =
+      element_at(col("bytes"), p.cast("int"))
+    val len1 = be(13, 1)
+    val aoff = lit(23L) + len1 // answer record start (1-based)
+    val ptrB0 = bAt(aoff)
+    val ptrOff = pmod(ptrB0, lit(64L)) * 256L + bAt(aoff + 1L) // low 14 bits
+    withP.select(col("doc_id"),
+        (be(5, 2) === 1L && be(7, 2) === 1L).as("counts_ok"),
+        (shiftright(be(3, 2), 15) === 1L).as("is_response"),
+        // label-chain decode: len-prefixed labels joined with '.'
+        concat(col("p").substr(lit(14), len1.cast("int")).cast("string"),
+          lit("."),
+          col("p").substr((lit(15L) + len1).cast("int"), lit(3)).cast("string"))
+          .as("qname"),
+        // pointer: flag bits 11, offset dereferences to the QNAME start
+        (pmod(shiftright(ptrB0, 6), lit(4L)) === 3L).as("ptr_flag_ok"),
+        ptrOff.as("ptr_target"),
+        // THE BACKREFERENCE PROOF: the first label length read THROUGH
+        // the pointer equals the directly-parsed one
+        (bAt(ptrOff + 1L) === len1).as("ptr_deref_ok"),
+        be(5, 2).as("n_questions"),
+        (bAt(aoff + 6L) * 16777216L + bAt(aoff + 7L) * 65536L +
+          bAt(aoff + 8L) * 256L + bAt(aoff + 9L)).as("ttl"),
+        concat(bAt(aoff + 12L).cast("string"), lit("."),
+          bAt(aoff + 13L).cast("string"), lit("."),
+          bAt(aoff + 14L).cast("string")).as("ip_prefix"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dnsPacketSql: String =
+    """SELECT doc_id, TRUE AS counts_ok, TRUE AS is_response,
+      |       repeat('a', CAST(1 + doc_id % 10 AS INT)) || '.net' AS qname,
+      |       TRUE AS ptr_flag_ok, CAST(12 AS BIGINT) AS ptr_target,
+      |       TRUE AS ptr_deref_ok, CAST(1 AS BIGINT) AS n_questions,
+      |       CAST(n_chars % 86400 AS BIGINT) AS ttl,
+      |       CAST(doc_id % 256 AS VARCHAR) || '.10.0' AS ip_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dns_packet" -> (dnsPacket _),
     "mm_class_header" -> (classHeader _),
     "mm_sqlite_header" -> (sqliteHeader _),
     "mm_pcap_header" -> (pcapHeader _),
@@ -1804,6 +1878,7 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_dns_packet" -> dnsPacketSql,
     "mm_class_header" -> classHeaderSql,
     "mm_sqlite_header" -> sqliteHeaderSql,
     "mm_pcap_header" -> pcapHeaderSql,

@@ -243,6 +243,23 @@ class Round14bOpsSpec extends SparkSpec {
 
   // ---- codecs ---------------------------------------------------------
 
+  test("dns: compression pointer dereferences back into the QNAME") {
+    val rows = Multimodal.dnsPacket(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_response"))
+      assert(r.getAs[Boolean]("ptr_flag_ok"))
+      assert(r.getAs[Long]("ptr_target") === 12L)
+      assert(r.getAs[Boolean]("ptr_deref_ok"))
+      val q = r.getAs[String]("qname")
+      val n = (1 + r.getAs[Long]("doc_id") % 10).toInt
+      assert(q === "a" * n + ".net")
+      assert(r.getAs[String]("ip_prefix").endsWith(".10.0"))
+      val t = r.getAs[Long]("ttl")
+      assert(t >= 0L && t < 86400L)
+    }
+  }
+
   test("class file: tag-driven walk lands on entry 3; version mapping holds") {
     val rows = Multimodal.classHeader(spark, sf).collect()
     assert(rows.nonEmpty)
