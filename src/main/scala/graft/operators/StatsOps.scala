@@ -2312,19 +2312,34 @@ object StatsOps {
       col("r2").as("r2a"))
     val b = groups.select(col("event_type").as("type_b"), col("n_g").as("nb"),
       col("r2").as("r2b"))
+    // r14 ADVICE: the Bonferroni cut depends on the PAIR COUNT m =
+    // k(k−1)/2, so it is looked up from the computed group count k
+    // (k=2..6 → z_{1−0.05/2m} milli-quantized: 1.960/2.394/2.638/
+    // 2.807/2.935), NULL beyond — a dictionary-cardinality shift moves
+    // the cut or fails loudly instead of silently mis-flagging. The
+    // oracle SQL carries the identical CASE table.
+    val kk = groups.agg(count(lit(1)).as("kg"))
     a.join(b, col("type_a") < col("type_b"))
       .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(kk))
       // doubled mean ranks: r2/n_g = 2·R̄_g; the /2 folds into the final z
       .withColumn("sigma2",
         (d(col("n")) * (d(col("n")) + 1d) -
           d(col("t3")) / (d(col("n")) - 1d)) / 12d)
+      .withColumn("z_crit_milli",
+        Seq(2L -> 1960L, 3L -> 2394L, 4L -> 2638L, 5L -> 2807L, 6L -> 2935L)
+          .foldLeft(lit(null).cast("long")) { case (acc, (k0, v)) =>
+            when(col("kg") === k0, lit(v)).otherwise(acc)
+          })
       .select(col("type_a"), col("type_b"), col("na"), col("nb"),
         when(col("sigma2") > 0d,
           round(lit(1e3) *
             (d(col("r2a")) / d(col("na")) - d(col("r2b")) / d(col("nb"))) / 2d /
             sqrt(col("sigma2") * (lit(1d) / d(col("na")) + lit(1d) / d(col("nb")))))
-            .cast("long")).as("z_milli"))
-      .withColumn("differs_bonferroni_5pct", abs(col("z_milli")) > lit(2807L))
+            .cast("long")).as("z_milli"),
+        col("z_crit_milli"))
+      .withColumn("differs_bonferroni_5pct",
+        abs(col("z_milli")) > col("z_crit_milli"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
@@ -2342,20 +2357,25 @@ object StatsOps {
       |  SELECT event_type, sum(d) AS n_g,
       |         sum(CAST(d AS HUGEINT) * (2 * r0 + c + 1)) AS r2
       |  FROM perval JOIN runs USING (cents) GROUP BY 1),
+      |kk AS (SELECT count(*) AS kg FROM groups_),
       |pairs AS (
       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
       |         a.n_g AS na, b.n_g AS nb, a.r2 AS r2a, b.r2 AS r2b,
       |         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
-      |          - CAST(t3 AS DOUBLE) / (CAST(n AS DOUBLE) - 1)) / 12 AS sigma2
+      |          - CAST(t3 AS DOUBLE) / (CAST(n AS DOUBLE) - 1)) / 12 AS sigma2,
+      |         CAST(CASE kg WHEN 2 THEN 1960 WHEN 3 THEN 2394 WHEN 4 THEN 2638
+      |                      WHEN 5 THEN 2807 WHEN 6 THEN 2935 END AS BIGINT)
+      |           AS z_crit_milli
       |  FROM groups_ a JOIN groups_ b ON a.event_type < b.event_type
-      |  CROSS JOIN tot)
+      |  CROSS JOIN tot CROSS JOIN kk)
       |SELECT type_a, type_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
       |       CASE WHEN sigma2 > 0 THEN
       |         CAST(round(1e3 * (CAST(r2a AS DOUBLE) / na - CAST(r2b AS DOUBLE) / nb) / 2
       |              / sqrt(sigma2 * (1.0 / na + 1.0 / nb))) AS BIGINT) END AS z_milli,
+      |       z_crit_milli,
       |       CASE WHEN sigma2 > 0 THEN
       |         abs(CAST(round(1e3 * (CAST(r2a AS DOUBLE) / na - CAST(r2b AS DOUBLE) / nb) / 2
-      |              / sqrt(sigma2 * (1.0 / na + 1.0 / nb))) AS BIGINT)) > 2807
+      |              / sqrt(sigma2 * (1.0 / na + 1.0 / nb))) AS BIGINT)) > z_crit_milli
       |         END AS differs_bonferroni_5pct
       |FROM pairs ORDER BY type_a, type_b""".stripMargin
 
@@ -2544,8 +2564,27 @@ object StatsOps {
             (lit(3d) * (d(col("k")) - lit(1d)))))
           .cast("long").as("chi2_milli"))
       .withColumn("df", col("k") - 1L)
-      // chi2(4) 95th percentile = 9.488
-      .withColumn("heteroscedastic_5pct", col("chi2_milli") > lit(9488L))
+      // r14 ADVICE: the critical value is DERIVED from the computed df
+      // via a milli-quantized chi2(df) 95th-percentile lookup (df
+      // 1..10), mirrored verbatim in the oracle SQL — a cardinality
+      // shift in the event-type dictionary moves the cut with it, and
+      // an out-of-table df yields NULL (loud) instead of a wrong flag
+      .withColumn("chi2_crit_milli", chi2Crit95Milli(col("df")))
+      .withColumn("heteroscedastic_5pct",
+        col("chi2_milli") > col("chi2_crit_milli"))
+  }
+
+  /** chi-square 95th-percentile critical values, milli-quantized, for
+    * df 1..10; NULL outside the table so a surprise group cardinality
+    * fails loudly (NULL flag) rather than silently mis-flagging. The
+    * oracle SQL carries the identical CASE table. */
+  private def chi2Crit95Milli(df: Column): Column = {
+    val t = Seq(1L -> 3841L, 2L -> 5991L, 3L -> 7815L, 4L -> 9488L,
+      5L -> 11070L, 6L -> 12592L, 7L -> 14067L, 8L -> 15507L,
+      9L -> 16919L, 10L -> 18307L)
+    t.foldLeft(lit(null).cast("long")) { case (acc, (d0, v)) =>
+      when(df === d0, lit(v)).otherwise(acc)
+    }
   }
 
   val bartlettSql: String =
@@ -2570,26 +2609,30 @@ object StatsOps {
       |agg_ AS (
       |  SELECT count(*) AS k, sum(ni) AS n, sum(t_nano) AS st,
       |         sum(inv_nano) AS sinv, sum(wss_milli) AS ssw
-      |  FROM terms)
-      |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
-      |       CAST(round(1e3 *
-      |           ((CAST(n AS DOUBLE) - k) *
-      |              ln(CAST(ssw AS DOUBLE) / 1e3 / (CAST(n AS DOUBLE) - k))
-      |            - CAST(st AS DOUBLE) / 1e9)
-      |           / (1.0 + (CAST(sinv AS DOUBLE) / 1e9
-      |                     - 1.0 / (CAST(n AS DOUBLE) - k))
-      |                    / (3.0 * (CAST(k AS DOUBLE) - 1)))) AS BIGINT)
-      |         AS chi2_milli,
-      |       CAST(k - 1 AS BIGINT) AS df,
-      |       CAST(round(1e3 *
-      |           ((CAST(n AS DOUBLE) - k) *
-      |              ln(CAST(ssw AS DOUBLE) / 1e3 / (CAST(n AS DOUBLE) - k))
-      |            - CAST(st AS DOUBLE) / 1e9)
-      |           / (1.0 + (CAST(sinv AS DOUBLE) / 1e9
-      |                     - 1.0 / (CAST(n AS DOUBLE) - k))
-      |                    / (3.0 * (CAST(k AS DOUBLE) - 1)))) AS BIGINT) > 9488
-      |         AS heteroscedastic_5pct
-      |FROM agg_""".stripMargin
+      |  FROM terms),
+      |chi AS (
+      |  SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      |         CAST(round(1e3 *
+      |             ((CAST(n AS DOUBLE) - k) *
+      |                ln(CAST(ssw AS DOUBLE) / 1e3 / (CAST(n AS DOUBLE) - k))
+      |              - CAST(st AS DOUBLE) / 1e9)
+      |             / (1.0 + (CAST(sinv AS DOUBLE) / 1e9
+      |                       - 1.0 / (CAST(n AS DOUBLE) - k))
+      |                      / (3.0 * (CAST(k AS DOUBLE) - 1)))) AS BIGINT)
+      |           AS chi2_milli,
+      |         CAST(k - 1 AS BIGINT) AS df
+      |  FROM agg_)
+      |SELECT k, n, chi2_milli, df,
+      |       CAST(CASE df WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815
+      |                    WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592
+      |                    WHEN 7 THEN 14067 WHEN 8 THEN 15507 WHEN 9 THEN 16919
+      |                    WHEN 10 THEN 18307 END AS BIGINT) AS chi2_crit_milli,
+      |       chi2_milli >
+      |         CASE df WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815
+      |                 WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592
+      |                 WHEN 7 THEN 14067 WHEN 8 THEN 15507 WHEN 9 THEN 16919
+      |                 WHEN 10 THEN 18307 END AS heteroscedastic_5pct
+      |FROM chi""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_bartlett" -> (bartlett _),

@@ -49,7 +49,11 @@ class Round14bOpsSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
       val z = r.getAs[Long]("z_milli")
-      assert(r.getAs[Boolean]("differs_bonferroni_5pct") === (math.abs(z) > 2807L))
+      // the cut is DERIVED from the group count (r14 advice): k=5 → 10
+      // pairs → Bonferroni z = 2.807
+      if (k == 5) assert(r.getAs[Long]("z_crit_milli") === 2807L)
+      assert(r.getAs[Boolean]("differs_bonferroni_5pct") ===
+        (math.abs(z) > r.getAs[Long]("z_crit_milli")))
     }
   }
 
@@ -205,6 +209,8 @@ class Round14bOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("df") === 4L)
     val chi2 = row.getAs[Long]("chi2_milli")
     assert(chi2 >= 0L)
+    // crit derived from df (r14 advice): df=4 → chi2 95th pct 9.488
+    assert(row.getAs[Long]("chi2_crit_milli") === 9488L)
     assert(row.getAs[Boolean]("heteroscedastic_5pct") === (chi2 > 9488L))
   }
 
