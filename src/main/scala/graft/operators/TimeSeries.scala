@@ -300,13 +300,23 @@ object TimeSeries {
 
   /** OHLC BARS (open/high/low/close + volume) — the canonical
     * time-series downsampling: per (event_type, hour), the first and
-    * last value by event time plus the extremes and count. Open and
-    * close come from ordered-struct min/max over the EXACT integer
-    * (ts_ns, event_id, cents) triple — one aggregation, no rank
-    * window, deterministic under ties (event_id breaks them), and
-    * map-side combinable (min/max of structs is associative), so at
-    * 100 TB this is one partial+final agg over the compact
-    * (type, hour) key — the same shape as any rollup. Cents exact. */
+    * last value by event time plus the extremes and count,
+    * deterministic under ts ties (event_id breaks them). Cents exact.
+    *
+    * Plan shape: open/close come from ordered-struct min/max over the
+    * EXACT integer (ts_ns, event_id, cents) triple — ONE aggregation,
+    * no rank window, map-side combinable (struct min/max is
+    * associative), so this is one scan + one compact-key shuffle. The
+    * struct buffer does force **SortAggregate** (struct aggregation
+    * buffers are not HashAggregate-mutable) — an all-HashAggregate
+    * two-pass alternative (min/max ts_ns per bar, then a broadcast
+    * join back resolving cents via primitive min_by/max_by) was built
+    * and MEASURED-REJECTED in r15: 1.8–2.5× slower at BOTH sf0.1 and
+    * ~sf1 (details + the 100 TB argument in docs/SCALE.md §ts_ohlc —
+    * the per-partition sort of compact 5-column rows is embarrassingly
+    * parallel and spill-safe, while the alternative pays a second full
+    * fact scan and a broadcast artifact that grows with calendar
+    * span). Cents exact. */
   def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
     val cents = round(col("value") * 100).cast("long")
     Tables.events(spark, dir)
