@@ -396,6 +396,13 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("ann-headtohead")) {
+      Seq(sf01, big).foreach { dir =>
+        graft.operators.Similarity.annServingHeadToHead(spark, dir)
+          .foreach(l => println(s"[$dir] $l"))
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("q")) {
       args.drop(1).foreach { name =>
         val fn = SparkEntry.queries(name)

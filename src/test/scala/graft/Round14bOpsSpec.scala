@@ -189,17 +189,28 @@ class Round14bOpsSpec extends SparkSpec {
     }
   }
 
-  test("beam search: routed cosine never beats the in-cell exact; hit implies match") {
+  test("beam search: routed cosine never beats the in-cell exact; hit implies match; touched audited") {
     val rows = Similarity.beamSearch(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val fc = r.getAs[Double]("found_cosine")
+      val fc = r.getAs[Double]("routed_cosine")
       val ec = r.getAs[Double]("exact_cosine")
       assert(fc <= ec + 1e-9)
       if (r.getAs[Boolean]("routed_hit")) {
-        assert(r.getAs[Long]("found_id") === r.getAs[Long]("exact_id"))
+        assert(r.getAs[Long]("routed_top1") === r.getAs[Long]("exact_top1"))
         assert(math.abs(fc - ec) < 1e-9)
       }
+      // touched is bounded by the walk's combinatorics: 3 steps,
+      // each scoring ≤ beam(8) ∪ beam×edgeK(8) nodes
+      val touched = r.getAs[Long]("candidates_touched")
+      assert(touched >= 1L && touched <= 3L * (8L + 8L * 8L))
+      val h = r.getAs[Long]("hits_at_k")
+      val n = r.getAs[Long]("n_truth")
+      assert(n >= 1L && n <= 5L)
+      assert(h >= 0L && h <= n)
+      assert(r.getAs[Long]("recall_k_milli") === math.round(1e3 * h / n))
+      // a top-1 hit IS one of the k hits
+      if (r.getAs[Boolean]("routed_hit")) assert(h >= 1L)
     }
   }
 
