@@ -874,6 +874,163 @@ object TimeSeries {
        |       CAST(round(CAST(ssm AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT) AS smape_ppm
        |FROM m ORDER BY horizon_h""".stripMargin
 
+  /** HOLT double-exponential (additive level+trend) FORECAST BACKTEST
+    * — the first real model beside [[backtestSmape]]'s persistence
+    * floor (r15 verdict #7). Holt's recurrence l_t = αy_t +
+    * (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} is
+    * sequential — but it is LINEAR in y, so the state is an exact
+    * kernel over past observations: s_t = Σ_j Mʲv·y_{t−j} with
+    * M = [[1−α, 1−α], [−αβ, 1−αβ]], v = [α, αβ]. Truncating at
+    * [[hwTaps]]=24 taps windowizes it exactly like [[ewma]]'s
+    * truncated kernel (|eigval(M)| = √det = 0.866 at α=0.25, β=0.1 —
+    * tail amplitude ~0.866²⁴ ≈ 3%); the 24 (level, trend) weight
+    * pairs are micro-quantized Scala constants inlined into BOTH
+    * engines, with the truncated tail's mass folded into the OLDEST
+    * tap so the level kernel sums to EXACTLY 1e6 and the trend kernel
+    * to EXACTLY 0 — a constant series therefore forecasts itself
+    * bit-exactly (pinned by spec). Forecast at origin t, horizon h:
+    * ŷ = l_t + h·b_t, evaluated rolling-origin at the same horizons
+    * as the persistence baseline (1/24/168 h) over the SAME eval rows
+    * (full-kernel origins only — the levelShift full-window
+    * discipline), with the persistence columns alongside so the
+    * "does the model beat the floor" read is one row. Error algebra
+    * is engine-exact: ae_micro = |1e6·n − f_micro| is an exact
+    * integer, each sMAPE term ppm-quantizes once, one final division
+    * per headline. Scale: the data-sized stage is the hourly count;
+    * the kernel is one window pass over the calendar-bounded spine
+    * (24 lag taps + 2 state lags), then a 3-key agg. */
+  private val hwAlpha = 0.25
+  private val hwBeta = 0.10
+  private val hwTaps = 24
+  private[graft] val hwW: IndexedSeq[(Long, Long)] = {
+    val raw = Iterator.iterate((hwAlpha, hwAlpha * hwBeta)) { case (a, b) =>
+      ((1 - hwAlpha) * (a + b), -hwAlpha * hwBeta * a + (1 - hwAlpha * hwBeta) * b)
+    }.take(hwTaps).toIndexedSeq
+    val q = raw.map { case (a, b) => (math.round(1e6 * a), math.round(1e6 * b)) }
+    val dl = 1000000L - q.map(_._1).sum
+    val db = 0L - q.map(_._2).sum
+    q.updated(hwTaps - 1, (q(hwTaps - 1)._1 + dl, q(hwTaps - 1)._2 + db))
+  }
+  private val hwHorizons = Seq(1, 24, 168)
+
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("bin"))
+    val lagged = hourlyCounts(spark, dir).select(
+      (col("bin") +: col("n") +:
+        (0 until hwTaps).map(j => lag(col("n"), j).over(w).as(s"x$j"))): _*)
+    def kernel(pick: ((Long, Long)) => Long): Column =
+      (0 until hwTaps).map(j => lit(pick(hwW(j))) * col(s"x$j")).reduce(_ + _)
+    // full-kernel origins only: on the gap-free spine x{K-1} present
+    // implies every tap present
+    val state = lagged.select(col("bin"), col("n"),
+      when(col(s"x${hwTaps - 1}").isNotNull, kernel(_._1)).as("l_micro"),
+      when(col(s"x${hwTaps - 1}").isNotNull, kernel(_._2)).as("b_micro"))
+    val scored = state.select(
+      (col("bin") +: col("n") +: hwHorizons.flatMap(h => Seq(
+        (lag(col("l_micro"), h).over(w) + lit(h.toLong) * lag(col("b_micro"), h).over(w)).as(s"f$h"),
+        lag(col("n"), h).over(w).as(s"p$h")))): _*)
+    scored
+      .select(col("n"), explode(array(hwHorizons.map(h =>
+        struct(lit(h.toLong).as("horizon_h"), col(s"f$h").as("f_micro"),
+          col(s"p$h").as("p"))): _*)).as("e"))
+      .select(col("n"), col("e.horizon_h").as("horizon_h"),
+        col("e.f_micro").as("f_micro"), col("e.p").as("p"))
+      .filter(col("f_micro").isNotNull)
+      .withColumn("n_micro", lit(1000000L) * col("n"))
+      .withColumn("ae_micro", abs(col("n_micro") - col("f_micro")))
+      // sMAPE with the |n|+|f| denominator (the STANDARD symmetric
+      // form): a trend extrapolation can go NEGATIVE, and the naive
+      // n+f denominator then explodes past the metric's 2.0 bound
+      .withColumn("sm_ppm",
+        when(col("n_micro") + abs(col("f_micro")) > 0L,
+          round(lit(2e6) * col("ae_micro").cast("double") /
+            (col("n_micro") + abs(col("f_micro"))).cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("pae", abs(col("n") - col("p")))
+      .withColumn("psm_ppm",
+        when(col("n") + col("p") > 0L,
+          round(lit(2e6) * col("pae").cast("double") /
+            (col("n") + col("p")).cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+      .groupBy(col("horizon_h"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("ae_micro")).as("sae"), sum(col("sm_ppm")).as("ssm"),
+        sum(col("pae")).as("psae"), sum(col("psm_ppm")).as("pssm"))
+      .select(col("horizon_h"), col("n_eval"),
+        round(col("sae").cast("double") / 1e3 / col("n_eval").cast("double"))
+          .cast("long").as("mae_milli"),
+        round(col("ssm").cast("double") / col("n_eval").cast("double"))
+          .cast("long").as("smape_ppm"),
+        round(lit(1e3) * col("psae").cast("double") / col("n_eval").cast("double"))
+          .cast("long").as("persist_mae_milli"),
+        round(col("pssm").cast("double") / col("n_eval").cast("double"))
+          .cast("long").as("persist_smape_ppm"))
+      .withColumn("beats_persistence",
+        col("smape_ppm") < col("persist_smape_ppm"))
+      .orderBy(col("horizon_h"))
+  }
+
+  val holtWintersSql: String = {
+    val taps = (0 until hwTaps)
+      .map(j => s"lag(n, $j) OVER (ORDER BY bin) AS x$j").mkString(", ")
+    val lker = (0 until hwTaps).map(j => s"(${hwW(j)._1}) * x$j").mkString(" + ")
+    val bker = (0 until hwTaps).map(j => s"(${hwW(j)._2}) * x$j").mkString(" + ")
+    val fcols = hwHorizons.map(h =>
+      s"""lag(l_micro, $h) OVER (ORDER BY bin)
+         |           + $h * lag(b_micro, $h) OVER (ORDER BY bin) AS f$h,
+         |         lag(n, $h) OVER (ORDER BY bin) AS p$h""".stripMargin).mkString(",\n         ")
+    val terms = hwHorizons.map(h =>
+      s"SELECT n, CAST($h AS BIGINT) AS horizon_h, f$h AS f_micro, p$h AS p FROM scored_w")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $hourlyCountsSql,
+       |lagged AS (SELECT bin, n, $taps FROM series),
+       |state AS (
+       |  SELECT bin, n,
+       |         CASE WHEN x${hwTaps - 1} IS NOT NULL THEN $lker END AS l_micro,
+       |         CASE WHEN x${hwTaps - 1} IS NOT NULL THEN $bker END AS b_micro
+       |  FROM lagged),
+       |scored_w AS (
+       |  SELECT bin, n,
+       |         $fcols
+       |  FROM state),
+       |terms AS (
+       |  $terms),
+       |scored_t AS (
+       |  SELECT horizon_h, n, f_micro, p,
+       |         1000000 * n AS n_micro,
+       |         abs(1000000 * n - f_micro) AS ae_micro,
+       |         abs(n - p) AS pae
+       |  FROM terms WHERE f_micro IS NOT NULL),
+       |pt AS (
+       |  SELECT horizon_h, ae_micro, pae,
+       |         CASE WHEN n_micro + abs(f_micro) > 0
+       |              THEN CAST(round(2e6 * CAST(ae_micro AS DOUBLE) /
+       |                              CAST(n_micro + abs(f_micro) AS DOUBLE)) AS BIGINT)
+       |              ELSE 0 END AS sm_ppm,
+       |         CASE WHEN n + p > 0
+       |              THEN CAST(round(2e6 * CAST(pae AS DOUBLE) /
+       |                              CAST(n + p AS DOUBLE)) AS BIGINT)
+       |              ELSE 0 END AS psm_ppm
+       |  FROM scored_t),
+       |m AS (
+       |  SELECT horizon_h, count(*) AS n_eval, sum(ae_micro) AS sae,
+       |         sum(sm_ppm) AS ssm, sum(pae) AS psae, sum(psm_ppm) AS pssm
+       |  FROM pt GROUP BY 1)
+       |SELECT horizon_h, CAST(n_eval AS BIGINT) AS n_eval,
+       |       CAST(round(CAST(sae AS DOUBLE) / 1e3 / CAST(n_eval AS DOUBLE)) AS BIGINT)
+       |         AS mae_milli,
+       |       CAST(round(CAST(ssm AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT)
+       |         AS smape_ppm,
+       |       CAST(round(1e3 * CAST(psae AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT)
+       |         AS persist_mae_milli,
+       |       CAST(round(CAST(pssm AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT)
+       |         AS persist_smape_ppm,
+       |       CAST(round(CAST(ssm AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT)
+       |         < CAST(round(CAST(pssm AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT)
+       |         AS beats_persistence
+       |FROM m ORDER BY horizon_h""".stripMargin
+  }
+
   // ---------------------------------------------------------------
   // Lagged cross-correlation (lead/lag discovery between two series)
   // ---------------------------------------------------------------
@@ -1605,6 +1762,7 @@ object TimeSeries {
     "ts_changepoint" -> (changepoint _),
     "ts_xcorr" -> (xcorr _),
     "ts_backtest_smape" -> (backtestSmape _),
+    "ts_holt_winters" -> (holtWinters _),
     "ts_stl_decompose" -> (stlDecompose _),
     "ts_periodogram" -> (periodogram _),
     "ts_cusum" -> (cusum _),
@@ -1631,6 +1789,7 @@ object TimeSeries {
     "ts_changepoint" -> changepointSql,
     "ts_xcorr" -> xcorrSql,
     "ts_backtest_smape" -> backtestSmapeSql,
+    "ts_holt_winters" -> holtWintersSql,
     "ts_stl_decompose" -> stlDecomposeSql,
     "ts_periodogram" -> periodogramSql,
     "ts_cusum" -> cusumSql,

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Round-15 additions: k-truss decomposition (cohesion family
+  * completion), Holt-Winters forecasting, and serving-surface
+  * invariants for the matured beam search. */
+class Round15OpsSpec extends SparkSpec {
+
+  test("ktruss: every surviving edge keeps >= k-2 triangles; truss nodes ⊆ 2-core nodes") {
+    val census = GraphOps.kTruss(spark, sf).collect()
+    // the converged 4-truss admits no edge below support 2
+    census.foreach { r =>
+      assert(r.getAs[Long]("support") >= (GraphOps.trussK - 2).toLong)
+      assert(r.getAs[Long]("n_edges") > 0L)
+    }
+    // containment: k-truss ⊆ (k-1)-core ⊆ 2-core — every truss node
+    // must appear in the kCore output's node column
+    val trussNodes = {
+      val e = GraphOps.kTrussEdges(spark, sf)
+      e.select(col("a").as("node")).union(e.select(col("b")))
+        .distinct().collect().map(_.getString(0)).toSet
+    }
+    val coreNodes = GraphOps.kCore(spark, sf).collect()
+      .map(_.getAs[String]("node")).toSet
+    assert(trussNodes.subsetOf(coreNodes))
+    // non-degenerate on this corpus: the planted name cliques survive
+    assert(trussNodes.nonEmpty)
+  }
+
+  test("holt-winters: exact-sum kernel; smape bounded; flags consistent; eval sets shrink with horizon") {
+    // the truncation-corrected kernel is EXACT for a constant series:
+    // level weights sum to 1e6, trend weights to 0 (so l = c, b = 0)
+    assert(TimeSeries.hwW.map(_._1).sum === 1000000L)
+    assert(TimeSeries.hwW.map(_._2).sum === 0L)
+    val rows = TimeSeries.holtWinters(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("horizon_h")).toSeq === Seq(1L, 24L, 168L))
+    val evals = rows.map(_.getAs[Long]("n_eval"))
+    assert(evals.forall(_ > 0L))
+    // longer horizons lose origins off the head of the spine
+    assert(evals.zip(evals.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      // sMAPE with the |n|+|f| denominator is bounded by 2.0
+      assert(r.getAs[Long]("smape_ppm") >= 0L &&
+        r.getAs[Long]("smape_ppm") <= 2000000L)
+      assert(r.getAs[Long]("persist_smape_ppm") >= 0L &&
+        r.getAs[Long]("persist_smape_ppm") <= 2000000L)
+      assert(r.getAs[Boolean]("beats_persistence") ===
+        (r.getAs[Long]("smape_ppm") < r.getAs[Long]("persist_smape_ppm")))
+      assert(r.getAs[Long]("mae_milli") >= 0L)
+    }
+  }
+}
