@@ -417,6 +417,13 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("ppjoin-vs-band")) {
+      Seq(sf01, big).foreach { dir =>
+        graft.operators.Dedup.ppjoinVsBandProbe(spark, dir)
+          .foreach(l => println(s"[$dir] $l"))
+      }
+      spark.stop(); return
+    }
     if (args.contains("ppjoin-stages")) {
       Seq(sf01, big).foreach { dir =>
         graft.operators.Dedup.ppjoinStageProbe(spark, dir).foreach {

@@ -863,6 +863,46 @@ object Dedup {
     Seq(r1, r2, r3, r4)
   }
 
+  /** r15 verdict #4: the ppjoin-vs-banding price sheet. Both routes
+    * verify on the SAME 3-gram hashed-shingle sets at the SAME
+    * jaccard τ=0.5 ([[ppjoinVerified]] is the shared verify stage),
+    * so ppjoin's LOSSLESS output IS the truth set and the banded
+    * route's verified count over it is its literal recall. Reports
+    * per route: end-to-end seconds (min-of-3 warm), candidate mass
+    * (what a 100 TB run shuffles into verify), verified true pairs,
+    * recall vs lossless, and μs per verified pair. Driven by
+    * `ScaleProbe ppjoin-vs-band`; table + recommendation in
+    * docs/TUNING.md. */
+  private[graft] def ppjoinVsBandProbe(spark: SparkSession, dir: String)
+      : Seq[String] = {
+    val t = 0.5
+    def best3(f: => Long): (Double, Long) = {
+      f // warm
+      var best = Double.MaxValue
+      var n = 0L
+      (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime(); n = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, n)
+    }
+    val (tPP, nPP) = best3(ppjoin(spark, dir).count())
+    val candPP = ppjoinCandidates(
+      ppjoinRawMatches(ppjoinPrefix(ppjoinDocs(spark, dir), t), t), t).count()
+    def bandCand = graft.api.Graft.bandCandidates(
+      Tables.documents(spark, dir), "text", "doc_id",
+      k = 3, bands = 4, maxBucketSize = graft.api.Graft.defaultBandBucketCap)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    def bandVerified =
+      ppjoinVerified(ppjoinDocs(spark, dir), bandCand, t)
+    val (tB, nB) = best3(bandVerified.count())
+    val candB = bandCand.count()
+    def row(route: String, secs: Double, cand: Long, ver: Long) =
+      f"$route%-22s secs=$secs%7.2f candidates=$cand%9d verified=$ver%8d recall=${ver.toDouble / nPP}%.4f us_per_pair=${1e6 * secs / math.max(ver, 1)}%8.1f"
+    Seq(row("ppjoin (lossless)", tPP, candPP, nPP),
+      row("band b=4/r=1 + verify", tB, candB, nB))
+  }
+
   /** PPJoin end-to-end — see the stage builders above for the design
     * commentary. The prefix stream is NOT checkpointed: the candidate
     * self-join's two sides share its lineage and Spark reuses the
