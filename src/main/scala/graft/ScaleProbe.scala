@@ -396,6 +396,11 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("stream-state")) {
+      graft.streaming.StreamStateProbe.run(spark)
+        .foreach(l => println(s"[stream-state] $l"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("ann-headtohead")) {
       Seq(sf01, big).foreach { dir =>
         graft.operators.Similarity.annServingHeadToHead(spark, dir)

@@ -405,6 +405,58 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("stateful FAMILY is provider-agnostic: near-dup ingest, session windows, firstSeen under RocksDB") {
+    // r15 verdict #5: the whole stateful family (not just one agg)
+    // must produce identical results on the disk-backed store that a
+    // 100 TB deployment runs — same fixtures + assertions as the
+    // default-provider tests above
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // near-dup ingest: first arrival per signature wins
+      val md = MemoryStream[Doc]
+      md.addData(
+        Doc(1, ts("2024-01-01 00:00:00"), "the cat sat on the mat today"),
+        Doc(2, ts("2024-01-01 00:01:00"), "the cat sat on the mat today"),
+        Doc(3, ts("2024-01-01 00:02:00"), "an entirely different document body"))
+      val q1 = Streams.nearDupIngest(md.toDF()).select(col("doc_id"))
+        .writeStream.format("memory").queryName("t_rdb_neardup").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q1.awaitTermination(60000)
+      assert(spark.table("t_rdb_neardup").collect()
+        .map(_.getAs[Long]("doc_id")).toSet === Set(1L, 3L))
+      // session windows: same closed sessions as the default provider
+      val out = runStream("t_rdb_session")(Streams.sessionCounts, "append").collect()
+      assert(out.filter(_.getAs[Long]("user_id") == 1L)
+        .map(_.getAs[Long]("n_events")).toSeq === Seq(2L))
+      assert(out.filter(_.getAs[Long]("user_id") == 2L)
+        .map(_.getAs[Long]("n_events")).toSeq === Seq(2L))
+      // firstSeen: flatMapGroupsWithState emission set unchanged
+      val mf = MemoryStream[Ev]
+      def ev(id: Long, dayOffset: Int, user: Long) =
+        Ev(id, new Timestamp(1700000000000L + dayOffset * 86400000L), user, "click", 1.0)
+      mf.addData(ev(1, 0, 1), ev(2, 0, 1), ev(3, 1, 2))
+      mf.addData(ev(4, 0, 1), ev(5, 2, 1), ev(6, 2, 3))
+      val q3 = Streams.firstSeen(spark, mf.toDF())
+        .writeStream.format("memory").queryName("t_rdb_first").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q3.awaitTermination(60000)
+      val rows = spark.table("t_rdb_first").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")))
+      assert(rows.sorted.toSeq ===
+        Seq((1L, 19675L), (1L, 19677L), (2L, 19676L), (3L, 19677L)))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join matches errors to following purchases") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
