@@ -1031,6 +1031,149 @@ object TimeSeries {
        |FROM m ORDER BY horizon_h""".stripMargin
   }
 
+  /** DAMPED-TREND Holt forecast backtest (φ=0.9) — the classic fix
+    * for [[holtWinters]]'s long-horizon failure mode: an undamped
+    * trend extrapolates h·b_t and at h=168 multiplies any local trend
+    * error ×168 (measured: plain Holt sMAPE 1.16 at h=168 vs the
+    * 0.297 persistence floor). Damping replaces the recurrence's
+    * trend carry with φ·b and the forecast ramp with Σ_{i≤h}φⁱ, which
+    * SATURATES at φ/(1−φ) = 9 — long-horizon forecasts flatten to
+    * level + bounded trend. Mechanically identical to [[holtWinters]]
+    * (the damped recurrence is still linear in y), with one
+    * refinement: the per-horizon forecast is folded into a single
+    * COMBINED kernel c_j(h) = wl_j + (Σφⁱ)·wb_j, micro-quantized
+    * per horizon with the residual folded into the oldest tap so
+    * every horizon's kernel sums to EXACTLY 1e6 (constant series
+    * forecast themselves bit-exactly at every horizon — spec-pinned)
+    * and the whole forecast stays one integer dot product (no
+    * mult×b_micro product to overflow a double's 2⁵³). */
+  private val hdPhi = 0.90
+  private[graft] val hdW: Map[Int, IndexedSeq[Long]] = {
+    val raw = Iterator.iterate((hwAlpha, hwAlpha * hwBeta)) { case (a, b) =>
+      ((1 - hwAlpha) * a + (1 - hwAlpha) * hdPhi * b,
+        -hwAlpha * hwBeta * a + hdPhi * (1 - hwAlpha * hwBeta) * b)
+    }.take(hwTaps).toIndexedSeq
+    hwHorizons.map { h =>
+      val mult = (1 to h).map(i => math.pow(hdPhi, i.toDouble)).sum
+      val q = raw.map { case (a, b) => math.round(1e6 * (a + mult * b)) }
+      h -> q.updated(hwTaps - 1, q(hwTaps - 1) + (1000000L - q.sum))
+    }.toMap
+  }
+
+  def holtDamped(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("bin"))
+    val lagged = hourlyCounts(spark, dir).select(
+      (col("bin") +: col("n") +:
+        (0 until hwTaps).map(j => lag(col("n"), j).over(w).as(s"x$j"))): _*)
+    val state = lagged.select(
+      (col("bin") +: col("n") +: hwHorizons.map(h =>
+        when(col(s"x${hwTaps - 1}").isNotNull,
+          (0 until hwTaps).map(j => lit(hdW(h)(j)) * col(s"x$j")).reduce(_ + _))
+          .as(s"k$h"))): _*)
+    val scored = state.select(
+      (col("bin") +: col("n") +: hwHorizons.flatMap(h => Seq(
+        lag(col(s"k$h"), h).over(w).as(s"f$h"),
+        lag(col("n"), h).over(w).as(s"p$h")))): _*)
+    scored
+      .select(col("n"), explode(array(hwHorizons.map(h =>
+        struct(lit(h.toLong).as("horizon_h"), col(s"f$h").as("f_micro"),
+          col(s"p$h").as("p"))): _*)).as("e"))
+      .select(col("n"), col("e.horizon_h").as("horizon_h"),
+        col("e.f_micro").as("f_micro"), col("e.p").as("p"))
+      .filter(col("f_micro").isNotNull)
+      .withColumn("n_micro", lit(1000000L) * col("n"))
+      .withColumn("ae_micro", abs(col("n_micro") - col("f_micro")))
+      .withColumn("sm_ppm",
+        when(col("n_micro") + abs(col("f_micro")) > 0L,
+          round(lit(2e6) * col("ae_micro").cast("double") /
+            (col("n_micro") + abs(col("f_micro"))).cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("pae", abs(col("n") - col("p")))
+      .withColumn("psm_ppm",
+        when(col("n") + col("p") > 0L,
+          round(lit(2e6) * col("pae").cast("double") /
+            (col("n") + col("p")).cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+      .groupBy(col("horizon_h"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("ae_micro")).as("sae"), sum(col("sm_ppm")).as("ssm"),
+        sum(col("pae")).as("psae"), sum(col("psm_ppm")).as("pssm"))
+      .select(col("horizon_h"), col("n_eval"),
+        round(col("sae").cast("double") / 1e3 / col("n_eval").cast("double"))
+          .cast("long").as("mae_milli"),
+        round(col("ssm").cast("double") / col("n_eval").cast("double"))
+          .cast("long").as("smape_ppm"),
+        round(lit(1e3) * col("psae").cast("double") / col("n_eval").cast("double"))
+          .cast("long").as("persist_mae_milli"),
+        round(col("pssm").cast("double") / col("n_eval").cast("double"))
+          .cast("long").as("persist_smape_ppm"))
+      .withColumn("beats_persistence",
+        col("smape_ppm") < col("persist_smape_ppm"))
+      .orderBy(col("horizon_h"))
+  }
+
+  val holtDampedSql: String = {
+    val taps = (0 until hwTaps)
+      .map(j => s"lag(n, $j) OVER (ORDER BY bin) AS x$j").mkString(", ")
+    val kers = hwHorizons.map { h =>
+      val k = (0 until hwTaps).map(j => s"(${hdW(h)(j)}) * x$j").mkString(" + ")
+      s"CASE WHEN x${hwTaps - 1} IS NOT NULL THEN $k END AS k$h"
+    }.mkString(",\n         ")
+    val fcols = hwHorizons.map(h =>
+      s"""lag(k$h, $h) OVER (ORDER BY bin) AS f$h,
+         |         lag(n, $h) OVER (ORDER BY bin) AS p$h""".stripMargin)
+      .mkString(",\n         ")
+    val terms = hwHorizons.map(h =>
+      s"SELECT n, CAST($h AS BIGINT) AS horizon_h, f$h AS f_micro, p$h AS p FROM scored_w")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $hourlyCountsSql,
+       |lagged AS (SELECT bin, n, $taps FROM series),
+       |state AS (
+       |  SELECT bin, n,
+       |         $kers
+       |  FROM lagged),
+       |scored_w AS (
+       |  SELECT bin, n,
+       |         $fcols
+       |  FROM state),
+       |terms AS (
+       |  $terms),
+       |scored_t AS (
+       |  SELECT horizon_h, n, f_micro, p,
+       |         1000000 * n AS n_micro,
+       |         abs(1000000 * n - f_micro) AS ae_micro,
+       |         abs(n - p) AS pae
+       |  FROM terms WHERE f_micro IS NOT NULL),
+       |pt AS (
+       |  SELECT horizon_h, ae_micro, pae,
+       |         CASE WHEN n_micro + abs(f_micro) > 0
+       |              THEN CAST(round(2e6 * CAST(ae_micro AS DOUBLE) /
+       |                              CAST(n_micro + abs(f_micro) AS DOUBLE)) AS BIGINT)
+       |              ELSE 0 END AS sm_ppm,
+       |         CASE WHEN n + p > 0
+       |              THEN CAST(round(2e6 * CAST(pae AS DOUBLE) /
+       |                              CAST(n + p AS DOUBLE)) AS BIGINT)
+       |              ELSE 0 END AS psm_ppm
+       |  FROM scored_t),
+       |m AS (
+       |  SELECT horizon_h, count(*) AS n_eval, sum(ae_micro) AS sae,
+       |         sum(sm_ppm) AS ssm, sum(pae) AS psae, sum(psm_ppm) AS pssm
+       |  FROM pt GROUP BY 1)
+       |SELECT horizon_h, CAST(n_eval AS BIGINT) AS n_eval,
+       |       CAST(round(CAST(sae AS DOUBLE) / 1e3 / CAST(n_eval AS DOUBLE)) AS BIGINT)
+       |         AS mae_milli,
+       |       CAST(round(CAST(ssm AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT)
+       |         AS smape_ppm,
+       |       CAST(round(1e3 * CAST(psae AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT)
+       |         AS persist_mae_milli,
+       |       CAST(round(CAST(pssm AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT)
+       |         AS persist_smape_ppm,
+       |       CAST(round(CAST(ssm AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT)
+       |         < CAST(round(CAST(pssm AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT)
+       |         AS beats_persistence
+       |FROM m ORDER BY horizon_h""".stripMargin
+  }
+
   // ---------------------------------------------------------------
   // Lagged cross-correlation (lead/lag discovery between two series)
   // ---------------------------------------------------------------
@@ -1763,6 +1906,7 @@ object TimeSeries {
     "ts_xcorr" -> (xcorr _),
     "ts_backtest_smape" -> (backtestSmape _),
     "ts_holt_winters" -> (holtWinters _),
+    "ts_holt_damped" -> (holtDamped _),
     "ts_stl_decompose" -> (stlDecompose _),
     "ts_periodogram" -> (periodogram _),
     "ts_cusum" -> (cusum _),
@@ -1790,6 +1934,7 @@ object TimeSeries {
     "ts_xcorr" -> xcorrSql,
     "ts_backtest_smape" -> backtestSmapeSql,
     "ts_holt_winters" -> holtWintersSql,
+    "ts_holt_damped" -> holtDampedSql,
     "ts_stl_decompose" -> stlDecomposeSql,
     "ts_periodogram" -> periodogramSql,
     "ts_cusum" -> cusumSql,

@@ -51,4 +51,27 @@ class Round15OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("mae_milli") >= 0L)
     }
   }
+
+  test("holt damped: every horizon's combined kernel sums to exactly 1e6; long-horizon smape bounded by plain holt's") {
+    // constant-series exactness holds PER HORIZON for the combined
+    // (level + damped-ramp·trend) kernels
+    Seq(1, 24, 168).foreach { h =>
+      assert(TimeSeries.hdW(h).sum === 1000000L)
+    }
+    val damped = TimeSeries.holtDamped(spark, sf).collect()
+      .map(r => r.getAs[Long]("horizon_h") -> r).toMap
+    val plain = TimeSeries.holtWinters(spark, sf).collect()
+      .map(r => r.getAs[Long]("horizon_h") -> r).toMap
+    assert(damped.keySet === Set(1L, 24L, 168L))
+    // identical eval protocol → same n_eval and persistence columns
+    Seq(1L, 24L, 168L).foreach { h =>
+      assert(damped(h).getAs[Long]("n_eval") === plain(h).getAs[Long]("n_eval"))
+      assert(damped(h).getAs[Long]("persist_smape_ppm") ===
+        plain(h).getAs[Long]("persist_smape_ppm"))
+    }
+    // the point of damping: at the weekly horizon the saturating ramp
+    // must not do worse than the ×168 undamped extrapolation
+    assert(damped(168L).getAs[Long]("smape_ppm") <=
+      plain(168L).getAs[Long]("smape_ppm"))
+  }
 }
