@@ -1844,7 +1844,114 @@ object Multimodal {
       |       CAST(doc_id % 256 AS VARCHAR) || '.10.0' AS ip_prefix
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** STANDARD MIDI FILE header + first track event (25th codec) —
+    * two mechanisms no earlier codec exercises:
+    *  1. the MSB-FIRST variable-length quantity: the delta-time's
+    *     7-bit groups arrive MOST-significant-first with the
+    *     continuation flag on the high bit — the exact mirror image
+    *     of WASM's LSB-first LEB128, so an implementation that
+    *     reuses the LEB fold decodes every multi-byte delta wrong
+    *     (and the oracle, replaying the generating law, catches it);
+    *  2. the DIVISION field's sign-dispatch: one u16 whose HIGH BIT
+    *     selects the interpretation of its own bytes — metrical
+    *     (the whole u16 = ticks/quarter) vs SMPTE, where the high
+    *     byte is a NEGATIVE two's-complement frame rate (−24/−25/
+    *     −29/−30 stored as 232/231/227/226) and the low byte is
+    *     ticks/frame.
+    * Plus the BE chunk discipline ("MThd" len=6, "MTrk" len =
+    * vlq_width + 3 — the parse PROVES the variable advance by
+    * checking the track length against the decoded width). All
+    * codegen byte arithmetic over a deterministic synthesized
+    * payload, like the rest of the codec family. */
+  def midiHeader(spark: SparkSession, dir: String): DataFrame = {
+    def beHexL(v: org.apache.spark.sql.Column, n: Int) =
+      concat((0 until n).map(i =>
+        lpad(hex(shiftright(v, 8 * (n - 1 - i)) % 256), 2, "0")): _*)
+    val base = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("fmt", pmod(col("doc_id"), lit(3L)))
+      .withColumn("ntrks", lit(1L) + pmod(col("doc_id"), lit(4L)))
+      .withColumn("metrical", pmod(col("doc_id"), lit(2L)) === 0L)
+      .withColumn("tpq", lit(96L) + pmod(col("doc_id"), lit(384L)))
+      .withColumn("fps",
+        when(pmod(col("doc_id"), lit(4L)) === 0L, 24L)
+          .when(pmod(col("doc_id"), lit(4L)) === 1L, 25L)
+          .when(pmod(col("doc_id"), lit(4L)) === 2L, 29L).otherwise(30L))
+      .withColumn("tpf", lit(4L) + pmod(col("doc_id"), lit(40L)))
+      .withColumn("delta", pmod(col("doc_id") * 37L, lit(2097152L)))
+      .withColumn("note", pmod(col("doc_id"), lit(128L)))
+      .withColumn("vlqw", when(col("delta") < 128L, 1L)
+        .when(col("delta") < 16384L, 2L).otherwise(3L))
+    val divHex = when(col("metrical"), beHexL(col("tpq"), 2))
+      .otherwise(concat(lpad(hex(lit(256L) - col("fps")), 2, "0"),
+        lpad(hex(col("tpf")), 2, "0")))
+    // MSB-first groups: all but the LAST byte carry the 0x80 flag
+    val vlqHex = when(col("delta") < 128L, lpad(hex(col("delta")), 2, "0"))
+      .when(col("delta") < 16384L, concat(
+        lpad(hex(shiftright(col("delta"), 7) + 128L), 2, "0"),
+        lpad(hex(pmod(col("delta"), lit(128L))), 2, "0")))
+      .otherwise(concat(
+        lpad(hex(shiftright(col("delta"), 14) + 128L), 2, "0"),
+        lpad(hex(pmod(shiftright(col("delta"), 7), lit(128L)) + 128L), 2, "0"),
+        lpad(hex(pmod(col("delta"), lit(128L))), 2, "0")))
+    val payload = unhex(concat(
+      lit("4D546864"), lit("00000006"),          // "MThd", len 6
+      beHexL(col("fmt"), 2), beHexL(col("ntrks"), 2), divHex,
+      lit("4D54726B"), beHexL(col("vlqw") + 3L, 4), // "MTrk", len
+      vlqHex, lit("90"), lpad(hex(col("note")), 2, "0"), lit("40")))
+    val bytes = base.select(col("doc_id"), prefixBytes(payload, 32).as("bytes"))
+    def bAt(p: org.apache.spark.sql.Column) =
+      element_at(col("bytes"), p.cast("int"))
+    val div = beAt(col("bytes"), 13, 2)
+    val isMetrical = div < 32768L
+    val b1 = bAt(lit(23L))
+    val b2 = bAt(lit(24L))
+    val w = when(b1 < 128L, 1L).when(b2 < 128L, 2L).otherwise(3L)
+    val delta = when(b1 < 128L, b1)
+      .when(b2 < 128L, (b1 - 128L) * 128L + b2)
+      .otherwise((b1 - 128L) * 16384L + (b2 - 128L) * 128L + bAt(lit(25L)))
+    bytes
+      .withColumn("vlq_width", w)
+      .select(col("doc_id"),
+        (beAt(col("bytes"), 1, 4) === 0x4D546864L &&
+          beAt(col("bytes"), 5, 4) === 6L &&
+          beAt(col("bytes"), 15, 4) === 0x4D54726BL &&
+          beAt(col("bytes"), 19, 4) === col("vlq_width") + 3L &&
+          bAt(lit(23L) + col("vlq_width")) === 144L).as("magic_ok"),
+        beAt(col("bytes"), 9, 2).as("format"),
+        beAt(col("bytes"), 11, 2).as("ntrks"),
+        when(isMetrical, "metrical").otherwise("smpte").as("division_mode"),
+        when(isMetrical, div).as("ticks_per_quarter"),
+        // SMPTE: high byte is −fps two's-complement → fps = 256 − hi
+        when(!isMetrical, lit(256L) - shiftright(div, 8)).as("smpte_fps"),
+        when(!isMetrical, pmod(div, lit(256L))).as("ticks_per_frame"),
+        delta.as("delta_ticks"), col("vlq_width"),
+        bAt(lit(24L) + col("vlq_width")).as("note"))
+      .orderBy(col("doc_id"))
+  }
+
+  val midiHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok,
+      |       CAST(doc_id % 3 AS BIGINT) AS format,
+      |       CAST(1 + doc_id % 4 AS BIGINT) AS ntrks,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'metrical' ELSE 'smpte' END
+      |         AS division_mode,
+      |       CASE WHEN doc_id % 2 = 0 THEN CAST(96 + doc_id % 384 AS BIGINT) END
+      |         AS ticks_per_quarter,
+      |       CASE WHEN doc_id % 2 = 1 THEN
+      |         CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 25
+      |                              WHEN 2 THEN 29 ELSE 30 END AS BIGINT) END
+      |         AS smpte_fps,
+      |       CASE WHEN doc_id % 2 = 1 THEN CAST(4 + doc_id % 40 AS BIGINT) END
+      |         AS ticks_per_frame,
+      |       CAST((doc_id * 37) % 2097152 AS BIGINT) AS delta_ticks,
+      |       CAST(CASE WHEN (doc_id * 37) % 2097152 < 128 THEN 1
+      |                 WHEN (doc_id * 37) % 2097152 < 16384 THEN 2
+      |                 ELSE 3 END AS BIGINT) AS vlq_width,
+      |       CAST(doc_id % 128 AS BIGINT) AS note
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_midi_header" -> (midiHeader _),
     "mm_dns_packet" -> (dnsPacket _),
     "mm_class_header" -> (classHeader _),
     "mm_sqlite_header" -> (sqliteHeader _),
@@ -1878,6 +1985,7 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_midi_header" -> midiHeaderSql,
     "mm_dns_packet" -> dnsPacketSql,
     "mm_class_header" -> classHeaderSql,
     "mm_sqlite_header" -> sqliteHeaderSql,

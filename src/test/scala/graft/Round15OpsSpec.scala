@@ -74,4 +74,33 @@ class Round15OpsSpec extends SparkSpec {
     assert(damped(168L).getAs[Long]("smape_ppm") <=
       plain(168L).getAs[Long]("smape_ppm"))
   }
+
+  test("midi: MSB-first vlq decodes the generating delta; smpte fps dispatch; widths exercised") {
+    val rows = Multimodal.midiHeader(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("magic_ok"))
+      val id = r.getAs[Long]("doc_id")
+      // the parse must reproduce the generating law byte-exactly
+      assert(r.getAs[Long]("delta_ticks") === (id * 37) % 2097152)
+      assert(r.getAs[Long]("note") === id % 128)
+      if (r.getAs[String]("division_mode") == "smpte") {
+        assert(Set(24L, 25L, 29L, 30L).contains(r.getAs[Long]("smpte_fps")))
+        assert(r.isNullAt(r.fieldIndex("ticks_per_quarter")))
+      } else {
+        assert(r.isNullAt(r.fieldIndex("smpte_fps")))
+      }
+    }
+    // the MSB-first mechanism is only proven if multi-byte widths occur
+    val widths = rows.map(_.getAs[Long]("vlq_width")).toSet
+    assert(widths.contains(2L) || widths.contains(3L))
+    // an LSB-first (LEB128) fold of the same bytes would decode multi-
+    // byte deltas differently — check one 2-byte case explicitly
+    rows.find(_.getAs[Long]("vlq_width") == 2L).foreach { r =>
+      val d = r.getAs[Long]("delta_ticks")
+      val bytes = ((d >> 7) | 0x80L, d & 0x7fL) // bytes as written (MSB-first)
+      val lebDecode = (bytes._1 & 0x7fL) | (bytes._2 << 7) // the WRONG fold
+      assert(lebDecode !== d)
+    }
+  }
 }
