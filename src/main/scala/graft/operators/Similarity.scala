@@ -2976,8 +2976,11 @@ object Similarity {
       val w = Window.partitionBy(col("src"))
         .orderBy(col("cos_raw").desc, col("dst"))
       a.join(b, col("cell") === col("cb") && col("src") =!= col("dst"))
-        .withColumn("cos_raw",
-          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        // NARROW before the rank window: the exchange otherwise ships
+        // both sides' embedding arrays per candidate pair (~10× the
+        // bytes) just to sort by a double
+        .select(col("src"), col("dst"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_raw"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= edgeK)
         .select(col("src"), col("dst"))
@@ -2994,7 +2997,8 @@ object Similarity {
     val wMed = Window.partitionBy(col("cell"))
       .orderBy(col("cos_cent").desc, col("vec_id"))
     val medoid = assigned
-      .withColumn("cos_cent", cosTo(ownCent))
+      // narrow projection before the per-cell window (vectors dropped)
+      .select(col("cell"), col("vec_id"), cosTo(ownCent).as("cos_cent"))
       .withColumn("mrn", row_number().over(wMed))
       .filter(col("mrn") <= 2)
       .select(col("cell"), col("vec_id"), col("mrn"))
@@ -3026,9 +3030,15 @@ object Similarity {
     def top(beamRanked: DataFrame): DataFrame =
       beamRanked.filter(col("rn") <= beamW)
         .select(col("query_id"), col("node"))
-    val s1 = ranked(entry)
-    val s2 = ranked(top(s1))
-    val s3 = ranked(top(s2))
+    // each step's scored set is a BOUNDED artifact (≤ queries ×
+    // beam·(1+edgeK) rows) with MULTIPLE consumers (the next step,
+    // the touched census, the routed top-k) — without the checkpoint
+    // every consumer re-executes the whole walk prefix (measured
+    // 2.4 → 24 s at ~sf1 when the r15 touched/top-k consumers landed
+    // on the un-checkpointed DAG)
+    val s1 = ranked(entry).localCheckpoint()
+    val s2 = ranked(top(s1)).localCheckpoint()
+    val s3 = ranked(top(s2)).localCheckpoint()
     // candidates-touched audit: distinct vectors whose query distance
     // was computed across the walk (each step's scored set, deduped)
     val touched = s1.select(col("query_id"), col("node"))
@@ -3057,18 +3067,21 @@ object Similarity {
       .withColumn("rn", row_number().over(wt))
       .filter(col("rn") <= serveK)
       .select(col("query_id"), col("vec_id"), col("rn"), col("cos_raw"))
-    val truth1 = truthAll.filter(col("rn") === 1)
-      .select(col("query_id"), col("vec_id").as("exact_top1"),
-        round(col("cos_raw"), 6).as("exact_cosine"))
-    val nTruth = truthAll.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_truth"))
+      .localCheckpoint() // ≤ queries×k rows, TWO consumers below
+    // top-1 row and truth count in ONE aggregation (stage economy —
+    // every extra tiny stage here is a fixed job latency)
+    val truthStats = truthAll.groupBy(col("query_id"))
+      .agg(max(when(col("rn") === 1,
+          struct(col("vec_id"), col("cos_raw")))).as("t1"),
+        count(lit(1)).as("n_truth"))
+      .select(col("query_id"), col("t1.vec_id").as("exact_top1"),
+        round(col("t1.cos_raw"), 6).as("exact_cosine"), col("n_truth"))
     val hits = routed.select(col("query_id"), col("node"))
       .join(truthAll.select(col("query_id"), col("vec_id").as("node")),
         Seq("query_id", "node"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits_at_k"))
-    found1.join(truth1, Seq("query_id"))
+    found1.join(truthStats, Seq("query_id"))
       .join(touched, Seq("query_id"))
-      .join(nTruth, Seq("query_id"))
       .join(hits, Seq("query_id"), "left")
       .withColumn("hits_at_k", coalesce(col("hits_at_k"), lit(0L)))
       .withColumn("recall_k_milli",
