@@ -2961,13 +2961,14 @@ object Similarity {
   private[graft] val beamEdgeK = 8
 
   private[graft] def beamWalk(spark: SparkSession, dir: String,
-                              edgeK: Int = beamEdgeK)
+                              edgeK: Int = beamEdgeK,
+                              kCells: Option[Int] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val beamW = 8
     val serveK = topK
     // checkpointed once: consumed by edges, queries, entries, every
     // step's scoring join, and the truth scan
-    val assigned = ivfAssigned(spark, dir).localCheckpoint()
+    val assigned = ivfAssigned(spark, dir, kCells).localCheckpoint()
     val edges = {
       val a = assigned.select(col("vec_id").as("src"), col("v").as("va"),
         col("vn").as("na"), col("cell"))
@@ -2991,7 +2992,8 @@ object Similarity {
         col("vn").as("qn"), col("cell").as("qcell"))
     // per-cell medoid: max cosine to the cell's OWN centroid (map-side
     // literal lookup — no join), rn ≤ 2 kept as the entry + runner-up
-    val cents = centroidLiteral(spark, dir, ivfParams(spark, dir)._1)
+    val cents = centroidLiteral(spark, dir,
+      kCells.getOrElse(ivfParams(spark, dir)._1))
     val ownCent = element_at(
       filter(cents, c => c.getField("cent_id") === col("cell")), 1)
     val wMed = Window.partitionBy(col("cell"))
@@ -3428,8 +3430,8 @@ object Similarity {
     def recallOf(cand: DataFrame): Double =
       cand.join(truth, cand("query_id") === col("tqid") &&
         cand("node") === col("tnid")).count() / truthN
-    def beamRow(edgeK: Int): (DataFrame, String) = {
-      val (assignedW, qW, routed, touched) = beamWalk(spark, dir, edgeK)
+    def beamRow(edgeK: Int, kCells: Option[Int] = None): (DataFrame, String) = {
+      val (assignedW, qW, routed, touched) = beamWalk(spark, dir, edgeK, kCells)
       val budget = touched.agg(avg(col("candidates_touched")))
         .head().getDouble(0)
       val rec = recallOf(routed.select(col("query_id"), col("node")))
@@ -3468,6 +3470,27 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id").as("node"))
       f"ivf  nprobe=$np%-4d touched=$budget%8.1f recall@$topK=${recallOf(res)}%.3f"
     }
-    s"$beamLine (corpus n=$n, cells k=$k)" +: beamDenseLine +: ivfRows
+    // BIG-CELL regime — the route-choice law's other side: force a
+    // tiny quantizer (k=4 cells, ~n/4 vectors each, the "quantizer
+    // refresh lagged the corpus" scenario). The beam budget is
+    // cell-size-INdependent; IVF's cheapest probe now scans ~n/4.
+    // hold big cells at ~500 vectors regardless of corpus size so the
+    // probe's index-build stays bounded (in-cell pair mass ~ n*500)
+    val kBig = math.max(4, math.ceil(n / 500.0).toInt)
+    val (assignedBig, bigBeamLine) = beamRow(beamEdgeK, Some(kBig))
+    val bigCells = assignedBig.groupBy(col("cell"))
+      .agg(count(lit(1)).as("csz")).localCheckpoint()
+    val centsBig = centroidLiteral(spark, dir, kBig)
+    val bigProbes = probeCells(emb.filter(col("vec_id") < nQueries), centsBig, 1)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val bigBudget = bigProbes.join(bigCells, Seq("cell"))
+      .groupBy(col("query_id")).agg(sum(col("csz")).as("b"))
+      .agg(avg(col("b"))).head().getDouble(0) - 1.0
+    val bigRes = ivfTopK(spark, dir, Some(kBig), Some(1))
+      .select(col("query_id"), col("neighbor_id").as("node"))
+    val bigIvfLine =
+      f"BIGCELL(k=$kBig) ivf nprobe=1 touched=$bigBudget%8.1f recall@$topK=${recallOf(bigRes)}%.3f"
+    (s"$beamLine (corpus n=$n, cells k=$k)" +: beamDenseLine +: ivfRows) ++
+      Seq(s"BIGCELL(k=$kBig) $bigBeamLine", bigIvfLine)
   }
 }
