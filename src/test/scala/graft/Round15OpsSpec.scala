@@ -75,6 +75,37 @@ class Round15OpsSpec extends SparkSpec {
       plain(168L).getAs[Long]("smape_ppm"))
   }
 
+  test("hw seasonal: per-horizon kernels sum to exactly 1e6; seasonal member wins the seasonal horizons") {
+    // constant-series exactness per horizon for the combined
+    // (level + h·trend + seasonal-pick) kernels
+    Seq(1, 24, 168).foreach { h =>
+      assert(TimeSeries.hsW(h).sum === 1000000L)
+    }
+    val seas = TimeSeries.hwSeasonal(spark, sf).collect()
+      .map(r => r.getAs[Long]("horizon_h") -> r).toMap
+    val plain = TimeSeries.holtWinters(spark, sf).collect()
+      .map(r => r.getAs[Long]("horizon_h") -> r).toMap
+    assert(seas.keySet === Set(1L, 24L, 168L))
+    // deeper kernel (168 vs 24 taps) → strictly fewer full-kernel
+    // origins, never more
+    Seq(1L, 24L, 168L).foreach { h =>
+      assert(seas(h).getAs[Long]("n_eval") > 0L)
+      assert(seas(h).getAs[Long]("n_eval") <= plain(h).getAs[Long]("n_eval"))
+      assert(seas(h).getAs[Long]("smape_ppm") <= 2000000L)
+      assert(seas(h).getAs[Boolean]("beats_persistence") ===
+        (seas(h).getAs[Long]("smape_ppm") < seas(h).getAs[Long]("persist_smape_ppm")))
+    }
+    // the point of the seasonal state: at the seasonal horizons the
+    // model must not lose to the trend-only member's long-horizon
+    // extrapolation (which measured ~4x the persistence floor at 168)
+    assert(seas(168L).getAs[Long]("smape_ppm") <=
+      plain(168L).getAs[Long]("smape_ppm"))
+    // and at h=24/168 the persistence column lag(n,h) IS
+    // seasonal-naive — the damped-seasonal member beats it
+    assert(seas(24L).getAs[Boolean]("beats_persistence"))
+    assert(seas(168L).getAs[Boolean]("beats_persistence"))
+  }
+
   test("midi: MSB-first vlq decodes the generating delta; smpte fps dispatch; widths exercised") {
     val rows = Multimodal.midiHeader(spark, sf).collect()
     assert(rows.nonEmpty)
