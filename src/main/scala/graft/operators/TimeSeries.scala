@@ -1367,6 +1367,165 @@ object TimeSeries {
        |FROM m ORDER BY horizon_h""".stripMargin
   }
 
+  /** FORECAST MODEL SELECTION backtest — the family capstone: the
+    * three real members (plain Holt, damped Holt, damped-SEASONAL)
+    * plus the persistence floor, evaluated on the IDENTICAL
+    * rolling-origin set and scored per horizon with the champion
+    * named. The members' own tables ([[holtWinters]]/[[holtDamped]]/
+    * [[hwSeasonal]]) each use their own full-kernel origin set
+    * (24-tap vs 168-tap discipline → different n_eval), so their
+    * numbers are not a same-denominator comparison; here ALL kernels
+    * are re-expressed over the one 168-tap window (the shallow
+    * members' 24-tap kernels zero-pad the old end) and every model is
+    * guarded on the SAME deepest-kernel origins — one n_eval column,
+    * M-competition style. The champion is the argmin of sMAPE with a
+    * deterministic tie order (damped, holt, seasonal, persistence —
+    * mirrored verbatim in the oracle's CASE chain). Plain Holt's
+    * per-horizon combined kernel c_j(h) = wl_j + h·wb_j inherits
+    * Σ=1e6 exactness from [[hwW]]'s fold (Σwl=1e6, Σwb=0). Scale:
+    * identical class to [[hwSeasonal]] — one collect_list window on
+    * the calendar-bounded spine, 9 aggregate(zip_with) kernels
+    * against constant-folded literal arrays. */
+  private[graft] val fsOrder = Seq("damped", "holt", "seasonal", "persistence")
+
+  def forecastSelect(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("bin"))
+    val chHolt: Map[Int, IndexedSeq[Long]] =
+      hwHorizons.map(h => h -> hwW.map { case (l, b) => l + h * b }).toMap
+    def kcol(weights: IndexedSeq[Long]): Column = {
+      val full = IndexedSeq.fill(hsTaps - weights.length)(0L) ++ weights.reverse
+      aggregate(zip_with(col("xs"), array(full.map(lit): _*), (x, c) => x * c),
+        lit(0L), (acc, e) => acc + e)
+    }
+    val lagged = hourlyCounts(spark, dir).select(col("bin"), col("n"),
+      collect_list(col("n")).over(w.rowsBetween(-(hsTaps - 1), 0)).as("xs"))
+    val state = lagged.select(
+      (col("bin") +: col("n") +: hwHorizons.flatMap { h =>
+        val full = size(col("xs")) === hsTaps
+        Seq(when(full, kcol(chHolt(h))).as(s"kh$h"),
+          when(full, kcol(hdW(h))).as(s"kd$h"),
+          when(full, kcol(hsW(h))).as(s"ks$h"))
+      }): _*)
+    val scored = state.select(
+      (col("bin") +: col("n") +: hwHorizons.flatMap(h => Seq(
+        lag(col(s"kh$h"), h).over(w).as(s"fh$h"),
+        lag(col(s"kd$h"), h).over(w).as(s"fd$h"),
+        lag(col(s"ks$h"), h).over(w).as(s"fs$h"),
+        lag(col("n"), h).over(w).as(s"p$h")))): _*)
+    def smTerm(fMicro: Column, nMicro: Column): Column =
+      when(nMicro + abs(fMicro) > 0L,
+        round(lit(2e6) * abs(nMicro - fMicro).cast("double") /
+          (nMicro + abs(fMicro)).cast("double")).cast("long"))
+        .otherwise(lit(0L))
+    val terms = scored
+      .select(col("n"), explode(array(hwHorizons.map(h =>
+        struct(lit(h.toLong).as("horizon_h"), col(s"fh$h").as("fh"),
+          col(s"fd$h").as("fd"), col(s"fs$h").as("fs"),
+          col(s"p$h").as("p"))): _*)).as("e"))
+      .select(col("n"), col("e.horizon_h").as("horizon_h"), col("e.fh").as("fh"),
+        col("e.fd").as("fd"), col("e.fs").as("fs"), col("e.p").as("p"))
+      .filter(col("fs").isNotNull && col("p").isNotNull)
+      .withColumn("n_micro", lit(1000000L) * col("n"))
+      .select(col("horizon_h"),
+        smTerm(col("fh"), col("n_micro")).as("smh"),
+        smTerm(col("fd"), col("n_micro")).as("smd"),
+        smTerm(col("fs"), col("n_micro")).as("sms"),
+        smTerm(lit(1000000L) * col("p"), col("n_micro")).as("smp"))
+    val agg0 = terms.groupBy(col("horizon_h"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("smh")).as("th"), sum(col("smd")).as("td"),
+        sum(col("sms")).as("ts"), sum(col("smp")).as("tp"))
+    def head(t: Column, n: Column): Column =
+      round(t.cast("double") / n.cast("double")).cast("long")
+    val headline = agg0.select(col("horizon_h"), col("n_eval"),
+      head(col("tp"), col("n_eval")).as("smape_persistence_ppm"),
+      head(col("th"), col("n_eval")).as("smape_holt_ppm"),
+      head(col("td"), col("n_eval")).as("smape_damped_ppm"),
+      head(col("ts"), col("n_eval")).as("smape_seasonal_ppm"))
+    val byName = Map("persistence" -> col("smape_persistence_ppm"),
+      "holt" -> col("smape_holt_ppm"), "damped" -> col("smape_damped_ppm"),
+      "seasonal" -> col("smape_seasonal_ppm"))
+    val minS = least(fsOrder.map(byName): _*)
+    headline
+      .withColumn("champion",
+        fsOrder.tail.foldLeft(when(byName(fsOrder.head) === minS, lit(fsOrder.head))) {
+          (acc, m) => acc.when(byName(m) === minS, lit(m))
+        })
+      .orderBy(col("horizon_h"))
+  }
+
+  val forecastSelectSql: String = {
+    val chHolt: Map[Int, IndexedSeq[Long]] =
+      hwHorizons.map(h => h -> hwW.map { case (l, b) => l + h * b }).toMap
+    def ker(weights: IndexedSeq[Long]): String =
+      weights.zipWithIndex.filter(_._1 != 0L)
+        .map { case (c, j) => s"($c) * x$j" }
+        .grouped(24).map(g => "(" + g.mkString(" + ") + ")").mkString(" + ")
+    val taps = (0 until hsTaps)
+      .map(j => s"lag(n, $j) OVER (ORDER BY bin) AS x$j").mkString(", ")
+    val kers = hwHorizons.flatMap { h =>
+      Seq(s"CASE WHEN x${hsTaps - 1} IS NOT NULL THEN ${ker(chHolt(h))} END AS kh$h",
+        s"CASE WHEN x${hsTaps - 1} IS NOT NULL THEN ${ker(hdW(h))} END AS kd$h",
+        s"CASE WHEN x${hsTaps - 1} IS NOT NULL THEN ${ker(hsW(h))} END AS ks$h")
+    }.mkString(",\n         ")
+    val fcols = hwHorizons.map(h =>
+      s"""lag(kh$h, $h) OVER (ORDER BY bin) AS fh$h,
+         |         lag(kd$h, $h) OVER (ORDER BY bin) AS fd$h,
+         |         lag(ks$h, $h) OVER (ORDER BY bin) AS fs$h,
+         |         lag(n, $h) OVER (ORDER BY bin) AS p$h""".stripMargin)
+      .mkString(",\n         ")
+    val terms = hwHorizons.map(h =>
+      s"SELECT n, CAST($h AS BIGINT) AS horizon_h, fh$h AS fh, fd$h AS fd, fs$h AS fs, p$h AS p FROM scored_w")
+      .mkString("\n  UNION ALL ")
+    def sm(f: String): String =
+      s"""CASE WHEN n_micro + abs($f) > 0
+         |              THEN CAST(round(2e6 * CAST(abs(n_micro - $f) AS DOUBLE) /
+         |                              CAST(n_micro + abs($f) AS DOUBLE)) AS BIGINT)
+         |              ELSE 0 END""".stripMargin
+    def head(t: String): String =
+      s"CAST(round(CAST($t AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT)"
+    s"""WITH $hourlyCountsSql,
+       |lagged AS (SELECT bin, n, $taps FROM series),
+       |state AS (
+       |  SELECT bin, n,
+       |         $kers
+       |  FROM lagged),
+       |scored_w AS (
+       |  SELECT bin, n,
+       |         $fcols
+       |  FROM state),
+       |terms AS (
+       |  $terms),
+       |scored_t AS (
+       |  SELECT horizon_h,
+       |         ${sm("fh")} AS smh,
+       |         ${sm("fd")} AS smd,
+       |         ${sm("fs")} AS sms,
+       |         ${sm("1000000 * p")} AS smp
+       |  FROM (SELECT *, 1000000 * n AS n_micro FROM terms
+       |        WHERE fs IS NOT NULL AND p IS NOT NULL)),
+       |m AS (
+       |  SELECT horizon_h, count(*) AS n_eval, sum(smh) AS th, sum(smd) AS td,
+       |         sum(sms) AS ts, sum(smp) AS tp
+       |  FROM scored_t GROUP BY 1),
+       |h AS (
+       |  SELECT horizon_h, CAST(n_eval AS BIGINT) AS n_eval,
+       |         ${head("tp")} AS smape_persistence_ppm,
+       |         ${head("th")} AS smape_holt_ppm,
+       |         ${head("td")} AS smape_damped_ppm,
+       |         ${head("ts")} AS smape_seasonal_ppm
+       |  FROM m)
+       |SELECT *,
+       |       CASE WHEN smape_damped_ppm = least(smape_damped_ppm, smape_holt_ppm,
+       |                 smape_seasonal_ppm, smape_persistence_ppm) THEN 'damped'
+       |            WHEN smape_holt_ppm = least(smape_damped_ppm, smape_holt_ppm,
+       |                 smape_seasonal_ppm, smape_persistence_ppm) THEN 'holt'
+       |            WHEN smape_seasonal_ppm = least(smape_damped_ppm, smape_holt_ppm,
+       |                 smape_seasonal_ppm, smape_persistence_ppm) THEN 'seasonal'
+       |            ELSE 'persistence' END AS champion
+       |FROM h ORDER BY horizon_h""".stripMargin
+  }
+
   // ---------------------------------------------------------------
   // Lagged cross-correlation (lead/lag discovery between two series)
   // ---------------------------------------------------------------
@@ -2101,6 +2260,7 @@ object TimeSeries {
     "ts_holt_winters" -> (holtWinters _),
     "ts_holt_damped" -> (holtDamped _),
     "ts_hw_seasonal" -> (hwSeasonal _),
+    "ts_forecast_select" -> (forecastSelect _),
     "ts_stl_decompose" -> (stlDecompose _),
     "ts_periodogram" -> (periodogram _),
     "ts_cusum" -> (cusum _),
@@ -2130,6 +2290,7 @@ object TimeSeries {
     "ts_holt_winters" -> holtWintersSql,
     "ts_holt_damped" -> holtDampedSql,
     "ts_hw_seasonal" -> hwSeasonalSql,
+    "ts_forecast_select" -> forecastSelectSql,
     "ts_stl_decompose" -> stlDecomposeSql,
     "ts_periodogram" -> periodogramSql,
     "ts_cusum" -> cusumSql,

@@ -106,6 +106,33 @@ class Round15OpsSpec extends SparkSpec {
     assert(seas(168L).getAs[Boolean]("beats_persistence"))
   }
 
+  test("forecast select: same-origins eval set equals seasonal's; champion is the argmin under the tie order") {
+    val rows = TimeSeries.forecastSelect(spark, sf).collect()
+      .map(r => r.getAs[Long]("horizon_h") -> r).toMap
+    assert(rows.keySet === Set(1L, 24L, 168L))
+    // the selection table's guard is hwSeasonal's deepest-kernel
+    // discipline — identical n_eval per horizon
+    val seas = TimeSeries.hwSeasonal(spark, sf).collect()
+      .map(r => r.getAs[Long]("horizon_h") -> r.getAs[Long]("n_eval")).toMap
+    Seq(1L, 24L, 168L).foreach { h =>
+      val r = rows(h)
+      assert(r.getAs[Long]("n_eval") === seas(h))
+      val byName = Map(
+        "persistence" -> r.getAs[Long]("smape_persistence_ppm"),
+        "holt" -> r.getAs[Long]("smape_holt_ppm"),
+        "damped" -> r.getAs[Long]("smape_damped_ppm"),
+        "seasonal" -> r.getAs[Long]("smape_seasonal_ppm"))
+      val min = byName.values.min
+      val expect = TimeSeries.fsOrder.find(m => byName(m) == min).get
+      assert(r.getAs[String]("champion") === expect)
+      // a real member must beat the floor on the shared origins
+      assert(min < byName("persistence"))
+    }
+    // the long-horizon story: the undamped member must not be champion
+    // at h=168 (its x168 ramp measured ~4x the floor)
+    assert(rows(168L).getAs[String]("champion") !== "holt")
+  }
+
   test("midi: MSB-first vlq decodes the generating delta; smpte fps dispatch; widths exercised") {
     val rows = Multimodal.midiHeader(spark, sf).collect()
     assert(rows.nonEmpty)
