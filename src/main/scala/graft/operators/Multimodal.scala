@@ -1950,8 +1950,114 @@ object Multimodal {
       |       CAST(doc_id % 128 AS BIGINT) AS note
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** EBML (Matroska/WebM) header + Segment envelope (26th codec) —
+    * the THIRD distinct varint mechanism in the family and two more
+    * no earlier codec exercises:
+    *  1. the EBML VINT: the encoded WIDTH is announced by the
+    *     position of the first set bit of the FIRST byte (1xxxxxxx =
+    *     1 byte, 01xxxxxx = 2, 001xxxxx = 3, …) and the marker bit is
+    *     STRIPPED from the value — no per-byte continuation bits at
+    *     all, so both the LEB128 fold (WASM) and the MSB-first VLQ
+    *     fold (MIDI) decode the same bytes wrong (a 0x40 0x0F size is
+    *     15 in EBML, 64 in either continuation-bit scheme, which
+    *     would misplace every subsequent element);
+    *  2. the ID/size ASYMMETRY: element IDs are VINTs that KEEP their
+    *     marker bit (DocType is 0x4282 as stored), sizes strip it —
+    *     one mechanism, two decode rules;
+    *  3. the all-value-bits-set UNKNOWN-SIZE sentinel (0xFF at width
+    *     1 means "size unknown", the streaming-Segment convention) —
+    *     the inverse of ICO's 0-means-256 sentinel.
+    * The synthesized payloads vary the header-size VINT width (1 vs
+    * 2 bytes, same value — EBML permits non-minimal encodings), the
+    * DocType length (webm/matroska, which MOVES every later offset —
+    * the variable-advance proof), and the Segment size VINT across
+    * width 1, width 3, and the unknown sentinel; the oracle replays
+    * the generating law, so a wrong width rule or an unstripped
+    * marker cannot hash-match. */
+  def ebmlHeader(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("dtlen", when(pmod(col("doc_id"), lit(5L)) < 3L, 4L).otherwise(8L))
+      .withColumn("hdrsize", col("dtlen") + 7L)
+      .withColumn("ver", lit(1L) + pmod(col("doc_id"), lit(4L)))
+      .withColumn("segcase", pmod(col("doc_id"), lit(3L)))
+      .withColumn("segv3", pmod(col("doc_id") * 13L, lit(2097151L)))
+      .withColumn("segv1", pmod(col("doc_id"), lit(127L)))
+    def h2(v: org.apache.spark.sql.Column) = lpad(hex(v), 2, "0")
+    val hdrSizeHex = when(pmod(col("doc_id"), lit(2L)) === 0L,
+      h2(col("hdrsize") + 128L))                       // width 1: 1xxxxxxx
+      .otherwise(concat(lit("40"), h2(col("hdrsize")))) // width 2: 01 marker
+    val dtHex = when(col("dtlen") === 4L, lit("7765626D")) // "webm"
+      .otherwise(lit("6D6174726F736B61"))                 // "matroska"
+    val segHex = when(col("segcase") === 0L, lit("FF"))   // unknown sentinel
+      .when(col("segcase") === 1L, concat(
+        h2(shiftright(col("segv3"), 16) + 32L),           // 001xxxxx
+        h2(pmod(shiftright(col("segv3"), 8), lit(256L))),
+        h2(pmod(col("segv3"), lit(256L)))))
+      .otherwise(h2(col("segv1") + 128L))
+    val payload = unhex(concat(
+      lit("1A45DFA3"), hdrSizeHex,
+      lit("4282"), h2(col("dtlen") + 128L), dtHex,
+      lit("4287"), lit("81"), h2(col("ver")),
+      lit("18538067"), segHex))
+    val withP = base.select(col("doc_id"), payload.as("p"))
+      .withColumn("bytes", prefixBytes(col("p"), 32))
+    def bAt(p: org.apache.spark.sql.Column) =
+      element_at(col("bytes"), p.cast("int"))
+    // header-size VINT: width from the first byte's leading bit
+    val sb = bAt(lit(5L))
+    val hdrW = when(sb >= 128L, 1L).otherwise(2L)
+    val hdrSize = when(sb >= 128L, sb - 128L)
+      .otherwise((sb - 64L) * 256L + bAt(lit(6L)))
+    val sub = lit(5L) + hdrW                 // DocType element start
+    val dtl = bAt(sub + 2L) - 128L           // its size VINT (width 1)
+    val verPos = sub + 3L + dtl              // DocTypeVersion element
+    val segIdPos = verPos + 4L               // Segment element
+    val ssb = bAt(segIdPos + 4L)             // Segment size first byte
+    val segW = when(ssb >= 128L, 1L).when(ssb >= 64L, 2L)
+      .when(ssb >= 32L, 3L).otherwise(4L)
+    val segVal = when(segW === 1L, ssb - 128L)
+      .when(segW === 2L, (ssb - 64L) * 256L + bAt(segIdPos + 5L))
+      .otherwise((ssb - 32L) * 65536L + bAt(segIdPos + 5L) * 256L +
+        bAt(segIdPos + 6L))
+    // all value bits set = unknown size (2^(7w) − 1)
+    val segUnknown = segVal === when(segW === 1L, 127L).when(segW === 2L, 16383L)
+      .when(segW === 3L, 2097151L).otherwise(268435455L)
+    withP.select(col("doc_id"),
+        (beAt(col("bytes"), 1, 4) === 0x1A45DFA3L &&
+          bAt(sub) === 0x42L && bAt(sub + 1L) === 0x82L &&
+          bAt(verPos) === 0x42L && bAt(verPos + 1L) === 0x87L &&
+          bAt(verPos + 2L) === 0x81L &&
+          bAt(segIdPos) * 16777216L + bAt(segIdPos + 1L) * 65536L +
+            bAt(segIdPos + 2L) * 256L + bAt(segIdPos + 3L) === 0x18538067L)
+          .as("magic_ok"),
+        hdrW.as("hdr_vint_width"), hdrSize.as("hdr_size"),
+        col("p").substr((sub + 3L).cast("int"), dtl.cast("int"))
+          .cast("string").as("doctype"),
+        bAt(verPos + 3L).as("doctype_version"),
+        segW.as("seg_vint_width"), segUnknown.as("seg_unknown"),
+        when(!segUnknown, segVal).as("seg_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ebmlHeaderSql: String =
+    """SELECT doc_id, TRUE AS magic_ok,
+      |       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+      |         AS hdr_vint_width,
+      |       CAST(CASE WHEN doc_id % 5 < 3 THEN 11 ELSE 15 END AS BIGINT)
+      |         AS hdr_size,
+      |       CASE WHEN doc_id % 5 < 3 THEN 'webm' ELSE 'matroska' END AS doctype,
+      |       CAST(1 + doc_id % 4 AS BIGINT) AS doctype_version,
+      |       CAST(CASE doc_id % 3 WHEN 1 THEN 3 ELSE 1 END AS BIGINT)
+      |         AS seg_vint_width,
+      |       doc_id % 3 = 0 AS seg_unknown,
+      |       CASE doc_id % 3
+      |            WHEN 1 THEN CAST((doc_id * 13) % 2097151 AS BIGINT)
+      |            WHEN 2 THEN CAST(doc_id % 127 AS BIGINT) END AS seg_size
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_midi_header" -> (midiHeader _),
+    "mm_ebml_header" -> (ebmlHeader _),
     "mm_dns_packet" -> (dnsPacket _),
     "mm_class_header" -> (classHeader _),
     "mm_sqlite_header" -> (sqliteHeader _),
@@ -1986,6 +2092,7 @@ object Multimodal {
 
   def oracle: Map[String, String] = Map(
     "mm_midi_header" -> midiHeaderSql,
+    "mm_ebml_header" -> ebmlHeaderSql,
     "mm_dns_packet" -> dnsPacketSql,
     "mm_class_header" -> classHeaderSql,
     "mm_sqlite_header" -> sqliteHeaderSql,

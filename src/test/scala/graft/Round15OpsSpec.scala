@@ -133,6 +133,37 @@ class Round15OpsSpec extends SparkSpec {
     assert(rows(168L).getAs[String]("champion") !== "holt")
   }
 
+  test("ebml: width-from-leading-bit vint; id/size marker asymmetry; unknown-size sentinel; continuation folds differ") {
+    val rows = Multimodal.ebmlHeader(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("magic_ok"))
+      val id = r.getAs[Long]("doc_id")
+      val dtlen = if (id % 5 < 3) 4L else 8L
+      // the SAME hdr_size value decodes through BOTH vint widths —
+      // the width rule is the first byte's leading bit, not the value
+      assert(r.getAs[Long]("hdr_size") === dtlen + 7L)
+      assert(r.getAs[Long]("hdr_vint_width") === (if (id % 2 == 0) 1L else 2L))
+      assert(r.getAs[String]("doctype") === (if (id % 5 < 3) "webm" else "matroska"))
+      // unknown-size sentinel: all value bits set, size column NULL
+      if (id % 3 == 0) {
+        assert(r.getAs[Boolean]("seg_unknown"))
+        assert(r.isNullAt(r.fieldIndex("seg_size")))
+      } else {
+        assert(!r.getAs[Boolean]("seg_unknown"))
+        assert(!r.isNullAt(r.fieldIndex("seg_size")))
+      }
+    }
+    // both segment widths occur, so the leading-bit dispatch is proven
+    assert(rows.map(_.getAs[Long]("seg_vint_width")).toSet === Set(1L, 3L))
+    // a width-2 size (0x40, v): EBML strips the marker -> v; EITHER
+    // continuation-bit scheme stops at 0x40 (high bit clear) -> 64
+    rows.find(r => r.getAs[Long]("hdr_vint_width") == 2L).foreach { r =>
+      val v = r.getAs[Long]("hdr_size")
+      assert(v !== 64L) // hdr sizes are 11/15, so the folds truly differ
+    }
+  }
+
   test("midi: MSB-first vlq decodes the generating delta; smpte fps dispatch; widths exercised") {
     val rows = Multimodal.midiHeader(spark, sf).collect()
     assert(rows.nonEmpty)
