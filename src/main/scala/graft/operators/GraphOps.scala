@@ -143,6 +143,95 @@ object GraphOps {
        |SELECT node AS event_type, score_micro FROM s3
        |ORDER BY score_micro DESC, event_type""".stripMargin
 
+  /** PERSONALIZED PageRank — the restart-vector variant that turns
+    * the global centrality into a "what is relevant FROM HERE"
+    * serving primitive (seeded recommendations, related-item
+    * expansion, topic-sensitive ranking): the teleport mass lands on
+    * the SEED set instead of uniformly (score⁰ likewise), so the
+    * stationary distribution concentrates around the seeds' outbound
+    * neighborhoods. Seeded here at `purchase` on the event-type
+    * transition graph — "which event types does the purchase state
+    * feed, discounted by walk length". Identical micro-integer
+    * parity discipline to [[pagerank]] (one rounded division per
+    * edge contribution, exact BIGINT sums, one rounded damped
+    * update; the teleport CASE is integer-exact because |seeds| = 1),
+    * identical chained-CTE oracle unroll, identical two-shuffles-per-
+    * round scale shape on a data-sized graph — and unlike the global
+    * variant, NO 1/N term exists, so disconnected regions correctly
+    * decay to zero instead of receiving background mass. */
+  def personalizedPagerank(edges: DataFrame, seed: String,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, s"ppr: iterations $iterations")
+    val dMicro = math.round(damping * 1e6)
+    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+    val linked = edges.join(outdeg, "src").localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    var scores = nodes.withColumn("score_micro",
+      when(col("node") === seed, lit(1000000L)).otherwise(lit(0L)))
+    (1 to iterations).foreach { _ =>
+      val contrib = linked
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          round(col("score_micro").cast("double") * col("w") / col("outdeg"))
+            .cast("long").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_micro"))
+      scores = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("node") === seed, lit(1000000L - dMicro)).otherwise(lit(0L)) +
+            round(lit(dMicro.toDouble / 1e6) * coalesce(col("in_micro"), lit(0L)))
+              .cast("long")).as("score_micro"))
+        .localCheckpoint()
+    }
+    scores.orderBy(col("score_micro").desc, col("node"))
+  }
+
+  def pprTypes(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(order))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .coalesce(1)
+    personalizedPagerank(edges, seed = "purchase", iterations = 3, damping = 0.85)
+      .select(col("node").as("event_type"), col("score_micro"))
+  }
+
+  private def pprIterSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT n.node,
+       |         CAST(CASE WHEN n.node = 'purchase' THEN 1000000 - 850000 ELSE 0 END
+       |              + CAST(round((850000 / 1e6) * coalesce(c.in_micro, 0)) AS BIGINT)
+       |              AS BIGINT) AS score_micro
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node,
+       |           CAST(sum(CAST(round(CAST(s.score_micro AS DOUBLE) * e.w / o.outdeg) AS BIGINT)) AS BIGINT) AS in_micro
+       |    FROM edges e JOIN outdeg o ON e.src = o.src
+       |                 JOIN $prev s ON s.node = e.src
+       |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+
+  val pprTypesSql: String =
+    s"""WITH ordered AS (
+       |  SELECT user_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |edges AS (
+       |  SELECT prev AS src, event_type AS dst, count(*) AS w
+       |  FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |outdeg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |s0 AS (SELECT node,
+       |              CAST(CASE WHEN node = 'purchase' THEN 1000000 ELSE 0 END AS BIGINT)
+       |                AS score_micro FROM nodes),
+       |${pprIterSql("s0", "s1")},
+       |${pprIterSql("s1", "s2")},
+       |${pprIterSql("s2", "s3")}
+       |SELECT node AS event_type, score_micro FROM s3
+       |ORDER BY score_micro DESC, event_type""".stripMargin
+
   /** Triangle count + global clustering coefficient over the
     * fuzzy-match name graph ([[Joins.fuzzyBlockedJoin]] pairs as
     * undirected edges, already canonical a<b). The standard two-join
@@ -1252,6 +1341,7 @@ object GraphOps {
     "graph_hits" -> (hitsTypes _),
     "graph_link_pred" -> (linkPrediction _),
     "graph_pagerank" -> (pagerankTypes _),
+    "graph_ppr" -> (pprTypes _),
     "graph_kcore" -> (kCore _),
     "graph_ktruss" -> (kTruss _),
     "graph_er_resolve" -> (erResolve _),
@@ -1272,6 +1362,7 @@ object GraphOps {
     "graph_hits" -> hitsTypesSql,
     "graph_link_pred" -> linkPredictionSql,
     "graph_pagerank" -> pagerankTypesSql,
+    "graph_ppr" -> pprTypesSql,
     "graph_kcore" -> kCoreSql,
     "graph_ktruss" -> kTrussSql,
     "graph_er_resolve" -> erResolveSql,

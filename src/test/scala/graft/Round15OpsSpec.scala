@@ -133,6 +133,23 @@ class Round15OpsSpec extends SparkSpec {
     assert(rows(168L).getAs[String]("champion") !== "holt")
   }
 
+  test("ppr: teleport mass concentrates at the seed; no background 1/N term; global ranking differs") {
+    val ppr = GraphOps.pprTypes(spark, sf).collect()
+    assert(ppr.length === 5) // the event-type dictionary
+    val scores = ppr.map(r => r.getAs[String]("event_type") -> r.getAs[Long]("score_micro")).toMap
+    // the seed holds the restart mass: strictly above every other node
+    assert(scores("purchase") === scores.values.max)
+    scores.filterKeys(_ != "purchase").values.foreach(v => assert(v < scores("purchase")))
+    assert(scores.values.forall(_ >= 0L))
+    // mass is bounded by the teleport geometric series (1e6 at the
+    // fixpoint) plus per-node rounding slack
+    assert(scores.values.sum <= 1000000L + ppr.length)
+    // the personalization is real: the GLOBAL variant does not rank
+    // purchase first on this graph (uniform teleport dominates)
+    val global = GraphOps.pagerankTypes(spark, sf).collect()
+    assert(global.head.getAs[String]("event_type") !== "purchase")
+  }
+
   test("ebml: width-from-leading-bit vint; id/size marker asymmetry; unknown-size sentinel; continuation folds differ") {
     val rows = Multimodal.ebmlHeader(spark, sf).collect()
     assert(rows.nonEmpty)
