@@ -960,6 +960,145 @@ object Analytics {
       |            / sum(n) OVER (PARTITION BY prev_type)) AS BIGINT) AS p_ppm
       |FROM cells ORDER BY prev_type, event_type""".stripMargin
 
+  /** Q13 flavor: customer order-count DISTRIBUTION — the classic
+    * outer-join histogram: every customer must appear (zero-order
+    * customers included, hence LEFT join, the shape q13 exists to
+    * test), orders filtered by a join-condition predicate (NOT a
+    * WHERE — a WHERE would turn the outer join inner), then a
+    * second aggregation over the first's counts. Both aggs are
+    * exact integers. Scale: join + two compact-key aggs, all
+    * shuffle-partitioned on their keys; the second agg's domain is
+    * the count histogram (tiny). */
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey") &&
+        o("o_orderpriority") =!= "1-URGENT", "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val customerDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) cc
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q15 flavor: top supplier(s) by quarter revenue — the
+    * view-then-max-tie shape: a per-supplier revenue aggregate is
+    * consumed twice (once to find the max, once to select the
+    * achievers), with TIES kept. Revenue rides integer CENTS
+    * (round(price·(1−disc)·100) per line, exact BIGINT sum) so the
+    * max-equality selection is deterministic across engines — a
+    * double-sum formulation would leave tie membership to
+    * summation order. Scale: one fact scan → compact supplier agg
+    * (map-side combinable); the max is a 1-row broadcast back onto
+    * the agg, never a second fact scan. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val rev = l
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("rev_cents"))
+    val top = rev.agg(max(col("rev_cents")).as("max_cents"))
+    rev.join(broadcast(top), col("rev_cents") === col("max_cents"))
+      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_cents") / 100.0, 2).as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val topSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-07-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, round(rev_cents / 100.0, 2) AS total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q17 flavor: small-quantity revenue for a brand — the
+    * correlated per-group-average threshold: lines of one brand's
+    * parts qualify only when their quantity is below 20% of that
+    * PART's average quantity over the whole fact table. Quantities
+    * are whole-valued doubles, so Σ is exact and the avg (one
+    * division of exact numbers) is bit-identical across engines —
+    * the threshold compare cannot flip; revenue rides integer
+    * cents. Scale: the correlated subquery decorrelates to a
+    * per-part aggregate joined back (Catalyst rewrites it so; the
+    * brand filter prunes the probe side through the broadcast part
+    * dim before the threshold join). */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0, 2)
+        |         AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  val smallQtyRevenueSql: String =
+    """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0, 2)
+      |         AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** Q22 flavor: rich-but-idle customers — the anti-join + scalar-
+    * subquery cohort: customers whose balance beats the positive-
+    * balance average AND who have placed no order since 2000
+    * (every synthetic customer has SOME order, so the faithful
+    * never-ordered cut is vacuous — the recent-idle cut keeps the
+    * anti-join shape with a real cohort), censused by segment. The threshold is computed in integer cents (exact
+    * BIGINT sum / exact count → one double division) so the
+    * above-average cut is bit-deterministic; the NOT EXISTS plans
+    * as a left-anti join on the orders key. Scale: anti join
+    * shuffles on custkey; the threshold is a 1-row broadcast. */
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |       round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+        |         AS totacctbal
+        |FROM customer
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) >
+        |      (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+        |       FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val idleCustomersSql: String =
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |       round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+      |         AS totacctbal
+      |FROM customer
+      |WHERE CAST(round(c_acctbal * 100) AS BIGINT) >
+      |      (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+      |       FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_transitions" -> (eventTransitions _),
     "q_top_paths" -> (topPaths _),
@@ -980,8 +1119,12 @@ object Analytics {
     "q19_discounted_revenue" -> (discountedRevenue _),
     "q6_forecast_revenue" -> (forecastRevenue _),
     "q4_late_priority" -> (latePriorityCount _),
+    "q13_customer_distribution" -> (customerDistribution _),
     "q14_large_part_share" -> (largePartShare _),
-    "q18_big_orders" -> (bigOrders _)
+    "q15_top_supplier" -> (topSupplier _),
+    "q17_small_qty_revenue" -> (smallQtyRevenue _),
+    "q18_big_orders" -> (bigOrders _),
+    "q22_idle_customers" -> (idleCustomers _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1004,7 +1147,11 @@ object Analytics {
     "q19_discounted_revenue" -> discountedRevenueSql,
     "q6_forecast_revenue" -> forecastRevenueSql,
     "q4_late_priority" -> latePriorityCountSql,
+    "q13_customer_distribution" -> customerDistributionSql,
     "q14_large_part_share" -> largePartShareSql,
-    "q18_big_orders" -> bigOrdersSql
+    "q15_top_supplier" -> topSupplierSql,
+    "q17_small_qty_revenue" -> smallQtyRevenueSql,
+    "q18_big_orders" -> bigOrdersSql,
+    "q22_idle_customers" -> idleCustomersSql
   )
 }

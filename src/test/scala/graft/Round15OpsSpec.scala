@@ -133,6 +133,32 @@ class Round15OpsSpec extends SparkSpec {
     assert(rows(168L).getAs[String]("champion") !== "holt")
   }
 
+  test("tpch flavors: q13 outer-join totals; q15 max ties; q17 decorrelates; q22 cohort real") {
+    // q13: the distribution partitions the customer table exactly —
+    // and the left join survives optimization (a WHERE-placed
+    // predicate would have turned it inner and dropped 0-count rows)
+    val q13 = Analytics.customerDistribution(spark, sf)
+    assert(q13.queryExecution.optimizedPlan.toString.contains("LeftOuter"))
+    val dist = q13.collect()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(dist.map(_.getAs[Long]("custdist")).sum === nCust)
+    // q15: all returned suppliers share the exact max cents revenue
+    val q15 = Analytics.topSupplier(spark, sf).collect()
+    assert(q15.nonEmpty)
+    assert(q15.map(_.getAs[Double]("total_rev")).toSet.size === 1)
+    // q17: Catalyst decorrelates the per-part threshold into an
+    // aggregate joined back — no per-row re-scan survives
+    val q17 = Analytics.smallQtyRevenue(spark, sf)
+    assert(!q17.queryExecution.optimizedPlan.toString.toLowerCase.contains("correlated"))
+    assert(q17.collect().length === 1)
+    // q22: the recent-idle anti join plans as LeftAnti and the
+    // cohort is non-vacuous at every SF
+    val q22 = Analytics.idleCustomers(spark, sf)
+    assert(q22.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
+    val rows = q22.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("numcust") > 0L))
+  }
+
   test("ppr: teleport mass concentrates at the seed; no background 1/N term; global ranking differs") {
     val ppr = GraphOps.pprTypes(spark, sf).collect()
     assert(ppr.length === 5) // the event-type dictionary
