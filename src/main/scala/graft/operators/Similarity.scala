@@ -806,6 +806,73 @@ object Similarity {
        |FROM ranked WHERE arn = 1
        |GROUP BY cell ORDER BY cell""".stripMargin
 
+  /** CLUSTER-BALANCED DIVERSITY SAMPLING — the selection step a
+    * training-data pipeline runs AFTER semantic dedup: instead of
+    * sampling the corpus uniformly (which reproduces the cluster
+    * imbalance — the dominant topic keeps dominating), take a
+    * per-cell √-CAP: at most ⌈√n_c⌉ documents from a cell of n_c,
+    * so a 10 000-doc topic contributes 100 while a 10-doc tail
+    * topic keeps 4 — the heavy clusters are downweighted ~√n and
+    * the tail survives (the SemDeDup-diversify / cluster-balanced
+    * selection idea). The quota is a LOCAL per-cell rule on
+    * purpose: a proportional-to-√n share of a global target needs
+    * Σ√n_c, an order-sensitive float sum that could flip a rounding
+    * boundary between engines — the local cap is IEEE-sqrt + ceil
+    * per cell, bit-deterministic. In-cell selection ranks by
+    * md5(vec_id) (the engine-portable draw discipline), so the
+    * SAME documents are chosen everywhere; the census proves it
+    * with exact-integer selection checksums (Σ id, min id), not
+    * just counts. Scale: one assignment pass (the standing IVF
+    * stage), one cell-partitioned rank window (cell size bounded
+    * by the quantizer's target), one compact census — nothing
+    * data-sized crosses a single partition. */
+  def diversitySample(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(spark, dir).select(col("vec_id"), col("cell"))
+    val census = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("quota", ceil(sqrt(col("n_vectors"))).cast("long"))
+    val wCell = Window.partitionBy(col("cell")).orderBy(
+      conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long"), col("vec_id"))
+    val sel = assigned.withColumn("rn", row_number().over(wCell).cast("long"))
+    sel.join(census, "cell")
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("cell"), col("n_vectors"), col("quota"))
+      .agg(count(lit(1)).as("n_taken"), sum(col("vec_id")).as("taken_id_sum"),
+        min(col("vec_id")).as("taken_min_id"))
+      .orderBy(col("cell"))
+  }
+
+  val diversitySampleSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         ${normSql("CAST(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |$ivfCentroidsSqlCtes,
+       |ranked AS (
+       |  SELECT e.vec_id, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotSql("e.v", "c.cv")} / (e.vn * c.cn) DESC, c.cent_id) AS arn
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cell FROM ranked WHERE arn = 1),
+       |census AS (
+       |  SELECT cell, count(*) AS n_vectors,
+       |         CAST(ceil(sqrt(count(*))) AS BIGINT) AS quota
+       |  FROM assigned GROUP BY cell),
+       |sel AS (
+       |  SELECT vec_id, cell,
+       |         row_number() OVER (PARTITION BY cell
+       |           ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+       |                    vec_id) AS rn
+       |  FROM assigned)
+       |SELECT c.cell, CAST(c.n_vectors AS BIGINT) AS n_vectors, c.quota,
+       |       CAST(count(*) AS BIGINT) AS n_taken,
+       |       CAST(sum(s.vec_id) AS BIGINT) AS taken_id_sum,
+       |       CAST(min(s.vec_id) AS BIGINT) AS taken_min_id
+       |FROM census c JOIN sel s ON s.cell = c.cell AND s.rn <= c.quota
+       |GROUP BY c.cell, c.n_vectors, c.quota
+       |ORDER BY c.cell""".stripMargin
+
   /** Semantic deduplication (SemDeDup-style) — the fourth dedup
     * modality beside exact / MinHash / SimHash: embeddings are
     * clustered by the IVF k-means quantizer, near-duplicate pairs are
@@ -3352,7 +3419,8 @@ object Similarity {
     "sim_ann_topk" -> (annTopK _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "dedup_semantic" -> (semanticDedup _),
-    "dedup_semantic_cells" -> (semanticCells _)
+    "dedup_semantic_cells" -> (semanticCells _),
+    "corpus_diversity_sample" -> (diversitySample _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -3396,7 +3464,8 @@ object Similarity {
     "sim_ann_topk" -> annTopKSql,
     "sim_cosine_neardup" -> cosineNearDupSql,
     "dedup_semantic" -> semanticDedupSql,
-    "dedup_semantic_cells" -> semanticCellsSql
+    "dedup_semantic_cells" -> semanticCellsSql,
+    "corpus_diversity_sample" -> diversitySampleSql
   )
 
   /** r15 verdict #1: the published recall-vs-cost head-to-head —

@@ -133,6 +133,28 @@ class Round15OpsSpec extends SparkSpec {
     assert(rows(168L).getAs[String]("champion") !== "holt")
   }
 
+  test("diversity sample: sqrt-cap quotas; deterministic selection; heavy cells downweighted") {
+    val rows = Similarity.diversitySample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vectors")
+      val q = r.getAs[Long]("quota")
+      assert(q === math.ceil(math.sqrt(n.toDouble)).toLong)
+      // sqrt-cap fills exactly (quota <= n always for n >= 1)
+      assert(r.getAs[Long]("n_taken") === q)
+      assert(r.getAs[Long]("taken_id_sum") >= r.getAs[Long]("taken_min_id"))
+    }
+    // the point: the sample is a real downweighting, not a relabel
+    val total = rows.map(_.getAs[Long]("n_vectors")).sum
+    val taken = rows.map(_.getAs[Long]("n_taken")).sum
+    assert(taken < total / 2)
+    // md5-ranked selection is deterministic: re-running chooses the
+    // SAME documents (checksums equal), not just the same counts
+    val again = Similarity.diversitySample(spark, sf).collect()
+    assert(rows.map(r => (r.getAs[Long]("cell"), r.getAs[Long]("taken_id_sum"))).toSeq ===
+      again.map(r => (r.getAs[Long]("cell"), r.getAs[Long]("taken_id_sum"))).toSeq)
+  }
+
   test("tpch flavors: q13 outer-join totals; q15 max ties; q17 decorrelates; q22 cohort real") {
     // q13: the distribution partitions the customer table exactly —
     // and the left join survives optimization (a WHERE-placed
