@@ -129,7 +129,22 @@ object Bench {
       if (ss.size >= 2 && ss.min > 0) Some(ss.max / ss.min) else None
     }
     val driftStr = if (drift.isEmpty) "-1.0" else fmt(drift.max)
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"canary_drift":$driftStr,"sf":"$sfDir"}"""
+    // STALL-PHASE indicator (r15 lesson): the canary catches UNIFORM
+    // drift but not a stall phase that inflates long-running queries
+    // 2-3x while short scans read near-normal (the 313->420 s ~sf1
+    // episode: canary 1.3, dedup_ppjoin 3.5x — proven environmental by
+    // a same-commit A/B, SCALE.md "r15 host-phase note"). The p90 of
+    // per-query max/min sample spread is that signature in one number:
+    // ~1.5-2 on a steady host, >3 when stalls are frequent enough that
+    // min-of-3 stops recovering true times. Readers should distrust
+    // cross-run comparisons of slow queries when this is high.
+    val spreads = bench.collect { case (name, _)
+        if !failed(name) && samples(name).size >= 2 && samples(name).min > 0 =>
+      samples(name).max / samples(name).min
+    }.sorted
+    val stallStr =
+      if (spreads.isEmpty) "-1.0" else fmt(spreads((spreads.size * 9) / 10 min (spreads.size - 1)))
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"canary_drift":$driftStr,"stall_ratio_p90":$stallStr,"sf":"$sfDir"}"""
     println(json)
     // stdout gets interleaved with sbt/Spark noise and can truncate the
     // driver's parse — always leave a clean copy on disk as well
