@@ -230,6 +230,100 @@ object StatsOps {
       |            AS BIGINT) AS z_micro
       |FROM m""".stripMargin
 
+  /** MOOD'S MEDIAN TEST — the third member of the two-sample family
+    * and the most robust: [[Aggregations.ksTest]] judges the whole
+    * distribution, [[mannWhitney]] judges rank location, Mood judges
+    * ONLY the median (each sample reduced to "how many sit above the
+    * POOLED median" — a 2×2 contingency χ², immune to any amount of
+    * tail weirdness). Same ingestion as Mann–Whitney (click vs
+    * purchase order values in integer cents, compact-key value
+    * histogram + one cumulative window over distinct values): the
+    * pooled median is the smallest cents with 2·cum ≥ N (no .5
+    * arithmetic), ties AT the median count below (the > convention,
+    * stated), the four cells are exact integers, and the χ²
+    * cross-product determinant rides DECIMAL(38,0)/HUGEINT (det ~
+    * n₁·n₂ squares past a long). df = 1 is STRUCTURAL — the two
+    * groups are literals in the filter, not data-derived — so the
+    * 3.841459 critical value cannot silently mismatch a drifting
+    * cardinality (the bartlett/dunn ADVICE lesson does not apply).
+    * Scale: histogram agg is map-side combinable on the bounded
+    * cents domain; the median pick and the 1-row broadcast are
+    * compact. */
+  def moodMedian(spark: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(round(col("value") * 100).cast("long").as("cents"),
+        (col("event_type") === "click").as("is1"))
+      .groupBy(col("cents"))
+      .agg(count_if(col("is1")).as("d1"), count_if(!col("is1")).as("d2"))
+      .withColumn("c", col("d1") + col("d2"))
+    val cum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = perVal
+      .withColumn("cumc", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(all))
+      .filter(col("cumc") * 2 >= col("n"))
+      .agg(min(col("cents")).as("med_cents"))
+    val m = perVal.crossJoin(broadcast(med))
+      .agg(max(col("med_cents")).as("med_cents"),
+        sum(col("d1")).as("n1"), sum(col("d2")).as("n2"),
+        sum(when(col("cents") > col("med_cents"), col("d1")).otherwise(lit(0L)))
+          .as("a1"),
+        sum(when(col("cents") > col("med_cents"), col("d2")).otherwise(lit(0L)))
+          .as("a2"))
+    val det = dec(col("a1")) * (col("n2") - col("a2")) -
+      dec(col("a2")) * (col("n1") - col("a1"))
+    val nTot = (col("n1") + col("n2")).cast("double")
+    val denom = col("n1").cast("double") * col("n2").cast("double") *
+      (col("a1") + col("a2")).cast("double") *
+      (col("n1") + col("n2") - col("a1") - col("a2")).cast("double")
+    val chi2Micro = round(lit(1e6) * nTot * (det * det).cast("double") / denom)
+      .cast("long")
+    m.select(col("med_cents"), col("n1").as("n_click"), col("n2").as("n_purchase"),
+        col("a1").as("above_click"), col("a2").as("above_purchase"),
+        chi2Micro.as("chi2_micro"),
+        (chi2Micro > 3841459L).as("significant"))
+  }
+
+  val moodMedianSql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type = 'click' AS is1
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |perval AS (
+      |  SELECT cents, CAST(count(*) FILTER (WHERE is1) AS BIGINT) AS d1,
+      |         CAST(count(*) FILTER (WHERE NOT is1) AS BIGINT) AS d2,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM v GROUP BY 1),
+      |runs AS (
+      |  SELECT cents, d1, d2, c,
+      |         sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cumc,
+      |         sum(c) OVER () AS n
+      |  FROM perval),
+      |med AS (SELECT min(cents) AS med_cents FROM runs WHERE cumc * 2 >= n),
+      |m AS (
+      |  SELECT max(med_cents) AS med_cents, sum(d1) AS n1, sum(d2) AS n2,
+      |         sum(CASE WHEN cents > med_cents THEN d1 ELSE 0 END) AS a1,
+      |         sum(CASE WHEN cents > med_cents THEN d2 ELSE 0 END) AS a2
+      |  FROM perval CROSS JOIN med),
+      |s AS (
+      |  SELECT med_cents, n1, n2, a1, a2,
+      |         CAST(round(1e6 * CAST(n1 + n2 AS DOUBLE)
+      |               * CAST((CAST(a1 AS HUGEINT) * (n2 - a2)
+      |                       - CAST(a2 AS HUGEINT) * (n1 - a1))
+      |                      * (CAST(a1 AS HUGEINT) * (n2 - a2)
+      |                         - CAST(a2 AS HUGEINT) * (n1 - a1)) AS DOUBLE)
+      |               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |                  * CAST(a1 + a2 AS DOUBLE)
+      |                  * CAST(n1 + n2 - a1 - a2 AS DOUBLE))) AS BIGINT) AS chi2_micro
+      |  FROM m)
+      |SELECT CAST(med_cents AS BIGINT) AS med_cents,
+      |       CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+      |       CAST(a1 AS BIGINT) AS above_click, CAST(a2 AS BIGINT) AS above_purchase,
+      |       chi2_micro, chi2_micro > 3841459 AS significant
+      |FROM s""".stripMargin
+
   // ---------------------------------------------------------------
   // Cramér's V
   // ---------------------------------------------------------------
@@ -2662,6 +2756,7 @@ object StatsOps {
     "agg_gini" -> (gini _),
     "agg_mutual_info" -> (mutualInfo _),
     "agg_mann_whitney" -> (mannWhitney _),
+    "stats_mood_median" -> (moodMedian _),
     "agg_cramers_v" -> (cramersV _),
     "agg_cms_topk" -> (cmsTopK _),
     "agg_benford" -> (benford _),
@@ -2695,6 +2790,7 @@ object StatsOps {
     "agg_gini" -> giniSql,
     "agg_mutual_info" -> mutualInfoSql,
     "agg_mann_whitney" -> mannWhitneySql,
+    "stats_mood_median" -> moodMedianSql,
     "stats_kruskal_wallis" -> kruskalWallisSql,
     "stats_effect_sizes" -> effectSizesSql,
     "agg_cramers_v" -> cramersVSql,

@@ -133,6 +133,25 @@ class Round15OpsSpec extends SparkSpec {
     assert(rows(168L).getAs[String]("champion") !== "holt")
   }
 
+  test("mood median: contingency partitions both samples; chi2 consistent with the flag; median is the pooled median") {
+    val r = StatsOps.moodMedian(spark, sf).collect().head
+    val n1 = r.getAs[Long]("n_click"); val n2 = r.getAs[Long]("n_purchase")
+    val a1 = r.getAs[Long]("above_click"); val a2 = r.getAs[Long]("above_purchase")
+    assert(n1 > 0L && n2 > 0L)
+    // above-counts are proper sub-counts
+    assert(a1 >= 0L && a1 <= n1 && a2 >= 0L && a2 <= n2)
+    // the pooled median splits the POOL roughly in half (exactly:
+    // at most half sit strictly above, by the 2*cum >= N pick)
+    assert((a1 + a2) * 2 <= n1 + n2)
+    assert(r.getAs[Boolean]("significant") ===
+      (r.getAs[Long]("chi2_micro") > 3841459L))
+    // chi2 replayed from the four cells in exact arithmetic
+    val det = BigInt(a1) * (n2 - a2) - BigInt(a2) * (n1 - a1)
+    val expect = math.round(1e6 * (n1 + n2).toDouble * (det * det).toDouble /
+      (n1.toDouble * n2.toDouble * (a1 + a2).toDouble * (n1 + n2 - a1 - a2).toDouble))
+    assert(r.getAs[Long]("chi2_micro") === expect)
+  }
+
   test("diversity sample: sqrt-cap quotas; deterministic selection; heavy cells downweighted") {
     val rows = Similarity.diversitySample(spark, sf).collect()
     assert(rows.nonEmpty)
