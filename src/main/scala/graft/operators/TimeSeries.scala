@@ -1526,6 +1526,55 @@ object TimeSeries {
        |FROM h ORDER BY horizon_h""".stripMargin
   }
 
+  /** HAMPEL FILTER — the rolling-robust member completing the
+    * outlier trio: [[anomalyZscore]] is rolling but its mean/std are
+    * CONTAMINATED by the outliers it hunts; [[outlierMad]] is robust
+    * but GLOBAL (one median per event type cannot adapt to level
+    * shifts); Hampel is both — each hour judged against the median
+    * of its ±6 h neighborhood, deviation scaled by the local MAD
+    * (flag when |x−m| > 3·1.4826·MAD, the Gaussian-consistent
+    * constant folded into one exact integer comparison
+    * 10000·|x−m| > 44478·MAD — no float, no rounding seam). Exact
+    * medians of the 13-element window via array_sort + element_at(7)
+    * (the [[hwSeasonal]] array-window discipline — one collect_list
+    * window, no 13 lag expressions); full-window origins only; a
+    * zero local MAD flags ANY deviation (the filter's documented
+    * sharpness on constant neighborhoods — deterministic, replayed
+    * by the oracle). Emits the flagged rows with their local (med,
+    * mad) evidence and the replacement value. Scale: calendar-
+    * bounded spine, volume-flat past the hourly count. */
+  def hampel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("bin")).rowsBetween(-6, 6)
+    val ser = hourlyCounts(spark, dir)
+      .withColumn("xs", collect_list(col("n")).over(w))
+      .filter(size(col("xs")) === 13)
+      .withColumn("med", element_at(array_sort(col("xs")), 7))
+      .withColumn("mad",
+        element_at(array_sort(transform(col("xs"), x => abs(x - col("med")))), 7))
+    ser.filter(abs(col("n") - col("med")) * 10000L > col("mad") * 44478L)
+      .select(col("bin"), col("n"), col("med"), col("mad"),
+        col("med").as("replacement"))
+      .orderBy(col("bin"))
+  }
+
+  val hampelSql: String =
+    s"""WITH $hourlyCountsSql,
+       |w AS (
+       |  SELECT bin, n,
+       |         list(n) OVER (ORDER BY bin ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS xs
+       |  FROM series),
+       |f AS (
+       |  SELECT bin, n, xs, list_sort(xs)[7] AS med
+       |  FROM w WHERE len(xs) = 13),
+       |g AS (
+       |  SELECT bin, n, med,
+       |         list_sort(list_transform(xs, x -> abs(x - med)))[7] AS mad
+       |  FROM f)
+       |SELECT bin, n, med, mad, med AS replacement
+       |FROM g
+       |WHERE abs(n - med) * 10000 > 44478 * mad
+       |ORDER BY bin""".stripMargin
+
   // ---------------------------------------------------------------
   // Lagged cross-correlation (lead/lag discovery between two series)
   // ---------------------------------------------------------------
@@ -2261,6 +2310,7 @@ object TimeSeries {
     "ts_holt_damped" -> (holtDamped _),
     "ts_hw_seasonal" -> (hwSeasonal _),
     "ts_forecast_select" -> (forecastSelect _),
+    "ts_hampel" -> (hampel _),
     "ts_stl_decompose" -> (stlDecompose _),
     "ts_periodogram" -> (periodogram _),
     "ts_cusum" -> (cusum _),
@@ -2291,6 +2341,7 @@ object TimeSeries {
     "ts_holt_damped" -> holtDampedSql,
     "ts_hw_seasonal" -> hwSeasonalSql,
     "ts_forecast_select" -> forecastSelectSql,
+    "ts_hampel" -> hampelSql,
     "ts_stl_decompose" -> stlDecomposeSql,
     "ts_periodogram" -> periodogramSql,
     "ts_cusum" -> cusumSql,

