@@ -2086,6 +2086,64 @@ object Similarity {
        |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
+  /** RANK-BIASED OVERLAP audit — the rank-AWARE sibling of
+    * [[recallAtK]]: recall@k treats the top-k as a SET, so an ANN
+    * route that returns the right five neighbors in scrambled order
+    * scores perfectly; RBO (Webber et al.'s top-weighted list
+    * overlap) scores prefix agreement at every depth, RBO =
+    * (1−p)·Σ_d p^(d−1)·|A_d ∩ B_d|/d, so rank-1 disagreements are
+    * penalized hardest — the metric a serving system watches when
+    * the DOWNSTREAM consumer (rerankers, MMR) is prefix-sensitive.
+    * Truncated at the served depth k=5 (stated; no extrapolation
+    * term), p=0.9, the per-depth weights (1−p)p^(d−1)/d
+    * micro-quantized ONCE in Scala and inlined as identical integer
+    * literals in both engines — overlaps are integers, so rbo_micro
+    * is an exact integer dot product; the normalized ppm divides by
+    * the exact perfect score Σ w_d·d. Scale: both rankings are the
+    * standing audit queries (Q bounded); the overlap fold is 5
+    * intersects of ≤5-element arrays per query row. */
+  private val rboP = 0.9
+  private[graft] val rboW: IndexedSeq[Long] = (1 to topK)
+    .map(d => math.round(1e6 * (1 - rboP) * math.pow(rboP, d - 1) / d))
+  private[graft] val rboPerfect: Long = rboW.zipWithIndex.map { case (w, i) => w * (i + 1) }.sum
+
+  def rboAudit(spark: SparkSession, dir: String): DataFrame = {
+    def ranked(df: DataFrame, out: String): DataFrame = df
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("neighbor_id")))).as("tl"))
+      .select(col("query_id"),
+        transform(col("tl"), s => s.getField("neighbor_id")).as(out))
+    val t = ranked(bruteForceTopK(spark, dir), "ta")
+    val a = ranked(ivfTopK(spark, dir), "aa").withColumnRenamed("query_id", "aq")
+    val rbo = (1 to topK).map(d =>
+      lit(rboW(d - 1)) *
+        size(array_intersect(slice(col("ta"), 1, d), slice(col("aa"), 1, d)))).reduce(_ + _)
+    t.join(a, col("query_id") === col("aq"))
+      .select(col("query_id"), size(col("ta")).as("n_exact"),
+        size(col("aa")).as("n_approx"), rbo.as("rbo_micro"),
+        round(lit(1e6) * rbo.cast("double") / rboPerfect).cast("long").as("rbo_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  val rboAuditSql: String = {
+    val ov = (1 to topK).map(d =>
+      s"(${rboW(d - 1)}) * len(list_intersect(ta[1:$d], aa[1:$d]))").mkString(" + ")
+    s"""WITH truth AS ($bruteForceTopKSql),
+       |approx AS ($ivfTopKSql),
+       |tl AS (SELECT query_id, list(neighbor_id ORDER BY rank) AS ta
+       |       FROM truth GROUP BY 1),
+       |al AS (SELECT query_id, list(neighbor_id ORDER BY rank) AS aa
+       |       FROM approx GROUP BY 1),
+       |j AS (SELECT t.query_id, ta, aa FROM tl t JOIN al a ON t.query_id = a.query_id),
+       |s AS (SELECT query_id, CAST(len(ta) AS INT) AS n_exact,
+       |             CAST(len(aa) AS INT) AS n_approx,
+       |             CAST($ov AS BIGINT) AS rbo_micro
+       |      FROM j)
+       |SELECT query_id, n_exact, n_approx, rbo_micro,
+       |       CAST(round(1e6 * CAST(rbo_micro AS DOUBLE) / $rboPerfect) AS BIGINT) AS rbo_ppm
+       |FROM s ORDER BY query_id""".stripMargin
+  }
+
   /** Embedding DRIFT monitor — the production-ML check that a new
     * embedding batch still lives in the old batch's distribution:
     * per-dimension Welch z between two cohorts (even/odd vec_id
@@ -3420,7 +3478,8 @@ object Similarity {
     "sim_cosine_neardup" -> (cosineNearDup _),
     "dedup_semantic" -> (semanticDedup _),
     "dedup_semantic_cells" -> (semanticCells _),
-    "corpus_diversity_sample" -> (diversitySample _)
+    "corpus_diversity_sample" -> (diversitySample _),
+    "sim_rbo_audit" -> (rboAudit _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -3465,7 +3524,8 @@ object Similarity {
     "sim_cosine_neardup" -> cosineNearDupSql,
     "dedup_semantic" -> semanticDedupSql,
     "dedup_semantic_cells" -> semanticCellsSql,
-    "corpus_diversity_sample" -> diversitySampleSql
+    "corpus_diversity_sample" -> diversitySampleSql,
+    "sim_rbo_audit" -> rboAuditSql
   )
 
   /** r15 verdict #1: the published recall-vs-cost head-to-head —

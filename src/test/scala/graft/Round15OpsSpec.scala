@@ -133,6 +133,26 @@ class Round15OpsSpec extends SparkSpec {
     assert(rows(168L).getAs[String]("champion") !== "holt")
   }
 
+  test("rbo: bounded by perfect score; identical rankings hit exactly 1e6 ppm; rank-aware where recall is not") {
+    // weight sanity: the truncated-RBO weights decay and the perfect
+    // score is their rank-weighted sum
+    assert(Similarity.rboW.zip(Similarity.rboW.tail).forall { case (a, b) => a >= b })
+    val rows = Similarity.rboAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rbo = r.getAs[Long]("rbo_micro")
+      assert(rbo >= 0L && rbo <= Similarity.rboPerfect)
+      assert(r.getAs[Long]("rbo_ppm") <= 1000000L)
+      // identical prefix lists ⇔ the exact perfect integer
+      if (r.getAs[Long]("rbo_ppm") == 1000000L) assert(rbo === Similarity.rboPerfect)
+    }
+    // the audit is rank-aware, not a set metric: somewhere the route
+    // agrees as a set less than perfectly in ORDER (ppm < 1e6 while
+    // n_approx is full) — on this corpus the IVF route scrambles at
+    // least one query's prefix
+    assert(rows.exists(r => r.getAs[Long]("rbo_ppm") < 1000000L))
+  }
+
   test("hampel: every flag exceeds the local threshold; med/mad are true window medians; replacement is the median") {
     val rows = TimeSeries.hampel(spark, sf).collect()
     assert(rows.nonEmpty)
