@@ -78,6 +78,9 @@ class PlanShapeSpec extends SparkSpec {
       "sim_pq_topk" -> qBounded,
       "sim_mrl_recall" -> qBounded,
       "sim_recall_at_k" -> qBounded,
+      "sim_rbo_audit" -> (qBounded + "; the loop join is the inherited " +
+        "brute-force truth ranking the IVF route's prefix order is " +
+        "RBO-scored against — same bound as sim_recall_at_k"),
       "sim_filtered_ann" -> (qBounded + "; the loop join is the " +
         "filtered-EXACT truth branch the approx route is recall-joined " +
         "against — the approx branch itself is a cell equi join"),
