@@ -1886,7 +1886,99 @@ object MlEval {
       |         AS miscalibrated_5pct
       |FROM quant""".stripMargin
 
+  /** TRUNCATED SPRT — the SEQUENTIAL member of the experimentation
+    * family ([[graft.operators.Aggregations.abTest]] is the
+    * fixed-horizon z, `agg_permutation_test` the exact resampling
+    * test, [[cuped]] the variance-reduced estimator; Wald's
+    * sequential probability ratio test is the always-valid
+    * early-stopping one — the modern "peek whenever you like"
+    * experimentation discipline): observations arrive in TIME ORDER
+    * and the cumulative log-likelihood ratio for H₁ (conversion
+    * p₁=0.12) vs H₀ (p₀=0.10) walks until it crosses
+    * ±ln((1−β)/α) (α=β=0.05), at which point the test STOPS — the
+    * expected sample size is far below any fixed-horizon n. The
+    * per-observation LLR increments ln(p₁/p₀) / ln((1−p₁)/(1−p₀))
+    * and the boundary are micro-quantized ONCE in Scala and inlined
+    * identically in both engines, so the walk is an exact integer
+    * cumulative sum and the crossing index is deterministic.
+    * Truncation at n_max=20 000 (the standard truncated-SPRT design
+    * — a max sample size is a test parameter, not a shortcut) is
+    * what makes the op scale-sound: the time-ordered cap plans as
+    * TakeOrderedAndProject (distributed partial top-k, never a
+    * global sort), and the ordered walk runs on the BOUNDED 20k-row
+    * sample. Emits the decision, the stopping index, and the LLR at
+    * stop and at truncation. */
+  private val sprtMaxN = 20000
+  private[graft] val sprtPos = math.round(1e6 * math.log(0.12 / 0.10))
+  private[graft] val sprtNeg = math.round(1e6 * math.log(0.88 / 0.90))
+  private[graft] val sprtBound = math.round(1e6 * math.log(0.95 / 0.05))
+
+  def sprt(spark: SparkSession, dir: String): DataFrame = {
+    val arm = Tables.events(spark, dir)
+      .filter(pmod(col("user_id"), lit(2)) === 0)
+      .select(col("ts"), col("event_id"),
+        (col("event_type") === "purchase").cast("long").as("x"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(sprtMaxN)
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    val walk = arm
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("llr", sum(
+        when(col("x") === 1L, lit(sprtPos)).otherwise(lit(sprtNeg))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val crossed = walk
+      .filter(col("llr") >= sprtBound || col("llr") <= -sprtBound)
+      .agg(min(col("rn")).as("n_at_decision"))
+    val first = walk.join(broadcast(crossed),
+        col("rn") === col("n_at_decision"), "left_outer")
+      .agg(count(lit(1)).as("n_scanned"), sum(col("x")).as("n_conversions"),
+        max(when(col("rn") === col("n_at_decision"), col("llr")))
+          .as("llr_at_decision_micro"),
+        max(col("n_at_decision")).as("n_at_decision"),
+        sum(when(col("x") === 1L, lit(sprtPos)).otherwise(lit(sprtNeg)))
+          .as("llr_final_micro"))
+    first.select(col("n_scanned"), col("n_conversions"),
+      col("n_at_decision"), col("llr_at_decision_micro"),
+      col("llr_final_micro"),
+      when(col("llr_at_decision_micro") >= sprtBound, "accept_h1")
+        .when(col("llr_at_decision_micro") <= -sprtBound, "accept_h0")
+        .otherwise("continue").as("decision"))
+  }
+
+  val sprtSql: String =
+    s"""WITH arm AS (
+       |  SELECT ts, event_id,
+       |         CAST(event_type = 'purchase' AS BIGINT) AS x
+       |  FROM events WHERE user_id % 2 = 0
+       |  ORDER BY ts, event_id LIMIT $sprtMaxN),
+       |walk AS (
+       |  SELECT x,
+       |         CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rn,
+       |         sum(CASE WHEN x = 1 THEN $sprtPos ELSE $sprtNeg END)
+       |           OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS llr
+       |  FROM arm),
+       |crossed AS (
+       |  SELECT min(rn) AS n_at_decision FROM walk
+       |  WHERE llr >= $sprtBound OR llr <= -$sprtBound),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_scanned,
+       |         CAST(sum(x) AS BIGINT) AS n_conversions,
+       |         CAST(max(CASE WHEN w.rn = c.n_at_decision THEN w.llr END) AS BIGINT)
+       |           AS llr_at_decision_micro,
+       |         CAST(max(CASE WHEN w.rn = c.n_at_decision THEN c.n_at_decision END) AS BIGINT)
+       |           AS n_at_decision,
+       |         CAST(sum(CASE WHEN x = 1 THEN $sprtPos ELSE $sprtNeg END) AS BIGINT)
+       |           AS llr_final_micro
+       |  FROM walk w CROSS JOIN crossed c)
+       |SELECT n_scanned, n_conversions, n_at_decision, llr_at_decision_micro,
+       |       llr_final_micro,
+       |       CASE WHEN llr_at_decision_micro >= $sprtBound THEN 'accept_h1'
+       |            WHEN llr_at_decision_micro <= -$sprtBound THEN 'accept_h0'
+       |            ELSE 'continue' END AS decision
+       |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_sprt" -> (sprt _),
     "ml_mcc" -> (mcc _),
     "ml_hosmer_lemeshow" -> (hosmerLemeshow _),
     "ml_pinball_loss" -> (pinballLoss _),
@@ -1915,6 +2007,7 @@ object MlEval {
   )
 
   def oracle: Map[String, String] = Map(
+    "ml_sprt" -> sprtSql,
     "ml_mcc" -> mccSql,
     "ml_hosmer_lemeshow" -> hosmerLemeshowSql,
     "ml_pinball_loss" -> pinballLossSql,

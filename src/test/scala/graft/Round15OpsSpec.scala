@@ -133,6 +133,29 @@ class Round15OpsSpec extends SparkSpec {
     assert(rows(168L).getAs[String]("champion") !== "holt")
   }
 
+  test("sprt: decision consistent with the crossed boundary; stopping index precedes truncation; early stop is real") {
+    val r = MlEval.sprt(spark, sf).collect().head
+    val n = r.getAs[Long]("n_scanned")
+    assert(n > 0L && n <= 20000L)
+    assert(r.getAs[Long]("n_conversions") <= n)
+    val decision = r.getAs[String]("decision")
+    if (decision == "continue") {
+      assert(r.isNullAt(r.fieldIndex("n_at_decision")))
+      // un-crossed truncation: the final llr sits inside the bounds
+      assert(math.abs(r.getAs[Long]("llr_final_micro")) < MlEval.sprtBound)
+    } else {
+      val nd = r.getAs[Long]("n_at_decision")
+      val llr = r.getAs[Long]("llr_at_decision_micro")
+      assert(nd >= 1L && nd <= n)
+      // the decision names the boundary that was actually crossed
+      if (decision == "accept_h1") assert(llr >= MlEval.sprtBound)
+      else assert(llr <= -MlEval.sprtBound)
+      // the sequential test's value proposition: it stopped well
+      // before the truncation horizon on this corpus
+      assert(nd < n)
+    }
+  }
+
   test("rbo: bounded by perfect score; identical rankings hit exactly 1e6 ppm; rank-aware where recall is not") {
     // weight sanity: the truncated-RBO weights decay and the perfect
     // score is their rank-weighted sum
