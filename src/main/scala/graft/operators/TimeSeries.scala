@@ -1733,6 +1733,74 @@ object TimeSeries {
     * integers until the single final division. Scale shape: the
     * calendar-bounded hourly spine (one compact agg), partitioned
     * block windows, a 4-row regression — no data-sized sort. */
+  /** VARIANCE-RATIO TEST (Lo–MacKinlay) — the hypothesis-test
+    * sibling of [[hurst]] for the same question (is the hourly
+    * series a random walk, or does it mean-revert / trend?): under
+    * a random walk, the variance of q-period differences is exactly
+    * q times the variance of 1-period differences, so VR(q) =
+    * Var(x_t−x_{t−q}) / (q·Var(x_t−x_{t−1})) = 1; VR < 1 reads
+    * mean reversion, VR > 1 positive momentum — where Hurst fits a
+    * log-log slope (an estimator), VR carries a proper z statistic
+    * with the homoskedastic asymptotic variance 2(2q−1)(q−1)/(3qn).
+    * Both difference series come from ONE two-lag window pass;
+    * counts are integers, so diffs, their sums and their squares
+    * are EXACT (DECIMAL(38,0)/HUGEINT for the squares — an hourly
+    * diff squares past a long at 100 TB rates), each variance is
+    * one double division of exact integers, and VR/z quantize once.
+    * q=24 (the daily horizon). Scale: calendar-bounded spine,
+    * volume-flat past the hourly count. */
+  private val vrQ = 24
+
+  def varianceRatio(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("bin"))
+    val d = hourlyCounts(spark, dir)
+      .withColumn("d1", col("n") - lag(col("n"), 1).over(w))
+      .withColumn("dq", col("n") - lag(col("n"), vrQ).over(w))
+    val m = d.agg(
+      count(col("d1")).as("n1"), sum(dec(col("d1"))).as("s1"),
+      sum(dec(col("d1")) * col("d1")).as("q1"),
+      count(col("dq")).as("nq"), sum(dec(col("dq"))).as("sq"),
+      sum(dec(col("dq")) * col("dq")).as("qq"))
+    def variance(qc: String, sc: String, nc: String) =
+      col(qc).cast("double") / col(nc) -
+        (col(sc).cast("double") / col(nc)) * (col(sc).cast("double") / col(nc))
+    val vr = variance("qq", "sq", "nq") / (lit(vrQ) * variance("q1", "s1", "n1"))
+    val z = (vr - 1) / sqrt(lit(2.0 * (2 * vrQ - 1) * (vrQ - 1) / (3.0 * vrQ)) /
+      col("nq"))
+    m.select(lit(vrQ.toLong).as("q"), col("n1"), col("nq"),
+      round(lit(1e6) * vr).cast("long").as("vr_ppm"),
+      round(lit(1e6) * z).cast("long").as("z_micro"))
+      .withColumn("random_walk_rejected", abs(col("z_micro")) > 1959964L)
+  }
+
+  val varianceRatioSql: String =
+    s"""WITH $hourlyCountsSql,
+       |d AS (
+       |  SELECT n - lag(n, 1) OVER (ORDER BY bin) AS d1,
+       |         n - lag(n, $vrQ) OVER (ORDER BY bin) AS dq
+       |  FROM series),
+       |m AS (
+       |  SELECT CAST(count(d1) AS BIGINT) AS n1,
+       |         CAST(sum(CAST(d1 AS HUGEINT)) AS HUGEINT) AS s1,
+       |         CAST(sum(CAST(d1 AS HUGEINT) * d1) AS HUGEINT) AS q1,
+       |         CAST(count(dq) AS BIGINT) AS nq,
+       |         CAST(sum(CAST(dq AS HUGEINT)) AS HUGEINT) AS sq,
+       |         CAST(sum(CAST(dq AS HUGEINT) * dq) AS HUGEINT) AS qq
+       |  FROM d),
+       |s AS (
+       |  SELECT n1, nq,
+       |         (CAST(qq AS DOUBLE) / nq
+       |          - (CAST(sq AS DOUBLE) / nq) * (CAST(sq AS DOUBLE) / nq))
+       |         / ($vrQ * (CAST(q1 AS DOUBLE) / n1
+       |            - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1))) AS vr
+       |  FROM m)
+       |SELECT CAST($vrQ AS BIGINT) AS q, n1, nq,
+       |       CAST(round(1e6 * vr) AS BIGINT) AS vr_ppm,
+       |       CAST(round(1e6 * (vr - 1) / sqrt(${2.0 * (2 * vrQ - 1) * (vrQ - 1) / (3.0 * vrQ)} / nq)) AS BIGINT) AS z_micro,
+       |       abs(CAST(round(1e6 * (vr - 1) / sqrt(${2.0 * (2 * vrQ - 1) * (vrQ - 1) / (3.0 * vrQ)} / nq)) AS BIGINT)) > 1959964
+       |         AS random_walk_rejected
+       |FROM s""".stripMargin
+
   def hurst(spark: SparkSession, dir: String): DataFrame = {
     val sizes = Seq(16, 32, 64, 128)
     val series = hourlyCounts(spark, dir)
@@ -2311,6 +2379,7 @@ object TimeSeries {
     "ts_hw_seasonal" -> (hwSeasonal _),
     "ts_forecast_select" -> (forecastSelect _),
     "ts_hampel" -> (hampel _),
+    "ts_variance_ratio" -> (varianceRatio _),
     "ts_stl_decompose" -> (stlDecompose _),
     "ts_periodogram" -> (periodogram _),
     "ts_cusum" -> (cusum _),
@@ -2342,6 +2411,7 @@ object TimeSeries {
     "ts_hw_seasonal" -> hwSeasonalSql,
     "ts_forecast_select" -> forecastSelectSql,
     "ts_hampel" -> hampelSql,
+    "ts_variance_ratio" -> varianceRatioSql,
     "ts_stl_decompose" -> stlDecomposeSql,
     "ts_periodogram" -> periodogramSql,
     "ts_cusum" -> cusumSql,

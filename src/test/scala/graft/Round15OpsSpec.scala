@@ -133,6 +133,20 @@ class Round15OpsSpec extends SparkSpec {
     assert(rows(168L).getAs[String]("champion") !== "holt")
   }
 
+  test("variance ratio: eval counts consistent; flag matches z; mean-reverting hourly counts read VR < 1") {
+    val r = TimeSeries.varianceRatio(spark, sf).collect().head
+    assert(r.getAs[Long]("q") === 24L)
+    // the q-lag loses q-1 more origins than the 1-lag
+    assert(r.getAs[Long]("n1") === r.getAs[Long]("nq") + 23L)
+    assert(r.getAs[Long]("vr_ppm") > 0L)
+    assert(r.getAs[Boolean]("random_walk_rejected") ===
+      (math.abs(r.getAs[Long]("z_micro")) > 1959964L))
+    // a stationary count series mean-reverts: q-period diffs carry
+    // FAR less than q x the 1-period variance
+    assert(r.getAs[Long]("vr_ppm") < 1000000L)
+    assert(r.getAs[Long]("z_micro") < 0L)
+  }
+
   test("sprt: decision consistent with the crossed boundary; stopping index precedes truncation; early stop is real") {
     val r = MlEval.sprt(spark, sf).collect().head
     val n = r.getAs[Long]("n_scanned")
