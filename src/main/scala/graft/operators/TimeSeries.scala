@@ -1801,6 +1801,74 @@ object TimeSeries {
        |         AS random_walk_rejected
        |FROM s""".stripMargin
 
+  /** ARCH LM TEST (Engle) — the volatility-clustering member
+    * completing the diagnostics trio: [[ljungBox]] asks "are the
+    * LEVELS autocorrelated", [[varianceRatio]] "is it a random
+    * walk", ARCH asks "are the SQUARES autocorrelated" — i.e. do
+    * calm and turbulent hours cluster, the property every
+    * volatility model (GARCH) exists to exploit and every
+    * homoskedasticity-assuming test (the variance ratio's z above!)
+    * quietly assumes away. ARCH(1) LM: regress the squared hourly
+    * diff on its own lag; LM = n·R² ~ χ²(1). The squared diffs
+    * square AGAIN inside the moment products (d⁴ ~ 10²⁰ at real
+    * rates), so every moment rides DECIMAL(38,0)/HUGEINT; R² is
+    * the squared Pearson r of (x, y) = (sq_{t−1}, sq_t) computed
+    * from six exact integer moments with one double expression
+    * (identical text both engines). Scale: calendar-bounded spine,
+    * one three-lag window pass, volume-flat. */
+  def archTest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("bin"))
+    val d = hourlyCounts(spark, dir)
+      .withColumn("d1", col("n") - lag(col("n"), 1).over(w))
+      .withColumn("sq", col("d1") * col("d1"))
+      .withColumn("sqp", lag(col("sq"), 1).over(w))
+      .filter(col("sq").isNotNull && col("sqp").isNotNull)
+    val m = d.agg(count(lit(1)).as("np"),
+      sum(dec(col("sqp"))).as("sx"), sum(dec(col("sq"))).as("sy"),
+      sum(dec(col("sqp")) * col("sq")).as("sxy"),
+      sum(dec(col("sqp")) * col("sqp")).as("sxx"),
+      sum(dec(col("sq")) * col("sq")).as("syy"))
+    def dv(c: String) = col(c).cast("double")
+    val cov = dv("sxy") - dv("sx") * dv("sy") / col("np")
+    val vx = dv("sxx") - dv("sx") * dv("sx") / col("np")
+    val vy = dv("syy") - dv("sy") * dv("sy") / col("np")
+    val r2 = cov * cov / (vx * vy)
+    val lm = col("np").cast("double") * r2
+    m.select(col("np").as("n_pairs"),
+      round(lit(1e6) * r2).cast("long").as("r2_micro"),
+      round(lit(1e6) * lm).cast("long").as("lm_micro"))
+      .withColumn("arch_present", col("lm_micro") > 3841459L)
+  }
+
+  val archTestSql: String =
+    s"""WITH $hourlyCountsSql,
+       |d0 AS (
+       |  SELECT bin, n - lag(n, 1) OVER (ORDER BY bin) AS d1
+       |  FROM series),
+       |d AS (
+       |  SELECT d1 * d1 AS sq,
+       |         lag(d1 * d1, 1) OVER (ORDER BY bin) AS sqp
+       |  FROM d0),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS np,
+       |         sum(CAST(sqp AS HUGEINT)) AS sx, sum(CAST(sq AS HUGEINT)) AS sy,
+       |         sum(CAST(sqp AS HUGEINT) * sq) AS sxy,
+       |         sum(CAST(sqp AS HUGEINT) * sqp) AS sxx,
+       |         sum(CAST(sq AS HUGEINT) * sq) AS syy
+       |  FROM d WHERE sq IS NOT NULL AND sqp IS NOT NULL),
+       |s AS (
+       |  SELECT np,
+       |         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / np)
+       |         * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / np)
+       |         / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / np)
+       |            * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / np)) AS r2
+       |  FROM m)
+       |SELECT np AS n_pairs,
+       |       CAST(round(1e6 * r2) AS BIGINT) AS r2_micro,
+       |       CAST(round(1e6 * np * r2) AS BIGINT) AS lm_micro,
+       |       CAST(round(1e6 * np * r2) AS BIGINT) > 3841459 AS arch_present
+       |FROM s""".stripMargin
+
   def hurst(spark: SparkSession, dir: String): DataFrame = {
     val sizes = Seq(16, 32, 64, 128)
     val series = hourlyCounts(spark, dir)
@@ -2380,6 +2448,7 @@ object TimeSeries {
     "ts_forecast_select" -> (forecastSelect _),
     "ts_hampel" -> (hampel _),
     "ts_variance_ratio" -> (varianceRatio _),
+    "ts_arch_test" -> (archTest _),
     "ts_stl_decompose" -> (stlDecompose _),
     "ts_periodogram" -> (periodogram _),
     "ts_cusum" -> (cusum _),
@@ -2412,6 +2481,7 @@ object TimeSeries {
     "ts_forecast_select" -> forecastSelectSql,
     "ts_hampel" -> hampelSql,
     "ts_variance_ratio" -> varianceRatioSql,
+    "ts_arch_test" -> archTestSql,
     "ts_stl_decompose" -> stlDecomposeSql,
     "ts_periodogram" -> periodogramSql,
     "ts_cusum" -> cusumSql,

@@ -133,6 +133,17 @@ class Round15OpsSpec extends SparkSpec {
     assert(rows(168L).getAs[String]("champion") !== "holt")
   }
 
+  test("arch test: r2 bounded; lm = n*r2; flag matches the chi2(1) cut") {
+    val r = TimeSeries.archTest(spark, sf).collect().head
+    val n = r.getAs[Long]("n_pairs"); val r2 = r.getAs[Long]("r2_micro")
+    assert(n > 0L)
+    assert(r2 >= 0L && r2 <= 1000000L)
+    // lm is exactly n*r2 in the same micro units (one shared double)
+    assert(math.abs(r.getAs[Long]("lm_micro") - n * r2) <= n)
+    assert(r.getAs[Boolean]("arch_present") ===
+      (r.getAs[Long]("lm_micro") > 3841459L))
+  }
+
   test("variance ratio: eval counts consistent; flag matches z; mean-reverting hourly counts read VR < 1") {
     val r = TimeSeries.varianceRatio(spark, sf).collect().head
     assert(r.getAs[Long]("q") === 24L)
