@@ -430,8 +430,18 @@ object Graft {
     // the hidden 2× that made the r11 pre-collapse measurements
     // contradict each other (Graft vs SCALE.md vs driver bench). The
     // plain fixpoint needs exactly this partitioning anyway.
-    val symRaw = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+    // MAP-SIDE symmetrize (explode of the 2-struct array), not a
+    // self-union: the union's two branches each re-ran the caller's
+    // edge pipeline inside this one materializing job — for the dedup
+    // callers that is the LSH candidate join + Jaccard verify twice
+    // (ReuseExchange only dedups subtrees rooted at an Exchange, and
+    // the verify tail is a filter). The explode streams the pipeline
+    // ONCE and emits both directions from the map stage (r15).
+    val symRaw = edges
+      .select(explode(array(
+        struct(col(srcCol).as("__src"), col(dstCol).as("__dst")),
+        struct(col(dstCol).as("__src"), col(srcCol).as("__dst")))).as("__e"))
+      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
       .repartition(col("__src"))
       .localCheckpoint()
     // RECURSIVE STAR PRE-COLLAPSE with a shrink gate (r12, replacing

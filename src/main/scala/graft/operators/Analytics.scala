@@ -346,14 +346,27 @@ object Analytics {
     * BIGINT counts — no float aggregation anywhere. Top 20 rules by
     * lift. */
   def marketBasket(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
     val nOrders = Tables.orders(spark, dir)
       .select(countDistinct(col("o_orderkey")).as("n_orders"))
-    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val pairs = a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+    // ONE basket aggregation replaces the distinct + orderkey self-join
+    // (r15, guide §2.4 "remove shuffles outright"): collect_set dedups
+    // per order exactly as the old `items.distinct()` did, and the
+    // b(b−1)/2 within-basket pairs are generated MAP-SIDE from the
+    // sorted basket array — baskets are small by nature, which is the
+    // same bound the old plan's join relied on. Old plan: distinct
+    // exchange + 2 join exchanges + pair-agg exchange; new plan: one
+    // basket exchange + pair-agg exchange, and lineitem is scanned
+    // once (freq re-reads the basket aggregate via ReuseExchange).
+    val baskets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val freq = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), greatest(size(col("ps")) - i - 1, lit(0))),
+          y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= 5)
     pairs
@@ -397,16 +410,27 @@ object Analytics {
     * identical doubles in both engines. Top-3 neighbors per item via
     * the WindowGroupLimit rank (partial per-partition pruning). */
   def itemCf(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val pairs = a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+    // same map-side basket-pair generation as [[marketBasket]] (r15):
+    // one basket exchange + one pair-agg exchange replace the distinct
+    // + self-join chain, and the symmetrize is an explode (map-side)
+    // instead of a union that would re-run the pair aggregate twice
+    val baskets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val freq = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), greatest(size(col("ps")) - i - 1, lit(0))),
+          y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= 2)
-    val sym = pairs.unionByName(
-      pairs.select(col("pb").as("pa"), col("pa").as("pb"), col("n_both")))
+    val sym = pairs
+      .select(explode(array(
+        struct(col("pa"), col("pb"), col("n_both")),
+        struct(col("pb").as("pa"), col("pa").as("pb"), col("n_both")))).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"), col("pr.n_both").as("n_both"))
     val w = Window.partitionBy(col("item")).orderBy(col("cos_raw").desc, col("neighbor"))
     sym
       .join(freq.select(col("l_partkey").as("pa"), col("cnt").as("fa")), "pa")

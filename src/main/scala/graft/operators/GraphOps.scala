@@ -48,7 +48,8 @@ object GraphOps {
     * safe). On a huge edge list every round is one join keyed on
     * src + one agg keyed on dst — two shuffles per iteration, the
     * canonical distributed message-passing cost. */
-  def pagerank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+  def pagerank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85,
+               materializeRounds: Boolean = true): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"pagerank: iterations $iterations")
     // parity-by-construction: damping is quantized to an integer
     // micro-unit ONCE, and both the teleport term and the damping
@@ -57,12 +58,28 @@ object GraphOps {
     // double(1 - 0.85) differs from double(0.15) by 1 ulp and would
     // leave chained-round() agreement to luck near .5 boundaries
     val dMicro = math.round(damping * 1e6)
+    // materialize the caller's edge extraction exactly ONCE: linked,
+    // nodes and n all branch from it, and without this checkpoint each
+    // branch's own materializing job replayed the full upstream
+    // lineage (for the transition graph: a per-user window over all
+    // events — the extraction ran 3x per pagerank call, r15 measured)
+    val e = edges.localCheckpoint()
     // pre-joined (src, dst, w/outdeg denominator) — computed once,
-    // materialized once, reused every round
-    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
-    val linked = edges.join(outdeg, "src").localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    // reused every round
+    val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+    val linked0 = e.join(outdeg, "src")
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    // materializeRounds=true (default): every round lands as its own
+    // small job so round r+1 plans against a leaf — right for
+    // DATA-SIZED edge lists (the fixpoint lesson of
+    // Graft.connectedComponents). false: the whole iteration folds
+    // into the consumer's single job — right for AGGREGATE-BOUNDED
+    // graphs (the |types|² transition graph) where per-round
+    // job-submission latency dominates the microscopic per-round work
+    // (r15: graph_pagerank 2.6 s of construction for a 25-row graph).
+    val linked = if (materializeRounds) linked0.localCheckpoint() else linked0
+    val nodes = if (materializeRounds) nodes0.localCheckpoint() else nodes0
     val n = nodes.count()
     var scores = nodes.withColumn("score_micro", lit(math.round(1e6 / n)))
     (1 to iterations).foreach { _ =>
@@ -76,16 +93,12 @@ object GraphOps {
           round(col("score_micro").cast("double") * col("w") / col("outdeg"))
             .cast("long").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_micro"))
-      // EAGER checkpoint: each round materializes as one small job,
-      // so round r+1 plans against a leaf instead of replaying (and
-      // re-optimizing) the whole 1..r chain — the same fixpoint
-      // lesson as Graft.connectedComponents
-      scores = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           round(lit((1e6.toLong - dMicro).toDouble / n) +
               lit(dMicro.toDouble / 1e6) * coalesce(col("in_micro"), lit(0L)))
             .cast("long").as("score_micro"))
-        .localCheckpoint()
+      scores = if (materializeRounds) next.localCheckpoint() else next
     }
     scores.orderBy(col("score_micro").desc, col("node"))
   }
@@ -104,7 +117,7 @@ object GraphOps {
       // partitioning, and THIS caller knows its graph is tiny (the
       // kNN-graph probe passes a data-sized, many-partition list)
       .coalesce(1)
-    pagerank(edges, iterations = 3, damping = 0.85)
+    pagerank(edges, iterations = 3, damping = 0.85, materializeRounds = false)
       .select(col("node").as("event_type"), col("score_micro"))
   }
 
@@ -160,13 +173,19 @@ object GraphOps {
     * variant, NO 1/N term exists, so disconnected regions correctly
     * decay to zero instead of receiving background mass. */
   def personalizedPagerank(edges: DataFrame, seed: String,
-      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 3, damping: Double = 0.85,
+      materializeRounds: Boolean = true): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"ppr: iterations $iterations")
     val dMicro = math.round(damping * 1e6)
-    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
-    val linked = edges.join(outdeg, "src").localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    // same materialization discipline as [[pagerank]]: extraction
+    // checkpointed once; per-round jobs only for data-sized graphs
+    val e = edges.localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+    val linked0 = e.join(outdeg, "src")
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    val linked = if (materializeRounds) linked0.localCheckpoint() else linked0
+    val nodes = if (materializeRounds) nodes0.localCheckpoint() else nodes0
     var scores = nodes.withColumn("score_micro",
       when(col("node") === seed, lit(1000000L)).otherwise(lit(0L)))
     (1 to iterations).foreach { _ =>
@@ -176,12 +195,12 @@ object GraphOps {
           round(col("score_micro").cast("double") * col("w") / col("outdeg"))
             .cast("long").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_micro"))
-      scores = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (when(col("node") === seed, lit(1000000L - dMicro)).otherwise(lit(0L)) +
             round(lit(dMicro.toDouble / 1e6) * coalesce(col("in_micro"), lit(0L)))
               .cast("long")).as("score_micro"))
-        .localCheckpoint()
+      scores = if (materializeRounds) next.localCheckpoint() else next
     }
     scores.orderBy(col("score_micro").desc, col("node"))
   }
@@ -195,7 +214,8 @@ object GraphOps {
       .groupBy(col("prev").as("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("w"))
       .coalesce(1)
-    personalizedPagerank(edges, seed = "purchase", iterations = 3, damping = 0.85)
+    personalizedPagerank(edges, seed = "purchase", iterations = 3, damping = 0.85,
+        materializeRounds = false)
       .select(col("node").as("event_type"), col("score_micro"))
   }
 
@@ -728,9 +748,20 @@ object GraphOps {
     * checkpoint discipline. */
   def labelPropagation(edges: DataFrame, iterations: Int = 2): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"labelPropagation: iterations $iterations")
-    // symmetrize once: labels flow both ways over an undirected edge
-    val sym = edges.select(col("src"), col("dst"), col("w"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    // symmetrize once: labels flow both ways over an undirected edge.
+    // MAP-SIDE symmetrize (explode of the 2-struct array) instead of a
+    // self-union: the union's two branches each re-ran the caller's
+    // edge extraction inside this checkpoint's job (the levenshtein
+    // verify for the fuzzy-name graph — only subtrees at exchange
+    // roots get ReusedExchange'd, and the extraction's tail is a
+    // filter, not an exchange), while the explode streams the
+    // extraction ONCE and doubles rows in the map stage (r15).
+    val sym = edges
+      .select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst"), col("w").as("w")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("w").as("w"))))
+        .as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"), col("__e.w").as("w"))
       .localCheckpoint()
     val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
     var labels = nodes.withColumn("lbl", col("node"))
@@ -809,8 +840,14 @@ object GraphOps {
     * the frontier + one min-agg — the standard Pregel SSSP cost. */
   def shortestPaths(edges: DataFrame, source: String, iterations: Int = 4): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"shortestPaths: iterations $iterations")
-    val sym = edges.select(col("src"), col("dst"), col("w"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    // map-side symmetrize — same one-pass-extraction argument as
+    // [[labelPropagation]]
+    val sym = edges
+      .select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst"), col("w").as("w")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("w").as("w"))))
+        .as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"), col("__e.w").as("w"))
       .localCheckpoint()
     var dist = sym.select(col("src").as("node")).distinct()
       .where(col("node") === source)
@@ -830,8 +867,12 @@ object GraphOps {
     * lexicographically-first name, edge weight = the levenshtein
     * distance itself (path length ≈ accumulated edit distance). */
   def shortestPathsNames(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the extraction BEFORE the source-scalar head(): the
+    // scalar job and shortestPaths' symmetrize job both branch from
+    // it, and each used to replay the whole blocked-levenshtein join
     val e = Joins.fuzzyBlockedJoin(spark, dir)
       .select(col("name_a").as("src"), col("name_b").as("dst"), col("dist").as("w"))
+      .localCheckpoint()
     val source = e.agg(min(least(col("src"), col("dst")))).head().getString(0)
     shortestPaths(e, source, iterations = 4)
       .select(col("node"), col("dist"))
@@ -927,14 +968,18 @@ object GraphOps {
     * edge list each half-step is one join keyed on one endpoint + one
     * agg on the other, the canonical two-shuffle message-passing
     * round ([[pagerank]]'s cost model). */
-  def hits(edgesRaw: DataFrame, iterations: Int = 2): DataFrame = {
+  def hits(edgesRaw: DataFrame, iterations: Int = 2,
+           materializeRounds: Boolean = true): DataFrame = {
     // materialize the edge list ONCE: every half-step joins it, and
     // without the checkpoint each of the 2·iterations joins replays
     // the caller's full extraction lineage (for the transition graph:
-    // a per-user window over all events — measured 4x the op's cost)
+    // a per-user window over all events — measured 4x the op's cost).
+    // materializeRounds: see [[pagerank]] — per-half-step jobs for
+    // data-sized graphs, one folded plan for aggregate-bounded ones.
     val edges = edgesRaw.localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    val nodes0 = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    val nodes = if (materializeRounds) nodes0.localCheckpoint() else nodes0
     var h = nodes.withColumn("hm", lit(1000000L))
     var a = nodes.withColumn("am", lit(1000000L))
     for (_ <- 1 to iterations) {
@@ -944,14 +989,16 @@ object GraphOps {
       a = nodes.join(araw, Seq("node"), "left").crossJoin(broadcast(amax))
         .select(col("node"),
           round(lit(1e6) * coalesce(col("raw"), lit(0L)) / col("m"))
-            .cast("long").as("am")).localCheckpoint()
+            .cast("long").as("am"))
+      if (materializeRounds) a = a.localCheckpoint()
       val hraw = edges.join(a.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("w") * col("am")).as("raw"))
       val hmax = hraw.agg(max(col("raw")).as("m"))
       h = nodes.join(hraw, Seq("node"), "left").crossJoin(broadcast(hmax))
         .select(col("node"),
           round(lit(1e6) * coalesce(col("raw"), lit(0L)) / col("m"))
-            .cast("long").as("hm")).localCheckpoint()
+            .cast("long").as("hm"))
+      if (materializeRounds) h = h.localCheckpoint()
     }
     h.join(a, "node")
       .select(col("node"), col("hm").as("hub_micro"), col("am").as("auth_micro"))
@@ -967,7 +1014,7 @@ object GraphOps {
       .groupBy(col("prev").as("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("w"))
       .coalesce(1) // |types|² artifact — same single-task note as pagerankTypes
-    hits(edges, iterations = 2)
+    hits(edges, iterations = 2, materializeRounds = false)
       .withColumnRenamed("node", "event_type")
   }
 
