@@ -112,6 +112,40 @@ object OptBench {
           } else println(s"[ab] $n FAILED")
         }
         println(f"[ab] TOTAL A=$ta%.3f B=$tb%.3f ratio=${tb / ta}%.2f")
+      case Some("stages") =>
+        // per-stage breakdown of one warm execution: stage id, task
+        // count, total task time, wall duration, name — finds WHERE a
+        // query's seconds actually go
+        args.drop(1).foreach { name =>
+          SparkEntry.queries(name)(spark, dir).count() // warm
+          val stages = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Int, Long, Long, String)]
+          val jobs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = sc.stageInfo
+              val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+                yield c - s).getOrElse(-1L)
+              stages += ((si.stageId, si.numTasks,
+                si.taskMetrics.executorRunTime, wall,
+                si.name.split(" at ").headOption.getOrElse(si.name)))
+            }
+            override def onJobEnd(
+                je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+              jobs += ((je.jobId, System.nanoTime()))
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).count()
+          val total = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(600) // let the listener bus drain
+          spark.sparkContext.removeSparkListener(listener)
+          println(f"[stages] $name total=$total%.3f jobs=${jobs.size} stages=${stages.size}")
+          stages.sortBy(-_._4).take(12).foreach { case (id, nt, rt, wall, nm) =>
+            println(f"[stages]   stage=$id tasks=$nt taskTime=${rt}ms wall=${wall}ms $nm")
+          }
+        }
       case Some("profile") =>
         // split a query's per-sample cost: DataFrame CONSTRUCTION (incl.
         // any driver-side fixpoint loops), physical PLANNING, and

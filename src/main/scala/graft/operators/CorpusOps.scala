@@ -353,7 +353,13 @@ object CorpusOps {
     * the scan, the eval side broadcasts, and the only wide shuffles
     * are the digest groupBy and the final rollup. */
   def e2ePrep(spark: SparkSession, dir: String): DataFrame = {
+    // doc-keyed explicit repartition (r15): the quality-gate verdict
+    // (regex-heavy) and the decontamination shingles are the
+    // pipeline's map-side compute, and the one-split documents scan
+    // plus AQE byte-coalescing ran them single-task. Compact doc rows
+    // shuffle once; explicit N so AQE cannot fold it back.
     val docs = Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
     val qual = docs.filter(graft.api.Graft.qualityVerdict(col("text"),
       minTokens = 20, maxTokens = 90, maxDupRatio = 0.6, maxMeanWordLen = 5.0,
       maxBulletRatio = 0.5, maxEllipsisRatio = 0.5, maxSymbolRatio = 0.02,
@@ -364,11 +370,19 @@ object CorpusOps {
       .select(col("id").as("__contaminated_id"))
     val clean = train.join(contaminated,
       col("doc_id") === col("__contaminated_id"), "left_anti")
-    val keepers = clean
-      .groupBy(graft.api.Graft.contentDigest(col("text")).as("__digest"))
-      .agg(min(col("doc_id")).as("__keep_id"))
-      .select(col("__keep_id"))
-    clean.join(keepers, col("doc_id") === col("__keep_id"), "left_semi")
+    // exact-dedup keeper via a digest-keyed WINDOW min instead of
+    // groupBy + semi join-back (r15): the old shape referenced `clean`
+    // twice, and because its top operator is an anti join (not an
+    // Exchange), the whole quality gate + decontamination chain ran
+    // twice per invocation. One digest exchange now serves both the
+    // keeper min and the row stream; keeper semantics (min doc_id per
+    // content digest) are unchanged.
+    clean
+      .withColumn("__digest", graft.api.Graft.contentDigest(col("text")))
+      .withColumn("__keep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__digest"))))
+      .filter(col("doc_id") === col("__keep_id"))
+      .drop("__digest", "__keep_id")
       .withColumn("split", graft.api.Graft.splitLabel(col("doc_id"),
         Seq("train" -> 80, "val" -> 10, "test" -> 10)))
       .groupBy(col("split"), col("lang"))
@@ -829,13 +843,28 @@ object CorpusOps {
     * reassembly — the same two-exchange shape as the line dedup.
     * Exact integer counts → exact ratio. */
   def novelty(spark: SparkSession, dir: String): DataFrame = {
+    // doc-keyed explicit repartition below the shingle explode (r15):
+    // parallelizes the md5-shingle map work the one-split documents
+    // scan serialized into a single task (stage-measured 0.83 s); the
+    // shuffled rows are compact pre-explode doc rows. Explicit N
+    // because AQE's byte-based coalescing would fold the small
+    // exchange back to one partition.
     val sh = Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(
         transform(graft.api.Graft.shingles(col("text"), 3),
           s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))))
         .as("sh"))
-    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, "sh")
+    // first-occurrence via a shingle-keyed WINDOW min instead of
+    // groupBy + join-back (r15): the old shape referenced `sh` twice,
+    // and because its top operator is an explode (not an Exchange),
+    // ReuseExchange could not dedup it — the whole md5-shingle pass
+    // over the corpus ran twice per invocation. One exchange on the
+    // shingle key now serves both the min and the row stream; skew
+    // profile is identical (a hot shingle landed in one reducer under
+    // groupBy too).
+    sh.withColumn("first_doc", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count_if(col("first_doc") === col("doc_id")).as("n_novel"))
@@ -2264,7 +2293,12 @@ object CorpusOps {
       transform(sequence(lit(0), size(words) - k),
         i => concat_ws(" ", slice(words, i + 1, lit(k)))))
       .otherwise(array(col("text")))
+    // doc-keyed explicit repartition below the n-gram explode (r15):
+    // parallelizes the gram-string map work a one-split scan + AQE
+    // coalescing serialized; the per-doc aggregate downstream is
+    // satisfied by this partitioning. Explicit N — see novelty.
     val grams = Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), posexplode(ngs).as(Seq("pos", "ng")),
         (size(words) - k + 1).cast("long").as("n_grams"))
     val ev = grams.filter(col("doc_id") % 20 === 0)

@@ -749,7 +749,13 @@ object Dedup {
     * op. Collisions at 2^-32 per shingle pair are negligible; the
     * universe is the same one the minhash family already lives in. */
   private def ppjoinDocs(spark: SparkSession, dir: String): DataFrame =
+    // doc-keyed explicit repartition (r15): parallelizes the
+    // shingle+md5 token-set map work (one-split scan otherwise runs
+    // it single-task), and the prefix stage's doc-keyed windows are
+    // satisfied by this partitioning at any scale. Explicit N — AQE
+    // would coalesce the small exchange back to one partition.
     Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), array_distinct(
         transform(shingles(col("text")),
           s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))
@@ -1121,7 +1127,18 @@ object Dedup {
     * spec both ride. */
   private[graft] def winnowingFingerprints(docs: DataFrame, textCol: String,
                                            idCol: String, w: Int = 4): DataFrame = {
+    // doc-keyed explicit repartition BELOW the shingle explode (r15):
+    // the doc windows right after REQUIRE hashpartitioning(doc_id), so
+    // at any scale this replaces the planner's post-explode exchange
+    // with a cheaper pre-explode one (doc rows, not shingle rows) —
+    // and locally it parallelizes the md5-shingle map work that a
+    // one-split scan plus AQE's byte-based coalescing had serialized
+    // into a single task (stage-measured 0.75 s). Explicit N
+    // (spark.sql.shuffle.partitions) because AQE would coalesce a
+    // small-byte implicit exchange straight back to one partition.
     val hashed = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col(idCol))
       .select(col(idCol).as("doc_id"),
         posexplode(transform(graft.api.Graft.shingles(col(textCol), 3),
           s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))
@@ -1141,8 +1158,16 @@ object Dedup {
 
   def winnowing(spark: SparkSession, dir: String): DataFrame = {
     val fps = winnowingFingerprints(Tables.documents(spark, dir), "text", "doc_id")
-    val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-    val kept = fps.join(df.where(col("df") <= 64), "fp")
+    // bucket cap via a fingerprint-keyed WINDOW count instead of a df
+    // aggregate joined back (r15): the join-back shape evaluated the
+    // whole shingle+window fingerprint pipeline once per consumer (the
+    // df aggregate plus both self-join sides); with the window every
+    // reference meets at ONE fp exchange and the heavy subtree below
+    // it is ReuseExchange-shared. Cap semantics (≤64 docs per
+    // fingerprint) unchanged.
+    val kept = fps.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .where(col("df") <= 64)
     val pairs = kept.select(col("fp"), col("doc_id").as("doc_a"))
       .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
       .where(col("doc_a") < col("doc_b"))

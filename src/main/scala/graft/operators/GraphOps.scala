@@ -1201,13 +1201,24 @@ object GraphOps {
     * compact-key census joined back by key. Top-20 edges by weight,
     * keyed tiebreak. */
   def bipartiteProject(spark: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val deg = op.groupBy(col("pk")).agg(count(lit(1)).as("deg"))
-    val a = op.select(col("ok"), col("pk").as("part_a"))
-    val b = op.select(col("ok"), col("pk").as("part_b"))
-    val edges = a.join(b, Seq("ok"))
-      .filter(col("part_a") < col("part_b"))
+    // map-side basket-pair generation (r15, the Analytics.itemCf
+    // rewrite): ONE order-keyed collect_set aggregation replaces the
+    // distinct + orderkey self-join — collect_set dedups per order
+    // exactly as the old distinct() did, and the b(b−1)/2 pairs
+    // explode from the sorted basket array (order width bounds the
+    // fan-out, the same bound the join relied on). One basket
+    // exchange + one pair-agg exchange instead of distinct + two join
+    // exchanges; lineitem scanned once.
+    val baskets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val deg = baskets.select(explode(col("ps")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("deg"))
+    val edges = baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), greatest(size(col("ps")) - i - 1, lit(0))),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
+      .select(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
       .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("w"))
     edges
       .join(deg.select(col("pk").as("part_a"), col("deg").as("da")), Seq("part_a"))

@@ -830,7 +830,18 @@ object Joins {
     * amplification on the compact name column, linear candidate mass,
     * no block-size skew (digit domain caps every bucket). */
   def editDistanceJoin(spark: SparkSession, dir: String): DataFrame = {
+    // spread the probe side across the cluster BEFORE the 9x mask
+    // explode (r15, guide §2.5 input parallelism): the customer scan
+    // is ONE file split (below the parquet open-cost split floor), and
+    // the hash-join probe — a levenshtein per bucket-pair match, the
+    // op's dominant compute (stage-measured 2.4 s in one task) —
+    // inherited that parallelism. The partition count is EXPLICIT
+    // (spark.sql.shuffle.partitions — cluster-configured, not a local
+    // constant) because AQE's byte-based coalescing would fold the
+    // small-byte exchange back to one partition, blind to the
+    // compute density above it; explicit-N repartitions are exempt.
     val names = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("c_custkey"))
     val masked = names
       .select(col("c_custkey"), col("c_name"),
         explode(sequence(lit(0), lit(8))).as("i"))

@@ -826,22 +826,45 @@ object StatsOps {
     * Scale shape: one observed-stat scan + one ×64 map-side fan-out
     * into a 64-key combinable agg. */
   def permutationTest(spark: SparkSession, dir: String): DataFrame = {
+    // spread the pool BEFORE the ×64 replicate fan-out (r15, guide
+    // §2.5): the filtered events scan is ONE file split, so the 64×
+    // explode + per-(row, b) md5 draw — the op's entire compute — ran
+    // in a single task while 31 cores idled. The partition count is
+    // EXPLICIT (spark.sql.shuffle.partitions — cluster-configured,
+    // not a local constant) because AQE's byte-based coalescing folds
+    // a small-byte exchange back to one partition, blind to the 64×
+    // compute fan-out above it; an explicit-N repartition is exempt
+    // from AQE coalescing by design. Stage-measured 2.3 s single-task
+    // → parallel.
     val pool = Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), (col("event_type") === "click").as("g1"),
         round(col("value") * 100.0d).cast("long").as("cents"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("event_id"))
     val obs = pool.agg(
       sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
       sum(when(col("g1"), col("cents")).otherwise(0L)).as("s1"),
       sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"),
       sum(when(!col("g1"), col("cents")).otherwise(0L)).as("s2"))
     def d(c: Column) = c.cast("double")
-    // threshold u < n1 * 2^32 / n  <=>  u * n on DECIMAL vs n1 << 32
-    val reps = pool.crossJoin(broadcast(obs.select(col("n1"), (col("n1") + col("n2")).as("n"))))
+    // threshold u < n1 * 2^32 / n. r14 shape compared per ROW on
+    // DECIMAL (dec(u)·n < dec(n1)·2³² — overflow-safe but ~2 decimal
+    // multiplies per (row, b), stage-measured as the op's dominant
+    // cost). r15: fold the whole right side into ONE long threshold in
+    // the broadcast obs row — for positive integers, u·n < N ⟺
+    // u ≤ (N−1) div n, and the integral divide runs on DECIMAL once
+    // per invocation (its quotient ≤ 2³² always fits the long). The
+    // per-row test is then a single long compare; every u decides
+    // identically to the decimal form.
+    val thrObs = obs.select(col("n1"),
+      when(col("n1") === 0L, lit(0L)).otherwise(
+        expr("CAST((CAST(n1 AS DECIMAL(38,0)) * 4294967296 - 1) div (n1 + n2) AS BIGINT)")
+          + lit(1L)).as("u_thr"))
+    val reps = pool.crossJoin(broadcast(thrObs))
       .withColumn("b", explode(sequence(lit(0L), lit(63L))))
       .withColumn("u", graft.api.Graft.idHash(
         concat(col("event_id").cast("string"), lit(":"), col("b").cast("string"))))
-      .withColumn("r1", dec(col("u")) * col("n") < dec(col("n1")) * lit(4294967296L))
+      .withColumn("r1", col("u") < col("u_thr"))
       .groupBy(col("b"))
       .agg(sum(when(col("r1"), 1L).otherwise(0L)).as("m1"),
         sum(when(col("r1"), col("cents")).otherwise(0L)).as("t1"),

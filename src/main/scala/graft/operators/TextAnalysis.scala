@@ -507,7 +507,17 @@ object TextAnalysis {
   def sparseCosine(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-    val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    // doc-keyed explicit repartition BELOW the tokenize explode (r15):
+    // hashpartitioning(doc_id) satisfies the (doc_id, term) grouping
+    // AND the later doc-keyed top-m window, so at any scale this
+    // replaces the post-explode token-row exchange with a pre-explode
+    // doc-row one (strictly fewer bytes) — and locally it parallelizes
+    // the tokenize+tf map work that the one-split scan serialized
+    // (stage-measured 0.9 s single-task). Explicit N: AQE would
+    // coalesce a small-byte implicit exchange back to one partition.
+    val terms = docs
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = tf.join(df, "term").crossJoin(broadcast(n))
@@ -592,12 +602,24 @@ object TextAnalysis {
   private val ragTopK = 3
 
   def ragContext(spark: SparkSession, dir: String): DataFrame = {
+    // doc-keyed explicit repartition below the chunk explode (r15):
+    // the materialized chunk table inherits this partitioning, so
+    // every downstream bm25 aggregate over it runs parallel instead
+    // of on the one-split scan's single partition.
     val chunks = Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"),
         posexplode(graft.api.Graft.chunkOverlap(col("text"), window = 50, stride = 30))
           .as(Seq("chunk_idx", "chunk")))
       .select(concat(col("doc_id"), lit(":"), col("chunk_idx")).as("chunk_id"),
         col("chunk"))
+      // materialize the chunk fan-out ONCE (r15): each bm25Rank call
+      // references it ~4x (lens, the stats broadcast, tf, the df
+      // broadcast), and with 3 queries plus the provenance join the
+      // un-materialized chunk explode ran up to ~13x per invocation.
+      // A production RAG pipeline materializes its chunk table for
+      // exactly this reason.
+      .localCheckpoint()
     val perQuery = ragQueries.map { case (qid, terms) =>
       graft.api.Graft.bm25Rank(chunks, "chunk", "chunk_id", terms, topK = ragTopK)
         .withColumnRenamed("doc_id", "chunk_id") // bm25's fixed output id name
@@ -983,6 +1005,13 @@ object TextAnalysis {
         x => x.getField("w")), " ").as("phrase"),
         count(lit(1)).as("len"))
       .filter(col("len") <= 5)
+      // materialize the phrase table ONCE (r15): three consumers fold
+      // over it (the word-score aggregate, the scoring explode-join,
+      // and the occurrence census) and its top operator is a filter,
+      // so ReuseExchange cannot dedup it — the whole words → stopword
+      // flag → island window → collect_list chain ran three times per
+      // invocation.
+      .localCheckpoint()
     val occur = phrases.select(explode(split(col("phrase"), " ")).as("w"), col("len"))
     val wordScore = occur.groupBy(col("w"))
       .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
@@ -1069,7 +1098,12 @@ object TextAnalysis {
     * |C|-bounded; the model is a broadcast artifact; nothing else
     * grows with the corpus. */
   def naiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    // doc-keyed explicit repartition (r15): parallelizes the tokenize
+    // explodes (train aggregate + test scoring) that the one-split
+    // documents scan serialized; compact doc rows shuffle once.
+    // Explicit N — AQE would coalesce the small exchange to 1.
     val docs = Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("lang"), col("text"),
         (graft.api.Graft.idHash(col("doc_id")) % 4 < 3).as("train"))
     def toks(df: DataFrame) =
@@ -1077,13 +1111,21 @@ object TextAnalysis {
         explode(split(col("text"), " ")).as("t"))
         .filter(col("t") =!= "")
     val trainToks = toks(docs.filter(col("train")))
-    val vocab = trainToks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    // ONE tokenize + (t, lang) aggregation, checkpointed (r15): vocab
+    // selection and the per-class counts both fold over it, and
+    // without the checkpoint each consumer's job (the vocab broadcast,
+    // the model broadcast) re-ran the explode/tokenize pass — the
+    // train corpus was tokenized twice per call. cnt0 is
+    // vocabulary×classes-bounded, so materializing it is a compact
+    // artifact, not a data-sized cache.
+    val cnt0 = trainToks.groupBy(col("t"), col("lang"))
+      .agg(count(lit(1)).as("ct")).localCheckpoint()
+    val vocab = cnt0.groupBy(col("t")).agg(sum(col("ct")).as("n"))
       .orderBy(col("n").desc, col("t")).limit(128).select(col("t"))
     val classes = docs.filter(col("train"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_c"))
     val nTrain = docs.filter(col("train")).agg(count(lit(1)).as("n"))
-    val cnt = trainToks.join(broadcast(vocab), Seq("t"))
-      .groupBy(col("t"), col("lang")).agg(count(lit(1)).as("ct"))
+    val cnt = cnt0.join(broadcast(vocab), Seq("t"))
     val tokC = cnt.groupBy(col("lang")).agg(sum(col("ct")).as("tok_c"))
     def d(c: Column) = c.cast("double")
     val model = vocab.crossJoin(classes.select(col("lang")))
