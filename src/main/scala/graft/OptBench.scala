@@ -146,6 +146,42 @@ object OptBench {
             println(f"[stages]   stage=$id tasks=$nt taskTime=${rt}ms wall=${wall}ms $nm")
           }
         }
+      case Some("jobs") =>
+        // every job of one warm execution: wall ms + the job group's
+        // first stage name — attributes the job-count wall (which
+        // phase of an iterative operator pays how many driver jobs)
+        args.drop(1).foreach { name =>
+          SparkEntry.queries(name)(spark, dir).count() // warm
+          case class J(id: Int, t0: Long, var t1: Long = -1L,
+                       var stages: Int = 0, var tasks: Int = 0,
+                       var nm: String = "")
+          val jobsB = scala.collection.mutable.LinkedHashMap.empty[Int, J]
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              val j = J(js.jobId, js.time)
+              j.stages = js.stageInfos.size
+              j.tasks = js.stageInfos.map(_.numTasks).sum
+              j.nm = js.stageInfos.lastOption.map(si =>
+                si.name.split(" at ").headOption.getOrElse(si.name)).getOrElse("")
+              jobsB.synchronized { jobsB(js.jobId) = j }
+            }
+            override def onJobEnd(
+                je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+              jobsB.synchronized { jobsB.get(je.jobId).foreach(_.t1 = je.time) }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).count()
+          val total = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(600)
+          spark.sparkContext.removeSparkListener(listener)
+          val js = jobsB.synchronized(jobsB.values.toSeq)
+          println(f"[jobs] $name total=$total%.3f njobs=${js.size}")
+          js.foreach { j =>
+            println(f"[jobs]   id=${j.id} wall=${j.t1 - j.t0}ms stages=${j.stages} tasks=${j.tasks} ${j.nm}")
+          }
+        }
       case Some("profile") =>
         // split a query's per-sample cost: DataFrame CONSTRUCTION (incl.
         // any driver-side fixpoint loops), physical PLANNING, and

@@ -471,11 +471,47 @@ object Graft {
     //    levels only paid job overhead; the adaptive hook below is
     //    what rescues crawl-prone residues, not more contraction.
     val maxContractLevels = 1
-    val nSym = if (preCollapse) symRaw.count() else -1L
+    // counted unconditionally (r16): the scalar now ALSO gates the
+    // tiny-fixpoint mode below, and it is a shuffle-free scan of the
+    // just-checkpointed blocks at any scale
+    val nSym = symRaw.count()
     val contract = preCollapse && level < maxContractLevels && nSym > 1024 &&
       (parentSymEdges < 0L || nSym * 10L < parentSymEdges * 7L)
     if (sys.props.get("graft.cc.debug").contains("true"))
       System.err.println(s"[cc] level=$level symEdges=$nSym contract=$contract")
+    // MEASURED-TINY MODE (r16, guide §2.6/§1.2): with AQE on, every
+    // Exchange of every driver-side step (contraction joins, fixpoint
+    // rounds, convergence probes) materializes as its own query stage
+    // = its own driver job (geo_dbscan measured 132 jobs; profile
+    // split construct=7.2 s vs exec=1.0 s — a fixed-overhead wall, not
+    // compute). Disabling AQE globally was measured 4.3× WORSE (its
+    // partition coalescing is load-bearing for data-sized plans), so
+    // the switch keys on the MEASURED symmetrized edge count: below
+    // the threshold, everything from here to the returned labels runs
+    // with AQE off, a size-derived partition count, and codegen off
+    // (each round plans fresh expression ids, so whole-stage codegen
+    // recompiles per round and can never hit its cache). Scale-adaptive
+    // by construction: at 100 TB the level-0 graph measures huge → AQE
+    // stays on; only a residue that measures tiny — exactly where
+    // fixed per-job/per-plan overhead dominates — drops into this
+    // mode, and the partition count derives from nSym, not from the
+    // local core count. `graft.cc.tinyFixpoint` (default on) is the
+    // operational kill switch / A-B knob.
+    val spark = edges.sparkSession
+    val tinyFixpoint =
+      spark.conf.get("graft.cc.tinyFixpoint", "true").toBoolean &&
+        nSym <= spark.conf.get("graft.cc.tinyFixpointMaxEdges",
+          (1L << 20).toString).toLong
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    val priorCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    if (tinyFixpoint) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val parts = math.max(1L, math.min(priorParts.toLong, nSym / 65536L + 1L))
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    }
+    try {
     if (contract) {
       val l0 = symRaw.groupBy(col("__src")).agg(min(col("__dst")).as("__m"))
         .select(col("__src").as("id"), least(col("__src"), col("__m")).as("l0"))
@@ -625,7 +661,17 @@ object Graft {
         s"connectedComponents hit maxRounds=$maxRounds without " +
           "converging - labels would be incomplete; raise maxRounds " +
           "or investigate the graph structure")
+    // every round's labels were materialized by the convergence action,
+    // so restoring the session conf here cannot change what the
+    // returned (checkpointed) frame computes
     labels
+    } finally {
+      if (tinyFixpoint) {
+        spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+        spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+        spark.conf.set("spark.sql.codegen.wholeStage", priorCodegen)
+      }
+    }
   }
 
   /** End-to-end corpus deduplication — the user-facing endpoint
