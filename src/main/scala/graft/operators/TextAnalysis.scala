@@ -620,11 +620,47 @@ object TextAnalysis {
       // A production RAG pipeline materializes its chunk table for
       // exactly this reason.
       .localCheckpoint()
-    val perQuery = ragQueries.map { case (qid, terms) =>
-      graft.api.Graft.bm25Rank(chunks, "chunk", "chunk_id", terms, topK = ragTopK)
-        .withColumnRenamed("doc_id", "chunk_id") // bm25's fixed output id name
-        .withColumn("query_id", lit(qid))
-    }.reduce(_ unionByName _)
+    // ONE tokenize pass for ALL queries (r16, guide §2.4 redundant
+    // evaluation): the r15 shape called bm25Rank per query, and each
+    // call tokenizes the chunk table ~4× (lens, the stats broadcast,
+    // tf, the df broadcast) — ~12 passes for 3 queries. But lens,
+    // stats AND per-term df are query-independent (df counts docs
+    // containing the term regardless of which query asked), so the
+    // per-(chunk, term) BM25 contribution is computed once over the
+    // UNION of query terms and each query folds its own terms'
+    // contributions. Same formula, same micro-rounding, same
+    // (score desc, chunk_id) top-k tie-break → bit-identical to the
+    // per-query calls (oracle-checked at sf0.001/sf0.01).
+    import spark.implicits._
+    val k1 = 1.2; val b = 0.75
+    val allTerms = ragQueries.flatMap(_._2).distinct
+    val qt = ragQueries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val lens = chunks
+      .select(col("chunk_id"), size(words(col("chunk"))).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = chunks
+      .select(col("chunk_id"), explode(words(col("chunk"))).as("term"))
+      .where(col("term").isin(allTerms: _*))
+      .groupBy(col("chunk_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dft), "term")
+      .join(lens, "chunk_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c_micro",
+        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))) *
+          lit(1e6)).cast("long"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("chunk_id"))
+    val perQuery = contrib.join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("chunk_id"))
+      .agg(sum(col("c_micro")).as("score_micro"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= ragTopK)
+      .drop("__rn")
     perQuery.join(chunks, "chunk_id")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_chunks"),
