@@ -1134,14 +1134,27 @@ object TextAnalysis {
     * |C|-bounded; the model is a broadcast artifact; nothing else
     * grows with the corpus. */
   def naiveBayes(spark: SparkSession, dir: String): DataFrame = {
-    // doc-keyed explicit repartition (r15): parallelizes the tokenize
-    // explodes (train aggregate + test scoring) that the one-split
-    // documents scan serialized; compact doc rows shuffle once.
-    // Explicit N — AQE would coalesce the small exchange to 1.
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+    // doc-keyed explicit repartition (r15), now GATED on measured scan
+    // parallelism (r16, VERDICT item 6): it exists to parallelize the
+    // tokenize explodes that a one-split scan serializes; when the
+    // scan already has >= half the target splits (any real deployment
+    // at scale), the extra full shuffle of the corpus is pure cost and
+    // is skipped. Then checkpointed ONCE (r16): the split corpus is
+    // read by train aggregation, class priors and test scoring —
+    // without the materialization every separate execution (the model
+    // collect, the prior collect, the final scoring job) re-ran the
+    // scan + shuffle (measured 28-30 driver jobs per call, several of
+    // them full 33-task scan+exchange replays).
+    val raw = Tables.documents(spark, dir)
+    val target = spark.sessionState.conf.numShufflePartitions
+    val pre =
+      if (raw.rdd.getNumPartitions * 2 < target)
+        raw.repartition(target, col("doc_id"))
+      else raw
+    val docs = pre
       .select(col("doc_id"), col("lang"), col("text"),
         (graft.api.Graft.idHash(col("doc_id")) % 4 < 3).as("train"))
+      .localCheckpoint()
     def toks(df: DataFrame) =
       df.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("t"))
@@ -1173,12 +1186,28 @@ object TextAnalysis {
     val prior = classes.crossJoin(broadcast(nTrain))
       .select(col("lang").as("cls"),
         round(lit(1e6) * log(d(col("n_c")) / d(col("n")))).cast("long").as("pr_u"))
+    // the model and priors are BOUNDED artifacts by the fixed-width-
+    // model contract (≤ |V|×|C| = 128·classes rows + |C| priors), so
+    // collect them once and rejoin as local relations (r16): the r15
+    // shape broadcast the model/prior SUBTREES, and every broadcast
+    // build materialized as its own driver job chain (28 jobs per
+    // execution measured) — the same fixed-overhead wall as the CC
+    // fixpoint. Values are exact integer micro-nats either way; the
+    // join results are bit-identical (oracle-checked).
+    val modelL = {
+      val rows = model.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), model.schema)
+    }
+    val priorL = {
+      val rows = prior.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), prior.schema)
+    }
     val testDocs = docs.filter(!col("train")).select(col("doc_id"),
       col("lang").as("true_lang"))
     val tokScores = toks(docs.filter(!col("train")))
-      .join(broadcast(model), Seq("t"))
+      .join(broadcast(modelL), Seq("t"))
       .groupBy(col("doc_id"), col("cls")).agg(sum(col("lp_u")).as("s"))
-    val scoresAll = testDocs.crossJoin(broadcast(prior))
+    val scoresAll = testDocs.crossJoin(broadcast(priorL))
       .join(tokScores, Seq("doc_id", "cls"), "left")
       .select(col("doc_id"), col("true_lang"), col("cls"),
         (col("pr_u") + coalesce(col("s"), lit(0L))).as("score"))
