@@ -955,6 +955,47 @@ object Graft {
 
   // ---------- corpus-preparation operators ----------
 
+  /** Run `body` — driver-side construction that materializes BOUNDED
+    * intermediates (seeded BFS frontiers, beam steps, bounded-model
+    * collects) — with AQE off, a size-derived shuffle-partition count
+    * and whole-stage codegen off, restoring the session conf after.
+    * The generalization of ccImpl's measured-tiny fixpoint mode (r16,
+    * guide §2.6/§1.2): with AQE on, every Exchange of every
+    * materializing step runs as its own query-stage driver job
+    * (graph_betweenness measured 53 jobs of 1-2 tasks × 10-70 ms —
+    * fixed overhead, not compute), and each freshly-planned step
+    * recompiles whole-stage codegen (new expression ids never hit the
+    * cache). Scale discipline: the caller passes a MEASURED row count
+    * (from an already-checkpointed input, where counting is a
+    * shuffle-free cache scan); above the threshold — any real
+    * deployment scale — the body runs untouched under AQE. The
+    * partition count derives from the measured size, never from the
+    * local core count. `graft.tinyExec.enabled` is the operational
+    * kill switch, `graft.tinyExec.maxRows` the threshold knob. */
+  private[graft] def withTinyExec[T](spark: SparkSession, measuredRows: Long)
+                                    (body: => T): T = {
+    val on = spark.conf.get("graft.tinyExec.enabled", "true").toBoolean &&
+      measuredRows >= 0 &&
+      measuredRows <= spark.conf.get("graft.tinyExec.maxRows",
+        (1L << 20).toString).toLong
+    if (!on) body
+    else {
+      val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val priorParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+      val priorCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, math.min(priorParts.toLong, measuredRows / 65536L + 1L)).toString)
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try body
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+        spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+        spark.conf.set("spark.sql.codegen.wholeStage", priorCodegen)
+      }
+    }
+  }
+
   /** First 8 md5 hex chars of an id as a positive long — the
     * deterministic "random" driver for splits and sampling
     * (engine-portable, reproducible from the id alone). */

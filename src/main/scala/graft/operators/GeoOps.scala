@@ -561,7 +561,15 @@ object GeoOps {
     val (pts, pairs) = epsGraph(spark, dir)
     val edges = pairs.select(col("ida").as("u"), col("idb").as("w"))
     val seeds = pts.filter(col("id") % 100 === 0).select(col("id").as("seed"))
-    brandesSeeded(edges, seeds)
+    // measured-tiny construction (r16): the 6 frontier checkpoints of
+    // brandesSeeded ran as 53 driver jobs of 1-2 tasks × 10-70 ms
+    // under AQE — fixed overhead on seed-bounded frontiers. The count
+    // is a shuffle-free scan of the just-checkpointed pair blocks and
+    // gates the mode off at real scale (see Graft.withTinyExec).
+    val bc = graft.api.Graft.withTinyExec(spark, pairs.count()) {
+      brandesSeeded(edges, seeds)
+    }
+    bc
       .orderBy(col("bc_nano").desc, col("node"))
       .limit(20)
       .select(col("node").cast("long").as("node"),

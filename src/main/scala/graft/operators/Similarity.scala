@@ -3163,9 +3163,18 @@ object Similarity {
     // every consumer re-executes the whole walk prefix (measured
     // 2.4 → 24 s at ~sf1 when the r15 touched/top-k consumers landed
     // on the un-checkpointed DAG)
-    val s1 = ranked(entry).localCheckpoint()
-    val s2 = ranked(top(s1)).localCheckpoint()
-    val s3 = ranked(top(s2)).localCheckpoint()
+    // measured-tiny construction (r16): the three step checkpoints ran
+    // as ~46 driver jobs of 1-3 tasks under AQE (query-stage
+    // materialization per Exchange) — fixed overhead, not compute; the
+    // beam itself is ≤ queries × beam·(1+edgeK) rows. The count is a
+    // shuffle-free scan of the just-checkpointed assignment blocks and
+    // gates the mode off at real scale (see Graft.withTinyExec).
+    val (s1, s2, s3) = graft.api.Graft.withTinyExec(spark, assigned.count()) {
+      val a = ranked(entry).localCheckpoint()
+      val b = ranked(top(a)).localCheckpoint()
+      val c = ranked(top(b)).localCheckpoint()
+      (a, b, c)
+    }
     // candidates-touched audit: distinct vectors whose query distance
     // was computed across the walk (each step's scored set, deduped)
     val touched = s1.select(col("query_id"), col("node"))
