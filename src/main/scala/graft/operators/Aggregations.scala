@@ -799,14 +799,40 @@ object Aggregations {
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val qty = round(col("l_quantity")).cast("long")
-    val byFlag = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val rows = Tables.lineitem(spark, dir)
+    // TWO-LEVEL PARALLEL PREFIX (r16, guide §2.5): the r15 shape ran
+    // one cumulative window PARTITIONED BY l_returnflag — ≤ |flags|
+    // window partitions, so the cumsum over the (flag, cents)
+    // histogram was serial per flag (measured: a 3-task stage carrying
+    // the whole query; at 100 TB that single window partition holds
+    // every distinct price of a flag — a data-sized serial wall).
+    // Standard prefix-sum decomposition instead: cents div 65536
+    // buckets the histogram into ordered ranges; within-bucket cumsums
+    // run on parallel (flag, bucket) windows, per-bucket totals form a
+    // BOUNDED artifact (|flags| × ~1.6k buckets for the price domain)
+    // whose tiny prefix window supplies each bucket's offset.
+    // cumw = offset + within-bucket cumsum is the identical running
+    // weight (bucket order is cents order), so the median row — and
+    // the oracle hash — are unchanged.
+    val hist = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), cents.as("cents"), qty.as("w"))
       .groupBy(col("l_returnflag"), col("cents"))
       .agg(sum(col("w")).as("w"))
-      .withColumn("cumw", sum(col("w")).over(byFlag))
-      .withColumn("total", sum(col("w")).over(Window.partitionBy(col("l_returnflag"))))
+      .withColumn("b", expr("cents div 65536"))
+    val byFlagPrev = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = hist.groupBy(col("l_returnflag"), col("b"))
+      .agg(sum(col("w")).as("bw"))
+      .withColumn("off", coalesce(sum(col("bw")).over(byFlagPrev), lit(0L)))
+      .withColumn("total",
+        sum(col("bw")).over(Window.partitionBy(col("l_returnflag"))))
+      .select(col("l_returnflag"), col("b"), col("off"), col("total"))
+    val inBucket = Window.partitionBy(col("l_returnflag"), col("b"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = hist
+      .withColumn("cin", sum(col("w")).over(inBucket))
+      .join(broadcast(off), Seq("l_returnflag", "b"))
+      .withColumn("cumw", col("off") + col("cin"))
     rows.filter(col("cumw") * 2 >= col("total"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("cents")).as("median_cents"),

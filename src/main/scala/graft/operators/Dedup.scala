@@ -930,7 +930,11 @@ object Dedup {
     *    exactly where the 10× cost concentrated. KEPT (round-10). */
   def ppjoin(spark: SparkSession, dir: String): DataFrame = {
     val t = 0.5
-    val docs = ppjoinDocs(spark, dir)
+    // the shingle+md5 token-set map work is evaluated by the prefix
+    // chain AND by each verify side (3×) without a materialization —
+    // the repartition EXCHANGE is reused (ReuseExchange) but the
+    // transform above it is not; checkpoint once (r16)
+    val docs = ppjoinDocs(spark, dir).localCheckpoint()
     val pre = ppjoinPrefix(docs, t)
     ppjoinVerified(docs, ppjoinCandidates(ppjoinRawMatches(pre, t), t), t)
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))

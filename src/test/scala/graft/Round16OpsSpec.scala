@@ -43,4 +43,27 @@ class Round16OpsSpec extends SparkSpec {
       assert(positions === positions.sorted, s"query $qid tag order")
     }
   }
+
+  test("weighted median: two-level parallel prefix equals the single serial window") {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val qty = round(col("l_quantity")).cast("long")
+    val byFlag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), cents.as("cents"), qty.as("w"))
+      .groupBy(col("l_returnflag"), col("cents")).agg(sum(col("w")).as("w"))
+      .withColumn("cumw", sum(col("w")).over(byFlag))
+      .withColumn("total", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+      .filter(col("cumw") * 2 >= col("total"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cents")).as("median_cents"), max(col("total")).as("total_weight"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Aggregations.weightedMedian(spark, sf).collect()
+      .map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 100), r.getLong(2))).toSet
+    assert(got === ref)
+  }
 }
