@@ -996,6 +996,27 @@ object Graft {
     }
   }
 
+  /** localCheckpoint with AQE partition COALESCING disabled for just
+    * this materialization (r16, guide §2.5 — the AQE coalesce trap):
+    * AQE sizes post-shuffle partitions by OUTPUT BYTES, so a compact
+    * aggregate that feeds a compute-dense fan-out (a pair explode, a
+    * per-row heavy transform) gets cached in very few partitions and
+    * caps every downstream stage's parallelism at that count. Use
+    * when the caller KNOWS the bytes-per-row downstream cost is much
+    * higher than the cached bytes suggest. Scale-safe: at real scale
+    * the materialized side is large and coalescing would not have
+    * fired anyway — this only forfeits an optimization that is wrong
+    * exactly here. AQE itself stays ON (skew splitting, join
+    * planning). */
+  private[graft] def checkpointWide(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try df.localCheckpoint()
+    finally spark.conf.set(key, prior)
+  }
+
   /** First 8 md5 hex chars of an id as a positive long — the
     * deterministic "random" driver for splits and sampling
     * (engine-portable, reproducible from the id alone). */

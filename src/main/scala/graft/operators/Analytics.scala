@@ -357,9 +357,16 @@ object Analytics {
     // exchange + 2 join exchanges + pair-agg exchange; new plan: one
     // basket exchange + pair-agg exchange, and lineitem is scanned
     // once (freq re-reads the basket aggregate via ReuseExchange).
-    val baskets = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    // checkpointed once (r16): the freq branch and the pair-explode
+    // branch share only the orderkey EXCHANGE (ReuseExchange), so the
+    // collect_set aggregate above it ran twice per call — and
+    // materialized WIDE (checkpointWide): AQE coalesces the compact
+    // basket rows to ~4 partitions, capping the b^2/2 pair explode's
+    // parallelism at 4 tasks
+    val baskets = graft.api.Graft.checkpointWide(
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
     val freq = baskets.select(explode(col("ps")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
     val pairs = baskets
@@ -414,9 +421,16 @@ object Analytics {
     // one basket exchange + one pair-agg exchange replace the distinct
     // + self-join chain, and the symmetrize is an explode (map-side)
     // instead of a union that would re-run the pair aggregate twice
-    val baskets = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    // checkpointed once (r16): the freq branch and the pair-explode
+    // branch share only the orderkey EXCHANGE (ReuseExchange), so the
+    // collect_set aggregate above it ran twice per call — and
+    // materialized WIDE (checkpointWide): AQE coalesces the compact
+    // basket rows to ~4 partitions, capping the b^2/2 pair explode's
+    // parallelism at 4 tasks
+    val baskets = graft.api.Graft.checkpointWide(
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
     val freq = baskets.select(explode(col("ps")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
     val pairs = baskets
