@@ -913,7 +913,20 @@ object GraphOps {
   def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.operators.Similarity.knnGraph(spark, dir)
       .select(col("src").as("a"), col("neighbor_id").as("b"))
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    // map-side symmetrize (explode, not a self-union that would run
+    // the kNN pipeline twice inside one job) + checkpointed once
+    // (r16): deg, both sides of the candidate self-join and the
+    // known-edge anti-join all consume sym — four evaluations of the
+    // embedding kNN without the materialization. (checkpointWide was
+    // A/B'd and was SLOWER — 2.08 vs 1.05 s: the kNN materialization
+    // itself benefits from AQE coalescing; the k²-bounded candidate
+    // join does not need the extra width.)
+    val sym =
+      e.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
+        .distinct().localCheckpoint()
     val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
     val cand = sym.select(col("a"), col("b").as("m"))
       .join(sym.select(col("a").as("m2"), col("b")), col("m") === col("m2"))
