@@ -537,7 +537,16 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("wq"), col("nq"))
     val termWin = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term")).orderBy(col("wq").desc, col("doc_id"))
-    val postings = kept.withColumn("prn", row_number().over(termWin))
+    // explicit-N term exchange (r16, guide §2.5 AQE coalesce trap):
+    // the kept rows are compact (top-m per doc), so AQE coalesced the
+    // term window + posting self-join + pair partial-agg stage to ONE
+    // task (measured 1.19 s single-task) — byte-based coalescing
+    // cannot see the cap² pair fan-out behind the join. Key-USED: the
+    // posting-cap window and the inverted-index self-join both key on
+    // term, so this is the exchange the plan needs anyway.
+    val postings = kept
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("term"))
+      .withColumn("prn", row_number().over(termWin))
       .filter(col("prn") <= sparsePostingCap)
       .select(col("doc_id"), col("term"), col("wq"), col("nq"))
     val a = postings.select(col("term"), col("doc_id").as("doc_a"),
