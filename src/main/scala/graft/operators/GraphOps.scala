@@ -1297,19 +1297,31 @@ object GraphOps {
     val byPart = Window.partitionBy(col("p")).orderBy(col("o"))
     val byOrder = Window.partitionBy(col("o")).orderBy(col("p"))
     val degP = li.groupBy(col("p")).agg(count(lit(1)).as("deg_p"))
-    val starts = degP.orderBy(col("deg_p").desc, col("p")).limit(20)
-      .withColumn("walk", explode(sequence(lit(0L), lit(7L))))
-    // bounded artifact: exactly the 20 start parts selected above
-    val startPs = starts.select(col("p")).distinct().collect().map(_.getLong(0))
+    // bounded artifact: the top-20 start parts WITH their degrees —
+    // collected once (r16; the r15 shape collected only the part ids
+    // and re-ran the data-sized degree agg + top-k inside the hop-1
+    // plan a second time), walks exploded driver-side
+    val startRows = degP.orderBy(col("deg_p").desc, col("p")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val starts = {
+      import spark.implicits._
+      startRows.toSeq.toDF("p", "deg_p")
+        .withColumn("walk", explode(sequence(lit(0L), lit(7L))))
+    }
+    val startPs = startRows.map(_._1)
     val e1 = li.filter(col("p").isin(startPs: _*))
       .select(col("p"), col("o"), row_number().over(byPart).as("rn"))
     def h(parts: Column*) = graft.api.Graft.idHash(concat_ws(":", parts: _*))
-    val hop1 = broadcast(starts
+    // bounded artifact: ≤ 20 starts × 8 walks = 160 rows — collected
+    // whole (r16; the r15 shape paid a checkpoint job AND a collect)
+    // and rebuilt as a local relation for the hop-2 broadcast side
+    val hop1Q = broadcast(starts
       .withColumn("rn", pmod(h(col("p"), col("walk"), lit("h1")), col("deg_p")) + 1L))
       .join(e1, Seq("p", "rn"))
-      .localCheckpoint()
-    // bounded artifact: ≤ 20 starts × 8 walks = 160 via-orders
-    val hopOs = hop1.select(col("o")).distinct().collect().map(_.getLong(0))
+    val hop1Rows = hop1Q.collect()
+    val hop1 = spark.createDataFrame(
+      java.util.Arrays.asList(hop1Rows: _*), hop1Q.schema)
+    val hopOs = hop1Rows.map(_.getAs[Long]("o")).distinct
     val e2 = li.filter(col("o").isin(hopOs: _*))
       .select(col("o"), col("p").as("p2"), row_number().over(byOrder).as("rn2"),
         count(lit(1)).over(Window.partitionBy(col("o"))).as("deg_o"))
