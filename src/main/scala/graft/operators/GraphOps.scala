@@ -1222,9 +1222,15 @@ object GraphOps {
     // fan-out, the same bound the join relied on). One basket
     // exchange + one pair-agg exchange instead of distinct + two join
     // exchanges; lineitem scanned once.
+    // checkpointed once (r16): deg and the pair explode share only
+    // the exchange — the collect_set agg ran twice per call.
+    // (checkpointWide was A/B'd here and washed: unlike itemCf there
+    // is no per-item window downstream to feed, and the 32-wide
+    // explode's per-task overhead ate the parallelism gain.)
     val baskets = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .localCheckpoint()
     val deg = baskets.select(explode(col("ps")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("deg"))
     val edges = baskets
