@@ -996,6 +996,21 @@ object Graft {
     }
   }
 
+  /** Key-hashed explicit-N repartition applied ONLY when the frame's
+    * measured parallelism (its scan split count — a planning-time
+    * query, no job) is below half the configured shuffle width (r16,
+    * VERDICT item 6): the explicit-N exists to parallelize
+    * compute-dense fan-outs above a one-split local scan, but at real
+    * scale the scan has thousands of splits and an unconditional
+    * repartition keyed on a downstream-unused column is a pure extra
+    * shuffle — and explicit N could even CAP map parallelism below
+    * the natural split count. */
+  private[graft] def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target, key)
+    else df
+  }
+
   /** localCheckpoint with AQE partition COALESCING disabled for just
     * this materialization (r16, guide §2.5 — the AQE coalesce trap):
     * AQE sizes post-shuffle partitions by OUTPUT BYTES, so a compact

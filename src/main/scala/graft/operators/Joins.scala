@@ -840,8 +840,12 @@ object Joins {
     // constant) because AQE's byte-based coalescing would fold the
     // small-byte exchange back to one partition, blind to the
     // compute density above it; explicit-N repartitions are exempt.
-    val names = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("c_custkey"))
+    // GATED on measured scan parallelism (r16, VERDICT item 6): the
+    // join key is the bucket mask, not c_custkey, so when the scan is
+    // already wide this exchange is a pure extra shuffle — skipped.
+    val names = graft.api.Graft.spreadIfNarrow(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+      col("c_custkey"))
     val masked = names
       .select(col("c_custkey"), col("c_name"),
         explode(sequence(lit(0), lit(8))).as("i"))

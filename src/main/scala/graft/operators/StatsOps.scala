@@ -836,11 +836,16 @@ object StatsOps {
     // compute fan-out above it; an explicit-N repartition is exempt
     // from AQE coalescing by design. Stage-measured 2.3 s single-task
     // → parallel.
-    val pool = Tables.events(spark, dir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), (col("event_type") === "click").as("g1"),
-        round(col("value") * 100.0d).cast("long").as("cents"))
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("event_id"))
+    // GATED on measured scan parallelism (r16, VERDICT item 6): the
+    // downstream is a global 64-key aggregate that never reuses
+    // event_id, so when the scan is already wide this exchange is a
+    // pure extra shuffle — skipped.
+    val pool = graft.api.Graft.spreadIfNarrow(
+      Tables.events(spark, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), (col("event_type") === "click").as("g1"),
+          round(col("value") * 100.0d).cast("long").as("cents")),
+      col("event_id"))
     val obs = pool.agg(
       sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
       sum(when(col("g1"), col("cents")).otherwise(0L)).as("s1"),
