@@ -129,6 +129,115 @@ class PlanShapeSpec extends SparkSpec {
       }
     }
 
+  /** GLOBAL-WINDOW AUDIT (r16, VERDICT item 7): every query that plans
+    * a WindowExec with NO partition spec must carry a human-reviewed
+    * boundedness argument here. The scanNoAgg witness above already
+    * rejects raw-scan-fed global windows; this register covers the
+    * residual class — windows over AGGREGATE outputs — where the
+    * bound is the aggregate's key domain and only a human can say
+    * whether that domain is a value histogram (fixed), a calendar
+    * spine (fixed), a test/replicate grid (fixed), or an ENTITY
+    * population (grows with the business, documented as such). A new
+    * query adding a global window fails until it earns an entry. */
+  private val allowGlobalWindow: Map[String, String] = {
+    val hourly = "rides the global HOURLY/period series — an aggregate " +
+      "keyed by time bucket, bounded by the calendar span of the data, " +
+      "not its row count"
+    val testStat = "rides a per-group/per-test statistic or rank table — " +
+      "bounded by the test's group/replicate/bucket design, not the corpus"
+    val valueHist = "rides a value histogram — key domain is the bounded " +
+      "value space (cents/micro-units/buckets), not the row count"
+    val scoreTable = "rides the model-score distribution table — bounded " +
+      "by the score quantization (score_milli domain), not the row count"
+    val entity = "ENTITY-KEYED: rides a per-customer/per-doc aggregate — " +
+      "bounded by the entity population, which grows with the business; " +
+      "a total order over entities is what the operator computes, " +
+      "documented per-op"
+    val vocab = "rides the term/vocabulary histogram — Heaps-law " +
+      "sublinear in the corpus; the rank axis is what the statistic is " +
+      "defined over"
+    val tiny = "rides a constant-size artifact (hop census, threshold " +
+      "grid, probe set, snapshot boundary) — rows fixed by the operator's " +
+      "own constants"
+    Map(
+      // time-series family: the global per-period series
+      "ts_acf" -> hourly, "ts_arch_test" -> hourly,
+      "ts_backtest_smape" -> hourly, "ts_changepoint" -> hourly,
+      "ts_cusum" -> hourly, "ts_ewma" -> hourly,
+      "ts_forecast_select" -> hourly, "ts_hampel" -> hourly,
+      "ts_holt_damped" -> hourly, "ts_holt_winters" -> hourly,
+      "ts_hurst" -> hourly, "ts_hw_seasonal" -> hourly,
+      "ts_level_shift" -> hourly, "ts_ljung_box" -> hourly,
+      "ts_rolling_corr" -> hourly, "ts_seasonal_strength" -> hourly,
+      "ts_stl_decompose" -> hourly, "ts_theil_sen" -> hourly,
+      "ts_turning_points" -> hourly, "ts_variance_ratio" -> hourly,
+      "ts_xcorr" -> hourly, "ts_yoy_growth" -> hourly,
+      "win_moving_median" -> hourly,
+      // statistical tests: per-group statistics / rank tables
+      "agg_benford" -> valueHist, "agg_bootstrap_ci" -> testStat,
+      "agg_chi2" -> testStat, "agg_cramers_v" -> testStat,
+      "agg_gini" -> valueHist, "agg_hdr_percentiles" -> valueHist,
+      "agg_histogram_eqdepth" -> valueHist, "agg_ks_test" -> valueHist,
+      "agg_mann_whitney" -> valueHist, "agg_median_ci" -> valueHist,
+      "agg_mutual_info" -> testStat, "agg_spearman" -> valueHist,
+      "stats_anderson_darling" -> valueHist, "stats_bh_fdr" -> testStat,
+      "stats_dunn" -> testStat, "stats_effect_sizes" -> testStat,
+      "stats_kruskal_wallis" -> valueHist, "stats_mood_median" -> valueHist,
+      "stats_runs_test" -> hourly, "stats_wilcoxon_signed" -> valueHist,
+      // ML evaluation: score-distribution tables
+      "ml_auc" -> scoreTable, "ml_best_threshold" -> scoreTable,
+      "ml_bootstrap_auc" -> scoreTable, "ml_conformal" -> scoreTable,
+      "ml_decision_stump" -> scoreTable, "ml_ece" -> scoreTable,
+      "ml_fairness_audit" -> scoreTable, "ml_gain_deciles" -> scoreTable,
+      "ml_hosmer_lemeshow" -> scoreTable, "ml_ks_score" -> scoreTable,
+      "ml_pr_auc" -> scoreTable, "ml_propensity_match" -> scoreTable,
+      "ml_psi_drift" -> scoreTable,
+      "ml_sprt" -> (tiny + "; input additionally capped at n_max=20000 " +
+        "rows by TakeOrderedAndProject"),
+      // corpus scoring: per-doc quality/score tables
+      "corpus_curriculum" -> entity, "corpus_dsir_weights" -> entity,
+      "corpus_negative_samples" -> entity, "corpus_quality_qnorm" -> entity,
+      "corpus_temperature_mix" -> entity,
+      // analytics over entity populations
+      "q_pareto" -> entity, "q_rfm" -> (entity + " (measured-revert note " +
+        "on the op: the per-customer quantile rank IS the deliverable)"),
+      "q_segment_migration" -> entity, "q_survival" -> entity,
+      // text statistics over vocabularies
+      "text_burstiness" -> vocab, "text_coverage_curve" -> vocab,
+      "text_zipf_fit" -> vocab,
+      // constant-size artifacts
+      "graph_eff_diameter" -> (tiny + " (per-hop census, ≤ 5 rows)"),
+      "dedup_threshold_curve" -> tiny, "etl_scd4" -> tiny,
+      "sim_vector_arith" -> tiny,
+      "win_ntile" -> (valueHist + " (the r11 histogram rewrite — the " +
+        "window ranks the cents histogram, not the orders)"))
+  }
+
+  private def globalWindows(df: org.apache.spark.sql.DataFrame): Int =
+    withStaticPlan(df) { plan =>
+      plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }.size
+    }
+
+  test("every query planning a global (no-partition) window carries a boundedness argument") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val seen = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val n = globalWindows(fn(spark, sf))
+      if (n > 0) {
+        seen += name
+        if (!allowGlobalWindow.contains(name)) offenders += s"$name($n)"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"global windows without a boundedness entry: ${offenders.mkString(", ")}")
+    // stale entries are flagged too — the register must match the code
+    val stale = allowGlobalWindow.keySet -- seen
+    assert(stale.isEmpty, s"allowGlobalWindow entries with no global window: $stale")
+  }
+
   test("no registered query plans a data-sized Exchange SinglePartition") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !allow.contains(name) =>
