@@ -972,12 +972,18 @@ object Graft {
     * partition count derives from the measured size, never from the
     * local core count. `graft.tinyExec.enabled` is the operational
     * kill switch, `graft.tinyExec.maxRows` the threshold knob. */
-  private[graft] def withTinyExec[T](spark: SparkSession, measuredRows: Long)
-                                    (body: => T): T = {
-    val on = spark.conf.get("graft.tinyExec.enabled", "true").toBoolean &&
+  /** Whether [[withTinyExec]] would fire for this measured size —
+    * exposed so a caller can make a companion decision (e.g. eagerly
+    * materialize a bounded tail) under the SAME gate. */
+  private[graft] def tinyExecFires(spark: SparkSession, measuredRows: Long): Boolean =
+    spark.conf.get("graft.tinyExec.enabled", "true").toBoolean &&
       measuredRows >= 0 &&
       measuredRows <= spark.conf.get("graft.tinyExec.maxRows",
         (1L << 20).toString).toLong
+
+  private[graft] def withTinyExec[T](spark: SparkSession, measuredRows: Long)
+                                    (body: => T): T = {
+    val on = tinyExecFires(spark, measuredRows)
     if (!on) body
     else {
       val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

@@ -399,6 +399,9 @@ object GeoOps {
   def dbscan(spark: SparkSession, dir: String): DataFrame = {
     val minPts = 5L // closed-neighborhood minimum, self included
     val (pts, pairs) = epsGraph(spark, dir)
+    // shuffle-free scan of the just-checkpointed pair blocks; gates
+    // the measured-tiny tail materialization below (r16)
+    val nPairs = pairs.count()
     val deg = pairs.groupBy(col("ida")).agg((count(lit(1)) + lit(1L)).as("deg"))
     val core = deg.filter(col("deg") >= minPts).select(col("ida").as("id"))
     val coreEdges = pairs
@@ -426,8 +429,18 @@ object GeoOps {
       .agg(count(lit(1)).as("n_pts"))
       .select(lit(-1L).as("cluster"), lit(0L).as("n_core"),
         lit(0L).as("n_border"), col("n_pts"))
-    census.unionByName(noise)
-      .orderBy(col("n_pts").desc, col("cluster"))
+    // measured-tiny tail (r16): the border/census/noise assembly joins
+    // only against the CHECKPOINTED pair blocks and the CC labels, yet
+    // ran as ~20 AQE query-stage driver jobs of 50-150 ms each.
+    // When the pair graph measures tiny, materialize the (cluster-
+    // count-sized) census under one-job-per-action conf; at real scale
+    // the gate stays off and the lazy plan is returned unchanged.
+    graft.api.Graft.withTinyExec(spark, nPairs) {
+      val out = census.unionByName(noise)
+        .orderBy(col("n_pts").desc, col("cluster"))
+      if (graft.api.Graft.tinyExecFires(spark, nPairs)) out.localCheckpoint()
+      else out
+    }
   }
 
   val dbscanSql: String =
