@@ -1983,9 +1983,19 @@ object Similarity {
       .select(col("vec_id"),
         transform(vecAsDouble(col("embedding")),
           x => round(x * 10000d).cast("long")).as("xq"))
+    // y_j through the native dot expression (r16, guide §4.1 / codegen):
+    // the unrolled 64-term × 8-projection sum was a 512-node expression
+    // tree whose generated method exceeded Janino's limit — every run
+    // fell back to INTERPRETED projection (42 codegen failures logged
+    // per execution). dot(xq, sign_j) folds the same products in one
+    // native call. Exact: xq entries are |·| ≤ 1e4 integers, so every
+    // product and partial sum is an integer-valued double far below
+    // 2^53 — bit-identical to the integer sum (oracle-checked).
+    val xqd = transform(col("xq"), x => x.cast("double"))
     val ys = array((1 to rpK).map { j =>
-      (1 to dim).map(i => element_at(col("xq"), i) * lit(rpSign(i, j)))
-        .reduce(_ + _)
+      graft.api.Graft.dot(xqd,
+        array((1 to dim).map(i => lit(rpSign(i, j).toDouble)): _*))
+        .cast("long")
     }: _*)
     q.select(col("vec_id"), posexplode(ys).as(Seq("pos0", "y")))
       .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
