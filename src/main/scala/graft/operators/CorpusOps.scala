@@ -1498,6 +1498,13 @@ object CorpusOps {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var r = 1
     var exhausted = false
+    // measured-tiny training rounds (r16): each round's pair-count
+    // argmax over the Zipf-bounded word-freq table ran as several AQE
+    // query-stage driver jobs with per-round codegen recompiles (the
+    // seg expression grows each round, so plans never repeat). The
+    // count is a shuffle-free scan of the just-checkpointed table and
+    // gates the mode off when the vocabulary measures large.
+    graft.api.Graft.withTinyExec(spark, base.count()) {
     while (r <= bpeTrainRounds && !exhausted) {
       val sy = split(trim(seg, D), D + D)
       val n = size(sy)
@@ -1516,6 +1523,7 @@ object CorpusOps {
         seg = replace(seg, lit(D + l + D + D + rt + D), lit(D + l + rt + D))
         r += 1
       }
+    }
     }
     merges.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_count")
       .orderBy(col("step"))
